@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core warehouse query surface.
+  *
+  * Re-expresses the reference's analytical layer (the BigQuery star schema +
+  * Power BI dashboard, reference README.md:79-98, SURVEY.md §2.3-§2.7) as
+  * idiomatic Spark DataFrame operators over the shared test tables.
+  *
+  * Determinism discipline (so every query hash-matches its DuckDB oracle):
+  *   - money/measure sums go through `DecimalType` (exact, order-independent),
+  *     then back to double;
+  *   - averages are computed as decimal-sum / count in double (single final
+  *     IEEE division, identical in any engine);
+  *   - no `rand()`: "random" ladders use a Knuth multiplicative hash of the
+  *     row key (same arithmetic in the oracle SQL);
+  *   - top-k always carries a unique tiebreaker column.
+  *
+  * Scale notes are inline per query: the shapes here are the ones that
+  * survive 100 TB — partial aggregation before shuffle, broadcast for
+  * small dimensions, pushed filters, and single-shuffle group-bys.
+  */
+object Analytics {
+
+  /** Exact order-independent sum of a double measure: cast to decimal, sum,
+    * cast back. Catalyst keeps this inside whole-stage codegen and it stays
+    * a partial (map-side) + final aggregate — one shuffle of tiny partials.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S10-style narrow projection scan: both the filter and the 3-column
+    // projection must reach the parquet reader (PushedFilters / ReadSchema).
+    "q_projection_filter" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // A1-A6 dashboard stat tiles (count / sum / avg / conditional share /
+    // threshold count / avg score) in ONE pass over the fact table:
+    // single scan, map-side partial agg, one row out.
+    "q_stat_tiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_txn"),
+        dsum(col("l_extendedprice")).as("total_revenue"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_amount"),
+        (count(when(col("l_returnflag") === "R", 1)).cast("double") / count(lit(1)))
+          .as("return_share"),
+        count(when(col("l_discount") >= 0.06, 1)).as("high_discount_cnt"),
+        (dsum(col("l_discount"), 6) / count(lit(1))).as("avg_discount"))
+    }),
+
+    // A7 time-series rollup: month-grain revenue + volume. One shuffle on
+    // ~tens of month keys; at 100 TB the fact table would be written
+    // partitioned by month so this prunes instead of scanning.
+    "q_monthly_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("volume"))
+    }),
+
+    // A8 channel pie: grouped multi-metric + share-of-total. The share is a
+    // window over the *aggregated* rows (a handful), so the unpartitioned
+    // window is safe at any input scale.
+    "q_channel_mix" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .withColumn("share",
+          col("n_events").cast("double") / sum(col("n_events")).over(Window.partitionBy()))
+    }),
+
+    // J4 star join: fact → 4 dims, filtered, grouped. nation/region are
+    // broadcast explicitly (they are tiny at every scale); customer joins
+    // shuffle-side and AQE converts to broadcast when it fits.
+    "q_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // J5 anti-join: customers that never ordered (the reference's
+    // "new-customer discovery", generate_dim_account_data.py:95-110).
+    "q_anti_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi-join: customers with at least one open order (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // J2 range join: equi-key + time-interval predicate (txn within
+    // [open_date, open_date+60d] in the reference,
+    // generate_fact_transactions_data.py:100-137). The equi key keeps this a
+    // hash join; the range predicate is a post-join filter — no quadratic
+    // blowup at scale.
+    "q_range_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_in_window"), dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Top-K by revenue (dashboard "Revenue vs Volume by Merchant",
+    // README.md:92): ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge on the driver, never a full sort.
+    "q_topk_parts" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("p_partkey").asc)
+        .limit(10)
+    }),
+
+    // Ranking window: top-3 customers by balance per nation.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+    }),
+
+    // Set operations: EXCEPT + INTERSECT branches unioned with a tag.
+    "q_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val never = c.select(col("c_custkey").as("custkey"))
+        .except(o.select(col("o_custkey").as("custkey")))
+        .select(lit("never_ordered").as("tag"), col("custkey"))
+      val both = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .select(lit("f_and_o").as("tag"), col("custkey"))
+      never.unionAll(both)
+    }),
+
+    // U5 PAN masking semantics (pipeline.py:89-90): first 6 + fixed six
+    // asterisks + last 4, plus the zfill(16) token shape (pipeline.py:95).
+    "q_mask_pan" -> ((s, dir) => {
+      val pan = lpad(col("o_orderkey").cast("string"), 16, "4")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), pan.as("pan"))
+        .select(
+          col("o_orderkey"),
+          concat(substring(col("pan"), 1, 6), lit("******"),
+            substring(col("pan"), -4, 4)).as("masked_card_number"),
+          lpad(substring(col("pan"), -4, 4), 16, "0").as("token_shape"))
+    }),
+
+    // U1 Avro-union/JSON unwrap analog: pull a typed value out of a JSON
+    // payload column and aggregate it (pipeline.py:57-71).
+    "q_json_unwrap" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k.cast("long")).as("sum_k"),
+          (count(lit(1)) - count(k)).as("n_null_k"))
+    }),
+
+    // U3 PAN-length validation split: valid iff length in [13,19]
+    // (pipeline.py:77-88); invalid rows dead-letter instead of failing.
+    "q_pan_validation" -> ((s, dir) => {
+      val panLen = (col("o_orderkey") % 10 + 11).cast("int")
+      Tables.orders(s, dir)
+        .select(lit("9" * 25).substr(lit(1), panLen).as("pan"))
+        .select(length(col("pan")).as("pan_len"),
+          length(col("pan")).between(13, 19).as("is_valid"))
+        .groupBy(col("pan_len"), col("is_valid"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // date_dim builder semantics (FIXTURES.md §7): date_id = days since
+    // 2023-01-01 (generate_fact_transactions_data.py:35,66-67) + calendar
+    // attributes. ISO day-of-week (Mon=1).
+    "q_date_dim" -> ((s, dir) => {
+      val base = to_date(lit("2023-01-01"))
+      Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("dt")).distinct()
+        .select(
+          datediff(col("dt"), base).as("date_id"),
+          col("dt").as("date"),
+          year(col("dt")).as("year"),
+          quarter(col("dt")).as("quarter"),
+          month(col("dt")).as("month"),
+          dayofmonth(col("dt")).as("day"),
+          (weekday(col("dt")) + 1).as("day_of_week"))
+    }),
+
+    // §2.7 scalar string surface: email construction
+    // (generate_dim_cust_data.py:68), zero-padding, split + element access.
+    "q_scalar_strings" -> ((s, dir) => {
+      val parts = split(col("c_name"), "#")
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(lower(parts.getItem(0)), lit("."), parts.getItem(1),
+          lit("@example.com")).as("email"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded_id"),
+        upper(substring(col("c_mktsegment"), 1, 3)).as("seg3"))
+    }),
+
+    // Weighted categorical ladder (generate_fact_transactions_data.py:111-128)
+    // made deterministic: a Knuth multiplicative hash of the key replaces
+    // random.choices, the CASE ladder encodes the cumulative weights.
+    "q_weighted_channel" -> ((s, dir) => {
+      val r = (col("o_orderkey") * lit(2654435761L)) % 1000000
+      Tables.orders(s, dir)
+        .select(col("o_totalprice"), r.as("r"))
+        .select(col("o_totalprice"),
+          when(col("r") < 300000, "Online Payment Gateway")
+            .when(col("r") < 570000, "UPI")
+            .when(col("r") < 840000, "POS")
+            .otherwise("Net Banking").as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amount"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user via lag + running sum.
+    // Partitioned window (by user) — scales horizontally; only per-user
+    // history must fit an executor.
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms").asc, col("event_id").asc)
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .withColumn("prev", lag(col("tms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(running))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_projection_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0""",
+
+    "q_stat_tiles" ->
+      """SELECT count(*) AS n_txn,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_amount,
+        | CAST(count_if(l_returnflag = 'R') AS DOUBLE) / count(*) AS return_share,
+        | count_if(l_discount >= 0.06) AS high_discount_cnt,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_discount
+        |FROM lineitem""".stripMargin,
+
+    "q_monthly_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS volume
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_channel_mix" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_in_window,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_topk_parts" ->
+      """SELECT p_partkey, p_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+        | SELECT n_name, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_setops" ->
+      """SELECT 'never_ordered' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT o_custkey AS custkey FROM orders) a
+        |UNION ALL
+        |SELECT 'f_and_o' AS tag, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') b""".stripMargin,
+
+    "q_mask_pan" ->
+      """SELECT o_orderkey,
+        | substr(pan, 1, 6) || '******' || substr(pan, length(pan) - 3, 4) AS masked_card_number,
+        | lpad(substr(pan, length(pan) - 3, 4), 16, '0') AS token_shape
+        |FROM (SELECT o_orderkey,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 16, '4') AS pan FROM orders) t""".stripMargin,
+
+    "q_json_unwrap" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) - count(json_extract_string(props, '$.k')) AS n_null_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_pan_validation" ->
+      """SELECT length(pan) AS pan_len,
+        | length(pan) BETWEEN 13 AND 19 AS is_valid, count(*) AS n
+        |FROM (SELECT substr(repeat('9', 25), 1,
+        |   CAST(o_orderkey % 10 + 11 AS INT)) AS pan FROM orders) t
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_date_dim" ->
+      """SELECT CAST(date_diff('day', DATE '2023-01-01', dt) AS INT) AS date_id,
+        | dt AS date,
+        | CAST(year(dt) AS INT) AS year, CAST(quarter(dt) AS INT) AS quarter,
+        | CAST(month(dt) AS INT) AS month, CAST(day(dt) AS INT) AS day,
+        | CAST(isodow(dt) AS INT) AS day_of_week
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders) d""".stripMargin,
+
+    "q_scalar_strings" ->
+      """SELECT c_custkey,
+        | lower(string_split(c_name, '#')[1]) || '.' || string_split(c_name, '#')[2]
+        |   || '@example.com' AS email,
+        | lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_id,
+        | upper(substr(c_mktsegment, 1, 3)) AS seg3
+        |FROM customer""".stripMargin,
+
+    "q_weighted_channel" ->
+      """SELECT CASE WHEN r < 300000 THEN 'Online Payment Gateway'
+        |  WHEN r < 570000 THEN 'UPI'
+        |  WHEN r < 840000 THEN 'POS'
+        |  ELSE 'Net Banking' END AS channel,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM (SELECT (o_orderkey * 2654435761) % 1000000 AS r, o_totalprice
+        |      FROM orders) t
+        |GROUP BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        | g AS (SELECT user_id, event_id, tms,
+        |   CASE WHEN lag(tms) OVER w IS NULL
+        |     OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        | s AS (SELECT user_id,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin
+  )
+}
