@@ -1,0 +1,131 @@
+package graft.functions
+
+/** Builders for SQL expression fragments that evaluate to IDENTICAL values in
+  * Spark SQL and DuckDB.
+  *
+  * The dedup / fingerprint operators need hash functions that the DuckDB
+  * correctness oracle can reproduce exactly, so instead of engine hashes
+  * (Spark murmur3 vs DuckDB's) every hash here is plain 64-bit integer
+  * arithmetic over `ascii()` codes — expressible in both dialects, with all
+  * intermediates kept < 2^63 (DuckDB errors on overflow; Spark 4 runs ANSI).
+  *
+  * `duck = false` emits Spark SQL (for `expr(...)`), `duck = true` emits the
+  * DuckDB dialect (for the oracle strings).
+  */
+object PortableSql {
+
+  /** Large prime modulus keeping hash values < 2^30. */
+  val P: Long = 1000000007L
+
+  def split(s: String, duck: Boolean): String =
+    if (duck) s"string_split($s, ' ')" else s"split($s, ' ')"
+
+  def xform(arr: String, v: String, body: String, duck: Boolean): String =
+    if (duck) s"list_transform($arr, $v -> $body)" else s"transform($arr, $v -> $body)"
+
+  def filterArr(arr: String, v: String, body: String, duck: Boolean): String =
+    if (duck) s"list_filter($arr, $v -> $body)" else s"filter($arr, $v -> $body)"
+
+  def alen(arr: String, duck: Boolean): String =
+    if (duck) s"len($arr)" else s"size($arr)"
+
+  def arrayMin(arr: String, duck: Boolean): String =
+    if (duck) s"list_min($arr)" else s"array_min($arr)"
+
+  def distinct(arr: String, duck: Boolean): String =
+    if (duck) s"list_distinct($arr)" else s"array_distinct($arr)"
+
+  def contains(arr: String, x: String, duck: Boolean): String =
+    if (duck) s"list_contains($arr, $x)" else s"array_contains($arr, $x)"
+
+  def elem(arr: String, i: String, duck: Boolean): String =
+    if (duck) s"$arr[$i]" else s"element_at($arr, $i)"
+
+  def seqIncl(from: String, to: String, duck: Boolean): String =
+    if (duck) s"generate_series($from, $to)" else s"sequence($from, $to)"
+
+  /** Left fold to BIGINT with zero initial accumulator. DuckDB's list_reduce
+    * has no explicit init, so the zero is prepended.
+    */
+  def reduceLong(arr: String, a: String, x: String, body: String, duck: Boolean): String =
+    if (duck) s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), ($a, $x) -> $body)"
+    else s"aggregate($arr, CAST(0 AS BIGINT), ($a, $x) -> $body)"
+
+  def shr(x: String, n: Int, duck: Boolean): String =
+    if (duck) s"($x >> $n)" else s"shiftright($x, $n)"
+
+  def bxor(x: String, y: String, duck: Boolean): String =
+    if (duck) s"xor($x, $y)" else s"($x ^ $y)"
+
+  /** Deterministic string hash, identical in both engines: a base-127
+    * polynomial over the first 16 characters (mod P each step so nothing
+    * overflows), salted with the string length. Range [0, P).
+    */
+  def strHash(w: String): String = {
+    val poly = (1 to 16).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * 127 + coalesce(ascii(substr($w, $i, 1)), 0)) % $P)"
+    }
+    s"(($poly * 31 + length($w)) % $P)"
+  }
+
+  /** Word-token array of a single-space-separated text column. */
+  def tokens(textCol: String, duck: Boolean): String = split(textCol, duck)
+
+  /** Array of hashed word tokens. */
+  def tokenHashes(textCol: String, duck: Boolean): String =
+    xform(tokens(textCol, duck), "w", strHash("w"), duck)
+
+  /** Distinct word-trigram shingles ("w1 w2 w3" strings). Requires >= 3
+    * tokens (callers filter on a minimum length first).
+    */
+  def trigramShingles(toksCol: String, duck: Boolean): String = {
+    val idx = seqIncl("1", s"${alen(toksCol, duck)} - 2", duck)
+    val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)} || ' ' || ${elem(toksCol, "i + 2", duck)}"
+    distinct(xform(idx, "i", gram, duck), duck)
+  }
+
+  /** MinHash permutation parameters (fixed primes; a_k * h stays < 2^58). */
+  val minhashA: Seq[Long] = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  val minhashB: Seq[Long] = Seq(7L, 911L, 24749L, 38873L, 52859L, 67061L, 81353L, 95701L)
+
+  /** k-th minhash of an array-of-hashes column. */
+  def minhash(hashesCol: String, k: Int, duck: Boolean): String =
+    arrayMin(xform(hashesCol, "h",
+      s"((${minhashA(k)} * h + ${minhashB(k)}) % $P)", duck), duck)
+
+  /** 24-bit SimHash of an array-of-hashes column: bit i set iff the majority
+    * of token hashes have bit i set.
+    */
+  def simhash24(hashesCol: String, duck: Boolean): String = {
+    val n = alen(hashesCol, duck)
+    val terms = (0 until 24).map { i =>
+      val ones = alen(filterArr(hashesCol, "h", s"(${shr("h", i, duck)} & 1) = 1", duck), duck)
+      s"(CASE WHEN 2 * $ones > $n THEN ${1L << i} ELSE 0 END)"
+    }
+    s"CAST(${terms.mkString("(", " + ", ")")} AS BIGINT)"
+  }
+
+  /** Exact Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: String, b: String, duck: Boolean): String = {
+    val inter = alen(filterArr(a, "x", contains(b, "x", duck), duck), duck)
+    s"(CAST($inter AS DOUBLE) / (${alen(a, duck)} + ${alen(b, duck)} - $inter))"
+  }
+
+  /** Deterministic pseudo-random double in [-0.5, 0.5) from an integer seed
+    * expression — stands in for random hyperplane components.
+    */
+  def pseudoUniform(seedExpr: String): String =
+    s"((($seedExpr) * 2654435761 % 1000003) / 1000003.0 - 0.5)"
+
+  /** Dot product of two double-array columns (sequential left-to-right sum;
+    * both engines fold in element order so the IEEE result is identical).
+    */
+  def dot(a: String, b: String, duck: Boolean): String =
+    if (duck) s"list_dot_product($a, $b)"
+    else s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Cast a float array to double (all arithmetic happens in double). */
+  def toDoubleArr(arr: String, duck: Boolean): String =
+    xform(arr, "x", "CAST(x AS DOUBLE)", duck)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql._
+
+/** Deduplication operators over the `documents` table — the four standard
+  * flavors a large-scale training-data pipeline needs:
+  *
+  *   - exact:    hash-groupBy on content (one shuffle on the content hash);
+  *   - MinHash:  shingle → K permutation minima → banded LSH keys →
+  *               candidate join → exact-Jaccard verify. The band join is the
+  *               scale path: candidates are found by an equi-join on
+  *               (band_idx, band_value), never by comparing all pairs;
+  *   - SimHash:  24-bit majority-bit sketch + pigeonhole blocking (4 blocks
+  *               of 6 bits; hamming <= 3 implies one identical block) —
+  *               again pairs come from an equi-join, not a cross product;
+  *   - n-gram Jaccard: exact quadratic verify *within a blocking key*
+  *               (source) — the baseline/verifier, deliberately bounded.
+  *
+  * Hashes are engine-portable arithmetic (PortableSql) so the DuckDB oracle
+  * reproduces every signature, candidate set, and verified pair exactly.
+  */
+object DedupOps {
+
+  val MinhashThreshold = 0.8
+  val NgramThreshold = 0.5
+  val MaxHamming = 3
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** doc_id + distinct word-trigram shingle array. */
+  private def withGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
+
+  /** doc_id, mh_0..mh_7 (minhash signature), band_0..band_3 (LSH keys:
+    * 4 bands x 2 rows).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = withGrams(docs)
+      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+    val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
+      df.withColumn(s"mh_$k", expr(minhash("hs", k, duck = false)))
+    }
+    (0 until 4).foldLeft(withMh) { (df, j) =>
+      df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
+    }.drop("grams", "hs")
+  }
+
+  /** Near-duplicate pairs: banded-minhash candidates, verified with exact
+    * trigram Jaccard >= threshold. The candidate generator is an equi-join
+    * on exploded (band_idx, band_value) keys — one shuffle, no cross
+    * product, skew-safe because band values are hash-distributed.
+    */
+  def minhashDupPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band_idx"), col(s"band_$j").as("band_val"))): _*
+    )).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val g = withGrams(docs)
+    val j = expr(jaccard("grams1", "grams2", duck = false))
+    cand
+      .join(g.select(col("doc_id").as("d1"), col("grams").as("grams1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("grams").as("grams2")), "d2")
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      .filter(col("jaccard") >= MinhashThreshold)
+  }
+
+  /** doc_id, 24-bit simhash over trigram-shingle hashes, block_0..block_3
+    * (6-bit pigeonhole blocks).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = withGrams(docs)
+      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+      .withColumn("simhash", expr(simhash24("hs", duck = false)))
+    (0 until 4).foldLeft(hashed) { (df, j) =>
+      df.withColumn(s"block_$j", expr(s"${shr("simhash", 6 * j, duck = false)} & 63"))
+    }.select(col("doc_id") +: col("simhash") +:
+      (0 until 4).map(j => col(s"block_$j")): _*)
+  }
+
+  /** SimHash near-dup pairs: block-equality candidates (pigeonhole: any pair
+    * within hamming<=3 of a 4-block split shares a block), verified with
+    * popcount of the XOR.
+    */
+  def simhashDupPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val blocks = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("block_idx"), col(s"block_$j").as("block_val"))): _*
+    )).as("b")).select(col("doc_id"), col("simhash"), col("b.block_idx"), col("b.block_val"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr(s"bit_count(${bxor("a.simhash", "b.simhash", duck = false)})").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking key (source): the bounded
+    * quadratic baseline. Block size is what you control at scale — the
+    * cross product never leaves a block.
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), col("source"),
+      expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
+    val j = expr(jaccard("g1", "g2", duck = false))
+    g.as("a").join(g.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.grams").as("g1"), col("b.grams").as("g2"))
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => exactDuplicates(Tables.documents(s, dir))),
+    "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
+    "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
+    "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
+    "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
+    "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val grams = trigramShingles(tokens("text", duck = true), duck = true)
+    val hs = xform("grams", "g", strHash("g"), duck = true)
+    val mhCols = (0 until 8).map(k => s"${minhash("hs", k, duck = true)} AS mh_$k").mkString(",\n   ")
+    val bandCols = (0 until 4).map(j => s"mh_${2 * j} * $P + mh_${2 * j + 1} AS band_$j").mkString(", ")
+    val sigCte =
+      s"""sig AS (
+         | SELECT doc_id, $bandCols FROM (
+         |  SELECT doc_id, $mhCols
+         |  FROM (SELECT doc_id, $hs AS hs
+         |        FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h))""".stripMargin
+    val gramsCte = s"g AS (SELECT doc_id, $grams AS grams FROM documents)"
+    val bandOr = (0 until 4).map(j => s"a.band_$j = b.band_$j").mkString(" OR ")
+    val jac = jaccard("g1.grams", "g2.grams", duck = true)
+
+    val simhashExpr = simhash24("hs", duck = true)
+    val blockCols = (0 until 4).map(j => s"(simhash >> ${6 * j}) & 63 AS block_$j").mkString(", ")
+    val simCte =
+      s"""sig AS (
+         | SELECT doc_id, simhash, $blockCols FROM (
+         |  SELECT doc_id, $simhashExpr AS simhash
+         |  FROM (SELECT doc_id, $hs AS hs
+         |        FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h) s0)""".stripMargin
+    val blockOr = (0 until 4).map(j => s"a.block_$j = b.block_$j").mkString(" OR ")
+
+    Map(
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+          | count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_minhash_sig" ->
+        s"""WITH mh AS (SELECT doc_id, $mhCols
+           |  FROM (SELECT doc_id, $hs AS hs
+           |        FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h)
+           |SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7,
+           | $bandCols
+           |FROM mh""".stripMargin,
+
+      "q_dedup_minhash_pairs" ->
+        s"""WITH $sigCte,
+           | $gramsCte,
+           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandOr))
+           |SELECT d1, d2, round($jac, 6) AS jaccard
+           |FROM cand JOIN g g1 ON d1 = g1.doc_id JOIN g g2 ON d2 = g2.doc_id
+           |WHERE round($jac, 6) >= $MinhashThreshold""".stripMargin,
+
+      "q_dedup_simhash_sig" ->
+        s"""WITH $simCte
+           |SELECT doc_id, simhash, block_0, block_1, block_2, block_3 FROM sig""".stripMargin,
+
+      "q_dedup_simhash_pairs" ->
+        s"""WITH $simCte
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           | bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($blockOr)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
+
+      "q_dedup_ngram_pairs" ->
+        s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
+           |SELECT g1.doc_id AS d1, g2.doc_id AS d2, round($jac, 6) AS jaccard
+           |FROM g g1 JOIN g g2
+           |  ON g1.source = g2.source AND g1.doc_id < g2.doc_id
+           |WHERE round($jac, 6) >= $NgramThreshold""".stripMargin
+    )
+  }
+}

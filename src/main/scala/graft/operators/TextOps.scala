@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token statistics, quality scoring, heuristic language ID, and
+  * document fingerprinting.
+  *
+  * All per-document work is narrow (no shuffle): each operator is a single
+  * projection pass that Catalyst keeps inside whole-stage codegen, so at
+  * 100 TB it scales linearly with input splits. Only the final per-language
+  * rollups shuffle, on a handful of keys.
+  *
+  * Every hash is engine-portable integer arithmetic (PortableSql) so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextOps {
+
+  /** Tokenize + count: per-language corpus statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", expr(s"${alen(tokens("text", duck = false), duck = false)}").cast("long"))
+      .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_nospace")).as("total_chars_nospace"),
+        (sum(col("n_nospace")).cast("double") / sum(col("n_tokens"))).as("avg_token_len"))
+
+  /** Per-document quality score from length / stopword / token-count
+    * heuristics (weights sum to 1; each component clamped to [0,1]).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens("text", duck = false)
+    val stop = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = false)
+    docs.select(
+        col("doc_id"),
+        col("n_chars"),
+        expr(s"CAST(${alen(toks, duck = false)} AS BIGINT)").as("n_tokens"),
+        expr(s"CAST(${alen(stop, duck = false)} AS BIGINT)").as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        round(
+          lit(0.3) * least(lit(1.0), col("n_chars").cast("double") / 400.0) +
+          lit(0.4) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 80.0),
+          6).as("quality"))
+  }
+
+  /** Heuristic language ID: stopword share + vowel share thresholds.
+    * (An n-gram-profile classifier reduces to the same shape: per-row
+    * feature extraction + a CASE ladder.)
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens("text", duck = false)
+    val stop = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = false)
+    val vowels = length(col("text")) -
+      length(translate(col("text"), "aeiou", ""))
+    docs.select(
+        col("doc_id"),
+        (expr(s"CAST(${alen(stop, duck = false)} AS BIGINT)").cast("double") /
+          expr(s"CAST(${alen(toks, duck = false)} AS BIGINT)")).as("stop_ratio"),
+        (vowels.cast("double") / length(col("text"))).as("vowel_ratio"))
+      .withColumn("lang_guess",
+        when(col("stop_ratio") >= 0.04, "en")
+          .when(col("vowel_ratio") >= 0.38, "romance")
+          .otherwise("other"))
+  }
+
+  /** Document fingerprints: MD5 content hash + an order-sensitive rolling
+    * hash over word tokens (two texts with the same words in different
+    * order fingerprint differently — unlike the minhash sketch).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("content_md5"),
+      expr(reduceLong(tokenHashes("text", duck = false), "acc", "x",
+        s"(acc * 31 + x) % $P", duck = false)).as("rolling_fp"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
+    "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
+    "q_text_langid" -> ((s, dir) => languageId(Tables.documents(s, dir))),
+    "q_text_fingerprint" -> ((s, dir) => fingerprints(Tables.documents(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val toks = tokens("text", duck = true)
+    val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
+    Map(
+      "q_text_tokens" ->
+        s"""SELECT lang, count(*) AS n_docs,
+           | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           | CAST(sum(n_nospace) AS BIGINT) AS total_chars_nospace,
+           | CAST(sum(n_nospace) AS DOUBLE) / sum(n_tokens) AS avg_token_len
+           |FROM (SELECT lang,
+           |   CAST(${alen(toks, duck = true)} AS BIGINT) AS n_tokens,
+           |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace
+           |  FROM documents) t
+           |GROUP BY lang""".stripMargin,
+
+      "q_text_quality" ->
+        s"""SELECT doc_id, n_tokens,
+           | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           | round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+           |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0), 6) AS quality
+           |FROM (SELECT doc_id, n_chars,
+           |   CAST(${alen(toks, duck = true)} AS BIGINT) AS n_tokens,
+           |   CAST(${alen(stopD, duck = true)} AS BIGINT) AS n_stop
+           |  FROM documents) t""".stripMargin,
+
+      "q_text_langid" ->
+        s"""SELECT doc_id, stop_ratio, vowel_ratio,
+           | CASE WHEN stop_ratio >= 0.04 THEN 'en'
+           |   WHEN vowel_ratio >= 0.38 THEN 'romance'
+           |   ELSE 'other' END AS lang_guess
+           |FROM (SELECT doc_id,
+           |   CAST(CAST(${alen(stopD, duck = true)} AS BIGINT) AS DOUBLE)
+           |     / CAST(${alen(toks, duck = true)} AS BIGINT) AS stop_ratio,
+           |   CAST(length(text) - length(replace(replace(replace(replace(replace(
+           |     text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS DOUBLE)
+           |     / length(text) AS vowel_ratio
+           |  FROM documents) t""".stripMargin,
+
+      "q_text_fingerprint" ->
+        s"""SELECT doc_id, md5(text) AS content_md5,
+           | ${reduceLong(tokenHashes("text", duck = true), "acc", "x",
+                s"(acc * 31 + x) % $P", duck = true)} AS rolling_fp
+           |FROM documents""".stripMargin
+    )
+  }
+}
