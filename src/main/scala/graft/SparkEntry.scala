@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.IngestQueries
 import graft.operators.{Analytics, DedupOps, Multimodal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +23,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ Multimodal.queries
+      VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      VectorOps.oracleSql ++ Multimodal.oracleSql
+      VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql
 }

@@ -1,0 +1,170 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Fpe
+
+/** Oracle-checkable exercises of the full ingest pipeline.
+  *
+  * The wire records are built deterministically from `orders` (keyed hash
+  * ladders, no rand()), serialized to the generators' JSON wire format —
+  * including the Avro-union wrapping — then pushed through
+  * `TxnPipeline.process`. Because the JSON round-trip is the identity, the
+  * DuckDB oracle can compute the expected END STATE directly from `orders`
+  * without touching JSON, which checks the whole parse→unwrap→validate→
+  * mask→project chain.
+  *
+  * PAN shape per o_orderkey % 10: 0-6 → valid 16-digit; 7 → 12-digit
+  * (dead-letter); 8 → 20-digit (dead-letter); 9 → no card (UPI-style row,
+  * valid without mask/token).
+  */
+object IngestQueries {
+
+  /** Fixed test DEK (the reference's key is random per deployment;
+    * round-trip, not bit-compat, defines FPE correctness).
+    */
+  val testKey: Array[Byte] = "graft-test-dek-0123456789abcdef!".getBytes("UTF-8")
+
+  /** Deterministic wire-format records from orders. */
+  def wireFromOrders(orders: DataFrame): DataFrame = {
+    val r = (col("o_orderkey") * lit(2654435761L)) % 1000000
+    val pm = col("o_orderkey") % 10
+    val pan = when(pm <= 6, lpad(col("o_orderkey").cast("string"), 16, "4"))
+      .when(pm === 7, lpad(col("o_orderkey").cast("string"), 12, "4"))
+      .when(pm === 8, lpad(col("o_orderkey").cast("string"), 20, "4"))
+    // money math in exact DECIMAL: double round() tie-breaks differently
+    // across engines (HALF_UP on shortest-repr vs binary-value rounding),
+    // decimal rounding is HALF_UP in both for positive amounts
+    val amount = col("o_totalprice")
+    val amtD = col("o_totalprice").cast(DecimalType(18, 2))
+    val tax = round(amtD * lit(0.18).cast(DecimalType(4, 2)), 2)
+    val disc = when(col("o_orderkey") % 7 === 0,
+      round(amtD * lit(0.05).cast(DecimalType(4, 2)), 2))
+      .otherwise(lit(0).cast(DecimalType(18, 2)))
+    val channel = when(r < 300000, "Online Payment Gateway")
+      .when(r < 570000, "UPI").when(r < 840000, "POS").otherwise("Net Banking")
+    orders.select(to_json(struct(
+      col("o_orderkey").cast("string").as("transaction_id"),
+      col("o_custkey").as("customer_id"),
+      amount.as("amount"),
+      tax.as("tax_amount"),
+      disc.as("discount_amount"),
+      (amtD + tax - disc).as("total_amount"),
+      channel.as("transaction_channel"),
+      (col("o_orderkey") % 5 === 0).as("is_recurring"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .as("transaction_datetime"),
+      when(pan.isNotNull, struct(pan.as("string"))).as("card_number"),
+      when(pm =!= 9, struct((col("o_orderkey") % 10 + 1).as("int")))
+        .as("payment_gateway_id"),
+      (r / 1000000.0).as("risk_score")
+    )).as("raw"))
+  }
+
+  private def processed(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    TxnPipeline.process(s, wireFromOrders(Tables.orders(s, dir)), testKey)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Valid branch, minus card_token (FPE is opaque to the SQL oracle;
+    // q_fpe_roundtrip checks the token column instead).
+    "q_ingest_valid" -> ((s, dir) => processed(s, dir)._1.drop("card_token")),
+
+    // Dead-letter branch: U4 records (timestamp excluded — wall clock);
+    // pan_len recomputed from raw_message proves the original payload
+    // survives into the dead-letter table.
+    "q_ingest_errors" -> ((s, dir) => processed(s, dir)._2
+      .select(
+        col("transaction_id"),
+        col("error"),
+        length(get_json_object(col("raw_message"), "$.card_number.string"))
+          .cast("long").as("pan_len"))),
+
+    // FPE invariants, aggregated so the oracle can predict them: every
+    // tokenized row must round-trip through decrypt and keep digit format.
+    "q_fpe_roundtrip" -> ((s, dir) => {
+      val keyB = s.sparkContext.broadcast(testKey)
+      val decryptOk = udf { (token: String, pan: String) =>
+        if (token == null || pan == null) false
+        else {
+          // invert zfill(16): the real token is the last len(pan) digits
+          val t = if (pan.length < 16) token.substring(16 - pan.length) else token
+          Fpe.decrypt(keyB.value, t) == pan
+        }
+      }
+      val wire = wireFromOrders(Tables.orders(s, dir))
+      val parsed = wire.select(
+        get_json_object(col("raw"), "$.card_number.string").as("pan"))
+        .filter(col("pan").isNotNull && length(col("pan")).between(13, 19))
+        .withColumn("token", udf { pan: String =>
+          val t = Fpe.encrypt(keyB.value, pan)
+          if (t.length >= 16) t else ("0" * (16 - t.length)) + t
+        }.apply(col("pan")))
+      parsed.agg(
+        count(lit(1)).as("n_pans"),
+        count(when(decryptOk(col("token"), col("pan")), 1)).as("n_roundtrip_ok"),
+        count(when(col("token").rlike("^[0-9]+$") &&
+          length(col("token")) === greatest(length(col("pan")), lit(16)), 1))
+          .as("n_format_ok"))
+    })
+  )
+
+  /** Shared oracle CTE: the deterministic wire fields, straight from orders. */
+  private val srcCte =
+    """w AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      |  (o_orderkey * 2654435761) % 1000000 AS r,
+      |  o_orderkey % 10 AS pm,
+      |  CASE WHEN o_orderkey % 10 <= 6 THEN lpad(CAST(o_orderkey AS VARCHAR), 16, '4')
+      |       WHEN o_orderkey % 10 = 7 THEN lpad(CAST(o_orderkey AS VARCHAR), 12, '4')
+      |       WHEN o_orderkey % 10 = 8 THEN lpad(CAST(o_orderkey AS VARCHAR), 20, '4')
+      |  END AS pan
+      | FROM orders)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ingest_valid" ->
+      s"""WITH $srcCte
+         |SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+         | o_custkey AS customer_id,
+         | o_totalprice AS amount,
+         | CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.18 AS DECIMAL(4,2)), 2)
+         |   AS DOUBLE) AS tax_amount,
+         | CAST(CASE WHEN o_orderkey % 7 = 0
+         |   THEN round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.05 AS DECIMAL(4,2)), 2)
+         |   ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS discount_amount,
+         | CAST(CAST(o_totalprice AS DECIMAL(18,2))
+         |   + round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.18 AS DECIMAL(4,2)), 2)
+         |   - CASE WHEN o_orderkey % 7 = 0
+         |     THEN round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.05 AS DECIMAL(4,2)), 2)
+         |     ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS total_amount,
+         | CASE WHEN r < 300000 THEN 'Online Payment Gateway'
+         |      WHEN r < 570000 THEN 'UPI'
+         |      WHEN r < 840000 THEN 'POS'
+         |      ELSE 'Net Banking' END AS transaction_channel,
+         | o_orderkey % 5 = 0 AS is_recurring,
+         | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS transaction_datetime,
+         | CASE WHEN pan IS NOT NULL THEN
+         |   substr(pan, 1, 6) || '******' || substr(pan, length(pan) - 3, 4)
+         | END AS masked_card_number,
+         | CASE WHEN pm <> 9 THEN o_orderkey % 10 + 1 END AS payment_gateway_id,
+         | r / 1000000.0 AS risk_score
+         |FROM w
+         |WHERE pan IS NULL OR length(pan) BETWEEN 13 AND 19""".stripMargin,
+
+    "q_ingest_errors" ->
+      s"""WITH $srcCte
+         |SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+         | 'Invalid Card Number' AS error,
+         | CAST(length(pan) AS BIGINT) AS pan_len
+         |FROM w
+         |WHERE pan IS NOT NULL AND length(pan) NOT BETWEEN 13 AND 19""".stripMargin,
+
+    "q_fpe_roundtrip" ->
+      s"""WITH $srcCte
+         |SELECT count(*) AS n_pans, count(*) AS n_roundtrip_ok,
+         | count(*) AS n_format_ok
+         |FROM w
+         |WHERE pan IS NOT NULL AND length(pan) BETWEEN 13 AND 19""".stripMargin
+  )
+}

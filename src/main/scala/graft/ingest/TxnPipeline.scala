@@ -1,0 +1,122 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fpe
+
+/** The streaming-ingest transform chain — the engine's re-expression of the
+  * reference's Beam DoFn (dataflow_pipeline/pipeline.py:51-131) as a pure
+  * `DataFrame => (valid, errors)` function, usable identically in batch and
+  * inside `foreachBatch` streaming:
+  *
+  *   parse (S3, from_json) → union-unwrap (U1) → PAN validate (U3) →
+  *   mask (U5) → FPE tokenize (U6) → drop PII (U8) → project (U9),
+  *   with the invalid branch built as dead-letter records (U4/U10).
+  *
+  * The whole chain is narrow — no shuffle, fully pipelined per input split,
+  * so ingest throughput scales linearly with executors at any data size.
+  * Everything except the FPE call stays in whole-stage codegen; the FPE UDF
+  * touches only rows with a present, valid PAN.
+  */
+object TxnPipeline {
+
+  /** Wire schema of a fact transaction as the generators publish it
+    * (fact_table_ingestion/schemas/fact_transactions_pub-sub.avsc): flat
+    * fields, with nullable card_number / payment_gateway_id union-wrapped
+    * in the Avro JSON encoding ({"string": v} / {"int": v},
+    * generate_fact_transactions_data.py:215-220).
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType, nullable = false),
+    StructField("customer_id", LongType, nullable = false),
+    StructField("amount", DoubleType, nullable = false),
+    StructField("tax_amount", DoubleType, nullable = false),
+    StructField("discount_amount", DoubleType, nullable = false),
+    StructField("total_amount", DoubleType, nullable = false),
+    StructField("transaction_channel", StringType, nullable = false),
+    StructField("is_recurring", BooleanType, nullable = false),
+    StructField("transaction_datetime", StringType, nullable = false),
+    StructField("card_number", StructType(Seq(StructField("string", StringType))), nullable = true),
+    StructField("payment_gateway_id", StructType(Seq(StructField("int", LongType))), nullable = true),
+    StructField("risk_score", DoubleType, nullable = false)))
+
+  /** U1 unwrap for a union-wrapped string field: prefer the wrapped member;
+    * fall back to a plain scalar in the raw JSON (the reference's
+    * unwrap_primitives passes plain values through, pipeline.py:57-69).
+    */
+  private def unwrapString(wrapped: Column, raw: Column, field: String): Column = {
+    val plain = get_json_object(raw, s"$$.$field")
+    coalesce(wrapped, when(!plain.startsWith("{"), plain))
+  }
+
+  private def unwrapLong(wrapped: Column, raw: Column, field: String): Column = {
+    val plain = get_json_object(raw, s"$$.$field")
+    coalesce(wrapped, when(!plain.startsWith("{"), plain.cast("long")))
+  }
+
+  /** U5: first 6 + fixed six asterisks + last 4 (pipeline.py:89-90 — six
+    * asterisks regardless of PAN length).
+    */
+  def maskPan(pan: Column): Column =
+    concat(substring(pan, 1, 6), lit("******"), substring(pan, -4, 4))
+
+  /** Parse + unwrap + validate + mask + tokenize + project; returns the
+    * (valid, errors) pair of U10's tagged outputs.
+    *
+    * @param raw DataFrame with a `raw` string column of wire JSON.
+    * @param key FPE data-encryption key; broadcast to executors once
+    *            (the Beam DoFn.setup analogue, pipeline.py:18-47 / U7).
+    */
+  def process(spark: SparkSession, raw: DataFrame, key: Array[Byte]): (DataFrame, DataFrame) = {
+    val keyB = spark.sparkContext.broadcast(key)
+    val fpeTokenize = udf { pan: String =>
+      if (pan == null) null
+      else {
+        val t = Fpe.encrypt(keyB.value, pan)
+        if (t.length >= 16) t else ("0" * (16 - t.length)) + t // zfill(16), pipeline.py:95
+      }
+    }
+
+    val parsed = raw.select(col("raw"), from_json(col("raw"), wireSchema).as("rec"))
+    val unwrapped = parsed.select(
+      col("raw"),
+      col("rec.transaction_id"), col("rec.customer_id"),
+      col("rec.amount"), col("rec.tax_amount"), col("rec.discount_amount"),
+      col("rec.total_amount"), col("rec.transaction_channel"),
+      col("rec.is_recurring"), col("rec.transaction_datetime"),
+      unwrapString(col("rec.card_number.string"), col("raw"), "card_number").as("card_number"),
+      unwrapLong(col("rec.payment_gateway_id.int"), col("raw"), "payment_gateway_id")
+        .as("payment_gateway_id"),
+      col("rec.risk_score"))
+
+    // U2/U3: a missing PAN is fine (UPI / net-banking rows); a present PAN
+    // must have 13..19 digits or the row dead-letters.
+    val panOk = col("card_number").isNull ||
+      length(col("card_number")).between(13, 19)
+
+    val valid = unwrapped.filter(panOk)
+      .withColumn("masked_card_number",
+        when(col("card_number").isNotNull, maskPan(col("card_number"))))
+      .withColumn("card_token",
+        when(col("card_number").isNotNull, fpeTokenize(col("card_number"))))
+      .drop("card_number", "raw") // U8: PII never reaches the sink
+      .select( // U9: fixed output projection, sink column order
+        col("transaction_id"), col("customer_id"), col("amount"),
+        col("tax_amount"), col("discount_amount"), col("total_amount"),
+        col("transaction_channel"), col("is_recurring"),
+        col("transaction_datetime"), col("masked_card_number"),
+        col("card_token"), col("payment_gateway_id"), col("risk_score"))
+
+    // U4: dead-letter record (pipeline.py:81-87)
+    val errors = unwrapped.filter(!panOk)
+      .select(
+        col("transaction_id"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
+        col("raw").as("raw_message"),
+        lit("Invalid Card Number").as("error"))
+
+    (valid, errors)
+  }
+}
