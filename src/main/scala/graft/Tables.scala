@@ -29,6 +29,13 @@ object Tables {
     * surface a proper micros TimestampType column; `DIV` keeps the
     * conversion in exact integer arithmetic (a double round-trip would lose
     * precision at 2^63-scale nanos).
+    *
+    * The nanosAsLong flag has no per-read option, so our own entry points
+    * (Verify / Bench / tests) set it at session BUILD time; the set here is
+    * a defensive, idempotent fallback for driver-owned sessions that call
+    * queries directly. It is session-global: any session touching events
+    * reads all nanos-typed parquet as long thereafter (documented
+    * trade-off — no other table in this engine stores nanos).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

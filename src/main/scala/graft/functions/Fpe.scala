@@ -21,9 +21,28 @@ object Fpe {
 
   val Rounds = 10
 
+  /** Per-thread Mac instance, re-keyed only when the key bytes change.
+    * `Mac.getInstance` + `init` per call would otherwise run 10-20× per
+    * row in the ingest hot path (10 Feistel rounds, plus decrypt in the
+    * round-trip check); `doFinal` resets the Mac so one instance serves
+    * every round and row on a task thread.
+    */
+  private val macCache = new ThreadLocal[(Array[Byte], Mac)]
+
+  private def macFor(key: Array[Byte]): Mac = {
+    val cached = macCache.get()
+    if (cached != null && java.util.Arrays.equals(cached._1, key)) cached._2
+    else {
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(key, "HmacSHA256"))
+      macCache.set((key.clone(), mac))
+      mac
+    }
+  }
+
   private def prf(key: Array[Byte], round: Int, n: Int, data: String): BigInteger = {
-    val mac = Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    val mac = macFor(key)
+    mac.reset()
     mac.update(Array[Byte](round.toByte, n.toByte))
     val digest = mac.doFinal(data.getBytes("UTF-8"))
     new BigInteger(1, digest)

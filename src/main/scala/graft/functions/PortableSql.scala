@@ -75,13 +75,18 @@ object PortableSql {
   def tokenHashes(textCol: String, duck: Boolean): String =
     xform(tokens(textCol, duck), "w", strHash("w"), duck)
 
-  /** Distinct word-trigram shingles ("w1 w2 w3" strings). Requires >= 3
-    * tokens (callers filter on a minimum length first).
+  /** Distinct word-trigram shingles ("w1 w2 w3" strings). Documents with
+    * fewer than 3 tokens yield an EMPTY array — the guard matters because
+    * Spark's `sequence(1, n-2)` with n < 3 produces a DESCENDING range
+    * (so element_at(toks, 0) would throw under ANSI) while DuckDB's
+    * generate_series is empty; the CASE makes both dialects agree.
     */
   def trigramShingles(toksCol: String, duck: Boolean): String = {
     val idx = seqIncl("1", s"${alen(toksCol, duck)} - 2", duck)
     val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)} || ' ' || ${elem(toksCol, "i + 2", duck)}"
-    distinct(xform(idx, "i", gram, duck), duck)
+    val grams = distinct(xform(idx, "i", gram, duck), duck)
+    val empty = if (duck) "CAST([] AS VARCHAR[])" else "CAST(array() AS ARRAY<STRING>)"
+    s"(CASE WHEN ${alen(toksCol, duck)} >= 3 THEN $grams ELSE $empty END)"
   }
 
   /** MinHash permutation parameters (fixed primes; a_k * h stays < 2^58). */
@@ -106,10 +111,20 @@ object PortableSql {
     s"CAST(${terms.mkString("(", " + ", ")")} AS BIGINT)"
   }
 
-  /** Exact Jaccard similarity of two distinct-element array columns. */
+  /** Exact Jaccard similarity of two distinct-element array columns.
+    *
+    * Intersection via the engines' native set-intersect (hash-build over
+    * one side, O(|a|+|b|)) instead of a per-element `contains` scan
+    * (O(|a|·|b|)) — the per-pair cost is what dominates a verify join at
+    * scale. Defined as 0 when either side is empty (guards the ANSI
+    * divide-by-zero on two <3-token docs).
+    */
   def jaccard(a: String, b: String, duck: Boolean): String = {
-    val inter = alen(filterArr(a, "x", contains(b, "x", duck), duck), duck)
-    s"(CAST($inter AS DOUBLE) / (${alen(a, duck)} + ${alen(b, duck)} - $inter))"
+    val inter =
+      if (duck) s"len(list_intersect($a, $b))"
+      else s"size(array_intersect($a, $b))"
+    s"(CASE WHEN ${alen(a, duck)} = 0 OR ${alen(b, duck)} = 0 THEN 0.0" +
+      s" ELSE CAST($inter AS DOUBLE) / (${alen(a, duck)} + ${alen(b, duck)} - $inter) END)"
   }
 
   /** Deterministic pseudo-random double in [-0.5, 0.5) from an integer seed

@@ -28,9 +28,12 @@ object IngestQueries {
     */
   val testKey: Array[Byte] = "graft-test-dek-0123456789abcdef!".getBytes("UTF-8")
 
-  /** Deterministic wire-format records from orders. */
+  /** Deterministic wire-format records from orders. Key hashes reduce the
+    * key mod 2^31-1 first so the Knuth multiply never overflows int64
+    * under ANSI (same values for keys < 2^31-1).
+    */
   def wireFromOrders(orders: DataFrame): DataFrame = {
-    val r = (col("o_orderkey") * lit(2654435761L)) % 1000000
+    val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
     val pm = col("o_orderkey") % 10
     val pan = when(pm <= 6, lpad(col("o_orderkey").cast("string"), 16, "4"))
       .when(pm === 7, lpad(col("o_orderkey").cast("string"), 12, "4"))
@@ -114,7 +117,7 @@ object IngestQueries {
   /** Shared oracle CTE: the deterministic wire fields, straight from orders. */
   private val srcCte =
     """w AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
-      |  (o_orderkey * 2654435761) % 1000000 AS r,
+      |  (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r,
       |  o_orderkey % 10 AS pm,
       |  CASE WHEN o_orderkey % 10 <= 6 THEN lpad(CAST(o_orderkey AS VARCHAR), 16, '4')
       |       WHEN o_orderkey % 10 = 7 THEN lpad(CAST(o_orderkey AS VARCHAR), 12, '4')

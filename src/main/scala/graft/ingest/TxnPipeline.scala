@@ -91,12 +91,17 @@ object TxnPipeline {
         .as("payment_gateway_id"),
       col("rec.risk_score"))
 
+    // Rows whose raw JSON failed to parse entirely (null struct ⇒ every
+    // required field null) dead-letter as 'Malformed JSON' instead of
+    // silently emitting an all-null "valid" record.
+    val jsonOk = col("transaction_id").isNotNull
+
     // U2/U3: a missing PAN is fine (UPI / net-banking rows); a present PAN
     // must have 13..19 digits or the row dead-letters.
     val panOk = col("card_number").isNull ||
       length(col("card_number")).between(13, 19)
 
-    val valid = unwrapped.filter(panOk)
+    val valid = unwrapped.filter(jsonOk && panOk)
       .withColumn("masked_card_number",
         when(col("card_number").isNotNull, maskPan(col("card_number"))))
       .withColumn("card_token",
@@ -110,12 +115,13 @@ object TxnPipeline {
         col("card_token"), col("payment_gateway_id"), col("risk_score"))
 
     // U4: dead-letter record (pipeline.py:81-87)
-    val errors = unwrapped.filter(!panOk)
+    val errors = unwrapped.filter(!jsonOk || !panOk)
       .select(
         col("transaction_id"),
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
         col("raw").as("raw_message"),
-        lit("Invalid Card Number").as("error"))
+        when(jsonOk, lit("Invalid Card Number"))
+          .otherwise(lit("Malformed JSON")).as("error"))
 
     (valid, errors)
   }

@@ -47,16 +47,18 @@ object Analytics {
 
     // A1-A6 dashboard stat tiles (count / sum / avg / conditional share /
     // threshold count / avg score) in ONE pass over the fact table:
-    // single scan, map-side partial agg, one row out.
+    // single scan, map-side partial agg, one row out. Derived ratios are
+    // rounded to 6dp so the hash can never flip on last-ulp float
+    // formatting differences between engines.
     "q_stat_tiles" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
         count(lit(1)).as("n_txn"),
         dsum(col("l_extendedprice")).as("total_revenue"),
-        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_amount"),
-        (count(when(col("l_returnflag") === "R", 1)).cast("double") / count(lit(1)))
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_amount"),
+        round(count(when(col("l_returnflag") === "R", 1)).cast("double") / count(lit(1)), 6)
           .as("return_share"),
         count(when(col("l_discount") >= 0.06, 1)).as("high_discount_cnt"),
-        (dsum(col("l_discount"), 6) / count(lit(1))).as("avg_discount"))
+        round(dsum(col("l_discount"), 6) / count(lit(1)), 6).as("avg_discount"))
     }),
 
     // A7 time-series rollup: month-grain revenue + volume. One shuffle on
@@ -99,11 +101,15 @@ object Analytics {
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
 
-    // J5 anti-join: customers that never ordered (the reference's
-    // "new-customer discovery", generate_dim_account_data.py:95-110).
+    // J5 anti-join: customers with no high-value order (the reference's
+    // "new-customer discovery" shape, generate_dim_account_data.py:95-110).
+    // The threshold keeps the result non-empty at every SF so the oracle
+    // row actually exercises anti-join semantics (NOT IN with a non-null
+    // subquery == left_anti).
     "q_anti_join" -> ((s, dir) => {
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
 
@@ -239,8 +245,11 @@ object Analytics {
     // Weighted categorical ladder (generate_fact_transactions_data.py:111-128)
     // made deterministic: a Knuth multiplicative hash of the key replaces
     // random.choices, the CASE ladder encodes the cumulative weights.
+    // The key is reduced mod 2^31-1 first so key * 2654435761 stays below
+    // 2^63 for any BIGINT key (ANSI-overflow-safe at 100 TB key ranges);
+    // identical values for keys < 2^31-1.
     "q_weighted_channel" -> ((s, dir) => {
-      val r = (col("o_orderkey") * lit(2654435761L)) % 1000000
+      val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
       Tables.orders(s, dir)
         .select(col("o_totalprice"), r.as("r"))
         .select(col("o_totalprice"),
@@ -278,10 +287,10 @@ object Analytics {
     "q_stat_tiles" ->
       """SELECT count(*) AS n_txn,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_amount,
-        | CAST(count_if(l_returnflag = 'R') AS DOUBLE) / count(*) AS return_share,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_amount,
+        | round(CAST(count_if(l_returnflag = 'R') AS DOUBLE) / count(*), 6) AS return_share,
         | count_if(l_discount >= 0.06) AS high_discount_cnt,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_discount
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_discount
         |FROM lineitem""".stripMargin,
 
     "q_monthly_rollup" ->
@@ -311,7 +320,8 @@ object Analytics {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
@@ -394,7 +404,7 @@ object Analytics {
         |  ELSE 'Net Banking' END AS channel,
         | count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
-        |FROM (SELECT (o_orderkey * 2654435761) % 1000000 AS r, o_totalprice
+        |FROM (SELECT (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r, o_totalprice
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
 

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+/** Edge-case coverage for the dedup operators, in particular documents with
+  * fewer than 3 tokens: `trigramShingles` must yield an EMPTY array there
+  * (Spark's `sequence(1, n-2)` would otherwise produce a descending range
+  * and crash under ANSI — see PortableSql.trigramShingles).
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private val shortAndLong = docs(
+    (1L, "one", "s1"),
+    (2L, "just two", "s1"),
+    (3L, "exactly three tokens", "s1"),
+    (4L, "a b c d e f g h", "s1"),
+    (5L, "a b c d e f g h", "s1"))
+
+  test("minhash signatures survive <3-token docs (null minima, no crash)") {
+    val sig = DedupOps.minhashSignatures(shortAndLong).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sig.size == 5)
+    // short docs have no shingles -> array_min(empty) is null
+    assert(sig(1L).isNullAt(sig(1L).fieldIndex("mh_0")))
+    assert(sig(2L).isNullAt(sig(2L).fieldIndex("mh_0")))
+    assert(!sig(3L).isNullAt(sig(3L).fieldIndex("mh_0")))
+  }
+
+  test("simhash signatures survive <3-token docs") {
+    val sig = DedupOps.simhashSignatures(shortAndLong).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig.size == 5)
+    assert(sig(1L) == 0L) // no shingles -> no majority bits
+    assert(sig(4L) == sig(5L)) // identical docs -> identical sketch
+  }
+
+  test("ngram Jaccard pairs: short docs never pair, identical docs hit 1.0") {
+    val pairs = DedupOps.ngramJaccardPairs(shortAndLong).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("d1") == 4L)
+    assert(pairs.head.getAs[Long]("d2") == 5L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash dup pairs find identical docs, skip short docs") {
+    val pairs = DedupOps.minhashDupPairs(shortAndLong).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+}

@@ -59,6 +59,21 @@ class TxnPipelineSpec extends AnyFunSuite {
     assert(Fpe.decrypt(key, token.substring(3)) == "4556737586899")
   }
 
+  test("malformed JSON dead-letters instead of emitting an all-null valid row") {
+    import spark.implicits._
+    val (valid, errors) = TxnPipeline.process(spark, Seq(
+      rec("ok", "{\"string\":\"4556737586899855\"}"),
+      "this is not json at all",
+      "{\"customer_id\": 7}" // parses but no transaction_id
+    ).toDF("raw"), key)
+    assert(valid.collect().map(_.getAs[String]("transaction_id")).toSet == Set("ok"))
+    val errRows = errors.collect()
+    assert(errRows.length == 2)
+    assert(errRows.forall(_.getAs[String]("error") == "Malformed JSON"))
+    assert(errRows.exists(
+      _.getAs[String]("raw_message") == "this is not json at all"))
+  }
+
   test("U1 union unwrap: wrapped, plain, and null card encodings") {
     val (valid, errors) = run(Seq(
       rec("wrapped", "{\"string\":\"4556737586899855\"}"),
