@@ -1,5 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
+/** Benchmark main: times every SparkEntry query at the given scale factor
+  * and prints ONE JSON line (also written to BENCH.json).
+  *
+  * Each query is forced to FULL materialization — an xxhash64 over every
+  * output column, summed — so Catalyst cannot prune the projection down to
+  * a row count (a plain `.count()` would let narrow queries time a
+  * metadata-ish scan instead of the operator under test). One 8-byte row
+  * reaches the driver per query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +19,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(df: DataFrame): Unit = {
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+      ()
+    }
+
+    // Untimed warmup: JIT, codegen and parquet-footer caches.
+    try materialize(SparkEntry.queries("q_projection_filter")(spark, sfDir))
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (unprefixed: build.sbt routes forked run output straight
+    // through) AND a file, so the driver can parse either way.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
     spark.stop()
   }
 }
