@@ -34,7 +34,13 @@ object Bench {
     try materialize(SparkEntry.queries("q_projection_filter")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b times a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (n, _) => only.forall(_.contains(n))
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case e: Throwable =>

@@ -17,6 +17,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Ensure at least `defaultParallelism` partitions behind `df`.
+    *
+    * The testdata files are single-row-group parquet, which Spark cannot
+    * split below one task — so any per-row-expensive operator (shingling,
+    * vector math, crypto) would otherwise run single-threaded no matter
+    * how many cores exist. On a real cluster a 100 TB input arrives as
+    * thousands of row-group splits and this is a NO-OP (it never
+    * coalesces); the round-robin shuffle only fires when the scan has
+    * fewer splits than cores, where shuffling the (tiny, by definition)
+    * input is the cost of using the machine.
+    */
+  def balanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -43,6 +59,11 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings feed per-row-expensive operators (shingling,
+    * hashing, vector math) — balance their scans across cores.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    balanced(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    balanced(spark, load(spark, dir, "embeddings"))
 }

@@ -11,9 +11,11 @@ import graft.functions.Fpe
   * `DataFrame => (valid, errors)` function, usable identically in batch and
   * inside `foreachBatch` streaming:
   *
-  *   parse (S3, from_json) → union-unwrap (U1) → PAN validate (U3) →
-  *   mask (U5) → FPE tokenize (U6) → drop PII (U8) → project (U9),
-  *   with the invalid branch built as dead-letter records (U4/U10).
+  *   parse (S3, one try_parse_json per row) → union-unwrap (U1, variant
+  *   path probes) → PAN validate (U3) → mask (U5) → FPE tokenize (U6) →
+  *   drop PII (U8) → project (U9), with the invalid branch built as
+  *   dead-letter records (U4/U10) and unparseable payloads dead-lettered
+  *   as 'Malformed JSON'.
   *
   * The whole chain is narrow — no shuffle, fully pipelined per input split,
   * so ingest throughput scales linearly with executors at any data size.
@@ -42,19 +44,17 @@ object TxnPipeline {
     StructField("payment_gateway_id", StructType(Seq(StructField("int", LongType))), nullable = true),
     StructField("risk_score", DoubleType, nullable = false)))
 
-  /** U1 unwrap for a union-wrapped string field: prefer the wrapped member;
-    * fall back to a plain scalar in the raw JSON (the reference's
-    * unwrap_primitives passes plain values through, pipeline.py:57-69).
+  /** U1 unwrap for a union-wrapped field: prefer the wrapped member
+    * (`{"string": v}` / `{"int": v}`, the Avro-union JSON encoding); fall
+    * back to a plain scalar (the reference's unwrap_primitives passes
+    * plain values through, pipeline.py:57-69). Both probes extract from
+    * the SAME parsed variant — no JSON re-parse. `try_` because a
+    * mismatched shape must dead-letter, never throw (ST5).
     */
-  private def unwrapString(wrapped: Column, raw: Column, field: String): Column = {
-    val plain = get_json_object(raw, s"$$.$field")
-    coalesce(wrapped, when(!plain.startsWith("{"), plain))
-  }
-
-  private def unwrapLong(wrapped: Column, raw: Column, field: String): Column = {
-    val plain = get_json_object(raw, s"$$.$field")
-    coalesce(wrapped, when(!plain.startsWith("{"), plain.cast("long")))
-  }
+  private def unwrapped(v: Column, field: String, member: String, typ: String): Column =
+    coalesce(
+      try_variant_get(v, s"$$.$field.$member", typ),
+      try_variant_get(v, s"$$.$field", typ))
 
   /** U5: first 6 + fixed six asterisks + last 4 (pipeline.py:89-90 — six
     * asterisks regardless of PAN length).
@@ -79,17 +79,25 @@ object TxnPipeline {
       }
     }
 
-    val parsed = raw.select(col("raw"), from_json(col("raw"), wireSchema).as("rec"))
-    val unwrapped = parsed.select(
+    // S3: ONE JSON parse per row (Spark 4 variant), every field extracted
+    // from the binary variant — the from_json + per-union get_json_object
+    // combination would parse the payload three times. try_parse_json
+    // yields null for malformed input, which routes to the dead-letter
+    // branch below instead of failing the query.
+    val parsed = raw.select(col("raw"), try_parse_json(col("raw")).as("v"))
+    def f(field: String, typ: String): Column =
+      try_variant_get(col("v"), s"$$.$field", typ).as(field)
+    val rec = parsed.select(
       col("raw"),
-      col("rec.transaction_id"), col("rec.customer_id"),
-      col("rec.amount"), col("rec.tax_amount"), col("rec.discount_amount"),
-      col("rec.total_amount"), col("rec.transaction_channel"),
-      col("rec.is_recurring"), col("rec.transaction_datetime"),
-      unwrapString(col("rec.card_number.string"), col("raw"), "card_number").as("card_number"),
-      unwrapLong(col("rec.payment_gateway_id.int"), col("raw"), "payment_gateway_id")
+      f("transaction_id", "string"), f("customer_id", "bigint"),
+      f("amount", "double"), f("tax_amount", "double"),
+      f("discount_amount", "double"), f("total_amount", "double"),
+      f("transaction_channel", "string"), f("is_recurring", "boolean"),
+      f("transaction_datetime", "string"),
+      unwrapped(col("v"), "card_number", "string", "string").as("card_number"),
+      unwrapped(col("v"), "payment_gateway_id", "int", "bigint")
         .as("payment_gateway_id"),
-      col("rec.risk_score"))
+      f("risk_score", "double"))
 
     // Rows whose raw JSON failed to parse entirely (null struct ⇒ every
     // required field null) dead-letter as 'Malformed JSON' instead of
@@ -101,7 +109,7 @@ object TxnPipeline {
     val panOk = col("card_number").isNull ||
       length(col("card_number")).between(13, 19)
 
-    val valid = unwrapped.filter(jsonOk && panOk)
+    val valid = rec.filter(jsonOk && panOk)
       .withColumn("masked_card_number",
         when(col("card_number").isNotNull, maskPan(col("card_number"))))
       .withColumn("card_token",
@@ -115,7 +123,7 @@ object TxnPipeline {
         col("card_token"), col("payment_gateway_id"), col("risk_score"))
 
     // U4: dead-letter record (pipeline.py:81-87)
-    val errors = unwrapped.filter(!jsonOk || !panOk)
+    val errors = rec.filter(!jsonOk || !panOk)
       .select(
         col("transaction_id"),
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),

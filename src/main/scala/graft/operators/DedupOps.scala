@@ -110,20 +110,45 @@ object DedupOps {
       .filter(col("hamming") <= MaxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key (source): the bounded
-    * quadratic baseline. Block size is what you control at scale — the
-    * cross product never leaves a block.
+  /** Exact n-gram Jaccard pairs within a blocking key: the bounded
+    * quadratic baseline.
+    *
+    * The user-visible semantics are "all pairs within a `source` with
+    * Jaccard >= 0.5" (the oracle SQL is exactly that), but the plan
+    * sub-blocks each source by floor(log2(|grams|)) — LOSSLESS pruning,
+    * because J(a,b) <= min/max, so J >= 0.5 forces max <= 2·min, i.e. the
+    * two size buckets are equal or adjacent. Each doc is exploded into
+    * buckets {k, k+1} and candidates come from an equi-join on
+    * (source, bucket) plus the exact 2× size-ratio predicate; equal-bucket
+    * pairs match twice and are deduped after the (tiny) threshold filter.
+    * `source` alone has FIXED cardinality, so without the size sub-block
+    * the per-block cross product grows quadratically with data; with it,
+    * block size tracks the (source × size-decade) histogram instead. At
+    * even larger scale the next step is prefix filtering on rare shingles
+    * — same join shape, finer key.
+    *
+    * Empty-gram docs (< 3 tokens) are filtered out up front: J = 0 by
+    * definition (PortableSql.jaccard) so they can never reach the 0.5
+    * threshold.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val g = docs.select(col("doc_id"), col("source"),
-      expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
+        expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
+      .withColumn("n", size(col("grams")))
+      .filter(col("n") >= 1)
+      .withColumn("bkt", floor(log2(col("n"))))
+    val e = g.select(col("doc_id"), col("source"), col("grams"), col("n"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("bkt2"))
     val j = expr(jaccard("g1", "g2", duck = false))
-    g.as("a").join(g.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    e.as("a").join(e.as("b"),
+        col("a.source") === col("b.source") && col("a.bkt2") === col("b.bkt2") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.grams").as("g1"), col("b.grams").as("g2"))
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

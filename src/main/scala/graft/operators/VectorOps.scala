@@ -13,10 +13,20 @@ import graft.functions.PortableSql._
   *     single query row + one narrow pass over the corpus, finished by
   *     TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
   *     linear scan, zero shuffle of the corpus;
-  *   - sign-random-projection LSH: 8 deterministic hyperplanes → 8 sign bits
-  *     → 256 buckets; candidate pairs come from an equi-join on the bucket
-  *     id. At scale you re-partition by bucket and never form a cross
-  *     product (the quadratic work is confined to a bucket).
+  *   - multi-table sign-random-projection LSH: `NTables` independent
+  *     tables of `BitsPerTable` hyperplane sign bits each. Candidate pairs
+  *     come from an equi-join on (table, bucket) — a pair is a candidate
+  *     if it collides in ANY table, which keeps recall high while each
+  *     table's bucket stays small. Per-vector norms are computed ONCE
+  *     (unit-normalizing before the join), so the verify step is a single
+  *     dot product per candidate pair instead of three.
+  *
+  * Scale story: bucket count per table is 2^BitsPerTable; to hold bucket
+  * occupancy (and therefore per-bucket quadratic work) constant as the
+  * corpus grows, BitsPerTable should grow like log2(N) — it is FIXED here
+  * so the DuckDB oracle is a static query, and the constants are sized for
+  * the bench scale. Recall is tuned independently via NTables (union over
+  * tables), the standard multi-probe trade.
   *
   * Hyperplane components are pseudo-random from integer arithmetic
   * (PortableSql.pseudoUniform) so the DuckDB oracle reproduces bucket
@@ -25,7 +35,8 @@ import graft.functions.PortableSql._
   */
 object VectorOps {
 
-  val NPlanes = 8
+  val NTables = 4
+  val BitsPerTable = 10
   val Dim = 64
   val AnnMinCosine = 0.3
 
@@ -34,10 +45,34 @@ object VectorOps {
   private def cosineExpr(a: String, b: String, duck: Boolean): String =
     s"round(${dot(a, b, duck)} / (sqrt(${dot(a, a, duck)}) * sqrt(${dot(b, b, duck)})), 6)"
 
-  /** Hyperplane j as an inline double-array expression. */
-  private def plane(j: Int, duck: Boolean): String =
+  /** Hyperplane p as an inline double-array expression. */
+  private def plane(p: Int, duck: Boolean): String =
     xform(seqIncl("0", (Dim - 1).toString, duck), "i",
-      pseudoUniform(s"$j * 97 + i"), duck)
+      pseudoUniform(s"$p * 97 + i"), duck)
+
+  /** Bucket id of table t over the unit-normalized vector column `vn`:
+    * bit j = sign(vn . plane_{t*BitsPerTable+j}).
+    */
+  private def bucketExpr(t: Int, duck: Boolean): String = {
+    val terms = (0 until BitsPerTable).map { j =>
+      val p = t * BitsPerTable + j
+      s"(CASE WHEN ${dot("vn", plane(p, duck), duck)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"CAST($terms AS BIGINT)"
+  }
+
+  /** vec_id, label?, unit-normalized vector. Zero vectors are dropped
+    * (cosine undefined; also guards ANSI divide-by-zero).
+    */
+  private def normalized(emb: DataFrame, withLabel: Boolean): DataFrame = {
+    val base = if (withLabel) emb.select(col("vec_id"), col("label"), expr(vcol).as("v"))
+               else emb.select(col("vec_id"), expr(vcol).as("v"))
+    base
+      .withColumn("nrm", expr(s"sqrt(${dot("v", "v", duck = false)})"))
+      .filter(col("nrm") > 0)
+      .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      .drop("v", "nrm")
+  }
 
   /** Brute-force cosine top-k neighbours of `queryId`. */
   def cosineTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
@@ -51,25 +86,30 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Sign-random-projection bucket per vector: bit j = sign(v . plane_j). */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val bucketTerms = (0 until NPlanes).map { j =>
-      s"(CASE WHEN ${dot("v", plane(j, duck = false), duck = false)} > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-    emb.select(col("vec_id"), col("label"), expr(vcol).as("v"))
-      .select(col("vec_id"), col("label"),
-        expr(s"CAST($bucketTerms AS BIGINT)").as("bucket"))
-  }
+  /** Per-vector LSH bucket ids, one column per table. */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    (0 until NTables).foldLeft(normalized(emb, withLabel = true)) { (df, t) =>
+      df.withColumn(s"bucket_$t", expr(bucketExpr(t, duck = false)))
+    }.drop("vn")
 
-  /** ANN candidate pairs: same LSH bucket, verified cosine >= threshold. */
+  /** ANN candidate pairs: same bucket in ANY table, verified
+    * cosine >= threshold via a single dot of the pre-normalized vectors.
+    */
   def annPairs(emb: DataFrame): DataFrame = {
-    val b = lshBuckets(emb)
-      .join(emb.select(col("vec_id"), expr(vcol).as("v")), "vec_id")
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val withBuckets = (0 until NTables).foldLeft(normalized(emb, withLabel = false)) {
+      (df, t) => df.withColumn(s"bucket_$t", expr(bucketExpr(t, duck = false)))
+    }
+    val bands = withBuckets.select(col("vec_id"), col("vn"), explode(array(
+        (0 until NTables).map(t =>
+          struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("b"))
+      .select(col("vec_id"), col("vn"), col("b.t").as("t"), col("b.bk").as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+        col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        expr(cosineExpr("a.v", "b.v", duck = false)).as("cosine"))
+        round(expr(dot("a.vn", "b.vn", duck = false)), 6).as("cosine"))
       .filter(col("cosine") >= AnnMinCosine)
+      .distinct() // a pair colliding in >1 table yields identical rows
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -81,10 +121,17 @@ object VectorOps {
   def oracleSql: Map[String, String] = {
     val v = toDoubleArr("embedding", duck = true)
     val cos = cosineExpr("v", "qv", duck = true)
-    val cosAb = cosineExpr("a.v", "b.v", duck = true)
-    val bucketTerms = (0 until NPlanes).map { j =>
-      s"(CASE WHEN ${dot("v", plane(j, duck = true), duck = true)} > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    val bucketCols = (0 until NTables)
+      .map(t => s"${bucketExpr(t, duck = true)} AS bucket_$t").mkString(",\n   ")
+    val normCte =
+      s"""e0 AS (SELECT vec_id, label, $v AS v FROM embeddings),
+         | e1 AS (SELECT vec_id, label, v,
+         |   sqrt(${dot("v", "v", duck = true)}) AS nrm FROM e0),
+         | e AS (SELECT vec_id, label,
+         |   list_transform(v, x -> x / nrm) AS vn FROM e1 WHERE nrm > 0)""".stripMargin
+    val unionAll = (0 until NTables)
+      .map(t => s"SELECT vec_id, vn, $t AS t, bucket_$t AS bk FROM bkt")
+      .mkString("\n  UNION ALL ")
     Map(
       "q_emb_cosine_topk" ->
         s"""WITH q AS (SELECT $v AS qv FROM embeddings WHERE vec_id = 0),
@@ -94,15 +141,22 @@ object VectorOps {
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
       "q_emb_lsh_buckets" ->
-        s"""SELECT vec_id, label, CAST($bucketTerms AS BIGINT) AS bucket
-           |FROM (SELECT vec_id, label, $v AS v FROM embeddings) e""".stripMargin,
+        s"""WITH $normCte
+           |SELECT vec_id, label,
+           |   $bucketCols
+           |FROM e""".stripMargin,
 
       "q_emb_ann_pairs" ->
-        s"""WITH b AS (SELECT vec_id, CAST($bucketTerms AS BIGINT) AS bucket, v
-           |  FROM (SELECT vec_id, $v AS v FROM embeddings) e)
-           |SELECT a.vec_id AS v1, b.vec_id AS v2, $cosAb AS cosine
-           |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE $cosAb >= $AnnMinCosine""".stripMargin
+        s"""WITH $normCte,
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS ($unionAll)
+           |SELECT DISTINCT v1, v2, cosine FROM (
+           | SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
+           |WHERE cosine >= $AnnMinCosine""".stripMargin
     )
   }
 }
