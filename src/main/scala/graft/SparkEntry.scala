@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.IngestQueries
 import graft.operators.{Analytics, DedupOps, Multimodal, TextOps, VectorOps}
+import graft.streaming.StreamIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +24,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries
+      VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
+      StreamIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql
+      VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
+      StreamIngest.oracleSql
 }
