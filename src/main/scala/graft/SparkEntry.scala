@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.IngestQueries
+import graft.load.DimLoader
 import graft.operators.{Analytics, DedupOps, Multimodal, TextOps, VectorOps}
 import graft.streaming.StreamIngest
 
@@ -25,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
-      StreamIngest.queries
+      StreamIngest.queries ++ DimLoader.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
-      StreamIngest.oracleSql
+      StreamIngest.oracleSql ++ DimLoader.oracleSql
 }

@@ -1,0 +1,114 @@
+package graft.load
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
+import graft.schema.SchemaLoader
+
+/** Static dimension load path — the engine's re-expression of the
+  * reference's Cloud Function loader (update_dim_tables_cloud_function/
+  * main.py:9-81):
+  *
+  *   - S8 routing: only `.csv` uploads are loaded; the target table is
+  *     the filename stem and its schema lives at `schemas/<stem>.json`
+  *     (main.py:28-38).
+  *   - S7 load: header row skipped, explicit schema enforced,
+  *     WRITE_TRUNCATE semantics == `mode("overwrite")` into the session
+  *     catalog (main.py:67-76).
+  *   - S12/S13: plain CSV / JSON lookup reads (the generators' merchant
+  *     and city lookups, generate_fact_transactions_data.py:41,
+  *     generate_dim_cust_data.py:53-54).
+  *
+  * Dimensions are small by definition (the star schema's fact carries the
+  * volume), so a single-task overwrite per upload is the right plan shape
+  * at any scale; readers see the swap atomically via the catalog.
+  */
+object DimLoader {
+
+  /** S8: filename-stem table routing. `dim_customer.csv` → `dim_customer`;
+    * anything not ending in .csv is ignored (main.py:28-32).
+    */
+  def tableFor(path: String): Option[String] = {
+    val base = path.split("/").last
+    if (base.endsWith(".csv")) Some(base.split("\\.")(0)) else None
+  }
+
+  /** S7: one CSV upload → catalog table with truncate semantics. Returns
+    * the loaded table name.
+    */
+  def loadDim(spark: SparkSession, csvPath: String, schemaJson: String): String = {
+    val table = tableFor(csvPath).getOrElse(
+      throw new IllegalArgumentException(s"not a csv upload: $csvPath"))
+    val schema = SchemaLoader.fromJson(schemaJson)
+    spark.read.option("header", "true").schema(schema).csv(csvPath)
+      .write.mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  /** S8: the event-dispatch loop body — load every `.csv` in a landing
+    * dir whose schema file exists at `<schemasDir>/<stem>.json`
+    * (idempotent: re-dispatch re-truncates). Returns loaded table names.
+    */
+  def dispatch(spark: SparkSession, landingDir: String, schemasDir: String): Seq[String] = {
+    val entries = Option(new File(landingDir).listFiles()).getOrElse(Array.empty)
+    entries.toSeq.sortBy(_.getName).flatMap { f =>
+      tableFor(f.getName).map { stem =>
+        val schemaJson = Files.readString(new File(schemasDir, s"$stem.json").toPath)
+        loadDim(spark, f.getAbsolutePath, schemaJson)
+      }
+    }
+  }
+
+  /** S12: plain CSV lookup read. */
+  def readCsvLookup(spark: SparkSession, path: String, schemaJson: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema(SchemaLoader.fromJson(schemaJson)).csv(path)
+
+  /** S13: JSON-lines lookup read. */
+  def readJsonLookup(spark: SparkSession, path: String, schemaJson: String): DataFrame =
+    spark.read.schema(SchemaLoader.fromJson(schemaJson)).json(path)
+
+  private val nationSchemaJson =
+    """[{"name":"n_nationkey","type":"INT64","mode":"REQUIRED"},
+      |  {"name":"n_name","type":"STRING","mode":"REQUIRED"},
+      |  {"name":"n_regionkey","type":"INT64","mode":"REQUIRED"}]""".stripMargin
+
+  /** Oracle queries: round-trip the nation dim through the real load
+    * paths (parquet → CSV/JSON upload → loader) and hand back the loaded
+    * table; the oracle reads the parquet source directly, so any loss in
+    * routing, schema application, header handling, or truncate semantics
+    * breaks the match. The CSV variant is loaded TWICE to prove truncate
+    * (a WRITE_APPEND-style bug would double the rows).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dim_load_csv" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val csvDir = s"$tmp/nation.csv"
+      Tables.nation(s, dir).write.option("header", "true").csv(csvDir)
+      loadDim(s, csvDir, nationSchemaJson)
+      val table = loadDim(s, csvDir, nationSchemaJson) // truncate, not append
+      s.table(table)
+    }),
+
+    "q_dim_load_json" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val jsonDir = s"$tmp/nation_lookup"
+      Tables.nation(s, dir).write.json(jsonDir)
+      readJsonLookup(s, jsonDir, nationSchemaJson)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dim_load_csv" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+    "q_dim_load_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin
+  )
+}
