@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.gen.Generators
 import graft.ingest.IngestQueries
 import graft.load.DimLoader
 import graft.operators.{Analytics, DedupOps, Multimodal, TextOps, VectorOps}
@@ -26,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
-      StreamIngest.queries ++ DimLoader.queries
+      StreamIngest.queries ++ DimLoader.queries ++ Generators.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
-      StreamIngest.oracleSql ++ DimLoader.oracleSql
+      StreamIngest.oracleSql ++ DimLoader.oracleSql ++ Generators.oracleSql
 }

@@ -1,0 +1,394 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Deterministic columnar data generators — the engine's re-expression of
+  * the reference's Python generator processes (SURVEY §7 module `gen`):
+  *
+  *   - accounts from customers with the segment / account-type / status
+  *     ladders and the J1 constraint `open_date_id >= signup_date_id`
+  *     (generate_dim_account_data.py:34-63,142-177);
+  *   - fact transactions from orders x generated accounts with the
+  *     recurring gate, channel / gateway / device / risk ladders, the
+  *     amount rules keyed on account type, tax/discount/total money
+  *     arithmetic, and the J2 constraint `txn_ts in [open, close]`
+  *     (generate_fact_transactions_data.py:100-223).
+  *
+  * Python's `random` is replaced by keyed integer hashes (Knuth multiply
+  * mod 1e9+7, one salt per drawn column) and all money math runs in
+  * integer cents — every expression is plain 64-bit arithmetic + CASE,
+  * valid verbatim in BOTH Spark SQL and DuckDB, so the oracle reproduces
+  * the full generated tables bit-for-bit. Distribution *semantics* (not
+  * Python's exact sequences) are what is reproduced — asserted in
+  * GeneratorsSpec.
+  *
+  * Conscious deviations from the reference, as SURVEY §7 flags:
+  *   - the dead payment-gateway branches (`r_pg < 0.20` tested after
+  *     `r_pg < 0.30`, generate_fact_transactions_data.py:163-171, so
+  *     Stripe/BillDesk are unreachable) are FIXED to the intended
+  *     30/20/10/40 split;
+  *   - `datetime.now()` as the open-ended close date becomes the fixed
+  *     horizon 2025-01-01 so runs are reproducible.
+  *
+  * Scale shape: both generators are single narrow projections (plus one
+  * equi-join fact→accounts on customer_id, broadcastable when dims are
+  * small) — no shuffle beyond the join, linear in input splits.
+  */
+object Generators {
+
+  val AccountIdBase = 500025171L // reference main(): last_account_id
+  val BaseEpoch = 1672531200L    // 2023-01-01T00:00:00Z (BASE_DATE)
+  val HorizonEpoch = 1735689600L // 2025-01-01T00:00:00Z (TX_END stand-in)
+  val OpenEndDay = 730L          // 2024-12-31 as days since BASE_DATE
+
+  /** Keyed pseudo-uniform BIGINT in [0, 1e9+7): overflow-safe Knuth
+    * multiply of the row key, decorrelated per drawn column by `salt`.
+    */
+  def r(key: String, salt: Int): String =
+    s"((($key % 2147483647) * 2654435761 + ${salt.toLong * 40503L}) % 1000000007)"
+
+  /** Cumulative CASE ladder over weights in percent (scaled to 1e7/pct). */
+  private def ladder(rExpr: String, weighted: Seq[(String, Int)]): String = {
+    val branches = weighted.init.scanLeft(("", 0L)) {
+      case ((_, cum), (v, w)) => (v, cum + w * 10000000L)
+    }.tail.map { case (v, cum) => s"WHEN $rExpr < $cum THEN '$v'" }
+    s"(CASE ${branches.mkString(" ")} ELSE '${weighted.last._1}' END)"
+  }
+
+  /** Uniform pick from a small list (CASE over r % n). */
+  private def pick(rExpr: String, vals: Seq[String], quote: Boolean = true): String = {
+    val q = if (quote) (s: String) => s"'$s'" else identity[String] _
+    val branches = vals.init.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN ${q(v)}" }
+    s"(CASE ($rExpr % ${vals.size}) ${branches.mkString(" ")} ELSE ${q(vals.last)} END)"
+  }
+
+  /** Exact integer floor-division a/b for non-negative a < 2^53, b > 0 —
+    * portable (Spark DIV vs DuckDB // differ; floor over double division
+    * is exact in this range, see scaladoc maths).
+    */
+  private def idiv(a: String, b: String): String =
+    s"CAST(floor(($a) / ($b)) AS BIGINT)"
+
+  // segment distribution, generate_dim_account_data.py:49-60
+  val segmentWeights: Seq[(String, Int)] = Seq(
+    "Retail Banking" -> 45,
+    "Mass Affluent" -> 15,
+    "High Net Worth Individuals (HNWIs)" -> 2,
+    "SMEs" -> 5,
+    "Corporate Clients" -> 8,
+    "NRIs" -> 5,
+    "Agriculture and Rural Banking" -> 5,
+    "Government and Institutional Banking" -> 4,
+    "Young Professionals" -> 8,
+    "Retirees" -> 3)
+
+  // account types per segment, generate_dim_account_data.py:35-46
+  val segmentTypes: Seq[(String, Seq[String])] = Seq(
+    "Retail Banking" -> Seq("Basic Savings Account", "Basic Credit Card", "Basic Debit Card"),
+    "Mass Affluent" -> Seq("High-Yield Savings Account", "Premium Credit Card", "Premium Debit Card"),
+    "High Net Worth Individuals (HNWIs)" -> Seq("Private Banking Account", "Business Credit Card"),
+    "SMEs" -> Seq("Business Current Account", "Merchant Services Account"),
+    "Corporate Clients" -> Seq("Corporate Current Account", "Treasury Services Account"),
+    "NRIs" -> Seq("NRE Account", "NRO Account", "FCNR Account"),
+    "Agriculture and Rural Banking" -> Seq("Basic Savings Account Rural", "Kisan Credit Card", "Kisan Debit Card"),
+    "Government and Institutional Banking" -> Seq("Government Current Account", "Corporate Current Account"),
+    "Young Professionals" -> Seq("Salary Account", "Entry-Level Debit Card"),
+    "Retirees" -> Seq("Senior Citizen Savings Scheme Account", "Pension Account"))
+
+  /** Layered (alias → expr) select fragments for the accounts generator,
+    * shared verbatim by the Spark plan and the DuckDB oracle. Key column:
+    * c_custkey.
+    */
+  def accountLayers: Seq[Seq[(String, String)]] = {
+    val key = "c_custkey"
+    Seq(
+      // draws
+      Seq(
+        "customer_id" -> key,
+        "r_seg" -> r(key, 1), "r_signup" -> r(key, 2), "r_type" -> r(key, 3),
+        "r_open" -> r(key, 4), "r_status" -> r(key, 5), "r_close" -> r(key, 6)),
+      // segment + signup
+      Seq(
+        "customer_id" -> "customer_id",
+        "account_id" -> s"($AccountIdBase + customer_id)",
+        "customer_segment" -> ladder("r_seg", segmentWeights),
+        "signup_date_id" -> "(r_signup % 500)",
+        "r_type" -> "r_type", "r_open" -> "r_open",
+        "r_status" -> "r_status", "r_close" -> "r_close"),
+      // type / open (J1: open >= signup) / status
+      Seq(
+        "customer_id" -> "customer_id",
+        "account_id" -> "account_id",
+        "customer_segment" -> "customer_segment",
+        "signup_date_id" -> "signup_date_id",
+        "account_type" -> {
+          val branches = segmentTypes.init.map { case (seg, types) =>
+            s"WHEN '$seg' THEN ${pick("r_type", types)}"
+          }
+          s"(CASE customer_segment ${branches.mkString(" ")} ELSE ${pick("r_type", segmentTypes.last._2)} END)"
+        },
+        "open_date_id" ->
+          s"(signup_date_id + r_open % greatest($OpenEndDay - signup_date_id, 1))",
+        "account_status" ->
+          ladder("r_status", Seq("Open" -> 85, "Closed" -> 10, "Suspended" -> 5)),
+        "r_close" -> "r_close"),
+      // close (only when Closed; in (open, OpenEndDay])
+      Seq(
+        "account_id" -> "account_id",
+        "customer_id" -> "customer_id",
+        "customer_segment" -> "customer_segment",
+        "signup_date_id" -> "signup_date_id",
+        "account_type" -> "account_type",
+        "open_date_id" -> "open_date_id",
+        "account_status" -> "account_status",
+        "close_date_id" -> ("(CASE WHEN account_status = 'Closed' THEN " +
+          s"open_date_id + 1 + r_close % ($OpenEndDay - open_date_id) END)")))
+  }
+
+  /** Layered fragments for the fact generator, applied AFTER the join to
+    * generated accounts. Key column: o_orderkey.
+    */
+  def factLayers: Seq[Seq[(String, String)]] = {
+    val key = "o_orderkey"
+    Seq(
+      Seq(
+        "o_orderkey" -> key,
+        "customer_id" -> "o_custkey",
+        "r_rec" -> r(key, 11), "r_chan" -> r(key, 12), "r_amt" -> r(key, 13),
+        "r_tax" -> r(key, 14), "r_discg" -> r(key, 15), "r_disc" -> r(key, 16),
+        "r_pg" -> r(key, 17), "r_dev" -> r(key, 18), "r_riskg" -> r(key, 19),
+        "r_risk" -> r(key, 20), "r_ts" -> r(key, 21)))
+  }
+
+  /** Generated accounts DataFrame (Spark side of the shared fragments). */
+  def accounts(spark: SparkSession, dir: String): DataFrame =
+    accountLayers.foldLeft(Tables.customer(spark, dir)) { (df, layer) =>
+      df.selectExpr(layer.map { case (a, e) => s"$e AS $a" }: _*)
+    }
+
+  /** Post-join fact fragments (layered). `acct_*` columns come from the
+    * joined accounts table.
+    */
+  def factPostJoinLayers: Seq[Seq[(String, String)]] = Seq(
+    // recurring gate + channel + amount
+    Seq(
+      "o_orderkey" -> "o_orderkey",
+      "customer_id" -> "customer_id",
+      "account_id" -> "account_id",
+      "account_type" -> "account_type",
+      "open_date_id" -> "open_date_id",
+      "close_date_id" -> "close_date_id",
+      "is_recurring" -> ("((lower(account_type) LIKE '%credit card%' OR " +
+        "lower(account_type) LIKE '%debit card%') AND r_rec < 200000000)"),
+      "r_chan" -> "r_chan", "r_amt" -> "r_amt", "r_tax" -> "r_tax",
+      "r_discg" -> "r_discg", "r_disc" -> "r_disc", "r_pg" -> "r_pg",
+      "r_dev" -> "r_dev", "r_riskg" -> "r_riskg", "r_risk" -> "r_risk",
+      "r_ts" -> "r_ts"),
+    // channel (recurring -> gateway; else 30/30/10/30,
+    // generate_fact_transactions_data.py:111-128) + amount cents
+    // (10k-50k for private-banking/business-credit non-recurring,
+    // 50-5000 otherwise, :133-137)
+    Seq(
+      "o_orderkey" -> "o_orderkey",
+      "customer_id" -> "customer_id",
+      "account_id" -> "account_id",
+      "account_type" -> "account_type",
+      "open_date_id" -> "open_date_id",
+      "close_date_id" -> "close_date_id",
+      "is_recurring" -> "is_recurring",
+      "transaction_channel" -> ("(CASE WHEN is_recurring THEN 'Online Payment Gateway' " +
+        "WHEN r_chan < 300000000 THEN 'POS' " +
+        "WHEN r_chan < 600000000 THEN 'Online Payment Gateway' " +
+        "WHEN r_chan < 700000000 THEN 'Net Banking' ELSE 'UPI' END)"),
+      "amount_cents" -> ("(CASE WHEN NOT is_recurring AND account_type IN " +
+        "('Private Banking Account', 'Business Credit Card') " +
+        "THEN 1000000 + r_amt % 4000001 ELSE 5000 + r_amt % 495001 END)"),
+      "r_tax" -> "r_tax", "r_discg" -> "r_discg", "r_disc" -> "r_disc",
+      "r_pg" -> "r_pg", "r_dev" -> "r_dev", "r_riskg" -> "r_riskg",
+      "r_risk" -> "r_risk", "r_ts" -> "r_ts"),
+    // money arithmetic in integer cents (tax U[0,18%], discount 10%
+    // chance U[0,10%], total = amount + tax - disc, :139-143)
+    Seq(
+      "o_orderkey" -> "o_orderkey",
+      "customer_id" -> "customer_id",
+      "account_id" -> "account_id",
+      "open_date_id" -> "open_date_id",
+      "close_date_id" -> "close_date_id",
+      "is_recurring" -> "is_recurring",
+      "transaction_channel" -> "transaction_channel",
+      "amount_cents" -> "amount_cents",
+      "tax_cents" -> idiv("amount_cents * (r_tax % 1801)", "10000"),
+      "disc_cents" -> ("(CASE WHEN r_discg < 100000000 THEN " +
+        idiv("amount_cents * (r_disc % 1001)", "10000") + " ELSE 0 END)"),
+      "r_pg" -> "r_pg", "r_dev" -> "r_dev", "r_riskg" -> "r_riskg",
+      "r_risk" -> "r_risk", "r_ts" -> "r_ts"),
+    // final projection: ids, money doubles, gateway/device/risk ladders,
+    // J2 timestamp in [open, close-or-horizon)
+    Seq(
+      "transaction_id" -> "transaction_id_expr", // placeholder, dialect-specific
+      "customer_id" -> "customer_id",
+      "account_id" -> "account_id",
+      // account window kept as lineage columns so the J2 constraint is
+      // auditable downstream (q_gen_constraints)
+      "open_date_id" -> "open_date_id",
+      "close_date_id" -> "close_date_id",
+      "is_recurring" -> "is_recurring",
+      "transaction_channel" -> "transaction_channel",
+      // CAST to DOUBLE before dividing: BIGINT / 100.0 is DECIMAL division
+      // in Spark SQL but DOUBLE in DuckDB — the engines would format
+      // (and hash) differently
+      "amount" -> "(CAST(amount_cents AS DOUBLE) / 100.0)",
+      "tax_amount" -> "(CAST(tax_cents AS DOUBLE) / 100.0)",
+      "discount_amount" -> "(CAST(disc_cents AS DOUBLE) / 100.0)",
+      "total_amount" -> "(CAST(amount_cents + tax_cents - disc_cents AS DOUBLE) / 100.0)",
+      // intended 30/20/10/40 gateway split (dead branches in the
+      // reference fixed, see object scaladoc)
+      "payment_gateway_id" -> ("(CASE WHEN transaction_channel IN ('POS', 'Online Payment Gateway') THEN " +
+        "CASE WHEN r_pg < 300000000 THEN 1 WHEN r_pg < 500000000 THEN 2 " +
+        "WHEN r_pg < 600000000 THEN 5 ELSE " +
+        pick("r_pg", Seq("3", "4", "6", "7", "8", "9", "10"), quote = false) +
+        " END END)"),
+      // device ladder :178-194 (POS terminal fixed for POS)
+      "device_type_id" -> ("(CASE WHEN transaction_channel = 'POS' THEN 7 " +
+        "WHEN r_dev < 500000000 THEN 1 WHEN r_dev < 600000000 THEN 2 " +
+        "WHEN r_dev < 800000000 THEN 3 WHEN r_dev < 850000000 THEN 4 " +
+        "WHEN r_dev < 940000000 THEN 5 ELSE 6 END)"),
+      // risk: 20% high [0.60, 1.00], else [0.00, 0.60), 2dp (:196-199)
+      "risk_score" -> ("(CAST(CASE WHEN r_riskg < 200000000 THEN (60 + r_risk % 41) " +
+        "ELSE (r_risk % 60) END AS DOUBLE) / 100.0)"),
+      // J2: epoch seconds uniform in [open, close-or-horizon)
+      "txn_epoch" -> (s"($BaseEpoch + open_date_id * 86400 + r_ts % greatest(" +
+        s"(CASE WHEN close_date_id IS NOT NULL THEN $BaseEpoch + close_date_id * 86400 " +
+        s"ELSE $HorizonEpoch END) - ($BaseEpoch + open_date_id * 86400), 1))"),
+      "txn_date_id" -> "txn_date_id_expr") // placeholder, derived below
+  )
+
+  /** uuid4().hex[:20] stand-in (:201): first 20 hex chars of a SHA-256 of
+    * the row key — deterministic, collision-free in practice, dialect-
+    * specific function name.
+    */
+  def txnIdExpr(duck: Boolean): String =
+    if (duck) "substr(sha256('txn-' || CAST(o_orderkey AS VARCHAR)), 1, 20)"
+    else "substring(sha2(concat('txn-', CAST(o_orderkey AS STRING)), 256), 1, 20)"
+
+  private def resolvePlaceholders(layer: Seq[(String, String)], duck: Boolean): Seq[(String, String)] =
+    layer.map {
+      case ("transaction_id", _) => "transaction_id" -> txnIdExpr(duck)
+      case ("txn_date_id", _) =>
+        "txn_date_id" -> idiv(
+          s"($BaseEpoch + open_date_id * 86400 + r_ts % greatest(" +
+            s"(CASE WHEN close_date_id IS NOT NULL THEN $BaseEpoch + close_date_id * 86400 " +
+            s"ELSE $HorizonEpoch END) - ($BaseEpoch + open_date_id * 86400), 1)) - $BaseEpoch",
+          "86400")
+      case kv => kv
+    }
+
+  /** Generated fact transactions (Spark side): orders draws ⋈ accounts
+    * on customer_id (J3-shape equi-join), then the shared ladders.
+    */
+  def factTransactions(spark: SparkSession, dir: String): DataFrame = {
+    val draws = factLayers.foldLeft(Tables.orders(spark, dir)) { (df, layer) =>
+      df.selectExpr(layer.map { case (a, e) => s"$e AS $a" }: _*)
+    }
+    val acct = accounts(spark, dir)
+      .selectExpr("customer_id", "account_id", "account_type",
+        "open_date_id", "close_date_id")
+    val joined = draws.join(acct, "customer_id")
+    factPostJoinLayers.foldLeft(joined) { (df, layer) =>
+      val resolved = resolvePlaceholders(layer, duck = false)
+      df.selectExpr(resolved.map { case (a, e) => s"$e AS $a" }: _*)
+    }
+  }
+
+  /** Assemble nested-SELECT SQL from layers (oracle side). */
+  private def nest(from: String, layers: Seq[Seq[(String, String)]], duck: Boolean): String =
+    layers.foldLeft(from) { (inner, layer) =>
+      val cols = resolvePlaceholders(layer, duck)
+        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"(SELECT $cols\n FROM $inner)"
+    }
+
+  def accountsSql(duck: Boolean): String =
+    s"SELECT * FROM ${nest("customer", accountLayers, duck)} a"
+
+  def factSql(duck: Boolean): String = {
+    val draws = nest("orders", factLayers, duck)
+    val acct = "(SELECT customer_id AS acct_customer_id, account_id, account_type, " +
+      s"open_date_id, close_date_id FROM ${nest("customer", accountLayers, duck)} a0)"
+    val joined = s"(SELECT * FROM $draws d JOIN $acct a ON d.customer_id = a.acct_customer_id)"
+    s"SELECT * FROM ${nest(joined, factPostJoinLayers, duck)} f"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gen_accounts" -> ((s, dir) => accounts(s, dir)),
+    "q_gen_fact" -> ((s, dir) => factTransactions(s, dir)),
+    // J1/J2-style constraint audit: one row, all violation counts 0
+    "q_gen_constraints" -> ((s, dir) => {
+      val acct = accounts(s, dir)
+      acct.createOrReplaceTempView("gen_accounts_v")
+      factTransactions(s, dir).createOrReplaceTempView("gen_fact_v")
+      s.sql(s"""
+        SELECT
+          (SELECT count(*) FROM gen_accounts_v) AS n_accounts,
+          (SELECT count(*) FROM gen_accounts_v WHERE open_date_id < signup_date_id)
+            AS n_open_before_signup,
+          (SELECT count(*) FROM gen_accounts_v
+            WHERE close_date_id IS NOT NULL
+              AND (close_date_id <= open_date_id OR close_date_id > $OpenEndDay))
+            AS n_bad_close,
+          (SELECT count(*) FROM gen_accounts_v
+            WHERE (close_date_id IS NOT NULL) <> (account_status = 'Closed'))
+            AS n_close_status_mismatch,
+          (SELECT count(*) FROM gen_fact_v) AS n_txns,
+          (SELECT count(*) FROM gen_fact_v
+            WHERE txn_date_id < open_date_id
+               OR (close_date_id IS NOT NULL AND txn_date_id > close_date_id))
+            AS n_txn_outside_account_window,
+          (SELECT count(*) FROM gen_fact_v
+            WHERE abs(total_amount - (amount + tax_amount - discount_amount)) > 1e-9)
+            AS n_money_mismatch,
+          (SELECT count(*) FROM gen_fact_v
+            WHERE (payment_gateway_id IS NULL)
+              <> (transaction_channel NOT IN ('POS', 'Online Payment Gateway')))
+            AS n_gateway_rule_violation
+      """)
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val acctSql = accountsSql(duck = true)
+    val factSqlD = factSql(duck = true)
+    Map(
+      "q_gen_accounts" -> acctSql,
+      "q_gen_fact" -> factSqlD,
+      "q_gen_constraints" ->
+        s"""WITH ga AS ($acctSql), gf AS ($factSqlD)
+           |SELECT
+           | (SELECT count(*) FROM ga) AS n_accounts,
+           | (SELECT count(*) FROM ga WHERE open_date_id < signup_date_id)
+           |   AS n_open_before_signup,
+           | (SELECT count(*) FROM ga
+           |   WHERE close_date_id IS NOT NULL
+           |     AND (close_date_id <= open_date_id OR close_date_id > $OpenEndDay))
+           |   AS n_bad_close,
+           | (SELECT count(*) FROM ga
+           |   WHERE (close_date_id IS NOT NULL) <> (account_status = 'Closed'))
+           |   AS n_close_status_mismatch,
+           | (SELECT count(*) FROM gf) AS n_txns,
+           | (SELECT count(*) FROM gf
+           |   WHERE txn_date_id < open_date_id
+           |      OR (close_date_id IS NOT NULL AND txn_date_id > close_date_id))
+           |   AS n_txn_outside_account_window,
+           | (SELECT count(*) FROM gf
+           |   WHERE abs(total_amount - (amount + tax_amount - discount_amount)) > 1e-9)
+           |   AS n_money_mismatch,
+           | (SELECT count(*) FROM gf
+           |   WHERE (payment_gateway_id IS NULL)
+           |     <> (transaction_channel NOT IN ('POS', 'Online Payment Gateway')))
+           |   AS n_gateway_rule_violation""".stripMargin
+    )
+  }
+}

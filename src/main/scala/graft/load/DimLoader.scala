@@ -39,14 +39,29 @@ object DimLoader {
 
   /** S7: one CSV upload → catalog table with truncate semantics. Returns
     * the loaded table name.
+    *
+    * WRITE_TRUNCATE means "replace whatever exists": the catalog entry is
+    * dropped AND a leftover warehouse location from an earlier session is
+    * removed (a fresh in-memory catalog does not know about it, so
+    * saveAsTable alone would fail with LOCATION_ALREADY_EXISTS).
     */
   def loadDim(spark: SparkSession, csvPath: String, schemaJson: String): String = {
     val table = tableFor(csvPath).getOrElse(
       throw new IllegalArgumentException(s"not a csv upload: $csvPath"))
     val schema = SchemaLoader.fromJson(schemaJson)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new File(if (wh.getScheme == "file") wh.getPath else wh.toString, table)
+    if (loc.exists()) deleteRecursively(loc)
     spark.read.option("header", "true").schema(schema).csv(csvPath)
       .write.mode("overwrite").saveAsTable(table)
     table
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** S8: the event-dispatch loop body — load every `.csv` in a landing
