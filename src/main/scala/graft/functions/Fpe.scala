@@ -88,4 +88,13 @@ object Fpe {
 
   def encrypt(key: Array[Byte], digits: String): String = feistel(key, digits, forward = true)
   def decrypt(key: Array[Byte], digits: String): String = feistel(key, digits, forward = false)
+
+  /** Encrypt + zfill(16) (pipeline.py:95) — the wire token shape. Called
+    * from generated code (FpeEncryptExpression), hence on this object so
+    * the static forwarder is directly invokable from Janino.
+    */
+  def encryptPadded(key: Array[Byte], digits: String): String = {
+    val t = encrypt(key, digits)
+    if (t.length >= 16) t else ("0" * (16 - t.length)) + t
+  }
 }

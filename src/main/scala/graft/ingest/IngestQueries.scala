@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.Fpe
+import graft.functions.FpeFunctions
 
 /** Oracle-checkable exercises of the full ingest pipeline.
   *
@@ -112,15 +112,6 @@ object IngestQueries {
     // fixture (srcCte) — no JSON round-trip here; q_ingest_valid covers
     // the parse chain, this query isolates the crypto kernel.
     "q_fpe_roundtrip" -> ((s, dir) => {
-      val keyB = s.sparkContext.broadcast(testKey)
-      val decryptOk = udf { (token: String, pan: String) =>
-        if (token == null || pan == null) false
-        else {
-          // invert zfill(16): the real token is the last len(pan) digits
-          val t = if (pan.length < 16) token.substring(16 - pan.length) else token
-          Fpe.decrypt(keyB.value, t) == pan
-        }
-      }
       val pm = col("o_orderkey") % 10
       val pan = when(pm <= 6, lpad(col("o_orderkey").cast("string"), 16, "4"))
         .when(pm === 7, lpad(col("o_orderkey").cast("string"), 12, "4"))
@@ -128,13 +119,14 @@ object IngestQueries {
       val parsed = src(s, dir)
         .select(pan.as("pan"))
         .filter(col("pan").isNotNull && length(col("pan")).between(13, 19))
-        .withColumn("token", udf { pan: String =>
-          val t = Fpe.encrypt(keyB.value, pan)
-          if (t.length >= 16) t else ("0" * (16 - t.length)) + t
-        }.apply(col("pan")))
+        .withColumn("token", FpeFunctions.fpeEncrypt(col("pan"), testKey))
+        // invert zfill(16): the real token is the last len(pan) digits
+        .withColumn("real_token",
+          expr("substring(token, length(token) - length(pan) + 1)"))
       parsed.agg(
         count(lit(1)).as("n_pans"),
-        count(when(decryptOk(col("token"), col("pan")), 1)).as("n_roundtrip_ok"),
+        count(when(FpeFunctions.fpeDecrypt(col("real_token"), testKey) === col("pan"), 1))
+          .as("n_roundtrip_ok"),
         count(when(col("token").rlike("^[0-9]+$") &&
           length(col("token")) === greatest(length(col("pan")), lit(16)), 1))
           .as("n_format_ok"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Fpe
+import graft.functions.FpeFunctions
 
 /** The streaming-ingest transform chain — the engine's re-expression of the
   * reference's Beam DoFn (dataflow_pipeline/pipeline.py:51-131) as a pure
@@ -70,14 +70,11 @@ object TxnPipeline {
     *            (the Beam DoFn.setup analogue, pipeline.py:18-47 / U7).
     */
   def process(spark: SparkSession, raw: DataFrame, key: Array[Byte]): (DataFrame, DataFrame) = {
-    val keyB = spark.sparkContext.broadcast(key)
-    val fpeTokenize = udf { pan: String =>
-      if (pan == null) null
-      else {
-        val t = Fpe.encrypt(keyB.value, pan)
-        if (t.length >= 16) t else ("0" * (16 - t.length)) + t // zfill(16), pipeline.py:95
-      }
-    }
+    // U6/U7: native codegen'd FPE expression; the key ships once per task
+    // as a binary literal (the DoFn.setup-broadcast analogue) and the
+    // whole chain stays inside one whole-stage-codegen span — a UDF here
+    // would box every row across the closure boundary.
+    val fpeTokenize = (pan: Column) => FpeFunctions.fpeEncrypt(pan, key)
 
     // S3: ONE JSON parse per row (Spark 4 variant), every field extracted
     // from the binary variant — the from_json + per-union get_json_object

@@ -261,6 +261,39 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amount"))
     }),
 
+    // S2: bytes → string decode (pipeline.py:166). Text round-trips
+    // through an explicit UTF-8 encode/decode pair; byte counts prove the
+    // binary representation was actually materialized.
+    "q_utf8_decode" -> ((s, dir) => {
+      val blob = encode(col("text"), "UTF-8")
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(decode(blob, "UTF-8") === col("text"), 1)).as("n_roundtrip_ok"),
+        sum(length(blob)).as("total_bytes"))
+    }),
+
+    // A10 rollup: subtotal + grand-total rows in one pass (GROUP BY
+    // ROLLUP plans as a single Expand + hash aggregate — one shuffle).
+    "q_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // §2.5 frame spec: trailing-3-month moving average per priority.
+    // Partitioned by priority (5 keys), ordered by month — window state
+    // is one frame of 3 rows per partition.
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("month").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("moving_avg_3m", round(avg(col("revenue")).over(w), 6))
+    }),
+
     // Sessionization: 30-minute-gap sessions per user via lag + running sum.
     // Partitioned window (by user) — scales horizontally; only per-user
     // history must fit an executor.
@@ -407,6 +440,27 @@ object Analytics {
         |FROM (SELECT (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r, o_totalprice
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
+
+    "q_utf8_decode" ->
+      """SELECT count(*) AS n_docs,
+        | count_if(decode(encode(text)) = text) AS n_roundtrip_ok,
+        | sum(octet_length(encode(text))) AS total_bytes
+        |FROM documents""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT o_orderpriority, month, revenue,
+        | round(avg(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3m
+        |FROM (SELECT o_orderpriority,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM orders GROUP BY 1, 2) m""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
