@@ -59,7 +59,21 @@ object DedupOps {
     * product, skew-safe because band values are hash-distributed.
     */
   def minhashDupPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // The shingle+hash pipeline (tokenize → trigram → distinct → strHash)
+    // feeds the signature build AND both sides of the verify join; cache
+    // it once — doc_id + grams + hs is narrow, and this is the same
+    // materialization Spark ML's LSH does on fit. Without it the
+    // interpreted higher-order-function chain runs up to 3× per doc.
+    val g = withGrams(docs)
+      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+      .cache()
+    val hashed = g
+    val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
+      df.withColumn(s"mh_$k", expr(minhash("hs", k, duck = false)))
+    }
+    val sig = (0 until 4).foldLeft(withMh) { (df, j) =>
+      df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
+    }
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band_idx"), col(s"band_$j").as("band_val"))): _*
     )).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
@@ -69,7 +83,6 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val g = withGrams(docs)
     val j = expr(jaccard("grams1", "grams2", duck = false))
     cand
       .join(g.select(col("doc_id").as("d1"), col("grams").as("grams1")), "d1")
