@@ -9,65 +9,144 @@ import graft.Tables
 case class MediaMeta(
     doc_id: Long,
     n_bytes: Long,
-    fake_width: Int,
-    fake_height: Int,
-    content_hash: String)
+    width: Int,
+    height: Int,
+    channels: Int,
+    checksum: Long)
+
+/** One sampled "frame" of a media blob. */
+case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+/** Stand-in for a native media codec: real decoders are expensive to
+  * initialize and not thread-safe across rows, so exactly ONE instance
+  * exists per task (created in mapPartitions, reused for every row of
+  * the partition). The byte loops below are the seam where a libjpeg /
+  * ffmpeg JNI call would go — everything around them (schema,
+  * partitioning, batch shape) is the real production plumbing.
+  */
+final class StubDecoder extends Serializable {
+  import Multimodal.{FrameSize, FrameStride, P}
+
+  /** Rolling polynomial checksum over the raw bytes — imperative on
+    * purpose: this models work that must see the physical byte stream
+    * (entropy scan, signature sniffing), not a columnar expression.
+    */
+  def checksum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    val end = math.min(until, bytes.length)
+    while (i < end) {
+      acc = (acc * 131 + (bytes(i) & 0xff)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** "Header parse": dimensions and channel count derived from the
+    * leading bytes (a real decoder reads its magic + header here).
+    */
+  def decodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    val width = 1 + (b(0) * 256 + b(1)) % 640
+    val height = 1 + (b(1) * 256 + b(2)) % 480
+    val channels = 1 + b(2) % 3
+    (width, height, channels)
+  }
+
+  /** Sample every FrameStride-th FrameSize-byte frame and hash it — the
+    * video-frame-sampling shape (seek + decode only the sampled frames).
+    */
+  def sampleFrames(bytes: Array[Byte]): Iterator[(Int, Long)] = {
+    if (bytes.isEmpty) Iterator.empty
+    else {
+      val lastFrame = (bytes.length - 1) / FrameSize
+      Iterator.range(0, lastFrame + 1, FrameStride).map { f =>
+        (f, checksum(bytes, f * FrameSize, f * FrameSize + FrameSize))
+      }
+    }
+  }
+}
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
-  * columns with typed metadata alongside. The decode / feature-extract step
-  * runs as a batched `mapPartitions` over the typed Dataset — the Scala
-  * analogue of a Pandas-UDF `mapInPandas` stage: one decoder init per
-  * partition, streaming iterator, no driver collection.
-  *
-  * The actual image/audio decode is STUBBED (no media libraries in this
-  * container): `decodeStub` derives deterministic fake dimensions from the
-  * byte payload. The Spark-side plumbing — binary column, partition-wise
-  * batch shape, typed output schema — is real and oracle-checked.
+  * columns with typed metadata alongside. Decode / feature-extract /
+  * frame-sample run as batched `mapPartitions` over the typed Dataset —
+  * the Scala analogue of a Pandas-UDF `mapInPandas` stage: one decoder
+  * init per partition, streaming iterator, no driver collection. The
+  * actual codec is STUBBED ([[StubDecoder]] — no media libraries in this
+  * container) but does real imperative byte-stream work, and the DuckDB
+  * oracle reproduces it arithmetically (the corpus is ASCII, so
+  * ascii(substr(text, i, 1)) == byte i-1 of the utf-8 blob).
   */
 object Multimodal {
 
-  private def md5hex(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(bytes).map("%02x".format(_)).mkString
+  val P = 1000000007L
+  val FrameSize = 64
+  val FrameStride = 4
+
+  private def blobs(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
   }
 
-  /** STUB decoder: stands in for an image decode. Deterministic on input
-    * bytes so results are reproducible and oracle-checkable.
-    */
-  private def decodeStub(id: Long, blob: Array[Byte]): MediaMeta =
-    MediaMeta(
-      doc_id = id,
-      n_bytes = blob.length.toLong,
-      fake_width = (blob.length % 640 + 1),
-      fake_height = (blob.length % 480 + 1),
-      content_hash = md5hex(blob))
-
-  /** Binary-column pipeline: text → utf-8 blob column → per-partition
-    * batched "decode" → typed metadata rows.
+  /** Binary-column pipeline: blob → per-partition batched decode →
+    * typed metadata rows.
     */
   def mediaMetadata(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition decoder init would go here (one per task, not per row)
-        rows.map { case (id, blob) => decodeStub(id, blob) }
+    blobs(spark, docs).mapPartitions { rows =>
+      val decoder = new StubDecoder // once per task, NOT per row
+      rows.map { case (id, blob) =>
+        val (w, h, c) = decoder.decodeHeader(blob)
+        MediaMeta(id, blob.length.toLong, w, h, c,
+          decoder.checksum(blob, 0, blob.length))
       }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame (flatMap — the
+    * generator/UDTF shape).
+    */
+  def frameSamples(spark: SparkSession, docs: DataFrame): Dataset[FrameSample] = {
+    import spark.implicits._
+    blobs(spark, docs).mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.flatMap { case (id, blob) =>
+        decoder.sampleFrames(blob).map { case (f, h) => FrameSample(id, f, h) }
+      }
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> ((s, dir) =>
-      mediaMetadata(s, Tables.documents(s, dir)).toDF())
+      mediaMetadata(s, Tables.documents(s, dir)).toDF()),
+    "q_multimodal_frames" -> ((s, dir) =>
+      frameSamples(s, Tables.documents(s, dir)).toDF())
   )
+
+  private val byteHash =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(generate_series(__FROM__, __UNTIL__),
+       |     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |  (acc, x) -> (acc * 131 + x) % $P)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
-        | CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height,
-        | md5(text) AS content_hash
-        |FROM documents""".stripMargin
+      s"""SELECT doc_id,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         | CAST(1 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 640 AS INT) AS width,
+         | CAST(1 + (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 3, 1))) % 480 AS INT) AS height,
+         | CAST(1 + ascii(substr(text, 3, 1)) % 3 AS INT) AS channels,
+         | ${byteHash.replace("__FROM__", "1").replace("__UNTIL__", "length(text)")} AS checksum
+         |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         | ${byteHash.replace("__FROM__", s"f * $FrameSize + 1")
+               .replace("__UNTIL__", s"least(f * $FrameSize + $FrameSize, length(text))")} AS frame_hash
+         |FROM (SELECT doc_id, text,
+         |  unnest(generate_series(0,
+         |    CAST(floor((length(text) - 1) / $FrameSize.0) AS BIGINT), $FrameStride)) AS f
+         | FROM documents) t""".stripMargin
   )
 }
