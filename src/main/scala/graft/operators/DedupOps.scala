@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,10 +34,20 @@ object DedupOps {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct word-trigram shingle array. */
+  /** doc_id + distinct word-trigram shingle array.
+    *
+    * Tokens are BOUND AS A COLUMN before shingling: inlining
+    * `split(text)` into the shingle expression would re-run the regex
+    * split on every element_at probe of the interpreted lambda (~3 per
+    * gram), which measured ~40 ms/doc; as an attribute reference the
+    * array is computed once per row. CollapseProject keeps the two
+    * projections separate because the multi-referenced split is not a
+    * cheap expression.
+    */
   private def withGrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
+    docs.select(col("doc_id"), functions.split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr(trigramShingles("toks", duck = false)).as("grams"))
 
   /** doc_id, mh_0..mh_7 (minhash signature), band_0..band_3 (LSH keys:
     * 4 bands x 2 rows).
@@ -145,20 +155,31 @@ object DedupOps {
     * threshold.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"), col("source"),
-        expr(trigramShingles(tokens("text", duck = false), duck = false)).as("grams"))
-      .withColumn("n", size(col("grams")))
+    // Jaccard runs over HASHED shingles (distinct int64s): the per-pair
+    // set-intersect on longs is far cheaper than hashing UTF8 strings
+    // per probe, and the shingle universe is the same modulo ~1e-9 hash
+    // collisions — which the oracle reproduces exactly anyway. Cached:
+    // both join sides read one narrow materialization.
+    val g = docs
+      .select(col("doc_id"), col("source"), functions.split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr(trigramShingles("toks", duck = false)).as("grams"))
+      .select(col("doc_id"), col("source"),
+        expr(xform("grams", "g", strHash("g"), duck = false)).as("hs0"))
+      .withColumn("hs", array_distinct(col("hs0"))).drop("hs0")
+      .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
       .withColumn("bkt", floor(log2(col("n"))))
-    val e = g.select(col("doc_id"), col("source"), col("grams"), col("n"),
+      .cache()
+    val e = g.select(col("doc_id"), col("source"), col("hs"), col("n"),
       explode(array(col("bkt"), col("bkt") + 1)).as("bkt2"))
-    val j = expr(jaccard("g1", "g2", duck = false))
+    val j = expr(jaccard("h1", "h2", duck = false))
     e.as("a").join(e.as("b"),
         col("a.source") === col("b.source") && col("a.bkt2") === col("b.bkt2") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.grams").as("g1"), col("b.grams").as("g2"))
+        col("a.hs").as("h1"), col("b.hs").as("h2"))
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
       .distinct()
@@ -232,12 +253,16 @@ object DedupOps {
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($blockOr)
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
 
-      "q_dedup_ngram_pairs" ->
-        s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
-           |SELECT g1.doc_id AS d1, g2.doc_id AS d2, round($jac, 6) AS jaccard
+      "q_dedup_ngram_pairs" -> {
+        val jacHs = jaccard("g1.hs", "g2.hs", duck = true)
+        s"""WITH g AS (SELECT doc_id, source,
+           |  ${distinct(hs, duck = true)} AS hs
+           |  FROM (SELECT doc_id, source, $grams AS grams FROM documents) g0)
+           |SELECT g1.doc_id AS d1, g2.doc_id AS d2, round($jacHs, 6) AS jaccard
            |FROM g g1 JOIN g g2
            |  ON g1.source = g2.source AND g1.doc_id < g2.doc_id
-           |WHERE round($jac, 6) >= $NgramThreshold""".stripMargin
+           |WHERE round($jacHs, 6) >= $NgramThreshold""".stripMargin
+      }
     )
   }
 }

@@ -45,10 +45,23 @@ object VectorOps {
   private def cosineExpr(a: String, b: String, duck: Boolean): String =
     s"round(${dot(a, b, duck)} / (sqrt(${dot(a, a, duck)}) * sqrt(${dot(b, b, duck)})), 6)"
 
-  /** Hyperplane p as an inline double-array expression. */
+  /** Hyperplane p as an inline double-array expression. The Spark side
+    * inlines the COMPUTED literal values (the generate_series+transform
+    * form is a non-foldable higher-order chain that would be rebuilt
+    * per row, interpreted); the Scala arithmetic below is the same
+    * integer formula as PortableSql.pseudoUniform, so the doubles are
+    * bit-identical to what the oracle's symbolic form evaluates to.
+    */
   private def plane(p: Int, duck: Boolean): String =
-    xform(seqIncl("0", (Dim - 1).toString, duck), "i",
-      pseudoUniform(s"$p * 97 + i"), duck)
+    if (duck)
+      xform(seqIncl("0", (Dim - 1).toString, duck), "i",
+        pseudoUniform(s"$p * 97 + i"), duck)
+    else
+      (0 until Dim).map { i =>
+        val seed = p.toLong * 97L + i
+        val v = ((seed * 2654435761L) % 1000003L) / 1000003.0 - 0.5
+        s"${v}D"
+      }.mkString("array(", ", ", ")")
 
   /** Bucket id of table t over the unit-normalized vector column `vn`:
     * bit j = sign(vn . plane_{t*BitsPerTable+j}).
@@ -96,9 +109,11 @@ object VectorOps {
     * cosine >= threshold via a single dot of the pre-normalized vectors.
     */
   def annPairs(emb: DataFrame): DataFrame = {
+    // cached: one narrow (vec_id, vn, buckets) materialization feeds the
+    // explode and both self-join sides
     val withBuckets = (0 until NTables).foldLeft(normalized(emb, withLabel = false)) {
       (df, t) => df.withColumn(s"bucket_$t", expr(bucketExpr(t, duck = false)))
-    }
+    }.cache()
     val bands = withBuckets.select(col("vec_id"), col("vn"), explode(array(
         (0 until NTables).map(t =>
           struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("b"))
