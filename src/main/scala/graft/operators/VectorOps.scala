@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -127,10 +128,62 @@ object VectorOps {
       .distinct() // a pair colliding in >1 table yields identical rows
   }
 
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF coarse assignment: each vector goes to its nearest of K
+    * deterministic centroid cells (the vectors with vec_id < K — a real
+    * build would k-means these; the *partitioning shape* is what matters:
+    * one broadcast of K centroids, one narrow pass, repartition by cell).
+    * At 100 TB the corpus is then laid out cell-partitioned so a query
+    * touches only its probed cells.
+    */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val vecs = normalized(emb, withLabel = false)
+    val cents = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(expr(dot("vn", "cv", duck = false)), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
+  }
+
+  /** IVF probe search: evaluate the query vector only against vectors
+    * whose cell is one of the `IvfProbes` nearest centroids — the
+    * recall/cost dial of a 100 TB ANN index (cells not probed are never
+    * scanned; with cell-partitioned storage that is partition pruning).
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val assign = ivfAssign(emb)
+    val vecs = normalized(emb, withLabel = false)
+    val q = vecs.filter(col("vec_id") === queryId).select(col("vn").as("qv"))
+    val cents = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"), expr(dot("cv", "qv", duck = false)).as("qcos"))
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+      .limit(IvfProbes)
+      .select(col("centroid_id"))
+    vecs.join(assign, "vec_id")
+      .join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("centroid_id"),
+        round(expr(dot("vn", "qv", duck = false)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
-    "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir)))
+    "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
+    "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
+    "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -171,7 +224,40 @@ object VectorOps {
            | SELECT a.vec_id AS v1, b.vec_id AS v2,
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
-           |WHERE cosine >= $AnnMinCosine""".stripMargin
+           |WHERE cosine >= $AnnMinCosine""".stripMargin,
+
+      "q_emb_ivf_assign" ->
+        s"""WITH $normCte,
+           |$ivfAsgCte
+           |SELECT vec_id, centroid_id, centroid_cos FROM asg""".stripMargin,
+
+      "q_emb_ivf_topk" ->
+        s"""WITH $normCte,
+           |$ivfAsgCte,
+           | q AS (SELECT vn AS qv FROM e WHERE vec_id = 0),
+           | probed AS (SELECT centroid_id FROM (
+           |   SELECT c.centroid_id, ${dot("c.cv", "q.qv", duck = true)} AS qcos
+           |   FROM c, q
+           |   ORDER BY qcos DESC, centroid_id LIMIT $IvfProbes) p)
+           |SELECT e.vec_id, asg.centroid_id,
+           |  round(${dot("e.vn", "q.qv", duck = true)}, 6) AS cosine
+           |FROM e
+           | JOIN asg ON e.vec_id = asg.vec_id
+           | JOIN probed ON asg.centroid_id = probed.centroid_id, q
+           |WHERE e.vec_id <> 0
+           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
     )
   }
+
+  /** Shared IVF assignment CTEs (over the `e` normalized CTE). */
+  private def ivfAsgCte: String =
+    s""" c AS (SELECT vec_id AS centroid_id, vn AS cv FROM e WHERE vec_id < $IvfCells),
+       | asg0 AS (SELECT e.vec_id, c.centroid_id,
+       |   round(${dot("e.vn", "c.cv", duck = true)}, 6) AS cos FROM e, c),
+       | asg AS (SELECT vec_id, centroid_id, cos AS centroid_cos FROM (
+       |   SELECT vec_id, centroid_id, cos,
+       |     row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY cos DESC, centroid_id) AS rnk
+       |   FROM asg0) z
+       |  WHERE rnk = 1)""".stripMargin
 }
