@@ -17,8 +17,9 @@ import graft.functions.PortableSql._
   *   - SimHash:  24-bit majority-bit sketch + pigeonhole blocking (4 blocks
   *               of 6 bits; hamming <= 3 implies one identical block) —
   *               again pairs come from an equi-join, not a cross product;
-  *   - n-gram Jaccard: exact quadratic verify *within a blocking key*
-  *               (source) — the baseline/verifier, deliberately bounded.
+  *   - n-gram Jaccard: exact verify within a (source, size-bucket)
+  *               block over hashed shingles — the baseline/verifier,
+  *               deliberately bounded (see ngramJaccardPairs).
   *
   * Hashes are engine-portable arithmetic (PortableSql) so the DuckDB oracle
   * reproduces every signature, candidate set, and verified pair exactly.
