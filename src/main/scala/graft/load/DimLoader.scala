@@ -49,13 +49,22 @@ object DimLoader {
     val table = tableFor(csvPath).getOrElse(
       throw new IllegalArgumentException(s"not a csv upload: $csvPath"))
     val schema = SchemaLoader.fromJson(schemaJson)
+    dropTableAndLocation(spark, table)
+    spark.read.option("header", "true").schema(schema).csv(csvPath)
+      .write.mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  /** Drop a catalog table AND any leftover warehouse location from an
+    * earlier session (a fresh in-memory catalog does not know about it,
+    * so a bare overwrite saveAsTable fails LOCATION_ALREADY_EXISTS).
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new File(if (wh.getScheme == "file") wh.getPath else wh.toString, table)
     if (loc.exists()) deleteRecursively(loc)
-    spark.read.option("header", "true").schema(schema).csv(csvPath)
-      .write.mode("overwrite").saveAsTable(table)
-    table
+    ()
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.load.DimLoader
+
+/** Shuffle-management operators — the partitioning techniques a 100 TB
+  * deployment leans on, each expressed so the DuckDB oracle proves the
+  * RESULT is identical to the naive plan while the physical plan differs:
+  *
+  *   - bucketed co-located join: both sides pre-bucketed on the join key
+  *     into the same bucket count → sort-merge join with ZERO exchange
+  *     (asserted in ShuffleOpsSpec). At scale this is how a fact table
+  *     repeatedly joined on the same key amortizes its shuffle: pay it
+  *     once at write time, never at read time.
+  *   - salted two-phase aggregation: a skewed group key is widened with a
+  *     salt for the first (heavy) partial aggregate so one hot key
+  *     spreads over N reducers, then re-aggregated without the salt. The
+  *     algebra re-merges exactly (sums of sums, sums of counts) — the
+  *     oracle runs the direct single-phase SQL.
+  */
+object ShuffleOps {
+
+  val Buckets = 8
+  val Salts = 16
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Write orders/customer bucketed by the join key, then join the
+    * bucketed tables. With matching bucket counts the sort-merge join
+    * reads co-located buckets directly — no Exchange in the plan.
+    */
+  def bucketedSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    DimLoader.dropTableAndLocation(spark, "orders_bkt")
+    DimLoader.dropTableAndLocation(spark, "customer_bkt")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bkt")
+    bucketedJoinPlan(spark)
+  }
+
+  /** The join over the already-bucketed tables (separated so tests can
+    * assert its physical plan has no shuffle).
+    */
+  def bucketedJoinPlan(spark: SparkSession): DataFrame =
+    spark.table("orders_bkt")
+      .hint("merge") // force SMJ so the no-exchange property is visible
+      .join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+
+  /** Salted two-phase aggregate over a deliberately skewed key (~45% of
+    * orders share one status). Phase 1 groups on (key, salt) — the hot
+    * key's rows spread across `Salts` reducers; phase 2 merges partials
+    * on the key alone. Identical result to the direct group-by.
+    */
+  def saltedStatusRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.orders(spark, dir)
+      .withColumn("salt", (col("o_orderkey") % Salts).cast("int"))
+      .groupBy(col("o_orderstatus"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("psum"))
+    salted.groupBy(col("o_orderstatus"))
+      .agg(sum(col("pn")).as("n_orders"),
+        sum(col("psum")).cast("double").as("revenue"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
+    "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
+    // A9: HLL approximate distinct. Raw sketch counts differ between
+    // engines (different HLL impls), so the oracle-checked claim is the
+    // accuracy INVARIANT: each engine's own estimate lands within 5% of
+    // the exact distinct count. Spark's sketch is tightened to rsd=0.01
+    // (the default 0.05 means a ~1-sigma 5% bound — it missed at sf0.01).
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        (abs(approx_count_distinct(col("o_custkey"), 0.01) -
+          countDistinct(col("o_custkey"))).cast("double") /
+          countDistinct(col("o_custkey")) <= 0.05).as("approx_within_5pct"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custs,
+        | abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |   / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05
+        |   AS approx_within_5pct
+        |FROM orders""".stripMargin
+  )
+}

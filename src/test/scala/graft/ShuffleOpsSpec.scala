@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ShuffleOps
+
+/** The bucketed join must be shuffle-free (that is its whole point) and
+  * the salted two-phase aggregate must merge exactly.
+  */
+class ShuffleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans with NO exchange") {
+    ShuffleOps.bucketedSegmentRevenue(spark, dir).collect() // writes tables
+    val plan = ShuffleOps.bucketedJoinPlan(spark)
+      .queryExecution.executedPlan.toString
+    // the join itself reads co-located buckets; the only exchange allowed
+    // is the one for the final small group-by
+    val joinPart = plan.split("HashAggregate").last // below the agg: join + scans
+    assert(joinPart.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!joinPart.contains("Exchange"), s"join subtree must be exchange-free:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"expected bucket pruning info:\n$plan")
+  }
+
+  test("salted aggregate equals the direct group-by") {
+    import spark.implicits._
+    val salted = ShuffleOps.saltedStatusRevenue(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    val direct = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(salted.sameElements(direct))
+  }
+}
