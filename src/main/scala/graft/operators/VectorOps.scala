@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.DotProductExpression.{dot => dotCol}
 import graft.functions.PortableSql._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
@@ -46,23 +47,13 @@ object VectorOps {
   private def cosineExpr(a: String, b: String, duck: Boolean): String =
     s"round(${dot(a, b, duck)} / (sqrt(${dot(a, a, duck)}) * sqrt(${dot(b, b, duck)})), 6)"
 
-  /** Hyperplane p as an inline double-array expression. The Spark side
-    * inlines the COMPUTED literal values (the generate_series+transform
-    * form is a non-foldable higher-order chain that would be rebuilt
-    * per row, interpreted); the Scala arithmetic below is the same
-    * integer formula as PortableSql.pseudoUniform, so the doubles are
-    * bit-identical to what the oracle's symbolic form evaluates to.
+  /** Hyperplane p as a symbolic double-array expression — ORACLE side
+    * only; the Spark side computes buckets natively
+    * (SrpBucketsExpression, same integer recurrence → identical doubles).
     */
   private def plane(p: Int, duck: Boolean): String =
-    if (duck)
-      xform(seqIncl("0", (Dim - 1).toString, duck), "i",
-        pseudoUniform(s"$p * 97 + i"), duck)
-    else
-      (0 until Dim).map { i =>
-        val seed = p.toLong * 97L + i
-        val v = ((seed * 2654435761L) % 1000003L) / 1000003.0 - 0.5
-        s"${v}D"
-      }.mkString("array(", ", ", ")")
+    xform(seqIncl("0", (Dim - 1).toString, duck), "i",
+      pseudoUniform(s"$p * 97 + i"), duck)
 
   /** Bucket id of table t over the unit-normalized vector column `vn`:
     * bit j = sign(vn . plane_{t*BitsPerTable+j}).
@@ -82,7 +73,7 @@ object VectorOps {
     val base = if (withLabel) emb.select(col("vec_id"), col("label"), expr(vcol).as("v"))
                else emb.select(col("vec_id"), expr(vcol).as("v"))
     base
-      .withColumn("nrm", expr(s"sqrt(${dot("v", "v", duck = false)})"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .withColumn("vn", expr("transform(v, x -> x / nrm)"))
       .drop("v", "nrm")
@@ -95,16 +86,25 @@ object VectorOps {
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        expr(cosineExpr("v", "qv", duck = false)).as("cosine"))
+        round(dotCol(col("v"), col("qv")) /
+          (sqrt(dotCol(col("v"), col("v"))) * sqrt(dotCol(col("qv"), col("qv")))), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
 
+  /** All table buckets in one native pass (see SrpBucketsExpression). */
+  private def withAllBuckets(df: DataFrame): DataFrame = {
+    val all = df.withColumn("bks",
+      graft.functions.SrpBucketsExpression.buckets(col("vn"), NTables, BitsPerTable, Dim))
+    (0 until NTables).foldLeft(all) { (d, t) =>
+      d.withColumn(s"bucket_$t", element_at(col("bks"), t + 1))
+    }.drop("bks")
+  }
+
   /** Per-vector LSH bucket ids, one column per table. */
   def lshBuckets(emb: DataFrame): DataFrame =
-    (0 until NTables).foldLeft(normalized(emb, withLabel = true)) { (df, t) =>
-      df.withColumn(s"bucket_$t", expr(bucketExpr(t, duck = false)))
-    }.drop("vn")
+    withAllBuckets(normalized(emb, withLabel = true)).drop("vn")
 
   /** ANN candidate pairs: same bucket in ANY table, verified
     * cosine >= threshold via a single dot of the pre-normalized vectors.
@@ -112,20 +112,32 @@ object VectorOps {
   def annPairs(emb: DataFrame): DataFrame = {
     // cached: one narrow (vec_id, vn, buckets) materialization feeds the
     // explode and both self-join sides
-    val withBuckets = (0 until NTables).foldLeft(normalized(emb, withLabel = false)) {
-      (df, t) => df.withColumn(s"bucket_$t", expr(bucketExpr(t, duck = false)))
-    }.cache()
-    val bands = withBuckets.select(col("vec_id"), col("vn"), explode(array(
+    val withBuckets = withAllBuckets(normalized(emb, withLabel = false)).cache()
+    // The band self-join runs over BARE ids and candidates are deduped
+    // BEFORE vectors are fetched: clustered corpora collide in many
+    // tables at once, so the raw band join emits each hot pair up to
+    // NTables times — carrying the 64-double arrays through that
+    // explosion (and dotting every duplicate) dominated the query. The
+    // deduped candidates then pick their vectors off two broadcasts of
+    // the (small, cached) vector side and verify with ONE dot per
+    // distinct pair. Same result set; the oracle's algebra (distinct at
+    // the end) is order-insensitive to where the dedup happens.
+    val bands = withBuckets.select(col("vec_id"), explode(array(
         (0 until NTables).map(t =>
           struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("b"))
-      .select(col("vec_id"), col("vn"), col("b.t").as("t"), col("b.bk").as("bk"))
-    bands.as("a").join(bands.as("b"),
+      .select(col("vec_id"), col("b.t").as("t"), col("b.bk").as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(expr(dot("a.vn", "b.vn", duck = false)), 6).as("cosine"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val vecs = withBuckets.select(col("vec_id"), col("vn"))
+    cand
+      .join(broadcast(vecs.select(col("vec_id").as("v1"), col("vn").as("vn1"))), "v1")
+      .join(broadcast(vecs.select(col("vec_id").as("v2"), col("vn").as("vn2"))), "v2")
+      .select(col("v1"), col("v2"),
+        round(dotCol(col("vn1"), col("vn2")), 6).as("cosine"))
       .filter(col("cosine") >= AnnMinCosine)
-      .distinct() // a pair colliding in >1 table yields identical rows
   }
 
   val IvfCells = 16
@@ -146,7 +158,7 @@ object VectorOps {
       .orderBy(col("cos").desc, col("centroid_id").asc)
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        round(expr(dot("vn", "cv", duck = false)), 6).as("cos"))
+        round(dotCol(col("vn"), col("cv")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
@@ -164,7 +176,7 @@ object VectorOps {
     val cents = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
     val probed = cents.crossJoin(broadcast(q))
-      .select(col("centroid_id"), expr(dot("cv", "qv", duck = false)).as("qcos"))
+      .select(col("centroid_id"), dotCol(col("cv"), col("qv")).as("qcos"))
       .orderBy(col("qcos").desc, col("centroid_id").asc)
       .limit(IvfProbes)
       .select(col("centroid_id"))
@@ -173,7 +185,7 @@ object VectorOps {
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("centroid_id"),
-        round(expr(dot("vn", "qv", duck = false)), 6).as("cosine"))
+        round(dotCol(col("vn"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
