@@ -131,10 +131,12 @@ object VectorOps {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .distinct()
+    // verify join left to AQE: broadcast at test scale, shuffle-on-id
+    // when the corpus outgrows a broadcast
     val vecs = withBuckets.select(col("vec_id"), col("vn"))
     cand
-      .join(broadcast(vecs.select(col("vec_id").as("v1"), col("vn").as("vn1"))), "v1")
-      .join(broadcast(vecs.select(col("vec_id").as("v2"), col("vn").as("vn2"))), "v2")
+      .join(vecs.select(col("vec_id").as("v1"), col("vn").as("vn1")), "v1")
+      .join(vecs.select(col("vec_id").as("v2"), col("vn").as("vn2")), "v2")
       .select(col("v1"), col("v2"),
         round(dotCol(col("vn1"), col("vn2")), 6).as("cosine"))
       .filter(col("cosine") >= AnnMinCosine)
