@@ -55,4 +55,12 @@ class DimLoaderSpec extends AnyFunSuite {
     assert(loaded == Seq("dim_test_a"))
     assert(spark.table("dim_test_a").count() == 1)
   }
+
+  test("S12 csv lookup read applies the schema without a catalog table") {
+    val tmp = Files.createTempDirectory("graft_lookup_").toFile.getAbsolutePath
+    write(s"$tmp/merchants.csv", "gateway_id,gateway_name\n3,PhonePe\n4,GPay\n")
+    val df = DimLoader.readCsvLookup(spark, s"$tmp/merchants.csv", schemaJson)
+    assert(df.schema.fieldNames.toSeq == Seq("gateway_id", "gateway_name"))
+    assert(df.collect().map(_.getAs[Long]("gateway_id")).sorted.toSeq == Seq(3L, 4L))
+  }
 }
