@@ -81,6 +81,36 @@ object StreamState {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming sessionization via the native `session_window`: per-user
+    * sessions close after 30 minutes of inactivity; append mode emits a
+    * session exactly once, when the watermark passes its close. The
+    * batch q_sessionize (lag + running sum) computes the same grouping
+    * offline; this is its streaming twin with bounded state (sessions
+    * older than the watermark are evicted).
+    */
+  def startSessionized(
+      spark: SparkSession,
+      landingDir: String,
+      outDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val agg = spark.readStream.schema(schema).json(landingDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
+    val w = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** ST2: event-time 5-minute volume windows with a 10-minute watermark.
     * Append mode — a window is emitted exactly once, after the watermark
     * passes its end; events later than the watermark are dropped.

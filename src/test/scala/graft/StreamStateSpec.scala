@@ -54,6 +54,32 @@ class StreamStateSpec extends AnyFunSuite {
     assert(last.getAs[Boolean]("flagged"))
   }
 
+  test("streaming session_window: 30-min gap splits sessions, emitted once closed") {
+    val tmp = Files.createTempDirectory("graft_sess_").toFile.getAbsolutePath
+    def ev(ts: String, user: Long) = s"""{"ts":"2024-03-15T$ts","user_id":$user}"""
+    def run(): Unit = {
+      val q = StreamState.startSessionized(spark, s"$tmp/landing",
+        s"$tmp/out", s"$tmp/ckpt", availableNow = true)
+      q.awaitTermination()
+    }
+    // session A: 10:00 + 10:10 (same session); 12:00 starts session B and
+    // advances the watermark past A's close
+    writeFile(s"$tmp/landing", "b1.json", Seq(
+      ev("10:00:00", 1), ev("10:10:00", 1), ev("12:00:00", 1)))
+    run()
+    writeFile(s"$tmp/landing", "b2.json", Seq(ev("13:30:00", 1))) // closes B
+    run()
+    writeFile(s"$tmp/landing", "b3.json", Seq(ev("15:00:00", 1))) // flushes B
+    run()
+
+    val sessions = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).sorted
+    assert(sessions.contains(("2024-03-15 10:00:00.0", "2024-03-15 10:40:00.0", 2L)))
+    assert(sessions.contains(("2024-03-15 12:00:00.0", "2024-03-15 12:30:00.0", 1L)))
+  }
+
   test("watermarked windows: emitted once when passed, late events dropped") {
     val tmp = Files.createTempDirectory("graft_wm_").toFile.getAbsolutePath
     def ev(ts: String, amount: Double) =
