@@ -13,7 +13,13 @@ import graft.functions.PortableSql._
   *   - MinHash:  shingle → K permutation minima → banded LSH keys →
   *               candidate join → exact-Jaccard verify. The band join is the
   *               scale path: candidates are found by an equi-join on
-  *               (band_idx, band_value), never by comparing all pairs;
+  *               (band_idx, band_value), never by comparing all pairs.
+  *               Banding is 4 bands × 2 rows: recall at the J=0.8
+  *               threshold is 1-(1-0.8²)⁴ ≈ 98%, deliberately
+  *               recall-heavy — false candidates are cheap because the
+  *               exact-Jaccard verify filters them, and candidate volume
+  *               stays bounded by the band equi-join (more rows per band
+  *               trades recall for precision when verify cost dominates);
   *   - SimHash:  24-bit majority-bit sketch + pigeonhole blocking (4 blocks
   *               of 6 bits; hamming <= 3 implies one identical block) —
   *               again pairs come from an equi-join, not a cross product;

@@ -192,10 +192,25 @@ object VectorOps {
       .limit(k)
   }
 
+  val DedupMinCosine = 0.9
+
+  /** Embedding-cosine near-dup dedup: among LSH-candidate pairs with
+    * cosine >= 0.9, drop the larger vec_id of each pair — the embedding
+    * flavor of the dedup family (DedupOps covers the text flavors).
+    * Emitting the DROP list keeps the operator composable (anti-join it
+    * against the corpus to materialize the deduped set).
+    */
+  def embDedupDrops(emb: DataFrame): DataFrame =
+    annPairs(emb)
+      .filter(col("cosine") >= DedupMinCosine)
+      .select(col("v2").as("drop_vec_id"))
+      .distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
+    "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir)))
   )
@@ -239,6 +254,18 @@ object VectorOps {
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $AnnMinCosine""".stripMargin,
+
+      "q_emb_dedup_drops" ->
+        s"""WITH $normCte,
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS ($unionAll)
+           |SELECT DISTINCT v2 AS drop_vec_id FROM (
+           | SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
+           |WHERE cosine >= $DedupMinCosine""".stripMargin,
 
       "q_emb_ivf_assign" ->
         s"""WITH $normCte,
