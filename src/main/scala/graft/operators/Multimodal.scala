@@ -17,6 +17,15 @@ case class MediaMeta(
 /** One sampled "frame" of a media blob. */
 case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
+/** Result of the resize/thumbnail stub. */
+case class ThumbMeta(
+    doc_id: Long,
+    orig_bytes: Long,
+    thumb_bytes: Long,
+    thumb_width: Int,
+    thumb_height: Int,
+    thumb_checksum: Long)
+
 /** Stand-in for a native media codec: real decoders are expensive to
   * initialize and not thread-safe across rows, so exactly ONE instance
   * exists per task (created in mapPartitions, reused for every row of
@@ -53,6 +62,21 @@ final class StubDecoder extends Serializable {
     (width, height, channels)
   }
 
+  /** "Resize": keep every ResizeFactor-th byte — the downsample shape
+    * (a real decoder would box-filter pixels; the output is a genuinely
+    * smaller payload built imperatively in a fresh buffer).
+    */
+  def resize(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + Multimodal.ResizeFactor - 1) /
+      Multimodal.ResizeFactor)
+    var i = 0
+    while (i < out.length) {
+      out(i) = bytes(i * Multimodal.ResizeFactor)
+      i += 1
+    }
+    out
+  }
+
   /** Sample every FrameStride-th FrameSize-byte frame and hash it — the
     * video-frame-sampling shape (seek + decode only the sampled frames).
     */
@@ -82,6 +106,7 @@ object Multimodal {
   val P = 1000000007L
   val FrameSize = 64
   val FrameStride = 4
+  val ResizeFactor = 3
 
   private def blobs(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
@@ -117,18 +142,43 @@ object Multimodal {
     }
   }
 
+  /** Resize/thumbnail pipeline: downsampled payload produced per row,
+    * checked via its size, derived dimensions, and checksum (the binary
+    * itself stays executor-side — at scale it would be written back as a
+    * new binary column, never collected).
+    */
+  def thumbnails(spark: SparkSession, docs: DataFrame): Dataset[ThumbMeta] = {
+    import spark.implicits._
+    blobs(spark, docs).mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.map { case (id, blob) =>
+        val t = decoder.resize(blob)
+        val (w, h, _) = decoder.decodeHeader(blob)
+        ThumbMeta(id, blob.length.toLong, t.length.toLong,
+          w / ResizeFactor, h / ResizeFactor,
+          decoder.checksum(t, 0, t.length))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> ((s, dir) =>
       mediaMetadata(s, Tables.documents(s, dir)).toDF()),
     "q_multimodal_frames" -> ((s, dir) =>
-      frameSamples(s, Tables.documents(s, dir)).toDF())
+      frameSamples(s, Tables.documents(s, dir)).toDF()),
+    "q_multimodal_thumbs" -> ((s, dir) =>
+      thumbnails(s, Tables.documents(s, dir)).toDF())
   )
 
   private val byteHash =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |   list_transform(generate_series(__FROM__, __UNTIL__),
+       |   list_transform(generate_series(__FROM__, __UNTIL__, __STEP__),
        |     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
        |  (acc, x) -> (acc * 131 + x) % $P)""".stripMargin
+
+  private def hashOver(from: String, until: String, step: String = "1"): String =
+    byteHash.replace("__FROM__", from).replace("__UNTIL__", until)
+      .replace("__STEP__", step)
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -137,16 +187,28 @@ object Multimodal {
          | CAST(1 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 640 AS INT) AS width,
          | CAST(1 + (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 3, 1))) % 480 AS INT) AS height,
          | CAST(1 + ascii(substr(text, 3, 1)) % 3 AS INT) AS channels,
-         | ${byteHash.replace("__FROM__", "1").replace("__UNTIL__", "length(text)")} AS checksum
+         | ${hashOver("1", "length(text)")} AS checksum
          |FROM documents""".stripMargin,
 
     "q_multimodal_frames" ->
       s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
-         | ${byteHash.replace("__FROM__", s"f * $FrameSize + 1")
-               .replace("__UNTIL__", s"least(f * $FrameSize + $FrameSize, length(text))")} AS frame_hash
+         | ${hashOver(s"f * $FrameSize + 1",
+               s"least(f * $FrameSize + $FrameSize, length(text))")} AS frame_hash
          |FROM (SELECT doc_id, text,
          |  unnest(generate_series(0,
          |    CAST(floor((length(text) - 1) / $FrameSize.0) AS BIGINT), $FrameStride)) AS f
-         | FROM documents) t""".stripMargin
+         | FROM documents) t""".stripMargin,
+
+    "q_multimodal_thumbs" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS orig_bytes,
+         | CAST(floor((length(text) + ${ResizeFactor - 1}) / $ResizeFactor.0) AS BIGINT)
+         |   AS thumb_bytes,
+         | CAST(floor((1 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 640)
+         |   / $ResizeFactor.0) AS INT) AS thumb_width,
+         | CAST(floor((1 + (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 3, 1))) % 480)
+         |   / $ResizeFactor.0) AS INT) AS thumb_height,
+         | ${hashOver("1", "length(text)", ResizeFactor.toString)} AS thumb_checksum
+         |FROM documents""".stripMargin
   )
 }

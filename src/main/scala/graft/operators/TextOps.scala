@@ -85,7 +85,23 @@ object TextOps {
       expr(reduceLong(tokenHashes("text", duck = false), "acc", "x",
         s"(acc * 31 + x) % $P", duck = false)).as("rolling_fp"))
 
+  /** "BPE-ish" token counting: greedy regex segmentation into letter
+    * runs, digit runs, and single non-alphanumeric marks — the
+    * pre-tokenizer stage of a BPE vocabulary (true BPE merges need the
+    * trained vocab; this regex pass is what a pipeline runs at corpus
+    * scale to bound token budgets), counted next to plain whitespace
+    * tokens.
+    */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+        .as("n_ws_tokens"),
+      expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS BIGINT)")
+        .as("n_bpe_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
     "q_text_langid" -> ((s, dir) => languageId(Tables.documents(s, dir))),
@@ -96,6 +112,13 @@ object TextOps {
     val toks = tokens("text", duck = true)
     val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
     Map(
+      "q_text_bpe_tokens" ->
+        s"""SELECT doc_id,
+           | CAST(${alen(toks, duck = true)} AS BIGINT) AS n_ws_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+           |   AS BIGINT) AS n_bpe_tokens
+           |FROM documents""".stripMargin,
+
       "q_text_tokens" ->
         s"""SELECT lang, count(*) AS n_docs,
            | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -40,6 +40,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4) == dec.checksum(bytes, 256, 320)) // tail frame clipped at 300
   }
 
+  test("resize keeps every 3rd byte and derives thumbnail dims") {
+    val text = "abcdefghij" // 10 bytes -> thumb bytes a,d,g,j
+    val out = Multimodal.thumbnails(spark, docs((3L, text))).collect().head
+    assert(out.orig_bytes == 10L)
+    assert(out.thumb_bytes == 4L)
+    val dec = new StubDecoder
+    assert(out.thumb_checksum ==
+      dec.checksum("adgj".getBytes("UTF-8"), 0, 4))
+    val (w, h, _) = dec.decodeHeader(text.getBytes("UTF-8"))
+    assert(out.thumb_width == w / 3 && out.thumb_height == h / 3)
+  }
+
   test("empty-adjacent edge: short doc yields exactly frame 0") {
     val out = Multimodal.frameSamples(spark, docs((2L, "tiny"))).collect()
     assert(out.map(_.frame_idx).toSeq == Seq(0))
