@@ -61,7 +61,7 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = withGrams(docs)
-      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
       df.withColumn(s"mh_$k", expr(minhash("hs", k, duck = false)))
     }
@@ -82,7 +82,7 @@ object DedupOps {
     // materialization Spark ML's LSH does on fit. Without it the
     // interpreted higher-order-function chain runs up to 3× per doc.
     val g = withGrams(docs)
-      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
       .cache()
     val hashed = g
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
@@ -113,7 +113,7 @@ object DedupOps {
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = withGrams(docs)
-      .withColumn("hs", expr(xform("grams", "g", strHash("g"), duck = false)))
+      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
       .withColumn("simhash", expr(simhash24("hs", duck = false)))
     (0 until 4).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"block_$j", expr(s"${shr("simhash", 6 * j, duck = false)} & 63"))
@@ -172,7 +172,7 @@ object DedupOps {
       .select(col("doc_id"), col("source"),
         expr(trigramShingles("toks", duck = false)).as("grams"))
       .select(col("doc_id"), col("source"),
-        expr(xform("grams", "g", strHash("g"), duck = false)).as("hs0"))
+        graft.functions.StrHashArrayExpression.hashes(col("grams")).as("hs0"))
       .withColumn("hs", array_distinct(col("hs0"))).drop("hs0")
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
