@@ -62,12 +62,13 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = withGrams(docs)
       .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
+      .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
-      df.withColumn(s"mh_$k", expr(minhash("hs", k, duck = false)))
+      df.withColumn(s"mh_$k", element_at(col("mhs"), k + 1))
     }
     (0 until 4).foldLeft(withMh) { (df, j) =>
       df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
-    }.drop("grams", "hs")
+    }.drop("grams", "hs", "mhs")
   }
 
   /** Near-duplicate pairs: banded-minhash candidates, verified with exact
@@ -85,8 +86,9 @@ object DedupOps {
       .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
       .cache()
     val hashed = g
+      .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
-      df.withColumn(s"mh_$k", expr(minhash("hs", k, duck = false)))
+      df.withColumn(s"mh_$k", element_at(col("mhs"), k + 1))
     }
     val sig = (0 until 4).foldLeft(withMh) { (df, j) =>
       df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
@@ -114,7 +116,7 @@ object DedupOps {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = withGrams(docs)
       .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
-      .withColumn("simhash", expr(simhash24("hs", duck = false)))
+      .withColumn("simhash", graft.functions.SketchExpressions.simhash24(col("hs")))
     (0 until 4).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"block_$j", expr(s"${shr("simhash", 6 * j, duck = false)} & 63"))
     }.select(col("doc_id") +: col("simhash") +:
