@@ -102,11 +102,12 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val j = expr(jaccard("grams1", "grams2", duck = false))
     cand
-      .join(g.select(col("doc_id").as("d1"), col("grams").as("grams1")), "d1")
-      .join(g.select(col("doc_id").as("d2"), col("grams").as("grams2")), "d2")
-      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      .join(g.select(col("doc_id").as("d1"), array_distinct(col("hs")).as("h1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), array_distinct(col("hs")).as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(graft.functions.JaccardLongExpression.jaccard(col("h1"), col("h2")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= MinhashThreshold)
   }
 
@@ -182,14 +183,16 @@ object DedupOps {
       .cache()
     val e = g.select(col("doc_id"), col("source"), col("hs"), col("n"),
       explode(array(col("bkt"), col("bkt") + 1)).as("bkt2"))
-    val j = expr(jaccard("h1", "h2", duck = false))
+
     e.as("a").join(e.as("b"),
         col("a.source") === col("b.source") && col("a.bkt2") === col("b.bkt2") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.hs").as("h1"), col("b.hs").as("h2"))
-      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      .select(col("d1"), col("d2"),
+        round(graft.functions.JaccardLongExpression.jaccard(col("h1"), col("h2")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
       .distinct()
   }
@@ -214,9 +217,11 @@ object DedupOps {
          |  SELECT doc_id, $mhCols
          |  FROM (SELECT doc_id, $hs AS hs
          |        FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h))""".stripMargin
-    val gramsCte = s"g AS (SELECT doc_id, $grams AS grams FROM documents)"
+    val gramsCte =
+      s"""g AS (SELECT doc_id, ${distinct(hs, duck = true)} AS hs
+         |  FROM (SELECT doc_id, $grams AS grams FROM documents) g0)""".stripMargin
     val bandOr = (0 until 4).map(j => s"a.band_$j = b.band_$j").mkString(" OR ")
-    val jac = jaccard("g1.grams", "g2.grams", duck = true)
+    val jac = jaccard("g1.hs", "g2.hs", duck = true)
 
     val simhashExpr = simhash24("hs", duck = true)
     val blockCols = (0 until 4).map(j => s"(simhash >> ${6 * j}) & 63 AS block_$j").mkString(", ")
