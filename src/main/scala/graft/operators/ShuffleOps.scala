@@ -85,10 +85,11 @@ object ShuffleOps {
     // (the default 0.05 means a ~1-sigma 5% bound — it missed at sf0.01).
     "q_approx_distinct" -> ((s, dir) => {
       Tables.orders(s, dir).agg(
-        countDistinct(col("o_custkey")).as("exact_custs"),
-        (abs(approx_count_distinct(col("o_custkey"), 0.01) -
-          countDistinct(col("o_custkey"))).cast("double") /
-          countDistinct(col("o_custkey")) <= 0.05).as("approx_within_5pct"))
+          countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+        .select(col("exact_custs"),
+          (abs(col("approx") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05).as("approx_within_5pct"))
     })
   )
 
