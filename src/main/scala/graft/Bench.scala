@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Benchmark main: times every SparkEntry query at the given scale factor
   * and prints ONE JSON line (also written to BENCH.json).
@@ -25,8 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // XOR-fold the row hashes: associative, commutative, and cannot
+    // overflow (sum over int64 hashes trips Spark 4's ANSI overflow
+    // check once enough rows land — killed q_window_rank in round 2).
     def materialize(df: DataFrame): Unit = {
-      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
       ()
     }
 
@@ -48,15 +51,22 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Queries own their caches only for their own lifetime; drop any
+      // persisted blocks so later queries don't pay eviction + GC for
+      // dead cached data (q_topk_parts regressed 9x in round 2 from this).
+      spark.catalog.clearCache()
+      name -> (if (ok) secs else -1.0) // -1 marks a FAILED run in the JSON
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout (unprefixed: build.sbt routes forked run output straight
     // through) AND a file, so the driver can parse either way.

@@ -322,7 +322,7 @@ object Analytics {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_amount,
         | round(CAST(count_if(l_returnflag = 'R') AS DOUBLE) / count(*), 6) AS return_share,
-        | count_if(l_discount >= 0.06) AS high_discount_cnt,
+        | CAST(count_if(l_discount >= 0.06) AS BIGINT) AS high_discount_cnt,
         | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_discount
         |FROM lineitem""".stripMargin,
 
@@ -443,8 +443,8 @@ object Analytics {
 
     "q_utf8_decode" ->
       """SELECT count(*) AS n_docs,
-        | count_if(decode(encode(text)) = text) AS n_roundtrip_ok,
-        | sum(octet_length(encode(text))) AS total_bytes
+        | CAST(count_if(decode(encode(text)) = text) AS BIGINT) AS n_roundtrip_ok,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin,
 
     "q_rollup" ->

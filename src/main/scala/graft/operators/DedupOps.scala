@@ -82,6 +82,8 @@ object DedupOps {
     // it once — doc_id + grams + hs is narrow, and this is the same
     // materialization Spark ML's LSH does on fit. Without it the
     // interpreted higher-order-function chain runs up to 3× per doc.
+    // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
+    // clearCache() after each query.
     val g = withGrams(docs)
       .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
       .cache()
@@ -169,7 +171,8 @@ object DedupOps {
     // set-intersect on longs is far cheaper than hashing UTF8 strings
     // per probe, and the shingle universe is the same modulo ~1e-9 hash
     // collisions — which the oracle reproduces exactly anyway. Cached:
-    // both join sides read one narrow materialization.
+    // both join sides read one narrow materialization (lifecycle
+    // caller-owned; Bench/Verify clearCache() per query).
     val g = docs
       .select(col("doc_id"), col("source"), functions.split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"),

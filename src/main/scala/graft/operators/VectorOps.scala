@@ -111,7 +111,8 @@ object VectorOps {
     */
   def annPairs(emb: DataFrame): DataFrame = {
     // cached: one narrow (vec_id, vn, buckets) materialization feeds the
-    // explode and both self-join sides
+    // explode and both self-join sides; lifecycle is caller-owned
+    // (Bench/Verify clearCache() after each query)
     val withBuckets = withAllBuckets(normalized(emb, withLabel = false)).cache()
     // The band self-join runs over BARE ids and candidates are deduped
     // BEFORE vectors are fetched: clustered corpora collide in many
