@@ -322,39 +322,52 @@ object Generators {
     s"SELECT * FROM ${nest(joined, factPostJoinLayers, duck)} f"
   }
 
+  /** Constraint-audit aggregates, ONE pass per generated view (round 2
+    * ran these as 8 scalar subqueries → 8 rescans of the un-cached
+    * generator plans, 6.8s at sf0.1). `sum(CASE)` folds every predicate
+    * into the same Aggregate; CAST AS BIGINT keeps DuckDB's HUGEINT sum
+    * out of the driver's float64 canonicalization. Both fragments are
+    * valid verbatim in Spark SQL and DuckDB.
+    */
+  private def acctAuditSql(from: String): String =
+    s"""SELECT
+       | CAST(count(*) AS BIGINT) AS n_accounts,
+       | CAST(sum(CASE WHEN open_date_id < signup_date_id THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_open_before_signup,
+       | CAST(sum(CASE WHEN close_date_id IS NOT NULL
+       |     AND (close_date_id <= open_date_id OR close_date_id > $OpenEndDay)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_close,
+       | CAST(sum(CASE WHEN (close_date_id IS NOT NULL) <> (account_status = 'Closed')
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_close_status_mismatch
+       |FROM $from""".stripMargin
+
+  private def factAuditSql(from: String): String =
+    s"""SELECT
+       | CAST(count(*) AS BIGINT) AS n_txns,
+       | CAST(sum(CASE WHEN txn_date_id < open_date_id
+       |     OR (close_date_id IS NOT NULL AND txn_date_id > close_date_id)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_txn_outside_account_window,
+       | CAST(sum(CASE WHEN abs(total_amount - (amount + tax_amount - discount_amount)) > 1e-9
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_money_mismatch,
+       | CAST(sum(CASE WHEN (payment_gateway_id IS NULL)
+       |     <> (transaction_channel NOT IN ('POS', 'Online Payment Gateway'))
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_gateway_rule_violation
+       |FROM $from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gen_accounts" -> ((s, dir) => accounts(s, dir)),
     "q_gen_fact" -> ((s, dir) => factTransactions(s, dir)),
-    // J1/J2-style constraint audit: one row, all violation counts 0
+    // J1/J2-style constraint audit: one row, all violation counts 0.
+    // Two single-row aggregates (one scan per view) cross-joined.
     "q_gen_constraints" -> ((s, dir) => {
-      val acct = accounts(s, dir)
-      acct.createOrReplaceTempView("gen_accounts_v")
+      // One materialization of the accounts generator serves both the
+      // accounts audit and the join inside the fact generator (Spark's
+      // cache manager matches the identical logical sub-plan). Lifecycle
+      // caller-owned: Bench/Verify clearCache() per query.
+      accounts(s, dir).cache().createOrReplaceTempView("gen_accounts_v")
       factTransactions(s, dir).createOrReplaceTempView("gen_fact_v")
-      s.sql(s"""
-        SELECT
-          (SELECT count(*) FROM gen_accounts_v) AS n_accounts,
-          (SELECT count(*) FROM gen_accounts_v WHERE open_date_id < signup_date_id)
-            AS n_open_before_signup,
-          (SELECT count(*) FROM gen_accounts_v
-            WHERE close_date_id IS NOT NULL
-              AND (close_date_id <= open_date_id OR close_date_id > $OpenEndDay))
-            AS n_bad_close,
-          (SELECT count(*) FROM gen_accounts_v
-            WHERE (close_date_id IS NOT NULL) <> (account_status = 'Closed'))
-            AS n_close_status_mismatch,
-          (SELECT count(*) FROM gen_fact_v) AS n_txns,
-          (SELECT count(*) FROM gen_fact_v
-            WHERE txn_date_id < open_date_id
-               OR (close_date_id IS NOT NULL AND txn_date_id > close_date_id))
-            AS n_txn_outside_account_window,
-          (SELECT count(*) FROM gen_fact_v
-            WHERE abs(total_amount - (amount + tax_amount - discount_amount)) > 1e-9)
-            AS n_money_mismatch,
-          (SELECT count(*) FROM gen_fact_v
-            WHERE (payment_gateway_id IS NULL)
-              <> (transaction_channel NOT IN ('POS', 'Online Payment Gateway')))
-            AS n_gateway_rule_violation
-      """)
+      s.sql(s"""SELECT * FROM (${acctAuditSql("gen_accounts_v")}) a
+               |CROSS JOIN (${factAuditSql("gen_fact_v")}) f""".stripMargin)
     })
   )
 
@@ -366,29 +379,8 @@ object Generators {
       "q_gen_fact" -> factSqlD,
       "q_gen_constraints" ->
         s"""WITH ga AS ($acctSql), gf AS ($factSqlD)
-           |SELECT
-           | (SELECT count(*) FROM ga) AS n_accounts,
-           | (SELECT count(*) FROM ga WHERE open_date_id < signup_date_id)
-           |   AS n_open_before_signup,
-           | (SELECT count(*) FROM ga
-           |   WHERE close_date_id IS NOT NULL
-           |     AND (close_date_id <= open_date_id OR close_date_id > $OpenEndDay))
-           |   AS n_bad_close,
-           | (SELECT count(*) FROM ga
-           |   WHERE (close_date_id IS NOT NULL) <> (account_status = 'Closed'))
-           |   AS n_close_status_mismatch,
-           | (SELECT count(*) FROM gf) AS n_txns,
-           | (SELECT count(*) FROM gf
-           |   WHERE txn_date_id < open_date_id
-           |      OR (close_date_id IS NOT NULL AND txn_date_id > close_date_id))
-           |   AS n_txn_outside_account_window,
-           | (SELECT count(*) FROM gf
-           |   WHERE abs(total_amount - (amount + tax_amount - discount_amount)) > 1e-9)
-           |   AS n_money_mismatch,
-           | (SELECT count(*) FROM gf
-           |   WHERE (payment_gateway_id IS NULL)
-           |     <> (transaction_channel NOT IN ('POS', 'Online Payment Gateway')))
-           |   AS n_gateway_rule_violation""".stripMargin
+           |SELECT * FROM (${acctAuditSql("ga")}) a
+           |CROSS JOIN (${factAuditSql("gf")}) f""".stripMargin
     )
   }
 }
