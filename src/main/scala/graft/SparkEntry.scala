@@ -7,7 +7,7 @@ import graft.gen.Generators
 import graft.ingest.IngestQueries
 import graft.load.DimLoader
 import graft.operators.{Analytics, DedupOps, Multimodal, ShuffleOps, TextOps, VectorOps}
-import graft.streaming.StreamIngest
+import graft.streaming.{StreamIngest, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,8 +27,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
-      StreamIngest.queries ++ DimLoader.queries ++ Generators.queries ++
-      ShuffleOps.queries
+      StreamIngest.queries ++ StreamQueries.queries ++ DimLoader.queries ++
+      Generators.queries ++ ShuffleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,6 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
-      StreamIngest.oracleSql ++ DimLoader.oracleSql ++ Generators.oracleSql ++
-      ShuffleOps.oracleSql
+      StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ DimLoader.oracleSql ++
+      Generators.oracleSql ++ ShuffleOps.oracleSql
 }

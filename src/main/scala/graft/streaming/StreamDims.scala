@@ -71,6 +71,10 @@ object StreamDims {
   /** ST3: stream-static enrich where the static dimension is re-read
     * every micro-batch (the generators' periodic dim-refresh loop). The
     * dim is broadcast — it is small by definition in the star schema.
+    *
+    * @param keyInDim dim-side join column when its name differs from the
+    *                 stream's `joinKey` (defaults to the same name)
+    * @param dimCols  dim columns to carry into the output (empty = all)
     */
   def startEnriched(
       spark: SparkSession,
@@ -80,14 +84,21 @@ object StreamDims {
       joinKey: String,
       outDir: String,
       checkpointDir: String,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      keyInDim: String = "",
+      dimCols: Seq[String] = Nil): StreamingQuery = {
+    val dimKey = if (keyInDim.isEmpty) joinKey else keyInDim
     val w = spark.readStream.schema(schema).json(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        val dim = s.read.parquet(dimPath) // fresh per batch
-        batch.join(broadcast(dim), joinKey)
+        val dimRaw = s.read.parquet(dimPath) // fresh per batch
+        val dim =
+          if (dimCols.isEmpty) dimRaw
+          else dimRaw.select((dimKey +: dimCols).map(col): _*)
+        batch.join(broadcast(dim), batch(joinKey) === dim(dimKey))
+          .drop(dim(dimKey))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

@@ -90,17 +90,21 @@ object StreamIngest {
     * must equal batch output exactly (card_token excluded: FPE is opaque
     * to SQL and covered by q_fpe_roundtrip).
     */
+  /** Deterministic wire fixture, written once per CONTENT key (source
+    * path + orders.parquet size/mtime — a path-only key replayed stale
+    * fixtures after testdata regeneration). Writing ~50 MB of landing
+    * text was q_stream_ingest's dominant bench cost, so Bench warms this
+    * untimed; sinks and checkpoint stay per-run.
+    */
+  def ensureWireFixture(s: SparkSession, dir: String): String =
+    StreamQueries.ensureJsonishFixture(
+      StreamQueries.fixtureDir("wire", dir, "orders"),
+      IngestQueries.wireFromOrders(Tables.balanced(s, Tables.orders(s, dir))),
+      text = true)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_ingest" -> ((s, dir) => {
-      // The wire fixture is deterministic per source dir, so the landing
-      // files are content-addressed and reused across runs (writing
-      // ~50 MB of text per bench/verify invocation measured as the
-      // query's dominant cost). Sinks and checkpoint stay per-run.
-      val landing = s"/tmp/graft_stream_wire_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      if (!Files.exists(java.nio.file.Paths.get(landing, "_SUCCESS"))) {
-        IngestQueries.wireFromOrders(Tables.balanced(s, Tables.orders(s, dir)))
-          .write.mode("overwrite").text(landing)
-      }
+      val landing = ensureWireFixture(s, dir)
       val tmp = Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
       val q = start(s, landing, s"$tmp/fact", s"$tmp/errors", s"$tmp/ckpt",
         IngestQueries.testKey, availableNow = true)
