@@ -148,6 +148,123 @@ object Generators {
           s"open_date_id + 1 + r_close % ($OpenEndDay - open_date_id) END)")))
   }
 
+  // ---- dim_customer (generate_dim_cust_data.py:53-100) ----------------
+  // Faker('en_IN') name/address/location pools become small fixed pools
+  // drawn by keyed hash — distribution semantics, not Python sequences.
+
+  val firstNames: Seq[String] = Seq(
+    "Aarav", "Vivaan", "Aditya", "Arjun", "Sai", "Reyansh", "Krishna",
+    "Ishaan", "Rohan", "Kabir", "Ananya", "Diya", "Aadhya", "Saanvi",
+    "Pari", "Anika", "Navya", "Myra", "Sara", "Isha", "Rahul", "Priya",
+    "Amit", "Sneha", "Vikram", "Pooja", "Rajesh", "Kavya", "Suresh", "Meera")
+
+  val lastNames: Seq[String] = Seq(
+    "Sharma", "Verma", "Gupta", "Mehta", "Patel", "Reddy", "Nair", "Iyer",
+    "Singh", "Kumar", "Das", "Bose", "Chatterjee", "Banerjee", "Joshi",
+    "Desai", "Kulkarni", "Shetty", "Menon", "Pillai", "Agarwal", "Bhat",
+    "Chopra", "Dutta", "Ghosh", "Jain", "Kapoor", "Malhotra", "Rao", "Saxena")
+
+  val streetNames: Seq[String] = Seq(
+    "MG Road", "Station Road", "Gandhi Nagar", "Nehru Street", "Park Street",
+    "Brigade Road", "Linking Road", "Anna Salai", "Rajpath Lane", "Mall Road",
+    "Church Street", "Hill Road", "Lake View Road", "Ring Road", "Temple Street")
+
+  /** (city, state, pincode) — the reference reads these from its
+    * city_state_pincode_data.json; a fixed 20-entry pool keeps the pick
+    * semantics (one aligned row per draw).
+    */
+  val locations: Seq[(String, String, String)] = Seq(
+    ("Mumbai", "Maharashtra", "400001"), ("Delhi", "Delhi", "110001"),
+    ("Bengaluru", "Karnataka", "560001"), ("Hyderabad", "Telangana", "500001"),
+    ("Ahmedabad", "Gujarat", "380001"), ("Chennai", "Tamil Nadu", "600001"),
+    ("Kolkata", "West Bengal", "700001"), ("Pune", "Maharashtra", "411001"),
+    ("Jaipur", "Rajasthan", "302001"), ("Surat", "Gujarat", "395001"),
+    ("Lucknow", "Uttar Pradesh", "226001"), ("Kanpur", "Uttar Pradesh", "208001"),
+    ("Nagpur", "Maharashtra", "440001"), ("Indore", "Madhya Pradesh", "452001"),
+    ("Bhopal", "Madhya Pradesh", "462001"), ("Patna", "Bihar", "800001"),
+    ("Vadodara", "Gujarat", "390001"), ("Ludhiana", "Punjab", "141001"),
+    ("Kochi", "Kerala", "682001"), ("Visakhapatnam", "Andhra Pradesh", "530001"))
+
+  /** Aligned pick: the SAME index expression selects city, state and
+    * pincode so the triple stays consistent (the reference picks one
+    * location dict per record).
+    */
+  private def pickAt(idxExpr: String, vals: Seq[String]): String = {
+    val branches = vals.init.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '$v'" }
+    s"(CASE $idxExpr ${branches.mkString(" ")} ELSE '${vals.last}' END)"
+  }
+
+  /** Layered fragments for the customer-dimension generator
+    * (generate_dim_cust_data.py:53-100): name pools, name-derived email,
+    * Indian-format phone, DOB 18-70 years before BASE_DATE, signup date
+    * in (2023-01-01, 2024-12-31], 75/10/10/5 status ladder, the shared
+    * segment ladder, and a consistent city/state/pincode triple.
+    * Key column: c_custkey. Conscious deviation: customer_id stays
+    * c_custkey (not the reference's 1968022735 sequence base) so the
+    * accounts/fact generators join on the same key space.
+    */
+  def customerLayers: Seq[Seq[(String, String)]] = {
+    val key = "c_custkey"
+    Seq(
+      // draws (salts 31+ — accounts use 1-6, fact 11-21)
+      Seq(
+        "customer_id" -> key,
+        "r_fn" -> r(key, 31), "r_ln" -> r(key, 32), "r_ph1" -> r(key, 33),
+        "r_ph2" -> r(key, 34), "r_dob" -> r(key, 35), "r_signup" -> r(key, 36),
+        "r_status" -> r(key, 37), "r_seg" -> r(key, 38), "r_room" -> r(key, 39),
+        "r_no" -> r(key, 40), "r_apt" -> r(key, 41), "r_floor" -> r(key, 42),
+        "r_street" -> r(key, 43), "r_loc" -> r(key, 44)),
+      // pools + ladders + integer date components
+      Seq(
+        "customer_id" -> "customer_id",
+        "first_name" -> pick("r_fn", firstNames),
+        "last_name" -> pick("r_ln", lastNames),
+        "r_ph1" -> "r_ph1", "r_ph2" -> "r_ph2",
+        // 18-70 years (in days) before BASE_DATE, uniform
+        "age_days" -> "(6570 + r_dob % 18981)",
+        // signup strictly after 2023-01-01, through 2024-12-31 (:76-82)
+        "signup_date_id" -> s"(1 + r_signup % $OpenEndDay)",
+        "customer_status" -> ladder("r_status",
+          Seq("Active" -> 75, "Closed" -> 10, "Inactive" -> 10, "Suspended" -> 5)),
+        "customer_segment" -> ladder("r_seg", segmentWeights),
+        "addr_kind" -> s"${pick("(r_room % 1000007)", Seq("Room No.", "Flat No."))}",
+        "addr_no" -> "(1 + r_no % 999)",
+        "addr_lvl" -> s"${pick("(r_apt % 1000007)", Seq("Apt.", "Floor"))}",
+        "addr_floor" -> "(1 + r_floor % 40)",
+        "address_line_2" -> pick("r_street", streetNames),
+        "loc_idx" -> s"(r_loc % ${locations.size})"),
+      // assembled strings + dialect-resolved DOB + location triple
+      Seq(
+        "customer_id" -> "customer_id",
+        "first_name" -> "first_name",
+        "last_name" -> "last_name",
+        "email" -> "(lower(first_name) || '.' || lower(last_name) || '@example.com')",
+        // +91 mobile: first digit 6-9, then 9 uniform digits
+        "phone" -> ("('+91-' || CAST(6 + r_ph1 % 4 AS STRING) || " +
+          "lpad(CAST(r_ph2 % 1000000000 AS STRING), 9, '0'))"),
+        "date_of_birth" -> "date_of_birth_expr", // placeholder, dialect-specific
+        "signup_date_id" -> "signup_date_id",
+        "customer_status" -> "customer_status",
+        "customer_segment" -> "customer_segment",
+        "address_line_1" -> ("(addr_kind || ' ' || CAST(addr_no AS STRING) || ', ' || " +
+          "addr_lvl || ' ' || CAST(addr_floor AS STRING))"),
+        "address_line_2" -> "address_line_2",
+        "city" -> pickAt("loc_idx", locations.map(_._1)),
+        "state" -> pickAt("loc_idx", locations.map(_._2)),
+        "pincode" -> pickAt("loc_idx", locations.map(_._3))))
+  }
+
+  /** Generated dim_customer (Spark side of the shared fragments). */
+  def customers(spark: SparkSession, dir: String): DataFrame =
+    customerLayers.foldLeft(Tables.customer(spark, dir)) { (df, layer) =>
+      val resolved = resolvePlaceholders(layer, duck = false)
+      df.selectExpr(resolved.map { case (a, e) => s"$e AS $a" }: _*)
+    }
+
+  def customersSql(duck: Boolean): String =
+    s"SELECT * FROM ${nest("customer", customerLayers, duck)} c"
+
   /** Layered fragments for the fact generator, applied AFTER the join to
     * generated accounts. Key column: o_orderkey.
     */
@@ -274,9 +391,17 @@ object Generators {
     if (duck) "substr(sha256('txn-' || CAST(o_orderkey AS VARCHAR)), 1, 20)"
     else "substring(sha2(concat('txn-', CAST(o_orderkey AS STRING)), 256), 1, 20)"
 
+  /** DOB = BASE_DATE - age_days: date-minus-int spells differently per
+    * dialect (Spark `date_add(d, -n)`, DuckDB `d - n`).
+    */
+  def dobExpr(duck: Boolean): String =
+    if (duck) "(DATE '2023-01-01' - CAST(age_days AS INT))"
+    else "date_add(DATE '2023-01-01', -CAST(age_days AS INT))"
+
   private def resolvePlaceholders(layer: Seq[(String, String)], duck: Boolean): Seq[(String, String)] =
     layer.map {
       case ("transaction_id", _) => "transaction_id" -> txnIdExpr(duck)
+      case ("date_of_birth", _) => "date_of_birth" -> dobExpr(duck)
       case ("txn_date_id", _) =>
         "txn_date_id" -> idiv(
           s"($BaseEpoch + open_date_id * 86400 + r_ts % greatest(" +
@@ -356,6 +481,7 @@ object Generators {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gen_accounts" -> ((s, dir) => accounts(s, dir)),
+    "q_gen_customers" -> ((s, dir) => customers(s, dir)),
     "q_gen_fact" -> ((s, dir) => factTransactions(s, dir)),
     // J1/J2-style constraint audit: one row, all violation counts 0.
     // Two single-row aggregates (one scan per view) cross-joined.
@@ -376,6 +502,7 @@ object Generators {
     val factSqlD = factSql(duck = true)
     Map(
       "q_gen_accounts" -> acctSql,
+      "q_gen_customers" -> customersSql(duck = true),
       "q_gen_fact" -> factSqlD,
       "q_gen_constraints" ->
         s"""WITH ga AS ($acctSql), gf AS ($factSqlD)

@@ -35,6 +35,25 @@ object Analytics {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** time_dim projection over a `time_id` (second of day, 0..86399)
+    * source — shared verbatim by the Spark plan and the DuckDB oracle.
+    * period = AM/PM; period_of_day = Morning 05-11 / Afternoon 12-16 /
+    * Evening 17-20 / Night otherwise.
+    */
+  private val timeDimCols: Seq[String] = Seq(
+    "time_id",
+    "CAST(floor(time_id / 3600) AS INT) AS hour",
+    "CAST(floor((time_id % 3600) / 60) AS INT) AS minute",
+    "CAST(time_id % 60 AS INT) AS second",
+    "(CASE WHEN time_id < 43200 THEN 'AM' ELSE 'PM' END) AS period",
+    "(CASE WHEN time_id >= 18000 AND time_id < 43200 THEN 'Morning' " +
+      "WHEN time_id >= 43200 AND time_id < 61200 THEN 'Afternoon' " +
+      "WHEN time_id >= 61200 AND time_id < 75600 THEN 'Evening' " +
+      "ELSE 'Night' END) AS period_of_day",
+    "(lpad(CAST(CAST(floor(time_id / 3600) AS INT) AS STRING), 2, '0') || ':' || " +
+      "lpad(CAST(CAST(floor((time_id % 3600) / 60) AS INT) AS STRING), 2, '0') || ':' || " +
+      "lpad(CAST(CAST(time_id % 60 AS INT) AS STRING), 2, '0')) AS time_str")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S10-style narrow projection scan: both the filter and the 3-column
@@ -230,6 +249,14 @@ object Analytics {
           (weekday(col("dt")) + 1).as("day_of_week"))
     }),
 
+    // time_dim builder (README.md:49): one row per second of day with
+    // hour/minute/second/period attributes. The projection fragments are
+    // valid verbatim in Spark SQL and DuckDB (floor-div is exact for
+    // time_id < 2^53); only the 0..86399 row source is dialect-specific
+    // (spark.range vs range()).
+    "q_time_dim" -> ((s, dir) =>
+      s.range(0, 86400).toDF("time_id").selectExpr(timeDimCols: _*)),
+
     // §2.7 scalar string surface: email construction
     // (generate_dim_cust_data.py:68), zero-padding, split + element access.
     "q_scalar_strings" -> ((s, dir) => {
@@ -421,6 +448,9 @@ object Analytics {
         | CAST(month(dt) AS INT) AS month, CAST(day(dt) AS INT) AS day,
         | CAST(isodow(dt) AS INT) AS day_of_week
         |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders) d""".stripMargin,
+
+    "q_time_dim" ->
+      s"SELECT ${timeDimCols.mkString(",\n  ")} FROM range(0, 86400) t(time_id)",
 
     "q_scalar_strings" ->
       """SELECT c_custkey,

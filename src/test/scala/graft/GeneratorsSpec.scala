@@ -87,4 +87,40 @@ class GeneratorsSpec extends AnyFunSuite {
       c.isDigit || ('a' to 'f').contains(c))))
     assert(ids.distinct.length == ids.length)
   }
+
+  private lazy val cust = Generators.customers(spark, dir).cache()
+
+  test("customers: email derives from the name, phone is +91 mobile shaped") {
+    assert(cust.filter(col("email") =!=
+      concat(lower(col("first_name")), lit("."), lower(col("last_name")),
+        lit("@example.com"))).count() == 0)
+    assert(cust.filter(!col("phone").rlike("^\\+91-[6-9][0-9]{9}$")).count() == 0)
+  }
+
+  test("customers: DOB 18-70y before base, signup in (2023-01-01, 2024-12-31]") {
+    val base = to_date(lit("2023-01-01"))
+    val age = datediff(base, col("date_of_birth"))
+    assert(cust.filter(age < 18 * 365 || age > 70 * 365 + 30).count() == 0)
+    assert(cust.filter(col("signup_date_id") < 1 ||
+      col("signup_date_id") > Generators.OpenEndDay).count() == 0)
+  }
+
+  test("customers: status ladder ~75/10/10/5 and location triple consistent") {
+    val n = cust.count().toDouble
+    val active = cust.filter(col("customer_status") === "Active").count() / n
+    assert(math.abs(active - 0.75) < 0.05)
+    val triples = cust.select("city", "state", "pincode").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(triples.subsetOf(Generators.locations.toSet))
+    assert(triples.size > 10) // draws actually spread across the pool
+  }
+
+  test("customers: address lines follow the reference's construction") {
+    assert(cust.filter(!col("address_line_1")
+      .rlike("^(Room No\\.|Flat No\\.) [0-9]{1,3}, (Apt\\.|Floor) [0-9]{1,2}$"))
+      .count() == 0)
+    val streets = cust.select("address_line_2").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(streets.subsetOf(Generators.streetNames.toSet))
+  }
 }
