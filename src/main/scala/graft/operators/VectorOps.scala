@@ -42,6 +42,22 @@ object VectorOps {
   val Dim = 64
   val AnnMinCosine = 0.3
 
+  /** Bucket-width dial for the LSH tables. With hash-uniform buckets the
+    * expected occupancy is N / 2^bits, so holding occupancy — and with it
+    * the per-bucket quadratic candidate work — constant as the corpus
+    * grows means bits ≈ log2(N / targetOccupancy): ONE MORE BIT PER
+    * CORPUS DOUBLING. `BitsPerTable` pins the bench/oracle constant
+    * (static DuckDB SQL); a deployment sizes `bits = bitsForCorpusSize(
+    * corpusRows)` and passes it through `lshBuckets`/`annPairs`/
+    * `embDedupDrops`. Recall is tuned independently via NTables.
+    */
+  def bitsForCorpusSize(n: Long, targetOccupancy: Long = 32L): Int = {
+    val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    // exact ceil(log2(cells)) in integer arithmetic (no fp wobble at 2^k)
+    val ceilLog2 = if (cells <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.max(4, ceilLog2)
+  }
+
   private def vcol: String = toDoubleArr("embedding", duck = false)
 
   private def cosineExpr(a: String, b: String, duck: Boolean): String =
@@ -94,26 +110,28 @@ object VectorOps {
   }
 
   /** All table buckets in one native pass (see SrpBucketsExpression). */
-  private def withAllBuckets(df: DataFrame): DataFrame = {
+  private def withAllBuckets(df: DataFrame, bits: Int): DataFrame = {
     val all = df.withColumn("bks",
-      graft.functions.SrpBucketsExpression.buckets(col("vn"), NTables, BitsPerTable, Dim))
+      graft.functions.SrpBucketsExpression.buckets(col("vn"), NTables, bits, Dim))
     (0 until NTables).foldLeft(all) { (d, t) =>
       d.withColumn(s"bucket_$t", element_at(col("bks"), t + 1))
     }.drop("bks")
   }
 
-  /** Per-vector LSH bucket ids, one column per table. */
-  def lshBuckets(emb: DataFrame): DataFrame =
-    withAllBuckets(normalized(emb, withLabel = true)).drop("vn")
+  /** Per-vector LSH bucket ids, one column per table.
+    * @param bits bucket width; size with [[bitsForCorpusSize]] at scale
+    */
+  def lshBuckets(emb: DataFrame, bits: Int = BitsPerTable): DataFrame =
+    withAllBuckets(normalized(emb, withLabel = true), bits).drop("vn")
 
   /** ANN candidate pairs: same bucket in ANY table, verified
     * cosine >= threshold via a single dot of the pre-normalized vectors.
     */
-  def annPairs(emb: DataFrame): DataFrame = {
+  def annPairs(emb: DataFrame, bits: Int = BitsPerTable): DataFrame = {
     // cached: one narrow (vec_id, vn, buckets) materialization feeds the
     // explode and both self-join sides; lifecycle is caller-owned
     // (Bench/Verify clearCache() after each query)
-    val withBuckets = withAllBuckets(normalized(emb, withLabel = false)).cache()
+    val withBuckets = withAllBuckets(normalized(emb, withLabel = false), bits).cache()
     // The band self-join runs over BARE ids and candidates are deduped
     // BEFORE vectors are fetched: clustered corpora collide in many
     // tables at once, so the raw band join emits each hot pair up to
@@ -201,8 +219,8 @@ object VectorOps {
     * Emitting the DROP list keeps the operator composable (anti-join it
     * against the corpus to materialize the deduped set).
     */
-  def embDedupDrops(emb: DataFrame): DataFrame =
-    annPairs(emb)
+  def embDedupDrops(emb: DataFrame, bits: Int = BitsPerTable): DataFrame =
+    annPairs(emb, bits)
       .filter(col("cosine") >= DedupMinCosine)
       .select(col("v2").as("drop_vec_id"))
       .distinct()

@@ -36,9 +36,51 @@ import graft.ingest.{IngestQueries, TxnPipeline}
   */
 object StreamIngest {
 
+  /** Wire-source configuration for the ingest stream (S1). The reference
+    * reads Pub/Sub (pipeline.py:165); in Spark the same job reads either
+    * a landing directory (the sandbox stand-in — no broker needed) or a
+    * Kafka topic, and everything downstream of `readWireStream` is
+    * identical.
+    */
+  sealed trait WireSource
+  /** Line-delimited wire JSON files in a landing directory. */
+  final case class FileLanding(dir: String) extends WireSource
+  /** A Kafka topic of wire-JSON payloads (needs the spark-sql-kafka
+    * connector on the classpath at runtime; not present in this sandbox,
+    * so this branch is compile/config-checked and spec'd via the file
+    * stand-in).
+    */
+  final case class KafkaTopic(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      extraOptions: Map[String, String] = Map.empty) extends WireSource
+
   /** S1/S2: unbounded stream of raw wire-JSON lines from a landing dir. */
   def readWireStream(spark: SparkSession, landingDir: String): DataFrame =
-    spark.readStream.text(landingDir).select(col("value").as("raw"))
+    readWireStream(spark, FileLanding(landingDir))
+
+  /** S1/S2: unbounded stream of raw wire-JSON records from `source`.
+    * Both branches surface ONE schema — a single string column `raw` —
+    * so TxnPipeline.process is source-agnostic. The Kafka branch decodes
+    * the byte-valued payload with cast("string"), the S2 step the file
+    * source gets for free.
+    */
+  def readWireStream(spark: SparkSession, source: WireSource): DataFrame =
+    source match {
+      case FileLanding(dir) =>
+        spark.readStream.text(dir).select(col("value").as("raw"))
+      case KafkaTopic(servers, topic, offsets, extra) =>
+        extra.foldLeft(
+            spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", offsets)) {
+            case (r, (k, v)) => r.option(k, v)
+          }
+          .load()
+          .select(col("value").cast("string").as("raw"))
+    }
 
   /** Start the ingest stream: landing dir → TxnPipeline.process →
     * fact + dead-letter parquet sinks, checkpointed.
