@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
@@ -7,10 +9,25 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * and prints ONE JSON line (also written to BENCH.json).
   *
   * Each query is forced to FULL materialization — an xxhash64 over every
-  * output column, summed — so Catalyst cannot prune the projection down to
-  * a row count (a plain `.count()` would let narrow queries time a
+  * output column, XOR-folded — so Catalyst cannot prune the projection down
+  * to a row count (a plain `.count()` would let narrow queries time a
   * metadata-ish scan instead of the operator under test). One 8-byte row
   * reaches the driver per query.
+  *
+  * ENVIRONMENT TELEMETRY (round-4 note): round 3's driver-run bench showed
+  * 2-15x inflation on a contiguous subset of queries (q_json_unwrap 6.9s,
+  * q_mask_pan 3.8s, q_stream_ingest 36.5s) that repeated local runs of the
+  * SAME code — via both plain java and sbt, cold and warm fixtures — could
+  * not reproduce (0.6s / 0.3s / 2.5s; full-bench total 59-64s vs the
+  * driver's 165s, zero full GCs in -Xlog:gc). The inflation is therefore
+  * environmental (CPU contention / cold page cache during the driver's
+  * run), not plan cost. To make that separable without a repro, every
+  * query now records `cpu` (process CPU seconds) and `gc` (JVM GC pause
+  * seconds) next to `wall`: wall >> cpu + gc means the process was starved
+  * of CPU or blocked on I/O — environment; wall ~= cpu means the query
+  * genuinely burned cycles — code. Failed queries are listed in an
+  * explicit `failed` array (a -1 sentinel summed into, or silently
+  * excluded from, `total` misreads breakage as speedup — ADVICE r3).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +50,13 @@ object Bench {
       ()
     }
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    def cpuNanos(): Long = osBean.getProcessCpuTime
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     // Untimed warmup: JIT, codegen, and parquet-footer caches across the
     // machinery classes the queries share (scan+filter, join+agg,
     // higher-order text exprs, vector math) — otherwise the first timed
@@ -45,9 +69,18 @@ object Bench {
     // Streaming landing fixtures are deterministic per testdata content —
     // write them untimed so the stream queries measure the STREAM, not
     // ~50 MB of fixture I/O (q_stream_ingest spent 17% of round 2's
-    // bench on harness mechanics).
-    try graft.streaming.StreamQueries.warmFixtures(spark, sfDir)
-    catch { case _: Throwable => () }
+    // bench on harness mechanics). A warmup failure here must be LOUD:
+    // round 3's silent catch left open whether q_stream_ingest's 36.5s
+    // included a timed fixture write (it did not — but nothing proved it).
+    val warmFixturesOk =
+      try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmFixtures FAILED — stream queries will " +
+            s"pay fixture I/O inside their timed runs: $e")
+          e.printStackTrace()
+          false
+      }
     spark.catalog.clearCache()
 
     // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b times a subset.
@@ -56,25 +89,45 @@ object Bench {
     val selected = SparkEntry.queries.filter {
       case (n, _) => only.forall(_.contains(n))
     }
+    case class Res(name: String, wall: Double, cpu: Double, gc: Double,
+      heapMb: Long, ok: Boolean)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val (t0, c0, g0) = (System.nanoTime(), cpuNanos(), gcMillis())
       val ok =
         try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuNanos() - c0) / 1e9
+      val gc = (gcMillis() - g0) / 1e3
       // Queries own their caches only for their own lifetime; drop any
       // persisted blocks so later queries don't pay eviction + GC for
       // dead cached data (q_topk_parts regressed 9x in round 2 from this).
       spark.catalog.clearCache()
-      name -> (if (ok) secs else -1.0) // -1 marks a FAILED run in the JSON
+      // clearCache must actually clear: a survivor block means a query
+      // cached through a non-catalog path and the next timings are dirty.
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      if (cached != 0)
+        System.err.println(s"[bench] WARNING: $cached persistent RDDs survived " +
+          s"clearCache after $name — subsequent timings may be polluted")
+      val heapMb = memBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
+      Res(name, wall, cpu, gc, heapMb, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double): String = BigDecimal(d).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map(r => s""""${r.name}":${if (r.ok) fmt(r.wall) else -1.0}""")
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val env = results.map(r =>
+      s""""${r.name}":{"cpu":${fmt(r.cpu)},"gc":${fmt(r.gc)},"heap_mb":${r.heapMb}}""")
+      .mkString("{", ",", "}")
+    val failed = results.filter(!_.ok).map(r => s""""${r.name}"""")
+      .mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.wall).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"warm_fixtures_ok":$warmFixturesOk,"env":$env,""" +
+      s""""cpus":"$cpus","sf":"$sfDir"}"""
     // stdout (unprefixed: build.sbt routes forked run output straight
     // through) AND a file, so the driver can parse either way.
     println(json)

@@ -23,7 +23,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.queries("q_star_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CACHE CONTRACT: some queries `.cache()` a shared sub-plan (the dedup
+    * signature pipelines, the ingest wire fixture, the generator accounts
+    * view) because the returned plan consumes it from several branches.
+    * The returned DataFrame is lazy, so the query function cannot know
+    * when the consuming action finishes — cache lifecycle is CALLER-owned.
+    * Run `spark.catalog.clearCache()` after each query's action completes
+    * (Bench and Verify both do); a caller that skips this accumulates one
+    * cached materialization per query call and unrelated queries may
+    * silently reuse them via logical-plan matching.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, LeafExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, EmptyBlock, ExprCode, FalseLiteral, JavaCode}
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,20 +67,56 @@ case class FpeDecryptExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The DEK as a plan node that NEVER renders its bytes: `toString`/`sql`
+  * print a fixed redaction marker, so `df.explain()`, the SQL UI, and
+  * event logs of a PII-tokenization plan carry no key material. A plain
+  * `Literal(key)` prints the key as hex in all three.
+  *
+  * Deliberately NOT foldable: ConstantFolding would collapse a foldable
+  * key node back into a `Literal`, un-redacting it. Codegen ships the
+  * key via `addReferenceObj` (a per-task object reference — the same
+  * once-per-task delivery a broadcast variable gives a DoFn.setup key,
+  * U7), so the generated Java source carries a reference, not bytes.
+  */
+case class RedactedKeyLiteral(key: Array[Byte]) extends LeafExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any = key
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fpeKey", key, "byte[]")
+    ev.copy(code = EmptyBlock, isNull = FalseLiteral,
+      value = JavaCode.global(ref, BinaryType))
+  }
+
+  override def toString: String = "fpe_key(**redacted**)"
+  override def sql: String = "fpe_key('**redacted**')"
+
+  // Array[Byte] is reference-equal in case-class equality; compare by
+  // value so identical keys are one plan node for cache/reuse matching.
+  override def equals(other: Any): Boolean = other match {
+    case RedactedKeyLiteral(k) => java.util.Arrays.equals(key, k)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(key)
+}
+
 /** Column-API and SQL-registry entry points for the FPE expressions. */
 object FpeFunctions {
 
   /** Tokenize: FPE-encrypt + zfill(16) (pipeline.py:92-95). The key rides
-    * as a binary literal — like a broadcast variable it is shipped once
-    * per task binary, never per row (U7).
+    * as a redacted leaf node — shipped once per task binary like a
+    * broadcast variable (U7), and never rendered in plan text.
     */
   def fpeEncrypt(pan: Column, key: Array[Byte]): Column =
     SqlBridge.column(
-      FpeEncryptExpression(SqlBridge.expression(pan), Literal(key)))
+      FpeEncryptExpression(SqlBridge.expression(pan), RedactedKeyLiteral(key)))
 
   def fpeDecrypt(digits: Column, key: Array[Byte]): Column =
     SqlBridge.column(
-      FpeDecryptExpression(SqlBridge.expression(digits), Literal(key)))
+      FpeDecryptExpression(SqlBridge.expression(digits), RedactedKeyLiteral(key)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fpe_encrypt" -> (children => FpeEncryptExpression(children(0), children(1))),

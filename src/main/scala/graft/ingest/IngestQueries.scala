@@ -31,10 +31,17 @@ object IngestQueries {
   /** Deterministic wire-format records from orders. Key hashes reduce the
     * key mod 2^31-1 first so the Knuth multiply never overflows int64
     * under ANSI (same values for keys < 2^31-1).
+    *
+    * Rows with o_orderkey % 101 == 1 (~1%) omit `transaction_id` from the
+    * payload — structurally valid JSON with no record id, exercising the
+    * 'Missing transaction_id' dead-letter label distinctly from
+    * 'Malformed JSON' (to_json drops null struct fields, so the key is
+    * genuinely absent on the wire, not null-valued).
     */
   def wireFromOrders(orders: DataFrame): DataFrame = {
     val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
     val pm = col("o_orderkey") % 10
+    val hasTid = col("o_orderkey") % 101 =!= 1
     val pan = when(pm <= 6, lpad(col("o_orderkey").cast("string"), 16, "4"))
       .when(pm === 7, lpad(col("o_orderkey").cast("string"), 12, "4"))
       .when(pm === 8, lpad(col("o_orderkey").cast("string"), 20, "4"))
@@ -50,7 +57,7 @@ object IngestQueries {
     val channel = when(r < 300000, "Online Payment Gateway")
       .when(r < 570000, "UPI").when(r < 840000, "POS").otherwise("Net Banking")
     orders.select(to_json(struct(
-      col("o_orderkey").cast("string").as("transaction_id"),
+      when(hasTid, col("o_orderkey").cast("string")).as("transaction_id"),
       col("o_custkey").as("customer_id"),
       amount.as("amount"),
       tax.as("tax_amount"),
@@ -177,15 +184,23 @@ object IngestQueries {
          | CASE WHEN pm <> 9 THEN o_orderkey % 10 + 1 END AS payment_gateway_id,
          | r / 1000000.0 AS risk_score
          |FROM w
-         |WHERE pan IS NULL OR length(pan) BETWEEN 13 AND 19""".stripMargin,
+         |WHERE o_orderkey % 101 <> 1
+         |  AND (pan IS NULL OR length(pan) BETWEEN 13 AND 19)""".stripMargin,
 
+    // Missing-tid rows (o_orderkey % 101 = 1, id absent from the wire)
+    // dead-letter as 'Missing transaction_id' and take precedence over
+    // PAN validity; well-keyed rows with a bad PAN keep the original
+    // 'Invalid Card Number' label.
     "q_ingest_errors" ->
       s"""WITH $srcCte
-         |SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
-         | 'Invalid Card Number' AS error,
+         |SELECT CASE WHEN o_orderkey % 101 = 1 THEN NULL
+         |   ELSE CAST(o_orderkey AS VARCHAR) END AS transaction_id,
+         | CASE WHEN o_orderkey % 101 = 1 THEN 'Missing transaction_id'
+         |   ELSE 'Invalid Card Number' END AS error,
          | CAST(length(pan) AS BIGINT) AS pan_len
          |FROM w
-         |WHERE pan IS NOT NULL AND length(pan) NOT BETWEEN 13 AND 19""".stripMargin,
+         |WHERE o_orderkey % 101 = 1
+         |   OR (pan IS NOT NULL AND length(pan) NOT BETWEEN 13 AND 19)""".stripMargin,
 
     "q_fpe_roundtrip" ->
       s"""WITH $srcCte

@@ -86,6 +86,11 @@ object TxnPipeline {
       try_variant_get(col("v"), s"$$.$field", typ).as(field)
     val rec = parsed.select(
       col("raw"),
+      // carried marker: did the payload parse at all? Distinguishes a
+      // malformed payload from a parseable one missing its id (U4 —
+      // the dead-letter label must say which; a 'Malformed JSON' label
+      // on well-formed JSON breaks the audit trail).
+      col("v").isNotNull.as("parse_ok"),
       f("transaction_id", "string"), f("customer_id", "bigint"),
       f("amount", "double"), f("tax_amount", "double"),
       f("discount_amount", "double"), f("total_amount", "double"),
@@ -96,10 +101,12 @@ object TxnPipeline {
         .as("payment_gateway_id"),
       f("risk_score", "double"))
 
-    // Rows whose raw JSON failed to parse entirely (null struct ⇒ every
-    // required field null) dead-letter as 'Malformed JSON' instead of
-    // silently emitting an all-null "valid" record.
-    val jsonOk = col("transaction_id").isNotNull
+    // Rows whose raw JSON failed to parse dead-letter as 'Malformed
+    // JSON'; structurally valid JSON lacking its record id dead-letters
+    // as 'Missing transaction_id' (the reference only dead-letters on PAN
+    // validity, pipeline.py:77-88 — but an unkeyed fact row can't land in
+    // the fact table, and the label must say why it didn't).
+    val jsonOk = col("parse_ok") && col("transaction_id").isNotNull
 
     // U2/U3: a missing PAN is fine (UPI / net-banking rows); a present PAN
     // must have 13..19 digits or the row dead-letters.
@@ -125,8 +132,9 @@ object TxnPipeline {
         col("transaction_id"),
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
         col("raw").as("raw_message"),
-        when(jsonOk, lit("Invalid Card Number"))
-          .otherwise(lit("Malformed JSON")).as("error"))
+        when(!col("parse_ok"), lit("Malformed JSON"))
+          .when(col("transaction_id").isNull, lit("Missing transaction_id"))
+          .otherwise(lit("Invalid Card Number")).as("error"))
 
     (valid, errors)
   }

@@ -131,7 +131,13 @@ object DedupOps {
     * popcount of the XOR.
     */
   def simhashDupPairs(docs: DataFrame): DataFrame = {
-    val sig = simhashSignatures(docs)
+    // Same barrier as minhashDupPairs: the interpreted shingle+hash chain
+    // feeds BOTH sides of the block self-join, so cache the (narrow)
+    // signature projection once. Round 2's bench hid the double compute —
+    // Spark's cache manager matched the identical sub-plan minhash had
+    // left cached; per-query clearCache() exposed it (1.45s → 10.45s).
+    // Lifecycle is caller-owned, as for every cache in this package.
+    val sig = simhashSignatures(docs).cache()
     val blocks = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("block_idx"), col(s"block_$j").as("block_val"))): _*
     )).as("b")).select(col("doc_id"), col("simhash"), col("b.block_idx"), col("b.block_val"))

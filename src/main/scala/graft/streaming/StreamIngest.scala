@@ -140,7 +140,9 @@ object StreamIngest {
     */
   def ensureWireFixture(s: SparkSession, dir: String): String =
     StreamQueries.ensureJsonishFixture(
-      StreamQueries.fixtureDir("wire", dir, "orders"),
+      // version 2: payloads with o_orderkey % 101 == 1 omit transaction_id
+      // (the 'Missing transaction_id' dead-letter path)
+      StreamQueries.fixtureDir("wire", dir, "orders", version = 2),
       IngestQueries.wireFromOrders(Tables.balanced(s, Tables.orders(s, dir))),
       text = true)
 

@@ -24,7 +24,10 @@ import graft.Tables
   *     independent of how AvailableNow splits files into micro-batches
   *     (the watermark is a running max, and the engine runs a final
   *     state-flush batch after the last data batch). The oracle applies
-  *     the same gate with integer ms arithmetic.
+  *     the same gate with integer ms arithmetic. Emission is split-
+  *     independent; late-row DROPPING is not — so the fixture is one
+  *     file in ascending event-time order, making "no row is ever late"
+  *     hold under any batch split (see windowFixtureDf).
   *   - q_stream_enrich output is a pure function of (batch rows ⋈ static
   *     dim), so batch splitting is invisible after union.
   *   - Money sums go through DECIMAL(18,2) in both engines (exact,
@@ -33,13 +36,29 @@ import graft.Tables
 object StreamQueries {
 
   /** Content-keyed landing-fixture path: the dir name hashes the SOURCE
-    * parquet's identity (path, size, mtime), so regenerated testdata gets
-    * a fresh fixture instead of replaying a stale one (ADVICE r2: a
-    * path-only key served old fixture data against a fresh oracle).
+    * parquet's identity so regenerated testdata gets a fresh fixture
+    * instead of replaying a stale one (ADVICE r2: a path-only key served
+    * old fixture data against a fresh oracle).
+    *
+    * The key is the RECURSIVE part-file listing (relative name, size,
+    * mtime) — the source path is usually a parquet *directory*, whose own
+    * length/mtime don't track in-place part-file rewrites (ADVICE r3). A
+    * missing source fails fast instead of yielding a stable bogus key.
+    * `version` salts the key for changes to the fixture FORMAT itself
+    * (e.g. the wire payload gained missing-tid rows in round 4): the
+    * source table is unchanged but the derived fixture must regenerate.
     */
-  def fixtureDir(name: String, sfDir: String, sourceTable: String): String = {
-    val f = new java.io.File(s"$sfDir/$sourceTable.parquet")
-    val key = s"$sfDir|${f.length}|${f.lastModified}"
+  def fixtureDir(name: String, sfDir: String, sourceTable: String,
+      version: Int = 1): String = {
+    val root = new java.io.File(s"$sfDir/$sourceTable.parquet")
+    require(root.exists,
+      s"fixture source ${root.getPath} does not exist — cannot key a landing fixture")
+    def listing(f: java.io.File, prefix: String): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles.sortBy(_.getName).toSeq
+          .flatMap(c => listing(c, s"$prefix${c.getName}/"))
+      else Seq(s"$prefix|${f.length}|${f.lastModified}")
+    val key = (s"$sfDir|v$version" +: listing(root, "")).mkString("\n")
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"/tmp/graft_stream_${name}_$h"
@@ -66,16 +85,60 @@ object StreamQueries {
     StreamIngest.ensureWireFixture(s, dir)
     ensureJsonFixture(fixtureDir("dedup", dir, "events"),
       Tables.events(s, dir).select(col("user_id"), col("event_type")))
-    ensureJsonFixture(fixtureDir("window", dir, "events"),
-      Tables.events(s, dir).select(
-        unix_millis(col("ts")).as("ms"), col("value").as("amount")))
+    ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
+      windowFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("enrich", dir, "orders"),
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    ensureJsonFixture(fixtureDir("pass", dir, "supplier"),
+      passThroughDf(s, dir))
   }
+
+  /** Window-fixture rows as ONE file in ascending event-time order.
+    * Late-row DROPPING (unlike window emission) depends on how the file
+    * source splits micro-batches: a row older than the running watermark
+    * is discarded, while the batch oracle counts every row (ADVICE r3).
+    * With a single globally time-sorted file no row is ever late under
+    * ANY batch split — each batch's rows are newer than everything before
+    * them — so the oracle parity is split-independent by construction,
+    * not by assuming AvailableNow lands everything in one batch.
+    */
+  private def windowFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("value").as("amount"))
+      .repartition(1).sortWithinPartitions(col("ms"))
 
   private def tempSink(): String =
     Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
+
+  // ---------------------------------------------------------------------
+  // S9: pass-through dim stream (no transform — the reference's
+  // dim_customer/dim_account Pub/Sub→BigQuery subscriptions,
+  // dimension_tables_ingestion/.../dim_customer_topic_sub.sh:15-18)
+  // ---------------------------------------------------------------------
+
+  private val passSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", LongType),
+    StructField("s_acctbal", DoubleType)))
+
+  private def passThroughDf(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+
+  /** Streamed pass-through of the supplier dim == the batch table: the
+    * whole query is the exactly-once file sink, so the oracle is SELECT *.
+    */
+  def streamPassThrough(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("pass", dir, "supplier"),
+      passThroughDf(s, dir))
+    val tmp = tempSink()
+    val q = StreamDims.passThrough(s, landing, passSchema,
+      s"$tmp/out", s"$tmp/ckpt", availableNow = true)
+    q.awaitTermination()
+    s.read.schema(passSchema).parquet(s"$tmp/out")
+  }
 
   // ---------------------------------------------------------------------
   // ST3: streaming seen-set discovery (dropDuplicates over the state store)
@@ -110,31 +173,45 @@ object StreamQueries {
     * window → file-sink path as StreamState.startWindowedVolume, inlined
     * here so the output projection (integer ms, decimal-exact volume)
     * lines up with a DuckDB oracle.
+    *
+    * Oracle parity is split-independent: window EMISSION is watermark-
+    * gated identically however AvailableNow batches the files, and late
+    * DROPPING can never occur because the fixture is one file in
+    * ascending event-time order (see windowFixtureDf).
+    *
+    * State-store sizing: instances = shuffle partitions, and each
+    * instance pays per-batch delta/snapshot/commit file I/O. 100k rows
+    * over many 5-minute windows doesn't need 32 stores' worth of
+    * checkpoint churn — run the stateful agg at 8 (a real cluster sizes
+    * this to executor count; state per window-key is constant either way).
     */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
-    val landing = ensureJsonFixture(fixtureDir("window", dir, "events"),
-      Tables.events(s, dir).select(
-        unix_millis(col("ts")).as("ms"), col("value").as("amount")))
+    val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
+      windowFixtureDf(s, dir))
     val tmp = tempSink()
-    val agg = s.readStream.schema(windowSchema).json(landing)
-      .withColumn("ts", timestamp_millis(col("ms")))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes").as("w"))
-      .agg(
-        count(lit(1)).as("n_txns"),
-        sum(col("amount").cast(DecimalType(18, 2))).as("vol_dec"))
-      .select(
-        unix_millis(col("w.start")).as("window_start_ms"),
-        col("n_txns"),
-        col("vol_dec").cast(DoubleType).as("volume"))
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val agg = s.readStream.schema(windowSchema).json(landing)
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n_txns"),
+          sum(col("amount").cast(DecimalType(18, 2))).as("vol_dec"))
+        .select(
+          unix_millis(col("w.start")).as("window_start_ms"),
+          col("n_txns"),
+          col("vol_dec").cast(DoubleType).as("volume"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(s"$tmp/out")
   }
 
@@ -166,10 +243,15 @@ object StreamQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
-    "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir))
+    "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
+    "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // S9: no transform — streamed sink == source table.
+    "q_stream_passthrough" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

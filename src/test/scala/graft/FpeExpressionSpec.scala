@@ -42,6 +42,28 @@ class FpeExpressionSpec extends AnyFunSuite {
     assert(row.getString(1).length == 16 && row.getString(1).forall(_.isDigit))
   }
 
+  test("key never renders in plan text (explain / SQL UI redaction)") {
+    import spark.implicits._
+    val df = Seq("4556737586899855").toDF("pan")
+      .withColumn("token", FpeFunctions.fpeEncrypt(col("pan"), key))
+    val plans = Seq(
+      df.queryExecution.logical, df.queryExecution.analyzed,
+      df.queryExecution.optimizedPlan, df.queryExecution.executedPlan)
+      .map(_.toString) :+ df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+    val keyHex = key.map("%02X".format(_)).mkString
+    val keyAscii = new String(key, "UTF-8")
+    plans.foreach { p =>
+      assert(!p.contains(keyHex) && !p.toUpperCase.contains(keyHex) &&
+        !p.contains(keyAscii), "key bytes leaked into plan text")
+    }
+    assert(plans.exists(_.contains("fpe_key(**redacted**)")))
+    // and the redacted node still computes: round-trip works
+    val row = df.withColumn("back", FpeFunctions.fpeDecrypt(
+      expr("substring(token, length(token) - length(pan) + 1)"), key)).collect().head
+    assert(row.getString(2) == "4556737586899855")
+  }
+
   test("expression is codegen-compatible (no fallback) over many rows") {
     import spark.implicits._
     // enough rows that whole-stage codegen actually runs the generated path

@@ -59,19 +59,24 @@ class TxnPipelineSpec extends AnyFunSuite {
     assert(Fpe.decrypt(key, token.substring(3)) == "4556737586899")
   }
 
-  test("malformed JSON dead-letters instead of emitting an all-null valid row") {
+  test("malformed JSON and missing transaction_id dead-letter with distinct labels") {
     import spark.implicits._
     val (valid, errors) = TxnPipeline.process(spark, Seq(
       rec("ok", "{\"string\":\"4556737586899855\"}"),
       "this is not json at all",
-      "{\"customer_id\": 7}" // parses but no transaction_id
+      "{\"customer_id\": 7}", // parses but no transaction_id
+      // parses, no transaction_id AND a bad PAN: the id check wins
+      "{\"customer_id\": 8, \"card_number\": {\"string\": \"455673758689\"}}"
     ).toDF("raw"), key)
     assert(valid.collect().map(_.getAs[String]("transaction_id")).toSet == Set("ok"))
     val errRows = errors.collect()
-    assert(errRows.length == 2)
-    assert(errRows.forall(_.getAs[String]("error") == "Malformed JSON"))
-    assert(errRows.exists(
-      _.getAs[String]("raw_message") == "this is not json at all"))
+    assert(errRows.length == 3)
+    def errorOf(raw: String): String =
+      errRows.find(_.getAs[String]("raw_message") == raw).get.getAs[String]("error")
+    assert(errorOf("this is not json at all") == "Malformed JSON")
+    assert(errorOf("{\"customer_id\": 7}") == "Missing transaction_id")
+    assert(errorOf("{\"customer_id\": 8, \"card_number\": {\"string\": \"455673758689\"}}")
+      == "Missing transaction_id")
   }
 
   test("U1 union unwrap: wrapped, plain, and null card encodings") {
