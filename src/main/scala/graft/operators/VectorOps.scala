@@ -163,18 +163,67 @@ object VectorOps {
 
   val IvfCells = 16
   val IvfProbes = 2
+  val IvfIters = 2
 
-  /** IVF coarse assignment: each vector goes to its nearest of K
-    * deterministic centroid cells (the vectors with vec_id < K — a real
-    * build would k-means these; the *partitioning shape* is what matters:
-    * one broadcast of K centroids, one narrow pass, repartition by cell).
-    * At 100 TB the corpus is then laid out cell-partitioned so a query
-    * touches only its probed cells.
+  /** One Lloyd's iteration as DataFrame ops, deterministic across engines:
+    *
+    *   1. assign: nearest centroid by cosine (dot of unit vectors; the
+    *      doubles are bit-identical in both engines because every dot
+    *      folds left-to-right — see PortableSql.dot);
+    *   2. update: the new centroid is the renormalized component-wise sum
+    *      of its members. Components are quantized to integer micro-units
+    *      BEFORE summation — an integer sum is exact and order-insensitive,
+    *      where a double sum would pick up the aggregation order and break
+    *      the DuckDB oracle's bit-parity. Renormalization then cancels the
+    *      1/n mean factor (cv = s / ||s||), so no division precision enters.
+    *
+    * Empty cells keep their previous centroid (LEFT JOIN + CASE). The
+    * shape is the scalable one: K centroids broadcast, one narrow pass to
+    * assign, a 64-column partial-aggregated sum (map-side combine) — the
+    * classic distributed k-means step.
+    */
+  private def lloydIter(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val asg = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("vn"), col("centroid_id"),
+        dotCol(col("vn"), col("cv")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    val sumCols = (0 until Dim).map(i =>
+      sum(expr(s"CAST(round(element_at(vn, ${i + 1}) * 1000000.0) AS BIGINT)"))
+        .as(s"s_$i"))
+    val sums = asg.groupBy(col("centroid_id")).agg(sumCols.head, sumCols.tail: _*)
+    val sv = array((0 until Dim).map(i => col(s"s_$i").cast("double")): _*)
+    val upd = sums.select(col("centroid_id"), sv.as("sv"))
+      .withColumn("nrm", sqrt(dotCol(col("sv"), col("sv"))))
+    cents.join(upd, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        when(col("nrm").isNull || col("nrm") === 0, col("cv"))
+          .otherwise(expr("transform(sv, x -> x / nrm)")).as("cv"))
+  }
+
+  /** K-means centroids: seeds are the vectors with vec_id < K, refined by
+    * `IvfIters` Lloyd's iterations (round-3 ask #8 — the placeholder
+    * seeds are now only the INIT, as in a real index build).
+    */
+  private def lloydCentroids(vecs: DataFrame): DataFrame = {
+    val seeds = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
+    (1 to IvfIters).foldLeft(seeds)((c, _) => lloydIter(vecs, c))
+  }
+
+  /** IVF coarse assignment: each vector goes to its nearest of K k-means
+    * cells (seeded from vec_id < K, Lloyd-refined — see lloydCentroids).
+    * The partitioning shape is what matters at 100 TB: one broadcast of K
+    * centroids, one narrow pass, then the corpus is laid out
+    * cell-partitioned so a query touches only its probed cells.
     */
   def ivfAssign(emb: DataFrame): DataFrame = {
-    val vecs = normalized(emb, withLabel = false)
-    val cents = vecs.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
+    // one narrow materialization feeds seeds, both Lloyd's iterations and
+    // the final assignment pass (lifecycle caller-owned, as throughout)
+    val vecs = normalized(emb, withLabel = false).cache()
+    val cents = lloydCentroids(vecs)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     vecs.crossJoin(broadcast(cents))
@@ -309,9 +358,41 @@ object VectorOps {
     )
   }
 
-  /** Shared IVF assignment CTEs (over the `e` normalized CTE). */
+  /** One Lloyd's-iteration CTE group (oracle mirror of lloydIter): assign
+    * by unrounded cosine (bit-identical doubles — left-fold dot), sum
+    * integer micro-unit components (exact, order-insensitive), renormalize
+    * in double, keep the previous centroid for empty cells.
+    */
+  private def lloydCte(k: Int): String = {
+    val duck = true
+    val prev = s"c${k - 1}"
+    val sumExprs = (0 until Dim).map(i =>
+      s"sum(CAST(round(${elem("e.vn", (i + 1).toString, duck)} * 1000000.0) AS BIGINT)) AS s_$i")
+      .mkString(",\n    ")
+    val svList = (0 until Dim).map(i => s"CAST(s_$i AS DOUBLE)").mkString("[", ", ", "]")
+    s""" a$k AS (SELECT vec_id, centroid_id FROM (
+       |   SELECT e.vec_id, c.centroid_id,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY ${dot("e.vn", "c.cv", duck)} DESC, c.centroid_id) AS rnk
+       |   FROM e, $prev c) z WHERE rnk = 1),
+       | m$k AS (SELECT a.centroid_id,
+       |    $sumExprs
+       |  FROM a$k a JOIN e ON a.vec_id = e.vec_id GROUP BY a.centroid_id),
+       | u$k AS (SELECT centroid_id, sv, sqrt(${dot("sv", "sv", duck)}) AS nrm
+       |  FROM (SELECT centroid_id, $svList AS sv FROM m$k) s0),
+       | c$k AS (SELECT p.centroid_id,
+       |   CASE WHEN u.nrm IS NULL OR u.nrm = 0 THEN p.cv
+       |        ELSE ${xform("u.sv", "x", "x / u.nrm", duck)} END AS cv
+       |  FROM $prev p LEFT JOIN u$k u ON p.centroid_id = u.centroid_id)""".stripMargin
+  }
+
+  /** Shared IVF assignment CTEs (over the `e` normalized CTE): k-means
+    * seeds (vec_id < K) + IvfIters Lloyd's iterations + final assignment.
+    */
   private def ivfAsgCte: String =
-    s""" c AS (SELECT vec_id AS centroid_id, vn AS cv FROM e WHERE vec_id < $IvfCells),
+    s""" c0 AS (SELECT vec_id AS centroid_id, vn AS cv FROM e WHERE vec_id < $IvfCells),
+       |${(1 to IvfIters).map(lloydCte).mkString(",\n")},
+       | c AS (SELECT centroid_id, cv FROM c$IvfIters),
        | asg0 AS (SELECT e.vec_id, c.centroid_id,
        |   round(${dot("e.vn", "c.cv", duck = true)}, 6) AS cos FROM e, c),
        | asg AS (SELECT vec_id, centroid_id, cos AS centroid_cos FROM (
