@@ -100,7 +100,20 @@ object TextOps {
       expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS BIGINT)")
         .as("n_bpe_tokens"))
 
+  /** True BPE merges over the checked-in 50-rule table (see BpeMerges):
+    * pre-token count next to the post-merge token count. Narrow one-pass
+    * projection; the merge loop is a native kernel on the Spark side and
+    * 50 generated fold layers on the oracle side.
+    */
+  def bpeMergeCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS BIGINT)")
+        .as("n_pre_tokens"),
+      graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
     "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
@@ -112,6 +125,16 @@ object TextOps {
     val toks = tokens("text", duck = true)
     val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
     Map(
+      "q_text_bpe_merges" ->
+        s"""SELECT doc_id,
+           | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+           |   AS BIGINT) AS n_pre_tokens,
+           | CAST(coalesce(list_sum(list_transform(
+           |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+           |   w -> ${graft.functions.BpeMerges.oracleTokenCount("w")})), 0)
+           |   AS BIGINT) AS n_bpe_tokens
+           |FROM documents""".stripMargin,
+
       "q_text_bpe_tokens" ->
         s"""SELECT doc_id,
            | CAST(${alen(toks, duck = true)} AS BIGINT) AS n_ws_tokens,
