@@ -1,0 +1,75 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** tokenize → word-trigram shingle → dedup → strHash, fused into ONE loop
+  * per document.
+  *
+  * The symbolic chain (PortableSql.trigramShingles over a bound token
+  * array, then StrHashArrayExpression) pays three interpreted
+  * higher-order passes plus a gram-string array materialization per doc —
+  * ~25-30 CPU-seconds over the sf0.1 corpus, the dominant cost of every
+  * shingle-based dedup query even after the join shapes were fixed. This
+  * kernel produces the identical output (hashes of DISTINCT trigrams in
+  * first-occurrence order; empty array below 3 tokens) so the DuckDB
+  * oracle keeps evaluating the symbolic form:
+  *
+  *   - tokens = split on single space KEEPING empties (Spark's
+  *     `split(text, " ")` = `String.split(" ", -1)`);
+  *   - gram dedup is on the gram STRING (array_distinct(grams)), not the
+  *     hash, preserving first-occurrence order;
+  *   - hash = base-127 polynomial over the first 16 chars salted with
+  *     length, mod 1e9+7 (ASCII corpus: `ascii(substr(w,i,1))` ==
+  *     `charAt(i-1)`), exactly StrHashArrayExpression's loop.
+  */
+case class TrigramHashesExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hashes"
+
+  private def strHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      val c = if (i < s.length) s.charAt(i).toLong else 0L
+      acc = (acc * 127 + c) % P
+      i += 1
+    }
+    (acc * 31 + s.length) % P
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < 3) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val seen = mutable.HashSet.empty[String]
+      val out = mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i <= toks.length - 3) {
+        val gram = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(gram)) out += strHash(gram)
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TrigramHashesExpression {
+  def trigramHashes(text: Column): Column =
+    SqlBridge.column(TrigramHashesExpression(SqlBridge.expression(text)))
+}

@@ -41,34 +41,27 @@ object DedupOps {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct word-trigram shingle array.
-    *
-    * Tokens are BOUND AS A COLUMN before shingling: inlining
-    * `split(text)` into the shingle expression would re-run the regex
-    * split on every element_at probe of the interpreted lambda (~3 per
-    * gram), which measured ~40 ms/doc; as an attribute reference the
-    * array is computed once per row. CollapseProject keeps the two
-    * projections separate because the multi-referenced split is not a
-    * cheap expression.
+  /** doc_id + hashes of the distinct word-trigram shingles — ONE fused
+    * native pass per doc (see TrigramHashesExpression; the symbolic
+    * tokenize→shingle→hash chain it replaces was the dominant CPU cost of
+    * every query below).
     */
-  private def withGrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), functions.split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        expr(trigramShingles("toks", duck = false)).as("grams"))
+  private def withShingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TrigramHashesExpression.trigramHashes(col("text")).as("hs"))
 
   /** doc_id, mh_0..mh_7 (minhash signature), band_0..band_3 (LSH keys:
     * 4 bands x 2 rows).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = withGrams(docs)
-      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
+    val hashed = withShingleHashes(docs)
       .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
       df.withColumn(s"mh_$k", element_at(col("mhs"), k + 1))
     }
     (0 until 4).foldLeft(withMh) { (df, j) =>
       df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
-    }.drop("grams", "hs", "mhs")
+    }.drop("hs", "mhs")
   }
 
   /** Near-duplicate pairs: banded-minhash candidates, verified with exact
@@ -77,16 +70,12 @@ object DedupOps {
     * product, skew-safe because band values are hash-distributed.
     */
   def minhashDupPairs(docs: DataFrame): DataFrame = {
-    // The shingle+hash pipeline (tokenize → trigram → distinct → strHash)
-    // feeds the signature build AND both sides of the verify join; cache
-    // it once — doc_id + grams + hs is narrow, and this is the same
-    // materialization Spark ML's LSH does on fit. Without it the
-    // interpreted higher-order-function chain runs up to 3× per doc.
+    // The fused shingle-hash pass feeds the signature build AND both
+    // sides of the verify join; cache it once — doc_id + hs is narrow,
+    // and this is the same materialization Spark ML's LSH does on fit.
     // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
     // clearCache() after each query.
-    val g = withGrams(docs)
-      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
-      .cache()
+    val g = withShingleHashes(docs).cache()
     val hashed = g
       .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
@@ -117,8 +106,7 @@ object DedupOps {
     * (6-bit pigeonhole blocks).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = withGrams(docs)
-      .withColumn("hs", graft.functions.StrHashArrayExpression.hashes(col("grams")))
+    val hashed = withShingleHashes(docs)
       .withColumn("simhash", graft.functions.SketchExpressions.simhash24(col("hs")))
     (0 until 4).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"block_$j", expr(s"${shr("simhash", 6 * j, duck = false)} & 63"))
@@ -151,22 +139,32 @@ object DedupOps {
       .filter(col("hamming") <= MaxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key: the bounded
-    * quadratic baseline.
+  /** Exact n-gram Jaccard pairs within a blocking key, candidates via
+    * PREFIX FILTERING (the round-3 "next dial", replacing the size-bucket
+    * cross product).
     *
     * The user-visible semantics are "all pairs within a `source` with
-    * Jaccard >= 0.5" (the oracle SQL is exactly that), but the plan
-    * sub-blocks each source by floor(log2(|grams|)) — LOSSLESS pruning,
-    * because J(a,b) <= min/max, so J >= 0.5 forces max <= 2·min, i.e. the
-    * two size buckets are equal or adjacent. Each doc is exploded into
-    * buckets {k, k+1} and candidates come from an equi-join on
-    * (source, bucket) plus the exact 2× size-ratio predicate; equal-bucket
-    * pairs match twice and are deduped after the (tiny) threshold filter.
-    * `source` alone has FIXED cardinality, so without the size sub-block
-    * the per-block cross product grows quadratically with data; with it,
-    * block size tracks the (source × size-decade) histogram instead. At
-    * even larger scale the next step is prefix filtering on rare shingles
-    * — same join shape, finer key.
+    * Jaccard >= 0.5" (the oracle SQL is exactly that); the plan-side
+    * blocking is LOSSLESS:
+    *
+    *   - prefix filter: under any fixed total order of shingles (we sort
+    *     the hashed shingles ascending), two sets with J >= t must share
+    *     at least one element among their first |s| - ceil(t·|s|) + 1
+    *     elements — for t = 0.5 that is floor(n/2)+1. A pair sharing NO
+    *     prefix element has overlap at most min(ceil(t·na), ceil(t·nb)) - 1
+    *     < t/(1+t)·(na+nb), below the J >= t requirement. So candidates =
+    *     equi-join on (source, prefix-shingle), never all pairs;
+    *   - the 2× size-ratio predicate stays (J >= 0.5 forces
+    *     max(n) <= 2·min(n)) to cheaply drop mismatched-size collisions.
+    *
+    * Versus the size-bucket scheme this scales with SHARED-CONTENT volume
+    * (docs colliding on an actual shingle) instead of the (source ×
+    * size-decade) histogram's cross product — at 100 TB a hot size bucket
+    * is quadratic in its population, while a prefix bucket is only as big
+    * as the number of docs actually containing that shingle. The next
+    * refinement at even larger scale is frequency-ordering the prefix
+    * (rarest shingles first), which shrinks hot buckets further at the
+    * cost of a global frequency pass.
     *
     * Empty-gram docs (< 3 tokens) are filtered out up front: J = 0 by
     * definition (PortableSql.jaccard) so they can never reach the 0.5
@@ -176,34 +174,33 @@ object DedupOps {
     // Jaccard runs over HASHED shingles (distinct int64s): the per-pair
     // set-intersect on longs is far cheaper than hashing UTF8 strings
     // per probe, and the shingle universe is the same modulo ~1e-9 hash
-    // collisions — which the oracle reproduces exactly anyway. Cached:
-    // both join sides read one narrow materialization (lifecycle
+    // collisions — which the oracle reproduces exactly anyway. Sorted so
+    // the prefix is a total-order prefix. Cached: the explode and both
+    // verify-join sides read one narrow materialization (lifecycle
     // caller-owned; Bench/Verify clearCache() per query).
     val g = docs
-      .select(col("doc_id"), col("source"), functions.split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"),
-        expr(trigramShingles("toks", duck = false)).as("grams"))
-      .select(col("doc_id"), col("source"),
-        graft.functions.StrHashArrayExpression.hashes(col("grams")).as("hs0"))
-      .withColumn("hs", array_distinct(col("hs0"))).drop("hs0")
+        graft.functions.TrigramHashesExpression.trigramHashes(col("text")).as("hs0"))
+      .withColumn("hs", array_sort(array_distinct(col("hs0")))).drop("hs0")
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
-      .withColumn("bkt", floor(log2(col("n"))))
       .cache()
-    val e = g.select(col("doc_id"), col("source"), col("hs"), col("n"),
-      explode(array(col("bkt"), col("bkt") + 1)).as("bkt2"))
-
-    e.as("a").join(e.as("b"),
-        col("a.source") === col("b.source") && col("a.bkt2") === col("b.bkt2") &&
+    // prefix length floor(n/2)+1 (t = 0.5); slice is 1-based
+    val pref = g.select(col("doc_id"), col("source"), col("n"),
+      explode(slice(col("hs"), lit(1), (col("n") / 2 + 1).cast("int"))).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.hs").as("h1"), col("b.hs").as("h2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("d1"), col("hs").as("h1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("hs").as("h2")), "d2")
       .select(col("d1"), col("d2"),
         round(graft.functions.JaccardLongExpression.jaccard(col("h1"), col("h2")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
-      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
