@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Generators
 import graft.ingest.IngestQueries
 import graft.load.DimLoader
-import graft.operators.{Analytics, DedupOps, Multimodal, ShuffleOps, TextOps, VectorOps}
+import graft.operators.{Analytics, AsofJoin, DedupOps, Multimodal, SampleOps, ShuffleOps, TextOps, VectorOps}
 import graft.streaming.{StreamIngest, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,7 +36,7 @@ object SparkEntry {
     * silently reuse them via logical-plan matching.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ TextOps.queries ++ DedupOps.queries ++
+    Analytics.queries ++ AsofJoin.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries
@@ -45,7 +45,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
+    Analytics.oracleSql ++ AsofJoin.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql

@@ -321,6 +321,20 @@ object Analytics {
         .withColumn("moving_avg_3m", round(avg(col("revenue")).over(w), 6))
     }),
 
+    // Pivot (A10-adjacent): status columns per priority. Spark's pivot
+    // with an explicit value list plans as ONE hash aggregate with a
+    // pivot-expression projection — single shuffle, no per-value scans;
+    // absent cells are 0 (na.fill) to match conditional-count semantics.
+    "q_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+    }),
+
     // Sessionization: 30-minute-gap sessions per user via lag + running sum.
     // Partitioned window (by user) — scales horizontally; only per-user
     // history must fit an executor.
@@ -491,6 +505,13 @@ object Analytics {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         | FROM orders GROUP BY 1, 2) m""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),

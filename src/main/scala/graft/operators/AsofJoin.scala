@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join — for each left row, the single right row with the greatest
+  * time at-or-before the left row's time, per key. The canonical
+  * time-series enrichment operator (quote-at-trade-time, feature-at-
+  * example-time in a training pipeline); Spark has no built-in.
+  *
+  * Implementation is the SCALABLE shape, not the obvious one. The obvious
+  * plan — a range join (`l.key = r.key AND l.t >= r.t`) + argmax — emits
+  * one row per (left, earlier-right) pair before pruning, quadratic in
+  * per-key history. Instead both sides are UNIONED, tagged, and sorted
+  * per key by (time, side, order), and each left row reads the latest
+  * right attributes with `last(_, ignoreNulls) OVER (rows unbounded
+  * preceding .. current)`:
+  *
+  *   - one shuffle on the key, one per-key sort — the same cost as any
+  *     windowed query, linear in history length;
+  *   - right-before-left at equal times makes the match INCLUSIVE
+  *     (t_right = t_left matches);
+  *   - ties among right rows at one (key, time) resolve to the greatest
+  *     `rightOrder` (the window's last), which is the deterministic
+  *     argmax the oracle reproduces by deduplicating before its ASOF.
+  *
+  * At 100 TB this partitions by key like every windowed operator — only
+  * each key's history must fit an executor, and a running-state variant
+  * (mapGroupsWithState) covers the streaming twin.
+  */
+object AsofJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (history) side
+    * @param key        equi-join column, present on both sides
+    * @param time       event-time column, present on both sides
+    * @param rightCols  right-side columns to carry onto matched left rows
+    *                   (null when no right row is at-or-before)
+    * @param rightOrder right-side tiebreak column for equal (key, time)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightCols: Seq[String],
+      rightOrder: String): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == time).toSeq
+    val l2 = left.select(
+      (col(key) +: col(time) +: lit(1).as("_is_left") +:
+        lit(null).cast("long").as("_r_ord") +:
+        leftCols.map(col)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r2 = right.select(
+      (col(key) +: col(time) +: lit(0).as("_is_left") +:
+        col(rightOrder).cast("long").as("_r_ord") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("_is_left").asc, col("_r_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_left") === 1)
+      .select((col(key) +: col(time) +: leftCols.map(col)) ++ rightCols.map(col): _*)
+  }
+
+  /** Oracle-checked instance: for each purchase event, the user's latest
+    * click at-or-before it. Times compared as epoch MICROS (exact integer
+    * comparison in both engines; events.ts is micros precision).
+    */
+  def purchaseAsofClick(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    asofJoin(purchases, clicks, key = "user_id", time = "t_us",
+      rightCols = Seq("click_event_id", "click_value"),
+      rightOrder = "click_event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> ((s, dir) => purchaseAsofClick(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN, with the right side deduplicated to
+    // the max-event_id row per (user, time) so tied timestamps resolve
+    // exactly as the union-window plan's last() does.
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        | r0 AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |   event_id AS click_event_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        | r AS (SELECT user_id, t_us, click_event_id, click_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, t_us
+        |     ORDER BY click_event_id DESC) AS rn FROM r0) z WHERE rn = 1)
+        |SELECT l.user_id, l.t_us, l.event_id, l.value,
+        | r.click_event_id, r.click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sampling + distribution-summary operators a training-data pipeline
+  * runs constantly: carve a deterministic subset for eval/ablation, and
+  * summarize a measure's distribution before/after filtering.
+  *
+  * Sampling here is HASH-sampling, not rand(): a Knuth multiplicative
+  * hash of the row key orders rows pseudo-randomly, so the sample is
+  * (a) reproducible run-to-run and across engines — the DuckDB oracle
+  * computes the same sample exactly; (b) stable under re-partitioning
+  * (rand() changes with split layout); (c) consistent across tables —
+  * any operator sampling "the same 2%" picks the same keys. This is how
+  * production pipelines pin eval sets.
+  */
+object SampleOps {
+
+  val StratumK = 50
+  val UniformK = 100
+
+  /** Pseudo-random order key from the row id (PortableSql-style ladder:
+    * reduce mod 2^31-1 first so the Knuth multiply stays in int64 under
+    * ANSI at any key range).
+    */
+  private def hashKey(c: String): String =
+    s"($c % 2147483647) * 2654435761 % 1000000007"
+
+  /** Stratified sample: the first `StratumK` docs of each language by
+    * hash order. One shuffle on the stratum key; the per-stratum window
+    * keeps only k rows of state. (At extreme stratum cardinality the
+    * dial is the same rank-over-hash with an approximate per-stratum
+    * threshold instead of a full window sort.)
+    */
+  def stratifiedByLang(docs: DataFrame, k: Int = StratumK): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), expr(hashKey("doc_id")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("doc_id"), col("rnk"))
+  }
+
+  /** Uniform sample without replacement: global first `UniformK` by hash
+    * order — plans as TakeOrderedAndProject (per-partition top-k, k-row
+    * driver merge), so it never full-sorts the corpus.
+    */
+  def uniformSample(docs: DataFrame, k: Int = UniformK): DataFrame =
+    docs.select(col("doc_id"), expr(hashKey("doc_id")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"))
+
+  /** Exact distribution summary of order value per priority: linear-
+    * interpolated quantiles (Spark `percentile` == DuckDB `quantile_cont`,
+    * both type-7: index p·(n−1) on the sorted values). Exact quantiles
+    * sort per group; the at-scale swap is percentile_approx (KLL-ish
+    * sketch, mergeable map-side) — same query shape, bounded memory.
+    */
+  def valueQuantiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
+    "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
+    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.orders(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT lang, doc_id, rnk FROM (
+         | SELECT lang, doc_id,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hashKey("doc_id")}, doc_id) AS rnk
+         | FROM documents) t
+         |WHERE rnk <= $StratumK""".stripMargin,
+
+    "q_sample_uniform" ->
+      s"""SELECT doc_id FROM documents
+         |ORDER BY ${hashKey("doc_id")}, doc_id LIMIT $UniformK""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+  )
+}
