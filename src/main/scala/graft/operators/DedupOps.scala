@@ -203,7 +203,61 @@ object DedupOps {
       .filter(col("jaccard") >= NgramThreshold)
   }
 
+  /** Duplicate-cluster assignment: connected components over the minhash
+    * near-dup pairs, every doc labeled with the MIN doc_id reachable
+    * through dup edges (its own id when unduplicated). This is the step
+    * that turns pairwise dedup output into "keep one doc per cluster" —
+    * chains (A~B, B~C with A!~C) collapse into one cluster, which
+    * pairwise drop-lists get wrong.
+    *
+    * Min-label propagation: each round, every node takes the min of its
+    * own label and its neighbours'. The fixpoint (min reachable id per
+    * component) is unique, so the result is deterministic regardless of
+    * iteration schedule — which is what lets a DuckDB recursive-CTE
+    * transitive closure be the oracle for an iterative Spark plan. Rounds
+    * needed = component diameter; near-dup clusters are almost-cliques,
+    * so 2-3 rounds converge. The driver-side convergence loop is the
+    * standard Pregel shape (GraphX does the same): one tiny aggregate
+    * action per round, never a collect of data rows; per-round shuffles
+    * are (edges ⋈ labels) hash joins on doc_id — linear, horizontal.
+    */
+  def dupClusters(docs: DataFrame): DataFrame =
+    clustersFromPairs(docs.select(col("doc_id")),
+      minhashDupPairs(docs).select(col("d1"), col("d2")))
+
+  /** Min-label propagation over an explicit (d1, d2) pair list — the
+    * reusable core of [[dupClusters]] (any pair generator of the dedup
+    * family composes here).
+    */
+  def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // undirected: propagate both ways
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).cache()
+    var round = 0
+    var done = false
+    while (!done && round < 20) {
+      val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(col("d1")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("d1"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.select(col("doc_id"),
+          col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") < col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      round += 1
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> ((s, dir) => dupClusters(Tables.documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => exactDuplicates(Tables.documents(s, dir))),
     "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
@@ -239,11 +293,34 @@ object DedupOps {
          |        FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h) s0)""".stripMargin
     val blockOr = (0 until 4).map(j => s"a.block_$j = b.block_$j").mkString(" OR ")
 
+    val minhashPairsSql =
+      s"""WITH $sigCte,
+         | $gramsCte,
+         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandOr))
+         |SELECT d1, d2, round($jac, 6) AS jaccard
+         |FROM cand JOIN g g1 ON d1 = g1.doc_id JOIN g g2 ON d2 = g2.doc_id
+         |WHERE round($jac, 6) >= $MinhashThreshold""".stripMargin
+
     Map(
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
           | count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // Transitive closure of the (undirected) dup edges, min reachable id
+      // per doc — the unique fixpoint the Spark label-propagation loop
+      // also converges to.
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashPairsSql) p),
+           | e AS (SELECT d1, d2 FROM pairs
+           |       UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+           | reach(a, b) AS (
+           |   SELECT doc_id AS a, doc_id AS b FROM documents
+           |   UNION
+           |   SELECT r.a, e.d2 AS b FROM reach r JOIN e ON r.b = e.d1)
+           |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY a""".stripMargin,
 
       "q_dedup_minhash_sig" ->
         s"""WITH mh AS (SELECT doc_id, $mhCols
@@ -253,14 +330,7 @@ object DedupOps {
            | $bandCols
            |FROM mh""".stripMargin,
 
-      "q_dedup_minhash_pairs" ->
-        s"""WITH $sigCte,
-           | $gramsCte,
-           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandOr))
-           |SELECT d1, d2, round($jac, 6) AS jaccard
-           |FROM cand JOIN g g1 ON d1 = g1.doc_id JOIN g g2 ON d2 = g2.doc_id
-           |WHERE round($jac, 6) >= $MinhashThreshold""".stripMargin,
+      "q_dedup_minhash_pairs" -> minhashPairsSql,
 
       "q_dedup_simhash_sig" ->
         s"""WITH $simCte

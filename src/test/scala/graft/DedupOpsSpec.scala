@@ -55,4 +55,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("cluster propagation collapses chains that pairwise drop-lists split") {
+    import spark.implicits._
+    // 1-2, 2-3 chained (1 never pairs with 3 directly); 4-5 separate; 6 alone
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val out = DedupOps.clustersFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("cluster propagation converges on a cycle") {
+    import spark.implicits._
+    val nodes = (1L to 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("d1", "d2")
+    val out = DedupOps.clustersFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(1L))
+  }
 }
