@@ -321,6 +321,23 @@ object Analytics {
         .withColumn("moving_avg_3m", round(avg(col("revenue")).over(w), 6))
     }),
 
+    // SCD2 interval build: a change feed (events as per-user state
+    // updates) becomes slowly-changing-dimension rows with
+    // [valid_from, valid_to) windows via lead() — the versioned-dim shape
+    // a point-in-time (as-of) join probes. One shuffle on the entity key;
+    // current rows carry a null valid_to.
+    "q_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("version"), col("t_us").as("valid_from_us"),
+          col("valid_to_us"), col("event_type").as("state"), col("value"))
+    }),
+
     // Pivot (A10-adjacent): status columns per priority. Spark's pivot
     // with an explicit value list plans as ONE hash aggregate with a
     // pivot-expression projection — single shuffle, no per-value scans;
@@ -505,6 +522,15 @@ object Analytics {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         | FROM orders GROUP BY 1, 2) m""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """SELECT user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | epoch_us(ts) AS valid_from_us,
+        | lead(epoch_us(ts)) OVER w AS valid_to_us,
+        | event_type AS state, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -75,9 +75,33 @@ object ShuffleOps {
         sum(col("psum")).cast("double").as("revenue"))
   }
 
+  /** Salted (replicated-dim) join over a deliberately skewed key: the
+    * fact keys down to 3 hot values (o_orderkey % 3), which in a plain
+    * shuffle join lands ~50k rows on 3 reducers. The fact side salts
+    * (key, o_orderkey % Salts); the DIM side is exploded once per salt
+    * value — dim rows are small by definition, so the replication is
+    * `Salts × |dim|` — and the join key becomes (key, salt): the hot
+    * key's rows spread over `Salts` reducers. Identical result to the
+    * unsalted join (oracle runs that); AQE's skew-join split is the
+    * automatic variant, this is the explicit one for when the skew is
+    * known and stable.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, dir)
+      .select((col("o_orderkey") % 3).as("k"), col("o_totalprice"),
+        (col("o_orderkey") % Salts).cast("int").as("salt"))
+    val dim = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("k", "tier")
+      .crossJoin(spark.range(0, Salts).select(col("id").cast("int").as("salt")))
+    fact.join(dim, Seq("k", "salt"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
     "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
+    "q_salted_join" -> ((s, dir) => saltedSkewJoin(s, dir)),
     // A9: HLL approximate distinct. Raw sketch counts differ between
     // engines (different HLL impls), so the oracle-checked claim is the
     // accuracy INVARIANT: each engine's own estimate lands within 5% of
@@ -104,6 +128,13 @@ object ShuffleOps {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT CASE o_orderkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |   ELSE 'gamma' END AS tier,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custs,
