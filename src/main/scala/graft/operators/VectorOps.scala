@@ -190,12 +190,19 @@ object VectorOps {
         dotCol(col("vn"), col("cv")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-    val sumCols = (0 until Dim).map(i =>
-      sum(expr(s"CAST(round(element_at(vn, ${i + 1}) * 1000000.0) AS BIGINT)"))
-        .as(s"s_$i"))
-    val sums = asg.groupBy(col("centroid_id")).agg(sumCols.head, sumCols.tail: _*)
-    val sv = array((0 until Dim).map(i => col(s"s_$i").cast("double")): _*)
-    val upd = sums.select(col("centroid_id"), sv.as("sv"))
+    // component sums via posexplode + ONE narrow sum: a 64-column
+    // aggregate compiles a huge codegen unit (janino time dominated the
+    // first execution); the exploded (centroid, pos) key keeps map-side
+    // partial aggregation and the generated code tiny. Integer sums are
+    // exact either way, so the oracle's per-component sums still match.
+    val sums = asg
+      .select(col("centroid_id"), posexplode(
+        expr("transform(vn, x -> CAST(round(x * 1000000.0) AS BIGINT))")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(sum(col("col")).as("s"))
+    val upd = sums.groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("centroid_id"), expr("transform(ps, p -> CAST(p.s AS DOUBLE))").as("sv"))
       .withColumn("nrm", sqrt(dotCol(col("sv"), col("sv"))))
     cents.join(upd, Seq("centroid_id"), "left")
       .select(col("centroid_id"),
@@ -210,7 +217,11 @@ object VectorOps {
   private def lloydCentroids(vecs: DataFrame): DataFrame = {
     val seeds = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
-    (1 to IvfIters).foldLeft(seeds)((c, _) => lloydIter(vecs, c))
+    // each iteration's centroids are cached (K rows): without this,
+    // iteration k's broadcast job re-executes the whole k-1 chain —
+    // once per DOWNSTREAM consumer — and the build goes quadratic in
+    // iterations. Lifecycle caller-owned, as throughout.
+    (1 to IvfIters).foldLeft(seeds)((c, _) => lloydIter(vecs, c).cache())
   }
 
   /** IVF coarse assignment: each vector goes to its nearest of K k-means
