@@ -233,8 +233,12 @@ object DedupOps {
     // undirected: propagate both ways
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
-    var labels = nodes.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).cache()
+    // Propagation runs over EDGE-TOUCHING nodes only: an isolated node's
+    // label is itself forever and cannot influence anyone, so the
+    // iterated frames shrink from |corpus| to |dup-involved docs| (tiny
+    // by definition — dups are the exception). Isolates rejoin at the end.
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var round = 0
     var done = false
     while (!done && round < 20) {
@@ -253,7 +257,10 @@ object DedupOps {
       done = changed == 0
       round += 1
     }
-    labels
+    nodes.select(col("doc_id")).join(labels.select(col("doc_id"),
+        col("cluster_id").as("edge_cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -70,10 +70,24 @@ object SampleOps {
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
         round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
 
+  /** Sketch-quantile accuracy invariant (the q_approx_distinct pattern:
+    * raw sketches differ between engines, so the oracle-checked claim is
+    * each engine's OWN approximation landing within tolerance of the
+    * exact value it also computes).
+    */
+  def approxQuantileInvariant(orders: DataFrame): DataFrame =
+    orders.agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("exact_p50"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_p50"))
+      .select(col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) /
+          col("exact_p50") <= 0.01).as("approx_within_1pct"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
-    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.orders(s, dir)))
+    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.orders(s, dir))),
+    "q_approx_quantiles" -> ((s, dir) => approxQuantileInvariant(Tables.orders(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,6 +102,12 @@ object SampleOps {
     "q_sample_uniform" ->
       s"""SELECT doc_id FROM documents
          |ORDER BY ${hashKey("doc_id")}, doc_id LIMIT $UniformK""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+        | abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+        |   / quantile_cont(o_totalprice, 0.5) <= 0.01 AS approx_within_1pct
+        |FROM orders""".stripMargin,
 
     "q_quantiles" ->
       """SELECT o_orderpriority, count(*) AS n,
