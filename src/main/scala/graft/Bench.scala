@@ -2,7 +2,7 @@ package graft
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Benchmark main: times every SparkEntry query at the given scale factor
@@ -66,6 +66,21 @@ object Bench {
       try materialize(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
     }
+    // Machinery shapes the corpus warmups above don't reach, compiled
+    // against a synthetic range so no timed query's data is pre-touched:
+    // distinct-aggregate Expand, HLL ObjectHashAggregate, WindowExec.
+    // First-hit janino compilation of these otherwise lands on whichever
+    // timed query uses the shape first (alphabetical accident).
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      r.agg(functions.countDistinct(col("id")),
+        functions.approx_count_distinct(col("id"), 0.01)).collect()
+      r.select(functions.row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("id"))).as("rn")).agg(
+        functions.max(col("rn"))).collect()
+      ()
+    } catch { case _: Throwable => () }
     // Streaming landing fixtures are deterministic per testdata content —
     // write them untimed so the stream queries measure the STREAM, not
     // ~50 MB of fixture I/O (q_stream_ingest spent 17% of round 2's

@@ -73,3 +73,50 @@ object TrigramHashesExpression {
   def trigramHashes(text: Column): Column =
     SqlBridge.column(TrigramHashesExpression(SqlBridge.expression(text)))
 }
+
+/** Order-sensitive rolling fingerprint over ALL word tokens (dup tokens
+  * included): fold of `(acc * 31 + strHash(token)) % P` in token order —
+  * the fused form of `reduceLong(tokenHashes(text), ...)` whose
+  * interpreted lambda chain was q_text_fingerprint's per-doc cost. Same
+  * split-keeping-empties tokenization and strHash arithmetic as
+  * [[TrigramHashesExpression]]; the DuckDB oracle keeps the symbolic
+  * list_reduce form.
+  */
+case class RollingFpExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 1000000007L
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  private def strHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      val c = if (i < s.length) s.charAt(i).toLong else 0L
+      acc = (acc * 127 + c) % P
+      i += 1
+    }
+    (acc * 31 + s.length) % P
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = (acc * 31 + strHash(toks(i))) % P
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingFpExpression {
+  def rollingFp(text: Column): Column =
+    SqlBridge.column(RollingFpExpression(SqlBridge.expression(text)))
+}

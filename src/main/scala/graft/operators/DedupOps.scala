@@ -230,8 +230,11 @@ object DedupOps {
     * family composes here).
     */
   def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    // undirected: propagate both ways
-    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    // pairs is cached FIRST: the undirected union references it twice,
+    // and without the barrier the (expensive) pair-mining plan executes
+    // once per union branch. Lifecycle caller-owned, as throughout.
+    val p = pairs.cache()
+    val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
     // Propagation runs over EDGE-TOUCHING nodes only: an isolated node's
     // label is itself forever and cannot influence anyone, so the

@@ -82,8 +82,9 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(col("text")).as("content_md5"),
-      expr(reduceLong(tokenHashes("text", duck = false), "acc", "x",
-        s"(acc * 31 + x) % $P", duck = false)).as("rolling_fp"))
+      // fused native fold (see RollingFpExpression); the symbolic
+      // reduceLong form remains the DuckDB oracle
+      graft.functions.RollingFpExpression.rollingFp(col("text")).as("rolling_fp"))
 
   /** "BPE-ish" token counting: greedy regex segmentation into letter
     * runs, digit runs, and single non-alphanumeric marks — the
