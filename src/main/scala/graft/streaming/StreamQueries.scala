@@ -92,6 +92,10 @@ object StreamQueries {
         col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
     ensureJsonFixture(fixtureDir("pass", dir, "supplier"),
       passThroughDf(s, dir))
+    ensureJsonFixture(fixtureDir("sjoin_l", dir, "events"),
+      sjFixtureDf(s, dir, "purchase"))
+    ensureJsonFixture(fixtureDir("sjoin_r", dir, "events"),
+      sjFixtureDf(s, dir, "click"))
   }
 
   /** Window-fixture rows as ONE file in ascending event-time order.
@@ -216,6 +220,69 @@ object StreamQueries {
   }
 
   // ---------------------------------------------------------------------
+  // ST2+: stream-stream inner join (watermarked state both sides)
+  // ---------------------------------------------------------------------
+
+  private val sjSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ms", LongType),
+    StructField("event_id", LongType)))
+
+  private def sjFixtureDf(s: SparkSession, dir: String, eventType: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === eventType)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .repartition(1).sortWithinPartitions(col("ms"))
+
+  /** Purchases joined to clicks of the same user within the preceding
+    * 5 minutes — BOTH sides unbounded streams. Watermarks plus the time-
+    * range predicate bound each side's join state (Spark evicts a row
+    * once the other side's watermark passes its range), which is the
+    * property that lets this run forever at 100 TB/day; an unconstrained
+    * stream-stream join would buffer both streams entirely.
+    *
+    * Determinism: an INNER join's result set is batching-independent as
+    * long as no matching row is evicted before its partner arrives; the
+    * fixtures are single files in ascending event time, so arrival order
+    * tracks event time and every in-range partner is still in state.
+    * The oracle is the same join as batch SQL over integer ms.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val lLanding = ensureJsonFixture(fixtureDir("sjoin_l", dir, "events"),
+      sjFixtureDf(s, dir, "purchase"))
+    val rLanding = ensureJsonFixture(fixtureDir("sjoin_r", dir, "events"),
+      sjFixtureDf(s, dir, "click"))
+    val tmp = tempSink()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val l = s.readStream.schema(sjSchema).json(lLanding)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("p_ts"),
+          col("event_id").as("purchase_event_id"))
+        .withWatermark("p_ts", "10 minutes")
+      val r = s.readStream.schema(sjSchema).json(rLanding)
+        .select(col("user_id").as("r_user_id"), timestamp_millis(col("ms")).as("c_ts"),
+          col("event_id").as("click_event_id"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), unix_millis(col("p_ts")).as("p_ms"),
+          col("purchase_event_id"), unix_millis(col("c_ts")).as("c_ms"),
+          col("click_event_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(s"$tmp/out")
+  }
+
+  // ---------------------------------------------------------------------
   // ST3/S9: stream-static enrich, dim re-read (and broadcast) per batch
   // ---------------------------------------------------------------------
 
@@ -244,13 +311,26 @@ object StreamQueries {
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
     "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
-    "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir))
+    "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir)),
+    "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     // S9: no transform — streamed sink == source table.
     "q_stream_passthrough" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    // Stream-stream inner join == the batch join (integer ms arithmetic).
+    "q_stream_join" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS p_ms,
+        |   event_id AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id AS c_user_id, epoch_ms(ts) AS c_ms,
+        |   event_id AS click_event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, p_ms, purchase_event_id, c_ms, click_event_id
+        |FROM p JOIN c ON user_id = c_user_id
+        | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
     "q_stream_dedup" ->
