@@ -34,6 +34,14 @@ object SparkEntry {
     * (Bench and Verify both do); a caller that skips this accumulates one
     * cached materialization per query call and unrelated queries may
     * silently reuse them via logical-plan matching.
+    *
+    * SESSION-CONF CONTRACT: the stateful streaming queries
+    * (q_stream_window, q_stream_join) temporarily lower
+    * spark.sql.shuffle.partitions for their own execution (state-store
+    * instances = shuffle partitions) and restore it in a finally. Run
+    * queries sequentially per session — a query PLANNED concurrently on
+    * the same session while one of these is running would pick up the
+    * lowered value.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AsofJoin.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++

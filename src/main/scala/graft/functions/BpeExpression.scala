@@ -60,11 +60,22 @@ object BpeMerges {
     out.toArray
   }
 
-  /** Token count of one pre-token after all merge passes. */
+  /** Token count of one pre-token after all merge passes. Base symbols
+    * are CODEPOINTS, not UTF-16 code units — the oracle's
+    * `regexp_extract_all(w, '.')` yields one symbol per codepoint, so a
+    * supplementary-plane char (emoji) must be ONE base symbol here too,
+    * not its two surrogate halves.
+    */
   private[functions] def mergedLen(word: String): Int = {
-    var syms = new Array[String](word.length)
+    val out = new ArrayBuffer[String](word.length)
     var i = 0
-    while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    var syms = out.toArray
     Merges.foreach { case (a, b) => syms = mergePass(syms, a, b) }
     syms.length
   }

@@ -19,10 +19,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * `ascii(substr(w, i, 1))` equals `charAt(i-1)` — so the DuckDB oracle
   * keeps evaluating the symbolic form and results match exactly.
   */
+/** THE imperative strHash: base-127 polynomial over the first 16 chars
+  * salted with length, mod 1e9+7 — the single shared copy every fused
+  * kernel calls. Bit-exact agreement with PortableSql.strHash's symbolic
+  * form is load-bearing for every dedup/fingerprint oracle; keeping one
+  * copy means a tweak cannot silently desynchronize the kernels.
+  */
+private[functions] object StrHashKernel {
+  val P: Long = 1000000007L
+
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      val c = if (i < s.length) s.charAt(i).toLong else 0L
+      acc = (acc * 127 + c) % P
+      i += 1
+    }
+    (acc * 31 + s.length) % P
+  }
+}
+
 case class StrHashArrayExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
-
-  private val P = 1000000007L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "str_hash_array"
@@ -33,15 +52,7 @@ case class StrHashArrayExpression(child: Expression)
     val out = new Array[Long](n)
     var k = 0
     while (k < n) {
-      val s = arr.getUTF8String(k).toString
-      var acc = 0L
-      var i = 0
-      while (i < 16) {
-        val c = if (i < s.length) s.charAt(i).toLong else 0L
-        acc = (acc * 127 + c) % P
-        i += 1
-      }
-      out(k) = (acc * 31 + s.length) % P
+      out(k) = StrHashKernel.hash(arr.getUTF8String(k).toString)
       k += 1
     }
     new GenericArrayData(out)

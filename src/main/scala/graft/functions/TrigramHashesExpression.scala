@@ -33,21 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TrigramHashesExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  private val P = 1000000007L
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "trigram_hashes"
-
-  private def strHash(s: String): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < 16) {
-      val c = if (i < s.length) s.charAt(i).toLong else 0L
-      acc = (acc * 127 + c) % P
-      i += 1
-    }
-    (acc * 31 + s.length) % P
-  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
@@ -58,7 +45,7 @@ case class TrigramHashesExpression(child: Expression)
       var i = 0
       while (i <= toks.length - 3) {
         val gram = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        if (seen.add(gram)) out += strHash(gram)
+        if (seen.add(gram)) out += StrHashKernel.hash(gram)
         i += 1
       }
       new GenericArrayData(out.toArray)
@@ -85,28 +72,15 @@ object TrigramHashesExpression {
 case class RollingFpExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  private val P = 1000000007L
-
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fp"
-
-  private def strHash(s: String): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < 16) {
-      val c = if (i < s.length) s.charAt(i).toLong else 0L
-      acc = (acc * 127 + c) % P
-      i += 1
-    }
-    (acc * 31 + s.length) % P
-  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      acc = (acc * 31 + strHash(toks(i))) % P
+      acc = (acc * 31 + StrHashKernel.hash(toks(i))) % StrHashKernel.P
       i += 1
     }
     acc

@@ -49,24 +49,35 @@ object AsofJoin {
       rightCols: Seq[String],
       rightOrder: String): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == time).toSeq
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"asofJoin: rightCols ${leftCols.intersect(rightCols).mkString(", ")} " +
+        "collide with left column names — rename the right side first")
+    // The matched right row rides as ONE struct: filling each right
+    // column with its own last(_, ignoreNulls) would let a null
+    // attribute on the matched row backfill from an OLDER right row —
+    // a chimera of two rows. A struct is non-null for every right row
+    // (even when its fields are null), so last() picks the whole
+    // matched row atomically.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l2 = left.select(
-      (col(key) +: col(time) +: lit(1).as("_is_left") +:
-        lit(null).cast("long").as("_r_ord") +:
-        leftCols.map(col)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      Seq(col(key), col(time), lit(1).as("_is_left"),
+        lit(null).cast("long").as("_r_ord")) ++
+        leftCols.map(col) ++
+        Seq(lit(null).cast(rStructType).as("_r")): _*)
     val r2 = right.select(
-      (col(key) +: col(time) +: lit(0).as("_is_left") +:
-        col(rightOrder).cast("long").as("_r_ord") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightCols.map(col): _*)
+      Seq(col(key), col(time), lit(0).as("_is_left"),
+        col(rightOrder).cast("long").as("_r_ord")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(rightCols.map(col): _*).as("_r")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("_is_left").asc, col("_r_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_is_left") === 1)
-      .select((col(key) +: col(time) +: leftCols.map(col)) ++ rightCols.map(col): _*)
+    l2.unionByName(r2)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select((col(key) +: col(time) +: leftCols.map(col)) ++
+        rightCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   /** Oracle-checked instance: for each purchase event, the user's latest

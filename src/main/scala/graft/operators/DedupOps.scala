@@ -242,9 +242,14 @@ object DedupOps {
     // by definition — dups are the exception). Isolates rejoin at the end.
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-    var round = 0
+    // Convergence needs <= eccentricity-from-min rounds, which is
+    // < |edge nodes|; bound by that TRUE limit rather than a magic cap —
+    // a silent cap would return partially-propagated labels on a long
+    // chain (22+ doc near-dup chains are realistic for sequential text).
+    val maxRounds = labels.count()
+    var round = 0L
     var done = false
-    while (!done && round < 20) {
+    while (!done && round < maxRounds + 1) {
       val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
         .groupBy(col("d1")).agg(min(col("cluster_id")).as("nbr_min"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("d1"), "left")

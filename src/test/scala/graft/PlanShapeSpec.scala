@@ -34,6 +34,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global sample must not range-shuffle the corpus:\n$plan")
   }
 
+  test("asofJoin carries the matched right ROW atomically (null attrs stay null)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // right rows: t=1 has v=5.0, t=2 has v=null; a probe at t=3 must get
+    // t=2's (id=20, null) — NOT id=20 with t=1's 5.0 backfilled.
+    val left = Seq((1L, 3L, 100L)).toDF("k", "t", "probe_id")
+    val right = Seq((1L, 1L, 10L, Some(5.0)), (1L, 2L, 20L, None))
+      .toDF("k", "t", "r_id", "r_val")
+    val row = AsofJoin.asofJoin(left, right, "k", "t",
+      rightCols = Seq("r_id", "r_val"), rightOrder = "r_id").collect().head
+    assert(row.getAs[Long]("r_id") == 20L)
+    assert(row.isNullAt(row.fieldIndex("r_val")),
+      "null attribute on the matched row must not backfill from an older row")
+    // and colliding right column names are rejected up front
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right.withColumnRenamed("r_id", "probe_id"),
+        "k", "t", rightCols = Seq("probe_id"), rightOrder = "probe_id")
+    }
+    // unmatched left rows get a fully-null right side
+    val none = AsofJoin.asofJoin(
+      Seq((2L, 1L, 101L)).toDF("k", "t", "probe_id"), right, "k", "t",
+      rightCols = Seq("r_id", "r_val"), rightOrder = "r_id").collect().head
+    assert(none.isNullAt(none.fieldIndex("r_id")))
+    assert(left.select(col("k")).count() == 1)
+  }
+
   test("stratified sample shuffles once on the stratum key") {
     val plan = SampleOps.stratifiedByLang(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
