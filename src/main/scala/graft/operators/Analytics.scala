@@ -307,6 +307,36 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
     }),
 
+    // A10+: explicit GROUPING SETS (finer than rollup/cube — exactly the
+    // requested combinations) with grouping_id() to tag each stratum.
+    // Still ONE Expand + hash aggregate, one shuffle.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_gs_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // §2.5 RANGE frame: trailing-30-day revenue per priority — a VALUE
+    // range over the date_id ordering (days since 2023-01-01 ladder), so
+    // sparse dates contribute by distance, not row position. State per
+    // partition is one sliding frame.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("date_id").asc)
+        .rangeBetween(-29, Window.currentRow)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("2023-01-01")))
+            .cast("long").as("date_id"))
+        .agg(dsum(col("o_totalprice")).as("day_revenue"))
+        .withColumn("trailing_30d", round(sum(col("day_revenue")).over(w), 6))
+    }),
+
     // §2.5 frame spec: trailing-3-month moving average per priority.
     // Partitioned by priority (5 keys), ordered by month — window state
     // is one frame of 3 rows per partition.
@@ -513,6 +543,25 @@ object Analytics {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_orderpriority, date_id, day_revenue,
+        | round(sum(day_revenue) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY date_id RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 6)
+        |   AS trailing_30d
+        |FROM (SELECT o_orderpriority,
+        |   CAST(date_diff('day', DATE '2023-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |     AS date_id,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        |  FROM orders GROUP BY 1, 2) d""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT o_orderpriority, month, revenue,
