@@ -49,6 +49,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused kernels == symbolic chains, for random ASCII documents") {
+    // The fused TrigramHashes / RollingFp kernels replaced interpreted
+    // higher-order chains whose symbolic forms remain the DuckDB oracle;
+    // prove in-engine, on random inputs (multi-space runs, short docs,
+    // punctuation), that kernel output is bit-identical to the symbolic
+    // Spark expression — the same claim the oracle hash makes, but over
+    // a much wider input space than the fixtures.
+    import org.apache.spark.sql.functions.{col, expr, split}
+    import graft.functions.PortableSql._
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 20)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('.', ',', '!')))
+    } yield cs.mkString
+    val doc: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ") // double space exercises empty tokens
+    } yield ws.mkString(sep)
+    forAll(Gen.listOfN(60, doc), n = 3) { docs =>
+      val rows = docs.toDF("text")
+        .select(
+          graft.functions.TrigramHashesExpression.trigramHashes(col("text")).as("k_tri"),
+          split(col("text"), " ").as("toks"),
+          graft.functions.RollingFpExpression.rollingFp(col("text")).as("k_fp"),
+          expr(reduceLong(tokenHashes("text", duck = false), "acc", "x",
+            s"(acc * 31 + x) % $P", duck = false)).as("s_fp"))
+        .select(col("k_tri"),
+          expr(xform(trigramShingles("toks", duck = false), "g",
+            strHash("g"), duck = false)).as("s_tri"),
+          col("k_fp"), col("s_fp"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"trigram kernel diverged from symbolic form")
+        assert(r.getLong(2) == r.getLong(3),
+          s"rolling-fp kernel diverged from symbolic form")
+      }
+    }
+  }
+
   test("mask: first 6 + six asterisks + last 4, for all valid PAN lengths") {
     import org.apache.spark.sql.functions.col
     import graft.ingest.TxnPipeline
