@@ -190,19 +190,19 @@ object VectorOps {
         dotCol(col("vn"), col("cv")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-    // component sums via posexplode + ONE narrow sum: a 64-column
-    // aggregate compiles a huge codegen unit (janino time dominated the
-    // first execution); the exploded (centroid, pos) key keeps map-side
-    // partial aggregation and the generated code tiny. Integer sums are
-    // exact either way, so the oracle's per-component sums still match.
+    // component sums via the native vector-sum aggregate: one mutable
+    // Array[Long] buffer per centroid, map-side partial + merge — ONE
+    // shuffle of K×dim-long buffers. (A 64-column sum compiled a huge
+    // codegen unit; posexplode multiplied rows by dim and needed a
+    // second groupBy to rebuild the array.) Integer sums are exact and
+    // order-insensitive, so the oracle's per-component sums still match.
     val sums = asg
-      .select(col("centroid_id"), posexplode(
-        expr("transform(vn, x -> CAST(round(x * 1000000.0) AS BIGINT))")))
-      .groupBy(col("centroid_id"), col("pos"))
-      .agg(sum(col("col")).as("s"))
-    val upd = sums.groupBy(col("centroid_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-      .select(col("centroid_id"), expr("transform(ps, p -> CAST(p.s AS DOUBLE))").as("sv"))
+      .select(col("centroid_id"),
+        expr("transform(vn, x -> CAST(round(x * 1000000.0) AS BIGINT))").as("mv"))
+      .groupBy(col("centroid_id"))
+      .agg(graft.functions.VectorAggregates.vecSumLong(col("mv"), Dim).as("sv_long"))
+    val upd = sums
+      .select(col("centroid_id"), expr("transform(sv_long, x -> CAST(x AS DOUBLE))").as("sv"))
       .withColumn("nrm", sqrt(dotCol(col("sv"), col("sv"))))
     cents.join(upd, Seq("centroid_id"), "left")
       .select(col("centroid_id"),
