@@ -30,6 +30,11 @@ import graft.Tables
   *     hold under any batch split (see windowFixtureDf).
   *   - q_stream_enrich output is a pure function of (batch rows ⋈ static
   *     dim), so batch splitting is invisible after union.
+  *   - q_stream_join is an INNER join, so its result set is batching-
+  *     independent as long as no matching row is evicted before its
+  *     partner arrives — guaranteed by time-ordered single-file fixtures
+  *     (arrival order tracks event time, so every in-range partner is
+  *     still within the watermark-retained state).
   *   - Money sums go through DECIMAL(18,2) in both engines (exact,
   *     order-insensitive — double accumulation order would flip hashes).
   */
