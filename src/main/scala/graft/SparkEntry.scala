@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Generators
 import graft.ingest.IngestQueries
 import graft.load.DimLoader
-import graft.operators.{Analytics, AsofJoin, DedupOps, Multimodal, SampleOps, ShuffleOps, TextOps, VectorOps}
+import graft.operators.{Analytics, AsofJoin, DedupOps, Multimodal, SampleOps, ShuffleOps, TextOps, TypedAgg, VectorOps}
 import graft.streaming.{StreamIngest, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,7 +47,7 @@ object SparkEntry {
     Analytics.queries ++ AsofJoin.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ DimLoader.queries ++
-      Generators.queries ++ ShuffleOps.queries
+      Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -56,5 +56,5 @@ object SparkEntry {
     Analytics.oracleSql ++ AsofJoin.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ DimLoader.oracleSql ++
-      Generators.oracleSql ++ ShuffleOps.oracleSql
+      Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql
 }
