@@ -87,6 +87,17 @@ object DimLoader {
     }
   }
 
+  /** SCD1 upsert (MERGE latest-wins): base rows whose key appears in the
+    * change batch are REPLACED, new keys are inserted, untouched keys
+    * pass through — the incremental alternative to WRITE_TRUNCATE when a
+    * dim is too big to reload (the reference's dims are re-published
+    * whole; at 100 TB a dim refresh arrives as a change batch). One
+    * anti-join shuffle on the key + a union — no window, no sort.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    base.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes)
+
   /** S12: plain CSV lookup read. */
   def readCsvLookup(spark: SparkSession, path: String, schemaJson: String): DataFrame =
     spark.read.option("header", "true")
@@ -124,6 +135,22 @@ object DimLoader {
       Tables.nation(s, dir).write.json(jsonDir)
       readJsonLookup(s, jsonDir, nationSchemaJson)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    // SCD1 upsert against a deterministic change batch: keys %10==3 get
+    // updated attributes, keys %17==5 re-enter as brand-new ids; the
+    // oracle reproduces the merged end state relationally.
+    "q_dim_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val inserts = cust.filter(col("c_custkey") % 17 === 5)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          lit("INSERTED").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      upsert(cust, updates.unionByName(inserts), "c_custkey")
     })
   )
 
@@ -133,6 +160,20 @@ object DimLoader {
         | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     "q_dim_load_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+
+    "q_dim_upsert" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+        |   c_acctbal + 1000.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name,
+        |   'INSERTED' AS c_mktsegment, 0.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 17 = 5)
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        | WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM chg""".stripMargin
   )
 }
