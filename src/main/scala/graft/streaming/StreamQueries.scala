@@ -161,10 +161,16 @@ object StreamQueries {
     val landing = ensureJsonFixture(fixtureDir("dedup", dir, "events"),
       Tables.events(s, dir).select(col("user_id"), col("event_type")))
     val tmp = tempSink()
-    val q = StreamDims.startDiscovery(s, landing, dedupSchema,
-      Seq("user_id", "event_type"), s"$tmp/out", s"$tmp/ckpt",
-      availableNow = true)
-    q.awaitTermination()
+    // stateful query: run the seen-set store at 8 instances like the
+    // other stateful stream queries (instances = shuffle partitions)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamDims.startDiscovery(s, landing, dedupSchema,
+        Seq("user_id", "event_type"), s"$tmp/out", s"$tmp/ckpt",
+        availableNow = true)
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.schema(dedupSchema).parquet(s"$tmp/out")
   }
 
