@@ -60,6 +60,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(left.select(col("k")).count() == 1)
   }
 
+  test("runtime bloom filter injects on the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // The 100 TB lever this pins: a selective dim filter becomes a bloom
+    // might_contain pre-filter on the FACT scan side, cutting shuffle
+    // volume before the join. Thresholds are sized for production scans,
+    // so the test lowers the application-side floor to let the tiny
+    // fixture qualify; broadcast is disabled because the filter targets
+    // shuffle joins.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter(col("p_retailprice") > 1800.0),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stratified sample shuffles once on the stratum key") {
     val plan = SampleOps.stratifiedByLang(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
