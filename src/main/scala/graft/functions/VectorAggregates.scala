@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * + array rebuild. Integer adds are exact and order-insensitive, which
   * is what keeps the DuckDB oracle's per-component sums bit-identical.
   *
-  * Null or wrong-width inputs are skipped (the k-means path never
-  * produces them; skipping matches sum()'s null-ignoring convention).
+  * Null inputs are skipped (sum()'s null-ignoring convention); a
+  * wrong-width array THROWS — silently skipping one would zero whole
+  * groups and e.g. freeze k-means at its seed centroids with no error
+  * anywhere downstream.
   */
 case class LongVectorSumAggregate(
     child: Expression,
@@ -39,10 +41,10 @@ case class LongVectorSumAggregate(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
-        var i = 0
-        while (i < dim) { buf(i) += arr.getLong(i); i += 1 }
-      }
+      require(arr.numElements() == dim,
+        s"vec_sum_long(dim=$dim) got an array of width ${arr.numElements()}")
+      var i = 0
+      while (i < dim) { buf(i) += arr.getLong(i); i += 1 }
     }
     buf
   }

@@ -92,11 +92,30 @@ object DimLoader {
     * pass through — the incremental alternative to WRITE_TRUNCATE when a
     * dim is too big to reload (the reference's dims are re-published
     * whole; at 100 TB a dim refresh arrives as a change batch). One
-    * anti-join shuffle on the key + a union — no window, no sort.
+    * anti-join shuffle on the key + a union — plus a per-key window over
+    * the (small) change batch when a version column disambiguates.
+    *
+    * CONTRACT: `changes` must carry at most one row per key — pass
+    * `versionCol` when a CDC batch can hold several versions of a key
+    * and the HIGHEST version must win (ties broken arbitrarily are a
+    * caller bug; version columns are unique per key in any sane CDC
+    * feed). Null keys cannot merge (SQL null never equals): a null-keyed
+    * change row would append unconditionally, so they are rejected by
+    * the anti-join contract — keep dim keys NOT NULL upstream.
     */
-  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
-    base.join(changes.select(col(key)), Seq(key), "left_anti")
-      .unionByName(changes)
+  def upsert(base: DataFrame, changes: DataFrame, key: String,
+      versionCol: Option[String] = None): DataFrame = {
+    val latest = versionCol match {
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(v).desc)
+        changes.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None => changes
+    }
+    base.join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(latest)
+  }
 
   /** S12: plain CSV lookup read. */
   def readCsvLookup(spark: SparkSession, path: String, schemaJson: String): DataFrame =

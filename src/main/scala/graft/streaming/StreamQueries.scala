@@ -120,6 +120,21 @@ object StreamQueries {
   private def tempSink(): String =
     Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
 
+  /** Run `body` with the session's shuffle partitions pinned to `n` —
+    * the stateful stream queries size their state-store instance count
+    * this way (instances = shuffle partitions). One definition so a
+    * future change (configurable count, unset-conf handling) cannot
+    * silently miss a copy. See SparkEntry's session-conf contract.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** State-store instance count for the stateful stream queries. */
+  private val StatefulShufflePartitions = 8
+
   // ---------------------------------------------------------------------
   // S9: pass-through dim stream (no transform — the reference's
   // dim_customer/dim_account Pub/Sub→BigQuery subscriptions,
@@ -161,16 +176,12 @@ object StreamQueries {
     val landing = ensureJsonFixture(fixtureDir("dedup", dir, "events"),
       Tables.events(s, dir).select(col("user_id"), col("event_type")))
     val tmp = tempSink()
-    // stateful query: run the seen-set store at 8 instances like the
-    // other stateful stream queries (instances = shuffle partitions)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withShufflePartitions(s, StatefulShufflePartitions) {
       val q = StreamDims.startDiscovery(s, landing, dedupSchema,
         Seq("user_id", "event_type"), s"$tmp/out", s"$tmp/ckpt",
         availableNow = true)
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.read.schema(dedupSchema).parquet(s"$tmp/out")
   }
 
@@ -204,9 +215,7 @@ object StreamQueries {
     val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
       windowFixtureDf(s, dir))
     val tmp = tempSink()
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withShufflePartitions(s, StatefulShufflePartitions) {
       val agg = s.readStream.schema(windowSchema).json(landing)
         .withColumn("ts", timestamp_millis(col("ms")))
         .withWatermark("ts", "10 minutes")
@@ -226,7 +235,7 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.read.parquet(s"$tmp/out")
   }
 
@@ -263,9 +272,7 @@ object StreamQueries {
     val rLanding = ensureJsonFixture(fixtureDir("sjoin_r", dir, "events"),
       sjFixtureDf(s, dir, "click"))
     val tmp = tempSink()
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withShufflePartitions(s, StatefulShufflePartitions) {
       val l = s.readStream.schema(sjSchema).json(lLanding)
         .select(col("user_id"), timestamp_millis(col("ms")).as("p_ts"),
           col("event_id").as("purchase_event_id"))
@@ -289,7 +296,7 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.read.parquet(s"$tmp/out")
   }
 

@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.lit
+
 import graft.load.DimLoader
 
 /** S7/S8 dimension load semantics: stem routing, schema application,
@@ -62,5 +64,19 @@ class DimLoaderSpec extends AnyFunSuite {
     val df = DimLoader.readCsvLookup(spark, s"$tmp/merchants.csv", schemaJson)
     assert(df.schema.fieldNames.toSeq == Seq("gateway_id", "gateway_name"))
     assert(df.collect().map(_.getAs[Long]("gateway_id")).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("SCD1 upsert: latest version wins per key, inserts land, untouched keys pass") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // key 1 appears TWICE in the change batch (a real CDC shape):
+    // version 7 must win; key 4 is a pure insert
+    val changes = Seq((1L, "a1", 5L), (1L, "a2", 7L), (4L, "d", 1L))
+      .toDF("k", "v", "ver")
+    val out = DimLoader.upsert(base.withColumn("ver", lit(0L)), changes, "k",
+        versionCol = Some("ver"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("a2", 7L), 2L -> ("b", 0L), 3L -> ("c", 0L), 4L -> ("d", 1L)))
   }
 }

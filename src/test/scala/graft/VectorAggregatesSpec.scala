@@ -29,17 +29,25 @@ class VectorAggregatesSpec extends AnyFunSuite {
     assert(out(1L) == (1 to 5).map(_ * odds))
   }
 
-  test("null and wrong-width inputs are skipped, not summed or crashed") {
+  test("null inputs are skipped; a wrong-width array fails LOUDLY") {
     import spark.implicits._
-    val df = Seq(
+    val ok = Seq(
       (1L, Some(Seq(1L, 2L, 3L))),
       (1L, None),
-      (1L, Some(Seq(9L))), // wrong width: skipped
       (1L, Some(Seq(10L, 20L, 30L)))
     ).toDF("k", "v")
-    val out = df.groupBy(col("k"))
+    val out = ok.groupBy(col("k"))
       .agg(VectorAggregates.vecSumLong(col("v"), 3).as("s"))
       .collect().head.getSeq[Long](1)
     assert(out == Seq(11L, 22L, 33L))
+    // silently skipping a mis-sized vector would zero whole groups
+    // (k-means would freeze at its seeds with no error) — it must throw
+    val bad = Seq((1L, Seq(9L))).toDF("k", "v")
+    val e = intercept[Exception] {
+      bad.groupBy(col("k"))
+        .agg(VectorAggregates.vecSumLong(col("v"), 3).as("s")).collect()
+    }
+    assert(e.getMessage.contains("vec_sum_long") ||
+      Option(e.getCause).exists(_.getMessage.contains("vec_sum_long")))
   }
 }
