@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Decoded facts of one WAV blob. */
+case class WavInfo(
+    doc_id: Long,
+    n_bytes: Long,
+    channels: Int,
+    sample_rate: Int,
+    bits_per_sample: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    sum_squares: Long,
+    sum_abs: Long)
+
+/** A REAL audio codec — WAVE/PCM is a plain byte format, so unlike the
+  * image/video paths (StubDecoder — those need native libraries this
+  * container lacks) the audio decode is the genuine article: a RIFF
+  * chunk walker that validates magic numbers, reads the fmt chunk,
+  * SKIPS unknown chunks (the encoder plants a LIST chunk precisely so a
+  * parser that assumes fixed offsets fails), and streams little-endian
+  * int16 frames out of the data chunk.
+  *
+  * The test blobs are encoded from a deterministic integer signal, so
+  * the DuckDB oracle reproduces every decoded fact (frame counts,
+  * duration, energy sums) ARITHMETICALLY — any encoder/parser bug
+  * (endianness, header offset, chunk padding) breaks the hash match.
+  */
+object WavCodec {
+
+  /** Canonical little-endian WAVE/PCM16 encoder, with a LIST/INFO chunk
+    * between fmt and data (real files carry metadata chunks; a decoder
+    * must walk, not assume offset 44).
+    */
+  def encode(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val listPayload = "INFO".getBytes("US-ASCII")
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataBytes)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort) // bits
+    out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length).put(listPayload)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(s => out.putShort(s))
+    out.array()
+  }
+
+  /** Chunk-walking decoder. Throws on anything that is not a PCM16 WAV —
+    * a media pipeline must dead-letter corrupt blobs loudly, not emit
+    * garbage stats.
+    */
+  def decode(docId: Long, bytes: Array[Byte]): WavInfo = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", s"doc $docId: not a RIFF container")
+    bb.getInt() // riff size
+    require(ascii(4) == "WAVE", s"doc $docId: not a WAVE stream")
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var nSamples = 0L
+    var sumSquares = 0L
+    var sumAbs = 0L
+    var sawData = false
+    while (bb.remaining() >= 8) {
+      val id = ascii(4)
+      val size = bb.getInt()
+      id match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort()
+          require(audioFormat == 1, s"doc $docId: not PCM (fmt=$audioFormat)")
+          channels = bb.getShort()
+          sampleRate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          bits = bb.getShort()
+          require(bits == 16, s"doc $docId: only PCM16 supported (bits=$bits)")
+          bb.position(fmtStart + size)
+        case "data" =>
+          require(channels > 0, s"doc $docId: data chunk before fmt")
+          var i = 0
+          val n = size / 2
+          while (i < n) {
+            val v = bb.getShort().toLong
+            sumSquares += v * v
+            sumAbs += math.abs(v)
+            i += 1
+          }
+          nSamples = n
+          sawData = true
+        case _ => // LIST / metadata chunks: walk past (pad to even)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(sawData, s"doc $docId: no data chunk")
+    val frames = nSamples / channels
+    WavInfo(docId, bytes.length.toLong, channels, sampleRate, bits,
+      frames, frames * 1000L / sampleRate, sumSquares, sumAbs)
+  }
+}
+
+/** Audio flavor of the multimodal family: a deterministic PCM signal per
+  * doc is ENCODED into real WAV bytes and DECODED back through the real
+  * parser, per-partition (one codec per task, the mapInPandas shape).
+  * The oracle computes the same facts from the signal arithmetic — the
+  * byte round-trip is exactly what is under test.
+  */
+object Audio {
+
+  /** Deterministic per-doc signal parameters (int64-safe ladders). */
+  private def params(docId: Long): (Int, Int, Int) = {
+    val ch = (1 + docId % 2).toInt
+    val rate = (8000 * (1 + docId % 3)).toInt
+    val frames = (200 + (docId % 101) * 7).toInt
+    (ch, rate, frames)
+  }
+
+  /** Sample j of the doc's interleaved PCM stream, in [-32768, 32767]. */
+  private def sample(docId: Long, j: Long): Short =
+    (((docId % 2147483647L) * 2654435761L % 1000003L + j * 1299721L)
+      % 65536L - 32768L).toShort
+
+  def wavStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (ch, rate, frames) = params(id)
+        val samples = Array.tabulate(frames * ch)(j => sample(id, j.toLong))
+        WavCodec.decode(id, WavCodec.encode(ch, rate, samples))
+      }
+    }.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // The decoded facts from the signal arithmetic alone: n_bytes is the
+    // exact container layout (12 RIFF/WAVE + 24 fmt + 12 LIST[INFO] +
+    // 8 + 2 bytes/sample data); energy sums fold the same ladder.
+    "q_multimodal_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |   CAST(1 + doc_id % 2 AS INT) AS channels,
+        |   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |   CAST(200 + (doc_id % 101) * 7 AS BIGINT) AS n_frames
+        |  FROM documents),
+        | s AS (SELECT doc_id, channels, sample_rate, n_frames,
+        |   unnest(generate_series(0, n_frames * channels - 1)) AS j FROM p),
+        | v AS (SELECT doc_id, channels, sample_rate, n_frames,
+        |   ((doc_id % 2147483647) * 2654435761 % 1000003 + j * 1299721)
+        |     % 65536 - 32768 AS x
+        |  FROM s)
+        |SELECT doc_id,
+        | CAST(56 + n_frames * channels * 2 AS BIGINT) AS n_bytes,
+        | channels, sample_rate,
+        | CAST(16 AS INT) AS bits_per_sample,
+        | n_frames,
+        | CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        | CAST(sum(x * x) AS BIGINT) AS sum_squares,
+        | CAST(sum(abs(x)) AS BIGINT) AS sum_abs
+        |FROM v
+        |GROUP BY doc_id, channels, sample_rate, n_frames""".stripMargin
+  )
+}

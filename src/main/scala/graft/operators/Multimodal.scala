@@ -26,12 +26,14 @@ case class ThumbMeta(
     thumb_height: Int,
     thumb_checksum: Long)
 
-/** Stand-in for a native media codec: real decoders are expensive to
-  * initialize and not thread-safe across rows, so exactly ONE instance
-  * exists per task (created in mapPartitions, reused for every row of
-  * the partition). The byte loops below are the seam where a libjpeg /
-  * ffmpeg JNI call would go — everything around them (schema,
-  * partitioning, batch shape) is the real production plumbing.
+/** Stand-in for a native IMAGE/VIDEO codec: real decoders are expensive
+  * to initialize and not thread-safe across rows, so exactly ONE
+  * instance exists per task (created in mapPartitions, reused for every
+  * row of the partition). The byte loops below are the seam where a
+  * libjpeg / ffmpeg JNI call would go — everything around them (schema,
+  * partitioning, batch shape) is the real production plumbing. The
+  * AUDIO path needs no native library and is therefore the genuine
+  * article — see [[WavCodec]] (a validated RIFF/PCM16 parser).
   */
 final class StubDecoder extends Serializable {
   import Multimodal.{FrameSize, FrameStride, P}
