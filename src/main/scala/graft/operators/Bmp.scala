@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Decoded + thumbnailed facts of one BMP blob. Channel sums are kept
+  * separate: a decoder that mixed up the BGR byte order would swap
+  * sum_r/sum_b and flip the oracle hash.
+  */
+case class BmpInfo(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_bytes: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    thumb_width: Int,
+    thumb_height: Int,
+    thumb_sum_r: Long,
+    thumb_sum_g: Long,
+    thumb_sum_b: Long)
+
+/** Decoded pixels, top-down row-major interleaved RGB. */
+final case class BmpImage(width: Int, height: Int, rgb: Array[Byte])
+
+/** A REAL image codec — 24-bit uncompressed BMP is a plain byte format
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to
+  * 4 bytes), so like the WAV path it needs no native library. The
+  * decoder honors the header's declared pixel OFFSET (never assumes 54),
+  * bottom-up row order, and row padding; the resize is a true 2x2
+  * box-filter over decoded pixels, not a byte-skip.
+  */
+object BmpCodec {
+
+  def rowSize(width: Int): Int = (3 * width + 3) / 4 * 4
+
+  /** Canonical bottom-up 24bpp encoder. */
+  def encode(img: BmpImage): Array[Byte] = {
+    val rs = rowSize(img.width)
+    val fileSize = 54 + rs * img.height
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54) // reserved, pixel offset
+    out.putInt(40).putInt(img.width).putInt(img.height)
+      .putShort(1.toShort).putShort(24.toShort) // planes, bpp
+      .putInt(0).putInt(rs * img.height) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = img.height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val p = (y * img.width + x) * 3
+        out.put(img.rgb(p + 2)).put(img.rgb(p + 1)).put(img.rgb(p)) // BGR
+        x += 1
+      }
+      var pad = rs - 3 * img.width
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Header-driven decoder; throws on anything not 24bpp uncompressed. */
+  def decode(docId: Long, bytes: Array[Byte]): BmpImage = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte,
+      s"doc $docId: not a BMP")
+    bb.getInt(); bb.getInt()
+    val pixelOffset = bb.getInt() // honor the header, never assume 54
+    bb.getInt() // info header size
+    val width = bb.getInt()
+    val height = bb.getInt()
+    require(height > 0, s"doc $docId: top-down BMPs not produced here")
+    bb.getShort()
+    val bpp = bb.getShort()
+    require(bpp == 24, s"doc $docId: only 24bpp supported (bpp=$bpp)")
+    require(bb.getInt() == 0, s"doc $docId: compressed BMP not supported")
+    val rs = rowSize(width)
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val rowStart = pixelOffset + (height - 1 - y) * rs // bottom-up
+      while (x < width) {
+        val s = rowStart + 3 * x
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(s + 2) // R
+        rgb(d + 1) = bytes(s + 1) // G
+        rgb(d + 2) = bytes(s) // B
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, rgb)
+  }
+
+  /** True 2x2 box-filter downsample (floor of the 4-pixel mean per
+    * channel); odd trailing row/column dropped.
+    */
+  def boxDownsample2x(img: BmpImage): BmpImage = {
+    val tw = img.width / 2
+    val th = img.height / 2
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        var c = 0
+        while (c < 3) {
+          def px(x: Int, y: Int): Int =
+            img.rgb((y * img.width + x) * 3 + c) & 0xff
+          val v = (px(2 * tx, 2 * ty) + px(2 * tx + 1, 2 * ty) +
+            px(2 * tx, 2 * ty + 1) + px(2 * tx + 1, 2 * ty + 1)) / 4
+          out((ty * tw + tx) * 3 + c) = v.toByte
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    BmpImage(tw, th, out)
+  }
+
+  def channelSums(img: BmpImage): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      r += img.rgb(i) & 0xff
+      g += img.rgb(i + 1) & 0xff
+      b += img.rgb(i + 2) & 0xff
+      i += 3
+    }
+    (r, g, b)
+  }
+}
+
+/** Image flavor of the multimodal family over the REAL BMP codec: a
+  * deterministic RGB test card per doc is encoded, decoded back through
+  * the header-driven parser, 2x2 box-thumbnailed on real pixels, and
+  * the thumbnail re-encoded + re-decoded (two full codec round trips).
+  * The oracle computes every fact from the pixel arithmetic alone.
+  */
+object Bmp {
+
+  private def dims(docId: Long): (Int, Int) =
+    ((16 + docId % 17).toInt, (8 + docId % 13).toInt)
+
+  /** Channel c of pixel (x, y): a deterministic ladder in [0, 256). */
+  private def pixel(docId: Long, c: Int, x: Int, y: Int): Int =
+    (((docId % 2147483647L) * 2654435761L % 1000003L +
+      x * 31L + y * 17L + c * 67L) % 256L).toInt
+
+  def bmpStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val (x, y) = (i % w, i / w)
+          var c = 0
+          while (c < 3) {
+            rgb(i * 3 + c) = pixel(id, c, x, y).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val bytes = BmpCodec.encode(BmpImage(w, h, rgb))
+        val img = BmpCodec.decode(id, bytes)
+        val (r, g, b) = BmpCodec.channelSums(img)
+        val thumb = BmpCodec.decode(id,
+          BmpCodec.encode(BmpCodec.boxDownsample2x(img)))
+        val (tr, tg, tb) = BmpCodec.channelSums(thumb)
+        BmpInfo(id, img.width, img.height, bytes.length.toLong, r, g, b,
+          thumb.width, thumb.height, tr, tg, tb)
+      }
+    }.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_bmp" -> ((s, dir) => bmpStats(s, Tables.documents(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Every decoded fact from the pixel ladder alone; n_bytes is the
+    // exact container size (54 + height * 4-byte-padded BGR rows).
+    "q_multimodal_bmp" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(16 + doc_id % 17 AS INT) AS width,
+        |   CAST(8 + doc_id % 13 AS INT) AS height,
+        |   (doc_id % 2147483647) * 2654435761 % 1000003 AS base
+        |  FROM documents),
+        | px AS (SELECT doc_id, width, height, base, x, y,
+        |   (base + x * 31 + y * 17) % 256 AS r,
+        |   (base + x * 31 + y * 17 + 67) % 256 AS g,
+        |   (base + x * 31 + y * 17 + 134) % 256 AS b
+        |  FROM d, LATERAL unnest(generate_series(0, width - 1)) AS gx(x),
+        |   LATERAL unnest(generate_series(0, height - 1)) AS gy(y)),
+        | full_sums AS (SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g,
+        |   sum(b) AS sum_b FROM px GROUP BY doc_id),
+        | tpx AS (SELECT doc_id, width, height, base, tx, ty,
+        |   ((base + (2*tx) * 31 + (2*ty) * 17) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty) * 17) % 256
+        |    + (base + (2*tx) * 31 + (2*ty+1) * 17) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty+1) * 17) % 256) // 4 AS tr,
+        |   ((base + (2*tx) * 31 + (2*ty) * 17 + 67) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty) * 17 + 67) % 256
+        |    + (base + (2*tx) * 31 + (2*ty+1) * 17 + 67) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty+1) * 17 + 67) % 256) // 4 AS tg,
+        |   ((base + (2*tx) * 31 + (2*ty) * 17 + 134) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty) * 17 + 134) % 256
+        |    + (base + (2*tx) * 31 + (2*ty+1) * 17 + 134) % 256
+        |    + (base + (2*tx+1) * 31 + (2*ty+1) * 17 + 134) % 256) // 4 AS tb
+        |  FROM d, LATERAL unnest(generate_series(0, width // 2 - 1)) AS gx(tx),
+        |   LATERAL unnest(generate_series(0, height // 2 - 1)) AS gy(ty)),
+        | thumb_sums AS (SELECT doc_id, sum(tr) AS thumb_sum_r,
+        |   sum(tg) AS thumb_sum_g, sum(tb) AS thumb_sum_b
+        |  FROM tpx GROUP BY doc_id)
+        |SELECT d.doc_id, d.width, d.height,
+        | CAST(54 + d.height * ((3 * d.width + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST(d.width // 2 AS INT) AS thumb_width,
+        | CAST(d.height // 2 AS INT) AS thumb_height,
+        | CAST(thumb_sum_r AS BIGINT) AS thumb_sum_r,
+        | CAST(thumb_sum_g AS BIGINT) AS thumb_sum_g,
+        | CAST(thumb_sum_b AS BIGINT) AS thumb_sum_b
+        |FROM d JOIN full_sums USING (doc_id) JOIN thumb_sums USING (doc_id)""".stripMargin
+  )
+}

@@ -32,8 +32,11 @@ case class ThumbMeta(
   * row of the partition). The byte loops below are the seam where a
   * libjpeg / ffmpeg JNI call would go — everything around them (schema,
   * partitioning, batch shape) is the real production plumbing. The
-  * AUDIO path needs no native library and is therefore the genuine
-  * article — see [[WavCodec]] (a validated RIFF/PCM16 parser).
+  * UNCOMPRESSED formats need no native library and are therefore the
+  * genuine article — see [[WavCodec]] (RIFF/PCM16, validated against
+  * Python's stdlib reader) and [[BmpCodec]] (24bpp BMP with a true
+  * box-filter resize, validated against the JDK's own javax.imageio
+  * reader). Only COMPRESSED codecs (jpeg/h264) remain stubbed.
   */
 final class StubDecoder extends Serializable {
   import Multimodal.{FrameSize, FrameStride, P}
