@@ -133,6 +133,18 @@ object PortableSql {
   def pseudoUniform(seedExpr: String): String =
     s"((($seedExpr) * 2654435761 % 1000003) / 1000003.0 - 0.5)"
 
+  /** Knuth seed ladder over a row id, in [0, 1000003): the ONE shared
+    * definition (Scala + SQL fragment) for codec/signal generators —
+    * hand-copying it desynchronizes a query from its oracle silently.
+    * The id is reduced mod 2^31-1 first so the multiply stays in int64
+    * under ANSI at any key range.
+    */
+  def seedLadder(id: Long): Long =
+    (id % 2147483647L) * 2654435761L % 1000003L
+
+  def seedLadderSql(idCol: String): String =
+    s"($idCol % 2147483647) * 2654435761 % 1000003"
+
   /** Dot product of two double-array columns (sequential left-to-right sum;
     * both engines fold in element order so the IEEE result is identical).
     */

@@ -69,6 +69,8 @@ object WavCodec {
     require(ascii(4) == "RIFF", s"doc $docId: not a RIFF container")
     bb.getInt() // riff size
     require(ascii(4) == "WAVE", s"doc $docId: not a WAVE stream")
+    // advance to `pos`, tolerating a missing pad byte on the final chunk
+    def seek(pos: Int): Unit = bb.position(math.min(pos, bb.limit()))
     var channels = 0
     var sampleRate = 0
     var bits = 0
@@ -79,19 +81,26 @@ object WavCodec {
     while (bb.remaining() >= 8) {
       val id = ascii(4)
       val size = bb.getInt()
+      // a corrupt negative size would walk the cursor BACKWARDS (infinite
+      // loop) or record negative frame counts — reject before using it
+      require(size >= 0 && size <= bb.remaining(),
+        s"doc $docId: chunk '$id' declares size $size with ${bb.remaining()} bytes left")
       id match {
         case "fmt " =>
           val fmtStart = bb.position()
           val audioFormat = bb.getShort()
           require(audioFormat == 1, s"doc $docId: not PCM (fmt=$audioFormat)")
           channels = bb.getShort()
+          require(channels > 0, s"doc $docId: fmt declares $channels channels")
           sampleRate = bb.getInt()
+          require(sampleRate > 0, s"doc $docId: fmt declares sample rate $sampleRate")
           bb.getInt(); bb.getShort() // byte rate, block align
           bits = bb.getShort()
           require(bits == 16, s"doc $docId: only PCM16 supported (bits=$bits)")
-          bb.position(fmtStart + size)
+          seek(fmtStart + size + (size & 1)) // pad-to-even, like any chunk
         case "data" =>
           require(channels > 0, s"doc $docId: data chunk before fmt")
+          require(!sawData, s"doc $docId: multiple data chunks")
           var i = 0
           val n = size / 2
           while (i < n) {
@@ -100,10 +109,11 @@ object WavCodec {
             sumAbs += math.abs(v)
             i += 1
           }
+          seek(bb.position() + (size & 1)) // pad-to-even
           nSamples = n
           sawData = true
         case _ => // LIST / metadata chunks: walk past (pad to even)
-          bb.position(bb.position() + size + (size & 1))
+          seek(bb.position() + size + (size & 1))
       }
     }
     require(sawData, s"doc $docId: no data chunk")
@@ -129,9 +139,11 @@ object Audio {
     (ch, rate, frames)
   }
 
-  /** Sample j of the doc's interleaved PCM stream, in [-32768, 32767]. */
+  /** Sample j of the doc's interleaved PCM stream, in [-32768, 32767].
+    * Seeded by the shared PortableSql.seedLadder.
+    */
   private def sample(docId: Long, j: Long): Short =
-    (((docId % 2147483647L) * 2654435761L % 1000003L + j * 1299721L)
+    ((graft.functions.PortableSql.seedLadder(docId) + j * 1299721L)
       % 65536L - 32768L).toShort
 
   def wavStats(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -154,7 +166,7 @@ object Audio {
     // exact container layout (12 RIFF/WAVE + 24 fmt + 12 LIST[INFO] +
     // 8 + 2 bytes/sample data); energy sums fold the same ladder.
     "q_multimodal_audio" ->
-      """WITH p AS (SELECT doc_id,
+      s"""WITH p AS (SELECT doc_id,
         |   CAST(1 + doc_id % 2 AS INT) AS channels,
         |   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
         |   CAST(200 + (doc_id % 101) * 7 AS BIGINT) AS n_frames
@@ -162,7 +174,7 @@ object Audio {
         | s AS (SELECT doc_id, channels, sample_rate, n_frames,
         |   unnest(generate_series(0, n_frames * channels - 1)) AS j FROM p),
         | v AS (SELECT doc_id, channels, sample_rate, n_frames,
-        |   ((doc_id % 2147483647) * 2654435761 % 1000003 + j * 1299721)
+        |   (${graft.functions.PortableSql.seedLadderSql("doc_id")} + j * 1299721)
         |     % 65536 - 32768 AS x
         |  FROM s)
         |SELECT doc_id,

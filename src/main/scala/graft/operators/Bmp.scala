@@ -74,12 +74,20 @@ object BmpCodec {
     bb.getInt() // info header size
     val width = bb.getInt()
     val height = bb.getInt()
+    require(width > 0, s"doc $docId: non-positive width $width")
     require(height > 0, s"doc $docId: top-down BMPs not produced here")
     bb.getShort()
     val bpp = bb.getShort()
     require(bpp == 24, s"doc $docId: only 24bpp supported (bpp=$bpp)")
     require(bb.getInt() == 0, s"doc $docId: compressed BMP not supported")
     val rs = rowSize(width)
+    // a truncated blob or adversarial declared dimensions must fail HERE
+    // with a labelled error, not as an out-of-bounds read mid-pixel-loop
+    // or a giant allocation (the length check bounds the allocation: the
+    // declared pixels must actually be present in the blob)
+    require(pixelOffset >= 54 && pixelOffset.toLong + rs.toLong * height <= bytes.length,
+      s"doc $docId: declared ${width}x$height at offset $pixelOffset " +
+        s"needs ${pixelOffset.toLong + rs.toLong * height} bytes, blob has ${bytes.length}")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -149,9 +157,12 @@ object Bmp {
   private def dims(docId: Long): (Int, Int) =
     ((16 + docId % 17).toInt, (8 + docId % 13).toInt)
 
-  /** Channel c of pixel (x, y): a deterministic ladder in [0, 256). */
+  /** Channel c of pixel (x, y): a deterministic ladder in [0, 256).
+    * Seeded by the SHARED PortableSql.seedLadder (one definition for
+    * every codec signal generator and its oracle fragment).
+    */
   private def pixel(docId: Long, c: Int, x: Int, y: Int): Int =
-    (((docId % 2147483647L) * 2654435761L % 1000003L +
+    ((graft.functions.PortableSql.seedLadder(docId) +
       x * 31L + y * 17L + c * 67L) % 256L).toInt
 
   def bmpStats(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -190,10 +201,10 @@ object Bmp {
     // Every decoded fact from the pixel ladder alone; n_bytes is the
     // exact container size (54 + height * 4-byte-padded BGR rows).
     "q_multimodal_bmp" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |   CAST(16 + doc_id % 17 AS INT) AS width,
         |   CAST(8 + doc_id % 13 AS INT) AS height,
-        |   (doc_id % 2147483647) * 2654435761 % 1000003 AS base
+        |   ${graft.functions.PortableSql.seedLadderSql("doc_id")} AS base
         |  FROM documents),
         | px AS (SELECT doc_id, width, height, base, x, y,
         |   (base + x * 31 + y * 17) % 256 AS r,

@@ -69,5 +69,19 @@ class BmpCodecSpec extends AnyFunSuite {
     val compressed = good.clone()
     compressed(30) = 1 // biCompression: BI_RGB -> BI_RLE8
     intercept[IllegalArgumentException] { BmpCodec.decode(2L, compressed) }
+    // truncated pixels: labelled reject, not an out-of-bounds read
+    intercept[IllegalArgumentException] { BmpCodec.decode(3L, good.take(60)) }
+    def patchIntLE(b: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .position(at).asInstanceOf[java.nio.ByteBuffer].putInt(v)
+      c
+    }
+    // zero width and an adversarial huge height (allocation bomb) both
+    // fail the declared-pixels-must-exist check before any allocation
+    intercept[IllegalArgumentException] { BmpCodec.decode(4L, patchIntLE(good, 18, 0)) }
+    intercept[IllegalArgumentException] {
+      BmpCodec.decode(5L, patchIntLE(good, 22, 100000000))
+    }
   }
 }
