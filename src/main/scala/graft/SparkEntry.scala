@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gen.Generators
-import graft.ingest.IngestQueries
+import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
 import graft.operators.{Analytics, AsofJoin, Audio, Bmp, DedupOps, Multimodal, SampleOps, ShuffleOps, TextOps, TypedAgg, VectorOps}
 import graft.streaming.{StreamIngest, StreamQueries}
@@ -45,7 +45,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AsofJoin.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ Audio.queries ++ Bmp.queries ++ IngestQueries.queries ++
+      VectorOps.queries ++ Multimodal.queries ++ Audio.queries ++ Bmp.queries ++ AvroWire.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries
 
@@ -54,7 +54,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ AsofJoin.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      VectorOps.oracleSql ++ Multimodal.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ IngestQueries.oracleSql ++
+      VectorOps.oracleSql ++ Multimodal.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql
 }
