@@ -139,11 +139,11 @@ object PortableSql {
     * The id is reduced mod 2^31-1 first so the multiply stays in int64
     * under ANSI at any key range.
     */
-  def seedLadder(id: Long): Long =
-    (id % 2147483647L) * 2654435761L % 1000003L
+  def seedLadder(id: Long, mod: Long = 1000003L): Long =
+    (id % 2147483647L) * 2654435761L % mod
 
-  def seedLadderSql(idCol: String): String =
-    s"($idCol % 2147483647) * 2654435761 % 1000003"
+  def seedLadderSql(idCol: String, mod: Long = 1000003L): String =
+    s"($idCol % 2147483647) * 2654435761 % $mod"
 
   /** Dot product of two double-array columns (sequential left-to-right sum;
     * both engines fold in element order so the IEEE result is identical).

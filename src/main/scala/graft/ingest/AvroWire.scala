@@ -48,14 +48,13 @@ object AvroWire {
 
   def roundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
+    // channel from the SHARED wire ladder (IngestQueries.channelFromR)
     val src = Tables.orders(s, dir).select(
         col("o_orderkey").cast("string").as("tid"),
         col("o_custkey").as("cid"),
         col("o_totalprice").as("amount"),
-        when(r < 300000, "Online Payment Gateway")
-          .when(r < 570000, "UPI").when(r < 840000, "POS")
-          .otherwise("Net Banking").as("channel"),
+        IngestQueries.channelFromR(
+          IngestQueries.rHash(col("o_orderkey"))).as("channel"),
         when(col("o_orderkey") % 10 <= 6,
           lpad(col("o_orderkey").cast("string"), 16, "4")).as("pan"))
       .as[(String, Long, Double, String, Option[String])]
@@ -101,17 +100,14 @@ object AvroWire {
     // doubles are 8 bytes; the union spends one varint on the branch
     // index. vint(n) below is the varint byte count for n < 2^28.
     "q_avro_roundtrip" ->
-      """WITH w AS (SELECT
+      s"""WITH w AS (SELECT
         |  CAST(o_orderkey AS VARCHAR) AS transaction_id,
         |  o_custkey AS customer_id,
         |  o_totalprice AS amount,
-        |  CASE WHEN r < 300000 THEN 'Online Payment Gateway'
-        |       WHEN r < 570000 THEN 'UPI'
-        |       WHEN r < 840000 THEN 'POS'
-        |       ELSE 'Net Banking' END AS transaction_channel,
+        |  ${IngestQueries.channelFromRSql("r")} AS transaction_channel,
         |  CASE WHEN o_orderkey % 10 <= 6
         |       THEN lpad(CAST(o_orderkey AS VARCHAR), 16, '4') END AS card_number
-        | FROM (SELECT *, (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r
+        | FROM (SELECT *, ${IngestQueries.rHashSql("o_orderkey")} AS r
         |       FROM orders) t),
         | sized AS (SELECT *,
         |  CASE WHEN length(transaction_id) < 64 THEN 1 ELSE 2 END

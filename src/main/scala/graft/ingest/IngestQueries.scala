@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -28,6 +28,24 @@ object IngestQueries {
     */
   val testKey: Array[Byte] = "graft-test-dek-0123456789abcdef!".getBytes("UTF-8")
 
+  /** Wire channel ladder — ONE definition (Spark Column + SQL fragment)
+    * shared by the wire builder, the Avro round-trip, and the oracle
+    * dialects; hand-copies of the thresholds desynchronize silently.
+    * `r` is the Knuth hash of the order key in [0, 1e6).
+    */
+  def rHash(orderKey: Column): Column =
+    (orderKey % lit(2147483647L)) * lit(2654435761L) % 1000000
+  def rHashSql(keyCol: String): String =
+    s"($keyCol % 2147483647) * 2654435761 % 1000000"
+  def channelFromR(r: Column): Column =
+    when(r < 300000, "Online Payment Gateway")
+      .when(r < 570000, "UPI").when(r < 840000, "POS").otherwise("Net Banking")
+  def channelFromRSql(r: String): String =
+    s"""CASE WHEN $r < 300000 THEN 'Online Payment Gateway'
+       |      WHEN $r < 570000 THEN 'UPI'
+       |      WHEN $r < 840000 THEN 'POS'
+       |      ELSE 'Net Banking' END""".stripMargin
+
   /** Deterministic wire-format records from orders. Key hashes reduce the
     * key mod 2^31-1 first so the Knuth multiply never overflows int64
     * under ANSI (same values for keys < 2^31-1).
@@ -39,7 +57,7 @@ object IngestQueries {
     * genuinely absent on the wire, not null-valued).
     */
   def wireFromOrders(orders: DataFrame): DataFrame = {
-    val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
+    val r = rHash(col("o_orderkey"))
     val pm = col("o_orderkey") % 10
     val hasTid = col("o_orderkey") % 101 =!= 1
     val pan = when(pm <= 6, lpad(col("o_orderkey").cast("string"), 16, "4"))
@@ -54,8 +72,7 @@ object IngestQueries {
     val disc = when(col("o_orderkey") % 7 === 0,
       round(amtD * lit(0.05).cast(DecimalType(4, 2)), 2))
       .otherwise(lit(0).cast(DecimalType(18, 2)))
-    val channel = when(r < 300000, "Online Payment Gateway")
-      .when(r < 570000, "UPI").when(r < 840000, "POS").otherwise("Net Banking")
+    val channel = channelFromR(r)
     orders.select(to_json(struct(
       when(hasTid, col("o_orderkey").cast("string")).as("transaction_id"),
       col("o_custkey").as("customer_id"),
@@ -147,8 +164,8 @@ object IngestQueries {
 
   /** Shared oracle CTE: the deterministic wire fields, straight from orders. */
   private val srcCte =
-    """w AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
-      |  (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r,
+    s"""w AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      |  ${rHashSql("o_orderkey")} AS r,
       |  o_orderkey % 10 AS pm,
       |  CASE WHEN o_orderkey % 10 <= 6 THEN lpad(CAST(o_orderkey AS VARCHAR), 16, '4')
       |       WHEN o_orderkey % 10 = 7 THEN lpad(CAST(o_orderkey AS VARCHAR), 12, '4')
@@ -172,10 +189,7 @@ object IngestQueries {
          |   - CASE WHEN o_orderkey % 7 = 0
          |     THEN round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.05 AS DECIMAL(4,2)), 2)
          |     ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS total_amount,
-         | CASE WHEN r < 300000 THEN 'Online Payment Gateway'
-         |      WHEN r < 570000 THEN 'UPI'
-         |      WHEN r < 840000 THEN 'POS'
-         |      ELSE 'Net Banking' END AS transaction_channel,
+         | ${channelFromRSql("r")} AS transaction_channel,
          | o_orderkey % 5 = 0 AS is_recurring,
          | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS transaction_datetime,
          | CASE WHEN pan IS NOT NULL THEN

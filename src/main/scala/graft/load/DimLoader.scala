@@ -166,8 +166,11 @@ object DimLoader {
       val updates = cust.filter(col("c_custkey") % 10 === 3)
         .withColumn("c_mktsegment", lit("UPDATED"))
         .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      // insert keys live in a DISJOINT namespace (1e10 + key): a small
+      // additive offset collides with real keys at large scale factors,
+      // silently breaking the one-row-per-key contract being shown
       val inserts = cust.filter(col("c_custkey") % 17 === 5)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        .select((col("c_custkey") + 10000000000L).as("c_custkey"), col("c_name"),
           lit("INSERTED").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
       upsert(cust, updates.unionByName(inserts), "c_custkey")
     })
@@ -187,7 +190,7 @@ object DimLoader {
         |   c_acctbal + 1000.0 AS c_acctbal
         |  FROM customer WHERE c_custkey % 10 = 3
         |  UNION ALL
-        |  SELECT c_custkey + 1000000 AS c_custkey, c_name,
+        |  SELECT c_custkey + 10000000000 AS c_custkey, c_name,
         |   'INSERTED' AS c_mktsegment, 0.0 AS c_acctbal
         |  FROM customer WHERE c_custkey % 17 = 5)
         |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer

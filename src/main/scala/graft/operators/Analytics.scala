@@ -276,14 +276,12 @@ object Analytics {
     // 2^63 for any BIGINT key (ANSI-overflow-safe at 100 TB key ranges);
     // identical values for keys < 2^31-1.
     "q_weighted_channel" -> ((s, dir) => {
-      val r = (col("o_orderkey") % lit(2147483647L)) * lit(2654435761L) % 1000000
+      // ladder shared with the wire builder (IngestQueries.channelFromR)
       Tables.orders(s, dir)
-        .select(col("o_totalprice"), r.as("r"))
         .select(col("o_totalprice"),
-          when(col("r") < 300000, "Online Payment Gateway")
-            .when(col("r") < 570000, "UPI")
-            .when(col("r") < 840000, "POS")
-            .otherwise("Net Banking").as("channel"))
+          graft.ingest.IngestQueries.rHash(col("o_orderkey")).as("r"))
+        .select(col("o_totalprice"),
+          graft.ingest.IngestQueries.channelFromR(col("r")).as("channel"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amount"))
     }),
@@ -522,13 +520,10 @@ object Analytics {
         |FROM customer""".stripMargin,
 
     "q_weighted_channel" ->
-      """SELECT CASE WHEN r < 300000 THEN 'Online Payment Gateway'
-        |  WHEN r < 570000 THEN 'UPI'
-        |  WHEN r < 840000 THEN 'POS'
-        |  ELSE 'Net Banking' END AS channel,
+      s"""SELECT ${graft.ingest.IngestQueries.channelFromRSql("r")} AS channel,
         | count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
-        |FROM (SELECT (o_orderkey % 2147483647) * 2654435761 % 1000000 AS r, o_totalprice
+        |FROM (SELECT ${graft.ingest.IngestQueries.rHashSql("o_orderkey")} AS r, o_totalprice
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
 

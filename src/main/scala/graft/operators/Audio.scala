@@ -101,6 +101,7 @@ object WavCodec {
         case "data" =>
           require(channels > 0, s"doc $docId: data chunk before fmt")
           require(!sawData, s"doc $docId: multiple data chunks")
+          val dataStart = bb.position()
           var i = 0
           val n = size / 2
           while (i < n) {
@@ -109,7 +110,10 @@ object WavCodec {
             sumAbs += math.abs(v)
             i += 1
           }
-          seek(bb.position() + (size & 1)) // pad-to-even
+          // seek from CHUNK START: an odd data size leaves one unread
+          // payload byte before the pad — seeking from the post-read
+          // cursor would misalign the walker by one byte
+          seek(dataStart + size + (size & 1))
           nSamples = n
           sawData = true
         case _ => // LIST / metadata chunks: walk past (pad to even)

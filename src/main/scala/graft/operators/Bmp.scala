@@ -80,14 +80,16 @@ object BmpCodec {
     val bpp = bb.getShort()
     require(bpp == 24, s"doc $docId: only 24bpp supported (bpp=$bpp)")
     require(bb.getInt() == 0, s"doc $docId: compressed BMP not supported")
-    val rs = rowSize(width)
     // a truncated blob or adversarial declared dimensions must fail HERE
     // with a labelled error, not as an out-of-bounds read mid-pixel-loop
-    // or a giant allocation (the length check bounds the allocation: the
-    // declared pixels must actually be present in the blob)
-    require(pixelOffset >= 54 && pixelOffset.toLong + rs.toLong * height <= bytes.length,
+    // or a giant allocation. Row size is computed in LONG: 3*width+3
+    // overflows Int for width near 2^31/3, which would wrap to a tiny rs
+    // and slip past the length check below.
+    val rsL = (3L * width + 3L) / 4L * 4L
+    require(pixelOffset >= 54 && pixelOffset.toLong + rsL * height <= bytes.length,
       s"doc $docId: declared ${width}x$height at offset $pixelOffset " +
-        s"needs ${pixelOffset.toLong + rs.toLong * height} bytes, blob has ${bytes.length}")
+        s"needs ${pixelOffset.toLong + rsL * height} bytes, blob has ${bytes.length}")
+    val rs = rsL.toInt // safe: bounded by bytes.length above
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

@@ -23,12 +23,11 @@ object SampleOps {
   val StratumK = 50
   val UniformK = 100
 
-  /** Pseudo-random order key from the row id (PortableSql-style ladder:
-    * reduce mod 2^31-1 first so the Knuth multiply stays in int64 under
-    * ANSI at any key range).
+  /** Pseudo-random order key from the row id — the SHARED seed ladder
+    * (PortableSql.seedLadderSql) at the big-prime modulus.
     */
   private def hashKey(c: String): String =
-    s"($c % 2147483647) * 2654435761 % 1000000007"
+    graft.functions.PortableSql.seedLadderSql(c, mod = 1000000007L)
 
   /** Stratified sample: the first `StratumK` docs of each language by
     * hash order. One shuffle on the stratum key; the per-stratum window

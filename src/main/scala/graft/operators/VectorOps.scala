@@ -230,11 +230,10 @@ object VectorOps {
     * centroids, one narrow pass, then the corpus is laid out
     * cell-partitioned so a query touches only its probed cells.
     */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    // one narrow materialization feeds seeds, both Lloyd's iterations and
-    // the final assignment pass (lifecycle caller-owned, as throughout)
-    val vecs = normalized(emb, withLabel = false).cache()
-    val cents = lloydCentroids(vecs)
+  /** Nearest-refined-centroid assignment of every vector (the shared
+    * tail of ivfAssign and ivfTopK — both must see the SAME centroids).
+    */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     vecs.crossJoin(broadcast(cents))
@@ -245,17 +244,26 @@ object VectorOps {
       .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
   }
 
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    // one narrow materialization feeds seeds, both Lloyd's iterations and
+    // the final assignment pass (lifecycle caller-owned, as throughout)
+    val vecs = normalized(emb, withLabel = false).cache()
+    assignTo(vecs, lloydCentroids(vecs))
+  }
+
   /** IVF probe search: evaluate the query vector only against vectors
     * whose cell is one of the `IvfProbes` nearest centroids — the
     * recall/cost dial of a 100 TB ANN index (cells not probed are never
     * scanned; with cell-partitioned storage that is partition pruning).
+    * Probe selection and assignment use the SAME Lloyd-refined
+    * centroids: probing the raw seeds against refined assignments would
+    * scan cells that are not actually the query's nearest.
     */
   def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val assign = ivfAssign(emb)
-    val vecs = normalized(emb, withLabel = false)
+    val vecs = normalized(emb, withLabel = false).cache()
+    val cents = lloydCentroids(vecs)
+    val assign = assignTo(vecs, cents)
     val q = vecs.filter(col("vec_id") === queryId).select(col("vn").as("qv"))
-    val cents = vecs.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
     val probed = cents.crossJoin(broadcast(q))
       .select(col("centroid_id"), dotCol(col("cv"), col("qv")).as("qcos"))
       .orderBy(col("qcos").desc, col("centroid_id").asc)
