@@ -66,6 +66,15 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("cluster propagation on an empty pair set short-circuits to self-labels") {
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = DedupOps.clustersFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("cluster propagation converges on a cycle") {
     import spark.implicits._
     val nodes = (1L to 3L).toDF("doc_id")

@@ -60,6 +60,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(left.select(col("k")).count() == 1)
   }
 
+  test("q_topk_parts plans broadcast join + TakeOrderedAndProject, no global sort") {
+    // r4 bench forensics (Bench.scala header): the driver-side 7.06s was
+    // first-hit compilation + environment, not the plan. Pin the plan so
+    // a future regression that IS plan-shaped (broadcast falling back to
+    // SMJ, limit+sort losing the TakeOrdered rewrite) fails loudly here.
+    val plan = SparkEntry.queries("q_topk_parts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k must never global-sort:\n$plan")
+  }
+
   test("runtime bloom filter injects on the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // The 100 TB lever this pins: a selective dim filter becomes a bloom
