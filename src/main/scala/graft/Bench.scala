@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * explicit `failed` array (a -1 sentinel summed into, or silently
   * excluded from, `total` misreads breakage as speedup — ADVICE r3).
   *
+  * ROUND-6 CAVEAT — the wall~=cpu rule FAILS under heavy external
+  * contention: round 5's driver run showed q_range_join at 32s wall /
+  * 46s cpu while the identical commit, same sf, same local[32] measures
+  * 1.4s wall / 6.7s cpu here — PROCESS cpu itself inflates ~7x when the
+  * host is oversubscribed (cache thrash, involuntary context switches,
+  * compiler threads re-running). Two contention-proof discriminators now
+  * ship per query: (1) Spark TaskMetrics sums ("tasks", "task_run_s",
+  * "task_cpu_s", "task_gc_s", "sched_delay_s") — task cpu is measured on
+  * the task thread itself, and a large sched_delay or run>>cpu gap reads
+  * as starvation; (2) a fixed single-threaded arithmetic probe
+  * (calibrateProbe) timed at bench start/middle/end — measured 0.63-0.69s
+  * inside an otherwise-idle local bench ("probe_baseline_sec"); a
+  * driver-run probe far above that proves the environment, not the
+  * code, inflated the numbers.
+  *
   * ROUND-5 CAVEAT to the wall~=cpu rule — first-hit compilation ALSO
   * shows up as wall~=cpu (even cpu > wall), because janino and the C2
   * JIT burn process-CPU on compiler threads concurrently with the task
@@ -78,6 +93,53 @@ object Bench {
     def cpuNanos(): Long = osBean.getProcessCpuTime
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+    // Contention-proof telemetry #1: per-task metrics, measured by Spark on
+    // the task thread itself. Snapshot the accumulators around each query.
+    final class TaskAgg extends org.apache.spark.scheduler.SparkListener {
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
+      val schedMs = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          tasks.incrementAndGet()
+          runMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          val i = e.taskInfo
+          if (i != null) {
+            val sched = (i.finishTime - i.launchTime) - m.executorRunTime -
+              m.executorDeserializeTime - m.resultSerializationTime
+            schedMs.addAndGet(math.max(0L, sched))
+          }
+        }
+      }
+      def snapshot(): (Long, Long, Long, Long, Long) =
+        (tasks.get, runMs.get, cpuNs.get, gcMs.get, schedMs.get)
+    }
+    val taskAgg = new TaskAgg
+    spark.sparkContext.addSparkListener(taskAgg)
+
+    // Contention-proof telemetry #2: a fixed single-threaded arithmetic
+    // probe. Its work is constant, allocation-free, and independent of any
+    // query — measured 0.63-0.69s inside an otherwise-idle local bench
+    // (recorded as "probe_baseline_sec" in the output for comparison).
+    // A probe reading far above that during a driver run measures the
+    // HOST's contention directly, with no query code in the loop.
+    def calibrateProbe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) { // xorshift64*, 2e8 rounds
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545f4914f6cdd1dL; i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Untimed warmup: JIT, codegen, and parquet-footer caches across the
     // machinery classes the queries share (scan+filter, join+agg,
@@ -138,9 +200,16 @@ object Bench {
       case (n, _) => only.forall(_.contains(n))
     }
     case class Res(name: String, wall: Double, cpu: Double, gc: Double,
-      heapMb: Long, ok: Boolean)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      heapMb: Long, ok: Boolean, tasks: Long, taskRun: Double, taskCpu: Double,
+      taskGc: Double, sched: Double)
+    val probeStart = calibrateProbe()
+    var probeMid = -1.0
+    val mid = selected.size / 2
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
+      if (idx == mid && selected.size > 2) probeMid = calibrateProbe()
       val (t0, c0, g0) = (System.nanoTime(), cpuNanos(), gcMillis())
+      val (tk0, tr0, tc0, tg0, ts0) = taskAgg.snapshot()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
@@ -150,6 +219,12 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (cpuNanos() - c0) / 1e9
       val gc = (gcMillis() - g0) / 1e3
+      // Listener events are posted async; give the bus a beat so task sums
+      // attribute to the query that ran them (ordering is preserved, so a
+      // late event only ever shifts into the NEXT query's idle gap).
+      val (tk1, tr1, tc1, tg1, ts1) = {
+        Thread.sleep(50); taskAgg.snapshot()
+      }
       // Queries own their caches only for their own lifetime; drop any
       // persisted blocks so later queries don't pay eviction + GC for
       // dead cached data (q_topk_parts regressed 9x in round 2 from this).
@@ -161,20 +236,26 @@ object Bench {
         System.err.println(s"[bench] WARNING: $cached persistent RDDs survived " +
           s"clearCache after $name — subsequent timings may be polluted")
       val heapMb = memBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
-      Res(name, wall, cpu, gc, heapMb, ok)
+      Res(name, wall, cpu, gc, heapMb, ok, tk1 - tk0, (tr1 - tr0) / 1e3,
+        (tc1 - tc0) / 1e9, (tg1 - tg0) / 1e3, (ts1 - ts0) / 1e3)
     }
+    val probeEnd = calibrateProbe()
     def fmt(d: Double): String = BigDecimal(d).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map(r => s""""${r.name}":${if (r.ok) fmt(r.wall) else -1.0}""")
       .mkString("{", ",", "}")
     val env = results.map(r =>
-      s""""${r.name}":{"cpu":${fmt(r.cpu)},"gc":${fmt(r.gc)},"heap_mb":${r.heapMb}}""")
+      s""""${r.name}":{"cpu":${fmt(r.cpu)},"gc":${fmt(r.gc)},"heap_mb":${r.heapMb},""" +
+      s""""tasks":${r.tasks},"task_run_s":${fmt(r.taskRun)},"task_cpu_s":${fmt(r.taskCpu)},""" +
+      s""""task_gc_s":${fmt(r.taskGc)},"sched_delay_s":${fmt(r.sched)}}""")
       .mkString("{", ",", "}")
     val failed = results.filter(!_.ok).map(r => s""""${r.name}"""")
       .mkString("[", ",", "]")
     val total = results.filter(_.ok).map(_.wall).sum
+    val probes = s"""[${fmt(probeStart)},${fmt(probeMid)},${fmt(probeEnd)}]"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"warm_fixtures_ok":$warmFixturesOk,"env":$env,""" +
+      s""""probe_sec":$probes,"probe_baseline_sec":0.65,""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
     // The FULL record (per-query walls + cpu/gc/heap telemetry) goes to
     // BENCH.json and an early stdout line. The LAST stdout line is a
