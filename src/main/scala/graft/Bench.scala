@@ -70,9 +70,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val parallelismFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // parallelismFirst=false lets AQE shrink tiny exchanges to the
+      // advisory size instead of pinning them at defaultParallelism — the
+      // setting Spark's own docs recommend. At bench SF most exchanges
+      // are KBs, so interior stages collapse from 32 tasks of launch
+      // overhead to 1 (measured: an 11-query hot subset 37.4s -> 28.4s,
+      // iterative/multi-stage queries ~2x, zero regressions — a plain
+      // shuffle.partitions=8 pin won the same queries but cost
+      // q_stream_ingest/q_star_join 2x, so coalescing must stay adaptive).
+      // At 100 TB the same setting keeps full parallelism: exchanges are
+      // GBs, and advisory-size coalescing only merges genuinely tiny
+      // partitions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", parallelismFirst)
+      // The iterative operators (dedup clusters, Lloyd's k-means) hang
+      // their loops off .cache()d frames, and Spark pins cached-plan
+      // output partitioning by default — so without this flag their
+      // KB-sized exchanges stay at 32 partitions and every loop round
+      // pays 32 task launches per stage. Purely physical: row results
+      // are partition-count independent.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
       .config("spark.ui.enabled", "false")

@@ -17,7 +17,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Ensure at least `defaultParallelism` partitions behind `df`.
+  /** Give `df` enough partitions for per-row-expensive downstream work.
     *
     * The testdata files are single-row-group parquet, which Spark cannot
     * split below one task — so any per-row-expensive operator (shingling,
@@ -25,11 +25,24 @@ object Tables {
     * how many cores exist. On a real cluster a 100 TB input arrives as
     * thousands of row-group splits and this is a NO-OP (it never
     * coalesces); the round-robin shuffle only fires when the scan has
-    * fewer splits than cores, where shuffling the (tiny, by definition)
-    * input is the cost of using the machine.
+    * fewer splits than the byte-proportional target.
+    *
+    * The target is sized by INPUT BYTES (~128 KB/task — sub-second tasks
+    * even for interpreted higher-order kernels), capped at
+    * defaultParallelism. A fixed repartition(cores) spread a 780 KB
+    * embeddings table over 32 cached partitions, and every job over the
+    * cached frame — the IVF/LSH chains run many — paid 32 task launches
+    * per stage for ~60 rows each; overhead, not parallelism (round 6).
     */
   def balanced(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+    val bytes = df.inputFiles.map { f =>
+      val p = new java.io.File(new java.net.URI(f).getPath)
+      math.max(0L, p.length)
+    }.sum
+    val byTarget =
+      if (bytes <= 0L) spark.sparkContext.defaultParallelism // non-file source: old rule
+      else ((bytes + (128 << 10) - 1) / (128 << 10)).toInt
+    val target = math.max(1, math.min(spark.sparkContext.defaultParallelism, byTarget))
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

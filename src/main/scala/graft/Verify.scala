@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
+      // match Bench: coalesce tiny exchanges to the advisory size (results
+      // are partition-count independent; this only cuts task overhead)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -183,20 +182,26 @@ object VectorOps {
     * classic distributed k-means step.
     */
   private def lloydIter(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
+    // Nearest centroid as a partial-aggregatable argmax (max_by over a
+    // (cos, -centroid_id) struct — identical ordering to the row_number
+    // window it replaced: highest cosine wins, ties to the LOWEST id).
+    // The window shuffled all N×K crossJoin rows carrying the 64-double
+    // vn array; max_by map-side-combines to N narrow rows before the
+    // exchange, and vn is re-fetched from the cached `vecs` by a join
+    // only for the rows that survive. Same argmax, ~K× less exchanged.
     val asg = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("vn"), col("centroid_id"),
+      .select(col("vec_id"), col("centroid_id"),
         dotCol(col("vn"), col("cv")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
     // component sums via the native vector-sum aggregate: one mutable
     // Array[Long] buffer per centroid, map-side partial + merge — ONE
     // shuffle of K×dim-long buffers. (A 64-column sum compiled a huge
     // codegen unit; posexplode multiplied rows by dim and needed a
     // second groupBy to rebuild the array.) Integer sums are exact and
     // order-insensitive, so the oracle's per-component sums still match.
-    val sums = asg
+    val sums = asg.join(vecs, "vec_id")
       .select(col("centroid_id"),
         expr("transform(vn, x -> CAST(round(x * 1000000.0) AS BIGINT))").as("mv"))
       .groupBy(col("centroid_id"))
@@ -234,14 +239,17 @@ object VectorOps {
     * tail of ivfAssign and ivfTopK — both must see the SAME centroids).
     */
   private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
+    // same argmax-as-aggregation shape as lloydIter: the max_by partial
+    // combines N×K assignment candidates down to N rows map-side, where
+    // the row_number window it replaced exchanged all N×K rows
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         round(dotCol(col("vn"), col("cv")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("cos")),
+        struct(col("cos"), (-col("centroid_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.cos").as("centroid_cos"))
   }
 
   def ivfAssign(emb: DataFrame): DataFrame = {
