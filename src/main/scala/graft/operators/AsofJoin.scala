@@ -28,8 +28,10 @@ import graft.Tables
   *     argmax the oracle reproduces by deduplicating before its ASOF.
   *
   * At 100 TB this partitions by key like every windowed operator — only
-  * each key's history must fit an executor, and a running-state variant
-  * (mapGroupsWithState) covers the streaming twin.
+  * each key's history must fit an executor. The streaming twin is
+  * [[graft.streaming.StreamAsof]]: constant latest-right-row state per
+  * key via flatMapGroupsWithState, probes emitting on arrival
+  * (`q_stream_asof`, same oracle family as this operator).
   */
 object AsofJoin {
 

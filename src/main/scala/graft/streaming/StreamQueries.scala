@@ -126,14 +126,14 @@ object StreamQueries {
     * future change (configurable count, unset-conf handling) cannot
     * silently miss a copy. See SparkEntry's session-conf contract.
     */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  private[streaming] def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** State-store instance count for the stateful stream queries. */
-  private val StatefulShufflePartitions = 8
+  private[streaming] val StatefulShufflePartitions = 8
 
   // ---------------------------------------------------------------------
   // S9: pass-through dim stream (no transform — the reference's
