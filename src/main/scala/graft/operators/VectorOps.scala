@@ -160,6 +160,62 @@ object VectorOps {
       .filter(col("cosine") >= AnnMinCosine)
   }
 
+  /** Occupancy target for the q_emb_lsh_scaling oracle row (8 rather
+    * than bitsForCorpusSize's default 32 so the bench corpora are big
+    * enough for bits to actually move between the two sizes).
+    */
+  val ScalingTargetOccupancy = 8L
+
+  /** Oracle row for the bits = f(N) dial (VERDICT r4 ask #6): bucket
+    * occupancy statistics at TWO corpus sizes — the full table and the
+    * lower-half of vec_ids — each hashed at its own
+    * `bitsForCorpusSize(n, 8)` width. Because bit j of a bucket comes
+    * from plane j, a narrower table-0 bucket is exactly the low-bits
+    * MASK of the full-width one, so one bucket pass at BitsPerTable
+    * serves every width <= BitsPerTable (the cap below) and the whole
+    * query stays declarative — n, bits, and the mask are computed
+    * in-plan, no driver-side count. The pinned invariant is the
+    * occupancy RATIO between the two sizes: absolute occupancy tracks
+    * how clustered the corpus is (uniform-hash expectation is the
+    * target; clustered data sits above it), but if bits grows one per
+    * doubling, occupancy is SIZE-INVARIANT — `ratio_in_band` asserts
+    * occ_full/occ_half in [0.5, 2] while the cell count doubles.
+    */
+  def lshOccupancyScaling(emb: DataFrame): DataFrame = {
+    val bkt = withAllBuckets(normalized(emb, withLabel = false), BitsPerTable)
+      .select(col("vec_id"), col("bucket_0")).cache()
+    val half = bkt.crossJoin(bkt.agg(max(col("vec_id")).as("mxid")))
+      .filter(expr("vec_id <= mxid DIV 2"))
+      .select(col("vec_id"), col("bucket_0"))
+    val ratio = col("f.avg_occupancy") / col("h.avg_occupancy")
+    occupancyStats(bkt, "full").as("f")
+      .crossJoin(occupancyStats(half, "half_ids").as("h"))
+      .select(
+        col("f.n").as("n_full"), col("f.bits").as("bits_full"),
+        col("f.n_buckets").as("buckets_full"), col("f.avg_occupancy").as("occ_full"),
+        col("h.n").as("n_half"), col("h.bits").as("bits_half"),
+        col("h.n_buckets").as("buckets_half"), col("h.avg_occupancy").as("occ_half"),
+        ratio.as("occ_ratio"),
+        (ratio >= 0.5 && ratio <= 2.0).cast("int").as("ratio_in_band"))
+  }
+
+  private def occupancyStats(bkt: DataFrame, label: String): DataFrame = {
+    bkt.crossJoin(bkt.agg(count(lit(1)).as("n")))
+      // exact Scala bitsForCorpusSize(n, 8) in-plan: ceil/log2/greatest
+      // agree across engines (log2 hits exact doubles at powers of two,
+      // and non-integer values sit ulps away from any ceil boundary);
+      // LEAST(.., BitsPerTable) is the mask-trick bound — planes above
+      // BitsPerTable-1 were never hashed
+      .withColumn("bits", least(
+        greatest(lit(4L), ceil(log2(ceil(col("n") / ScalingTargetOccupancy.toDouble)))),
+        lit(BitsPerTable.toLong)))
+      .withColumn("bk", col("bucket_0") % expr("CAST(round(pow(2.0, bits)) AS BIGINT)"))
+      .groupBy(col("n"), col("bits"))
+      .agg(countDistinct(col("bk")).as("n_buckets"))
+      .select(col("n"), col("bits"), col("n_buckets"),
+        (col("n").cast("double") / col("n_buckets")).as("avg_occupancy"))
+  }
+
   val IvfCells = 16
   val IvfProbes = 2
   val IvfIters = 2
@@ -307,7 +363,8 @@ object VectorOps {
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
-    "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir)))
+    "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
+    "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -361,6 +418,32 @@ object VectorOps {
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $DedupMinCosine""".stripMargin,
+
+      "q_emb_lsh_scaling" -> {
+        val t = ScalingTargetOccupancy
+        val stats = (src: String) =>
+          s"""SELECT p.n, p.bits,
+             |  count(DISTINCT b.bucket_0 % CAST(round(pow(2.0, p.bits)) AS BIGINT)) AS n_buckets,
+             |  CAST(p.n AS DOUBLE) / count(DISTINCT b.bucket_0 % CAST(round(pow(2.0, p.bits)) AS BIGINT)) AS avg_occupancy
+             | FROM $src b, (SELECT n,
+             |     LEAST(GREATEST(4, CAST(ceil(log2(ceil(n / $t.0))) AS BIGINT)), $BitsPerTable) AS bits
+             |   FROM (SELECT count(*) AS n FROM $src) z) p
+             | GROUP BY p.n, p.bits""".stripMargin
+        s"""WITH $normCte,
+           | bkt AS (SELECT vec_id, ${bucketExpr(0, duck = true)} AS bucket_0 FROM e),
+           | half AS (SELECT vec_id, bucket_0 FROM bkt,
+           |   (SELECT max(vec_id) AS mxid FROM bkt) m WHERE vec_id <= mxid // 2),
+           | f AS (${stats("bkt")}),
+           | h AS (${stats("half")})
+           |SELECT f.n AS n_full, f.bits AS bits_full,
+           | f.n_buckets AS buckets_full, f.avg_occupancy AS occ_full,
+           | h.n AS n_half, h.bits AS bits_half,
+           | h.n_buckets AS buckets_half, h.avg_occupancy AS occ_half,
+           | f.avg_occupancy / h.avg_occupancy AS occ_ratio,
+           | CAST(f.avg_occupancy / h.avg_occupancy >= 0.5
+           |   AND f.avg_occupancy / h.avg_occupancy <= 2.0 AS INT) AS ratio_in_band
+           |FROM f, h""".stripMargin
+      },
 
       "q_emb_ivf_assign" ->
         s"""WITH $normCte,
