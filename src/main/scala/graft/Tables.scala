@@ -43,7 +43,15 @@ object Tables {
       if (bytes <= 0L) spark.sparkContext.defaultParallelism // non-file source: old rule
       else ((bytes + (128 << 10) - 1) / (128 << 10)).toInt
     val target = math.max(1, math.min(spark.sparkContext.defaultParallelism, byTarget))
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // hash-repartition on the full row, NOT round-robin: argless
+    // repartition() local-sorts every row first (Spark's retry-
+    // determinism rule, sortBeforeRepartition) — measured 8x the cpu of
+    // the aggregate it was feeding on a 150k-row table. A full-row hash
+    // is deterministic without sorting and spreads distinct-ish rows
+    // uniformly.
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

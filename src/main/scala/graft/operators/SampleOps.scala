@@ -85,8 +85,11 @@ object SampleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
-    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.orders(s, dir))),
-    "q_approx_quantiles" -> ((s, dir) => approxQuantileInvariant(Tables.orders(s, dir)))
+    // balanced: exact percentile buffers are per-row expensive and the
+    // single-row-group scan would aggregate 1-task; percentile merges
+    // are order-insensitive so partitioning cannot change the result
+    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.balanced(s, Tables.orders(s, dir)))),
+    "q_approx_quantiles" -> ((s, dir) => approxQuantileInvariant(Tables.balanced(s, Tables.orders(s, dir))))
   )
 
   def oracleSql: Map[String, String] = Map(

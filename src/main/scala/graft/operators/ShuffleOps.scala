@@ -105,12 +105,19 @@ object ShuffleOps {
     // A9: HLL approximate distinct. Raw sketch counts differ between
     // engines (different HLL impls), so the oracle-checked claim is the
     // accuracy INVARIANT: each engine's own estimate lands within 5% of
-    // the exact distinct count. Spark's sketch is tightened to rsd=0.01
-    // (the default 0.05 means a ~1-sigma 5% bound — it missed at sf0.01).
+    // the exact distinct count. rsd=0.02: the default 0.05 (~1-sigma 5%)
+    // missed deterministically at sf0.01 (6.67%), while 0.02 measures
+    // 0.0-0.6% error at every SF — 8x margin — and its sketch costs a
+    // fraction of the rsd=0.01 one this query shipped with (which alone
+    // was ~1.5s of the bench: register count grows ~1/rsd^2).
     "q_approx_distinct" -> ((s, dir) => {
-      Tables.orders(s, dir).agg(
+      // balanced: the distinct Expand + register updates are per-row
+      // expensive, and the single-row-group scan would run them 1-task
+      // (both aggregates merge order-insensitively, so partitioning
+      // cannot change the result)
+      Tables.balanced(s, Tables.orders(s, dir)).agg(
           countDistinct(col("o_custkey")).as("exact_custs"),
-          approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
         .select(col("exact_custs"),
           (abs(col("approx") - col("exact_custs")).cast("double") /
             col("exact_custs") <= 0.05).as("approx_within_5pct"))
