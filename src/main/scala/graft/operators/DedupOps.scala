@@ -203,6 +203,59 @@ object DedupOps {
       .filter(col("jaccard") >= NgramThreshold)
   }
 
+  /** Frequency-ordered prefix filtering — the "next dial at extreme
+    * scale" the value-ordered variant's scaladoc names. The prefix bound
+    * holds under ANY fixed total order of the shingle universe; ordering
+    * by ascending document frequency (ties by hash) puts each doc's
+    * RAREST shingles in its prefix, so hot shingles — the ones whose
+    * prefix buckets go quadratic — almost never appear in prefixes at
+    * all. Cost: one global (source, shingle) frequency aggregation and a
+    * per-doc rank window — three extra narrow shuffles, the classic
+    * PPJoin trade: worth it exactly when some shingle's bucket
+    * population² dwarfs the frequency pass, i.e. at scale, on skewed
+    * corpora. Result set is IDENTICAL to ngramJaccardPairs (the filter
+    * is lossless under either order), so the oracle is the same Jaccard
+    * SQL — which is itself the point: the dial changes the plan, never
+    * the answer.
+    *
+    * Only prefix MEMBERSHIP needs the new order, so no array rebuild:
+    * rank each (doc, shingle) by (df, shingle) per doc and keep ranks
+    * <= floor(n/2)+1; verification reads the original hash-sorted
+    * arrays (Jaccard is order-independent).
+    */
+  def ngramJaccardPairsRareFirst(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TrigramHashesExpression.trigramHashes(col("text")).as("hs0"))
+      .withColumn("hs", array_sort(array_distinct(col("hs0")))).drop("hs0")
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") >= 1)
+      .cache()
+    val tok = g.select(col("doc_id"), col("source"), col("n"),
+      explode(col("hs")).as("tok"))
+    val freq = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+    val pref = tok.join(freq, Seq("source", "tok"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= (col("n") / 2 + 1).cast("int"))
+      .select(col("doc_id"), col("source"), col("n"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("d1"), col("hs").as("h1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("hs").as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(graft.functions.JaccardLongExpression.jaccard(col("h1"), col("h2")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+  }
+
   /** Duplicate-cluster assignment: connected components over the minhash
     * near-dup pairs, every doc labeled with the MIN doc_id reachable
     * through dup edges (its own id when unduplicated). This is the step
@@ -318,7 +371,8 @@ object DedupOps {
     "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
-    "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir)))
+    "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
+    "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -356,6 +410,17 @@ object DedupOps {
          |SELECT d1, d2, round($jac, 6) AS jaccard
          |FROM cand JOIN g g1 ON d1 = g1.doc_id JOIN g g2 ON d2 = g2.doc_id
          |WHERE round($jac, 6) >= $MinhashThreshold""".stripMargin
+
+    val ngramOracleSql = {
+      val jacHs = jaccard("g1.hs", "g2.hs", duck = true)
+      s"""WITH g AS (SELECT doc_id, source,
+         |  ${distinct(hs, duck = true)} AS hs
+         |  FROM (SELECT doc_id, source, $grams AS grams FROM documents) g0)
+         |SELECT g1.doc_id AS d1, g2.doc_id AS d2, round($jacHs, 6) AS jaccard
+         |FROM g g1 JOIN g g2
+         |  ON g1.source = g2.source AND g1.doc_id < g2.doc_id
+         |WHERE round($jacHs, 6) >= $NgramThreshold""".stripMargin
+    }
 
     Map(
       "q_dedup_exact" ->
@@ -398,16 +463,10 @@ object DedupOps {
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($blockOr)
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
 
-      "q_dedup_ngram_pairs" -> {
-        val jacHs = jaccard("g1.hs", "g2.hs", duck = true)
-        s"""WITH g AS (SELECT doc_id, source,
-           |  ${distinct(hs, duck = true)} AS hs
-           |  FROM (SELECT doc_id, source, $grams AS grams FROM documents) g0)
-           |SELECT g1.doc_id AS d1, g2.doc_id AS d2, round($jacHs, 6) AS jaccard
-           |FROM g g1 JOIN g g2
-           |  ON g1.source = g2.source AND g1.doc_id < g2.doc_id
-           |WHERE round($jacHs, 6) >= $NgramThreshold""".stripMargin
-      }
+      "q_dedup_ngram_pairs" -> ngramOracleSql,
+      // same SEMANTIC oracle on purpose: the rare-first prefix order
+      // changes candidate generation, never the answer (lossless filter)
+      "q_dedup_ngram_rare" -> ngramOracleSql
     )
   }
 }

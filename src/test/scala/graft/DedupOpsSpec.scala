@@ -83,4 +83,30 @@ class DedupOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.toSet == Set(1L))
   }
+
+  test("rare-first prefix filtering returns exactly the value-ordered result set") {
+    // skewed corpus: every doc opens with the same hot boilerplate (those
+    // shingles are the FREQUENT ones the rare-first order keeps out of
+    // prefixes), dups share rare tails, a near-dup pair sits at J ~= 0.5,
+    // and a cross-source twin must never pair
+    val skewed = docs(
+      (1L, "terms of service apply to all users of this site foo bar baz qux", "s1"),
+      (2L, "terms of service apply to all users of this site foo bar baz qux", "s1"),
+      (3L, "terms of service apply to all users of this site alpha beta gamma delta", "s1"),
+      (4L, "terms of service apply to all users of this site unrelated words here now", "s1"),
+      (5L, "terms of service apply to all users of this site foo bar baz qux", "s2"),
+      (6L, "wholly different content with nothing shared at all anywhere", "s1"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val byValue = pairs(DedupOps.ngramJaccardPairs(skewed))
+    val byFreq = pairs(DedupOps.ngramJaccardPairsRareFirst(skewed))
+    assert(byValue == byFreq,
+      "prefix order is a plan-side dial: it must never change the answer")
+    assert(byValue.exists { case (a, b, _) => a == 1L && b == 2L },
+      "exact dups must pair")
+    assert(!byValue.exists { case (a, b, _) => b == 5L || a == 5L },
+      "cross-source docs must not pair")
+    spark.catalog.clearCache()
+  }
 }
