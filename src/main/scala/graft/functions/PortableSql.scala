@@ -81,6 +81,18 @@ object PortableSql {
     * (so element_at(toks, 0) would throw under ANSI) while DuckDB's
     * generate_series is empty; the CASE makes both dialects agree.
     */
+  /** All word bigrams IN ORDER, duplicates kept — repetition statistics
+    * count them (contrast trigramShingles' distinct set semantics). Same
+    * <2-token guard: Spark's sequence(1, 0) yields a DESCENDING range.
+    */
+  def bigramsAll(toksCol: String, duck: Boolean): String = {
+    val idx = seqIncl("1", s"${alen(toksCol, duck)} - 1", duck)
+    val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)}"
+    val grams = xform(idx, "i", gram, duck)
+    val empty = if (duck) "CAST([] AS VARCHAR[])" else "CAST(array() AS ARRAY<STRING>)"
+    s"(CASE WHEN ${alen(toksCol, duck)} >= 2 THEN $grams ELSE $empty END)"
+  }
+
   def trigramShingles(toksCol: String, duck: Boolean): String = {
     val idx = seqIncl("1", s"${alen(toksCol, duck)} - 2", duck)
     val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)} || ' ' || ${elem(toksCol, "i + 2", duck)}"

@@ -113,10 +113,65 @@ object TextOps {
         .as("n_pre_tokens"),
       graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** Gopher-style repetition quality signal: the share of a document's
+    * bigrams taken by its single most frequent bigram (duplicate-heavy
+    * generated text scores high; natural prose low). Shape at 100 TB:
+    * explode + two partial-aggregated groupBys keyed by doc — shuffles
+    * scale with bigram volume, never doc²; the flag threshold is the
+    * C4/Gopher-family repetition filter dial.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val share = col("top_bigram_n").cast("double") / col("n_bigrams")
+    docs.select(col("doc_id"),
+        expr(bigramsAll(tokens("text", duck = false), duck = false)).as("bgs"))
+      .withColumn("n_bigrams", size(col("bgs")).cast("long"))
+      .filter(col("n_bigrams") >= 1)
+      .select(col("doc_id"), col("n_bigrams"), explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        round(share, 6).as("top_bigram_share"),
+        (share > 0.1).cast("int").as("repetitive"))
+  }
+
+  /** Email / phone regexes shared by the Spark and oracle sides of the
+    * PII scrub (RE2-safe subset — no backrefs/lookahead — so Java and
+    * DuckDB regex engines agree).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{5}-[0-9]{5}"
+
+  /** PII scrubbing at document scale — the LLM-pipeline analog of the
+    * reference's PAN masking (U5): find-and-mask emails and phone
+    * numbers in free text before it can reach a training corpus. The
+    * synthetic documents carry no natural PII, so each row deterministically
+    * seeds a contact string derived from doc_id (same construction both
+    * engines) and the operator must find exactly one of each. Narrow
+    * one-pass projection; masked content is emitted as md5 so the
+    * compare stays compact.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val seeded = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +91 "),
+        lpad((col("doc_id") * 7919 % 100000).cast("string"), 5, "0"), lit("-"),
+        lpad((col("doc_id") * 104729 % 100000).cast("string"), 5, "0")).as("t"))
+    seeded.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>"))).as("masked_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
     "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
+    "q_text_repetition" -> ((s, dir) => repetitionStats(Tables.documents(s, dir))),
+    "q_text_pii_scrub" -> ((s, dir) => piiScrub(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
     "q_text_langid" -> ((s, dir) => languageId(Tables.documents(s, dir))),
     "q_text_fingerprint" -> ((s, dir) => fingerprints(Tables.documents(s, dir)))
@@ -142,6 +197,31 @@ object TextOps {
            | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
            |   AS BIGINT) AS n_bpe_tokens
            |FROM documents""".stripMargin,
+
+      "q_text_repetition" ->
+        s"""WITH b AS (SELECT doc_id,
+           |   ${bigramsAll(toks, duck = true)} AS bgs FROM documents),
+           | e AS (SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+           |   unnest(bgs) AS bg FROM b WHERE len(bgs) >= 1),
+           | cnt AS (SELECT doc_id, n_bigrams, bg, count(*) AS c
+           |   FROM e GROUP BY doc_id, n_bigrams, bg)
+           |SELECT doc_id, n_bigrams, max(c) AS top_bigram_n,
+           | round(CAST(max(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_share,
+           | CAST(CAST(max(c) AS DOUBLE) / n_bigrams > 0.1 AS INT) AS repetitive
+           |FROM cnt GROUP BY doc_id, n_bigrams""".stripMargin,
+
+      "q_text_pii_scrub" ->
+        s"""WITH seeded AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +91 '
+           |    || lpad(CAST(doc_id * 7919 % 100000 AS VARCHAR), 5, '0') || '-'
+           |    || lpad(CAST(doc_id * 104729 % 100000 AS VARCHAR), 5, '0') AS t
+           | FROM documents)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+           | CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+           | md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+           |   '$PhoneRe', '<PHONE>', 'g')) AS masked_md5
+           |FROM seeded""".stripMargin,
 
       "q_text_tokens" ->
         s"""SELECT lang, count(*) AS n_docs,
