@@ -85,6 +85,13 @@ object StreamAsof {
       .repartition(1)
       .sortWithinPartitions(col("ms"), col("side"), col("event_id"))
 
+  /** Pre-write the landing fixture untimed (Bench.warmFixtures hook). */
+  def warmFixture(s: SparkSession, dir: String): Unit = {
+    StreamQueries.ensureJsonishFixture(
+      StreamQueries.fixtureDir("asof", dir, "events"), fixtureDf(s, dir))
+    ()
+  }
+
   def streamAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val landing = StreamQueries.ensureJsonishFixture(

@@ -101,6 +101,9 @@ object StreamQueries {
       sjFixtureDf(s, dir, "purchase"))
     ensureJsonFixture(fixtureDir("sjoin_r", dir, "events"),
       sjFixtureDf(s, dir, "click"))
+    ensureJsonFixture(fixtureDir("dedupttl", dir, "events"),
+      ttlDedupFixtureDf(s, dir))
+    StreamAsof.warmFixture(s, dir)
   }
 
   /** Window-fixture rows as ONE file in ascending event-time order.
@@ -183,6 +186,60 @@ object StreamQueries {
       q.awaitTermination()
     }
     s.read.schema(dedupSchema).parquet(s"$tmp/out")
+  }
+
+  // ---------------------------------------------------------------------
+  // ST3+: BOUNDED-state dedup (dropDuplicatesWithinWatermark)
+  // ---------------------------------------------------------------------
+
+  private val ttlDedupSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ms", LongType)))
+
+  /** Bounded-state streaming dedup — the 100 TB complement of
+    * q_stream_dedup: dropDuplicates keeps every key seen FOREVER (state
+    * grows with distinct keys, the right tool for a dimension seen-set),
+    * while dropDuplicatesWithinWatermark evicts keys once the watermark
+    * passes them, so state holds only the watermark window — the right
+    * tool for at-least-once ingest dedup where duplicates arrive close
+    * together (retries, redelivery) and the key space is unbounded.
+    *
+    * The fixture plants a duplicate 1s after every 10th event (well
+    * inside the 10-minute watermark, so every planted dup is dropped)
+    * over source rows whose event_ids are globally unique — making the
+    * oracle the plain base projection. Determinism: the fixture is one
+    * ascending-event-time file, so each original precedes its dup in
+    * arrival order under any batch split, and no row is ever late.
+    */
+  def streamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("dedupttl", dir, "events"),
+      ttlDedupFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(ttlDedupSchema).json(landing)
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("ms"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(ttlDedupSchema).parquet(s"$tmp/out")
+  }
+
+  private def ttlDedupFixtureDf(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val dups = base.filter(col("event_id") % 10 === 0)
+      .withColumn("ms", col("ms") + 1000)
+    base.unionByName(dups).repartition(1).sortWithinPartitions(col("ms"))
   }
 
   // ---------------------------------------------------------------------
@@ -330,13 +387,20 @@ object StreamQueries {
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
     "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
     "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir)),
-    "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir))
+    "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
+    "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     // S9: no transform — streamed sink == source table.
     "q_stream_passthrough" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    // Bounded-state dedup: every planted +1s duplicate is inside the
+    // watermark and dropped, originals have globally unique event_ids —
+    // so the surviving set is exactly the base projection.
+    "q_stream_dedup_ttl" ->
+      "SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events",
 
     // Stream-stream inner join == the batch join (integer ms arithmetic).
     "q_stream_join" ->
