@@ -36,7 +36,8 @@ object SparkEntry {
     * silently reuse them via logical-plan matching.
     *
     * SESSION-CONF CONTRACT: the stateful streaming queries
-    * (q_stream_window, q_stream_join) temporarily lower
+    * (q_stream_window, q_stream_join, q_stream_dedup, q_stream_asof,
+    * q_stream_dedup_ttl) temporarily lower
     * spark.sql.shuffle.partitions for their own execution (state-store
     * instances = shuffle partitions) and restore it in a finally. Run
     * queries sequentially per session — a query PLANNED concurrently on

@@ -94,3 +94,45 @@ object RollingFpExpression {
   def rollingFp(text: Column): Column =
     SqlBridge.column(RollingFpExpression(SqlBridge.expression(text)))
 }
+
+/** Bigram repetition statistics fused into one pass: [n_bigrams,
+  * top_bigram_count] per document (empty text / <2 tokens → [0, 0]).
+  * The symbolic form — interpreted HOF bigram build, explode, two
+  * doc-keyed groupBys — was the most expensive text query at sf0.1
+  * (5.3s); one hash-map loop per doc replaces all of it, and the
+  * DuckDB oracle keeps the symbolic unnest/GROUP BY form. Same
+  * split-keeping-empties tokenization as the other kernels; counts are
+  * exact, so the outputs are engine-identical.
+  */
+case class BigramTopExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_top"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < 2) new GenericArrayData(Array(0L, 0L))
+    else {
+      val counts = mutable.HashMap.empty[String, Long]
+      var top = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        val gram = toks(i) + " " + toks(i + 1)
+        val c = counts.getOrElse(gram, 0L) + 1L
+        counts.update(gram, c)
+        if (c > top) top = c
+        i += 1
+      }
+      new GenericArrayData(Array((toks.length - 1).toLong, top))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramTopExpression {
+  def bigramTop(text: Column): Column =
+    SqlBridge.column(BigramTopExpression(SqlBridge.expression(text)))
+}

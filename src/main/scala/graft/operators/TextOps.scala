@@ -116,21 +116,27 @@ object TextOps {
   /** Gopher-style repetition quality signal: the share of a document's
     * bigrams taken by its single most frequent bigram (duplicate-heavy
     * generated text scores high; natural prose low). Shape at 100 TB:
-    * explode + two partial-aggregated groupBys keyed by doc — shuffles
-    * scale with bigram volume, never doc²; the flag threshold is the
-    * C4/Gopher-family repetition filter dial.
+    * a single NARROW projection pass — the fused [[graft.functions.BigramTopExpression]]
+    * kernel counts bigrams in one hash-map loop per document, so the
+    * operator scales linearly with input splits and never shuffles (the
+    * earlier explode + two doc-keyed groupBys shuffled the full bigram
+    * volume). The flag threshold is the C4/Gopher-family repetition
+    * filter dial; the DuckDB oracle keeps the symbolic unnest/GROUP BY
+    * form as an independent check of the kernel.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val share = col("top_bigram_n").cast("double") / col("n_bigrams")
-    docs.select(col("doc_id"),
-        expr(bigramsAll(tokens("text", duck = false), duck = false)).as("bgs"))
-      .withColumn("n_bigrams", size(col("bgs")).cast("long"))
-      .filter(col("n_bigrams") >= 1)
-      .select(col("doc_id"), col("n_bigrams"), explode(col("bgs")).as("bg"))
-      .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_bigrams"))
-      .agg(max(col("c")).as("top_bigram_n"))
+    // The <2-token filter runs on the cheap codegen'd token count BEFORE
+    // the interpreted kernel projection: a filter on the kernel's own
+    // output would be pushed through the Project with the full expression
+    // substituted, evaluating the kernel twice per row.
+    docs
+      .filter(expr(s"${alen(tokens("text", duck = false), duck = false)}") >= 2)
+      .select(col("doc_id"),
+        graft.functions.BigramTopExpression.bigramTop(col("text")).as("bt"))
+      .select(col("doc_id"),
+        col("bt").getItem(0).as("n_bigrams"),
+        col("bt").getItem(1).as("top_bigram_n"))
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
         round(share, 6).as("top_bigram_share"),
         (share > 0.1).cast("int").as("repetitive"))
