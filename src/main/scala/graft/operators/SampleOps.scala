@@ -54,6 +54,58 @@ object SampleOps {
       .limit(k)
       .select(col("doc_id"))
 
+  val TokenBudget = 10000L
+  val BudgetBuckets = 64
+
+  /** Token-budget prefix sample: take documents in deterministic hash
+    * order until the cumulative token count reaches `budget` (a doc is
+    * kept iff the tokens BEFORE it are under budget, so the crossing doc
+    * is included) — how a training run carves "the first N tokens" out
+    * of a corpus reproducibly.
+    *
+    * The naive plan is a running sum over one global ordering — a
+    * single-partition window that serializes the corpus through one
+    * task. This is the scalable two-pass decomposition instead:
+    *
+    *   1. bucket each doc by a monotone function of its hash order
+    *      (`h * B DIV mod`, so bucket order == hash order);
+    *   2. per-bucket token sums (tiny: B rows), prefix-summed with a
+    *      window over that B-row frame — the only "global" ordering
+    *      ever materialized is over B buckets, not N docs;
+    *   3. broadcast the bucket offsets back and run the exact running
+    *      sum WITHIN each bucket (parallel across buckets), adding the
+    *      bucket's offset.
+    *
+    * The decomposition is exact because bucketing is monotone in the
+    * sort key. At 100 TB, B dials up with cluster size; each pass is one
+    * shuffle of doc-count rows plus a B-row side plan. The oracle runs
+    * the naive global window — same answer, independent plan.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    import graft.functions.PortableSql.{alen, tokens}
+    val base = docs.select(col("doc_id"),
+        expr(hashKey("doc_id")).as("h"),
+        expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+          .as("n_tokens"))
+      .withColumn("bucket",
+        expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
+    val bucketOffsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      // no-partition window is deliberate: the frame is <= B rows
+      .withColumn("bucket_before",
+        coalesce(sum(col("btok")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_before"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("tokens_before",
+        col("bucket_before") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+  }
+
   /** Exact distribution summary of order value per priority: linear-
     * interpolated quantiles (Spark `percentile` == DuckDB `quantile_cont`,
     * both type-7: index p·(n−1) on the sorted values). Exact quantiles
@@ -85,6 +137,7 @@ object SampleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
+    "q_sample_budget" -> ((s, dir) => tokenBudgetSample(Tables.documents(s, dir))),
     // balanced: exact percentile buffers are per-row expensive and the
     // single-row-group scan would aggregate 1-task; percentile merges
     // are order-insensitive so partitioning cannot change the result
@@ -104,6 +157,19 @@ object SampleOps {
     "q_sample_uniform" ->
       s"""SELECT doc_id FROM documents
          |ORDER BY ${hashKey("doc_id")}, doc_id LIMIT $UniformK""".stripMargin,
+
+    // the NAIVE single-ordering running sum — an independent plan for the
+    // bucketed two-pass decomposition on the Spark side
+    "q_sample_budget" ->
+      s"""SELECT doc_id, n_tokens, tokens_before FROM (
+         | SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tokens_before
+         | FROM (SELECT doc_id, ${hashKey("doc_id")} AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |   FROM documents) t) s
+         |WHERE tokens_before < $TokenBudget""".stripMargin,
 
     "q_approx_quantiles" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,

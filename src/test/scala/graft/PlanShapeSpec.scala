@@ -26,6 +26,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of must be windowed, not a join rewrite:\n$plan")
   }
 
+  test("token-budget sample == naive global running sum; heavy window stays bucket-partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val fast = SampleOps.tokenBudgetSample(docs)
+    // naive single-ordering reference (what the DuckDB oracle runs)
+    val naive = docs.select(col("doc_id"),
+        expr("(doc_id % 2147483647) * 2654435761 % 1000000007").as("h"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("tokens_before") < SampleOps.TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+    val a = fast.collect().map(_.toSeq).toSet
+    val b = naive.collect().map(_.toSeq).toSet
+    assert(a == b, s"bucketed decomposition diverged: ${a.diff(b)} vs ${b.diff(a)}")
+    // the only single-partition stage is the B-row bucket-offset window;
+    // the doc-count-sized running sum must be hash-partitioned by bucket
+    // after execution the adaptive plan prints Final + Initial sections —
+    // count exchanges in the final section only
+    val plan = fast.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single == 1, s"expected exactly 1 tiny single-partition exchange:\n$plan")
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(plan).isDefined,
+      s"per-doc window must partition by bucket:\n$plan")
+  }
+
   test("uniform sample plans TakeOrderedAndProject, not a global sort") {
     val plan = SampleOps.uniformSample(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
