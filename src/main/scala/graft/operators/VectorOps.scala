@@ -357,6 +357,41 @@ object VectorOps {
       .select(col("v2").as("drop_vec_id"))
       .distinct()
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): pair candidates are generated WITHIN k-means
+    * cells only — pairs never cross cells, so the pair volume scales
+    * with Σ cell² under a bounded cell size (K dials up with corpus
+    * size), not corpus². Reuses the Lloyd-refined IVF assignment
+    * (same centroids as q_emb_ivf_*), then drops the larger vec_id of
+    * every within-cell pair with cosine >= [[SemDedupMinCosine]]
+    * (looser than the 0.9 near-dup dial: SemDeDup prunes SEMANTIC
+    * redundancy, not just byte-level twins — this corpus's nearest
+    * pairs sit around 0.5).
+    *
+    * Complements q_emb_dedup_drops (SRP-LSH candidates): LSH recalls
+    * near-dups that straddle cell boundaries, the cell scope gives the
+    * cheaper one-assignment-pass plan — production pipelines run the
+    * cell pass first and an LSH pass on the survivors.
+    */
+  val SemDedupMinCosine = 0.4
+
+  def semDedupDrops(emb: DataFrame): DataFrame = {
+    val vecs = normalized(emb, withLabel = false).cache()
+    val member = assignTo(vecs, lloydCentroids(vecs))
+      .select(col("vec_id"), col("centroid_id"))
+      .join(vecs, "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("vn"))
+    member.as("a").join(member.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.centroid_id").as("centroid_id"),
+        col("b.vec_id").as("drop_vec_id"),
+        round(dotCol(col("a.vn"), col("b.vn")), 6).as("cosine"))
+      .filter(col("cosine") >= SemDedupMinCosine)
+      .groupBy(col("centroid_id"), col("drop_vec_id"))
+      .agg(max(col("cosine")).as("max_cosine"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
@@ -364,7 +399,8 @@ object VectorOps {
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
-    "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir)))
+    "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir))),
+    "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -449,6 +485,19 @@ object VectorOps {
         s"""WITH $normCte,
            |$ivfAsgCte
            |SELECT vec_id, centroid_id, centroid_cos FROM asg""".stripMargin,
+
+      "q_emb_semdedup" ->
+        s"""WITH $normCte,
+           |$ivfAsgCte,
+           | m AS (SELECT asg.centroid_id, e.vec_id, e.vn
+           |   FROM asg JOIN e ON asg.vec_id = e.vec_id)
+           |SELECT centroid_id, drop_vec_id, max(cosine) AS max_cosine FROM (
+           | SELECT a.centroid_id, b.vec_id AS drop_vec_id,
+           |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           | FROM m a JOIN m b
+           |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id) p
+           |WHERE cosine >= $SemDedupMinCosine
+           |GROUP BY centroid_id, drop_vec_id""".stripMargin,
 
       "q_emb_ivf_topk" ->
         s"""WITH $normCte,

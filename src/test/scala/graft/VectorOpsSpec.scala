@@ -25,6 +25,20 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupDrops honors the threshold and never crosses cells") {
+    val emb = Tables.embeddings(spark, dir)
+    val drops = VectorOps.semDedupDrops(emb).cache()
+    assert(drops.filter(col("max_cosine") < VectorOps.SemDedupMinCosine).count() == 0)
+    // a dropped vector's reported cell must be its OWN IVF assignment —
+    // i.e. candidate pairs were generated strictly within cells
+    val asg = VectorOps.ivfAssign(emb)
+      .select(col("vec_id").as("drop_vec_id"), col("centroid_id").as("own_cid"))
+    val crossed = drops.join(asg, "drop_vec_id")
+      .filter(col("centroid_id") =!= col("own_cid")).count()
+    assert(crossed == 0, "semdedup pair crossed a k-means cell")
+    spark.catalog.clearCache()
+  }
+
   test("lshBuckets honors the bits dial: bucket ids stay under 2^bits") {
     val emb = Tables.embeddings(spark, dir)
     val narrow = VectorOps.lshBuckets(emb, bits = 4)
