@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Generators
 import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
-import graft.operators.{Analytics, AsofJoin, Audio, Bmp, DedupOps, Multimodal, SampleOps, ShuffleOps, TextOps, TypedAgg, VectorOps}
+import graft.operators.{Analytics, AsofJoin, Audio, Bmp, DedupOps, LayoutOps, Multimodal, SampleOps, ShuffleOps, TextOps, TypedAgg, VectorOps}
 import graft.streaming.{StreamAsof, StreamIngest, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -45,7 +45,7 @@ object SparkEntry {
     * lowered value.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AsofJoin.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
+    Analytics.queries ++ AsofJoin.queries ++ LayoutOps.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ Audio.queries ++ Bmp.queries ++ AvroWire.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries
@@ -54,7 +54,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ AsofJoin.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
+    Analytics.oracleSql ++ AsofJoin.oracleSql ++ LayoutOps.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql.shr
+
+/** Data-layout operators: Z-order (Morton) clustering and the file-
+  * skipping audit it enables.
+  *
+  * At 100 TB the dominant cost of a selective query is which FILES it
+  * has to open. A table sorted on one key bounds only that key's range
+  * per file; interleaving the bits of two keys (the Morton curve) and
+  * clustering on the interleaved value bounds BOTH ranges at once —
+  * every aligned z-range of length 4^j is a quadtree cell spanning at
+  * most 2^j distinct values of each dimension, so min/max file stats
+  * prune on either predicate. This is the layout trick behind
+  * Delta/Iceberg `ZORDER BY` and the classic UB-tree.
+  *
+  * Operators (both one narrow projection + one shuffle on the cell id):
+  *   - [[zorderCells]]: per-quadtree-cell occupancy and min/max spans of
+  *     both dimensions — the stats a z-ordered writer would persist per
+  *     file, with the span bound checked in-row (`bounded` must be 1
+  *     everywhere, and a spec asserts the 2^j bound is the REASON);
+  *   - [[zorderSkip]]: the audit a query planner runs against those
+  *     stats — for a box predicate on (x, y), how many cells a min/max
+  *     check prunes. One row: total cells, touched cells, skip ratio.
+  *
+  * The z-value is pure integer arithmetic (shift/mod/multiply), so it
+  * whole-stage-codegens in Spark and the DuckDB oracle computes the
+  * identical curve from a shared SQL fragment.
+  */
+object LayoutOps {
+
+  /** Bits interleaved per dimension (keys here fit in 16 bits at every
+    * test SF; a deployment sizes this off the key domain).
+    */
+  val ZBits = 16
+
+  /** Quadtree level of the audit cells: dropping `2 * CellLevel` low
+    * z-bits yields cells spanning at most 2^CellLevel = [[CellSpan]]
+    * distinct values per dimension.
+    */
+  val CellLevel = 6
+  val CellSpan: Long = 1L << CellLevel // 64
+
+  /** Box predicate for the skip audit (partkey 1000±, suppkey low half
+    * at sf0.01 — selective on both dims at every test SF).
+    */
+  val BoxX0 = 900L; val BoxX1 = 1100L; val BoxY0 = 1L; val BoxY1 = 40L
+
+  /** Morton z-value of (x, y): bit i of x lands at z-bit 2i, bit i of y
+    * at 2i+1. Shift/mod/multiply only — portable across both engines.
+    */
+  def zValue(x: String, y: String, duck: Boolean): String = {
+    val terms = (0 until ZBits).flatMap { i =>
+      Seq(
+        s"(${shr(x, i, duck)} % 2) * ${1L << (2 * i)}",
+        s"(${shr(y, i, duck)} % 2) * ${1L << (2 * i + 1)}")
+    }
+    s"CAST(${terms.mkString("(", " + ", ")")} AS BIGINT)"
+  }
+
+  /** Shared projection: (x, y, cell) over lineitem's (partkey, suppkey). */
+  private def cellExpr(duck: Boolean): String =
+    shr(zValue("l_partkey", "l_suppkey", duck), 2 * CellLevel, duck)
+
+  def zorderCells(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+        expr(cellExpr(duck = false)).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .select(col("cell"), col("n"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        ((col("max_x") - col("min_x") < CellSpan) &&
+         (col("max_y") - col("min_y") < CellSpan)).cast("int").as("bounded"))
+
+  /** Cells a (BoxX, BoxY) box predicate cannot prune via min/max stats:
+    * range overlap on both dims. skip_ratio is the fraction of files a
+    * z-ordered layout never opens for this query.
+    */
+  def zorderSkip(lineitem: DataFrame): DataFrame =
+    zorderCells(lineitem)
+      .select(col("cell"),
+        (col("min_x") <= BoxX1 && col("max_x") >= BoxX0 &&
+         col("min_y") <= BoxY1 && col("max_y") >= BoxY0).cast("long").as("touched"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("touched")).as("n_touched"))
+      .select(col("n_cells"), col("n_touched"),
+        round(lit(1.0) - col("n_touched").cast("double") / col("n_cells"), 6)
+          .as("skip_ratio"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_cells" -> ((s, dir) => zorderCells(Tables.lineitem(s, dir))),
+    "q_zorder_skip" -> ((s, dir) => zorderSkip(Tables.lineitem(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val cells =
+      s"""SELECT ${cellExpr(duck = true)} AS cell, count(*) AS n,
+         |  min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+         | FROM lineitem GROUP BY 1""".stripMargin
+    Map(
+      "q_zorder_cells" ->
+        s"""SELECT cell, n, min_x, max_x, min_y, max_y,
+           | CAST(max_x - min_x < $CellSpan AND max_y - min_y < $CellSpan AS INT)
+           |   AS bounded
+           |FROM ($cells) c""".stripMargin,
+
+      "q_zorder_skip" ->
+        s"""SELECT count(*) AS n_cells,
+           | CAST(sum(CASE WHEN min_x <= $BoxX1 AND max_x >= $BoxX0
+           |   AND min_y <= $BoxY1 AND max_y >= $BoxY0 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_touched,
+           | round(1.0 - sum(CASE WHEN min_x <= $BoxX1 AND max_x >= $BoxX0
+           |   AND min_y <= $BoxY1 AND max_y >= $BoxY0 THEN 1 ELSE 0 END)
+           |   / CAST(count(*) AS DOUBLE), 6) AS skip_ratio
+           |FROM ($cells) c""".stripMargin
+    )
+  }
+}
