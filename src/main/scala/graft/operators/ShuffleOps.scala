@@ -116,7 +116,51 @@ object ShuffleOps {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** Bloom capacity for the pruning filter — sized generously above the
+    * dim-subset cardinality at every test SF (false-positive rate only
+    * costs extra rows into the exact join, never correctness).
+    */
+  val BloomItems = 100000L
+
+  /** Bloom-filter-pruned join — the explicit form of Spark's runtime
+    * filter (InjectRuntimeFilter): build a bloom over the (filtered) dim
+    * side's join keys, broadcast the one-row sketch, and prune fact rows
+    * BEFORE the join shuffle with a might-contain test on the same
+    * xxhash64. At 100 TB this is the difference between shuffling the
+    * full fact table and shuffling the ~selectivity fraction of it when
+    * the dim is too big to broadcast outright (a bloom over millions of
+    * keys is a few MB; the dim itself would be GBs). False positives
+    * pass the bloom and die in the exact join, so the result is
+    * bit-identical to the plain join — which is what the oracle runs.
+    * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * catalyst expressions (the ones InjectRuntimeFilter plants), via the
+    * documented SqlBridge seam.
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val dim = Tables.part(spark, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_name"))
+    // the bloom build rides as a SCALAR SUBQUERY (might_contain requires
+    // a constant or scalar-subquery bloom side — the same shape
+    // InjectRuntimeFilter plants), so the whole operator stays one lazy plan
+    val bf = dim.select(SqlBridge.column(
+      new BloomFilterAggregate(
+        SqlBridge.expression(xxhash64(col("p_partkey"))), BloomItems)
+        .toAggregateExpression()).as("bf"))
+    val pruned = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"))
+      .filter(SqlBridge.column(BloomFilterMightContain(
+        ScalarSubquery(bf.queryExecution.analyzed),
+        SqlBridge.expression(xxhash64(col("l_partkey"))))))
+    pruned.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
     "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
     "q_salted_join" -> ((s, dir) => saltedSkewJoin(s, dir)),
@@ -143,6 +187,15 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the bloom is pruning-only: false positives die in the exact join,
+    // so the plain join IS the oracle
+    "q_bloom_join" ->
+      """SELECT p_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_name""".stripMargin,
+
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

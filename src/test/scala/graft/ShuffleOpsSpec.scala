@@ -23,6 +23,25 @@ class ShuffleOpsSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"), s"expected bucket pruning info:\n$plan")
   }
 
+  test("bloom prune filters the fact side BELOW the join") {
+    import org.apache.spark.sql.functions.col
+    val q = ShuffleOps.bloomPrunedJoin(spark, dir)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // the might_contain filter must sit on the lineitem branch (below the
+    // join), so the pruned rows never reach the join shuffle
+    val joinIdx = plan.indexOf("Join")
+    val bloomIdx = plan.indexOf("might_contain")
+    assert(bloomIdx >= 0, s"bloom filter vanished from the plan:\n$plan")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"might_contain must be under the join, not above it:\n$plan")
+    // and the result is the exact join's (false positives die in the join)
+    val exact = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir).filter(col("p_size") === 1),
+        col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(q.agg(org.apache.spark.sql.functions.sum(col("n_items"))).collect()(0).getLong(0) == exact)
+  }
+
   test("salted aggregate equals the direct group-by") {
     import spark.implicits._
     val salted = ShuffleOps.saltedStatusRevenue(spark, dir)
