@@ -156,6 +156,17 @@ object DimLoader {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // ORC round-trip: the third columnar wire format next to parquet
+    // (native) and Avro (q_avro_roundtrip) — types survive unchanged, so
+    // the source table is the oracle directly.
+    "q_dim_load_orc" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val orcDir = s"$tmp/nation_orc"
+      Tables.nation(s, dir).write.orc(orcDir)
+      s.read.orc(orcDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // SCD1 upsert against a deterministic change batch: keys %10==3 get
     // updated attributes, keys %17==5 re-enter as brand-new ids; the
     // oracle reproduces the merged end state relationally.
@@ -183,6 +194,9 @@ object DimLoader {
     "q_dim_load_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+
+    "q_dim_load_orc" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_dim_upsert" ->
       """WITH chg AS (
