@@ -159,7 +159,45 @@ object ShuffleOps {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Misra–Gries summary size for q_heavy_hitters: every key above
+    * n/(MgCapacity+1) frequency is guaranteed caught.
+    */
+  val MgCapacity = 8
+
+  /** Heavy-hitters invariant over a deliberately skewed key (even order
+    * keys collapse onto key 0 ≈ half the mass; odd rows keep their
+    * customer key, each far below threshold). The sketch CONTENT is
+    * merge-order-dependent, so — exactly like q_approx_distinct and
+    * q_approx_quantiles — the oracle-checked claim is the sketch's
+    * mathematical guarantee: every key with frequency > n/(K+1) appears
+    * in the summary, undercounted by at most n/(K+1). Threshold math
+    * stays in exact integers (cnt·(K+1) > n), no division.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.balanced(spark, Tables.orders(spark, dir))
+      .select(when(col("o_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("o_custkey")).as("k"))
+    val sketch = keyed.agg(
+      graft.functions.MisraGriesAggregate.mgSketch(col("k"), MgCapacity).as("mg"),
+      count(lit(1)).as("n_rows"))
+    keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch))
+      .filter(col("cnt") * (MgCapacity + 1) > col("n_rows"))
+      .select(col("k"), col("cnt"), col("n_rows"),
+        element_at(col("mg"), col("k")).as("est"))
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_heavy"),
+        min(when(col("est").isNotNull, 1).otherwise(0)).as("found"),
+        min(when((col("cnt") - coalesce(col("est"), lit(0L))) * (MgCapacity + 1)
+          <= col("n_rows"), 1).otherwise(0)).as("bound"))
+      .select(col("n_rows"), col("n_heavy"),
+        coalesce(col("found"), lit(1)).as("all_heavy_found"),
+        coalesce(col("bound"), lit(1)).as("undercount_within_bound"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
     "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
     "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
@@ -187,6 +225,20 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch is engine-local; the oracle asserts its GUARANTEE: the
+    // exact heavy set (computable relationally) is always caught within
+    // the n/(K+1) undercount bound, so those flags are provably 1
+    "q_heavy_hitters" ->
+      s"""WITH keyed AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0
+         |   ELSE o_custkey END AS k FROM orders),
+         | tot AS (SELECT count(*) AS n FROM keyed),
+         | heavy AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY k
+         |   HAVING count(*) * ${MgCapacity + 1} > (SELECT n FROM tot))
+         |SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_rows,
+         | count(*) AS n_heavy,
+         | 1 AS all_heavy_found, 1 AS undercount_within_bound
+         |FROM heavy""".stripMargin,
+
     // the bloom is pruning-only: false positives die in the exact join,
     // so the plain join IS the oracle
     "q_bloom_join" ->
