@@ -93,9 +93,50 @@ object LayoutOps {
         round(lit(1.0) - col("n_touched").cast("double") / col("n_cells"), 6)
           .as("skip_ratio"))
 
+  /** Linear layout contrast: the same per-file stats when the table is
+    * clustered on x ALONE (a plain `ORDER BY x` write). x-spans are
+    * bounded, y-spans are the full domain.
+    */
+  def linearCells(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+        expr(s"${shr("l_partkey", CellLevel, duck = false)}").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** The design-choice query: z-order vs linear clustering, skip ratios
+    * for a 2D box predicate and a y-only predicate, in one frame. The
+    * xy box prunes well under BOTH layouts (it is selective on x); the
+    * y-only predicate is where linear-on-x collapses to a full scan
+    * while z-cells still prune — the quantified case for Morton layout
+    * when queries filter on either dimension.
+    */
+  def layoutCompare(lineitem: DataFrame): DataFrame = {
+    def skipRow(cells: DataFrame, layout: String, pred: String,
+        touched: org.apache.spark.sql.Column): DataFrame =
+      cells.select(touched.cast("long").as("t"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("t")).as("n_touched"))
+        .select(lit(layout).as("layout"), lit(pred).as("predicate"),
+          col("n_cells"), col("n_touched"),
+          round(lit(1.0) - col("n_touched").cast("double") / col("n_cells"), 6)
+            .as("skip_ratio"))
+    val xyBox = col("min_x") <= BoxX1 && col("max_x") >= BoxX0 &&
+      col("min_y") <= BoxY1 && col("max_y") >= BoxY0
+    val yOnly = col("min_y") <= BoxY1 && col("max_y") >= BoxY0
+    val z = zorderCells(lineitem)
+    val lin = linearCells(lineitem)
+    skipRow(z, "zorder", "xy_box", xyBox)
+      .unionAll(skipRow(z, "zorder", "y_only", yOnly))
+      .unionAll(skipRow(lin, "linear_x", "xy_box", xyBox))
+      .unionAll(skipRow(lin, "linear_x", "y_only", yOnly))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_cells" -> ((s, dir) => zorderCells(Tables.lineitem(s, dir))),
-    "q_zorder_skip" -> ((s, dir) => zorderSkip(Tables.lineitem(s, dir)))
+    "q_zorder_skip" -> ((s, dir) => zorderSkip(Tables.lineitem(s, dir))),
+    "q_layout_compare" -> ((s, dir) => layoutCompare(Tables.lineitem(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -110,6 +151,28 @@ object LayoutOps {
            | CAST(max_x - min_x < $CellSpan AND max_y - min_y < $CellSpan AS INT)
            |   AS bounded
            |FROM ($cells) c""".stripMargin,
+
+      "q_layout_compare" -> {
+        val linCells =
+          s"""SELECT ${shr("l_partkey", CellLevel, duck = true)} AS cell,
+             |  count(*) AS n,
+             |  min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+             |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+             | FROM lineitem GROUP BY 1""".stripMargin
+        def row(src: String, layout: String, pred: String, cond: String) =
+          s"""SELECT '$layout' AS layout, '$pred' AS predicate,
+             | count(*) AS n_cells,
+             | CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+             | round(1.0 - sum(CASE WHEN $cond THEN 1 ELSE 0 END)
+             |   / CAST(count(*) AS DOUBLE), 6) AS skip_ratio
+             |FROM ($src) c""".stripMargin
+        val xy = s"min_x <= $BoxX1 AND max_x >= $BoxX0 AND min_y <= $BoxY1 AND max_y >= $BoxY0"
+        val yo = s"min_y <= $BoxY1 AND max_y >= $BoxY0"
+        Seq(
+          row(cells, "zorder", "xy_box", xy), row(cells, "zorder", "y_only", yo),
+          row(linCells, "linear_x", "xy_box", xy), row(linCells, "linear_x", "y_only", yo)
+        ).mkString("\nUNION ALL\n")
+      },
 
       "q_zorder_skip" ->
         s"""SELECT count(*) AS n_cells,
