@@ -372,8 +372,51 @@ object DedupOps {
     "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
-    "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir)))
+    "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir))),
+    "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir)))
   )
+
+  /** Eval-set slice for decontamination (≈2% of the corpus). */
+  val EvalMod = 50
+  val EvalRem = 7
+  /** Flag a (train, eval) pair at this many shared distinct trigrams. */
+  val DeconMinShared = 5
+  /** Ignore trigrams present in more than this many EVAL docs — the
+    * standard ubiquitous-n-gram cut, and the skew bound: per-gram join
+    * fan-out is trainDf(g) × evalDf(g), so capping evalDf caps the
+    * candidate volume at DfCap × Σ trainDf regardless of how hot a
+    * boilerplate gram gets.
+    */
+  val DeconDfCap = 20
+
+  /** Benchmark decontamination — the train/eval overlap audit every LLM
+    * data pipeline runs before training: find train documents sharing
+    * suspicious n-gram mass with a held-out eval set (here the
+    * deterministic doc_id % EvalMod slice). One fused shingle pass
+    * (shared with the dedup family), then an equi-join on gram hash
+    * restricted to grams the df-cap keeps. Never doc × doc: candidates
+    * scale with shared-gram volume, bounded by the cap.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    // one kernel pass, cached; both sides explode from it (lifecycle
+    // caller-owned, as throughout)
+    val sh = withShingleHashes(docs).cache()
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+    val eval = sh.filter(col("doc_id") % EvalMod === EvalRem)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    val keptGrams = eval.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DeconDfCap)
+      .select(col("g"))
+    val train = sh.filter(col("doc_id") % EvalMod =!= EvalRem)
+      .select(col("doc_id").as("train_doc"), col("g"))
+    train.join(eval.join(keptGrams, "g"), "g")
+      // trigramHashes is distinct-per-doc, so count(*) IS the number of
+      // shared distinct trigrams
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DeconMinShared)
+  }
 
   def oracleSql: Map[String, String] = {
     val grams = trigramShingles(tokens("text", duck = true), duck = true)
@@ -466,7 +509,24 @@ object DedupOps {
       "q_dedup_ngram_pairs" -> ngramOracleSql,
       // same SEMANTIC oracle on purpose: the rare-first prefix order
       // changes candidate generation, never the answer (lossless filter)
-      "q_dedup_ngram_rare" -> ngramOracleSql
+      "q_dedup_ngram_rare" -> ngramOracleSql,
+
+      // same fused-kernel gram set as the Spark side (trigramShingles is
+      // already distinct-per-doc), joined and counted naively
+      "q_decontaminate" ->
+        s"""WITH sh AS (SELECT doc_id, unnest(hs) AS g
+           |   FROM (SELECT doc_id, $hs AS hs
+           |     FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h),
+           | ev AS (SELECT doc_id AS eval_doc, g FROM sh
+           |   WHERE doc_id % $EvalMod = $EvalRem),
+           | keep AS (SELECT g FROM ev GROUP BY g
+           |   HAVING count(*) <= $DeconDfCap),
+           | tr AS (SELECT doc_id AS train_doc, g FROM sh
+           |   WHERE doc_id % $EvalMod <> $EvalRem)
+           |SELECT train_doc, eval_doc, count(*) AS n_shared
+           |FROM tr JOIN ev USING (g) JOIN keep USING (g)
+           |GROUP BY train_doc, eval_doc
+           |HAVING count(*) >= $DeconMinShared""".stripMargin
     )
   }
 }

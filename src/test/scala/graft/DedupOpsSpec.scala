@@ -84,6 +84,22 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("decontamination flags the train doc sharing an eval passage") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      (7L, common, "s1"), // eval slice: 7 % 50 == 7
+      (58L, "PREFIX " + common, "s1"), // train, contains the passage
+      (9L, "completely different words here with no overlap at all", "s1"))
+    val res = DedupOps.decontaminate(d).collect()
+    spark.catalog.clearCache()
+    assert(res.length == 1)
+    val r = res(0)
+    assert(r.getLong(r.fieldIndex("train_doc")) == 58L)
+    assert(r.getLong(r.fieldIndex("eval_doc")) == 7L)
+    // all 8 of the eval doc's distinct trigrams appear in the train doc
+    assert(r.getLong(r.fieldIndex("n_shared")) == 8L)
+  }
+
   test("rare-first prefix filtering returns exactly the value-ordered result set") {
     // skewed corpus: every doc opens with the same hot boilerplate (those
     // shingles are the FREQUENT ones the rare-first order keeps out of
