@@ -57,6 +57,15 @@ object PortableSql {
   def bxor(x: String, y: String, duck: Boolean): String =
     if (duck) s"xor($x, $y)" else s"($x ^ $y)"
 
+  /** Integer bit length (floor(log2(x)) + 1 for x >= 1) as a generated
+    * comparison ladder — pure integer comparisons, so the SAME string
+    * works in both dialects and no libm log2 (whose rounding differs
+    * across engines) ever enters an oracle-compared value.
+    */
+  def bitLen(x: String, maxBits: Int = 48): String =
+    (0 until maxBits).map(k => s"(CASE WHEN $x >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   /** Deterministic string hash, identical in both engines: a base-127
     * polynomial over the first 16 characters (mod P each step so nothing
     * overflows), salted with the string length. Range [0, P).

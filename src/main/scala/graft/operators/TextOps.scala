@@ -142,6 +142,40 @@ object TextOps {
         (share > 0.1).cast("int").as("repetitive"))
   }
 
+  /** Unigram surprisal — the KenLM-lite perplexity proxy every quality
+    * pipeline runs: score each document by how surprising its tokens are
+    * under the corpus's own unigram distribution. Token cost is the
+    * INTEGER approximation of -log2 p(w): bitlen(total) - bitlen(cnt)
+    * (within 1 bit of the real value), computed by a comparison ladder —
+    * no floating log, so both engines agree exactly (libm log rounding
+    * is engine-specific; see PortableSql.bitLen).
+    *
+    * Shape at 100 TB: one shuffle to count unigrams, one hash-join of
+    * token occurrences to their counts (vocabulary scales sub-linearly;
+    * an extreme hot word is one hot partition — the q_salted_join spread
+    * applies if a corpus ever needs it), one shuffle back to doc. The
+    * final average uses one IEEE double division (correctly rounded in
+    * both engines) + round(6).
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.bitLen
+    val toks = docs.select(col("doc_id"),
+      explode(expr(tokens("text", duck = false))).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"),
+      expr(s"CAST(${bitLen("sum(cnt)")} AS BIGINT)").as("total_bits"))
+    toks.join(freq, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (col("total_bits") - expr(s"CAST(${bitLen("cnt")} AS BIGINT)"))
+          .as("cost"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+        round(col("surprisal_bits").cast("double") / col("n_tokens"), 6)
+          .as("avg_bits"))
+  }
+
   /** Email / phone regexes shared by the Spark and oracle sides of the
     * PII scrub (RE2-safe subset — no backrefs/lookahead — so Java and
     * DuckDB regex engines agree).
@@ -178,6 +212,7 @@ object TextOps {
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
     "q_text_repetition" -> ((s, dir) => repetitionStats(Tables.documents(s, dir))),
     "q_text_pii_scrub" -> ((s, dir) => piiScrub(Tables.documents(s, dir))),
+    "q_text_surprisal" -> ((s, dir) => unigramSurprisal(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
     "q_text_langid" -> ((s, dir) => languageId(Tables.documents(s, dir))),
     "q_text_fingerprint" -> ((s, dir) => fingerprints(Tables.documents(s, dir)))
@@ -228,6 +263,21 @@ object TextOps {
            | md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
            |   '$PhoneRe', '<PHONE>', 'g')) AS masked_md5
            |FROM seeded""".stripMargin,
+
+      "q_text_surprisal" -> {
+        import graft.functions.PortableSql.bitLen
+        s"""WITH toks AS (SELECT doc_id, unnest(${tokens("text", duck = true)}) AS w
+           |   FROM documents),
+           | freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+           | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           |   CAST(${bitLen("sum(cnt)")} AS BIGINT) AS total_bits FROM freq)
+           |SELECT doc_id, count(*) AS n_tokens,
+           | CAST(sum(total_bits - ${bitLen("cnt")}) AS BIGINT) AS surprisal_bits,
+           | round(CAST(sum(total_bits - ${bitLen("cnt")}) AS DOUBLE) / count(*), 6)
+           |   AS avg_bits
+           |FROM toks JOIN freq USING (w), tot
+           |GROUP BY doc_id""".stripMargin
+      },
 
       "q_text_tokens" ->
         s"""SELECT lang, count(*) AS n_docs,
