@@ -173,13 +173,19 @@ object ShuffleOps {
     * in the summary, undercounted by at most n/(K+1). Threshold math
     * stays in exact integers (cnt·(K+1) > n), no division.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.balanced(spark, Tables.orders(spark, dir))
+  /** The skewed key projection shared by batch and streaming MG rows. */
+  def skewedKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.balanced(spark, Tables.orders(spark, dir))
       .select(when(col("o_orderkey") % 2 === 0, lit(0L))
         .otherwise(col("o_custkey")).as("k"))
-    val sketch = keyed.agg(
-      graft.functions.MisraGriesAggregate.mgSketch(col("k"), MgCapacity).as("mg"),
-      count(lit(1)).as("n_rows"))
+
+  /** Evaluate the MG guarantees of a one-row (mg, n_rows) sketch frame
+    * against the exact key counts — shared by the batch q_heavy_hitters
+    * and its streaming twin (whose sketch accumulated across
+    * micro-batches; the guarantee is merge-order-independent, which is
+    * exactly why the same oracle row covers both).
+    */
+  def mgInvariantRow(keyed: DataFrame, sketch: DataFrame): DataFrame =
     keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(sketch))
       .filter(col("cnt") * (MgCapacity + 1) > col("n_rows"))
@@ -194,6 +200,13 @@ object ShuffleOps {
       .select(col("n_rows"), col("n_heavy"),
         coalesce(col("found"), lit(1)).as("all_heavy_found"),
         coalesce(col("bound"), lit(1)).as("undercount_within_bound"))
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = skewedKeys(spark, dir)
+    val sketch = keyed.agg(
+      graft.functions.MisraGriesAggregate.mgSketch(col("k"), MgCapacity).as("mg"),
+      count(lit(1)).as("n_rows"))
+    mgInvariantRow(keyed, sketch)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

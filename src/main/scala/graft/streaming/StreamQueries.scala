@@ -103,6 +103,8 @@ object StreamQueries {
       sjFixtureDf(s, dir, "click"))
     ensureJsonFixture(fixtureDir("dedupttl", dir, "events"),
       ttlDedupFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
+      graft.operators.ShuffleOps.skewedKeys(s, dir))
     StreamAsof.warmFixture(s, dir)
   }
 
@@ -382,7 +384,48 @@ object StreamQueries {
       .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming sketch maintenance: Misra-Gries across micro-batches
+  // ---------------------------------------------------------------------
+
+  private val heavySchema = StructType(Seq(StructField("k", LongType)))
+
+  /** Streaming twin of q_heavy_hitters: the MG summary accumulates in
+    * the aggregation state store ACROSS micro-batches (each batch's
+    * partial sketches merge into the running buffer — the serialize/
+    * merge path of the TypedImperativeAggregate is exactly what the
+    * state store persists), complete-mode emits the running sketch,
+    * and the final one is audited against exact batch counts with the
+    * SHARED ShuffleOps.mgInvariantRow. The guarantee is merge-order-
+    * independent, so the same oracle row as the batch query covers the
+    * streaming accumulation too — that is the point of mergeable
+    * summaries in a streaming pipeline.
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
+      graft.operators.ShuffleOps.skewedKeys(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(heavySchema).json(landing)
+        .agg(graft.functions.MisraGriesAggregate
+            .mgSketch(col("k"), graft.operators.ShuffleOps.MgCapacity).as("mg"),
+          count(lit(1)).as("n_rows"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.ShuffleOps.mgInvariantRow(
+      graft.operators.ShuffleOps.skewedKeys(s, dir),
+      s.read.parquet(s"$tmp/out"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
     "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
@@ -392,6 +435,10 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Streaming MG accumulation: merge-order-independent guarantees, so
+    // the batch invariant row IS the oracle.
+    "q_stream_heavy" -> graft.operators.ShuffleOps.oracleSql("q_heavy_hitters"),
+
     // S9: no transform — streamed sink == source table.
     "q_stream_passthrough" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",

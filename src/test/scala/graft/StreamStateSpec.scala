@@ -54,6 +54,43 @@ class StreamStateSpec extends AnyFunSuite {
     assert(last.getAs[Boolean]("flagged"))
   }
 
+  test("MG sketch state merges across micro-batches (one file per trigger)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = Files.createTempDirectory("graft_mgstream_").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_mgstream_out_").toFile.getAbsolutePath
+    // 3 files -> 3 micro-batches; key 1 is heavy ONLY across all batches
+    // (10 of 30 rows overall, but at most 4 of 10 within any one file),
+    // so catching it proves cross-batch buffer merging, not per-batch luck
+    (0 until 3).foreach { f =>
+      val lines = (0 until 10).map { i =>
+        val k = if (i < (if (f == 1) 4 else 3)) 1L else 100L + f * 10 + i
+        s"""{"k":$k}"""
+      }
+      writeFile(in, s"f$f.json", lines)
+    }
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .agg(graft.functions.MisraGriesAggregate.mgSketch(col("k"), 4).as("mg"),
+        count(lit(1)).as("n"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/sink")
+      }
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val row = spark.read.parquet(s"$out/sink").collect()(0)
+    assert(row.getLong(row.fieldIndex("n")) == 30L)
+    val mg = row.getMap[Long, Long](row.fieldIndex("mg"))
+    // key 1 freq 10 > 30/(4+1): the MG guarantee must catch it, and the
+    // estimate may undercount by at most 6
+    assert(mg.contains(1L), s"heavy key lost across micro-batches: $mg")
+    assert(mg(1L) >= 10L - 6L && mg(1L) <= 10L)
+  }
+
   test("streaming session_window: 30-min gap splits sessions, emitted once closed") {
     val tmp = Files.createTempDirectory("graft_sess_").toFile.getAbsolutePath
     def ev(ts: String, user: Long) = s"""{"ts":"2024-03-15T$ts","user_id":$user}"""
