@@ -343,6 +343,22 @@ object VectorOps {
       .limit(k)
   }
 
+  /** IVF accuracy audit: recall@k of the probe search against the
+    * brute-force top-k for the standard query vector — the dial every
+    * ANN deployment monitors when trading probes for latency. Both
+    * rankings are deterministic here (left-fold dots, fixed tiebreaks),
+    * so the overlap count is an exact oracle-checkable value, not a
+    * statistical one.
+    */
+  def ivfRecall(emb: DataFrame, k: Int = 10): DataFrame = {
+    val exact = cosineTopK(emb, k = k).select(col("vec_id"))
+    val approx = ivfTopK(emb, k = k).select(col("vec_id"))
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("recall"))
+  }
+
   val DedupMinCosine = 0.9
 
   /** Embedding-cosine near-dup dedup: among LSH-candidate pairs with
@@ -400,7 +416,8 @@ object VectorOps {
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir))),
-    "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir)))
+    "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir))),
+    "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -417,13 +434,35 @@ object VectorOps {
     val unionAll = (0 until NTables)
       .map(t => s"SELECT vec_id, vn, $t AS t, bucket_$t AS bk FROM bkt")
       .mkString("\n  UNION ALL ")
+    val cosineTopkSql =
+      s"""WITH q AS (SELECT $v AS qv FROM embeddings WHERE vec_id = 0),
+         | c AS (SELECT vec_id, label, $v AS v FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, label, $cos AS cosine
+         |FROM c, q
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    val ivfTopkSql =
+      s"""WITH $normCte,
+         |$ivfAsgCte,
+         | q AS (SELECT vn AS qv FROM e WHERE vec_id = 0),
+         | probed AS (SELECT centroid_id FROM (
+         |   SELECT c.centroid_id, ${dot("c.cv", "q.qv", duck = true)} AS qcos
+         |   FROM c, q
+         |   ORDER BY qcos DESC, centroid_id LIMIT $IvfProbes) p)
+         |SELECT e.vec_id, asg.centroid_id,
+         |  round(${dot("e.vn", "q.qv", duck = true)}, 6) AS cosine
+         |FROM e
+         | JOIN asg ON e.vec_id = asg.vec_id
+         | JOIN probed ON asg.centroid_id = probed.centroid_id, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
     Map(
-      "q_emb_cosine_topk" ->
-        s"""WITH q AS (SELECT $v AS qv FROM embeddings WHERE vec_id = 0),
-           | c AS (SELECT vec_id, label, $v AS v FROM embeddings WHERE vec_id <> 0)
-           |SELECT vec_id, label, $cos AS cosine
-           |FROM c, q
-           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      "q_emb_cosine_topk" -> cosineTopkSql,
+
+      "q_emb_ivf_recall" ->
+        s"""SELECT CAST(10 AS INT) AS k, count(*) AS n_overlap,
+           | round(count(*) / 10.0, 6) AS recall
+           |FROM ($cosineTopkSql) e JOIN ($ivfTopkSql) i
+           | ON e.vec_id = i.vec_id""".stripMargin,
 
       "q_emb_lsh_buckets" ->
         s"""WITH $normCte
@@ -499,21 +538,7 @@ object VectorOps {
            |WHERE cosine >= $SemDedupMinCosine
            |GROUP BY centroid_id, drop_vec_id""".stripMargin,
 
-      "q_emb_ivf_topk" ->
-        s"""WITH $normCte,
-           |$ivfAsgCte,
-           | q AS (SELECT vn AS qv FROM e WHERE vec_id = 0),
-           | probed AS (SELECT centroid_id FROM (
-           |   SELECT c.centroid_id, ${dot("c.cv", "q.qv", duck = true)} AS qcos
-           |   FROM c, q
-           |   ORDER BY qcos DESC, centroid_id LIMIT $IvfProbes) p)
-           |SELECT e.vec_id, asg.centroid_id,
-           |  round(${dot("e.vn", "q.qv", duck = true)}, 6) AS cosine
-           |FROM e
-           | JOIN asg ON e.vec_id = asg.vec_id
-           | JOIN probed ON asg.centroid_id = probed.centroid_id, q
-           |WHERE e.vec_id <> 0
-           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+      "q_emb_ivf_topk" -> ivfTopkSql
     )
   }
 
