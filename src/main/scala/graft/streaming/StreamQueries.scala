@@ -105,6 +105,8 @@ object StreamQueries {
       ttlDedupFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
       graft.operators.ShuffleOps.skewedKeys(s, dir))
+    ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
+      upsertFixtureDf(s, dir))
     StreamAsof.warmFixture(s, dir)
   }
 
@@ -424,7 +426,77 @@ object StreamQueries {
       s.read.parquet(s"$tmp/out"))
   }
 
+  // ---------------------------------------------------------------------
+  // CDC upsert sink: keyed MERGE maintained across micro-batches
+  // ---------------------------------------------------------------------
+
+  private val upsertSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_acctbal", DoubleType),
+    StructField("seq", LongType)))
+
+  /** Change stream: every customer's base row at seq 0, an update for
+    * keys %5==0 at seq 1, another for %10==0 at seq 2 — one file in
+    * ascending seq order ((key, seq) unique, so latest-wins is
+    * deterministic under any batch split).
+    */
+  private def upsertFixtureDf(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), lit(0L).as("seq"))
+    val v1 = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("seq", lit(1L))
+    val v2 = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 250.0)
+      .withColumn("seq", lit(2L))
+    base.unionByName(v1).unionByName(v2)
+      .repartition(1).sortWithinPartitions(col("seq"), col("c_custkey"))
+  }
+
+  /** Streaming CDC upsert sink — the third leg of the upsert trio
+    * (batch SCD1 `q_dim_upsert`, interval SCD2 `q_scd2_intervals`): a
+    * keyed latest-wins MERGE maintained across micro-batches in
+    * foreachBatch. State versions are written per batch id
+    * (state_v{bid}), which makes a replayed batch overwrite its own
+    * version — the same batch-id idempotence contract as the ingest
+    * sink — and latest-per-key of a union is itself replay-idempotent.
+    * Without an ACID table format the merge is read-previous + write-
+    * next (a lakehouse MERGE with file pruning at scale); the SHAPE —
+    * per-key window over prev ∪ batch, one shuffle on the key — is the
+    * deployment plan.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
+      upsertFixtureDf(s, dir))
+    val tmp = tempSink()
+    val statePrefix = s"$tmp/state_v"
+    val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(upsertSchema).json(landing)
+        .writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          val ss = df.sparkSession
+          val prev =
+            if (bid == 0) df.limit(0)
+            else ss.read.schema(upsertSchema).parquet(s"$statePrefix${bid - 1}")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c_custkey")).orderBy(col("seq").desc)
+          prev.unionByName(df)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite").parquet(s"$statePrefix$bid")
+          lastBid.set(math.max(lastBid.get, bid))
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(upsertSchema).parquet(s"$statePrefix${lastBid.get}")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
@@ -438,6 +510,20 @@ object StreamQueries {
     // Streaming MG accumulation: merge-order-independent guarantees, so
     // the batch invariant row IS the oracle.
     "q_stream_heavy" -> graft.operators.ShuffleOps.oracleSql("q_heavy_hitters"),
+
+    // CDC upsert: the merged end state is latest-per-key of the full
+    // change relation.
+    "q_stream_upsert" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS seq FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100.0, 1 FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 250.0, 2 FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_acctbal, seq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC) AS rn FROM chg) t
+        |WHERE rn = 1""".stripMargin,
 
     // S9: no transform — streamed sink == source table.
     "q_stream_passthrough" ->

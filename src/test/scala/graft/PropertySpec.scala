@@ -91,6 +91,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitLen ladder == JDK bit length, for random and boundary longs") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(11)
+    val edges = (0 to 47).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+    val vals = (edges ++ Seq.fill(200)(math.abs(rnd.nextLong()) % (1L << 48)))
+      .filter(x => x >= 1 && x < (1L << 48)).distinct
+    val rows = vals.toDF("x")
+      .withColumn("bl", expr(graft.functions.PortableSql.bitLen("x")))
+      .select(col("x"), col("bl").cast("long")).collect()
+    rows.foreach { r =>
+      val expected = 64 - java.lang.Long.numberOfLeadingZeros(r.getLong(0))
+      assert(r.getLong(1) == expected, s"x=${r.getLong(0)}")
+    }
+  }
+
   test("mask: first 6 + six asterisks + last 4, for all valid PAN lengths") {
     import org.apache.spark.sql.functions.col
     import graft.ingest.TxnPipeline
