@@ -37,7 +37,8 @@ object SparkEntry {
     *
     * SESSION-CONF CONTRACT: the stateful streaming queries
     * (q_stream_window, q_stream_join, q_stream_dedup, q_stream_asof,
-    * q_stream_dedup_ttl, q_stream_heavy) temporarily lower
+    * q_stream_dedup_ttl, q_stream_heavy, q_stream_upsert, q_stream_session)
+    * temporarily lower
     * spark.sql.shuffle.partitions for their own execution (state-store
     * instances = shuffle partitions) and restore it in a finally. Run
     * queries sequentially per session — a query PLANNED concurrently on

@@ -107,6 +107,8 @@ object StreamQueries {
       graft.operators.ShuffleOps.skewedKeys(s, dir))
     ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
       upsertFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("session", dir, "events"),
+      sessionFixtureDf(s, dir))
     StreamAsof.warmFixture(s, dir)
   }
 
@@ -427,6 +429,55 @@ object StreamQueries {
   }
 
   // ---------------------------------------------------------------------
+  // ST2+: per-user session windows (gap-based, watermark-emitted)
+  // ---------------------------------------------------------------------
+
+  private val sessSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("ms", LongType)))
+
+  /** Streaming twin of the batch q_sessionize: session_window with a
+    * 30-minute gap per user, append-emitted when the watermark passes a
+    * session's end (= last event + gap). Oracle gate mirrors
+    * q_stream_window's: end <= max(event time) - delay, integer ms.
+    * Split semantics: Spark's session window is HALF-OPEN [start,
+    * last+gap), so an event at exactly last+gap starts a NEW session —
+    * the oracle's lag-split uses >= where the batch q_sessionize (which
+    * defines its own semantics) uses >.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("session", dir, "events"),
+      sessionFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val agg = s.readStream.schema(sessSchema).json(landing)
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+  }
+
+  private def sessionFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .repartition(1).sortWithinPartitions(col("ms"))
+
+  // ---------------------------------------------------------------------
   // CDC upsert sink: keyed MERGE maintained across micro-batches
   // ---------------------------------------------------------------------
 
@@ -497,6 +548,7 @@ object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
+    "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
     "q_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
@@ -565,6 +617,24 @@ object StreamQueries {
         |FROM e, mx
         |GROUP BY 1, max_ms
         |HAVING (ms // 300000) * 300000 + 300000 <= max_ms - 600000""".stripMargin,
+
+    // Per-user gap sessions behind the same watermark gate as
+    // q_stream_window; >= split matches the half-open session window.
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        | mx AS (SELECT max(tms) AS max_ms FROM e),
+        | g AS (SELECT user_id, event_id, tms,
+        |   CASE WHEN lag(tms) OVER w IS NULL
+        |     OR tms - lag(tms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        | s2 AS (SELECT user_id, tms,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, CAST(min(tms) AS BIGINT) AS start_ms,
+        | CAST(max(tms) + 1800000 AS BIGINT) AS end_ms,
+        | count(*) AS n_events
+        |FROM s2, mx GROUP BY user_id, sid, max_ms
+        |HAVING max(tms) + 1800000 <= max_ms - 600000""".stripMargin,
 
     // Stream-static broadcast enrich == batch equi-join.
     "q_stream_enrich" ->
