@@ -55,6 +55,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc window must partition by bucket:\n$plan")
   }
 
+  test("purge audit anti-joins broadcast the tombstone side") {
+    val plan = graft.operators.Governance.purgeAudit(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bcastAnti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
+    assert(bcastAnti >= 2,
+      s"tombstone purges must broadcast the deletion keys, got $bcastAnti:\n$plan")
+  }
+
   test("uniform sample plans TakeOrderedAndProject, not a global sort") {
     val plan = SampleOps.uniformSample(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
