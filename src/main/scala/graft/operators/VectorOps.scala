@@ -359,6 +359,38 @@ object VectorOps {
         round(col("n_overlap").cast("double") / k, 6).as("recall"))
   }
 
+  /** Hybrid retrieval scoring — the RAG-serving pattern: rank documents
+    * for a query vector by a weighted blend of semantic similarity and
+    * content quality (cosine to the query embedding + the TextOps
+    * quality heuristic), top-k by the blended score. One broadcast of
+    * the query row, one narrow similarity pass, one equi-join to the
+    * quality projection, TakeOrderedAndProject — never a global sort.
+    * Both components are already oracle-deterministic (round(6) cosines,
+    * round(6) quality), and the blend is IEEE double arithmetic both
+    * engines execute identically.
+    */
+  val HybridCosWeight = 0.7
+  val HybridQualWeight = 0.3
+
+  def hybridSearch(emb: DataFrame, docs: DataFrame, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), expr(vcol).as("v"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val sims = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol(col("v"), col("qv")) /
+          (sqrt(dotCol(col("v"), col("v"))) * sqrt(dotCol(col("qv"), col("qv")))), 6)
+          .as("cosine"))
+    val qual = TextOps.qualityScore(docs).select(col("doc_id"), col("quality"))
+    sims.join(qual, sims("vec_id") === qual("doc_id"))
+      .select(col("doc_id"), col("cosine"), col("quality"),
+        round(lit(HybridCosWeight) * col("cosine") +
+          lit(HybridQualWeight) * col("quality"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   val DedupMinCosine = 0.9
 
   /** Embedding-cosine near-dup dedup: among LSH-candidate pairs with
@@ -417,7 +449,9 @@ object VectorOps {
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir))),
     "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir))),
-    "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir)))
+    "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir))),
+    "q_hybrid_search" -> ((s, dir) =>
+      hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -457,6 +491,26 @@ object VectorOps {
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
     Map(
       "q_emb_cosine_topk" -> cosineTopkSql,
+
+      "q_hybrid_search" -> {
+        val qualitySql =
+          s"""SELECT doc_id,
+             | round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+             |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+             |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0), 6) AS quality
+             |FROM (SELECT doc_id, n_chars,
+             |   CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT) AS n_tokens,
+             |   CAST(${alen(filterArr(tokens("text", duck = true), "t", "t = 'a' OR t = 'the'", duck = true), duck = true)} AS BIGINT) AS n_stop
+             |  FROM documents) t""".stripMargin
+        s"""WITH q AS (SELECT $v AS qv FROM embeddings WHERE vec_id = 0),
+           | sims AS (SELECT vec_id, $cos AS cosine
+           |   FROM (SELECT vec_id, $v AS v FROM embeddings WHERE vec_id <> 0) c, q),
+           | qual AS ($qualitySql)
+           |SELECT doc_id, cosine, quality,
+           | round($HybridCosWeight * cosine + $HybridQualWeight * quality, 6) AS score
+           |FROM sims JOIN qual ON sims.vec_id = qual.doc_id
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      },
 
       "q_emb_ivf_recall" ->
         s"""SELECT CAST(10 AS INT) AS k, count(*) AS n_overlap,
