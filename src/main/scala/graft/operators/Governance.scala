@@ -38,11 +38,68 @@ object Governance {
       .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_orders")))
   }
 
+  private val NumCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+  private val StrCols = Seq("o_orderstatus", "o_orderpriority")
+
+  /** Table profiling — the ANALYZE step a pipeline runs before anything
+    * else touches a new drop: per-column null count, exact distinct
+    * count, and min/max (numeric as double; lexicographic for strings —
+    * kept in separate typed columns so no float-to-string formatting,
+    * which differs across engines, ever enters the compare). ONE pass:
+    * a single multi-aggregate row unpivoted with stack(). At 100 TB the
+    * exact count(DISTINCT) column swaps for approx_count_distinct —
+    * same query shape, mergeable sketches instead of Expand.
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.balanced(spark, Tables.orders(spark, dir))
+    val aggs = (NumCols ++ StrCols).flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+    } ++ NumCols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))
+    } ++ StrCols.flatMap { c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = orders.agg(allAggs.head, allAggs.tail: _*)
+    val rows =
+      NumCols.map(c =>
+        s"'$c', nn_$c, nd_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      StrCols.map(c =>
+        s"'$c', nn_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_$c, mx_$c")
+    one.select(col("n_rows"), expr(
+      s"stack(${rows.size}, ${rows.mkString(", ")}) AS " +
+        "(column_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir))
+    "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir)),
+    "q_profile" -> ((s, dir) => profileOrders(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // naive per-column scans — an independent plan for the one-pass stack
+    "q_profile" -> {
+      val num = NumCols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin)
+      val str = StrCols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           | min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin)
+      (num ++ str).mkString("\nUNION ALL\n")
+    },
+
     "q_purge_audit" ->
       s"""WITH tomb AS (SELECT c_custkey FROM customer
          |   WHERE c_custkey % $TombMod = $TombRem),
