@@ -180,6 +180,24 @@ object Analytics {
         .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
     }),
 
+    // Distribution windows: ntile / percent_rank / cume_dist per
+    // nation over customer balance — the remaining ranking-family
+    // functions next to q_window_rank's row_number. All three are pure
+    // rank arithmetic over the same one-shuffle partitioned sort, and
+    // round(6) keeps the divisions hash-stable across engines.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("c_custkey") % 20 === 0)
+    }),
+
     // Set operations: EXCEPT + INTERSECT branches unioned with a tag.
     "q_setops" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -461,6 +479,15 @@ object Analytics {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name
         |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT n_name, c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY c_custkey % 20 = 0""".stripMargin,
 
     "q_window_rank" ->
       """SELECT n_name, c_custkey, c_acctbal, rnk FROM (
