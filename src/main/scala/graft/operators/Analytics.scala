@@ -180,6 +180,24 @@ object Analytics {
         .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
     }),
 
+    // Top-3 per nation WITHOUT a window: the bounded-heap typed
+    // aggregate map-side combines to k rows per group per partition
+    // before the exchange, so the shuffle carries k x groups rows where
+    // the q_window_rank plan shuffles and sorts every member. Same
+    // answer; the oracle runs the window form.
+    "q_topk_group" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(graft.functions.TopKAggregate.topKRows(
+          struct(col("c_acctbal").cast("double").as("value"),
+            col("c_custkey").as("id")), 3).as("top"))
+        .select(col("n_name"), posexplode(col("top")))
+        .select(col("n_name"), col("col.id").as("c_custkey"),
+          col("col.value").as("c_acctbal"), (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // Distribution windows: ntile / percent_rank / cume_dist per
     // nation over customer balance — the remaining ranking-family
     // functions next to q_window_rank's row_number. All three are pure
@@ -479,6 +497,15 @@ object Analytics {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name
         |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT n_name, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        | CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT n_name, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_window_dist" ->
       """SELECT n_name, c_custkey, c_acctbal,

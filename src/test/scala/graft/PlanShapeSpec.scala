@@ -55,6 +55,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc window must partition by bucket:\n$plan")
   }
 
+  test("bounded-heap top-k per group partial-aggregates before the exchange") {
+    val plan = SparkEntry.queries("q_topk_group")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial top_k_rows must appear BELOW the group exchange: the
+    // shuffle then carries k rows per group per partition, which is the
+    // whole point versus the window plan's full sort
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(n_name")
+    val partialIdx = plan.indexOf("partial_top_k_rows")
+    assert(partialIdx >= 0, s"no partial top-k aggregation:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial top-k must sit under the group exchange:\n$plan")
+  }
+
   test("purge audit anti-joins broadcast the tombstone side") {
     val plan = graft.operators.Governance.purgeAudit(spark, dir)
       .queryExecution.executedPlan.toString
