@@ -75,9 +75,36 @@ object Governance {
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
+  /** Snapshot reconciliation — the diff a pipeline publishes when a new
+    * table version lands: keys added, removed, changed, unchanged. One
+    * full outer join on the key, CASE classification, count per status.
+    * The revised snapshot here is derived deterministically from the
+    * base (updates %10==3, inserts %17==5 re-keyed high, deletes
+    * %13==11), so both engines reconstruct the identical pair of
+    * versions and the diff is exact.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    val revised = base
+      .filter(col("k") % 13 =!= 11) // deletes
+      .withColumn("v", when(col("k") % 10 === 3, col("v") + 1000.0)
+        .otherwise(col("v"))) // updates
+      .unionByName(base.filter(col("k") % 17 === 5)
+        .select((col("k") + 10000000000L).as("k"), lit(0.0).as("v"))) // inserts
+    base.as("b").join(revised.as("r"), col("b.k") === col("r.k"), "full_outer")
+      .select(
+        when(col("b.k").isNull, "added")
+          .when(col("r.k").isNull, "removed")
+          .when(col("b.v") =!= col("r.v"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir)),
-    "q_profile" -> ((s, dir) => profileOrders(s, dir))
+    "q_profile" -> ((s, dir) => profileOrders(s, dir)),
+    "q_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +126,20 @@ object Governance {
            |FROM orders""".stripMargin)
       (num ++ str).mkString("\nUNION ALL\n")
     },
+
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer),
+        | revised AS (
+        |  SELECT k, CASE WHEN k % 10 = 3 THEN v + 1000.0 ELSE v END AS v
+        |  FROM base WHERE k % 13 <> 11
+        |  UNION ALL
+        |  SELECT k + 10000000000 AS k, 0.0 AS v FROM base WHERE k % 17 = 5)
+        |SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |  WHEN r.k IS NULL THEN 'removed'
+        |  WHEN b.v <> r.v THEN 'changed'
+        |  ELSE 'unchanged' END AS status, count(*) AS n
+        |FROM base b FULL OUTER JOIN revised r ON b.k = r.k
+        |GROUP BY 1""".stripMargin,
 
     "q_purge_audit" ->
       s"""WITH tomb AS (SELECT c_custkey FROM customer

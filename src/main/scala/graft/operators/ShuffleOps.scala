@@ -209,7 +209,36 @@ object ShuffleOps {
     mgInvariantRow(keyed, sketch)
   }
 
+  /** Probe keys for the CM point-estimate compare: the planted hot key
+    * plus three ordinary customer keys.
+    */
+  val CmProbes = Seq(0L, 101L, 202L, 303L)
+
+  /** Count-Min point estimates vs exact counts. CM is linear (cells are
+    * sums), so unlike the MG row this compares the EXACT estimates: the
+    * DuckDB oracle rebuilds every probed cell relationally with the same
+    * portable hash ladder and must reproduce the sketch's numbers
+    * bit-for-bit — plus the never-undercounts guarantee as a flag.
+    */
+  def cmEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CountMinAggregate.{cellSql, cmSketch, Depth, Width}
+    val keyed = skewedKeys(spark, dir)
+    val sketch = keyed.agg(cmSketch(col("k")).as("cm"))
+    val est = (0 until Depth)
+      .map(d => expr(s"element_at(cm, CAST($d * $Width + ${cellSql("k", d)} AS INT) + 1)"))
+      .reduce(least(_, _))
+    CmProbes.toDF("k")
+      .join(keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt")), Seq("k"), "left")
+      .crossJoin(broadcast(sketch))
+      .select(col("k"), coalesce(col("cnt"), lit(0L)).as("exact_cnt"),
+        est.as("cm_est"))
+      .withColumn("never_undercounts",
+        (col("cm_est") >= col("exact_cnt")).cast("int"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
     "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
@@ -238,6 +267,30 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // CM is linear, so the oracle rebuilds the probed cells relationally
+    // and matches the sketch's estimates EXACTLY
+    "q_cm_sketch" -> {
+      import graft.functions.CountMinAggregate.{cellSql, Depth}
+      val rows = (0 until Depth).map(d =>
+        s""" c$d AS (SELECT ${cellSql("k", d)} AS cell, count(*) AS cnt
+           |   FROM keyed GROUP BY 1)""".stripMargin).mkString(",\n")
+      val joins = (0 until Depth).map(d =>
+        s"LEFT JOIN c$d x$d ON x$d.cell = ${cellSql("p.k", d)}").mkString("\n ")
+      val least = (0 until Depth).map(d => s"coalesce(x$d.cnt, 0)").mkString(", ")
+      s"""WITH keyed AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0
+         |   ELSE o_custkey END AS k FROM orders),
+         |$rows,
+         | probes AS (SELECT CAST(k AS BIGINT) AS k
+         |   FROM (VALUES ${CmProbes.map(k => s"($k)").mkString(", ")}) v(k)),
+         | exact AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY k)
+         |SELECT p.k, CAST(coalesce(e.cnt, 0) AS BIGINT) AS exact_cnt,
+         | CAST(least($least) AS BIGINT) AS cm_est,
+         | CAST(least($least) >= coalesce(e.cnt, 0) AS INT) AS never_undercounts
+         |FROM probes p
+         | LEFT JOIN exact e ON e.k = p.k
+         | $joins""".stripMargin
+    },
+
     // the sketch is engine-local; the oracle asserts its GUARANTEE: the
     // exact heavy set (computable relationally) is always caught within
     // the n/(K+1) undercount bound, so those flags are provably 1

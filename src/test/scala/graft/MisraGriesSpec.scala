@@ -39,4 +39,23 @@ class MisraGriesSpec extends AnyFunSuite {
       assert(sketch.size <= k, s"seed=$seed: summary exceeded capacity")
     }
   }
+
+  test("Count-Min is linear: partitioning cannot change the sketch; never undercounts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val keys = Seq.fill(3000)(rnd.nextInt(40).toLong)
+    val a = keys.toDF("k").repartition(1)
+      .agg(graft.functions.CountMinAggregate.cmSketch(col("k"))).collect()(0).getSeq[Long](0)
+    val b = keys.toDF("k").repartition(13)
+      .agg(graft.functions.CountMinAggregate.cmSketch(col("k"))).collect()(0).getSeq[Long](0)
+    assert(a == b, "merge order changed a linear sketch")
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, cnt) =>
+      val est = (0 until graft.functions.CountMinAggregate.Depth).map { d =>
+        a(d * graft.functions.CountMinAggregate.Width +
+          graft.functions.CountMinAggregate.cell(k, d))
+      }.min
+      assert(est >= cnt, s"key $k undercounted: $est < $cnt")
+    }
+  }
 }
