@@ -176,6 +176,52 @@ object TextOps {
           .as("avg_bits"))
   }
 
+  /** BM25-lite query terms (mid-df corpus tokens) and constants. */
+  val Bm25Terms = Seq("join", "hash", "window")
+
+  /** Per-(doc, term) BM25 contribution in integer micro-units, as ONE
+    * shared SQL fragment over columns (tf, df, dl, n_docs, tot):
+    * idf is the integer bit-length approximation (no libm log), the
+    * k1/b saturation runs in doubles — safe because the TEXT is
+    * identical in both dialects (same literals → same doubles → same
+    * round) — and the final cast to micro-unit BIGINT makes the per-doc
+    * SUM exact and order-insensitive (double addition order would flip
+    * hashes).
+    */
+  private def bm25ContribSql: String = {
+    import graft.functions.PortableSql.bitLen
+    s"CAST(round((${bitLen("n_docs")} - ${bitLen("df")}) * (tf * 2.2) " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / (tot / n_docs))) * 1000000.0) AS BIGINT)"
+  }
+
+  /** BM25-lite lexical search — the inverted-index twin of the vector
+    * path (q_hybrid_search): postings (doc, term, tf) from one tokenize
+    * pass, document frequencies over the query terms only, k1/b
+    * length-normalized scoring, top-10. Shape at 100 TB: the postings
+    * build is the inverted index (one shuffle on term), the query-term
+    * filter prunes it to the handful of touched terms BEFORE any join,
+    * and scoring joins are per-posting narrow. Scores are summed in
+    * integer micro-units (see [[bm25ContribSql]]).
+    */
+  def bm25Search(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr(tokens("text", duck = false))).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("double").as("tot"))
+    val tf = toks.filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(bm25ContribSql).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Email / phone regexes shared by the Spark and oracle sides of the
     * PII scrub (RE2-safe subset — no backrefs/lookahead — so Java and
     * DuckDB regex engines agree).
@@ -213,6 +259,7 @@ object TextOps {
     "q_text_repetition" -> ((s, dir) => repetitionStats(Tables.documents(s, dir))),
     "q_text_pii_scrub" -> ((s, dir) => piiScrub(Tables.documents(s, dir))),
     "q_text_surprisal" -> ((s, dir) => unigramSurprisal(Tables.documents(s, dir))),
+    "q_bm25_search" -> ((s, dir) => bm25Search(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => qualityScore(Tables.documents(s, dir))),
     "q_text_langid" -> ((s, dir) => languageId(Tables.documents(s, dir))),
     "q_text_fingerprint" -> ((s, dir) => fingerprints(Tables.documents(s, dir)))
@@ -263,6 +310,21 @@ object TextOps {
            | md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
            |   '$PhoneRe', '<PHONE>', 'g')) AS masked_md5
            |FROM seeded""".stripMargin,
+
+      "q_bm25_search" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(${tokens("text", duck = true)}) AS w
+           |   FROM documents),
+           | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           | stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS tot
+           |   FROM dl),
+           | tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           |   WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+           |   GROUP BY doc_id, w),
+           | dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+           |SELECT doc_id, CAST(sum($bm25ContribSql) AS BIGINT) AS score_micro
+           |FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), stats
+           |GROUP BY doc_id
+           |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
 
       "q_text_surprisal" -> {
         import graft.functions.PortableSql.bitLen
