@@ -7,7 +7,7 @@ import graft.gen.Generators
 import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
 import graft.operators.{Analytics, AsofJoin, Audio, Bmp, DedupOps, Governance, LayoutOps, Multimodal, Phash, SampleOps, ShuffleOps, TextOps, TypedAgg, VectorOps}
-import graft.streaming.{StreamAsof, StreamIngest, StreamQueries}
+import graft.streaming.{StreamAsof, StreamIngest, StreamQueries, StreamTws}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,7 +48,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AsofJoin.queries ++ Governance.queries ++ LayoutOps.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ Phash.queries ++ Audio.queries ++ Bmp.queries ++ AvroWire.queries ++ IngestQueries.queries ++
-      StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ DimLoader.queries ++
+      StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ StreamTws.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,6 +57,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ AsofJoin.oracleSql ++ Governance.oracleSql ++ LayoutOps.oracleSql ++ SampleOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ Phash.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
-      StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ DimLoader.oracleSql ++
+      StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ StreamTws.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql
 }

@@ -110,6 +110,7 @@ object StreamQueries {
     ensureJsonFixture(fixtureDir("session", dir, "events"),
       sessionFixtureDf(s, dir))
     StreamAsof.warmFixture(s, dir)
+    StreamTws.warmFixture(s, dir)
   }
 
   /** Window-fixture rows as ONE file in ascending event-time order.

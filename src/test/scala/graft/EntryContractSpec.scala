@@ -25,7 +25,8 @@ class EntryContractSpec extends AnyFunSuite {
       graft.operators.Bmp.queries, graft.operators.Phash.queries,
       graft.ingest.AvroWire.queries, graft.ingest.IngestQueries.queries,
       graft.streaming.StreamIngest.queries, graft.streaming.StreamQueries.queries,
-      graft.streaming.StreamAsof.queries, graft.load.DimLoader.queries,
+      graft.streaming.StreamAsof.queries, graft.streaming.StreamTws.queries,
+      graft.load.DimLoader.queries,
       graft.gen.Generators.queries, graft.operators.ShuffleOps.queries,
       graft.operators.TypedAgg.queries)
     val all = maps.flatMap(_.keys)
