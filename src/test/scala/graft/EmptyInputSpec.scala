@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, Phash, SampleOps, TextOps}
+
+/** Degenerate-input robustness for the round-6 operators: an empty (or
+  * dup-free) corpus must yield an empty result, never a crash — at
+  * 100 TB a partition-pruned read producing zero rows is an everyday
+  * plan, not an edge case.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Long)].toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("text/sampling/dedup operators survive an empty corpus") {
+    assert(TextOps.repetitionStats(emptyDocs).count() == 0)
+    assert(TextOps.unigramSurprisal(emptyDocs).count() == 0)
+    assert(TextOps.bm25Search(emptyDocs).count() == 0)
+    assert(SampleOps.tokenBudgetSample(emptyDocs).count() == 0)
+    assert(DedupOps.decontaminate(emptyDocs).count() == 0)
+    assert(Phash.phashPairs(spark, emptyDocs).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("budget sample on a single tiny doc keeps it (crossing doc included)") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
+    val got = SampleOps.tokenBudgetSample(one).collect()
+    assert(got.length == 1 && got(0).getLong(got(0).fieldIndex("tokens_before")) == 0L)
+  }
+}
