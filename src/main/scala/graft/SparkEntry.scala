@@ -37,13 +37,16 @@ object SparkEntry {
     *
     * SESSION-CONF CONTRACT: the stateful streaming queries
     * (q_stream_window, q_stream_join, q_stream_dedup, q_stream_asof,
-    * q_stream_dedup_ttl, q_stream_heavy, q_stream_upsert, q_stream_session)
-    * temporarily lower
+    * q_stream_dedup_ttl, q_stream_heavy, q_stream_upsert, q_stream_session,
+    * q_stream_tws) temporarily lower
     * spark.sql.shuffle.partitions for their own execution (state-store
     * instances = shuffle partitions) and restore it in a finally. Run
     * queries sequentially per session — a query PLANNED concurrently on
     * the same session while one of these is running would pick up the
-    * lowered value.
+    * lowered value. q_stream_tws additionally pins
+    * spark.sql.streaming.stateStore.providerClass to RocksDB for its own
+    * execution (transformWithState requires it) and restores it the same
+    * way — the same sequential-execution caveat applies.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AsofJoin.queries ++ Governance.queries ++ LayoutOps.queries ++ SampleOps.queries ++ TextOps.queries ++ DedupOps.queries ++

@@ -92,15 +92,19 @@ object CountMinAggregate {
   val HashA: Array[Long] = Array(31L, 131L, 1031L, 65537L)
   val HashB: Array[Long] = Array(7L, 97L, 997L, 9973L)
 
-  /** Row-d cell of key k (non-negative keys). */
+  /** Row-d cell of key k. floorMod keeps the index non-negative for
+    * negative keys (Java % preserves the dividend's sign — a raw % would
+    * index out of bounds); the SQL fragment applies the same
+    * double-mod-shift so both engines hash every BIGINT identically.
+    */
   def cell(k: Long, d: Int): Int =
-    (((k % P) * HashA(d) + HashB(d)) % P % Width).toInt
+    ((java.lang.Math.floorMod(k, P) * HashA(d) + HashB(d)) % P % Width).toInt
 
   /** The same cell as a SQL fragment over a key expression — identical
     * text in both dialects (integer arithmetic only).
     */
   def cellSql(k: String, d: Int): String =
-    s"(($k % $P) * ${HashA(d)} + ${HashB(d)}) % $P % $Width"
+    s"((($k % $P + $P) % $P) * ${HashA(d)} + ${HashB(d)}) % $P % $Width"
 
   /** Aggregate Column: flattened Depth×Width CM counter array. */
   def cmSketch(key: Column): Column =

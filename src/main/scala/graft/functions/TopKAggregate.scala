@@ -68,7 +68,11 @@ case class TopKRowsAggregate(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1))
+      // NaN is skipped like null: beats() is false against NaN in both
+      // directions, so one admitted NaN could never be evicted and would
+      // freeze the group's top-k (callers whose values can be NaN should
+      // decide its rank explicitly upstream)
+      if (!row.isNullAt(0) && !row.isNullAt(1) && !row.getDouble(0).isNaN)
         insert(buf, row.getDouble(0), row.getLong(1))
     }
     buf

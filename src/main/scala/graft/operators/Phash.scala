@@ -17,8 +17,9 @@ import graft.functions.PortableSql.seedLadderSql
   * (0,0) (each channel +100 mod 256), which perturbs exactly one sample
   * of the dHash grid, so sibling hamming distance is 0 or 1 while
   * unrelated images sit near 28 (56/2). The banding (4 bands x 14 bits)
-  * is lossless for the <= 3 threshold: 4 or fewer flipped bits cannot
-  * touch all 4 bands.
+  * is lossless for the <= 3 threshold: 3 or fewer flipped bits leave at
+  * least one of the 4 bands untouched (4 flips COULD hit one band each,
+  * which is why HammingMax must stay below the band count).
   *
   * Scale shape: one decode+hash pass per doc (mapPartitions, decoder
   * reused per task), then an equi-join on (band, value) — candidates

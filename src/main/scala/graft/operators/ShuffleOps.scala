@@ -197,7 +197,10 @@ object ShuffleOps {
         min(when(col("est").isNotNull, 1).otherwise(0)).as("found"),
         min(when((col("cnt") - coalesce(col("est"), lit(0L))) * (MgCapacity + 1)
           <= col("n_rows"), 1).otherwise(0)).as("bound"))
-      .select(col("n_rows"), col("n_heavy"),
+      // coalesce ALL aggregate outputs: on a zero-row keyed input the
+      // heavy set is empty and max/min return NULL while the oracle
+      // emits 0/1s
+      .select(coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("n_heavy"),
         coalesce(col("found"), lit(1)).as("all_heavy_found"),
         coalesce(col("bound"), lit(1)).as("undercount_within_bound"))
 

@@ -222,6 +222,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** The quality formula over (n_chars, n_tokens, n_stop) and the base
+    * projection that supplies them — ONE definition interpolated by the
+    * q_text_quality oracle here AND the q_hybrid_search oracle in
+    * VectorOps, so the weights/thresholds cannot silently drift between
+    * the two parity checks.
+    */
+  private val QualityFormulaSql: String =
+    """round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+      |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+      |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0), 6)""".stripMargin
+
+  private def qualityBaseOracleSql: String = {
+    val toks = tokens("text", duck = true)
+    val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
+    s"""SELECT doc_id, n_chars,
+       |   CAST(${alen(toks, duck = true)} AS BIGINT) AS n_tokens,
+       |   CAST(${alen(stopD, duck = true)} AS BIGINT) AS n_stop
+       |  FROM documents""".stripMargin
+  }
+
+  /** (doc_id, quality) oracle projection built from the shared pieces. */
+  def qualityDocOracleSql: String =
+    s"""SELECT doc_id, $QualityFormulaSql AS quality
+       |FROM ($qualityBaseOracleSql) t""".stripMargin
+
   /** Email / phone regexes shared by the Spark and oracle sides of the
     * PII scrub (RE2-safe subset — no backrefs/lookahead — so Java and
     * DuckDB regex engines agree).
@@ -355,13 +380,8 @@ object TextOps {
       "q_text_quality" ->
         s"""SELECT doc_id, n_tokens,
            | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-           | round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
-           |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-           |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0), 6) AS quality
-           |FROM (SELECT doc_id, n_chars,
-           |   CAST(${alen(toks, duck = true)} AS BIGINT) AS n_tokens,
-           |   CAST(${alen(stopD, duck = true)} AS BIGINT) AS n_stop
-           |  FROM documents) t""".stripMargin,
+           | $QualityFormulaSql AS quality
+           |FROM ($qualityBaseOracleSql) t""".stripMargin,
 
       "q_text_langid" ->
         s"""SELECT doc_id, stop_ratio, vowel_ratio,

@@ -493,15 +493,9 @@ object VectorOps {
       "q_emb_cosine_topk" -> cosineTopkSql,
 
       "q_hybrid_search" -> {
-        val qualitySql =
-          s"""SELECT doc_id,
-             | round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
-             |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-             |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 80.0), 6) AS quality
-             |FROM (SELECT doc_id, n_chars,
-             |   CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT) AS n_tokens,
-             |   CAST(${alen(filterArr(tokens("text", duck = true), "t", "t = 'a' OR t = 'the'", duck = true), duck = true)} AS BIGINT) AS n_stop
-             |  FROM documents) t""".stripMargin
+        // quality fragment shared with TextOps' own oracle — one
+        // definition, no drift between the two parity checks
+        val qualitySql = TextOps.qualityDocOracleSql
         s"""WITH q AS (SELECT $v AS qv FROM embeddings WHERE vec_id = 0),
            | sims AS (SELECT vec_id, $cos AS cosine
            |   FROM (SELECT vec_id, $v AS v FROM embeddings WHERE vec_id <> 0) c, q),
