@@ -373,7 +373,9 @@ object DedupOps {
     "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir))),
-    "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir)))
+    "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir))),
+    "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
+    "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir)))
   )
 
   /** Eval-set slice for decontamination (≈2% of the corpus). */
@@ -417,6 +419,33 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= DeconMinShared)
   }
+
+  /** Ensemble dedup decision: every doc flagged by at least one near-dup
+    * signal, with a per-signal provenance flag — the policy join a
+    * pipeline runs before choosing what to drop (signals have different
+    * recall profiles; provenance is what makes the threshold tunable
+    * after the fact). Full outer join of the (tiny) distinct drop sets.
+    */
+  def dedupEnsemble(docs: DataFrame): DataFrame = {
+    val m = minhashDupPairs(docs).select(col("d2").as("doc_id")).distinct()
+    val sh = simhashDupPairs(docs).select(col("d2").as("doc_id")).distinct()
+    m.as("m").join(sh.as("s"), col("m.doc_id") === col("s.doc_id"), "full_outer")
+      .select(coalesce(col("m.doc_id"), col("s.doc_id")).as("doc_id"),
+        col("m.doc_id").isNotNull.cast("int").as("from_minhash"),
+        col("s.doc_id").isNotNull.cast("int").as("from_simhash"))
+  }
+
+  /** Apply keep-one-per-cluster end to end: corpus size, survivors,
+    * drops, and the surviving character mass — the before/after summary
+    * a dedup stage publishes.
+    */
+  def dedupApply(docs: DataFrame): DataFrame =
+    docs.join(dupClusters(docs), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("cluster_id") === col("doc_id")).cast("long")).as("n_survivors"),
+        sum((col("cluster_id") =!= col("doc_id")).cast("long")).as("n_dropped"),
+        sum(when(col("cluster_id") === col("doc_id"), col("n_chars"))
+          .otherwise(0L)).as("surviving_chars"))
 
   def oracleSql: Map[String, String] = {
     val grams = trigramShingles(tokens("text", duck = true), duck = true)
@@ -465,6 +494,24 @@ object DedupOps {
          |WHERE round($jacHs, 6) >= $NgramThreshold""".stripMargin
     }
 
+    val simhashPairsSql =
+      s"""WITH $simCte
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         | bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($blockOr)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin
+
+    val clustersSql =
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashPairsSql) p),
+         | e AS (SELECT d1, d2 FROM pairs
+         |       UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         | reach(a, b) AS (
+         |   SELECT doc_id AS a, doc_id AS b FROM documents
+         |   UNION
+         |   SELECT r.a, e.d2 AS b FROM reach r JOIN e ON r.b = e.d1)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin
+
     Map(
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
@@ -474,16 +521,27 @@ object DedupOps {
       // Transitive closure of the (undirected) dup edges, min reachable id
       // per doc — the unique fixpoint the Spark label-propagation loop
       // also converges to.
-      "q_dedup_clusters" ->
-        s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashPairsSql) p),
-           | e AS (SELECT d1, d2 FROM pairs
-           |       UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
-           | reach(a, b) AS (
-           |   SELECT doc_id AS a, doc_id AS b FROM documents
-           |   UNION
-           |   SELECT r.a, e.d2 AS b FROM reach r JOIN e ON r.b = e.d1)
-           |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
-           |FROM reach GROUP BY a""".stripMargin,
+      "q_dedup_clusters" -> clustersSql,
+
+      // composition rows: the ensemble decision and the applied dedup
+      // reuse the pair/cluster SQL verbatim as subqueries
+      "q_dedup_ensemble" ->
+        s"""WITH m AS (SELECT DISTINCT d2 AS doc_id FROM ($minhashPairsSql) x),
+           | s AS (SELECT DISTINCT d2 AS doc_id FROM ($simhashPairsSql) y)
+           |SELECT coalesce(m.doc_id, s.doc_id) AS doc_id,
+           | CAST(m.doc_id IS NOT NULL AS INT) AS from_minhash,
+           | CAST(s.doc_id IS NOT NULL AS INT) AS from_simhash
+           |FROM m FULL OUTER JOIN s ON m.doc_id = s.doc_id""".stripMargin,
+
+      "q_dedup_apply" ->
+        s"""SELECT count(*) AS n_docs,
+           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_survivors,
+           | CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_dropped,
+           | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
+           |   AS surviving_chars
+           |FROM ($clustersSql) c JOIN documents USING (doc_id)""".stripMargin,
 
       "q_dedup_minhash_sig" ->
         s"""WITH mh AS (SELECT doc_id, $mhCols
@@ -499,12 +557,7 @@ object DedupOps {
         s"""WITH $simCte
            |SELECT doc_id, simhash, block_0, block_1, block_2, block_3 FROM sig""".stripMargin,
 
-      "q_dedup_simhash_pairs" ->
-        s"""WITH $simCte
-           |SELECT a.doc_id AS d1, b.doc_id AS d2,
-           | bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($blockOr)
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
+      "q_dedup_simhash_pairs" -> simhashPairsSql,
 
       "q_dedup_ngram_pairs" -> ngramOracleSql,
       // same SEMANTIC oracle on purpose: the rare-first prefix order
