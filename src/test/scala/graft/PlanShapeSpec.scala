@@ -68,6 +68,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partial top-k must sit under the group exchange:\n$plan")
   }
 
+  test("star join broadcasts every dim; ingest stays fully pipelined") {
+    // the two plans 100 TB depends on hardest: the dashboard star join
+    // must never fall back to a shuffled SMJ for its small dims, and the
+    // ingest transform chain must stay a shuffle-free narrow pipeline
+    val star = SparkEntry.queries("q_star_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!star.contains("SortMergeJoin"),
+      s"a dim fell back to a shuffled join:\n$star")
+    assert("BroadcastHashJoin".r.findAllIn(star).length >= 4,
+      s"expected all star dims broadcast:\n$star")
+    val ingest = SparkEntry.queries("q_ingest_valid")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ingest.contains("Exchange hashpartitioning")
+      && !ingest.contains("SortMergeJoin"),
+      s"ingest must be a narrow shuffle-free pipeline:\n$ingest")
+  }
+
   test("purge audit anti-joins broadcast the tombstone side") {
     val plan = graft.operators.Governance.purgeAudit(spark, dir)
       .queryExecution.executedPlan.toString
