@@ -38,6 +38,7 @@ object SparkEntry {
     * SESSION-CONF CONTRACT: the stateful streaming queries
     * (q_stream_window, q_stream_join, q_stream_dedup, q_stream_asof,
     * q_stream_dedup_ttl, q_stream_heavy, q_stream_upsert, q_stream_session,
+    * q_stream_topk,
     * q_stream_tws) temporarily lower
     * spark.sql.shuffle.partitions for their own execution (state-store
     * instances = shuffle partitions) and restore it in a finally. Run

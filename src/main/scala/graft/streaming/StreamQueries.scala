@@ -109,6 +109,9 @@ object StreamQueries {
       upsertFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("session", dir, "events"),
       sessionFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("topk", dir, "customer"),
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
     StreamAsof.warmFixture(s, dir)
     StreamTws.warmFixture(s, dir)
   }
@@ -479,6 +482,51 @@ object StreamQueries {
       .repartition(1).sortWithinPartitions(col("ms"))
 
   // ---------------------------------------------------------------------
+  // Streaming top-k per group: stream-static join + bounded-heap state
+  // ---------------------------------------------------------------------
+
+  private val topkSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_nationkey", LongType),
+    StructField("c_acctbal", DoubleType)))
+
+  /** Streaming twin of q_topk_group: customers stream in, each batch
+    * broadcast-joins the static nation dim, and the bounded-heap top-k
+    * aggregate accumulates per nation in the state store. Top-k
+    * selection under a TOTAL order is merge-order-independent (the k
+    * best of a multiset are the k best however it arrives), so the
+    * batch window oracle covers the streaming accumulation — the same
+    * argument as q_stream_heavy, for a selection instead of a sketch.
+    */
+  def streamTopK(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("topk", dir, "customer"),
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(topkSchema).json(landing)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(graft.functions.TopKAggregate.topKRows(
+          struct(col("c_acctbal").as("value"), col("c_custkey").as("id")), 3)
+          .as("top"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), col("col.id").as("c_custkey"),
+        col("col.value").as("c_acctbal"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
   // CDC upsert sink: keyed MERGE maintained across micro-batches
   // ---------------------------------------------------------------------
 
@@ -549,6 +597,7 @@ object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
+    "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
     "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
     "q_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
@@ -563,6 +612,10 @@ object StreamQueries {
     // Streaming MG accumulation: merge-order-independent guarantees, so
     // the batch invariant row IS the oracle.
     "q_stream_heavy" -> graft.operators.ShuffleOps.oracleSql("q_heavy_hitters"),
+
+    // top-k selection is merge-order-independent: the batch window
+    // oracle covers the streaming accumulation
+    "q_stream_topk" -> graft.operators.Analytics.oracleSql("q_topk_group"),
 
     // CDC upsert: the merged end state is latest-per-key of the full
     // change relation.
