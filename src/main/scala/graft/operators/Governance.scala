@@ -81,6 +81,36 @@ object Governance {
       .reduce(_ unionAll _)
   }
 
+  /** Histogram bucket count for q_histogram (equi-width over the
+    * value domain; integer cent arithmetic keeps the bucket function
+    * portable — no float division near bucket edges).
+    */
+  val HistBuckets = 20
+
+  /** Equi-width histogram of order value — the profiling companion to
+    * q_profile's min/max: bucket index from integer cents so both
+    * engines bin identically even at bucket boundaries (float width
+    * division could round a boundary value differently). One narrow
+    * pass + one shuffle on [[HistBuckets]] keys; empty buckets are
+    * absent rather than zero-filled (a 100 TB histogram join fills them
+    * from a generated frame if needed).
+    */
+  def histogramOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cents = "CAST(round(o_totalprice * 100.0) AS BIGINT)"
+    Tables.orders(spark, dir)
+      .select(expr(cents).as("v"))
+      .crossJoin(broadcast(
+        Tables.orders(spark, dir).agg(
+          expr(s"min($cents)").as("lo"), expr(s"max($cents)").as("hi"))))
+      // width rounds UP so bucket index never reaches HistBuckets;
+      // integer DIV — Spark's `/` on longs is fractional
+      .withColumn("w", expr(s"(hi - lo + $HistBuckets) DIV $HistBuckets"))
+      .withColumn("bucket", expr("CAST((v - lo) DIV w AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+  }
+
   /** Snapshot reconciliation — the diff a pipeline publishes when a new
     * table version lands: keys added, removed, changed, unchanged. One
     * full outer join on the key, CASE classification, count per status.
@@ -110,7 +140,8 @@ object Governance {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir)),
     "q_profile" -> ((s, dir) => profileOrders(s, dir)),
-    "q_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir))
+    "q_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
+    "q_histogram" -> ((s, dir) => histogramOrders(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,6 +164,15 @@ object Governance {
            |FROM orders""".stripMargin)
       (num ++ str).mkString("\nUNION ALL\n")
     },
+
+    "q_histogram" ->
+      s"""WITH v AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
+         |   FROM orders),
+         | b AS (SELECT min(v) AS lo,
+         |   (max(v) - min(v) + $HistBuckets) // $HistBuckets AS w FROM v)
+         |SELECT CAST((v - lo) // w AS INT) AS bucket, count(*) AS n,
+         | min(v) AS min_cents, max(v) AS max_cents
+         |FROM v, b GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer),

@@ -391,6 +391,33 @@ object VectorOps {
       .limit(k)
   }
 
+  /** K-means convergence audit: per-centroid movement across the two
+    * Lloyd's iterations of the index build — the monitoring row an index
+    * pipeline alarms on (movement should shrink; a centroid still moving
+    * at the last iteration means the build stopped early). Movement is
+    * computed with the dot identity ||a-b||^2 = a.a - 2 a.b + b.b, so
+    * only left-fold dots enter the value and the oracle (which rebuilds
+    * c0/c1/c2 from the same CTEs) reproduces it bit-for-bit.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val vecs = normalized(emb, withLabel = false).cache()
+    val c0 = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
+    val c1 = lloydIter(vecs, c0).cache()
+    val c2 = lloydIter(vecs, c1).cache()
+    def movement(a: DataFrame, b: DataFrame, out: String): DataFrame =
+      a.select(col("centroid_id"), col("cv").as("a"))
+        .join(b.select(col("centroid_id"), col("cv").as("b")), "centroid_id")
+        .select(col("centroid_id"),
+          round(sqrt(dotCol(col("a"), col("a")) -
+            lit(2.0) * dotCol(col("a"), col("b")) +
+            dotCol(col("b"), col("b"))), 6).as(out))
+    movement(c0, c1, "move_1")
+      .join(movement(c1, c2, "move_2"), "centroid_id")
+      .select(col("centroid_id"), col("move_1"), col("move_2"),
+        (col("move_2") <= col("move_1")).cast("int").as("shrinking"))
+  }
+
   val DedupMinCosine = 0.9
 
   /** Embedding-cosine near-dup dedup: among LSH-candidate pairs with
@@ -450,6 +477,7 @@ object VectorOps {
     "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir))),
     "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir))),
+    "q_emb_drift" -> ((s, dir) => centroidDrift(Tables.embeddings(s, dir))),
     "q_hybrid_search" -> ((s, dir) =>
       hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir)))
   )
@@ -505,6 +533,23 @@ object VectorOps {
            |FROM sims JOIN qual ON sims.vec_id = qual.doc_id
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
       },
+
+      "q_emb_drift" ->
+        s"""WITH $normCte,
+           | c0 AS (SELECT vec_id AS centroid_id, vn AS cv FROM e
+           |   WHERE vec_id < $IvfCells),
+           |${(1 to IvfIters).map(lloydCte).mkString(",\n")},
+           | d1 AS (SELECT a.centroid_id,
+           |   round(sqrt(list_dot_product(a.cv, a.cv) - 2 * list_dot_product(a.cv, b.cv) + list_dot_product(b.cv, b.cv)), 6)
+           |     AS move_1
+           |  FROM c0 a JOIN c1 b ON a.centroid_id = b.centroid_id),
+           | d2 AS (SELECT a.centroid_id,
+           |   round(sqrt(list_dot_product(a.cv, a.cv) - 2 * list_dot_product(a.cv, b.cv) + list_dot_product(b.cv, b.cv)), 6)
+           |     AS move_2
+           |  FROM c1 a JOIN c2 b ON a.centroid_id = b.centroid_id)
+           |SELECT d1.centroid_id, move_1, move_2,
+           | CAST(move_2 <= move_1 AS INT) AS shrinking
+           |FROM d1 JOIN d2 ON d1.centroid_id = d2.centroid_id""".stripMargin,
 
       "q_emb_ivf_recall" ->
         s"""SELECT CAST(10 AS INT) AS k, count(*) AS n_overlap,
