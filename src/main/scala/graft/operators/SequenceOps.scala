@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ordered event-sequence analytics over the `events` stream — the
+  * dashboard layer the reference delegates to Power BI over its BigQuery
+  * fact table (README.md:79-98 lists funnel-style tiles; the engine
+  * answers them natively).
+  *
+  * Every operator here shuffles ONCE on `user_id` and keeps all later
+  * stages on that same partitioning (window functions and re-aggregations
+  * reuse the exchange), so at 100 TB the cost is one hash-distribution of
+  * the event log; nothing ever orders events globally.
+  *
+  * Timestamps enter as exact integer micros (`unix_micros` ==  DuckDB
+  * `epoch_us`, the parity pair already pinned by q_sessionize /
+  * q_scd2_intervals), and money enters as integer cents, so every
+  * oracle-compared value is integer arithmetic or a single final IEEE
+  * division — no accumulation-order-dependent floating point.
+  */
+object SequenceOps {
+
+  /** events projected to the integer-time working set. */
+  private def prep(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"), col("value"))
+
+  /** Ordered conversion funnel view -> click -> purchase: a user counts
+    * at stage k only with an event at time >= their first qualifying
+    * stage-(k-1) event. Three conditional min-aggregates chained by
+    * equi-joins on `user_id`; every stage groups and joins on the same
+    * key, so AQE plans one shuffle and the stage frames are
+    * one-row-per-user (tiny, broadcastable at any scale — per-user state
+    * never exceeds one timestamp per stage, the streaming-friendly
+    * formulation).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = prep(events)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("t") >= col("t1"))
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("t") >= col("t2"))
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(name).as("stage"), col("users"))
+    stage(s1, "1_view").unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first `signup` week
+    * (integer epoch-day DIV 7 — positive range, so floor-div vs
+    * trunc-div cannot diverge between engines), retention cell =
+    * distinct users from that cohort active k weeks later. Two
+    * aggregates on `user_id` + one on the (cohort, offset) pair; the
+    * cohort frame is one row per user.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val e = prep(events).withColumn("d", expr("t DIV 86400000000"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("d")).as("d0"))
+    e.join(cohort, "user_id")
+      .filter(col("d") >= col("d0"))
+      .select(col("user_id"), expr("d0 DIV 7").as("cohort_week"),
+        expr("(d - d0) DIV 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("users"))
+  }
+
+  /** First-order Markov transition matrix of the event-type sequence:
+    * per-user `lag` over (t, event_id) order — the deterministic
+    * tie-break every windowed events query here uses — then a global
+    * count per (prev, next) pair and a row-normalized probability. The
+    * window shuffles on user_id; the pair aggregate reduces 25 cells, and
+    * `p` is one integer-ratio division (deterministic IEEE, no sums of
+    * doubles).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = prep(events)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wp).cast("double"), 6))
+  }
+
+  /** Time-weighted average event value per user (the TWAP the reference's
+    * finance domain implies): each observation holds until the user's
+    * next event, weights are exact micros durations, values are exact
+    * integer cents, and the only floating-point step is the final
+    * weighted-mean division. sum(cents*dur) is bounded by
+    * max_cents * user_time_span ~ 2^53 at any event density, so the
+    * BIGINT accumulators cannot overflow.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    prep(events)
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .select(col("user_id"), (col("t_next") - col("t")).as("dur"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(sum(col("dur")).as("wtot"), sum(col("cents") * col("dur")).as("wsum"))
+      .select(col("user_id"),
+        round(col("wsum").cast("double") / col("wtot").cast("double") / 100.0, 6)
+          .as("twap"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
+    "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
+    "q_transitions" -> ((s, dir) => transitions(Tables.events(s, dir))),
+    "q_twap" -> ((s, dir) => twap(Tables.events(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_us(ts) // 86400000000 AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS d0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT d0 // 7 AS cohort_week, (d - d0) // 7 AS week_offset,
+        |       count(DISTINCT user_id) AS users
+        |FROM e JOIN c USING (user_id) WHERE d >= d0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT prev, event_type AS next, count(*) AS n FROM (
+        |    SELECT event_type, lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |    FROM events) t
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+        |FROM p""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id,
+        |  round(CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0, 6)
+        |    AS twap
+        |FROM e WHERE dur IS NOT NULL GROUP BY 1""".stripMargin
+  )
+}

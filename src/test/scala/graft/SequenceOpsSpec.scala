@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SequenceOps
+
+class SequenceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val events = Tables.events(spark, dir)
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = SequenceOps.funnel(events).orderBy("stage").collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel not monotone: ${counts.mkString(",")}")
+    assert(counts(0) > 0)
+  }
+
+  test("funnel stage ordering is temporal, not just presence") {
+    import spark.implicits._
+    // user 1 purchases BEFORE clicking: reaches click but not purchase
+    val fixture = Seq(
+      (1L, 1L, "view", 1000L, 0.0),
+      (2L, 1L, "purchase", 2000L, 0.0),
+      (3L, 1L, "click", 3000L, 0.0),
+      (4L, 2L, "view", 1000L, 0.0),
+      (5L, 2L, "click", 2000L, 0.0),
+      (6L, 2L, "purchase", 3000L, 0.0)
+    ).toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = SequenceOps.funnel(fixture).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1_view" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("cohort retention: week offsets are non-negative and week-0 is the max cell per cohort") {
+    val ret = SequenceOps.cohortRetention(events).cache()
+    try {
+      assert(ret.filter(col("week_offset") < 0).count() == 0)
+      // every user active at offset k>0 was active at offset 0 (their signup)
+      val bad = ret.alias("a").join(
+          ret.filter(col("week_offset") === 0)
+            .select(col("cohort_week"), col("users").as("u0")), "cohort_week")
+        .filter(col("users") > col("u0"))
+      assert(bad.count() == 0, "a later-week cell exceeded the cohort's week-0 size")
+    } finally ret.unpersist()
+  }
+
+  test("transition probabilities sum to 1 per source state") {
+    val sums = SequenceOps.transitions(events)
+      .groupBy("prev").agg(sum("p").as("s")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"${r.getString(0)} sums to ${r.getDouble(1)}"))
+  }
+
+  test("twap lies within the user's [min, max] value range") {
+    val bounds = events.groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = SequenceOps.twap(events).join(bounds, "user_id")
+      // twap excludes the last event's value; widen by a cent for rounding
+      .filter(col("twap") < col("lo") - 0.01 || col("twap") > col("hi") + 0.01)
+    assert(bad.count() == 0)
+  }
+}
