@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse audits over the star schema — the checks a warehouse loader
+  * (the reference's BigQuery star schema, README.md:35-49) runs after
+  * every load, plus a dominance-frontier catalog audit.
+  *
+  * All oracle-compared values are integers or exact-decimal comparisons:
+  * the z-score outlier test is evaluated as an integer inequality in
+  * 128-bit arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT), never as
+  * floating-point variance — two engines' var_samp differ in low-order
+  * bits (Welford vs two-pass), and a threshold comparison on those bits
+  * would be flaky by construction.
+  */
+object AuditOps {
+
+  /** Referential-integrity audit of every FK edge in the star schema:
+    * per edge, total fact-side rows, rows whose key misses the dimension
+    * (left anti join), and distinct missing keys. Each edge is one
+    * broadcast anti-join against its dimension (dims are the small side
+    * by construction; at 100 TB the fact side streams through unchanged
+    * and never shuffles).
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame = {
+      val keys = fact.select(col(fk).cast("long").as("k"))
+      val orphans = keys.join(
+        broadcast(dim.select(col(pk).cast("long").as("k"))), Seq("k"), "left_anti")
+      val n = keys.agg(count(lit(1)).as("fact_rows"))
+      val o = orphans.agg(count(lit(1)).as("orphan_rows"),
+        count_distinct(col("k")).as("orphan_keys"))
+      n.crossJoin(o).select(lit(name).as("edge"),
+        col("fact_rows"), col("orphan_rows"), col("orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, dir); val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir); val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    Seq(
+      edge("lineitem.partkey->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+      edge("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("supplier.nationkey->nation", supp, "s_nationkey", nat, "n_nationkey"),
+      edge("nation.regionkey->region", nat, "n_regionkey", Tables.region(spark, dir), "r_regionkey")
+    ).reduce(_ unionByName _)
+  }
+
+  /** Per-user 3-sigma outlier counts over event values, decided by the
+    * exact integer inequality
+    *
+    *   (n*x - s)^2 * (n-1)  >  9 * (n*ssq - s^2) * n
+    *
+    * (the sample z-score |x-mean| > 3*stddev_samp cleared of divisions)
+    * over integer cents, evaluated in DECIMAL(38,0). The intermediates
+    * reach ~1e18 at sf0.1 — inside int64 but with <10% headroom, so the
+    * 128-bit lane is the durable choice; at larger n the same rewrite
+    * scales by first dividing s, ssq by gcd-like unit scaling or moving
+    * to per-group double stats WITHOUT cross-engine hashing (the audit
+    * would then pin only counts, as here).
+    *
+    * Plan: one shuffle on user_id for the stats, join back on the same
+    * key (exchange reuse), flag per event, re-aggregate per user.
+    */
+  def anomalyZscore(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("ssq"))
+    val dec = "DECIMAL(38,0)"
+    e.join(stats, "user_id")
+      .withColumn("is_out", expr(
+        s"""n >= 2 AND
+           |pow10 > 0 AND
+           |CAST(CAST(n*c - s AS $dec) * CAST(n*c - s AS $dec) AS $dec) * CAST(n - 1 AS $dec)
+           |  > 9 * pow10 * CAST(n AS $dec)""".stripMargin
+          .replace("pow10", s"(CAST(n AS $dec) * CAST(ssq AS $dec) - CAST(s AS $dec) * CAST(s AS $dec))")))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** 2D Pareto skyline of the part catalog (minimize retail price AND
+    * size): a part is on the frontier iff no other part is <= on both
+    * dimensions and < on one. Computed without the quadratic self-join:
+    * per-price-group min size (one shuffle), then a running strict-prefix
+    * min over the DISTINCT prices — the only global ordering is over the
+    * price-group frame (1000 rows at sf0.1; at extreme price cardinality
+    * the same bucket-prefix two-pass as SampleOps.tokenBudgetSample
+    * applies), then a broadcast join back tags frontier rows.
+    */
+  def skyline(part: DataFrame): DataFrame = {
+    val groups = part.groupBy(col("p_retailprice").as("price"))
+      .agg(min(col("p_size")).as("min_sz"))
+    val prevMin = groups.withColumn("prev_min",
+      min(col("min_sz")).over(Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    part.join(broadcast(prevMin), part("p_retailprice") === prevMin("price"))
+      .filter(col("p_size") === col("min_sz") &&
+        (col("prev_min").isNull || col("p_size") < col("prev_min")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fk_integrity" -> ((s, dir) => fkIntegrity(s, dir)),
+    "q_anomaly_zscore" -> ((s, dir) => anomalyZscore(Tables.events(s, dir))),
+    "q_skyline" -> ((s, dir) => skyline(Tables.part(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_fk_integrity" ->
+      """SELECT 'lineitem.partkey->part' AS edge, count(*) AS fact_rows,
+        | count(*) FILTER (WHERE p_partkey IS NULL) AS orphan_rows,
+        | count(DISTINCT l_partkey) FILTER (WHERE p_partkey IS NULL) AS orphan_keys
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier', count(*),
+        | count(*) FILTER (WHERE s_suppkey IS NULL),
+        | count(DISTINCT l_suppkey) FILTER (WHERE s_suppkey IS NULL)
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'lineitem.orderkey->orders', count(*),
+        | count(*) FILTER (WHERE o_orderkey IS NULL),
+        | count(DISTINCT l_orderkey) FILTER (WHERE o_orderkey IS NULL)
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'orders.custkey->customer', count(*),
+        | count(*) FILTER (WHERE c_custkey IS NULL),
+        | count(DISTINCT o_custkey) FILTER (WHERE c_custkey IS NULL)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'customer.nationkey->nation', count(*),
+        | count(*) FILTER (WHERE n_nationkey IS NULL),
+        | count(DISTINCT c_nationkey) FILTER (WHERE n_nationkey IS NULL)
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'supplier.nationkey->nation', count(*),
+        | count(*) FILTER (WHERE n_nationkey IS NULL),
+        | count(DISTINCT s_nationkey) FILTER (WHERE n_nationkey IS NULL)
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'nation.regionkey->region', count(*),
+        | count(*) FILTER (WHERE r_regionkey IS NULL),
+        | count(DISTINCT n_regionkey) FILTER (WHERE r_regionkey IS NULL)
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c*c) AS ssq
+        |       FROM e GROUP BY 1)
+        |SELECT user_id, max(n) AS n_events,
+        | sum(CASE WHEN n >= 2
+        |   AND CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s > 0
+        |   AND CAST(n*c - s AS HUGEINT) * CAST(n*c - s AS HUGEINT) * (n - 1)
+        |     > 9 * (CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s) * n
+        |  THEN 1 ELSE 0 END) AS n_outliers
+        |FROM e JOIN st USING (user_id) GROUP BY 1""".stripMargin,
+
+    "q_skyline" ->
+      """WITH g AS (SELECT p_retailprice AS price, min(p_size) AS min_sz
+        |           FROM part GROUP BY 1),
+        |pm AS (SELECT price, min_sz, min(min_sz) OVER (ORDER BY price
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        |       FROM g)
+        |SELECT p_partkey, p_retailprice, p_size
+        |FROM part JOIN pm ON p_retailprice = price
+        |WHERE p_size = min_sz AND (prev_min IS NULL OR p_size < prev_min)""".stripMargin
+  )
+}
