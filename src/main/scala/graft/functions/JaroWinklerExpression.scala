@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity kernel, reproducing the published algorithm
+  * with the SAME operation order as DuckDB's implementation (verified
+  * empirically against `jaro_winkler_similarity` on the classic vector
+  * pairs — martha/marhta 0.9611..., dixon/dicksonx 0.8133... — and on a
+  * below-threshold pair where the Winkler boost must NOT fire):
+  *
+  *   - match window = max(l1,l2)/2 - 1 (integer floor, min 0);
+  *   - greedy leftmost matching, transpositions = mismatched matched
+  *     positions / 2 (integer);
+  *   - jaro = ((m/l1 + m/l2) + (m-t)/m) / 3  (left-associated);
+  *   - Winkler boost ONLY when jaro > 0.7:
+  *     jw = jaro + (prefix * 0.1) * (1 - jaro), prefix capped at 4;
+  *   - either side empty -> 0.0 (both empty -> 1.0).
+  *
+  * Queries compare `floor(jw * 1e6)` across engines: every term above is
+  * a division or product of small integers, so IEEE doubles agree
+  * bit-for-bit when the operation order matches — the floor is belt and
+  * braces, not a fudge factor.
+  */
+object JaroWinklerKernel {
+  def similarity(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched subsequences in order
+    var k = 0
+    var half = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = half / 2
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var prefix = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+      jaro + (prefix * 0.1) * (1.0 - jaro)
+    }
+  }
+}
+
+case class JaroWinklerExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.similarity(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerExpression {
+  def jaroWinkler(a: Column, b: Column): Column =
+    SqlBridge.column(
+      JaroWinklerExpression(SqlBridge.expression(a), SqlBridge.expression(b)))
+}

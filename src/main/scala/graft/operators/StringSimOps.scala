@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.JaroWinklerExpression.jaroWinkler
+
+/** Fuzzy string matching over the part-name vocabulary — the entity-
+  * resolution step a warehouse runs before merging dimension feeds from
+  * two source systems (the reference has two independently-generated dim
+  * feeds whose join keys are clean by construction; real feeds are not).
+  *
+  * Both operators are BLOCKED candidate joins, never all-pairs: the
+  * equi-join key is the first character (the Winkler prefix argument:
+  * high-similarity names share a prefix) and a coarse length band prunes
+  * inside the block. At 100 TB vocabulary scale the block key widens to
+  * (2-char prefix, length DIV 4) — same shape, smaller blocks; the
+  * expensive distance kernel runs only on block-mates. The vocabulary is
+  * `DISTINCT p_name`, so the join input is the name dictionary (64 rows
+  * at sf0.1), not the 20k-row part table.
+  */
+object StringSimOps {
+
+  val LevMax = 3
+  val JwMicroMin = 850000L // jw >= 0.85, compared in exact micro-units
+
+  private def names(part: DataFrame): DataFrame =
+    part.select(col("p_name").as("name")).distinct()
+
+  /** Edit-distance near-duplicate name pairs: Spark's codegen'd
+    * `levenshtein` == DuckDB's (classic DP, integer result).
+    */
+  def levPairs(part: DataFrame): DataFrame = {
+    val a = names(part).select(col("name").as("n1"),
+      substring(col("name"), 1, 1).as("b1"), length(col("name")).as("len1"))
+    val b = names(part).select(col("name").as("n2"),
+      substring(col("name"), 1, 1).as("b2"), length(col("name")).as("len2"))
+    a.join(b, col("b1") === col("b2") &&
+        col("n1") < col("n2") && abs(col("len1") - col("len2")) <= LevMax)
+      .select(col("n1"), col("n2"), levenshtein(col("n1"), col("n2")).as("lev"))
+      .filter(col("lev") <= LevMax)
+  }
+
+  /** Jaro-Winkler near-duplicate name pairs via the custom Catalyst
+    * expression (Spark has no built-in JW; the kernel mirrors DuckDB's
+    * operation order so `floor(jw*1e6)` is engine-identical).
+    */
+  def jwPairs(part: DataFrame): DataFrame = {
+    val a = names(part).select(col("name").as("n1"),
+      substring(col("name"), 1, 1).as("b1"), length(col("name")).as("len1"))
+    val b = names(part).select(col("name").as("n2"),
+      substring(col("name"), 1, 1).as("b2"), length(col("name")).as("len2"))
+    a.join(b, col("b1") === col("b2") &&
+        col("n1") < col("n2") && abs(col("len1") - col("len2")) <= LevMax)
+      .select(col("n1"), col("n2"),
+        floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long")
+          .as("jw_micro"))
+      .filter(col("jw_micro") >= JwMicroMin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
+    "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_fuzzy_lev_pairs" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         |SELECT a.name AS n1, b.name AS n2, levenshtein(a.name, b.name) AS lev
+         |FROM n a JOIN n b
+         |  ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+         | AND a.name < b.name
+         | AND abs(length(a.name) - length(b.name)) <= $LevMax
+         |WHERE levenshtein(a.name, b.name) <= $LevMax""".stripMargin,
+
+    "q_fuzzy_jw_pairs" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         |SELECT n1, n2, jw_micro FROM (
+         | SELECT a.name AS n1, b.name AS n2,
+         |  CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000.0) AS BIGINT)
+         |    AS jw_micro
+         | FROM n a JOIN n b
+         |   ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+         |  AND a.name < b.name
+         |  AND abs(length(a.name) - length(b.name)) <= $LevMax) t
+         |WHERE jw_micro >= $JwMicroMin""".stripMargin
+  )
+}

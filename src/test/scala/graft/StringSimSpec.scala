@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.JaroWinklerKernel
+import graft.operators.StringSimOps
+
+class StringSimSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("Jaro-Winkler kernel reproduces the published vectors (DuckDB-verified values)") {
+    def jw(a: String, b: String) = JaroWinklerKernel.similarity(a, b)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("small ring", "small ramp") - 0.88) < 1e-15)
+    // below the 0.7 boost threshold the Winkler bonus must NOT fire
+    assert(math.abs(jw("abcdef", "abzzzz") - 0.5555555555555555) < 1e-15)
+    assert(jw("ab", "") == 0.0 && jw("", "") == 1.0)
+    assert(jw("same", "same") == 1.0)
+  }
+
+  test("kernel is symmetric and bounded on random strings") {
+    val rnd = new scala.util.Random(3)
+    (1 to 500).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val s = JaroWinklerKernel.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == JaroWinklerKernel.similarity(b, a), s"asym: '$a' '$b'")
+    }
+  }
+
+  test("levPairs returns only sub-threshold distances over distinct names") {
+    val rows = StringSimOps.levPairs(Tables.part(spark, dir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= StringSimOps.LevMax)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("jwPairs agree with a driver-side kernel recomputation") {
+    val rows = StringSimOps.jwPairs(Tables.part(spark, dir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = math.floor(
+        JaroWinklerKernel.similarity(r.getString(0), r.getString(1)) * 1e6).toLong
+      assert(r.getLong(2) == expect && expect >= StringSimOps.JwMicroMin)
+    }
+  }
+}
