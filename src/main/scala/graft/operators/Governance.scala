@@ -137,7 +137,40 @@ object Governance {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** Incremental aggregate-view maintenance: a CDC delta (updates to
+    * keys %7==0: +10.00 on the total) maintains a per-priority revenue
+    * view by RETRACTION ARITHMETIC — old contribution out, new one in —
+    * so only the delta rows aggregate and shuffle; the 100-TB base is
+    * never rescanned (at scale the base aggregate is the stored view).
+    * The query emits both the incrementally-maintained view and the
+    * full recompute over the revised table plus a consistency flag, all
+    * in integer cents (exact, order-insensitive). Plan shape: base agg
+    * (the "stored view" here), delta agg over the filtered change set,
+    * union + re-aggregate on the same grouping key.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val baseAgg = orders.groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+    // CDC delta: retract old value, insert updated value (+1000 cents)
+    val delta = orders.filter(col("k") % 7 === 0)
+      .select(col("pri"), lit(0L).as("n"), lit(1000L).as("rev"))
+    val incr = baseAgg.select(col("pri"), col("n"), col("rev"))
+      .unionByName(delta)
+      .groupBy("pri").agg(sum(col("n")).as("n"), sum(col("rev")).as("rev_incr"))
+    val full = orders
+      .withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 1000L).otherwise(col("cents")))
+      .groupBy("pri").agg(sum(col("cents")).as("rev_full"))
+    incr.join(full, "pri")
+      .select(col("pri"), col("n"), col("rev_incr"), col("rev_full"),
+        (col("rev_incr") === col("rev_full")).cast("int").as("consistent"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir)),
     "q_profile" -> ((s, dir) => profileOrders(s, dir)),
     "q_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
@@ -145,6 +178,22 @@ object Governance {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle runs BOTH maintenance paths (retraction vs recompute)
+    // relationally; the consistent flag is provably 1
+    "q_incr_agg" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | base AS (SELECT pri, count(*) AS n, sum(cents) AS rev FROM o GROUP BY 1),
+        | delta AS (SELECT pri, CAST(0 AS BIGINT) AS n, CAST(1000 AS BIGINT) AS rev
+        |   FROM o WHERE k % 7 = 0),
+        | incr AS (SELECT pri, sum(n) AS n, sum(rev) AS rev_incr FROM (
+        |    SELECT * FROM base UNION ALL SELECT * FROM delta) u GROUP BY 1),
+        | fl AS (SELECT pri, sum(CASE WHEN k % 7 = 0 THEN cents + 1000
+        |    ELSE cents END) AS rev_full FROM o GROUP BY 1)
+        |SELECT pri, n, rev_incr, rev_full,
+        | CAST(rev_incr = rev_full AS INT) AS consistent
+        |FROM incr JOIN fl USING (pri)""".stripMargin,
+
     // per-column scans here too, but over the raw table with DuckDB's
     // own distinct path — still an independent plan
     "q_profile" -> {

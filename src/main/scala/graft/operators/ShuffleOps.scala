@@ -240,7 +240,50 @@ object ShuffleOps {
         (col("cm_est") >= col("exact_cnt")).cast("int"))
   }
 
+  /** KMV sketch size: rel. std. error ~ 1/sqrt(k-2) ~ 13%. */
+  val KmvK = 64
+
+  /** K-minimum-values distinct-count sketch per group, with EXACT
+    * cross-engine parity (the q_cm_sketch discipline, not the invariant
+    * fallback): hashes come from the portable seed ladder, the sketch is
+    * the bounded TopKRowsAggregate heap over negated hashes (mergeable,
+    * map-side combined — the shuffle carries k rows per group per
+    * partition), and the estimate (k-1)*M DIV h_k is integer arithmetic
+    * the DuckDB oracle reproduces bit-for-bit with a rank window.
+    *
+    * The input is deduplicated on (group, hash) first — one shuffle that
+    * a production KMV folds into the sketch buffer itself (a k-bounded
+    * hash set); the heap + pre-distinct splits the same semantics into
+    * composable pieces. `exact_d` counts distinct KEYS (not hashes), so
+    * the emitted relative-error flag audits the estimator against truth
+    * including any hash-collision loss.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableSql
+    val M = 1000000007L
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_partkey").as("k"))
+      .distinct()
+    val exact = keys.groupBy("flag").agg(count(lit(1)).as("exact_d"))
+    val sketch = keys
+      .select(col("flag"), expr(PortableSql.seedLadderSql("k", M)).as("h"))
+      .distinct()
+      .groupBy("flag")
+      .agg(graft.functions.TopKAggregate.topKRows(
+        struct((-col("h")).cast("double").as("value"), col("h").as("id")), KmvK)
+        .as("top"))
+      .select(col("flag"),
+        when(size(col("top")) < KmvK, size(col("top")).cast("long"))
+          .otherwise(expr(s"${KmvK - 1}L * ${M}L DIV element_at(top, $KmvK).id"))
+          .as("kmv_est"))
+    exact.join(sketch, "flag")
+      .select(col("flag"), col("exact_d"), col("kmv_est"),
+        (abs(col("kmv_est") - col("exact_d")).cast("double") /
+          col("exact_d") <= 0.5).cast("int").as("within_4sigma"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
     "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
@@ -270,6 +313,30 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // KMV: the oracle recomputes the k-th smallest distinct hash with a
+    // rank window and must hit the sketch's integer estimate exactly
+    "q_kmv_distinct" -> {
+      val M = 1000000007L
+      val h = graft.functions.PortableSql.seedLadderSql("k", M)
+      s"""WITH keys AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS k
+         |   FROM lineitem),
+         | ex AS (SELECT flag, count(*) AS exact_d FROM keys GROUP BY 1),
+         | hs AS (SELECT DISTINCT flag, $h AS h FROM keys),
+         | r AS (SELECT flag, h,
+         |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY flag) AS nh
+         |   FROM hs),
+         | est AS (SELECT flag,
+         |    CASE WHEN max(nh) < $KmvK THEN max(nh)
+         |         ELSE CAST(${KmvK - 1} AS BIGINT) * $M // max(CASE WHEN rn = $KmvK THEN h END)
+         |    END AS kmv_est
+         |   FROM r GROUP BY 1)
+         |SELECT flag, exact_d, kmv_est,
+         | CAST(abs(kmv_est - exact_d) * 1.0 / exact_d <= 0.5 AS INT)
+         |   AS within_4sigma
+         |FROM ex JOIN est USING (flag)""".stripMargin
+    },
+
     // CM is linear, so the oracle rebuilds the probed cells relationally
     // and matches the sketch's estimates EXACTLY
     "q_cm_sketch" -> {
