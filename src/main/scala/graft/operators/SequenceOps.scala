@@ -116,7 +116,59 @@ object SequenceOps {
           .as("twap"))
   }
 
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent preceding (or simultaneous) click — the running
+    * `last(click, ignoreNulls)` window over the same (t, event_id)
+    * order every operator here uses, which is linear per user, not the
+    * quadratic purchase x click range join. Purchases before any click
+    * stay unattributed (null). One shuffle on user_id.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prep(events)
+      .withColumn("last_click",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("last_click").as("click_id"))
+  }
+
+  /** Conversion-latency summary over funnel completers: view-to-purchase
+    * lag in exact integer micros, summarized with count / max / DOUBLED
+    * median — the sum of the two central order statistics, which is the
+    * median x2 without any division. The doubling matters: interpolated
+    * percentiles on 1e11-magnitude micros differ between engines by one
+    * ulp (observed at sf0.1: ...225.5 vs ...225.50006, where a double's
+    * ulp is 6e-5 and round-to-6-decimals is a no-op), so the only safe
+    * cross-engine median at this magnitude is pure integer arithmetic.
+    * The rank window runs over the converters frame (one row per
+    * converting user), not the event log.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val e = prep(events)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("t") >= col("t1"))
+      .groupBy("user_id").agg(min(col("t")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("t") >= col("t2"))
+      .groupBy("user_id").agg(min(col("t")).as("t3"), min(col("t1")).as("t1"))
+    val lags = s3.select((col("t3") - col("t1")).as("lag_us"))
+    lags.withColumn("rn", row_number().over(Window.orderBy(col("lag_us").asc)))
+      .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
+      .agg(max(col("n")).as("n_converted"),
+        max(col("lag_us")).as("max_lag_us"),
+        (sum(when(col("rn") === expr("(n + 1) DIV 2"), col("lag_us")).otherwise(0L)) +
+          sum(when(col("rn") === expr("(n + 2) DIV 2"), col("lag_us")).otherwise(0L)))
+          .as("p50x2_lag_us"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
+    "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
     "q_transitions" -> ((s, dir) => transitions(Tables.events(s, dir))),
@@ -124,6 +176,31 @@ object SequenceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_attribution" ->
+      """SELECT user_id, purchase_id, click_id FROM (
+        | SELECT user_id, event_id AS purchase_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        | FROM events) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3, min(t1) AS t1 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1),
+        |r AS (SELECT t3 - t1 AS lag_us,
+        |       row_number() OVER (ORDER BY t3 - t1) AS rn,
+        |       count(*) OVER () AS n FROM s3)
+        |SELECT max(n) AS n_converted, max(lag_us) AS max_lag_us,
+        |  sum(CASE WHEN rn = (n + 1) // 2 THEN lag_us ELSE 0 END) +
+        |  sum(CASE WHEN rn = (n + 2) // 2 THEN lag_us ELSE 0 END) AS p50x2_lag_us
+        |FROM r""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
