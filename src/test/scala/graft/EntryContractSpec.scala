@@ -18,6 +18,8 @@ class EntryContractSpec extends AnyFunSuite {
   test("no duplicate query names across module maps") {
     val maps = Seq(
       graft.operators.Analytics.queries, graft.operators.AsofJoin.queries,
+      graft.operators.AuditOps.queries, graft.operators.SequenceOps.queries,
+      graft.operators.StringSimOps.queries, graft.operators.MiningOps.queries,
       graft.operators.Governance.queries, graft.operators.LayoutOps.queries,
       graft.operators.SampleOps.queries, graft.operators.TextOps.queries,
       graft.operators.DedupOps.queries, graft.operators.VectorOps.queries,
