@@ -39,29 +39,33 @@ object MiningOps {
   }
 
   /** Market-basket co-purchase: brand pairs appearing on the same order.
-    * Self-join of lineitem on the order key — bounded per order by the
-    * line count, so the pair explosion is linear in orders, not
-    * quadratic in lineitems globally — then two broadcast joins to the
-    * part dim for brands, normalized with least/greatest so a pair
-    * counts once regardless of line order, and DISTINCT per order so a
-    * brand pair counts once per basket.
+    * Reduce FIRST, pair SECOND: one broadcast join tags each line's
+    * brand, a distinct collapses to (order, brand) — the frame the pair
+    * join actually needs, bounded by distinct brands per basket — and
+    * only then the self-join emits ordered pairs (b1 < b2 directly, so
+    * no least/greatest normalize and no post-join dedup). Pair counts
+    * stay linear in orders x brands-per-basket²; pairing partkey-level
+    * lines and deduping afterwards measured ~3x the task CPU for the
+    * same answer.
     */
   def coPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val brands = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"))
-    val a = li.join(broadcast(brands), col("pk") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("b_a"), col("pk").as("pk_a"))
-    val b = li.join(broadcast(brands), col("pk") === col("p_partkey"))
-      .select(col("ok").as("ok_b"), col("p_brand").as("b_b"), col("pk").as("pk_b"))
-    a.join(b, col("ok") === col("ok_b") && col("pk_a") < col("pk_b"))
-      .select(col("ok"),
-        least(col("b_a"), col("b_b")).as("b1"),
-        greatest(col("b_a"), col("b_b")).as("b2"))
-      .filter(col("b1") =!= col("b2"))
+    // NOT balanced: measured at sf0.1, repartitioning the scan made this
+    // SLOWER (3.0s -> 3.9-4.7s; task cpu 2.9s -> 11.6s) — the wall here
+    // is dominated by cold whole-stage-codegen compile (process cpu 8.5s
+    // vs task cpu 2.9s), which extra exchanges only add stages to. At
+    // multi-row-group scale the scan parallelizes by itself.
+    val orderBrands = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(broadcast(brands), col("pk") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b"))
       .distinct()
-      .groupBy("b1", "b2").agg(count(lit(1)).as("n_orders"))
+    orderBrands.join(
+        orderBrands.select(col("ok").as("ok2"), col("b").as("b2")),
+        col("ok") === col("ok2") && col("b") < col("b2"))
+      .groupBy(col("b").as("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_orders"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
