@@ -166,7 +166,23 @@ object SequenceOps {
           .as("p50x2_lag_us"))
   }
 
+  /** Path mining: counts of the event-type trigrams users actually walk
+    * (the "what do people do before purchasing" view). Two leads over
+    * the per-user (t, event_id) window — one shuffle — then a global
+    * count per path string (5^3 = 125 groups max).
+    */
+  def eventPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    prep(events)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
@@ -176,6 +192,15 @@ object SequenceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_event_paths" ->
+      """SELECT path, count(*) AS n FROM (
+        | SELECT concat_ws('>', event_type,
+        |   lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+        |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
     "q_attribution" ->
       """SELECT user_id, purchase_id, click_id FROM (
         | SELECT user_id, event_id AS purchase_id, event_type,

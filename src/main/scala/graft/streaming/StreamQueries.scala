@@ -17,6 +17,12 @@ case class FunnelSt(t1: Long, t2: Long, t3: Long)
 /** Batch-emitted funnel snapshot. */
 case class FunnelProgress(user_id: Long, t1: Long, t2: Long, t3: Long)
 
+/** Per-user attribution state: the most recent click seen so far. */
+case class ClickSt(click_id: Long)
+
+/** Attribution emitted per purchase as it arrives. */
+case class Attributed(user_id: Long, purchase_id: Long, click_id: Option[Long])
+
 /** Oracle-checked queries for the streaming operators that round 2 left
   * spec-only (S9/ST2/ST3, VERDICT r2 "What's missing" #1): each runs the
   * REAL Structured Streaming entry point over a deterministic landing
@@ -603,6 +609,51 @@ object StreamQueries {
       .unionByName(stage(col("t3"), "3_purchase"))
   }
 
+  /** Streaming twin of the batch q_attribution: per-user keyed state
+    * holds the latest click; each purchase emits its credit AS IT
+    * ARRIVES (the serving shape — attribution lands in the sink with
+    * the purchase, not in a nightly join). Within a batch the group's
+    * rows fold in (us, event_id) order — exactly the batch window's
+    * ORDER BY — and across batches the time-ordered fixture keeps
+    * state strictly older than the batch, so the running
+    * last(click, ignoreNulls) semantics reproduce verbatim.
+    */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .repartition(1).sortWithinPartitions(col("us"), col("event_id")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[FunnelEvent], state: GroupState[ClickSt]) =>
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var last = state.getOption.map(_.click_id).getOrElse(-1L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Attributed]
+            evs.foreach { e =>
+              if (e.event_type == "click") last = e.event_id
+              else if (e.event_type == "purchase")
+                out += Attributed(uid, e.event_id, if (last < 0) None else Some(last))
+            }
+            state.update(ClickSt(last))
+            out.iterator
+        }
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   // ---------------------------------------------------------------------
   // CDC upsert sink: keyed MERGE maintained across micro-batches
   // ---------------------------------------------------------------------
@@ -674,6 +725,7 @@ object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_funnel" -> ((s, dir) => streamFunnel(s, dir)),
+    "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
     "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
@@ -695,6 +747,10 @@ object StreamQueries {
     // batch funnel semantics exactly (see streamFunnel), so the batch
     // oracle covers the streaming accumulation
     "q_stream_funnel" -> graft.operators.SequenceOps.oracleSql("q_funnel"),
+
+    // per-purchase emission under time-ordered batches == the batch
+    // running-window attribution (see streamAttribution)
+    "q_stream_attribution" -> graft.operators.SequenceOps.oracleSql("q_attribution"),
 
     // top-k selection is merge-order-independent: the batch window
     // oracle covers the streaming accumulation

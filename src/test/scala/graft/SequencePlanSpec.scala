@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AuditOps, MiningOps, SequenceOps, StringSimOps}
+
+/** Plan-shape + degenerate-input coverage for the sequence/audit/mining
+  * operator families (the PlanShapeSpec / EmptyInputSpec discipline
+  * applied to this round's additions): the property that matters at
+  * 100 TB is the exchange count and join strategy, and a zero-row
+  * partition-pruned input is an everyday plan.
+  */
+class SequencePlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  private def emptyParts = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Int, Double)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+  }
+
+  test("attribution and twap plan exactly ONE hash exchange (window + agg reuse it)") {
+    Seq(SequenceOps.attribution(Tables.events(spark, dir)),
+        SequenceOps.twap(Tables.events(spark, dir))).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(n == 1, s"expected 1 exchange, got $n:\n$plan")
+    }
+  }
+
+  test("fkIntegrity broadcasts every dimension (7 broadcast anti-joins, no shuffle joins)") {
+    val plan = AuditOps.fkIntegrity(spark, dir).queryExecution.executedPlan.toString
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
+    assert(anti == 7, s"expected 7 broadcast anti-joins, got $anti:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no FK edge may shuffle the fact side:\n$plan")
+  }
+
+  test("skyline never plans a nested-loop or cartesian dominance join") {
+    val plan = AuditOps.skyline(Tables.part(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sequence/audit operators survive an empty input") {
+    val e = emptyEvents
+    assert(SequenceOps.funnel(e).collect().forall(_.getLong(1) == 0L))
+    assert(SequenceOps.cohortRetention(e).count() == 0)
+    assert(SequenceOps.transitions(e).count() == 0)
+    assert(SequenceOps.twap(e).count() == 0)
+    assert(SequenceOps.attribution(e).count() == 0)
+    assert(SequenceOps.eventPaths(e).count() == 0)
+    // empty corpus: every aggregate is NULL (identically in the oracle)
+    val lag = SequenceOps.conversionLag(e).collect()(0)
+    assert(lag.isNullAt(0) && lag.isNullAt(1) && lag.isNullAt(2))
+    assert(AuditOps.anomalyZscore(e).count() == 0)
+    assert(AuditOps.skyline(emptyParts).count() == 0)
+    assert(StringSimOps.levPairs(emptyParts).count() == 0)
+    assert(StringSimOps.jwPairs(emptyParts).count() == 0)
+    assert(MiningOps.rfmSegments(
+      spark.emptyDataFrame.select(lit(1L).as("o_custkey"),
+        lit("2024-01-01").as("o_orderdate"), lit(0.0).as("o_totalprice"))
+        .limit(0)).count() == 0)
+  }
+}
