@@ -25,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * a division or product of small integers, so IEEE doubles agree
   * bit-for-bit when the operation order matches — the floor is belt and
   * braces, not a fudge factor.
+  *
+  * ASCII caveat (applies to DuckDB's `levenshtein` too): this kernel
+  * walks UTF-16 code units while DuckDB walks UTF-8 bytes, so the two
+  * only agree on ASCII inputs — one 'é' changes the length terms and
+  * the match window on the DuckDB side. The oracle-compared vocabulary
+  * (p_name) is ASCII; a non-ASCII corpus needs a byte-walking variant
+  * of this kernel (trivial: operate on getBytes(UTF_8)).
   */
 object JaroWinklerKernel {
   def similarity(s1: String, s2: String): Double = {

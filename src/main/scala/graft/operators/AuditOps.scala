@@ -19,25 +19,31 @@ import graft.Tables
   */
 object AuditOps {
 
-  /** Referential-integrity audit of every FK edge in the star schema:
-    * per edge, total fact-side rows, rows whose key misses the dimension
-    * (left anti join), and distinct missing keys. Each edge is one
-    * broadcast anti-join against its dimension (dims are the small side
-    * by construction; at 100 TB the fact side streams through unchanged
-    * and never shuffles).
+  /** Referential-integrity audit of one FK edge: total fact-side rows,
+    * rows whose key misses the dimension, and distinct missing keys —
+    * ONE broadcast left-outer join + one conditional aggregate, so the
+    * fact side is scanned exactly once per edge and never shuffles
+    * (dims are the small side by construction; at 100 TB the fact rows
+    * stream through the broadcast probe unchanged). Public so the spec
+    * can drive it with an orphaned fixture — the real star data is
+    * clean, which would leave the orphan-counting arm untested.
     */
+  def fkEdge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame =
+    fact.select(col(fk).cast("long").as("k"))
+      .join(broadcast(dim.select(col(pk).cast("long").as("pk"))),
+        col("k") === col("pk"), "left_outer")
+      .agg(count(lit(1)).as("fact_rows"),
+        count(when(col("pk").isNull, 1)).as("orphan_rows"),
+        count_distinct(when(col("pk").isNull, col("k"))).as("orphan_keys"))
+      .select(lit(name).as("edge"),
+        col("fact_rows"), col("orphan_rows"), col("orphan_keys"))
+
+  /** The audit over every FK edge in the star schema. */
   def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, fact: DataFrame, fk: String,
-             dim: DataFrame, pk: String): DataFrame = {
-      val keys = fact.select(col(fk).cast("long").as("k"))
-      val orphans = keys.join(
-        broadcast(dim.select(col(pk).cast("long").as("k"))), Seq("k"), "left_anti")
-      val n = keys.agg(count(lit(1)).as("fact_rows"))
-      val o = orphans.agg(count(lit(1)).as("orphan_rows"),
-        count_distinct(col("k")).as("orphan_keys"))
-      n.crossJoin(o).select(lit(name).as("edge"),
-        col("fact_rows"), col("orphan_rows"), col("orphan_keys"))
-    }
+             dim: DataFrame, pk: String): DataFrame =
+      fkEdge(name, fact, fk, dim, pk)
     val li = Tables.lineitem(spark, dir); val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir); val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)

@@ -39,20 +39,30 @@ object SequenceOps {
     * formulation).
     */
   def funnel(events: DataFrame): DataFrame = {
-    val e = prep(events)
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("t")).as("t1"))
-    val s2 = e.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("t") >= col("t1"))
-      .groupBy("user_id").agg(min(col("t")).as("t2"))
-    val s3 = e.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("t") >= col("t2"))
-      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    val (s1, s2, s3) = stageFrames(events)
     def stage(df: DataFrame, name: String) =
       df.agg(count(lit(1)).as("users"))
         .select(lit(name).as("stage"), col("users"))
     stage(s1, "1_view").unionByName(stage(s2, "2_click"))
       .unionByName(stage(s3, "3_purchase"))
+  }
+
+  /** The shared three-stage qualifying-min chain (s1 -> s2 -> s3, each
+    * carrying the first-view time through): funnel counts the frames,
+    * conversionLag consumes s3's (t1, t3) — ONE definition of the
+    * qualification semantics (and one CTE block on the oracle side).
+    */
+  private def stageFrames(events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = prep(events)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("t") >= col("t1"))
+      .groupBy("user_id").agg(min(col("t")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("t") >= col("t2"))
+      .groupBy("user_id").agg(min(col("t")).as("t3"), min(col("t1")).as("t1"))
+    (s1, s2, s3)
   }
 
   /** Weekly cohort retention: cohort = the user's first `signup` week
@@ -147,15 +157,7 @@ object SequenceOps {
     * converting user), not the event log.
     */
   def conversionLag(events: DataFrame): DataFrame = {
-    val e = prep(events)
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("t")).as("t1"))
-    val s2 = e.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("t") >= col("t1"))
-      .groupBy("user_id").agg(min(col("t")).as("t2"), min(col("t1")).as("t1"))
-    val s3 = e.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("t") >= col("t2"))
-      .groupBy("user_id").agg(min(col("t")).as("t3"), min(col("t1")).as("t1"))
+    val (_, _, s3) = stageFrames(events)
     val lags = s3.select((col("t3") - col("t1")).as("lag_us"))
     lags.withColumn("rn", row_number().over(Window.orderBy(col("lag_us").asc)))
       .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
@@ -191,6 +193,18 @@ object SequenceOps {
     "q_twap" -> ((s, dir) => twap(Tables.events(s, dir)))
   )
 
+  /** Shared oracle CTE block for the three funnel stages (t1 carried
+    * through) — one definition of the qualification semantics, mirrored
+    * by stageFrames.
+    */
+  private val stagesCte =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(t) AS t3, min(t1) AS t1 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_event_paths" ->
       """SELECT path, count(*) AS n FROM (
@@ -212,12 +226,7 @@ object SequenceOps {
         |WHERE event_type = 'purchase'""".stripMargin,
 
     "q_conversion_lag" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
-        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(t) AS t3, min(t1) AS t1 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1),
+      s"""$stagesCte,
         |r AS (SELECT t3 - t1 AS lag_us,
         |       row_number() OVER (ORDER BY t3 - t1) AS rn,
         |       count(*) OVER () AS n FROM s3)
@@ -227,12 +236,7 @@ object SequenceOps {
         |FROM r""".stripMargin,
 
     "q_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
-        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)
+      s"""$stagesCte
         |SELECT '1_view' AS stage, count(*) AS users FROM s1
         |UNION ALL SELECT '2_click', count(*) FROM s2
         |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,

@@ -28,36 +28,51 @@ object StringSimOps {
   private def names(part: DataFrame): DataFrame =
     part.select(col("p_name").as("name")).distinct()
 
-  /** Edit-distance near-duplicate name pairs: Spark's codegen'd
-    * `levenshtein` == DuckDB's (classic DP, integer result).
+  /** The ONE blocked candidate generator both scorers share (and the
+    * oracles mirror): first-char equi-block, (n1 < n2) dedup, length
+    * band. Widening the block key for bigger vocabularies happens here
+    * and in [[blockedPairsCte]] only.
     */
-  def levPairs(part: DataFrame): DataFrame = {
+  private def blockedPairs(part: DataFrame): DataFrame = {
     val a = names(part).select(col("name").as("n1"),
       substring(col("name"), 1, 1).as("b1"), length(col("name")).as("len1"))
     val b = names(part).select(col("name").as("n2"),
       substring(col("name"), 1, 1).as("b2"), length(col("name")).as("len2"))
     a.join(b, col("b1") === col("b2") &&
         col("n1") < col("n2") && abs(col("len1") - col("len2")) <= LevMax)
+      .select(col("n1"), col("n2"))
+  }
+
+  /** Oracle twin of [[blockedPairs]]: CTE `n` (the name vocabulary) +
+    * the blocked join, aliased a/b.
+    */
+  private val blockedPairsCte =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+       |p AS (SELECT a.name AS n1, b.name AS n2
+       | FROM n a JOIN n b
+       |   ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+       |  AND a.name < b.name
+       |  AND abs(length(a.name) - length(b.name)) <= $LevMax)""".stripMargin
+
+  /** Edit-distance near-duplicate name pairs: Spark's codegen'd
+    * `levenshtein` == DuckDB's (classic DP, integer result; ASCII-only
+    * parity — see the JaroWinklerKernel caveat).
+    */
+  def levPairs(part: DataFrame): DataFrame =
+    blockedPairs(part)
       .select(col("n1"), col("n2"), levenshtein(col("n1"), col("n2")).as("lev"))
       .filter(col("lev") <= LevMax)
-  }
 
   /** Jaro-Winkler near-duplicate name pairs via the custom Catalyst
     * expression (Spark has no built-in JW; the kernel mirrors DuckDB's
     * operation order so `floor(jw*1e6)` is engine-identical).
     */
-  def jwPairs(part: DataFrame): DataFrame = {
-    val a = names(part).select(col("name").as("n1"),
-      substring(col("name"), 1, 1).as("b1"), length(col("name")).as("len1"))
-    val b = names(part).select(col("name").as("n2"),
-      substring(col("name"), 1, 1).as("b2"), length(col("name")).as("len2"))
-    a.join(b, col("b1") === col("b2") &&
-        col("n1") < col("n2") && abs(col("len1") - col("len2")) <= LevMax)
+  def jwPairs(part: DataFrame): DataFrame =
+    blockedPairs(part)
       .select(col("n1"), col("n2"),
         floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long")
           .as("jw_micro"))
       .filter(col("jw_micro") >= JwMicroMin)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
@@ -66,24 +81,17 @@ object StringSimOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_fuzzy_lev_pairs" ->
-      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
-         |SELECT a.name AS n1, b.name AS n2, levenshtein(a.name, b.name) AS lev
-         |FROM n a JOIN n b
-         |  ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
-         | AND a.name < b.name
-         | AND abs(length(a.name) - length(b.name)) <= $LevMax
-         |WHERE levenshtein(a.name, b.name) <= $LevMax""".stripMargin,
+      s"""$blockedPairsCte
+         |SELECT n1, n2, levenshtein(n1, n2) AS lev FROM p
+         |WHERE levenshtein(n1, n2) <= $LevMax""".stripMargin,
 
     "q_fuzzy_jw_pairs" ->
-      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      s"""$blockedPairsCte
          |SELECT n1, n2, jw_micro FROM (
-         | SELECT a.name AS n1, b.name AS n2,
-         |  CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000.0) AS BIGINT)
+         | SELECT n1, n2,
+         |  CAST(floor(jaro_winkler_similarity(n1, n2) * 1000000.0) AS BIGINT)
          |    AS jw_micro
-         | FROM n a JOIN n b
-         |   ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
-         |  AND a.name < b.name
-         |  AND abs(length(a.name) - length(b.name)) <= $LevMax) t
+         | FROM p) t
          |WHERE jw_micro >= $JwMicroMin""".stripMargin
   )
 }

@@ -124,6 +124,8 @@ object StreamQueries {
       upsertFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("session", dir, "events"),
       sessionFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("funnel", dir, "events"),
+      funnelFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("topk", dir, "customer"),
       Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
@@ -551,6 +553,17 @@ object StreamQueries {
     StructField("event_type", StringType),
     StructField("us", LongType)))
 
+  /** ONE fixture shared by q_stream_funnel and q_stream_attribution
+    * (same fixtureDir key, so the definitions must be byte-identical —
+    * hence the shared def): all events, exact integer micros, one file
+    * in ascending (us, event_id) order.
+    */
+  private def funnelFixtureDf(s: SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .repartition(1).sortWithinPartitions(col("us"), col("event_id"))
+
   /** Streaming twin of the batch q_funnel: per-user keyed state holds the
     * first qualifying view/click/purchase times; each micro-batch applies
     * THREE ORDERED PASSES (views, then clicks >= t1, then purchases >=
@@ -567,10 +580,7 @@ object StreamQueries {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .repartition(1).sortWithinPartitions(col("us"), col("event_id")))
+      funnelFixtureDf(s, dir))
     val tmp = tempSink()
     withShufflePartitions(s, StatefulShufflePartitions) {
       val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
@@ -622,10 +632,7 @@ object StreamQueries {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .repartition(1).sortWithinPartitions(col("us"), col("event_id")))
+      funnelFixtureDf(s, dir))
     val tmp = tempSink()
     withShufflePartitions(s, StatefulShufflePartitions) {
       val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]

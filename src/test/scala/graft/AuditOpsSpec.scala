@@ -16,12 +16,14 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: orphans > facts")
       assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)}: keys > rows")
     }
-    // synthetic: fact with 2 rows pointing at a missing dim key
+    // the real star data is clean, so drive the PRODUCTION edge audit
+    // with an orphaned fixture: 99 twice + 98 once miss the dim
     import spark.implicits._
-    val fact = Seq(1L, 2L, 99L, 99L).toDF("fk")
+    val fact = Seq(1L, 2L, 99L, 99L, 98L).toDF("fk")
     val dim = Seq(1L, 2L, 3L).toDF("pk")
-    val orphans = fact.join(dim, fact("fk") === dim("pk"), "left_anti")
-    assert(orphans.count() == 2 && orphans.distinct().count() == 1)
+    val r = AuditOps.fkEdge("toy", fact, "fk", dim, "pk").collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L && r.getLong(3) == 2L,
+      s"edge audit miscounted: $r")
   }
 
   test("anomalyZscore matches a driver-side exact computation") {

@@ -37,10 +37,10 @@ class SequencePlanSpec extends AnyFunSuite {
     }
   }
 
-  test("fkIntegrity broadcasts every dimension (7 broadcast anti-joins, no shuffle joins)") {
+  test("fkIntegrity broadcasts every dimension (7 broadcast outer probes, no shuffle joins)") {
     val plan = AuditOps.fkIntegrity(spark, dir).queryExecution.executedPlan.toString
-    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length
-    assert(anti == 7, s"expected 7 broadcast anti-joins, got $anti:\n$plan")
+    val outer = "BroadcastHashJoin .*LeftOuter".r.findAllIn(plan).length
+    assert(outer == 7, s"expected 7 broadcast left-outer joins, got $outer:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no FK edge may shuffle the fact side:\n$plan")
   }
 
