@@ -162,11 +162,11 @@ object AuditOps {
         |st AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c*c) AS ssq
         |       FROM e GROUP BY 1)
         |SELECT user_id, max(n) AS n_events,
-        | sum(CASE WHEN n >= 2
+  | CAST(sum(CASE WHEN n >= 2
         |   AND CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s > 0
         |   AND CAST(n*c - s AS HUGEINT) * CAST(n*c - s AS HUGEINT) * (n - 1)
         |     > 9 * (CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s) * n
-        |  THEN 1 ELSE 0 END) AS n_outliers
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN st USING (user_id) GROUP BY 1""".stripMargin,
 
     "q_skyline" ->

@@ -169,7 +169,60 @@ object Governance {
         (col("rev_incr") === col("rev_full")).cast("int").as("consistent"))
   }
 
+  /** Winsorized revenue per priority — the robust-statistics step a
+    * profiling pipeline applies before means: clamp each order's value
+    * to the group's exact [p5, p95] ORDER STATISTICS (rank
+    * ceil(0.05n)/ceil(0.95n) — integer ranks, integer cents, no
+    * interpolated percentile whose ulp differs across engines), then
+    * aggregate the clipped values. One shuffle on the group key; the
+    * per-group rank window and the clamp/sum reuse it. At 100 TB the
+    * exact rank swaps for approx_percentile thresholds — same clamp
+    * pass, sketch-derived cut points.
+    */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority").as("pri"),
+      col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("pri")).orderBy(col("cents").asc, col("k").asc)
+    val ranked = o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+    val cuts = ranked.groupBy("pri").agg(
+      max(when(col("rn") === expr("(5 * n + 99) DIV 100"), col("cents"))).as("lo"),
+      max(when(col("rn") === expr("(95 * n + 99) DIV 100"), col("cents"))).as("hi"))
+    o.join(broadcast(cuts), "pri")
+      .select(col("pri"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("clipped"),
+        (col("cents") < col("lo")).cast("long").as("is_lo"),
+        (col("cents") > col("hi")).cast("long").as("is_hi"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"), sum(col("is_lo")).as("n_lo_clipped"),
+        sum(col("is_hi")).as("n_hi_clipped"), sum(col("clipped")).as("sum_clipped"))
+  }
+
+  /** Equi-DEPTH histogram of order value (the q_histogram equi-width
+    * companion): deciles by `ntile(10)` under a deterministic
+    * (cents, key) total order — every bucket holds n/10 +-1 rows and
+    * the bucket edges are data-adaptive. Integer cents end-to-end. The
+    * global ntile is a single ordering of the orders frame; at 100 TB
+    * the same result shape comes from range partitioning on sketch cut
+    * points.
+    */
+  def histogramEquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("v").asc, col("k").asc)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_cents"),
+        max(col("v")).as("max_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> ((s, dir) => winsorized(s, dir)),
+    "q_histogram_eqdepth" -> ((s, dir) => histogramEquiDepth(s, dir)),
     "q_incr_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "q_purge_audit" -> ((s, dir) => purgeAudit(s, dir)),
     "q_profile" -> ((s, dir) => profileOrders(s, dir)),
@@ -178,6 +231,30 @@ object Governance {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT pri, cents,
+        |    row_number() OVER (PARTITION BY pri ORDER BY cents, k) AS rn,
+        |    count(*) OVER (PARTITION BY pri) AS n FROM o),
+        |cuts AS (SELECT pri,
+        |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo,
+        |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi
+        |   FROM r GROUP BY 1)
+        |SELECT pri, count(*) AS n, max(lo) AS lo_cents, max(hi) AS hi_cents,
+        | CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+        | CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped,
+        | CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_clipped
+        |FROM o JOIN cuts USING (pri) GROUP BY 1""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """SELECT decile, count(*) AS n, min(v) AS min_cents, max(v) AS max_cents
+        |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |   ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |     o_orderkey) AS decile
+        |  FROM orders) t
+        |GROUP BY 1""".stripMargin,
+
     // the oracle runs BOTH maintenance paths (retraction vs recompute)
     // relationally; the consistent flag is provably 1
     "q_incr_agg" ->
@@ -186,10 +263,11 @@ object Governance {
         | base AS (SELECT pri, count(*) AS n, sum(cents) AS rev FROM o GROUP BY 1),
         | delta AS (SELECT pri, CAST(0 AS BIGINT) AS n, CAST(1000 AS BIGINT) AS rev
         |   FROM o WHERE k % 7 = 0),
-        | incr AS (SELECT pri, sum(n) AS n, sum(rev) AS rev_incr FROM (
+        | incr AS (SELECT pri, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(rev) AS BIGINT) AS rev_incr FROM (
         |    SELECT * FROM base UNION ALL SELECT * FROM delta) u GROUP BY 1),
-        | fl AS (SELECT pri, sum(CASE WHEN k % 7 = 0 THEN cents + 1000
-        |    ELSE cents END) AS rev_full FROM o GROUP BY 1)
+        | fl AS (SELECT pri, CAST(sum(CASE WHEN k % 7 = 0 THEN cents + 1000
+        |    ELSE cents END) AS BIGINT) AS rev_full FROM o GROUP BY 1)
         |SELECT pri, n, rev_incr, rev_full,
         | CAST(rev_incr = rev_full AS INT) AS consistent
         |FROM incr JOIN fl USING (pri)""".stripMargin,

@@ -231,8 +231,9 @@ object SequenceOps {
         |       row_number() OVER (ORDER BY t3 - t1) AS rn,
         |       count(*) OVER () AS n FROM s3)
         |SELECT max(n) AS n_converted, max(lag_us) AS max_lag_us,
-        |  sum(CASE WHEN rn = (n + 1) // 2 THEN lag_us ELSE 0 END) +
-        |  sum(CASE WHEN rn = (n + 2) // 2 THEN lag_us ELSE 0 END) AS p50x2_lag_us
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN lag_us ELSE 0 END) +
+        |   sum(CASE WHEN rn = (n + 2) // 2 THEN lag_us ELSE 0 END) AS BIGINT)
+        |    AS p50x2_lag_us
         |FROM r""".stripMargin,
 
     "q_funnel" ->

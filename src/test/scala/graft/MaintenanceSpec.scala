@@ -42,6 +42,39 @@ class MaintenanceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("winsorized sums match a driver-side exact recomputation") {
+    val rows = Governance.winsorized(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), expr("CAST(round(o_totalprice*100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val cents = raw(r.getString(0))
+      val n = cents.length
+      val lo = cents((5 * n + 99) / 100 - 1)
+      val hi = cents((95 * n + 99) / 100 - 1)
+      assert(r.getLong(2) == lo && r.getLong(3) == hi, s"${r.getString(0)} cuts")
+      assert(r.getLong(4) == cents.count(_ < lo).toLong)
+      assert(r.getLong(5) == cents.count(_ > hi).toLong)
+      assert(r.getLong(6) == cents.map(c => math.max(lo, math.min(hi, c))).sum)
+    }
+  }
+
+  test("equi-depth histogram buckets are balanced and ordered") {
+    val rows = Governance.histogramEquiDepth(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10) <= 1, s"unbalanced: $r")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), s"overlapping buckets: $a / $b")
+    }
+  }
+
   test("streaming funnel equals the batch funnel stage counts") {
     val batch = SequenceOps.funnel(Tables.events(spark, dir)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
