@@ -56,6 +56,38 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // wide->tall reshaping via the native unpivot (melt) operator — a
+    // generator, not a 3-way self-join; the oracle rebuilds the tall
+    // frame with UNION ALL branches (independent plan)
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("ln")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+    }),
+
+    // null-semantics scalar surface over a deterministically nulled
+    // column: three-valued logic counts, null-safe equality (<=>),
+    // coalesce fallback in exact cents, and null-skipping aggregates
+    "q_null_semantics" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("v"),
+          when(col("c_custkey") % 14 === 0, lit(null))
+            .otherwise(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("w"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+          count(when(col("v").isNull, 1)).as("n_null"),
+          count(when(col("v") <=> col("w"), 1)).as("n_nullsafe_eq"),
+          count(when(col("v") === col("w"), 1)).as("n_plain_eq"),
+          sum(coalesce(col("v"), lit(0L))).as("sum_coalesced"),
+          min(col("v")).as("min_nonnull"))
+    }),
+
     // S10-style narrow projection scan: both the filter and the 3-column
     // projection must reach the parquet reader (PushedFilters / ReadSchema).
     "q_projection_filter" -> ((s, dir) => {
@@ -523,6 +555,31 @@ object Analytics {
         |    ORDER BY c_acctbal DESC, c_custkey) AS rnk
         | FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rnk <= 3""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |   l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, ln, 'l_quantity' AS measure, l_quantity AS value FROM src
+        |UNION ALL
+        |SELECT l_orderkey, ln, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, ln, 'l_discount', l_discount FROM src""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH t AS (SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |       ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS v,
+        |  CASE WHEN c_custkey % 14 = 0 THEN NULL
+        |       ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS w
+        | FROM customer)
+        |SELECT count(*) AS n_rows, count(v) AS n_nonnull,
+        | count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+        | count(CASE WHEN v IS NOT DISTINCT FROM w THEN 1 END) AS n_nullsafe_eq,
+        | count(CASE WHEN v = w THEN 1 END) AS n_plain_eq,
+        | CAST(sum(coalesce(v, 0)) AS BIGINT) AS sum_coalesced,
+        | min(v) AS min_nonnull
+        |FROM t""".stripMargin,
 
     "q_setops" ->
       """SELECT 'never_ordered' AS tag, custkey FROM (

@@ -183,7 +183,26 @@ object SequenceOps {
       .groupBy("path").agg(count(lit(1)).as("n"))
   }
 
+  val HopSizeMs = 6L * 3600 * 1000
+  val HopSlideMs = 2L * 3600 * 1000
+
+  /** Hopping (sliding) event-time windows via Spark's native
+    * `window(ts, size, slide)` — the generator expression that emits
+    * each event into size/slide = 3 overlapping windows before the
+    * aggregate (the same operator Structured Streaming plans for
+    * sliding counts; here exercised in batch where the oracle can
+    * reconstruct the window set relationally from integer ms). Exact
+    * cents; one shuffle on the window start.
+    */
+  def hoppingRevenue(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), s"$HopSizeMs milliseconds",
+        s"$HopSlideMs milliseconds").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(unix_millis(col("w.start")).as("start_ms"), col("n"), col("cents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping_window" -> ((s, dir) => hoppingRevenue(Tables.events(s, dir))),
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
@@ -206,6 +225,18 @@ object SequenceOps {
       |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // slide divides size exactly, so every event lands in size/slide
+    // windows: the oracle rebuilds them with a generate_series cross
+    // join over integer ms — an independent plan for the same set
+    "q_hopping_window" ->
+      s"""SELECT start_ms, count(*) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM (
+         | SELECT (epoch_ms(ts) // $HopSlideMs - k) * $HopSlideMs AS start_ms, value
+         | FROM events CROSS JOIN
+         |   generate_series(0, ${HopSizeMs / HopSlideMs - 1}) s(k)) t
+         |GROUP BY 1""".stripMargin,
+
     "q_event_paths" ->
       """SELECT path, count(*) AS n FROM (
         | SELECT concat_ws('>', event_type,

@@ -51,6 +51,17 @@ class SequencePlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("hopping windows emit every event into exactly size/slide windows") {
+    val events = Tables.events(spark, dir)
+    val total = SequenceOps.hoppingRevenue(events)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val k = SequenceOps.HopSizeMs / SequenceOps.HopSlideMs
+    assert(total == k * events.count(), s"expected ${k}x coverage")
+    val starts = SequenceOps.hoppingRevenue(events)
+      .select("start_ms").collect().map(_.getLong(0))
+    assert(starts.forall(_ % SequenceOps.HopSlideMs == 0), "unaligned window start")
+  }
+
   test("sequence/audit operators survive an empty input") {
     val e = emptyEvents
     assert(SequenceOps.funnel(e).collect().forall(_.getLong(1) == 0L))
