@@ -106,6 +106,41 @@ object SampleOps {
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
   }
 
+  val ShardChars = 20000L
+
+  /** Balanced output sharding — the file-sizing step before a 100 TB
+    * write: assign every document a shard so that each shard holds
+    * ~[[ShardChars]] chars of content, deterministically (hash order,
+    * not arrival order). shard = chars_before DIV target over the
+    * running sum, computed with the SAME bucketed two-pass
+    * decomposition as [[tokenBudgetSample]] — the only global ordering
+    * materialized is over the B bucket rows, never the corpus. Emits
+    * per-shard stats (the plan a writer turns into repartitionByRange
+    * + sortWithinPartitions); the oracle runs the naive global cumsum.
+    */
+  def shardPlan(docs: DataFrame, target: Long = ShardChars): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        expr(hashKey("doc_id")).as("h"), col("n_chars"))
+      .withColumn("bucket",
+        expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
+    val bucketOffsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_chars")).as("bchars"))
+      .withColumn("bucket_before",
+        coalesce(sum(col("bchars")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_before"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("chars_before",
+        col("bucket_before") + coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"chars_before DIV $target").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+  }
+
   /** Exact distribution summary of order value per priority: linear-
     * interpolated quantiles (Spark `percentile` == DuckDB `quantile_cont`,
     * both type-7: index p·(n−1) on the sorted values). Exact quantiles
@@ -138,6 +173,7 @@ object SampleOps {
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
     "q_sample_budget" -> ((s, dir) => tokenBudgetSample(Tables.documents(s, dir))),
+    "q_shard_plan" -> ((s, dir) => shardPlan(Tables.documents(s, dir))),
     // balanced: exact percentile buffers are per-row expensive and the
     // single-row-group scan would aggregate 1-task; percentile merges
     // are order-insensitive so partitioning cannot change the result
@@ -170,6 +206,17 @@ object SampleOps {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |   FROM documents) t) s
          |WHERE tokens_before < $TokenBudget""".stripMargin,
+
+    "q_shard_plan" ->
+      s"""SELECT chars_before // $ShardChars AS shard,
+         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM (
+         | SELECT doc_id, n_chars,
+         |  CAST(coalesce(sum(n_chars) OVER (ORDER BY ${hashKey("doc_id")}, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS chars_before
+         | FROM documents) t
+         |GROUP BY 1""".stripMargin,
 
     "q_approx_quantiles" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,

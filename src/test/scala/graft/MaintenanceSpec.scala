@@ -75,6 +75,24 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("shard plan covers every doc with contiguous, size-bounded shards") {
+    val docs = Tables.documents(spark, dir)
+    val shards = graft.operators.SampleOps.shardPlan(docs).collect()
+      .sortBy(_.getLong(0))
+    assert(shards.map(_.getLong(1)).sum == docs.count())
+    assert(shards.map(_.getLong(0)).toSeq == (0L until shards.length).toSeq,
+      "shard ids must be contiguous from 0")
+    val maxDoc = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    val target = graft.operators.SampleOps.ShardChars
+    shards.foreach { r =>
+      assert(r.getLong(2) < target + maxDoc, s"oversized shard: $r")
+    }
+    // every shard except the last is filled to at least the target
+    shards.dropRight(1).foreach { r =>
+      assert(r.getLong(2) >= target - maxDoc, s"underfilled shard: $r")
+    }
+  }
+
   test("streaming funnel equals the batch funnel stage counts") {
     val batch = SequenceOps.funnel(Tables.events(spark, dir)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
