@@ -99,8 +99,36 @@ object AsofJoin {
       rightOrder = "click_event_id")
   }
 
+  /** SCD2 dimension lookup — the CONSUMER side of q_scd2_intervals:
+    * enrich each fact probe with the dimension version valid at its
+    * event time. Versions are a deterministic three-era customer
+    * history (base at t=0; +100.00 for keys %5==0 at t=1e6; +250.00
+    * for %10==0 at t=2e6 — the q_stream_upsert revision ladder given
+    * timestamps); probes spread orders across the eras. The lookup is
+    * the SAME linear union+window as-of operator — never the quadratic
+    * interval range join the oracle runs (probe x versions BETWEEN),
+    * which is the textbook formulation but explodes with history depth.
+    */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+    val versions = base
+      .select(col("k"), lit(0L).as("t"), col("bal").as("ver_bal"), lit(0L).as("ver"))
+      .unionByName(base.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(1000000L).as("t"),
+          (col("bal") + 10000L).as("ver_bal"), lit(1L).as("ver")))
+      .unionByName(base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit(2000000L).as("t"),
+          (col("bal") + 25000L).as("ver_bal"), lit(2L).as("ver")))
+    val probes = Tables.orders(s, dir).select(col("o_custkey").as("k"),
+      (col("o_orderkey") % 3000000L).as("t"), col("o_orderkey").as("order_id"))
+    asofJoin(probes, versions, key = "k", time = "t",
+      rightCols = Seq("ver", "ver_bal"), rightOrder = "ver")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> ((s, dir) => purchaseAsofClick(s, dir))
+    "q_asof_join" -> ((s, dir) => purchaseAsofClick(s, dir)),
+    "q_scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,6 +147,24 @@ object AsofJoin {
         |SELECT l.user_id, l.t_us, l.event_id, l.value,
         | r.click_event_id, r.click_value
         |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin
+        |  ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin,
+
+    // the textbook interval formulation (lead-built validity windows +
+    // BETWEEN range join) — an independent plan for the as-of lookup
+    "q_scd2_lookup" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |v AS (
+        | SELECT k, CAST(0 AS BIGINT) AS t, bal AS ver_bal, CAST(0 AS BIGINT) AS ver FROM base
+        | UNION ALL SELECT k, 1000000, bal + 10000, 1 FROM base WHERE k % 5 = 0
+        | UNION ALL SELECT k, 2000000, bal + 25000, 2 FROM base WHERE k % 10 = 0),
+        |iv AS (SELECT k, ver, ver_bal, t AS valid_from,
+        |   coalesce(lead(t) OVER (PARTITION BY k ORDER BY t),
+        |     9223372036854775807) AS valid_to FROM v),
+        |p AS (SELECT o_custkey AS k, o_orderkey % 3000000 AS t,
+        |   o_orderkey AS order_id FROM orders)
+        |SELECT p.k, p.t, p.order_id, iv.ver, iv.ver_bal
+        |FROM p JOIN iv ON p.k = iv.k
+        | AND p.t >= iv.valid_from AND p.t < iv.valid_to""".stripMargin
   )
 }

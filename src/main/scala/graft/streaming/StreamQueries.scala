@@ -576,37 +576,46 @@ object StreamQueries {
     * the batch oracle compares qualification with `>=` on the same
     * integers, so no truncation tie can diverge.
     */
-  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** Restartable funnel stream head (the StreamState.startCustomerState
+    * pattern): the spec drives it across two runs against one
+    * checkpoint to prove the stage state survives restart.
+    */
+  def startFunnel(s: SparkSession, landing: String, out: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelSt]) =>
+          val evs = it.toArray
+          var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+          def minAtLeast(tpe: String, lo: Long): Long = {
+            var m = Long.MaxValue
+            evs.foreach { e =>
+              if (e.event_type == tpe && e.us >= lo && e.us < m) m = e.us
+            }
+            if (m == Long.MaxValue) -1L else m
+          }
+          if (st.t1 < 0) st = st.copy(t1 = minAtLeast("view", Long.MinValue))
+          if (st.t1 >= 0 && st.t2 < 0) st = st.copy(t2 = minAtLeast("click", st.t1))
+          if (st.t2 >= 0 && st.t3 < 0) st = st.copy(t3 = minAtLeast("purchase", st.t2))
+          state.update(st)
+          Iterator(FunnelProgress(uid, st.t1, st.t2, st.t3))
+      }
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
     val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
       funnelFixtureDf(s, dir))
     val tmp = tempSink()
     withShufflePartitions(s, StatefulShufflePartitions) {
-      val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelSt]) =>
-            val evs = it.toArray
-            var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
-            def minAtLeast(tpe: String, lo: Long): Long = {
-              var m = Long.MaxValue
-              evs.foreach { e =>
-                if (e.event_type == tpe && e.us >= lo && e.us < m) m = e.us
-              }
-              if (m == Long.MaxValue) -1L else m
-            }
-            if (st.t1 < 0) st = st.copy(t1 = minAtLeast("view", Long.MinValue))
-            if (st.t1 >= 0 && st.t2 < 0) st = st.copy(t2 = minAtLeast("click", st.t1))
-            if (st.t2 >= 0 && st.t3 < 0) st = st.copy(t3 = minAtLeast("purchase", st.t2))
-            state.update(st)
-            Iterator(FunnelProgress(uid, st.t1, st.t2, st.t3))
-        }
-        .writeStream.format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = startFunnel(s, landing, s"$tmp/out", s"$tmp/ckpt")
       q.awaitTermination()
     }
     // stage times are set once and never change, so latest == max
