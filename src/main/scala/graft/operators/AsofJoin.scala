@@ -126,8 +126,30 @@ object AsofJoin {
       rightCols = Seq("ver", "ver_bal"), rightOrder = "ver")
   }
 
+  /** The same purchase-asof-click instance through the NATIVE physical
+    * operator (graft.plans.AsofJoinExec: co-partitioned sorted merge,
+    * O(1) task state) — the right side's join columns renamed so the
+    * combined output has no collisions, then projected back to the
+    * q_asof_join column contract so the identical oracle applies.
+    */
+  def purchaseAsofClickNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    graft.plans.AsofJoinNative.asof(purchases, clicks,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "t_us", rightTime = "r_t", rightOrder = "click_event_id")
+      .select(col("user_id"), col("t_us"), col("event_id"), col("value"),
+        col("click_event_id"), col("click_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, dir) => purchaseAsofClick(s, dir)),
+    "q_asof_native" -> ((s, dir) => purchaseAsofClickNative(s, dir)),
     "q_scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir))
   )
 
@@ -136,6 +158,21 @@ object AsofJoin {
     // the max-event_id row per (user, time) so tied timestamps resolve
     // exactly as the union-window plan's last() does.
     "q_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        | r0 AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |   event_id AS click_event_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        | r AS (SELECT user_id, t_us, click_event_id, click_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, t_us
+        |     ORDER BY click_event_id DESC) AS rn FROM r0) z WHERE rn = 1)
+        |SELECT l.user_id, l.t_us, l.event_id, l.value,
+        | r.click_event_id, r.click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.t_us >= r.t_us""".stripMargin,
+
+    // identical semantics through the native physical operator
+    "q_asof_native" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value
         |  FROM events WHERE event_type = 'purchase'),
         | r0 AS (SELECT user_id, epoch_us(ts) AS t_us,

@@ -20,6 +20,16 @@ object SqlBridge {
   /** Unwrap a Column back to its catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom LogicalPlan (Dataset.ofRows is
+    * `private[sql]`) — the entry point for the engine's native logical
+    * operators (graft.plans).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a session-local SQL function (the imperative counterpart of
     * SparkSessionExtensions.injectFunction, for sessions the engine did
     * not build).

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+import graft.plans.{AsofJoinExec, AsofJoinNative}
+
+class AsofNativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native asof plans AsofJoinExec with one exchange + one sort per side, no window") {
+    val plan = AsofJoin.purchaseAsofClickNative(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native exec missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected one exchange per side, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"native plan must not fall back to the window form:\n$plan")
+  }
+
+  test("native asof == union+window asof on real data") {
+    val native = AsofJoin.purchaseAsofClickNative(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val window = AsofJoin.purchaseAsofClick(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("tie semantics: same-time click matches; equal-time clicks resolve to max order; no click -> null") {
+    import spark.implicits._
+    val probes = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 20L))
+      .toDF("user_id", "t_us", "event_id")
+    val clicks = Seq((1L, 100L, 91L), (1L, 100L, 92L), (1L, 40L, 90L))
+      .toDF("r_user", "r_t", "click_id")
+    val got = AsofJoinNative.asof(probes, clicks,
+        "user_id", "r_user", "t_us", "r_t", "click_id")
+      .select("user_id", "event_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got((1L, 10L)) == 92L, "equal-time ties must resolve to the max order value")
+    assert(got((1L, 11L)) == 90L)
+    assert(got((2L, 20L)) == -1L, "no qualifying click must stay null")
+  }
+
+  test("results are partitioning-independent (odd shuffle partitions)") {
+    val base = AsofJoin.purchaseAsofClickNative(spark, dir).collect().map(_.toSeq).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val odd = AsofJoin.purchaseAsofClickNative(spark, dir).collect().map(_.toSeq).toSet
+      assert(odd == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
