@@ -139,13 +139,17 @@ object FpeFunctions {
   * engine's native functions to pure-SQL users.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = Seq(
-    ("fpe_encrypt", (children: Seq[Expression]) => FpeEncryptExpression(children(0), children(1))),
-    ("fpe_decrypt", (children: Seq[Expression]) => FpeDecryptExpression(children(0), children(1)))
-  ).foreach { case (name, builder) =>
-    ext.injectFunction((
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[FpeEncryptExpression].getName, name),
-      builder))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the native as-of join planner rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    Seq(
+      ("fpe_encrypt", (children: Seq[Expression]) => FpeEncryptExpression(children(0), children(1))),
+      ("fpe_decrypt", (children: Seq[Expression]) => FpeDecryptExpression(children(0), children(1)))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[FpeEncryptExpression].getName, name),
+        builder))
+    }
   }
 }

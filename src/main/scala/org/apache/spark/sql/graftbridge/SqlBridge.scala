@@ -30,6 +30,20 @@ object SqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Apply an extensions hook to a fresh SparkSessionExtensions and
+    * return the planner strategies it registered (the builder is
+    * `private[sql]`) — lets specs pin what GraftExtensions injects
+    * without tearing down the shared test session.
+    */
+  def plannerStrategiesOf(spark: SparkSession,
+      hook: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] = {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    hook(e)
+    e.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
   /** Register a session-local SQL function (the imperative counterpart of
     * SparkSessionExtensions.injectFunction, for sessions the engine did
     * not build).

@@ -44,6 +44,13 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(got((2L, 20L)) == -1L, "no qualifying click must stay null")
   }
 
+  test("GraftExtensions injects the asof planner strategy") {
+    val strategies = org.apache.spark.sql.graftbridge.SqlBridge
+      .plannerStrategiesOf(spark, new graft.functions.GraftExtensions()(_))
+    assert(strategies.contains(graft.plans.AsofStrategy),
+      s"extensions must register AsofStrategy, got: $strategies")
+  }
+
   test("results are partitioning-independent (odd shuffle partitions)") {
     val base = AsofJoin.purchaseAsofClickNative(spark, dir).collect().map(_.toSeq).toSet
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
