@@ -125,6 +125,70 @@ object WavCodec {
     WavInfo(docId, bytes.length.toLong, channels, sampleRate, bits,
       frames, frames * 1000L / sampleRate, sumSquares, sumAbs)
   }
+
+  /** Decode to raw PCM (channels, rate, interleaved samples) — the DSP
+    * entry point: same chunk walker as [[decode]], but the data chunk is
+    * materialized instead of folded into stats.
+    */
+  def decodeSamples(docId: Long, bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF" && { bb.getInt(); ascii(4) == "WAVE" },
+      s"doc $docId: not a RIFF/WAVE container")
+    def seek(pos: Int): Unit = bb.position(math.min(pos, bb.limit()))
+    var channels = 0
+    var sampleRate = 0
+    var out: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = ascii(4)
+      val size = bb.getInt()
+      require(size >= 0 && size <= bb.remaining(),
+        s"doc $docId: chunk '$id' declares size $size with ${bb.remaining()} bytes left")
+      id match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          require(bb.getShort() == 1, s"doc $docId: not PCM")
+          channels = bb.getShort()
+          sampleRate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          require(bb.getShort() == 16, s"doc $docId: only PCM16 supported")
+          seek(fmtStart + size + (size & 1))
+        case "data" =>
+          require(channels > 0 && out == null,
+            s"doc $docId: data chunk before fmt or duplicated")
+          val dataStart = bb.position()
+          out = Array.fill(size / 2)(bb.getShort())
+          seek(dataStart + size + (size & 1))
+        case _ => seek(bb.position() + size + (size & 1))
+      }
+    }
+    require(out != null, s"doc $docId: no data chunk")
+    (channels, sampleRate, out)
+  }
+
+  /** Decimate by `factor`: keep every factor-th FRAME (all channels of
+    * it), halve-or-divide the rate — the no-filter downsampler (a
+    * production resampler adds an anti-alias low-pass; the container
+    * and interleave mechanics are what the codec layer owns).
+    */
+  def decimate(channels: Int, sampleRate: Int, samples: Array[Short],
+      factor: Int): (Int, Array[Short]) = {
+    val frames = samples.length / channels
+    val keptFrames = (frames + factor - 1) / factor
+    val out = new Array[Short](keptFrames * channels)
+    var f = 0
+    while (f < keptFrames) {
+      var c = 0
+      while (c < channels) {
+        out(f * channels + c) = samples(f * factor * channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    (sampleRate / factor, out)
+  }
 }
 
 /** Audio flavor of the multimodal family: a deterministic PCM signal per
@@ -161,8 +225,30 @@ object Audio {
     }.toDF()
   }
 
+  /** Downsample-by-2 through the REAL codec end to end: encode the
+    * deterministic signal, decode raw PCM back out of the container,
+    * decimate frames, re-encode at half rate, decode the NEW file for
+    * its stats. Any bug in either direction of the codec or in the
+    * frame/channel interleave breaks the arithmetic oracle, which
+    * reconstructs the kept-sample set relationally ((j DIV ch) even).
+    */
+  def wavDownsample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (ch, rate, frames) = params(id)
+        val wav = WavCodec.encode(ch, rate,
+          Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
+        val (ch2, rate2, pcm) = WavCodec.decodeSamples(id, wav)
+        val (outRate, outPcm) = WavCodec.decimate(ch2, rate2, pcm, factor = 2)
+        WavCodec.decode(id, WavCodec.encode(ch2, outRate, outPcm))
+      }
+    }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir)))
+    "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir))),
+    "q_audio_downsample" -> ((s, dir) => wavDownsample(s, Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +276,38 @@ object Audio {
         | CAST(sum(x * x) AS BIGINT) AS sum_squares,
         | CAST(sum(abs(x)) AS BIGINT) AS sum_abs
         |FROM v
-        |GROUP BY doc_id, channels, sample_rate, n_frames""".stripMargin
+        |GROUP BY doc_id, channels, sample_rate, n_frames""".stripMargin,
+
+    // the decimated signal, reconstructed relationally: kept samples are
+    // exactly those whose FRAME index (j DIV channels) is even, the rate
+    // halves, and the container layout formula re-applies to the kept
+    // count
+    "q_audio_downsample" ->
+      s"""WITH p AS (SELECT doc_id,
+        |   CAST(1 + doc_id % 2 AS INT) AS channels,
+        |   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |   CAST(200 + (doc_id % 101) * 7 AS BIGINT) AS n_frames
+        |  FROM documents),
+        | s AS (SELECT doc_id, channels, sample_rate, n_frames,
+        |   unnest(generate_series(0, n_frames * channels - 1)) AS j FROM p),
+        | v AS (SELECT doc_id, channels, sample_rate, n_frames, j,
+        |   (${graft.functions.PortableSql.seedLadderSql("doc_id")} + j * 1299721)
+        |     % 65536 - 32768 AS x
+        |  FROM s
+        |  WHERE (j // channels) % 2 = 0),
+        | g AS (SELECT doc_id, channels, sample_rate,
+        |   (n_frames + 1) // 2 AS out_frames,
+        |   CAST(sum(x * x) AS BIGINT) AS sum_squares,
+        |   CAST(sum(abs(x)) AS BIGINT) AS sum_abs
+        |  FROM v GROUP BY doc_id, channels, sample_rate, n_frames)
+        |SELECT doc_id,
+        | CAST(56 + out_frames * channels * 2 AS BIGINT) AS n_bytes,
+        | channels,
+        | CAST(sample_rate // 2 AS INT) AS sample_rate,
+        | CAST(16 AS INT) AS bits_per_sample,
+        | out_frames AS n_frames,
+        | CAST(out_frames * 1000 // (sample_rate // 2) AS BIGINT) AS duration_ms,
+        | sum_squares, sum_abs
+        |FROM g""".stripMargin
   )
 }

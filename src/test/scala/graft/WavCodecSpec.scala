@@ -74,6 +74,20 @@ class WavCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { WavCodec.decode(7L, patchIntLE(good, 24, 0)) }
   }
 
+  test("decodeSamples is the exact inverse of encode; decimate keeps even frames per channel") {
+    val pcm = Array.tabulate(10 * 2)(i => (i * 31 - 150).toShort) // 10 stereo frames
+    val (ch, rate, got) = WavCodec.decodeSamples(1L, WavCodec.encode(2, 8000, pcm))
+    assert(ch == 2 && rate == 8000 && got.toSeq == pcm.toSeq)
+    val (outRate, out) = WavCodec.decimate(2, 8000, pcm, factor = 2)
+    assert(outRate == 4000)
+    // kept frames 0,2,4,6,8 -> both channels of each, interleave preserved
+    val expect = (0 until 10 by 2).flatMap(f => Seq(pcm(2 * f), pcm(2 * f + 1)))
+    assert(out.toSeq == expect)
+    // odd frame count keeps the ceiling
+    val mono = Array.tabulate(5)(i => i.toShort)
+    assert(WavCodec.decimate(1, 8000, mono, 2)._2.toSeq == Seq[Short](0, 2, 4))
+  }
+
   test("dump a reference file for external stdlib validation") {
     // external check (run once, recorded in the commit): python3 -c
     // "import wave; w=wave.open('/tmp/graft_wav_probe.wav');
