@@ -246,9 +246,37 @@ object Audio {
     }.toDF()
   }
 
+  /** Every 50th blob truncated mid-header — the corrupt-media rate. */
+  val CorruptMod = 50
+
+  /** Media dead-lettering — the U4/U10 error-branch pattern applied to
+    * binary columns: corrupt blobs (every [[CorruptMod]]-th, truncated
+    * to 20 bytes so the chunk walker's size guard trips) must be
+    * COUNTED AND LABELLED, never crash the task or emit garbage stats.
+    * The decoder's loud `require`s become per-row catch + status; the
+    * oracle reproduces the split arithmetically.
+    */
+  def wavDeadLetter(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (ch, rate, frames) = params(id)
+        val wav = WavCodec.encode(ch, rate,
+          Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
+        val bytes = if (id % CorruptMod == 0) wav.take(20) else wav
+        val ok =
+          try { WavCodec.decode(id, bytes); true }
+          catch { case _: IllegalArgumentException => false }
+        (id, if (ok) "decoded" else "dead_letter")
+      }
+    }.toDF("doc_id", "status")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir))),
-    "q_audio_downsample" -> ((s, dir) => wavDownsample(s, Tables.documents(s, dir)))
+    "q_audio_downsample" -> ((s, dir) => wavDownsample(s, Tables.documents(s, dir))),
+    "q_media_deadletter" -> ((s, dir) => wavDeadLetter(s, Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -308,6 +336,12 @@ object Audio {
         | out_frames AS n_frames,
         | CAST(out_frames * 1000 // (sample_rate // 2) AS BIGINT) AS duration_ms,
         | sum_squares, sum_abs
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q_media_deadletter" ->
+      s"""SELECT CASE WHEN doc_id % $CorruptMod = 0
+         |   THEN 'dead_letter' ELSE 'decoded' END AS status,
+         | count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin
   )
 }

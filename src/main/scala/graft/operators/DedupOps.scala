@@ -41,6 +41,19 @@ object DedupOps {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Order-invariant (bag-of-words) dedup: docs whose sorted token
+    * multisets coincide are duplicates even when the word ORDER differs
+    * — the reorder-robust flavor between exact (order-sensitive) and
+    * MinHash (set-based, loses multiplicity). One shuffle on the md5 of
+    * the sorted token array; only groups with >1 member emit.
+    */
+  def bagDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(
+        md5(concat_ws(" ", sort_array(
+          org.apache.spark.sql.functions.split(col("text"), " ")))).as("bag_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
   /** doc_id + hashes of the distinct word-trigram shingles — ONE fused
     * native pass per doc (see TrigramHashesExpression; the symbolic
     * tokenize→shingle→hash chain it replaces was the dominant CPU cost of
@@ -367,6 +380,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> ((s, dir) => dupClusters(Tables.documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => exactDuplicates(Tables.documents(s, dir))),
+    "q_dedup_bag" -> ((s, dir) => bagDuplicates(Tables.documents(s, dir))),
     "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
@@ -517,6 +531,12 @@ object DedupOps {
         """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
           | count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_bag" ->
+        """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+          |   AS bag_md5,
+          | min(doc_id) AS keep_doc_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
       // Transitive closure of the (undirected) dup edges, min reachable id
       // per doc — the unique fixpoint the Spark label-propagation loop

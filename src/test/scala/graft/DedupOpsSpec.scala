@@ -10,6 +10,23 @@ import graft.operators.DedupOps
   * and crash under ANSI — see PortableSql.trigramShingles).
   */
 class DedupOpsSpec extends AnyFunSuite {
+
+  test("bag dedup catches word-order permutations that exact dedup misses") {
+    val sp = SparkTestBase.spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), // permuted pair
+      (3L, "alpha beta"), (4L, "alpha beta"),             // exact pair
+      (5L, "alpha alpha beta"), (6L, "alpha beta beta")   // multiset differs
+    ).toDF("doc_id", "text")
+    val bag = graft.operators.DedupOps.bagDuplicates(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bag == Map(1L -> 2L, 3L -> 2L), s"got $bag")
+    val exact = graft.operators.DedupOps.exactDuplicates(docs)
+      .filter($"n_copies" > 1).collect()
+    assert(exact.length == 1, "exact dedup must only see the verbatim pair")
+  }
+
   private lazy val spark = SparkTestBase.spark
 
   private def docs(rows: (Long, String, String)*) = {
