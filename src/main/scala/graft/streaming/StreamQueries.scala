@@ -126,6 +126,8 @@ object StreamQueries {
       sessionFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("funnel", dir, "events"),
       funnelFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("kmv", dir, "lineitem"),
+      kmvFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("topk", dir, "customer"),
       Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
@@ -544,6 +546,68 @@ object StreamQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming KMV: mergeable distinct sketch accumulating across batches
+  // ---------------------------------------------------------------------
+
+  private val kmvSchema = StructType(Seq(
+    StructField("flag", StringType),
+    StructField("h", LongType)))
+
+  /** Streaming twin of q_kmv_distinct: the bounded k-smallest-hash heap
+    * accumulates per group in the aggregation state store across
+    * micro-batches (the TypedImperativeAggregate serialize/merge path —
+    * the q_stream_heavy pattern for a DISTINCT sketch instead of a
+    * frequency one). K minimum values of a multiset are merge-order-
+    * independent, so the batch oracle covers the streaming accumulation;
+    * the exact distinct count joins in batch-side, as the MG audit does.
+    */
+  private val KmvM = 1000000007L
+
+  private def kmvKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_partkey").as("k"))
+      .distinct()
+
+  private def kmvFixtureDf(s: SparkSession, dir: String): DataFrame =
+    kmvKeys(s, dir).select(col("flag"),
+      expr(graft.functions.PortableSql.seedLadderSql("k", KmvM)).as("h")).distinct()
+
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    val M = KmvM
+    val K = graft.operators.ShuffleOps.KmvK
+    def keys = kmvKeys(s, dir)
+    val landing = ensureJsonFixture(fixtureDir("kmv", dir, "lineitem"),
+      kmvFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(kmvSchema).json(landing)
+        .groupBy("flag")
+        .agg(graft.functions.TopKAggregate.topKRows(
+            struct((-col("h")).cast("double").as("value"), col("h").as("id")), K)
+            .as("top"),
+          count(lit(1)).as("n_h"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val est = s.read.parquet(s"$tmp/out")
+      .select(col("flag"),
+        when(col("n_h") < K, col("n_h"))
+          .otherwise(expr(s"${K - 1}L * ${M}L DIV element_at(top, $K).id"))
+          .as("kmv_est"))
+    keys.groupBy("flag").agg(count(lit(1)).as("exact_d"))
+      .join(est, "flag")
+      .select(col("flag"), col("exact_d"), col("kmv_est"),
+        (abs(col("kmv_est") - col("exact_d")).cast("double") /
+          col("exact_d") <= 0.5).cast("int").as("within_4sigma"))
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming funnel: per-user stage state via flatMapGroupsWithState
   // ---------------------------------------------------------------------
 
@@ -742,6 +806,7 @@ object StreamQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_funnel" -> ((s, dir) => streamFunnel(s, dir)),
     "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
+    "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
     "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
@@ -767,6 +832,10 @@ object StreamQueries {
     // per-purchase emission under time-ordered batches == the batch
     // running-window attribution (see streamAttribution)
     "q_stream_attribution" -> graft.operators.SequenceOps.oracleSql("q_attribution"),
+
+    // k-minimum-values selection is merge-order-independent: the batch
+    // KMV oracle covers the streaming heap accumulation
+    "q_stream_kmv" -> graft.operators.ShuffleOps.oracleSql("q_kmv_distinct"),
 
     // top-k selection is merge-order-independent: the batch window
     // oracle covers the streaming accumulation
