@@ -545,6 +545,42 @@ object StreamQueries {
         col("col.value").as("c_acctbal"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Streaming SLIDING windows (30 min size / 10 min slide) — the
+    * q_stream_window discipline applied to the hopping generator: each
+    * event lands in size/slide = 3 windows, append mode emits a window
+    * exactly once when the watermark passes its end, and the same
+    * time-sorted single-file fixture makes late-dropping impossible
+    * under any batch split. Oracle rebuilds the window set with a
+    * generate_series cross join + the identical watermark gate.
+    */
+  def streamHopping(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
+      windowFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val agg = s.readStream.schema(windowSchema).json(landing)
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n_txns"),
+          sum(col("amount").cast(DecimalType(18, 2))).as("vol_dec"))
+        .select(
+          unix_millis(col("w.start")).as("window_start_ms"),
+          col("n_txns"),
+          col("vol_dec").cast(DoubleType).as("volume"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+  }
+
   // ---------------------------------------------------------------------
   // Streaming KMV: mergeable distinct sketch accumulating across batches
   // ---------------------------------------------------------------------
@@ -807,6 +843,7 @@ object StreamQueries {
     "q_stream_funnel" -> ((s, dir) => streamFunnel(s, dir)),
     "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
     "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
+    "q_stream_hopping" -> ((s, dir) => streamHopping(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
     "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
@@ -836,6 +873,20 @@ object StreamQueries {
     // k-minimum-values selection is merge-order-independent: the batch
     // KMV oracle covers the streaming heap accumulation
     "q_stream_kmv" -> graft.operators.ShuffleOps.oracleSql("q_kmv_distinct"),
+
+    // sliding windows: series-join reconstruction + the same watermark
+    // emission gate as q_stream_window (end <= max event time - delay)
+    "q_stream_hopping" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+        | mx AS (SELECT max(ms) AS max_ms FROM e),
+        | w AS (SELECT (ms // 600000 - k) * 600000 AS start_ms, value, max_ms
+        |   FROM e, mx CROSS JOIN generate_series(0, 2) s(k))
+        |SELECT start_ms AS window_start_ms,
+        | CAST(count(*) AS BIGINT) AS n_txns,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM w
+        |GROUP BY 1, max_ms
+        |HAVING start_ms + 1800000 <= max_ms - 600000""".stripMargin,
 
     // top-k selection is merge-order-independent: the batch window
     // oracle covers the streaming accumulation
