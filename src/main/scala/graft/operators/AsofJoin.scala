@@ -86,18 +86,25 @@ object AsofJoin {
     * click at-or-before it. Times compared as epoch MICROS (exact integer
     * comparison in both engines; events.ts is micros precision).
     */
-  def purchaseAsofClick(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val purchases = e.filter(col("event_type") === "purchase")
+  /** The probe/history frames shared by the window-plan and native-exec
+    * instances — one definition, so the "identical oracle applies"
+    * guarantee between q_asof_join and q_asof_native is structural.
+    */
+  private def purchasesFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_id"), col("value"))
-    val clicks = e.filter(col("event_type") === "click")
+
+  private def clicksFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_id").as("click_event_id"), col("value").as("click_value"))
-    asofJoin(purchases, clicks, key = "user_id", time = "t_us",
+
+  def purchaseAsofClick(s: SparkSession, dir: String): DataFrame =
+    asofJoin(purchasesFrame(s, dir), clicksFrame(s, dir),
+      key = "user_id", time = "t_us",
       rightCols = Seq("click_event_id", "click_value"),
       rightOrder = "click_event_id")
-  }
 
   /** SCD2 dimension lookup — the CONSUMER side of q_scd2_intervals:
     * enrich each fact probe with the dimension version valid at its
@@ -133,14 +140,10 @@ object AsofJoin {
     * q_asof_join column contract so the identical oracle applies.
     */
   def purchaseAsofClickNative(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("event_id"), col("value"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_t"),
-        col("event_id").as("click_event_id"), col("value").as("click_value"))
-    graft.plans.AsofJoinNative.asof(purchases, clicks,
+    val clicks = clicksFrame(s, dir)
+      .withColumnRenamed("user_id", "r_user")
+      .withColumnRenamed("t_us", "r_t")
+    graft.plans.AsofJoinNative.asof(purchasesFrame(s, dir), clicks,
         leftKey = "user_id", rightKey = "r_user",
         leftTime = "t_us", rightTime = "r_t", rightOrder = "click_event_id")
       .select(col("user_id"), col("t_us"), col("event_id"), col("value"),

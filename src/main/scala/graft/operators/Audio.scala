@@ -87,6 +87,8 @@ object WavCodec {
         s"doc $docId: chunk '$id' declares size $size with ${bb.remaining()} bytes left")
       id match {
         case "fmt " =>
+          require(size >= 16,
+            s"doc $docId: fmt chunk declares $size bytes (needs >= 16)")
           val fmtStart = bb.position()
           val audioFormat = bb.getShort()
           require(audioFormat == 1, s"doc $docId: not PCM (fmt=$audioFormat)")
@@ -148,10 +150,14 @@ object WavCodec {
         s"doc $docId: chunk '$id' declares size $size with ${bb.remaining()} bytes left")
       id match {
         case "fmt " =>
+          require(size >= 16,
+            s"doc $docId: fmt chunk declares $size bytes (needs >= 16)")
           val fmtStart = bb.position()
           require(bb.getShort() == 1, s"doc $docId: not PCM")
           channels = bb.getShort()
+          require(channels > 0, s"doc $docId: fmt declares $channels channels")
           sampleRate = bb.getInt()
+          require(sampleRate > 0, s"doc $docId: fmt declares sample rate $sampleRate")
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"doc $docId: only PCM16 supported")
           seek(fmtStart + size + (size & 1))

@@ -84,13 +84,27 @@ object SampleOps {
   def tokenBudgetSample(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
     import graft.functions.PortableSql.{alen, tokens}
     val base = docs.select(col("doc_id"),
-        expr(hashKey("doc_id")).as("h"),
-        expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
-          .as("n_tokens"))
-      .withColumn("bucket",
-        expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
+      expr(hashKey("doc_id")).as("h"),
+      expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+        .as("n_tokens"))
+    bucketedRunningBefore(base, "n_tokens", "tokens_before")
+      .filter(col("tokens_before") < budget)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+  }
+
+  /** The bucketed two-pass exact running sum shared by the budget sample
+    * and the shard plan: `before = sum of valueCol over all rows earlier
+    * in (h, doc_id) order`, computed without ever materializing a global
+    * ordering (monotone bucketing makes the decomposition exact — see
+    * [[tokenBudgetSample]]'s scaladoc for the proof sketch). Input needs
+    * (doc_id, h, valueCol).
+    */
+  private def bucketedRunningBefore(base0: DataFrame, valueCol: String,
+      beforeCol: String): DataFrame = {
+    val base = base0.withColumn("bucket",
+      expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
     val bucketOffsets = base.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
+      .agg(sum(col(valueCol)).as("btok"))
       // no-partition window is deliberate: the frame is <= B rows
       .withColumn("bucket_before",
         coalesce(sum(col("btok")).over(Window.orderBy(col("bucket"))
@@ -100,10 +114,8 @@ object SampleOps {
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(bucketOffsets), "bucket")
-      .withColumn("tokens_before",
-        col("bucket_before") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .filter(col("tokens_before") < budget)
-      .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+      .withColumn(beforeCol,
+        col("bucket_before") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
   }
 
   val ShardChars = 20000L
@@ -120,21 +132,8 @@ object SampleOps {
     */
   def shardPlan(docs: DataFrame, target: Long = ShardChars): DataFrame = {
     val base = docs.select(col("doc_id"),
-        expr(hashKey("doc_id")).as("h"), col("n_chars"))
-      .withColumn("bucket",
-        expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
-    val bucketOffsets = base.groupBy(col("bucket"))
-      .agg(sum(col("n_chars")).as("bchars"))
-      .withColumn("bucket_before",
-        coalesce(sum(col("bchars")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("bucket_before"))
-    val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(bucketOffsets), "bucket")
-      .withColumn("chars_before",
-        col("bucket_before") + coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      expr(hashKey("doc_id")).as("h"), col("n_chars"))
+    bucketedRunningBefore(base, "n_chars", "chars_before")
       .select(col("doc_id"), col("n_chars"),
         expr(s"chars_before DIV $target").as("shard"))
       .groupBy("shard")

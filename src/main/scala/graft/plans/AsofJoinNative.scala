@@ -118,22 +118,41 @@ case class AsofJoinExec(
       var hasMatch = false
       var matchRow: InternalRow = null
       lIter.map { lrow =>
-        val lk = lKeyB.eval(lrow).asInstanceOf[Long]
-        val lt = lTimeB.eval(lrow).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val peek = rBuf.head
-          val rk = rKeyB.eval(peek).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rTimeB.eval(peek).asInstanceOf[Long] <= lt)) {
-            val r = rBuf.next()
-            if (rk == lk) {
-              matchKey = rk; hasMatch = true
-              matchRow = r.copy() // sort iterators reuse row objects
+        val lkAny = lKeyB.eval(lrow)
+        val ltAny = lTimeB.eval(lrow)
+        // SQL null semantics: a NULL key or time compares unknown, so a
+        // null left row matches nothing. Nulls sort FIRST, so they
+        // precede every real key — emitting without advancing keeps the
+        // merge cursor aligned. (Unboxing a null to 0L instead would
+        // both fabricate key-0 matches and stall the merge for
+        // negative keys.)
+        if (lkAny == null || ltAny == null) proj(joined(lrow, nullRight))
+        else {
+          val lk = lkAny.asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rkAny = rKeyB.eval(peek)
+            val rtAny = if (rkAny == null) null else rTimeB.eval(peek)
+            if (rkAny == null || rtAny == null) {
+              // null right keys/times never qualify; consume and drop
+              // (they sort before all real rows of their key)
+              rBuf.next(); ()
+            } else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rtAny.asInstanceOf[Long] <= lt)) {
+                val r = rBuf.next()
+                if (rk == lk) {
+                  matchKey = rk; hasMatch = true
+                  matchRow = r.copy() // sort iterators reuse row objects
+                }
+              } else advance = false
             }
-          } else advance = false
+          }
+          val m = if (hasMatch && matchKey == lk) matchRow else nullRight
+          proj(joined(lrow, m))
         }
-        val m = if (hasMatch && matchKey == lk) matchRow else nullRight
-        proj(joined(lrow, m))
       }
     }
   }

@@ -297,15 +297,25 @@ object StreamQueries {
     * checkpoint churn — run the stateful agg at 8 (a real cluster sizes
     * this to executor count; state per window-key is constant either way).
     */
-  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+  def streamWindow(s: SparkSession, dir: String): DataFrame =
+    windowedVolume(s, dir, e => window(col("ts"), "5 minutes"))
+
+  /** The shared watermark-gated windowed-volume stream — tumbling
+    * (streamWindow) and sliding (streamHopping) differ ONLY in the
+    * window spec, so the discipline (fixture, watermark delay, decimal
+    * money, append emission) has one definition.
+    */
+  private def windowedVolume(s: SparkSession, dir: String,
+      windowSpec: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
       windowFixtureDf(s, dir))
     val tmp = tempSink()
     withShufflePartitions(s, StatefulShufflePartitions) {
-      val agg = s.readStream.schema(windowSchema).json(landing)
+      val src = s.readStream.schema(windowSchema).json(landing)
         .withColumn("ts", timestamp_millis(col("ms")))
         .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "5 minutes").as("w"))
+      val agg = src
+        .groupBy(windowSpec(src).as("w"))
         .agg(
           count(lit(1)).as("n_txns"),
           sum(col("amount").cast(DecimalType(18, 2))).as("vol_dec"))
@@ -553,33 +563,8 @@ object StreamQueries {
     * under any batch split. Oracle rebuilds the window set with a
     * generate_series cross join + the identical watermark gate.
     */
-  def streamHopping(s: SparkSession, dir: String): DataFrame = {
-    val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
-      windowFixtureDf(s, dir))
-    val tmp = tempSink()
-    withShufflePartitions(s, StatefulShufflePartitions) {
-      val agg = s.readStream.schema(windowSchema).json(landing)
-        .withColumn("ts", timestamp_millis(col("ms")))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
-        .agg(
-          count(lit(1)).as("n_txns"),
-          sum(col("amount").cast(DecimalType(18, 2))).as("vol_dec"))
-        .select(
-          unix_millis(col("w.start")).as("window_start_ms"),
-          col("n_txns"),
-          col("vol_dec").cast(DoubleType).as("volume"))
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.read.parquet(s"$tmp/out")
-  }
+  def streamHopping(s: SparkSession, dir: String): DataFrame =
+    windowedVolume(s, dir, e => window(col("ts"), "30 minutes", "10 minutes"))
 
   // ---------------------------------------------------------------------
   // Streaming KMV: mergeable distinct sketch accumulating across batches

@@ -44,6 +44,27 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(got((2L, 20L)) == -1L, "no qualifying click must stay null")
   }
 
+  test("null keys/times follow SQL semantics: never match, never stall the merge") {
+    import spark.implicits._
+    val probes = Seq(
+      (Some(-5L), Some(100L), 1L), // negative key: merge must keep advancing
+      (Some(1L), Some(100L), 2L),
+      (None, Some(100L), 3L),      // null key: matches nothing
+      (Some(1L), None, 4L)         // null time: matches nothing
+    ).toDF("user_id", "t_us", "event_id")
+    val clicks = Seq(
+      (Some(-5L), Some(50L), 80L),
+      (Option.empty[Long], Some(10L), 81L), // null right key: dropped
+      (Some(1L), Option.empty[Long], 82L),  // null right time: dropped
+      (Some(1L), Some(90L), 83L)
+    ).toDF("r_user", "r_t", "click_id")
+    val got = AsofJoinNative.asof(probes, clicks,
+        "user_id", "r_user", "t_us", "r_t", "click_id")
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 80L, 2L -> 83L, 3L -> -1L, 4L -> -1L), s"got $got")
+  }
+
   test("GraftExtensions injects the asof planner strategy") {
     val strategies = org.apache.spark.sql.graftbridge.SqlBridge
       .plannerStrategiesOf(spark, new graft.functions.GraftExtensions()(_))
