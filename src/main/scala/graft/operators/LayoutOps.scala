@@ -133,10 +133,43 @@ object LayoutOps {
       .unionAll(skipRow(lin, "linear_x", "y_only", yOnly))
   }
 
+  /** Month the pruned read filters on. */
+  val PruneMonth = 3
+
+  /** Hive-partitioned table root for `orders`, written once per source
+    * content (the StreamQueries.fixtureDir content-keying discipline):
+    * one directory per o_month, the layout the reference's
+    * date-partitioned BigQuery fact table maps to on a lakehouse.
+    */
+  def partitionedOrdersRoot(s: SparkSession, dir: String): String = {
+    val root = graft.streaming.StreamQueries.fixtureDir("partorders", dir, "orders")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS")))
+      Tables.orders(s, dir)
+        .withColumn("o_month", month(expr("CAST(o_orderdate AS DATE)")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(root)
+    root
+  }
+
+  /** Partition-pruned read: month filter on a hive-partitioned table
+    * reaches the scan as a PartitionFilter (pinned in LayoutOpsSpec), so
+    * only that month's directory is listed and read — the reference's
+    * partitioned-fact-table query pattern, and at 100 TB the difference
+    * between scanning one partition and scanning the table. The oracle
+    * computes the same aggregate from the UNPARTITIONED source (an
+    * independent path — any partition-write bug that drops or
+    * duplicates rows breaks the match).
+    */
+  def partitionPruned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(partitionedOrdersRoot(s, dir))
+      .filter(col("o_month") === PruneMonth)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_cells" -> ((s, dir) => zorderCells(Tables.lineitem(s, dir))),
     "q_zorder_skip" -> ((s, dir) => zorderSkip(Tables.lineitem(s, dir))),
-    "q_layout_compare" -> ((s, dir) => layoutCompare(Tables.lineitem(s, dir)))
+    "q_layout_compare" -> ((s, dir) => layoutCompare(Tables.lineitem(s, dir))),
+    "q_partition_prune" -> ((s, dir) => partitionPruned(s, dir))
   )
 
   def oracleSql: Map[String, String] = {
@@ -146,6 +179,13 @@ object LayoutOps {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          | FROM lineitem GROUP BY 1""".stripMargin
     Map(
+      "q_partition_prune" ->
+        s"""SELECT count(*) AS n_orders,
+           | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |   AS rev_cents
+           |FROM orders
+           |WHERE month(CAST(o_orderdate AS DATE)) = $PruneMonth""".stripMargin,
+
       "q_zorder_cells" ->
         s"""SELECT cell, n, min_x, max_x, min_y, max_y,
            | CAST(max_x - min_x < $CellSpan AND max_y - min_y < $CellSpan AS INT)

@@ -30,6 +30,25 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("month filter reaches the partitioned scan as a PartitionFilter and prunes files") {
+    import org.apache.spark.sql.functions.col
+    val root = LayoutOps.partitionedOrdersRoot(spark, dir)
+    val table = spark.read.parquet(root)
+    val pruned = table.filter(col("o_month") === LayoutOps.PruneMonth)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_month"),
+      s"month predicate must prune partitions, not filter rows:\n$plan")
+    // inputFiles lists the relation pre-pruning; the scan node knows
+    // which partitions survived
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+    val allFiles = table.inputFiles.length
+    val prunedFiles = scan.selectedPartitions.totalNumberOfFiles
+    assert(prunedFiles < allFiles,
+      s"pruned scan reads $prunedFiles of $allFiles files — nothing pruned")
+  }
+
   test("every quadtree cell bounds both dimension spans below CellSpan") {
     val cells = LayoutOps.zorderCells(Tables.lineitem(spark, dir))
     assert(cells.filter(col("bounded") === 0).count() == 0,
