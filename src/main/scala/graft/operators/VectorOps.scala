@@ -467,7 +467,32 @@ object VectorOps {
       .agg(max(col("cosine")).as("max_cosine"))
   }
 
+  /** Int8 scalar quantization — the compression step an embedding store
+    * applies before indexing (4x smaller, SIMD-friendly dot products):
+    * per-vector symmetric scale = max|x| / 127, code = floor(x / scale).
+    * Quantization is pure elementwise arithmetic on doubles both engines
+    * compute identically (divisions and floor — no accumulation), so
+    * unlike the sketch rows this has EXACT integer parity: the oracle
+    * recomputes every vector's code sums bit-for-bit. Zero vectors keep
+    * scale 0 and all-zero codes. Narrow one-pass projection; floor (not
+    * round) because round-half behavior is the one elementwise op the
+    * engines disagree on.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val m = s"array_max(transform($vcol, x -> abs(x)))"
+    val q = s"transform($vcol, x -> CAST(floor(x / (($m) / 127.0D)) AS BIGINT))"
+    embeddings.select(col("vec_id"),
+      expr(s"CAST(floor(($m) / 127.0D * 1000000.0D) AS BIGINT)").as("scale_micro"),
+      expr(s"""CASE WHEN ($m) > 0.0D
+        THEN aggregate($q, CAST(0 AS BIGINT), (a, x) -> a + x)
+        ELSE CAST(0 AS BIGINT) END""").as("sum_q"),
+      expr(s"""CASE WHEN ($m) > 0.0D
+        THEN aggregate($q, CAST(0 AS BIGINT), (a, x) -> a + x * x)
+        ELSE CAST(0 AS BIGINT) END""").as("sum_q2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_quantize" -> ((s, dir) => quantizeInt8(Tables.embeddings(s, dir))),
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
@@ -518,6 +543,22 @@ object VectorOps {
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
     Map(
+      "q_emb_quantize" -> {
+        val m = s"list_max(list_transform(v, x -> abs(x)))"
+        val q = s"list_transform(v, x -> CAST(floor(x / (m / 127.0)) AS BIGINT))"
+        s"""WITH e AS (SELECT vec_id, $v AS v FROM embeddings),
+           | s AS (SELECT vec_id, v, $m AS m FROM e)
+           |SELECT vec_id,
+           | CAST(floor(m / 127.0 * 1000000.0) AS BIGINT) AS scale_micro,
+           | CASE WHEN m > 0
+           |  THEN ${reduceLong(q, "a", "x", "a + x", duck = true)}
+           |  ELSE CAST(0 AS BIGINT) END AS sum_q,
+           | CASE WHEN m > 0
+           |  THEN ${reduceLong(q, "a", "x", "a + x * x", duck = true)}
+           |  ELSE CAST(0 AS BIGINT) END AS sum_q2
+           |FROM s""".stripMargin
+      },
+
       "q_emb_cosine_topk" -> cosineTopkSql,
 
       "q_hybrid_search" -> {

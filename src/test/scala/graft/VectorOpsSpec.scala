@@ -54,4 +54,29 @@ class VectorOpsSpec extends AnyFunSuite {
     val nWide = wide.select("bucket_0").distinct().count()
     assert(nNarrow <= 16 && nWide >= nNarrow)
   }
+
+  test("int8 quantization: codes bounded, reconstruction within one scale step") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, dir)
+    val rows = embs.select(col("vec_id"), col("embedding")).collect()
+    val got = graft.operators.VectorOps.quantizeInt8(embs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val xs = r.getSeq[Float](1).map(_.toDouble)
+      val m = xs.map(math.abs).max
+      val (sm, sq, sq2) = got(r.getLong(0))
+      if (m == 0.0) assert(sm == 0L && sq == 0L && sq2 == 0L)
+      else {
+        val scale = m / 127.0
+        val qs = xs.map(x => math.floor(x / scale).toLong)
+        assert(qs.forall(q => q >= -128L && q <= 127L), s"code out of range: $qs")
+        assert(sq == qs.sum && sq2 == qs.map(q => q * q).sum)
+        // floor quantization: x - q*scale in [0, scale)
+        xs.zip(qs).foreach { case (x, q) =>
+          val d = x - q * scale
+          assert(d >= -1e-12 && d < scale + 1e-12, s"recon error $d vs scale $scale")
+        }
+      }
+    }
+  }
 }
