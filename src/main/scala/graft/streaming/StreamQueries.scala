@@ -20,6 +20,17 @@ case class FunnelProgress(user_id: Long, t1: Long, t2: Long, t3: Long)
 /** Per-user attribution state: the most recent click seen so far. */
 case class ClickSt(click_id: Long)
 
+/** Event consumed by the streaming SCD2 builder (funnel event + value). */
+case class Scd2Event(user_id: Long, event_id: Long, event_type: String,
+    us: Long, value: Double)
+
+/** The currently-open dimension version per user. */
+case class Scd2St(version: Long, from_us: Long, state: String, value: Double)
+
+/** Emitted interval row; valid_to_us None while the version is open. */
+case class Scd2Row(user_id: Long, version: Long, valid_from_us: Long,
+    valid_to_us: Option[Long], state: String, value: Double)
+
 /** Attribution emitted per purchase as it arrives. */
 case class Attributed(user_id: Long, purchase_id: Long, click_id: Option[Long])
 
@@ -128,6 +139,8 @@ object StreamQueries {
       funnelFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("kmv", dir, "lineitem"),
       kmvFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("scd2", dir, "events"),
+      scd2FixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("topk", dir, "customer"),
       Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
@@ -567,6 +580,76 @@ object StreamQueries {
     windowedVolume(s, dir, e => window(col("ts"), "30 minutes", "10 minutes"))
 
   // ---------------------------------------------------------------------
+  // Streaming SCD2 build: close the open interval when a version arrives
+  // ---------------------------------------------------------------------
+
+  private val scd2Schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("us", LongType),
+    StructField("value", DoubleType)))
+
+  private def scd2FixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .repartition(1).sortWithinPartitions(col("us"), col("event_id"))
+
+  /** Streaming twin of the batch q_scd2_intervals: each arriving version
+    * CLOSES the user's open interval (emitting it with valid_to = the
+    * new version's time) and opens its own; every batch also snapshots
+    * the still-open interval so the final state reaches the sink. A
+    * version's row can thus appear open (null valid_to) in one batch and
+    * closed in a later one — the readback keeps max(valid_to) per
+    * (user, version), which resolves to the closed row exactly because
+    * an interval closes at most once. Version numbers are the per-user
+    * arrival counter over the time-ordered fixture == the batch
+    * row_number, so the batch oracle applies verbatim.
+    */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val landing = ensureJsonFixture(fixtureDir("scd2", dir, "events"),
+      scd2FixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(scd2Schema).json(landing).as[Scd2Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[Scd2Event], state: GroupState[Scd2St]) =>
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+            evs.foreach { e =>
+              if (cur != null)
+                out += Scd2Row(uid, cur.version, cur.from_us, Some(e.us),
+                  cur.state, cur.value)
+              cur = Scd2St(if (cur == null) 1L else cur.version + 1,
+                e.us, e.event_type, e.value)
+            }
+            if (cur != null)
+              out += Scd2Row(uid, cur.version, cur.from_us, None, cur.state, cur.value)
+            state.update(cur)
+            out.iterator
+        }
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+      .groupBy("user_id", "version")
+      .agg(min(col("valid_from_us")).as("valid_from_us"),
+        max(col("valid_to_us")).as("valid_to_us"),
+        min(col("state")).as("state"), min(col("value")).as("value"))
+      .select(col("user_id"), col("version"), col("valid_from_us"),
+        col("valid_to_us"), col("state"), col("value"))
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming KMV: mergeable distinct sketch accumulating across batches
   // ---------------------------------------------------------------------
 
@@ -828,6 +911,7 @@ object StreamQueries {
     "q_stream_funnel" -> ((s, dir) => streamFunnel(s, dir)),
     "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
     "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
+    "q_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "q_stream_hopping" -> ((s, dir) => streamHopping(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
@@ -858,6 +942,10 @@ object StreamQueries {
     // k-minimum-values selection is merge-order-independent: the batch
     // KMV oracle covers the streaming heap accumulation
     "q_stream_kmv" -> graft.operators.ShuffleOps.oracleSql("q_kmv_distinct"),
+
+    // arrival-counter versions over the time-ordered fixture == the
+    // batch row_number windows, so the batch SCD2 oracle applies
+    "q_stream_scd2" -> graft.operators.Analytics.oracleSql("q_scd2_intervals"),
 
     // sliding windows: series-join reconstruction + the same watermark
     // emission gate as q_stream_window (end <= max event time - delay)
