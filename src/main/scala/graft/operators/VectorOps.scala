@@ -479,16 +479,22 @@ object VectorOps {
     * engines disagree on.
     */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val m = s"array_max(transform($vcol, x -> abs(x)))"
-    val q = s"transform($vcol, x -> CAST(floor(x / (($m) / 127.0D)) AS BIGINT))"
-    embeddings.select(col("vec_id"),
-      expr(s"CAST(floor(($m) / 127.0D * 1000000.0D) AS BIGINT)").as("scale_micro"),
-      expr(s"""CASE WHEN ($m) > 0.0D
-        THEN aggregate($q, CAST(0 AS BIGINT), (a, x) -> a + x)
-        ELSE CAST(0 AS BIGINT) END""").as("sum_q"),
-      expr(s"""CASE WHEN ($m) > 0.0D
-        THEN aggregate($q, CAST(0 AS BIGINT), (a, x) -> a + x * x)
-        ELSE CAST(0 AS BIGINT) END""").as("sum_q2"))
+    // m and q are projected ONCE per row: higher-order functions are
+    // interpreted (no loop-invariant hoisting), so inlining m into the
+    // transform lambda would rescan the vector per element
+    val q = "transform(v, x -> CAST(floor(x / (m / 127.0D)) AS BIGINT))"
+    embeddings
+      .select(col("vec_id"), expr(vcol).as("v"))
+      .withColumn("m", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(s"CASE WHEN m > 0.0D THEN $q ELSE NULL END"))
+      .select(col("vec_id"),
+        expr("CAST(floor(m / 127.0D * 1000000.0D) AS BIGINT)").as("scale_micro"),
+        expr(s"""CASE WHEN m > 0.0D
+          THEN ${reduceLong("q", "a", "x", "a + x", duck = false)}
+          ELSE CAST(0 AS BIGINT) END""").as("sum_q"),
+        expr(s"""CASE WHEN m > 0.0D
+          THEN ${reduceLong("q", "a", "x", "a + x * x", duck = false)}
+          ELSE CAST(0 AS BIGINT) END""").as("sum_q2"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

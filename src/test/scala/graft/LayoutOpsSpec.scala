@@ -36,7 +36,9 @@ class LayoutOpsSpec extends AnyFunSuite {
     val table = spark.read.parquet(root)
     val pruned = table.filter(col("o_month") === LayoutOps.PruneMonth)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("o_month"),
+    // o_month must appear INSIDE the PartitionFilters bracket — the key
+    // itself prints (empty) even when pruning regresses to a row filter
+    assert("PartitionFilters: \\[[^\\]]*o_month".r.findFirstIn(plan).isDefined,
       s"month predicate must prune partitions, not filter rows:\n$plan")
     // inputFiles lists the relation pre-pruning; the scan node knows
     // which partitions survived
