@@ -201,7 +201,27 @@ object SequenceOps {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .select(unix_millis(col("w.start")).as("start_ms"), col("n"), col("cents"))
 
+  val VelocityN = 3
+  val VelocitySpanUs = 3600L * 1000000 // 3 events within one hour
+
+  /** Velocity flags — the classic card-fraud rule the reference's risk
+    * scoring implies: an event is a BURST TRIGGER when it is the
+    * [[VelocityN]]-th event of its user within [[VelocitySpanUs]]
+    * (t - lag(t, N-1) <= span — one lag over the per-user window, no
+    * self-join over the span). Emits per-user burst counts and the
+    * first trigger time; exact integer micros end to end.
+    */
+  def velocityFlags(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    prep(events)
+      .withColumn("span", col("t") - lag(col("t"), VelocityN - 1).over(w))
+      .filter(col("span").isNotNull && col("span") <= VelocitySpanUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_bursts"), min(col("t")).as("first_burst_us"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_velocity_flags" -> ((s, dir) => velocityFlags(Tables.events(s, dir))),
     "q_hopping_window" -> ((s, dir) => hoppingRevenue(Tables.events(s, dir))),
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
@@ -225,6 +245,17 @@ object SequenceOps {
       |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_velocity_flags" ->
+      s"""WITH l AS (
+         | SELECT user_id,
+         |  epoch_us(ts) AS t,
+         |  epoch_us(ts) - lag(epoch_us(ts), ${VelocityN - 1}) OVER
+         |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS span
+         | FROM events)
+         |SELECT user_id, count(*) AS n_bursts, min(t) AS first_burst_us
+         |FROM l WHERE span IS NOT NULL AND span <= $VelocitySpanUs
+         |GROUP BY 1""".stripMargin,
+
     // slide divides size exactly, so every event lands in size/slide
     // windows: the oracle rebuilds them with a generate_series cross
     // join over integer ms — an independent plan for the same set

@@ -57,6 +57,24 @@ class SequenceOpsSpec extends AnyFunSuite {
       s"${r.getString(0)} sums to ${r.getDouble(1)}"))
   }
 
+  test("velocity flags trigger on exactly N-in-span, boundary inclusive") {
+    import spark.implicits._
+    val h = SequenceOps.VelocitySpanUs
+    val fixture = Seq(
+      // u1: three events spanning EXACTLY the window -> trigger
+      (1L, 1L, "view", 0L), (2L, 1L, "click", h / 2), (3L, 1L, "view", h),
+      // u2: three events, one micro too wide -> no trigger
+      (4L, 2L, "view", 0L), (5L, 2L, "click", h / 2), (6L, 2L, "view", h + 1),
+      // u3: only two events -> never enough
+      (7L, 3L, "view", 0L), (8L, 3L, "click", 1L)
+    ).map { case (id, u, tp, us) => (id, u, tp, us, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = SequenceOps.velocityFlags(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((1L, h))), s"got $got")
+  }
+
   test("twap lies within the user's [min, max] value range") {
     val bounds = events.groupBy("user_id")
       .agg(min("value").as("lo"), max("value").as("hi"))
