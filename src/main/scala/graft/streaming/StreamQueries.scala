@@ -20,6 +20,12 @@ case class FunnelProgress(user_id: Long, t1: Long, t2: Long, t3: Long)
 /** Per-user attribution state: the most recent click seen so far. */
 case class ClickSt(click_id: Long)
 
+/** Last N-1 event times per user — the velocity rule's ring buffer. */
+case class VelSt(t1: Long, t2: Long) // -1 unset; t2 is the most recent
+
+/** Burst trigger emitted as the qualifying event arrives. */
+case class VelHit(user_id: Long, t: Long)
+
 /** Event consumed by the streaming SCD2 builder (funnel event + value). */
 case class Scd2Event(user_id: Long, event_id: Long, event_type: String,
     us: Long, value: Double)
@@ -579,6 +585,49 @@ object StreamQueries {
   def streamHopping(s: SparkSession, dir: String): DataFrame =
     windowedVolume(s, dir, e => window(col("ts"), "30 minutes", "10 minutes"))
 
+  /** Streaming twin of q_velocity_flags — the deployment shape of the
+    * fraud rule: per-user keyed state holds only the last N-1 = 2 event
+    * times (O(1), bounded regardless of history), and a qualifying
+    * event emits its trigger AS IT ARRIVES. Within-batch rows fold in
+    * (us, event_id) order and the time-ordered fixture keeps state
+    * strictly older than each batch, so triggers equal the batch lag
+    * window exactly; the readback re-aggregates to the batch output
+    * shape and the batch oracle applies.
+    */
+  def streamVelocity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val span = graft.operators.SequenceOps.VelocitySpanUs
+    val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
+      funnelFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[FunnelEvent], state: GroupState[VelSt]) =>
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var st = state.getOption.getOrElse(VelSt(-1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[VelHit]
+            evs.foreach { e =>
+              if (st.t1 >= 0 && e.us - st.t1 <= span) out += VelHit(uid, e.us)
+              st = VelSt(st.t2, e.us)
+            }
+            state.update(st)
+            out.iterator
+        }
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$tmp/out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_bursts"), min(col("t")).as("first_burst_us"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming SCD2 build: close the open interval when a version arrives
   // ---------------------------------------------------------------------
@@ -912,6 +961,7 @@ object StreamQueries {
     "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
     "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
     "q_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
+    "q_stream_velocity" -> ((s, dir) => streamVelocity(s, dir)),
     "q_stream_hopping" -> ((s, dir) => streamHopping(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
@@ -946,6 +996,9 @@ object StreamQueries {
     // arrival-counter versions over the time-ordered fixture == the
     // batch row_number windows, so the batch SCD2 oracle applies
     "q_stream_scd2" -> graft.operators.Analytics.oracleSql("q_scd2_intervals"),
+
+    // O(1) ring-buffer state over time-ordered batches == the batch lag
+    "q_stream_velocity" -> graft.operators.SequenceOps.oracleSql("q_velocity_flags"),
 
     // sliding windows: series-join reconstruction + the same watermark
     // emission gate as q_stream_window (end <= max event time - delay)
