@@ -65,6 +65,46 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(got == Map(1L -> 80L, 2L -> 83L, 3L -> -1L, 4L -> -1L), s"got $got")
   }
 
+  test("property: native exec == reference merge on random frames (nulls, ties, empty sides)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // generator: small keyspace + coarse times force heavy key/time ties
+    val rowGen = for {
+      k <- Gen.frequency(9 -> Gen.choose(-2L, 3L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))
+      t <- Gen.frequency(9 -> Gen.choose(0L, 8L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))
+    } yield (k, t)
+    val framesGen = for {
+      nl <- Gen.choose(0, 12)
+      nr <- Gen.choose(0, 12)
+      ls <- Gen.listOfN(nl, rowGen)
+      rs <- Gen.listOfN(nr, rowGen)
+    } yield (ls, rs)
+    // reference: brute-force SQL-null asof semantics
+    def reference(ls: Seq[(Option[Long], Option[Long], Long)],
+        rs: Seq[(Option[Long], Option[Long], Long)]): Map[Long, Long] =
+      ls.map { case (lk, lt, id) =>
+        val m = for {
+          k <- lk; t <- lt
+        } yield rs.filter(r => r._1.contains(k) && r._2.exists(_ <= t))
+          .sortBy(r => (r._2.get, r._3)).lastOption.map(_._3).getOrElse(-1L)
+        id -> m.getOrElse(-1L)
+      }.toMap
+    (1 to 60).foreach { i =>
+      framesGen(Gen.Parameters.default, Seed(i.toLong)).foreach { case (ls, rs) =>
+        val lrows = ls.zipWithIndex.map { case ((k, t), j) => (k, t, j.toLong) }
+        val rrows = rs.zipWithIndex.map { case ((k, t), j) => (k, t, 100L + j) }
+        val probes = lrows.toDF("user_id", "t_us", "event_id")
+        val hist = rrows.toDF("r_user", "r_t", "click_id")
+        val got = AsofJoinNative.asof(probes, hist,
+            "user_id", "r_user", "t_us", "r_t", "click_id")
+          .select("event_id", "click_id").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        assert(got == reference(lrows, rrows), s"seed $i: left=$lrows right=$rrows")
+      }
+    }
+  }
+
   test("GraftExtensions injects the asof planner strategy") {
     val strategies = org.apache.spark.sql.graftbridge.SqlBridge
       .plannerStrategiesOf(spark, new graft.functions.GraftExtensions()(_))
