@@ -20,8 +20,10 @@ case class FunnelProgress(user_id: Long, t1: Long, t2: Long, t3: Long)
 /** Per-user attribution state: the most recent click seen so far. */
 case class ClickSt(click_id: Long)
 
-/** Last N-1 event times per user — the velocity rule's ring buffer. */
-case class VelSt(t1: Long, t2: Long) // -1 unset; t2 is the most recent
+/** Last N-1 event times per user — the velocity rule's ring buffer
+  * (generic in SequenceOps.VelocityN, ascending order).
+  */
+case class VelSt(ts: Seq[Long])
 
 /** Burst trigger emitted as the qualifying event arrives. */
 case class VelHit(user_id: Long, t: Long)
@@ -585,6 +587,28 @@ object StreamQueries {
   def streamHopping(s: SparkSession, dir: String): DataFrame =
     windowedVolume(s, dir, e => window(col("ts"), "30 minutes", "10 minutes"))
 
+  /** The shared keyed-append-stream scaffold: fixture in, transform,
+    * parquet sink, blocking AvailableNow run, FIXED-SCHEMA readback —
+    * explicit schema because a run that emits zero rows leaves the sink
+    * with no part files, where schema inference throws instead of
+    * returning the empty frame the batch oracle produces.
+    */
+  private def runAppendStream(s: SparkSession, landing: String,
+      inSchema: StructType, outSchema: StructType)(
+      xform: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = xform(s.readStream.schema(inSchema).json(landing))
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(outSchema).parquet(s"$tmp/out")
+  }
+
   /** Streaming twin of q_velocity_flags — the deployment shape of the
     * fraud rule: per-user keyed state holds only the last N-1 = 2 event
     * times (O(1), bounded regardless of history), and a qualifying
@@ -598,33 +622,27 @@ object StreamQueries {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val span = graft.operators.SequenceOps.VelocitySpanUs
+    val keep = graft.operators.SequenceOps.VelocityN - 1
     val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
       funnelFixtureDf(s, dir))
-    val tmp = tempSink()
-    withShufflePartitions(s, StatefulShufflePartitions) {
-      val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
+    runAppendStream(s, landing, funnelSchema,
+      org.apache.spark.sql.Encoders.product[VelHit].schema) { src =>
+      src.as[FunnelEvent]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (uid: Long, it: Iterator[FunnelEvent], state: GroupState[VelSt]) =>
             val evs = it.toArray.sortBy(e => (e.us, e.event_id))
-            var st = state.getOption.getOrElse(VelSt(-1L, -1L))
+            var ts = state.getOption.map(_.ts).getOrElse(Seq.empty)
             val out = scala.collection.mutable.ArrayBuffer.empty[VelHit]
             evs.foreach { e =>
-              if (st.t1 >= 0 && e.us - st.t1 <= span) out += VelHit(uid, e.us)
-              st = VelSt(st.t2, e.us)
+              if (ts.length == keep && e.us - ts.head <= span)
+                out += VelHit(uid, e.us)
+              ts = (ts :+ e.us).takeRight(keep)
             }
-            state.update(st)
+            state.update(VelSt(ts))
             out.iterator
         }
-        .writeStream.format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.read.parquet(s"$tmp/out")
-      .groupBy("user_id")
+    }.groupBy("user_id")
       .agg(count(lit(1)).as("n_bursts"), min(col("t")).as("first_burst_us"))
   }
 
@@ -661,9 +679,9 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val landing = ensureJsonFixture(fixtureDir("scd2", dir, "events"),
       scd2FixtureDf(s, dir))
-    val tmp = tempSink()
-    withShufflePartitions(s, StatefulShufflePartitions) {
-      val q = s.readStream.schema(scd2Schema).json(landing).as[Scd2Event]
+    runAppendStream(s, landing, scd2Schema,
+      org.apache.spark.sql.Encoders.product[Scd2Row].schema) { src =>
+      src.as[Scd2Event]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (uid: Long, it: Iterator[Scd2Event], state: GroupState[Scd2St]) =>
@@ -682,15 +700,7 @@ object StreamQueries {
             state.update(cur)
             out.iterator
         }
-        .writeStream.format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.read.parquet(s"$tmp/out")
-      .groupBy("user_id", "version")
+    }.groupBy("user_id", "version")
       .agg(min(col("valid_from_us")).as("valid_from_us"),
         max(col("valid_to_us")).as("valid_to_us"),
         min(col("state")).as("state"), min(col("value")).as("value"))
@@ -859,9 +869,9 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val landing = ensureJsonFixture(fixtureDir("funnel", dir, "events"),
       funnelFixtureDf(s, dir))
-    val tmp = tempSink()
-    withShufflePartitions(s, StatefulShufflePartitions) {
-      val q = s.readStream.schema(funnelSchema).json(landing).as[FunnelEvent]
+    runAppendStream(s, landing, funnelSchema,
+      org.apache.spark.sql.Encoders.product[Attributed].schema) { src =>
+      src.as[FunnelEvent]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (uid: Long, it: Iterator[FunnelEvent], state: GroupState[ClickSt]) =>
@@ -876,15 +886,7 @@ object StreamQueries {
             state.update(ClickSt(last))
             out.iterator
         }
-        .writeStream.format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.read.parquet(s"$tmp/out")
-      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    }.select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
   // ---------------------------------------------------------------------
