@@ -587,6 +587,39 @@ object StreamQueries {
   def streamHopping(s: SparkSession, dir: String): DataFrame =
     windowedVolume(s, dir, e => window(col("ts"), "30 minutes", "10 minutes"))
 
+  /** Streaming sink INTO a date-partitioned table — the reference's
+    * fact sink is a date-partitioned BigQuery table (S5); the Spark
+    * shape is the file sink's native `partitionBy`, which keeps
+    * exactly-once semantics through the sink's commit log while laying
+    * rows out one directory per day. The query then reads one day back
+    * THROUGH partition pruning and aggregates it; the oracle computes
+    * the same day's aggregate from the source table, so dropped or
+    * double-written rows in any partition break the match. The probe
+    * day is derived relationally (min day + 14) in both engines.
+    */
+  def streamPartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
+      windowFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(windowSchema).json(landing)
+        .withColumn("day", expr("ms DIV 86400000"))
+        .writeStream.format("parquet")
+        .partitionBy("day")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sink = s.read.parquet(s"$tmp/out")
+    val probeDay = sink.agg((min(col("day")) + 14L).as("probe_day"))
+    sink.join(broadcast(probeDay), col("day") === col("probe_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(amount * 100) AS BIGINT)")).as("cents"))
+  }
+
   /** The shared keyed-append-stream scaffold: fixture in, transform,
     * parquet sink, blocking AvailableNow run, FIXED-SCHEMA readback —
     * explicit schema because a run that emits zero rows leaves the sink
@@ -964,6 +997,7 @@ object StreamQueries {
     "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
     "q_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "q_stream_velocity" -> ((s, dir) => streamVelocity(s, dir)),
+    "q_stream_part_sink" -> ((s, dir) => streamPartitionedSink(s, dir)),
     "q_stream_hopping" -> ((s, dir) => streamHopping(s, dir)),
     "q_stream_upsert" -> ((s, dir) => streamUpsert(s, dir)),
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
@@ -1001,6 +1035,15 @@ object StreamQueries {
 
     // O(1) ring-buffer state over time-ordered batches == the batch lag
     "q_stream_velocity" -> graft.operators.SequenceOps.oracleSql("q_velocity_flags"),
+
+    // day partitions must carry exactly the source's rows: the oracle
+    // aggregates the same derived probe day from the source table
+    "q_stream_part_sink" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, value FROM events),
+        | p AS (SELECT min(day) + 14 AS probe_day FROM e)
+        |SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM e, p WHERE day = probe_day""".stripMargin,
 
     // sliding windows: series-join reconstruction + the same watermark
     // emission gate as q_stream_window (end <= max event time - delay)
