@@ -220,7 +220,28 @@ object SequenceOps {
       .agg(count(lit(1)).as("n_bursts"), min(col("t")).as("first_burst_us"))
   }
 
+  /** Daily + weekly active users — the engagement tiles every dashboard
+    * leads with. DAU is one distinct per day; WAU avoids the
+    * count-distinct-over-sliding-window trap (a range frame cannot
+    * dedup) by EXPLODING each (user, active-day) into the 7 window days
+    * it contributes to, deduping, and counting — a bounded x7 expansion
+    * of the per-(user, day) frame, never of the event log. Integer
+    * epoch days throughout.
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = prep(events)
+      .select(col("user_id"), expr("t DIV 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_wau" -> ((s, dir) => dauWau(Tables.events(s, dir))),
     "q_velocity_flags" -> ((s, dir) => velocityFlags(Tables.events(s, dir))),
     "q_hopping_window" -> ((s, dir) => hoppingRevenue(Tables.events(s, dir))),
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
@@ -245,6 +266,15 @@ object SequenceOps {
       |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        | w AS (SELECT DISTINCT user_id, day + k AS wday
+        |   FROM ud CROSS JOIN generate_series(0, 6) s(k)),
+        | wau AS (SELECT wday AS day, count(*) AS wau FROM w GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin,
+
     "q_velocity_flags" ->
       s"""WITH l AS (
          | SELECT user_id,

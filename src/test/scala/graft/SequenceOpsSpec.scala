@@ -57,6 +57,16 @@ class SequenceOpsSpec extends AnyFunSuite {
       s"${r.getString(0)} sums to ${r.getDouble(1)}"))
   }
 
+  test("WAU dominates DAU and is bounded by the user population") {
+    val rows = SequenceOps.dauWau(events).collect()
+    assert(rows.nonEmpty)
+    val nUsers = events.select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"day ${r.getLong(0)}: wau < dau")
+      assert(r.getLong(2) <= nUsers)
+    }
+  }
+
   test("velocity flags trigger on exactly N-in-span, boundary inclusive") {
     import spark.implicits._
     val h = SequenceOps.VelocitySpanUs
