@@ -220,6 +220,12 @@ object Generators {
         "customer_id" -> "customer_id",
         "first_name" -> pick("r_fn", firstNames),
         "last_name" -> pick("r_ln", lastNames),
+        // lowercase twins drawn from pre-lowered literal pools: the names
+        // are fixed ASCII literals, so CASE over lowered constants equals
+        // lower(first_name) — without the per-row ICU case mapping that
+        // serializes task threads in Spark 4 (see is_recurring note).
+        "fn_lower" -> pick("r_fn", firstNames.map(_.toLowerCase)),
+        "ln_lower" -> pick("r_ln", lastNames.map(_.toLowerCase)),
         "r_ph1" -> "r_ph1", "r_ph2" -> "r_ph2",
         // 18-70 years (in days) before BASE_DATE, uniform
         "age_days" -> "(6570 + r_dob % 18981)",
@@ -239,7 +245,7 @@ object Generators {
         "customer_id" -> "customer_id",
         "first_name" -> "first_name",
         "last_name" -> "last_name",
-        "email" -> "(lower(first_name) || '.' || lower(last_name) || '@example.com')",
+        "email" -> "(fn_lower || '.' || ln_lower || '@example.com')",
         // +91 mobile: first digit 6-9, then 9 uniform digits
         "phone" -> ("('+91-' || CAST(6 + r_ph1 % 4 AS STRING) || " +
           "lpad(CAST(r_ph2 % 1000000000 AS STRING), 9, '0'))"),
@@ -298,8 +304,18 @@ object Generators {
       "account_type" -> "account_type",
       "open_date_id" -> "open_date_id",
       "close_date_id" -> "close_date_id",
-      "is_recurring" -> ("((lower(account_type) LIKE '%credit card%' OR " +
-        "lower(account_type) LIKE '%debit card%') AND r_rec < 200000000)"),
+      // The reference tests `'credit card' in account_type.lower()`
+      // (generate_fact_transactions_data.py:87) — but account_type here is
+      // drawn from segmentTypes' fixed literals, every card type carrying
+      // the exact casing 'Credit Card'/'Debit Card', so the case-SENSITIVE
+      // LIKE is identical on this value set. The lower() form cost r6
+      // dearly: Spark 4 routes lower() through ICU full case mapping
+      // (CollationSupport.Lower.execBinaryICU), whose shared static caches
+      // serialize 32 task threads — thread dumps show every fact-audit
+      // task RUNNABLE inside execBinaryICU with task_run 10x task_cpu
+      // (the driver's 343 task-run-s vs ~26 CPU-s on q_gen_constraints).
+      "is_recurring" -> ("((account_type LIKE '%Credit Card%' OR " +
+        "account_type LIKE '%Debit Card%') AND r_rec < 200000000)"),
       "r_chan" -> "r_chan", "r_amt" -> "r_amt", "r_tax" -> "r_tax",
       "r_discg" -> "r_discg", "r_disc" -> "r_disc", "r_pg" -> "r_pg",
       "r_dev" -> "r_dev", "r_riskg" -> "r_riskg", "r_risk" -> "r_risk",
@@ -490,7 +506,20 @@ object Generators {
       // accounts audit and the join inside the fact generator (Spark's
       // cache manager matches the identical logical sub-plan). Lifecycle
       // caller-owned: Bench/Verify clearCache() per query.
-      accounts(s, dir).cache().createOrReplaceTempView("gen_accounts_v")
+      //
+      // The cache MUST be materialized by its own action BEFORE the
+      // cross-joined audit launches: the audit's two aggregate subtrees
+      // (accounts audit + the fact generator's join on the same view)
+      // otherwise race to compute the identical cached partitions, and
+      // concurrent computers of one RDD block serialize on the block's
+      // write lock — the r6 driver run spent 343 task-run-seconds against
+      // ~26 CPU-seconds on exactly that (19.7s wall, all lock wait). One
+      // count() fills every InMemoryRelation batch (caching stores full
+      // rows regardless of downstream pruning), so the audit job reads
+      // warm blocks lock-free.
+      val acct = accounts(s, dir).cache()
+      acct.count()
+      acct.createOrReplaceTempView("gen_accounts_v")
       factTransactions(s, dir).createOrReplaceTempView("gen_fact_v")
       s.sql(s"""SELECT * FROM (${acctAuditSql("gen_accounts_v")}) a
                |CROSS JOIN (${factAuditSql("gen_fact_v")}) f""".stripMargin)

@@ -39,22 +39,61 @@ object AuditOps {
       .select(lit(name).as("edge"),
         col("fact_rows"), col("orphan_rows"), col("orphan_keys"))
 
-  /** The audit over every FK edge in the star schema. */
+  /** The audit over every FK edge in the star schema.
+    *
+    * The three lineitem edges are FUSED into one pass: a single scan of
+    * the fact table flows through three chained broadcast left-outer
+    * probes (part, supplier, orders key sets) into ONE aggregate that
+    * emits all three edges' counts, then `stack` pivots the single row
+    * back into the three edge rows. r6 ran the edges independently —
+    * three full lineitem scans and seven sequential job launches, 11.1s
+    * wall for 10.7 task-seconds; the fused shape pays one scan and one
+    * job for the entire fact side. The three distinct-counts share one
+    * Expand (4 projections of a 6-column row), still map-side partial.
+    * At 100 TB the part/supplier probes stay broadcasts; the orders key
+    * set outgrows a broadcast and that edge alone would move to a
+    * shuffle join behind a bloom prefilter — the small-dim edges below
+    * are unaffected.
+    */
   def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, fact: DataFrame, fk: String,
-             dim: DataFrame, pk: String): DataFrame =
-      fkEdge(name, fact, fk, dim, pk)
-    val li = Tables.lineitem(spark, dir); val ord = Tables.orders(spark, dir)
+    val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir); val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
+
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey").cast("long").as("k_part"),
+      col("l_suppkey").cast("long").as("k_supp"),
+      col("l_orderkey").cast("long").as("k_ord"))
+    val probed = li
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").cast("long").as("pk_part"))),
+        col("k_part") === col("pk_part"), "left_outer")
+      .join(broadcast(supp.select(col("s_suppkey").cast("long").as("pk_supp"))),
+        col("k_supp") === col("pk_supp"), "left_outer")
+      .join(broadcast(ord.select(col("o_orderkey").cast("long").as("pk_ord"))),
+        col("k_ord") === col("pk_ord"), "left_outer")
+    val fused = probed.agg(
+      count(lit(1)).as("n"),
+      count(when(col("pk_part").isNull, 1)).as("orph_part"),
+      count_distinct(when(col("pk_part").isNull, col("k_part"))).as("keys_part"),
+      count(when(col("pk_supp").isNull, 1)).as("orph_supp"),
+      count_distinct(when(col("pk_supp").isNull, col("k_supp"))).as("keys_supp"),
+      count(when(col("pk_ord").isNull, 1)).as("orph_ord"),
+      count_distinct(when(col("pk_ord").isNull, col("k_ord"))).as("keys_ord"))
+    val liEdges = fused.selectExpr(
+      """stack(3,
+        |  'lineitem.partkey->part',      n, orph_part, keys_part,
+        |  'lineitem.suppkey->supplier',  n, orph_supp, keys_supp,
+        |  'lineitem.orderkey->orders',   n, orph_ord,  keys_ord)
+        |AS (edge, fact_rows, orphan_rows, orphan_keys)""".stripMargin)
+
     Seq(
-      edge("lineitem.partkey->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
-      edge("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-      edge("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
-      edge("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
-      edge("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
-      edge("supplier.nationkey->nation", supp, "s_nationkey", nat, "n_nationkey"),
-      edge("nation.regionkey->region", nat, "n_regionkey", Tables.region(spark, dir), "r_regionkey")
+      liEdges,
+      fkEdge("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      fkEdge("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      fkEdge("supplier.nationkey->nation", supp, "s_nationkey", nat, "n_nationkey"),
+      fkEdge("nation.regionkey->region", nat, "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey")
     ).reduce(_ unionByName _)
   }
 
