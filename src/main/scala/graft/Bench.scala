@@ -300,6 +300,22 @@ object Bench {
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), detail)
+    // Append the full record to BENCH_HISTORY.jsonl too: BENCH.json is
+    // overwritten every run and the driver's tail capture front-truncates
+    // the detail line, so r5's per-query walls were unrecoverable for
+    // round-over-round diffs (VERDICT r6 ask #7). The history file is
+    // committed to git, so every run's complete per-query map survives —
+    // including the driver's own runs, which land in the working tree and
+    // get committed at the next round's first commit.
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        s"""{"ts_ms":${System.currentTimeMillis()},${detail.tail}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_HISTORY.jsonl append failed: $e")
+    }
     // stdout (unprefixed: build.sbt routes forked run output straight
     // through); compact line LAST so a tail capture always gets it whole.
     println(detail)

@@ -24,7 +24,14 @@ import graft.Tables
   */
 object SequenceOps {
 
-  /** events projected to the integer-time working set. */
+  /** events projected to the integer-time working set.
+    *
+    * POSITIVE-MICROS CONTRACT: every day/week bucketing downstream pairs
+    * Spark `DIV` (truncates toward zero) with DuckDB `//` (floors) —
+    * identical only for non-negative operands. The generated event
+    * timestamps are all post-1970 so the contract holds; pre-epoch data
+    * would silently diverge one bucket on every negative timestamp.
+    */
   private def prep(events: DataFrame): DataFrame =
     events.select(col("user_id"), col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("t"), col("value"))
@@ -38,31 +45,56 @@ object SequenceOps {
     * never exceeds one timestamp per stage, the streaming-friendly
     * formulation).
     */
-  def funnel(events: DataFrame): DataFrame = {
-    val (s1, s2, s3) = stageFrames(events)
-    def stage(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(name).as("stage"), col("users"))
-    stage(s1, "1_view").unionByName(stage(s2, "2_click"))
-      .unionByName(stage(s3, "3_purchase"))
-  }
+  def funnel(events: DataFrame): DataFrame =
+    stageFrame(events)
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .selectExpr(
+        """stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)
+          |AS (stage, users)""".stripMargin)
 
-  /** The shared three-stage qualifying-min chain (s1 -> s2 -> s3, each
-    * carrying the first-view time through): funnel counts the frames,
-    * conversionLag consumes s3's (t1, t3) — ONE definition of the
-    * qualification semantics (and one CTE block on the oracle side).
+  /** The shared per-user stage-time frame (t1 = first view, t2 = first
+    * qualifying click, t3 = first qualifying purchase; later stages null
+    * when unreached): funnel counts the non-null columns, conversionLag
+    * consumes (t1, t3) — ONE definition of the qualification semantics
+    * (and one CTE block on the oracle side).
+    *
+    * ONE scan + ONE shuffle: a running-min window ordered by
+    * (t, stage_rank, event_id) computes "first view at-or-before me"
+    * (v1) and "first qualifying click at-or-before me" (c2) per row, and
+    * one per-user aggregate (reusing the window's hash partitioning —
+    * no second exchange) takes the three conditional mins. The r6 shape
+    * chained three groupBy+join stages whose union re-computed the
+    * chain per branch: 6 event scans and 6 exchanges in the funnel plan.
+    *
+    * The stage_rank tie-break (view < click < purchase at equal t) is
+    * what makes the running window equal the join-on-global-min
+    * semantics INCLUDING timestamp ties: the batch qualification is
+    * inclusive (click qualifies when t_click >= t1), so at equal t the
+    * earlier stage must already be visible to the later one — ranking
+    * stages, not event_ids, guarantees that; among same-stage ties only
+    * the min time matters, so their relative order is irrelevant.
     */
-  private def stageFrames(events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val e = prep(events)
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("t")).as("t1"))
-    val s2 = e.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("t") >= col("t1"))
-      .groupBy("user_id").agg(min(col("t")).as("t2"), min(col("t1")).as("t1"))
-    val s3 = e.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("t") >= col("t2"))
-      .groupBy("user_id").agg(min(col("t")).as("t3"), min(col("t1")).as("t1"))
-    (s1, s2, s3)
+  private def stageFrame(events: DataFrame): DataFrame = {
+    val stageRank = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1)
+      .when(col("event_type") === "purchase", 2).otherwise(3)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), stageRank, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prep(events)
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("c2",
+        min(when(col("event_type") === "click" && col("t") >= col("v1"),
+          col("t"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("t"))).as("t1"),
+        min(when(col("event_type") === "click" && col("t") >= col("v1"),
+          col("t"))).as("t2"),
+        min(when(col("event_type") === "purchase" && col("t") >= col("c2"),
+          col("t"))).as("t3"))
   }
 
   /** Weekly cohort retention: cohort = the user's first `signup` week
@@ -121,6 +153,11 @@ object SequenceOps {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy("user_id")
       .agg(sum(col("dur")).as("wtot"), sum(col("cents") * col("dur")).as("wsum"))
+      // zero-span guard: a user whose >=2 events all share one microsecond
+      // has wtot = 0, where Spark's 0/0 yields NaN but DuckDB's yields
+      // NULL — filter the degenerate group on BOTH sides (oracle: HAVING)
+      // instead of hashing an engine-dependent division artifact.
+      .filter(col("wtot") > 0)
       .select(col("user_id"),
         round(col("wsum").cast("double") / col("wtot").cast("double") / 100.0, 6)
           .as("twap"))
@@ -157,8 +194,8 @@ object SequenceOps {
     * converting user), not the event log.
     */
   def conversionLag(events: DataFrame): DataFrame = {
-    val (_, _, s3) = stageFrames(events)
-    val lags = s3.select((col("t3") - col("t1")).as("lag_us"))
+    val lags = stageFrame(events).filter(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("lag_us"))
     lags.withColumn("rn", row_number().over(Window.orderBy(col("lag_us").asc)))
       .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
       .agg(max(col("n")).as("n_converted"),
@@ -365,6 +402,7 @@ object SequenceOps {
         |SELECT user_id,
         |  round(CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0, 6)
         |    AS twap
-        |FROM e WHERE dur IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM e WHERE dur IS NOT NULL GROUP BY 1
+        |HAVING sum(dur) > 0""".stripMargin
   )
 }

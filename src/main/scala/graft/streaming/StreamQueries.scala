@@ -11,8 +11,16 @@ import graft.Tables
 /** Incoming event for the streaming funnel (see streamFunnel). */
 case class FunnelEvent(user_id: Long, event_id: Long, event_type: String, us: Long)
 
-/** Per-user funnel progress: first qualifying stage times in micros, -1 unset. */
-case class FunnelSt(t1: Long, t2: Long, t3: Long)
+/** Per-user funnel progress: first qualifying stage times in micros, -1
+  * unset. maxClick/maxPurchase track the LATEST event time seen per later
+  * stage regardless of qualification — with time-ordered micro-batches
+  * the only event a later-set threshold can retro-qualify is a timestamp
+  * TIE at a batch boundary (an equal-time click sorted into the batch
+  * before its view), and a tie qualifies with value == the threshold
+  * itself, so the max time is sufficient state (O(1), no buffering).
+  */
+case class FunnelSt(t1: Long, t2: Long, t3: Long,
+    maxClick: Long = -1L, maxPurchase: Long = -1L)
 
 /** Batch-emitted funnel snapshot. */
 case class FunnelProgress(user_id: Long, t1: Long, t2: Long, t3: Long)
@@ -353,7 +361,15 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(s"$tmp/out")
+    // Explicit readback schema (the runAppendStream discipline): a run
+    // that emits zero rows — e.g. no window cleared the watermark on a
+    // tiny dataset — leaves no part files, where schema inference throws
+    // instead of returning the empty frame the batch oracle produces.
+    s.read.schema(StructType(Seq(
+        StructField("window_start_ms", LongType),
+        StructField("n_txns", LongType),
+        StructField("volume", DoubleType))))
+      .parquet(s"$tmp/out")
   }
 
   // ---------------------------------------------------------------------
@@ -613,7 +629,14 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    val sink = s.read.parquet(s"$tmp/out")
+    // Explicit readback schema incl. the partition column (the
+    // runAppendStream discipline): an empty sink has no partition dirs
+    // and schema inference throws instead of returning the empty frame.
+    val sink = s.read.schema(StructType(Seq(
+        StructField("ms", LongType),
+        StructField("amount", DoubleType),
+        StructField("day", LongType))))
+      .parquet(s"$tmp/out")
     val probeDay = sink.agg((min(col("day")) + 14L).as("probe_day"))
     sink.join(broadcast(probeDay), col("day") === col("probe_day"))
       .agg(count(lit(1)).as("n_rows"),
@@ -831,10 +854,16 @@ object StreamQueries {
     * only event times do, exactly the batch semantics. Across batches the
     * fold is correct because the fixture is one file in ascending
     * event-time order: micro-batches are time-ordered, so a qualifying
-    * stage-k event can never sit in an earlier batch than the stage-(k-1)
-    * event it must follow. Times stay exact integer MICROS end-to-end —
-    * the batch oracle compares qualification with `>=` on the same
-    * integers, so no truncation tie can diverge.
+    * stage-k event STRICTLY LATER than its stage-(k-1) event can never
+    * sit in an earlier batch. The one case time-ordering does not cover
+    * is a timestamp TIE split by a batch boundary (the fixture sorts
+    * equal-time rows by event_id, so an equal-time click can precede its
+    * view): state tracks the max click/purchase time seen regardless of
+    * qualification, and a later-set threshold equal to that max
+    * retro-qualifies at the threshold value — the batch `>=` semantics,
+    * restored with O(1) state. Times stay exact integer MICROS
+    * end-to-end — the batch oracle compares qualification with `>=` on
+    * the same integers, so no truncation tie can diverge.
     */
   /** Restartable funnel stream head (the StreamState.startCustomerState
     * pattern): the spec drives it across two runs against one
@@ -857,9 +886,26 @@ object StreamQueries {
             }
             if (m == Long.MaxValue) -1L else m
           }
+          def maxOf(tpe: String, cur: Long): Long = {
+            var m = cur
+            evs.foreach(e => if (e.event_type == tpe && e.us > m) m = e.us)
+            m
+          }
+          // Stage k qualifies from this batch (minAtLeast) OR from a
+          // prior-batch timestamp tie: time-ordered batches mean a
+          // prior-batch event time can only be <= the threshold, so the
+          // max-seen time EQUALING the freshly set threshold is exactly
+          // the retro-qualifying tie, at value == threshold.
+          def qualify(fromBatch: Long, priorMax: Long, lo: Long): Long =
+            if (priorMax == lo) lo
+            else fromBatch
           if (st.t1 < 0) st = st.copy(t1 = minAtLeast("view", Long.MinValue))
-          if (st.t1 >= 0 && st.t2 < 0) st = st.copy(t2 = minAtLeast("click", st.t1))
-          if (st.t2 >= 0 && st.t3 < 0) st = st.copy(t3 = minAtLeast("purchase", st.t2))
+          if (st.t1 >= 0 && st.t2 < 0)
+            st = st.copy(t2 = qualify(minAtLeast("click", st.t1), st.maxClick, st.t1))
+          if (st.t2 >= 0 && st.t3 < 0)
+            st = st.copy(t3 = qualify(minAtLeast("purchase", st.t2), st.maxPurchase, st.t2))
+          st = st.copy(maxClick = maxOf("click", st.maxClick),
+            maxPurchase = maxOf("purchase", st.maxPurchase))
           state.update(st)
           Iterator(FunnelProgress(uid, st.t1, st.t2, st.t3))
       }

@@ -55,4 +55,39 @@ class StreamFunnelSpec extends AnyFunSuite {
     // u3: click@50 (before view@100) rejected; click@150 qualifies post-restart
     assert(fin(3L) == ((100L, 150L, 160L)), s"u3: ${fin(3L)}")
   }
+
+  test("equal-time event split into the batch BEFORE its threshold still qualifies") {
+    // The fixture sorts equal-time rows by event_id, so a click with the
+    // same microsecond as the first view can land in an earlier micro-
+    // batch. Batch semantics qualify it (t >= t1 is inclusive); the
+    // state's max-seen click/purchase times retro-qualify it at the
+    // threshold value when the view arrives.
+    val tmp = Files.createTempDirectory("graft_funnel_tie_").toFile.getAbsolutePath
+    // batch 1: u7's click AND purchase at us=1000, before the view arrives
+    writeFile(s"$tmp/landing", "b1.json", Seq(
+      ev(7, 70, "click", 1000), ev(7, 71, "purchase", 1000),
+      // u8 control: strictly-earlier click must NOT retro-qualify
+      ev(8, 80, "click", 999)))
+    val q1 = StreamQueries.startFunnel(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
+    q1.awaitTermination()
+    // batch 2: the views arrive at the same microsecond
+    writeFile(s"$tmp/landing", "b2.json", Seq(
+      ev(7, 72, "view", 1000),
+      ev(8, 81, "view", 1000)))
+    val q2 = StreamQueries.startFunnel(spark, s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
+    q2.awaitTermination()
+
+    val fin = spark.read.parquet(s"$tmp/out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("t1").as("t1"),
+        org.apache.spark.sql.functions.max("t2").as("t2"),
+        org.apache.spark.sql.functions.max("t3").as("t3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // u7: view@1000 sets t1; the prior-batch click@1000 retro-qualifies
+    // t2=1000, which retro-qualifies the prior-batch purchase@1000 as t3
+    assert(fin(7L) == ((1000L, 1000L, 1000L)), s"u7 tie must qualify: ${fin(7L)}")
+    // u8: click@999 < view@1000 — no tie, no qualification
+    assert(fin(8L) == ((1000L, -1L, -1L)), s"u8 must not qualify: ${fin(8L)}")
+  }
 }
