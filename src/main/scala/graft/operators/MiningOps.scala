@@ -38,6 +38,79 @@ object MiningOps {
       .agg(count(lit(1)).as("customers"))
   }
 
+  /** Range-bucket count for the distributed-selection RFM variant. */
+  val RfmCutBuckets = 256
+
+  /** RFM segmentation WITHOUT the global ntile window — the 100 TB swap
+    * rfmSegments' scaladoc promises. Cut points (the values at global
+    * ranks ceil(kN/4), k = 1..3, under the (v, cust) total order) are
+    * found by EXACT distributed selection: range-bucket the metric
+    * values (256 buckets), aggregate per-bucket counts, prefix-sum them
+    * with a tiny bucket×bucket theta-join (≤256² rows — no window at
+    * all), locate the bucket holding each target rank, then take the
+    * local order statistic with a row_number PARTITIONED by
+    * (metric, cut) — the plan's only windows run over single buckets,
+    * never the corpus. This beats the approx-percentile sketch the
+    * in-code note first suggested: same no-global-sort bound, but the
+    * cut points are exact, so the DuckDB oracle pins them bit-for-bit
+    * (sketches are not cross-engine reproducible).
+    *
+    * Tile semantics differ from ntile at TIES by design (sketch/cut
+    * segmentation puts equal values in one tile; ntile splits them by
+    * cust to equalize tile sizes), so this is a SIBLING query row with
+    * its own oracle, not a drop-in ntile replacement: tile(v) =
+    * 1 + #{k : v > cut_k}.
+    */
+  def rfmSegmentsCuts(orders: DataFrame): DataFrame = {
+    val b = RfmCutBuckets
+    val m = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(max(expr("CAST(o_orderdate AS DATE)")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
+      .select(col("cust"), datediff(col("last_day"), lit("1970-01-01")).as("r"),
+        col("f"), col("m"))
+    val mf = m.selectExpr("cust",
+      """stack(3, 'r', CAST(r AS BIGINT), 'f', CAST(f AS BIGINT),
+        |         'm', CAST(m AS BIGINT)) AS (metric, v)""".stripMargin)
+    val st = mf.groupBy("metric")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+    // bucket ids are monotone in v and tie-stable (equal v ⇒ equal bkt),
+    // so earlier buckets hold strictly smaller values — the invariant
+    // the rank arithmetic below rides on
+    val mb = mf.join(broadcast(st), "metric")
+      .withColumn("bkt", expr(s"((v - mn) * $b) DIV (mx - mn + 1)"))
+      .select(col("metric"), col("cust"), col("v"), col("bkt"))
+    val bc = mb.groupBy("metric", "bkt").agg(count(lit(1)).as("cnt"))
+    val cum = bc.as("a").join(bc.as("b"),
+        col("a.metric") === col("b.metric") && col("b.bkt") <= col("a.bkt"))
+      .groupBy(col("a.metric").as("metric"), col("a.bkt").as("bkt"))
+      .agg(sum(col("b.cnt")).as("cum"), max(col("a.cnt")).as("cnt"))
+    val ranks = st.selectExpr("metric", "n", "explode(array(1, 2, 3)) AS k")
+      .withColumn("rk", expr("(k * n + 3) DIV 4"))
+    // the bucket containing global rank rk, and the rank's offset in it
+    val cb = ranks.join(cum, "metric").filter(col("cum") >= col("rk"))
+      .groupBy("metric", "k", "rk")
+      .agg(min_by(struct(col("bkt"), col("cum"), col("cnt")), col("bkt")).as("s"))
+      .select(col("metric"), col("k"),
+        col("s.bkt").as("bkt"),
+        (col("rk") - (col("s.cum") - col("s.cnt"))).as("local_rk"))
+    val w = Window.partitionBy(col("metric"), col("k"))
+      .orderBy(col("v").asc, col("cust").asc)
+    val cuts = cb.join(mb, Seq("metric", "bkt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("local_rk"))
+      .select(col("metric"), col("v").as("cut"))
+    val tiles = mf.join(broadcast(cuts), "metric")
+      .groupBy("cust", "metric")
+      .agg((lit(1) + sum(when(col("v") > col("cut"), 1).otherwise(0))).as("tile"))
+    tiles.groupBy("cust")
+      .agg((max(when(col("metric") === "r", col("tile"))) * 100 +
+        max(when(col("metric") === "f", col("tile"))) * 10 +
+        max(when(col("metric") === "m", col("tile")))).cast("long").as("rfm_code"))
+      .groupBy("rfm_code").agg(count(lit(1)).as("customers"))
+  }
+
   /** Market-basket co-purchase: brand pairs appearing on the same order.
     * Reduce FIRST, pair SECOND: one broadcast join tags each line's
     * brand, a distinct collapses to (order, brand) — the frame the pair
@@ -70,6 +143,7 @@ object MiningOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, dir) => rfmSegments(Tables.orders(s, dir))),
+    "q_rfm_cuts" -> ((s, dir) => rfmSegmentsCuts(Tables.orders(s, dir))),
     "q_copurchase" -> ((s, dir) => coPurchase(s, dir))
   )
 
@@ -89,6 +163,36 @@ object MiningOps {
         |SELECT r_q * 100 + f_q * 10 + m_q AS rfm_code,
         |       count(*) AS customers
         |FROM q GROUP BY 1""".stripMargin,
+
+    // the oracle reproduces the cut ranks with a plain window (DuckDB at
+    // sf0.01 — no scale constraint); the ENGINE is what must avoid it
+    "q_rfm_cuts" ->
+      """WITH m AS (SELECT o_custkey AS cust,
+        |   CAST(date_diff('day', DATE '1970-01-01',
+        |     CAST(max(o_orderdate) AS DATE)) AS INT) AS r,
+        |   count(*) AS f,
+        |   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+        |  FROM orders GROUP BY 1),
+        |mf AS (SELECT cust, 'r' AS metric, CAST(r AS BIGINT) AS v FROM m
+        |  UNION ALL SELECT cust, 'f', CAST(f AS BIGINT) FROM m
+        |  UNION ALL SELECT cust, 'm', CAST(m AS BIGINT) FROM m),
+        |st AS (SELECT metric, count(*) AS n FROM mf GROUP BY 1),
+        |rk AS (SELECT metric, k, (k * n + 3) // 4 AS rk
+        |  FROM st CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+        |ordered AS (SELECT metric, v,
+        |   row_number() OVER (PARTITION BY metric ORDER BY v, cust) AS rn
+        |  FROM mf),
+        |cuts AS (SELECT r.metric, o.v AS cut
+        |  FROM rk r JOIN ordered o ON o.metric = r.metric AND o.rn = r.rk),
+        |tiles AS (SELECT cust, metric,
+        |   1 + sum(CASE WHEN v > cut THEN 1 ELSE 0 END) AS tile
+        |  FROM mf JOIN cuts USING (metric) GROUP BY 1, 2),
+        |codes AS (SELECT cust,
+        |   CAST(max(CASE WHEN metric = 'r' THEN tile END) * 100 +
+        |        max(CASE WHEN metric = 'f' THEN tile END) * 10 +
+        |        max(CASE WHEN metric = 'm' THEN tile END) AS BIGINT) AS rfm_code
+        |  FROM tiles GROUP BY 1)
+        |SELECT rfm_code, count(*) AS customers FROM codes GROUP BY 1""".stripMargin,
 
     "q_copurchase" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,

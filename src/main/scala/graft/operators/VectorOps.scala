@@ -450,14 +450,49 @@ object VectorOps {
     */
   val SemDedupMinCosine = 0.4
 
-  def semDedupDrops(emb: DataFrame): DataFrame = {
+  /** Hot-cell cap: a cell larger than this is split by ceil(log2(n/cap))
+    * extra SRP sign bits before the within-cell self-join, so per-cell
+    * pair work is bounded by ~cap² however skewed the cell distribution
+    * gets — THE scale guard for the one quadratic arm in this family
+    * (a 100 TB corpus with a hot "empty document" cell would otherwise
+    * hand one task a trillion-pair self-join). Pairs that straddle
+    * sub-buckets are forgone — the standard SemDeDup engineering trade
+    * (recall inside a hot cell for boundedness), and the same dial as
+    * lshBuckets' one-bit-per-doubling occupancy rule. The default sits
+    * far above any bench-SF cell size (2000 vectors total at sf0.1), so
+    * the oracle-matched q_emb_semdedup output is byte-identical with the
+    * cap armed; VectorOpsSpec drives the cap path directly with a tiny
+    * threshold and pins the subset relation to the uncapped answer.
+    */
+  val SemDedupHotCellCap = 1024
+  private val SemDedupMaxSubBits = 16
+
+  def semDedupDrops(emb: DataFrame,
+      hotCellCap: Int = SemDedupHotCellCap): DataFrame = {
     val vecs = normalized(emb, withLabel = false).cache()
     val member = assignTo(vecs, lloydCentroids(vecs))
       .select(col("vec_id"), col("centroid_id"))
       .join(vecs, "vec_id")
       .select(col("centroid_id"), col("vec_id"), col("vn"))
-    member.as("a").join(member.as("b"),
+    // one K-row aggregate broadcast back: cells at/below the cap keep
+    // sub_key 0 (the common case — NO extra work on a balanced corpus);
+    // hot cells mask just enough SRP bits to get expected sub-cells
+    // under the cap.
+    val sizes = member.groupBy("centroid_id").agg(count(lit(1)).as("cell_n"))
+    val keyed = member.join(broadcast(sizes), "centroid_id")
+      .withColumn("sub_bits",
+        when(col("cell_n") > hotCellCap,
+          least(ceil(log2(col("cell_n").cast("double") / hotCellCap)),
+            lit(SemDedupMaxSubBits.toLong)))
+          .otherwise(0L).cast("int"))
+      .withColumn("srp", graft.functions.SrpBucketsExpression.buckets(
+        col("vn"), 1, SemDedupMaxSubBits, Dim))
+      .withColumn("sub_key",
+        expr("element_at(srp, 1) & (shiftleft(CAST(1 AS BIGINT), sub_bits) - 1)"))
+      .select(col("centroid_id"), col("sub_key"), col("vec_id"), col("vn"))
+    keyed.as("a").join(keyed.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.sub_key") === col("b.sub_key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.centroid_id").as("centroid_id"),
         col("b.vec_id").as("drop_vec_id"),

@@ -22,6 +22,27 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("cut-point RFM partitions all customers with no unpartitioned window in the plan") {
+    val df = MiningOps.rfmSegmentsCuts(Tables.orders(spark, dir))
+    // the whole point of the variant: every Window node must carry a
+    // non-empty partitionSpec (the global-ntile plan it replaces moves
+    // the entire customer frame to ONE task)
+    val globalWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "found an unpartitioned window")
+    val rows = df.collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(total == nCust, "codes must partition the customer set")
+    rows.foreach { r =>
+      val code = r.getLong(0)
+      val (rq, fq, mq) = (code / 100, code / 10 % 10, code % 10)
+      assert(rq >= 1 && rq <= 4 && fq >= 1 && fq <= 4 && mq >= 1 && mq <= 4, s"code $code")
+    }
+  }
+
   test("co-purchase pairs are normalized, distinct brands, and bounded by order count") {
     val rows = MiningOps.coPurchase(spark, dir).collect()
     assert(rows.nonEmpty)

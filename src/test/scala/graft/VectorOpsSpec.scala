@@ -39,6 +39,28 @@ class VectorOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedup hot-cell cap: sub-bucketing bounds pair work, drops stay a subset") {
+    val emb = Tables.embeddings(spark, dir)
+    // the skew case the cap exists for: EVERY cell is "hot" at cap=4, so
+    // every cell sub-buckets (ceil(log2(n/4)) SRP bits); with the default
+    // cap no bench-SF cell is hot, so the paths must agree exactly
+    val uncapped = VectorOps.semDedupDrops(emb).cache()
+    val capped = VectorOps.semDedupDrops(emb, hotCellCap = 4).cache()
+    val defaulted = VectorOps.semDedupDrops(emb, VectorOps.SemDedupHotCellCap)
+    try {
+      // capped pairs are generated within (cell, sub_key) — a strict
+      // refinement of within-cell, so the drop set can only shrink
+      val extra = capped.select("centroid_id", "drop_vec_id")
+        .exceptAll(uncapped.select("centroid_id", "drop_vec_id")).count()
+      assert(extra == 0, "capped run invented a drop outside the uncapped set")
+      assert(capped.count() <= uncapped.count())
+      // default cap unhit at this SF: byte-identical answer
+      assert(defaulted.exceptAll(uncapped).count() == 0 &&
+        uncapped.exceptAll(defaulted).count() == 0,
+        "default cap must not change the bench-SF answer")
+    } finally spark.catalog.clearCache()
+  }
+
   test("lshBuckets honors the bits dial: bucket ids stay under 2^bits") {
     val emb = Tables.embeddings(spark, dir)
     val narrow = VectorOps.lshBuckets(emb, bits = 4)
