@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Generators
 import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
-import graft.operators.{Analytics, AsofJoin, Audio, AuditOps, Bmp, DedupOps, Governance, LayoutOps, Multimodal, Phash, MiningOps, SampleOps, SequenceOps, ShuffleOps, StringSimOps, TextOps, TypedAgg, VectorOps}
+import graft.operators.{Analytics, AsofJoin, Audio, AuditOps, Bmp, DedupOps, Governance, GraphOps, LayoutOps, MixOps, Multimodal, Phash, MiningOps, SampleOps, SequenceOps, ShuffleOps, StringSimOps, TextOps, TypedAgg, VectorOps}
 import graft.streaming.{StreamAsof, StreamIngest, StreamQueries, StreamTws}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,7 +53,8 @@ object SparkEntry {
     Analytics.queries ++ AsofJoin.queries ++ AuditOps.queries ++ Governance.queries ++ LayoutOps.queries ++ MiningOps.queries ++ SampleOps.queries ++ SequenceOps.queries ++ StringSimOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ Multimodal.queries ++ Phash.queries ++ Audio.queries ++ Bmp.queries ++ AvroWire.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ StreamTws.queries ++ DimLoader.queries ++
-      Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries
+      Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries ++
+      MixOps.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -62,5 +63,6 @@ object SparkEntry {
     Analytics.oracleSql ++ AsofJoin.oracleSql ++ AuditOps.oracleSql ++ Governance.oracleSql ++ LayoutOps.oracleSql ++ MiningOps.oracleSql ++ SampleOps.oracleSql ++ SequenceOps.oracleSql ++ StringSimOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ Phash.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ StreamTws.oracleSql ++ DimLoader.oracleSql ++
-      Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql
+      Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql ++
+      MixOps.oracleSql ++ GraphOps.oracleSql
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over warehouse-derived graphs. DedupOps owns connected
+  * components (the dedup clustering loop); this module adds PageRank —
+  * the quality/centrality propagation a training-data pipeline runs over
+  * its citation/link graph to score documents.
+  *
+  * The rank arithmetic is FIXED-POINT INTEGER (1e-12 units, scale S):
+  * every per-edge contribution is `(85 * (r DIV deg)) DIV 100` and the
+  * teleport term `((S DIV n) * 15) DIV 100` — truncating division on
+  * non-negative operands is identical in Spark (`DIV`) and DuckDB (`//`),
+  * so five power iterations stay bit-exact cross-engine where a double
+  * formulation would drift by accumulation order within one iteration.
+  * Dangling-node mass (nodes with no out-edges) is dropped rather than
+  * redistributed — the common simplification; ranks then need no global
+  * renormalize, which would be one more all-node aggregate per iteration.
+  *
+  * Scale shape: each iteration is one equi-join of the rank frame with
+  * the (static, cacheable) degree-tagged edge list plus one aggregate on
+  * the destination key — the textbook distributed PageRank plan. Nothing
+  * collects to the driver; the iteration count is fixed (5), so the plan
+  * is a static 5-deep join chain Catalyst can pipeline.
+  */
+object GraphOps {
+
+  val RankScale = 1000000000000L // 1e-12 fixed-point units
+  val Iterations = 5
+
+  /** Undirected brand co-purchase edges (both directions), from the same
+    * derivation the q_copurchase oracle uses: distinct (order, brand)
+    * incidence, then distinct ordered pairs sharing an order.
+    */
+  private def brandEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("pk") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b"))
+      .distinct()
+    val pairs = ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
+        col("ok") === col("ok2") && col("b") < col("b2"))
+      .select(col("b").as("b1"), col("b2")).distinct()
+    pairs.select(col("b1").as("src"), col("b2").as("dst"))
+      .unionByName(pairs.select(col("b2").as("src"), col("b1").as("dst")))
+  }
+
+  /** Five fixed-point power iterations over the brand co-purchase graph.
+    * Output: one row per brand with its rank in 1e-12 units.
+    */
+  def pageRank(spark: SparkSession, dir: String,
+      iters: Int = Iterations): DataFrame = {
+    val S = RankScale
+    // edges/degrees are static across iterations: cache once (lifecycle
+    // caller-owned, as throughout), so the loop re-reads K rows, not the
+    // lineitem join chain five times
+    val edges = brandEdges(spark, dir).cache()
+    val deg = edges.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
+    val nodes = Tables.part(spark, dir).select(col("p_brand").as("b")).distinct()
+    val nd = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+    var r = nd.select(col("b"), expr(s"$S DIV n").as("r"), col("n"))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, "b")
+        .join(edges.withColumnRenamed("src", "b"), "b")
+        .groupBy(col("dst"))
+        .agg(sum(expr("(85 * (r DIV deg)) DIV 100")).as("s"))
+      r = nd.join(contrib, nd("b") === contrib("dst"), "left_outer")
+        .select(nd("b"),
+          (expr(s"(($S DIV n) * 15) DIV 100") + coalesce(col("s"), lit(0L))).as("r"),
+          nd("n"))
+    }
+    r.select(col("b").as("brand"), col("r").as("rank_pico"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> ((s, dir) => pageRank(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val S = RankScale
+    val base =
+      s"""ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |pe AS (SELECT DISTINCT a.b AS b1, o2.b AS b2
+         |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b),
+         |edges AS (SELECT b1 AS src, b2 AS dst FROM pe
+         |  UNION ALL SELECT b2, b1 FROM pe),
+         |deg AS (SELECT src AS b, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT p_brand AS b FROM part),
+         |nd AS (SELECT b, n FROM nodes CROSS JOIN
+         |  (SELECT count(*) AS n FROM nodes)),
+         |r0 AS (SELECT b, $S // n AS r, n FROM nd)""".stripMargin
+    val iters = (1 to Iterations).map { i =>
+      s"""r$i AS (SELECT nd.b,
+         |  (($S // nd.n) * 15) // 100 + COALESCE(c.s, 0) AS r, nd.n
+         | FROM nd LEFT JOIN (
+         |   SELECT e.dst, sum((85 * (p.r // d.deg)) // 100) AS s
+         |   FROM r${i - 1} p JOIN deg d ON p.b = d.b
+         |   JOIN edges e ON e.src = p.b
+         |   GROUP BY e.dst) c ON c.dst = nd.b)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q_pagerank" ->
+        s"""WITH $base,
+           |$iters
+           |SELECT b AS brand, CAST(r AS BIGINT) AS rank_pico
+           |FROM r$Iterations""".stripMargin
+    )
+  }
+}

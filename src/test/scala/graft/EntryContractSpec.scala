@@ -30,7 +30,8 @@ class EntryContractSpec extends AnyFunSuite {
       graft.streaming.StreamAsof.queries, graft.streaming.StreamTws.queries,
       graft.load.DimLoader.queries,
       graft.gen.Generators.queries, graft.operators.ShuffleOps.queries,
-      graft.operators.TypedAgg.queries)
+      graft.operators.TypedAgg.queries, graft.operators.MixOps.queries,
+      graft.operators.GraphOps.queries)
     val all = maps.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"query name collision (later map would shadow): $dups")

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps, MixOps}
+
+/** Invariants of the domain-mixture planner/resampler and the fixed-point
+  * PageRank that hold for ANY corpus, beyond the oracle-pinned fixtures.
+  */
+class MixGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("domain mix: ppm shares conserve mass and factors point toward the target") {
+    val mix = MixOps.domainMix(Tables.documents(spark, dir)).cache()
+    try {
+      val n = mix.count()
+      // truncating DIV loses < 1 ppm per source on each share column
+      val sums = mix.agg(sum("actual_ppm").as("a"), sum("target_ppm").as("t"))
+        .collect()(0)
+      assert(sums.getLong(0) > 1000000 - n && sums.getLong(0) <= 1000000)
+      assert(sums.getLong(1) > 1000000 - n && sums.getLong(1) <= 1000000)
+      // factor direction: target above actual ⇒ oversample (>1000), below
+      // ⇒ downsample (<=1000); truncation can only pull the factor DOWN
+      val wrong = mix.filter(
+        (col("target_ppm") > col("actual_ppm") && col("factor_milli") <= 1000) ||
+          (col("target_ppm") < col("actual_ppm") && col("factor_milli") > 1000)).count()
+      assert(wrong == 0, "a factor points away from its target share")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("domain resample: realized share lands nearer the target than the original") {
+    val docs = Tables.documents(spark, dir)
+    val mix = MixOps.domainMix(docs).select("source", "actual_ppm", "target_ppm")
+    val rs = MixOps.domainResample(docs)
+    val tot = rs.agg(sum("kept_tokens").as("kt")).collect()(0).getLong(0)
+    assert(tot > 0)
+    val moved = rs.join(mix, "source")
+      .select(col("source"), col("actual_ppm"), col("target_ppm"),
+        col("kept_tokens"))
+      .collect()
+    // aggregate distance to target must shrink (per-source monotonicity
+    // can wobble by one doc's quantization on a tiny corpus)
+    val before = moved.map(r => math.abs(r.getLong(1) - r.getLong(2)).toDouble).sum
+    val after = moved.map(r =>
+      math.abs(r.getLong(3) * 1000000L / tot - r.getLong(2)).toDouble).sum
+    assert(after < before, s"resample moved away from target: $after !< $before")
+  }
+
+  test("pagerank: ranks at least teleport mass, total bounded by the scale") {
+    val r = GraphOps.pageRank(spark, dir).cache()
+    try {
+      val n = r.count()
+      assert(n > 0)
+      val tele = ((GraphOps.RankScale / n) * 15) / 100
+      assert(r.filter(col("rank_pico") < tele).count() == 0,
+        "a node fell below the teleport floor")
+      // truncating division and dangling nodes only LOSE mass
+      val total = r.agg(sum("rank_pico")).collect()(0).getLong(0)
+      assert(total <= GraphOps.RankScale, s"rank mass exceeds the scale: $total")
+      spark.catalog.clearCache()
+      // fixed-point arithmetic: bit-identical across runs
+      val again = GraphOps.pageRank(spark, dir).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      r.collect().foreach(x => assert(again(x.getString(0)) == x.getLong(1)))
+    } finally spark.catalog.clearCache()
+  }
+}
