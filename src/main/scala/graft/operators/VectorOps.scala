@@ -532,7 +532,182 @@ object VectorOps {
           ELSE CAST(0 AS BIGINT) END""").as("sum_q2"))
   }
 
+  // ---- Product quantization (IVF+PQ is the standard 100 TB ANN layout;
+  //      int8 covers storage, IVF covers partitioning, PQ covers in-cell
+  //      distance compression: Dim doubles -> PqM one-byte codes) ----
+
+  val PqM = 8                 // subspaces
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16                // codes per subspace codebook
+  val PqIters = 1             // Lloyd refinement rounds per codebook
+  val PqCoarseK = 16          // coarse (IVF-tier) cells
+  val PqCoarseIters = 1       // Lloyd rounds for the coarse quantizer
+
+  /** ALL PQ arithmetic is integer-valued: vectors land as round(x*1e6)
+    * micros (held in doubles — every intermediate stays far under 2^53,
+    * so double arithmetic IS integer arithmetic), squared distances are
+    * exact, and the codebook mean uses the offset-floor-division trick
+    * `(s + cnt*OFF) DIV cnt - OFF` so Spark's truncating DIV and DuckDB's
+    * flooring // agree on negative sums. That makes seeds, one Lloyd
+    * round, code assignment, and the ADC table bit-identical cross-engine
+    * — a float PQ would drift at the argmin boundaries.
+    */
+  private def pqD2(a: String, b: String, duck: Boolean): String =
+    s"(${dot(a, a, duck)} - 2 * ${dot(a, b, duck)} + ${dot(b, b, duck)})"
+
+  /** Component-wise difference a - b (integer-valued doubles stay exact). */
+  private def residExpr(a: String, b: String, dim: Int, duck: Boolean): String =
+    xform(seqIncl("1", dim.toString, duck), "i",
+      s"${elem(a, "i", duck)} - ${elem(b, "i", duck)}", duck)
+
+  /** (vec_id, vm): the integer-micro full vector of every row. */
+  private def microVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
+      s"transform($vcol, y -> CAST(CAST(round(y * 1000000.0) AS BIGINT) AS DOUBLE))")
+      .as("vm"))
+
+  /** Nearest-code assignment: broadcast the codebook, one argmin
+    * aggregate per (vec, subspace) — map-side combined like assignTo.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("d2", expr(pqD2("xs", "cs", duck = false)))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("s"))
+      .select(col("vec_id"), col("m"),
+        col("s.code").as("code"), col("s.d2").as("d2"))
+
+  private def pqSeeds(subs: DataFrame, k: Int): DataFrame =
+    subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("code"), col("xs").as("cs"))
+
+  private def pqIter(subs: DataFrame, cb: DataFrame, subDim: Int): DataFrame = {
+    val sums = pqAssign(subs, cb).join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("code"),
+        expr("transform(xs, x -> CAST(x AS BIGINT))").as("mv"))
+      .groupBy(col("m"), col("code"))
+      .agg(graft.functions.VectorAggregates.vecSumLong(col("mv"), subDim).as("sv"),
+        count(lit(1)).as("cnt"))
+      // offset-floor division: see the arithmetic note above
+      .select(col("m"), col("code"),
+        expr("transform(sv, s -> CAST((s + cnt * 10000000) DIV cnt - 10000000 AS DOUBLE))")
+          .as("cs2"))
+    cb.join(sums, Seq("m", "code"), "left_outer")
+      .select(col("m"), col("code"),
+        coalesce(col("cs2"), col("cs")).as("cs"))
+  }
+
+  private def pqCodebookOver(subs: DataFrame, subDim: Int, k: Int,
+      iters: Int): DataFrame =
+    (1 to iters).foldLeft(pqSeeds(subs, k)) { (c, _) =>
+      // eager-materialize each round's K×M-row codebook (count() fills
+      // the cache): every downstream reference then resolves to the
+      // InMemoryRelation instead of re-optimizing the grown join+agg
+      // lineage — codebooks are the tiny frames in this pipeline, the
+      // corpus-sized `subs` is cached by the caller exactly once
+      val it = pqIter(subs, c, subDim).cache()
+      it.count()
+      it
+    }
+
+  /** Coarse quantizer (the IVF tier of IVF+PQ): K cells over the FULL
+    * integer-micro vectors, seeds + one Lloyd round, all in the same
+    * exact arithmetic — one "subspace" of width Dim.
+    */
+  private def pqCoarse(vm: DataFrame): DataFrame =
+    pqCodebookOver(vm.select(col("vec_id"), lit(0).as("m"), col("vm").as("xs")),
+      Dim, PqCoarseK, PqCoarseIters)
+
+  /** (vec_id, cell, m, xs): RESIDUAL subvectors — each vector minus its
+    * coarse cell centroid, sliced into PqM subspaces. Encoding residuals
+    * is what makes PQ work on clustered corpora: raw-vector codebooks
+    * spend their whole budget separating clusters (measured: recall@10 of
+    * 0.0-0.3 on this corpus), while residual codebooks only have to
+    * describe the within-cell spread — ‖q-x‖² = ‖(q-c)-(x-c)‖² exactly,
+    * so ADC stays unbiased.
+    */
+  private def pqResidualSubs(vm: DataFrame, coarseCb: DataFrame): DataFrame = {
+    val casg = pqAssign(
+      vm.select(col("vec_id"), lit(0).as("m"), col("vm").as("xs")), coarseCb)
+      .select(col("vec_id"), col("code").as("cell"))
+    val res = vm.join(casg, "vec_id")
+      .join(broadcast(coarseCb.select(col("code").as("cell"), col("cs"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr(residExpr("vm", "cs", Dim, duck = false)).as("rv"))
+    // ONE posexplode over the array of slices, not a PqM-way union: the
+    // union form multiplied the whole upstream tree into every branch and
+    // Catalyst re-optimized it per reference — 18-28s of pure planning/
+    // codegen per PQ query at sf0.001 (7s of actual task time). The
+    // generator form is a single plan branch. (Oracle keeps UNION ALL —
+    // CTE references are cheap there.)
+    res.select(col("vec_id"), col("cell"),
+      posexplode(expr(sliceArrayExpr("rv"))).as(Seq("m", "xs")))
+  }
+
+  /** array(slice(v,1,d), slice(v,d+1,d), ...) — the PqM subvector slices. */
+  private def sliceArrayExpr(v: String): String =
+    (0 until PqM).map(m => s"slice($v, ${m * PqSubDim + 1}, $PqSubDim)")
+      .mkString("array(", ", ", ")")
+
+  /** Per-vector IVF+PQ encoding: coarse cell + PqM residual codes + the
+    * exact squared quantization error (micro²).
+    */
+  def pqCodes(emb: DataFrame): DataFrame = {
+    val vm = microVecs(emb).cache()
+    val subs = pqResidualSubs(vm, pqCoarse(vm)).cache()
+    val enc = pqAssign(subs, pqCodebookOver(subs, PqSubDim, PqK, PqIters))
+      .join(subs.select(col("vec_id"), col("cell")).distinct(), "vec_id")
+    val codeCols = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    enc.groupBy(col("vec_id"))
+      .agg(max(col("cell")).as("cell"),
+        codeCols :+ sum(col("d2")).cast("long").as("err_sq"): _*)
+  }
+
+  /** ADC serving audit: per-CELL lookup tables of query-residual-to-code
+    * distances (cells × PqM × PqK rows, built once per query — the whole
+    * point of PQ serving: a scan then costs PqM table lookups per vector,
+    * never a Dim-wide dot), approximate top-k from summing each vector's
+    * PqM cells, and the row reports exact-L2-top-k overlap — recall@k,
+    * the same audit shape as q_emb_ivf_recall.
+    */
+  def pqRecall(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val vm = microVecs(emb).cache()
+    val coarseCb = pqCoarse(vm)
+    val subs = pqResidualSubs(vm, coarseCb).cache()
+    val cb = pqCodebookOver(subs, PqSubDim, PqK, PqIters)
+    val enc = pqAssign(subs, cb)
+      .join(subs.select(col("vec_id"), col("cell")).distinct(), "vec_id")
+      .filter(col("vec_id") =!= queryId)
+    // query residual PER CELL (q - c_cell), sliced like the corpus
+    val qres = coarseCb.crossJoin(
+        broadcast(vm.filter(col("vec_id") === queryId)
+          .select(col("vm").as("qv"))))
+      .select(col("code").as("cell"),
+        expr(residExpr("qv", "cs", Dim, duck = false)).as("qrv"))
+    val qslices = qres.select(col("cell"),
+      posexplode(expr(sliceArrayExpr("qrv"))).as(Seq("m", "qxs")))
+    val table = qslices.join(cb, "m")
+      .select(col("cell"), col("m"), col("code"),
+        expr(pqD2("qxs", "cs", duck = false)).as("dq"))
+    val approx = enc.join(broadcast(table), Seq("cell", "m", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("dq")).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc).limit(k)
+    val exact = vm.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(vm.filter(col("vec_id") === queryId)
+        .select(col("vm").as("qv"))))
+      .select(col("vec_id"), expr(pqD2("vm", "qv", duck = false)).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(k)
+    exact.select("vec_id").join(approx.select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pq" -> ((s, dir) => pqCodes(Tables.embeddings(s, dir))),
+    "q_emb_pq_recall" -> ((s, dir) => pqRecall(Tables.embeddings(s, dir))),
     "q_emb_quantize" -> ((s, dir) => quantizeInt8(Tables.embeddings(s, dir))),
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
@@ -583,7 +758,104 @@ object VectorOps {
          | JOIN probed ON asg.centroid_id = probed.centroid_id, q
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+    // ---- PQ oracle CTEs (mirror microVecs/pqCoarse/pqResidualSubs/
+    //      pqSeeds/pqIter/pqAssign; the d2/argmin expressions repeat
+    //      verbatim in the window ORDER BY, the lloydCte discipline) ----
+    val pqD2d = (a: String, b: String) => pqD2(a, b, duck = true)
+    // generic Lloyd step over a subspace frame: assignment CTE + sums CTE
+    // + mean-update CTE (offset-floor division, see the engine note)
+    def pqAssignSql(subsCte: String, cbCte: String): String =
+      s"""SELECT vec_id, m, code, d2 FROM (
+         |   SELECT s.vec_id, s.m, c.code, ${pqD2d("s.xs", "c.cs")} AS d2,
+         |     row_number() OVER (PARTITION BY s.vec_id, s.m
+         |       ORDER BY ${pqD2d("s.xs", "c.cs")} ASC, c.code) AS rnk
+         |   FROM $subsCte s JOIN $cbCte c ON s.m = c.m) z WHERE rnk = 1""".stripMargin
+    def pqIterSql(tag: String, i: Int, subsCte: String, subDim: Int): String = {
+      val prev = s"$tag${i - 1}"
+      val sums = (0 until subDim)
+        .map(j => s"sum(CAST(s.xs[${j + 1}] AS BIGINT)) AS s_$j").mkString(",\n    ")
+      val meanList = (0 until subDim)
+        .map(j => s"CAST((s_$j + cnt * 10000000) // cnt - 10000000 AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""${tag}a$i AS (${pqAssignSql(subsCte, prev)}),
+         |${tag}m$i AS (SELECT a.m, a.code, count(*) AS cnt,
+         |    $sums
+         |  FROM ${tag}a$i a JOIN $subsCte s ON a.vec_id = s.vec_id AND a.m = s.m
+         |  GROUP BY a.m, a.code),
+         |$tag$i AS (SELECT p.m, p.code,
+         |   CASE WHEN u.cnt IS NULL THEN p.cs ELSE $meanList END AS cs
+         |  FROM $prev p LEFT JOIN ${tag}m$i u ON p.m = u.m AND p.code = u.code)"""
+        .stripMargin
+    }
+    val qResid = residExpr("e.vm", "c.cs", Dim, duck = true)
+    val pqSubsUnion = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+      s"SELECT vec_id, cell, $m AS m, rv[$lo:$hi] AS xs FROM res"
+    }.mkString("\n  UNION ALL ")
+    val coarseIters = (1 to PqCoarseIters)
+      .map(i => pqIterSql("cc", i, "fullv", Dim)).mkString(",\n")
+    val pqItersSql = (1 to PqIters)
+      .map(i => pqIterSql("pc", i, "subs", PqSubDim)).mkString(",\n")
+    val pqCte =
+      s"""em AS (SELECT vec_id,
+         |   list_transform($v, y -> CAST(CAST(round(y * 1000000.0) AS BIGINT) AS DOUBLE)) AS vm
+         |  FROM embeddings),
+         |fullv AS (SELECT vec_id, 0 AS m, vm AS xs FROM em),
+         |cc0 AS (SELECT m, vec_id AS code, xs AS cs FROM fullv WHERE vec_id < $PqCoarseK),
+         |$coarseIters,
+         |casg AS (SELECT vec_id, code AS cell FROM
+         |  (${pqAssignSql("fullv", s"cc$PqCoarseIters")}) z0),
+         |res AS (SELECT e.vec_id, a.cell, $qResid AS rv
+         |  FROM em e JOIN casg a ON e.vec_id = a.vec_id
+         |  JOIN cc$PqCoarseIters c ON c.code = a.cell),
+         |subs AS (
+         |  $pqSubsUnion),
+         |pc0 AS (SELECT m, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $PqK),
+         |$pqItersSql,
+         |enc AS (SELECT z1.vec_id, a2.cell, z1.m, z1.code, z1.d2
+         |  FROM (${pqAssignSql("subs", s"pc$PqIters")}) z1
+         |  JOIN casg a2 ON z1.vec_id = a2.vec_id)""".stripMargin
+
     Map(
+      "q_emb_pq" -> {
+        val codeCols = (0 until PqM)
+          .map(m => s"max(CASE WHEN m = $m THEN code END) AS code_$m")
+          .mkString(",\n ")
+        s"""WITH $pqCte
+           |SELECT vec_id, max(cell) AS cell,
+           | $codeCols,
+           | CAST(sum(d2) AS BIGINT) AS err_sq
+           |FROM enc GROUP BY 1""".stripMargin
+      },
+
+      "q_emb_pq_recall" -> {
+        val qSliceUnion = (0 until PqM).map { m =>
+          val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+          s"SELECT cell, $m AS m, qrv[$lo:$hi] AS qxs FROM qres"
+        }.mkString("\n  UNION ALL ")
+        val qResidQ = residExpr("q.vm", "c.cs", Dim, duck = true)
+        s"""WITH $pqCte,
+           |qv AS (SELECT vm FROM em WHERE vec_id = 0),
+           |exact AS (SELECT e2.vec_id FROM em e2, qv
+           |  WHERE e2.vec_id <> 0
+           |  ORDER BY ${pqD2d("e2.vm", "qv.vm")} ASC, e2.vec_id LIMIT 10),
+           |qres AS (SELECT c.code AS cell, $qResidQ AS qrv
+           |  FROM cc$PqCoarseIters c, (SELECT vm FROM em WHERE vec_id = 0) q),
+           |qsl AS (
+           |  $qSliceUnion),
+           |tbl AS (SELECT q.cell, c.m, c.code, ${pqD2d("q.qxs", "c.cs")} AS dq
+           |  FROM pc$PqIters c JOIN qsl q ON c.m = q.m),
+           |adc AS (SELECT e.vec_id, sum(t.dq) AS adc_d2
+           |  FROM enc e JOIN tbl t
+           |    ON e.cell = t.cell AND e.m = t.m AND e.code = t.code
+           |  WHERE e.vec_id <> 0 GROUP BY 1),
+           |approx AS (SELECT vec_id FROM adc
+           |  ORDER BY adc_d2 ASC, vec_id LIMIT 10)
+           |SELECT CAST(10 AS INT) AS k, count(*) AS n_overlap,
+           | round(count(*) / 10.0, 6) AS recall
+           |FROM exact JOIN approx USING (vec_id)""".stripMargin
+      },
+
       "q_emb_quantize" -> {
         val m = s"list_max(list_transform(v, x -> abs(x)))"
         val q = s"list_transform(v, x -> CAST(floor(x / (m / 127.0)) AS BIGINT))"

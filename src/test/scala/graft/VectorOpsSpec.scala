@@ -61,6 +61,30 @@ class VectorOpsSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("PQ: codes bounded by the codebook, errors non-negative, recall sane") {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = VectorOps.pqCodes(emb).cache()
+    try {
+      assert(codes.count() > 0)
+      (0 until VectorOps.PqM).map(m => s"code_$m").foreach { c =>
+        assert(codes.filter(col(c) < 0 || col(c) >= VectorOps.PqK).count() == 0,
+          s"$c outside [0, ${VectorOps.PqK})")
+      }
+      assert(codes.filter(col("err_sq") < 0).count() == 0)
+      val r = VectorOps.pqRecall(emb).collect()(0)
+      val overlap = r.getLong(1)
+      assert(overlap >= 0 && overlap <= 10)
+      // this synthetic corpus is PQ's adversarial case — residuals are
+      // near-iid noise with no inter-dim correlation to exploit, so
+      // recall@10 sits at 0.2-0.5 across SFs and configs (measured: raw
+      // encoding 0.0-0.3, residual 0.2-0.5; M∈{4,8,16}, K∈{16,32} move
+      // it at most one hit). The audit row exists to QUANTIFY that trade;
+      // the floor here pins "far better than random" (random recall@10 of
+      // 500 vectors ≈ 0.02, P(X>=2) < 1e-3), not production recall.
+      assert(overlap >= 2, s"ADC recall@10 at random-guess level: $overlap/10")
+    } finally spark.catalog.clearCache()
+  }
+
   test("lshBuckets honors the bits dial: bucket ids stay under 2^bits") {
     val emb = Tables.embeddings(spark, dir)
     val narrow = VectorOps.lshBuckets(emb, bits = 4)
