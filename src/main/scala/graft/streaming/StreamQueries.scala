@@ -143,6 +143,10 @@ object StreamQueries {
       sjFixtureDf(s, dir, "purchase"))
     ensureJsonFixture(fixtureDir("sjoin_r", dir, "events"),
       sjFixtureDf(s, dir, "click"))
+    ensureSentinelFixture("sloj_l", dir, sjFixtureDf(s, dir, "purchase"),
+      s"""{"user_id":-1,"ms":$SentinelMs,"event_id":-1}""")
+    ensureSentinelFixture("sloj_r", dir, sjFixtureDf(s, dir, "click"),
+      s"""{"user_id":-2,"ms":$SentinelMs,"event_id":-1}""")
     ensureJsonFixture(fixtureDir("dedupttl", dir, "events"),
       ttlDedupFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
@@ -431,6 +435,97 @@ object StreamQueries {
       q.awaitTermination()
     }
     s.read.parquet(s"$tmp/out")
+  }
+
+  /** A two-batch landing: the data as ONE part file, plus a single
+    * far-future sentinel row in a second file whose modification time is
+    * pinned strictly later — with maxFilesPerTrigger=1 the source then
+    * runs exactly (data batch, sentinel batch), which is what outer-join
+    * null emission needs: eviction runs DURING a batch using the
+    * watermark computed at the END of the previous one, so with a single
+    * batch the outer rows would never surface at all.
+    */
+  private def ensureSentinelFixture(name: String, dir: String,
+      df: => DataFrame, sentinelJson: String): String = {
+    val landing = fixtureDir(name, dir, "events")
+    val done = Paths.get(landing, "_GRAFT_SENTINEL_OK")
+    if (!Files.exists(done)) {
+      df.write.mode("overwrite").json(landing)
+      val parts = new java.io.File(landing).listFiles
+        .filter(_.getName.startsWith("part-"))
+      require(parts.length == 1,
+        s"sentinel fixture expects ONE data part file, got ${parts.length}")
+      val sentinel = new java.io.File(landing, "zz_sentinel.json")
+      Files.write(sentinel.toPath, (sentinelJson + "\n").getBytes("UTF-8"))
+      sentinel.setLastModified(parts.map(_.lastModified).max + 60000L)
+      Files.write(done, Array.emptyByteArray)
+    }
+    landing
+  }
+
+  /** Year-2100 sentinel: past any generated event time at every SF. */
+  private val SentinelMs = 4102444800000L
+
+  /** Stream-stream LEFT OUTER join — the inner join's semantics plus
+    * watermark-evicted null emission: a purchase with no click in its
+    * 5-minute lookback emits (user, purchase, NULL click) once the
+    * GLOBAL watermark (min over both sources, Spark's default
+    * multi-watermark policy) passes its timestamp, proving no late click
+    * can still match. The two-batch sentinel landing makes the emission
+    * set COMPLETE and deterministic: batch 1 is all real data (every
+    * inner match lands there), the far-future sentinel batch advances
+    * both watermarks past every real event, and AvailableNow then runs
+    * the trailing stateful-cleanup batch with that watermark (verified
+    * empirically: the last in-window unmatched purchase emits too) — so
+    * the result is exactly the relational LEFT JOIN, with no truncated
+    * tail. Without the sentinel file the outer rows would never surface:
+    * eviction runs with the watermark computed at the END of the
+    * previous batch, and a single-batch run has no successor.
+    */
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val sentinel = (uid: Long) =>
+      s"""{"user_id":$uid,"ms":$SentinelMs,"event_id":-1}"""
+    val lLanding = ensureSentinelFixture("sloj_l", dir,
+      sjFixtureDf(s, dir, "purchase"), sentinel(-1L))
+    val rLanding = ensureSentinelFixture("sloj_r", dir,
+      sjFixtureDf(s, dir, "click"), sentinel(-2L))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val l = s.readStream.schema(sjSchema)
+        .option("maxFilesPerTrigger", "1").json(lLanding)
+        .select(col("user_id"), timestamp_millis(col("ms")).as("p_ts"),
+          col("event_id").as("purchase_event_id"))
+        .withWatermark("p_ts", "10 minutes")
+      val r = s.readStream.schema(sjSchema)
+        .option("maxFilesPerTrigger", "1").json(rLanding)
+        .select(col("user_id").as("r_user_id"), timestamp_millis(col("ms")).as("c_ts"),
+          col("event_id").as("click_event_id"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"),
+        "left_outer")
+        .select(col("user_id"), unix_millis(col("p_ts")).as("p_ms"),
+          col("purchase_event_id"), unix_millis(col("c_ts")).as("c_ms"),
+          col("click_event_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("p_ms", LongType),
+        StructField("purchase_event_id", LongType),
+        StructField("c_ms", LongType),
+        StructField("click_event_id", LongType))))
+      .parquet(s"$tmp/out")
+      .filter(col("user_id") >= 0) // drop the sentinel rows themselves
   }
 
   // ---------------------------------------------------------------------
@@ -1054,6 +1149,7 @@ object StreamQueries {
     "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
     "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir)),
     "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
+    "q_stream_left_join" -> ((s, dir) => streamLeftJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
@@ -1143,6 +1239,23 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'click')
         |SELECT user_id, p_ms, purchase_event_id, c_ms, click_event_id
         |FROM p JOIN c ON user_id = c_user_id
+        | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
+
+    // The full relational left outer join: the sentinel batch advances
+    // the global watermark past every real event and AvailableNow runs
+    // the trailing stateful-cleanup batch (verified: the last in-window
+    // unmatched purchase DOES emit), so every unmatched purchase
+    // surfaces with NULL click. Sentinel rows are filtered engine-side
+    // (user_id >= 0) and never generated here.
+    "q_stream_left_join" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS p_ms,
+        |   event_id AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id AS c_user_id, epoch_ms(ts) AS c_ms,
+        |   event_id AS click_event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, p_ms, purchase_event_id, c_ms, click_event_id
+        |FROM p LEFT JOIN c ON user_id = c_user_id
         | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
