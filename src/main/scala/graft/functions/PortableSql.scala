@@ -102,6 +102,17 @@ object PortableSql {
     s"(CASE WHEN ${alen(toksCol, duck)} >= 2 THEN $grams ELSE $empty END)"
   }
 
+  /** All word trigrams IN ORDER, duplicates kept — the occurrence-level
+    * twin of trigramShingles (same <3-token guard).
+    */
+  def trigramsAll(toksCol: String, duck: Boolean): String = {
+    val idx = seqIncl("1", s"${alen(toksCol, duck)} - 2", duck)
+    val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)} || ' ' || ${elem(toksCol, "i + 2", duck)}"
+    val grams = xform(idx, "i", gram, duck)
+    val empty = if (duck) "CAST([] AS VARCHAR[])" else "CAST(array() AS ARRAY<STRING>)"
+    s"(CASE WHEN ${alen(toksCol, duck)} >= 3 THEN $grams ELSE $empty END)"
+  }
+
   def trigramShingles(toksCol: String, duck: Boolean): String = {
     val idx = seqIncl("1", s"${alen(toksCol, duck)} - 2", duck)
     val gram = s"${elem(toksCol, "i", duck)} || ' ' || ${elem(toksCol, "i + 1", duck)} || ' ' || ${elem(toksCol, "i + 2", duck)}"

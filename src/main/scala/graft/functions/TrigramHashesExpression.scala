@@ -59,6 +59,39 @@ case class TrigramHashesExpression(child: Expression)
 object TrigramHashesExpression {
   def trigramHashes(text: Column): Column =
     SqlBridge.column(TrigramHashesExpression(SqlBridge.expression(text)))
+
+  def trigramHashesAll(text: Column): Column =
+    SqlBridge.column(TrigramHashesAllExpression(SqlBridge.expression(text)))
+}
+
+/** [[TrigramHashesExpression]] minus the dedup: hashes of ALL word-trigram
+  * shingles in position order, duplicates kept — the occurrence-level view
+  * that repeated-span statistics need (a doc that repeats one paragraph
+  * twice must count those shingles twice). Oracle form is
+  * PortableSql.trigramsAll + strHash, no distinct.
+  */
+case class TrigramHashesAllExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hashes_all"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < 3) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](toks.length - 2)
+      var i = 0
+      while (i <= toks.length - 3) {
+        out(i) = StrHashKernel.hash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Order-sensitive rolling fingerprint over ALL word tokens (dup tokens

@@ -377,7 +377,40 @@ object DedupOps {
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cross-document repeated-span statistic — the shingle-granularity form
+    * of the exact-substring dedup signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * how many of its trigram OCCURRENCES (duplicates kept, unlike the
+    * set-semantics queries above) also occur in at least one other
+    * document. High dup_ppm marks boilerplate-heavy docs a training
+    * pipeline would trim or drop.
+    *
+    * Shape at 100 TB: one fused narrow pass per doc (hash kernel), then
+    * three hash-distributed aggregations/joins — (doc, shingle)
+    * occurrence counts, shingle document frequency, and the probe back —
+    * all equi-joins on hashed keys, never all-pairs; a hot shingle is a
+    * many-to-ONE join against its single df row, which AQE skew-split
+    * handles. n_dup * 1e6 stays < 2^63 for any doc under ~9e12 shingles.
+    */
+  def dupSpanStats(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")).as("hs"))
+    val perDoc = occ.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+    val pds = occ.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n_occ"))
+    val df = pds.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val dup = pds.join(df.filter(col("ndocs") >= 2), Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("n_occ")).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_shingles"),
+        when(col("n_shingles") === 0L, 0L)
+          .otherwise(expr("coalesce(n_dup, 0) * 1000000 DIV n_shingles"))
+          .as("dup_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> ((s, dir) => dupSpanStats(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => dupClusters(Tables.documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => exactDuplicates(Tables.documents(s, dir))),
     "q_dedup_bag" -> ((s, dir) => bagDuplicates(Tables.documents(s, dir))),
@@ -526,7 +559,24 @@ object DedupOps {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin
 
+    val gramsAll = trigramsAll(tokens("text", duck = true), duck = true)
+    val hsAll = xform("grams", "g", strHash("g"), duck = true)
+
     Map(
+      "q_dedup_spans" ->
+        s"""WITH g AS (SELECT doc_id, $hsAll AS hs
+           |  FROM (SELECT doc_id, $gramsAll AS grams FROM documents) g0),
+           | occ AS (SELECT doc_id, unnest(hs) AS h FROM g),
+           | pds AS (SELECT doc_id, h, count(*) AS n_occ FROM occ GROUP BY 1, 2),
+           | df AS (SELECT h, count(*) AS ndocs FROM pds GROUP BY 1),
+           | dup AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_dup
+           |   FROM pds JOIN df USING (h) WHERE ndocs >= 2 GROUP BY 1)
+           |SELECT g.doc_id, CAST(len(g.hs) AS BIGINT) AS n_shingles,
+           | coalesce(dup.n_dup, 0) AS n_dup_shingles,
+           | CASE WHEN len(g.hs) = 0 THEN 0
+           |   ELSE coalesce(dup.n_dup, 0) * 1000000 // len(g.hs) END AS dup_ppm
+           |FROM g LEFT JOIN dup ON g.doc_id = dup.doc_id""".stripMargin,
+
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
           | count(*) AS n_copies

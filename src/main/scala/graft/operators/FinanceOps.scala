@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Financial time-series analytics over the events stream — the queries a
+  * market-data / transaction-ledger consumer of the reference pipeline
+  * (viru2001/realtime_financial_transactions_data_pipeline — BigQuery
+  * dashboards over the fact table, `dataflow_pipeline/pipeline.py`) runs
+  * downstream of ingest: OHLC candlestick bars, per-account running
+  * balances with overdraft detection, and a Benford first-digit fraud
+  * screen.
+  *
+  * Money is integer cents throughout (`CAST(round(value * 100) AS
+  * BIGINT)`, the engine-wide convention) so every compared value is
+  * exact integer arithmetic in both engines.
+  */
+object FinanceOps {
+
+  private def cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  /** Daily OHLC bars per event_type. Open/close are decided by the total
+    * order (t, event_id) — deterministic even under timestamp ties, which
+    * WILL happen at 100 TB/day — via one ordered window (row_number) and
+    * one unordered count over the same partitioning: a single shuffle on
+    * (event_type, day), each day's bar computed independently. No global
+    * sort anywhere; day partitions are the natural parallel unit.
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"), cents.as("cents"))
+      .withColumn("day", expr("t DIV 86400000000"))
+    val part = Window.partitionBy(col("event_type"), col("day"))
+    val r = e.withColumn("rn", row_number().over(part.orderBy(col("t"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(part))
+    r.groupBy(col("event_type"), col("day")).agg(
+      max(when(col("rn") === 1, col("cents"))).as("open_cents"),
+      max(col("cents")).as("high_cents"),
+      min(col("cents")).as("low_cents"),
+      max(when(col("rn") === col("n"), col("cents"))).as("close_cents"),
+      sum(col("cents")).as("volume_cents"),
+      count(lit(1)).as("n_trades"))
+  }
+
+  /** Per-account running ledger: purchases debit, every other event type
+    * credits. Emits final balance, the running minimum (worst exposure),
+    * and how many ledger entries sat below zero — the overdraft screen.
+    * One window partitioned BY ACCOUNT (never global), ordered by the
+    * unique (t, event_id) key, then one aggregate on the same key — a
+    * single shuffle, and per-account state is one running long.
+    */
+  def runningBalance(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("t"),
+      col("event_id"),
+      when(col("event_type") === "purchase", -cents).otherwise(cents).as("delta"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("bal", sum(col("delta")).over(w))
+      .groupBy(col("user_id")).agg(
+        sum(col("delta")).as("final_cents"),
+        min(col("bal")).as("min_cents"),
+        sum(when(col("bal") < 0, 1L).otherwise(0L)).as("n_overdraft"))
+  }
+
+  /** Benford's-law expected first-digit shares in ppm: round(log10(1 +
+    * 1/d) * 1e6). INTEGER LITERALS on both sides — no libm log10 (whose
+    * last-bit rounding differs across engines) enters a compared value.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  private def benfordCase(digitCol: String): String =
+    BenfordPpm.map { case (d, p) => s"WHEN $digitCol = $d THEN CAST($p AS BIGINT)" }
+      .mkString("CASE ", " ", " END")
+
+  /** Benford first-digit audit over transaction amounts — the classic
+    * fabricated-numbers screen. Observed share per leading digit (ppm,
+    * integer division) against the hardcoded Benford expectation, plus
+    * the absolute deviation. Shape: one 9-row hash aggregate + a
+    * broadcast of the single-row total; nothing here grows with data
+    * volume. (uniform-ish synthetic amounts will show large deviations —
+    * the audit reports them, it doesn't assert.)
+    */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val d = events.select(cents.as("cents"))
+      .filter(col("cents") >= 1) // non-positive rows carry no leading digit
+      .select(expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(count(lit(1)).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("observed_ppm", expr("n * 1000000 DIV tot"))
+      .withColumn("expected_ppm", expr(benfordCase("digit")))
+      .select(col("digit"), col("n"), col("observed_ppm"), col("expected_ppm"),
+        abs(col("observed_ppm") - col("expected_ppm")).as("deviation_ppm"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_bars" -> ((s, dir) => ohlcBars(Tables.events(s, dir))),
+    "q_running_balance" -> ((s, dir) => runningBalance(Tables.events(s, dir))),
+    "q_benford" -> ((s, dir) => benfordAudit(Tables.events(s, dir))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | r AS (SELECT event_type, t // 86400000000 AS day, cents,
+        |   row_number() OVER (PARTITION BY event_type, t // 86400000000
+        |     ORDER BY t, event_id) AS rn,
+        |   count(*) OVER (PARTITION BY event_type, t // 86400000000) AS n
+        |  FROM e)
+        |SELECT event_type, day,
+        | CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_cents,
+        | CAST(max(cents) AS BIGINT) AS high_cents,
+        | CAST(min(cents) AS BIGINT) AS low_cents,
+        | CAST(max(CASE WHEN rn = n THEN cents END) AS BIGINT) AS close_cents,
+        | CAST(sum(cents) AS BIGINT) AS volume_cents,
+        | count(*) AS n_trades
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q_running_balance" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |   CASE WHEN event_type = 'purchase'
+        |     THEN -CAST(round(value * 100) AS BIGINT)
+        |     ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events),
+        | r AS (SELECT user_id, delta,
+        |   sum(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS bal FROM e)
+        |SELECT user_id, CAST(sum(delta) AS BIGINT) AS final_cents,
+        | CAST(min(bal) AS BIGINT) AS min_cents,
+        | CAST(sum(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overdraft
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM events
+         |  WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+         | c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         | t AS (SELECT count(*) AS tot FROM d)
+         |SELECT digit, n, n * 1000000 // tot AS observed_ppm,
+         | ${benfordCase("digit")} AS expected_ppm,
+         | abs(n * 1000000 // tot - ${benfordCase("digit")}) AS deviation_ppm
+         |FROM c, t""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, FinanceOps}
+
+class FinanceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ev(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5))),
+        schema)
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("props", lit("{}"))
+  }
+
+  test("ohlc open/close break timestamp ties by event_id") {
+    val day = 86400000000L
+    // Two trades at the identical microsecond on both ends of the day:
+    // open must be the lower event_id's price, close the higher's.
+    val bars = FinanceOps.ohlcBars(ev(Seq(
+      (2L, day + 10L, 1L, "purchase", 5.00), // tied open, higher id
+      (1L, day + 10L, 1L, "purchase", 3.00), // tied open, lower id -> open
+      (3L, day + 99L, 1L, "purchase", 1.00),
+      (5L, day + 500L, 1L, "purchase", 7.00), // tied close, higher id -> close
+      (4L, day + 500L, 1L, "purchase", 2.00)))).collect()
+    assert(bars.length == 1)
+    val b = bars.head
+    assert(b.getAs[Long]("open_cents") == 300L)
+    assert(b.getAs[Long]("close_cents") == 700L)
+    assert(b.getAs[Long]("high_cents") == 700L)
+    assert(b.getAs[Long]("low_cents") == 100L)
+    assert(b.getAs[Long]("volume_cents") == 1800L)
+    assert(b.getAs[Long]("n_trades") == 5L)
+  }
+
+  test("running balance: purchases debit, running min and overdrafts counted") {
+    val out = FinanceOps.runningBalance(ev(Seq(
+      (1L, 100L, 7L, "signup", 1.00),    // +100 -> 100
+      (2L, 200L, 7L, "purchase", 3.00),  // -300 -> -200 (overdraft)
+      (3L, 300L, 7L, "click", 0.50),     // +50  -> -150 (overdraft)
+      (4L, 400L, 7L, "view", 5.00)))).collect() // +500 -> 350
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("final_cents") == 350L)
+    assert(r.getAs[Long]("min_cents") == -200L)
+    assert(r.getAs[Long]("n_overdraft") == 2L) // rows at -200, -150
+  }
+
+  test("dup spans count OCCURRENCES: a doc repeating a shared phrase counts it twice") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c x a b c"), // trigrams: "a b c","b c x","c x a","x a b","a b c"
+        Row(2L, "a b c"),         // shares "a b c"
+        Row(3L, "q r s t"))),     // no overlap
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val m = DedupOps.dupSpanStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup_shingles"), r.getAs[Long]("dup_ppm")))
+      .toMap
+    assert(m(1L) == ((5L, 2L, 400000L))) // BOTH "a b c" occurrences are dup
+    assert(m(2L) == ((1L, 1L, 1000000L)))
+    assert(m(3L) == ((2L, 0L, 0L)))
+  }
+}
