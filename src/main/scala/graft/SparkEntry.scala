@@ -36,7 +36,7 @@ object SparkEntry {
     * silently reuse them via logical-plan matching.
     *
     * SESSION-CONF CONTRACT: the stateful streaming queries
-    * (q_stream_window, q_stream_join, q_stream_left_join, q_stream_dedup, q_stream_asof,
+    * (q_stream_window, q_stream_join, q_stream_left_join, q_stream_full_join, q_stream_dedup, q_stream_asof,
     * q_stream_dedup_ttl, q_stream_heavy, q_stream_upsert, q_stream_session,
     * q_stream_topk,
     * q_stream_tws) temporarily lower

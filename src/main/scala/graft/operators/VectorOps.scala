@@ -705,7 +705,43 @@ object VectorOps {
         round(col("n_overlap").cast("double") / k, 6).as("recall"))
   }
 
+  /** Outliers to keep per label in q_emb_outliers. */
+  val OutlierK = 5
+
+  /** Embedding-space outlier screen per label — the "distance to class
+    * centroid" quality filter a curation pipeline runs before training:
+    * vectors far from their own label's centroid are mislabeled or noisy
+    * candidates. ALL arithmetic is exact integers (the engine's
+    * micro-unit convention): components quantize to round(x*1e6) BEFORE
+    * the centroid mean (integer sums commute, so the distributed
+    * aggregation order cannot perturb the result), the mean uses the
+    * positive-shift floor division that agrees between Spark DIV and
+    * DuckDB //, and distances are integer sums of squares (≤ 64 · (2.4e6)²
+    * ≈ 4e14 « 2^63). Shape at 100 TB: one vecSumLong aggregate (K×dim
+    * longs shuffled), a broadcast of the K-row centroid table, one
+    * narrow distance pass, and a rank-limited window (WindowGroupLimit
+    * keeps per-partition top-K, never a full per-label sort).
+    */
+  def labelOutliers(emb: DataFrame): DataFrame = {
+    val mv = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      expr(s"transform($vcol, y -> CAST(round(y * 1000000.0) AS BIGINT))").as("mv"))
+    val cents = mv.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.vecSumLong(col("mv"), Dim).as("sv"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"),
+        expr("transform(sv, s -> (s + cnt * 10000000) DIV cnt - 10000000)").as("cv"))
+    val d = mv.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        expr("""aggregate(zip_with(mv, cv, (x, y) -> (x - y) * (x - y)),
+               |CAST(0 AS BIGINT), (acc, z) -> acc + z)""".stripMargin).as("dist2_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist2_micro").desc, col("vec_id"))
+    d.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= OutlierK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_outliers" -> ((s, dir) => labelOutliers(Tables.embeddings(s, dir))),
     "q_emb_pq" -> ((s, dir) => pqCodes(Tables.embeddings(s, dir))),
     "q_emb_pq_recall" -> ((s, dir) => pqRecall(Tables.embeddings(s, dir))),
     "q_emb_quantize" -> ((s, dir) => quantizeInt8(Tables.embeddings(s, dir))),
@@ -816,7 +852,34 @@ object VectorOps {
          |  FROM (${pqAssignSql("subs", s"pc$PqIters")}) z1
          |  JOIN casg a2 ON z1.vec_id = a2.vec_id)""".stripMargin
 
+    val outlierSql = {
+      val sumCols = (0 until Dim)
+        .map(i => s"sum(mv[${i + 1}]) AS s_$i").mkString(",\n   ")
+      val centCols = (0 until Dim)
+        .map(i => s"CAST((s_$i + cnt * 10000000) // cnt - 10000000 AS BIGINT) AS c_$i")
+        .mkString(",\n   ")
+      val dist = (0 until Dim)
+        .map(i => s"(mv[${i + 1}] - c_$i) * (mv[${i + 1}] - c_$i)")
+        .mkString("(", " + ", ")")
+      s"""WITH mv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |   list_transform($v, y -> CAST(round(y * 1000000.0) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         | s AS (SELECT label, count(*) AS cnt,
+         |   $sumCols
+         |  FROM mv GROUP BY 1),
+         | c AS (SELECT label,
+         |   $centCols
+         |  FROM s),
+         | d AS (SELECT m.label, m.vec_id, $dist AS dist2_micro
+         |  FROM mv m JOIN c USING (label))
+         |SELECT label, vec_id, dist2_micro, rnk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY label
+         |   ORDER BY dist2_micro DESC, vec_id) AS rnk FROM d) z
+         |WHERE rnk <= $OutlierK""".stripMargin
+    }
+
     Map(
+      "q_emb_outliers" -> outlierSql,
       "q_emb_pq" -> {
         val codeCols = (0 until PqM)
           .map(m => s"max(CASE WHEN m = $m THEN code END) AS code_$m")

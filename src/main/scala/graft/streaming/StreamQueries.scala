@@ -482,7 +482,21 @@ object StreamQueries {
     * eviction runs with the watermark computed at the END of the
     * previous batch, and a single-batch run has no successor.
     */
-  def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    streamOuterJoin(s, dir, "left_outer")
+
+  /** Stream-stream FULL OUTER join — both directions of null emission:
+    * unmatched purchases AND unmatched clicks surface once the global
+    * watermark proves no partner can still arrive. Same sentinel-batch
+    * completeness argument as streamLeftJoin, applied to both sides (the
+    * two sentinel rows carry distinct negative user ids so they cannot
+    * match each other, and both are filtered on readback).
+    */
+  def streamFullJoin(s: SparkSession, dir: String): DataFrame =
+    streamOuterJoin(s, dir, "full_outer")
+
+  private def streamOuterJoin(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val sentinel = (uid: Long) =>
       s"""{"user_id":$uid,"ms":$SentinelMs,"event_id":-1}"""
     val lLanding = ensureSentinelFixture("sloj_l", dir,
@@ -505,8 +519,9 @@ object StreamQueries {
         col("user_id") === col("r_user_id") &&
           col("c_ts") <= col("p_ts") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"),
-        "left_outer")
-        .select(col("user_id"), unix_millis(col("p_ts")).as("p_ms"),
+        joinType)
+        .select(coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+          unix_millis(col("p_ts")).as("p_ms"),
           col("purchase_event_id"), unix_millis(col("c_ts")).as("c_ms"),
           col("click_event_id"))
       val q = joined.writeStream
@@ -1150,6 +1165,7 @@ object StreamQueries {
     "q_stream_passthrough" -> ((s, dir) => streamPassThrough(s, dir)),
     "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "q_stream_left_join" -> ((s, dir) => streamLeftJoin(s, dir)),
+    "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
@@ -1256,6 +1272,20 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'click')
         |SELECT user_id, p_ms, purchase_event_id, c_ms, click_event_id
         |FROM p LEFT JOIN c ON user_id = c_user_id
+        | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
+
+    // Both null-emission directions of the watermark-evicted outer join
+    // (see q_stream_left_join for the sentinel completeness argument).
+    "q_stream_full_join" ->
+      """WITH p AS (SELECT user_id AS p_user_id, epoch_ms(ts) AS p_ms,
+        |   event_id AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id AS c_user_id, epoch_ms(ts) AS c_ms,
+        |   event_id AS click_event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT coalesce(p_user_id, c_user_id) AS user_id, p_ms,
+        | purchase_event_id, c_ms, click_event_id
+        |FROM p FULL JOIN c ON p_user_id = c_user_id
         | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.

@@ -68,6 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partial top-k must sit under the group exchange:\n$plan")
   }
 
+  test("label-outlier rank window group-limits (no full per-label sort) and broadcasts centroids") {
+    val plan = SparkEntry.queries("q_emb_outliers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk <= k must push into WindowGroupLimit (per-partition top-k):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K-row centroid table must broadcast:\n$plan")
+  }
+
   test("star join broadcasts every dim; ingest stays fully pipelined") {
     // the two plans 100 TB depends on hardest: the dashboard star join
     // must never fall back to a shuffled SMJ for its small dims, and the
