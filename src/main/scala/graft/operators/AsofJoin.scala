@@ -150,13 +150,61 @@ object AsofJoin {
         col("click_event_id"), col("click_value"))
   }
 
+  /** Calendar gap-fill with last-observation-carried-forward — the
+    * time-series regularization step (sparse per-day observations → a
+    * dense daily series) every downstream model-feature or charting
+    * consumer needs. Per-user daily purchase totals, a generated day
+    * spine from each user's first to last active day, and LOCF via the
+    * ignore-nulls running `last` — the as-of semantic expressed as one
+    * user-partitioned window (never a global sort; spine size is bounded
+    * by each user's own date RANGE, not by data volume, the standard
+    * calendar-spine caveat). First spine day is always observed by
+    * construction, so the carried value is total.
+    */
+  def gapFillLocf(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("day")).agg(sum(col("cents")).as("spend_cents"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_observed",
+        when(col("spend_cents").isNotNull, 1L).otherwise(0L))
+      .withColumn("locf_cents", last(col("spend_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("is_observed"), col("locf_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, dir) => purchaseAsofClick(s, dir)),
     "q_asof_native" -> ((s, dir) => purchaseAsofClickNative(s, dir)),
+    "q_ts_fill" -> ((s, dir) => gapFillLocf(Tables.events(s, dir))),
     "q_scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // generate_series spine + IGNORE NULLS running last == LOCF.
+    "q_ts_fill" ->
+      """WITH daily AS (SELECT user_id,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        | spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM bounds)
+        |SELECT s.user_id, s.day,
+        | CAST(CASE WHEN d.spend_cents IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |   AS is_observed,
+        | last_value(d.spend_cents IGNORE NULLS) OVER (
+        |   PARTITION BY s.user_id ORDER BY s.day
+        |   ROWS UNBOUNDED PRECEDING) AS locf_cents
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
     // DuckDB's native ASOF LEFT JOIN, with the right side deduplicated to
     // the max-event_id row per (user, time) so tied timestamps resolve
     // exactly as the union-window plan's last() does.

@@ -277,7 +277,41 @@ object TextOps {
         lit(PhoneRe), lit("<PHONE>"))).as("masked_md5"))
   }
 
+  /** The composed quality-gate funnel a curation pipeline runs before
+    * training — four sequential filters (min chars, min tokens, language
+    * allowlist, exact-dup keep-one) with per-stage survivor counts and
+    * drop attribution, the "how much data does each gate cost us" audit.
+    * ONE scan computes all four flags (the dedup keep flag is a window
+    * min over the content hash — a single shuffle on md5), one aggregate
+    * row, and a 4-row stack; at 100 TB the only data-sized exchange is
+    * the md5 one the exact-dedup gate inherently needs.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val keepMin = min(col("doc_id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+    val flags = docs.select(
+      (col("n_chars") >= 100).as("f1"),
+      (size(org.apache.spark.sql.functions.split(col("text"), " ")) >= 20).as("f2"),
+      col("lang").isin("en", "de", "fr", "es").as("f3"),
+      (col("doc_id") === keepMin).as("f4"))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+          .otherwise(0L)).as("n4"))
+      .selectExpr(
+        """stack(4,
+          | '1_min_chars', n0, n1,
+          | '2_min_tokens', n1, n2,
+          | '3_lang', n2, n3,
+          | '4_exact_dedup', n3, n4) AS (stage, n_in, n_out)""".stripMargin)
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> ((s, dir) => filterFunnel(Tables.documents(s, dir))),
     "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
     "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
@@ -294,6 +328,24 @@ object TextOps {
     val toks = tokens("text", duck = true)
     val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
     Map(
+      "q_filter_funnel" ->
+        """WITH f AS (SELECT doc_id,
+          |   n_chars >= 100 AS f1,
+          |   len(string_split(text, ' ')) >= 20 AS f2,
+          |   lang IN ('en', 'de', 'fr', 'es') AS f3,
+          |   doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS f4
+          |  FROM documents),
+          | a AS (SELECT count(*) AS n0,
+          |   CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |   CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |   CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          |   CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+          |  FROM f)
+          |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+          | SELECT '1_min_chars' AS stage, n0 AS n_in, n1 AS n_out FROM a
+          | UNION ALL SELECT '2_min_tokens', n1, n2 FROM a
+          | UNION ALL SELECT '3_lang', n2, n3 FROM a
+          | UNION ALL SELECT '4_exact_dedup', n3, n4 FROM a) z""".stripMargin,
       "q_text_bpe_merges" ->
         s"""SELECT doc_id,
            | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))

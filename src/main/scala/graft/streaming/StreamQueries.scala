@@ -147,6 +147,8 @@ object StreamQueries {
       s"""{"user_id":-1,"ms":$SentinelMs,"event_id":-1}""")
     ensureSentinelFixture("sloj_r", dir, sjFixtureDf(s, dir, "click"),
       s"""{"user_id":-2,"ms":$SentinelMs,"event_id":-1}""")
+    ensureSentinelFixture("ohlc", dir, ohlcFixtureDf(s, dir),
+      s"""{"ms":$SentinelMs,"event_id":-1,"event_type":"zz","amount":0.0}""")
     ensureJsonFixture(fixtureDir("dedupttl", dir, "events"),
       ttlDedupFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
@@ -181,6 +183,18 @@ object StreamQueries {
     Tables.events(s, dir)
       .select(unix_millis(col("ts")).as("ms"), col("value").as("amount"))
       .repartition(1).sortWithinPartitions(col("ms"))
+
+  private def ohlcFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("event_id"),
+        col("event_type"), col("value").as("amount"))
+      .repartition(1).sortWithinPartitions(col("ms"), col("event_id"))
+
+  private val ohlcSchema = StructType(Seq(
+    StructField("ms", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("amount", DoubleType)))
 
   private def tempSink(): String =
     Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
@@ -541,6 +555,63 @@ object StreamQueries {
         StructField("click_event_id", LongType))))
       .parquet(s"$tmp/out")
       .filter(col("user_id") >= 0) // drop the sentinel rows themselves
+  }
+
+  /** Streaming OHLC candlestick bars — the reference pipeline's
+    * BigQuery-dashboard aggregate as a LIVE hourly window: open/close
+    * via min_by/max_by over the unique (ms, event_id) order key
+    * (tie-deterministic at any event rate), high/low/volume/count as
+    * plain aggregates, all accumulating in windowed state behind a
+    * 10-minute watermark. The sentinel batch (see ensureSentinelFixture)
+    * advances the watermark past every real bar so the emission is the
+    * COMPLETE batch answer; the sentinel's own bar never closes (nothing
+    * follows it) and is filtered defensively anyway. State per key is
+    * O(1) — six longs — so a year of this stream holds exactly
+    * (open windows × types) rows of state, the property that lets the
+    * bar builder run forever.
+    */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureSentinelFixture("ohlc", dir, ohlcFixtureDf(s, dir),
+      s"""{"ms":$SentinelMs,"event_id":-1,"event_type":"zz","amount":0.0}""")
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val src = s.readStream.schema(ohlcSchema)
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withColumn("cents", expr("CAST(round(amount * 100) AS BIGINT)"))
+        .withWatermark("ts", "10 minutes")
+      val agg = src
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          min_by(col("cents"), struct(col("ms"), col("event_id"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), struct(col("ms"), col("event_id"))).as("close_cents"),
+          sum(col("cents")).as("volume_cents"),
+          count(lit(1)).as("n_trades"))
+        .select(col("event_type"), unix_millis(col("w.start")).as("window_start_ms"),
+          col("open_cents"), col("high_cents"), col("low_cents"),
+          col("close_cents"), col("volume_cents"), col("n_trades"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("window_start_ms", LongType),
+        StructField("open_cents", LongType),
+        StructField("high_cents", LongType),
+        StructField("low_cents", LongType),
+        StructField("close_cents", LongType),
+        StructField("volume_cents", LongType),
+        StructField("n_trades", LongType)))
+      ).parquet(s"$tmp/out")
+      .filter(col("event_type") =!= "zz")
   }
 
   // ---------------------------------------------------------------------
@@ -1166,6 +1237,7 @@ object StreamQueries {
     "q_stream_join" -> ((s, dir) => streamStreamJoin(s, dir)),
     "q_stream_left_join" -> ((s, dir) => streamLeftJoin(s, dir)),
     "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
+    "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
@@ -1287,6 +1359,26 @@ object StreamQueries {
         | purchase_event_id, c_ms, click_event_id
         |FROM p FULL JOIN c ON p_user_id = c_user_id
         | AND c_ms <= p_ms AND c_ms >= p_ms - 300000""".stripMargin,
+
+    // Complete hourly bars (sentinel-flushed): the same tie-deterministic
+    // open/close selection as q_ohlc_bars' batch oracle, per event_type.
+    "q_stream_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | r AS (SELECT event_type, (ms // 3600000) * 3600000 AS window_start_ms,
+        |   cents,
+        |   row_number() OVER (PARTITION BY event_type, ms // 3600000
+        |     ORDER BY ms, event_id) AS rn,
+        |   count(*) OVER (PARTITION BY event_type, ms // 3600000) AS n
+        |  FROM e)
+        |SELECT event_type, window_start_ms,
+        | CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_cents,
+        | CAST(max(cents) AS BIGINT) AS high_cents,
+        | CAST(min(cents) AS BIGINT) AS low_cents,
+        | CAST(max(CASE WHEN rn = n THEN cents END) AS BIGINT) AS close_cents,
+        | CAST(sum(cents) AS BIGINT) AS volume_cents,
+        | count(*) AS n_trades
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
     "q_stream_dedup" ->
