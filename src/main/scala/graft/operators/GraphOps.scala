@@ -77,8 +77,46 @@ object GraphOps {
     r.select(col("b").as("brand"), col("r").as("rank_pico"))
   }
 
+  /** Oriented (b1 < b2) distinct co-purchase edges — the half-edge form
+    * triangle counting needs (each undirected edge appears once).
+    */
+  private def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("pk") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b"))
+      .distinct()
+    ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
+        col("ok") === col("ok2") && col("b") < col("b2"))
+      .select(col("b").as("b1"), col("b2")).distinct()
+  }
+
+  /** Per-node triangle membership over the co-purchase graph — the
+    * clustering-cohesion signal (a brand in many triangles sits in a
+    * dense co-buy community). The ORIENTED edge list (b1 < b2) makes
+    * each triangle (a < b < c) match exactly one join path
+    * e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash equi-joins, no
+    * symmetric double-count to divide away. At 100 TB the orientation is
+    * also the skew defense (each wedge is enumerated from its lowest
+    * vertex only; the production refinement is degree-ordering instead
+    * of id-ordering, same plan shape).
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = orientedEdges(spark, dir).cache()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b2") === col("e2.b1"))
+      .join(e.as("e3"),
+        col("e1.b1") === col("e3.b1") && col("e2.b2") === col("e3.b2"))
+      .select(col("e1.b1").as("a"), col("e1.b2").as("b"), col("e2.b2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> ((s, dir) => pageRank(s, dir))
+    "q_pagerank" -> ((s, dir) => pageRank(s, dir)),
+    "q_triangles" -> ((s, dir) => triangleCounts(s, dir))
   )
 
   def oracleSql: Map[String, String] = {
@@ -109,7 +147,21 @@ object GraphOps {
         s"""WITH $base,
            |$iters
            |SELECT b AS brand, CAST(r AS BIGINT) AS rank_pico
-           |FROM r$Iterations""".stripMargin
+           |FROM r$Iterations""".stripMargin,
+
+      // Same oriented pe edges; each triangle matches exactly one
+      // (e1, e2, e3) path, then every member counts it once.
+      "q_triangles" ->
+        """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+          | pe AS (SELECT DISTINCT a.b AS b1, o2.b AS b2
+          |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b),
+          | tri AS (SELECT e1.b1 AS a, e1.b2 AS b, e2.b2 AS c
+          |  FROM pe e1 JOIN pe e2 ON e1.b2 = e2.b1
+          |  JOIN pe e3 ON e3.b1 = e1.b1 AND e3.b2 = e2.b2)
+          |SELECT brand, count(*) AS n_triangles FROM (
+          | SELECT unnest([a, b, c]) AS brand FROM tri) z
+          |GROUP BY 1""".stripMargin
     )
   }
 }

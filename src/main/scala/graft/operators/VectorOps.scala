@@ -740,7 +740,30 @@ object VectorOps {
       .filter(col("rnk") <= OutlierK)
   }
 
+  /** The corpus Gram matrix XᵀX over integer-micro embedding components —
+    * the one distributed pass behind PCA, whitening, and closed-form
+    * linear probes (the normal equations' left side). Each row
+    * contributes its 64×64 outer product; the native long-vector
+    * aggregate folds them map-side, so the shuffle carries ONE
+    * 4096-long buffer per partition regardless of row count, and the
+    * driver never sees data rows. Exact integer parity: products ≤
+    * (5.8e5)² ≈ 3.4e11, so sums stay in int64 up to ~2.7e7 rows per
+    * cell magnitude — beyond that a 100 TB run widens the buffer to
+    * DECIMAL(38) or block-partitions the sum; the PLAN (narrow outer
+    * product + mergeable vector aggregate) is unchanged.
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val mv = emb.select(
+      expr(s"transform($vcol, y -> CAST(round(y * 1000000.0) AS BIGINT))").as("mv"))
+    mv.select(expr("flatten(transform(mv, x -> transform(mv, y -> x * y)))").as("op"))
+      .agg(graft.functions.VectorAggregates.vecSumLong(col("op"), Dim * Dim).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "gram_micro2")))
+      .select(expr(s"CAST(pos DIV $Dim AS BIGINT)").as("i"),
+        expr(s"CAST(pos % $Dim AS BIGINT)").as("j"), col("gram_micro2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_gram" -> ((s, dir) => gramMatrix(Tables.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => labelOutliers(Tables.embeddings(s, dir))),
     "q_emb_pq" -> ((s, dir) => pqCodes(Tables.embeddings(s, dir))),
     "q_emb_pq_recall" -> ((s, dir) => pqRecall(Tables.embeddings(s, dir))),
@@ -878,7 +901,18 @@ object VectorOps {
          |WHERE rnk <= $OutlierK""".stripMargin
     }
 
+    val gramSql =
+      s"""WITH mv AS (SELECT
+         |   list_transform($v, y -> CAST(round(y * 1000000.0) AS BIGINT)) AS mv
+         |  FROM embeddings)
+         |SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+         | CAST(sum(mv[i.i + 1] * mv[j.j + 1]) AS BIGINT) AS gram_micro2
+         |FROM mv, generate_series(0, ${Dim - 1}) i(i),
+         | generate_series(0, ${Dim - 1}) j(j)
+         |GROUP BY 1, 2""".stripMargin
+
     Map(
+      "q_emb_gram" -> gramSql,
       "q_emb_outliers" -> outlierSql,
       "q_emb_pq" -> {
         val codeCols = (0 until PqM)
