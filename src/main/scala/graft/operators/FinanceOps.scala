@@ -74,7 +74,7 @@ object FinanceOps {
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
 
-  private def benfordCase(digitCol: String): String =
+  private[graft] def benfordCase(digitCol: String): String =
     BenfordPpm.map { case (d, p) => s"WHEN $digitCol = $d THEN CAST($p AS BIGINT)" }
       .mkString("CASE ", " ", " END")
 
@@ -90,8 +90,15 @@ object FinanceOps {
     val d = events.select(cents.as("cents"))
       .filter(col("cents") >= 1) // non-positive rows carry no leading digit
       .select(expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
-    val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val tot = d.agg(count(lit(1)).as("tot"))
+    benfordFromCounts(d.groupBy(col("digit")).agg(count(lit(1)).as("n")))
+  }
+
+  /** (digit, n) counts → the full Benford audit row set. Split out so the
+    * streaming twin can feed state-accumulated counts through the
+    * identical scoring arithmetic.
+    */
+  private[graft] def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n")).as("tot"))
     counts.crossJoin(broadcast(tot))
       .withColumn("observed_ppm", expr("n * 1000000 DIV tot"))
       .withColumn("expected_ppm", expr(benfordCase("digit")))

@@ -168,7 +168,30 @@ object SampleOps {
         (abs(col("approx_p50") - col("exact_p50")) /
           col("exact_p50") <= 0.01).as("approx_within_1pct"))
 
+  /** Per-group EXACT order statistics — the latency-SLO shape (p50/p95/
+    * p99 per service) applied to transaction sizes per event type. No
+    * float interpolation anywhere: each percentile SELECTS the actual
+    * element at rank ceil(q·n) (computed as the integer (q·n + 99) DIV
+    * 100; p50 is the lower median (n+1) DIV 2), so the result is
+    * engine-exact by construction. One partitioned sort per group + one
+    * aggregate — groups parallelize independently, nothing global; the
+    * approx twin for wide groups is q_approx_quantiles.
+    */
+  def groupOrderStats(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val part = Window.partitionBy(col("event_type"))
+    val r = e.withColumn("rn", row_number().over(part.orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(part))
+    r.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === expr("(n + 1) DIV 2"), col("cents"))).as("p50_cents"),
+      max(when(col("rn") === expr("(95 * n + 99) DIV 100"), col("cents"))).as("p95_cents"),
+      max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("cents"))).as("p99_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_slo" -> ((s, dir) => groupOrderStats(Tables.events(s, dir))),
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
     "q_sample_budget" -> ((s, dir) => tokenBudgetSample(Tables.documents(s, dir))),
@@ -181,6 +204,20 @@ object SampleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_group_slo" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | r AS (SELECT event_type, cents,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+        |   AS p50_cents,
+        | CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS BIGINT)
+        |   AS p95_cents,
+        | CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS BIGINT)
+        |   AS p99_cents
+        |FROM r GROUP BY 1""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang, doc_id, rnk FROM (
          | SELECT lang, doc_id,

@@ -614,6 +614,38 @@ object StreamQueries {
       .filter(col("event_type") =!= "zz")
   }
 
+  /** Streaming Benford fraud screen — the first-digit distribution
+    * accumulating in complete-mode state across micro-batches (digit
+    * counts are 9 keys of O(1) state each, the smallest possible
+    * streaming aggregate), scored through the IDENTICAL arithmetic as
+    * the batch audit (FinanceOps.benfordFromCounts), so the oracle is
+    * literally q_benford's SQL: the streaming == batch invariant.
+    */
+  def streamBenford(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
+      windowFixtureDf(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(windowSchema).json(landing)
+        .select(expr("CAST(round(amount * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") >= 1)
+        .select(expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.FinanceOps.benfordFromCounts(
+      s.read.schema(StructType(Seq(
+          StructField("digit", LongType), StructField("n", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   // ---------------------------------------------------------------------
   // ST3/S9: stream-static enrich, dim re-read (and broadcast) per batch
   // ---------------------------------------------------------------------
@@ -1238,6 +1270,7 @@ object StreamQueries {
     "q_stream_left_join" -> ((s, dir) => streamLeftJoin(s, dir)),
     "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
+    "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
@@ -1379,6 +1412,10 @@ object StreamQueries {
         | CAST(sum(cents) AS BIGINT) AS volume_cents,
         | count(*) AS n_trades
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // The streaming == batch invariant made literal: complete-mode digit
+    // counts scored through the same arithmetic as the batch audit.
+    "q_stream_benford" -> graft.operators.FinanceOps.oracleSql("q_benford"),
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
     "q_stream_dedup" ->
