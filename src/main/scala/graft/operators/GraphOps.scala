@@ -36,16 +36,7 @@ object GraphOps {
     * incidence, then distinct ordered pairs sharing an order.
     */
   private def brandEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ob = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("pk") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("b"))
-      .distinct()
-    val pairs = ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
-        col("ok") === col("ok2") && col("b") < col("b2"))
-      .select(col("b").as("b1"), col("b2")).distinct()
+    val pairs = orientedEdges(spark, dir)
     pairs.select(col("b1").as("src"), col("b2").as("dst"))
       .unionByName(pairs.select(col("b2").as("src"), col("b1").as("dst")))
   }
@@ -60,6 +51,9 @@ object GraphOps {
     // caller-owned, as throughout), so the loop re-reads K rows, not the
     // lineitem join chain five times
     val edges = brandEdges(spark, dir).cache()
+    // materialize before the iteration DAG launches (deg + 5 iterations
+    // all consume it inside one action — see orientedEdges' note)
+    edges.count()
     val deg = edges.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
     val nodes = Tables.part(spark, dir).select(col("p_brand").as("b")).distinct()
     val nd = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
@@ -81,6 +75,10 @@ object GraphOps {
     * triangle counting needs (each undirected edge appears once).
     */
   private def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    // cache the (order, brand) incidence: both sides of the wedge
+    // self-join consume it, and it is orders × brands small — without
+    // this the lineitem scan + broadcast join runs twice (cache
+    // lifecycle caller-owned, as throughout)
     val ob = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(broadcast(Tables.part(spark, dir)
@@ -88,6 +86,11 @@ object GraphOps {
         col("pk") === col("p_partkey"))
       .select(col("ok"), col("p_brand").as("b"))
       .distinct()
+      .cache()
+    // materialize BEFORE the self-join launches: its two scan branches
+    // would otherwise race to compute the same cached partitions and
+    // serialize on the block write locks (the q_gen_constraints lesson)
+    ob.count()
     ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
         col("ok") === col("ok2") && col("b") < col("b2"))
       .select(col("b").as("b1"), col("b2")).distinct()
