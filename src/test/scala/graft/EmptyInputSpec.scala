@@ -28,6 +28,23 @@ class EmptyInputSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  test("finance/time-series/order-stat operators survive an empty stream") {
+    import graft.operators.{AsofJoin, FinanceOps}
+    assert(FinanceOps.ohlcBars(emptyEvents).count() == 0)
+    assert(FinanceOps.runningBalance(emptyEvents).count() == 0)
+    assert(FinanceOps.benfordAudit(emptyEvents).count() == 0)
+    assert(AsofJoin.gapFillLocf(emptyEvents).count() == 0)
+    assert(SampleOps.groupOrderStats(emptyEvents).count() == 0)
+    assert(DedupOps.dupSpanStats(emptyDocs).count() == 0)
+  }
+
   test("budget sample on a single tiny doc keeps it (crossing doc included)") {
     import spark.implicits._
     val one = Seq((1L, "a b c", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")

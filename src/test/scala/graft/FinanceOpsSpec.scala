@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DedupOps, FinanceOps}
+import graft.operators.{DedupOps, FinanceOps, SampleOps}
 
 class FinanceOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -53,6 +53,42 @@ class FinanceOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("final_cents") == 350L)
     assert(r.getAs[Long]("min_cents") == -200L)
     assert(r.getAs[Long]("n_overdraft") == 2L) // rows at -200, -150
+  }
+
+  test("running balance and group order stats match a brute-force reference on random data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 400L).map { id =>
+      (id, rnd.nextInt(100000).toLong, rnd.nextLong(7L),
+        Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 20000) / 100.0)
+    }
+    val df = ev(rows)
+
+    // brute balance per user, in (t, event_id) order
+    val byUser = rows.groupBy(_._3).map { case (u, es) =>
+      val deltas = es.sortBy(e => (e._2, e._1))
+        .map(e => (if (e._4 == "purchase") -1 else 1) * math.round(e._5 * 100))
+      val running = deltas.scanLeft(0L)(_ + _).drop(1)
+      u -> ((deltas.sum, running.min, running.count(_ < 0).toLong))
+    }
+    val got = graft.operators.FinanceOps.runningBalance(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("final_cents"), r.getAs[Long]("min_cents"),
+          r.getAs[Long]("n_overdraft")))).toMap
+    assert(got == byUser)
+
+    // brute per-type order statistics at the integer selection ranks
+    val byType = rows.groupBy(_._4).map { case (t, es) =>
+      val sorted = es.map(e => math.round(e._5 * 100)).sorted
+      val n = sorted.length
+      def sel(rank: Long) = sorted((rank - 1).toInt)
+      t -> ((n.toLong, sel((n + 1) / 2), sel((95L * n + 99) / 100), sel((99L * n + 99) / 100)))
+    }
+    val gotSlo = SampleOps.groupOrderStats(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p50_cents"),
+          r.getAs[Long]("p95_cents"), r.getAs[Long]("p99_cents")))).toMap
+    assert(gotSlo == byType)
   }
 
   test("dup spans count OCCURRENCES: a doc repeating a shared phrase counts it twice") {
