@@ -310,7 +310,48 @@ object TextOps {
       .withColumn("n_dropped", col("n_in") - col("n_out"))
   }
 
+  /** Per-source vocabulary statistics — the Heaps-law corpus audit
+    * (occurrences vs distinct types) that sizes tokenizer vocabularies
+    * and spots boilerplate-heavy sources (low type/token ratio). Two
+    * aggregates: a narrow per-doc token count, and a distinct over the
+    * exploded (source, token) pairs — the one data-sized shuffle, hash-
+    * distributed on the pair.
+    */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val split = org.apache.spark.sql.functions.split(col("text"), " ")
+    val perDoc = docs.select(col("source"),
+      size(split).cast("long").as("nt"))
+    val a = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val v = docs.select(col("source"), explode(split).as("w")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    a.join(v, Seq("source"))
+      .withColumn("tokens_per_doc", expr("n_tokens DIV n_docs"))
+  }
+
+  /** Bigram language-model head table — for every head word with enough
+    * evidence, its top-3 continuations by count (the n-gram LM / autocomplete
+    * diagnostic a corpus pipeline ships). Occurrence-level bigrams (dups
+    * kept), integer counts, deterministic (cnt DESC, w2) tie-break, and
+    * the rank-3 cut runs as WindowGroupLimit — per-partition top-k, no
+    * full per-head sort at scale.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val c = docs.select(expr("split(text, ' ')").as("toks"))
+      .select(explode(expr(bigramsAll("toks", duck = false))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .select(expr("split(g, ' ')[0]").as("w1"),
+        expr("split(g, ' ')[1]").as("w2"), col("cnt"))
+      .filter(col("cnt") >= 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2"))
+    c.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab" -> ((s, dir) => vocabStats(Tables.documents(s, dir))),
+    "q_bigram_lm" -> ((s, dir) => bigramLm(Tables.documents(s, dir))),
     "q_filter_funnel" -> ((s, dir) => filterFunnel(Tables.documents(s, dir))),
     "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
     "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
@@ -328,6 +369,33 @@ object TextOps {
     val toks = tokens("text", duck = true)
     val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
     Map(
+      "q_text_vocab" ->
+        """WITH perdoc AS (SELECT source,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+          |  FROM documents),
+          | a AS (SELECT source, count(*) AS n_docs,
+          |   CAST(sum(nt) AS BIGINT) AS n_tokens FROM perdoc GROUP BY 1),
+          | v AS (SELECT source, count(*) AS n_vocab FROM (
+          |   SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+          |   FROM documents) z GROUP BY 1)
+          |SELECT a.source, n_docs, n_tokens, n_vocab,
+          | n_tokens // n_docs AS tokens_per_doc
+          |FROM a JOIN v ON a.source = v.source""".stripMargin,
+
+      "q_bigram_lm" -> {
+        val grams2 = bigramsAll("toks", duck = true)
+        s"""WITH g AS (SELECT unnest(grams) AS g FROM (
+           |  SELECT $grams2 AS grams FROM (
+           |   SELECT string_split(text, ' ') AS toks FROM documents) t0) g0),
+           | c AS (SELECT string_split(g, ' ')[1] AS w1,
+           |   string_split(g, ' ')[2] AS w2, count(*) AS cnt
+           |  FROM g GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT w1, w2, cnt, rnk FROM (
+           | SELECT *, row_number() OVER (PARTITION BY w1
+           |   ORDER BY cnt DESC, w2) AS rnk FROM c) z
+           |WHERE rnk <= 3""".stripMargin
+      },
+
       "q_filter_funnel" ->
         """WITH f AS (SELECT doc_id,
           |   n_chars >= 100 AS f1,
