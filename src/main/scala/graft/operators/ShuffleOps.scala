@@ -282,7 +282,38 @@ object ShuffleOps {
           col("exact_d") <= 0.5).cast("int").as("within_4sigma"))
   }
 
+  /** Bucketed INTERVAL join — the scale answer for a range predicate with
+    * NO equi key (Spark's only native plan for `point BETWEEN lo AND hi`
+    * is a nested-loop join, quadratic at 100 TB): intervals explode to
+    * the coarse time buckets they cover, points map to their single
+    * bucket, and the match becomes a hash EQUI-join on the bucket plus a
+    * residual range filter. A point's bucket holds at most one copy of
+    * each interval, so no pair dedup is needed. Bucket width is the dial:
+    * ≥ the max interval span keeps the explode factor ≤ 2; a hot bucket
+    * (event burst inside one week) is ordinary join skew, which AQE
+    * skew-split handles. Fixture: every 1000th order opens a 7-day audit
+    * window; output counts shipments falling in each window, zero-count
+    * windows included via the final left join.
+    */
+  def intervalJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val day = "86400000"
+    val w = Tables.orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        expr(s"unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV $day").as("d0"))
+      .withColumn("d1", col("d0") + 6)
+    val wb = w.withColumn("bucket", explode(expr("sequence(d0 DIV 7, d1 DIV 7)")))
+    val pts = Tables.lineitem(s, dir)
+      .select(expr(s"unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV $day").as("d"))
+      .withColumn("bucket", expr("d DIV 7"))
+    val counts = pts.join(wb, Seq("bucket"))
+      .filter(col("d") >= col("d0") && col("d") <= col("d1"))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n"))
+    w.join(counts, Seq("win_id"), "left")
+      .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_shipments"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
@@ -313,6 +344,18 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The oracle is the PLAIN inequality join the bucketed plan rewrites.
+    "q_interval_join" ->
+      """WITH w AS (SELECT o_orderkey AS win_id,
+        |   epoch_ms(o_orderdate) // 86400000 AS d0,
+        |   epoch_ms(o_orderdate) // 86400000 + 6 AS d1
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        | c AS (SELECT win_id, count(*) AS n
+        |  FROM w JOIN lineitem
+        |    ON epoch_ms(l_shipdate) // 86400000 BETWEEN d0 AND d1
+        |  GROUP BY 1)
+        |SELECT w.win_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_shipments
+        |FROM w LEFT JOIN c ON w.win_id = c.win_id""".stripMargin,
     // KMV: the oracle recomputes the k-th smallest distinct hash with a
     // rank window and must hit the sketch's integer estimate exactly
     "q_kmv_distinct" -> {

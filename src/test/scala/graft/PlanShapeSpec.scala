@@ -77,6 +77,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the K-row centroid table must broadcast:\n$plan")
   }
 
+  test("bucketed interval join plans as equi hash joins — no nested loop anywhere") {
+    val plan = SparkEntry.queries("q_interval_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the bucket rewrite must keep the range join equi-keyed:\n$plan")
+  }
+
   test("star join broadcasts every dim; ingest stays fully pipelined") {
     // the two plans 100 TB depends on hardest: the dashboard star join
     // must never fall back to a shuffled SMJ for its small dims, and the
