@@ -142,6 +142,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator tier: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    // optimizer tier: quadratic band joins → bucketed equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     Seq(
       ("fpe_encrypt", (children: Seq[Expression]) => FpeEncryptExpression(children(0), children(1))),
       ("fpe_decrypt", (children: Seq[Expression]) => FpeDecryptExpression(children(0), children(1)))

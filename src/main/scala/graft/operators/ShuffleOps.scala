@@ -312,8 +312,30 @@ object ShuffleOps {
       .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_shipments"))
   }
 
+  /** The SAME interval-count answer, but written as the naive band join
+    * and left to the RangeJoinRewrite optimizer rule — the user writes
+    * `p >= lo AND p <= lo + 6` and the session plans the bucketed
+    * equi-join automatically (PlanShapeSpec pins that no nested-loop
+    * join survives). Shares q_interval_join's oracle semantics.
+    */
+  def intervalJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensureInjected(s)
+    val day = "86400000"
+    val w = Tables.orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        expr(s"unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV $day").as("d0"))
+    val pts = Tables.lineitem(s, dir)
+      .select(expr(s"unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV $day").as("d"))
+    val counts = pts.join(w,
+        col("d") >= col("d0") && col("d") <= col("d0") + lit(6L))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n"))
+    w.join(counts, Seq("win_id"), "left")
+      .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_shipments"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
+    "q_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
@@ -344,6 +366,20 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Same relational answer as q_interval_join — the rule-rewritten
+    // naive join must agree with the hand-bucketed plan AND the oracle.
+    "q_interval_join_auto" ->
+      """WITH w AS (SELECT o_orderkey AS win_id,
+        |   epoch_ms(o_orderdate) // 86400000 AS d0,
+        |   epoch_ms(o_orderdate) // 86400000 + 6 AS d1
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        | c AS (SELECT win_id, count(*) AS n
+        |  FROM w JOIN lineitem
+        |    ON epoch_ms(l_shipdate) // 86400000 BETWEEN d0 AND d1
+        |  GROUP BY 1)
+        |SELECT w.win_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_shipments
+        |FROM w LEFT JOIN c ON w.win_id = c.win_id""".stripMargin,
+
     // The oracle is the PLAIN inequality join the bucketed plan rewrites.
     "q_interval_join" ->
       """WITH w AS (SELECT o_orderkey AS win_id,

@@ -84,6 +84,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the bucket rewrite must keep the range join equi-keyed:\n$plan")
   }
 
+  test("RangeJoinRewrite turns the NAIVE band join into the bucketed equi-join") {
+    val plan = SparkEntry.queries("q_interval_join_auto")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // without the rule this exact query plans BroadcastNestedLoopJoin —
+    // the assertion proves the optimizer rule actually fired
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule did not fire:\n$plan")
+    assert(plan.contains("graft_p_bucket") || plan.contains("graft_i_bucket"),
+      s"expected the rewrite's bucket keys in the plan:\n$plan")
+  }
+
+  test("RangeJoinRewrite leaves an equi-keyed range join alone") {
+    graft.plans.RangeJoinRewrite.ensureInjected(spark)
+    val plan = SparkEntry.queries("q_range_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_p_bucket"),
+      s"rule must not rewrite a join that already has an equi key:\n$plan")
+  }
+
   test("star join broadcasts every dim; ingest stays fully pipelined") {
     // the two plans 100 TB depends on hardest: the dashboard star join
     // must never fall back to a shuffled SMJ for its small dims, and the
