@@ -333,9 +333,41 @@ object ShuffleOps {
       .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_shipments"))
   }
 
+  /** JOIN-SIZE ESTIMATION from Count-Min sketch inner products — the
+    * planner/DBA tool that predicts |A ⋈ B| without running the join:
+    * est_d = Σ_w cmA[d][w]·cmB[d][w] per depth row, min over depths —
+    * an overestimate by construction (AMS/CM inner-product bound), which
+    * the emitted flag audits against the exact size. At 100 TB the two
+    * sketch builds are each ONE mergeable aggregate pass (a 1 KB buffer
+    * per partition shuffled), while the exact answer needs the real
+    * shuffle — that asymmetry is the whole point of the estimator. All
+    * arithmetic integer, the q_cm_sketch parity discipline.
+    */
+  def cmJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinAggregate.{cmSketch, Depth, Width}
+    val ev = Tables.events(spark, dir)
+    def side(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id").as("k"))
+    val sa = side("purchase").agg(cmSketch(col("k")).as("cma"))
+    val sb = side("click").agg(cmSketch(col("k")).as("cmb"))
+    val est = (0 until Depth).map { d =>
+      expr(s"""aggregate(transform(sequence(0, ${Width - 1}),
+              |  w -> element_at(cma, $d * $Width + w + 1)
+              |     * element_at(cmb, $d * $Width + w + 1)),
+              |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    }.reduce(least(_, _))
+    val exact = side("purchase").groupBy(col("k")).agg(count(lit(1)).as("na"))
+      .join(side("click").groupBy(col("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_size"))
+    sa.crossJoin(sb).crossJoin(broadcast(exact))
+      .select(col("exact_size"), est.as("cm_est"),
+        (est >= col("exact_size")).cast("int").as("never_underestimates"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
     "q_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
+    "q_cm_join_size" -> ((s, dir) => cmJoinSize(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
@@ -366,6 +398,29 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cm_join_size" -> {
+      import graft.functions.CountMinAggregate.{cellSql, Depth}
+      def cells(src: String) = (0 until Depth)
+        .map(d => s"SELECT $d AS d, ${cellSql("k", d)} AS cell, count(*) AS n FROM $src GROUP BY 2")
+        .mkString("\n  UNION ALL ")
+      val spine = (0 until Depth).map(d => s"($d)").mkString(", ")
+      s"""WITH p AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+         | c AS (SELECT user_id AS k FROM events WHERE event_type = 'click'),
+         | ca AS (${cells("p")}),
+         | cb AS (${cells("c")}),
+         | prods AS (SELECT ca.d, CAST(sum(ca.n * cb.n) AS BIGINT) AS s
+         |  FROM ca JOIN cb ON ca.d = cb.d AND ca.cell = cb.cell GROUP BY 1),
+         | est AS (SELECT min(coalesce(prods.s, 0)) AS cm_est
+         |  FROM (VALUES $spine) spine(d) LEFT JOIN prods ON spine.d = prods.d),
+         | ex AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS exact_size
+         |  FROM (SELECT k, count(*) AS n FROM p GROUP BY 1) a
+         |  JOIN (SELECT k, count(*) AS n FROM c GROUP BY 1) b ON a.k = b.k)
+         |SELECT exact_size, CAST(cm_est AS BIGINT) AS cm_est,
+         | CAST(CASE WHEN cm_est >= exact_size THEN 1 ELSE 0 END AS INT)
+         |   AS never_underestimates
+         |FROM ex, est""".stripMargin
+    },
+
     // Same relational answer as q_interval_join — the rule-rewritten
     // naive join must agree with the hand-bucketed plan AND the oracle.
     "q_interval_join_auto" ->
