@@ -153,13 +153,71 @@ object AuditOps {
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
   }
 
+  /** Distribution-drift audit — the PSI-style training/serving screen: the
+    * stream splits at its midpoint timestamp into reference and live
+    * halves, amounts bin into 10 equi-width buckets sized on the
+    * REFERENCE half (out-of-range live values clamp into the end
+    * buckets, exactly how a deployed monitor treats novel extremes), and
+    * each bucket reports both shares in integer ppm plus the absolute
+    * deviation. Everything is integer arithmetic — no libm log (real
+    * PSI's ln(p/q) factor) enters a compared value; rank the dev_ppm
+    * column for the alert. Clamping also absorbs the one engine
+    * difference (Spark DIV truncates, DuckDB // floors) because negative
+    * bucket ids only occur below the clamp. Three aggregate passes over
+    * the fact (midpoint, reference bounds, bucket counts) and two
+    * single-row broadcasts — nothing global, nothing sorted.
+    */
+  def driftAudit(events: DataFrame): DataFrame = {
+    val e = events.select(unix_micros(col("ts")).as("t"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = e.agg(expr("(min(t) + max(t)) DIV 2").as("tmid"))
+    val tagged = e.crossJoin(broadcast(mid))
+      .select((col("t") <= col("tmid")).as("is_ref"), col("cents"))
+    val st = tagged.filter(col("is_ref"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val b = tagged.crossJoin(broadcast(st))
+      .withColumn("bucket",
+        expr("least(greatest(((cents - mn) * 10) DIV (mx - mn + 1), 0), 9)"))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_live"))
+    val tot = b.agg(sum(col("n_ref")).as("tr"), sum(col("n_live")).as("tl"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_live"),
+        expr("n_ref * 1000000 DIV tr").as("ref_ppm"),
+        expr("n_live * 1000000 DIV tl").as("live_ppm"),
+        expr("abs(n_ref * 1000000 DIV tr - n_live * 1000000 DIV tl)")
+          .as("dev_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_audit" -> ((s, dir) => driftAudit(Tables.events(s, dir))),
     "q_fk_integrity" -> ((s, dir) => fkIntegrity(s, dir)),
     "q_anomaly_zscore" -> ((s, dir) => anomalyZscore(Tables.events(s, dir))),
     "q_skyline" -> ((s, dir) => skyline(Tables.part(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_drift_audit" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | mid AS (SELECT (min(t) + max(t)) // 2 AS tmid FROM e),
+        | tg AS (SELECT (t <= tmid) AS is_ref, cents FROM e, mid),
+        | st AS (SELECT min(cents) AS mn, max(cents) AS mx
+        |  FROM tg WHERE is_ref),
+        | b AS (SELECT
+        |   least(greatest(((cents - mn) * 10) // (mx - mn + 1), 0), 9)
+        |     AS bucket,
+        |   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_live
+        |  FROM tg, st GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |   CAST(sum(n_live) AS BIGINT) AS tl FROM b)
+        |SELECT bucket, n_ref, n_live,
+        | n_ref * 1000000 // tr AS ref_ppm,
+        | n_live * 1000000 // tl AS live_ppm,
+        | abs(n_ref * 1000000 // tr - n_live * 1000000 // tl) AS dev_ppm
+        |FROM b, tot""".stripMargin,
     "q_fk_integrity" ->
       """SELECT 'lineitem.partkey->part' AS edge, count(*) AS fact_rows,
         | count(*) FILTER (WHERE p_partkey IS NULL) AS orphan_rows,
