@@ -646,6 +646,51 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING bucketed interval join — the q_interval_join technique on
+    * a live stream: static audit windows (every 97th event opens a 2-day
+    * window) join the event stream on the coarse bucket EQUI key
+    * (`day DIV 2`; the window side pre-explodes to its ≤ 2 buckets) with
+    * the band predicate as a residual filter — a stream-static broadcast
+    * hash join per micro-batch where the naive formulation would be a
+    * per-batch nested loop. Per-window counts accumulate in complete
+    * mode (O(1) state per window); zero-match windows are restored by
+    * the batch-side left join on readback.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    // the ohlc sentinel landing, managed by ONE creator (two helpers
+    // racing on the same dir would fight over freshness markers); the
+    // sentinel row is filtered below — complete mode needs no batch split
+    val landing = ensureSentinelFixture("ohlc", dir, ohlcFixtureDf(s, dir),
+      s"""{"ms":$SentinelMs,"event_id":-1,"event_type":"zz","amount":0.0}""")
+    val w = Tables.events(s, dir).filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("win_id"),
+        expr("unix_millis(ts) DIV 86400000").as("d0"))
+    val wb = w.withColumn("bucket", explode(expr("sequence(d0 DIV 2, (d0 + 1) DIV 2)")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val pts = s.readStream.schema(ohlcSchema).json(landing)
+        .filter(col("event_id") >= 0) // tolerate a sentinel row if present
+        .select(expr("ms DIV 86400000").as("d"))
+        .withColumn("bucket", expr("d DIV 2"))
+      val q = pts.join(broadcast(wb), Seq("bucket"))
+        .filter(col("d") >= col("d0") && col("d") <= col("d0") + 1)
+        .groupBy(col("win_id")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val counts = s.read.schema(StructType(Seq(
+        StructField("win_id", LongType), StructField("n", LongType))))
+      .parquet(s"$tmp/out")
+    w.join(counts, Seq("win_id"), "left")
+      .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   // ---------------------------------------------------------------------
   // ST3/S9: stream-static enrich, dim re-read (and broadcast) per batch
   // ---------------------------------------------------------------------
@@ -1271,6 +1316,7 @@ object StreamQueries {
     "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
+    "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
 
@@ -1416,6 +1462,18 @@ object StreamQueries {
     // The streaming == batch invariant made literal: complete-mode digit
     // counts scored through the same arithmetic as the batch audit.
     "q_stream_benford" -> graft.operators.FinanceOps.oracleSql("q_benford"),
+
+    // The naive band join the bucketed stream-static plan replaces.
+    "q_stream_interval_join" ->
+      """WITH w AS (SELECT event_id AS win_id,
+        |   epoch_ms(ts) // 86400000 AS d0
+        |  FROM events WHERE event_id % 97 = 0),
+        | c AS (SELECT win_id, count(*) AS n
+        |  FROM w JOIN events e
+        |    ON epoch_ms(e.ts) // 86400000 BETWEEN d0 AND d0 + 1
+        |  GROUP BY 1)
+        |SELECT w.win_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM w LEFT JOIN c ON w.win_id = c.win_id""".stripMargin,
 
     // Streaming dropDuplicates over key-only records == batch DISTINCT.
     "q_stream_dedup" ->
