@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sequence packing — the step between a cleaned corpus and a training
+  * run: documents are laid into fixed-length context windows (here
+  * [[CtxLen]] = 128 tokens) and the pipeline reports how many windows the
+  * corpus fills and how much capacity is wasted. Two standard packing
+  * disciplines, each as one oracle-audited summary row:
+  *
+  *  - '''concat-and-chunk''' ([[chunkStats]]): all documents are
+  *    concatenated in a deterministic hash order and the stream is cut
+  *    every C tokens (GPT-style pretraining). Zero padding except the
+  *    final window, but documents straddle window boundaries — the audit
+  *    counts those fragmented documents, the quality cost of this mode.
+  *  - '''whole-doc next-fit''' ([[nextFitStats]]): a document is never
+  *    split (docs longer than C are clamped — counted upstream by the
+  *    token-stats op); if it doesn't fit in the current window's
+  *    remainder, a new window opens. No fragmentation, but windows carry
+  *    padding — the audit reports total padding and the fill rate in
+  *    basis points (integers end-to-end, so the cross-engine compare is
+  *    exact).
+  *
+  * Scale shape: both modes avoid any global ordering materialization.
+  * Chunk mode rides [[SampleOps.bucketedRunningBefore]] (the exact
+  * two-pass bucketed running sum: the only global window is over the B
+  * bucket rows). Next-fit is inherently sequential PER WINDOW STREAM —
+  * the distributed answer is per-bucket independence: each of the B
+  * hash-buckets packs its own documents into its own windows, so the
+  * fold runs B-way parallel with O(1) state (current fill + window
+  * count) and one shuffle on the bucket key. At 100 TB, B dials up with
+  * the cluster; the per-task state stays two longs. This per-shard
+  * packing is exactly what a multi-worker data loader does — each worker
+  * packs its own shard; nobody packs across shards.
+  *
+  * The fold itself uses `flatMapSortedGroups` (Spark supplies each
+  * group's rows already sorted by the secondary key, via the shuffle's
+  * sort — no per-group buffering or re-sort), the idiomatic home for
+  * genuinely order-dependent per-group logic that window functions
+  * cannot express (running sum WITH RESET is not a frame aggregate).
+  * The DuckDB oracle recomputes the same fold as a recursive CTE that
+  * advances every bucket one row per iteration.
+  *
+  * Reference anchor: the reference pipeline has no training-data step;
+  * this extends its warehouse toward the LLM-pipeline operator set the
+  * build brief mandates (packing sits beside the token-budget sample,
+  * `SampleOps.tokenBudgetSample`).
+  */
+object PackOps {
+
+  /** Context window length in whitespace tokens. */
+  val CtxLen = 128L
+  /** Pack-shard count (the parallelism dial; == SampleOps.BudgetBuckets
+    * so chunk mode can share the bucketed running sum unchanged).
+    */
+  val Buckets: Int = SampleOps.BudgetBuckets
+
+  import graft.functions.PortableSql.{alen, seedLadderSql, tokens}
+
+  private def hashKey(c: String): String = seedLadderSql(c, mod = 1000000007L)
+
+  /** doc_id, h (portable hash order key), tok (whitespace token count
+    * clamped to C so a single document always fits one window).
+    */
+  private def base(duck: Boolean, c: Long = CtxLen): String =
+    s"""SELECT doc_id, ${hashKey("doc_id")} AS h,
+       | LEAST(${alen(tokens("text", duck), duck)}, $c) AS tok
+       |FROM documents""".stripMargin
+
+  private def sparkBase(docs: DataFrame, c: Long = CtxLen): DataFrame =
+    docs.select(col("doc_id"), expr(hashKey("doc_id")).as("h"),
+      expr(s"CAST(LEAST(${alen(tokens("text", duck = false), duck = false)}, $c) AS BIGINT)")
+        .as("tok"))
+
+  /** Concat-and-chunk packing audit: window count, boundary-fragmented
+    * document count, and final-window padding, from the exact bucketed
+    * running token sum (never a global sort).
+    */
+  def chunkStats(docs: DataFrame, c: Long = CtxLen): DataFrame =
+    SampleOps.bucketedRunningBefore(sparkBase(docs, c), "tok", "tks_before")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr(s"sum(CASE WHEN tks_before DIV $c <> (tks_before + tok - 1) DIV $c " +
+          "THEN 1 ELSE 0 END)").as("n_split_docs"))
+      .withColumn("n_windows", expr(s"(total_tokens + ${c - 1}) DIV $c"))
+      .withColumn("tail_pad", expr(s"n_windows * $c - total_tokens"))
+
+  /** Whole-doc next-fit packing audit: per-bucket sequential fold
+    * (current fill + window count — O(1) state), summed across buckets.
+    * fill_bp = filled capacity in basis points, integer arithmetic.
+    */
+  def nextFitStats(spark: SparkSession, docs: DataFrame, c: Long = CtxLen): DataFrame = {
+    import spark.implicits._
+    val bucketed = SampleOps.withBucket(sparkBase(docs, c))
+      .select(col("bucket"), col("h"), col("doc_id"), col("tok"))
+      .as[(Int, Long, Long, Long)]
+    val perBucket = bucketed
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("h").asc, col("doc_id").asc) { (b, it) =>
+        var fill = 0L; var wins = 0L; var docs = 0L; var toks = 0L
+        it.foreach { case (_, _, _, tok) =>
+          docs += 1; toks += tok
+          if (wins == 0L || fill + tok > c) { wins += 1; fill = tok }
+          else fill += tok
+        }
+        Iterator((b, docs, toks, wins))
+      }
+      .toDF("bucket", "n_docs", "toks", "wins")
+    perBucket.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("toks")).as("total_tokens"),
+      sum(col("wins")).as("n_windows"))
+      .withColumn("total_pad", expr(s"n_windows * $c - total_tokens"))
+      .withColumn("fill_bp", expr(s"total_tokens * 10000 DIV (n_windows * $c)"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_chunk" -> ((s, dir) => chunkStats(Tables.documents(s, dir))),
+    "q_pack_nextfit" -> ((s, dir) => nextFitStats(s, Tables.documents(s, dir))))
+
+  def oracleSql: Map[String, String] = {
+    val c = CtxLen
+    Map(
+      "q_pack_chunk" ->
+        s"""WITH b AS (${base(duck = true)}),
+           |t AS (SELECT *, coalesce(sum(tok) OVER (ORDER BY h, doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tks_before FROM b)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(tok) AS BIGINT) AS total_tokens,
+           | CAST(sum(CASE WHEN tks_before // $c <> (tks_before + tok - 1) // $c
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           | CAST((sum(tok) + ${c - 1}) // $c AS BIGINT) AS n_windows,
+           | CAST(((sum(tok) + ${c - 1}) // $c) * $c - sum(tok) AS BIGINT) AS tail_pad
+           |FROM t""".stripMargin,
+      "q_pack_nextfit" ->
+        s"""WITH RECURSIVE b AS (${base(duck = true)}),
+           |o AS (SELECT tok, CAST(h * $Buckets // 1000000007 AS INT) AS bucket,
+           |  row_number() OVER (PARTITION BY CAST(h * $Buckets // 1000000007 AS INT)
+           |    ORDER BY h, doc_id) AS rn FROM b),
+           |s AS (
+           |  SELECT bucket, rn, tok AS fill, CAST(1 AS BIGINT) AS w FROM o WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.rn,
+           |    CASE WHEN s.fill + o.tok <= $c THEN s.fill + o.tok ELSE o.tok END,
+           |    s.w + CASE WHEN s.fill + o.tok <= $c THEN 0 ELSE 1 END
+           |  FROM o JOIN s ON o.bucket = s.bucket AND o.rn = s.rn + 1),
+           |f AS (SELECT bucket, max(rn) AS mrn FROM s GROUP BY bucket),
+           |fin AS (SELECT CAST(sum(s.w) AS BIGINT) AS wins
+           |        FROM s JOIN f ON s.bucket = f.bucket AND s.rn = f.mrn)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(o.tok) AS BIGINT) AS total_tokens,
+           | (SELECT wins FROM fin) AS n_windows,
+           | CAST((SELECT wins FROM fin) * $c - sum(o.tok) AS BIGINT) AS total_pad,
+           | CAST(sum(o.tok) * 10000 // ((SELECT wins FROM fin) * $c) AS BIGINT) AS fill_bp
+           |FROM o""".stripMargin)
+  }
+}

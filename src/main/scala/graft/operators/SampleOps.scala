@@ -99,10 +99,16 @@ object SampleOps {
     * [[tokenBudgetSample]]'s scaladoc for the proof sketch). Input needs
     * (doc_id, h, valueCol).
     */
-  private def bucketedRunningBefore(base0: DataFrame, valueCol: String,
-      beforeCol: String): DataFrame = {
-    val base = base0.withColumn("bucket",
+  /** Monotone bucket of the hash order key `h` — shared with PackOps so
+    * its per-bucket packing and this running sum agree on shard layout.
+    */
+  private[operators] def withBucket(base: DataFrame): DataFrame =
+    base.withColumn("bucket",
       expr(s"CAST(h * $BudgetBuckets DIV 1000000007 AS INT)"))
+
+  private[operators] def bucketedRunningBefore(base0: DataFrame, valueCol: String,
+      beforeCol: String): DataFrame = {
+    val base = withBucket(base0)
     val bucketOffsets = base.groupBy(col("bucket"))
       .agg(sum(col(valueCol)).as("btok"))
       // no-partition window is deliberate: the frame is <= B rows
