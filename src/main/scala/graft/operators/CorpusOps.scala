@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level governance audits a training-data pipeline publishes with
+  * every corpus build: where near-duplicates come from, whether the
+  * train/val/test wall is demographically fair, and how much boilerplate
+  * each source carries. All outputs are integers or order-insensitive
+  * extrema, so the DuckDB oracle compare is exact.
+  *
+  * Reference anchor: extends the warehouse-audit family
+  * (`fact_table_ingestion/` has no corpus analytics; these are the
+  * LLM-pipeline extension rows the build brief mandates).
+  */
+object CorpusOps {
+
+  import graft.functions.PortableSql.{tokens, trigramShingles}
+
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * how many verified near-dup pairs straddle it (src_a <= src_b
+    * lexicographically) and the jaccard range. The answer to "which
+    * sources are copies of each other" that decides source-level dedup
+    * order. Scale shape: rides the banded-minhash candidate join (hash
+    * distributed, never all-pairs) plus two broadcast-size dim joins on
+    * doc_id; the matrix is |sources|^2 rows at most.
+    */
+  def dupSourceMatrix(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.minhashDupPairs(docs)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(src.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(least(col("s1.source"), col("s2.source")).as("src_a"),
+        greatest(col("s1.source"), col("s2.source")).as("src_b"),
+        col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Split-fairness audit: for each train/val/test split, the maximum
+    * absolute deviation (basis points, integer arithmetic) of any
+    * source's within-split share from that source's whole-corpus share.
+    * A sound hash split is source-blind, so deviations stay small; a
+    * split keyed on anything correlated with source would light this up.
+    * Two grouped aggregates plus a broadcast join on source — no
+    * wide-row state, fact scanned twice (the corpus-share frame is
+    * |sources| rows).
+    */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    val bySplitSrc = docs
+      .selectExpr(s"${SplitOps.splitSql("doc_id")} AS split_name", "source")
+      .groupBy(col("split_name"), col("source"))
+      .agg(count(lit(1)).as("n_ss"))
+    val bySplit = bySplitSrc.groupBy(col("split_name"))
+      .agg(sum(col("n_ss")).as("n_split"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    bySplitSrc
+      .join(bySplit, "split_name")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("dev_bp",
+        abs(expr("n_ss * 10000 DIV n_split - n_src * 10000 DIV n_total")))
+      .groupBy(col("split_name"))
+      .agg(sum(col("n_ss")).as("n_docs"), max(col("dev_bp")).as("max_dev_bp"))
+  }
+
+  /** Document-frequency threshold above which a trigram shingle counts
+    * as boilerplate (appears in >= this many documents corpus-wide).
+    */
+  val BoilerDf = 20L
+
+  /** Per-source boilerplate profile: distinct shingles, how many are
+    * corpus-wide boilerplate (df >= [[BoilerDf]]), and the share of the
+    * source's shingle OCCURRENCES that are boilerplate, in basis points.
+    * The mining step behind boilerplate stripping (nav bars, license
+    * headers, template text repeated across documents).
+    *
+    * Scale shape: the BM25-postings shape — explode distinct-per-doc
+    * shingles, one map-side-combining count for df, rejoin on the
+    * shingle key (hash distributed; the df frame is vocabulary-sized and
+    * shrinks further under an optional df floor), then a two-level
+    * grouped rollup to |sources| rows. No all-pairs anything.
+    */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val sh = docs.selectExpr("doc_id", "source",
+      s"explode(${trigramShingles(tokens("text", duck = false), duck = false)}) AS sh")
+    // distinct-per-doc shingles: count(*) per shingle IS the document
+    // frequency (no countDistinct shuffle needed)
+    val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfFrame, "sh")
+      .groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("occ"),
+        max(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("ib"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("ib")).as("n_boiler_shingles"),
+        sum(col("occ")).as("n_occ"),
+        sum(col("occ") * col("ib")).as("n_boiler_occ"))
+      .withColumn("boiler_occ_bp", expr("n_boiler_occ * 10000 DIV n_occ"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_source_matrix" -> ((s, dir) => dupSourceMatrix(Tables.documents(s, dir))),
+    "q_split_balance" -> ((s, dir) => splitBalance(Tables.documents(s, dir))),
+    "q_boilerplate" -> ((s, dir) => boilerplate(Tables.documents(s, dir))))
+
+  def oracleSql: Map[String, String] = {
+    val pairsSql = DedupOps.oracleSql("q_dedup_minhash_pairs")
+    val shingles = trigramShingles(tokens("text", duck = true), duck = true)
+    Map(
+      "q_dup_source_matrix" ->
+        s"""WITH p AS (SELECT d1, d2, jaccard FROM ($pairsSql) x),
+           |s AS (SELECT doc_id, source FROM documents)
+           |SELECT least(s1.source, s2.source) AS src_a,
+           | greatest(s1.source, s2.source) AS src_b,
+           | CAST(count(*) AS BIGINT) AS n_pairs,
+           | min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+           |FROM p JOIN s s1 ON p.d1 = s1.doc_id
+           |       JOIN s s2 ON p.d2 = s2.doc_id
+           |GROUP BY 1, 2""".stripMargin,
+      "q_split_balance" ->
+        s"""WITH ss AS (SELECT ${SplitOps.splitSql("doc_id")} AS split_name, source,
+           |  count(*) AS n_ss FROM documents GROUP BY 1, 2),
+           |sp AS (SELECT split_name, CAST(sum(n_ss) AS BIGINT) AS n_split FROM ss GROUP BY 1),
+           |sr AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+           |t AS (SELECT count(*) AS n_total FROM documents)
+           |SELECT ss.split_name, CAST(sum(n_ss) AS BIGINT) AS n_docs,
+           | CAST(max(abs(n_ss * 10000 // n_split - n_src * 10000 // n_total)) AS BIGINT)
+           |   AS max_dev_bp
+           |FROM ss JOIN sp ON ss.split_name = sp.split_name
+           |        JOIN sr ON ss.source = sr.source
+           |        CROSS JOIN t
+           |GROUP BY 1""".stripMargin,
+      "q_boilerplate" ->
+        s"""WITH ts AS (SELECT doc_id, source, unnest($shingles) AS sh FROM documents),
+           |d AS (SELECT sh, count(*) AS df FROM ts GROUP BY 1),
+           |m AS (SELECT source, ts.sh AS sh, count(*) AS occ,
+           |  max(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS ib
+           |  FROM ts JOIN d ON ts.sh = d.sh GROUP BY 1, 2)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+           | CAST(sum(ib) AS BIGINT) AS n_boiler_shingles,
+           | CAST(sum(occ) AS BIGINT) AS n_occ,
+           | CAST(sum(occ * ib) AS BIGINT) AS n_boiler_occ,
+           | CAST(sum(occ * ib) * 10000 // sum(occ) AS BIGINT) AS boiler_occ_bp
+           |FROM m GROUP BY 1""".stripMargin)
+  }
+}

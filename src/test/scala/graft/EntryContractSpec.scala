@@ -32,7 +32,8 @@ class EntryContractSpec extends AnyFunSuite {
       graft.gen.Generators.queries, graft.operators.ShuffleOps.queries,
       graft.operators.TypedAgg.queries, graft.operators.MixOps.queries,
       graft.operators.GraphOps.queries, graft.operators.FinanceOps.queries,
-      graft.operators.SplitOps.queries, graft.operators.PackOps.queries)
+      graft.operators.SplitOps.queries, graft.operators.PackOps.queries,
+      graft.operators.CorpusOps.queries)
     val all = maps.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"query name collision (later map would shadow): $dups")
