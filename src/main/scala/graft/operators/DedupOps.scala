@@ -421,6 +421,7 @@ object DedupOps {
     "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir))),
+    "q_dedup_containment" -> ((s, dir) => containmentPairs(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
     "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir)))
   )
@@ -465,6 +466,56 @@ object DedupOps {
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= DeconMinShared)
+  }
+
+  /** Containment candidate gate: grams this common are boilerplate, not
+    * evidence (bounds candidate volume exactly like [[DeconDfCap]]).
+    */
+  val ContainDfCap = 20
+  /** Candidate pairs must share at least this many rare distinct grams. */
+  val ContainMinShared = 5
+  /** Flag threshold on |A∩B| / min(|A|, |B|). */
+  val ContainThreshold = 0.8
+
+  /** ASYMMETRIC near-dup pairs by shingle containment — the quote /
+    * header-wrap / excerpt case minhash misses by design: a short doc
+    * embedded in a much longer one has high containment
+    * (|A∩B| / min(|A|,|B|)) but low Jaccard, so its band signature never
+    * collides (minhash estimates resemblance, not containment). The
+    * candidate generator therefore can't be LSH bands; it's the
+    * decontamination shape instead — an equi-join on RARE gram hashes
+    * (corpus df <= [[ContainDfCap]]), then one exact intersection per
+    * surviving pair. Emits both containment and jaccard so the policy
+    * layer can separate "contained excerpt" from "global duplicate".
+    *
+    * Scale shape: candidate volume is bounded by Σ_g df(g)² over kept
+    * grams <= DfCap × Σ df — linear in corpus size at fixed cap, never
+    * doc × doc; the exact verify joins the (tiny) candidate set back to
+    * the fused shingle kernel on doc_id.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val g = withShingleHashes(docs).cache()
+    val sh = g.select(col("doc_id"), explode(array_distinct(col("hs"))).as("gm"))
+    val rare = sh.groupBy(col("gm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap)
+      .select(col("gm"))
+    val shr = sh.join(rare, "gm")
+    val cand = shr.as("a")
+      .join(shr.as("b"),
+        col("a.gm") === col("b.gm") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContainMinShared)
+      .select(col("d1"), col("d2"))
+    cand
+      .join(g.select(col("doc_id").as("d1"), array_distinct(col("hs")).as("h1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), array_distinct(col("hs")).as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("n_inter"),
+        size(col("h1")).cast("long").as("n1"), size(col("h2")).cast("long").as("n2"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("containment") >= ContainThreshold)
   }
 
   /** Ensemble dedup decision: every doc flagged by at least one near-dup
@@ -649,7 +700,31 @@ object DedupOps {
            |SELECT train_doc, eval_doc, count(*) AS n_shared
            |FROM tr JOIN ev USING (g) JOIN keep USING (g)
            |GROUP BY train_doc, eval_doc
-           |HAVING count(*) >= $DeconMinShared""".stripMargin
+           |HAVING count(*) >= $DeconMinShared""".stripMargin,
+
+      // rare-gram candidates then one exact list_intersect per pair —
+      // the same distinct gram-hash sets as the Spark side
+      "q_dedup_containment" ->
+        s"""WITH g AS (SELECT doc_id, list_distinct(hs) AS hs
+           |   FROM (SELECT doc_id, $hs AS hs
+           |     FROM (SELECT doc_id, $grams AS grams FROM documents) g0) h),
+           | sh AS (SELECT doc_id, unnest(hs) AS gm FROM g),
+           | rare AS (SELECT gm FROM sh GROUP BY gm
+           |   HAVING count(*) <= $ContainDfCap),
+           | shr AS (SELECT doc_id, gm FROM sh JOIN rare USING (gm)),
+           | cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |   FROM shr a JOIN shr b ON a.gm = b.gm AND a.doc_id < b.doc_id
+           |   GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared)
+           |SELECT d1, d2,
+           | CAST(len(list_intersect(g1.hs, g2.hs)) AS BIGINT) AS n_inter,
+           | CAST(len(g1.hs) AS BIGINT) AS n1,
+           | CAST(len(g2.hs) AS BIGINT) AS n2,
+           | round(CAST(len(list_intersect(g1.hs, g2.hs)) AS DOUBLE)
+           |   / least(len(g1.hs), len(g2.hs)), 6) AS containment
+           |FROM cand JOIN g g1 ON cand.d1 = g1.doc_id
+           |          JOIN g g2 ON cand.d2 = g2.doc_id
+           |WHERE round(CAST(len(list_intersect(g1.hs, g2.hs)) AS DOUBLE)
+           |   / least(len(g1.hs), len(g2.hs)), 6) >= $ContainThreshold""".stripMargin
     )
   }
 }

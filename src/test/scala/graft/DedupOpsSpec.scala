@@ -117,6 +117,39 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_shared")) == 8L)
   }
 
+  test("containment flags an embedded excerpt that low jaccard hides") {
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+      "tempor incididunt labore dolore magna aliqua enim minim veniam quis"
+    val d = docs(
+      (11L, excerpt, "s1"),                       // the short doc: 8 shingles
+      (12L, filler + " " + excerpt, "s1"),        // long doc embedding it whole
+      (13L, "totally unrelated words that never appear anywhere else", "s1"))
+    val res = DedupOps.containmentPairs(d).collect()
+    spark.catalog.clearCache()
+    assert(res.length == 1, s"exactly the embedded pair: ${res.mkString(";")}")
+    val r = res(0)
+    assert(r.getLong(r.fieldIndex("d1")) == 11L)
+    assert(r.getLong(r.fieldIndex("d2")) == 12L)
+    // every shingle of the excerpt appears in the long doc except the two
+    // straddling the filler|excerpt seam (which are new grams) — n1 = 8,
+    // all 8 present in h2, so containment = 1.0
+    assert(r.getLong(r.fieldIndex("n_inter")) == r.getLong(r.fieldIndex("n1")))
+    assert(r.getDouble(r.fieldIndex("containment")) == 1.0)
+    // and jaccard over the union would be well under the minhash
+    // threshold: n2 >> n1
+    assert(r.getLong(r.fieldIndex("n2")) > 2 * r.getLong(r.fieldIndex("n1")))
+  }
+
+  test("containment yields nothing when overlap stays under the shared-gram floor") {
+    val d = docs(
+      (21L, "alpha beta gamma completely different tail words here", "s1"),
+      (22L, "alpha beta gamma another unrelated ending of the text", "s1"))
+    val res = DedupOps.containmentPairs(d).collect()
+    spark.catalog.clearCache()
+    assert(res.isEmpty, s"only 1 shared gram (< ${DedupOps.ContainMinShared}): ${res.mkString(";")}")
+  }
+
   test("rare-first prefix filtering returns exactly the value-ordered result set") {
     // skewed corpus: every doc opens with the same hot boilerplate (those
     // shingles are the FREQUENT ones the rare-first order keeps out of
