@@ -134,19 +134,38 @@ object AuditOps {
 
   /** 2D Pareto skyline of the part catalog (minimize retail price AND
     * size): a part is on the frontier iff no other part is <= on both
-    * dimensions and < on one. Computed without the quadratic self-join:
-    * per-price-group min size (one shuffle), then a running strict-prefix
-    * min over the DISTINCT prices — the only global ordering is over the
-    * price-group frame (1000 rows at sf0.1; at extreme price cardinality
-    * the same bucket-prefix two-pass as SampleOps.tokenBudgetSample
-    * applies), then a broadcast join back tags frontier rows.
+    * dimensions and < on one. Computed without the quadratic self-join
+    * AND without any corpus-sized global ordering: per-price-group min
+    * size (one shuffle), then the strict-prefix min decomposed with the
+    * same bucket two-pass as SampleOps.tokenBudgetSample — prefix-min is
+    * associative, so `prev_min(p) = min(prefix min of earlier buckets,
+    * within-bucket strict-prefix min)` exactly. The only global window
+    * runs over the bucket frame (price DIV [[SkylineBucketWidth]] —
+    * monotone in price, so bucket order == price order); the per-price
+    * window is partitioned by bucket. A broadcast join back tags
+    * frontier rows. At extreme price cardinality the bucket width is the
+    * dial; every pass stays parallel.
     */
+  val SkylineBucketWidth = 100L
+
   def skyline(part: DataFrame): DataFrame = {
     val groups = part.groupBy(col("p_retailprice").as("price"))
       .agg(min(col("p_size")).as("min_sz"))
-    val prevMin = groups.withColumn("prev_min",
-      min(col("min_sz")).over(Window.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("bucket", expr(s"CAST(floor(price / $SkylineBucketWidth) AS BIGINT)"))
+    val bucketPrev = groups.groupBy(col("bucket"))
+      .agg(min(col("min_sz")).as("bmin"))
+      // deliberate no-partition window: the frame is <= n_buckets rows
+      .withColumn("bucket_prev",
+        min(col("bmin")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("bucket_prev"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMin = groups.join(broadcast(bucketPrev), "bucket")
+      // least() skips nulls: first price of the first bucket gets NULL
+      // (no predecessor), matching the naive global-window definition
+      .withColumn("prev_min",
+        least(min(col("min_sz")).over(inBucket), col("bucket_prev")))
     part.join(broadcast(prevMin), part("p_retailprice") === prevMin("price"))
       .filter(col("p_size") === col("min_sz") &&
         (col("prev_min").isNull || col("p_size") < col("prev_min")))

@@ -49,6 +49,10 @@ class SequencePlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the bucket two-pass: the ONLY single-partition exchange feeds the
+    // bucket-frame window; the per-price window is partitioned by bucket
+    val single = "SinglePartition".r.findAllIn(plan).length
+    assert(single == 1, s"expected exactly the bucket window's exchange, got $single:\n$plan")
   }
 
   test("hopping windows emit every event into exactly size/slide windows") {
