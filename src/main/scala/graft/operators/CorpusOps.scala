@@ -106,7 +106,33 @@ object CorpusOps {
       .withColumn("boiler_occ_bp", expr("n_boiler_occ * 10000 DIV n_occ"))
   }
 
+  /** Per-source n-gram novelty: the share of a source's trigram
+    * OCCURRENCES whose gram first appeared in an EARLIER document
+    * (doc_id order — the corpus's ingestion order), in basis points.
+    * Contrast `q_dedup_spans` (symmetric df >= 2 dup mass): novelty
+    * ATTRIBUTES repetition to the later document, so a source that
+    * re-crawls existing text scores low novelty while the original
+    * source stays high — the staleness signal a crawl pipeline tracks
+    * release over release. Shape: one explode, a vocabulary-sized
+    * min-aggregate, one gram-keyed equi-join back, |sources| output
+    * rows. All hash-distributed; no ordering materialized anywhere
+    * (the "earlier" comparison is pure arithmetic on doc_id).
+    */
+  def gramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs.selectExpr("doc_id", "source",
+      s"explode(${trigramShingles(tokens("text", duck = false), duck = false)}) AS sh")
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_repeat"))
+      .withColumn("novelty_bp",
+        expr("(n_grams - n_repeat) * 10000 DIV n_grams"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gram_novelty" -> ((s, dir) => gramNovelty(Tables.documents(s, dir))),
     "q_dup_source_matrix" -> ((s, dir) => dupSourceMatrix(Tables.documents(s, dir))),
     "q_split_balance" -> ((s, dir) => splitBalance(Tables.documents(s, dir))),
     "q_boilerplate" -> ((s, dir) => boilerplate(Tables.documents(s, dir))))
@@ -115,6 +141,16 @@ object CorpusOps {
     val pairsSql = DedupOps.oracleSql("q_dedup_minhash_pairs")
     val shingles = trigramShingles(tokens("text", duck = true), duck = true)
     Map(
+      "q_gram_novelty" ->
+        s"""WITH ts AS (SELECT doc_id, source, unnest($shingles) AS sh FROM documents),
+           |fo AS (SELECT sh, min(doc_id) AS first_doc FROM ts GROUP BY 1)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+           | CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_repeat,
+           | CAST((count(*) - sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END))
+           |   * 10000 // count(*) AS BIGINT) AS novelty_bp
+           |FROM ts JOIN fo ON ts.sh = fo.sh
+           |GROUP BY 1""".stripMargin,
       "q_dup_source_matrix" ->
         s"""WITH p AS (SELECT d1, d2, jaccard FROM ($pairsSql) x),
            |s AS (SELECT doc_id, source FROM documents)

@@ -66,6 +66,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(book.getAs[Long]("boiler_occ_bp") == 0L)
   }
 
+  test("gram novelty attributes repetition to the later document") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"  // 6 shingles
+    val docs = Seq(
+      (1L, passage, "en", "orig", 48L),                 // first occurrence
+      (5L, passage, "en", "copier", 48L),               // verbatim re-crawl
+      (9L, "fresh words that nobody has ever written before now", "en", "copier", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusOps.gramNovelty(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orig = rows("orig")
+    assert(orig.getAs[Long]("n_repeat") == 0L)
+    assert(orig.getAs[Long]("novelty_bp") == 10000L)
+    val cop = rows("copier")
+    // doc 5's 6 shingles all first appeared in doc 1; doc 9's 7 are fresh
+    assert(cop.getAs[Long]("n_grams") == 13L)
+    assert(cop.getAs[Long]("n_repeat") == 6L)
+    assert(cop.getAs[Long]("novelty_bp") == 7L * 10000L / 13L)
+  }
+
   test("boilerplate survives a corpus with no doc reaching 3 tokens") {
     import spark.implicits._
     val df = Seq((1L, "two words", "en", "s", 9L))
