@@ -45,6 +45,30 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(DedupOps.dupSpanStats(emptyDocs).count() == 0)
   }
 
+  private def emptySourcedDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("split/pack/corpus operators survive an empty corpus") {
+    import graft.operators.{CorpusOps, PackOps, SplitOps}
+    assert(SplitOps.splitAssign(emptySourcedDocs).count() == 0)
+    val leak = SplitOps.splitLeakage(emptySourcedDocs).collect()
+    assert(leak.length == 1 && leak(0).getAs[Long]("n_pairs") == 0L)
+    // empty corpus: single agg row of NULL/0 counts, identically in DuckDB
+    val chunk = PackOps.chunkStats(emptySourcedDocs).collect()
+    assert(chunk.length == 1 && chunk(0).getAs[Long]("n_docs") == 0L)
+    val nf = PackOps.nextFitStats(spark, emptySourcedDocs).collect()
+    assert(nf.length == 1 && nf(0).getAs[Long]("n_docs") == 0L)
+    assert(CorpusOps.dupSourceMatrix(emptySourcedDocs).count() == 0)
+    assert(CorpusOps.splitBalance(emptySourcedDocs).count() == 0)
+    assert(CorpusOps.boilerplate(emptySourcedDocs).count() == 0)
+    assert(CorpusOps.gramNovelty(emptySourcedDocs).count() == 0)
+    assert(DedupOps.containmentPairs(emptySourcedDocs).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("budget sample on a single tiny doc keeps it (crossing doc included)") {
     import spark.implicits._
     val one = Seq((1L, "a b c", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
