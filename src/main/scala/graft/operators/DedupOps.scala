@@ -82,13 +82,11 @@ object DedupOps {
     * on exploded (band_idx, band_value) keys — one shuffle, no cross
     * product, skew-safe because band values are hash-distributed.
     */
-  def minhashDupPairs(docs: DataFrame): DataFrame = {
-    // The fused shingle-hash pass feeds the signature build AND both
-    // sides of the verify join; cache it once — doc_id + hs is narrow,
-    // and this is the same materialization Spark ML's LSH does on fit.
-    // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
-    // clearCache() after each query.
-    val g = withShingleHashes(docs).cache()
+  /** Exploded (doc_id, band_idx, band_val) LSH keys off the cached
+    * shingle-hash kernel — shared by the full-corpus and incremental
+    * pair generators.
+    */
+  private def bandFrame(g: DataFrame): DataFrame = {
     val hashed = g
       .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
@@ -97,15 +95,32 @@ object DedupOps {
     val sig = (0 until 4).foldLeft(withMh) { (df, j) =>
       df.withColumn(s"band_$j", col(s"mh_${2 * j}") * lit(P) + col(s"mh_${2 * j + 1}"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band_idx"), col(s"band_$j").as("band_val"))): _*
     )).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+  }
+
+  def minhashDupPairs(docs: DataFrame): DataFrame = {
+    // The fused shingle-hash pass feeds the signature build AND both
+    // sides of the verify join; cache it once — doc_id + hs is narrow,
+    // and this is the same materialization Spark ML's LSH does on fit.
+    // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
+    // clearCache() after each query.
+    val g = withShingleHashes(docs).cache()
+    val bands = bandFrame(g)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    verifyJaccard(g, cand)
+  }
+
+  /** Exact trigram-Jaccard verification of a candidate (d1, d2) frame
+    * against the cached shingle kernel.
+    */
+  private def verifyJaccard(g: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(g.select(col("doc_id").as("d1"), array_distinct(col("hs")).as("h1")), "d1")
       .join(g.select(col("doc_id").as("d2"), array_distinct(col("hs")).as("h2")), "d2")
@@ -113,6 +128,37 @@ object DedupOps {
         round(graft.functions.JaccardLongExpression.jaccard(col("h1"), col("h2")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= MinhashThreshold)
+
+  /** The arriving-batch slice for the incremental pair generator. */
+  val IncrMod = 10L
+  val IncrRem = 9L
+
+  /** INCREMENTAL near-dup pairs — the daily-ingest shape: dedup an
+    * arriving batch (here the deterministic doc_id % [[IncrMod]] ==
+    * [[IncrRem]] slice) against the standing corpus WITHOUT re-pairing
+    * the corpus with itself. One side of the band equi-join is pruned to
+    * the batch BEFORE the shuffle, so candidate volume scales with
+    * |batch| x collision rate instead of |corpus|^2 band mass — at
+    * 100 TB the corpus side's signatures come off the standing index
+    * (here recomputed: same values by construction), and yesterday's
+    * pairs are never re-derived. Emits every verified pair TOUCHING the
+    * batch, normalized d1 < d2; the oracle is the full-corpus pair set
+    * filtered to batch-touching rows — identical answers, radically
+    * different candidate plan (the q_dedup_ngram_rare pattern: a
+    * lossless plan swap).
+    */
+  def incrementalDupPairs(docs: DataFrame): DataFrame = {
+    val g = withShingleHashes(docs).cache()
+    val bands = bandFrame(g)
+    val batchBands = bands.filter(col("doc_id") % IncrMod === IncrRem)
+    val cand = bands.as("a").join(batchBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    verifyJaccard(g, cand)
   }
 
   /** doc_id, 24-bit simhash over trigram-shingle hashes, block_0..block_3
@@ -422,6 +468,7 @@ object DedupOps {
     "q_dedup_ngram_rare" -> ((s, dir) => ngramJaccardPairsRareFirst(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir))),
     "q_dedup_containment" -> ((s, dir) => containmentPairs(Tables.documents(s, dir))),
+    "q_dedup_incr" -> ((s, dir) => incrementalDupPairs(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
     "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir)))
   )
@@ -701,6 +748,13 @@ object DedupOps {
            |FROM tr JOIN ev USING (g) JOIN keep USING (g)
            |GROUP BY train_doc, eval_doc
            |HAVING count(*) >= $DeconMinShared""".stripMargin,
+
+      // the full-corpus pair set filtered to batch-touching rows: the
+      // incremental generator's pruned candidate join is lossless for
+      // pairs touching the batch slice, so the answers coincide exactly
+      "q_dedup_incr" ->
+        s"""SELECT d1, d2, jaccard FROM ($minhashPairsSql) p
+           |WHERE d1 % $IncrMod = $IncrRem OR d2 % $IncrMod = $IncrRem""".stripMargin,
 
       // rare-gram candidates then one exact list_intersect per pair —
       // the same distinct gram-hash sets as the Spark side

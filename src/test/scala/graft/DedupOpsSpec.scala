@@ -141,6 +141,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n2")) > 2 * r.getLong(r.fieldIndex("n1")))
   }
 
+  test("incremental pairs == full pair set filtered to batch-touching rows") {
+    // ids 9, 19 are in the % 10 == 9 batch slice; 1, 2, 11 are standing
+    // corpus. Dup groups: {1, 2} (corpus-only — must NOT appear),
+    // {9, 11} (batch x corpus), {19, 12} (batch x corpus).
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val c = "red orange yellow green blue indigo violet ultra infra deep"
+    val d = docs(
+      (1L, a, "s1"), (2L, a, "s1"),
+      (9L, b, "s1"), (11L, b, "s1"),
+      (19L, c, "s1"), (12L, c, "s1"),
+      (3L, "nothing like any other document in this corpus at all", "s1"))
+    val incr = DedupOps.incrementalDupPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val full = DedupOps.minhashDupPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(incr == Set((9L, 11L), (12L, 19L)), s"got $incr")
+    assert(incr == full.filter { case (x, y) => x % 10 == 9 || y % 10 == 9 })
+    assert(full.contains((1L, 2L)) && !incr.contains((1L, 2L)),
+      "corpus-internal pairs must never be re-derived")
+  }
+
   test("containment yields nothing when overlap stays under the shared-gram floor") {
     val d = docs(
       (21L, "alpha beta gamma completely different tail words here", "s1"),

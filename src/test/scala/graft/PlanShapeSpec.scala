@@ -55,6 +55,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc window must partition by bucket:\n$plan")
   }
 
+  test("pack chunk stats reuse the bucketed cumsum: one tiny single-partition stage") {
+    import graft.operators.PackOps
+    val df = PackOps.chunkStats(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    // the B-row bucket-offset window + the final 1-row aggregate — the
+    // corpus-sized running sum itself must never serialize
+    assert(single <= 2, s"corpus-sized single-partition stage leaked in:\n$plan")
+    assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(plan).isDefined,
+      s"per-doc window must partition by bucket:\n$plan")
+  }
+
+  test("next-fit packing folds inside a bucket-partitioned sorted group, no extra exchange") {
+    import graft.operators.PackOps
+    val df = PackOps.nextFitStats(spark, Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // exactly ONE hash exchange: the shuffle on the groupByKey bucket key
+    // (printed as `value`), whose shuffle sort feeds the fold directly
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 bucket-key exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("corpus audits never plan a cartesian or nested-loop join") {
+    import graft.operators.CorpusOps
+    for (df <- Seq(CorpusOps.boilerplate(Tables.documents(spark, dir)),
+      CorpusOps.gramNovelty(Tables.documents(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("bounded-heap top-k per group partial-aggregates before the exchange") {
     val plan = SparkEntry.queries("q_topk_group")(spark, dir)
       .queryExecution.executedPlan.toString
