@@ -132,6 +132,52 @@ object AuditOps {
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-user ROBUST outlier counts via median absolute deviation — the
+    * screen that survives what breaks [[anomalyZscore]]: one huge
+    * transaction inflates a user's stddev enough to hide its siblings,
+    * while the median/MAD pair shrugs off half the data being corrupt.
+    * All arithmetic is exact integers at 2x scale (the doubled-median
+    * trick from conversionLag, applied twice): med2 = the SUM of the two
+    * central order statistics of integer cents (= 2*median; for odd n
+    * both ranks select the same element, counted twice by construction),
+    * dev = |2c - med2| (= 2*|c - median|), mad2 = dev's doubled median
+    * (= 4*MAD in cents), and the 3-sigma-analog flag |c - med| > 3*MAD
+    * becomes the division-free 2*dev > 3*mad2. No float enters any
+    * compared value.
+    *
+    * Plan: both ranking windows and all joins partition on user_id — one
+    * shuffle establishes the partitioning and every later stage reuses
+    * it; groups parallelize independently at any scale.
+    */
+  def anomalyMad(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val wu = Window.partitionBy(col("user_id"))
+    val ranked = e
+      .withColumn("rn", row_number().over(wu.orderBy(col("c").asc)))
+      .withColumn("n", count(lit(1)).over(wu))
+    val med = ranked.groupBy(col("user_id")).agg(
+      max(col("n")).as("n_events"),
+      (sum(when(col("rn") === expr("(n + 1) DIV 2"), col("c")).otherwise(0L)) +
+        sum(when(col("rn") === expr("(n + 2) DIV 2"), col("c")).otherwise(0L)))
+        .as("med2"))
+    val dev = e.join(med, "user_id")
+      .withColumn("dev", abs(col("c") * 2 - col("med2")))
+    val ranked2 = dev.withColumn("rn",
+      row_number().over(wu.orderBy(col("dev").asc)))
+    val mad = ranked2.groupBy(col("user_id")).agg(
+      (sum(when(col("rn") === expr("(n_events + 1) DIV 2"), col("dev")).otherwise(0L)) +
+        sum(when(col("rn") === expr("(n_events + 2) DIV 2"), col("dev")).otherwise(0L)))
+        .as("mad2"))
+    dev.join(mad, "user_id")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("med2")).as("med2"),
+        max(col("mad2")).as("mad2"),
+        sum(when(col("dev") * 2 > col("mad2") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** 2D Pareto skyline of the part catalog (minimize retail price AND
     * size): a part is on the frontier iff no other part is <= on both
     * dimensions and < on one. Computed without the quadratic self-join
@@ -213,6 +259,7 @@ object AuditOps {
     "q_drift_audit" -> ((s, dir) => driftAudit(Tables.events(s, dir))),
     "q_fk_integrity" -> ((s, dir) => fkIntegrity(s, dir)),
     "q_anomaly_zscore" -> ((s, dir) => anomalyZscore(Tables.events(s, dir))),
+    "q_anomaly_mad" -> ((s, dir) => anomalyMad(Tables.events(s, dir))),
     "q_skyline" -> ((s, dir) => skyline(Tables.part(s, dir)))
   )
 
@@ -284,6 +331,29 @@ object AuditOps {
         |     > 9 * (CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s) * n
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN st USING (user_id) GROUP BY 1""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT user_id, c,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY c) AS rn,
+        |       count(*) OVER (PARTITION BY user_id) AS n FROM e),
+        |m AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END) +
+        |            sum(CASE WHEN rn = (n + 2) // 2 THEN c ELSE 0 END) AS BIGINT) AS med2
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT e.user_id, abs(c * 2 - med2) AS dev, n_events, med2
+        |      FROM e JOIN m ON e.user_id = m.user_id),
+        |r2 AS (SELECT user_id, dev, n_events, med2,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn FROM d),
+        |m2 AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN rn = (n_events + 1) // 2 THEN dev ELSE 0 END) +
+        |             sum(CASE WHEN rn = (n_events + 2) // 2 THEN dev ELSE 0 END) AS BIGINT) AS mad2
+        |       FROM r2 GROUP BY 1)
+        |SELECT d.user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+        | CAST(max(med2) AS BIGINT) AS med2, CAST(max(mad2) AS BIGINT) AS mad2,
+        | CAST(sum(CASE WHEN dev * 2 > mad2 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 ON d.user_id = m2.user_id
+        |GROUP BY 1""".stripMargin,
 
     "q_skyline" ->
       """WITH g AS (SELECT p_retailprice AS price, min(p_size) AS min_sz

@@ -51,6 +51,41 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got(0L) >= 1L, "the planted outlier was not flagged")
   }
 
+  test("anomalyMad matches a driver-side exact computation and survives what breaks z-score") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // group 0 additionally gets TWO mega-outliers: they inflate stddev so
+    // the z-score screen can mask siblings; MAD must still flag both
+    val data = (1 to 400).map(i =>
+      (i.toLong % 5, math.round(rnd.nextDouble() * 10000) / 100.0)) ++
+      Seq((0L, 99999.0), (0L, 88888.0))
+    val df = data.toDF("user_id", "value")
+    val got = AuditOps.anomalyMad(df).collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("med2"), r.getAs[Long]("mad2"),
+        r.getAs[Long]("n_outliers")))).toMap
+    val expected = data.groupBy(_._1).map { case (u, vs) =>
+      val cents = vs.map(v => math.round(v._2 * 100)).sorted
+      val n = cents.length
+      val med2 = cents((n + 1) / 2 - 1) + cents((n + 2) / 2 - 1)
+      val devs = cents.map(c => math.abs(2 * c - med2)).sorted
+      val mad2 = devs((n + 1) / 2 - 1) + devs((n + 2) / 2 - 1)
+      val out = cents.count(c => 2 * math.abs(2 * c - med2) > 3 * mad2)
+      u -> ((med2, mad2, out.toLong))
+    }
+    assert(got == expected)
+    assert(got(0L)._3 >= 2L, "both planted mega-outliers must be flagged")
+  }
+
+  test("anomalyMad doubled median is exact for odd and even group sizes") {
+    import spark.implicits._
+    // odd group: {1,2,100} -> med2 = 2+2 = 4; even: {1,2,3,100} -> 2+3 = 5
+    val df = Seq((1L, 0.01), (1L, 0.02), (1L, 1.00),
+      (2L, 0.01), (2L, 0.02), (2L, 0.03), (2L, 1.00)).toDF("user_id", "value")
+    val got = AuditOps.anomalyMad(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("med2")).toMap
+    assert(got == Map(1L -> 4L, 2L -> 5L))
+  }
+
   test("skyline equals the brute-force dominance filter") {
     val parts = Tables.part(spark, dir)
       .select("p_partkey", "p_retailprice", "p_size").collect()
