@@ -246,6 +246,14 @@ object AuditOps {
       .groupBy(col("bucket")).agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_live"))
+    driftScores(b)
+  }
+
+  /** ppm shares + deviation off a (bucket, n_ref, n_live) count frame —
+    * shared by the batch audit and its streaming twin so both score
+    * through literally the same arithmetic.
+    */
+  def driftScores(b: DataFrame): DataFrame = {
     val tot = b.agg(sum(col("n_ref")).as("tr"), sum(col("n_live")).as("tl"))
     b.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_ref"), col("n_live"),
@@ -253,6 +261,18 @@ object AuditOps {
         expr("n_live * 1000000 DIV tl").as("live_ppm"),
         expr("abs(n_ref * 1000000 DIV tr - n_live * 1000000 DIV tl)")
           .as("dev_ppm"))
+  }
+
+  /** The (tmid, mn, mx) single-row reference frame the streaming drift
+    * monitor broadcasts — identical to the batch audit's derivation.
+    */
+  def driftRefStats(events: DataFrame): DataFrame = {
+    val e = events.select(unix_micros(col("ts")).as("t"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = e.agg(expr("(min(t) + max(t)) DIV 2").as("tmid"))
+    e.crossJoin(broadcast(mid)).filter(col("t") <= col("tmid"))
+      .groupBy(col("tmid"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -134,6 +134,8 @@ object StreamQueries {
       Tables.events(s, dir).select(col("user_id"), col("event_type")))
     ensureJsonFixture(fixtureDir("window", dir, "events", version = 2),
       windowFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("drift", dir, "events"),
+      driftFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("enrich", dir, "orders"),
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
@@ -643,6 +645,61 @@ object StreamQueries {
     graft.operators.FinanceOps.benfordFromCounts(
       s.read.schema(StructType(Seq(
           StructField("digit", LongType), StructField("n", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
+  private val driftSchema = StructType(Seq(
+    StructField("us", LongType),
+    StructField("amount", DoubleType)))
+
+  private def driftFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"), col("value").as("amount"))
+      .repartition(1).sortWithinPartitions(col("us"))
+
+  /** Streaming distribution-drift monitor — the deployed form of
+    * q_drift_audit: the reference statistics (midpoint split, reference
+    * min/max bin bounds) are STATIC configuration computed once from the
+    * reference corpus and broadcast onto the stream (a stream-static
+    * broadcast join, the dim-enrich pattern); only the per-bucket
+    * ref/live counts accumulate across micro-batches in complete mode
+    * (20 longs of state — counts are associative, so batch boundaries
+    * can't change the answer). Scored on readback through LITERALLY the
+    * batch audit's arithmetic (AuditOps.driftScores), so the oracle is
+    * q_drift_audit's SQL: the streaming == batch invariant. Fixture
+    * carries MICROsecond timestamps — the batch audit tags reference
+    * membership at micro precision and a ms-truncated twin would
+    * misclassify sub-ms ties.
+    */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("drift", dir, "events"),
+      driftFixtureDf(s, dir))
+    val stats = graft.operators.AuditOps.driftRefStats(Tables.events(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(driftSchema).json(landing)
+        .select(col("us"), expr("CAST(round(amount * 100) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(stats))
+        .withColumn("is_ref", col("us") <= col("tmid"))
+        .withColumn("bucket",
+          expr("least(greatest(((cents - mn) * 10) DIV (mx - mn + 1), 0), 9)"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_live"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.AuditOps.driftScores(
+      s.read.schema(StructType(Seq(
+          StructField("bucket", LongType),
+          StructField("n_ref", LongType),
+          StructField("n_live", LongType))))
         .parquet(s"$tmp/out"))
   }
 
@@ -1316,6 +1373,7 @@ object StreamQueries {
     "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
+    "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1462,6 +1520,7 @@ object StreamQueries {
     // The streaming == batch invariant made literal: complete-mode digit
     // counts scored through the same arithmetic as the batch audit.
     "q_stream_benford" -> graft.operators.FinanceOps.oracleSql("q_benford"),
+    "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // The naive band join the bucketed stream-static plan replaces.
     "q_stream_interval_join" ->
