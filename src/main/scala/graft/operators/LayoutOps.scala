@@ -165,7 +165,34 @@ object LayoutOps {
       .agg(count(lit(1)).as("n_orders"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
 
+  /** Quarter the DPP dim filter selects (months 4-6). */
+  val DppQuarter = 2
+
+  /** Dynamic-partition-pruning star join — the 100 TB star-join
+    * workhorse: the fact side is the hive-partitioned orders table, the
+    * dim side a tiny month->quarter mapping filtered to one quarter.
+    * The months surviving the dim filter are only known at RUNTIME, so
+    * static partition pruning can't fire; Spark's DPP turns the
+    * broadcast build side into a partition filter on the fact scan
+    * (`dynamicpruningexpression` in PartitionFilters — pinned in
+    * LayoutOpsSpec), so 9 of 12 month directories are never listed or
+    * read. The oracle recomputes from the UNPARTITIONED source through
+    * the quarter arithmetic — a dropped or double-written partition
+    * breaks the match.
+    */
+  def dppStarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthDim = (1 to 12).map(m => (m, (m - 1) / 3 + 1))
+      .toDF("o_month", "quarter")
+    s.read.parquet(partitionedOrdersRoot(s, dir))
+      .join(broadcast(monthDim.filter(col("quarter") === DppQuarter)), "o_month")
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_join" -> ((s, dir) => dppStarJoin(s, dir)),
     "q_zorder_cells" -> ((s, dir) => zorderCells(Tables.lineitem(s, dir))),
     "q_zorder_skip" -> ((s, dir) => zorderSkip(Tables.lineitem(s, dir))),
     "q_layout_compare" -> ((s, dir) => layoutCompare(Tables.lineitem(s, dir))),
@@ -179,6 +206,15 @@ object LayoutOps {
          |  min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
          | FROM lineitem GROUP BY 1""".stripMargin
     Map(
+      "q_dpp_join" ->
+        s"""SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_month,
+           | count(*) AS n_orders,
+           | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |   AS rev_cents
+           |FROM orders
+           |WHERE (month(CAST(o_orderdate AS DATE)) - 1) // 3 + 1 = $DppQuarter
+           |GROUP BY 1""".stripMargin,
+
       "q_partition_prune" ->
         s"""SELECT count(*) AS n_orders,
            | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -51,6 +51,24 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"pruned scan reads $prunedFiles of $allFiles files — nothing pruned")
   }
 
+  test("dpp star join turns the dim filter into a runtime partition filter") {
+    val df = LayoutOps.dppStarJoin(spark, dir)
+    val rows = df.collect()
+    // quarter 2 = months 4..6, all present in the generated year
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(4, 5, 6), rows.mkString(";"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"dim filter must prune fact partitions at runtime:\n$plan")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("o_month") => f
+    }.getOrElse(fail("no partitioned fact scan in the plan"))
+    val all = spark.read.parquet(LayoutOps.partitionedOrdersRoot(spark, dir))
+      .inputFiles.length
+    val kept = scan.selectedPartitions.totalNumberOfFiles
+    assert(kept < all, s"DPP kept $kept of $all files — nothing pruned")
+  }
+
   test("every quadtree cell bounds both dimension spans below CellSpan") {
     val cells = LayoutOps.zorderCells(Tables.lineitem(spark, dir))
     assert(cells.filter(col("bounded") === 0).count() == 0,
