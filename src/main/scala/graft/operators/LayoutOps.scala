@@ -168,6 +168,25 @@ object LayoutOps {
   /** Quarter the DPP dim filter selects (months 4-6). */
   val DppQuarter = 2
 
+  /** File-backed month->quarter dim for the DPP join. The dim MUST be a
+    * file relation: an in-memory `Seq.toDF.filter(...)` is constant-
+    * folded to a bare LocalRelation by `ConvertToLocalRelation` before
+    * the optimizer's `PartitionPruning` rule looks for a selective
+    * build-side predicate, so DPP silently never fires (round-7 lesson —
+    * the join was answer-correct but read all 12 month directories). A
+    * parquet-backed dim keeps the `Filter` node alive through planning,
+    * which is also the realistic shape: at 100 TB the quarter dim is a
+    * catalog table, not a literal.
+    */
+  def monthDimRoot(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = graft.streaming.StreamQueries.fixtureDir("monthdim", dir, "orders")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS")))
+      (1 to 12).map(m => (m, (m - 1) / 3 + 1)).toDF("o_month", "quarter")
+        .coalesce(1).write.mode("overwrite").parquet(root)
+    root
+  }
+
   /** Dynamic-partition-pruning star join — the 100 TB star-join
     * workhorse: the fact side is the hive-partitioned orders table, the
     * dim side a tiny month->quarter mapping filtered to one quarter.
@@ -181,9 +200,7 @@ object LayoutOps {
     * breaks the match.
     */
   def dppStarJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val monthDim = (1 to 12).map(m => (m, (m - 1) / 3 + 1))
-      .toDF("o_month", "quarter")
+    val monthDim = s.read.parquet(monthDimRoot(s, dir))
     s.read.parquet(partitionedOrdersRoot(s, dir))
       .join(broadcast(monthDim.filter(col("quarter") === DppQuarter)), "o_month")
       .groupBy(col("o_month"))

@@ -9,6 +9,20 @@ class LayoutOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** All file scans in a physical plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes whose real
+    * subtree hangs off a field, not `children`).
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+
   /** Independent Morton reference: straight bit twiddling, no SQL. */
   private def morton(x: Long, y: Long): Long =
     (0 until LayoutOps.ZBits).foldLeft(0L) { (z, i) =>
@@ -59,13 +73,14 @@ class LayoutOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruningexpression"),
       s"dim filter must prune fact partitions at runtime:\n$plan")
-    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.toString.contains("o_month") => f
-    }.getOrElse(fail("no partitioned fact scan in the plan"))
+    val scan = fileScans(df.queryExecution.executedPlan)
+      .find(_.toString.contains("PartitionFilters: [isnotnull(o_month"))
+      .getOrElse(fail("no partitioned fact scan in the plan"))
     val all = spark.read.parquet(LayoutOps.partitionedOrdersRoot(spark, dir))
       .inputFiles.length
-    val kept = scan.selectedPartitions.totalNumberOfFiles
+    // selectedPartitions reflects only STATIC filters; the runtime-pruned
+    // file count is the scan's numFiles metric, populated by the collect
+    val kept = scan.metrics("numFiles").value
     assert(kept < all, s"DPP kept $kept of $all files — nothing pruned")
   }
 
