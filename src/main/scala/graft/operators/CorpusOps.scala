@@ -17,7 +17,7 @@ import graft.Tables
   */
 object CorpusOps {
 
-  import graft.functions.PortableSql.{tokens, trigramShingles}
+  import graft.functions.PortableSql.{strHash, tokens, trigramShingles, xform}
 
   /** Cross-source duplication matrix: for every unordered source pair,
     * how many verified near-dup pairs straddle it (src_a <= src_b
@@ -82,22 +82,25 @@ object CorpusOps {
     * The mining step behind boilerplate stripping (nav bars, license
     * headers, template text repeated across documents).
     *
-    * Scale shape: the BM25-postings shape — explode distinct-per-doc
-    * shingles, one map-side-combining count for df, rejoin on the
-    * shingle key (hash distributed; the df frame is vocabulary-sized and
-    * shrinks further under an optional df floor), then a two-level
-    * grouped rollup to |sources| rows. No all-pairs anything.
+    * Scale shape: ONE fused shingle-hash pass per doc (the symbolic
+    * three-HOF chain evaluated twice was 54 task-CPU-s at sf0.1 —
+    * round-7 verdict), then ONE corpus-scale shuffle straight to
+    * (source, shingle). Everything after is vocabulary-sized: shingles
+    * are distinct-per-doc, so df = sum of per-source occurrence counts
+    * and the df frame + rejoin never touch corpus-scale data again. The
+    * DuckDB oracle keeps the symbolic tokenize→shingle→hash form (the
+    * dedup-family discipline), so the fused kernel stays independently
+    * checked.
     */
   def boilerplate(docs: DataFrame): DataFrame = {
-    val sh = docs.selectExpr("doc_id", "source",
-      s"explode(${trigramShingles(tokens("text", duck = false), duck = false)}) AS sh")
-    // distinct-per-doc shingles: count(*) per shingle IS the document
-    // frequency (no countDistinct shuffle needed)
-    val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(dfFrame, "sh")
+    val m = docs.select(col("source"),
+        explode(graft.functions.TrigramHashesExpression.trigramHashes(col("text")))
+          .as("sh"))
       .groupBy(col("source"), col("sh"))
-      .agg(count(lit(1)).as("occ"),
-        max(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("ib"))
+      .agg(count(lit(1)).as("occ"))
+    val dfFrame = m.groupBy(col("sh")).agg(sum(col("occ")).as("df"))
+    m.join(dfFrame, "sh")
+      .withColumn("ib", when(col("df") >= BoilerDf, 1L).otherwise(0L))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("ib")).as("n_boiler_shingles"),
@@ -119,13 +122,29 @@ object CorpusOps {
     * (the "earlier" comparison is pure arithmetic on doc_id).
     */
   def gramNovelty(docs: DataFrame): DataFrame = {
-    val sh = docs.selectExpr("doc_id", "source",
-      s"explode(${trigramShingles(tokens("text", duck = false), duck = false)}) AS sh")
-    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "sh")
+    // One fused hash pass, then aggregate the exploded frame to
+    // (sh, doc, source) and on to (sh, source) — the per-occurrence join
+    // back to the corpus (the round-7 double-compute) is replaced by
+    // arithmetic: a gram's occurrences split into the ones in its first
+    // doc (novel; multiplicity k_min, > 1 only on an intra-doc hash
+    // collision, where the symbolic oracle double-counts identically)
+    // and everything later (repeats). Only the two grouped aggregates
+    // touch corpus-scale rows; the first-doc frame and its join are
+    // vocabulary-sized.
+    val occ = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TrigramHashesExpression.trigramHashes(col("text")))
+          .as("sh"))
+      .groupBy(col("sh"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("k"))
+    val bySrc = occ.groupBy(col("sh"), col("source"))
+      .agg(sum(col("k")).as("occ"), min(col("doc_id")).as("mind"),
+        min_by(col("k"), col("doc_id")).as("k_min"))
+    val first = bySrc.groupBy(col("sh")).agg(min(col("mind")).as("first_doc"))
+    bySrc.join(first, "sh")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(col("occ") -
+          when(col("mind") === col("first_doc"), col("k_min")).otherwise(0L))
           .as("n_repeat"))
       .withColumn("novelty_bp",
         expr("(n_grams - n_repeat) * 10000 DIV n_grams"))
@@ -140,9 +159,15 @@ object CorpusOps {
   def oracleSql: Map[String, String] = {
     val pairsSql = DedupOps.oracleSql("q_dedup_minhash_pairs")
     val shingles = trigramShingles(tokens("text", duck = true), duck = true)
+    // the engine side runs the fused hash kernel; the oracle recomputes
+    // the same hashes through the symbolic shingle→strHash chain
+    val hs = xform("grams", "g", strHash("g"), duck = true)
+    val tsHashed =
+      s"""SELECT doc_id, source, unnest($hs) AS sh
+         | FROM (SELECT doc_id, source, $shingles AS grams FROM documents) g0""".stripMargin
     Map(
       "q_gram_novelty" ->
-        s"""WITH ts AS (SELECT doc_id, source, unnest($shingles) AS sh FROM documents),
+        s"""WITH ts AS ($tsHashed),
            |fo AS (SELECT sh, min(doc_id) AS first_doc FROM ts GROUP BY 1)
            |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
            | CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
@@ -175,7 +200,7 @@ object CorpusOps {
            |        CROSS JOIN t
            |GROUP BY 1""".stripMargin,
       "q_boilerplate" ->
-        s"""WITH ts AS (SELECT doc_id, source, unnest($shingles) AS sh FROM documents),
+        s"""WITH ts AS ($tsHashed),
            |d AS (SELECT sh, count(*) AS df FROM ts GROUP BY 1),
            |m AS (SELECT source, ts.sh AS sh, count(*) AS occ,
            |  max(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS ib
