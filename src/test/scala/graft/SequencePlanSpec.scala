@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AuditOps, MiningOps, SequenceOps, StringSimOps}
+import graft.operators.{AuditOps, Governance, MiningOps, SequenceOps, StringSimOps}
 
 /** Plan-shape + degenerate-input coverage for the sequence/audit/mining
   * operator families (the PlanShapeSpec / EmptyInputSpec discipline
@@ -53,6 +53,27 @@ class SequencePlanSpec extends AnyFunSuite {
     // bucket-frame window; the per-price window is partitioned by bucket
     val single = "SinglePartition".r.findAllIn(plan).length
     assert(single == 1, s"expected exactly the bucket window's exchange, got $single:\n$plan")
+  }
+
+  test("equi-depth histogram and conversion lag plan no unpartitioned window") {
+    // the named scale-killer class: a Window whose partitionSpec is empty
+    // funnels the whole frame through one partition
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          windows(q.plan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    Seq(Governance.histogramEquiDepth(spark, dir),
+        SequenceOps.conversionLag(Tables.events(spark, dir))).foreach { df =>
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, "expected the per-bucket rank window in the plan")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in plan:\n$w"))
+    }
   }
 
   test("hopping windows emit every event into exactly size/slide windows") {
