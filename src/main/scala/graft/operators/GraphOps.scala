@@ -96,18 +96,46 @@ object GraphOps {
       .select(col("b").as("b1"), col("b2")).distinct()
   }
 
+  /** Undirected edges re-oriented by the (degree, id) total order: each
+    * edge points from its ≺-smaller endpoint, where u ≺ v iff
+    * (deg(u), u) < (deg(v), v) lexicographically. Every wedge is then
+    * enumerated from its LOWER-DEGREE endpoint, so a hub of degree d
+    * contributes O(Σ min-degrees), not O(d²), wedge candidates — the
+    * standard skew defense id-ordering lacks (the lowest-ID hub would
+    * still enumerate all its wedges). The degree frame is |V| rows,
+    * broadcast against the edge list; orientation is a projection, no
+    * extra shuffle.
+    */
+  def degreeOrientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pe = orientedEdges(spark, dir)
+    val d = pe.select(explode(array(col("b1"), col("b2"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    // pe already has b1 < b2, so the id tiebreak on equal degrees keeps
+    // the pair as-is
+    val lower = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("b1") < col("b2"))
+    pe.join(broadcast(d.select(col("b").as("b1"), col("deg").as("deg1"))), "b1")
+      .join(broadcast(d.select(col("b").as("b2"), col("deg").as("deg2"))), "b2")
+      .select(when(lower, col("b1")).otherwise(col("b2")).as("b1"),
+        when(lower, col("b2")).otherwise(col("b1")).as("b2"))
+  }
+
   /** Per-node triangle membership over the co-purchase graph — the
     * clustering-cohesion signal (a brand in many triangles sits in a
-    * dense co-buy community). The ORIENTED edge list (b1 < b2) makes
-    * each triangle (a < b < c) match exactly one join path
+    * dense co-buy community). The DEGREE-ORIENTED edge list makes each
+    * triangle (a ≺ b ≺ c) match exactly one join path
     * e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash equi-joins, no
-    * symmetric double-count to divide away. At 100 TB the orientation is
-    * also the skew defense (each wedge is enumerated from its lowest
-    * vertex only; the production refinement is degree-ordering instead
-    * of id-ordering, same plan shape).
+    * symmetric double-count to divide away — and bounds every node's
+    * wedge fan-out by its lower-degree neighbors (MixGraphSpec pins the
+    * orientation invariant). The oracle keeps the id-oriented form: the
+    * triangle SET is orientation-independent, so the per-brand counts
+    * match bit-for-bit.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val e = orientedEdges(spark, dir).cache()
+    val e = degreeOrientedEdges(spark, dir).cache()
+    // materialize before the three-branch self-join launches (the
+    // q_gen_constraints cache-race lesson, same as orientedEdges' note)
+    e.count()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b2") === col("e2.b1"))
       .join(e.as("e3"),

@@ -48,6 +48,28 @@ class MixGraphSpec extends AnyFunSuite {
     assert(after < before, s"resample moved away from target: $after !< $before")
   }
 
+  test("triangle edges point from the (degree, id)-smaller endpoint") {
+    val e = GraphOps.degreeOrientedEdges(spark, dir).cache()
+    try {
+      assert(e.count() > 0)
+      // undirected degree, recomputed independently of the operator
+      val d = e.select(explode(array(col("b1"), col("b2"))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("deg"))
+      val bad = e
+        .join(d.select(col("b").as("b1"), col("deg").as("d1")), "b1")
+        .join(d.select(col("b").as("b2"), col("deg").as("d2")), "b2")
+        .filter(col("d1") > col("d2") ||
+          (col("d1") === col("d2") && col("b1") >= col("b2")))
+      assert(bad.count() == 0,
+        "an edge's wedge side is not its lower-(degree, id) endpoint")
+      // orientation is a bijection on the undirected edge set: same pairs
+      val undirected = e.select(least(col("b1"), col("b2")).as("u"),
+        greatest(col("b1"), col("b2")).as("v"))
+      assert(undirected.distinct().count() == e.count(),
+        "re-orientation dropped or duplicated an undirected edge")
+    } finally spark.catalog.clearCache()
+  }
+
   test("pagerank: ranks at least teleport mass, total bounded by the scale") {
     val r = GraphOps.pageRank(spark, dir).cache()
     try {
