@@ -26,6 +26,16 @@ import javax.crypto.spec.SecretKeySpec
   * most of its ~125µs/op constant on those allocations, not on SHA-256.
   * Inputs longer than 36 digits (never PANs; the property spec caps at
   * 24) fall back to the BigInteger path with the same schedule.
+  *
+  * TOKEN-FORMAT VERSION BREAK (round 7): the fast path changed the
+  * Feistel PRF message encoding (10-byte binary (round, n, half) vs the
+  * old padded-decimal UTF-8 string), so for every input ≤ 36 digits the
+  * ciphertext for a given (key, pan) differs from releases before the
+  * change. Round-trip and format preservation are unaffected — but FPE
+  * tokens persisted by an earlier build will not match tokens minted by
+  * this one. If cross-version token stability is ever needed, the old
+  * encoding must come back behind a compat flag; nothing in this repo
+  * persists tokens across versions (the driver re-derives every round).
   */
 object Fpe {
 

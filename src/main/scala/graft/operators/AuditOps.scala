@@ -251,16 +251,23 @@ object AuditOps {
 
   /** ppm shares + deviation off a (bucket, n_ref, n_live) count frame —
     * shared by the batch audit and its streaming twin so both score
-    * through literally the same arithmetic.
+    * through literally the same arithmetic. A degenerate half (every
+    * event on one timestamp puts all rows in the reference half, so
+    * tl = 0) yields NULL shares explicitly on BOTH engines — Spark DIV
+    * would return NULL but DuckDB // raises division-by-zero, so the
+    * guard is what keeps the oracle comparable.
     */
   def driftScores(b: DataFrame): DataFrame = {
     val tot = b.agg(sum(col("n_ref")).as("tr"), sum(col("n_live")).as("tl"))
     b.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_ref"), col("n_live"),
-        expr("n_ref * 1000000 DIV tr").as("ref_ppm"),
-        expr("n_live * 1000000 DIV tl").as("live_ppm"),
-        expr("abs(n_ref * 1000000 DIV tr - n_live * 1000000 DIV tl)")
-          .as("dev_ppm"))
+        expr("CASE WHEN tr = 0 THEN NULL ELSE n_ref * 1000000 DIV tr END")
+          .as("ref_ppm"),
+        expr("CASE WHEN tl = 0 THEN NULL ELSE n_live * 1000000 DIV tl END")
+          .as("live_ppm"),
+        expr("""CASE WHEN tr = 0 OR tl = 0 THEN NULL
+                ELSE abs(n_ref * 1000000 DIV tr - n_live * 1000000 DIV tl)
+                END""").as("dev_ppm"))
   }
 
   /** The (tmid, mn, mx) single-row reference frame the streaming drift
@@ -300,9 +307,11 @@ object AuditOps {
         | tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
         |   CAST(sum(n_live) AS BIGINT) AS tl FROM b)
         |SELECT bucket, n_ref, n_live,
-        | n_ref * 1000000 // tr AS ref_ppm,
-        | n_live * 1000000 // tl AS live_ppm,
-        | abs(n_ref * 1000000 // tr - n_live * 1000000 // tl) AS dev_ppm
+        | CASE WHEN tr = 0 THEN NULL ELSE n_ref * 1000000 // tr END AS ref_ppm,
+        | CASE WHEN tl = 0 THEN NULL ELSE n_live * 1000000 // tl END AS live_ppm,
+        | CASE WHEN tr = 0 OR tl = 0 THEN NULL
+        |  ELSE abs(n_ref * 1000000 // tr - n_live * 1000000 // tl)
+        | END AS dev_ppm
         |FROM b, tot""".stripMargin,
     "q_fk_integrity" ->
       """SELECT 'lineitem.partkey->part' AS edge, count(*) AS fact_rows,

@@ -562,6 +562,9 @@ object DedupOps {
         size(col("h1")).cast("long").as("n1"), size(col("h2")).cast("long").as("n2"))
       .withColumn("containment",
         round(col("n_inter").cast("double") / least(col("n1"), col("n2")), 6))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 6))
       .filter(col("containment") >= ContainThreshold)
   }
 
@@ -774,7 +777,10 @@ object DedupOps {
            | CAST(len(g1.hs) AS BIGINT) AS n1,
            | CAST(len(g2.hs) AS BIGINT) AS n2,
            | round(CAST(len(list_intersect(g1.hs, g2.hs)) AS DOUBLE)
-           |   / least(len(g1.hs), len(g2.hs)), 6) AS containment
+           |   / least(len(g1.hs), len(g2.hs)), 6) AS containment,
+           | round(CAST(len(list_intersect(g1.hs, g2.hs)) AS DOUBLE)
+           |   / (len(g1.hs) + len(g2.hs) - len(list_intersect(g1.hs, g2.hs))), 6)
+           |   AS jaccard
            |FROM cand JOIN g g1 ON cand.d1 = g1.doc_id
            |          JOIN g g2 ON cand.d2 = g2.doc_id
            |WHERE round(CAST(len(list_intersect(g1.hs, g2.hs)) AS DOUBLE)

@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.LongType
   * hand: both sides key on `value DIV (c+1)`, the interval side explodes
   * to the ≤ 2 buckets its span can touch, and the original band predicate
   * stays as a residual filter. The rewrite is semantics-preserving for
-  * ANY data (truncating division is monotone, so a point's bucket always
+  * any data (truncating division is monotone, so a point's bucket always
   * lies in its matching interval's bucket range — negatives included; a
-  * NULL bound matches nothing in either form), so firing is never wrong,
-  * only ever faster.
+  * NULL bound matches nothing in either form) for spans up to
+  * [[MaxSpan]] — wider literals fall through untouched, see the guard —
+  * so firing is never wrong, only ever faster.
   *
   * Guards: inner join; the condition's conjuncts contain the band pair
   * over opposite sides and NO equi conjunct (an equi-keyed range join is
@@ -92,8 +93,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     else None
   }
 
+  /** Largest span the rewrite accepts. Beyond this the arithmetic itself
+    * turns hostile — width = c+1 wraps at Long.MaxValue, and lo + c can
+    * overflow for attainable lo, where non-ANSI wrap-around would hand
+    * Sequence a stop < start (Spark defaults the step to -1 and tries to
+    * materialize a huge descending array). A band this wide is not a
+    * band join anyway — it matches ~every pair — so fall through to the
+    * original plan instead of "optimizing" it.
+    */
+  val MaxSpan: Long = Long.MaxValue / 4
+
   /** Find the band pair (p >= lo, p <= lo + c) over opposite sides with
-    * LongType attributes and a non-negative long literal span.
+    * LongType attributes and a non-negative long literal span within
+    * [[MaxSpan]].
     */
   private def matchBand(conjuncts: Seq[Expression], j: Join)
       : Option[(Attribute, Attribute, Long)] = {
@@ -105,9 +117,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }
     val uppers = conjuncts.collect {
       case LessThanOrEqual(p: Attribute, Add(lo: Attribute, Literal(c: Long, LongType), _))
-          if bandSides(p, lo, j) && c >= 0 => (p, lo, c)
+          if bandSides(p, lo, j) && c >= 0 && c <= MaxSpan => (p, lo, c)
       case GreaterThanOrEqual(Add(lo: Attribute, Literal(c: Long, LongType), _), p: Attribute)
-          if bandSides(p, lo, j) && c >= 0 => (p, lo, c)
+          if bandSides(p, lo, j) && c >= 0 && c <= MaxSpan => (p, lo, c)
     }
     (for {
       (p1, lo1) <- lowers

@@ -141,6 +141,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rule must not rewrite a join that already has an equi key:\n$plan")
   }
 
+  test("RangeJoinRewrite falls through on a span wide enough to overflow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.plans.RangeJoinRewrite.ensureInjected(spark)
+    val pts = Seq(1L, 5L, 1000000000000000000L).toDF("p")
+    val ivs = Seq(0L, 3L).toDF("lo")
+    // a span this wide makes the rewrite's width = c+1 and sequence stop
+    // overflow-prone for attainable lo; the guard must leave the original
+    // (nested-loop) join in place AND the answer must come out
+    val c = Long.MaxValue / 2
+    val df = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("lo") + lit(c))
+    assert(!df.queryExecution.executedPlan.toString.contains("graft_p_bucket"),
+      "an overflow-prone span must not be rewritten")
+    assert(df.count() == 5, "band-join answer changed under the span guard")
+  }
+
   test("star join broadcasts every dim; ingest stays fully pipelined") {
     // the two plans 100 TB depends on hardest: the dashboard star join
     // must never fall back to a shuffled SMJ for its small dims, and the
