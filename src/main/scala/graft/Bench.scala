@@ -293,12 +293,24 @@ object Bench {
       s""""probe_sec":$probes,"probe_baseline_sec":0.65,""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
     // The FULL record (per-query walls + cpu/gc/heap telemetry) goes to
-    // BENCH.json and an early stdout line. The LAST stdout line is a
-    // compact summary only: round 4's telemetry grew the single line past
-    // the driver's tail capture, so its parser saw a front-truncated line
-    // ("parsed": null) and the 2x gate had no number (VERDICT r4 #1).
+    // BENCH.json and an early stdout line. The LAST stdout line must fit
+    // WHOLE inside the driver's 2000-char tail capture or its parser sees
+    // a front-truncated line ("parsed": null) and the 2x gate has no
+    // number (VERDICT r4 #1) — and 190 query NAMES alone are ~3 KB, so
+    // the archived artifact could never carry a name-keyed map. Instead
+    // the last line carries "qw": every per-query wall (2 decimals,
+    // -1 = failed) in ALPHABETICAL query order — the names are exactly
+    // `SparkEntry.queries.keys.toSeq.sorted` at the same commit, so
+    // zip(sorted names, qw) reconstructs the full map from the archived
+    // BENCH_rNN.json alone (VERDICT r7 ask #5; ~1.3 KB, comfortably
+    // inside the capture). The name-keyed map still lands in BENCH.json
+    // and BENCH_HISTORY.jsonl.
+    def fmt2(d: Double): String = BigDecimal(d).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val qw = results.map(r => if (r.ok) fmt2(r.wall) else "-1")
+      .mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""failed":$failed,"sf":"$sfDir"}"""
+      s""""failed":$failed,"n_queries":${results.size},"qw":$qw,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), detail)
     // Append the full record to BENCH_HISTORY.jsonl too: BENCH.json is
     // overwritten every run and the driver's tail capture front-truncates
