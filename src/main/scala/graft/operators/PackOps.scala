@@ -118,13 +118,60 @@ object PackOps {
       .withColumn("fill_bp", expr(s"total_tokens * 10000 DIV (n_windows * $c)"))
   }
 
+  /** Candidate context lengths for the planning audit. */
+  val CtxCandidates = Seq(64L, 128L, 256L, 512L)
+
+  /** Context-length planning audit — the table a team reads BEFORE
+    * picking the packing discipline above: for each candidate window
+    * length, what truncate-at-L costs (tokens lost, docs cut) versus
+    * what document-level chunking costs (padding in the last chunk of
+    * every doc), in integer basis points. One narrow scan of the corpus
+    * exploded ×|candidates|, one grouped aggregate — no ordering, no
+    * join; at 100 TB this is a single map-side-combined pass. (Empty
+    * text still tokenizes to one empty token, so tok >= 1 and the
+    * ratio denominators are never zero.)
+    */
+  def ctxPlan(docs: DataFrame): DataFrame =
+    docs.select(
+        expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+          .as("tok"),
+        explode(expr(s"array(${CtxCandidates.mkString(",")})")).as("ctx0"))
+      .select(expr("CAST(ctx0 AS BIGINT)").as("ctx"), col("tok"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(least(col("tok"), col("ctx"))).as("kept_tokens"),
+        sum((col("tok") > col("ctx")).cast("long")).as("n_truncated"),
+        sum(expr("(tok + ctx - 1) DIV ctx")).as("n_chunks"))
+      .withColumn("trunc_loss_bp",
+        expr("(total_tokens - kept_tokens) * 10000 DIV total_tokens"))
+      .withColumn("chunk_pad_bp",
+        expr("(n_chunks * ctx - total_tokens) * 10000 DIV (n_chunks * ctx)"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_chunk" -> ((s, dir) => chunkStats(Tables.documents(s, dir))),
+    "q_ctx_plan" -> ((s, dir) => ctxPlan(Tables.documents(s, dir))),
     "q_pack_nextfit" -> ((s, dir) => nextFitStats(s, Tables.documents(s, dir))))
 
   def oracleSql: Map[String, String] = {
     val c = CtxLen
     Map(
+      "q_ctx_plan" ->
+        s"""WITH b AS (SELECT ${alen(tokens("text", duck = true), duck = true)} AS tok
+           |  FROM documents),
+           |x AS (SELECT CAST(tok AS BIGINT) AS tok, CAST(ctx AS BIGINT) AS ctx
+           |  FROM b CROSS JOIN
+           |    (SELECT unnest([${CtxCandidates.mkString(",")}]) AS ctx) l)
+           |SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(tok) AS BIGINT) AS total_tokens,
+           | CAST(sum(least(tok, ctx)) AS BIGINT) AS kept_tokens,
+           | CAST(sum(CASE WHEN tok > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           | CAST(sum((tok + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+           | CAST((sum(tok) - sum(least(tok, ctx))) * 10000 // sum(tok) AS BIGINT)
+           |   AS trunc_loss_bp,
+           | CAST((sum((tok + ctx - 1) // ctx) * ctx - sum(tok)) * 10000
+           |   // (sum((tok + ctx - 1) // ctx) * ctx) AS BIGINT) AS chunk_pad_bp
+           |FROM x GROUP BY 1""".stripMargin,
       "q_pack_chunk" ->
         s"""WITH b AS (${base(duck = true)}),
            |t AS (SELECT *, coalesce(sum(tok) OVER (ORDER BY h, doc_id

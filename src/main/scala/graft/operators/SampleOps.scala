@@ -54,6 +54,35 @@ object SampleOps {
       .limit(k)
       .select(col("doc_id"))
 
+  /** Rows kept per source by the weighted sample. */
+  val WeightedK = 10
+  /** Priority scale for the weighted keys (h ~ 1e9 × 1e3 stays far
+    * inside int64).
+    */
+  val WeightedScale = 1000L
+
+  /** Deterministic WEIGHTED sample without replacement, k per source:
+    * the A-ES/priority-sampling shape with integer keys — each doc gets
+    * priority = hash · SCALE DIV weight (weight = its character mass,
+    * the "keep more of the substantive docs" curation bias) and the k
+    * smallest priorities per source win. Monotone in hash/weight exactly
+    * like the float u^(1/w) key, but every comparison is int64, so the
+    * sample is reproducible across engines, runs, and partitionings —
+    * the same discipline as the uniform/stratified samples above. One
+    * shuffle on source; the per-source window keeps k rows of state.
+    */
+  def weightedSample(docs: DataFrame, k: Int = WeightedK): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("wt"),
+        expr(hashKey("doc_id")).as("h"))
+      .withColumn("pri", expr(s"h * $WeightedScale DIV wt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("wt"), col("pri"), col("rnk"))
+  }
+
   val TokenBudget = 10000L
   val BudgetBuckets = 64
 
@@ -199,6 +228,7 @@ object SampleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_slo" -> ((s, dir) => groupOrderStats(Tables.events(s, dir))),
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
+    "q_sample_weighted" -> ((s, dir) => weightedSample(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
     "q_sample_budget" -> ((s, dir) => tokenBudgetSample(Tables.documents(s, dir))),
     "q_shard_plan" -> ((s, dir) => shardPlan(Tables.documents(s, dir))),
@@ -235,6 +265,15 @@ object SampleOps {
     "q_sample_uniform" ->
       s"""SELECT doc_id FROM documents
          |ORDER BY ${hashKey("doc_id")}, doc_id LIMIT $UniformK""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT source, doc_id, wt, pri, rnk FROM (
+         | SELECT source, doc_id, wt, pri,
+         |  row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
+         | FROM (SELECT source, doc_id, greatest(n_chars, 1) AS wt,
+         |   ${hashKey("doc_id")} * $WeightedScale // greatest(n_chars, 1) AS pri
+         |  FROM documents) p) t
+         |WHERE rnk <= $WeightedK""".stripMargin,
 
     // the NAIVE single-ordering running sum — an independent plan for the
     // bucketed two-pass decomposition on the Spark side

@@ -282,6 +282,72 @@ object ShuffleOps {
           col("exact_d") <= 0.5).cast("int").as("within_4sigma"))
   }
 
+  /** Pairwise audience-overlap estimation from per-group KMV sketches —
+    * the sketch SET-OPERATION layer on top of [[kmvDistinct]]: for every
+    * unordered event-type pair, estimate |A∪B|, |A∩B| and Jaccard from
+    * the two k-minimum-values sketches alone, audited against the exact
+    * overlap. This is how a 100 TB pipeline answers "how much do these
+    * two sources/audiences overlap" WITHOUT the exact distinct join:
+    * each group keeps a k-row mergeable sketch (built here with the same
+    * bounded TopKRowsAggregate heap, map-side combined), the pairwise
+    * math runs on |groups|² × k rows — thousands, not billions — and
+    * adding a source never reshuffles the fact table.
+    *
+    * Estimators (all integer arithmetic, bit-for-bit in DuckDB):
+    * the union sketch is the k smallest of the two sketches' union;
+    * est_union = (k-1)·M DIV h_k (exact count when the union sketch is
+    * under-full); ρ = |union sketch ∩ A ∩ B| / k_union is the standard
+    * KMV Jaccard estimator (emitted in ppm), and est_inter =
+    * n_both·est_union DIV k_union. The exact intersection (one
+    * user-keyed equi-join) and exact union ride along so the row audits
+    * its own estimator, kmvDistinct-style.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableSql
+    val M = 1000000007L
+    val k = KmvK
+    val keys = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+    val d = keys.groupBy("t").agg(count(lit(1)).as("nd"))
+    val exact = keys.as("a").join(keys.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("src_a"), col("b.t").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sk = keys
+      .select(col("t"), expr(PortableSql.seedLadderSql("u", M)).as("h"))
+      .distinct()
+      .groupBy("t")
+      .agg(graft.functions.TopKAggregate.topKRows(
+        struct((-col("h")).cast("double").as("value"), col("h").as("id")), k)
+        .as("top"))
+      // topKRows orders by value desc = h asc: hs is the ascending sketch
+      .select(col("t"), expr("transform(top, x -> x.id)").as("hs"))
+    sk.as("a").join(sk.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("src_a"), col("b.t").as("src_b"),
+        col("a.hs").as("h1"), col("b.hs").as("h2"))
+      .withColumn("un", expr(s"slice(array_sort(array_distinct(concat(h1, h2))), 1, $k)"))
+      .withColumn("ku", size(col("un")).cast("long"))
+      .withColumn("n_both",
+        size(expr("array_intersect(array_intersect(un, h1), h2)")).cast("long"))
+      .withColumn("est_union", when(col("ku") < k, col("ku"))
+        .otherwise(expr(s"${k - 1}L * ${M}L DIV element_at(un, $k)")))
+      .withColumn("est_inter", expr("n_both * est_union DIV ku"))
+      .withColumn("jaccard_est_ppm", expr("n_both * 1000000 DIV ku"))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .join(d.select(col("t").as("src_a"), col("nd").as("nda")), "src_a")
+      .join(d.select(col("t").as("src_b"), col("nd").as("ndb")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("nda") + col("ndb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        col("ku"), col("n_both"), col("est_union"), col("est_inter"),
+        col("jaccard_est_ppm"))
+      .withColumn("within_4sigma",
+        (abs(col("est_union") - col("exact_union")).cast("double") /
+          col("exact_union") <= 0.5).cast("int"))
+  }
+
   /** Bucketed INTERVAL join — the scale answer for a range predicate with
     * NO equi key (Spark's only native plan for `point BETWEEN lo AND hi`
     * is a nested-loop join, quadratic at 100 TB): intervals explode to
@@ -369,6 +435,7 @@ object ShuffleOps {
     "q_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
     "q_cm_join_size" -> ((s, dir) => cmJoinSize(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
+    "q_kmv_overlap" -> ((s, dir) => kmvOverlap(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
     "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
@@ -469,6 +536,54 @@ object ShuffleOps {
          | CAST(abs(kmv_est - exact_d) * 1.0 / exact_d <= 0.5 AS INT)
          |   AS within_4sigma
          |FROM ex JOIN est USING (flag)""".stripMargin
+    },
+
+    // KMV set operations: the oracle rebuilds every pair's union sketch
+    // relationally (rank windows, no list functions) and must reproduce
+    // each integer estimate exactly
+    "q_kmv_overlap" -> {
+      val M = 1000000007L
+      val k = KmvK
+      val h = graft.functions.PortableSql.seedLadderSql("u", M)
+      s"""WITH keys AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+         | d AS (SELECT t, count(*) AS nd FROM keys GROUP BY 1),
+         | ex AS (SELECT a.t AS src_a, b.t AS src_b, count(*) AS exact_inter
+         |   FROM keys a JOIN keys b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+         | hs AS (SELECT DISTINCT t, $h AS h FROM keys),
+         | r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+         |   FROM hs),
+         | sk AS (SELECT t, h FROM r WHERE rn <= $k),
+         | pr AS (SELECT a.t AS src_a, b.t AS src_b FROM d a JOIN d b ON a.t < b.t),
+         | pu AS (SELECT src_a, src_b, h,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn
+         |   FROM (SELECT DISTINCT pr.src_a, pr.src_b, s.h
+         |     FROM pr JOIN sk s ON s.t = pr.src_a OR s.t = pr.src_b) z),
+         | u AS (SELECT * FROM pu WHERE urn <= $k),
+         | agg AS (SELECT u.src_a, u.src_b,
+         |    CAST(count(*) AS BIGINT) AS ku,
+         |    max(CASE WHEN urn = $k THEN u.h END) AS kth,
+         |    CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |   FROM u LEFT JOIN sk ia ON ia.t = u.src_a AND ia.h = u.h
+         |          LEFT JOIN sk ib ON ib.t = u.src_b AND ib.h = u.h
+         |   GROUP BY 1, 2),
+         | est AS (SELECT src_a, src_b, ku, n_both,
+         |    CASE WHEN ku < $k THEN ku
+         |         ELSE CAST(${k - 1} AS BIGINT) * $M // kth END AS est_union
+         |   FROM agg)
+         |SELECT est.src_a, est.src_b,
+         | coalesce(ex.exact_inter, 0) AS exact_inter,
+         | da.nd + db.nd - coalesce(ex.exact_inter, 0) AS exact_union,
+         | ku, n_both, est_union,
+         | n_both * est_union // ku AS est_inter,
+         | n_both * 1000000 // ku AS jaccard_est_ppm,
+         | CAST(abs(est_union - (da.nd + db.nd - coalesce(ex.exact_inter, 0)))
+         |   * 1.0 / (da.nd + db.nd - coalesce(ex.exact_inter, 0)) <= 0.5 AS INT)
+         |   AS within_4sigma
+         |FROM est
+         |LEFT JOIN ex ON est.src_a = ex.src_a AND est.src_b = ex.src_b
+         |JOIN d da ON da.t = est.src_a
+         |JOIN d db ON db.t = est.src_b""".stripMargin
     },
 
     // CM is linear, so the oracle rebuilds the probed cells relationally

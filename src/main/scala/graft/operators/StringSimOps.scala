@@ -74,9 +74,28 @@ object StringSimOps {
           .as("jw_micro"))
       .filter(col("jw_micro") >= JwMicroMin)
 
+  /** Entity resolution end-to-end: connected components over the JW
+    * near-dup pairs collapse transitively-linked name variants into one
+    * entity, labelled by its lexicographically-least member — the step
+    * after pair scoring that master-data pipelines actually ship (pair
+    * lists alone can't answer "how many real entities do we have":
+    * A~B and B~C must merge even when A~C scores below threshold).
+    * Reuses the dedup family's min-label propagation verbatim —
+    * [[DedupOps.clustersFromPairs]] is label-type-agnostic, so string
+    * names propagate exactly like doc ids — which keeps the scale
+    * argument: per-round shuffles are edge⋈label equi-joins over
+    * edge-touching nodes only, isolates rejoin at the end.
+    */
+  def entityClusters(part: DataFrame): DataFrame =
+    DedupOps.clustersFromPairs(
+        names(part).select(col("name").as("doc_id")),
+        jwPairs(part).select(col("n1").as("d1"), col("n2").as("d2")))
+      .select(col("doc_id").as("name"), col("cluster_id").as("entity_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
-    "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir)))
+    "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir))),
+    "q_entity_resolve" -> ((s, dir) => entityClusters(Tables.part(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,6 +111,23 @@ object StringSimOps {
          |  CAST(floor(jaro_winkler_similarity(n1, n2) * 1000000.0) AS BIGINT)
          |    AS jw_micro
          | FROM p) t
-         |WHERE jw_micro >= $JwMicroMin""".stripMargin
+         |WHERE jw_micro >= $JwMicroMin""".stripMargin,
+
+    // transitive closure replayed as a recursive CTE (the q_dedup_clusters
+    // oracle shape) over the JW pair list
+    "q_entity_resolve" ->
+      s"""$blockedPairsCte,
+         |jw AS (SELECT n1, n2 FROM p
+         |  WHERE CAST(floor(jaro_winkler_similarity(n1, n2) * 1000000.0) AS BIGINT)
+         |    >= $JwMicroMin),
+         |e AS (SELECT n1 AS d1, n2 AS d2 FROM jw
+         |  UNION ALL SELECT n2, n1 FROM jw)
+         |SELECT a AS name, min(b) AS entity_id FROM (
+         | WITH RECURSIVE reach(a, b) AS (
+         |   SELECT name AS a, name AS b FROM n
+         |   UNION
+         |   SELECT r.a, e.d2 AS b FROM reach r JOIN e ON r.b = e.d1)
+         | SELECT a, b FROM reach) z
+         |GROUP BY a""".stripMargin
   )
 }
