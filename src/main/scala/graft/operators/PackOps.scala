@@ -148,14 +148,63 @@ object PackOps {
       .withColumn("chunk_pad_bp",
         expr("(n_chunks * ctx - total_tokens) * 10000 DIV (n_chunks * ctx)"))
 
+  /** Sliding-window size and stride for the RAG chunking audit (overlap
+    * = CtxLen - ChunkStride = 32 tokens of context carried across
+    * boundaries).
+    */
+  val ChunkStride = 96L
+
+  /** Sliding-window (overlapping) chunking audit — the RAG-ingest twin
+    * of [[ctxPlan]]: retrieval corpora chunk documents into L-token
+    * windows advancing by a stride S < L so no boundary loses context,
+    * and the price is every overlap token embedded and stored twice.
+    * Per source: chunk count (ceil((tok-L)/S)+1 for docs over one
+    * window), emitted tokens (tok + (n_chunks-1)·(L-S) — the closed
+    * form of summing the clipped windows), and the duplication overhead
+    * in basis points. Pure per-doc integer arithmetic + one grouped
+    * aggregate; nothing orders or joins.
+    */
+  def chunkOverlap(docs: DataFrame, c: Long = CtxLen,
+      s: Long = ChunkStride): DataFrame =
+    docs.select(col("source"),
+        expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+          .as("tok"))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN tok <= $c THEN 1L ELSE (tok - $c + $s - 1) DIV $s + 1 END"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(expr(s"tok + (n_chunks - 1) * ${c - s}")).as("emitted_tokens"))
+      .withColumn("overlap_bp",
+        expr("(emitted_tokens - total_tokens) * 10000 DIV total_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_chunk" -> ((s, dir) => chunkStats(Tables.documents(s, dir))),
     "q_ctx_plan" -> ((s, dir) => ctxPlan(Tables.documents(s, dir))),
+    "q_chunk_overlap" -> ((s, dir) => chunkOverlap(Tables.documents(s, dir))),
     "q_pack_nextfit" -> ((s, dir) => nextFitStats(s, Tables.documents(s, dir))))
 
   def oracleSql: Map[String, String] = {
     val c = CtxLen
     Map(
+      "q_chunk_overlap" -> {
+        val s = ChunkStride
+        s"""WITH b AS (SELECT source,
+           |  CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT) AS tok
+           |  FROM documents),
+           |x AS (SELECT source, tok,
+           |  CASE WHEN tok <= $c THEN 1 ELSE (tok - $c + $s - 1) // $s + 1 END
+           |    AS n_chunks FROM b)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(tok) AS BIGINT) AS total_tokens,
+           | CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           | CAST(sum(tok + (n_chunks - 1) * ${c - s}) AS BIGINT) AS emitted_tokens,
+           | CAST((sum(tok + (n_chunks - 1) * ${c - s}) - sum(tok)) * 10000
+           |   // sum(tok) AS BIGINT) AS overlap_bp
+           |FROM x GROUP BY 1""".stripMargin
+      },
+
       "q_ctx_plan" ->
         s"""WITH b AS (SELECT ${alen(tokens("text", duck = true), duck = true)} AS tok
            |  FROM documents),
