@@ -304,25 +304,40 @@ object ShuffleOps {
     */
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableSql
-    val M = 1000000007L
-    val k = KmvK
-    val keys = Tables.events(spark, dir)
+    val keys = overlapKeys(spark, dir)
+    val sk = keys
+      .select(col("t"), expr(PortableSql.seedLadderSql("u", KmvOverlapM)).as("h"))
+      .distinct()
+      .groupBy("t")
+      .agg(graft.functions.TopKAggregate.topKRows(
+        struct((-col("h")).cast("double").as("value"), col("h").as("id")), KmvK)
+        .as("top"))
+      // topKRows orders by value desc = h asc: hs is the ascending sketch
+      .select(col("t"), expr("transform(top, x -> x.id)").as("hs"))
+    kmvOverlapFromSketches(sk, keys)
+  }
+
+  val KmvOverlapM = 1000000007L
+
+  /** The (event_type, user) audience incidence both overlap forms share. */
+  def overlapKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("event_type").as("t"), col("user_id").as("u"))
       .distinct()
+
+  /** The pairwise estimator arithmetic off a (t, ascending-sketch) frame —
+    * shared by [[kmvOverlap]] and the streaming twin (which accumulates
+    * the same sketches in the state store), so both score through
+    * literally the same expressions.
+    */
+  def kmvOverlapFromSketches(sk: DataFrame, keys: DataFrame): DataFrame = {
+    val M = KmvOverlapM
+    val k = KmvK
     val d = keys.groupBy("t").agg(count(lit(1)).as("nd"))
     val exact = keys.as("a").join(keys.as("b"),
         col("a.u") === col("b.u") && col("a.t") < col("b.t"))
       .groupBy(col("a.t").as("src_a"), col("b.t").as("src_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    val sk = keys
-      .select(col("t"), expr(PortableSql.seedLadderSql("u", M)).as("h"))
-      .distinct()
-      .groupBy("t")
-      .agg(graft.functions.TopKAggregate.topKRows(
-        struct((-col("h")).cast("double").as("value"), col("h").as("id")), k)
-        .as("top"))
-      // topKRows orders by value desc = h asc: hs is the ascending sketch
-      .select(col("t"), expr("transform(top, x -> x.id)").as("hs"))
     sk.as("a").join(sk.as("b"), col("a.t") < col("b.t"))
       .select(col("a.t").as("src_a"), col("b.t").as("src_b"),
         col("a.hs").as("h1"), col("b.hs").as("h2"))

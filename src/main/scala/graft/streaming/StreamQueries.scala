@@ -1141,6 +1141,46 @@ object StreamQueries {
           col("exact_d") <= 0.5).cast("int").as("within_4sigma"))
   }
 
+  /** Streaming twin of q_kmv_overlap: the per-audience KMV heaps
+    * accumulate in the aggregation state store across micro-batches
+    * (exactly [[streamKmv]]'s serialize/merge path), and the final
+    * snapshot feeds the SHARED pairwise estimator arithmetic
+    * (ShuffleOps.kmvOverlapFromSketches), so a live dashboard reads the
+    * same union/intersection/Jaccard estimates the batch audit computes.
+    * K-minimum-values selection is merge-order-independent, so the batch
+    * oracle covers the streamed accumulation; the exact-overlap audit
+    * columns join in batch-side, as the MG and KMV audits do.
+    */
+  def streamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val K = graft.operators.ShuffleOps.KmvK
+    def keys = graft.operators.ShuffleOps.overlapKeys(s, dir)
+    val landing = ensureJsonFixture(fixtureDir("overlap", dir, "events"),
+      keys.select(col("t"),
+        expr(graft.functions.PortableSql.seedLadderSql(
+          "u", graft.operators.ShuffleOps.KmvOverlapM)).as("h")).distinct())
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("t", StringType), StructField("h", LongType))))
+        .json(landing)
+        .groupBy("t")
+        .agg(graft.functions.TopKAggregate.topKRows(
+          struct((-col("h")).cast("double").as("value"), col("h").as("id")), K)
+          .as("top"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sk = s.read.parquet(s"$tmp/out")
+      .select(col("t"), expr("transform(top, x -> x.id)").as("hs"))
+    graft.operators.ShuffleOps.kmvOverlapFromSketches(sk, keys)
+  }
+
   // ---------------------------------------------------------------------
   // Streaming funnel: per-user stage state via flatMapGroupsWithState
   // ---------------------------------------------------------------------
@@ -1356,6 +1396,7 @@ object StreamQueries {
     "q_stream_funnel" -> ((s, dir) => streamFunnel(s, dir)),
     "q_stream_attribution" -> ((s, dir) => streamAttribution(s, dir)),
     "q_stream_kmv" -> ((s, dir) => streamKmv(s, dir)),
+    "q_stream_overlap" -> ((s, dir) => streamOverlap(s, dir)),
     "q_stream_scd2" -> ((s, dir) => streamScd2(s, dir)),
     "q_stream_velocity" -> ((s, dir) => streamVelocity(s, dir)),
     "q_stream_part_sink" -> ((s, dir) => streamPartitionedSink(s, dir)),
@@ -1395,6 +1436,10 @@ object StreamQueries {
     // k-minimum-values selection is merge-order-independent: the batch
     // KMV oracle covers the streaming heap accumulation
     "q_stream_kmv" -> graft.operators.ShuffleOps.oracleSql("q_kmv_distinct"),
+
+    // same merge-order-independence argument, pairwise form: the batch
+    // overlap oracle covers the state-store sketch accumulation
+    "q_stream_overlap" -> graft.operators.ShuffleOps.oracleSql("q_kmv_overlap"),
 
     // arrival-counter versions over the time-ordered fixture == the
     // batch row_number windows, so the batch SCD2 oracle applies
