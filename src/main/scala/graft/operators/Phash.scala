@@ -111,15 +111,29 @@ object Phash {
       .filter(col("hamming") <= HammingMax)
   }
 
+  /** Re-upload cluster canonicalization — the media twin of text dedup
+    * clusters and name entity resolution: connected components over the
+    * phash near-dup pairs collapse every edited re-upload chain into one
+    * canonical media id (min doc_id), via the same min-label propagation
+    * ([[DedupOps.clustersFromPairs]]). The keep-one policy for images
+    * needs exactly this: pairwise hamming hits are not enough when A~B
+    * and B~C but A's and C's edits push them past the threshold.
+    */
+  def phashClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    DedupOps.clustersFromPairs(
+      docs.select(col("doc_id")),
+      phashPairs(spark, docs).select(col("d1"), col("d2")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_phash" -> ((s, dir) => phashPairs(s, Tables.documents(s, dir)))
+    "q_multimodal_phash" -> ((s, dir) => phashPairs(s, Tables.documents(s, dir))),
+    "q_phash_clusters" -> ((s, dir) => phashClusters(s, Tables.documents(s, dir)))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
     // hash from the pixel ladder arithmetic alone (no codec), pairs by
     // NAIVE all-pairs bit_count(xor) — both stages independent of the
     // Spark plan
-    "q_multimodal_phash" ->
+    val pairsSql =
       s"""WITH d AS (SELECT doc_id, doc_id % 2 AS odd,
          |   CAST(16 + (doc_id // 2) % 17 AS INT) AS w,
          |   CAST(8 + (doc_id // 2) % 13 AS INT) AS h,
@@ -147,5 +161,19 @@ object Phash {
          | CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= $HammingMax""".stripMargin
-  )
+    Map(
+      "q_multimodal_phash" -> pairsSql,
+      // transitive closure over the same pair set, replayed as the
+      // q_dedup_clusters recursive CTE
+      "q_phash_clusters" ->
+        s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($pairsSql) p),
+           | e AS (SELECT d1, d2 FROM pairs
+           |       UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+           | reach(a, b) AS (
+           |   SELECT doc_id AS a, doc_id AS b FROM documents
+           |   UNION
+           |   SELECT r.a, e.d2 AS b FROM reach r JOIN e ON r.b = e.d1)
+           |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY a""".stripMargin)
+  }
 }
