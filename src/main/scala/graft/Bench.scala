@@ -211,11 +211,15 @@ object Bench {
       System.err.println(s"[bench] warmBucketedTables failed (q_bucketed_join " +
         s"will pay the build in its timed run): $e")
     }
-    // partitioned-table layout is likewise a write-time cost by design
-    try { graft.operators.LayoutOps.partitionedOrdersRoot(spark, sfDir); () }
-    catch { case e: Throwable =>
+    // partitioned-table layout is likewise a write-time cost by design,
+    // and so is the DPP join's file-backed month dim
+    try {
+      graft.operators.LayoutOps.partitionedOrdersRoot(spark, sfDir)
+      graft.operators.LayoutOps.monthDimRoot(spark, sfDir)
+      ()
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] partitioned-orders warm failed " +
-        s"(q_partition_prune will pay the write in its timed run): $e")
+        s"(q_partition_prune/q_dpp_join will pay the write in their timed runs): $e")
     }
     val warmFixturesOk =
       try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }

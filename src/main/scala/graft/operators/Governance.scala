@@ -201,9 +201,6 @@ object Governance {
         sum(col("is_hi")).as("n_hi_clipped"), sum(col("clipped")).as("sum_clipped"))
   }
 
-  /** Range-bucket count for the distributed equi-depth selection. */
-  val EqDepthBuckets = 256
-
   /** Equi-DEPTH histogram of order value (the q_histogram equi-width
     * companion): deciles under a deterministic (cents, key) total order —
     * every bucket holds n/10 +-1 rows and the bucket edges are
@@ -211,34 +208,20 @@ object Governance {
     *
     * Built WITHOUT a global ntile window (the round-7 named scale-killer:
     * `ntile(10).over(Window.orderBy(...))` sorts the whole frame through
-    * one partition). Instead, the rfm-cuts/winsorize decomposition
-    * computes each row's EXACT global rank: range-bucket on the value
-    * (bucket id monotone in v, tie-stable — equal v lands in one
-    * bucket), per-bucket counts prefix-summed with a ≤256² theta-join,
-    * then a row_number PARTITIONED by bucket plus the bucket's offset.
-    * The (v, k) order is strict (k is a key), so ntile is pure rank
-    * arithmetic — first n%10 tiles hold n/10+1 rows, the rest n/10 —
-    * and the oracle keeps the ntile form bit-for-bit. The plan's only
-    * windows run over single buckets; the only single-partition exchange
-    * is the three-number stats aggregate (pinned in SequencePlanSpec).
+    * one partition): [[SampleOps.withValueRanks]] computes each row's
+    * EXACT global rank with only bucket-partitioned windows, and since
+    * the (v, k) order is strict (k is a key), ntile is pure rank
+    * arithmetic — the first n%10 tiles hold n/10+1 rows, the rest n/10 —
+    * so the oracle keeps the ntile form bit-for-bit. The plan's only
+    * single-partition exchange is the helper's three-number stats
+    * aggregate (pinned in SequencePlanSpec).
     */
-  def histogramEquiDepth(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = EqDepthBuckets
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("k"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    val st = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-      count(lit(1)).as("n"))
-    val ob = o.crossJoin(broadcast(st))
-      .withColumn("bkt", expr(s"((v - mn) * $b) DIV (mx - mn + 1)"))
-    val bc = ob.groupBy("bkt").agg(count(lit(1)).as("cnt"))
-    val off = bc.as("a").join(bc.as("b"), col("b.bkt") < col("a.bkt"), "left")
-      .groupBy(col("a.bkt").as("bkt"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    val w = Window.partitionBy(col("bkt")).orderBy(col("v").asc, col("k").asc)
-    ob.join(broadcast(off), "bkt")
-      .withColumn("rn", row_number().over(w).cast("long") + col("off"))
+  def histogramEquiDepth(spark: SparkSession, dir: String): DataFrame =
+    SampleOps.withValueRanks(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")),
+        "v", "k")
       .withColumn("decile", expr(
         """CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1)
           |  THEN (rn - 1) DIV (n DIV 10 + 1) + 1
@@ -247,7 +230,6 @@ object Governance {
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_cents"),
         max(col("v")).as("max_cents"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> ((s, dir) => winsorized(s, dir)),

@@ -153,6 +153,40 @@ object SampleOps {
         col("bucket_before") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
   }
 
+  /** Range-bucket count for [[withValueRanks]]. */
+  val RankBuckets = 256
+
+  /** Exact global rank under the strict (valueCol, tieCol) total order,
+    * WITHOUT a global window — the distributed-selection skeleton the
+    * equi-depth histogram, conversion-lag median, rfm cuts and winsorize
+    * all need, extracted once: range-bucket on the value (bucket id
+    * monotone in v and tie-stable — equal values land in one bucket, so
+    * per-bucket ranking plus the bucket's offset IS the global rank),
+    * per-bucket counts prefix-summed with a ≤B² theta-join (no window
+    * over data rows anywhere), then a row_number PARTITIONED by bucket.
+    * Appends `rn` (1-based global rank) and `n` (total rows); all other
+    * input columns pass through. Precondition: (v - min) · B fits in
+    * int64 — every caller's domain (cents, micros) is ≤ ~1e13.
+    */
+  private[operators] def withValueRanks(df: DataFrame, valueCol: String,
+      tieCol: String, b: Int = RankBuckets): DataFrame = {
+    val st = df.agg(min(col(valueCol)).as("graft_mn"),
+      max(col(valueCol)).as("graft_mx"), count(lit(1)).as("n"))
+    val withB = df.crossJoin(broadcast(st))
+      .withColumn("graft_bkt",
+        expr(s"(($valueCol - graft_mn) * $b) DIV (graft_mx - graft_mn + 1)"))
+    val bc = withB.groupBy("graft_bkt").agg(count(lit(1)).as("graft_cnt"))
+    val off = bc.as("a")
+      .join(bc.as("b"), col("b.graft_bkt") < col("a.graft_bkt"), "left")
+      .groupBy(col("a.graft_bkt").as("graft_bkt"))
+      .agg(coalesce(sum(col("b.graft_cnt")), lit(0L)).as("graft_off"))
+    val w = Window.partitionBy(col("graft_bkt"))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    withB.join(broadcast(off), "graft_bkt")
+      .withColumn("rn", row_number().over(w).cast("long") + col("graft_off"))
+      .drop("graft_bkt", "graft_off", "graft_mn", "graft_mx")
+  }
+
   val ShardChars = 20000L
 
   /** Balanced output sharding — the file-sizing step before a 100 TB

@@ -190,46 +190,24 @@ object SequenceOps {
     * ulp (observed at sf0.1: ...225.5 vs ...225.50006, where a double's
     * ulp is 6e-5 and round-to-6-decimals is a no-op), so the only safe
     * cross-engine median at this magnitude is pure integer arithmetic.
-    * The two central ranks are found by exact distributed selection
-    * (the rfm-cuts machinery), NOT a global row_number — even though the
-    * converters frame is one row per converting user, |users| through a
-    * single partition is still the named scale-killer class. Range-
-    * bucket the lags, prefix-sum per-bucket counts with a ≤256²
-    * theta-join, locate each target rank's bucket, then row_number
-    * PARTITIONED by bucket picks the local order statistic. Empty
-    * input keeps the one-row-of-NULLs contract (pinned in
-    * SequencePlanSpec).
+    * The two central ranks come from exact distributed selection
+    * ([[SampleOps.withValueRanks]] — bucket-partitioned windows only),
+    * NOT a global row_number: even though the converters frame is one
+    * row per converting user, |users| through a single partition is
+    * still the named scale-killer class. Ties in lag_us rank
+    * arbitrarily, which is immaterial — equal values at a rank select
+    * the same VALUE. One aggregate over the ranked frame preserves the
+    * empty-input one-row-of-NULLs contract (pinned in SequencePlanSpec).
     */
   def conversionLag(events: DataFrame): DataFrame = {
-    val b = 256
     val lags = stageFrame(events).filter(col("t3").isNotNull)
       .select((col("t3") - col("t1")).as("lag_us"))
-    val st = lags.agg(min(col("lag_us")).as("mn"), max(col("lag_us")).as("mx"),
-      count(lit(1)).as("n"))
-    val lb = lags.crossJoin(broadcast(st))
-      .withColumn("bkt", expr(s"((lag_us - mn) * $b) DIV (mx - mn + 1)"))
-    val bc = lb.groupBy("bkt").agg(count(lit(1)).as("cnt"))
-    val cum = bc.as("a").join(bc.as("b"), col("b.bkt") <= col("a.bkt"))
-      .groupBy(col("a.bkt").as("bkt"))
-      .agg(sum(col("b.cnt")).as("cum"), max(col("a.cnt")).as("cnt"))
-    // target ranks (n+1) DIV 2 and (n+2) DIV 2 — equal when n is odd, so
-    // the sum of the two selected values is the doubled median either way
-    val ranks = st.filter(col("n") > 0)
-      .selectExpr("n", "explode(array(1, 2)) AS which")
-      .withColumn("rk", expr("(n + which) DIV 2"))
-    val cb = ranks.crossJoin(broadcast(cum)).filter(col("cum") >= col("rk"))
-      .groupBy(col("which"), col("rk"))
-      .agg(min_by(struct(col("bkt"), col("cum"), col("cnt")), col("bkt")).as("s"))
-      .select(col("which"), col("s.bkt").as("bkt"),
-        (col("rk") - (col("s.cum") - col("s.cnt"))).as("local_rk"))
-    val w = Window.partitionBy(col("which"), col("bkt"))
-      .orderBy(col("lag_us").asc)
-    val medPair = cb.join(lb.select(col("bkt"), col("lag_us")), Seq("bkt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === col("local_rk"))
-      .agg(sum(col("lag_us")).as("p50x2_lag_us"))
-    lb.agg(max(col("n")).as("n_converted"), max(col("lag_us")).as("max_lag_us"))
-      .crossJoin(medPair)
+    SampleOps.withValueRanks(lags, "lag_us", "lag_us")
+      .agg(max(col("n")).as("n_converted"),
+        max(col("lag_us")).as("max_lag_us"),
+        (sum(when(col("rn") === expr("(n + 1) DIV 2"), col("lag_us")).otherwise(0L)) +
+          sum(when(col("rn") === expr("(n + 2) DIV 2"), col("lag_us")).otherwise(0L)))
+          .as("p50x2_lag_us"))
   }
 
   /** Path mining: counts of the event-type trigrams users actually walk

@@ -557,7 +557,7 @@ object ShuffleOps {
     // relationally (rank windows, no list functions) and must reproduce
     // each integer estimate exactly
     "q_kmv_overlap" -> {
-      val M = 1000000007L
+      val M = KmvOverlapM
       val k = KmvK
       val h = graft.functions.PortableSql.seedLadderSql("u", M)
       s"""WITH keys AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),

@@ -58,13 +58,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           // points: one added bucket column
           val pAlias = Alias(IntegralDivide(p, width), "graft_p_bucket")()
           val pPlan = Project(pSide.output :+ pAlias, pSide)
-          // intervals: explode to the (≤ 2) buckets the span touches
+          // intervals: explode to the 2 buckets the span CAN touch. With
+          // width = c+1 the interval [lo, lo+c] spans at most two
+          // buckets, and the upper one is always lo DIV w + 1 — so the
+          // stop is computed WITHOUT ever forming lo + c, which for lo
+          // near Long.MaxValue would throw under ANSI (where the
+          // original plan evaluates the predicate lazily per pair) or
+          // wrap under non-ANSI and hand Sequence a stop < start (step
+          // defaults to -1 and materializes a ~2^63-element array). The
+          // +1 itself cannot overflow: c >= 1 ⇒ w >= 2 ⇒ |lo DIV w| <=
+          // Long.MaxValue/2. A spurious second bucket when the span
+          // fits one bucket only adds candidates the residual filter
+          // drops.
           val iAttr = AttributeReference("graft_i_bucket", LongType, nullable = false)()
+          val loBucket = IntegralDivide(lo, width)
           // Sequence is TimeZoneAwareExpression: a post-analysis rule must
           // supply the zone itself or the plan re-validates as unresolved
           val gen = Explode(Sequence(
-            IntegralDivide(lo, width),
-            IntegralDivide(Add(lo, Literal(c, LongType)), width), None,
+            loBucket, Add(loBucket, Literal(1L, LongType)), None,
             Some(conf.sessionLocalTimeZone)))
           val iPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
             qualifier = None, generatorOutput = Seq(iAttr), child = iSide)
@@ -93,18 +104,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Largest span the rewrite accepts. Beyond this the arithmetic itself
-    * turns hostile — width = c+1 wraps at Long.MaxValue, and lo + c can
-    * overflow for attainable lo, where non-ANSI wrap-around would hand
-    * Sequence a stop < start (Spark defaults the step to -1 and tries to
-    * materialize a huge descending array). A band this wide is not a
-    * band join anyway — it matches ~every pair — so fall through to the
-    * original plan instead of "optimizing" it.
+  /** Largest span the rewrite accepts — beyond this width = c+1 itself
+    * approaches wrap-around, and a band that wide matches ~every pair
+    * anyway, so fall through to the original plan instead of
+    * "optimizing" it. The lower bound (c >= 1) keeps the exploded stop
+    * bucket `lo DIV w + 1` overflow-free for ANY lo (w >= 2); a literal
+    * c = 0 never reaches the matcher anyway — constant folding collapses
+    * `lo + 0` to `lo` before the optimizer runs.
     */
   val MaxSpan: Long = Long.MaxValue / 4
 
   /** Find the band pair (p >= lo, p <= lo + c) over opposite sides with
-    * LongType attributes and a non-negative long literal span within
+    * LongType attributes and a positive long literal span within
     * [[MaxSpan]].
     */
   private def matchBand(conjuncts: Seq[Expression], j: Join)
@@ -117,9 +128,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }
     val uppers = conjuncts.collect {
       case LessThanOrEqual(p: Attribute, Add(lo: Attribute, Literal(c: Long, LongType), _))
-          if bandSides(p, lo, j) && c >= 0 && c <= MaxSpan => (p, lo, c)
+          if bandSides(p, lo, j) && c >= 1 && c <= MaxSpan => (p, lo, c)
       case GreaterThanOrEqual(Add(lo: Attribute, Literal(c: Long, LongType), _), p: Attribute)
-          if bandSides(p, lo, j) && c >= 0 && c <= MaxSpan => (p, lo, c)
+          if bandSides(p, lo, j) && c >= 1 && c <= MaxSpan => (p, lo, c)
     }
     (for {
       (p1, lo1) <- lowers

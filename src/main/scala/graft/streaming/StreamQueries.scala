@@ -163,6 +163,8 @@ object StreamQueries {
       funnelFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("kmv", dir, "lineitem"),
       kmvFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("overlap", dir, "events"),
+      overlapFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("scd2", dir, "events"),
       scd2FixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("topk", dir, "customer"),
@@ -1151,13 +1153,17 @@ object StreamQueries {
     * oracle covers the streamed accumulation; the exact-overlap audit
     * columns join in batch-side, as the MG and KMV audits do.
     */
+  private def overlapFixtureDf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ShuffleOps.overlapKeys(s, dir)
+      .select(col("t"),
+        expr(graft.functions.PortableSql.seedLadderSql(
+          "u", graft.operators.ShuffleOps.KmvOverlapM)).as("h")).distinct()
+
   def streamOverlap(s: SparkSession, dir: String): DataFrame = {
     val K = graft.operators.ShuffleOps.KmvK
     def keys = graft.operators.ShuffleOps.overlapKeys(s, dir)
     val landing = ensureJsonFixture(fixtureDir("overlap", dir, "events"),
-      keys.select(col("t"),
-        expr(graft.functions.PortableSql.seedLadderSql(
-          "u", graft.operators.ShuffleOps.KmvOverlapM)).as("h")).distinct())
+      overlapFixtureDf(s, dir))
     val tmp = tempSink()
     withShufflePartitions(s, StatefulShufflePartitions) {
       val q = s.readStream.schema(StructType(Seq(

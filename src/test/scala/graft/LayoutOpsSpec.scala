@@ -9,19 +9,11 @@ class LayoutOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** All file scans in a physical plan, descending through AQE wrappers
-    * (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes whose real
-    * subtree hangs off a field, not `children`).
-    */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-    p.collect {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        fileScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        fileScans(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-    }.flatten
+    SparkTestBase.collectInPlan(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
 
   /** Independent Morton reference: straight bit twiddling, no SQL. */
   private def morton(x: Long, y: Long): Long =

@@ -157,6 +157,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() == 5, "band-join answer changed under the span guard")
   }
 
+  test("RangeJoinRewrite survives interval bounds at the top of the long range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.plans.RangeJoinRewrite.ensureInjected(spark)
+    // lo near Long.MaxValue with a small span: the rewrite must still
+    // fire and must never form lo + c in the exploded generator — that
+    // Add throws under ANSI (where the original nested-loop join
+    // evaluates the predicate only per candidate pair) and wraps under
+    // non-ANSI into a stop < start Sequence. The huge interval simply
+    // matches nothing.
+    val pts = Seq(1L, 5L).toDF("p")
+    val ivs = Seq(0L, Long.MaxValue - 2L).toDF("lo")
+    val df = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("lo") + lit(2L))
+    assert(df.queryExecution.executedPlan.toString.contains("graft_p_bucket"),
+      "rewrite must fire on a small span regardless of the data domain")
+    assert(df.count() == 1, "only p=1 lies in [0, 2]")
+  }
+
   test("star join broadcasts every dim; ingest stays fully pipelined") {
     // the two plans 100 TB depends on hardest: the dashboard star join
     // must never fall back to a shuffled SMJ for its small dims, and the

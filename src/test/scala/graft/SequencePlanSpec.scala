@@ -60,13 +60,9 @@ class SequencePlanSpec extends AnyFunSuite {
     // funnels the whole frame through one partition
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.window.WindowExec] =
-      p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          windows(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          windows(q.plan)
-        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
-      }.flatten
+      SparkTestBase.collectInPlan(p) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
     Seq(Governance.histogramEquiDepth(spark, dir),
         SequenceOps.conversionLag(Tables.events(spark, dir))).foreach { df =>
       val ws = windows(df.queryExecution.executedPlan)

@@ -17,4 +17,20 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Collect over a physical plan DESCENDING through AQE wrappers —
+    * AdaptiveSparkPlanExec / QueryStageExec are leaf nodes whose real
+    * subtree hangs off a field, not `children`, so a plain `collect`
+    * never sees the scans/windows inside them. Shared by every
+    * plan-shape spec that needs actual nodes (not the plan string).
+    */
+  def collectInPlan[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectInPlan(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectInPlan(q.plan)(pf)
+      case n if pf.isDefinedAt(n) => Seq(pf(n))
+    }.flatten
 }
