@@ -349,7 +349,63 @@ object TextOps {
       .filter(col("rnk") <= 3)
   }
 
+  /** Winnowing window: every [[WinnowW]] consecutive trigram hashes
+    * contribute their minimum as a selected fingerprint.
+    */
+  val WinnowW = 4
+
+  /** The winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03) as a
+    * dialect-shared fragment: distinct window-minima of the position-
+    * ordered hash array; short docs keep their single global minimum
+    * (the guarantee the scheme is built for — any shared run of
+    * w+gram-1 tokens shares at least one selected print). The <w guard
+    * also dodges Spark's descending sequence(1, 0) trap.
+    */
+  private def winnowSql(hsCol: String, w: Int, duck: Boolean): String = {
+    val idx = seqIncl("1", s"${alen(hsCol, duck)} - ${w - 1}", duck)
+    val win =
+      if (duck) s"list_slice($hsCol, i, i + ${w - 1})" else s"slice($hsCol, i, $w)"
+    val prints = distinct(xform(idx, "i", arrayMin(win, duck), duck), duck)
+    val one =
+      if (duck) s"[${arrayMin(hsCol, duck)}]" else s"array(${arrayMin(hsCol, duck)})"
+    val empty = if (duck) "CAST([] AS BIGINT[])" else "CAST(array() AS ARRAY<BIGINT>)"
+    s"""(CASE WHEN ${alen(hsCol, duck)} >= $w THEN $prints
+       | WHEN ${alen(hsCol, duck)} > 0 THEN $one
+       | ELSE $empty END)""".stripMargin
+  }
+
+  /** Per-document winnowed-fingerprint profile — the robust local
+    * fingerprinting scheme behind plagiarism/near-dup detectors: instead
+    * of keeping every k-gram hash (q_dedup_spans) or one rolling hash
+    * per doc (q_text_fingerprint), winnowing keeps each window's MINIMUM
+    * hash, guaranteeing any sufficiently long shared substring shares a
+    * selected print while storing ~2/(w+1) of the grams. Emits per doc
+    * the raw hash count, the selected print count (the compression the
+    * scheme buys), and how many selected prints also occur in another
+    * document — the matching signal served at query time.
+    *
+    * Scale shape: one fused kernel pass + O(n·w) narrow selection per
+    * doc, then the postings shape — explode prints, one map-side-
+    * combined df count, one equi-join probe back. Never all-pairs.
+    */
+  def winnowStats(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+        graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")).as("hs"))
+      .withColumn("prints", expr(winnowSql("hs", WinnowW, duck = false)))
+      .cache()
+    val ex = d.select(col("doc_id"), explode(col("prints")).as("p"))
+    val dfp = ex.groupBy("p").agg(count(lit(1)).as("dfp"))
+    val sh = ex.join(dfp.filter(col("dfp") >= 2), "p")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    d.select(col("doc_id"), size(col("hs")).cast("long").as("n_hashes"),
+        size(col("prints")).cast("long").as("n_prints"))
+      .join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hashes"), col("n_prints"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_winnow" -> ((s, dir) => winnowStats(Tables.documents(s, dir))),
     "q_text_vocab" -> ((s, dir) => vocabStats(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => bigramLm(Tables.documents(s, dir))),
     "q_filter_funnel" -> ((s, dir) => filterFunnel(Tables.documents(s, dir))),
@@ -368,7 +424,21 @@ object TextOps {
   def oracleSql: Map[String, String] = {
     val toks = tokens("text", duck = true)
     val stopD = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = true)
+    val gramsAll = trigramsAll(toks, duck = true)
+    val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_text_winnow" ->
+        s"""WITH g AS (SELECT doc_id, $hsAll AS hs
+           |  FROM (SELECT doc_id, $gramsAll AS grams FROM documents) g0),
+           | wn AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_hashes,
+           |   ${winnowSql("hs", WinnowW, duck = true)} AS prints FROM g),
+           | ex AS (SELECT doc_id, unnest(prints) AS p FROM wn),
+           | d AS (SELECT p, count(*) AS dfp FROM ex GROUP BY 1),
+           | sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |   FROM ex JOIN d USING (p) WHERE dfp >= 2 GROUP BY 1)
+           |SELECT wn.doc_id, n_hashes, CAST(len(prints) AS BIGINT) AS n_prints,
+           | coalesce(sh.n_shared, 0) AS n_shared
+           |FROM wn LEFT JOIN sh ON wn.doc_id = sh.doc_id""".stripMargin,
       "q_text_vocab" ->
         """WITH perdoc AS (SELECT source,
           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
