@@ -17,7 +17,7 @@ import graft.Tables
   */
 object CorpusOps {
 
-  import graft.functions.PortableSql.{strHash, tokens, trigramShingles, xform}
+  import graft.functions.PortableSql.{alen, strHash, tokens, trigramShingles, xform}
 
   /** Cross-source duplication matrix: for every unordered source pair,
     * how many verified near-dup pairs straddle it (src_a <= src_b
@@ -150,8 +150,34 @@ object CorpusOps {
         expr("(n_grams - n_repeat) * 10000 DIV n_grams"))
   }
 
+  /** Curation-calibration audit: does document LENGTH predict duplicated
+    * mass? Docs rank into exact length deciles (the distributed
+    * selection helper — no global window) and each decile reports its
+    * average occurrence-level dup share. The answer decides whether a
+    * length filter doubles as a cheap dedup proxy or throws away clean
+    * long documents; a team reads this before tuning either knob.
+    * Composition row: [[SampleOps.withValueRanks]] + ntile arithmetic on
+    * one side, the fused-kernel dup-span statistic on the other, one
+    * doc-keyed equi-join between them.
+    */
+  def dupLengthBias(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+        .as("n_tokens"))
+    SampleOps.withValueRanks(lens, "n_tokens", "doc_id")
+      .withColumn("decile", expr(SampleOps.tileExpr(10)))
+      .join(DedupOps.dupSpanStats(docs).select(col("doc_id"), col("dup_ppm")),
+        "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        expr("sum(dup_ppm) DIV count(1)").as("avg_dup_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gram_novelty" -> ((s, dir) => gramNovelty(Tables.documents(s, dir))),
+    "q_dup_length_bias" -> ((s, dir) => dupLengthBias(Tables.documents(s, dir))),
     "q_dup_source_matrix" -> ((s, dir) => dupSourceMatrix(Tables.documents(s, dir))),
     "q_split_balance" -> ((s, dir) => splitBalance(Tables.documents(s, dir))),
     "q_boilerplate" -> ((s, dir) => boilerplate(Tables.documents(s, dir))))
@@ -166,6 +192,20 @@ object CorpusOps {
       s"""SELECT doc_id, source, unnest($hs) AS sh
          | FROM (SELECT doc_id, source, $shingles AS grams FROM documents) g0""".stripMargin
     Map(
+      "q_dup_length_bias" -> {
+        val spansSql = DedupOps.oracleSql("q_dedup_spans")
+        val nt = s"CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT)"
+        s"""WITH spans AS (SELECT doc_id, dup_ppm FROM ($spansSql) s0),
+           | l AS (SELECT doc_id, $nt AS n_tokens FROM documents),
+           | r AS (SELECT doc_id, n_tokens,
+           |   ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile FROM l)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+           | CAST(sum(dup_ppm) // count(*) AS BIGINT) AS avg_dup_ppm
+           |FROM r JOIN spans USING (doc_id)
+           |GROUP BY 1""".stripMargin
+      },
+
       "q_gram_novelty" ->
         s"""WITH ts AS ($tsHashed),
            |fo AS (SELECT sh, min(doc_id) AS first_doc FROM ts GROUP BY 1)

@@ -222,11 +222,7 @@ object Governance {
           .select(col("o_orderkey").as("k"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")),
         "v", "k")
-      .withColumn("decile", expr(
-        """CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1)
-          |  THEN (rn - 1) DIV (n DIV 10 + 1) + 1
-          |  ELSE (n % 10) + (rn - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10) + 1
-          |END AS INT)""".stripMargin))
+      .withColumn("decile", expr(SampleOps.tileExpr(10)))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_cents"),
         max(col("v")).as("max_cents"))

@@ -187,6 +187,19 @@ object SampleOps {
       .drop("graft_bkt", "graft_off", "graft_mn", "graft_mx")
   }
 
+  /** ntile(k)-equivalent tile from [[withValueRanks]]'s exact global
+    * rank: the first n%k tiles hold n/k+1 rows, the rest n/k — pure
+    * integer arithmetic on the `rn`/`n` columns the helper appends,
+    * matching the SQL ntile bit-for-bit under a strict order. (With
+    * n < k the else-branch is unreachable, so the n/k = 0 divide never
+    * evaluates.)
+    */
+  private[operators] def tileExpr(k: Int): String =
+    s"""CAST(CASE WHEN rn <= (n % $k) * (n DIV $k + 1)
+       |  THEN (rn - 1) DIV (n DIV $k + 1) + 1
+       |  ELSE (n % $k) + (rn - (n % $k) * (n DIV $k + 1) - 1) DIV (n DIV $k) + 1
+       |END AS INT)""".stripMargin
+
   val ShardChars = 20000L
 
   /** Balanced output sharding — the file-sizing step before a 100 TB
