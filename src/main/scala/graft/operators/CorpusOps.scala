@@ -109,6 +109,68 @@ object CorpusOps {
       .withColumn("boiler_occ_bp", expr("n_boiler_occ * 10000 DIV n_occ"))
   }
 
+  /** DSIR feature space: hashed-n-gram buckets (importance resampling
+    * needs a FIXED small feature dimension so the two domain
+    * distributions are estimable from counts) and the target domain.
+    */
+  val DsirBuckets = 1024L
+  val DsirTarget = "src0"
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every pool document by how much more likely its hashed-n-gram
+    * features are under a TARGET domain (here [[DsirTarget]]) than under
+    * the raw pool, and flag the documents a target-matched corpus build
+    * would keep. Per-bucket log-ratio uses the integer bit-length
+    * approximation of log2 (bitLen(x) = floor(log2 x)+1 — the
+    * engine-exact discipline of q_text_surprisal; no libm log ever
+    * enters a compared value), with +1/(tot+B) Laplace smoothing so
+    * empty target buckets stay finite:
+    *
+    *   lrb[b] ~ log2 p_target[b] - log2 p_pool[b]
+    *          = bitLen(ct+1) - bitLen(tot_t+B) - bitLen(cs+1) + bitLen(tot_s+B)
+    *   logw_bits(doc) = sum over the doc's gram occurrences of lrb[bucket]
+    *
+    * Shape at 100 TB: ONE fused trigram-hash pass (occurrence-level
+    * kernel — the q_boilerplate lesson) aggregated immediately to the
+    * per-(doc, bucket) count frame, which is cached and materialized
+    * once before the two-branch fanout (the q_gen_constraints lesson).
+    * Bucket statistics are B<=1024 rows — broadcast everywhere — so
+    * scoring is a broadcast join + one doc-keyed aggregate; nothing
+    * after the first shuffle touches corpus-scale gram volume again.
+    * Reference anchor: no counterpart (LLM-pipeline extension row); the
+    * DuckDB oracle recomputes the symbolic tokenize→trigram→strHash
+    * chain as the kernel's independent check.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.bitLen
+    val db = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")))
+          .as("sh"))
+      .select(col("doc_id"), col("source"), (col("sh") % DsirBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .cache()
+    // materialize before the fanout: bucket stats and scoring both read
+    // this frame, and racing branches would compute the kernel twice
+    db.count()
+    val bs = db.groupBy(col("bucket"))
+      .agg(sum(col("k")).as("cs"),
+        sum(when(col("source") === DsirTarget, col("k")).otherwise(0L)).as("ct"))
+    val tots = bs.agg(sum(col("cs")).as("tot_s"), sum(col("ct")).as("tot_t"))
+    val lrb = bs.crossJoin(broadcast(tots))
+      .select(col("bucket"), expr(
+        s"CAST(${bitLen("(ct + 1)")} - ${bitLen(s"(tot_t + $DsirBuckets)")} " +
+          s"- ${bitLen("(cs + 1)")} + ${bitLen(s"(tot_s + $DsirBuckets)")} AS BIGINT)")
+        .as("lrb"))
+    db.join(broadcast(lrb), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(col("k") * col("lrb")).as("logw_bits"))
+      .withColumn("selected", (col("logw_bits") >= 0L).cast("int"))
+  }
+
   /** Per-source n-gram novelty: the share of a source's trigram
     * OCCURRENCES whose gram first appeared in an EARLIER document
     * (doc_id order — the corpus's ingestion order), in basis points.
@@ -176,6 +238,7 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> ((s, dir) => dsirWeights(Tables.documents(s, dir))),
     "q_gram_novelty" -> ((s, dir) => gramNovelty(Tables.documents(s, dir))),
     "q_dup_length_bias" -> ((s, dir) => dupLengthBias(Tables.documents(s, dir))),
     "q_dup_source_matrix" -> ((s, dir) => dupSourceMatrix(Tables.documents(s, dir))),
@@ -192,6 +255,30 @@ object CorpusOps {
       s"""SELECT doc_id, source, unnest($hs) AS sh
          | FROM (SELECT doc_id, source, $shingles AS grams FROM documents) g0""".stripMargin
     Map(
+      "q_dsir_weights" -> {
+        import graft.functions.PortableSql.{bitLen, trigramsAll}
+        val gramsOcc = trigramsAll(tokens("text", duck = true), duck = true)
+        val hsOcc = xform("grams", "g", strHash("g"), duck = true)
+        val lrbExpr = s"${bitLen("(ct + 1)")} - ${bitLen(s"(tot_t + $DsirBuckets)")} " +
+          s"- ${bitLen("(cs + 1)")} + ${bitLen(s"(tot_s + $DsirBuckets)")}"
+        s"""WITH ex AS (SELECT doc_id, source, unnest(hs) % $DsirBuckets AS bucket
+           |  FROM (SELECT doc_id, source, $hsOcc AS hs
+           |   FROM (SELECT doc_id, source, $gramsOcc AS grams FROM documents) g0) g1),
+           | db AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS k
+           |  FROM ex GROUP BY 1, 2, 3),
+           | bs AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS cs,
+           |   CAST(sum(CASE WHEN source = '$DsirTarget' THEN k ELSE 0 END) AS BIGINT) AS ct
+           |  FROM db GROUP BY 1),
+           | t AS (SELECT CAST(sum(cs) AS BIGINT) AS tot_s,
+           |   CAST(sum(ct) AS BIGINT) AS tot_t FROM bs),
+           | lrb AS (SELECT bucket, CAST($lrbExpr AS BIGINT) AS lrb
+           |  FROM bs CROSS JOIN t)
+           |SELECT db.doc_id, db.source, CAST(sum(k) AS BIGINT) AS n_grams,
+           | CAST(sum(k * lrb) AS BIGINT) AS logw_bits,
+           | CAST(CASE WHEN sum(k * lrb) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS selected
+           |FROM db JOIN lrb ON db.bucket = lrb.bucket
+           |GROUP BY 1, 2""".stripMargin
+      },
       "q_dup_length_bias" -> {
         val spansSql = DedupOps.oracleSql("q_dedup_spans")
         val nt = s"CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT)"

@@ -113,6 +113,36 @@ object TextOps {
         .as("n_pre_tokens"),
       graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** Tokenizer-fertility audit: per (source, lang), how many true-BPE
+    * tokens the checked-in merge table spends per whitespace word
+    * (fertility, in hundredths of a token) and how many characters each
+    * BPE token covers (compression, same scale) — the two dials a
+    * tokenizer team reads per corpus slice before committing a vocab:
+    * high fertility on one language means its text is over-fragmented
+    * and under-represented per training FLOP. Shape at 100 TB: one
+    * narrow projection pass (fused BPE merge kernel per doc, no
+    * shuffle) into a |source x lang|-row aggregate; ratios are integer
+    * DIV on the summed counts, guarded on both engines against an
+    * empty slice. Reference anchor: no counterpart (LLM-pipeline
+    * extension row).
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+          .as("n_ws"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_centi",
+        expr("CASE WHEN n_ws_tokens = 0 THEN NULL " +
+          "ELSE n_bpe_tokens * 100 DIV n_ws_tokens END"))
+      .withColumn("chars_per_bpe_centi",
+        expr("CASE WHEN n_bpe_tokens = 0 THEN NULL " +
+          "ELSE n_chars * 100 DIV n_bpe_tokens END"))
+
   /** Gopher-style repetition quality signal: the share of a document's
     * bigrams taken by its single most frequent bigram (duplicate-heavy
     * generated text scores high; natural prose low). Shape at 100 TB:
@@ -409,6 +439,7 @@ object TextOps {
     "q_text_vocab" -> ((s, dir) => vocabStats(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => bigramLm(Tables.documents(s, dir))),
     "q_filter_funnel" -> ((s, dir) => filterFunnel(Tables.documents(s, dir))),
+    "q_tok_fertility" -> ((s, dir) => tokenizerFertility(Tables.documents(s, dir))),
     "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
     "q_text_bpe_tokens" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
     "q_text_tokens" -> ((s, dir) => tokenStats(Tables.documents(s, dir))),
@@ -484,6 +515,25 @@ object TextOps {
           | UNION ALL SELECT '2_min_tokens', n1, n2 FROM a
           | UNION ALL SELECT '3_lang', n2, n3 FROM a
           | UNION ALL SELECT '4_exact_dedup', n3, n4 FROM a) z""".stripMargin,
+      "q_tok_fertility" ->
+        s"""WITH d AS (SELECT source, lang, n_chars,
+           |  CAST(${alen(toks, duck = true)} AS BIGINT) AS n_ws,
+           |  CAST(coalesce(list_sum(list_transform(
+           |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+           |   w -> ${graft.functions.BpeMerges.oracleTokenCount("w")})), 0)
+           |   AS BIGINT) AS n_bpe
+           | FROM documents)
+           |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+           | CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           | CAST(CASE WHEN sum(n_ws) = 0 THEN NULL
+           |   ELSE sum(n_bpe) * 100 // sum(n_ws) END AS BIGINT) AS fertility_centi,
+           | CAST(CASE WHEN sum(n_bpe) = 0 THEN NULL
+           |   ELSE sum(n_chars) * 100 // sum(n_bpe) END AS BIGINT)
+           |   AS chars_per_bpe_centi
+           |FROM d GROUP BY 1, 2""".stripMargin,
+
       "q_text_bpe_merges" ->
         s"""SELECT doc_id,
            | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
