@@ -17,7 +17,7 @@ import graft.Tables
   */
 object CorpusOps {
 
-  import graft.functions.PortableSql.{alen, strHash, tokens, trigramShingles, xform}
+  import graft.functions.PortableSql.{alen, bitLen, strHash, tokens, trigramShingles, xform}
 
   /** Cross-source duplication matrix: for every unordered source pair,
     * how many verified near-dup pairs straddle it (src_a <= src_b
@@ -142,8 +142,33 @@ object CorpusOps {
     * DuckDB oracle recomputes the symbolic tokenize→trigram→strHash
     * chain as the kernel's independent check.
     */
+  /** The per-bucket log-ratio formula over columns (cs, ct, tot_s,
+    * tot_t) — ONE SQL fragment shared by the batch query, the frozen
+    * config of the streaming twin, and (textually) the DuckDB oracles.
+    */
+  private[graft] def dsirLrbSql: String =
+    s"CAST(${bitLen("(ct + 1)")} - ${bitLen(s"(tot_t + $DsirBuckets)")} " +
+      s"- ${bitLen("(cs + 1)")} + ${bitLen(s"(tot_s + $DsirBuckets)")} AS BIGINT)"
+
+  /** The frozen (bucket, lrb) scoring table of [[dsirWeights]], computed
+    * standalone in one kernel pass — the STATIC configuration a deployed
+    * scorer broadcasts (see the streaming twin q_stream_dsir). <=
+    * [[DsirBuckets]] rows.
+    */
+  def dsirLogRatios(docs: DataFrame): DataFrame = {
+    val bs = docs
+      .select(col("source"),
+        explode(graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")))
+          .as("sh"))
+      .select(col("source"), (col("sh") % DsirBuckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cs"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
+    val tots = bs.agg(sum(col("cs")).as("tot_s"), sum(col("ct")).as("tot_t"))
+    bs.crossJoin(broadcast(tots)).select(col("bucket"), expr(dsirLrbSql).as("lrb"))
+  }
+
   def dsirWeights(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableSql.bitLen
     val db = docs
       .select(col("doc_id"), col("source"),
         explode(graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")))
@@ -160,10 +185,7 @@ object CorpusOps {
         sum(when(col("source") === DsirTarget, col("k")).otherwise(0L)).as("ct"))
     val tots = bs.agg(sum(col("cs")).as("tot_s"), sum(col("ct")).as("tot_t"))
     val lrb = bs.crossJoin(broadcast(tots))
-      .select(col("bucket"), expr(
-        s"CAST(${bitLen("(ct + 1)")} - ${bitLen(s"(tot_t + $DsirBuckets)")} " +
-          s"- ${bitLen("(cs + 1)")} + ${bitLen(s"(tot_s + $DsirBuckets)")} AS BIGINT)")
-        .as("lrb"))
+      .select(col("bucket"), expr(dsirLrbSql).as("lrb"))
     db.join(broadcast(lrb), "bucket")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("k")).as("n_grams"),
@@ -256,11 +278,9 @@ object CorpusOps {
          | FROM (SELECT doc_id, source, $shingles AS grams FROM documents) g0""".stripMargin
     Map(
       "q_dsir_weights" -> {
-        import graft.functions.PortableSql.{bitLen, trigramsAll}
+        import graft.functions.PortableSql.trigramsAll
         val gramsOcc = trigramsAll(tokens("text", duck = true), duck = true)
         val hsOcc = xform("grams", "g", strHash("g"), duck = true)
-        val lrbExpr = s"${bitLen("(ct + 1)")} - ${bitLen(s"(tot_t + $DsirBuckets)")} " +
-          s"- ${bitLen("(cs + 1)")} + ${bitLen(s"(tot_s + $DsirBuckets)")}"
         s"""WITH ex AS (SELECT doc_id, source, unnest(hs) % $DsirBuckets AS bucket
            |  FROM (SELECT doc_id, source, $hsOcc AS hs
            |   FROM (SELECT doc_id, source, $gramsOcc AS grams FROM documents) g0) g1),
@@ -271,7 +291,7 @@ object CorpusOps {
            |  FROM db GROUP BY 1),
            | t AS (SELECT CAST(sum(cs) AS BIGINT) AS tot_s,
            |   CAST(sum(ct) AS BIGINT) AS tot_t FROM bs),
-           | lrb AS (SELECT bucket, CAST($lrbExpr AS BIGINT) AS lrb
+           | lrb AS (SELECT bucket, $dsirLrbSql AS lrb
            |  FROM bs CROSS JOIN t)
            |SELECT db.doc_id, db.source, CAST(sum(k) AS BIGINT) AS n_grams,
            | CAST(sum(k * lrb) AS BIGINT) AS logw_bits,

@@ -136,6 +136,8 @@ object StreamQueries {
       windowFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("drift", dir, "events"),
       driftFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("dsir", dir, "documents"),
+      dsirFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("enrich", dir, "orders"),
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
@@ -703,6 +705,60 @@ object StreamQueries {
           StructField("n_ref", LongType),
           StructField("n_live", LongType))))
         .parquet(s"$tmp/out"))
+  }
+
+  private val dsirSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  private def dsirFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+
+  /** Streaming DSIR ingest monitor — the deployed form of
+    * q_dsir_weights' feature pipeline: the (bucket, lrb) scoring table
+    * is STATIC configuration frozen from the reference corpus
+    * (CorpusOps.dsirLogRatios — the model a data-selection service
+    * ships), while the document stream runs the fused trigram-hash
+    * kernel per micro-batch and accumulates per-BUCKET feature counts
+    * in complete mode: state is <= DsirBuckets longs no matter how many
+    * documents flow through — the drift-twin state discipline, NOT
+    * per-doc rows. Readback joins the frozen table and emits each
+    * bucket's importance contribution (n_live * lrb) — the corpus-level
+    * "is today's ingest target-like" signal. Replaying the reference
+    * corpus itself, the streamed counts must equal the batch pool
+    * counts exactly (counts are associative across micro-batch
+    * boundaries), so the oracle is the batch bucket-stats SQL — the
+    * streaming == batch invariant.
+    */
+  def streamDsir(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val landing = ensureJsonFixture(fixtureDir("dsir", dir, "documents"),
+      dsirFixtureDf(s, dir))
+    val lrb = CorpusOps.dsirLogRatios(Tables.documents(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(dsirSchema).json(landing)
+        .select(explode(
+          graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")))
+          .as("sh"))
+        .select((col("sh") % CorpusOps.DsirBuckets).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_live"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("bucket", LongType), StructField("n_live", LongType))))
+      .parquet(s"$tmp/out")
+      .join(broadcast(lrb), Seq("bucket"))
+      .select(col("bucket"), col("n_live"), col("lrb"),
+        (col("n_live") * col("lrb")).as("w_bits"))
   }
 
   /** STREAMING bucketed interval join — the q_interval_join technique on
@@ -1421,6 +1477,7 @@ object StreamQueries {
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
+    "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1572,6 +1629,28 @@ object StreamQueries {
     // counts scored through the same arithmetic as the batch audit.
     "q_stream_benford" -> graft.operators.FinanceOps.oracleSql("q_benford"),
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
+
+    // Streamed bucket counts over a full corpus replay must equal the
+    // batch pool statistics (count accumulation is associative), so the
+    // oracle is the batch DSIR bucket-stats arithmetic verbatim.
+    "q_stream_dsir" -> {
+      import graft.functions.PortableSql.{strHash, tokens, trigramsAll, xform}
+      import graft.operators.CorpusOps
+      val gramsOcc = trigramsAll(tokens("text", duck = true), duck = true)
+      val hsOcc = xform("grams", "g", strHash("g"), duck = true)
+      s"""WITH ex AS (SELECT source, unnest(hs) % ${CorpusOps.DsirBuckets} AS bucket
+         |  FROM (SELECT source, $hsOcc AS hs
+         |   FROM (SELECT source, $gramsOcc AS grams FROM documents) g0) g1),
+         | bs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cs,
+         |   CAST(sum(CASE WHEN source = '${CorpusOps.DsirTarget}' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS ct
+         |  FROM ex GROUP BY 1),
+         | t AS (SELECT CAST(sum(cs) AS BIGINT) AS tot_s,
+         |   CAST(sum(ct) AS BIGINT) AS tot_t FROM bs)
+         |SELECT bucket, cs AS n_live, ${CorpusOps.dsirLrbSql} AS lrb,
+         | cs * ${CorpusOps.dsirLrbSql} AS w_bits
+         |FROM bs CROSS JOIN t""".stripMargin
+    },
 
     // The naive band join the bucketed stream-static plan replaces.
     "q_stream_interval_join" ->

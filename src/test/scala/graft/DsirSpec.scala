@@ -40,6 +40,25 @@ class DsirSpec extends AnyFunSuite {
       "per-doc aggregate must emit one row per document")
   }
 
+  test("stream dsir: bounded bucket state that conserves gram mass") {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.streaming.StreamQueries.streamDsir(spark, dir).collect()
+    assert(out.length <= CorpusOps.DsirBuckets,
+      "streaming state must stay within the fixed feature dimension")
+    out.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0 && b < CorpusOps.DsirBuckets, s"bucket out of range: $r")
+      assert(r.getLong(3) == r.getLong(1) * r.getLong(2), s"w_bits mismatch: $r")
+    }
+    val streamed = out.map(_.getLong(1)).sum
+    val batch = docs.select(
+        explode(graft.functions.TrigramHashesExpression
+          .trigramHashesAll(col("text"))).as("sh"))
+      .count()
+    assert(streamed == batch,
+      "full-corpus replay must conserve total gram occurrences")
+  }
+
   test("fertility: one row per (source, lang) slice with conserved sums") {
     val docs = Tables.documents(spark, dir)
     val f = TextOps.tokenizerFertility(docs)
