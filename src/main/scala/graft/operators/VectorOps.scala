@@ -391,6 +391,30 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Topic-mix audit: the unsupervised twin of the domain-mixture plan —
+    * cluster every embedding into its Lloyd-refined IVF cell ("topic")
+    * and cross-tab against the document's SOURCE: per source, how many
+    * distinct topics it spans and how concentrated it is on its dominant
+    * topic (basis points). A source whose mass collapses onto one topic
+    * is a single-subject crawl; a curation team reads this next to
+    * q_mix_plan before setting sampling weights. Shape at 100 TB: rides
+    * the ivfAssign machinery (broadcast-K centroid argmax — no new
+    * corpus-scale shuffle beyond the assignment itself), one doc-keyed
+    * equi-join to the source dim, |sources x cells| rows after. Reuses
+    * the q_emb_ivf_assign oracle CTEs verbatim, so both engines derive
+    * topics from the identical centroid arithmetic.
+    */
+  def topicMix(emb: DataFrame, docs: DataFrame): DataFrame =
+    ivfAssign(emb)
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("source"), col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_topics"),
+        max(col("n")).as("n_top"))
+      .withColumn("top_share_bp", expr("n_top * 10000 DIV n_docs"))
+
   /** K-means convergence audit: per-centroid movement across the two
     * Lloyd's iterations of the index build — the monitoring row an index
     * pipeline alarms on (movement should shrink; a centroid still moving
@@ -779,7 +803,9 @@ object VectorOps {
     "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir))),
     "q_emb_drift" -> ((s, dir) => centroidDrift(Tables.embeddings(s, dir))),
     "q_hybrid_search" -> ((s, dir) =>
-      hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir)))
+      hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir))),
+    "q_topic_mix" -> ((s, dir) =>
+      topicMix(Tables.embeddings(s, dir), Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1068,6 +1094,19 @@ object VectorOps {
         s"""WITH $normCte,
            |$ivfAsgCte
            |SELECT vec_id, centroid_id, centroid_cos FROM asg""".stripMargin,
+
+      "q_topic_mix" ->
+        s"""WITH $normCte,
+           |$ivfAsgCte,
+           | st AS (SELECT d.source, asg.centroid_id AS topic,
+           |   CAST(count(*) AS BIGINT) AS n
+           |  FROM asg JOIN documents d ON asg.vec_id = d.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           | CAST(count(*) AS BIGINT) AS n_topics,
+           | CAST(max(n) AS BIGINT) AS n_top,
+           | CAST(max(n) * 10000 // sum(n) AS BIGINT) AS top_share_bp
+           |FROM st GROUP BY 1""".stripMargin,
 
       "q_emb_semdedup" ->
         s"""WITH $normCte,

@@ -101,6 +101,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(nNarrow <= 16 && nWide >= nNarrow)
   }
 
+  test("topic mix: every embedding lands in exactly one source's tally") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val rows = graft.operators.VectorOps.topicMix(embs, docs).collect()
+    assert(rows.map(_.getLong(1)).sum == embs.count(),
+      "per-source doc counts must conserve the embedding count")
+    rows.foreach { r =>
+      val (nDocs, nTopics, nTop, shareBp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTopics >= 1 && nTopics <= graft.operators.VectorOps.IvfCells)
+      assert(nTop >= 1 && nTop <= nDocs)
+      // dominant-topic share is consistent with the pigeonhole bound
+      assert(shareBp >= 10000L / nTopics && shareBp <= 10000L, s"share: $r")
+    }
+  }
+
   test("int8 quantization: codes bounded, reconstruction within one scale step") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, dir)
