@@ -470,7 +470,8 @@ object DedupOps {
     "q_dedup_containment" -> ((s, dir) => containmentPairs(Tables.documents(s, dir))),
     "q_dedup_incr" -> ((s, dir) => incrementalDupPairs(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
-    "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir)))
+    "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir))),
+    "q_dedup_retention" -> ((s, dir) => dedupRetention(Tables.documents(s, dir)))
   )
 
   /** Eval-set slice for decontamination (≈2% of the corpus). */
@@ -595,6 +596,25 @@ object DedupOps {
         sum(when(col("cluster_id") === col("doc_id"), col("n_chars"))
           .otherwise(0L)).as("surviving_chars"))
 
+  /** Per-source retention under keep-one-per-cluster — the slice of
+    * [[dedupApply]] a curation team actually argues about: which sources
+    * lose document and character mass when dedup keeps the minimum
+    * doc_id of each near-dup cluster. Read next to q_dup_source_matrix
+    * (who duplicates whom) to decide source-level dedup ORDER before
+    * committing a corpus build. Same shape as dedupApply (the cluster
+    * frame rides the banded equi-join + min-label propagation), with
+    * the final aggregate keyed by source instead of global.
+    */
+  def dedupRetention(docs: DataFrame): DataFrame =
+    docs.join(dupClusters(docs), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("cluster_id") === col("doc_id")).cast("long")).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("cluster_id") === col("doc_id"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_docs"))
+
   def oracleSql: Map[String, String] = {
     val grams = trigramShingles(tokens("text", duck = true), duck = true)
     val hs = xform("grams", "g", strHash("g"), duck = true)
@@ -713,6 +733,18 @@ object DedupOps {
            | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
            |   AS surviving_chars
            |FROM ($clustersSql) c JOIN documents USING (doc_id)""".stripMargin,
+
+      "q_dedup_retention" ->
+        s"""SELECT source, count(*) AS n_docs,
+           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_kept,
+           | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
+           |   AS kept_chars,
+           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) * 10000
+           |   // count(*) AS BIGINT) AS kept_bp
+           |FROM ($clustersSql) c JOIN documents USING (doc_id)
+           |GROUP BY 1""".stripMargin,
 
       "q_dedup_minhash_sig" ->
         s"""WITH mh AS (SELECT doc_id, $mhCols
