@@ -405,15 +405,54 @@ object VectorOps {
     * topics from the identical centroid arithmetic.
     */
   def topicMix(emb: DataFrame, docs: DataFrame): DataFrame =
-    ivfAssign(emb)
+    topicRollup(ivfAssign(emb)
       .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
       .groupBy(col("source"), col("centroid_id"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The per-source rollup of a (source, topic, n) contingency frame —
+    * shared by [[topicMix]] and the streaming twin's readback.
+    */
+  private[graft] def topicRollup(st: DataFrame): DataFrame =
+    st.groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_topics"),
         max(col("n")).as("n_top"))
       .withColumn("top_share_bp", expr("n_top * 10000 DIV n_docs"))
+
+  /** The Lloyd-refined centroids folded into ONE row holding an array of
+    * (centroid_id, cv) structs — the frozen model a deployed per-row
+    * scorer broadcasts (see the streaming twin q_stream_topics).
+    */
+  private[graft] def frozenCentroidArray(emb: DataFrame): DataFrame = {
+    val vecs = normalized(emb, withLabel = false).cache()
+    lloydCentroids(vecs)
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cl"))
+  }
+
+  /** Per-ROW topic assignment against a frozen centroid array — the
+    * streaming-safe form of assignTo: the argmax runs INSIDE one row
+    * (array_max over a transform of the broadcast centroid array), so a
+    * stream can assign topics with zero keyed state where assignTo's
+    * groupBy(vec_id) would accumulate a row per document. Identical
+    * arithmetic and tie-break (rounded cosine desc, centroid_id asc) to
+    * the batch path: same normalization exprs, same native dot, same
+    * round(…, 6) entering the comparison — so replaying a corpus
+    * reproduces ivfAssign's assignments exactly.
+    */
+  private[graft] def topicAssignRowwise(rows: DataFrame,
+      centsArr: DataFrame): DataFrame =
+    rows
+      .withColumn("v", expr(vcol))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("best", array_max(transform(col("cl"), c =>
+        struct(round(dotCol(col("vn"), c.getField("cv")), 6).as("cos"),
+          (-c.getField("centroid_id")).as("nid"),
+          c.getField("centroid_id").as("cid")))))
+      .select(col("source"), col("best").getField("cid").as("topic"))
 
   /** K-means convergence audit: per-centroid movement across the two
     * Lloyd's iterations of the index build — the monitoring row an index

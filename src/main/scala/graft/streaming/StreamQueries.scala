@@ -138,6 +138,8 @@ object StreamQueries {
       driftFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("dsir", dir, "documents"),
       dsirFixtureDf(s, dir))
+    ensureJsonFixture(fixtureDir("topics", dir, "embeddings"),
+      topicsFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("enrich", dir, "orders"),
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
@@ -759,6 +761,56 @@ object StreamQueries {
       .join(broadcast(lrb), Seq("bucket"))
       .select(col("bucket"), col("n_live"), col("lrb"),
         (col("n_live") * col("lrb")).as("w_bits"))
+  }
+
+  private val topicsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("source", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def topicsFixtureDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("vec_id"), col("source"), col("embedding"))
+
+  /** Streaming topic-mix monitor — the deployed form of q_topic_mix:
+    * the Lloyd-refined centroids are FROZEN batch-side into one
+    * broadcast array row (the shipped clustering model), and each
+    * streamed document embedding is assigned its topic per ROW
+    * (VectorOps.topicAssignRowwise — array_max over the centroid array,
+    * zero keyed state) with arithmetic identical to the batch argmax.
+    * Only the (source, topic) contingency counts accumulate in complete
+    * mode: state is <= |sources| x IvfCells rows however long the
+    * stream runs. Readback rolls up through the shared batch arithmetic
+    * (VectorOps.topicRollup), and a full-corpus replay reproduces
+    * q_topic_mix exactly — its oracle scores this row.
+    */
+  def streamTopics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val landing = ensureJsonFixture(fixtureDir("topics", dir, "embeddings"),
+      topicsFixtureDf(s, dir))
+    val cents = VectorOps.frozenCentroidArray(Tables.embeddings(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = VectorOps.topicAssignRowwise(
+          s.readStream.schema(topicsSchema).json(landing), cents)
+        .groupBy(col("source"), col("topic")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VectorOps.topicRollup(
+      s.read.schema(StructType(Seq(
+          StructField("source", StringType),
+          StructField("topic", LongType),
+          StructField("n", LongType))))
+        .parquet(s"$tmp/out"))
   }
 
   /** STREAMING bucketed interval join — the q_interval_join technique on
@@ -1478,6 +1530,7 @@ object StreamQueries {
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
+    "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1651,6 +1704,11 @@ object StreamQueries {
          | cs * ${CorpusOps.dsirLrbSql} AS w_bits
          |FROM bs CROSS JOIN t""".stripMargin
     },
+
+    // Frozen-centroid per-row assignment replays the batch argmax
+    // exactly (identical normalization, dot, rounding, tie-break), so
+    // the batch topic-mix oracle scores the streamed contingency rollup.
+    "q_stream_topics" -> graft.operators.VectorOps.oracleSql("q_topic_mix"),
 
     // The naive band join the bucketed stream-static plan replaces.
     "q_stream_interval_join" ->

@@ -118,6 +118,22 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rowwise topic assignment replays the batch argmax exactly") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, dir)
+    val batch = graft.operators.VectorOps.ivfAssign(embs)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = graft.operators.VectorOps.frozenCentroidArray(embs)
+    // the oracle pins the (source, topic) contingency; this pins the
+    // STRONGER per-vector property by keying "source" with the vec_id
+    val keyed = graft.operators.VectorOps
+      .topicAssignRowwise(embs.withColumn("source",
+        col("vec_id").cast("string")), cents)
+      .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+    assert(keyed == batch, "rowwise argmax must equal assignTo per vector")
+  }
+
   test("int8 quantization: codes bounded, reconstruction within one scale step") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, dir)
