@@ -97,6 +97,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
+      // Plan-DESCRIPTION rendering guard: iterative operators can nest
+      // cached plans, and AQE re-renders the description string per
+      // stage — unbounded (the default), a deep chain turns pure UI
+      // text into the dominant driver cost. Purely diagnostic output;
+      // truncation cannot affect results.
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,9 @@ object Verify {
       // match Bench: coalesce tiny exchanges to the advisory size (results
       // are partition-count independent; this only cuts task overhead)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // match Bench: bound plan-description rendering (pure diagnostics;
+      // deep iterative plans otherwise make it the dominant driver cost)
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

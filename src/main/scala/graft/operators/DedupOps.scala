@@ -369,8 +369,8 @@ object DedupOps {
     // also subsumes the node-list distinct (VERDICT r4 #3 constant cut).
     // The same aggregate returns the convergence flag, the node count
     // (the round bound — no separate count() action), and materializes
-    // the cache: ONE action per round throughout (r4 ran a second
-    // join+count per round just to detect convergence).
+    // the cache. Later rounds pay one eager checkpoint job plus this
+    // tiny aggregate — both over a flat O(1)-deep plan (see below).
     val round0 = edges.groupBy(col("d1"))
       .agg(min(col("d2")).as("nbr_min"))
       .select(col("d1").as("doc_id"),
@@ -380,7 +380,6 @@ object DedupOps {
     var row = round0.agg(
       sum(when(col("improved"), 1L).otherwise(0L)).as("changed"),
       count(lit(1)).as("n")).collect().head
-    var cached: DataFrame = round0 // the cache handle behind `labels`
     var labels = round0.select(col("doc_id"), col("cluster_id"))
     // Convergence needs <= eccentricity-from-min rounds, which is
     // < |edge nodes|; bound by that TRUE limit rather than a magic cap —
@@ -400,6 +399,17 @@ object DedupOps {
         .join(labels, edges("d2") === labels("doc_id"))
         .select(edges("d1").as("doc_id"), col("cluster_id"),
           lit(false).as("self"))
+      // localCheckpoint, NOT cache: a cached round keeps the previous
+      // round's InMemoryRelation inside its plan, and with `labels`
+      // referenced twice per round (self branch + neighbour join) the
+      // nested plan DOUBLES every round — AQE re-renders the plan
+      // description per stage, so a 7-round chain burned ~200s of
+      // driver CPU in generateTreeString (round-8 q_phash_clusters,
+      // 2s of actual task work). Checkpointing truncates the plan to a
+      // flat LogicalRDD, making every round's plan O(1)-deep no matter
+      // the chain length. Local (executor-block) checkpointing is the
+      // right durability tier here: losing an executor merely recomputes
+      // a tiny label frame from the cached edges.
       val next = labels.select(col("doc_id"), col("cluster_id"),
           lit(true).as("self"))
         .unionAll(nbrContrib)
@@ -407,12 +417,10 @@ object DedupOps {
         .agg(min(col("cluster_id")).as("cluster_id"),
           (min(col("cluster_id")) < min(when(col("self"), col("cluster_id"))))
             .as("improved"))
-        .cache()
+        .localCheckpoint()
       row = next.agg(
         sum(when(col("improved"), 1L).otherwise(0L)).as("changed"),
         count(lit(1)).as("n")).collect().head
-      cached.unpersist()
-      cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       round += 1
     }

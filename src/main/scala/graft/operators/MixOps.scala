@@ -79,9 +79,52 @@ object MixOps {
         sum(when(col("repeats") === 0, 1L).otherwise(0L)).as("dropped_docs"))
   }
 
+  /** Cross-source unigram cross-entropy matrix — the LM-distance table
+    * behind mixture design: H(A under B) = average surprisal of source
+    * A's token occurrences under source B's unigram distribution
+    * (+1/(tot_b+V) Laplace smoothing; token costs are the integer
+    * bit-length approximation of -log2 p, the q_text_surprisal
+    * discipline, so no libm log enters a compared value). A row far
+    * above its diagonal marks a domain pair that should NOT share a
+    * mixture bucket; near-diagonal off-rows are near-duplicate domains
+    * a mix plan can merge. Shape at 100 TB: one corpus-scale shuffle to
+    * the (source, token) count frame (vocabulary x |S| rows, cached and
+    * materialized once before the fanout — it serves as both the A-side
+    * occurrences and the B-side frequency table); the pair frame is
+    * vocabulary x |S|^2 — dim-sized relative to the corpus — built by a
+    * hash equi-join on (token, src_b); totals and the vocab scalar are
+    * broadcast. |S|^2 output rows.
+    */
+  def sourceCrossEntropy(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("source").as("src_a"),
+        explode(expr(tokens("text", duck = false))).as("w"))
+      .groupBy(col("src_a"), col("w"))
+      .agg(count(lit(1)).as("cnt_a"))
+      .cache()
+    // materialize before the fanout: the frame feeds the A side, the
+    // B-side frequency table, the totals, and the vocab scalar
+    occ.count()
+    val freqB = occ.select(col("src_a").as("src_b"), col("w"),
+      col("cnt_a").as("cnt_b"))
+    val tots = freqB.groupBy(col("src_b")).agg(sum(col("cnt_b")).as("tot_b"))
+    val vocab = occ.agg(countDistinct(col("w")).as("v"))
+    occ.crossJoin(broadcast(tots.select(col("src_b"))))
+      .join(freqB, Seq("w", "src_b"), "left")
+      .na.fill(0L, Seq("cnt_b"))
+      .join(broadcast(tots), "src_b")
+      .crossJoin(broadcast(vocab))
+      .withColumn("cost",
+        expr(s"CAST(${bitLen("(tot_b + v)")} - ${bitLen("(cnt_b + 1)")} AS BIGINT)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("cnt_a")).as("n_tokens"),
+        sum(col("cnt_a") * col("cost")).as("xent_bits"))
+      .withColumn("xent_milli_bits", expr("xent_bits * 1000 DIV n_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
-    "q_domain_resample" -> ((s, dir) => domainResample(Tables.documents(s, dir)))
+    "q_domain_resample" -> ((s, dir) => domainResample(Tables.documents(s, dir))),
+    "q_source_xent" -> ((s, dir) => sourceCrossEntropy(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -109,6 +152,28 @@ object MixOps {
            | CAST(target_ppm AS BIGINT) AS target_ppm,
            | CAST(factor_milli AS BIGINT) AS factor_milli
            |FROM mix""".stripMargin,
+
+      "q_source_xent" -> {
+        val costExpr = s"(${bitLen("(tot_b + v)")} - ${bitLen("(cnt_b + 1)")})"
+        s"""WITH occ AS (SELECT source AS src_a, w,
+           |   CAST(count(*) AS BIGINT) AS cnt_a
+           |  FROM (SELECT source, unnest(${tokens("text", duck = true)}) AS w
+           |   FROM documents) e GROUP BY 1, 2),
+           | tots AS (SELECT src_a AS src_b, CAST(sum(cnt_a) AS BIGINT) AS tot_b
+           |  FROM occ GROUP BY 1),
+           | voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM occ),
+           | pairs AS (SELECT o.src_a, s.src_b, o.cnt_a,
+           |   coalesce(f.cnt_b, 0) AS cnt_b
+           |  FROM occ o CROSS JOIN (SELECT src_b FROM tots) s
+           |  LEFT JOIN (SELECT src_a AS src_b, w, cnt_a AS cnt_b FROM occ) f
+           |    ON o.w = f.w AND s.src_b = f.src_b)
+           |SELECT src_a, p.src_b, CAST(sum(cnt_a) AS BIGINT) AS n_tokens,
+           | CAST(sum(cnt_a * $costExpr) AS BIGINT) AS xent_bits,
+           | CAST(sum(cnt_a * $costExpr) * 1000 // sum(cnt_a) AS BIGINT)
+           |   AS xent_milli_bits
+           |FROM pairs p JOIN tots ON p.src_b = tots.src_b CROSS JOIN voc
+           |GROUP BY 1, 2""".stripMargin
+      },
 
       "q_domain_resample" ->
         s"""WITH $mixCte,

@@ -66,6 +66,19 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(CorpusOps.boilerplate(emptySourcedDocs).count() == 0)
     assert(CorpusOps.gramNovelty(emptySourcedDocs).count() == 0)
     assert(DedupOps.containmentPairs(emptySourcedDocs).count() == 0)
+    assert(CorpusOps.dsirWeights(emptySourcedDocs).count() == 0)
+    assert(CorpusOps.dsirLogRatios(emptySourcedDocs).count() == 0)
+    assert(TextOps.tokenizerFertility(emptySourcedDocs).count() == 0)
+    assert(DedupOps.dedupRetention(emptySourcedDocs).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("topic mix survives an empty embedding table") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.operators.VectorOps
+      .topicMix(emptyEmb, emptySourcedDocs).count() == 0)
     spark.catalog.clearCache()
   }
 

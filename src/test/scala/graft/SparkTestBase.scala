@@ -12,6 +12,8 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench/Verify: bound plan-description rendering
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
