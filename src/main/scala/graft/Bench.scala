@@ -96,7 +96,8 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
+      // events.ts nanos handling lives in Tables.events (schema-adaptive;
+      // it sets the legacy conf itself where a runtime still honors it)
       // Plan-DESCRIPTION rendering guard: iterative operators can nest
       // cached plans, and AQE re-renders the description string per
       // stage — unbounded (the default), a deep chain turns pure UI

@@ -61,24 +61,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * surface a proper micros TimestampType column; `DIV` keeps the
-    * conversion in exact integer arithmetic (a double round-trip would lose
-    * precision at 2^63-scale nanos).
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS). How that scans
+    * depends on the Spark version, so this helper is SCHEMA-ADAPTIVE: it
+    * reads the file, inspects the scanned `ts` type, and normalizes to a
+    * micros `TimestampType` column regardless of the physical read path.
     *
-    * The nanosAsLong flag has no per-read option, so our own entry points
-    * (Verify / Bench / tests) set it at session BUILD time; the set here is
-    * a defensive, idempotent fallback for driver-owned sessions that call
-    * queries directly. It is session-global: any session touching events
-    * reads all nanos-typed parquet as long thereafter (documented
-    * trade-off — no other table in this engine stores nanos).
+    *  - Spark <= 4.0 refuses nanos parquet by default
+    *    (PARQUET_TYPE_ILLEGAL); with `spark.sql.legacy.parquet.nanosAsLong`
+    *    the column scans as LongType nanos → `timestamp_micros(ts DIV 1000)`
+    *    (integer DIV: exact at 2^63-scale nanos, no double round-trip).
+    *  - Spark 4.1+ reads nanos parquet natively as `timestamp_ntz`
+    *    (truncated to micros) and IGNORES the legacy conf even when set →
+    *    `cast("timestamp")`, identical micros under the UTC session zone.
+    *
+    * The conf set below is a defensive no-op on 4.1+ and keeps older
+    * runtimes on the LongType path; it is session-global, which is fine —
+    * no other table in this engine stores nanos.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as unsupported type $other; expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   /** documents/embeddings feed per-row-expensive operators (shingling,
     * hashing, vector math) — balance their scans across cores.

@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.events
+      // events.ts nanos handling lives in Tables.events (schema-adaptive)
       // match Bench: coalesce tiny exchanges to the advisory size (results
       // are partition-count independent; this only cuts task overhead)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
