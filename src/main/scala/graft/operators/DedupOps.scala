@@ -431,6 +431,58 @@ object DedupOps {
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL cluster-label maintenance — the daily-ingest sequel to
+    * [[incrementalDupPairs]]: fold an arriving batch's verified pairs into
+    * YESTERDAY'S converged (doc_id, cluster_id) labels without re-running
+    * propagation over the standing corpus.
+    *
+    * Yesterday's labels already encode each standing component as a star
+    * (every member points at the component minimum, which is itself a
+    * member), so star edges (cluster_id — doc_id) preserve standing
+    * connectivity exactly, at depth 1. Connectivity of
+    * (star edges ∪ new batch-touching pairs) over the full node set
+    * therefore equals connectivity of the full pair set, and min-label
+    * propagation re-converges in O(new-edge diameter) rounds — NOT the
+    * standing corpus's diameter.
+    *
+    * The work is pruned to TOUCHED components only: clusters containing an
+    * endpoint of a new pair, plus the batch itself. Everything else — the
+    * overwhelming mass at 100 TB — flows through one left-anti join
+    * untouched, with no propagation, no shuffle of its edges (it has
+    * none loaded), and no recompute. The result provably equals a full
+    * recompute over the whole corpus (the oracle runs exactly that), the
+    * q_incr_agg proof pattern: different plan, identical answer.
+    */
+  def incrementalClusters(docs: DataFrame): DataFrame = {
+    val standing = docs.filter(col("doc_id") % IncrMod =!= IncrRem)
+    // "Yesterday's index": in production this frame is read back from the
+    // label store; here it is recomputed from the standing slice (same
+    // values by construction — the standing band join is untouched by the
+    // batch's absence).
+    val oldLabels = clustersFromPairs(
+      standing.select(col("doc_id")),
+      minhashDupPairs(standing).select(col("d1"), col("d2"))).cache()
+    val newPairs = incrementalDupPairs(docs).select(col("d1"), col("d2")).cache()
+    val endpoints = newPairs.select(col("d1").as("doc_id"))
+      .unionAll(newPairs.select(col("d2").as("doc_id"))).distinct()
+    // Touched components: tiny by definition (batch-proportional), so the
+    // membership join back is a broadcast under AQE; no hint — a massive
+    // merge day degrades gracefully to a shuffle join instead of an OOM.
+    val touched = oldLabels.join(endpoints, "doc_id")
+      .select(col("cluster_id")).distinct()
+    val touchedMembers = oldLabels.join(touched, "cluster_id")
+      .select(col("doc_id"), col("cluster_id")).cache()
+    val batchNodes = docs.filter(col("doc_id") % IncrMod === IncrRem)
+      .select(col("doc_id"))
+    val nodes = batchNodes.unionAll(touchedMembers.select(col("doc_id"))).distinct()
+    val starEdges = touchedMembers.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("cluster_id").as("d1"), col("doc_id").as("d2"))
+    val relabeled = clustersFromPairs(nodes, newPairs.unionAll(starEdges))
+    oldLabels.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionAll(relabeled.select(col("doc_id"), col("cluster_id")))
+  }
+
   /** Cross-document repeated-span statistic — the shingle-granularity form
     * of the exact-substring dedup signal (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): for each document,
@@ -477,6 +529,7 @@ object DedupOps {
     "q_decontaminate" -> ((s, dir) => decontaminate(Tables.documents(s, dir))),
     "q_dedup_containment" -> ((s, dir) => containmentPairs(Tables.documents(s, dir))),
     "q_dedup_incr" -> ((s, dir) => incrementalDupPairs(Tables.documents(s, dir))),
+    "q_dedup_clusters_incr" -> ((s, dir) => incrementalClusters(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
     "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir))),
     "q_dedup_retention" -> ((s, dir) => dedupRetention(Tables.documents(s, dir)))
@@ -721,6 +774,10 @@ object DedupOps {
       // per doc — the unique fixpoint the Spark label-propagation loop
       // also converges to.
       "q_dedup_clusters" -> clustersSql,
+
+      // incremental maintenance must EQUAL the full recompute — the same
+      // transitive-closure oracle, verbatim (the q_incr_agg proof pattern)
+      "q_dedup_clusters_incr" -> clustersSql,
 
       // composition rows: the ensemble decision and the applied dedup
       // reuse the pair/cluster SQL verbatim as subqueries

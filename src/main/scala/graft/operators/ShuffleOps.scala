@@ -212,6 +212,63 @@ object ShuffleOps {
     mgInvariantRow(keyed, sketch)
   }
 
+  /** (source, word-hash-key) rows shared by the per-group MG query and its
+    * streaming twin. The corpus has no naturally heavy word (max word mass
+    * ≈5% per source vs the n/(K+1)≈11% threshold), so a deterministic
+    * hash-collapse plants one: every word whose portable hash ≡ 0 mod 3
+    * folds onto key 0 (~1/3 of the mass per source) — the per-group
+    * analog of skewedKeys' even-orderkey collapse, reproducible in the
+    * DuckDB oracle because the hash is the PortableSql ladder.
+    */
+  def sourceWordKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .withColumn("h", expr(graft.functions.PortableSql.strHash("w")))
+      .select(col("source"),
+        when(col("h") % 3 === 0, lit(0L)).otherwise(col("h")).as("k"))
+
+  /** Grouped form of [[mgInvariantRow]]: one guarantee row PER group.
+    * The sketch frame is one K-entry buffer per group — bounded by the
+    * source dimension's cardinality, so it broadcasts; the exact counts
+    * stay distributed and the heavy filter prunes them to the (tiny)
+    * per-group heavy sets before the final fold.
+    */
+  def mgInvariantPerGroup(keyed: DataFrame, sketches: DataFrame): DataFrame =
+    keyed.groupBy(col("source"), col("k")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sketches), "source")
+      .filter(col("cnt") * (MgCapacity + 1) > col("n_rows"))
+      .select(col("source"), col("cnt"), col("n_rows"),
+        element_at(col("mg"), col("k")).as("est"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_heavy"),
+        min(when(col("est").isNotNull, 1).otherwise(0)).as("all_heavy_found"),
+        min(when((col("cnt") - coalesce(col("est"), lit(0L))) * (MgCapacity + 1)
+          <= col("n_rows"), 1).otherwise(0)).as("undercount_within_bound"))
+
+  /** Per-source heavy hitters: ONE mergeable Misra–Gries buffer per
+    * `source` group (the TypedImperativeAggregate rides the ordinary
+    * hash-aggregate path, so partial buffers map-side combine and the
+    * shuffle carries K entries per group per partition — the grouped
+    * petabyte-column answer, same argument as q_heavy_hitters). Eviction
+    * is deterministic given the buffers: update decrements ALL counters
+    * when full, merge subtracts the (K+1)-th largest count — both
+    * key-independent rules, no arbitrary tie-breaking. The oracle checks
+    * the per-group guarantee rows (every heavy key caught, undercount
+    * within n/(K+1)), which hold for ANY merge order.
+    */
+  def heavyPerSource(spark: SparkSession, dir: String): DataFrame = {
+    // cached: feeds both the sketch build and the exact-count audit
+    // (lifecycle caller-owned, as throughout)
+    val keyed = sourceWordKeys(spark, dir).cache()
+    val sketches = keyed.groupBy(col("source")).agg(
+      graft.functions.MisraGriesAggregate.mgSketch(col("k"), MgCapacity).as("mg"),
+      count(lit(1)).as("n_rows"))
+    mgInvariantPerGroup(keyed, sketches)
+  }
+
   /** Probe keys for the CM point-estimate compare: the planted hot key
     * plus three ordinary customer keys.
     */
@@ -453,6 +510,7 @@ object ShuffleOps {
     "q_kmv_overlap" -> ((s, dir) => kmvOverlap(s, dir)),
     "q_cm_sketch" -> ((s, dir) => cmEstimates(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
+    "q_heavy_per_source" -> ((s, dir) => heavyPerSource(s, dir)),
     "q_bloom_join" -> ((s, dir) => bloomPrunedJoin(s, dir)),
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
     "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
@@ -638,6 +696,26 @@ object ShuffleOps {
          | count(*) AS n_heavy,
          | 1 AS all_heavy_found, 1 AS undercount_within_bound
          |FROM heavy""".stripMargin,
+
+    // grouped MG: one guarantee row per source; the planted key-0 mass
+    // (~1/3) is provably heavy, so flags are provably 1 per group and
+    // groups whose heavy set would be empty cannot occur by construction
+    "q_heavy_per_source" -> {
+      val h = graft.functions.PortableSql.strHash("w")
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |   FROM documents),
+         | keyed AS (SELECT source,
+         |   CASE WHEN h % 3 = 0 THEN 0 ELSE h END AS k
+         |   FROM (SELECT source, $h AS h FROM w) h0),
+         | tot AS (SELECT source, count(*) AS n FROM keyed GROUP BY 1),
+         | cnts AS (SELECT source, k, count(*) AS cnt FROM keyed GROUP BY 1, 2)
+         |SELECT c.source, CAST(t.n AS BIGINT) AS n_rows,
+         | count(*) AS n_heavy,
+         | 1 AS all_heavy_found, 1 AS undercount_within_bound
+         |FROM cnts c JOIN tot t USING (source)
+         |WHERE c.cnt * ${MgCapacity + 1} > t.n
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // the bloom is pruning-only: false positives die in the exact join,
     // so the plain join IS the oracle

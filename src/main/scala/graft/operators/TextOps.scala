@@ -418,13 +418,23 @@ object TextOps {
     * doc, then the postings shape — explode prints, one map-side-
     * combined df count, one equi-join probe back. Never all-pairs.
     */
-  def winnowStats(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"),
+  /** (doc_id, hs, prints): the per-row winnowing selection — one fused
+    * kernel pass + the O(n·w) window-minima expression, NO cross-row
+    * state. Shared by the batch stats and the streaming twin (where
+    * per-row means per streamed record, no keyed state at all).
+    */
+  private[graft] def withPrints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")).as("hs"))
       .withColumn("prints", expr(winnowSql("hs", WinnowW, duck = false)))
-      .cache()
+
+  /** Fold a (cached) prints frame and an external print-df frame into the
+    * per-doc winnow profile — the readback shared by batch and streaming
+    * (the stream accumulates ONLY the df counts; everything per-doc is
+    * recomputed stateless).
+    */
+  private[graft] def statsFromPrints(d: DataFrame, dfp: DataFrame): DataFrame = {
     val ex = d.select(col("doc_id"), explode(col("prints")).as("p"))
-    val dfp = ex.groupBy("p").agg(count(lit(1)).as("dfp"))
     val sh = ex.join(dfp.filter(col("dfp") >= 2), "p")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     d.select(col("doc_id"), size(col("hs")).cast("long").as("n_hashes"),
@@ -432,6 +442,13 @@ object TextOps {
       .join(sh, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_hashes"), col("n_prints"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  def winnowStats(docs: DataFrame): DataFrame = {
+    val d = withPrints(docs).cache()
+    statsFromPrints(d,
+      d.select(explode(col("prints")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("dfp")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

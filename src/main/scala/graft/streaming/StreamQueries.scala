@@ -159,6 +159,10 @@ object StreamQueries {
       ttlDedupFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("heavy", dir, "orders"),
       graft.operators.ShuffleOps.skewedKeys(s, dir))
+    ensureJsonFixture(fixtureDir("heavysrc", dir, "documents"),
+      graft.operators.ShuffleOps.sourceWordKeys(s, dir))
+    ensureJsonFixture(fixtureDir("winnow", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
     ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
       upsertFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("session", dir, "events"),
@@ -763,6 +767,46 @@ object StreamQueries {
         (col("n_live") * col("lrb")).as("w_bits"))
   }
 
+  private val winnowSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Streaming winnowing twin of q_text_winnow (the q_stream_topics
+    * frozen-model shape): the window-minima fingerprint selection runs
+    * PER ROW on the streamed document (TextOps.withPrints — a pure
+    * expression, zero keyed state), and the only thing that accumulates
+    * is the shared-print document-frequency frame — one count per
+    * distinct selected print (~2/(w+1) of the gram space), in complete
+    * mode. Readback folds the accumulated df back through the shared
+    * batch arithmetic (TextOps.statsFromPrints), so a full-corpus replay
+    * reproduces q_text_winnow exactly and its oracle scores the rows.
+    */
+  def streamWinnow(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val landing = ensureJsonFixture(fixtureDir("winnow", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = TextOps.withPrints(
+          s.readStream.schema(winnowSchema).json(landing))
+        .select(explode(col("prints")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("dfp"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val d = TextOps.withPrints(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))).cache()
+    TextOps.statsFromPrints(d,
+      s.read.schema(StructType(Seq(
+          StructField("p", LongType), StructField("dfp", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   private val topicsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("source", StringType),
@@ -920,6 +964,40 @@ object StreamQueries {
     }
     graft.operators.ShuffleOps.mgInvariantRow(
       graft.operators.ShuffleOps.skewedKeys(s, dir),
+      s.read.parquet(s"$tmp/out"))
+  }
+
+  private val heavySourceSchema = StructType(Seq(
+    StructField("source", StringType), StructField("k", LongType)))
+
+  /** Streaming twin of q_heavy_per_source: one Misra–Gries buffer PER
+    * `source` key in the aggregation state store, accumulating across
+    * micro-batches (same serialize/merge path as q_stream_heavy, keyed).
+    * State is bounded at K entries × |sources| — a dimension, not the
+    * stream — and the per-group guarantee is merge-order-independent, so
+    * the batch oracle covers the streamed accumulation verbatim.
+    */
+  def streamHeavyPerSource(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("heavysrc", dir, "documents"),
+      graft.operators.ShuffleOps.sourceWordKeys(s, dir))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(heavySourceSchema).json(landing)
+        .groupBy(col("source"))
+        .agg(graft.functions.MisraGriesAggregate
+            .mgSketch(col("k"), graft.operators.ShuffleOps.MgCapacity).as("mg"),
+          count(lit(1)).as("n_rows"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.ShuffleOps.mgInvariantPerGroup(
+      graft.operators.ShuffleOps.sourceWordKeys(s, dir),
       s.read.parquet(s"$tmp/out"))
   }
 
@@ -1519,6 +1597,7 @@ object StreamQueries {
     "q_stream_topk" -> ((s, dir) => streamTopK(s, dir)),
     "q_stream_session" -> ((s, dir) => streamSession(s, dir)),
     "q_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
+    "q_stream_heavy_source" -> ((s, dir) => streamHeavyPerSource(s, dir)),
     "q_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q_stream_window" -> ((s, dir) => streamWindow(s, dir)),
     "q_stream_enrich" -> ((s, dir) => streamEnrich(s, dir)),
@@ -1531,6 +1610,7 @@ object StreamQueries {
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
+    "q_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1539,6 +1619,14 @@ object StreamQueries {
     // Streaming MG accumulation: merge-order-independent guarantees, so
     // the batch invariant row IS the oracle.
     "q_stream_heavy" -> graft.operators.ShuffleOps.oracleSql("q_heavy_hitters"),
+
+    // grouped MG accumulation: per-group guarantees are merge-order-
+    // independent too, so the batch per-source invariant rows cover it
+    "q_stream_heavy_source" -> graft.operators.ShuffleOps.oracleSql("q_heavy_per_source"),
+
+    // per-row print selection + count accumulation replayed over the full
+    // corpus == the batch winnow profile, so its oracle applies verbatim
+    "q_stream_winnow" -> graft.operators.TextOps.oracleSql("q_text_winnow"),
 
     // the time-ordered fixture + three-pass state update reproduce the
     // batch funnel semantics exactly (see streamFunnel), so the batch

@@ -281,4 +281,62 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly 1 stratum exchange:\n$plan")
   }
+
+  test("iterative label propagation keeps O(1) plan depth via localCheckpoint (cache would double per round)") {
+    // The exact loop body of DedupOps.clustersFromPairs (shared by
+    // q_dedup_clusters / q_phash_clusters / entity resolution), iterated
+    // a fixed 6 rounds over a tiny edge frame, measuring the label
+    // frame's optimized-plan size per round under the two barrier
+    // choices. cache() keeps the previous round's InMemoryRelation
+    // inside the plan, and with `labels` referenced twice per round the
+    // nested plan DOUBLES every round (AQE re-renders the description
+    // per stage — round 8 burned ~200s of driver CPU in
+    // generateTreeString on a 2s job). localCheckpoint truncates to a
+    // flat LogicalRDD: the plan must be the SAME size every round.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(col("d1")).cache()
+    def round(labels: DataFrame): DataFrame = {
+      val nbr = edges.join(labels, edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("cluster_id"), lit(false).as("self"))
+      labels.select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
+        .unionAll(nbr)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+    }
+    def planLines(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.toString.linesIterator.size
+    val round0 = edges.groupBy(col("d1"))
+      .agg(min(col("d2")).as("nbr_min"))
+      .select(col("d1").as("doc_id"), least(col("d1"), col("nbr_min")).as("cluster_id"))
+    // localCheckpoint barrier: constant plan size across rounds
+    var labels = round0.localCheckpoint()
+    val sizes = (1 to 6).map { _ =>
+      labels = round(labels).localCheckpoint()
+      planLines(labels.select(col("doc_id"), col("cluster_id")))
+    }
+    assert(sizes.distinct.size == 1 && sizes.head <= 3,
+      s"checkpointed label plan must stay flat; got line counts $sizes")
+    // cache barrier: same loop, plan grows strictly every round — the
+    // failure mode the invariant guards against (red if someone swaps
+    // the barrier back)
+    var cached = round0.cache()
+    val cachedSizes = (1 to 6).map { _ =>
+      cached = round(cached).cache()
+      planLines(cached.select(col("doc_id"), col("cluster_id")))
+    }
+    // growth is strictly monotone until maxPlanStringLength truncates the
+    // rendering (the very pathology the checkpoint avoids — the TRUE tree
+    // keeps doubling; only its printout saturates), so assert monotone on
+    // the first three rounds and order-of-magnitude blowup overall
+    assert(cachedSizes.take(3).sliding(2).forall { case Seq(a, b) => b > a },
+      s"expected per-round plan growth under cache(): $cachedSizes")
+    assert(cachedSizes.max > 20 * sizes.last,
+      s"cache() plan should dwarf the checkpointed one: $cachedSizes vs $sizes")
+    cached.unpersist()
+    edges.unpersist()
+  }
 }
