@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 210-query single-JVM bench janino-compiles + C2-JITs thousands of
+  // whole-stage-codegen classes; the JDK 17 default 240 MB code cache
+  // fills mid-run, and the resulting flush churn / disabled compiler
+  // makes later queries run INTERPRETED (measured: q_emb_pq task-cpu
+  // 91s late in a full run vs 3.7s in any short run, same code+data —
+  // the round-9/10 "inflation" class). Reserved is virtual memory;
+  // committed grows on demand.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -11,8 +11,8 @@ import graft.functions.FpeFunctions
   * `DataFrame => (valid, errors)` function, usable identically in batch and
   * inside `foreachBatch` streaming:
   *
-  *   parse (S3, one try_parse_json per row) → union-unwrap (U1, variant
-  *   path probes) → PAN validate (U3) → mask (U5) → FPE tokenize (U6) →
+  *   parse (S3, one from_json per row; variant fallback on corrupt rows
+  *   only) → union-unwrap (U1) → PAN validate (U3) → mask (U5) → FPE tokenize (U6) →
   *   drop PII (U8) → project (U9), with the invalid branch built as
   *   dead-letter records (U4/U10) and unparseable payloads dead-lettered
   *   as 'Malformed JSON'.
@@ -44,17 +44,32 @@ object TxnPipeline {
     StructField("payment_gateway_id", StructType(Seq(StructField("int", LongType))), nullable = true),
     StructField("risk_score", DoubleType, nullable = false)))
 
-  /** U1 unwrap for a union-wrapped field: prefer the wrapped member
-    * (`{"string": v}` / `{"int": v}`, the Avro-union JSON encoding); fall
-    * back to a plain scalar (the reference's unwrap_primitives passes
-    * plain values through, pipeline.py:57-69). Both probes extract from
-    * the SAME parsed variant — no JSON re-parse. `try_` because a
-    * mismatched shape must dead-letter, never throw (ST5).
+  /** [[wireSchema]] plus the PERMISSIVE-mode corrupt-record column: a row
+    * that fails the struct parse (malformed JSON, or a union field whose
+    * shape deviates from the schema) lands its raw text here with every
+    * schema field null.
     */
-  private def unwrapped(v: Column, field: String, member: String, typ: String): Column =
+  private val parseSchema: StructType =
+    wireSchema.add(StructField("_corrupt", StringType))
+
+  /** U1 unwrap fallback for the RARE row whose union field arrived as a
+    * plain scalar instead of the Avro-JSON `{"string": v}` / `{"int": v}`
+    * wrapping (the reference's unwrap_primitives passes plain values
+    * through, pipeline.py:57-69). Wrapped fields are already extracted by
+    * the single from_json struct parse; this variant probe sits inside a
+    * `when(corrupt, …)` arm, so codegen evaluates it ONLY on rows the
+    * struct parse rejected — the hot path never touches the per-row
+    * Jackson-parser churn of the variant builder (measured: the variant
+    * chain intermittently degraded 10-20x inside
+    * JsonRecyclerPools.ThreadLocalPool on long multi-query JVMs under
+    * Spark 4.1; from_json never did). `try_` because a mismatched shape
+    * must dead-letter, never throw (ST5).
+    */
+  private def unwrapFallback(raw: Column, field: String, member: String,
+      typ: String): Column =
     coalesce(
-      try_variant_get(v, s"$$.$field.$member", typ),
-      try_variant_get(v, s"$$.$field", typ))
+      try_variant_get(try_parse_json(raw), s"$$.$field.$member", typ),
+      try_variant_get(try_parse_json(raw), s"$$.$field", typ))
 
   /** U5: first 6 + fixed six asterisks + last 4 (pipeline.py:89-90 — six
     * asterisks regardless of PAN length).
@@ -76,28 +91,46 @@ object TxnPipeline {
     // would box every row across the closure boundary.
     val fpeTokenize = (pan: Column) => FpeFunctions.fpeEncrypt(pan, key)
 
-    // S3: ONE JSON parse per row (Spark 4 variant), every field extracted
-    // from the binary variant — the from_json + per-union get_json_object
-    // combination would parse the payload three times. try_parse_json
-    // yields null for malformed input, which routes to the dead-letter
-    // branch below instead of failing the query.
-    val parsed = raw.select(col("raw"), try_parse_json(col("raw")).as("v"))
+    // S3: ONE JSON parse per row — from_json against the full wire
+    // schema, every field (including the union-wrapped structs) off the
+    // single parsed struct. PERMISSIVE mode + the corrupt-record column
+    // make malformed input a data value instead of an error: corrupt
+    // rows surface with null fields and their raw text in `_corrupt`,
+    // routed to the dead-letter branch below. The rare corrupt-but-
+    // parseable shape (a union field sent as a bare scalar) gets a
+    // second chance through the variant fallback, evaluated lazily only
+    // on corrupt rows.
+    val parsed = raw.select(col("raw"), from_json(col("raw"), parseSchema,
+      java.util.Map.of("mode", "PERMISSIVE",
+        "columnNameOfCorruptRecord", "_corrupt")).as("r"))
+    val corrupt = col("r").isNull || col("r._corrupt").isNotNull
+    // PERMISSIVE corrupt-marking is ROW-granular (one bad field nulls the
+    // whole struct), so every field of a corrupt row re-derives through
+    // the lazy variant arm — a clean row (the entire hot path) reads its
+    // already-parsed struct member and never executes the variant parse.
     def f(field: String, typ: String): Column =
-      try_variant_get(col("v"), s"$$.$field", typ).as(field)
+      coalesce(col(s"r.$field"), when(corrupt,
+        try_variant_get(try_parse_json(col("raw")), s"$$.$field", typ)))
+        .as(field)
     val rec = parsed.select(
       col("raw"),
       // carried marker: did the payload parse at all? Distinguishes a
       // malformed payload from a parseable one missing its id (U4 —
       // the dead-letter label must say which; a 'Malformed JSON' label
-      // on well-formed JSON breaks the audit trail).
-      col("v").isNotNull.as("parse_ok"),
+      // on well-formed JSON breaks the audit trail). A row the struct
+      // parse rejected still counts as parsed if the (lazy) variant
+      // parse accepts it — shape deviation is not malformed JSON.
+      (!corrupt || try_parse_json(col("raw")).isNotNull).as("parse_ok"),
       f("transaction_id", "string"), f("customer_id", "bigint"),
       f("amount", "double"), f("tax_amount", "double"),
       f("discount_amount", "double"), f("total_amount", "double"),
       f("transaction_channel", "string"), f("is_recurring", "boolean"),
       f("transaction_datetime", "string"),
-      unwrapped(col("v"), "card_number", "string", "string").as("card_number"),
-      unwrapped(col("v"), "payment_gateway_id", "int", "bigint")
+      coalesce(col("r.card_number.string"),
+        when(corrupt, unwrapFallback(col("raw"), "card_number", "string", "string")))
+        .as("card_number"),
+      coalesce(col("r.payment_gateway_id.int"),
+        when(corrupt, unwrapFallback(col("raw"), "payment_gateway_id", "int", "bigint")))
         .as("payment_gateway_id"),
       f("risk_score", "double"))
 
