@@ -483,6 +483,35 @@ object DedupOps {
       .unionAll(relabeled.select(col("doc_id"), col("cluster_id")))
   }
 
+  /** Keep-one-per-cluster summary over the INCREMENTALLY maintained
+    * labels — proof that the daily label maintenance carries the whole
+    * downstream dedup stage with it: the apply summary recomputes only
+    * its final aggregate; the label frame underneath re-propagated only
+    * batch-touched components. Answer == the full-recompute
+    * [[dedupApply]] (same oracle), because the label frames are equal.
+    */
+  def dedupApplyIncremental(docs: DataFrame): DataFrame =
+    docs.join(incrementalClusters(docs), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("cluster_id") === col("doc_id")).cast("long")).as("n_survivors"),
+        sum((col("cluster_id") =!= col("doc_id")).cast("long")).as("n_dropped"),
+        sum(when(col("cluster_id") === col("doc_id"), col("n_chars"))
+          .otherwise(0L)).as("surviving_chars"))
+
+  /** Per-source retention over the incrementally maintained labels —
+    * [[dedupRetention]]'s aggregate on [[incrementalClusters]]' frame;
+    * same oracle as the full recompute, by the same equality.
+    */
+  def dedupRetentionIncremental(docs: DataFrame): DataFrame =
+    docs.join(incrementalClusters(docs), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("cluster_id") === col("doc_id")).cast("long")).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("cluster_id") === col("doc_id"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_docs"))
+
   /** Cross-document repeated-span statistic — the shingle-granularity form
     * of the exact-substring dedup signal (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): for each document,
@@ -530,6 +559,8 @@ object DedupOps {
     "q_dedup_containment" -> ((s, dir) => containmentPairs(Tables.documents(s, dir))),
     "q_dedup_incr" -> ((s, dir) => incrementalDupPairs(Tables.documents(s, dir))),
     "q_dedup_clusters_incr" -> ((s, dir) => incrementalClusters(Tables.documents(s, dir))),
+    "q_dedup_apply_incr" -> ((s, dir) => dedupApplyIncremental(Tables.documents(s, dir))),
+    "q_dedup_retention_incr" -> ((s, dir) => dedupRetentionIncremental(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
     "q_dedup_apply" -> ((s, dir) => dedupApply(Tables.documents(s, dir))),
     "q_dedup_retention" -> ((s, dir) => dedupRetention(Tables.documents(s, dir)))
@@ -676,6 +707,34 @@ object DedupOps {
           .otherwise(0L)).as("kept_chars"))
       .withColumn("kept_bp", expr("n_kept * 10000 DIV n_docs"))
 
+  /** Apply-summary SQL over a cluster-label subquery (shared by the full
+    * and incremental apply rows — the answers provably coincide).
+    */
+  private def applySql(clustersSql: String): String =
+    s"""SELECT count(*) AS n_docs,
+       | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_survivors,
+       | CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_dropped,
+       | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
+       |   AS surviving_chars
+       |FROM ($clustersSql) c JOIN documents USING (doc_id)""".stripMargin
+
+  /** Per-source retention SQL over a cluster-label subquery (shared by
+    * the full and incremental retention rows).
+    */
+  private def retentionSql(clustersSql: String): String =
+    s"""SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_kept,
+       | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
+       |   AS kept_chars,
+       | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) * 10000
+       |   // count(*) AS BIGINT) AS kept_bp
+       |FROM ($clustersSql) c JOIN documents USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val grams = trigramShingles(tokens("text", duck = true), duck = true)
     val hs = xform("grams", "g", strHash("g"), duck = true)
@@ -789,27 +848,14 @@ object DedupOps {
            | CAST(s.doc_id IS NOT NULL AS INT) AS from_simhash
            |FROM m FULL OUTER JOIN s ON m.doc_id = s.doc_id""".stripMargin,
 
-      "q_dedup_apply" ->
-        s"""SELECT count(*) AS n_docs,
-           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-           |   AS n_survivors,
-           | CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
-           |   AS n_dropped,
-           | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
-           |   AS surviving_chars
-           |FROM ($clustersSql) c JOIN documents USING (doc_id)""".stripMargin,
+      "q_dedup_apply" -> applySql(clustersSql),
 
-      "q_dedup_retention" ->
-        s"""SELECT source, count(*) AS n_docs,
-           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-           |   AS n_kept,
-           | CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           | CAST(sum(CASE WHEN cluster_id = doc_id THEN n_chars ELSE 0 END) AS BIGINT)
-           |   AS kept_chars,
-           | CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) * 10000
-           |   // count(*) AS BIGINT) AS kept_bp
-           |FROM ($clustersSql) c JOIN documents USING (doc_id)
-           |GROUP BY 1""".stripMargin,
+      // incremental label maintenance must yield the identical summary —
+      // full-recompute oracles, verbatim (the q_incr_agg proof pattern)
+      "q_dedup_apply_incr" -> applySql(clustersSql),
+      "q_dedup_retention_incr" -> retentionSql(clustersSql),
+
+      "q_dedup_retention" -> retentionSql(clustersSql),
 
       "q_dedup_minhash_sig" ->
         s"""WITH mh AS (SELECT doc_id, $mhCols
