@@ -96,6 +96,26 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1 turned on per-file checkpoint checksums and foreachBatch
+      // commit validation; both are durability/misuse guards that cost
+      // fixed per-micro-batch work. The stream queries here run
+      // AvailableNow against throwaway tmp checkpoints consumed within
+      // this same process, so the guards buy nothing — turn them off for
+      // the harness session (a production deployment with durable
+      // checkpoints should leave them on).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
+      // Each stream query here is a run-once AvailableNow job with its own
+      // checkpoint, so every one loads FRESH state-store providers that
+      // stay resident after the query stops — across a 30-stream-query
+      // run the loaded-provider population (queries x partitions) grows
+      // unbounded and the 60s maintenance pass + their in-memory maps
+      // progressively tax later queries. Unload on commit: state dies
+      // with the batch that owns it.
+      .config("spark.sql.streaming.stateStore.unloadOnCommit",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "true"))
       // events.ts nanos handling lives in Tables.events (schema-adaptive;
       // it sets the legacy conf itself where a runtime still honors it)
       // Plan-DESCRIPTION rendering guard: iterative operators can nest

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts nanos handling lives in Tables.events (schema-adaptive)
+      // match Bench: skip 4.1's checkpoint checksums + foreachBatch commit
+      // validation on the throwaway stream checkpoints (see Bench.scala)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+      // match Bench: run-once AvailableNow queries must not leave their
+      // state-store providers resident (measured 2x on the stream family)
+      .config("spark.sql.streaming.stateStore.unloadOnCommit", "true")
       // match Bench: coalesce tiny exchanges to the advisory size (results
       // are partition-count independent; this only cuts task overhead)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
