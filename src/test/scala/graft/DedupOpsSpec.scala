@@ -92,6 +92,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("incremental cluster maintenance equals the full recompute on the corpus") {
+    // The core invariant behind q_dedup_clusters_incr: star edges from
+    // yesterday's labels + today's batch-touching pairs reconnect exactly
+    // the components the full pair set would, with the same minima —
+    // including a batch doc that MERGES two standing clusters.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = DedupOps.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = DedupOps.incrementalClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full)
+    spark.catalog.clearCache()
+  }
+
   test("cluster propagation converges on a cycle") {
     import spark.implicits._
     val nodes = (1L to 3L).toDF("doc_id")
