@@ -59,7 +59,7 @@ object DedupOps {
     * tokenize→shingle→hash chain it replaces was the dominant CPU cost of
     * every query below).
     */
-  private def withShingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def withShingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.TrigramHashesExpression.trigramHashes(col("text")).as("hs"))
 
@@ -86,7 +86,7 @@ object DedupOps {
     * shingle-hash kernel — shared by the full-corpus and incremental
     * pair generators.
     */
-  private def bandFrame(g: DataFrame): DataFrame = {
+  private[graft] def bandFrame(g: DataFrame): DataFrame = {
     val hashed = g
       .withColumn("mhs", graft.functions.SketchExpressions.minhashSig(col("hs")))
     val withMh = (0 until 8).foldLeft(hashed) { (df, k) =>
@@ -120,7 +120,7 @@ object DedupOps {
   /** Exact trigram-Jaccard verification of a candidate (d1, d2) frame
     * against the cached shingle kernel.
     */
-  private def verifyJaccard(g: DataFrame, cand: DataFrame): DataFrame =
+  private[graft] def verifyJaccard(g: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(g.select(col("doc_id").as("d1"), array_distinct(col("hs")).as("h1")), "d1")
       .join(g.select(col("doc_id").as("d2"), array_distinct(col("hs")).as("h2")), "d2")

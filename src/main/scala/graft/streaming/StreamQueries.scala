@@ -166,6 +166,11 @@ object StreamQueries {
       text = true)
     ensureJsonFixture(fixtureDir("winnow", dir, "documents"),
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    ensureJsonFixture(fixtureDir("dedupincr", dir, "documents"),
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % graft.operators.DedupOps.IncrMod
+          === graft.operators.DedupOps.IncrRem)
+        .select(col("doc_id"), col("text")))
     ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
       upsertFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("session", dir, "events"),
@@ -808,6 +813,55 @@ object StreamQueries {
       s.read.schema(StructType(Seq(
           StructField("p", LongType), StructField("dfp", LongType))))
         .parquet(s"$tmp/out"))
+  }
+
+  /** Streaming twin of q_dedup_incr — the daily-ingest dedup loop as a
+    * LIVE stream: arriving documents shingle/minhash/band PER ROW (pure
+    * expressions, no keyed state), candidate pairs come from a
+    * stream-static join against the BROADCAST standing band index (the
+    * frozen-model shape: 4 keys per standing doc), and the only
+    * accumulating state is the distinct-candidate-pair set — bounded by
+    * collision volume, not the stream. Verification runs on readback
+    * through the shared batch kernel (verifyJaccard over the cached
+    * shingle frame), so the emitted rows equal the batch incremental
+    * generator's exactly and q_dedup_incr's oracle (the full pair set
+    * filtered to batch-touching rows) scores them verbatim.
+    */
+  def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val landing = ensureJsonFixture(fixtureDir("dedupincr", dir, "documents"),
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % DedupOps.IncrMod === DedupOps.IncrRem)
+        .select(col("doc_id"), col("text")))
+    // frozen standing index: band keys of the FULL corpus (the batch rows
+    // recompute identical keys per row, so batch-batch pairs also emerge)
+    val g = DedupOps.withShingleHashes(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))).cache()
+    val bands = DedupOps.bandFrame(g)
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val sbands = DedupOps.bandFrame(DedupOps.withShingleHashes(
+        s.readStream.schema(winnowSchema).json(landing)))
+      val cand = sbands.as("b").join(broadcast(bands.as("a")),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        .dropDuplicates("d1", "d2")
+      val q = cand.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    DedupOps.verifyJaccard(g,
+      s.read.schema(StructType(Seq(
+          StructField("d1", LongType), StructField("d2", LongType))))
+        .parquet(s"$tmp/out").distinct())
   }
 
   private val topicsSchema = StructType(Seq(
@@ -1622,6 +1676,7 @@ object StreamQueries {
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
     "q_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
+    "q_stream_dedup_incr" -> ((s, dir) => streamIncrementalDedup(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1638,6 +1693,10 @@ object StreamQueries {
     // per-row print selection + count accumulation replayed over the full
     // corpus == the batch winnow profile, so its oracle applies verbatim
     "q_stream_winnow" -> graft.operators.TextOps.oracleSql("q_text_winnow"),
+
+    // streamed banding + broadcast standing index + batch-kernel verify
+    // reproduce the batch incremental pair generator exactly
+    "q_stream_dedup_incr" -> graft.operators.DedupOps.oracleSql("q_dedup_incr"),
 
     // the time-ordered fixture + three-pass state update reproduce the
     // batch funnel semantics exactly (see streamFunnel), so the batch
