@@ -22,8 +22,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.repetitionStats(emptyDocs).count() == 0)
     assert(TextOps.unigramSurprisal(emptyDocs).count() == 0)
     assert(TextOps.bm25Search(emptyDocs).count() == 0)
+    assert(TextOps.winnowStats(emptyDocs).count() == 0)
     assert(SampleOps.tokenBudgetSample(emptyDocs).count() == 0)
     assert(DedupOps.decontaminate(emptyDocs).count() == 0)
+    assert(DedupOps.incrementalClusters(emptyDocs).count() == 0)
     assert(Phash.phashPairs(spark, emptyDocs).count() == 0)
     spark.catalog.clearCache()
   }
