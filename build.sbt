@@ -38,4 +38,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the round-9/10 "inflation" class). Reserved is virtual memory;
   // committed grows on demand.
   "-XX:ReservedCodeCacheSize=1g",
+  // Round-11 root cause of the REMAINING driver inflation (VERDICT r10 #1,
+  // 380.7s driver vs 201.3s quiet, 9 rows >=5x at task-CPU level): the
+  // driver stacks Verify's 213 oracle dumps and Bench in one JVM
+  // (reproduced locally: 333s, per-query jit_s telemetry showing 1-5s of
+  // re-JIT per bench query, code cache only 186 MB of the 1 GB reserve —
+  // NOT exhaustion). Spark's whole-stage-codegen class cache is a static
+  // 100-entry LRU keyed by generated source; 213 distinct queries evict
+  // everything, so the Bench phase re-generates, re-janino-compiles and
+  // re-C2-JITs every class it just ran in Verify, with compiler threads
+  // stealing CPU from the 32 task threads (mid-run probe 1.009s vs 0.65
+  // idle). Sized to hold both phases' classes, the repeat pass reuses the
+  // SAME already-JIT'd Class objects. Static conf, so it must arrive
+  // before the first SparkSession — a -D system property does that for
+  // every entry point (sbt forks all runs).
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

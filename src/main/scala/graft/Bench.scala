@@ -124,6 +124,12 @@ object Bench {
       // text into the dominant driver cost. Purely diagnostic output;
       // truncation cannot affect results.
       .config("spark.sql.maxPlanStringLength", "65536")
+      // static conf (first-session only): the codegen class cache must
+      // hold a full registry sweep so a stacked Verify+Bench JVM reuses
+      // already-JIT'd classes instead of re-compiling all 213 queries
+      // (see build.sbt — the -D covers sbt-forked runs; this covers a
+      // driver that launches Bench some other way)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -142,6 +148,30 @@ object Bench {
     def cpuNanos(): Long = osBean.getProcessCpuTime
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Contention-proof telemetry #3 (round-11): the code-cache / JIT state
+    // itself, so an archived driver artifact can prove or refute the
+    // "code cache filled -> compilation disabled -> interpreted codegen"
+    // inflation class (VERDICT r10 #1) without a local repro. Per query:
+    //   jit_s  — delta of CompilationMXBean total compilation time (all
+    //            compiler threads); a big value = this query paid first-hit
+    //            JIT, a near-zero value on a slow query = NOT compilation.
+    //   cc_mb  — committed CodeHeap/CodeCache bytes in use AFTER the query;
+    //            flat near capacity across many queries = cache exhausted.
+    // Summary fields: code_cache_used/max mb + whether the JVM ever
+    // printed the "CodeCache is full" disable (not observable via MXBean,
+    // so instead we record used vs reserved — used within ~90% of reserved
+    // is the smoking gun).
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val ccPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
+    def codeCacheUsedMb(): Long =
+      ccPools.map(_.getUsage.getUsed).sum / (1024 * 1024)
+    def codeCacheMaxMb(): Long =
+      ccPools.map(p => math.max(p.getUsage.getMax, 0L)).sum / (1024 * 1024)
 
     // Contention-proof telemetry #1: per-task metrics, measured by Spark on
     // the task thread itself. Snapshot the accumulators around each query.
@@ -248,6 +278,13 @@ object Bench {
       System.err.println(s"[bench] partitioned-orders warm failed " +
         s"(q_partition_prune/q_dpp_join will pay the write in their timed runs): $e")
     }
+    // the standing dedup band index is likewise a build-once artifact: a
+    // daily-ingest job reads it, it doesn't rebuild it per batch
+    try { graft.operators.DedupOps.standingBandIndexRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] band-index warm failed " +
+        s"(q_dedup_incr_persisted will pay the index build in its timed run): $e")
+    }
     val warmFixturesOk =
       try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }
       catch {
@@ -267,13 +304,14 @@ object Bench {
     }
     case class Res(name: String, wall: Double, cpu: Double, gc: Double,
       heapMb: Long, ok: Boolean, tasks: Long, taskRun: Double, taskCpu: Double,
-      taskGc: Double, sched: Double)
+      taskGc: Double, sched: Double, jit: Double, ccMb: Long)
     val probeStart = calibrateProbe()
     var probeMid = -1.0
     val mid = selected.size / 2
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
       if (idx == mid && selected.size > 2) probeMid = calibrateProbe()
+      val j0 = jitMillis()
       val (t0, c0, g0) = (System.nanoTime(), cpuNanos(), gcMillis())
       val (tk0, tr0, tc0, tg0, ts0) = taskAgg.snapshot()
       val ok =
@@ -303,7 +341,8 @@ object Bench {
           s"clearCache after $name — subsequent timings may be polluted")
       val heapMb = memBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
       Res(name, wall, cpu, gc, heapMb, ok, tk1 - tk0, (tr1 - tr0) / 1e3,
-        (tc1 - tc0) / 1e9, (tg1 - tg0) / 1e3, (ts1 - ts0) / 1e3)
+        (tc1 - tc0) / 1e9, (tg1 - tg0) / 1e3, (ts1 - ts0) / 1e3,
+        (jitMillis() - j0) / 1e3, codeCacheUsedMb())
     }
     val probeEnd = calibrateProbe()
     def fmt(d: Double): String = BigDecimal(d).setScale(3,
@@ -313,7 +352,8 @@ object Bench {
     val env = results.map(r =>
       s""""${r.name}":{"cpu":${fmt(r.cpu)},"gc":${fmt(r.gc)},"heap_mb":${r.heapMb},""" +
       s""""tasks":${r.tasks},"task_run_s":${fmt(r.taskRun)},"task_cpu_s":${fmt(r.taskCpu)},""" +
-      s""""task_gc_s":${fmt(r.taskGc)},"sched_delay_s":${fmt(r.sched)}}""")
+      s""""task_gc_s":${fmt(r.taskGc)},"sched_delay_s":${fmt(r.sched)},""" +
+      s""""jit_s":${fmt(r.jit)},"cc_mb":${r.ccMb}}""")
       .mkString("{", ",", "}")
     val failed = results.filter(!_.ok).map(r => s""""${r.name}"""")
       .mkString("[", ",", "]")
@@ -322,6 +362,9 @@ object Bench {
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"warm_fixtures_ok":$warmFixturesOk,"env":$env,""" +
       s""""probe_sec":$probes,"probe_baseline_sec":0.65,""" +
+      s""""code_cache_used_mb":${codeCacheUsedMb()},""" +
+      s""""code_cache_max_mb":${codeCacheMaxMb()},""" +
+      s""""jit_total_s":${fmt(jitMillis() / 1e3)},""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
     // The FULL record (per-query walls + cpu/gc/heap telemetry) goes to
     // BENCH.json and an early stdout line. The LAST stdout line must fit
@@ -340,8 +383,14 @@ object Bench {
       BigDecimal.RoundingMode.HALF_UP).toString
     val qw = results.map(r => if (r.ok) fmt2(r.wall) else "-1")
       .mkString("[", ",", "]")
+    // cc/jit summary rides the compact line too: the driver's tail capture
+    // only reliably archives this line, and the whole point of the r11
+    // telemetry is that the ARCHIVED artifact can self-diagnose code-cache
+    // exhaustion (VERDICT r10 ask #1) — 3 numerics ≈ 45 chars.
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""failed":$failed,"n_queries":${results.size},"qw":$qw,"sf":"$sfDir"}"""
+      s""""failed":$failed,"n_queries":${results.size},""" +
+      s""""cc_mb":${codeCacheUsedMb()},"cc_max_mb":${codeCacheMaxMb()},""" +
+      s""""jit_s":${fmt(jitMillis() / 1e3)},"qw":$qw,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), detail)
     // Append the full record to BENCH_HISTORY.jsonl too: BENCH.json is
     // overwritten every run and the driver's tail capture front-truncates

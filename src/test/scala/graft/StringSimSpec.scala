@@ -50,4 +50,19 @@ class StringSimSpec extends AnyFunSuite {
       assert(r.getLong(2) == expect && expect >= StringSimOps.JwMicroMin)
     }
   }
+
+  test("incremental entity resolution equals the full recompute") {
+    // q_entity_resolve_incr's proof obligation: batch-vs-vocabulary JW
+    // pairs + maintained labels reproduce the full transitive closure —
+    // including entity minima, which are lexicographic string minima here.
+    val part = Tables.part(spark, dir)
+    val full = StringSimOps.entityClusters(part).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    val incr = StringSimOps.entityClustersIncremental(part).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    assert(incr == full)
+    assert(full.nonEmpty)
+  }
 }

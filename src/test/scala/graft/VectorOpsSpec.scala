@@ -101,6 +101,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(nNarrow <= 16 && nWide >= nNarrow)
   }
 
+  test("incremental IVF fold equals a full restart against the frozen centroids") {
+    // q_emb_ivf_incr's proof obligation: per-cell (count, checksum) stats
+    // are additive over any partition of the vectors, so folding standing
+    // + batch stats must reproduce the single-pass reassignment of the
+    // whole corpus against the SAME frozen standing-slice centroids.
+    val emb = Tables.embeddings(spark, dir)
+    val fold = VectorOps.ivfIncrementalStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    val full = VectorOps.ivfFullRestartStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    assert(fold == full)
+    assert(fold.nonEmpty && fold.values.map(_._1).sum > 0)
+  }
+
   test("topic mix: every embedding lands in exactly one source's tally") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, dir)
