@@ -278,12 +278,18 @@ object Bench {
       System.err.println(s"[bench] partitioned-orders warm failed " +
         s"(q_partition_prune/q_dpp_join will pay the write in their timed runs): $e")
     }
-    // the standing dedup band index is likewise a build-once artifact: a
-    // daily-ingest job reads it, it doesn't rebuild it per batch
+    // the standing dedup band index and the frozen IVF centroid index are
+    // likewise build-once artifacts: a daily-ingest job reads them, it
+    // doesn't rebuild them per batch
     try { graft.operators.DedupOps.standingBandIndexRoot(spark, sfDir); () }
     catch { case e: Throwable =>
       System.err.println(s"[bench] band-index warm failed " +
         s"(q_dedup_incr_persisted will pay the index build in its timed run): $e")
+    }
+    try { graft.operators.VectorOps.ivfCentroidIndexRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] centroid-index warm failed " +
+        s"(q_emb_ivf_incr_persisted will pay the Lloyd build in its timed run): $e")
     }
     val warmFixturesOk =
       try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }
@@ -333,12 +339,20 @@ object Bench {
       // persisted blocks so later queries don't pay eviction + GC for
       // dead cached data (q_topk_parts regressed 9x in round 2 from this).
       spark.catalog.clearCache()
-      // clearCache must actually clear: a survivor block means a query
-      // cached through a non-catalog path and the next timings are dirty.
-      val cached = spark.sparkContext.getPersistentRDDs.size
-      if (cached != 0)
-        System.err.println(s"[bench] WARNING: $cached persistent RDDs survived " +
-          s"clearCache after $name — subsequent timings may be polluted")
+      // catalog.clearCache only clears SQL-cache entries; localCheckpoint
+      // frames (the flat-lineage barriers in the iterative operators)
+      // persist at the RDD level and otherwise linger until the
+      // GC-driven ContextCleaner notices — observed surviving 50+
+      // queries in an 8g heap with no GC pressure. Drop them explicitly:
+      // nothing re-references a prior query's frame (and a truncated
+      // lineage could not recompute anyway), so between-queries is the
+      // one safe place to unpersist a local checkpoint.
+      val survivors = spark.sparkContext.getPersistentRDDs
+      if (survivors.nonEmpty) {
+        survivors.values.foreach(_.unpersist(false))
+        System.err.println(s"[bench] dropped ${survivors.size} RDD-level " +
+          s"persisted blocks (localCheckpoint barriers) after $name")
+      }
       val heapMb = memBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
       Res(name, wall, cpu, gc, heapMb, ok, tk1 - tk0, (tr1 - tr0) / 1e3,
         (tc1 - tc0) / 1e9, (tg1 - tg0) / 1e3, (ts1 - ts0) / 1e3,

@@ -47,7 +47,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // queries own caches for their lifetime only
+      finally {
+        // queries own caches for their lifetime only; also drop RDD-level
+        // persists (localCheckpoint barriers) that catalog.clearCache
+        // cannot see — same cleanup as Bench
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

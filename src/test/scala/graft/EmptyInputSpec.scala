@@ -84,6 +84,18 @@ class EmptyInputSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("round-11 incremental operators survive an empty corpus") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.operators.VectorOps.ivfIncrementalStats(emptyEmb).count() == 0)
+    // empty name vocabulary: no pairs, no labels — empty result, no crash
+    val emptyPart = Seq.empty[(Long, String)].toDF("p_partkey", "p_name")
+    assert(graft.operators.StringSimOps
+      .entityClustersIncremental(emptyPart).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("budget sample on a single tiny doc keeps it (crossing doc included)") {
     import spark.implicits._
     val one = Seq((1L, "a b c", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")

@@ -117,6 +117,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(fold.nonEmpty && fold.values.map(_._1).sum > 0)
   }
 
+  test("persisted centroid index reproduces the in-memory incremental IVF stats") {
+    val emb = Tables.embeddings(spark, dir)
+    val inMem = VectorOps.ivfIncrementalStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    val persisted = VectorOps.ivfIncrementalStatsPersisted(spark, dir)
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stream_ivfcents"),
+      s"expected the persisted parquet centroid index in the plan:\n$plan")
+    val got = persisted.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    assert(got == inMem)
+  }
+
   test("topic mix: every embedding lands in exactly one source's tally") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, dir)
