@@ -555,6 +555,40 @@ object DedupOps {
     out
   }
 
+  /** Parquet root of the PERSISTED label store: yesterday's converged
+    * (doc_id, cluster_id) labels over the standing corpus — the frame
+    * [[incrementalClusters]]' scaladoc promises a production job reads
+    * back instead of recomputing. Built once per testdata content key.
+    */
+  def standingLabelStoreRoot(s: SparkSession, dir: String): String = {
+    val root = graft.streaming.StreamQueries.fixtureDir("labelstore", dir, "documents")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS"))) {
+      val standing = Tables.documents(s, dir)
+        .filter(col("doc_id") % IncrMod =!= IncrRem)
+      clustersFromPairs(
+          standing.select(col("doc_id")),
+          minhashDupPairs(standing).select(col("d1"), col("d2")))
+        .coalesce(1).write.mode("overwrite").parquet(root)
+      s.catalog.clearCache()
+    }
+    root
+  }
+
+  /** FULLY storage-backed incremental cluster maintenance: yesterday's
+    * labels come off the persisted label store, today's batch-touching
+    * pairs off the persisted band index ([[incrementalDupPairsPersisted]])
+    * — no standing-corpus signature or propagation recompute anywhere in
+    * the plan, exactly the daily job shape. Same oracle as
+    * [[incrementalClusters]] (the full recompute), by the same equality.
+    */
+  def incrementalClustersPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val oldLabels = s.read.parquet(standingLabelStoreRoot(s, dir))
+    val newPairs = incrementalDupPairsPersisted(s, dir).select(col("d1"), col("d2"))
+    maintainLabels(oldLabels, newPairs,
+      docs.filter(col("doc_id") % IncrMod === IncrRem).select(col("doc_id")))
+  }
+
   /** Keep-one-per-cluster summary over the INCREMENTALLY maintained
     * labels — proof that the daily label maintenance carries the whole
     * downstream dedup stage with it: the apply summary recomputes only
@@ -632,6 +666,7 @@ object DedupOps {
     "q_dedup_incr" -> ((s, dir) => incrementalDupPairs(Tables.documents(s, dir))),
     "q_dedup_incr_persisted" -> ((s, dir) => incrementalDupPairsPersisted(s, dir)),
     "q_dedup_clusters_incr" -> ((s, dir) => incrementalClusters(Tables.documents(s, dir))),
+    "q_dedup_clusters_incr_persisted" -> ((s, dir) => incrementalClustersPersisted(s, dir)),
     "q_dedup_apply_incr" -> ((s, dir) => dedupApplyIncremental(Tables.documents(s, dir))),
     "q_dedup_retention_incr" -> ((s, dir) => dedupRetentionIncremental(Tables.documents(s, dir))),
     "q_dedup_ensemble" -> ((s, dir) => dedupEnsemble(Tables.documents(s, dir))),
@@ -908,8 +943,11 @@ object DedupOps {
       "q_dedup_clusters" -> clustersSql,
 
       // incremental maintenance must EQUAL the full recompute — the same
-      // transitive-closure oracle, verbatim (the q_incr_agg proof pattern)
+      // transitive-closure oracle, verbatim (the q_incr_agg proof pattern);
+      // the fully storage-backed form (labels + band index both read off
+      // parquet) is the same plan-swap again
       "q_dedup_clusters_incr" -> clustersSql,
+      "q_dedup_clusters_incr_persisted" -> clustersSql,
 
       // composition rows: the ensemble decision and the applied dedup
       // reuse the pair/cluster SQL verbatim as subqueries

@@ -127,6 +127,55 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture corpus should contain batch-touching near-dups")
   }
 
+  test("fully storage-backed incremental clusters equal the full recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val full = DedupOps.dupClusters(Tables.documents(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val persisted = DedupOps.incrementalClustersPersisted(spark, dir)
+    val got = persisted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got == full)
+  }
+
+  test("label maintenance composes across two consecutive batches") {
+    // Day-2 fold over day-1's MAINTAINED labels must equal the full
+    // recompute — the invariant that lets a daily job run forever without
+    // periodic full rebuilds. Three slices: standing (0), day-1 batch (1),
+    // day-2 batch (2) by doc_id % 3 over a chain-heavy toy corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = 30L
+    val nodes = (0L until n).toDF("doc_id")
+    // chain edges i—(i+1): every batch doc touches standing components
+    val allPairs = (0L until n - 1).map(i => (i, i + 1))
+    def slice(k: Long) = nodes.filter(col("doc_id") % 3 === k)
+    def pairsTouching(ids: Set[Long], within: Set[Long]) =
+      allPairs.filter { case (a, b) =>
+        (ids.contains(a) || ids.contains(b)) &&
+          within.contains(a) && within.contains(b)
+      }.toDF("d1", "d2")
+    val day0 = (0L until n).filter(_ % 3 == 0).toSet
+    val day1 = (0L until n).filter(_ % 3 == 1).toSet
+    val day2 = (0L until n).filter(_ % 3 == 2).toSet
+    // yesterday-0: standing-only propagation (no edges among %3==0 nodes)
+    val labels0 = DedupOps.clustersFromPairs(slice(0),
+      pairsTouching(day0, day0))
+    // day 1: fold batch-1-touching pairs within day0+day1
+    val labels1 = DedupOps.maintainLabels(labels0,
+      pairsTouching(day1, day0 ++ day1), slice(1))
+    // day 2: fold batch-2-touching pairs over the MAINTAINED labels
+    val labels2 = DedupOps.maintainLabels(labels1,
+      pairsTouching(day2, day0 ++ day1 ++ day2), slice(2))
+    val got = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.clustersFromPairs(nodes, allPairs.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got == full)
+    // the full chain is one component labelled by the global minimum
+    assert(got.values.toSet == Set(0L) && got.size == n)
+  }
+
   test("cluster propagation converges on a cycle") {
     import spark.implicits._
     val nodes = (1L to 3L).toDF("doc_id")
