@@ -148,6 +148,42 @@ object StringSimOps {
       .select(col("doc_id").as("name"), col("cluster_id").as("entity_id"))
   }
 
+  /** Streaming-twin surface (StreamQueries.streamEntityPairs): the name
+    * vocabulary, the arriving slice, and the shared JW scorer over an
+    * externally-generated candidate frame — so the stream's readback
+    * scores through the exact batch kernel.
+    */
+  private[graft] def vocabulary(part: DataFrame): DataFrame = names(part)
+  private[graft] def arrivedNames(part: DataFrame): DataFrame =
+    names(part).filter(arrivedPred)
+  private[graft] def scoreJwPairs(cand: DataFrame): DataFrame =
+    cand.select(col("n1"), col("n2"),
+      floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long")
+        .as("jw_micro"))
+      .filter(col("jw_micro") >= JwMicroMin)
+
+  /** Oracle for the batch-touching JW pair set (the streaming twin's
+    * check; q_entity_resolve_incr folds this same set into labels):
+    * blocked pairs where at least one side is in the arrived slice.
+    */
+  private[graft] val entityIncrPairsSql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+       |arr AS (SELECT name FROM n
+       |  WHERE ${graft.functions.PortableSql.strHash("name")} % ${DedupOps.IncrMod}
+       |    = ${DedupOps.IncrRem}),
+       |c AS (SELECT DISTINCT least(a.name, arr.name) AS n1,
+       |    greatest(a.name, arr.name) AS n2
+       |  FROM n a JOIN arr
+       |    ON substr(a.name, 1, 1) = substr(arr.name, 1, 1)
+       |   AND a.name <> arr.name
+       |   AND abs(length(a.name) - length(arr.name)) <= $LevMax)
+       |SELECT n1, n2, jw_micro FROM (
+       | SELECT n1, n2,
+       |  CAST(floor(jaro_winkler_similarity(n1, n2) * 1000000.0) AS BIGINT)
+       |    AS jw_micro
+       | FROM c) t
+       |WHERE jw_micro >= $JwMicroMin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
     "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir))),

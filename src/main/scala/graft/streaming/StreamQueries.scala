@@ -171,6 +171,8 @@ object StreamQueries {
         .filter(col("doc_id") % graft.operators.DedupOps.IncrMod
           === graft.operators.DedupOps.IncrRem)
         .select(col("doc_id"), col("text")))
+    ensureJsonFixture(fixtureDir("entityincr", dir, "part"),
+      graft.operators.StringSimOps.arrivedNames(Tables.part(s, dir)))
     ensureJsonFixture(fixtureDir("upsert", dir, "customer"),
       upsertFixtureDf(s, dir))
     ensureJsonFixture(fixtureDir("session", dir, "events"),
@@ -862,6 +864,52 @@ object StreamQueries {
       s.read.schema(StructType(Seq(
           StructField("d1", LongType), StructField("d2", LongType))))
         .parquet(s"$tmp/out").distinct())
+  }
+
+  /** Streaming twin of q_entity_resolve_incr's PAIR stage — entity
+    * resolution's arrival loop as a live stream: new names arrive, the
+    * blocked candidate join runs stream-static against the BROADCAST
+    * standing vocabulary (with block key + length precomputed batch-side),
+    * and only the distinct candidate set accumulates as state — bounded
+    * by block-collision volume, not the stream. The expensive JW kernel
+    * runs on readback through the shared batch scorer
+    * (StringSimOps.scoreJwPairs), so the emitted rows equal the batch
+    * incremental pair generator's exactly and the batch-touching-pairs
+    * oracle scores them verbatim.
+    */
+  def streamEntityPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StringSimOps
+    val landing = ensureJsonFixture(fixtureDir("entityincr", dir, "part"),
+      StringSimOps.arrivedNames(Tables.part(s, dir)))
+    val vocab = StringSimOps.vocabulary(Tables.part(s, dir))
+      .select(col("name").as("n1"), substring(col("name"), 1, 1).as("b1"),
+        length(col("name")).as("len1"))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val arriving = s.readStream
+        .schema(StructType(Seq(StructField("name", StringType)))).json(landing)
+        .select(col("name").as("n2"), substring(col("name"), 1, 1).as("b2"),
+          length(col("name")).as("len2"))
+      val cand = arriving.join(broadcast(vocab),
+          col("b1") === col("b2") && col("n1") =!= col("n2") &&
+          abs(col("len1") - col("len2")) <= StringSimOps.LevMax)
+        .select(least(col("n1"), col("n2")).as("a"),
+          greatest(col("n1"), col("n2")).as("b"))
+        .dropDuplicates("a", "b")
+      val q = cand.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    StringSimOps.scoreJwPairs(
+      s.read.schema(StructType(Seq(
+          StructField("a", StringType), StructField("b", StringType))))
+        .parquet(s"$tmp/out").distinct()
+        .select(col("a").as("n1"), col("b").as("n2")))
   }
 
   private val topicsSchema = StructType(Seq(
@@ -1677,6 +1725,7 @@ object StreamQueries {
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
     "q_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
     "q_stream_dedup_incr" -> ((s, dir) => streamIncrementalDedup(s, dir)),
+    "q_stream_entity_incr" -> ((s, dir) => streamEntityPairs(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1697,6 +1746,7 @@ object StreamQueries {
     // streamed banding + broadcast standing index + batch-kernel verify
     // reproduce the batch incremental pair generator exactly
     "q_stream_dedup_incr" -> graft.operators.DedupOps.oracleSql("q_dedup_incr"),
+    "q_stream_entity_incr" -> graft.operators.StringSimOps.entityIncrPairsSql,
 
     // the time-ordered fixture + three-pass state update reproduce the
     // batch funnel semantics exactly (see streamFunnel), so the batch
