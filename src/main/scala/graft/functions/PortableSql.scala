@@ -66,6 +66,40 @@ object PortableSql {
     (0 until maxBits).map(k => s"(CASE WHEN $x >= ${1L << k} THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Dialect-portable integer division (Spark `DIV`, DuckDB `//`). */
+  def idiv(a: String, b: String, duck: Boolean): String =
+    if (duck) s"($a // $b)" else s"($a DIV $b)"
+
+  /** Largest power of two <= x (x >= 1) as a comparison ladder — the
+    * variable-shift-free companion of [[bitLen]] (neither dialect
+    * guarantees column-valued shift counts).
+    */
+  def pow2Floor(x: String, maxBits: Int = 48): String =
+    ((maxBits - 1) to 1 by -1)
+      .map(k => s"WHEN $x >= ${1L << k} THEN ${1L << k}")
+      .mkString("(CASE ", " ", " ELSE 1 END)")
+
+  /** Fixed-point log2 in EIGHTH-BITS (resolution 0.125 bit) — the
+    * higher-resolution sibling of [[bitLen]] for scores where whole-bit
+    * granularity collapses (e.g. IDF over a corpus whose document
+    * frequencies all share one octave). Pure integer comparisons +
+    * one portable integer division, so the SAME value comes out of both
+    * engines: normalize x to its mantissa m = x*256 / 2^(bitLen-1) in
+    * [256, 512), then count the precomputed 2^(k/8) thresholds passed.
+    * The threshold constants are baked into the generated string at
+    * build time, so both dialects compare against identical literals.
+    * Domain: 1 <= x < 2^55 (the x*256 headroom; maxBits defaults to the
+    * full domain, unlike bitLen's 48, because the *256 scaling shifts
+    * where the ladder must stop).
+    */
+  def log2Eighths(x: String, maxBits: Int = 55, duck: Boolean = false): String = {
+    val m = idiv(s"(($x) * 256)", pow2Floor(x, maxBits), duck)
+    val frac = (1 to 7)
+      .map(k => s"(CASE WHEN $m >= ${Math.round(256.0 * math.pow(2.0, k / 8.0))} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"(8 * (${bitLen(x, maxBits)} - 1) + $frac)"
+  }
+
   /** Deterministic string hash, identical in both engines: a base-127
     * polynomial over the first 16 characters (mod P each step so nothing
     * overflows), salted with the string length. Range [0, P).

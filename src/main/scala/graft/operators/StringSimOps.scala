@@ -184,7 +184,74 @@ object StringSimOps {
        | FROM c) t
        |WHERE jw_micro >= $JwMicroMin""".stripMargin
 
+  /** Fellegi-Sunter field weights in exact MILLI-LOG-ODDS units — the
+    * probabilistic record-linkage model (Fellegi & Sunter, JASA 1969)
+    * behind every serious MDM/ER system: each compared field contributes
+    * ln(m/u) when it agrees and ln((1-m)/(1-u)) when it disagrees, where
+    * m = P(agree | same entity) and u = P(agree | different entities).
+    * The weights below are FIXED integer constants (the m/u estimation —
+    * classically EM over a labelled sample — happens offline; shipping
+    * trained weights as literals is exactly what production linkage jobs
+    * do), so every score is an exact BIGINT sum and the oracle compares
+    * hash-identical. Name agreement is TIERED on the JW micro score (the
+    * standard ordinal-agreement extension of binary FS).
+    */
+  val FsTypeAgree = 1790L;  val FsTypeDis = -820L
+  val FsSizeAgree = 1370L;  val FsSizeDis = -510L
+  val FsNameStrong = 2830L; val FsNameWeak = 1240L; val FsNameDis = -1650L
+  val FsJwStrong = 920000L // jw >= 0.92 => strong; >= JwMicroMin => weak
+  val FsSizeBand = 3       // candidate blocking: |size delta| <= 3
+  val FsSizeTol = 1        // field agreement:    |size delta| <= 1
+  val FsMatchMin = 3500L   // score >= match threshold => 'match'
+                           // 0 <= score < match      => 'possible'
+
+  /** Fellegi-Sunter scored record linkage over the part dimension — two
+    * records are candidate duplicates when they share a brand block and
+    * sit within [[FsSizeBand]] of each other; each candidate is scored by
+    * the weighted agreement vector over (name-JW tier, type, size) and
+    * classified match / possible. This is the step UP from the pairwise
+    * scorers above: q_fuzzy_* emit one-field similarity, this fuses
+    * multi-field evidence into a calibrated decision — the linkage output
+    * an MDM pipeline hands to the merge step (and the clerical-review
+    * queue: the 'possible' band).
+    *
+    * Shape at 100 TB: candidates come from a brand equi-join (never
+    * all-pairs) with the size band pruning inside the block; the JW
+    * kernel — the expensive comparator — runs only on block-mates. At
+    * bigger dimension cardinality the block key widens to
+    * (brand, size DIV 8) with two-sided bucket probes, same shape. The
+    * weight sum is a per-row projection; the output is pruned to
+    * score >= 0 (non-matches, the overwhelming mass, never leave the
+    * executors).
+    */
+  def fsLinkage(part: DataFrame): DataFrame = {
+    val a = part.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("p_brand").as("brand"), col("p_type").as("t1"), col("p_size").as("s1"))
+    val b = part.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("p_brand").as("brand"), col("p_type").as("t2"), col("p_size").as("s2"))
+    a.join(b, Seq("brand"))
+      .filter(col("k1") < col("k2") &&
+        abs(col("s1") - col("s2")) <= FsSizeBand)
+      .withColumn("jw_micro",
+        floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+      .withColumn("w_name",
+        when(col("jw_micro") >= FsJwStrong, FsNameStrong)
+          .when(col("jw_micro") >= JwMicroMin, FsNameWeak)
+          .otherwise(FsNameDis))
+      .withColumn("w_type",
+        when(col("t1") === col("t2"), FsTypeAgree).otherwise(FsTypeDis))
+      .withColumn("w_size",
+        when(abs(col("s1") - col("s2")) <= FsSizeTol, FsSizeAgree)
+          .otherwise(FsSizeDis))
+      .withColumn("score", col("w_name") + col("w_type") + col("w_size"))
+      .filter(col("score") >= 0)
+      .withColumn("cls",
+        when(col("score") >= FsMatchMin, lit("match")).otherwise(lit("possible")))
+      .select(col("k1"), col("k2"), col("jw_micro"), col("score"), col("cls"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_fs_score" -> ((s, dir) => fsLinkage(Tables.part(s, dir))),
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
     "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir))),
     "q_entity_resolve" -> ((s, dir) => entityClusters(Tables.part(s, dir))),
@@ -192,6 +259,26 @@ object StringSimOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_er_fs_score" ->
+      s"""WITH cand AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+         |   CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+         |     * 1000000.0) AS BIGINT) AS jw_micro,
+         |   a.p_type AS t1, b.p_type AS t2, a.p_size AS s1, b.p_size AS s2
+         |  FROM part a JOIN part b
+         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |   AND abs(a.p_size - b.p_size) <= $FsSizeBand),
+         | w AS (SELECT k1, k2, jw_micro,
+         |   (CASE WHEN jw_micro >= $FsJwStrong THEN $FsNameStrong
+         |         WHEN jw_micro >= $JwMicroMin THEN $FsNameWeak
+         |         ELSE $FsNameDis END)
+         |   + (CASE WHEN t1 = t2 THEN $FsTypeAgree ELSE $FsTypeDis END)
+         |   + (CASE WHEN abs(s1 - s2) <= $FsSizeTol THEN $FsSizeAgree
+         |      ELSE $FsSizeDis END) AS score
+         |  FROM cand)
+         |SELECT k1, k2, jw_micro, score,
+         | CASE WHEN score >= $FsMatchMin THEN 'match' ELSE 'possible' END AS cls
+         |FROM w WHERE score >= 0""".stripMargin,
+
     "q_fuzzy_lev_pairs" ->
       s"""$blockedPairsCte
          |SELECT n1, n2, levenshtein(n1, n2) AS lev FROM p

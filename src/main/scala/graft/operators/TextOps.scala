@@ -379,6 +379,87 @@ object TextOps {
       .filter(col("rnk") <= 3)
   }
 
+  /** Per-document keyword count for [[tfidfTerms]]. */
+  val TfidfK = 5
+
+  /** Per-document top-[[TfidfK]] TF-IDF keyword extraction — the
+    * "what is this document about" summarizer corpus pipelines run for
+    * topic tagging and index building (contrast q_bm25_search, which
+    * scores docs against a FIXED query; this ranks every doc's own
+    * terms). IDF uses the fixed-point integer log
+    * (log2Eighths(N) - log2Eighths(df) ≈ 8*log2(N/df)) — the
+    * q_text_surprisal / BM25 bit-length trick at 1/8-bit resolution,
+    * keeping every score an exact BIGINT (the oracle compares
+    * hash-exact, no libm in sight) while still separating document
+    * frequencies that share an octave.
+    *
+    * Shape at 100 TB: one tokenize pass → (doc, term) partial counts
+    * (map-side combined), a term-keyed df aggregation, a 1-row corpus
+    * count broadcast, and a top-k window PARTITIONED BY doc_id — Spark
+    * plans the rank<=k filter as WindowGroupLimit, so each partition
+    * keeps k rows per doc and nothing global ever sorts.
+    */
+  def tfidfTerms(docs: DataFrame, k: Int = TfidfK): DataFrame = {
+    import graft.functions.PortableSql.log2Eighths
+    val toks = docs.select(col("doc_id"),
+      explode(expr(tokens("text", duck = false))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfr, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") *
+          expr(s"CAST(${log2Eighths("n_docs")} - ${log2Eighths("df")} AS BIGINT)"))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k && col("score") > 0)
+  }
+
+  /** Collocation evidence floor and lift threshold (micro-units). */
+  val PmiMinCount = 3L
+  val PmiMinLiftMicro = 2000000L // lift >= 2
+
+  /** PMI collocation mining — corpus-level bigram phrases whose observed
+    * frequency beats the independence expectation (the word2vec-phrases /
+    * "New York"-detector step of a training-data pipeline). Instead of a
+    * floating log PMI (libm rounding differs across engines), the score
+    * is the LIFT in exact integer micro-units:
+    * floor(c_xy * T * 1e6 / (c_x * c_y)) — identical BIGINT arithmetic
+    * in Spark (ANSI) and DuckDB, and ordering by lift IS ordering by PMI
+    * (log is monotone). Evidence floor c_xy >= [[PmiMinCount]] kills the
+    * hapax noise; lift >= 2 keeps genuinely-associated pairs.
+    *
+    * Shape at 100 TB: two corpus aggregations (bigram counts, unigram
+    * counts — both map-side combined), the bigram frame pruned by the
+    * evidence floor BEFORE the two unigram joins (the frequency table
+    * stays unbroadcast: vocabulary grows with the corpus), one 1-row
+    * total broadcast. Overflow note: c_xy*T*1e6 needs c_xy*T < 9.2e12,
+    * i.e. fine to ~10^6-token test corpora; at real corpus scale the
+    * micro-unit scale factor drops to 1 (lift ordering is unchanged).
+    */
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr(tokens("text", duck = false))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("total"))
+    val bi = docs.select(expr(tokens("text", duck = false)).as("toks"))
+      .select(explode(expr(bigramsAll("toks", duck = false))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= PmiMinCount)
+      .select(col("gram"), col("pair_cnt"),
+        expr("split(gram, ' ')[0]").as("w1"), expr("split(gram, ' ')[1]").as("w2"))
+    bi.join(uni.select(col("w").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("gram"), col("pair_cnt"), col("c1"), col("c2"),
+        expr("CAST(pair_cnt * total * 1000000 DIV (c1 * c2) AS BIGINT)")
+          .as("lift_micro"))
+      .filter(col("lift_micro") >= PmiMinLiftMicro)
+  }
+
   /** Winnowing window: every [[WinnowW]] consecutive trigram hashes
     * contribute their minimum as a selected fingerprint.
     */
@@ -452,6 +533,8 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_terms" -> ((s, dir) => tfidfTerms(Tables.documents(s, dir))),
+    "q_text_pmi" -> ((s, dir) => pmiCollocations(Tables.documents(s, dir))),
     "q_text_winnow" -> ((s, dir) => winnowStats(Tables.documents(s, dir))),
     "q_text_vocab" -> ((s, dir) => vocabStats(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => bigramLm(Tables.documents(s, dir))),
@@ -475,6 +558,42 @@ object TextOps {
     val gramsAll = trigramsAll(toks, duck = true)
     val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_tfidf_terms" -> {
+        import graft.functions.PortableSql.log2Eighths
+        s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           | dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | nd AS (SELECT count(*) AS n_docs FROM documents),
+           | scored AS (SELECT doc_id, term, tf,
+           |   tf * CAST(${log2Eighths("n_docs", duck = true)}
+           |     - ${log2Eighths("df", duck = true)} AS BIGINT) AS score
+           |  FROM tf JOIN dfr USING (term), nd)
+           |SELECT doc_id, term, tf, score, rnk FROM (
+           | SELECT *, row_number() OVER (PARTITION BY doc_id
+           |   ORDER BY score DESC, term) AS rnk FROM scored) z
+           |WHERE rnk <= $TfidfK AND score > 0""".stripMargin
+      },
+
+      "q_text_pmi" -> {
+        val grams2 = bigramsAll("toks", duck = true)
+        s"""WITH toks AS (SELECT unnest($toks) AS w FROM documents),
+           | uni AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+           | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+           | bi AS (SELECT gram, pair_cnt,
+           |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+           |  FROM (SELECT g AS gram, count(*) AS pair_cnt FROM (
+           |    SELECT unnest(grams) AS g FROM (
+           |     SELECT $grams2 AS grams FROM (
+           |      SELECT $toks AS toks FROM documents) t0) g0) g1
+           |   GROUP BY 1 HAVING count(*) >= $PmiMinCount) c)
+           |SELECT gram, pair_cnt, u1.cnt AS c1, u2.cnt AS c2,
+           | CAST(pair_cnt * total * 1000000 // (u1.cnt * u2.cnt) AS BIGINT)
+           |   AS lift_micro
+           |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+           | JOIN uni u2 ON bi.w2 = u2.w, tot
+           |WHERE pair_cnt * total * 1000000 // (u1.cnt * u2.cnt)
+           |  >= $PmiMinLiftMicro""".stripMargin
+      },
       "q_text_winnow" ->
         s"""WITH g AS (SELECT doc_id, $hsAll AS hs
            |  FROM (SELECT doc_id, $gramsAll AS grams FROM documents) g0),
