@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,7 +84,7 @@ object JaroWinklerKernel {
 }
 
 case class JaroWinklerExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
@@ -92,6 +92,15 @@ case class JaroWinklerExpression(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaroWinklerKernel.similarity(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  /** Codegen as a static kernel call — the r8-era CodegenFallback broke
+    * whole-stage codegen for every operator downstream of a JW column,
+    * which was invisible on the 64-name fuzzy vocabulary but dominates
+    * q_er_fs_score's ~1M-candidate scoring pass.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerKernel.similarity($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -92,13 +92,24 @@ object PortableSql {
     * full domain, unlike bitLen's 48, because the *256 scaling shifts
     * where the ladder must stop).
     */
-  def log2Eighths(x: String, maxBits: Int = 55, duck: Boolean = false): String = {
-    val m = idiv(s"(($x) * 256)", pow2Floor(x, maxBits), duck)
-    val frac = (1 to 7)
-      .map(k => s"(CASE WHEN $m >= ${Math.round(256.0 * math.pow(2.0, k / 8.0))} THEN 1 ELSE 0 END)")
-      .mkString("(", " + ", ")")
-    s"(8 * (${bitLen(x, maxBits)} - 1) + $frac)"
-  }
+  def log2Eighths(x: String, maxBits: Int = 55, duck: Boolean = false): String =
+    s"(8 * (${bitLen(x, maxBits)} - 1) + ${l8Frac(l8Mantissa(x, maxBits, duck))})"
+
+  /** [[log2Eighths]] building blocks, exposed so the Spark side can STAGE
+    * them through intermediate columns: inlining the mantissa into the
+    * fraction ladder repeats the ~55-branch pow2Floor seven times, and the
+    * resulting ~400-branch expression costs whole SECONDS of JIT compile
+    * time per query (measured 12.5 jit-s on q_tfidf_terms) even when it
+    * only ever evaluates on a vocabulary-sized frame. The DuckDB oracle
+    * keeps the single-expression form (no codegen there); the staged and
+    * inline forms compute identical integers by construction.
+    */
+  def l8Mantissa(x: String, maxBits: Int = 55, duck: Boolean = false): String =
+    idiv(s"(($x) * 256)", pow2Floor(x, maxBits), duck)
+
+  def l8Frac(m: String): String = (1 to 7)
+    .map(k => s"(CASE WHEN $m >= ${Math.round(256.0 * math.pow(2.0, k / 8.0))} THEN 1 ELSE 0 END)")
+    .mkString("(", " + ", ")")
 
   /** Deterministic string hash, identical in both engines: a base-127
     * polynomial over the first 16 characters (mod P each step so nothing

@@ -399,19 +399,35 @@ object TextOps {
     * plans the rank<=k filter as WindowGroupLimit, so each partition
     * keeps k rows per doc and nothing global ever sorts.
     */
+  /** STAGED log2Eighths: the mantissa ladder lands in its own column so
+    * codegen compiles ONE pow2Floor + ONE bitLen ladder instead of eight
+    * (see PortableSql.l8Mantissa's JIT note). Same integers as the
+    * oracle's single-expression form by construction.
+    */
+  private def withLog2Eighths(d: DataFrame, x: String, out: String): DataFrame = {
+    import graft.functions.PortableSql.{bitLen, l8Frac, l8Mantissa}
+    d.withColumn("__l8m", expr(l8Mantissa(x)))
+      .withColumn(out,
+        expr(s"CAST(8 * (${bitLen(x, 55)} - 1) + ${l8Frac("__l8m")} AS BIGINT)"))
+      .drop("__l8m")
+  }
+
   def tfidfTerms(docs: DataFrame, k: Int = TfidfK): DataFrame = {
-    import graft.functions.PortableSql.log2Eighths
     val toks = docs.select(col("doc_id"),
       explode(expr(tokens("text", duck = false))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    // the integer-log ladder evaluates on the TERM-level df frame
+    // (vocabulary cardinality) and the 1-row corpus count — never on
+    // the (doc, term) posting rows it joins back onto
+    val dfr = withLog2Eighths(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "df", "idf8")
+    val nd = withLog2Eighths(
+      docs.agg(count(lit(1)).as("n_docs")), "n_docs", "nd8")
+      .select(col("nd8"))
     val scored = tf.join(dfr, "term")
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"), col("tf"),
-        (col("tf") *
-          expr(s"CAST(${log2Eighths("n_docs")} - ${log2Eighths("df")} AS BIGINT)"))
-          .as("score"))
+        (col("tf") * (col("nd8") - col("idf8"))).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -562,11 +578,12 @@ object TextOps {
         import graft.functions.PortableSql.log2Eighths
         s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-           | dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           | nd AS (SELECT count(*) AS n_docs FROM documents),
-           | scored AS (SELECT doc_id, term, tf,
-           |   tf * CAST(${log2Eighths("n_docs", duck = true)}
-           |     - ${log2Eighths("df", duck = true)} AS BIGINT) AS score
+           | dfr AS (SELECT term, count(*) AS df,
+           |   CAST(${log2Eighths("count(*)", duck = true)} AS BIGINT) AS idf8
+           |  FROM tf GROUP BY 1),
+           | nd AS (SELECT CAST(${log2Eighths("count(*)", duck = true)} AS BIGINT)
+           |   AS nd8 FROM documents),
+           | scored AS (SELECT doc_id, term, tf, tf * (nd8 - idf8) AS score
            |  FROM tf JOIN dfr USING (term), nd)
            |SELECT doc_id, term, tf, score, rnk FROM (
            | SELECT *, row_number() OVER (PARTITION BY doc_id
