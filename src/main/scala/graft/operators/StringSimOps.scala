@@ -229,9 +229,18 @@ object StringSimOps {
       col("p_brand").as("brand"), col("p_type").as("t1"), col("p_size").as("s1"))
     val b = part.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
       col("p_brand").as("brand"), col("p_type").as("t2"), col("p_size").as("s2"))
-    a.join(b, Seq("brand"))
+    fsScore(a.join(b, Seq("brand"))
       .filter(col("k1") < col("k2") &&
-        abs(col("s1") - col("s2")) <= FsSizeBand)
+        abs(col("s1") - col("s2")) <= FsSizeBand))
+  }
+
+  /** The FS agreement-vector scorer over a frame carrying
+    * (k1, k2, n1, n2, t1, t2, s1, s2) — shared by the batch linkage
+    * above and the streaming twin's readback (StreamQueries.streamErFs)
+    * so both paths emit identical scores by construction.
+    */
+  private[graft] def fsScore(cand: DataFrame): DataFrame =
+    cand
       .withColumn("jw_micro",
         floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
       .withColumn("w_name",
@@ -248,7 +257,6 @@ object StringSimOps {
       .withColumn("cls",
         when(col("score") >= FsMatchMin, lit("match")).otherwise(lit("possible")))
       .select(col("k1"), col("k2"), col("jw_micro"), col("score"), col("cls"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_fs_score" -> ((s, dir) => fsLinkage(Tables.part(s, dir))),
@@ -258,26 +266,40 @@ object StringSimOps {
     "q_entity_resolve_incr" -> ((s, dir) => entityClustersIncremental(Tables.part(s, dir)))
   )
 
+  /** FS oracle scoring CTEs, shared by the batch oracle and the streaming
+    * twin's (which adds the batch-touching filter).
+    */
+  private val fsScoreCte =
+    s"""WITH cand AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+       |   CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+       |     * 1000000.0) AS BIGINT) AS jw_micro,
+       |   a.p_type AS t1, b.p_type AS t2, a.p_size AS s1, b.p_size AS s2
+       |  FROM part a JOIN part b
+       |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |   AND abs(a.p_size - b.p_size) <= $FsSizeBand),
+       | w AS (SELECT k1, k2, jw_micro,
+       |   (CASE WHEN jw_micro >= $FsJwStrong THEN $FsNameStrong
+       |         WHEN jw_micro >= $JwMicroMin THEN $FsNameWeak
+       |         ELSE $FsNameDis END)
+       |   + (CASE WHEN t1 = t2 THEN $FsTypeAgree ELSE $FsTypeDis END)
+       |   + (CASE WHEN abs(s1 - s2) <= $FsSizeTol THEN $FsSizeAgree
+       |      ELSE $FsSizeDis END) AS score
+       |  FROM cand)
+       |SELECT k1, k2, jw_micro, score,
+       | CASE WHEN score >= $FsMatchMin THEN 'match' ELSE 'possible' END AS cls
+       |FROM w WHERE score >= 0""".stripMargin
+
+  /** Oracle for the streaming twin: the full FS linkage filtered to pairs
+    * touching the arrived slice — identical answers, the incremental-
+    * family plan-swap contract.
+    */
+  private[graft] val fsStreamSql =
+    s"""$fsScoreCte
+       | AND (k1 % ${DedupOps.IncrMod} = ${DedupOps.IncrRem}
+       |   OR k2 % ${DedupOps.IncrMod} = ${DedupOps.IncrRem})""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_er_fs_score" ->
-      s"""WITH cand AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-         |   CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
-         |     * 1000000.0) AS BIGINT) AS jw_micro,
-         |   a.p_type AS t1, b.p_type AS t2, a.p_size AS s1, b.p_size AS s2
-         |  FROM part a JOIN part b
-         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-         |   AND abs(a.p_size - b.p_size) <= $FsSizeBand),
-         | w AS (SELECT k1, k2, jw_micro,
-         |   (CASE WHEN jw_micro >= $FsJwStrong THEN $FsNameStrong
-         |         WHEN jw_micro >= $JwMicroMin THEN $FsNameWeak
-         |         ELSE $FsNameDis END)
-         |   + (CASE WHEN t1 = t2 THEN $FsTypeAgree ELSE $FsTypeDis END)
-         |   + (CASE WHEN abs(s1 - s2) <= $FsSizeTol THEN $FsSizeAgree
-         |      ELSE $FsSizeDis END) AS score
-         |  FROM cand)
-         |SELECT k1, k2, jw_micro, score,
-         | CASE WHEN score >= $FsMatchMin THEN 'match' ELSE 'possible' END AS cls
-         |FROM w WHERE score >= 0""".stripMargin,
+    "q_er_fs_score" -> fsScoreCte,
 
     "q_fuzzy_lev_pairs" ->
       s"""$blockedPairsCte

@@ -912,6 +912,62 @@ object StreamQueries {
         .select(col("a").as("n1"), col("b").as("n2")))
   }
 
+  /** Streaming twin of q_er_fs_score — Fellegi-Sunter linkage's arrival
+    * loop: new part records stream in (the dedup family's mod-slice),
+    * the brand-blocked size-banded candidate join runs stream-static
+    * against the BROADCAST standing dimension, and only the distinct
+    * normalized pair-key set accumulates as state (bounded by block-
+    * collision volume, not the stream). The expensive JW kernel and the
+    * weight arithmetic run on readback through the shared batch scorer
+    * (StringSimOps.fsScore), so emitted rows equal the batch linkage's
+    * exactly; the oracle is the full FS linkage filtered to
+    * batch-touching pairs (the incremental-family plan-swap contract).
+    */
+  def streamErFs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StringSimOps
+    val part = Tables.part(s, dir)
+    val arrivedPred = col("p_partkey") % graft.operators.DedupOps.IncrMod ===
+      graft.operators.DedupOps.IncrRem
+    val fields = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val landing = ensureJsonFixture(fixtureDir("erfs", dir, "part"),
+      part.filter(arrivedPred).selectExpr(fields: _*))
+    val standing = part.select(col("p_partkey").as("k1"),
+      col("p_brand").as("brand"), col("p_size").as("s1"))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val arriving = s.readStream.schema(StructType(Seq(
+          StructField("p_partkey", LongType), StructField("p_name", StringType),
+          StructField("p_brand", StringType), StructField("p_type", StringType),
+          StructField("p_size", IntegerType)))).json(landing)
+        .select(col("p_partkey").as("k2"), col("p_brand").as("brand"),
+          col("p_size").as("s2"))
+      val q = arriving.join(broadcast(standing), Seq("brand"))
+        .filter(col("k1") =!= col("k2") &&
+          abs(col("s1") - col("s2")) <= StringSimOps.FsSizeBand)
+        .select(least(col("k1"), col("k2")).as("a"),
+          greatest(col("k1"), col("k2")).as("b"))
+        .dropDuplicates("a", "b")
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out")
+        }
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val pa = part.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("p_type").as("t1"), col("p_size").as("s1"))
+    val pb = part.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("p_type").as("t2"), col("p_size").as("s2"))
+    StringSimOps.fsScore(
+      s.read.schema(StructType(Seq(
+          StructField("a", LongType), StructField("b", LongType))))
+        .parquet(s"$tmp/out").distinct()
+        .select(col("a").as("k1"), col("b").as("k2"))
+        .join(pa, "k1").join(pb, "k2"))
+  }
+
   private val topicsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("source", StringType),
@@ -1726,6 +1782,7 @@ object StreamQueries {
     "q_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
     "q_stream_dedup_incr" -> ((s, dir) => streamIncrementalDedup(s, dir)),
     "q_stream_entity_incr" -> ((s, dir) => streamEntityPairs(s, dir)),
+    "q_stream_er_fs" -> ((s, dir) => streamErFs(s, dir)),
     "q_stream_interval_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q_stream_dedup_ttl" -> ((s, dir) => streamDedupTtl(s, dir))
   )
@@ -1747,6 +1804,7 @@ object StreamQueries {
     // reproduce the batch incremental pair generator exactly
     "q_stream_dedup_incr" -> graft.operators.DedupOps.oracleSql("q_dedup_incr"),
     "q_stream_entity_incr" -> graft.operators.StringSimOps.entityIncrPairsSql,
+    "q_stream_er_fs" -> graft.operators.StringSimOps.fsStreamSql,
 
     // the time-ordered fixture + three-pass state update reproduce the
     // batch funnel semantics exactly (see streamFunnel), so the batch

@@ -87,6 +87,17 @@ class TfidfLinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming FS twin equals the batch linkage filtered to batch-touching pairs") {
+    val mod = graft.operators.DedupOps.IncrMod
+    val rem = graft.operators.DedupOps.IncrRem
+    val expect = StringSimOps.fsLinkage(Tables.part(spark, dir))
+      .filter(col("k1") % mod === rem || col("k2") % mod === rem)
+      .collect().map(_.toSeq).toSet
+    val got = graft.streaming.StreamQueries.streamErFs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("FS linkage emits no pair outside the brand block (prune is real)") {
     // the blocked candidate plan must contain a brand equi-join, not a
     // cartesian: assert no BroadcastNestedLoopJoin over the full part^2
