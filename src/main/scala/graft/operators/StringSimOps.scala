@@ -258,8 +258,65 @@ object StringSimOps {
         when(col("score") >= FsMatchMin, lit("match")).otherwise(lit("possible")))
       .select(col("k1"), col("k2"), col("jw_micro"), col("score"), col("cls"))
 
+  /** Sorted-neighborhood window: pairs within [[SnW]] positions of the
+    * global sort order are candidates.
+    */
+  val SnW = 4
+
+  /** Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95) — the
+    * third classic ER candidate generator beside equi-blocking
+    * (blockedPairs) and banded LSH (DedupOps): sort every record by a
+    * fuzzy key, slide a window of [[SnW]], emit all in-window pairs.
+    * Here the key is the account balance in exact cents (custkey
+    * tiebreak), screening for near-balance duplicate accounts — the
+    * shape matters more than the field: SN finds matches equi-blocks
+    * miss when the blocking field itself is dirty, because closeness in
+    * ANY total order survives single-field typos that change a hash.
+    *
+    * The scale problem is that SN needs GLOBAL ranks, and a global
+    * row_number window is the single-partition scale-killer this engine
+    * bans (the q_rfm note). So ranks are computed by TWO-PHASE ranking:
+    * range-partition on the sort key, per-partition row_number (a window
+    * PARTITIONED by the range bucket — distributed), then add each
+    * partition's global offset, built from the #partitions-row count
+    * frame. Correctness does not depend on where the range boundaries
+    * land: rank = rows-before-me under a total order (the key embeds the
+    * unique tiebreak). Pair generation is then a bucketed equi-join on
+    * rank DIV W with the adjacent-bucket probe — the same
+    * one-sided-explode trick as the FS size band, never a cross join.
+    */
+  def snPairs(customer: DataFrame): DataFrame = {
+    val keyed = customer.select(col("c_custkey").as("k"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      .repartitionByRange(col("bal"), col("k"))
+      .sortWithinPartitions(col("bal"), col("k"))
+      .withColumn("pid", spark_partition_id())
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("bal"), col("k"))
+    val local = keyed.withColumn("rn", row_number().over(localW))
+    // per-range-partition counts -> exclusive prefix offsets: a
+    // #partitions-row frame, windowed over itself (rows = parallelism,
+    // not data) and broadcast back onto the ranked rows
+    val cntW = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(cntW), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = local.join(broadcast(offsets), "pid")
+      .select(col("k"), col("bal"), (col("off") + col("rn")).as("rk"))
+    val a = ranked.select(col("rk").as("r1"), col("k").as("k1"), col("bal").as("b1"))
+      .withColumn("bk", expr(s"r1 DIV $SnW"))
+    val b = ranked.select(col("rk").as("r2"), col("k").as("k2"), col("bal").as("b2"))
+      .withColumn("bk", explode(array(expr(s"r2 DIV $SnW"), expr(s"r2 DIV $SnW - 1"))))
+    a.join(b, Seq("bk"))
+      .filter(col("r2") > col("r1") && col("r2") - col("r1") <= SnW)
+      .select(col("k1"), col("k2"), (col("r2") - col("r1")).as("rank_dist"),
+        abs(col("b2") - col("b1")).as("bal_diff_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_fs_score" -> ((s, dir) => fsLinkage(Tables.part(s, dir))),
+    "q_er_sn_pairs" -> ((s, dir) => snPairs(Tables.customer(s, dir))),
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
     "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir))),
     "q_entity_resolve" -> ((s, dir) => entityClusters(Tables.part(s, dir))),
@@ -300,6 +357,19 @@ object StringSimOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_er_fs_score" -> fsScoreCte,
+
+    // the oracle replays the two-phase rank as one plain global window
+    // (DuckDB at sf0.01 — no scale constraint); the ENGINE is what must
+    // avoid it (the q_rfm_cuts contract)
+    "q_er_sn_pairs" ->
+      s"""WITH r AS (SELECT c_custkey AS k,
+         |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         |   row_number() OVER (
+         |     ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS rk
+         |  FROM customer)
+         |SELECT a.k AS k1, b.k AS k2, b.rk - a.rk AS rank_dist,
+         | abs(b.bal - a.bal) AS bal_diff_cents
+         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= $SnW""".stripMargin,
 
     "q_fuzzy_lev_pairs" ->
       s"""$blockedPairsCte

@@ -18,6 +18,15 @@ class EmptyInputSpec extends AnyFunSuite {
     Seq.empty[(Long, String, String, Long)].toDF("doc_id", "text", "lang", "n_chars")
   }
 
+  test("tfidf/pmi/FS-linkage operators survive empty inputs") {
+    import spark.implicits._
+    assert(TextOps.tfidfTerms(emptyDocs).count() == 0)
+    assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
+    val emptyPart = Seq.empty[(Long, String, String, String, Int)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    assert(graft.operators.StringSimOps.fsLinkage(emptyPart).count() == 0)
+  }
+
   test("text/sampling/dedup operators survive an empty corpus") {
     assert(TextOps.repetitionStats(emptyDocs).count() == 0)
     assert(TextOps.unigramSurprisal(emptyDocs).count() == 0)

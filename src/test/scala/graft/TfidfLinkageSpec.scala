@@ -98,6 +98,23 @@ class TfidfLinkageSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("two-phase-ranked SN pairs equal the naive global-window version") {
+    val cust = Tables.customer(spark, dir)
+    val got = StringSimOps.snPairs(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // naive recomputation: one driver-side global sort
+    val ranked = cust.selectExpr("c_custkey AS k",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, bal) => (bal, k) }.zipWithIndex
+    val expect = (for {
+      ((k1, b1), r1) <- ranked.iterator
+      ((k2, b2), r2) <- ranked.iterator
+      if r2 > r1 && r2 - r1 <= StringSimOps.SnW
+    } yield (k1, k2, (r2 - r1).toLong, math.abs(b2 - b1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("FS linkage emits no pair outside the brand block (prune is real)") {
     // the blocked candidate plan must contain a brand equi-join, not a
     // cartesian: assert no BroadcastNestedLoopJoin over the full part^2
