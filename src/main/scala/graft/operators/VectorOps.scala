@@ -932,9 +932,14 @@ object VectorOps {
   private def rpPlane(p: Int, duck: Boolean): String = {
     // seed cast to BIGINT up front: s*s at p~1000 is ~1e10, past int32
     val s = s"CAST(${p * 97} + i AS BIGINT)"
+    // division by an EXPLICIT double: the bare literal 1000003.0 parses
+    // as DECIMAL in Spark SQL, silently routing the plane through
+    // decimal division (~1e-9 quantization) while DuckDB's
+    // list_dot_product context keeps doubles — the one-ulp-per-engine
+    // mismatch class the round-6 compare can't absorb
     xform(seqIncl("0", (Dim - 1).toString, duck), "i",
       s"(((($s * $s % 1000003) * 2654435761 + $s * 48271) % 1000003)" +
-        " / 1000003.0 - 0.5)", duck)
+        " / CAST(1000003 AS DOUBLE) - 0.5)", duck)
   }
 
   /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
