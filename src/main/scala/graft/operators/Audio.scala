@@ -279,9 +279,55 @@ object Audio {
       .groupBy("status").agg(count(lit(1)).as("n"))
   }
 
+  /** Goertzel (1958) single-bin DFT energies at RATIONAL-COSINE bins —
+    * the tone-detection filter (the DTMF trick) run where it is EXACT
+    * integer arithmetic: at bins with 2cos(w) in {1, 0, -1} (f = rate/6,
+    * rate/4, rate/3) the recurrence s_n = x_n + 2cos(w)s_{n-1} - s_{n-2}
+    * stays in int64, so the power s²_{N-1} + s²_{N-2} -
+    * 2cos(w)s_{N-1}s_{N-2} is bit-exact cross-engine with no libm
+    * trigonometry anywhere. The oracle replays it RELATIONALLY: the
+    * recurrence solution is s_n = sum_j U_{n-j} x_j with Chebyshev-U
+    * weights that are PERIODIC integers at these bins ([1,1,0,-1,-1,0],
+    * [1,0,-1,0], [1,-1,0,1,-1,0]), i.e. a CASE-weighted sum — no
+    * sequential fold in SQL. The engine side goes through the REAL WAV
+    * container: encode, decode, filter the decoded PCM. Overflow: |s| <=
+    * (2N/3)*32768 ~ 4e7 at the corpus frame cap, powers ~5e15 < 2^63.
+    *
+    * Shape at 100 TB: one codec+filter pass per blob inside
+    * mapPartitions (the mapInPandas shape), no shuffle — the output is
+    * one narrow fingerprint row per media blob.
+    */
+  /** The integer Goertzel kernel at a rational-cosine bin. */
+  private[graft] def goertzelPower(pcm: Array[Short], twoCos: Long): Long = {
+    var s1 = 0L; var s2 = 0L // s_{n-1}, s_{n-2}
+    var i = 0
+    while (i < pcm.length) {
+      val s = pcm(i).toLong + twoCos * s1 - s2
+      s2 = s1; s1 = s
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - twoCos * s1 * s2
+  }
+
+  def wavGoertzel(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (ch, rate, frames) = params(id)
+        val wav = WavCodec.encode(ch, rate,
+          Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
+        val (_, _, pcm) = WavCodec.decodeSamples(id, wav)
+        val dc = { var a = 0L; var i = 0; while (i < pcm.length) { a += pcm(i); i += 1 }; a }
+        (id, pcm.length.toLong, dc, goertzelPower(pcm, 1L),
+          goertzelPower(pcm, 0L), goertzelPower(pcm, -1L))
+      }
+    }.toDF("doc_id", "n_samples", "dc", "pow_r6", "pow_r4", "pow_r3")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir))),
     "q_audio_downsample" -> ((s, dir) => wavDownsample(s, Tables.documents(s, dir))),
+    "q_audio_goertzel" -> ((s, dir) => wavGoertzel(s, Tables.documents(s, dir))),
     "q_media_deadletter" -> ((s, dir) => wavDeadLetter(s, Tables.documents(s, dir)))
   )
 
@@ -348,6 +394,41 @@ object Audio {
       s"""SELECT CASE WHEN doc_id % $CorruptMod = 0
          |   THEN 'dead_letter' ELSE 'decoded' END AS status,
          | count(*) AS n
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the Goertzel recurrence replayed relationally: s_n = sum_j
+    // U_{n-j} x_j with periodic integer Chebyshev-U weights at the
+    // rational-cosine bins (see wavGoertzel)
+    "q_audio_goertzel" -> {
+      def cheb(m: String, w: Seq[Int]): String =
+        s"(CASE CAST(($m) % ${w.length} AS INT) " +
+          w.zipWithIndex.map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ") +
+          " ELSE 0 END)"
+      def pair(tag: String, w: Seq[Int]): String =
+        s"""CAST(sum(${cheb("n - 1 - j", w)} * x) AS BIGINT) AS ${tag}1,
+           |   CAST(sum(CASE WHEN j <= n - 2
+           |     THEN ${cheb("n - 2 - j", w)} * x ELSE 0 END) AS BIGINT) AS ${tag}2""".stripMargin
+      s"""WITH p AS (SELECT doc_id,
+         |   CAST(1 + doc_id % 2 AS INT) AS channels,
+         |   CAST(200 + (doc_id % 101) * 7 AS BIGINT) AS n_frames
+         |  FROM documents),
+         | s AS (SELECT doc_id, n_frames * channels AS n,
+         |   unnest(generate_series(0, n_frames * channels - 1)) AS j FROM p),
+         | v AS (SELECT doc_id, n, j,
+         |   (${graft.functions.PortableSql.seedLadderSql("doc_id")} + j * 1299721)
+         |     % 65536 - 32768 AS x
+         |  FROM s),
+         | g AS (SELECT doc_id, n,
+         |   CAST(sum(x) AS BIGINT) AS dc,
+         |   ${pair("a", Seq(1, 1, 0, -1, -1, 0))},
+         |   ${pair("b", Seq(1, 0, -1, 0))},
+         |   ${pair("c", Seq(1, -1, 0, 1, -1, 0))}
+         |  FROM v GROUP BY doc_id, n)
+         |SELECT doc_id, n AS n_samples, dc,
+         | a1 * a1 + a2 * a2 - a1 * a2 AS pow_r6,
+         | b1 * b1 + b2 * b2 AS pow_r4,
+         | c1 * c1 + c2 * c2 + c1 * c2 AS pow_r3
+         |FROM g""".stripMargin
+    }
   )
 }

@@ -12,6 +12,25 @@ import graft.operators.WavCodec
   */
 class WavCodecSpec extends AnyFunSuite {
 
+  test("Goertzel rational-cosine bins detect exactly their own tone") {
+    import graft.operators.Audio
+    // pure period-6 tone 1000*cos(pi*n/3): lands ON the 2cos(w)=1 bin
+    val pat6 = Array[Short](1000, 500, -500, -1000, -500, 500)
+    val tone6 = Array.tabulate[Short](600)(i => pat6(i % 6))
+    val p6 = Audio.goertzelPower(tone6, 1L)
+    val p4 = Audio.goertzelPower(tone6, 0L)
+    val p3 = Audio.goertzelPower(tone6, -1L)
+    assert(p6 > 100L * math.max(p4, p3), s"p6=$p6 p4=$p4 p3=$p3")
+    // period-4 tone 1000*cos(pi*n/2) lands on the 2cos(w)=0 bin
+    val pat4 = Array[Short](1000, 0, -1000, 0)
+    val tone4 = Array.tabulate[Short](600)(i => pat4(i % 4))
+    assert(Audio.goertzelPower(tone4, 0L) >
+      100L * Audio.goertzelPower(tone4, 1L))
+    // a constant (DC) signal excites none of the three bins strongly
+    val dc = Array.fill[Short](600)(1000)
+    assert(Audio.goertzelPower(tone6, 1L) > 100L * Audio.goertzelPower(dc, 1L))
+  }
+
   private val samples = Array[Short](100, -200, 300, -400, 32767, -32768)
 
   test("encode -> decode round-trips exact header facts and energy sums") {
