@@ -363,6 +363,89 @@ object DedupOps {
       .filter(col("jaccard") >= NgramThreshold)
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — the SECOND distributed CC
+    * algorithm beside [[clustersFromPairs]]' min-label propagation.
+    * Propagation needs O(diameter) rounds: a 1000-doc near-dup CHAIN
+    * (realistic for sequential text) is 1000 rounds. Star contraction
+    * converges in O(log^2 n) rounds on ANY topology by rewiring edges
+    * toward local minima:
+    *   - large-star: every node u points its LARGER neighbours at
+    *     min(Gamma(u) u {u});
+    *   - small-star: u and its SMALLER neighbours all point at their min.
+    * The fixpoint is a star per component centred on the component min —
+    * the same labels propagation converges to — so q_dedup_clusters'
+    * recursive-CTE oracle scores this plan verbatim (the lossless
+    * plan-swap contract), and the spec pins equality outright.
+    *
+    * Scale notes: each round is two groupBy-min aggregations + hash
+    * equi-joins over the (tiny, shrinking) edge frame; localCheckpoint
+    * per round keeps the plan O(1)-deep (the propagation loop's
+    * discipline); convergence = the canonical edge set reproducing
+    * itself, checked with one count + one anti-join count — exact, no
+    * hash-collision wobble.
+    */
+  def clustersFromPairsStars(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.cache()
+    if (p.limit(1).count() == 0L)
+      return nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // canonical orientation: u (larger) -> v (smaller), dups collapsed
+    var edges = p
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      und.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is (larger u) -> (smaller v): v IS u's smaller neighbourhood
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      e.join(m, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionAll(m.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+    var converged = false
+    var round = 0L
+    var bound = -1L // set from the first round's edge count
+    while (!converged && (bound < 0L || round <= bound)) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val n = next.count()
+      if (bound < 0L) bound = n + 2L
+      // next == edges  <=>  |next| == |edges| and next \ edges == empty;
+      // both frames are canonical (distinct, u > v)
+      converged = n == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").count() == 0L
+      edges = next
+      round += 1L
+    }
+    val centers = edges.select(col("v")).distinct()
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    val leaves = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    nodes.select(col("doc_id")).join(
+        leaves.unionAll(centers).distinct()
+          .select(col("doc_id"), col("cluster_id").as("edge_cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** [[dupClusters]] by star contraction — same pairs, same answer,
+    * different distributed algorithm.
+    */
+  def dupClustersStars(docs: DataFrame): DataFrame =
+    clustersFromPairsStars(docs.select(col("doc_id")),
+      minhashDupPairs(docs).select(col("d1"), col("d2")))
+
   /** Duplicate-cluster assignment: connected components over the minhash
     * near-dup pairs, every doc labeled with the MIN doc_id reachable
     * through dup edges (its own id when unduplicated). This is the step
@@ -653,6 +736,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans" -> ((s, dir) => dupSpanStats(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => dupClusters(Tables.documents(s, dir))),
+    "q_dedup_clusters_stars" -> ((s, dir) => dupClustersStars(Tables.documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => exactDuplicates(Tables.documents(s, dir))),
     "q_dedup_bag" -> ((s, dir) => bagDuplicates(Tables.documents(s, dir))),
     "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
@@ -941,6 +1025,9 @@ object DedupOps {
       // per doc — the unique fixpoint the Spark label-propagation loop
       // also converges to.
       "q_dedup_clusters" -> clustersSql,
+      // same oracle ON PURPOSE: star contraction is a distributed-
+      // algorithm swap over the same pair set with the same fixpoint
+      "q_dedup_clusters_stars" -> clustersSql,
 
       // incremental maintenance must EQUAL the full recompute — the same
       // transitive-closure oracle, verbatim (the q_incr_agg proof pattern);

@@ -83,6 +83,25 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("star-contraction CC equals min-label propagation on chains, cliques, isolates") {
+    val sp = SparkTestBase.spark
+    import sp.implicits._
+    // a 50-node chain (propagation's worst case), a clique, an isolated
+    // pair, and isolates with no edges at all
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val pairs = (chain ++ clique ++ Seq((200L, 201L))).toDF("d1", "d2")
+    val nodes = ((1L to 50L) ++ (100L to 104L) ++ Seq(200L, 201L, 300L, 301L))
+      .toDF("doc_id")
+    val prop = DedupOps.clustersFromPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = DedupOps.clustersFromPairsStars(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == prop)
+    assert(stars(50L) == 1L && stars(104L) == 100L && stars(300L) == 300L)
+    sp.catalog.clearCache()
+  }
+
   test("cluster propagation on an empty pair set short-circuits to self-labels") {
     import spark.implicits._
     val nodes = (1L to 4L).toDF("doc_id")
