@@ -83,6 +83,31 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("tfidf rank cut plans as WindowGroupLimit partitioned by doc") {
+    val plan = SparkEntry.queries("q_tfidf_terms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk <= k must push into WindowGroupLimit (per-partition top-k):\n$plan")
+    // the only nested-loop is the 1-row corpus-count scalar broadcast
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sorted-neighborhood ranking: the only single-partition window is the offsets frame") {
+    val df = SparkEntry.queries("q_er_sn_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the per-partition row_number runs partitioned by the range-bucket
+    // pid; the ONLY SinglePartition exchange may be the #partitions-row
+    // count/offset window
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"data-sized single-partition stage leaked in:\n$plan")
+    assert("Exchange hashpartitioning\\(pid".r.findFirstIn(plan).isDefined,
+      s"local ranks must window by range-partition id:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("corpus audits never plan a cartesian or nested-loop join") {
     import graft.operators.CorpusOps
     for (df <- Seq(CorpusOps.boilerplate(Tables.documents(spark, dir)),
