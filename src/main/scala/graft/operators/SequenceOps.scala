@@ -282,7 +282,59 @@ object SequenceOps {
     dau.join(wau, "day")
   }
 
+  /** Peak concurrency — the classic interval sweep-line: build 30-min-gap
+    * user sessions (the q_sessionize rule), drop a +1 at each session
+    * start and a -1 just after its end, and the running sum of net
+    * deltas over time IS the number of concurrently-active sessions; the
+    * answer is its maximum and the earliest instant achieving it (the
+    * "peak concurrent users" capacity metric). Deltas are pre-aggregated
+    * per timestamp, so tie-ordering inside an instant never matters.
+    *
+    * The sweep needs a GLOBAL ordered cumsum — the single-partition
+    * scale-killer — so it runs as the bucket two-pass (the
+    * q_sample_budget / q_skyline decomposition): hourly-bucketed local
+    * running sums, bucket offsets from the bucket-count frame (rows =
+    * #buckets, not data), one broadcast join back. Output is one row.
+    */
+  def maxOverlap(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tms")).as("s"), max(col("tms")).as("e"))
+      .cache()
+    val net = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("net"))
+      .withColumn("bk", expr("t DIV 3600000"))
+    val bw = Window.partitionBy(col("bk")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = net.withColumn("run", sum(col("net")).over(bw))
+    val offW = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = net.groupBy(col("bk")).agg(sum(col("net")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(offW), lit(0L)))
+      .select(col("bk"), col("off"))
+    val conc = local.join(broadcast(off), "bk")
+      .select(col("t"), (col("run") + col("off")).as("conc"))
+    conc
+      .crossJoin(broadcast(conc.agg(max(col("conc")).as("peak"))))
+      .filter(col("conc") === col("peak"))
+      .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))
+      .groupBy(col("n_sessions"), col("peak"))
+      .agg(min(col("t")).as("peak_at_ms"))
+      .select(col("n_sessions"), col("peak"), col("peak_at_ms"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_max_overlap" -> ((s, dir) => maxOverlap(Tables.events(s, dir))),
     "q_dau_wau" -> ((s, dir) => dauWau(Tables.events(s, dir))),
     "q_velocity_flags" -> ((s, dir) => velocityFlags(Tables.events(s, dir))),
     "q_hopping_window" -> ((s, dir) => hoppingRevenue(Tables.events(s, dir))),
@@ -308,6 +360,29 @@ object SequenceOps {
       |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the sweep replayed with one plain global window (DuckDB at sf0.01
+    // — no scale constraint); the ENGINE is what must avoid it
+    "q_max_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        | g AS (SELECT user_id, event_id, tms,
+        |   CASE WHEN lag(tms) OVER w IS NULL
+        |     OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        | sids AS (SELECT user_id, tms,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+        | sess AS (SELECT user_id, session_id, min(tms) AS s, max(tms) AS e
+        |  FROM sids GROUP BY 1, 2),
+        | net AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM (
+        |   SELECT s AS t, 1 AS d FROM sess
+        |   UNION ALL SELECT e + 1 AS t, -1 AS d FROM sess) z GROUP BY t),
+        | conc AS (SELECT t, sum(net) OVER (ORDER BY t
+        |   ROWS UNBOUNDED PRECEDING) AS conc FROM net)
+        |SELECT (SELECT count(*) FROM sess) AS n_sessions,
+        | CAST(max(conc) AS BIGINT) AS peak,
+        | CAST(min(t) FILTER (WHERE conc = (SELECT max(conc) FROM conc))
+        |   AS BIGINT) AS peak_at_ms
+        |FROM conc""".stripMargin,
     "q_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -10,6 +10,31 @@ class SequenceOpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private lazy val events = Tables.events(spark, dir)
 
+  test("bucketed sweep-line peak concurrency equals a naive driver sweep") {
+    val row = SequenceOps.maxOverlap(events).collect().head
+    val (nSess, peak, peakAt) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // naive recomputation: driver-side sessionize + sweep
+    val evs = events.selectExpr("user_id", "event_id", "unix_millis(ts) AS tms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { us =>
+      val sorted = us.sortBy(e => (e._3, e._2))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((_, _, t) <- sorted) {
+        if (bounds.nonEmpty && t - bounds.last._2 <= 1800000L)
+          bounds(bounds.length - 1) = (bounds.last._1, t)
+        else bounds += ((t, t))
+      }
+      bounds
+    }.toSeq
+    assert(nSess == sessions.length)
+    val net = sessions.flatMap { case (s, e) => Seq(s -> 1L, (e + 1) -> -1L) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var run = 0L; var best = Long.MinValue; var bestAt = 0L
+    for ((t, d) <- net) { run += d; if (run > best) { best = run; bestAt = t } }
+    assert(peak == best && peakAt == bestAt, s"got ($peak,$peakAt) want ($best,$bestAt)")
+    spark.catalog.clearCache()
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     val rows = SequenceOps.funnel(events).orderBy("stage").collect()
     assert(rows.length == 3)
