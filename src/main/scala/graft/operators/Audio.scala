@@ -262,19 +262,23 @@ object Audio {
     * The decoder's loud `require`s become per-row catch + status; the
     * oracle reproduces the split arithmetically.
     */
+  /** Decode verdict for one blob (the per-row kernel shared by the batch
+    * dead-letter audit and its streaming twin): generate, corrupt every
+    * [[CorruptMod]]-th, decode through the real parser, catch loudly.
+    */
+  private[graft] def decodeStatus(id: Long): String = {
+    val (ch, rate, frames) = params(id)
+    val wav = WavCodec.encode(ch, rate,
+      Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
+    val bytes = if (id % CorruptMod == 0) wav.take(20) else wav
+    try { WavCodec.decode(id, bytes); "decoded" }
+    catch { case _: IllegalArgumentException => "dead_letter" }
+  }
+
   def wavDeadLetter(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val (ch, rate, frames) = params(id)
-        val wav = WavCodec.encode(ch, rate,
-          Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
-        val bytes = if (id % CorruptMod == 0) wav.take(20) else wav
-        val ok =
-          try { WavCodec.decode(id, bytes); true }
-          catch { case _: IllegalArgumentException => false }
-        (id, if (ok) "decoded" else "dead_letter")
-      }
+      ids.map(id => (id, decodeStatus(id)))
     }.toDF("doc_id", "status")
       .groupBy("status").agg(count(lit(1)).as("n"))
   }

@@ -668,6 +668,41 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** Streaming twin of q_media_deadletter — the media family's arrival
+    * loop: blobs stream in, each is decoded through the REAL WAV parser
+    * per micro-batch (the per-row codec kernel shared with the batch
+    * audit, so verdicts are identical by construction), and only the
+    * 2-row status histogram accumulates in complete mode. The U4
+    * error-branch contract holds under streaming: corrupt blobs are
+    * counted and labelled, never crash the task or poison the query.
+    * Oracle = the batch dead-letter SQL (full-replay equivalence).
+    */
+  def streamMediaAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val landing = ensureJsonFixture(fixtureDir("mediaaudit", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType)))).json(landing)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Audio.decodeStatus(id)))
+        .toDF("doc_id", "status")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("status", StringType), StructField("n", LongType))))
+      .parquet(s"$tmp/out")
+  }
+
   private val driftSchema = StructType(Seq(
     StructField("us", LongType),
     StructField("amount", DoubleType)))
@@ -1776,6 +1811,7 @@ object StreamQueries {
     "q_stream_full_join" -> ((s, dir) => streamFullJoin(s, dir)),
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
+    "q_stream_media_audit" -> ((s, dir) => streamMediaAudit(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -1947,6 +1983,9 @@ object StreamQueries {
     // The streaming == batch invariant made literal: complete-mode digit
     // counts scored through the same arithmetic as the batch audit.
     "q_stream_benford" -> graft.operators.FinanceOps.oracleSql("q_benford"),
+    // full-replay equivalence: the stream's final snapshot IS the batch
+    // dead-letter histogram
+    "q_stream_media_audit" -> graft.operators.Audio.oracleSql("q_media_deadletter"),
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // Streamed bucket counts over a full corpus replay must equal the

@@ -30,6 +30,19 @@ class PropertySpec extends AnyFunSuite {
     ds <- Gen.listOfN(n, Gen.numChar)
   } yield ds.mkString
 
+  test("Goertzel power is a PSD quadratic form: non-negative for every signal") {
+    // power = s1² + s2² - 2c·s1·s2 with |2c| <= 2 is positive
+    // semi-definite, so NO pcm input may produce a negative energy
+    val pcms: Gen[Array[Short]] = for {
+      n <- Gen.choose(0, 64)
+      xs <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    } yield xs.map(_.toShort).toArray
+    forAll(pcms) { pcm =>
+      for (twoCos <- Seq(-1L, 0L, 1L))
+        assert(graft.operators.Audio.goertzelPower(pcm, twoCos) >= 0L)
+    }
+  }
+
   test("FPE: decrypt∘encrypt = id, format preserved, for all digit strings") {
     forAll(digitStrings) { d =>
       val t = Fpe.encrypt(key, d)
