@@ -929,7 +929,7 @@ object VectorOps {
     * QUADRATICALLY (s*s mod M) before the multiplier, breaking the
     * translate structure; all intermediates stay under 2^63.
     */
-  private def rpPlane(p: Int, duck: Boolean): String = {
+  private[graft] def rpPlane(p: Int, duck: Boolean): String = {
     // seed cast to BIGINT up front: s*s at p~1000 is ~1e10, past int32
     val s = s"CAST(${p * 97} + i AS BIGINT)"
     // division by an EXPLICIT double: the bare literal 1000003.0 parses
@@ -962,23 +962,38 @@ object VectorOps {
     * scale the same audit runs on any pair sample (e.g. the LSH
     * candidate pairs) without changing shape.
     */
+  /** [[rpPlane]] CONSTANT-FOLDED driver-side: the plane is per-QUERY
+    * constant, but the symbolic form re-evaluates its 64-element
+    * quadratic-mod transform per ROW per side inside interpreted
+    * higher-order functions (~10 task-cpu-s at sf0.1 for what is a
+    * constant). Integer ops are exact and the final /M - 0.5 is one
+    * IEEE double op, so these literals equal the oracle's symbolic
+    * values bit-for-bit (spec-pinned).
+    */
+  private[graft] def rpPlaneConst(p: Int): Array[Double] = Array.tabulate(Dim) { i =>
+    val s0 = p.toLong * 97 + i
+    (((s0 * s0 % 1000003L) * 2654435761L + s0 * 48271L) % 1000003L) / 1000003.0 - 0.5
+  }
+
   def rpDistortion(emb: DataFrame): DataFrame = {
-    val e = normalized(emb, withLabel = false).cache()
-    val yArr = (0 until RpDim)
-      .map(j => dot("vn", rpPlane(RpPlaneOffset + j, duck = false), duck = false))
-      .mkString("array(", ", ", ")")
-    val proj = e.select(col("vec_id"), col("vn"), expr(yArr).as("y"))
+    val e = normalized(emb, withLabel = false)
+    // literal planes + the native dot kernel (same fold order as the
+    // SQL form); ONE cached projection feeds both join sides
+    val yCols = (0 until RpDim).map(j =>
+      dotCol(col("vn"), typedLit(rpPlaneConst(RpPlaneOffset + j))))
+    val proj = e.select(col("vec_id"), col("vn"), array(yCols: _*).as("y")).cache()
     val a = proj.select(col("vec_id").as("v1"), col("vn").as("vn1"), col("y").as("y1"))
     val b = proj.select((col("vec_id") - 1).as("v1"), col("vec_id").as("v2"),
       col("vn").as("vn2"), col("y").as("y2"))
     a.join(b, "v1")
       // degenerate projections (zero y) would divide by zero in the
       // reduced-space cosine; both dialects drop them identically
-      .filter(expr(s"${dot("y1", "y1", duck = false)} > 0") &&
-        expr(s"${dot("y2", "y2", duck = false)} > 0"))
+      .filter(dotCol(col("y1"), col("y1")) > 0 && dotCol(col("y2"), col("y2")) > 0)
       .select(col("v1"), col("v2"),
-        expr(s"round(${dot("vn1", "vn2", duck = false)}, 6)").as("cos_full"),
-        expr(cosineExpr("y1", "y2", duck = false)).as("cos_rp"))
+        round(dotCol(col("vn1"), col("vn2")), 6).as("cos_full"),
+        round(dotCol(col("y1"), col("y2")) /
+          (sqrt(dotCol(col("y1"), col("y1"))) * sqrt(dotCol(col("y2"), col("y2")))), 6)
+          .as("cos_rp"))
       .withColumn("err_micro",
         expr("CAST(round((cos_rp - cos_full) * 1000000.0) AS BIGINT)"))
   }

@@ -12,6 +12,21 @@ class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("literal RP planes equal the symbolic oracle planes bit-for-bit") {
+    (0 until VectorOps.RpDim).foreach { j =>
+      val p = VectorOps.RpPlaneOffset + j
+      val sym = spark.range(1)
+        .select(expr(VectorOps.rpPlane(p, duck = false)).as("pl"))
+        .collect()(0).getSeq[Double](0)
+      val const = VectorOps.rpPlaneConst(p)
+      assert(sym.length == const.length)
+      sym.zip(const).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"plane $p elem $i: $a vs $b")
+      }
+    }
+  }
+
   test("rp distortion audit: cosines bounded, err column consistent, JL holds") {
     val rows = VectorOps.rpDistortion(Tables.embeddings(spark, dir)).collect()
     assert(rows.nonEmpty)
