@@ -322,8 +322,11 @@ object SequenceOps {
     val off = net.groupBy(col("bk")).agg(sum(col("net")).as("bsum"))
       .withColumn("off", coalesce(sum(col("bsum")).over(offW), lit(0L)))
       .select(col("bk"), col("off"))
+    // conc feeds its own max (the scalar crossJoin) AND the peak filter;
+    // cached so the sweep derivation runs once (lifecycle caller-owned)
     val conc = local.join(broadcast(off), "bk")
       .select(col("t"), (col("run") + col("off")).as("conc"))
+      .cache()
     conc
       .crossJoin(broadcast(conc.agg(max(col("conc")).as("peak"))))
       .filter(col("conc") === col("peak"))
