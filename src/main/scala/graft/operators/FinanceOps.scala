@@ -106,12 +106,86 @@ object FinanceOps {
         abs(col("observed_ppm") - col("expected_ppm")).as("deviation_ppm"))
   }
 
+  /** EWMA packing/threshold constants: the packed accumulator keeps
+    * (smoothed level + 1) in the high bits and the running flag count in
+    * the low [[EwmaFlagBits]] bits; 0 is the empty sentinel. Domain
+    * check: cents < 2^17 here, level+1 < 2^18, so the pack stays under
+    * 2^42; the flag count is bounded by the per-key history length.
+    */
+  val EwmaFlagBits = 24
+  val EwmaPack = 1L << EwmaFlagBits // 16777216
+  val EwmaJumpCents = 20000L        // |x - level| > $200 flags
+
+  /** Integer exponential smoothing with jump flags — the classic EWMA
+    * anomaly monitor (alpha = 1/2, so the update is the exact integer
+    * fold e' = (e + x) DIV 2 — no float decay anywhere): per user, walk
+    * the event sequence in arrival (event_id) order, flag every value
+    * jumping more than [[EwmaJumpCents]] off the current smoothed level,
+    * and report the final level + flag count. Sequential-by-nature state
+    * runs as ONE portable fold: the (event_id, cents) pair packs into a
+    * single BIGINT (id * 2^17 + cents), sort_array orders the sequence,
+    * and the fold carries (level, flags) packed into one accumulator —
+    * the q_text_fingerprint rolling-fold pattern with struct state. Per
+    * user the state is O(1) and users parallelize independently; only
+    * each user's own history must fit an executor (the sessionize
+    * caveat).
+    */
+  def ewmaFlags(events: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.{idiv, reduceLong, xform}
+    def step(duck: Boolean): String = {
+      val e = s"(${idiv("acc", EwmaPack.toString, duck)} - 1)"
+      s"""CASE WHEN acc = 0 THEN (c + 1) * $EwmaPack
+         | ELSE (${idiv(s"($e + c)", "2", duck)} + 1) * $EwmaPack
+         |   + (acc % $EwmaPack)
+         |   + (CASE WHEN abs(c - $e) > $EwmaJumpCents THEN 1 ELSE 0 END)
+         | END""".stripMargin
+    }
+    val packed = events.select(col("user_id"),
+      (col("event_id") * lit(131072L) +
+        expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+    packed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("v"))).as("arr"))
+      .withColumn("cents", expr(xform("arr", "v", "v % 131072", duck = false)))
+      .withColumn("folded",
+        expr(reduceLong("cents", "acc", "c", step(duck = false), duck = false)))
+      .select(col("user_id"), col("n_events"),
+        expr(s"folded DIV $EwmaPack - 1").as("ewma_cents"),
+        expr(s"folded % $EwmaPack").as("n_flags"))
+  }
+
+  /** Oracle twin of [[ewmaFlags]] (DuckDB dialect of the same fold). */
+  private def ewmaFlagsSql: String = {
+    import graft.functions.PortableSql.{idiv, reduceLong, xform}
+    val e = s"(${idiv("acc", EwmaPack.toString, duck = true)} - 1)"
+    val step =
+      s"""CASE WHEN acc = 0 THEN (c + 1) * $EwmaPack
+         | ELSE (${idiv(s"($e + c)", "2", duck = true)} + 1) * $EwmaPack
+         |   + (acc % $EwmaPack)
+         |   + (CASE WHEN abs(c - $e) > $EwmaJumpCents THEN 1 ELSE 0 END)
+         | END""".stripMargin
+    s"""WITH p AS (SELECT user_id,
+       |   event_id * 131072 + CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       | g AS (SELECT user_id, count(*) AS n_events,
+       |   list_sort(list(v)) AS arr FROM p GROUP BY user_id),
+       | f AS (SELECT user_id, n_events,
+       |   ${reduceLong(xform("arr", "v", "v % 131072", duck = true),
+            "acc", "c", step, duck = true)} AS folded FROM g)
+       |SELECT user_id, n_events,
+       | folded // $EwmaPack - 1 AS ewma_cents,
+       | folded % $EwmaPack AS n_flags
+       |FROM f""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_flags" -> ((s, dir) => ewmaFlags(Tables.events(s, dir))),
     "q_ohlc_bars" -> ((s, dir) => ohlcBars(Tables.events(s, dir))),
     "q_running_balance" -> ((s, dir) => runningBalance(Tables.events(s, dir))),
     "q_benford" -> ((s, dir) => benfordAudit(Tables.events(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_ewma_flags" -> ewmaFlagsSql,
     "q_ohlc_bars" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
         |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -22,6 +22,20 @@ class FinanceOpsSpec extends AnyFunSuite {
       .withColumn("props", lit("{}"))
   }
 
+  test("integer EWMA fold: known sequence, flags only on real jumps") {
+    // user 1: 100.00, 100.00, 400.00 (jump > $200 off level 10000), 400.00
+    // levels: 10000 -> (10000+10000)/2=10000 -> (10000+40000)/2=25000 -> 32500
+    val rows = FinanceOps.ewmaFlags(ev(Seq(
+      (1L, 10L, 1L, "purchase", 100.00),
+      (2L, 20L, 1L, "purchase", 100.00),
+      (3L, 30L, 1L, "purchase", 400.00),
+      (4L, 40L, 1L, "purchase", 400.00),
+      (10L, 50L, 2L, "purchase", 50.00)))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((4L, 32500L, 1L)))
+    assert(rows(2L) == ((1L, 5000L, 0L))) // single event: level = itself, no flag
+  }
+
   test("ohlc open/close break timestamp ties by event_id") {
     val day = 86400000000L
     // Two trades at the identical microsecond on both ends of the day:
