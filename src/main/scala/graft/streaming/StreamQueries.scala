@@ -33,6 +33,11 @@ case class ClickSt(click_id: Long)
   */
 case class VelSt(ts: Seq[Long])
 
+/** q_stream_ewma wire row, keyed EWMA state, and per-batch snapshot. */
+case class EwmaEvt(user_id: Long, event_id: Long, value: Double)
+case class EwmaSt(level: Long, flags: Long, n: Long)
+case class EwmaSnap(user_id: Long, n_events: Long, ewma_cents: Long, n_flags: Long)
+
 /** Burst trigger emitted as the qualifying event arrives. */
 case class VelHit(user_id: Long, t: Long)
 
@@ -1409,6 +1414,53 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_bursts"), min(col("t")).as("first_burst_us"))
   }
 
+  /** Streaming twin of q_ewma_flags — exponential smoothing as KEYED
+    * STATE: each user's state is exactly (level, flag count, events
+    * seen) — three longs, O(1) however long the stream runs — updated by
+    * the same integer fold as the batch operator (e' = (e + x) DIV 2,
+    * flag on |x - e| > jump). Events replay from an event_id-ordered
+    * fixture and fold in event_id order within each batch, so the state
+    * walk IS the batch fold; every batch snapshots the running triple
+    * and the readback keeps each user's latest (max events-seen)
+    * snapshot. The batch list_reduce oracle scores the result verbatim.
+    */
+  def streamEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val jump = graft.operators.FinanceOps.EwmaJumpCents
+    val landing = ensureJsonFixture(fixtureDir("ewma", dir, "events"),
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .repartition(1).sortWithinPartitions(col("event_id")))
+    val inSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    runAppendStream(s, landing, inSchema,
+      org.apache.spark.sql.Encoders.product[EwmaSnap].schema) { src =>
+      src.as[EwmaEvt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[EwmaEvt], state: GroupState[EwmaSt]) =>
+            val evs = it.toArray.sortBy(_.event_id)
+            var st = state.getOption.getOrElse(EwmaSt(-1L, 0L, 0L))
+            evs.foreach { e =>
+              val c = math.round(e.value * 100)
+              st =
+                if (st.n == 0L) EwmaSt(c, 0L, 1L)
+                else EwmaSt((st.level + c) / 2,
+                  st.flags + (if (math.abs(c - st.level) > jump) 1L else 0L),
+                  st.n + 1L)
+            }
+            state.update(st)
+            Iterator.single(EwmaSnap(uid, st.n, st.level, st.flags))
+        }
+    }.groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("ewma_cents"), col("n_flags")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.ewma_cents").as("ewma_cents"), col("f.n_flags").as("n_flags"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming SCD2 build: close the open interval when a version arrives
   // ---------------------------------------------------------------------
@@ -1812,6 +1864,7 @@ object StreamQueries {
     "q_stream_ohlc" -> ((s, dir) => streamOhlc(s, dir)),
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
     "q_stream_media_audit" -> ((s, dir) => streamMediaAudit(s, dir)),
+    "q_stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -1986,6 +2039,9 @@ object StreamQueries {
     // full-replay equivalence: the stream's final snapshot IS the batch
     // dead-letter histogram
     "q_stream_media_audit" -> graft.operators.Audio.oracleSql("q_media_deadletter"),
+    // keyed-state fold == the batch sequential fold (same integer step,
+    // same event_id order), so the batch oracle scores the snapshot
+    "q_stream_ewma" -> graft.operators.FinanceOps.oracleSql("q_ewma_flags"),
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // Streamed bucket counts over a full corpus replay must equal the
