@@ -210,6 +210,48 @@ object SequenceOps {
           .as("p50x2_lag_us"))
   }
 
+  /** Positive-numerator offset for the Theil-Sen slope division — the
+    * PQ codebook floor-division-alignment trick: Spark's DIV truncates
+    * toward zero while DuckDB's // floors, so negative slopes would
+    * round differently; adding dwk*OFF makes every numerator positive
+    * (where truncate == floor in both engines) and subtracting OFF
+    * restores the value exactly.
+    */
+  val TheilSenOff = 10000000000000L // 1e13 >> |dy| * 1e6 / dwk
+
+  /** Theil-Sen robust trend per event type (Theil 1950 / Sen 1968) — the
+    * median of all pairwise slopes over the weekly count series, the
+    * outlier-proof alternative to least squares (one wild week moves an
+    * OLS slope arbitrarily; it moves this one not at all until half the
+    * pairs are wild). Slopes are exact integer micro-units per week
+    * (floor division aligned across engines via [[TheilSenOff]]), and
+    * the median is the engine-wide DOUBLED median — the sum of the two
+    * central order statistics, division-free (the q_conversion_lag
+    * rationale). Shape: the weekly series is |types| x |weeks| (tiny),
+    * pair generation is a type-keyed equi self-join, and the median
+    * window partitions BY TYPE — groups parallelize, nothing global.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val wk = events.groupBy(col("event_type"),
+        expr("unix_millis(ts) DIV 604800000").as("wk"))
+      .agg(count(lit(1)).as("y")).cache()
+    val pairs = wk.as("a").join(wk.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.wk") < col("b.wk"))
+      .select(col("a.event_type").as("event_type"),
+        expr(s"((b.y - a.y) * 1000000 + (b.wk - a.wk) * ${TheilSenOff}L)" +
+          s" DIV (b.wk - a.wk) - ${TheilSenOff}L").as("slope_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+    val cw = Window.partitionBy(col("event_type"))
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_pairs"),
+        (sum(when(col("rn") === expr("(n + 1) DIV 2"), col("slope_micro"))
+            .otherwise(0L)) +
+          sum(when(col("rn") === expr("(n + 2) DIV 2"), col("slope_micro"))
+            .otherwise(0L))).as("slope2_micro"))
+  }
+
   /** Path mining: counts of the event-type trigrams users actually walk
     * (the "what do people do before purchasing" view). Two leads over
     * the per-user (t, event_id) window — one shuffle — then a global
@@ -342,6 +384,7 @@ object SequenceOps {
     "q_velocity_flags" -> ((s, dir) => velocityFlags(Tables.events(s, dir))),
     "q_hopping_window" -> ((s, dir) => hoppingRevenue(Tables.events(s, dir))),
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
+    "q_theilsen_trend" -> ((s, dir) => theilSenTrend(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
@@ -363,6 +406,23 @@ object SequenceOps {
       |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_theilsen_trend" ->
+      s"""WITH wk AS (SELECT event_type, epoch_ms(ts) // 604800000 AS wk,
+         |   count(*) AS y FROM events GROUP BY 1, 2),
+         | p AS (SELECT a.event_type,
+         |   ((b.y - a.y) * 1000000 + (b.wk - a.wk) * $TheilSenOff)
+         |     // (b.wk - a.wk) - $TheilSenOff AS slope_micro
+         |  FROM wk a JOIN wk b
+         |    ON a.event_type = b.event_type AND a.wk < b.wk),
+         | r AS (SELECT event_type, slope_micro,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY slope_micro) AS rn,
+         |   count(*) OVER (PARTITION BY event_type) AS n FROM p)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+         | CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN slope_micro ELSE 0 END)
+         |  + sum(CASE WHEN rn = (n + 2) // 2 THEN slope_micro ELSE 0 END)
+         |  AS BIGINT) AS slope2_micro
+         |FROM r GROUP BY event_type""".stripMargin,
+
     // the sweep replayed with one plain global window (DuckDB at sf0.01
     // — no scale constraint); the ENGINE is what must avoid it
     "q_max_overlap" ->

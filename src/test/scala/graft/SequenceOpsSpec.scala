@@ -10,6 +10,33 @@ class SequenceOpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private lazy val events = Tables.events(spark, dir)
 
+  test("Theil-Sen slope ignores a wild outlier week (robustness property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // weekly counts 1,2,3,4 then an outlier week of 100: all six
+    // clean-pair slopes are exactly 1/week; the four outlier pairs are
+    // huge; the doubled median must still read 2 * 1e6 micro/week
+    val wkUs = 604800000000L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var id = 0L
+    for ((wk, n) <- Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 100)); _ <- 1 to n) {
+      id += 1
+      rows += Row(id, wk * wkUs + id, 1L, "trend", 1.0)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = SequenceOps.theilSenTrend(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 10L)       // C(5,2) pairs
+    assert(out(0).getLong(2) == 2000000L)  // doubled median = 2 x 1e6
+    spark.catalog.clearCache()
+  }
+
   test("bucketed sweep-line peak concurrency equals a naive driver sweep") {
     val row = SequenceOps.maxOverlap(events).collect().head
     val (nSess, peak, peakAt) = (row.getLong(0), row.getLong(1), row.getLong(2))
