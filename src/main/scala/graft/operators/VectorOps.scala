@@ -911,6 +911,51 @@ object VectorOps {
         expr(s"CAST(pos % $Dim AS BIGINT)").as("j"), col("gram_micro2"))
   }
 
+  /** DBSCAN core threshold: a point with >= this many graph neighbours
+    * is a core point.
+    */
+  val DbscanMinPts = 3
+
+  /** DBSCAN (Ester et al., KDD'96) over the LSH neighbour graph — true
+    * density-based clustering, the missing shape between IVF/k-means
+    * (fixed K, convex cells) and SemDeDup (per-cell dedup): clusters of
+    * ANY shape emerge from density, outliers become first-class noise.
+    * The eps-neighbourhood is the verified SRP-LSH pair set (cosine >=
+    * AnnMinCosine over banded candidates — never all-pairs, the
+    * q_emb_ann_pairs graph), so the neighbour search scales exactly like
+    * the pair mining it reuses. Core points have >= [[DbscanMinPts]]
+    * neighbours; clusters are connected components of the core-core
+    * subgraph (the shared min-label propagation — same O(diameter)
+    * rounds, localCheckpointed); border points attach to their minimum
+    * core-neighbour cluster (a deterministic tie-break); everything else
+    * is noise. Output: every vector labelled core/border/noise with its
+    * cluster id (-1 for noise).
+    */
+  def dbscan(emb: DataFrame): DataFrame = {
+    val pairs = annPairs(emb).select(col("v1"), col("v2")).cache()
+    val und = pairs.unionAll(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+    val core = und.groupBy(col("v1").as("vec_id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DbscanMinPts).select(col("vec_id")).cache()
+    val corePairs = pairs
+      .join(core.select(col("vec_id").as("v1")), "v1")
+      .join(core.select(col("vec_id").as("v2")), "v2")
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val coreLabels = graft.operators.DedupOps.clustersFromPairs(
+        core.select(col("vec_id").as("doc_id")), corePairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val borderLab = und
+      .join(coreLabels.select(col("vec_id").as("v2"), col("cluster_id")), "v2")
+      .groupBy(col("v1").as("vec_id")).agg(min(col("cluster_id")).as("bc"))
+    emb.select(col("vec_id"))
+      .join(coreLabels.withColumnRenamed("cluster_id", "cc"), Seq("vec_id"), "left")
+      .join(borderLab, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("cc").isNotNull, lit("core"))
+          .when(col("bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cc"), col("bc"), lit(-1L)).as("cluster_id"))
+  }
+
   /** JL reduced dimension, and the plane-seed offset that keeps the RP
     * plane family disjoint from the SRP-LSH planes (those use seed
     * indices 0..NTables*BitsPerTable-1).
@@ -1008,6 +1053,7 @@ object VectorOps {
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
+    "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
@@ -1282,6 +1328,45 @@ object VectorOps {
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $AnnMinCosine""".stripMargin,
+
+      // the LSH pair set replayed, then DBSCAN relationally: degree ->
+      // core flags -> recursive-CTE components over core-core edges ->
+      // min-cluster border attachment -> full-corpus role/label rollup
+      "q_emb_dbscan" ->
+        s"""WITH RECURSIVE $normCte,
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS ($unionAll),
+           | p AS (SELECT DISTINCT v1, v2 FROM (
+           |   SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
+           |    AND a.vec_id < b.vec_id) q0
+           |  WHERE cosine >= $AnnMinCosine),
+           | u AS (SELECT v1, v2 FROM p UNION ALL SELECT v2 AS v1, v1 AS v2 FROM p),
+           | core AS (SELECT v1 AS vec_id FROM u GROUP BY v1
+           |   HAVING count(*) >= $DbscanMinPts),
+           | ce AS (SELECT v1 AS d1, v2 AS d2 FROM p
+           |   WHERE v1 IN (SELECT vec_id FROM core)
+           |     AND v2 IN (SELECT vec_id FROM core)),
+           | e2 AS (SELECT d1, d2 FROM ce UNION ALL SELECT d2 AS d1, d1 AS d2 FROM ce),
+           | reach(a, b) AS (
+           |   SELECT vec_id AS a, vec_id AS b FROM core
+           |   UNION
+           |   SELECT r.a, e2.d2 AS b FROM reach r JOIN e2 ON r.b = e2.d1),
+           | lab AS (SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cc
+           |  FROM reach GROUP BY a),
+           | bord AS (SELECT u.v1 AS vec_id, CAST(min(l.cc) AS BIGINT) AS bc
+           |  FROM u JOIN lab l ON u.v2 = l.vec_id GROUP BY u.v1)
+           |SELECT em.vec_id,
+           | CASE WHEN l.vec_id IS NOT NULL THEN 'core'
+           |      WHEN b.vec_id IS NOT NULL THEN 'border'
+           |      ELSE 'noise' END AS role,
+           | coalesce(l.cc, b.bc, -1) AS cluster_id
+           |FROM embeddings em
+           | LEFT JOIN lab l ON em.vec_id = l.vec_id
+           | LEFT JOIN bord b ON em.vec_id = b.vec_id""".stripMargin,
 
       "q_emb_dedup_drops" ->
         s"""WITH $normCte,

@@ -12,6 +12,25 @@ class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("dbscan roles are consistent: noise<->-1, border attaches to core clusters") {
+    val rows = VectorOps.dbscan(Tables.embeddings(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byRole = rows.groupBy(_._2)
+    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+    rows.foreach { case (_, role, c) =>
+      if (role == "noise") assert(c == -1L) else assert(c >= 0L)
+    }
+    val coreClusters = byRole.getOrElse("core", Array.empty).map(_._3).toSet
+    // a cluster id is the min core member's vec_id — itself a core row
+    val coreIds = byRole.getOrElse("core", Array.empty).map(_._1).toSet
+    assert(coreClusters.subsetOf(coreIds))
+    byRole.getOrElse("border", Array.empty).foreach { case (_, _, c) =>
+      assert(coreClusters.contains(c))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("literal RP planes equal the symbolic oracle planes bit-for-bit") {
     (0 until VectorOps.RpDim).foreach { j =>
       val p = VectorOps.RpPlaneOffset + j
