@@ -54,7 +54,54 @@ object Analytics {
       "lpad(CAST(CAST(floor((time_id % 3600) / 60) AS INT) AS STRING), 2, '0') || ':' || " +
       "lpad(CAST(CAST(time_id % 60 AS INT) AS STRING), 2, '0')) AS time_str")
 
+  /** TPC-H Q3/Q5 adapted to this schema, as ONE SQL text shared verbatim
+    * by `spark.sql` and the DuckDB oracle — the `spark.sql(...)` entry
+    * point (SURVEY §1.4) exercised by real multi-join benchmark queries
+    * rather than the DataFrame DSL the rest of the registry uses.
+    * Catalyst plans these exactly like their DSL twins (same join
+    * reorder, same broadcasts — the declarative-plan point). Revenue is
+    * per-row integer cents (round(extprice * (1-disc) * 100) — identical
+    * IEEE arithmetic text in both engines) so the sums are exact.
+    */
+  private val tpchQ3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_cents DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val tpchQ5Sql =
+    """SELECT n_name,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  private def withTpchViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> ((s, dir) => withTpchViews(s, dir)(tpchQ3Sql)),
+    "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
 
     // wide->tall reshaping via the native unpivot (melt) operator — a
     // generator, not a 3-way self-join; the oracle rebuilds the tall
@@ -468,6 +515,9 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the SAME text spark.sql ran — the whole point of the entry
+    "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q5" -> tpchQ5Sql,
     "q_projection_filter" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0""",
 

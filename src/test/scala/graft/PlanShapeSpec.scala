@@ -108,6 +108,17 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("TPC-H Q5 via spark.sql plans as hash joins with broadcast dims, no cartesian") {
+    val plan = SparkEntry.queries("q_tpch_q5")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the comma-join text must still reach the scan as pushed filters
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"r_name filter must push to the region scan:\n$plan")
+  }
+
   test("corpus audits never plan a cartesian or nested-loop join") {
     import graft.operators.CorpusOps
     for (df <- Seq(CorpusOps.boilerplate(Tables.documents(spark, dir)),
