@@ -258,6 +258,46 @@ object StringSimOps {
         when(col("score") >= FsMatchMin, lit("match")).otherwise(lit("possible")))
       .select(col("k1"), col("k2"), col("jw_micro"), col("score"), col("cls"))
 
+  /** Linkage-quality evaluation of the FS classifier — the
+    * precision/recall audit an MDM team runs before trusting a weight
+    * set: every brand-blocked size-banded candidate (NO score filter —
+    * negatives count here) is labelled with the classifier decision
+    * (score >= 0) and a GOLD standard (exact name equality — the one
+    * label this synthetic dimension can assert), then folded into one
+    * confusion-matrix row with precision/recall in exact ppm (integer
+    * division; -1 when undefined). The shape is the FS candidate join +
+    * one aggregate; evaluation never leaves the executors.
+    */
+  def fsEval(part: DataFrame): DataFrame = {
+    val a = part.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("p_brand").as("brand"), col("p_type").as("t1"), col("p_size").as("s1"))
+    val b = part.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("p_brand").as("brand"), col("p_type").as("t2"), col("p_size").as("s2"))
+    val cand = a.join(b, Seq("brand"))
+      .filter(col("k1") < col("k2") &&
+        abs(col("s1") - col("s2")) <= FsSizeBand)
+      .withColumn("jw_micro",
+        floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+      .withColumn("score",
+        when(col("jw_micro") >= FsJwStrong, FsNameStrong)
+          .when(col("jw_micro") >= JwMicroMin, FsNameWeak).otherwise(FsNameDis)
+        + when(col("t1") === col("t2"), FsTypeAgree).otherwise(FsTypeDis)
+        + when(abs(col("s1") - col("s2")) <= FsSizeTol, FsSizeAgree)
+          .otherwise(FsSizeDis))
+      .select((col("score") >= 0).cast("long").as("pred"),
+        (col("n1") === col("n2")).cast("long").as("gold"))
+    cand.agg(
+        sum(when(col("pred") === 1L && col("gold") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1L && col("gold") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0L && col("gold") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0L && col("gold") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 1000000 DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 1000000 DIV (tp + fn) END")
+          .as("recall_ppm"))
+  }
+
   /** Sorted-neighborhood window: pairs within [[SnW]] positions of the
     * global sort order are candidates.
     */
@@ -316,6 +356,7 @@ object StringSimOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_fs_score" -> ((s, dir) => fsLinkage(Tables.part(s, dir))),
+    "q_er_fs_eval" -> ((s, dir) => fsEval(Tables.part(s, dir))),
     "q_er_sn_pairs" -> ((s, dir) => snPairs(Tables.customer(s, dir))),
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
     "q_fuzzy_jw_pairs" -> ((s, dir) => jwPairs(Tables.part(s, dir))),
@@ -357,6 +398,37 @@ object StringSimOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_er_fs_score" -> fsScoreCte,
+
+    "q_er_fs_eval" ->
+      s"""WITH cand AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+         |   CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+         |     * 1000000.0) AS BIGINT) AS jw_micro,
+         |   a.p_name AS n1, b.p_name AS n2,
+         |   a.p_type AS t1, b.p_type AS t2, a.p_size AS s1, b.p_size AS s2
+         |  FROM part a JOIN part b
+         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |   AND abs(a.p_size - b.p_size) <= $FsSizeBand),
+         | lab AS (SELECT
+         |   CASE WHEN (CASE WHEN jw_micro >= $FsJwStrong THEN $FsNameStrong
+         |         WHEN jw_micro >= $JwMicroMin THEN $FsNameWeak
+         |         ELSE $FsNameDis END)
+         |     + (CASE WHEN t1 = t2 THEN $FsTypeAgree ELSE $FsTypeDis END)
+         |     + (CASE WHEN abs(s1 - s2) <= $FsSizeTol THEN $FsSizeAgree
+         |        ELSE $FsSizeDis END) >= 0 THEN 1 ELSE 0 END AS pred,
+         |   CASE WHEN n1 = n2 THEN 1 ELSE 0 END AS gold
+         |  FROM cand),
+         | m AS (SELECT
+         |   CAST(sum(CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN pred = 0 AND gold = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |   CAST(sum(CASE WHEN pred = 0 AND gold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM lab)
+         |SELECT tp, fp, fn, tn,
+         | CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 1000000 // (tp + fp) END
+         |   AS precision_ppm,
+         | CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 1000000 // (tp + fn) END
+         |   AS recall_ppm
+         |FROM m""".stripMargin,
 
     // the oracle replays the two-phase rank as one plain global window
     // (DuckDB at sf0.01 — no scale constraint); the ENGINE is what must

@@ -98,6 +98,18 @@ class TfidfLinkageSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("FS eval confusion matrix is complete and recall catches exact-name pairs") {
+    val r = StringSimOps.fsEval(Tables.part(spark, dir)).collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(tp + fp + fn + tn > 0)
+    // exact-name pairs carry the strong-name weight: even with both other
+    // fields disagreeing the score is positive, so FN must be zero here
+    assert(fn == 0L, s"fn=$fn")
+    assert(r.getLong(4) >= -1L && r.getLong(4) <= 1000000L)
+    // recall = 1 by the fn=0 argument, unless no gold positives exist
+    assert(r.getLong(5) == (if (tp == 0L) -1L else 1000000L))
+  }
+
   test("two-phase-ranked SN pairs equal the naive global-window version") {
     val cust = Tables.customer(spark, dir)
     val got = StringSimOps.snPairs(cust).collect()
