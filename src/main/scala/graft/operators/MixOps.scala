@@ -121,7 +121,63 @@ object MixOps {
       .withColumn("xent_milli_bits", expr("xent_bits * 1000 DIV n_tokens"))
   }
 
+  /** Water-filling fixed-point scale (2^20) and the budget share. */
+  val WfScale = 1048576L
+  val WfBudgetPct = 60L
+
+  /** Water-filling token allocation — the mixture OPTIMIZER one step up
+    * from q_domain_mix's gap report: given each domain's available
+    * tokens and target weight plus a global training budget
+    * ([[WfBudgetPct]]% of the corpus), allocate
+    * alloc_d = min(avail_d, w_d * lambda) with the water level lambda
+    * chosen so the budget is exactly filled — small domains CAP at
+    * availability and their surplus redistributes to the rest (the
+    * classic max-min fair allocator). Solved RELATIONALLY in fixed-point
+    * integers (scale [[WfScale]]): sort domains by the capped ratio
+    * avail/w, and for each candidate cap-set size the water level is
+    * (budget - capped mass) / uncapped weight — prefix sums over the
+    * |domains|-row frame give every candidate at once, and the unique
+    * valid row (its own ratio below its level, the next ratio above) is
+    * selected by one filter. All windows run on the tiny per-domain
+    * frame (rows = |domains|, the bucket-offset exemption); the corpus
+    * itself contributes one token-count aggregation.
+    */
+  def waterfill(docs: DataFrame): DataFrame = {
+    val s = docTokens(docs).groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("toks"))
+      .withColumn("w", expr(weightSql))
+    val tot = s.agg(sum(col("toks")).as("tt"), sum(col("w")).as("tw"))
+    val base = s.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"tt * $WfBudgetPct DIV 100"))
+      .withColumn("q", expr(s"toks * $WfScale DIV w"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(col("q"), col("source"))
+    val ranked = base
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("ptoks", sum(col("toks")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("pw", sum(col("w")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("qprev", lag(col("q"), 1).over(ord))
+      .withColumn("ptoks", coalesce(col("ptoks"), lit(0L)))
+      .withColumn("pw", coalesce(col("pw"), lit(0L)))
+      .cache()
+    // candidate water level with rows < rn capped; valid when this row
+    // stays UNCAPPED at its level and the previous row capped
+    val lam = ranked
+      .withColumn("lam", expr(
+        s"CASE WHEN budget >= ptoks THEN (budget - ptoks) * $WfScale DIV (tw - pw) END"))
+      .filter(col("lam").isNotNull && col("q") > col("lam") &&
+        (col("qprev").isNull || col("qprev") <= col("lam")))
+      .agg(min(col("lam")).as("lam"))
+    ranked.crossJoin(broadcast(lam))
+      .select(col("source"), col("toks").as("avail_toks"), col("w").as("target_w"),
+        when(col("lam").isNull || col("q") <= col("lam"), col("toks"))
+          .otherwise(expr(s"w * lam DIV $WfScale")).as("alloc_toks"),
+        (col("lam").isNull || col("q") <= col("lam")).cast("long").as("capped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_waterfill" -> ((s, dir) => waterfill(Tables.documents(s, dir))),
     "q_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
     "q_domain_resample" -> ((s, dir) => domainResample(Tables.documents(s, dir))),
     "q_source_xent" -> ((s, dir) => sourceCrossEntropy(Tables.documents(s, dir)))
@@ -144,6 +200,38 @@ object MixOps {
          |   END AS factor_milli
          |  FROM st CROSS JOIN tot)""".stripMargin
     Map(
+      "q_mix_waterfill" ->
+        s"""WITH dt AS (SELECT doc_id, source, CAST($toksD AS BIGINT) AS n_toks
+           |  FROM documents),
+           | st AS (SELECT source, sum(n_toks) AS toks, $weightSql AS w
+           |  FROM dt GROUP BY source),
+           | tot AS (SELECT sum(toks) AS tt, sum(w) AS tw FROM st),
+           | base AS (SELECT source, toks, w,
+           |   tt * $WfBudgetPct // 100 AS budget, tw,
+           |   toks * $WfScale // w AS q
+           |  FROM st CROSS JOIN tot),
+           | ranked AS (SELECT *,
+           |   row_number() OVER wo AS rn,
+           |   coalesce(sum(toks) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+           |     AND 1 PRECEDING), 0) AS ptoks,
+           |   coalesce(sum(w) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+           |     AND 1 PRECEDING), 0) AS pw,
+           |   lag(q) OVER wo AS qprev
+           |  FROM base WINDOW wo AS (ORDER BY q, source)),
+           | lamr AS (SELECT min(lam) AS lam FROM (
+           |   SELECT q, qprev,
+           |    CASE WHEN budget >= ptoks
+           |      THEN (budget - ptoks) * $WfScale // (tw - pw) END AS lam
+           |   FROM ranked) z
+           |  WHERE lam IS NOT NULL AND q > lam
+           |    AND (qprev IS NULL OR qprev <= lam))
+           |SELECT source, toks AS avail_toks, w AS target_w,
+           | CAST(CASE WHEN lam IS NULL OR q <= lam THEN toks
+           |      ELSE w * lam // $WfScale END AS BIGINT) AS alloc_toks,
+           | CAST(CASE WHEN lam IS NULL OR q <= lam THEN 1 ELSE 0 END AS BIGINT)
+           |   AS capped
+           |FROM ranked CROSS JOIN lamr""".stripMargin,
+
       "q_domain_mix" ->
         s"""WITH $mixCte
            |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,

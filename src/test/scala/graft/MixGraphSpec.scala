@@ -9,6 +9,29 @@ import graft.operators.{GraphOps, MixOps}
   * PageRank that hold for ANY corpus, beyond the oracle-pinned fixtures.
   */
 class MixGraphSpec extends AnyFunSuite {
+
+  test("water-filling allocation: caps at availability, fills the budget fairly") {
+    val spark = SparkTestBase.spark
+    val rows = graft.operators.MixOps.waterfill(
+        Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, avail, _, alloc, capped) =>
+      assert(alloc <= avail && alloc >= 0)
+      if (capped == 1L) assert(alloc == avail)
+    }
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail * graft.operators.MixOps.WfBudgetPct / 100
+    val allocated = rows.map(_._4).sum
+    // fixed-point floors under-fill by at most one token per domain plus
+    // the per-domain weight mass over the scale
+    assert(allocated <= budget)
+    assert(budget - allocated <= rows.length + rows.map(_._3).sum,
+      s"budget=$budget allocated=$allocated")
+    // at least one domain must be left uncapped (the budget is < corpus)
+    assert(rows.exists(_._5 == 0L))
+    spark.catalog.clearCache()
+  }
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
