@@ -118,6 +118,55 @@ object PackOps {
       .withColumn("fill_bp", expr(s"total_tokens * 10000 DIV (n_windows * $c)"))
   }
 
+  /** Whole-doc BEST-FIT-DECREASING packing audit — the quality upgrade
+    * over next-fit (Johnson 1973: BFD wastes at most 11/9 OPT + 1 bins;
+    * next-fit can waste 2x): docs sort DECREASING by size within their
+    * bucket and each lands in the fullest already-open window it still
+    * fits (first such window on load ties), else opens a new one. The
+    * per-bucket fold keeps the open-window load list as state — bounded
+    * by windows-per-bucket, the flatMapSortedGroups discipline of
+    * next-fit with a list instead of a scalar. The oracle replays the
+    * fold as a linear recursive CTE whose state column IS the load list
+    * (list_filter/list_max pick the bin, an indexed list_transform
+    * applies it). Same summary row as q_pack_nextfit, so the two
+    * disciplines read side by side; the spec pins BFD fill >= next-fit
+    * fill.
+    */
+  def bfdStats(spark: SparkSession, docs: DataFrame, c: Long = CtxLen): DataFrame = {
+    import spark.implicits._
+    val bucketed = SampleOps.withBucket(sparkBase(docs, c))
+      .select(col("bucket"), col("h"), col("doc_id"), col("tok"))
+      .as[(Int, Long, Long, Long)]
+    val perBucket = bucketed
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("tok").desc, col("h").asc, col("doc_id").asc) {
+        (b, it) =>
+          val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var nDocs = 0L; var toks = 0L
+          it.foreach { case (_, _, _, tok) =>
+            nDocs += 1; toks += tok
+            // best fit: FIRST bin carrying the maximal load that fits
+            var best = -1; var bestLoad = -1L
+            var i = 0
+            while (i < bins.length) {
+              if (bins(i) + tok <= c && bins(i) > bestLoad) {
+                best = i; bestLoad = bins(i)
+              }
+              i += 1
+            }
+            if (best >= 0) bins(best) += tok else bins += tok
+          }
+          Iterator((b, nDocs, toks, bins.length.toLong))
+      }
+      .toDF("bucket", "n_docs", "toks", "wins")
+    perBucket.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("toks")).as("total_tokens"),
+      sum(col("wins")).as("n_windows"))
+      .withColumn("total_pad", expr(s"n_windows * $c - total_tokens"))
+      .withColumn("fill_bp", expr(s"total_tokens * 10000 DIV (n_windows * $c)"))
+  }
+
   /** Candidate context lengths for the planning audit. */
   val CtxCandidates = Seq(64L, 128L, 256L, 512L)
 
@@ -183,7 +232,8 @@ object PackOps {
     "q_pack_chunk" -> ((s, dir) => chunkStats(Tables.documents(s, dir))),
     "q_ctx_plan" -> ((s, dir) => ctxPlan(Tables.documents(s, dir))),
     "q_chunk_overlap" -> ((s, dir) => chunkOverlap(Tables.documents(s, dir))),
-    "q_pack_nextfit" -> ((s, dir) => nextFitStats(s, Tables.documents(s, dir))))
+    "q_pack_nextfit" -> ((s, dir) => nextFitStats(s, Tables.documents(s, dir))),
+    "q_pack_bfd" -> ((s, dir) => bfdStats(s, Tables.documents(s, dir))))
 
   def oracleSql: Map[String, String] = {
     val c = CtxLen
@@ -232,6 +282,35 @@ object PackOps {
            | CAST((sum(tok) + ${c - 1}) // $c AS BIGINT) AS n_windows,
            | CAST(((sum(tok) + ${c - 1}) // $c) * $c - sum(tok) AS BIGINT) AS tail_pad
            |FROM t""".stripMargin,
+      "q_pack_bfd" -> {
+        // the per-bucket BFD fold as a LINEAR recursive CTE: the state
+        // column is the open-window load list; m = fullest fitting load,
+        // the indexed list_transform applies the placement
+        val m = s"list_max(list_filter(s.bins, x -> x + o.tok <= $c))"
+        s"""WITH RECURSIVE b AS (${base(duck = true)}),
+           |o AS (SELECT tok, CAST(h * $Buckets // 1000000007 AS INT) AS bucket,
+           |  row_number() OVER (PARTITION BY CAST(h * $Buckets // 1000000007 AS INT)
+           |    ORDER BY tok DESC, h, doc_id) AS rn FROM b),
+           |s AS (
+           |  SELECT bucket, rn, [tok] AS bins FROM o WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.bucket, o.rn,
+           |    CASE WHEN $m IS NULL THEN list_append(s.bins, o.tok)
+           |    ELSE list_transform(s.bins, (x, i) ->
+           |      CASE WHEN i = list_position(s.bins, $m) THEN x + o.tok
+           |           ELSE x END) END
+           |  FROM o JOIN s ON o.bucket = s.bucket AND o.rn = s.rn + 1),
+           |f AS (SELECT bucket, max(rn) AS mrn FROM s GROUP BY bucket),
+           |fin AS (SELECT CAST(sum(len(s.bins)) AS BIGINT) AS wins
+           |        FROM s JOIN f ON s.bucket = f.bucket AND s.rn = f.mrn)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(o.tok) AS BIGINT) AS total_tokens,
+           | (SELECT wins FROM fin) AS n_windows,
+           | CAST((SELECT wins FROM fin) * $c - sum(o.tok) AS BIGINT) AS total_pad,
+           | CAST(sum(o.tok) * 10000 // ((SELECT wins FROM fin) * $c) AS BIGINT) AS fill_bp
+           |FROM o""".stripMargin
+      },
+
       "q_pack_nextfit" ->
         s"""WITH RECURSIVE b AS (${base(duck = true)}),
            |o AS (SELECT tok, CAST(h * $Buckets // 1000000007 AS INT) AS bucket,

@@ -72,6 +72,18 @@ class PackOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("fill_bp") <= 10000L)
   }
 
+  test("best-fit-decreasing never uses more windows than next-fit") {
+    val rows = (1L to 200L).map(id => (id, (id * 7 % 150 + 1).toInt))
+    val nf = PackOps.nextFitStats(spark, mkDocs(rows)).collect().head
+    val bfd = PackOps.bfdStats(spark, mkDocs(rows)).collect().head
+    assert(bfd.getAs[Long]("n_docs") == nf.getAs[Long]("n_docs"))
+    assert(bfd.getAs[Long]("total_tokens") == nf.getAs[Long]("total_tokens"))
+    // within every bucket BFD opens <= next-fit's windows, so the sums obey it
+    assert(bfd.getAs[Long]("n_windows") <= nf.getAs[Long]("n_windows"))
+    assert(bfd.getAs[Long]("fill_bp") >= nf.getAs[Long]("fill_bp"))
+    assert(bfd.getAs[Long]("fill_bp") <= 10000L)
+  }
+
   test("over-length docs clamp to one full window each") {
     // 3 docs of 1000 tokens: clamped to C, each exactly fills one window
     val rows = Seq((5L, 1000), (6L, 1000), (7L, 1000))
