@@ -911,6 +911,43 @@ object VectorOps {
         expr(s"CAST(pos % $Dim AS BIGINT)").as("j"), col("gram_micro2"))
   }
 
+  /** Deterministic audit-sample modulus for the LSH recall audit. */
+  val LshRecallMod = 4L
+
+  /** SRP-LSH pair RECALL audit — the companion of q_emb_ivf_recall for
+    * the banded pair miner: on a deterministic fixed-size sample
+    * (vec_id % [[LshRecallMod]] == 0) compute the EXACT cosine pair set
+    * at the ANN threshold by brute force and measure what fraction the
+    * banded join recovers (precision is 1 by construction — every
+    * emitted pair is exact-verified; recall is the quantity LSH trades).
+    * The exact sweep broadcasts the sample against itself — quadratic
+    * ON THE SAMPLE only, which is the audit contract at any corpus
+    * size: the sample is a dial, the full-corpus path stays banded.
+    * One summary row: sample size, exact pairs, LSH-found pairs among
+    * them, recall in exact ppm (-1 when the sample has no exact pair).
+    */
+  def lshRecall(emb: DataFrame): DataFrame = {
+    val sample = normalized(emb, withLabel = false)
+      .filter(col("vec_id") % LshRecallMod === 0).cache()
+    val exact = sample.select(col("vec_id").as("v1"), col("vn").as("vn1"))
+      .crossJoin(broadcast(sample.select(col("vec_id").as("v2"), col("vn").as("vn2"))))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dotCol(col("vn1"), col("vn2")), 6).as("cosine"))
+      .filter(col("cosine") >= AnnMinCosine)
+      .select(col("v1"), col("v2"))
+    val found = annPairs(emb)
+      .filter(col("v1") % LshRecallMod === 0 && col("v2") % LshRecallMod === 0)
+      .select(col("v1"), col("v2"))
+    val hits = exact.join(found, Seq("v1", "v2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("n_sample"))))
+      .select(col("n_sample"), col("n_exact"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN -1 " +
+          "ELSE n_hit * 1000000 DIV n_exact END").as("recall_ppm"))
+  }
+
   /** DBSCAN core threshold: a point with >= this many graph neighbours
     * is a core point.
     */
@@ -1054,6 +1091,7 @@ object VectorOps {
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
     "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
+    "q_emb_lsh_recall" -> ((s, dir) => lshRecall(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
@@ -1328,6 +1366,35 @@ object VectorOps {
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $AnnMinCosine""".stripMargin,
+
+      "q_emb_lsh_recall" ->
+        s"""WITH $normCte,
+           | smp AS (SELECT vec_id, vn FROM e WHERE vec_id % $LshRecallMod = 0),
+           | exact AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+           |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id
+           |  WHERE round(${dot("a.vn", "b.vn", duck = true)}, 6) >= $AnnMinCosine),
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS ($unionAll),
+           | found AS (SELECT DISTINCT v1, v2 FROM (
+           |   SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
+           |    AND a.vec_id < b.vec_id) p
+           |  WHERE cosine >= $AnnMinCosine
+           |    AND v1 % $LshRecallMod = 0 AND v2 % $LshRecallMod = 0),
+           | m AS (SELECT
+           |   (SELECT count(*) FROM smp) AS n_sample,
+           |   (SELECT count(*) FROM exact) AS n_exact,
+           |   (SELECT count(*) FROM exact e2
+           |     WHERE EXISTS (SELECT 1 FROM found f
+           |       WHERE f.v1 = e2.v1 AND f.v2 = e2.v2)) AS n_hit)
+           |SELECT CAST(n_sample AS BIGINT) AS n_sample,
+           | CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+           | CAST(CASE WHEN n_exact = 0 THEN -1
+           |   ELSE n_hit * 1000000 // n_exact END AS BIGINT) AS recall_ppm
+           |FROM m""".stripMargin,
 
       // the LSH pair set replayed, then DBSCAN relationally: degree ->
       // core flags -> recursive-CTE components over core-core edges ->

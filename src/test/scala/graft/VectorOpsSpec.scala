@@ -12,6 +12,15 @@ class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("lsh recall audit: hits bounded by exact pairs, ppm well-formed") {
+    val r = VectorOps.lshRecall(Tables.embeddings(spark, dir)).collect().head
+    val (n, ex, hit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && hit <= ex)
+    if (ex == 0) assert(ppm == -1L)
+    else assert(ppm == hit * 1000000L / ex && ppm >= 0L && ppm <= 1000000L)
+    spark.catalog.clearCache()
+  }
+
   test("dbscan roles are consistent: noise<->-1, border attaches to core clusters") {
     val rows = VectorOps.dbscan(Tables.embeddings(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
