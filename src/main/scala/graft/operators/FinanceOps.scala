@@ -154,6 +154,124 @@ object FinanceOps {
         expr(s"folded % $EwmaPack").as("n_flags"))
   }
 
+  /** Per-account maximum drawdown — the peak-to-trough exposure metric a
+    * risk desk runs over every ledger: running balance (purchases debit,
+    * everything else credits), its running peak, and the largest
+    * peak-minus-balance gap ever seen. Both running measures share ONE
+    * window spec (same partitioning, same (t, event_id) total order), so
+    * Catalyst evaluates them in a single Window node after a single
+    * shuffle on user_id; the final per-user aggregate reuses that
+    * partitioning. Per-user state is two longs; users parallelize
+    * independently — the q_running_balance scale shape exactly.
+    */
+  def drawdown(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("t"),
+      col("event_id"),
+      when(col("event_type") === "purchase", -cents).otherwise(cents).as("delta"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("bal", sum(col("delta")).over(w))
+      .withColumn("peak", max(col("bal")).over(w))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        max(col("peak")).as("peak_cents"),
+        max(col("peak") - col("bal")).as("max_drawdown_cents"),
+        sum(col("delta")).as("final_cents"))
+  }
+
+  /** Brand-month VWAP off the order book (lineitem as the trade tape:
+    * extendedprice = notional-per-line price, quantity = lot size).
+    * Exact integers end to end: price in cents, quantity integral by
+    * TPC-H construction (CAST is exact), vwap = notional DIV volume on
+    * non-negative operands (truncating division identical cross-engine).
+    * Shape: broadcast part-dim join (the J3 lookup shape), then ONE hash
+    * aggregate on (brand, month) — partial aggregation map-side combines
+    * before the only shuffle; nothing here grows beyond |brands|×months.
+    */
+  def vwap(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)").as("ym"))
+    li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("ym"))
+      .agg(sum(col("price_cents") * col("qty")).as("notional_cents"),
+        sum(col("qty")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap_cents", expr("notional_cents DIV volume"))
+  }
+
+  /** CUSUM packing/threshold constants. Positive-shift CUSUM with
+    * allowance [[CusumKCents]] and decision interval [[CusumHCents]]:
+    * s' = max(0, s + x - K); crossing H raises an alarm and resets s.
+    * Domain check: cents < 2^16 (events.value < $655.36 by generator
+    * construction), so s stays < H + 2^16 < 2^17 and (s+1)·2^20 plus a
+    * 20-bit alarm count stays far under 2^63.
+    */
+  val CusumPackBits = 20
+  val CusumPack = 1L << CusumPackBits
+  val CusumKCents = 10000L // per-step drift allowance ($100)
+  val CusumHCents = 40000L // decision interval ($400)
+
+  /** Integer CUSUM positive-shift detector per user — the classic
+    * change-point monitor (Page 1954) a fraud pipeline runs on spend
+    * streams: alarms when cumulative excess spend over the K-cents
+    * allowance crosses H cents, then re-arms. Pure integer state, so the
+    * fold is bit-exact cross-engine; like [[ewmaFlags]] it runs as ONE
+    * portable sort_array + aggregate fold per user with (s, alarms)
+    * packed into a single BIGINT ((s+1) high bits so 0 stays the empty
+    * sentinel). Per-user state is O(1); users parallelize independently.
+    */
+  def cusumFlags(events: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.{idiv, reduceLong, xform}
+    def step(duck: Boolean): String = {
+      val sPrev = s"(CASE WHEN acc = 0 THEN 0 ELSE ${idiv("acc", CusumPack.toString, duck)} - 1 END)"
+      val s1 = s"greatest(0, $sPrev + c - $CusumKCents)"
+      s"""CASE WHEN $s1 >= $CusumHCents
+         | THEN $CusumPack + (acc % $CusumPack) + 1
+         | ELSE ($s1 + 1) * $CusumPack + (acc % $CusumPack)
+         | END""".stripMargin
+    }
+    val packed = events.select(col("user_id"),
+      (col("event_id") * lit(131072L) +
+        expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+    packed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("v"))).as("arr"))
+      .withColumn("cents", expr(xform("arr", "v", "v % 131072", duck = false)))
+      .withColumn("folded",
+        expr(reduceLong("cents", "acc", "c", step(duck = false), duck = false)))
+      .select(col("user_id"), col("n_events"),
+        expr(s"folded DIV $CusumPack - 1").as("cusum_cents"),
+        expr(s"folded % $CusumPack").as("n_alarms"))
+  }
+
+  /** Oracle twin of [[cusumFlags]] (DuckDB dialect of the same fold). */
+  private def cusumFlagsSql: String = {
+    import graft.functions.PortableSql.{idiv, reduceLong, xform}
+    val sPrev = s"(CASE WHEN acc = 0 THEN 0 ELSE ${idiv("acc", CusumPack.toString, duck = true)} - 1 END)"
+    val s1 = s"greatest(0, $sPrev + c - $CusumKCents)"
+    val step =
+      s"""CASE WHEN $s1 >= $CusumHCents
+         | THEN $CusumPack + (acc % $CusumPack) + 1
+         | ELSE ($s1 + 1) * $CusumPack + (acc % $CusumPack)
+         | END""".stripMargin
+    s"""WITH p AS (SELECT user_id,
+       |   event_id * 131072 + CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       | g AS (SELECT user_id, count(*) AS n_events,
+       |   list_sort(list(v)) AS arr FROM p GROUP BY user_id),
+       | f AS (SELECT user_id, n_events,
+       |   ${reduceLong(xform("arr", "v", "v % 131072", duck = true),
+            "acc", "c", step, duck = true)} AS folded FROM g)
+       |SELECT user_id, n_events,
+       | folded // $CusumPack - 1 AS cusum_cents,
+       | folded % $CusumPack AS n_alarms
+       |FROM f""".stripMargin
+  }
+
   /** Oracle twin of [[ewmaFlags]] (DuckDB dialect of the same fold). */
   private def ewmaFlagsSql: String = {
     import graft.functions.PortableSql.{idiv, reduceLong, xform}
@@ -180,12 +298,47 @@ object FinanceOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_flags" -> ((s, dir) => ewmaFlags(Tables.events(s, dir))),
+    "q_cusum_flags" -> ((s, dir) => cusumFlags(Tables.events(s, dir))),
+    "q_drawdown" -> ((s, dir) => drawdown(Tables.events(s, dir))),
+    "q_vwap" -> ((s, dir) => vwap(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_ohlc_bars" -> ((s, dir) => ohlcBars(Tables.events(s, dir))),
     "q_running_balance" -> ((s, dir) => runningBalance(Tables.events(s, dir))),
     "q_benford" -> ((s, dir) => benfordAudit(Tables.events(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
     "q_ewma_flags" -> ewmaFlagsSql,
+    "q_cusum_flags" -> cusumFlagsSql,
+    "q_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |   CASE WHEN event_type = 'purchase'
+        |     THEN -CAST(round(value * 100) AS BIGINT)
+        |     ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events),
+        | r AS (SELECT user_id, t, event_id, delta,
+        |   sum(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS bal FROM e),
+        | p AS (SELECT user_id, delta, bal,
+        |   max(bal) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS peak FROM r)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(max(peak) AS BIGINT) AS peak_cents,
+        | CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+        | CAST(sum(delta) AS BIGINT) AS final_cents
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_vwap" ->
+      """WITH li AS (SELECT l_partkey,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |   CAST(l_quantity AS BIGINT) AS qty,
+        |   CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym
+        |  FROM lineitem)
+        |SELECT p_brand AS brand, ym,
+        | CAST(sum(price_cents * qty) AS BIGINT) AS notional_cents,
+        | CAST(sum(qty) AS BIGINT) AS volume,
+        | count(*) AS n_trades,
+        | CAST(sum(price_cents * qty) AS BIGINT) // CAST(sum(qty) AS BIGINT)
+        |   AS vwap_cents
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_ohlc_bars" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
         |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -105,6 +105,61 @@ class FinanceOpsSpec extends AnyFunSuite {
     assert(gotSlo == byType)
   }
 
+  test("drawdown: peak-to-trough gap found even through a later lower peak") {
+    // user 1: +100.00 -> bal 10000 (peak), purchase 60.00 -> 4000 (dd 6000),
+    // +20.00 -> 6000 (dd 4000), purchase 70.00 -> -1000 (dd 11000)
+    val out = FinanceOps.drawdown(ev(Seq(
+      (1L, 10L, 1L, "view", 100.00),
+      (2L, 20L, 1L, "purchase", 60.00),
+      (3L, 30L, 1L, "view", 20.00),
+      (4L, 40L, 1L, "purchase", 70.00)))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Long]("peak_cents") == 10000L)
+    assert(r.getAs[Long]("max_drawdown_cents") == 11000L)
+    assert(r.getAs[Long]("final_cents") == -1000L)
+  }
+
+  test("cusum: alarm fires at the H crossing and the statistic re-arms") {
+    // K=10000, H=40000. user 1: 250.00 x3 -> s 15000, 30000, 45000 >= H
+    // (alarm, reset), then 50.00 -> max(0, 5000-10000) = 0.
+    val m = FinanceOps.cusumFlags(ev(Seq(
+      (1L, 10L, 1L, "purchase", 250.00),
+      (2L, 20L, 1L, "purchase", 250.00),
+      (3L, 30L, 1L, "purchase", 250.00),
+      (4L, 40L, 1L, "purchase", 50.00),
+      (9L, 50L, 2L, "purchase", 30.00)))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == ((4L, 0L, 1L)))
+    assert(m(2L) == ((1L, 0L, 0L))) // 3000 - 10000 clamps to 0, no alarm
+  }
+
+  test("vwap is the exact quantity-weighted integer mean per brand-month") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val li = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10.00, 2.0, "2024-03-05"),
+        Row(1L, 20.00, 1.0, "2024-03-20"),
+        Row(2L, 99.99, 5.0, "2024-04-01"))),
+      StructType(Seq(StructField("l_partkey", LongType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_quantity", DoubleType),
+        StructField("d", StringType))))
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+    val part = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "B#1"), Row(2L, "B#2"))),
+      StructType(Seq(StructField("p_partkey", LongType),
+        StructField("p_brand", StringType))))
+    val m = FinanceOps.vwap(li, part).collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Long]("ym")) ->
+        ((r.getAs[Long]("notional_cents"), r.getAs[Long]("volume"),
+          r.getAs[Long]("vwap_cents"))))
+      .toMap
+    assert(m(("B#1", 202403L)) == ((4000L, 3L, 1333L))) // (1000*2 + 2000*1) DIV 3
+    assert(m(("B#2", 202404L)) == ((49995L, 5L, 9999L)))
+  }
+
   test("dup spans count OCCURRENCES: a doc repeating a shared phrase counts it twice") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
