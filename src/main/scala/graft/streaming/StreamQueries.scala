@@ -38,6 +38,11 @@ case class EwmaEvt(user_id: Long, event_id: Long, value: Double)
 case class EwmaSt(level: Long, flags: Long, n: Long)
 case class EwmaSnap(user_id: Long, n_events: Long, ewma_cents: Long, n_flags: Long)
 
+/** q_stream_cusum wire row, keyed CUSUM state, and per-batch snapshot. */
+case class CusumEvt(user_id: Long, event_id: Long, value: Double)
+case class CusumSt(s: Long, alarms: Long, n: Long)
+case class CusumSnap(user_id: Long, n_events: Long, cusum_cents: Long, n_alarms: Long)
+
 /** Burst trigger emitted as the qualifying event arrives. */
 case class VelHit(user_id: Long, t: Long)
 
@@ -1461,6 +1466,50 @@ object StreamQueries {
         col("f.ewma_cents").as("ewma_cents"), col("f.n_flags").as("n_flags"))
   }
 
+  /** STREAMING twin of q_cusum_flags: the identical integer CUSUM step
+    * (s' = max(0, s + c - K); alarm + re-arm at s' >= H) as three-long
+    * keyed state — O(1) per user forever, the q_stream_ewma shape. The
+    * event_id-ordered fixture makes the state walk the batch fold;
+    * per-batch snapshots with latest-wins readback, batch oracle
+    * verbatim.
+    */
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val K = graft.operators.FinanceOps.CusumKCents
+    val H = graft.operators.FinanceOps.CusumHCents
+    val landing = ensureJsonFixture(fixtureDir("cusum", dir, "events"),
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .repartition(1).sortWithinPartitions(col("event_id")))
+    val inSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    runAppendStream(s, landing, inSchema,
+      org.apache.spark.sql.Encoders.product[CusumSnap].schema) { src =>
+      src.as[CusumEvt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[CusumEvt], state: GroupState[CusumSt]) =>
+            val evs = it.toArray.sortBy(_.event_id)
+            var st = state.getOption.getOrElse(CusumSt(0L, 0L, 0L))
+            evs.foreach { e =>
+              val c = math.round(e.value * 100)
+              val s1 = math.max(0L, st.s + c - K)
+              st =
+                if (s1 >= H) CusumSt(0L, st.alarms + 1L, st.n + 1L)
+                else CusumSt(s1, st.alarms, st.n + 1L)
+            }
+            state.update(st)
+            Iterator.single(CusumSnap(uid, st.n, st.s, st.alarms))
+        }
+    }.groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("cusum_cents"), col("n_alarms")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.cusum_cents").as("cusum_cents"), col("f.n_alarms").as("n_alarms"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming SCD2 build: close the open interval when a version arrives
   // ---------------------------------------------------------------------
@@ -1865,6 +1914,7 @@ object StreamQueries {
     "q_stream_benford" -> ((s, dir) => streamBenford(s, dir)),
     "q_stream_media_audit" -> ((s, dir) => streamMediaAudit(s, dir)),
     "q_stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
+    "q_stream_cusum" -> ((s, dir) => streamCusum(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2042,6 +2092,7 @@ object StreamQueries {
     // keyed-state fold == the batch sequential fold (same integer step,
     // same event_id order), so the batch oracle scores the snapshot
     "q_stream_ewma" -> graft.operators.FinanceOps.oracleSql("q_ewma_flags"),
+    "q_stream_cusum" -> graft.operators.FinanceOps.oracleSql("q_cusum_flags"),
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // Streamed bucket counts over a full corpus replay must equal the
