@@ -71,10 +71,12 @@ object GraphOps {
     r.select(col("b").as("brand"), col("r").as("rank_pico"))
   }
 
-  /** Oriented (b1 < b2) distinct co-purchase edges — the half-edge form
-    * triangle counting needs (each undirected edge appears once).
+  /** Oriented (b1 < b2) co-purchase edges with SUPPORT (number of
+    * distinct orders containing both brands — each order counts once
+    * because the incidence is distinct). The grouped count subsumes the
+    * former `.distinct()`: same single shuffle on the pair key.
     */
-  private def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def supportEdges(spark: SparkSession, dir: String): DataFrame = {
     // cache the (order, brand) incidence: both sides of the wedge
     // self-join consume it, and it is orders × brands small — without
     // this the lineitem scan + broadcast join runs twice (cache
@@ -93,8 +95,15 @@ object GraphOps {
     ob.count()
     ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
         col("ok") === col("ok2") && col("b") < col("b2"))
-      .select(col("b").as("b1"), col("b2")).distinct()
+      .groupBy(col("b").as("b1"), col("b2"))
+      .agg(count(lit(1)).as("sup"))
   }
+
+  /** Oriented (b1 < b2) distinct co-purchase edges — the half-edge form
+    * triangle counting needs (each undirected edge appears once).
+    */
+  private def orientedEdges(spark: SparkSession, dir: String): DataFrame =
+    supportEdges(spark, dir).select(col("b1"), col("b2"))
 
   /** Undirected edges re-oriented by the (degree, id) total order: each
     * edge points from its ≺-smaller endpoint, where u ≺ v iff
@@ -145,8 +154,60 @@ object GraphOps {
       .groupBy(col("brand")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core support threshold: an edge needs co-purchase support of at
+    * least [[KCoreSupPpm]] ppm of all orders (integer multiply compare,
+    * no division) — scale-factor-proportional, so the graph keeps the
+    * same density as the corpus grows. Peeling runs [[KCoreRounds]]
+    * FIXED rounds in both engines (fixpoint is reached in 2-3 on this
+    * graph — MixGraphSpec pins stability — and extra rounds are no-ops),
+    * which keeps the plan deterministic and collect-free: no driver-side
+    * convergence flag at all.
+    */
+  val KCoreK = 12
+  val KCoreSupPpm = 21500L
+  val KCoreRounds = 8
+
+  /** k-core decomposition of the support-thresholded brand co-purchase
+    * graph — the dense-community screen (a brand in the 12-core co-sells
+    * with >= 12 other core brands). Each peel round is one degree
+    * aggregate + two semi-joins — all hash equi-joins on the edge list,
+    * the textbook distributed peel; per-round `localCheckpoint` keeps
+    * plan depth O(1) (the dedup-propagation invariant). Output: each
+    * surviving core member with its within-core degree.
+    */
+  def kCore(spark: SparkSession, dir: String,
+      k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    val sup = supportEdges(spark, dir)
+    val oTot = Tables.orders(spark, dir).agg(count(lit(1)).as("n"))
+    val e0 = sup.crossJoin(broadcast(oTot))
+      .filter(col("sup") * lit(1000000L) >= col("n") * lit(KCoreSupPpm))
+      .select(col("b1"), col("b2"))
+    kCorePeel(e0, k, rounds)
+      .select(explode(array(col("b1"), col("b2"))).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The peel loop on an arbitrary (b1, b2) oriented edge frame: after
+    * `rounds` rounds, only edges whose endpoints all survived every
+    * degree->=k screen remain. Split out so specs can pin peel dynamics
+    * (multi-round cascades, fixpoint stability) on synthetic graphs.
+    */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(explode(array(col("b1"), col("b2"))).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("deg"))
+      val surv = deg.filter(col("deg") >= k).select(col("b"))
+      e = e.join(surv.withColumnRenamed("b", "b1"), Seq("b1"), "left_semi")
+        .join(surv.withColumnRenamed("b", "b2"), Seq("b2"), "left_semi")
+        .select(col("b1"), col("b2")).localCheckpoint()
+    }
+    e
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, dir) => pageRank(s, dir)),
+    "q_kcore" -> ((s, dir) => kCore(s, dir)),
     "q_triangles" -> ((s, dir) => triangleCounts(s, dir))
   )
 
@@ -179,6 +240,34 @@ object GraphOps {
            |$iters
            |SELECT b AS brand, CAST(r AS BIGINT) AS rank_pico
            |FROM r$Iterations""".stripMargin,
+
+      // Unrolled peel mirror of kCore: e0 = support-thresholded edges,
+      // each round keeps edges whose BOTH endpoints have degree >= k in
+      // the previous round's edge set. Fixed rounds == engine.
+      "q_kcore" -> {
+        // every e_i / s_i is referenced twice downstream — MATERIALIZED
+        // stops DuckDB's CTE inlining from doubling the whole derivation
+        // per round (2^rounds base-table scans otherwise)
+        val peel = (1 to KCoreRounds).map { i =>
+          val p = i - 1
+          s"""d$i AS MATERIALIZED (SELECT b, count(*) AS deg FROM (
+             |   SELECT unnest([b1, b2]) AS b FROM e$p) z GROUP BY 1),
+             |s$i AS MATERIALIZED (SELECT b FROM d$i WHERE deg >= $KCoreK),
+             |e$i AS MATERIALIZED (SELECT b1, b2 FROM e$p
+             |  WHERE b1 IN (SELECT b FROM s$i) AND b2 IN (SELECT b FROM s$i))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           | sup AS (SELECT a.b AS b1, o2.b AS b2, count(*) AS sup
+           |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b GROUP BY 1, 2),
+           | ot AS (SELECT count(*) AS n FROM orders),
+           | e0 AS MATERIALIZED (SELECT b1, b2 FROM sup, ot
+           |  WHERE sup * 1000000 >= n * $KCoreSupPpm),
+           |$peel
+           |SELECT brand, count(*) AS core_deg FROM (
+           | SELECT unnest([b1, b2]) AS brand FROM e$KCoreRounds) z
+           |GROUP BY 1""".stripMargin
+      },
 
       // Same oriented pe edges; each triangle matches exactly one
       // (e1, e2, e3) path, then every member counts it once.

@@ -93,6 +93,27 @@ class MixGraphSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("k-core peel: pendant chain cascades away round by round, core is a fixpoint") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // Triangle a-b-c (2-core) with a pendant path c-d-e: d and e peel in
+    // a CASCADE (e first, then d, then the c-d edge) — needs >= 2 rounds.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("b1", "b2")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // after 1 round only the e-pendant is gone; the d-pendant remains
+    assert(set(GraphOps.kCorePeel(edges, 2, 1)) ==
+      Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")))
+    // fixpoint: rounds 2, 3, and 8 all give the bare triangle
+    val core = Set(("a", "b"), ("a", "c"), ("b", "c"))
+    assert(set(GraphOps.kCorePeel(edges, 2, 2)) == core)
+    assert(set(GraphOps.kCorePeel(edges, 2, 3)) == core)
+    assert(set(GraphOps.kCorePeel(edges, 2, 8)) == core)
+    // k above the max core empties the graph
+    assert(set(GraphOps.kCorePeel(edges, 3, 8)).isEmpty)
+  }
+
   test("pagerank: ranks at least teleport mass, total bounded by the scale") {
     val r = GraphOps.pageRank(spark, dir).cache()
     try {
