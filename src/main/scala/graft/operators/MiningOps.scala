@@ -141,10 +141,56 @@ object MiningOps {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Directed association rules a => b over the brand co-purchase
+    * incidence — the market-basket classic (Agrawal et al. SIGMOD'93)
+    * scored in EXACT integer ppm: confidence = P(b | a) as
+    * `n_ab * 1e6 DIV n_a`, lift = confidence / P(b) computed as the
+    * NESTED truncating division `conf_ppm * n_total DIV n_b` — nesting
+    * (rather than one big product) keeps every intermediate under
+    * conf_ppm·|orders| ~ 2^50 even at cluster-scale order counts, where
+    * the naive `n_ab · n_total · 1e6` overflows int64. Both directions
+    * of each unordered pair are emitted (confidence is asymmetric; lift
+    * is shared). Shape: one distinct + self-join for pair supports (the
+    * q_copurchase plan), one |brands|-row support aggregate broadcast
+    * back, a 1-row total broadcast — nothing beyond the pair join grows
+    * with data volume.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val orderBrands = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(broadcast(brands), col("pk") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b"))
+      .distinct()
+      .cache()
+    // materialize before the fan-out: pair self-join + single-brand agg
+    // + total all consume it (the q_gen_constraints cache-race lesson)
+    orderBrands.count()
+    val pair = orderBrands.join(
+        orderBrands.select(col("ok").as("ok2"), col("b").as("b2")),
+        col("ok") === col("ok2") && col("b") < col("b2"))
+      .groupBy(col("b").as("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val both = pair.select(col("b1").as("antecedent"), col("b2").as("consequent"), col("n_ab"))
+      .unionByName(pair.select(col("b2").as("antecedent"), col("b1").as("consequent"), col("n_ab")))
+    val single = orderBrands.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+    val tot = orderBrands.select(col("ok")).distinct().agg(count(lit(1)).as("n_total"))
+    both
+      .join(broadcast(single.select(col("b").as("antecedent"), col("n_b").as("n_a"))), "antecedent")
+      .join(broadcast(single.select(col("b").as("consequent"), col("n_b"))), "consequent")
+      .crossJoin(broadcast(tot))
+      .withColumn("conf_ppm", expr("n_ab * 1000000 DIV n_a"))
+      .withColumn("lift_ppm", expr("conf_ppm * n_total DIV n_b"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_a"),
+        col("n_b"), col("conf_ppm"), col("lift_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, dir) => rfmSegments(Tables.orders(s, dir))),
     "q_rfm_cuts" -> ((s, dir) => rfmSegmentsCuts(Tables.orders(s, dir))),
-    "q_copurchase" -> ((s, dir) => coPurchase(s, dir))
+    "q_copurchase" -> ((s, dir) => coPurchase(s, dir)),
+    "q_assoc_rules" -> ((s, dir) => assocRules(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -193,6 +239,24 @@ object MiningOps {
         |        max(CASE WHEN metric = 'm' THEN tile END) AS BIGINT) AS rfm_code
         |  FROM tiles GROUP BY 1)
         |SELECT rfm_code, count(*) AS customers FROM codes GROUP BY 1""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pair AS (SELECT a.b AS b1, o2.b AS b2, count(*) AS n_ab
+        |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b GROUP BY 1, 2),
+        |dirs AS (SELECT b1 AS antecedent, b2 AS consequent, n_ab FROM pair
+        |  UNION ALL SELECT b2, b1, n_ab FROM pair),
+        |single AS (SELECT b, count(*) AS n_b FROM ob GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT ok) AS n_total FROM ob)
+        |SELECT antecedent, consequent, n_ab,
+        | sa.n_b AS n_a, sc.n_b AS n_b,
+        | n_ab * 1000000 // sa.n_b AS conf_ppm,
+        | (n_ab * 1000000 // sa.n_b) * n_total // sc.n_b AS lift_ppm
+        |FROM dirs
+        |JOIN single sa ON sa.b = antecedent
+        |JOIN single sc ON sc.b = consequent
+        |CROSS JOIN tot""".stripMargin,
 
     "q_copurchase" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,
