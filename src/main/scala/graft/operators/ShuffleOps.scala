@@ -502,7 +502,43 @@ object ShuffleOps {
         (est >= col("exact_size")).cast("int").as("never_underestimates"))
   }
 
+  /** 32-bit lane for the bitmap rollup: the shared CASE ladder maps
+    * user_id's bit position to its power of two (neither dialect
+    * guarantees column-valued shift counts, and 32 lanes keep every
+    * word positive — no sign-bit corner).
+    */
+  private def bitmapLane(duck: Boolean): String = {
+    val arms = (0 until 32).map(k => s"WHEN ${k}::BIGINT THEN ${1L << k}")
+      .map(a => if (duck) a else a.replace("::BIGINT", ""))
+      .mkString(" ")
+    s"CASE (user_id % 32) $arms END"
+  }
+
+  /** Exact distinct-user counts per (event_type, day) via BITMAP BLOCK
+    * aggregation — the roaring/Druid groupBitmap technique: user_id
+    * maps to (block = id DIV 32, bit = id % 32); a first aggregate ORs
+    * the per-row one-hot words per (key, block); a second sums
+    * bit_count per key. Why at 100 TB: the first aggregate map-side
+    * combines to AT MOST |keys|·|id-space|/32 words no matter how many
+    * raw events repeat a user — the shuffle carries pre-ORed words, not
+    * user ids, and the blocks are mergeable across days/partitions the
+    * way HLL registers are, but EXACT. n_blocks audits density (ids
+    * packed tight by the generator → blocks ~32 dense).
+    */
+  def bitmapDistinct(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"),
+      expr("user_id DIV 32").as("block"),
+      expr(bitmapLane(duck = false)).as("w"))
+    e.groupBy(col("event_type"), col("day"), col("block"))
+      .agg(expr("bit_or(w)").as("word"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(expr("bit_count(word)")).as("n_users"),
+        count(lit(1)).as("n_blocks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_distinct" -> ((s, dir) => bitmapDistinct(Tables.events(s, dir))),
     "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
     "q_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
     "q_cm_join_size" -> ((s, dir) => cmJoinSize(s, dir)),
@@ -538,6 +574,14 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle is the NAIVE distinct — proving the bitmap-block
+    // arithmetic computes exactly it (the bucketed-join proof pattern)
+    "q_bitmap_distinct" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT user_id // 32) AS n_blocks
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_cm_join_size" -> {
       import graft.functions.CountMinAggregate.{cellSql, Depth}
       def cells(src: String) = (0 until Depth)
