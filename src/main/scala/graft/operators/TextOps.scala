@@ -548,7 +548,53 @@ object TextOps {
         .groupBy("p").agg(count(lit(1)).as("dfp")))
   }
 
+  /** Zipf-fit constants: rank cut per source and the floor-division
+    * offset that aligns the (negative-numerator) slope division across
+    * engines (Spark DIV truncates toward zero, DuckDB // floors; with
+    * the +[[ZipfBig]]·den shift the numerator is non-negative and both
+    * agree — the q_theilsen_trend trick).
+    */
+  val ZipfTopK = 32
+  val ZipfBig = 10000000L
+
+  /** Per-source Zipf's-law fit — the rank-frequency power-law audit a
+    * corpus curator runs to spot unnatural sources (templated/boilerplate
+    * text flattens the slope; natural language sits near -1): least
+    * squares of log2(freq) on log2(rank) over each source's top
+    * [[ZipfTopK]] word types, entirely in 1/8-bit fixed-point integers
+    * (the log2Eighths ladder — no libm in any compared value). Output
+    * keeps the exact (num, den) rational beside the milli-slope.
+    *
+    * Shape at 100 TB: tokenize → (source, word) counts map-side
+    * combined; the rank window is PARTITIONED BY source and rank<=k
+    * plans as WindowGroupLimit, so each partition keeps k rows; the
+    * ladder evaluates on |sources|·k rows. Nothing global ever sorts.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"),
+        explode(expr(tokens("text", duck = false))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq").desc, col("w").asc)
+    val ranked = words.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= ZipfTopK)
+    val pts = withLog2Eighths(withLog2Eighths(ranked, "rank", "x"), "freq", "y")
+    pts.groupBy(col("source")).agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_pts"),
+        (col("n_pts") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_pts") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .filter(col("slope_den") > 0) // degenerate single-point sources drop
+      .withColumn("slope_milli",
+        expr(s"(slope_num * 1000 + $ZipfBig * slope_den) DIV slope_den - $ZipfBig"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> ((s, dir) => zipfFit(Tables.documents(s, dir))),
     "q_tfidf_terms" -> ((s, dir) => tfidfTerms(Tables.documents(s, dir))),
     "q_text_pmi" -> ((s, dir) => pmiCollocations(Tables.documents(s, dir))),
     "q_text_winnow" -> ((s, dir) => winnowStats(Tables.documents(s, dir))),
@@ -574,6 +620,31 @@ object TextOps {
     val gramsAll = trigramsAll(toks, duck = true)
     val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_zipf_fit" -> {
+        import graft.functions.PortableSql.log2Eighths
+        s"""WITH words AS (SELECT source, unnest($toks) AS w FROM documents),
+           | wc AS (SELECT source, w, count(*) AS freq FROM words
+           |  WHERE length(w) > 0 GROUP BY 1, 2),
+           | ranked AS (SELECT source, w, freq,
+           |   row_number() OVER (PARTITION BY source
+           |     ORDER BY freq DESC, w ASC) AS rank FROM wc),
+           | pts AS (SELECT source,
+           |   CAST(${log2Eighths("rank", duck = true)} AS BIGINT) AS x,
+           |   CAST(${log2Eighths("freq", duck = true)} AS BIGINT) AS y
+           |  FROM ranked WHERE rank <= $ZipfTopK),
+           | s AS (SELECT source, count(*) AS n_pts,
+           |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |   CAST(sum(x * y) AS BIGINT) AS sxy,
+           |   CAST(sum(x * x) AS BIGINT) AS sxx FROM pts GROUP BY 1),
+           | r AS (SELECT source, n_pts,
+           |   n_pts * sxy - sx * sy AS slope_num,
+           |   n_pts * sxx - sx * sx AS slope_den FROM s)
+           |SELECT source, n_pts, slope_num, slope_den,
+           | (slope_num * 1000 + $ZipfBig * slope_den) // slope_den - $ZipfBig
+           |   AS slope_milli
+           |FROM r WHERE slope_den > 0""".stripMargin
+      },
+
       "q_tfidf_terms" -> {
         import graft.functions.PortableSql.log2Eighths
         s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
