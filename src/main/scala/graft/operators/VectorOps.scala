@@ -376,6 +376,41 @@ object VectorOps {
   val HybridCosWeight = 0.7
   val HybridQualWeight = 0.3
 
+  /** Reciprocal-rank-fusion constant (the standard 60 of Cormack et al.
+    * SIGIR'09).
+    */
+  val RrfC = 60L
+
+  /** RRF fusion of the lexical and vector retrievers — the OTHER hybrid
+    * pattern next to [[hybridSearch]]'s score blend: instead of mixing
+    * raw scores (which need calibration), fuse the RANKS:
+    * rrf = Σ_rankers floor(1e6 / (C + rank)), docs absent from a ranker
+    * contributing 0. Rank arithmetic is pure integers, so every compared
+    * value is exact. Each retriever's pool is a TakeOrderedAndProject
+    * top-k; the rank windows ride on those k-row frames (bounded size,
+    * never a data-sized global window), and the fuse is one full-outer
+    * equi-join of two k-row frames.
+    */
+  def rrfFusion(emb: DataFrame, docs: DataFrame, queryId: Long = 0L,
+      pool: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.bm25Search(docs, pool)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = cosineTopK(emb, queryId, pool)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_micro",
+        expr(s"CASE WHEN lex_rank > 0 THEN 1000000 DIV ($RrfC + lex_rank) ELSE CAST(0 AS BIGINT) END") +
+        expr(s"CASE WHEN vec_rank > 0 THEN 1000000 DIV ($RrfC + vec_rank) ELSE CAST(0 AS BIGINT) END"))
+  }
+
   def hybridSearch(emb: DataFrame, docs: DataFrame, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = emb.select(col("vec_id"), expr(vcol).as("v"))
@@ -1101,6 +1136,8 @@ object VectorOps {
     "q_emb_drift" -> ((s, dir) => centroidDrift(Tables.embeddings(s, dir))),
     "q_hybrid_search" -> ((s, dir) =>
       hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir))),
+    "q_rrf_fusion" -> ((s, dir) =>
+      rrfFusion(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "q_topic_mix" -> ((s, dir) =>
       topicMix(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "q_emb_ivf_incr" -> ((s, dir) => ivfIncrementalStats(Tables.embeddings(s, dir))),
@@ -1311,6 +1348,25 @@ object VectorOps {
       },
 
       "q_emb_cosine_topk" -> cosineTopkSql,
+
+      "q_rrf_fusion" -> {
+        val bm25 = graft.operators.TextOps.oracleSql("q_bm25_search")
+        s"""WITH lexs AS ($bm25),
+           | lex AS (SELECT doc_id, row_number() OVER (
+           |    ORDER BY score_micro DESC, doc_id) AS lex_rank FROM lexs),
+           | vecs AS ($cosineTopkSql),
+           | vec AS (SELECT vec_id AS doc_id, row_number() OVER (
+           |    ORDER BY cosine DESC, vec_id) AS vec_rank FROM vecs),
+           | f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+           |    coalesce(lex_rank, 0) AS lex_rank,
+           |    coalesce(vec_rank, 0) AS vec_rank
+           |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+           |SELECT doc_id, lex_rank, vec_rank,
+           | (CASE WHEN lex_rank > 0 THEN 1000000 // ($RrfC + lex_rank) ELSE 0 END)
+           | + (CASE WHEN vec_rank > 0 THEN 1000000 // ($RrfC + vec_rank) ELSE 0 END)
+           |   AS rrf_micro
+           |FROM f""".stripMargin
+      },
 
       "q_hybrid_search" -> {
         // quality fragment shared with TextOps' own oracle — one
