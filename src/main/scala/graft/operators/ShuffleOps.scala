@@ -507,7 +507,7 @@ object ShuffleOps {
     * guarantees column-valued shift counts, and 32 lanes keep every
     * word positive — no sign-bit corner).
     */
-  private def bitmapLane(duck: Boolean): String = {
+  private[graft] def bitmapLane(duck: Boolean): String = {
     val arms = (0 until 32).map(k => s"WHEN ${k}::BIGINT THEN ${1L << k}")
       .map(a => if (duck) a else a.replace("::BIGINT", ""))
       .mkString(" ")
@@ -537,7 +537,35 @@ object ShuffleOps {
         count(lit(1)).as("n_blocks"))
   }
 
+  /** Join-key skew audit — the pre-flight profile that DECIDES whether a
+    * key needs the q_salted_agg / q_salted_join treatment before the
+    * expensive shuffle runs: per-key row counts bucketed by integer bit
+    * length (log2 occupancy histogram — the classic count-of-counts
+    * profile, no window anywhere), each bucket with its key count, row
+    * mass, and row share in ppm, plus the global max-key/mean-key ratio
+    * (the skew factor AQE's skewedPartitionFactor thresholds on). Two
+    * hash aggregates + a 1-row broadcast; the per-key frame is bounded
+    * by key cardinality, never raw rows.
+    */
+  def skewAudit(lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.bitLen
+    val pk = lineitem.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tot = pk.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    pk.withColumn("cnt_bits", expr(s"CAST(${bitLen("cnt", 40)} AS BIGINT)"))
+      .groupBy(col("cnt_bits"))
+      .agg(count(lit(1)).as("bucket_keys"), sum(col("cnt")).as("bucket_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("cnt_bits"), col("bucket_keys"), col("bucket_rows"),
+        expr("bucket_rows * 1000000 DIV tot").as("rows_ppm"),
+        // nested division keeps the intermediate at max_cnt·1e6 even at
+        // cluster-scale key counts (max_cnt·n_keys·1e6 would overflow);
+        // mean >= 1 because every counted key has >= 1 row
+        expr("max_cnt * 1000000 DIV (tot DIV n_keys)").as("skew_ratio_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_audit" -> ((s, dir) => skewAudit(Tables.lineitem(s, dir))),
     "q_bitmap_distinct" -> ((s, dir) => bitmapDistinct(Tables.events(s, dir))),
     "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
     "q_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
@@ -574,6 +602,21 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_skew_audit" -> {
+      import graft.functions.PortableSql.bitLen
+      s"""WITH pk AS (SELECT l_partkey, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |   count(*) AS n_keys, max(cnt) AS max_cnt FROM pk),
+         | b AS (SELECT CAST(${bitLen("cnt", 40)} AS BIGINT) AS cnt_bits,
+         |   count(*) AS bucket_keys, CAST(sum(cnt) AS BIGINT) AS bucket_rows
+         |  FROM pk GROUP BY 1)
+         |SELECT cnt_bits, bucket_keys, bucket_rows,
+         | bucket_rows * 1000000 // tot AS rows_ppm,
+         | max_cnt * 1000000 // (tot // n_keys) AS skew_ratio_ppm
+         |FROM b, tot""".stripMargin
+    },
+
     // the oracle is the NAIVE distinct — proving the bitmap-block
     // arithmetic computes exactly it (the bucketed-join proof pattern)
     "q_bitmap_distinct" ->

@@ -593,7 +593,49 @@ object TextOps {
         expr(s"(slope_num * 1000 + $ZipfBig * slope_den) DIV slope_den - $ZipfBig"))
   }
 
+  /** Shared delta+varint cost fragments for [[postingsDelta]] and its
+    * oracle: deltas are taken over an index sequence (both dialects
+    * index arrays directly — neither needs an index-aware lambda), and
+    * each delta costs the LEB128 varint byte count
+    * max(1, ceil(bitLen/7)) — the bitLen comparison ladder, so no libm
+    * anywhere.
+    */
+  private def postingsBytesSql(duck: Boolean): String = {
+    import graft.functions.PortableSql.{alen, bitLen, elem, idiv, reduceLong, seqIncl, xform}
+    val delta = s"${elem("arr", "i", duck)} - (CASE WHEN i = 1 THEN 0 ELSE ${elem("arr", "i - 1", duck)} END)"
+    val deltas = xform(seqIncl("1", alen("arr", duck), duck), "i", s"($delta)", duck)
+    val bytes = xform(deltas, "d", s"greatest(1, ${idiv(s"(${bitLen("d", 48)} + 6)", "7", duck)})", duck)
+    reduceLong(bytes, "acc", "x", "acc + x", duck)
+  }
+
+  /** Inverted-index postings-size estimator — the delta+varint audit an
+    * index builder runs before committing a 100 TB posting layout: per
+    * term, the sorted doc_id posting list is delta-encoded and each gap
+    * costed at its LEB128 varint width; the row compares that against
+    * the fixed 8-byte-per-posting layout in exact integer ppm. Sorted-
+    * gap compression is why postings shrink ~8x — and why df-ordered
+    * doc-id assignment matters. Shape: tokenize → distinct (doc, term)
+    * map-side combined, ONE shuffle on the term key, the list fold
+    * evaluating per term on its own postings; everything downstream of
+    * the shuffle is vocabulary-sized.
+    */
+  def postingsDelta(docs: DataFrame): DataFrame = {
+    val posts = docs.select(col("doc_id"),
+        explode(expr(tokens("text", duck = false))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .groupBy(col("w")).agg(sort_array(collect_list(col("doc_id"))).as("arr"))
+    posts
+      .withColumn("df", size(col("arr")).cast("long"))
+      .withColumn("delta_bytes", expr(postingsBytesSql(duck = false)))
+      .select(col("w").as("term"), col("df"), col("delta_bytes"),
+        (col("df") * 8).as("fixed_bytes"))
+      .withColumn("savings_ppm",
+        expr("(fixed_bytes - delta_bytes) * 1000000 DIV fixed_bytes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_postings_delta" -> ((s, dir) => postingsDelta(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => zipfFit(Tables.documents(s, dir))),
     "q_tfidf_terms" -> ((s, dir) => tfidfTerms(Tables.documents(s, dir))),
     "q_text_pmi" -> ((s, dir) => pmiCollocations(Tables.documents(s, dir))),
@@ -620,6 +662,18 @@ object TextOps {
     val gramsAll = trigramsAll(toks, duck = true)
     val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_postings_delta" ->
+        s"""WITH t2 AS (SELECT DISTINCT doc_id, w FROM (
+           |   SELECT doc_id, unnest($toks) AS w FROM documents) z
+           |  WHERE length(w) > 0),
+           | posts AS (SELECT w, list_sort(list(doc_id)) AS arr
+           |  FROM t2 GROUP BY 1),
+           | d AS (SELECT w, CAST(len(arr) AS BIGINT) AS df,
+           |   ${postingsBytesSql(duck = true)} AS delta_bytes FROM posts)
+           |SELECT w AS term, df, delta_bytes, df * 8 AS fixed_bytes,
+           | (df * 8 - delta_bytes) * 1000000 // (df * 8) AS savings_ppm
+           |FROM d""".stripMargin,
+
       "q_zipf_fit" -> {
         import graft.functions.PortableSql.log2Eighths
         s"""WITH words AS (SELECT source, unnest($toks) AS w FROM documents),

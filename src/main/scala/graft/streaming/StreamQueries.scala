@@ -231,6 +231,56 @@ object StreamQueries {
   private def tempSink(): String =
     Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
 
+  private val bitmapSchema = StructType(Seq(
+    StructField("ms", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** STREAMING twin of q_bitmap_distinct: the per-(key, day, block)
+    * OR'd bitmap words accumulate in the state store across
+    * micro-batches (bit_or is idempotent AND mergeable, so complete-mode
+    * accumulation is order-independent — the exact-distinct analogue of
+    * the q_stream_kmv heap merge), bounded by |keys|·|id-space|/32 longs
+    * regardless of stream length. The final per-day distinct counts are
+    * scored on readback through the shared popcount rollup; the oracle
+    * IS q_bitmap_distinct's naive-DISTINCT SQL.
+    *
+    * Day arithmetic: ms DIV 86400000 == micros DIV 86400000000 by
+    * nested-division factorization, so the wire's millisecond timestamps
+    * land in exactly the batch query's day buckets.
+    */
+  def streamBitmap(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("bitmap", dir, "events"),
+      Tables.events(s, dir)
+        .select(unix_millis(col("ts")).as("ms"), col("user_id"), col("event_type"))
+        .repartition(1).sortWithinPartitions(col("ms")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(bitmapSchema).json(landing)
+        .select(col("event_type"),
+          expr("ms DIV 86400000").as("day"),
+          expr("user_id DIV 32").as("block"),
+          expr(graft.operators.ShuffleOps.bitmapLane(duck = false)).as("w"))
+        .groupBy(col("event_type"), col("day"), col("block"))
+        .agg(expr("bit_or(w)").as("word"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("day", LongType),
+        StructField("block", LongType), StructField("word", LongType))))
+      .parquet(s"$tmp/out")
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(expr("bit_count(word)")).as("n_users"),
+        count(lit(1)).as("n_blocks"))
+  }
+
   /** Run `body` with the session's shuffle partitions pinned to `n` —
     * the stateful stream queries size their state-store instance count
     * this way (instances = shuffle partitions). One definition so a
@@ -1915,6 +1965,7 @@ object StreamQueries {
     "q_stream_media_audit" -> ((s, dir) => streamMediaAudit(s, dir)),
     "q_stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
     "q_stream_cusum" -> ((s, dir) => streamCusum(s, dir)),
+    "q_stream_bitmap" -> ((s, dir) => streamBitmap(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2093,6 +2144,7 @@ object StreamQueries {
     // same event_id order), so the batch oracle scores the snapshot
     "q_stream_ewma" -> graft.operators.FinanceOps.oracleSql("q_ewma_flags"),
     "q_stream_cusum" -> graft.operators.FinanceOps.oracleSql("q_cusum_flags"),
+    "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // Streamed bucket counts over a full corpus replay must equal the
