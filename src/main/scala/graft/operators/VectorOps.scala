@@ -936,6 +936,46 @@ object VectorOps {
     * DECIMAL(38) or block-partitions the sum; the PLAN (narrow outer
     * product + mergeable vector aggregate) is unchanged.
     */
+  /** Power-iteration rounds and the fixed-point scales: the Gram frame
+    * is down-shifted micro²→micro before the matvec so a 64-term
+    * dot against a milli-scaled vector stays well under 2^63 at any
+    * corpus size, and each round max-abs-normalizes back to ±1000
+    * milli-units with SIGN-SPLIT truncating division (abs value before
+    * dividing — truncation toward zero on non-negative operands is the
+    * one integer division both engines agree on).
+    */
+  val PowerIters = 4
+
+  /** Top principal direction of the embedding corpus by POWER ITERATION
+    * over the [[gramMatrix]] — the PCA building block q_emb_gram's
+    * scaladoc promises, run to a usable answer: 4 matvec rounds, each
+    * one equi-join of the 64²-row Gram frame with the broadcast 64-row
+    * vector + one aggregate on the row index (the PageRank plan shape on
+    * a constant-size graph), `localCheckpoint` per round for O(1) plan
+    * depth. All integer arithmetic — bit-exact cross-engine. Output: the
+    * 64 eigvec components in milli-units plus the final pre-normalize
+    * max |component| (`growth`, the eigenvalue-scale witness).
+    */
+  def powerIteration(emb: DataFrame): DataFrame = {
+    val g = gramMatrix(emb)
+      .select(col("i"), col("j"), expr("gram_micro2 DIV 1000000").as("g"))
+      .cache()
+    g.count() // materialize before the iteration DAG fans out over it
+    var v = g.select(col("j")).distinct()
+      .select(col("j").as("vj"), lit(1000L).as("v"), lit(0L).as("growth"))
+    for (_ <- 1 to PowerIters) {
+      val w = g.join(broadcast(v), g("j") === v("vj"))
+        .groupBy(g("i")).agg(sum(col("g") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("vj"),
+          expr("CASE WHEN w < 0 THEN -(((-w) * 1000) DIV mx) ELSE (w * 1000) DIV mx END").as("v"),
+          col("mx").as("growth"))
+        .localCheckpoint()
+    }
+    v.select(col("vj").as("dim"), col("v").as("eig_milli"), col("growth"))
+  }
+
   def gramMatrix(emb: DataFrame): DataFrame = {
     val mv = emb.select(
       expr(s"transform($vcol, y -> CAST(round(y * 1000000.0) AS BIGINT))").as("mv"))
@@ -1118,6 +1158,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_rp_distortion" -> ((s, dir) => rpDistortion(Tables.embeddings(s, dir))),
     "q_emb_gram" -> ((s, dir) => gramMatrix(Tables.embeddings(s, dir))),
+    "q_emb_power_iter" -> ((s, dir) => powerIteration(Tables.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => labelOutliers(Tables.embeddings(s, dir))),
     "q_emb_pq" -> ((s, dir) => pqCodes(Tables.embeddings(s, dir))),
     "q_emb_pq_recall" -> ((s, dir) => pqRecall(Tables.embeddings(s, dir))),
@@ -1275,6 +1316,27 @@ object VectorOps {
 
     Map(
       "q_emb_gram" -> gramSql,
+
+      "q_emb_power_iter" -> {
+        val iters = (1 to PowerIters).map { t =>
+          val p = t - 1
+          s"""w$t AS MATERIALIZED (SELECT gp.i, CAST(sum(gp.g * v$p.v) AS BIGINT) AS w
+             |  FROM gp JOIN v$p ON gp.j = v$p.vj GROUP BY 1),
+             |mx$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+             |v$t AS MATERIALIZED (SELECT i AS vj,
+             |   CASE WHEN w < 0 THEN -(((-w) * 1000) // mx)
+             |        ELSE (w * 1000) // mx END AS v,
+             |   mx AS growth
+             |  FROM w$t, mx$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH gp AS MATERIALIZED (SELECT i, j, gram_micro2 // 1000000 AS g
+           |  FROM ($gramSql) z),
+           | v0 AS (SELECT DISTINCT j AS vj, CAST(1000 AS BIGINT) AS v,
+           |   CAST(0 AS BIGINT) AS growth FROM gp),
+           |$iters
+           |SELECT vj AS dim, v AS eig_milli, growth
+           |FROM v$PowerIters""".stripMargin
+      },
       "q_emb_outliers" -> outlierSql,
       "q_emb_pq" -> {
         val codeCols = (0 until PqM)
