@@ -227,7 +227,43 @@ object Governance {
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_cents"),
         max(col("v")).as("max_cents"))
 
+  /** One-pass declarative data-quality check suite — the pre-publish
+    * gate (great_expectations / dbt-test shape) a warehouse runs before
+    * promoting a load: uniqueness, not-null, value-range, date-range
+    * checks evaluate in ONE stacked multi-aggregate scan of orders (the
+    * q_profile plan shape), and the referential check is one broadcast
+    * anti-join against the customer dim (the q_fk_integrity shape —
+    * the fact side never shuffles). Output: one row per check with its
+    * violation count and pass flag; the suite never fails the query,
+    * it reports (the U4/dead-letter philosophy applied to batch loads).
+    */
+  def dqChecks(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val base = orders.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("k_distinct"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("cust_null"),
+      sum(when(expr("CAST(round(o_totalprice * 100) AS BIGINT)") <= 0, 1L)
+        .otherwise(0L)).as("price_nonpos"),
+      sum(when(expr("CAST(o_orderdate AS DATE) < DATE '1992-01-01' OR " +
+        "CAST(o_orderdate AS DATE) > DATE '1998-12-31'"), 1L)
+        .otherwise(0L)).as("date_oor"))
+    val stacked = base.selectExpr(
+      """stack(4,
+        | 'orderkey_unique', n_rows - k_distinct,
+        | 'custkey_not_null', cust_null,
+        | 'totalprice_positive', price_nonpos,
+        | 'orderdate_in_range', date_oor) AS (check_name, n_violations)""".stripMargin)
+    val fk = orders.join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("custkey_fk").as("check_name"), col("n_violations"))
+    stacked.unionByName(fk)
+      .withColumn("passed", (col("n_violations") === 0L).cast("int"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> ((s, dir) =>
+      dqChecks(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_winsorize" -> ((s, dir) => winsorized(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => histogramEquiDepth(s, dir)),
     "q_incr_agg" -> ((s, dir) => incrementalAgg(s, dir)),
@@ -238,6 +274,27 @@ object Governance {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """WITH base AS (SELECT count(*) AS n_rows,
+        |   count(DISTINCT o_orderkey) AS k_distinct,
+        |   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS cust_null,
+        |   sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) <= 0
+        |     THEN 1 ELSE 0 END) AS price_nonpos,
+        |   sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+        |     OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+        |     THEN 1 ELSE 0 END) AS date_oor
+        |  FROM orders),
+        | rows_ AS (
+        |  SELECT 'orderkey_unique' AS check_name,
+        |    CAST(n_rows - k_distinct AS BIGINT) AS n_violations FROM base
+        |  UNION ALL SELECT 'custkey_not_null', CAST(cust_null AS BIGINT) FROM base
+        |  UNION ALL SELECT 'totalprice_positive', CAST(price_nonpos AS BIGINT) FROM base
+        |  UNION ALL SELECT 'orderdate_in_range', CAST(date_oor AS BIGINT) FROM base
+        |  UNION ALL SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT check_name, n_violations,
+        | CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM rows_""".stripMargin,
     "q_winsorize" ->
       """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

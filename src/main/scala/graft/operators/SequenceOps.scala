@@ -170,6 +170,40 @@ object SequenceOps {
     * quadratic purchase x click range join. Purchases before any click
     * stay unattributed (null). One shuffle on user_id.
     */
+  /** Position-based (U-shaped) multi-touch attribution — the sibling of
+    * last-touch [[attribution]]: every click in a purchase's JOURNEY
+    * (clicks after the previous purchase, before this one) gets credit —
+    * 40% first touch, 40% last touch, the middle 20% split evenly — in
+    * EXACT integer ppm, with the middle-split truncation residue folded
+    * into the FIRST touch so each journey's credits sum to exactly 1e6
+    * (spec-pinned). Journey ids are the running purchase count (one
+    * user-partitioned window); clicks join their journey's purchase on
+    * (user, journey) — all shuffles on the user key, per-journey rank
+    * windows partitioned by (user, journey), never global.
+    */
+  def attributionPosition(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = prep(events)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("jid",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)).over(wPrev), lit(0L)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("jid"), col("event_id").as("click_id"), col("t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("jid"), col("event_id").as("purchase_id"))
+    val wj = Window.partitionBy(col("user_id"), col("jid"))
+    val ranked = clicks.join(purchases, Seq("user_id", "jid"))
+      .withColumn("pos", row_number().over(wj.orderBy(col("t"), col("click_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wj))
+    ranked.select(col("user_id"), col("purchase_id"), col("click_id"), col("pos"),
+      expr("""CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+             | WHEN n = 2 THEN 500000
+             | WHEN pos = n THEN 400000
+             | WHEN pos = 1 THEN 400000 + 200000 - (n - 2) * (200000 DIV (n - 2))
+             | ELSE 200000 DIV (n - 2) END""".stripMargin).as("credit_ppm"))
+  }
+
   def attribution(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -386,6 +420,7 @@ object SequenceOps {
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_theilsen_trend" -> ((s, dir) => theilSenTrend(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
+    "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
@@ -486,6 +521,29 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_attrib_position" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |   coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | c AS (SELECT user_id, jid, event_id AS click_id, t FROM e
+        |  WHERE event_type = 'click'),
+        | p AS (SELECT user_id, jid, event_id AS purchase_id FROM e
+        |  WHERE event_type = 'purchase'),
+        | r AS (SELECT c.user_id, p.purchase_id, c.click_id,
+        |   row_number() OVER (PARTITION BY c.user_id, c.jid
+        |     ORDER BY c.t, c.click_id) AS pos,
+        |   count(*) OVER (PARTITION BY c.user_id, c.jid) AS n
+        |  FROM c JOIN p ON c.user_id = p.user_id AND c.jid = p.jid)
+        |SELECT user_id, purchase_id, click_id, pos,
+        | CASE WHEN n = 1 THEN 1000000
+        |  WHEN n = 2 THEN 500000
+        |  WHEN pos = n THEN 400000
+        |  WHEN pos = 1 THEN 400000 + 200000 - (n - 2) * (200000 // (n - 2))
+        |  ELSE 200000 // (n - 2) END AS credit_ppm
+        |FROM r""".stripMargin,
 
     "q_attribution" ->
       """SELECT user_id, purchase_id, click_id FROM (

@@ -507,11 +507,11 @@ object ShuffleOps {
     * guarantees column-valued shift counts, and 32 lanes keep every
     * word positive — no sign-bit corner).
     */
-  private[graft] def bitmapLane(duck: Boolean): String = {
+  private[graft] def bitmapLane(e: String = "user_id", duck: Boolean): String = {
     val arms = (0 until 32).map(k => s"WHEN ${k}::BIGINT THEN ${1L << k}")
       .map(a => if (duck) a else a.replace("::BIGINT", ""))
       .mkString(" ")
-    s"CASE (user_id % 32) $arms END"
+    s"CASE (($e) % 32) $arms END"
   }
 
   /** Exact distinct-user counts per (event_type, day) via BITMAP BLOCK
@@ -564,7 +564,57 @@ object ShuffleOps {
         expr("max_cnt * 1000000 DIV (tot DIV n_keys)").as("skew_ratio_ppm"))
   }
 
+  /** Bloom-filter geometry: m = 2^16 bits as 32-bit lanes in 2048
+    * blocks, k = 2 multiplicative hashes. The multiply stays under 2^63
+    * for keys < ~3.5e9; larger id spaces would pre-fold the key
+    * (key % 2^31) first.
+    */
+  val BloomBits = 65536
+
+  /** Portable integer Bloom filter with an OBSERVED false-positive-rate
+    * audit — the companion proof to q_bloom_join (which trusts Spark's
+    * native runtime filter): members (parts with p_size <= 25) set k=2
+    * bits via multiplicative hashing into the [[bitmapLane]] 32-bit-lane
+    * word frame (per-block `bit_or`, map-side combined — the
+    * q_bitmap_distinct build); every part then probes both bits through
+    * two BROADCAST joins on the block id, and the row reports members
+    * missed (must be 0 — Bloom filters have no false negatives),
+    * observed false positives among non-members, and the exact fpr in
+    * ppm. Everything integer, bit-exact cross-engine; the filter frame
+    * is 2048 words no matter the corpus size.
+    */
+  def bloomFpr(part: DataFrame): DataFrame = {
+    val m = BloomBits
+    def h1(p: String) = s"(($p) * 2654435761) % $m"
+    def h2(p: String) = s"(($p) * 40503 + 12345) % $m"
+    val members = part.filter(col("p_size") <= 25).select(col("p_partkey").as("p"))
+    val words = members
+      .select(explode(array(expr(h1("p")), expr(h2("p")))).as("h"))
+      .select(expr("h DIV 32").as("block"),
+        expr(bitmapLane("h", duck = false)).as("w"))
+      .groupBy(col("block")).agg(expr("bit_or(w)").as("word"))
+    val probes = part.select(col("p_partkey").as("p"),
+      (col("p_size") <= 25).as("member"),
+      expr(h1("p_partkey")).as("hp1"), expr(h2("p_partkey")).as("hp2"))
+    val tested = probes
+      .join(broadcast(words.select(col("block").as("bk1"), col("word").as("w1"))),
+        expr("hp1 DIV 32") === col("bk1"), "left_outer")
+      .join(broadcast(words.select(col("block").as("bk2"), col("word").as("w2"))),
+        expr("hp2 DIV 32") === col("bk2"), "left_outer")
+      .withColumn("hit",
+        coalesce(expr(s"(w1 DIV (${bitmapLane("hp1", duck = false)})) % 2"), lit(0L)) === 1 &&
+        coalesce(expr(s"(w2 DIV (${bitmapLane("hp2", duck = false)})) % 2"), lit(0L)) === 1)
+    tested.agg(
+        lit(m.toLong).as("m_bits"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(!col("member"), 1L).otherwise(0L)).as("n_nonmembers"),
+        sum(when(col("member") && !col("hit"), 1L).otherwise(0L)).as("n_member_miss"),
+        sum(when(!col("member") && col("hit"), 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fpr_ppm", expr("n_false_pos * 1000000 DIV n_nonmembers"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_fpr" -> ((s, dir) => bloomFpr(Tables.part(s, dir))),
     "q_skew_audit" -> ((s, dir) => skewAudit(Tables.lineitem(s, dir))),
     "q_bitmap_distinct" -> ((s, dir) => bitmapDistinct(Tables.events(s, dir))),
     "q_interval_join" -> ((s, dir) => intervalJoinBucketed(s, dir)),
@@ -602,6 +652,37 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bloom_fpr" -> {
+      val m = BloomBits
+      s"""WITH members AS (SELECT p_partkey AS p FROM part WHERE p_size <= 25),
+         | hs AS (SELECT unnest([(p * 2654435761) % $m,
+         |   (p * 40503 + 12345) % $m]) AS h FROM members),
+         | words AS MATERIALIZED (SELECT h // 32 AS block,
+         |   bit_or(${bitmapLane("h", duck = true)}) AS word
+         |  FROM hs GROUP BY 1),
+         | probes AS (SELECT p_partkey AS p, p_size <= 25 AS member,
+         |   (p_partkey * 2654435761) % $m AS hp1,
+         |   (p_partkey * 40503 + 12345) % $m AS hp2 FROM part),
+         | tested AS (SELECT member,
+         |   coalesce((w1.word // (${bitmapLane("hp1", duck = true)})) % 2, 0) = 1
+         |   AND coalesce((w2.word // (${bitmapLane("hp2", duck = true)})) % 2, 0) = 1
+         |     AS hit
+         |  FROM probes
+         |  LEFT JOIN words w1 ON hp1 // 32 = w1.block
+         |  LEFT JOIN words w2 ON hp2 // 32 = w2.block)
+         |SELECT CAST($m AS BIGINT) AS m_bits,
+         | CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         | CAST(sum(CASE WHEN member THEN 0 ELSE 1 END) AS BIGINT) AS n_nonmembers,
+         | CAST(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_member_miss,
+         | CAST(sum(CASE WHEN NOT member AND hit THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_false_pos,
+         | CAST(sum(CASE WHEN NOT member AND hit THEN 1 ELSE 0 END) AS BIGINT)
+         |   * 1000000 // CAST(sum(CASE WHEN member THEN 0 ELSE 1 END) AS BIGINT)
+         |   AS fpr_ppm
+         |FROM tested""".stripMargin
+    },
+
     "q_skew_audit" -> {
       import graft.functions.PortableSql.bitLen
       s"""WITH pk AS (SELECT l_partkey, count(*) AS cnt

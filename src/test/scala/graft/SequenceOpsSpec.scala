@@ -137,6 +137,33 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, h))), s"got $got")
   }
 
+  test("position attribution: credits sum to exactly 1e6 per purchase, U-shape holds") {
+    import spark.implicits._
+    // u1: 4 clicks then a purchase (journey of 4), then 1 click + purchase
+    val fixture = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "click", 20L), (3L, 1L, "click", 30L),
+      (4L, 1L, "click", 40L), (5L, 1L, "purchase", 50L),
+      (6L, 1L, "click", 60L), (7L, 1L, "purchase", 70L),
+      // u2: purchase with no clicks -> no attribution rows
+      (8L, 2L, "purchase", 10L)
+    ).map { case (id, u, tp, us) => (id, u, tp, us, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val rows = SequenceOps.attributionPosition(fixture).collect()
+    // every purchase's credits sum to exactly 1e6
+    val perPurchase = rows.groupBy(_.getAs[Long]("purchase_id"))
+      .view.mapValues(_.map(_.getAs[Long]("credit_ppm")).sum).toMap
+    assert(perPurchase == Map(5L -> 1000000L, 7L -> 1000000L), s"got $perPurchase")
+    // U-shape on the 4-click journey: 400000+residue / 100000 / 100000 / 400000
+    val j1 = rows.filter(_.getAs[Long]("purchase_id") == 5L)
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("credit_ppm")).toMap
+    assert(j1 == Map(1L -> 400000L, 2L -> 100000L, 3L -> 100000L, 4L -> 400000L))
+    // single-click journey takes full credit
+    val j2 = rows.filter(_.getAs[Long]("purchase_id") == 7L)
+    assert(j2.map(_.getAs[Long]("credit_ppm")).toSeq == Seq(1000000L))
+    assert(!rows.exists(_.getAs[Long]("user_id") == 2L))
+  }
+
   test("twap lies within the user's [min, max] value range") {
     val bounds = events.groupBy("user_id")
       .agg(min("value").as("lo"), max("value").as("hi"))
