@@ -89,6 +89,63 @@ object Analytics {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q1 pricing summary adapted to this schema's date span — the
+    * single-table scan+aggregate workhorse: every money measure lands in
+    * exact per-row integer cents before summing (order-insensitive), the
+    * filter reaches the parquet scan as a pushed predicate, and the plan
+    * is one partial+final hash aggregate on the 6-group key.
+    */
+  private val tpchQ1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS sum_base_cents,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |   * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q10 returned-item reporting — the join-heavy top-N: fact
+    * filtered on the quarter + return flag, customer/nation dims
+    * broadcast, TakeOrderedAndProject for the top 20.
+    */
+  private val tpchQ10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Day-of-week seasonality audit — the order-volume calendar profile
+    * (dashboards slice by weekday; a flat profile here is also the
+    * load-smoothing assumption capacity planning rides on). Weekday is
+    * PORTABLE integer arithmetic (days-since-epoch % 7; engine dow
+    * builtins disagree on week start), shares and the deviation from
+    * the uniform 1/7 expectation in exact ppm — the q_benford
+    * observed-vs-expected shape on the calendar axis. One 7-row hash
+    * aggregate + a broadcast total.
+    */
+  def seasonality(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7 AS BIGINT)").as("dow"))
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_orders"))
+    val tot = counts.agg(sum(col("n_orders")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"),
+        expr("n_orders * 1000000 DIV tot").as("observed_ppm"),
+        expr("abs(n_orders * 1000000 DIV tot - 142857)").as("deviation_ppm"))
+  }
+
   private def withTpchViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
@@ -100,8 +157,11 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> ((s, dir) => seasonality(Tables.orders(s, dir))),
+    "q_tpch_q1" -> ((s, dir) => withTpchViews(s, dir)(tpchQ1Sql)),
     "q_tpch_q3" -> ((s, dir) => withTpchViews(s, dir)(tpchQ3Sql)),
     "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
+    "q_tpch_q10" -> ((s, dir) => withTpchViews(s, dir)(tpchQ10Sql)),
 
     // wide->tall reshaping via the native unpivot (melt) operator — a
     // generator, not a 3-way self-join; the oracle rebuilds the tall
@@ -516,8 +576,20 @@ object Analytics {
 
   def oracleSql: Map[String, String] = Map(
     // the SAME text spark.sql ran — the whole point of the entry
+    "q_tpch_q1" -> tpchQ1Sql,
+    "q_seasonality" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) % 7 AS dow FROM orders),
+        | c AS (SELECT CAST(dow AS BIGINT) AS dow, count(*) AS n_orders
+        |  FROM d GROUP BY 1),
+        | t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM c)
+        |SELECT dow, n_orders,
+        | n_orders * 1000000 // tot AS observed_ppm,
+        | abs(n_orders * 1000000 // tot - 142857) AS deviation_ppm
+        |FROM c, t""".stripMargin,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q5" -> tpchQ5Sql,
+    "q_tpch_q10" -> tpchQ10Sql,
     "q_projection_filter" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0""",
 

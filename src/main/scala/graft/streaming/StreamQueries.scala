@@ -1560,6 +1560,57 @@ object StreamQueries {
         col("f.cusum_cents").as("cusum_cents"), col("f.n_alarms").as("n_alarms"))
   }
 
+  private val dqSchema = StructType(Seq(
+    StructField("ms", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("amount", DoubleType)))
+
+  /** STREAMING twin of the q_dq_checks pre-publish gate: the three
+    * per-row violation indicators sum in ONE complete-mode global
+    * aggregate across micro-batches (state = three longs + a count,
+    * forever), and the readback unpivots the totals into the same
+    * (check_name, n_violations, passed) rows the batch suite emits.
+    * The type-whitelist check is the one with real violations ('error'
+    * rows are the stream's dead-letter class); like the batch suite it
+    * reports, never fails the stream.
+    */
+  def streamDq(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("dq", dir, "events"),
+      Tables.events(s, dir)
+        .select(unix_millis(col("ts")).as("ms"), col("user_id"),
+          col("event_type"), col("value").as("amount"))
+        .repartition(1).sortWithinPartitions(col("ms")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(dqSchema).json(landing)
+        .agg(
+          sum(when(expr("CAST(round(amount * 100) AS BIGINT)") < 1, 1L)
+            .otherwise(0L)).as("v_nonpos"),
+          sum(when(!col("event_type").isin("view", "click", "purchase", "signup"), 1L)
+            .otherwise(0L)).as("t_bad"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("u_null"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("v_nonpos", LongType), StructField("t_bad", LongType),
+        StructField("u_null", LongType))))
+      .parquet(s"$tmp/out")
+      .selectExpr(
+        """stack(3,
+          | 'value_positive', v_nonpos,
+          | 'type_whitelisted', t_bad,
+          | 'user_id_present', u_null) AS (check_name, n_violations)""".stripMargin)
+      .withColumn("passed", (col("n_violations") === 0L).cast("int"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming SCD2 build: close the open interval when a version arrives
   // ---------------------------------------------------------------------
@@ -1966,6 +2017,7 @@ object StreamQueries {
     "q_stream_ewma" -> ((s, dir) => streamEwma(s, dir)),
     "q_stream_cusum" -> ((s, dir) => streamCusum(s, dir)),
     "q_stream_bitmap" -> ((s, dir) => streamBitmap(s, dir)),
+    "q_stream_dq" -> ((s, dir) => streamDq(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2145,6 +2197,22 @@ object StreamQueries {
     "q_stream_ewma" -> graft.operators.FinanceOps.oracleSql("q_ewma_flags"),
     "q_stream_cusum" -> graft.operators.FinanceOps.oracleSql("q_cusum_flags"),
     "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
+    "q_stream_dq" ->
+      """WITH base AS (SELECT
+        |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) < 1
+        |    THEN 1 ELSE 0 END) AS v_nonpos,
+        |  sum(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup')
+        |    THEN 1 ELSE 0 END) AS t_bad,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS u_null
+        | FROM events),
+        | rows_ AS (
+        |  SELECT 'value_positive' AS check_name,
+        |    CAST(v_nonpos AS BIGINT) AS n_violations FROM base
+        |  UNION ALL SELECT 'type_whitelisted', CAST(t_bad AS BIGINT) FROM base
+        |  UNION ALL SELECT 'user_id_present', CAST(u_null AS BIGINT) FROM base)
+        |SELECT check_name, n_violations,
+        | CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM rows_""".stripMargin,
     "q_stream_drift" -> graft.operators.AuditOps.oracleSql("q_drift_audit"),
 
     // Streamed bucket counts over a full corpus replay must equal the

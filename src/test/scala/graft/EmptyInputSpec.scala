@@ -56,6 +56,23 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(DedupOps.dupSpanStats(emptyDocs).count() == 0)
   }
 
+  test("round-11 operators survive empty inputs") {
+    import spark.implicits._
+    import graft.operators.{FinanceOps, SequenceOps, ShuffleOps}
+    assert(FinanceOps.drawdown(emptyEvents).count() == 0)
+    assert(FinanceOps.cusumFlags(emptyEvents).count() == 0)
+    assert(ShuffleOps.bitmapDistinct(emptyEvents).count() == 0)
+    assert(SequenceOps.attributionPosition(emptyEvents).count() == 0)
+    assert(TextOps.postingsDelta(emptyDocs).count() == 0)
+    assert(TextOps.zipfFit(emptySourcedDocs).count() == 0)
+    val emptyLi = Seq.empty[(Long, Double, Double, Long)]
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "us")
+      .withColumn("l_shipdate", timestamp_micros(col("us"))).drop("us")
+    val emptyPart = Seq.empty[(Long, String)].toDF("p_partkey", "p_brand")
+    assert(FinanceOps.vwap(emptyLi, emptyPart).count() == 0)
+    assert(ShuffleOps.skewAudit(emptyLi.withColumn("l_orderkey", lit(1L))).count() == 0)
+  }
+
   private def emptySourcedDocs = {
     import spark.implicits._
     Seq.empty[(Long, String, String, String, Long)]
