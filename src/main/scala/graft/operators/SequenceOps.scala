@@ -170,6 +170,44 @@ object SequenceOps {
     * quadratic purchase x click range join. Purchases before any click
     * stay unattributed (null). One shuffle on user_id.
     */
+  /** Autocorrelation lag range (daily-count series, lags 1..7 — the
+    * weekly-periodicity sweep).
+    */
+  val AutocorrMaxLag = 7
+
+  /** Lag-k autocorrelation statistics of the daily event-count series
+    * per type — the periodicity detector (a lag-7 peak = weekly rhythm;
+    * a flat sweep = stationary load) capacity planning and anomaly
+    * baselines ride on. The day spine is COMPLETE per type (gap days
+    * count 0 — the q_ts_fill spine pattern; skipping gaps would shift
+    * every lag), and the emitted statistics are EXACT integers: per
+    * (type, lag) the pair count, Σx, Σy, Σxy and the Pearson numerator
+    * n·Σxy − Σx·Σy (normalization needs a sqrt, so the rational parts
+    * ship and the reader divides). Shape: counts aggregate once;
+    * the lag sweep is one 7-way explode of the |types|·|days| spine
+    * frame joined back to itself on (type, day+k) — spine-sized, never
+    * event-sized.
+    */
+  def autocorr(events: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame = {
+    val d = events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val spine = d.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val x = spine.join(d, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("x"))
+    val xa = x.withColumn("k", explode(expr(s"sequence(CAST(1 AS BIGINT), $maxLag)")))
+    val xb = x.select(col("event_type").as("et_b"), col("day").as("day_b"),
+      col("x").as("y"))
+    xa.join(xb, xa("event_type") === col("et_b") && col("day_b") === xa("day") + col("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_num", expr("n_pairs * sxy - sx * sy"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the sibling of
     * last-touch [[attribution]]: every click in a purchase's JOURNEY
     * (clicks after the previous purchase, before this one) gets credit —
@@ -421,6 +459,7 @@ object SequenceOps {
     "q_theilsen_trend" -> ((s, dir) => theilSenTrend(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
+    "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
@@ -521,6 +560,27 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_autocorr" ->
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |   count(*) AS cnt FROM events GROUP BY 1, 2),
+         | sp AS (SELECT event_type, unnest(generate_series(min(day), max(day)))
+         |   AS day FROM d GROUP BY event_type),
+         | x AS (SELECT sp.event_type, sp.day, coalesce(d.cnt, 0) AS x
+         |  FROM sp LEFT JOIN d ON sp.event_type = d.event_type
+         |   AND sp.day = d.day),
+         | xa AS (SELECT event_type, day, x,
+         |   unnest(generate_series(1, $AutocorrMaxLag)) AS k FROM x)
+         |SELECT xa.event_type, CAST(xa.k AS BIGINT) AS k,
+         | count(*) AS n_pairs,
+         | CAST(sum(xa.x) AS BIGINT) AS sx,
+         | CAST(sum(b.x) AS BIGINT) AS sy,
+         | CAST(sum(xa.x * b.x) AS BIGINT) AS sxy,
+         | count(*) * CAST(sum(xa.x * b.x) AS BIGINT)
+         |   - CAST(sum(xa.x) AS BIGINT) * CAST(sum(b.x) AS BIGINT) AS corr_num
+         |FROM xa JOIN x b ON xa.event_type = b.event_type
+         |  AND b.day = xa.day + xa.k
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_attrib_position" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,

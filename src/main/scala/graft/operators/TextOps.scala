@@ -634,7 +634,29 @@ object TextOps {
         expr("(fixed_bytes - delta_bytes) * 1000000 DIV fixed_bytes"))
   }
 
+  /** Language-ID QUALITY evaluation — the confusion matrix of the
+    * [[languageId]] heuristic against the corpus's labeled `lang`
+    * column (the q_er_fs_eval pattern applied to the text classifier):
+    * every (label, guess) cell with its count and row share in exact
+    * ppm of that label's mass. The eval is what tells a curator whether
+    * the cheap n-gram heuristic is good enough to gate a 100 TB corpus
+    * or needs a model upgrade; per-label shares localize WHICH
+    * languages leak. Shape: the languageId projection (one narrow scan)
+    * + one |labels|×|classes| hash aggregate + a broadcast per-label
+    * total.
+    */
+  def langidEval(docs: DataFrame): DataFrame = {
+    val cells = languageId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("lang_total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("lang_guess"), col("n"), col("lang_total"),
+        expr("n * 1000000 DIV lang_total").as("share_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_langid_eval" -> ((s, dir) => langidEval(Tables.documents(s, dir))),
     "q_postings_delta" -> ((s, dir) => postingsDelta(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => zipfFit(Tables.documents(s, dir))),
     "q_tfidf_terms" -> ((s, dir) => tfidfTerms(Tables.documents(s, dir))),
@@ -662,6 +684,22 @@ object TextOps {
     val gramsAll = trigramsAll(toks, duck = true)
     val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_langid_eval" ->
+        s"""WITH g AS (SELECT doc_id,
+           |   CASE WHEN CAST(CAST(${alen(stopD, duck = true)} AS BIGINT) AS DOUBLE)
+           |       / CAST(${alen(toks, duck = true)} AS BIGINT) >= 0.04 THEN 'en'
+           |    WHEN CAST(length(text) - length(replace(replace(replace(replace(replace(
+           |       text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS DOUBLE)
+           |       / length(text) >= 0.38 THEN 'romance'
+           |    ELSE 'other' END AS lang_guess, lang
+           |  FROM documents),
+           | cells AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2),
+           | t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+           |  FROM cells GROUP BY 1)
+           |SELECT lang, lang_guess, n, lang_total,
+           | n * 1000000 // lang_total AS share_ppm
+           |FROM cells JOIN t USING (lang)""".stripMargin,
+
       "q_postings_delta" ->
         s"""WITH t2 AS (SELECT DISTINCT doc_id, w FROM (
            |   SELECT doc_id, unnest($toks) AS w FROM documents) z
