@@ -236,6 +236,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tombstone purges must broadcast the deletion keys, got $bcastAnti:\n$plan")
   }
 
+  test("bitmap distinct: two-phase aggregate, the word shuffle carries blocks not ids") {
+    val plan = graft.operators.ShuffleOps
+      .bitmapDistinct(Tables.events(spark, dir))
+      .queryExecution.executedPlan.toString
+    // two hash-aggregate LEVELS: (key, day, block) bit_or then (key, day)
+    // popcount; each with a partial+final pair = map-side combine before
+    // BOTH exchanges — the raw user ids never shuffle
+    assert(plan.contains("bit_or"), plan)
+    assert(plan.contains("bit_count"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final pairs for both aggregate levels:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("zipf fit: rank cut plans as WindowGroupLimit partitioned by source") {
+    val plan = graft.operators.TextOps
+      .zipfFit(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must group-limit per source, not sort whole partitions:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.contains("Exchange hashpartitioning"),
+      s"the rank window must be source-partitioned:\n$plan")
+  }
+
+  test("dq checks: the referential check broadcasts the dim side") {
+    val plan = graft.operators.Governance
+      .dqChecks(Tables.orders(spark, dir), Tables.customer(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"custkey_fk must be a broadcast anti-join (fact side never shuffles):\n$plan")
+  }
+
   test("uniform sample plans TakeOrderedAndProject, not a global sort") {
     val plan = SampleOps.uniformSample(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
