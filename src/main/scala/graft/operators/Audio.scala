@@ -252,6 +252,40 @@ object Audio {
     }.toDF()
   }
 
+  /** Peak-normalization (gain staging) through the REAL codec end to
+    * end — the loudness-leveling pass an audio-corpus pipeline runs
+    * before feature extraction: decode raw PCM out of the container,
+    * compute the per-doc peak, scale every sample by the integer gain
+    * floor(32767·1e6 / peak) with SIGN-SPLIT truncating division
+    * (abs before dividing — the one integer division semantics both
+    * engines share), re-encode, and decode the NEW file for its
+    * post-gain peak and energy. The floor guarantees the scaled peak
+    * never clips (<= 32767 by construction), so no clamp branch exists
+    * to disagree on. The oracle replays the ladder + gain arithmetic
+    * relationally.
+    */
+  def wavNormalize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (ch, rate, frames) = params(id)
+        val wav = WavCodec.encode(ch, rate,
+          Array.tabulate(frames * ch)(j => sample(id, j.toLong)))
+        val (ch2, rate2, pcm) = WavCodec.decodeSamples(id, wav)
+        val peak = math.max(1L, pcm.map(s => math.abs(s.toLong)).max)
+        val gain = 32767L * 1000000L / peak
+        val out = pcm.map { s =>
+          val a = math.abs(s.toLong) * gain / 1000000L
+          (if (s < 0) -a else a).toShort
+        }
+        val (_, _, back) = WavCodec.decodeSamples(id, WavCodec.encode(ch2, rate2, out))
+        val peakAfter = back.map(s => math.abs(s.toLong)).max
+        val ss = back.map(s => s.toLong * s).sum
+        (id, peak, gain, peakAfter, ss)
+      }
+    }.toDF("doc_id", "peak_before", "gain_ppm", "peak_after", "sum_squares_after")
+  }
+
   /** Every 50th blob truncated mid-header — the corrupt-media rate. */
   val CorruptMod = 50
 
@@ -331,6 +365,7 @@ object Audio {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_audio" -> ((s, dir) => wavStats(s, Tables.documents(s, dir))),
     "q_audio_downsample" -> ((s, dir) => wavDownsample(s, Tables.documents(s, dir))),
+    "q_audio_normalize" -> ((s, dir) => wavNormalize(s, Tables.documents(s, dir))),
     "q_audio_goertzel" -> ((s, dir) => wavGoertzel(s, Tables.documents(s, dir))),
     "q_media_deadletter" -> ((s, dir) => wavDeadLetter(s, Tables.documents(s, dir)))
   )
@@ -393,6 +428,34 @@ object Audio {
         | CAST(out_frames * 1000 // (sample_rate // 2) AS BIGINT) AS duration_ms,
         | sum_squares, sum_abs
         |FROM g""".stripMargin,
+
+    // peak + gain arithmetic replayed on the ladder; the codec roundtrip
+    // must hand back exactly the scaled samples for the post-gain stats
+    // to land on this closed form
+    "q_audio_normalize" ->
+      s"""WITH p AS (SELECT doc_id,
+        |   CAST(1 + doc_id % 2 AS INT) AS channels,
+        |   CAST(200 + (doc_id % 101) * 7 AS BIGINT) AS n_frames
+        |  FROM documents),
+        | s AS (SELECT doc_id,
+        |   unnest(generate_series(0, n_frames * channels - 1)) AS j FROM p),
+        | v AS (SELECT doc_id,
+        |   (${graft.functions.PortableSql.seedLadderSql("doc_id")} + j * 1299721)
+        |     % 65536 - 32768 AS x
+        |  FROM s),
+        | pk AS (SELECT doc_id, greatest(max(abs(x)), 1) AS peak_before
+        |  FROM v GROUP BY 1),
+        | g AS (SELECT doc_id, peak_before,
+        |   CAST(32767 AS BIGINT) * 1000000 // peak_before AS gain_ppm FROM pk),
+        | y AS (SELECT v.doc_id,
+        |   CASE WHEN x < 0 THEN -((-x) * gain_ppm // 1000000)
+        |        ELSE (x * gain_ppm) // 1000000 END AS y
+        |  FROM v JOIN g USING (doc_id))
+        |SELECT y.doc_id, g.peak_before, g.gain_ppm,
+        | CAST(max(abs(y)) AS BIGINT) AS peak_after,
+        | CAST(sum(y * y) AS BIGINT) AS sum_squares_after
+        |FROM y JOIN g ON y.doc_id = g.doc_id
+        |GROUP BY y.doc_id, g.peak_before, g.gain_ppm""".stripMargin,
 
     "q_media_deadletter" ->
       s"""SELECT CASE WHEN doc_id % $CorruptMod = 0
