@@ -246,7 +246,60 @@ object Bmp {
     }.toDF("doc_id", "width", "height", "n_interior", "edge_energy", "max_grad")
   }
 
+  /** Center-crop through the REAL codec — the region-of-interest
+    * extraction (training-crop / letterbox-strip) pass: decode the
+    * container, take the integer center box [w/4, w/4 + w/2) ×
+    * [h/4, h/4 + h/2), RE-ENCODE the crop (its own row padding — the
+    * BMP 4-byte row alignment changes with the new width, which is
+    * exactly what the byte-size column audits), decode the new file,
+    * and emit its channel sums. The oracle sums the pixel ladder over
+    * the crop box in closed form — any off-by-one in the crop bounds
+    * or the re-encode row stride breaks it.
+    */
+  def bmpCrop(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val (x, y) = (i % w, i / w)
+          var c = 0
+          while (c < 3) {
+            rgb(i * 3 + c) = pixel(id, c, x, y).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val img = BmpCodec.decode(id, BmpCodec.encode(BmpImage(w, h, rgb)))
+        val (x0, y0, cw, chh) = (w / 4, h / 4, w / 2, h / 2)
+        val crgb = new Array[Byte](cw * chh * 3)
+        var cy = 0
+        while (cy < chh) {
+          var cx = 0
+          while (cx < cw) {
+            var c = 0
+            while (c < 3) {
+              crgb((cy * cw + cx) * 3 + c) =
+                img.rgb(((y0 + cy) * w + (x0 + cx)) * 3 + c)
+              c += 1
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        val bytes = BmpCodec.encode(BmpImage(cw, chh, crgb))
+        val back = BmpCodec.decode(id, bytes)
+        val (r, g, b) = BmpCodec.channelSums(back)
+        (id, back.width, back.height, bytes.length.toLong, r, g, b)
+      }
+    }.toDF("doc_id", "crop_width", "crop_height", "n_bytes",
+      "sum_r", "sum_g", "sum_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_crop" -> ((s, dir) => bmpCrop(s, Tables.documents(s, dir))),
     "q_multimodal_bmp" -> ((s, dir) => bmpStats(s, Tables.documents(s, dir))),
     "q_image_sobel" -> ((s, dir) => bmpSobel(s, Tables.documents(s, dir)))
   )
@@ -278,6 +331,32 @@ object Bmp {
     },
     // Every decoded fact from the pixel ladder alone; n_bytes is the
     // exact container size (54 + height * 4-byte-padded BGR rows).
+    // crop-box ladder sums in closed form; n_bytes re-applies the BMP
+    // container formula at the CROP width (fresh 4-byte row padding)
+    "q_image_crop" ->
+      s"""WITH d AS (SELECT doc_id,
+        |   CAST(16 + doc_id % 17 AS INT) AS width,
+        |   CAST(8 + doc_id % 13 AS INT) AS height,
+        |   ${graft.functions.PortableSql.seedLadderSql("doc_id")} AS base
+        |  FROM documents),
+        | c AS (SELECT doc_id, base,
+        |   width // 4 AS x0, height // 4 AS y0,
+        |   width // 2 AS cw, height // 2 AS ch FROM d),
+        | px AS (SELECT doc_id, cw, ch,
+        |   (base + (x0 + cx) * 31 + (y0 + cy) * 17) % 256 AS r,
+        |   (base + (x0 + cx) * 31 + (y0 + cy) * 17 + 67) % 256 AS g,
+        |   (base + (x0 + cx) * 31 + (y0 + cy) * 17 + 134) % 256 AS b
+        |  FROM c, LATERAL unnest(generate_series(0, cw - 1)) AS gx(cx),
+        |   LATERAL unnest(generate_series(0, ch - 1)) AS gy(cy))
+        |SELECT doc_id,
+        | CAST(max(cw) AS INT) AS crop_width,
+        | CAST(max(ch) AS INT) AS crop_height,
+        | CAST(54 + max(ch) * ((3 * max(cw) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        | CAST(sum(r) AS BIGINT) AS sum_r,
+        | CAST(sum(g) AS BIGINT) AS sum_g,
+        | CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+
     "q_multimodal_bmp" ->
       s"""WITH d AS (SELECT doc_id,
         |   CAST(16 + doc_id % 17 AS INT) AS width,
