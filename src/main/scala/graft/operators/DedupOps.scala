@@ -107,14 +107,52 @@ object DedupOps {
     // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
     // clearCache() after each query.
     val g = withShingleHashes(docs).cache()
+    verifyJaccard(g, minhashCandidates(g))
+  }
+
+  /** The RAW banded candidate set (pre-verification) — split out so the
+    * precision/recall evaluation can audit what banding alone surfaces.
+    */
+  private[graft] def minhashCandidates(g: DataFrame): DataFrame = {
     val bands = bandFrame(g)
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(g, cand)
+  }
+
+  /** MinHash banding precision/recall evaluation — the text-side twin of
+    * q_emb_lsh_recall: the RAW banded candidate set (restricted to
+    * within-source pairs, the blocking the ground truth lives under) is
+    * scored against the COMPLETE exact-Jaccard pair set at
+    * [[MinhashThreshold]] — complete because the prefix-filter pipeline
+    * is lossless at its [[NgramThreshold]] = 0.5 bound, so re-filtering
+    * its output at 0.8 loses nothing. Emits candidate recall (the
+    * banding miss rate — the b×r dial) and candidate precision (how
+    * much the verify join has to discard) in exact ppm. One row.
+    */
+  def minhashEval(docs: DataFrame): DataFrame = {
+    val g = withShingleHashes(docs).cache()
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val candWs = minhashCandidates(g)
+      .join(srcs.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(srcs.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .filter(col("s1") === col("s2"))
+      .select(col("d1"), col("d2"))
+      .cache()
+    val truth = ngramJaccardPairs(docs)
+      .filter(col("jaccard") >= MinhashThreshold)
+      .select(col("d1"), col("d2"))
+      .cache()
+    val hit = truth.join(candWs, Seq("d1", "d2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(candWs.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"),
+        expr("n_hit * 1000000 DIV greatest(n_cand, 1)").as("precision_ppm"))
   }
 
   /** Exact trigram-Jaccard verification of a candidate (d1, d2) frame
@@ -741,6 +779,7 @@ object DedupOps {
     "q_dedup_bag" -> ((s, dir) => bagDuplicates(Tables.documents(s, dir))),
     "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
+    "q_dedup_minhash_eval" -> ((s, dir) => minhashEval(Tables.documents(s, dir))),
     "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
@@ -1064,6 +1103,38 @@ object DedupOps {
            |FROM mh""".stripMargin,
 
       "q_dedup_minhash_pairs" -> minhashPairsSql,
+
+      // raw banded candidates (within source) scored against the exact
+      // pair set at the minhash threshold — truth reuses the lossless
+      // ngram derivation refiltered at 0.8
+      "q_dedup_minhash_eval" ->
+        s"""WITH $sigCte,
+           | $gramsCte,
+           | cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandOr)),
+           | src AS (SELECT doc_id, source FROM documents),
+           | cand_ws AS MATERIALIZED (SELECT d1, d2 FROM cand
+           |  JOIN src s1 ON d1 = s1.doc_id
+           |  JOIN src s2 ON d2 = s2.doc_id
+           |  WHERE s1.source = s2.source),
+           | gs AS (SELECT g.doc_id, src.source, g.hs FROM g
+           |  JOIN src ON g.doc_id = src.doc_id),
+           | truth AS MATERIALIZED (
+           |  SELECT g1.doc_id AS d1, g2.doc_id AS d2
+           |  FROM gs g1 JOIN gs g2
+           |    ON g1.source = g2.source AND g1.doc_id < g2.doc_id
+           |  WHERE round(${jaccard("g1.hs", "g2.hs", duck = true)}, 6)
+           |    >= $MinhashThreshold),
+           | hit AS (SELECT t.d1, t.d2 FROM truth t
+           |  JOIN cand_ws c ON t.d1 = c.d1 AND t.d2 = c.d2),
+           | n AS (SELECT
+           |   (SELECT count(*) FROM truth) AS n_truth,
+           |   (SELECT count(*) FROM cand_ws) AS n_cand,
+           |   (SELECT count(*) FROM hit) AS n_hit)
+           |SELECT n_truth, n_cand, n_hit,
+           | n_hit * 1000000 // greatest(n_truth, 1) AS recall_ppm,
+           | n_hit * 1000000 // greatest(n_cand, 1) AS precision_ppm
+           |FROM n""".stripMargin,
 
       "q_dedup_simhash_sig" ->
         s"""WITH $simCte
