@@ -42,6 +42,33 @@ object MixOps {
     docs.select(col("doc_id"), col("source"),
       expr(alen(tokens("text", duck = false), duck = false)).cast("long").as("n_toks"))
 
+  /** Temperature-scaled mixture reweighting — the multilingual-sampling
+    * trick (raise each domain's share to the power 1/T and renormalize;
+    * T > 1 flattens toward uniform, boosting low-resource domains).
+    * Integer-exact for T = 1/2 (α = 2, squaring) and the T→∞ uniform
+    * limit: per source the natural ppm share, the α=2 sharpened share
+    * (share² renormalized — squared sums stay ≪ 2^63 because each share
+    * ≤ 1e6), and the uniform share, plus the sharpened-vs-natural boost
+    * in milli-units — the three-point temperature sweep a mixture
+    * designer reads before committing a T. One |domains|-row frame end
+    * to end after the token aggregate.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val stats = docTokens(docs).groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("toks"))
+    val tot = stats.agg(sum(col("toks")).as("tt"),
+      count(lit(1)).as("nd"))
+    val shares = stats.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("toks * 1000000 DIV tt"))
+    val sq = shares.agg(sum(expr("share_ppm * share_ppm")).as("sq_sum"))
+    shares.crossJoin(broadcast(sq))
+      .select(col("source"), col("toks").as("total_tokens"), col("share_ppm"),
+        expr("share_ppm * share_ppm * 1000000 DIV sq_sum").as("sharp_ppm"),
+        expr("1000000 DIV nd").as("uniform_ppm"))
+      .withColumn("boost_milli",
+        expr("sharp_ppm * 1000 DIV greatest(share_ppm, 1)"))
+  }
+
   /** Per-source mixture plan: corpus share vs target share in exact ppm,
     * and the resampling factor in millis (1000 = keep as-is, 2500 = 2.5x
     * oversample, 400 = keep 40%).
@@ -178,6 +205,7 @@ object MixOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_waterfill" -> ((s, dir) => waterfill(Tables.documents(s, dir))),
+    "q_mix_temperature" -> ((s, dir) => mixTemperature(Tables.documents(s, dir))),
     "q_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
     "q_domain_resample" -> ((s, dir) => domainResample(Tables.documents(s, dir))),
     "q_source_xent" -> ((s, dir) => sourceCrossEntropy(Tables.documents(s, dir)))
@@ -231,6 +259,24 @@ object MixOps {
            | CAST(CASE WHEN lam IS NULL OR q <= lam THEN 1 ELSE 0 END AS BIGINT)
            |   AS capped
            |FROM ranked CROSS JOIN lamr""".stripMargin,
+
+      "q_mix_temperature" ->
+        s"""WITH dt AS (SELECT source,
+           |   CAST(${alen(tokens("text", duck = true), duck = true)} AS BIGINT)
+           |     AS n_toks FROM documents),
+           | st AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks
+           |  FROM dt GROUP BY 1),
+           | t AS (SELECT CAST(sum(toks) AS BIGINT) AS tt, count(*) AS nd FROM st),
+           | sh AS (SELECT source, toks, toks * 1000000 // tt AS share_ppm, nd
+           |  FROM st, t),
+           | sq AS (SELECT CAST(sum(share_ppm * share_ppm) AS BIGINT) AS sq_sum
+           |  FROM sh)
+           |SELECT source, toks AS total_tokens, share_ppm,
+           | share_ppm * share_ppm * 1000000 // sq_sum AS sharp_ppm,
+           | 1000000 // nd AS uniform_ppm,
+           | (share_ppm * share_ppm * 1000000 // sq_sum) * 1000
+           |   // greatest(share_ppm, 1) AS boost_milli
+           |FROM sh, sq""".stripMargin,
 
       "q_domain_mix" ->
         s"""WITH $mixCte

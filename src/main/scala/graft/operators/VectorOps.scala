@@ -354,6 +354,48 @@ object VectorOps {
     * so the overlap count is an exact oracle-checkable value, not a
     * statistical one.
     */
+  /** nprobe sweep for the recall audit (1 = cheapest, 4 = quarter of
+    * the cells).
+    */
+  val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** IVF nprobe→recall SWEEP — the tuning table an ANN deployment reads
+    * before fixing its probe count: one row per nprobe ∈
+    * [[IvfSweepProbes]] with recall@k vs the exact cosine top-k. The
+    * index builds ONCE (vecs/centroids/assignment shared across sweep
+    * points — not one Lloyd run per row); each sweep point differs only
+    * in how many ranked centroids it probes, exactly how a server would
+    * re-tune nprobe without rebuilding the index. The centroid rank
+    * window runs over the K-row centroid frame, never data.
+    */
+  def ivfProbeSweep(emb: DataFrame, k: Int = 10,
+      probes: Seq[Int] = IvfSweepProbes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = normalized(emb, withLabel = false).cache()
+    val cents = lloydCentroids(vecs)
+    val assign = assignTo(vecs, cents).cache()
+    val q = vecs.filter(col("vec_id") === 0L).select(col("vn").as("qv"))
+    val crank = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"), dotCol(col("cv"), col("qv")).as("qcos"))
+      .withColumn("crnk",
+        row_number().over(Window.orderBy(col("qcos").desc, col("centroid_id").asc)))
+    val exact = cosineTopK(emb, k = k).select(col("vec_id")).cache()
+    probes.map { p =>
+      val probed = crank.filter(col("crnk") <= p).select(col("centroid_id"))
+      val approx = vecs.join(assign, "vec_id")
+        .join(broadcast(probed), "centroid_id")
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dotCol(col("vn"), col("qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(k).select(col("vec_id"))
+      exact.join(approx, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(p.toLong).as("nprobe"), lit(k.toLong).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   def ivfRecall(emb: DataFrame, k: Int = 10): DataFrame = {
     val exact = cosineTopK(emb, k = k).select(col("vec_id"))
     val approx = ivfTopK(emb, k = k).select(col("vec_id"))
@@ -1174,6 +1216,7 @@ object VectorOps {
     "q_emb_lsh_scaling" -> ((s, dir) => lshOccupancyScaling(Tables.embeddings(s, dir))),
     "q_emb_semdedup" -> ((s, dir) => semDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_recall" -> ((s, dir) => ivfRecall(Tables.embeddings(s, dir))),
+    "q_emb_ivf_sweep" -> ((s, dir) => ivfProbeSweep(Tables.embeddings(s, dir))),
     "q_emb_drift" -> ((s, dir) => centroidDrift(Tables.embeddings(s, dir))),
     "q_hybrid_search" -> ((s, dir) =>
       hybridSearch(Tables.embeddings(s, dir), Tables.documents(s, dir))),
@@ -1205,14 +1248,14 @@ object VectorOps {
          |SELECT vec_id, label, $cos AS cosine
          |FROM c, q
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-    val ivfTopkSql =
+    def ivfTopkSqlP(probes: Int) =
       s"""WITH $normCte,
          |$ivfAsgCte,
          | q AS (SELECT vn AS qv FROM e WHERE vec_id = 0),
          | probed AS (SELECT centroid_id FROM (
          |   SELECT c.centroid_id, ${dot("c.cv", "q.qv", duck = true)} AS qcos
          |   FROM c, q
-         |   ORDER BY qcos DESC, centroid_id LIMIT $IvfProbes) p)
+         |   ORDER BY qcos DESC, centroid_id LIMIT $probes) p)
          |SELECT e.vec_id, asg.centroid_id,
          |  round(${dot("e.vn", "q.qv", duck = true)}, 6) AS cosine
          |FROM e
@@ -1220,6 +1263,7 @@ object VectorOps {
          | JOIN probed ON asg.centroid_id = probed.centroid_id, q
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+    val ivfTopkSql = ivfTopkSqlP(IvfProbes)
     // ---- PQ oracle CTEs (mirror microVecs/pqCoarse/pqResidualSubs/
     //      pqSeeds/pqIter/pqAssign; the d2/argmin expressions repeat
     //      verbatim in the window ORDER BY, the lloydCte discipline) ----
@@ -1466,6 +1510,13 @@ object VectorOps {
            | round(count(*) / 10.0, 6) AS recall
            |FROM ($cosineTopkSql) e JOIN ($ivfTopkSql) i
            | ON e.vec_id = i.vec_id""".stripMargin,
+
+      "q_emb_ivf_sweep" -> IvfSweepProbes.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS k,
+           | count(*) AS n_overlap, round(count(*) / 10.0, 6) AS recall
+           |FROM ($cosineTopkSql) e JOIN (${ivfTopkSqlP(p)}) i
+           | ON e.vec_id = i.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
       "q_emb_lsh_buckets" ->
         s"""WITH $normCte
