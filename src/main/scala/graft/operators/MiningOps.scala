@@ -186,11 +186,68 @@ object MiningOps {
         col("n_b"), col("conf_ppm"), col("lift_ppm"))
   }
 
+  /** Per-segment repurchase-interval summary — the customer-lifecycle
+    * metric (how long until a customer orders again) sliced by market
+    * segment: per-customer inter-order gaps via ONE lag window
+    * partitioned by customer, then the per-segment DOUBLED median (two
+    * central order statistics summed — division-free, the
+    * q_conversion_lag trick) plus max and count. Ties in the gap sort
+    * share their value, so the rank selection is deterministic
+    * cross-engine even where row identity is not. Windows: customer-
+    * partitioned lag, segment-partitioned rank — never global.
+    */
+  def repurchaseGaps(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey").as("cust"),
+      expr("CAST(o_orderdate AS DATE)").as("d"), col("o_orderkey").as("ok"))
+    val wc = Window.partitionBy(col("cust")).orderBy(col("d"), col("ok"))
+    val gaps = o.withColumn("prev", lag(col("d"), 1).over(wc))
+      .filter(col("prev").isNotNull)
+      .select(col("cust"), datediff(col("d"), col("prev")).cast("long").as("gap"))
+    val seg = customer.select(col("c_custkey").as("cust"),
+      col("c_mktsegment").as("segment"))
+    val ws = Window.partitionBy(col("segment"))
+    val r = gaps.join(broadcast(seg), "cust")
+      .withColumn("rn", row_number().over(ws.orderBy(col("gap"), col("cust"))))
+      .withColumn("n", count(lit(1)).over(ws))
+    r.groupBy(col("segment")).agg(
+      max(col("n")).as("n_gaps"),
+      max(col("gap")).as("max_gap_days"),
+      (sum(when(col("rn") === expr("(n + 1) DIV 2"), col("gap")).otherwise(0L)) +
+        sum(when(col("rn") === expr("(n + 2) DIV 2"), col("gap")).otherwise(0L)))
+        .as("p50x2_gap_days"))
+  }
+
+  /** Revenue-concentration (Pareto) audit per brand tier — how much of
+    * the order book the top TWENTY percent of suppliers carry: supplier
+    * revenue (exact cents) ranked once over the DIM-SIZED supplier
+    * frame, the 80/20 cut at ceil(n/5), shares in exact ppm. The only
+    * window runs over one-row-per-supplier; the fact table contributes
+    * a single map-side-combined aggregate.
+    */
+  def supplierPareto(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy(col("l_suppkey").as("sk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    rev
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cents").desc, col("sk").asc)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_suppliers"),
+        max(expr("(n + 4) DIV 5")).as("top_n"),
+        max(col("tot")).as("total_cents"),
+        sum(when(col("rn") <= expr("(n + 4) DIV 5"), col("cents")).otherwise(0L))
+          .as("top_cents"))
+      .withColumn("top_share_ppm", expr("top_cents * 1000000 DIV total_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, dir) => rfmSegments(Tables.orders(s, dir))),
     "q_rfm_cuts" -> ((s, dir) => rfmSegmentsCuts(Tables.orders(s, dir))),
     "q_copurchase" -> ((s, dir) => coPurchase(s, dir)),
-    "q_assoc_rules" -> ((s, dir) => assocRules(s, dir))
+    "q_assoc_rules" -> ((s, dir) => assocRules(s, dir)),
+    "q_repurchase_gaps" -> ((s, dir) =>
+      repurchaseGaps(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "q_supplier_pareto" -> ((s, dir) => supplierPareto(Tables.lineitem(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,6 +296,41 @@ object MiningOps {
         |        max(CASE WHEN metric = 'm' THEN tile END) AS BIGINT) AS rfm_code
         |  FROM tiles GROUP BY 1)
         |SELECT rfm_code, count(*) AS customers FROM codes GROUP BY 1""".stripMargin,
+
+    "q_repurchase_gaps" ->
+      """WITH o AS (SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+        |   o_orderkey AS ok FROM orders),
+        | g AS (SELECT cust,
+        |   CAST(date_diff('day', lag(d, 1) OVER w, d) AS BIGINT) AS gap
+        |  FROM o WINDOW w AS (PARTITION BY cust ORDER BY d, ok)),
+        | gs AS (SELECT c_mktsegment AS segment, gap, cust
+        |  FROM g JOIN customer ON cust = c_custkey WHERE gap IS NOT NULL),
+        | r AS (SELECT segment, gap,
+        |   row_number() OVER (PARTITION BY segment ORDER BY gap, cust) AS rn,
+        |   count(*) OVER (PARTITION BY segment) AS n FROM gs)
+        |SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+        | CAST(max(gap) AS BIGINT) AS max_gap_days,
+        | CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN gap ELSE 0 END) +
+        |  sum(CASE WHEN rn = (n + 2) // 2 THEN gap ELSE 0 END) AS BIGINT)
+        |   AS p50x2_gap_days
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_supplier_pareto" ->
+      """WITH rev AS (SELECT l_suppkey AS sk,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+        | r AS (SELECT cents,
+        |   row_number() OVER (ORDER BY cents DESC, sk) AS rn FROM rev)
+        |SELECT max(n) AS n_suppliers,
+        | CAST(max((n + 4) // 5) AS BIGINT) AS top_n,
+        | max(tot) AS total_cents,
+        | CAST(sum(CASE WHEN rn <= (n + 4) // 5 THEN cents ELSE 0 END) AS BIGINT)
+        |   AS top_cents,
+        | CAST(sum(CASE WHEN rn <= (n + 4) // 5 THEN cents ELSE 0 END) AS BIGINT)
+        |   * 1000000 // max(tot) AS top_share_ppm
+        |FROM r, t""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
