@@ -282,7 +282,35 @@ object AuditOps {
       .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
   }
 
+  /** SLO error budget (1% = 10000 ppm). */
+  val ErrorBudgetPpm = 10000L
+
+  /** Error-budget burn-rate audit — the SRE dashboard over the event
+    * stream's dead-letter class: per day the error share, the running
+    * cumulative burn since day one, and the over-budget flag against
+    * [[ErrorBudgetPpm]]. The cumulative sums run as a theta-join of the
+    * per-DAY frame against itself (|days|² rows — calendar-bounded, the
+    * rfm-cuts prefix pattern), never a window over events; the event
+    * scan contributes one map-side-combined aggregate.
+    */
+  def errorBudget(events: DataFrame): DataFrame = {
+    val d = events.select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        (col("event_type") === "error").cast("long").as("err"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"), sum(col("err")).as("n_err"))
+    d.as("a").join(d.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(max(col("a.n")).as("n"), max(col("a.n_err")).as("n_err"),
+        sum(col("b.n")).as("cum_n"), sum(col("b.n_err")).as("cum_err"))
+      .select(col("day"), col("n"), col("n_err"),
+        expr("n_err * 1000000 DIV n").as("day_err_ppm"),
+        col("cum_n"), col("cum_err"),
+        expr("cum_err * 1000000 DIV cum_n").as("burn_ppm"),
+        expr(s"CAST(CASE WHEN cum_err * 1000000 DIV cum_n > $ErrorBudgetPpm THEN 1 ELSE 0 END AS INT)")
+          .as("over_budget"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_error_budget" -> ((s, dir) => errorBudget(Tables.events(s, dir))),
     "q_drift_audit" -> ((s, dir) => driftAudit(Tables.events(s, dir))),
     "q_fk_integrity" -> ((s, dir) => fkIntegrity(s, dir)),
     "q_anomaly_zscore" -> ((s, dir) => anomalyZscore(Tables.events(s, dir))),
@@ -291,6 +319,24 @@ object AuditOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_error_budget" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |   count(*) AS n,
+         |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_err
+         |  FROM events GROUP BY 1),
+         | c AS (SELECT a.day, max(a.n) AS n, max(a.n_err) AS n_err,
+         |   CAST(sum(b.n) AS BIGINT) AS cum_n,
+         |   CAST(sum(b.n_err) AS BIGINT) AS cum_err
+         |  FROM d a JOIN d b ON b.day <= a.day GROUP BY 1)
+         |SELECT day, n, n_err,
+         | n_err * 1000000 // n AS day_err_ppm,
+         | cum_n, cum_err,
+         | cum_err * 1000000 // cum_n AS burn_ppm,
+         | CAST(CASE WHEN cum_err * 1000000 // cum_n > $ErrorBudgetPpm
+         |   THEN 1 ELSE 0 END AS INT) AS over_budget
+         |FROM c""".stripMargin,
+
     "q_drift_audit" ->
       """WITH e AS (SELECT epoch_us(ts) AS t,
         |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),

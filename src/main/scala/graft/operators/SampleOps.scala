@@ -259,6 +259,27 @@ object SampleOps {
     * aggregate — groups parallelize independently, nothing global; the
     * approx twin for wide groups is q_approx_quantiles.
     */
+  /** Daily SLO trend — [[groupOrderStats]] with the time axis a real SLO
+    * dashboard plots: exact p50/p95 per (event_type, day), each day's
+    * order statistics selected inside its own (type, day) window
+    * partition. Day partitions parallelize independently and each holds
+    * one day of one type — the partition-size bound that makes exact
+    * per-slice percentiles fine at 100 TB even though a GLOBAL exact
+    * percentile would not be.
+    */
+  def sloTrend(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val part = Window.partitionBy(col("event_type"), col("day"))
+    val r = e.withColumn("rn", row_number().over(part.orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(part))
+    r.groupBy(col("event_type"), col("day")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === expr("(n + 1) DIV 2"), col("cents"))).as("p50_cents"),
+      max(when(col("rn") === expr("(95 * n + 99) DIV 100"), col("cents"))).as("p95_cents"))
+  }
+
   def groupOrderStats(events: DataFrame): DataFrame = {
     val e = events.select(col("event_type"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -274,6 +295,7 @@ object SampleOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_slo" -> ((s, dir) => groupOrderStats(Tables.events(s, dir))),
+    "q_slo_trend" -> ((s, dir) => sloTrend(Tables.events(s, dir))),
     "q_sample_stratified" -> ((s, dir) => stratifiedByLang(Tables.documents(s, dir))),
     "q_sample_weighted" -> ((s, dir) => weightedSample(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
@@ -301,6 +323,18 @@ object SampleOps {
         | CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS BIGINT)
         |   AS p99_cents
         |FROM r GROUP BY 1""".stripMargin,
+    "q_slo_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | r AS (SELECT event_type, day, cents,
+        |   row_number() OVER (PARTITION BY event_type, day ORDER BY cents) AS rn,
+        |   count(*) OVER (PARTITION BY event_type, day) AS n FROM e)
+        |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+        |   AS p50_cents,
+        | CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS BIGINT)
+        |   AS p95_cents
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang, doc_id, rnk FROM (
          | SELECT lang, doc_id,
