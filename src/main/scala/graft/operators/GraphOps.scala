@@ -205,7 +205,54 @@ object GraphOps {
     e
   }
 
+  /** BFS round cap: levels beyond the graph's diameter are no-ops (the
+    * k-core fixed-round argument), so both engines run exactly this many.
+    */
+  val BfsRounds = 6
+
+  /** Single-source BFS levels over the support-thresholded co-purchase
+    * graph — hop distance from the lexicographically-first brand, the
+    * "how related is this product to the anchor" graph feature.
+    * Classic distributed frontier expansion: each round joins the
+    * CURRENT frontier (broadcast — frontiers are node-bounded) to the
+    * edge list and labels newly reached nodes with the round number;
+    * unreached nodes report -1. Fixed [[BfsRounds]] rounds with
+    * `localCheckpoint` O(1) plan depth, zero driver collects, unrolled
+    * MATERIALIZED-CTE oracle — the k-core determinism recipe.
+    */
+  def bfsLevels(spark: SparkSession, dir: String,
+      rounds: Int = BfsRounds): DataFrame = {
+    val sup = supportEdges(spark, dir)
+    val oTot = Tables.orders(spark, dir).agg(count(lit(1)).as("n"))
+    val half = sup.crossJoin(broadcast(oTot))
+      .filter(col("sup") * lit(1000000L) >= col("n") * lit(KCoreSupPpm))
+      .select(col("b1"), col("b2"))
+    val e = half.select(col("b1").as("src"), col("b2").as("dst"))
+      .unionByName(half.select(col("b2").as("src"), col("b1").as("dst")))
+      .localCheckpoint()
+    val nodes = Tables.part(spark, dir).select(col("p_brand").as("b")).distinct()
+    val srcB = nodes.agg(min(col("b")).as("s"))
+    var lvl = nodes.crossJoin(broadcast(srcB))
+      .select(col("b"),
+        when(col("b") === col("s"), 0L).otherwise(-1L).as("lvl"))
+      .localCheckpoint()
+    for (i <- 1 to rounds) {
+      val frontier = lvl.filter(col("lvl") === (i - 1).toLong)
+        .select(col("b").as("src"))
+      val reached = e.join(broadcast(frontier), "src")
+        .select(col("dst").as("b")).distinct()
+      lvl = lvl.join(reached.withColumn("r", lit(1L)), Seq("b"), "left_outer")
+        .select(col("b"),
+          when(col("lvl") >= 0, col("lvl"))
+            .otherwise(when(col("r").isNotNull, lit(i.toLong)).otherwise(-1L))
+            .as("lvl"))
+        .localCheckpoint()
+    }
+    lvl.select(col("b").as("brand"), col("lvl").as("level"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_levels" -> ((s, dir) => bfsLevels(s, dir)),
     "q_pagerank" -> ((s, dir) => pageRank(s, dir)),
     "q_kcore" -> ((s, dir) => kCore(s, dir)),
     "q_triangles" -> ((s, dir) => triangleCounts(s, dir))
@@ -267,6 +314,38 @@ object GraphOps {
            |SELECT brand, count(*) AS core_deg FROM (
            | SELECT unnest([b1, b2]) AS brand FROM e$KCoreRounds) z
            |GROUP BY 1""".stripMargin
+      },
+
+      // BFS frontier expansion unrolled: lvl_i labels nodes first
+      // reached at round i; MATERIALIZED for the same inlining reason
+      // as q_kcore
+      "q_bfs_levels" -> {
+        val roundsSql = (1 to BfsRounds).map { i =>
+          val p = i - 1
+          s"""f$i AS (SELECT b FROM lvl$p WHERE lvl = $p),
+             |r$i AS (SELECT DISTINCT e.dst AS b FROM e
+             |  JOIN f$i ON e.src = f$i.b),
+             |lvl$i AS MATERIALIZED (SELECT l.b,
+             |   CASE WHEN l.lvl >= 0 THEN l.lvl
+             |        WHEN r$i.b IS NOT NULL THEN $i ELSE -1 END AS lvl
+             |  FROM lvl$p l LEFT JOIN r$i ON l.b = r$i.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           | sup AS (SELECT a.b AS b1, o2.b AS b2, count(*) AS sup
+           |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b GROUP BY 1, 2),
+           | ot AS (SELECT count(*) AS n FROM orders),
+           | half AS MATERIALIZED (SELECT b1, b2 FROM sup, ot
+           |  WHERE sup * 1000000 >= n * $KCoreSupPpm),
+           | e AS MATERIALIZED (SELECT b1 AS src, b2 AS dst FROM half
+           |  UNION ALL SELECT b2, b1 FROM half),
+           | nodes AS (SELECT DISTINCT p_brand AS b FROM part),
+           | s AS (SELECT min(b) AS s FROM nodes),
+           | lvl0 AS MATERIALIZED (SELECT b,
+           |   CASE WHEN b = s THEN 0 ELSE -1 END AS lvl FROM nodes, s),
+           |$roundsSql
+           |SELECT b AS brand, CAST(lvl AS BIGINT) AS level
+           |FROM lvl$BfsRounds""".stripMargin
       },
 
       // Same oriented pe edges; each triangle matches exactly one
