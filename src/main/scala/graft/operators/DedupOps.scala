@@ -123,6 +123,24 @@ object DedupOps {
       .distinct()
   }
 
+  /** Dedup-threshold sweep — the pair-count-vs-threshold curve read
+    * before COMMITTING a Jaccard cutoff: the complete (within-source)
+    * exact pair set at 0.5 is computed ONCE, then each candidate
+    * threshold counts its surviving pairs — one grouped pass over the
+    * pair frame, no recomputation per sweep point. The curve's knee is
+    * the threshold decision; counts are exact.
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  def dedupThresholdSweep(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs).select(col("jaccard")).cache()
+    SweepThresholds.map { t =>
+      pairs.filter(col("jaccard") >= t)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(t).as("threshold"), col("n_pairs"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** MinHash banding precision/recall evaluation — the text-side twin of
     * q_emb_lsh_recall: the RAW banded candidate set (restricted to
     * within-source pairs, the blocking the ground truth lives under) is
@@ -780,6 +798,7 @@ object DedupOps {
     "q_dedup_minhash_sig" -> ((s, dir) => minhashSignatures(Tables.documents(s, dir))),
     "q_dedup_minhash_pairs" -> ((s, dir) => minhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_eval" -> ((s, dir) => minhashEval(Tables.documents(s, dir))),
+    "q_dedup_threshold_sweep" -> ((s, dir) => dedupThresholdSweep(Tables.documents(s, dir))),
     "q_dedup_simhash_sig" -> ((s, dir) => simhashSignatures(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => simhashDupPairs(Tables.documents(s, dir))),
     "q_dedup_ngram_pairs" -> ((s, dir) => ngramJaccardPairs(Tables.documents(s, dir))),
@@ -1103,6 +1122,12 @@ object DedupOps {
            |FROM mh""".stripMargin,
 
       "q_dedup_minhash_pairs" -> minhashPairsSql,
+
+      // one exact pair set, five threshold counts off it
+      "q_dedup_threshold_sweep" -> SweepThresholds.map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold, count(*) AS n_pairs
+           |FROM ($ngramOracleSql) p WHERE jaccard >= $t""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
       // raw banded candidates (within source) scored against the exact
       // pair set at the minhash threshold — truth reuses the lossless

@@ -1611,6 +1611,51 @@ object StreamQueries {
       .withColumn("passed", (col("n_violations") === 0L).cast("int"))
   }
 
+  /** STREAMING twin of q_error_budget: per-day (n, n_err) counts
+    * accumulate in complete mode (state = |days| pairs of longs —
+    * calendar-bounded forever), and the cumulative burn re-derives on
+    * readback through the SAME theta-join prefix arithmetic as the
+    * batch audit, so the oracle IS q_error_budget's SQL.
+    */
+  def streamErrorBudget(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("dq", dir, "events"),
+      Tables.events(s, dir)
+        .select(unix_millis(col("ts")).as("ms"), col("user_id"),
+          col("event_type"), col("value").as("amount"))
+        .repartition(1).sortWithinPartitions(col("ms")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(dqSchema).json(landing)
+        .select(expr("ms DIV 86400000").as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("n_err"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val d = s.read.schema(StructType(Seq(
+        StructField("day", LongType), StructField("n", LongType),
+        StructField("n_err", LongType))))
+      .parquet(s"$tmp/out")
+    val budget = graft.operators.AuditOps.ErrorBudgetPpm
+    d.as("a").join(d.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(max(col("a.n")).as("n"), max(col("a.n_err")).as("n_err"),
+        sum(col("b.n")).as("cum_n"), sum(col("b.n_err")).as("cum_err"))
+      .select(col("day"), col("n"), col("n_err"),
+        expr("n_err * 1000000 DIV n").as("day_err_ppm"),
+        col("cum_n"), col("cum_err"),
+        expr("cum_err * 1000000 DIV cum_n").as("burn_ppm"),
+        expr(s"CAST(CASE WHEN cum_err * 1000000 DIV cum_n > $budget THEN 1 ELSE 0 END AS INT)")
+          .as("over_budget"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming SCD2 build: close the open interval when a version arrives
   // ---------------------------------------------------------------------
@@ -2018,6 +2063,7 @@ object StreamQueries {
     "q_stream_cusum" -> ((s, dir) => streamCusum(s, dir)),
     "q_stream_bitmap" -> ((s, dir) => streamBitmap(s, dir)),
     "q_stream_dq" -> ((s, dir) => streamDq(s, dir)),
+    "q_stream_error_budget" -> ((s, dir) => streamErrorBudget(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2197,6 +2243,7 @@ object StreamQueries {
     "q_stream_ewma" -> graft.operators.FinanceOps.oracleSql("q_ewma_flags"),
     "q_stream_cusum" -> graft.operators.FinanceOps.oracleSql("q_cusum_flags"),
     "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
+    "q_stream_error_budget" -> graft.operators.AuditOps.oracleSql("q_error_budget"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
         |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) < 1
