@@ -109,6 +109,21 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6 forecast-revenue-change — the pure scan/filter/aggregate
+    * microbenchmark: three pushed range predicates, one ungrouped sum in
+    * exact per-row cents. The query every pushdown regression shows up
+    * in first.
+    */
+  private val tpchQ6Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+      |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.04
+      |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q10 returned-item reporting — the join-heavy top-N: fact
     * filtered on the quarter + return flag, customer/nation dims
     * broadcast, TakeOrderedAndProject for the top 20.
@@ -160,6 +175,7 @@ object Analytics {
     "q_seasonality" -> ((s, dir) => seasonality(Tables.orders(s, dir))),
     "q_tpch_q1" -> ((s, dir) => withTpchViews(s, dir)(tpchQ1Sql)),
     "q_tpch_q3" -> ((s, dir) => withTpchViews(s, dir)(tpchQ3Sql)),
+    "q_tpch_q6" -> ((s, dir) => withTpchViews(s, dir)(tpchQ6Sql)),
     "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
     "q_tpch_q10" -> ((s, dir) => withTpchViews(s, dir)(tpchQ10Sql)),
 
@@ -588,6 +604,7 @@ object Analytics {
         | abs(n_orders * 1000000 // tot - 142857) AS deviation_ppm
         |FROM c, t""".stripMargin,
     "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q6" -> tpchQ6Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_projection_filter" ->

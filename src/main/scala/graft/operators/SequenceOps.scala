@@ -170,6 +170,37 @@ object SequenceOps {
     * quadratic purchase x click range join. Purchases before any click
     * stay unattributed (null). One shuffle on user_id.
     */
+  /** Session-gap sweep points (ms): 10 min / 30 min / 60 min. */
+  val SessionGapsMs: Seq[Long] = Seq(600000L, 1800000L, 3600000L)
+
+  /** Session-gap SENSITIVITY sweep — the tuning table behind
+    * q_sessionize's hardcoded 30-minute constant: total session count at
+    * each candidate gap, all three read off ONE user-partitioned lag
+    * pass (a session starts where the inter-event gap exceeds the
+    * candidate — counting starts needs no per-gap re-sessionization,
+    * just three conditional sums in one aggregate). A stable count
+    * across gaps means the choice doesn't matter; a cliff localizes the
+    * natural session boundary.
+    */
+  def sessionGapSweep(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val d = events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+    val sums = SessionGapsMs.zipWithIndex.map { case (g, i) =>
+      sum(when(col("prev").isNull || col("tms") - col("prev") > g, 1L)
+        .otherwise(0L)).as(s"s$i")
+    }
+    val agg = d.agg(sums.head, (sums.tail :+ count(lit(1)).as("n_events")): _*)
+    agg.selectExpr(
+      s"""stack(${SessionGapsMs.length},
+         |${SessionGapsMs.zipWithIndex
+             .map { case (g, i) => s" CAST($g AS BIGINT), s$i" }.mkString(",")})
+         | AS (gap_ms, n_sessions)""".stripMargin,
+      "n_events")
+  }
+
   /** Autocorrelation lag range (daily-count series, lags 1..7 — the
     * weekly-periodicity sweep).
     */
@@ -460,6 +491,7 @@ object SequenceOps {
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
     "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
+    "q_session_gap_sweep" -> ((s, dir) => sessionGapSweep(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
@@ -560,6 +592,21 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_session_gap_sweep" -> {
+      val branches = SessionGapsMs.map { g =>
+        s"""SELECT CAST($g AS BIGINT) AS gap_ms,
+           | CAST(sum(CASE WHEN prev IS NULL OR tms - prev > $g
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           | count(*) AS n_events
+           |FROM d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT user_id, epoch_ms(ts) AS tms,
+         |   lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+         |     ORDER BY epoch_ms(ts), event_id) AS prev
+         |  FROM events)
+         |$branches""".stripMargin
+    },
 
     "q_autocorr" ->
       s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

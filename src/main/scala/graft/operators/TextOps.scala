@@ -570,11 +570,17 @@ object TextOps {
     * plans as WindowGroupLimit, so each partition keeps k rows; the
     * ladder evaluates on |sources|·k rows. Nothing global ever sorts.
     */
-  def zipfFit(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("source"),
+  def zipfFit(docs: DataFrame): DataFrame =
+    zipfFromCounts(docs.select(col("source"),
         explode(expr(tokens("text", duck = false))).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))
+
+  /** The rank + fixed-point regression stage on a (source, w, freq)
+    * frame — split out so the streaming twin can feed state-accumulated
+    * counts through the identical arithmetic.
+    */
+  private[graft] def zipfFromCounts(words: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("freq").desc, col("w").asc)
     val ranked = words.withColumn("rank", row_number().over(win).cast("long"))

@@ -1611,6 +1611,42 @@ object StreamQueries {
       .withColumn("passed", (col("n_violations") === 0L).cast("int"))
   }
 
+  /** STREAMING twin of q_zipf_fit: per-(source, word) counts accumulate
+    * in complete mode — state bounded by VOCABULARY × sources (the
+    * q_stream_dsir bounded-feature-frame argument: word types, not
+    * stream length), and the rank + fixed-point regression re-derives on
+    * readback through the SHARED TextOps.zipfFromCounts arithmetic, so
+    * the oracle IS q_zipf_fit's SQL.
+    */
+  def streamZipf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val landing = ensureJsonFixture(fixtureDir("zipf", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType)))).json(landing)
+        .select(col("source"),
+          explode(expr(graft.functions.PortableSql.tokens("text", duck = false))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextOps.zipfFromCounts(
+      s.read.schema(StructType(Seq(
+          StructField("source", StringType), StructField("w", StringType),
+          StructField("freq", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_error_budget: per-day (n, n_err) counts
     * accumulate in complete mode (state = |days| pairs of longs —
     * calendar-bounded forever), and the cumulative burn re-derives on
@@ -2064,6 +2100,7 @@ object StreamQueries {
     "q_stream_bitmap" -> ((s, dir) => streamBitmap(s, dir)),
     "q_stream_dq" -> ((s, dir) => streamDq(s, dir)),
     "q_stream_error_budget" -> ((s, dir) => streamErrorBudget(s, dir)),
+    "q_stream_zipf" -> ((s, dir) => streamZipf(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2244,6 +2281,7 @@ object StreamQueries {
     "q_stream_cusum" -> graft.operators.FinanceOps.oracleSql("q_cusum_flags"),
     "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
     "q_stream_error_budget" -> graft.operators.AuditOps.oracleSql("q_error_budget"),
+    "q_stream_zipf" -> graft.operators.TextOps.oracleSql("q_zipf_fit"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
         |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) < 1
