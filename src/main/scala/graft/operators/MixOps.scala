@@ -69,6 +69,47 @@ object MixOps {
         expr("sharp_ppm * 1000 DIV greatest(share_ppm, 1)"))
   }
 
+  /** Held-out split modulus: doc_id % 10 < [[LmTrainMod]] trains. */
+  val LmTrainMod = 8L
+
+  /** Held-out unigram-LM evaluation — the train/test generalization
+    * check behind perplexity-based data curation (q_text_surprisal
+    * scores IN-corpus; this holds out 20% BY DOC and evaluates unseen
+    * text against the 80% model): Laplace-smoothed integer bit costs
+    * (the q_source_xent ladder — bitLen(train_total + V) −
+    * bitLen(cnt + 1), no libm) summed per source over held-out tokens,
+    * with OOV tokens (cnt = 0) costed at the full smoothing floor and
+    * counted separately. A source whose held-out bits-per-token blows
+    * past its neighbors is the one whose text the model can't
+    * generalize to — the curation signal. Frames after the token
+    * aggregates are vocabulary-sized.
+    */
+  def lmHeldout(docs: DataFrame): DataFrame = {
+    val tagged = docs.select(col("doc_id"), col("source"),
+      explode(expr(tokens("text", duck = false))).as("w"),
+      (col("doc_id") % 10 < LmTrainMod).as("is_train"))
+    val train = tagged.filter(col("is_train"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    train.count() // feeds totals, vocab, and the held-out join
+    val tot = train.agg(sum(col("cnt")).as("t"),
+      count(lit(1)).as("v"))
+    val held = tagged.filter(!col("is_train"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    held.join(train, Seq("w"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cost",
+        expr(s"CAST(${bitLen("(t + v)")} - ${bitLen("(cnt + 1)")} AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("cnt") === 0L, col("n")).otherwise(0L)).as("n_oov"),
+        sum(col("n") * col("cost")).as("heldout_bits"))
+      .withColumn("bits_per_token_milli",
+        expr("heldout_bits * 1000 DIV n_tokens"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+  }
+
   /** Per-source mixture plan: corpus share vs target share in exact ppm,
     * and the resampling factor in millis (1000 = keep as-is, 2500 = 2.5x
     * oversample, 400 = keep 40%).
@@ -206,6 +247,7 @@ object MixOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_waterfill" -> ((s, dir) => waterfill(Tables.documents(s, dir))),
     "q_mix_temperature" -> ((s, dir) => mixTemperature(Tables.documents(s, dir))),
+    "q_lm_heldout" -> ((s, dir) => lmHeldout(Tables.documents(s, dir))),
     "q_domain_mix" -> ((s, dir) => domainMix(Tables.documents(s, dir))),
     "q_domain_resample" -> ((s, dir) => domainResample(Tables.documents(s, dir))),
     "q_source_xent" -> ((s, dir) => sourceCrossEntropy(Tables.documents(s, dir)))
@@ -259,6 +301,30 @@ object MixOps {
            | CAST(CASE WHEN lam IS NULL OR q <= lam THEN 1 ELSE 0 END AS BIGINT)
            |   AS capped
            |FROM ranked CROSS JOIN lamr""".stripMargin,
+
+      "q_lm_heldout" ->
+        s"""WITH tok AS (SELECT doc_id, source,
+           |   unnest(${tokens("text", duck = true)}) AS w,
+           |   doc_id % 10 < $LmTrainMod AS is_train FROM documents),
+           | train AS (SELECT w, count(*) AS cnt FROM tok
+           |  WHERE is_train GROUP BY 1),
+           | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v
+           |  FROM train),
+           | held AS (SELECT source, w, count(*) AS n FROM tok
+           |  WHERE NOT is_train GROUP BY 1, 2),
+           | j AS (SELECT source, n, coalesce(cnt, 0) AS cnt, t.t, t.v
+           |  FROM held LEFT JOIN train USING (w), t),
+           | c AS (SELECT source, n, cnt,
+           |   CAST(${bitLen("(t + v)")} - ${bitLen("(cnt + 1)")} AS BIGINT)
+           |     AS cost FROM j),
+           | agg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+           |   CAST(sum(CASE WHEN cnt = 0 THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+           |   CAST(sum(n * cost) AS BIGINT) AS heldout_bits
+           |  FROM c GROUP BY 1)
+           |SELECT source, n_tokens, n_oov, heldout_bits,
+           | heldout_bits * 1000 // n_tokens AS bits_per_token_milli,
+           | n_oov * 1000000 // n_tokens AS oov_ppm
+           |FROM agg""".stripMargin,
 
       "q_mix_temperature" ->
         s"""WITH dt AS (SELECT source,
