@@ -124,6 +124,39 @@ object Analytics {
       |  AND l_discount >= 0.02 AND l_discount <= 0.04
       |  AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q4 order-priority checking, adapted to this schema's columns
+    * (the reference lineitem has no commit/receipt dates, so "late" is
+    * shipped > 60 days after order): a correlated EXISTS that Catalyst
+    * plans as a LEFT SEMI hash join — the SQL-surface proof of the J5
+    * semi-join family.
+    */
+  private val tpchQ4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+      |  AND EXISTS (
+      |   SELECT * FROM lineitem
+      |   WHERE l_orderkey = o_orderkey
+      |     AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14 promotion-revenue share — conditional aggregation over
+    * the part broadcast join, share in exact ppm of exact cents (the
+    * spec's 100*promo/total with integer arithmetic).
+    */
+  private val tpchQ14Sql =
+    """SELECT
+      | CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |   THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |   ELSE 0 END) AS BIGINT) AS promo_cents,
+      | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'""".stripMargin
+
   /** TPC-H Q10 returned-item reporting — the join-heavy top-N: fact
     * filtered on the quarter + return flag, customer/nation dims
     * broadcast, TakeOrderedAndProject for the top 20.
@@ -168,6 +201,7 @@ object Analytics {
     Tables.supplier(s, dir).createOrReplaceTempView("supplier")
     Tables.nation(s, dir).createOrReplaceTempView("nation")
     Tables.region(s, dir).createOrReplaceTempView("region")
+    Tables.part(s, dir).createOrReplaceTempView("part")
     s.sql(sql)
   }
 
@@ -175,7 +209,9 @@ object Analytics {
     "q_seasonality" -> ((s, dir) => seasonality(Tables.orders(s, dir))),
     "q_tpch_q1" -> ((s, dir) => withTpchViews(s, dir)(tpchQ1Sql)),
     "q_tpch_q3" -> ((s, dir) => withTpchViews(s, dir)(tpchQ3Sql)),
+    "q_tpch_q4" -> ((s, dir) => withTpchViews(s, dir)(tpchQ4Sql)),
     "q_tpch_q6" -> ((s, dir) => withTpchViews(s, dir)(tpchQ6Sql)),
+    "q_tpch_q14" -> ((s, dir) => withTpchViews(s, dir)(tpchQ14Sql)),
     "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
     "q_tpch_q10" -> ((s, dir) => withTpchViews(s, dir)(tpchQ10Sql)),
 
@@ -604,7 +640,9 @@ object Analytics {
         | abs(n_orders * 1000000 // tot - 142857) AS deviation_ppm
         |FROM c, t""".stripMargin,
     "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q6" -> tpchQ6Sql,
+    "q_tpch_q14" -> tpchQ14Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_projection_filter" ->
