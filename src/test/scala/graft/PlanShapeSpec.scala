@@ -269,6 +269,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"custkey_fk must be a broadcast anti-join (fact side never shuffles):\n$plan")
   }
 
+  test("TPC-H Q4's EXISTS plans as a left semi join, never a cartesian") {
+    val plan = graft.operators.Analytics
+      .queries("q_tpch_q4")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"correlated EXISTS must decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("uniform sample plans TakeOrderedAndProject, not a global sort") {
     val plan = SampleOps.uniformSample(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
