@@ -157,6 +157,25 @@ object Analytics {
       |  AND l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q18 large-volume customers — the aggregate-subquery stress:
+    * the IN over a grouped HAVING plans as a semi join against the
+    * re-aggregated lineitem (AQE reuses the exchange), then the
+    * three-way join re-groups for the top-20. Quantity threshold scaled
+    * to this generator's baskets.
+    */
+  private val tpchQ18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      | CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 250)
+      | AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total_cents DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q10 returned-item reporting — the join-heavy top-N: fact
     * filtered on the quarter + return flag, customer/nation dims
     * broadcast, TakeOrderedAndProject for the top 20.
@@ -212,6 +231,7 @@ object Analytics {
     "q_tpch_q4" -> ((s, dir) => withTpchViews(s, dir)(tpchQ4Sql)),
     "q_tpch_q6" -> ((s, dir) => withTpchViews(s, dir)(tpchQ6Sql)),
     "q_tpch_q14" -> ((s, dir) => withTpchViews(s, dir)(tpchQ14Sql)),
+    "q_tpch_q18" -> ((s, dir) => withTpchViews(s, dir)(tpchQ18Sql)),
     "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
     "q_tpch_q10" -> ((s, dir) => withTpchViews(s, dir)(tpchQ10Sql)),
 
@@ -643,6 +663,7 @@ object Analytics {
     "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q6" -> tpchQ6Sql,
     "q_tpch_q14" -> tpchQ14Sql,
+    "q_tpch_q18" -> tpchQ18Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_projection_filter" ->

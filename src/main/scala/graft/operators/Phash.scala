@@ -93,7 +93,13 @@ object Phash {
   }
 
   /** Near-dup pairs: banded candidates, exact hamming verify. */
-  def phashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Banded candidate pairs with their hamming distance, unfiltered —
+    * shared by [[phashPairs]] and the threshold sweep. Banding is
+    * LOSSLESS for hamming <= Bands-1 (pigeonhole: 3 flipped bits cannot
+    * touch all 4 bands), so every threshold <= [[HammingMax]] sees the
+    * complete pair set.
+    */
+  private def bandedPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     val hashes = phashes(spark, docs).cache()
     val bands = hashes.select(col("doc_id"), col("phash"), explode(array(
         (0 until Bands).map(b =>
@@ -108,7 +114,22 @@ object Phash {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= HammingMax)
+  }
+
+  def phashPairs(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandedPairs(spark, docs).filter(col("hamming") <= HammingMax)
+
+  /** Near-dup pair counts at every hamming cutoff 0..[[HammingMax]] —
+    * the q_dedup_threshold_sweep analog for images: one banded pair
+    * computation, one grouped count per cutoff off the cached frame.
+    */
+  def phashHammingSweep(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val p = bandedPairs(spark, docs).cache()
+    (0 to HammingMax).map { t =>
+      p.filter(col("hamming") <= t)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(t.toLong).as("max_hamming"), col("n_pairs"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Re-upload cluster canonicalization — the media twin of text dedup
@@ -126,6 +147,7 @@ object Phash {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_phash" -> ((s, dir) => phashPairs(s, Tables.documents(s, dir))),
+    "q_phash_sweep" -> ((s, dir) => phashHammingSweep(s, Tables.documents(s, dir))),
     "q_phash_clusters" -> ((s, dir) => phashClusters(s, Tables.documents(s, dir)))
   )
 
@@ -161,8 +183,14 @@ object Phash {
          | CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= $HammingMax""".stripMargin
+
+    val sweepSql = (0 to HammingMax).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS max_hamming, count(*) AS n_pairs
+         |FROM ($pairsSql) p WHERE hamming <= $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
     Map(
       "q_multimodal_phash" -> pairsSql,
+      "q_phash_sweep" -> sweepSql,
       // transitive closure over the same pair set, replayed as the
       // q_dedup_clusters recursive CTE
       "q_phash_clusters" ->
