@@ -1043,6 +1043,56 @@ object VectorOps {
     * One summary row: sample size, exact pairs, LSH-found pairs among
     * them, recall in exact ppm (-1 when the sample has no exact pair).
     */
+  /** Table counts for the recall sweep (prefixes of the NTables bank —
+    * adding tables only ever ADDS pairs, so the sweep is monotone by
+    * construction, which the spec can pin).
+    */
+  val LshSweepTables: Seq[Int] = Seq(1, 2, 4)
+
+  /** SRP-LSH table-count→recall SWEEP — the NTables dial q_emb_lsh_recall
+    * measures at one point, swept: pair recall (vs the sample-bounded
+    * exact sweep) using only the first t hash tables, t ∈
+    * [[LshSweepTables]]. The bucket bank and the exact truth compute
+    * ONCE; each sweep point restricts the band join to table indices
+    * < t — more tables, more collisions, higher recall, linearly more
+    * index cost: exactly the curve that prices a recall target.
+    */
+  def lshTableSweep(emb: DataFrame): DataFrame = {
+    val wb = withAllBuckets(normalized(emb, withLabel = false), BitsPerTable).cache()
+    val sample = wb.filter(col("vec_id") % LshRecallMod === 0)
+      .select(col("vec_id"), col("vn")).cache()
+    val exact = sample.select(col("vec_id").as("v1"), col("vn").as("vn1"))
+      .crossJoin(broadcast(sample.select(col("vec_id").as("v2"), col("vn").as("vn2"))))
+      .filter(col("v1") < col("v2"))
+      .filter(round(dotCol(col("vn1"), col("vn2")), 6) >= AnnMinCosine)
+      .select(col("v1"), col("v2")).cache()
+    val bands = wb.select(col("vec_id"), explode(array(
+        (0 until NTables).map(t =>
+          struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.bk").as("bk"))
+    val vecs = wb.select(col("vec_id"), col("vn"))
+    LshSweepTables.map { nt =>
+      val cand = bands.filter(col("t") < nt).as("a")
+        .join(bands.filter(col("t") < nt).as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
+      val found = cand
+        .join(vecs.select(col("vec_id").as("v1"), col("vn").as("vn1")), "v1")
+        .join(vecs.select(col("vec_id").as("v2"), col("vn").as("vn2")), "v2")
+        .filter(round(dotCol(col("vn1"), col("vn2")), 6) >= AnnMinCosine)
+        .filter(col("v1") % LshRecallMod === 0 && col("v2") % LshRecallMod === 0)
+        .select(col("v1"), col("v2"))
+      val hits = exact.join(found, Seq("v1", "v2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(nt.toLong).as("n_tables"), col("n_exact"), col("n_hit"),
+          expr("CASE WHEN n_exact = 0 THEN -1 " +
+            "ELSE n_hit * 1000000 DIV n_exact END").as("recall_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   def lshRecall(emb: DataFrame): DataFrame = {
     val sample = normalized(emb, withLabel = false)
       .filter(col("vec_id") % LshRecallMod === 0).cache()
@@ -1210,6 +1260,7 @@ object VectorOps {
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
     "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
     "q_emb_lsh_recall" -> ((s, dir) => lshRecall(Tables.embeddings(s, dir))),
+    "q_emb_lsh_sweep" -> ((s, dir) => lshTableSweep(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
     "q_emb_ivf_assign" -> ((s, dir) => ivfAssign(Tables.embeddings(s, dir))),
     "q_emb_ivf_topk" -> ((s, dir) => ivfTopK(Tables.embeddings(s, dir))),
@@ -1535,6 +1586,41 @@ object VectorOps {
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
            | FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $AnnMinCosine""".stripMargin,
+
+      "q_emb_lsh_sweep" -> {
+        val branches = LshSweepTables.map { nt =>
+          s"""SELECT CAST($nt AS BIGINT) AS n_tables,
+             | (SELECT count(*) FROM exact) AS n_exact,
+             | (SELECT count(*) FROM exact e2
+             |   WHERE EXISTS (SELECT 1 FROM f$nt f
+             |     WHERE f.v1 = e2.v1 AND f.v2 = e2.v2)) AS n_hit,
+             | CASE WHEN (SELECT count(*) FROM exact) = 0 THEN -1
+             |  ELSE (SELECT count(*) FROM exact e2
+             |    WHERE EXISTS (SELECT 1 FROM f$nt f
+             |      WHERE f.v1 = e2.v1 AND f.v2 = e2.v2)) * 1000000
+             |    // (SELECT count(*) FROM exact) END AS recall_ppm""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val founds = LshSweepTables.map { nt =>
+          s"""f$nt AS MATERIALIZED (SELECT DISTINCT v1, v2 FROM (
+             |   SELECT a.vec_id AS v1, b.vec_id AS v2,
+             |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+             |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
+             |    AND a.t < $nt AND a.vec_id < b.vec_id) p
+             |  WHERE cosine >= $AnnMinCosine
+             |    AND v1 % $LshRecallMod = 0 AND v2 % $LshRecallMod = 0)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $normCte,
+           | smp AS (SELECT vec_id, vn FROM e WHERE vec_id % $LshRecallMod = 0),
+           | exact AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2
+           |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id
+           |  WHERE round(${dot("a.vn", "b.vn", duck = true)}, 6) >= $AnnMinCosine),
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS MATERIALIZED ($unionAll),
+           |$founds
+           |$branches""".stripMargin
+      },
 
       "q_emb_lsh_recall" ->
         s"""WITH $normCte,

@@ -189,6 +189,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == inMem)
   }
 
+  test("lsh table sweep: recall is monotone in the table count (prefix property)") {
+    val rows = VectorOps.lshTableSweep(Tables.embeddings(spark, dir)).collect()
+      .map(r => r.getAs[Long]("n_tables") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Long]("n_exact")))).sortBy(_._1)
+    try {
+      assert(rows.map(_._1).toSeq == VectorOps.LshSweepTables.map(_.toLong))
+      // same truth set at every point, hits never shrink as tables add
+      assert(rows.map(_._2._2).distinct.length == 1)
+      val hits = rows.map(_._2._1)
+      assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+        s"hits must be monotone in n_tables: ${hits.toSeq}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("topic mix: every embedding lands in exactly one source's tally") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, dir)
