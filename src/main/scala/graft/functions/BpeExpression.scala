@@ -66,7 +66,13 @@ object BpeMerges {
     * supplementary-plane char (emoji) must be ONE base symbol here too,
     * not its two surrogate halves.
     */
-  private[functions] def mergedLen(word: String): Int = {
+  private[functions] def mergedLen(word: String): Int =
+    mergedLenN(word, Merges.length)
+
+  /** [[mergedLen]] restricted to the first `n` merge rules — the
+    * vocab-size sweep entry point.
+    */
+  private[functions] def mergedLenN(word: String, n: Int): Int = {
     val out = new ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -76,7 +82,7 @@ object BpeMerges {
       i += n
     }
     var syms = out.toArray
-    Merges.foreach { case (a, b) => syms = mergePass(syms, a, b) }
+    Merges.take(n).foreach { case (a, b) => syms = mergePass(syms, a, b) }
     syms.length
   }
 
@@ -88,9 +94,13 @@ object BpeMerges {
     * seeds with the first element, which equals the fold's step('', x0);
     * a single-char word skips the lambda and returns the char.
     */
-  def oracleTokenCount(wordVar: String): String = {
+  def oracleTokenCount(wordVar: String): String =
+    oracleTokenCountN(wordVar, Merges.length)
+
+  /** [[oracleTokenCount]] over the first `n` rules only. */
+  def oracleTokenCountN(wordVar: String, n: Int): String = {
     val chars = s"regexp_extract_all($wordVar, '.')"
-    val folded = Merges.foldLeft(chars) { case (prev, (a, b)) =>
+    val folded = Merges.take(n).foldLeft(chars) { case (prev, (a, b)) =>
       val m = a + b
       val step =
         s"CASE WHEN x = '$b' AND (acc = '$a' OR right(acc, ${a.length + 1}) = ' $a') " +
@@ -106,7 +116,8 @@ object BpeMerges {
   * summed. One tight loop per row (CodegenFallback, like the sketch
   * kernels) instead of 50 interpreted higher-order folds per word.
   */
-case class BpeTokenCountExpression(child: Expression)
+case class BpeTokenCountExpression(child: Expression,
+    nMerges: Int = BpeMerges.Merges.length)
     extends UnaryExpression with CodegenFallback {
 
   // same pre-tokenizer as TextOps.bpeTokenCounts / the oracle
@@ -119,7 +130,7 @@ case class BpeTokenCountExpression(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val m = pre.matcher(input.asInstanceOf[UTF8String].toString)
     var total = 0L
-    while (m.find()) total += BpeMerges.mergedLen(m.group())
+    while (m.find()) total += BpeMerges.mergedLenN(m.group(), nMerges)
     total
   }
 
@@ -130,4 +141,7 @@ case class BpeTokenCountExpression(child: Expression)
 object BpeFunctions {
   def bpeTokenCount(text: Column): Column =
     SqlBridge.column(BpeTokenCountExpression(SqlBridge.expression(text)))
+
+  def bpeTokenCountN(text: Column, nMerges: Int): Column =
+    SqlBridge.column(BpeTokenCountExpression(SqlBridge.expression(text), nMerges))
 }

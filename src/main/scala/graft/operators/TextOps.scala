@@ -548,6 +548,30 @@ object TextOps {
         .groupBy("p").agg(count(lit(1)).as("dfp")))
   }
 
+  /** Merge-count sweep points for the BPE vocab-size curve. */
+  val BpeSweepMerges: Seq[Int] = Seq(0, 10, 25, 50)
+
+  /** BPE merge-count→compression SWEEP — the vocab-size dial: corpus
+    * token totals using only the first k merge rules, k ∈
+    * [[BpeSweepMerges]], with chars-per-token in exact milli units. The
+    * marginal compression of each merge tranche is the curve a
+    * tokenizer designer reads before fixing vocabulary size (merges
+    * monotonically shrink token counts — each pass only ever joins
+    * symbols — spec-pinnable). Each sweep point is one narrow
+    * native-kernel projection + a single-row aggregate.
+    */
+  def bpeMergeSweep(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("text"),
+      length(col("text")).cast("long").as("n_chars")).cache()
+    BpeSweepMerges.map { k =>
+      base.select(col("n_chars"),
+          graft.functions.BpeFunctions.bpeTokenCountN(col("text"), k).as("toks"))
+        .agg(sum(col("toks")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+        .select(lit(k.toLong).as("n_merges"), col("n_tokens"),
+          expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_milli"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Zipf-fit constants: rank cut per source and the floor-division
     * offset that aligns the (negative-numerator) slope division across
     * engines (Spark DIV truncates toward zero, DuckDB // floors; with
@@ -663,6 +687,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_langid_eval" -> ((s, dir) => langidEval(Tables.documents(s, dir))),
+    "q_bpe_sweep" -> ((s, dir) => bpeMergeSweep(Tables.documents(s, dir))),
     "q_postings_delta" -> ((s, dir) => postingsDelta(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => zipfFit(Tables.documents(s, dir))),
     "q_tfidf_terms" -> ((s, dir) => tfidfTerms(Tables.documents(s, dir))),
@@ -690,6 +715,20 @@ object TextOps {
     val gramsAll = trigramsAll(toks, duck = true)
     val hsAll = xform("grams", "g", strHash("g"), duck = true)
     Map(
+      "q_bpe_sweep" -> BpeSweepMerges.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges,
+           | CAST(sum(coalesce(list_sum(list_transform(
+           |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+           |   w -> ${graft.functions.BpeMerges.oracleTokenCountN("w", k)})), 0))
+           |   AS BIGINT) AS n_tokens,
+           | CAST(sum(length(text)) AS BIGINT) * 1000
+           |  // CAST(sum(coalesce(list_sum(list_transform(
+           |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+           |   w -> ${graft.functions.BpeMerges.oracleTokenCountN("w", k)})), 0))
+           |   AS BIGINT) AS chars_per_token_milli
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
       "q_langid_eval" ->
         s"""WITH g AS (SELECT doc_id,
            |   CASE WHEN CAST(CAST(${alen(stopD, duck = true)} AS BIGINT) AS DOUBLE)
