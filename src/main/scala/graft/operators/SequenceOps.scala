@@ -170,6 +170,48 @@ object SequenceOps {
     * quadratic purchase x click range join. Purchases before any click
     * stay unattributed (null). One shuffle on user_id.
     */
+  /** Power-iteration rounds for the stationary distribution. */
+  val StationaryIters = 8
+
+  /** Stationary distribution of the event-type Markov chain — where the
+    * q_transitions matrix SETTLES: the long-run share of each event
+    * type if users kept walking the observed transition kernel, the
+    * load-mix forecast. Fixed-point integer power iteration in ppm
+    * (p_ij = n·1e6 DIV row_total; v' = Σ v_i·p_ij DIV 1e6 — truncating
+    * division is bit-exact cross-engine; truncation leaks ≤ |types| ppm
+    * of mass per round, reported, never renormalized). Each round is
+    * one broadcast join + aggregate over the |types|²-cell kernel, the
+    * q_emb_power_iter plan shape; [[StationaryIters]] rounds unrolled
+    * in the oracle.
+    */
+  def markovStationary(events: DataFrame,
+      iters: Int = StationaryIters): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val kernel = prep(events)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .select(col("prev"), col("next"),
+        expr("n * 1000000 DIV row_total").as("p_ppm"))
+      .localCheckpoint()
+    val types = kernel.select(col("prev").as("et")).distinct()
+    val k = types.agg(count(lit(1)).as("k"))
+    var v = types.crossJoin(broadcast(k))
+      .select(col("et"), expr("1000000 DIV k").as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      v = kernel.join(broadcast(v), kernel("prev") === v("et"))
+        .groupBy(col("next").as("et2"))
+        .agg(sum(expr("v * p_ppm DIV 1000000")).as("v"))
+        .select(col("et2").as("et"), col("v"))
+        .localCheckpoint()
+    }
+    v.select(col("et").as("event_type"), col("v").as("stationary_ppm"))
+  }
+
   /** Session-gap sweep points (ms): 10 min / 30 min / 60 min. */
   val SessionGapsMs: Seq[Long] = Seq(600000L, 1800000L, 3600000L)
 
@@ -492,6 +534,7 @@ object SequenceOps {
     "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
     "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
     "q_session_gap_sweep" -> ((s, dir) => sessionGapSweep(Tables.events(s, dir))),
+    "q_markov_stationary" -> ((s, dir) => markovStationary(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
@@ -592,6 +635,29 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_markov_stationary" -> {
+      val rounds = (1 to StationaryIters).map { i =>
+        val p = i - 1
+        s"""v$i AS MATERIALIZED (SELECT next AS et,
+           |   CAST(sum(v * p_ppm // 1000000) AS BIGINT) AS v
+           |  FROM kernel JOIN v$p ON kernel.prev = v$p.et GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT prev, next, count(*) AS n FROM (
+         |   SELECT event_type AS next,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev
+         |   FROM events) z WHERE prev IS NOT NULL GROUP BY 1, 2),
+         | kernel AS MATERIALIZED (SELECT prev, next,
+         |   CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY prev)
+         |     AS BIGINT) AS BIGINT) AS p_ppm FROM pairs),
+         | t0 AS (SELECT DISTINCT prev AS et FROM kernel),
+         | kk AS (SELECT count(*) AS k FROM t0),
+         | v0 AS (SELECT et, CAST(1000000 // k AS BIGINT) AS v FROM t0, kk),
+         |$rounds
+         |SELECT et AS event_type, v AS stationary_ppm
+         |FROM v$StationaryIters""".stripMargin
+    },
 
     "q_session_gap_sweep" -> {
       val branches = SessionGapsMs.map { g =>
