@@ -194,13 +194,22 @@ object GraphOps {
     */
   private[graft] def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // peeling only ever REMOVES edges, so an unchanged count is the
+    // fixpoint — stop early (a 1-row count on the just-checkpointed
+    // frame, the PageRank convergence-flag discipline); remaining
+    // rounds would be no-ops, so the fixed-round oracle still matches
+    var prev = e.count()
+    var i = 0
+    while (i < rounds) {
       val deg = e.select(explode(array(col("b1"), col("b2"))).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("deg"))
       val surv = deg.filter(col("deg") >= k).select(col("b"))
       e = e.join(surv.withColumnRenamed("b", "b1"), Seq("b1"), "left_semi")
         .join(surv.withColumnRenamed("b", "b2"), Seq("b2"), "left_semi")
         .select(col("b1"), col("b2")).localCheckpoint()
+      val cur = e.count()
+      i = if (cur == prev) rounds else i + 1
+      prev = cur
     }
     e
   }
@@ -236,17 +245,25 @@ object GraphOps {
       .select(col("b"),
         when(col("b") === col("s"), 0L).otherwise(-1L).as("lvl"))
       .localCheckpoint()
-    for (i <- 1 to rounds) {
+    var i = 1
+    while (i <= rounds) {
       val frontier = lvl.filter(col("lvl") === (i - 1).toLong)
         .select(col("b").as("src"))
-      val reached = e.join(broadcast(frontier), "src")
-        .select(col("dst").as("b")).distinct()
-      lvl = lvl.join(reached.withColumn("r", lit(1L)), Seq("b"), "left_outer")
-        .select(col("b"),
-          when(col("lvl") >= 0, col("lvl"))
-            .otherwise(when(col("r").isNotNull, lit(i.toLong)).otherwise(-1L))
-            .as("lvl"))
-        .localCheckpoint()
+      // an empty frontier is the fixpoint — remaining rounds are no-ops
+      // (same 1-row early-exit discipline as kCorePeel; the fixed-round
+      // oracle still matches)
+      if (frontier.isEmpty) i = rounds + 1
+      else {
+        val reached = e.join(broadcast(frontier), "src")
+          .select(col("dst").as("b")).distinct()
+        lvl = lvl.join(reached.withColumn("r", lit(1L)), Seq("b"), "left_outer")
+          .select(col("b"),
+            when(col("lvl") >= 0, col("lvl"))
+              .otherwise(when(col("r").isNotNull, lit(i.toLong)).otherwise(-1L))
+              .as("lvl"))
+          .localCheckpoint()
+        i += 1
+      }
     }
     lvl.select(col("b").as("brand"), col("lvl").as("level"))
   }
