@@ -187,10 +187,20 @@ object SequenceOps {
   def markovStationary(events: DataFrame,
       iters: Int = StationaryIters): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-    val kernel = prep(events)
+    stationaryFromPairs(prep(events)
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("event_type").as("next"))
+      .select(col("prev"), col("event_type").as("next")), iters)
+  }
+
+  /** The kernel build + power iteration on a bare (prev, next) pair
+    * frame — split out so the streaming twin can feed state-emitted
+    * transition pairs through the identical arithmetic.
+    */
+  private[graft] def stationaryFromPairs(pairs: DataFrame,
+      iters: Int = StationaryIters): DataFrame = {
+    val kernel = pairs
+      .groupBy(col("prev"), col("next"))
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total",
         sum(col("n")).over(Window.partitionBy(col("prev"))))

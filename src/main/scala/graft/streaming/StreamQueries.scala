@@ -38,6 +38,11 @@ case class EwmaEvt(user_id: Long, event_id: Long, value: Double)
 case class EwmaSt(level: Long, flags: Long, n: Long)
 case class EwmaSnap(user_id: Long, n_events: Long, ewma_cents: Long, n_flags: Long)
 
+/** q_stream_markov wire row, keyed last-event state, and emitted pair. */
+case class MarkovEvt(user_id: Long, event_id: Long, us: Long, event_type: String)
+case class MarkovSt(last: String)
+case class MarkovPair(prev: String, next: String)
+
 /** q_stream_cusum wire row, keyed CUSUM state, and per-batch snapshot. */
 case class CusumEvt(user_id: Long, event_id: Long, value: Double)
 case class CusumSt(s: Long, alarms: Long, n: Long)
@@ -1647,6 +1652,46 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_markov_stationary: the transition PAIRS are
+    * emitted from keyed state as events arrive — one string of state
+    * per user forever (the last event type), each arrival emitting its
+    * (prev, next) edge to the append sink — and the kernel + power
+    * iteration re-derive on readback through the SHARED
+    * SequenceOps.stationaryFromPairs arithmetic, so the oracle IS the
+    * batch SQL. The (us, event_id)-ordered fixture makes the state walk
+    * exactly the batch lag order.
+    */
+  def streamMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val landing = ensureJsonFixture(fixtureDir("markov", dir, "events"),
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .repartition(1).sortWithinPartitions(col("us"), col("event_id")))
+    val inSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("us", LongType), StructField("event_type", StringType)))
+    val pairs = runAppendStream(s, landing, inSchema,
+      org.apache.spark.sql.Encoders.product[MarkovPair].schema) { src =>
+      src.as[MarkovEvt]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[MarkovEvt], state: GroupState[MarkovSt]) =>
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var last = state.getOption.map(_.last).orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[MarkovPair]
+            evs.foreach { e =>
+              if (last != null) out += MarkovPair(last, e.event_type)
+              last = e.event_type
+            }
+            if (last != null) state.update(MarkovSt(last))
+            out.iterator
+        }
+    }
+    graft.operators.SequenceOps.stationaryFromPairs(pairs)
+  }
+
   /** STREAMING twin of q_error_budget: per-day (n, n_err) counts
     * accumulate in complete mode (state = |days| pairs of longs —
     * calendar-bounded forever), and the cumulative burn re-derives on
@@ -2101,6 +2146,7 @@ object StreamQueries {
     "q_stream_dq" -> ((s, dir) => streamDq(s, dir)),
     "q_stream_error_budget" -> ((s, dir) => streamErrorBudget(s, dir)),
     "q_stream_zipf" -> ((s, dir) => streamZipf(s, dir)),
+    "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "q_stream_topics" -> ((s, dir) => streamTopics(s, dir)),
@@ -2282,6 +2328,7 @@ object StreamQueries {
     "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
     "q_stream_error_budget" -> graft.operators.AuditOps.oracleSql("q_error_budget"),
     "q_stream_zipf" -> graft.operators.TextOps.oracleSql("q_zipf_fit"),
+    "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
         |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) < 1
