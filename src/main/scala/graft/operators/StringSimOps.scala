@@ -258,6 +258,23 @@ object StringSimOps {
         when(col("score") >= FsMatchMin, lit("match")).otherwise(lit("possible")))
       .select(col("k1"), col("k2"), col("jw_micro"), col("score"), col("cls"))
 
+  /** FS score cutoffs for the threshold sweep (milli-log-odds). */
+  val FsSweepMilli: Seq[Long] = Seq(0L, 1750L, 3500L, 5250L)
+
+  /** FS-classifier threshold sweep — candidate-pair counts surviving
+    * each milli-log-odds cutoff, all off ONE scored candidate frame:
+    * the match-threshold dial (where between "possible" and "match" to
+    * draw the line) priced before a clerical-review budget is set.
+    */
+  def fsThresholdSweep(part: DataFrame): DataFrame = {
+    val scored = fsLinkage(part).select(col("score")).cache()
+    FsSweepMilli.map { t =>
+      scored.filter(col("score") >= t)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(t).as("threshold_milli"), col("n_pairs"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Linkage-quality evaluation of the FS classifier — the
     * precision/recall audit an MDM team runs before trusting a weight
     * set: every brand-blocked size-banded candidate (NO score filter —
@@ -356,6 +373,7 @@ object StringSimOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_fs_score" -> ((s, dir) => fsLinkage(Tables.part(s, dir))),
+    "q_er_fs_sweep" -> ((s, dir) => fsThresholdSweep(Tables.part(s, dir))),
     "q_er_fs_eval" -> ((s, dir) => fsEval(Tables.part(s, dir))),
     "q_er_sn_pairs" -> ((s, dir) => snPairs(Tables.customer(s, dir))),
     "q_fuzzy_lev_pairs" -> ((s, dir) => levPairs(Tables.part(s, dir))),
@@ -398,6 +416,10 @@ object StringSimOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_er_fs_score" -> fsScoreCte,
+    "q_er_fs_sweep" -> FsSweepMilli.map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold_milli, count(*) AS n_pairs
+         |FROM ($fsScoreCte) p WHERE score >= $t""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q_er_fs_eval" ->
       s"""WITH cand AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
