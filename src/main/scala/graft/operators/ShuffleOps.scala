@@ -613,7 +613,33 @@ object ShuffleOps {
       .withColumn("fpr_ppm", expr("n_false_pos * 1000000 DIV n_nonmembers"))
   }
 
+  /** Columns profiled by the dictionary-encoding audit. */
+  val DictCols: Seq[String] = Seq("l_returnflag", "l_linestatus",
+    "l_quantity", "l_partkey", "l_suppkey")
+
+  /** Dictionary-encoding benefit audit — the storage-planning table
+    * behind a 100 TB parquet layout decision: per column, the distinct
+    * count, the dictionary index width ceil(log2(n_distinct)) from the
+    * bitLen ladder, and the projected savings vs a flat 64-bit slot in
+    * exact ppm. Low-cardinality columns (returnflag: 3 values → 2 bits)
+    * are the compression jackpots; key columns barely dictionary at
+    * all — exactly the contrast the table shows. One unpivoted scan +
+    * one (col, value) aggregate; the per-column frames never exceed
+    * column cardinality.
+    */
+  def dictAudit(lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.bitLen
+    val tall = lineitem.selectExpr(
+      s"""stack(${DictCols.length}, ${DictCols.map(c =>
+           s"'$c', CAST($c AS STRING)").mkString(", ")}) AS (col, v)""")
+    tall.groupBy(col("col"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("v")).as("n_distinct"))
+      .withColumn("dict_bits", expr(s"CAST(${bitLen("n_distinct", 40)} AS BIGINT)"))
+      .withColumn("savings_ppm", expr("(64 - dict_bits) * 1000000 DIV 64"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dict_audit" -> ((s, dir) => dictAudit(Tables.lineitem(s, dir))),
     "q_bloom_fpr" -> ((s, dir) => bloomFpr(Tables.part(s, dir))),
     "q_skew_audit" -> ((s, dir) => skewAudit(Tables.lineitem(s, dir))),
     "q_bitmap_distinct" -> ((s, dir) => bitmapDistinct(Tables.events(s, dir))),
@@ -652,6 +678,21 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dict_audit" -> {
+      import graft.functions.PortableSql.bitLen
+      val tall = DictCols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tall AS ($tall),
+         | g AS (SELECT col, count(*) AS n_rows,
+         |   count(DISTINCT v) AS n_distinct FROM tall GROUP BY 1)
+         |SELECT col, n_rows, n_distinct,
+         | CAST(${bitLen("n_distinct", 40)} AS BIGINT) AS dict_bits,
+         | (64 - CAST(${bitLen("n_distinct", 40)} AS BIGINT)) * 1000000 // 64
+         |   AS savings_ppm
+         |FROM g""".stripMargin
+    },
+
     "q_bloom_fpr" -> {
       val m = BloomBits
       s"""WITH members AS (SELECT p_partkey AS p FROM part WHERE p_size <= 25),
