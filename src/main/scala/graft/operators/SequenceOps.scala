@@ -222,6 +222,33 @@ object SequenceOps {
     v.select(col("et").as("event_type"), col("v").as("stationary_ppm"))
   }
 
+  /** Conversion-deadline sweep points (micros): 1 h / 1 d / 7 d. */
+  val ConvDeadlinesUs: Seq[Long] =
+    Seq(3600000000L, 86400000000L, 604800000000L)
+
+  /** Conversion-deadline sweep — completed view→click→purchase funnels
+    * whose end-to-end latency lands inside each candidate SLA window,
+    * all off the ONE shared [[stageFrame]] (conditional sums, no
+    * re-funnel per deadline). Where q_conversion_lag summarizes the
+    * latency distribution, this prices the attribution-window choice:
+    * how many conversions a 1-hour / 1-day / 7-day deadline would
+    * credit.
+    */
+  def conversionDeadlineSweep(events: DataFrame): DataFrame = {
+    val sums = ConvDeadlinesUs.zipWithIndex.map { case (d, i) =>
+      sum(when(col("t3").isNotNull && col("t3") - col("t1") <= d, 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val agg = stageFrame(events)
+      .agg(sums.head, (sums.tail :+ count(col("t3")).as("n_converted")): _*)
+    agg.selectExpr(
+      s"""stack(${ConvDeadlinesUs.length},
+         |${ConvDeadlinesUs.zipWithIndex
+             .map { case (d, i) => s" CAST($d AS BIGINT), c$i" }.mkString(",")})
+         | AS (deadline_us, n_within)""".stripMargin,
+      "n_converted")
+  }
+
   /** Session-gap sweep points (ms): 10 min / 30 min / 60 min. */
   val SessionGapsMs: Seq[Long] = Seq(600000L, 1800000L, 3600000L)
 
@@ -544,6 +571,7 @@ object SequenceOps {
     "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
     "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
     "q_session_gap_sweep" -> ((s, dir) => sessionGapSweep(Tables.events(s, dir))),
+    "q_conversion_sweep" -> ((s, dir) => conversionDeadlineSweep(Tables.events(s, dir))),
     "q_markov_stationary" -> ((s, dir) => markovStationary(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
@@ -645,6 +673,18 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_conversion_sweep" -> {
+      val branches = ConvDeadlinesUs.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS deadline_us,
+           | CAST(sum(CASE WHEN t3 - t1 <= $d THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_within,
+           | count(*) AS n_converted
+           |FROM s3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$stagesCte
+         |$branches""".stripMargin
+    },
 
     "q_markov_stationary" -> {
       val rounds = (1 to StationaryIters).map { i =>
