@@ -638,7 +638,41 @@ object ShuffleOps {
       .withColumn("savings_ppm", expr("(64 - dict_bits) * 1000000 DIV 64"))
   }
 
+  /** Deterministic point-lookup key for the bucket-pruning audit. */
+  val BucketProbeKey = 37L
+
+  /** Bucket-PRUNING point lookup — the read-path payoff the bucketed
+    * layout buys beyond zero-exchange joins: an equality filter on the
+    * bucket key scans ONE of the [[Buckets]] buckets
+    * (`SelectedBucketsCount: 1 out of 8` in the scan node, spec-pinned),
+    * so a key probe touches 1/8th of the files no matter the table
+    * size. The oracle runs the same filter+aggregate on the raw table —
+    * layout changes the plan, never the answer.
+    */
+  def bucketPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    warmBucketedTables(spark, dir)
+    // autoBucketedScan drops the bucketed read when no operator needs
+    // the distribution — which also forfeits bucket PRUNING, the whole
+    // point here. Pin it off just for PLANNING (forcing executedPlan
+    // freezes the scan node; AQE never revisits scan bucketing), then
+    // restore — the session-conf-with-restore contract.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.table("orders_bkt")
+        .filter(col("o_custkey") === BucketProbeKey)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+        .select(lit(BucketProbeKey).as("o_custkey"), col("n_orders"),
+          coalesce(col("total_cents"), lit(0L)).as("total_cents"))
+      df.queryExecution.executedPlan // freeze the pruned scan
+      df
+    } finally spark.conf.set(key, prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_prune" -> ((s, dir) => bucketPointLookup(s, dir)),
     "q_dict_audit" -> ((s, dir) => dictAudit(Tables.lineitem(s, dir))),
     "q_bloom_fpr" -> ((s, dir) => bloomFpr(Tables.part(s, dir))),
     "q_skew_audit" -> ((s, dir) => skewAudit(Tables.lineitem(s, dir))),
@@ -678,6 +712,13 @@ object ShuffleOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bucket_prune" ->
+      s"""SELECT CAST($BucketProbeKey AS BIGINT) AS o_custkey,
+         | count(*) AS n_orders,
+         | CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+         |   AS BIGINT) AS total_cents
+         |FROM orders WHERE o_custkey = $BucketProbeKey""".stripMargin,
+
     "q_dict_audit" -> {
       import graft.functions.PortableSql.bitLen
       val tall = DictCols.map(c =>

@@ -269,6 +269,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"custkey_fk must be a broadcast anti-join (fact side never shuffles):\n$plan")
   }
 
+  test("bucket point lookup scans exactly one bucket") {
+    val df = graft.operators.ShuffleOps.bucketPointLookup(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      s"SelectedBucketsCount: 1 out of ${graft.operators.ShuffleOps.Buckets}"),
+      s"the equality filter must prune to one bucket:\n$plan")
+  }
+
   test("TPC-H Q4's EXISTS plans as a left semi join, never a cartesian") {
     val plan = graft.operators.Analytics
       .queries("q_tpch_q4")(spark, dir)
