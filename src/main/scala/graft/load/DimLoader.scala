@@ -156,6 +156,30 @@ object DimLoader {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // Schema EVOLUTION: generation 1 lands without the `value` column,
+    // generation 2 adds it; a mergeSchema read must surface the union
+    // schema with v1 rows null in the new column — the additive-column
+    // migration every long-lived table eventually does. The audit rolls
+    // up per generation so any row loss, column loss, or null-backfill
+    // bug breaks the exact-cents oracle.
+    "q_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
+      val tmp = Files.createTempDirectory("graft_schemaevo_").toFile.getAbsolutePath
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      e.filter(col("event_id") % 2 === 0).drop("value")
+        .write.parquet(s"$tmp/gen=1")
+      e.filter(col("event_id") % 2 === 1)
+        .write.parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(expr("coalesce(CAST(round(value * 100) AS BIGINT), 0)")).as("cents"))
+        .select(col("gen").cast("long").as("gen"), col("n_rows"),
+          col("n_null_value"), col("cents"))
+    }),
+
     // ORC round-trip: the third columnar wire format next to parquet
     // (native) and Avro (q_avro_roundtrip) — types survive unchanged, so
     // the source table is the oracle directly.
@@ -188,6 +212,15 @@ object DimLoader {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, count(*) AS n_rows,
+        | count(*) AS n_null_value, CAST(0 AS BIGINT) AS cents
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), 0,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
     "q_dim_load_csv" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
