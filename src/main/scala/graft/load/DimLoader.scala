@@ -156,6 +156,39 @@ object DimLoader {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // CSV MALFORMED-ROW handling: the batch-CSV analog of the JSON
+    // dead-letter branch (U4) — every 10th line carries an unparseable
+    // balance ('bad' where a DOUBLE belongs; note PERMISSIVE pads
+    // UNDER-LENGTH rows silently, so a type error is what actually
+    // trips the corrupt-record column); the read must count them
+    // without failing the load, and the parsed rows' exact cents must
+    // survive. (DROPMALFORMED would silently lose rows — the count
+    // audit is what catches that class.)
+    "q_csv_malformed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val tmp = Files.createTempDirectory("graft_csvbad_").toFile.getAbsolutePath
+      Tables.customer(s, dir)
+        .select(when(col("c_custkey") % 10 === 0,
+            expr("concat_ws(',', c_custkey, c_mktsegment, 'bad')"))
+          .otherwise(expr("concat_ws(',', c_custkey, c_mktsegment, c_acctbal)"))
+          .as("value"))
+        .write.text(s"$tmp/landing")
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("__graft_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__graft_corrupt_record")
+        .csv(s"$tmp/landing")
+        .groupBy(when(col("__graft_corrupt_record").isNull, "parsed")
+          .otherwise("malformed").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("coalesce(CAST(round(c_acctbal * 100) AS BIGINT), 0)"))
+            .as("cents"))
+    }),
+
     // Schema EVOLUTION: generation 1 lands without the `value` column,
     // generation 2 adds it; a mergeSchema read must surface the union
     // schema with v1 rows null in the new column — the additive-column
@@ -212,6 +245,14 @@ object DimLoader {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_csv_malformed" ->
+      """SELECT 'malformed' AS status, count(*) AS n, CAST(0 AS BIGINT) AS cents
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT 'parsed', count(*),
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
+
     "q_schema_evolution" ->
       """SELECT CAST(1 AS BIGINT) AS gen, count(*) AS n_rows,
         | count(*) AS n_null_value, CAST(0 AS BIGINT) AS cents
