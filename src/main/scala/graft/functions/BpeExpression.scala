@@ -66,13 +66,13 @@ object BpeMerges {
     * supplementary-plane char (emoji) must be ONE base symbol here too,
     * not its two surrogate halves.
     */
-  private[functions] def mergedLen(word: String): Int =
+  private[graft] def mergedLen(word: String): Int =
     mergedLenN(word, Merges.length)
 
   /** [[mergedLen]] restricted to the first `n` merge rules — the
     * vocab-size sweep entry point.
     */
-  private[functions] def mergedLenN(word: String, n: Int): Int = {
+  private[graft] def mergedLenN(word: String, n: Int): Int = {
     val out = new ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) {

@@ -138,4 +138,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE merge prefix: token count non-increasing in rule count, floor 1") {
+    val words = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAll(words, n = 300) { w =>
+      import graft.functions.BpeMerges
+      val counts = (0 to BpeMerges.Merges.length)
+        .map(n => BpeMerges.mergedLenN(w, n))
+      assert(counts.head == w.codePointCount(0, w.length))
+      assert(counts.last >= 1)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"merges must never grow the token count: $w -> $counts")
+    }
+  }
+
+  test("postings varint cost formula == actual LEB128 length, for random longs") {
+    def leb128Len(x: Long): Long = {
+      var v = x; var n = 0L
+      do { v >>>= 7; n += 1 } while (v != 0)
+      n
+    }
+    def ladder(x: Long): Long = {
+      // max(1, ceil(bitLen(x)/7)) — the q_postings_delta cost
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(x) max 0
+      math.max(1L, (bits + 6) / 7)
+    }
+    val longs = Gen.chooseNum(0L, Long.MaxValue)
+    forAll(longs, n = 500)(x => assert(ladder(x) == leb128Len(x), s"x=$x"))
+    Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Long.MaxValue)
+      .foreach(x => assert(ladder(x) == leb128Len(x), s"boundary $x"))
+  }
 }
