@@ -138,7 +138,7 @@ object Bench {
     // overflow (sum over int64 hashes trips Spark 4's ANSI overflow
     // check once enough rows land — killed q_window_rank in round 2).
     def materialize(df: DataFrame): Unit = {
-      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
       ()
     }
 

@@ -68,7 +68,7 @@ object StageProfile {
     val df = graft.SparkEntry.queries(q)(spark, sfDir)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
     import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
-    df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
+    df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300)
     println(f"QUERY $q wall=$wall%.2f s")
