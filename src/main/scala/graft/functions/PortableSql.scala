@@ -232,4 +232,21 @@ object PortableSql {
   /** Cast a float array to double (all arithmetic happens in double). */
   def toDoubleArr(arr: String, duck: Boolean): String =
     xform(arr, "x", "CAST(x AS DOUBLE)", duck)
+
+  /** Integer floor square root, EXACT for x in [0, 2^52): IEEE-754
+    * `sqrt` is CORRECTLY ROUNDED — a spec requirement, not an
+    * implementation choice — so both engines compute the identical
+    * double, and below 2^52 every integer is exactly representable, so
+    * floor(sqrt(x)) is off by at most one. Two pure-integer boundary
+    * corrections (w² > x, (w+1)² <= x) then pin the exact floor —
+    * PropertySpec sweeps the domain against floor(Math.sqrt) through
+    * the real SQL path. This is the portable bridge that turns the
+    * engine's exact rational statistics (Pearson numerators etc.) into
+    * actual root-scaled values without losing cross-engine exactness.
+    */
+  def isqrtSql(x: String, duck: Boolean): String = {
+    val w = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+    val w1 = s"(CASE WHEN $w * $w > $x THEN $w - 1 ELSE $w END)"
+    s"(CASE WHEN ($w1 + 1) * ($w1 + 1) <= $x THEN $w1 + 1 ELSE $w1 END)"
+  }
 }

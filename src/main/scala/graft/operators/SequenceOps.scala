@@ -249,6 +249,54 @@ object SequenceOps {
       "n_converted")
   }
 
+  /** Offset aligning the (possibly negative) Pearson numerator across
+    * engines' division semantics (|r| <= 1, so 10000 dwarfs any
+    * milli-scaled value).
+    */
+  val CorrBig = 10000L
+
+  /** Daily-count Pearson CORRELATION matrix across event types — actual
+    * r values in exact milli units, not just the rational parts
+    * (q_autocorr ships num/den because sqrt wasn't portable; the staged
+    * integer-Newton isqrt in PortableSql closes that gap): per unordered
+    * type pair over the SHARED complete day spine, r_milli =
+    * (n·Σxy − ΣxΣy)·1000 DIV (isqrt(n·Σx²−Σx²)·isqrt(n·Σy²−Σy²)),
+    * offset-aligned for the negative-numerator case. The pair join and
+    * the isqrt column chains all run on spine- and |types|²-sized
+    * frames; PropertySpec pins the isqrt kernel across its domain.
+    */
+  def dailyTypeCorrelation(events: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.isqrtSql
+    val d = events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val span = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = d.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val x = spine.join(d, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("v"))
+    val pairs = x.as("a")
+      .join(x.select(col("event_type").as("et_b"), col("day").as("day_b"),
+        col("v").as("w")),
+        col("day_b") === col("a.day") && col("a.event_type") < col("et_b"))
+      .groupBy(col("a.event_type").as("type_a"), col("et_b").as("type_b"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"), sum(col("w")).as("sy"),
+        sum(col("v") * col("v")).as("sxx"), sum(col("w") * col("w")).as("syy"),
+        sum(col("v") * col("w")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dx", expr("n * sxx - sx * sx"))
+      .withColumn("dy", expr("n * syy - sy * sy"))
+    pairs
+      .withColumn("rx", expr(isqrtSql("dx", duck = false)))
+      .withColumn("ry", expr(isqrtSql("dy", duck = false)))
+      .withColumn("den", col("rx") * col("ry"))
+      .filter(col("den") > 0) // constant series carry no correlation
+      .withColumn("r_milli",
+        expr(s"(num * 1000 + $CorrBig * den) DIV den - $CorrBig"))
+      .select(col("type_a"), col("type_b"), col("n").as("n_days"), col("r_milli"))
+  }
+
   /** Session-gap sweep points (ms): 10 min / 30 min / 60 min. */
   val SessionGapsMs: Seq[Long] = Seq(600000L, 1800000L, 3600000L)
 
@@ -572,6 +620,7 @@ object SequenceOps {
     "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
     "q_session_gap_sweep" -> ((s, dir) => sessionGapSweep(Tables.events(s, dir))),
     "q_conversion_sweep" -> ((s, dir) => conversionDeadlineSweep(Tables.events(s, dir))),
+    "q_corr_daily" -> ((s, dir) => dailyTypeCorrelation(Tables.events(s, dir))),
     "q_markov_stationary" -> ((s, dir) => markovStationary(Tables.events(s, dir))),
     "q_conversion_lag" -> ((s, dir) => conversionLag(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(Tables.events(s, dir))),
@@ -673,6 +722,40 @@ object SequenceOps {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
         |WHERE e3 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_corr_daily" -> {
+      import graft.functions.PortableSql.isqrtSql
+      val ctes =
+        s"""c0 AS (SELECT *, ${isqrtSql("dx", duck = true)} AS rx,
+           |  ${isqrtSql("dy", duck = true)} AS ry FROM p)""".stripMargin
+      val last = "c0"
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |   count(*) AS cnt FROM events GROUP BY 1, 2),
+         | sp AS (SELECT t.event_type, s.day FROM
+         |  (SELECT DISTINCT event_type FROM d) t,
+         |  (SELECT unnest(generate_series(min(day), max(day))) AS day FROM d) s),
+         | x AS (SELECT sp.event_type, sp.day, coalesce(d.cnt, 0) AS v
+         |  FROM sp LEFT JOIN d ON sp.event_type = d.event_type
+         |   AND sp.day = d.day),
+         | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |   count(*) AS n,
+         |   CAST(sum(a.v) AS BIGINT) AS sx, CAST(sum(b.v) AS BIGINT) AS sy,
+         |   CAST(sum(a.v * a.v) AS BIGINT) AS sxx,
+         |   CAST(sum(b.v * b.v) AS BIGINT) AS syy,
+         |   CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+         |   count(*) * CAST(sum(a.v * b.v) AS BIGINT)
+         |     - CAST(sum(a.v) AS BIGINT) * CAST(sum(b.v) AS BIGINT) AS num,
+         |   count(*) * CAST(sum(a.v * a.v) AS BIGINT)
+         |     - CAST(sum(a.v) AS BIGINT) * CAST(sum(a.v) AS BIGINT) AS dx,
+         |   count(*) * CAST(sum(b.v * b.v) AS BIGINT)
+         |     - CAST(sum(b.v) AS BIGINT) * CAST(sum(b.v) AS BIGINT) AS dy
+         |  FROM x a JOIN x b ON a.day = b.day AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |$ctes
+         |SELECT type_a, type_b, n AS n_days,
+         | (num * 1000 + $CorrBig * (rx * ry)) // (rx * ry) - $CorrBig AS r_milli
+         |FROM $last WHERE rx * ry > 0""".stripMargin
+    },
 
     "q_conversion_sweep" -> {
       val branches = ConvDeadlinesUs.map { d =>

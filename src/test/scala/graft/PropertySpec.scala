@@ -152,6 +152,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("portable integer sqrt == exact floor sqrt across [0, 2^52), via real SQL") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.PortableSql.isqrtSql
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val xs = (Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, (1L << 52) - 1, 1L << 51,
+      (1L << 26) * ((1L << 26) - 1)) ++ // just below a perfect square
+      (1 to 400).map { i =>
+        val bits = 1 + (i * 7919) % 52
+        ((i.toLong * 2654435761L) & ((1L << bits) - 1)).abs
+      }).distinct
+    val out = xs.toDF("x")
+      .withColumn("isq", expr(isqrtSql("x", duck = false)))
+      .select(col("x"), col("isq"))
+      .collect()
+    out.foreach { r =>
+      val (x, got) = (r.getLong(0), r.getLong(1))
+      val want = {
+        var w = math.sqrt(x.toDouble).toLong
+        while (w * w > x) w -= 1
+        while ((w + 1) * (w + 1) <= x) w += 1
+        w
+      }
+      assert(got == want, s"isqrt($x): got $got want $want")
+    }
+  }
+
   test("postings varint cost formula == actual LEB128 length, for random longs") {
     def leb128Len(x: Long): Long = {
       var v = x; var n = 0L
