@@ -346,7 +346,19 @@ object SequenceOps {
     * frame joined back to itself on (type, day+k) — spine-sized, never
     * event-sized.
     */
-  def autocorr(events: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame = {
+  def autocorr(events: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame =
+    lagPairs(events, maxLag)
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_num", expr("n_pairs * sxy - sx * sy"))
+
+  /** The (type, lag, x, y) aligned-pair frame over the complete per-type
+    * day spine — shared by [[autocorr]] (exact rational statistics) and
+    * [[autocorrR]] (actual r values via the portable isqrt).
+    */
+  private def lagPairs(events: DataFrame, maxLag: Int): DataFrame = {
     val d = events
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
@@ -359,11 +371,32 @@ object SequenceOps {
     val xb = x.select(col("event_type").as("et_b"), col("day").as("day_b"),
       col("x").as("y"))
     xa.join(xb, xa("event_type") === col("et_b") && col("day_b") === xa("day") + col("k"))
+      .select(xa("event_type"), col("k"), col("x"), col("y"))
+  }
+
+  /** [[autocorr]] completed to ACTUAL correlation values: r in exact
+    * milli units per (type, lag) via the q_corr_daily isqrt + offset
+    * arithmetic — the sweep a seasonality monitor actually thresholds
+    * (a lag-7 spike above ~300 milli = weekly rhythm).
+    */
+  def autocorrR(events: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame = {
+    import graft.functions.PortableSql.isqrtSql
+    lagPairs(events, maxLag)
       .groupBy(col("event_type"), col("k"))
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .withColumn("corr_num", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dx", expr("n * sxx - sx * sx"))
+      .withColumn("dy", expr("n * syy - sy * sy"))
+      .withColumn("rx", expr(isqrtSql("dx", duck = false)))
+      .withColumn("ry", expr(isqrtSql("dy", duck = false)))
+      .withColumn("den", col("rx") * col("ry"))
+      .filter(col("den") > 0)
+      .withColumn("r_milli",
+        expr(s"(num * 1000 + $CorrBig * den) DIV den - $CorrBig"))
+      .select(col("event_type"), col("k"), col("n").as("n_pairs"), col("r_milli"))
   }
 
   /** Position-based (U-shaped) multi-touch attribution — the sibling of
@@ -618,6 +651,7 @@ object SequenceOps {
     "q_attribution" -> ((s, dir) => attribution(Tables.events(s, dir))),
     "q_attrib_position" -> ((s, dir) => attributionPosition(Tables.events(s, dir))),
     "q_autocorr" -> ((s, dir) => autocorr(Tables.events(s, dir))),
+    "q_autocorr_r" -> ((s, dir) => autocorrR(Tables.events(s, dir))),
     "q_session_gap_sweep" -> ((s, dir) => sessionGapSweep(Tables.events(s, dir))),
     "q_conversion_sweep" -> ((s, dir) => conversionDeadlineSweep(Tables.events(s, dir))),
     "q_corr_daily" -> ((s, dir) => dailyTypeCorrelation(Tables.events(s, dir))),
@@ -805,6 +839,37 @@ object SequenceOps {
          |     ORDER BY epoch_ms(ts), event_id) AS prev
          |  FROM events)
          |$branches""".stripMargin
+    },
+
+    "q_autocorr_r" -> {
+      import graft.functions.PortableSql.isqrtSql
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |   count(*) AS cnt FROM events GROUP BY 1, 2),
+         | sp AS (SELECT event_type, unnest(generate_series(min(day), max(day)))
+         |   AS day FROM d GROUP BY event_type),
+         | x AS (SELECT sp.event_type, sp.day, coalesce(d.cnt, 0) AS x
+         |  FROM sp LEFT JOIN d ON sp.event_type = d.event_type
+         |   AND sp.day = d.day),
+         | xa AS (SELECT event_type, day, x,
+         |   unnest(generate_series(1, $AutocorrMaxLag)) AS k FROM x),
+         | g AS (SELECT xa.event_type, CAST(xa.k AS BIGINT) AS k,
+         |   count(*) AS n,
+         |   CAST(sum(xa.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+         |   CAST(sum(xa.x * xa.x) AS BIGINT) AS sxx,
+         |   CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+         |   CAST(sum(xa.x * b.x) AS BIGINT) AS sxy
+         |  FROM xa JOIN x b ON xa.event_type = b.event_type
+         |   AND b.day = xa.day + xa.k
+         |  GROUP BY 1, 2),
+         | e AS (SELECT event_type, k, n,
+         |   n * sxy - sx * sy AS num,
+         |   n * sxx - sx * sx AS dx,
+         |   n * syy - sy * sy AS dy FROM g),
+         | r AS (SELECT *, ${isqrtSql("dx", duck = true)} AS rx,
+         |   ${isqrtSql("dy", duck = true)} AS ry FROM e)
+         |SELECT event_type, k, n AS n_pairs,
+         | (num * 1000 + $CorrBig * (rx * ry)) // (rx * ry) - $CorrBig AS r_milli
+         |FROM r WHERE rx * ry > 0""".stripMargin
     },
 
     "q_autocorr" ->
