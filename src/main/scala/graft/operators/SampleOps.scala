@@ -110,6 +110,36 @@ object SampleOps {
     * shuffle of doc-count rows plus a B-row side plan. The oracle runs
     * the naive global window — same answer, independent plan.
     */
+  /** Budget sweep points for the sampling-plan table. */
+  val BudgetSweep: Seq[Long] = Seq(5000L, 10000L, 50000L)
+
+  /** Token-budget SWEEP — kept-doc and kept-token counts at each
+    * candidate prefix budget, all off ONE bucketed running-sum frame
+    * (the tokenBudgetSample cumsum computes once; each budget is a
+    * conditional sum over it). The sampling-plan table read before
+    * committing a corpus slice size.
+    */
+  def tokenBudgetSweep(docs: DataFrame,
+      budgets: Seq[Long] = BudgetSweep): DataFrame = {
+    import graft.functions.PortableSql.{alen, tokens}
+    val base = docs.select(col("doc_id"),
+      expr(hashKey("doc_id")).as("h"),
+      expr(s"CAST(${alen(tokens("text", duck = false), duck = false)} AS BIGINT)")
+        .as("n_tokens"))
+    val run = bucketedRunningBefore(base, "n_tokens", "tokens_before")
+    val sums = budgets.zipWithIndex.flatMap { case (b, i) =>
+      Seq(sum(when(col("tokens_before") < b, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(col("tokens_before") < b, col("n_tokens")).otherwise(0L)).as(s"t$i"))
+    }
+    run.agg(sums.head, sums.tail: _*)
+      .selectExpr(
+        s"""stack(${budgets.length},
+           |${budgets.zipWithIndex
+               .map { case (b, i) => s" CAST($b AS BIGINT), d$i, t$i" }
+               .mkString(",")})
+           | AS (budget, n_docs_kept, n_tokens_kept)""".stripMargin)
+  }
+
   def tokenBudgetSample(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
     import graft.functions.PortableSql.{alen, tokens}
     val base = docs.select(col("doc_id"),
@@ -300,6 +330,7 @@ object SampleOps {
     "q_sample_weighted" -> ((s, dir) => weightedSample(Tables.documents(s, dir))),
     "q_sample_uniform" -> ((s, dir) => uniformSample(Tables.documents(s, dir))),
     "q_sample_budget" -> ((s, dir) => tokenBudgetSample(Tables.documents(s, dir))),
+    "q_budget_sweep" -> ((s, dir) => tokenBudgetSweep(Tables.documents(s, dir))),
     "q_shard_plan" -> ((s, dir) => shardPlan(Tables.documents(s, dir))),
     // balanced: exact percentile buffers are per-row expensive and the
     // single-row-group scan would aggregate 1-task; percentile merges
@@ -358,6 +389,26 @@ object SampleOps {
 
     // the NAIVE single-ordering running sum — an independent plan for the
     // bucketed two-pass decomposition on the Spark side
+    "q_budget_sweep" -> {
+      val branches = BudgetSweep.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS budget,
+           | CAST(sum(CASE WHEN tokens_before < $b THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_docs_kept,
+           | CAST(sum(CASE WHEN tokens_before < $b THEN n_tokens ELSE 0 END)
+           |   AS BIGINT) AS n_tokens_kept
+           |FROM run""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH run AS (
+         | SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tokens_before
+         | FROM (SELECT doc_id, ${hashKey("doc_id")} AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |   FROM documents) t)
+         |$branches""".stripMargin
+    },
+
     "q_sample_budget" ->
       s"""SELECT doc_id, n_tokens, tokens_before FROM (
          | SELECT doc_id, n_tokens,
