@@ -467,6 +467,23 @@ object Analytics {
           (count(lit(1)) - count(k)).as("n_null_k"))
     }),
 
+    // The STRUCTURED parse path next to q_json_unwrap's get_json_object:
+    // from_json with an explicit schema (the S3/U1 ingest discipline
+    // applied to the props column), then a decade-bucket uniformity
+    // audit of k — observed vs the uniform 1/10 expectation in exact
+    // ppm, the q_benford shape on the payload axis.
+    "q_props_uniformity" -> ((s, dir) => {
+      val parsed = Tables.events(s, dir)
+        .select(from_json(col("props"), lit("k INT")).as("p"))
+        .select(expr("CAST(p.k DIV 10 AS BIGINT)").as("bucket"))
+        .filter(col("bucket").isNotNull)
+      val counts = parsed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .select(col("bucket"), col("n"),
+          expr("n * 1000000 DIV tot").as("observed_ppm"),
+          expr("abs(n * 1000000 DIV tot - 100000)").as("deviation_ppm"))
+    }),
+
     // U3 PAN-length validation split: valid iff length in [13,19]
     // (pipeline.py:77-88); invalid rows dead-letter instead of failing.
     "q_pan_validation" -> ((s, dir) => {
@@ -801,6 +818,17 @@ object Analytics {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) - count(json_extract_string(props, '$.k')) AS n_null_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_props_uniformity" ->
+      """WITH p AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |   // 10 AS bucket FROM events),
+        | c AS (SELECT bucket, count(*) AS n FROM p
+        |  WHERE bucket IS NOT NULL GROUP BY 1),
+        | t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT bucket, n,
+        | n * 1000000 // tot AS observed_ppm,
+        | abs(n * 1000000 // tot - 100000) AS deviation_ppm
+        |FROM c, t""".stripMargin,
 
     "q_pan_validation" ->
       """SELECT length(pan) AS pan_len,
