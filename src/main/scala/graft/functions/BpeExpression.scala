@@ -77,9 +77,9 @@ object BpeMerges {
     var i = 0
     while (i < word.length) {
       val cp = word.codePointAt(i)
-      val n = Character.charCount(cp)
-      out += word.substring(i, i + n)
-      i += n
+      val cw = Character.charCount(cp)
+      out += word.substring(i, i + cw)
+      i += cw
     }
     var syms = out.toArray
     Merges.take(n).foreach { case (a, b) => syms = mergePass(syms, a, b) }

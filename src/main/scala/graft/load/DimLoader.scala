@@ -29,6 +29,17 @@ import graft.schema.SchemaLoader
   */
 object DimLoader {
 
+  /** Deterministic, content-keyed landing dir for the loader fixtures
+    * (ADVICE r11: `Files.createTempDirectory` per invocation accumulated
+    * dirs and fd pressure across repeated Verify/Bench/selfcheck runs).
+    * Reuses the streaming fixture keying — the dir name hashes the source
+    * parquet's identity, so re-runs land on the SAME path and the
+    * `mode("overwrite")` writes replace rather than accumulate, while
+    * regenerated testdata still gets a fresh fixture.
+    */
+  private def landingDir(name: String, sfDir: String, sourceTable: String): String =
+    graft.streaming.StreamQueries.fixtureDir(s"dim_$name", sfDir, sourceTable)
+
   /** S8: filename-stem table routing. `dim_customer.csv` → `dim_customer`;
     * anything not ending in .csv is ignored (main.py:28-32).
     */
@@ -140,18 +151,18 @@ object DimLoader {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dim_load_csv" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val tmp = landingDir("csv", dir, "nation")
       val csvDir = s"$tmp/nation.csv"
-      Tables.nation(s, dir).write.option("header", "true").csv(csvDir)
+      Tables.nation(s, dir).write.mode("overwrite").option("header", "true").csv(csvDir)
       loadDim(s, csvDir, nationSchemaJson)
       val table = loadDim(s, csvDir, nationSchemaJson) // truncate, not append
       s.table(table)
     }),
 
     "q_dim_load_json" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val tmp = landingDir("json", dir, "nation")
       val jsonDir = s"$tmp/nation_lookup"
-      Tables.nation(s, dir).write.json(jsonDir)
+      Tables.nation(s, dir).write.mode("overwrite").json(jsonDir)
       readJsonLookup(s, jsonDir, nationSchemaJson)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
@@ -167,13 +178,13 @@ object DimLoader {
     "q_csv_malformed" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-      val tmp = Files.createTempDirectory("graft_csvbad_").toFile.getAbsolutePath
+      val tmp = landingDir("csvbad", dir, "customer")
       Tables.customer(s, dir)
         .select(when(col("c_custkey") % 10 === 0,
             expr("concat_ws(',', c_custkey, c_mktsegment, 'bad')"))
           .otherwise(expr("concat_ws(',', c_custkey, c_mktsegment, c_acctbal)"))
           .as("value"))
-        .write.text(s"$tmp/landing")
+        .write.mode("overwrite").text(s"$tmp/landing")
       val schema = StructType(Seq(
         StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
         StructField("c_acctbal", DoubleType),
@@ -197,13 +208,13 @@ object DimLoader {
     // bug breaks the exact-cents oracle.
     "q_schema_evolution" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
-      val tmp = Files.createTempDirectory("graft_schemaevo_").toFile.getAbsolutePath
+      val tmp = landingDir("schemaevo", dir, "events")
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("value"))
       e.filter(col("event_id") % 2 === 0).drop("value")
-        .write.parquet(s"$tmp/gen=1")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
       e.filter(col("event_id") % 2 === 1)
-        .write.parquet(s"$tmp/gen=2")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
       s.read.option("mergeSchema", "true").parquet(tmp)
         .groupBy(col("gen"))
         .agg(count(lit(1)).as("n_rows"),
@@ -217,9 +228,9 @@ object DimLoader {
     // (native) and Avro (q_avro_roundtrip) — types survive unchanged, so
     // the source table is the oracle directly.
     "q_dim_load_orc" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_dimload_").toFile.getAbsolutePath
+      val tmp = landingDir("orc", dir, "nation")
       val orcDir = s"$tmp/nation_orc"
-      Tables.nation(s, dir).write.orc(orcDir)
+      Tables.nation(s, dir).write.mode("overwrite").orc(orcDir)
       s.read.orc(orcDir)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),

@@ -225,8 +225,12 @@ object MiningOps {
     * a single map-side-combined aggregate.
     */
   def supplierPareto(lineitem: DataFrame): DataFrame = {
+    // cached: `rev` feeds both the scalar total and the ranked scan —
+    // without it the lineitem scan + per-supplier aggregate runs twice
+    // (lifecycle caller-owned, as in assocRules)
     val rev = lineitem.groupBy(col("l_suppkey").as("sk"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      .cache()
     val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
     rev
       .withColumn("rn", row_number().over(

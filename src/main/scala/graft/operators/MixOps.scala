@@ -295,7 +295,7 @@ object MixOps {
            |   FROM ranked) z
            |  WHERE lam IS NOT NULL AND q > lam
            |    AND (qprev IS NULL OR qprev <= lam))
-           |SELECT source, toks AS avail_toks, w AS target_w,
+           |SELECT source, CAST(toks AS BIGINT) AS avail_toks, w AS target_w,
            | CAST(CASE WHEN lam IS NULL OR q <= lam THEN toks
            |      ELSE w * lam // $WfScale END AS BIGINT) AS alloc_toks,
            | CAST(CASE WHEN lam IS NULL OR q <= lam THEN 1 ELSE 0 END AS BIGINT)

@@ -264,6 +264,15 @@ object SequenceOps {
     * offset-aligned for the negative-numerator case. The pair join and
     * the isqrt column chains all run on spine- and |types|²-sized
     * frames; PropertySpec pins the isqrt kernel across its domain.
+    *
+    * DOMAIN BOUND (int64, like the CUSUM/lift kernels): the alignment
+    * `num * 1000 + CorrBig * den` needs |num| < 2^63/1000 and
+    * den = isqrt(dx)*isqrt(dy) < 2^63/CorrBig ≈ 9.2e14 — dx,dy are
+    * n·Σx²−(Σx)² over DAILY counts, so with counts up to c over D days
+    * den ~ D·c², and c ≈ 1e5 over D ≈ 1000 days (3 years) keeps den
+    * ≈ 1e13 with 90× headroom. Hourly-level counts or 1e6+/day corpora
+    * should pre-scale the counts (divide by a constant) before the
+    * moment sums; Spark would wrap silently where DuckDB errors.
     */
   def dailyTypeCorrelation(events: DataFrame): DataFrame = {
     import graft.functions.PortableSql.isqrtSql
@@ -377,7 +386,9 @@ object SequenceOps {
   /** [[autocorr]] completed to ACTUAL correlation values: r in exact
     * milli units per (type, lag) via the q_corr_daily isqrt + offset
     * arithmetic — the sweep a seasonality monitor actually thresholds
-    * (a lag-7 spike above ~300 milli = weekly rhythm).
+    * (a lag-7 spike above ~300 milli = weekly rhythm). Shares
+    * [[dailyTypeCorrelation]]'s int64 DOMAIN BOUND: den must stay below
+    * 2^63/CorrBig ≈ 9.2e14 (daily counts ≤ ~1e5 over a few years).
     */
   def autocorrR(events: DataFrame, maxLag: Int = AutocorrMaxLag): DataFrame = {
     import graft.functions.PortableSql.isqrtSql

@@ -58,6 +58,17 @@ def main():
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
+        # Type-lint: DuckDB types whose text rendering can drift from
+        # Spark's (HUGEINT from uncast sum(), DECIMAL scale, FLOAT repr)
+        # must never appear in an oracle's output schema — cast in the SQL.
+        rel = con.sql(oracles[name])
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT", "FLOAT")
+               or str(t).startswith("DECIMAL")]
+        if bad:
+            n_fail += 1
+            print(f"  [FAIL type-lint] {name}: drift-prone oracle column types {bad}")
+            continue
         exp_res = con.execute(oracles[name])
         exp_cols = [d[0] for d in exp_res.description]
         exp = exp_res.fetchall()
