@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.Generators
 import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
-import graft.operators.{Analytics, AsofJoin, Audio, AuditOps, Bmp, CorpusOps, DedupOps, FinanceOps, Governance, GraphOps, LayoutOps, MixOps, Multimodal, Phash, MiningOps, PackOps, SampleOps, SequenceOps, ShuffleOps, SplitOps, StringSimOps, TextOps, TypedAgg, VectorOps}
+import graft.operators.{Analytics, AsofJoin, Audio, AuditOps, Bmp, CorpusOps, ImageIoCodec, DedupOps, FinanceOps, Governance, GraphOps, LayoutOps, MixOps, Multimodal, Phash, MiningOps, PackOps, SampleOps, SequenceOps, ShuffleOps, SplitOps, StringSimOps, TextOps, TypedAgg, VectorOps}
 import graft.streaming.{StreamAsof, StreamIngest, StreamQueries, StreamTws}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,7 +51,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AsofJoin.queries ++ AuditOps.queries ++ Governance.queries ++ LayoutOps.queries ++ MiningOps.queries ++ SampleOps.queries ++ SequenceOps.queries ++ StringSimOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ Phash.queries ++ Audio.queries ++ Bmp.queries ++ AvroWire.queries ++ IngestQueries.queries ++
+      VectorOps.queries ++ Multimodal.queries ++ Phash.queries ++ Audio.queries ++ Bmp.queries ++ ImageIoCodec.queries ++ AvroWire.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ StreamTws.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries ++
       MixOps.queries ++ GraphOps.queries ++ FinanceOps.queries ++ SplitOps.queries ++ PackOps.queries ++ CorpusOps.queries
@@ -61,7 +61,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ AsofJoin.oracleSql ++ AuditOps.oracleSql ++ Governance.oracleSql ++ LayoutOps.oracleSql ++ MiningOps.oracleSql ++ SampleOps.oracleSql ++ SequenceOps.oracleSql ++ StringSimOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      VectorOps.oracleSql ++ Multimodal.oracleSql ++ Phash.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
+      VectorOps.oracleSql ++ Multimodal.oracleSql ++ Phash.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ ImageIoCodec.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ StreamTws.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql ++
       MixOps.oracleSql ++ GraphOps.oracleSql ++ FinanceOps.oracleSql ++ SplitOps.oracleSql ++ PackOps.oracleSql ++ CorpusOps.oracleSql

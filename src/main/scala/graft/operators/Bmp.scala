@@ -156,14 +156,14 @@ object BmpCodec {
   */
 object Bmp {
 
-  private[operators] def dims(docId: Long): (Int, Int) =
+  private[graft] def dims(docId: Long): (Int, Int) =
     ((16 + docId % 17).toInt, (8 + docId % 13).toInt)
 
   /** Channel c of pixel (x, y): a deterministic ladder in [0, 256).
     * Seeded by the SHARED PortableSql.seedLadder (one definition for
     * every codec signal generator and its oracle fragment).
     */
-  private[operators] def pixel(docId: Long, c: Int, x: Int, y: Int): Int =
+  private[graft] def pixel(docId: Long, c: Int, x: Int, y: Int): Int =
     ((graft.functions.PortableSql.seedLadder(docId) +
       x * 31L + y * 17L + c * 67L) % 256L).toInt
 

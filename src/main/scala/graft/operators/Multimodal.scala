@@ -36,7 +36,10 @@ case class ThumbMeta(
   * genuine article — see [[WavCodec]] (RIFF/PCM16, validated against
   * Python's stdlib reader) and [[BmpCodec]] (24bpp BMP with a true
   * box-filter resize, validated against the JDK's own javax.imageio
-  * reader). Only COMPRESSED codecs (jpeg/h264) remain stubbed.
+  * reader). COMPRESSED image formats are real too, via the JDK's
+  * built-in ImageIO plugins — see [[ImageIoCodec]] (PNG lossless
+  * round-trip, JPEG decode with bounded reconstruction error). Only
+  * codecs with no JDK decoder (h264 video, mp3 audio) remain stubbed.
   */
 final class StubDecoder extends Serializable {
   import Multimodal.{FrameSize, FrameStride, P}
