@@ -193,6 +193,113 @@ object Analytics {
       |ORDER BY revenue_cents DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q2 minimum-cost-supplier, adapted to this schema (no partsupp
+    * table, so the part↔supplier relationship and the unit cost come from
+    * lineitem: unit price = extendedprice/quantity in exact cents). The
+    * plan shape under test is the CORRELATED MIN SUBQUERY — Catalyst
+    * decorrelates `= (SELECT min(...) WHERE l2.l_partkey = p_partkey)`
+    * into a per-part aggregate joined back on the key (never a
+    * per-row re-execution); DISTINCT collapses repeat lineitems of the
+    * winning (part, supplier) pair.
+    */
+  private val tpchQ2Sql =
+    """SELECT DISTINCT p_partkey, p_name, s_name,
+      | CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      | CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT) AS unit_cents
+      |FROM part, supplier, lineitem
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size <= 3
+      |  AND round(l_extendedprice / l_quantity * 100) = (
+      |    SELECT min(round(l2.l_extendedprice / l2.l_quantity * 100))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |ORDER BY acctbal_cents DESC, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q13 customer order-count distribution — the GROUPED-ON-AGGREGATE
+    * shape: a LEFT OUTER join whose non-matches must count as ZERO (an
+    * inner join silently drops the 0-order bucket), re-aggregated on the
+    * per-customer count. The join-side filter rides IN the join condition,
+    * not a WHERE (a WHERE would turn the outer join inner). Filter adapted
+    * to this schema's columns (priority instead of the spec's comment).
+    */
+  private val tpchQ13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q17 small-quantity-order revenue — the CORRELATED SCALAR AVG
+    * subquery: each brand lineitem compares against ITS part's average
+    * quantity; Catalyst decorrelates to a broadcast per-part aggregate.
+    * The avg is exact in IEEE (integer-valued quantities summed below
+    * 2^53), so the filter boundary is deterministic across engines; the
+    * spec's /7.0 final division is dropped to keep the output exact
+    * integer cents (one shared SQL text, no DIV-syntax divergence).
+    */
+  private val tpchQ17Sql =
+    """SELECT
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS total_cents,
+      | count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 suppliers-who-kept-orders-waiting — the DOUBLE-NESTED
+    * EXISTS / NOT EXISTS stack: the only-late-supplier semantics need one
+    * LEFT SEMI (another supplier exists on the order) AND one LEFT ANTI
+    * (no OTHER supplier was late) against the same fact, both correlated
+    * on l_orderkey with an extra non-equality conjunct. "Late" adapted as
+    * in Q4 (shipped > 60 days after order; this lineitem has no
+    * commit/receipt dates).
+    */
+  private val tpchQ21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+      |  AND EXISTS (
+      |    SELECT * FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT * FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 global-sales-opportunity — NOT EXISTS anti join over a
+    * derived scalar threshold: customers above the positive-balance
+    * average with no urgent orders (every customer here has SOME order,
+    * so the spec's no-orders predicate is sharpened to a filtered anti
+    * join; country code derived from nationkey — no phone column). The
+    * average is EXACT-INTEGER algebra: `cents * count > sum` multiplies
+    * the comparison out instead of dividing, so no engine's floating
+    * average sits on the boundary.
+    */
+  private val tpchQ22Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey % 10 AS cntry,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5))
+      |SELECT cntry, CAST(count(*) AS BIGINT) AS numcust,
+      | CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+      |FROM cust
+      |WHERE cents * (SELECT count(*) FROM cust WHERE cents > 0)
+      |      > (SELECT CAST(sum(cents) AS BIGINT) FROM cust WHERE cents > 0)
+      |  AND NOT EXISTS (
+      |    SELECT * FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY cntry
+      |ORDER BY cntry""".stripMargin
+
   /** Day-of-week seasonality audit — the order-volume calendar profile
     * (dashboards slice by weekday; a flat profile here is also the
     * load-smoothing assumption capacity planning rides on). Weekday is
@@ -234,6 +341,11 @@ object Analytics {
     "q_tpch_q18" -> ((s, dir) => withTpchViews(s, dir)(tpchQ18Sql)),
     "q_tpch_q5" -> ((s, dir) => withTpchViews(s, dir)(tpchQ5Sql)),
     "q_tpch_q10" -> ((s, dir) => withTpchViews(s, dir)(tpchQ10Sql)),
+    "q_tpch_q2" -> ((s, dir) => withTpchViews(s, dir)(tpchQ2Sql)),
+    "q_tpch_q13" -> ((s, dir) => withTpchViews(s, dir)(tpchQ13Sql)),
+    "q_tpch_q17" -> ((s, dir) => withTpchViews(s, dir)(tpchQ17Sql)),
+    "q_tpch_q21" -> ((s, dir) => withTpchViews(s, dir)(tpchQ21Sql)),
+    "q_tpch_q22" -> ((s, dir) => withTpchViews(s, dir)(tpchQ22Sql)),
 
     // wide->tall reshaping via the native unpivot (melt) operator — a
     // generator, not a 3-way self-join; the oracle rebuilds the tall
@@ -683,6 +795,11 @@ object Analytics {
     "q_tpch_q18" -> tpchQ18Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q10" -> tpchQ10Sql,
+    "q_tpch_q2" -> tpchQ2Sql,
+    "q_tpch_q13" -> tpchQ13Sql,
+    "q_tpch_q17" -> tpchQ17Sql,
+    "q_tpch_q21" -> tpchQ21Sql,
+    "q_tpch_q22" -> tpchQ22Sql,
     "q_projection_filter" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0""",
 

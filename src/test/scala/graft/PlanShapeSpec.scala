@@ -119,6 +119,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"r_name filter must push to the region scan:\n$plan")
   }
 
+  test("TPC-H Q2/Q13/Q17/Q21/Q22 decorrelate cartesian-free into join plans") {
+    // each of the five exercises a distinct decorrelation: correlated min
+    // (Q2), grouped-on-aggregate left join (Q13), correlated scalar avg
+    // (Q17), double-nested EXISTS/NOT EXISTS (Q21), NOT EXISTS + derived
+    // scalar threshold (Q22). All must plan as hash joins — a
+    // CartesianProduct or per-row nested loop means the rewrite failed.
+    val plans = Seq("q_tpch_q2", "q_tpch_q13", "q_tpch_q17", "q_tpch_q21",
+      "q_tpch_q22").map { q =>
+      q -> SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    }.toMap
+    for ((q, plan) <- plans)
+      assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian:\n$plan")
+    // Q13's outer join must SURVIVE planning (inner would drop 0-order rows)
+    assert(plans("q_tpch_q13").contains("LeftOuter"),
+      s"Q13 left join lost:\n${plans("q_tpch_q13")}")
+    // Q21's EXISTS/NOT EXISTS pair must both land as semi/anti hash joins
+    assert(plans("q_tpch_q21").contains("LeftSemi") &&
+      plans("q_tpch_q21").contains("LeftAnti"),
+      s"Q21 semi/anti stack lost:\n${plans("q_tpch_q21")}")
+    // Q22's NOT EXISTS must land as an anti join
+    assert(plans("q_tpch_q22").contains("LeftAnti"),
+      s"Q22 anti join lost:\n${plans("q_tpch_q22")}")
+  }
+
   test("corpus audits never plan a cartesian or nested-loop join") {
     import graft.operators.CorpusOps
     for (df <- Seq(CorpusOps.boilerplate(Tables.documents(spark, dir)),
