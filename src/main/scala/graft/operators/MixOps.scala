@@ -210,10 +210,18 @@ object MixOps {
     * frame (rows = |domains|, the bucket-offset exemption); the corpus
     * itself contributes one token-count aggregation.
     */
-  def waterfill(docs: DataFrame): DataFrame = {
-    val s = docTokens(docs).groupBy(col("source"))
-      .agg(sum(col("n_toks")).as("toks"))
-      .withColumn("w", expr(weightSql))
+  def waterfill(docs: DataFrame): DataFrame =
+    waterfillFromCounts(docTokens(docs).groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("toks")))
+
+  /** The water-level solve over a pre-aggregated (source, toks) frame —
+    * shared by the batch query and the streaming twin (whose per-source
+    * token counts accumulate in complete mode and re-derive the
+    * allocation on readback through THIS arithmetic, so one oracle
+    * scores both).
+    */
+  def waterfillFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.withColumn("w", expr(weightSql))
     val tot = s.agg(sum(col("toks")).as("tt"), sum(col("w")).as("tw"))
     val base = s.crossJoin(broadcast(tot))
       .withColumn("budget", expr(s"tt * $WfBudgetPct DIV 100"))

@@ -1135,8 +1135,42 @@ object VectorOps {
     * is noise. Output: every vector labelled core/border/noise with its
     * cluster id (-1 for noise).
     */
-  def dbscan(emb: DataFrame): DataFrame = {
-    val pairs = annPairs(emb).select(col("v1"), col("v2")).cache()
+  def dbscan(emb: DataFrame): DataFrame =
+    dbscanFromPairs(emb, annPairs(emb).select(col("v1"), col("v2")))
+
+  /** Parquet root of the PERSISTED ANN neighbour graph — the verified
+    * (v1, v2, cosine) pair set `q_emb_ann_pairs` computes, materialized
+    * once per testdata content key (VERDICT r11 Next #5): at 100 TB the
+    * neighbour graph is the expensive artifact and a real pipeline
+    * builds it once, then runs every consumer (DBSCAN, recall audits,
+    * dedup drops) off the stored copy. Hive-partitioned on v1 % 16 so a
+    * consumer probing one vector's neighbourhood prunes to one shard.
+    */
+  def annPairsRoot(s: SparkSession, dir: String): String = {
+    val root = graft.streaming.StreamQueries.fixtureDir("annpairs", dir, "embeddings")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS"))) {
+      annPairs(Tables.embeddings(s, dir))
+        .withColumn("shard", col("v1") % 16)
+        .write.mode("overwrite").partitionBy("shard").parquet(root)
+      s.catalog.clearCache()
+    }
+    root
+  }
+
+  /** [[dbscan]] off the PERSISTED neighbour graph: no LSH banding, no
+    * bucket self-join, no cosine verification anywhere in the plan — one
+    * parquet scan of the stored pair set feeds the degree aggregate and
+    * the propagation. Same answer, same oracle (the stored pairs ARE
+    * annPairs' output), mirroring q_dedup_clusters_incr_persisted's
+    * read-yesterday's-index shape.
+    */
+  def dbscanPersisted(s: SparkSession, dir: String): DataFrame =
+    dbscanFromPairs(Tables.embeddings(s, dir),
+      s.read.parquet(annPairsRoot(s, dir)).select(col("v1"), col("v2")))
+
+  /** The DBSCAN core, generic in the eps-neighbourhood pair source. */
+  private def dbscanFromPairs(emb: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.cache()
     val und = pairs.unionAll(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
     val core = und.groupBy(col("v1").as("vec_id")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= DbscanMinPts).select(col("vec_id")).cache()
@@ -1259,6 +1293,7 @@ object VectorOps {
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
     "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
+    "q_emb_dbscan_persisted" -> ((s, dir) => dbscanPersisted(s, dir)),
     "q_emb_lsh_recall" -> ((s, dir) => lshRecall(Tables.embeddings(s, dir))),
     "q_emb_lsh_sweep" -> ((s, dir) => lshTableSweep(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
@@ -1409,7 +1444,7 @@ object VectorOps {
          | generate_series(0, ${Dim - 1}) j(j)
          |GROUP BY 1, 2""".stripMargin
 
-    Map(
+    val base = Map(
       "q_emb_gram" -> gramSql,
 
       "q_emb_power_iter" -> {
@@ -1771,6 +1806,11 @@ object VectorOps {
       // swap — the centroid doubles round-trip bit-exactly
       "q_emb_ivf_incr_persisted" -> ivfIncrSql
     )
+    // identical oracle on purpose: DBSCAN off the persisted neighbour
+    // graph is a plan swap — the stored pairs ARE annPairs' output
+    // (long ids round-trip parquet exactly), so the clustering equals
+    // the recompute by construction
+    base ++ Map("q_emb_dbscan_persisted" -> base("q_emb_dbscan"))
   }
 
   /** Full-restart oracle shared by q_emb_ivf_incr and its persisted-index

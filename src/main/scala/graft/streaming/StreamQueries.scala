@@ -1652,6 +1652,43 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_mix_waterfill — the mixture family's
+    * accumulation form (every other LLM-pipeline family already has one;
+    * VERDICT r11 Next #8): per-source TOKEN counts accumulate in
+    * complete mode — state bounded by |domains| longs, the
+    * q_stream_dsir argument — and the max-min-fair water-level
+    * allocation re-derives on readback through the SHARED
+    * MixOps.waterfillFromCounts arithmetic, so the oracle IS
+    * q_mix_waterfill's SQL. Reuses the zipf landing fixture (same
+    * (doc_id, source, text) payload).
+    */
+  def streamMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableSql.{alen, tokens}
+    val landing = ensureJsonFixture(fixtureDir("zipf", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType)))).json(landing)
+        .select(col("source"),
+          expr(alen(tokens("text", duck = false), duck = false)).cast("long").as("n_toks"))
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("toks"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.MixOps.waterfillFromCounts(
+      s.read.schema(StructType(Seq(
+          StructField("source", StringType), StructField("toks", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_markov_stationary: the transition PAIRS are
     * emitted from keyed state as events arrive — one string of state
     * per user forever (the last event type), each arrival emitting its
@@ -2146,6 +2183,7 @@ object StreamQueries {
     "q_stream_dq" -> ((s, dir) => streamDq(s, dir)),
     "q_stream_error_budget" -> ((s, dir) => streamErrorBudget(s, dir)),
     "q_stream_zipf" -> ((s, dir) => streamZipf(s, dir)),
+    "q_stream_mix" -> ((s, dir) => streamMix(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
@@ -2328,6 +2366,7 @@ object StreamQueries {
     "q_stream_bitmap" -> graft.operators.ShuffleOps.oracleSql("q_bitmap_distinct"),
     "q_stream_error_budget" -> graft.operators.AuditOps.oracleSql("q_error_budget"),
     "q_stream_zipf" -> graft.operators.TextOps.oracleSql("q_zipf_fit"),
+    "q_stream_mix" -> graft.operators.MixOps.oracleSql("q_mix_waterfill"),
     "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
