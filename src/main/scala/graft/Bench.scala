@@ -296,6 +296,16 @@ object Bench {
       System.err.println(s"[bench] centroid-index warm failed " +
         s"(q_emb_ivf_incr_persisted will pay the Lloyd build in its timed run): $e")
     }
+    try { graft.operators.VectorOps.annPairsRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN-pair-graph warm failed " +
+        s"(q_emb_dbscan_persisted will pay the graph build in its timed run): $e")
+    }
+    try { graft.operators.ImageIoCodec.jpegFixtureRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] JPEG-fixture warm failed " +
+        s"(q_image_jpeg_decode will pay the encode in its timed run): $e")
+    }
     val warmFixturesOk =
       try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }
       catch {
