@@ -73,9 +73,17 @@ object EvalOps {
     * evaluation slice at exact-ppm precision; bigger corpora evaluate on
     * a stratified sample (q_sample_stratified feeds this directly).
     */
-  def auc(spark: SparkSession, dir: String): DataFrame = {
+  def auc(spark: SparkSession, dir: String): DataFrame =
+    aucFromCells(scoreCells(spark, dir))
+
+  /** The rank-sum fold over pre-aggregated (s, cnt, pos) cells — shared
+    * by the batch query and the streaming twin (whose cells accumulate
+    * in complete mode and re-derive the AUC on readback through THIS
+    * arithmetic, so one oracle scores both).
+    */
+  def aucFromCells(cells: DataFrame): DataFrame = {
     val w = Window.orderBy(col("s"))
-    val ranked = scoreCells(spark, dir)
+    val ranked = cells
       .withColumn("cum_lt",
         coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))

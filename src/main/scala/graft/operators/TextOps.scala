@@ -35,15 +35,16 @@ object TextOps {
   /** Per-document quality score from length / stopword / token-count
     * heuristics (weights sum to 1; each component clamped to [0,1]).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens("text", duck = false)
     val stop = filterArr(toks, "t", "t = 'a' OR t = 'the'", duck = false)
-    docs.select(
+    docs.select(Seq(
         col("doc_id"),
         col("n_chars"),
         expr(s"CAST(${alen(toks, duck = false)} AS BIGINT)").as("n_tokens"),
         expr(s"CAST(${alen(stop, duck = false)} AS BIGINT)").as("n_stop"))
-      .select(
+        ++ keep.map(col): _*)
+      .select(Seq(
         col("doc_id"),
         col("n_tokens"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
@@ -52,6 +53,7 @@ object TextOps {
           lit(0.4) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
           lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 80.0),
           6).as("quality"))
+        ++ keep.map(col): _*)
   }
 
   /** Heuristic language ID: stopword share + vowel share thresholds.

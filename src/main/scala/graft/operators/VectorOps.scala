@@ -1138,6 +1138,37 @@ object VectorOps {
   def dbscan(emb: DataFrame): DataFrame =
     dbscanFromPairs(emb, annPairs(emb).select(col("v1"), col("v2")))
 
+  /** Eval-slice membership modulus for [[semDecontaminate]]. */
+  val DecontamMod = 20L
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram `q_decontaminate`: eval-set examples leak into training data
+    * as PARAPHRASES that shingle overlap can't see, so the standard
+    * pipeline check is "no train vector too close to any eval vector in
+    * embedding space" (the SemDeDup/D4 line of work applies the same
+    * primitive). The eval slice is vec_id % [[DecontamMod]] = 0; the
+    * candidate search is the banded SRP-LSH pair set (never all-pairs —
+    * the same scale story as the dedup family), filtered to cross-split
+    * pairs at the ANN threshold; output is the one-row audit a release
+    * gate reads: slice sizes, hit pairs, distinct contaminated train
+    * vectors, and the contamination rate in ppm of train.
+    */
+  def semDecontaminate(emb: DataFrame): DataFrame = {
+    val isEval = (c: org.apache.spark.sql.Column) => c % DecontamMod === 0L
+    val cross = annPairs(emb)
+      .filter(isEval(col("v1")) =!= isEval(col("v2")))
+      .select(when(isEval(col("v1")), col("v2")).otherwise(col("v1")).as("tv"))
+    val hits = cross.agg(count(lit(1)).as("n_cross_pairs"),
+      count_distinct(col("tv")).as("n_contaminated"))
+    emb.agg(
+        sum(isEval(col("vec_id")).cast("long")).as("n_eval"),
+        sum((!isEval(col("vec_id"))).cast("long")).as("n_train"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_eval"), col("n_train"), col("n_cross_pairs"),
+        col("n_contaminated"),
+        expr("n_contaminated * 1000000 DIV n_train").as("contam_ppm"))
+  }
+
   /** Parquet root of the PERSISTED ANN neighbour graph — the verified
     * (v1, v2, cosine) pair set `q_emb_ann_pairs` computes, materialized
     * once per testdata content key (VERDICT r11 Next #5): at 100 TB the
@@ -1294,6 +1325,7 @@ object VectorOps {
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
     "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
     "q_emb_dbscan_persisted" -> ((s, dir) => dbscanPersisted(s, dir)),
+    "q_emb_decontam" -> ((s, dir) => semDecontaminate(Tables.embeddings(s, dir))),
     "q_emb_lsh_recall" -> ((s, dir) => lshRecall(Tables.embeddings(s, dir))),
     "q_emb_lsh_sweep" -> ((s, dir) => lshTableSweep(Tables.embeddings(s, dir))),
     "q_emb_dedup_drops" -> ((s, dir) => embDedupDrops(Tables.embeddings(s, dir))),
@@ -1724,6 +1756,34 @@ object VectorOps {
            |FROM embeddings em
            | LEFT JOIN lab l ON em.vec_id = l.vec_id
            | LEFT JOIN bord b ON em.vec_id = b.vec_id""".stripMargin,
+
+      // cross-split pairs over the SAME banded pair set as the engine;
+      // eval slice = vec_id % DecontamMod = 0
+      "q_emb_decontam" ->
+        s"""WITH $normCte,
+           | bkt AS (SELECT vec_id, vn,
+           |   $bucketCols
+           |  FROM e),
+           | x AS ($unionAll),
+           | p AS (SELECT DISTINCT v1, v2 FROM (
+           |   SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+           |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
+           |    AND a.vec_id < b.vec_id) q0
+           |  WHERE cosine >= $AnnMinCosine),
+           | cr AS (SELECT CASE WHEN v1 % $DecontamMod = 0 THEN v2 ELSE v1 END AS tv
+           |  FROM p WHERE (v1 % $DecontamMod = 0) <> (v2 % $DecontamMod = 0)),
+           | h AS (SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs,
+           |   CAST(count(DISTINCT tv) AS BIGINT) AS n_contaminated FROM cr),
+           | t AS (SELECT
+           |   CAST(sum(CASE WHEN vec_id % $DecontamMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n_eval,
+           |   CAST(sum(CASE WHEN vec_id % $DecontamMod = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           |     AS n_train
+           |  FROM embeddings)
+           |SELECT n_eval, n_train, n_cross_pairs, n_contaminated,
+           | CAST(n_contaminated * 1000000 // n_train AS BIGINT) AS contam_ppm
+           |FROM t, h""".stripMargin,
 
       "q_emb_dedup_drops" ->
         s"""WITH $normCte,

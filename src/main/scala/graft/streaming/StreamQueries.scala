@@ -1689,6 +1689,46 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_eval_auc — the classifier-eval family's
+    * accumulation form: documents are SCORED in-stream (the shared
+    * quality formula, stateless per row) and only the per-distinct-score
+    * (cnt, positives) cells accumulate in complete mode — state bounded
+    * by |distinct score values| (≤ 1e6 micro levels, the
+    * q_stream_dsir bounded-feature-frame argument), NOT stream length.
+    * The rank-sum AUC re-derives on readback through the SHARED
+    * EvalOps.aucFromCells arithmetic, so the oracle IS q_eval_auc's SQL.
+    * The label rides the fixture (ground truth is input data; the
+    * MODEL's score is what computes in-stream).
+    */
+  def streamEvalAuc(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("evalsc", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("y")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val src = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("n_chars", LongType), StructField("y", LongType)))).json(landing)
+      val q = graft.operators.TextOps.qualityScore(src, keep = Seq("y"))
+        .select(expr("CAST(round(quality * 1000000) AS BIGINT)").as("s"), col("y"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.EvalOps.aucFromCells(
+      s.read.schema(StructType(Seq(
+          StructField("s", LongType), StructField("cnt", LongType),
+          StructField("pos", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_markov_stationary: the transition PAIRS are
     * emitted from keyed state as events arrive — one string of state
     * per user forever (the last event type), each arrival emitting its
@@ -2184,6 +2224,7 @@ object StreamQueries {
     "q_stream_error_budget" -> ((s, dir) => streamErrorBudget(s, dir)),
     "q_stream_zipf" -> ((s, dir) => streamZipf(s, dir)),
     "q_stream_mix" -> ((s, dir) => streamMix(s, dir)),
+    "q_stream_eval_auc" -> ((s, dir) => streamEvalAuc(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
@@ -2367,6 +2408,7 @@ object StreamQueries {
     "q_stream_error_budget" -> graft.operators.AuditOps.oracleSql("q_error_budget"),
     "q_stream_zipf" -> graft.operators.TextOps.oracleSql("q_zipf_fit"),
     "q_stream_mix" -> graft.operators.MixOps.oracleSql("q_mix_waterfill"),
+    "q_stream_eval_auc" -> graft.operators.EvalOps.oracleSql("q_eval_auc"),
     "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
