@@ -296,7 +296,41 @@ object FinanceOps {
        |FROM f""".stripMargin
   }
 
+  /** Alignment offset for the (possibly negative) Sharpe numerator —
+    * the q_corr_daily CorrBig trick (|ratio| bounded, offset dwarfs it).
+    */
+  val SharpeBig = 100000L
+
+  /** Daily SHARPE ratio per event_type — mean/stddev of the daily cent
+    * totals in exact milli units via the portable integer isqrt (the
+    * q_corr_daily kernel): sharpe_milli = s*1000*n DIV (n*isqrt(n*q−s²))
+    * with the n-scaling folded so mean = s/n and std = isqrt(n·q−s²)/n
+    * cancel their denominators — i.e. s * 1000 DIV isqrt(n·q − s²),
+    * offset-aligned for negative sums. The risk-adjusted-return tile
+    * every transaction-volume dashboard carries next to the raw totals.
+    * One groupBy(type, day) + one groupBy(type); |types|-row frames
+    * after the first aggregate. Shares the corr kernels' int64 domain
+    * bound (daily cents × day-span — den < 2^63/1000).
+    */
+  def sharpeDaily(events: DataFrame): DataFrame = {
+    import graft.functions.PortableSql.isqrtSql
+    val d = events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        cents.as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("v"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+      .withColumn("varn", expr("n_days * q - s * s"))
+      .withColumn("den", expr(isqrtSql("varn", duck = false)))
+      .filter(col("den") > 0) // constant series carry no ratio
+      .select(col("event_type"), col("n_days"), col("s").as("sum_cents"),
+        expr(s"(s * 1000 + $SharpeBig * den) DIV den - $SharpeBig")
+          .as("sharpe_milli"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sharpe_daily" -> ((s, dir) => sharpeDaily(Tables.events(s, dir))),
     "q_ewma_flags" -> ((s, dir) => ewmaFlags(Tables.events(s, dir))),
     "q_cusum_flags" -> ((s, dir) => cusumFlags(Tables.events(s, dir))),
     "q_drawdown" -> ((s, dir) => drawdown(Tables.events(s, dir))),
@@ -306,6 +340,23 @@ object FinanceOps {
     "q_benford" -> ((s, dir) => benfordAudit(Tables.events(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_sharpe_daily" -> {
+      val isq = graft.functions.PortableSql.isqrtSql("varn", duck = true)
+      s"""WITH d AS (SELECT event_type,
+         |   epoch_us(ts) // 86400000000 AS day,
+         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         | m AS (SELECT event_type, count(*) AS n_days,
+         |   CAST(sum(v) AS BIGINT) AS s,
+         |   CAST(sum(v * v) AS BIGINT) AS q FROM d GROUP BY 1),
+         | k AS (SELECT event_type, n_days, s,
+         |   n_days * q - s * s AS varn FROM m),
+         | z AS (SELECT event_type, n_days, s, $isq AS den FROM k)
+         |SELECT event_type, n_days, s AS sum_cents,
+         | CAST((s * 1000 + $SharpeBig * den) // den - $SharpeBig AS BIGINT)
+         |   AS sharpe_milli
+         |FROM z WHERE den > 0""".stripMargin
+    },
     "q_ewma_flags" -> ewmaFlagsSql,
     "q_cusum_flags" -> cusumFlagsSql,
     "q_drawdown" ->

@@ -261,7 +261,34 @@ object Governance {
       .withColumn("passed", (col("n_violations") === 0L).cast("int"))
   }
 
+  /** k-anonymity threshold for the quasi-identifier audit. */
+  val KAnonK = 10L
+
+  /** K-ANONYMITY audit over the customer dimension — the re-identification
+    * screen a governance pass runs before any dataset leaves the
+    * boundary: group by the quasi-identifier tuple (nationkey,
+    * mktsegment — the columns an adversary can observe externally) and
+    * measure how many rows sit in groups smaller than k ([[KAnonK]]),
+    * i.e. rows an attacker could single out. One-row release gate: group
+    * counts, the minimum group size, rows at risk, and the at-risk share
+    * in ppm. One hash aggregate on the QI key + one 1-row rollup —
+    * nothing grows beyond |distinct QI tuples|.
+    */
+  def kAnonymity(customer: DataFrame): DataFrame =
+    customer.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("gn"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("gn")).as("min_group_size"),
+        sum(when(col("gn") < KAnonK, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("gn") < KAnonK, col("gn")).otherwise(0L)).as("n_rows_at_risk"),
+        sum(col("gn")).as("n_rows"))
+      .select(col("n_groups"), col("min_group_size"), col("n_small_groups"),
+        col("n_rows_at_risk"),
+        expr("n_rows_at_risk * 1000000 DIV n_rows").as("at_risk_ppm"),
+        (col("min_group_size") >= KAnonK).cast("int").as("k_anonymous"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> ((s, dir) => kAnonymity(Tables.customer(s, dir))),
     "q_dq_checks" -> ((s, dir) =>
       dqChecks(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_winsorize" -> ((s, dir) => winsorized(s, dir)),
@@ -274,6 +301,22 @@ object Governance {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS gn
+         |  FROM customer GROUP BY 1, 2),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |   CAST(min(gn) AS BIGINT) AS min_group_size,
+         |   CAST(sum(CASE WHEN gn < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_small_groups,
+         |   CAST(sum(CASE WHEN gn < $KAnonK THEN gn ELSE 0 END) AS BIGINT)
+         |     AS n_rows_at_risk,
+         |   CAST(sum(gn) AS BIGINT) AS n_rows
+         |  FROM g)
+         |SELECT n_groups, min_group_size, n_small_groups, n_rows_at_risk,
+         | CAST(n_rows_at_risk * 1000000 // n_rows AS BIGINT) AS at_risk_ppm,
+         | CAST(CASE WHEN min_group_size >= $KAnonK THEN 1 ELSE 0 END AS INT)
+         |   AS k_anonymous
+         |FROM t""".stripMargin,
     "q_dq_checks" ->
       """WITH base AS (SELECT count(*) AS n_rows,
         |   count(DISTINCT o_orderkey) AS k_distinct,

@@ -268,10 +268,47 @@ object GraphOps {
     lvl.select(col("b").as("brand"), col("lvl").as("level"))
   }
 
+  /** Jaccard link prediction over the brand graph — score every
+    * NON-adjacent pair by neighbourhood overlap (|N(a)∩N(b)| /
+    * |N(a)∪N(b)| in exact ppm): the classic "which edge forms next"
+    * heuristic, and at pipeline scale the relational form matters —
+    * common neighbours come from ONE wedge self-join of the edge list on
+    * the shared-neighbour key (linear in wedges, the triangle-count plan
+    * shape), the union size from degrees by inclusion-exclusion, and
+    * adjacency is subtracted with an anti-join. No all-pairs anywhere.
+    */
+  def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    // the SUPPORT-thresholded edge set (kCore's e0): the raw co-purchase
+    // graph is a near-clique, so "non-adjacent" would be empty — real
+    // link prediction runs on the significant-tie graph
+    val oTot = Tables.orders(spark, dir).agg(count(lit(1)).as("n"))
+    val half = supportEdges(spark, dir).crossJoin(broadcast(oTot))
+      .filter(col("sup") * lit(1000000L) >= col("n") * lit(KCoreSupPpm))
+      .select(col("b1"), col("b2"))
+    val e = half
+      .unionByName(half.select(col("b2").as("b1"), col("b1").as("b2")))
+      .select(col("b1").as("src"), col("b2").as("dst")).cache()
+    val deg = e.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
+    // wedges: a -nbr- b with a < b → common-neighbour counts
+    val common = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("b1"), col("y.src").as("b2"))
+      .agg(count(lit(1)).as("common"))
+    val adj = e.filter(col("src") < col("dst"))
+      .select(col("src").as("b1"), col("dst").as("b2"))
+    common.join(adj, Seq("b1", "b2"), "left_anti")
+      .join(deg.select(col("b").as("b1"), col("deg").as("d1")), "b1")
+      .join(deg.select(col("b").as("b2"), col("deg").as("d2")), "b2")
+      .select(col("b1"), col("b2"), col("common"),
+        (col("d1") + col("d2") - col("common")).as("union_size"),
+        expr("common * 1000000 DIV (d1 + d2 - common)").as("jaccard_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_levels" -> ((s, dir) => bfsLevels(s, dir)),
     "q_pagerank" -> ((s, dir) => pageRank(s, dir)),
     "q_kcore" -> ((s, dir) => kCore(s, dir)),
+    "q_graph_jaccard" -> ((s, dir) => jaccardLinks(s, dir)),
     "q_triangles" -> ((s, dir) => triangleCounts(s, dir))
   )
 
@@ -299,6 +336,32 @@ object GraphOps {
          |   GROUP BY e.dst) c ON c.dst = nd.b)""".stripMargin
     }.mkString(",\n")
     Map(
+      // wedge self-join + inclusion-exclusion union, anti-join adjacency,
+      // over the SUPPORT-thresholded tie graph (kCore's e0)
+      "q_graph_jaccard" ->
+        s"""WITH ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           | sup AS (SELECT a.b AS b1, o2.b AS b2, count(*) AS sup
+           |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b GROUP BY 1, 2),
+           | ot AS (SELECT count(*) AS n FROM orders),
+           | half AS MATERIALIZED (SELECT b1, b2 FROM sup, ot
+           |  WHERE sup * 1000000 >= n * $KCoreSupPpm),
+           | ed AS (SELECT b1 AS src, b2 AS dst FROM half
+           |  UNION ALL SELECT b2, b1 FROM half),
+           | deg AS (SELECT src AS b, count(*) AS deg FROM ed GROUP BY 1),
+           | c AS (SELECT x.src AS b1, y.src AS b2, count(*) AS common
+           |  FROM ed x JOIN ed y
+           |   ON x.dst = y.dst AND x.src < y.src
+           |  GROUP BY 1, 2),
+           | na AS (SELECT c.b1, c.b2, c.common FROM c
+           |  LEFT JOIN half ON c.b1 = half.b1 AND c.b2 = half.b2
+           |  WHERE half.b1 IS NULL)
+           |SELECT na.b1, na.b2, CAST(common AS BIGINT) AS common,
+           | CAST(d1.deg + d2.deg - common AS BIGINT) AS union_size,
+           | CAST(common * 1000000 // (d1.deg + d2.deg - common) AS BIGINT)
+           |   AS jaccard_ppm
+           |FROM na JOIN deg d1 ON na.b1 = d1.b JOIN deg d2 ON na.b2 = d2.b""".stripMargin,
+
       "q_pagerank" ->
         s"""WITH $base,
            |$iters
