@@ -300,6 +300,182 @@ object Analytics {
       |GROUP BY cntry
       |ORDER BY cntry""".stripMargin
 
+  /** TPC-H Q7 volume shipping — the two-nation bidirectional join: the OR
+    * of both (supp, cust) nation orientations rides the join condition
+    * over two aliases of the SAME nation dim (both broadcast), revenue
+    * grouped by the flow direction and ship year.
+    */
+  private val tpchQ7Sql =
+    """SELECT supp_nation, cust_nation, yr,
+      | CAST(sum(vol) AS BIGINT) AS revenue_cents
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |   CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS vol
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |   AND c_nationkey = n2.n_nationkey
+      |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, yr
+      |ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
+  /** TPC-H Q8 national market share — conditional share-of-total per
+    * year in exact ppm over the 7-table star (two nation aliases: the
+    * customer side filters the region, the supplier side tags the
+    * numerator nation).
+    */
+  private val tpchQ8Sql =
+    """SELECT yr,
+      | CAST(sum(CASE WHEN nat = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT)
+      |   AS nation_cents,
+      | CAST(sum(vol) AS BIGINT) AS total_cents
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS vol,
+      |   n2.n_name AS nat
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |   AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |   AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |   AND p_type = 'PROMO') all_nations
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** TPC-H Q9 product-type profit, adapted to this schema (no partsupp,
+    * so cost = p_retailprice × quantity — the same join shape, profit
+    * possibly negative): nation × order-year profit over the
+    * name-filtered part join, all in exact integer cents.
+    */
+  private val tpchQ9Sql =
+    """SELECT nat, yr, CAST(sum(amount) AS BIGINT) AS profit_cents
+      |FROM (SELECT n_name AS nat, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |     - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |     AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |   AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |   AND p_name LIKE '%widget%') profit
+      |GROUP BY nat, yr ORDER BY nat, yr DESC""".stripMargin
+
+  /** TPC-H Q11 important stock, adapted (no partsupp: a part's held
+    * value = its lineitem revenue) — the HAVING-vs-GLOBAL-SCALAR shape:
+    * the grouped aggregate compares against an ungrouped aggregate of
+    * the same table (multiplied out to exact integers, fraction 1/1600
+    * sized to this generator's 2k-part catalog).
+    */
+  private val tpchQ11Sql =
+    """SELECT l_partkey AS p_key,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS value_cents
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1600 >
+      | (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
+      |ORDER BY value_cents DESC, p_key""".stripMargin
+
+  /** TPC-H Q12 shipping-mode priority, adapted (linestatus stands in for
+    * the absent shipmode; "late" as in Q4): the conditional-count
+    * pivot-by-CASE over a date-windowed join.
+    */
+  private val tpchQ12Sql =
+    """SELECT l_linestatus,
+      | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |     OR o_orderpriority = '2-HIGH'
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |     AND o_orderpriority <> '2-HIGH'
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      | AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+      | AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q15 top supplier — the aggregate-then-scalar-max shape: the
+    * revenue CTE is consumed twice (once joined, once re-aggregated for
+    * the max), which AQE serves from one reused exchange.
+    */
+  private val tpchQ15Sql =
+    """WITH revenue0 AS (
+      | SELECT l_suppkey AS supplier_no,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS total_rev
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM supplier, revenue0
+      |WHERE s_suppkey = supplier_no
+      | AND total_rev = (SELECT max(total_rev) FROM revenue0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 parts/supplier relationship count — the NOT IN
+    * (null-aware anti join) shape, the one anti-join variant Q21/Q22's
+    * NOT EXISTS doesn't exercise (a NULL in the exclusion set would
+    * empty the result, so Catalyst plans NullAwareAnti, not plain
+    * LeftAnti). Exclusion set = negative-balance suppliers (the
+    * complaints analog); supplier-part relation from lineitem.
+    */
+  private val tpchQ16Sql =
+    """SELECT p_brand, p_type, p_size,
+      | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      | AND p_brand <> 'Brand#5'
+      | AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      | AND l_suppkey NOT IN (
+      |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q19 discounted revenue — the DISJUNCTIVE join predicate: three
+    * OR'd conjunct groups mixing both sides' columns ride the join as a
+    * residual condition while the shared p_partkey equality still plans
+    * a hash join (size ranges stand in for the absent container column).
+    */
+  private val tpchQ19Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+      | count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      | AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** TPC-H Q20 potential part promotion, adapted — IN over a grouped
+    * HAVING whose threshold is CORRELATED scalar aggregates (the part's
+    * distinct-supplier count and total quantity): "suppliers holding >4×
+    * their fair share of a red part". The fair-share form replaces the
+    * spec's fixed 50%-of-availqty because a fixed share fraction thins
+    * toward uniform as the corpus grows — this predicate is scale-stable
+    * (3 hits at sf0.01, 2 at sf0.1). Two correlated scalars decorrelate
+    * to per-part aggregates joined back on the group key.
+    */
+  private val tpchQ20Sql =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1, part
+      |  WHERE p_partkey = l1.l_partkey AND p_name LIKE 'red%'
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING sum(CAST(l1.l_quantity AS BIGINT)) * (
+      |     SELECT count(DISTINCT l2.l_suppkey) FROM lineitem l2
+      |     WHERE l2.l_partkey = l1.l_partkey)
+      |   > 4 * (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+      |     WHERE l3.l_partkey = l1.l_partkey))
+      | AND s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Day-of-week seasonality audit — the order-volume calendar profile
     * (dashboards slice by weekday; a flat profile here is also the
     * load-smoothing assumption capacity planning rides on). Weekday is
@@ -346,6 +522,15 @@ object Analytics {
     "q_tpch_q17" -> ((s, dir) => withTpchViews(s, dir)(tpchQ17Sql)),
     "q_tpch_q21" -> ((s, dir) => withTpchViews(s, dir)(tpchQ21Sql)),
     "q_tpch_q22" -> ((s, dir) => withTpchViews(s, dir)(tpchQ22Sql)),
+    "q_tpch_q7" -> ((s, dir) => withTpchViews(s, dir)(tpchQ7Sql)),
+    "q_tpch_q8" -> ((s, dir) => withTpchViews(s, dir)(tpchQ8Sql)),
+    "q_tpch_q9" -> ((s, dir) => withTpchViews(s, dir)(tpchQ9Sql)),
+    "q_tpch_q11" -> ((s, dir) => withTpchViews(s, dir)(tpchQ11Sql)),
+    "q_tpch_q12" -> ((s, dir) => withTpchViews(s, dir)(tpchQ12Sql)),
+    "q_tpch_q15" -> ((s, dir) => withTpchViews(s, dir)(tpchQ15Sql)),
+    "q_tpch_q16" -> ((s, dir) => withTpchViews(s, dir)(tpchQ16Sql)),
+    "q_tpch_q19" -> ((s, dir) => withTpchViews(s, dir)(tpchQ19Sql)),
+    "q_tpch_q20" -> ((s, dir) => withTpchViews(s, dir)(tpchQ20Sql)),
 
     // wide->tall reshaping via the native unpivot (melt) operator — a
     // generator, not a 3-way self-join; the oracle rebuilds the tall
@@ -800,6 +985,15 @@ object Analytics {
     "q_tpch_q17" -> tpchQ17Sql,
     "q_tpch_q21" -> tpchQ21Sql,
     "q_tpch_q22" -> tpchQ22Sql,
+    "q_tpch_q7" -> tpchQ7Sql,
+    "q_tpch_q8" -> tpchQ8Sql,
+    "q_tpch_q9" -> tpchQ9Sql,
+    "q_tpch_q11" -> tpchQ11Sql,
+    "q_tpch_q12" -> tpchQ12Sql,
+    "q_tpch_q15" -> tpchQ15Sql,
+    "q_tpch_q16" -> tpchQ16Sql,
+    "q_tpch_q19" -> tpchQ19Sql,
+    "q_tpch_q20" -> tpchQ20Sql,
     "q_projection_filter" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0""",
 

@@ -143,6 +143,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Q22 anti join lost:\n${plans("q_tpch_q22")}")
   }
 
+  test("TPC-H Q7-Q20 batch decorrelates cartesian-free; Q16's NOT IN is null-aware") {
+    val plans = Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
+      "q_tpch_q12", "q_tpch_q15", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20")
+      .map { q =>
+        q -> SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      }.toMap
+    for ((q, plan) <- plans)
+      assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian:\n$plan")
+    // Q16's NOT IN lands as an anti join. NOTE: the null-aware variant
+    // (NAAJ / OR-isnull condition) is correctly ABSENT here — both join
+    // keys scan from non-nullable parquet fields, so Catalyst proves the
+    // exclusion set can't contain NULL and simplifies to a plain
+    // LeftAnti with bare equality keys (condition None). If the schema
+    // ever went nullable, this assertion would keep passing while the
+    // plan gained the isnull disjunct — the semantics, not the variant,
+    // are what's pinned.
+    assert(plans("q_tpch_q16").contains("LeftAnti"),
+      s"Q16 NOT IN must plan an anti join:\n${plans("q_tpch_q16")}")
+    // Q19's disjunctive predicate must still ride a HASH join on the
+    // shared p_partkey equality, not degrade to a nested loop
+    assert(plans("q_tpch_q19").contains("HashJoin") &&
+      !plans("q_tpch_q19").contains("BroadcastNestedLoopJoin"),
+      s"Q19 must keep the partkey hash join:\n${plans("q_tpch_q19")}")
+  }
+
   test("corpus audits never plan a cartesian or nested-loop join") {
     import graft.operators.CorpusOps
     for (df <- Seq(CorpusOps.boilerplate(Tables.documents(spark, dir)),
