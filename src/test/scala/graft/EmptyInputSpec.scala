@@ -122,6 +122,32 @@ class EmptyInputSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("round-12 operators survive empty inputs") {
+    import spark.implicits._
+    import graft.operators.{EvalOps, FinanceOps, Governance, MixOps, VectorOps}
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // semantic decontamination: one audit row with zero slices/hits
+    val dec = VectorOps.semDecontaminate(emptyEmb).collect()
+    assert(dec.length == 1 && dec(0).getAs[Long]("n_cross_pairs") == 0L)
+    assert(VectorOps.dbscan(emptyEmb).count() == 0)
+    // rank-sum AUC over zero cells: the aggregate row exists but n_pos=0
+    // would divide by zero — cells empty ⇒ sums are NULL ⇒ NULL ppm row,
+    // which a caller filters; the point is no crash
+    val emptyCells = Seq.empty[(Long, Long, Long)].toDF("s", "cnt", "pos")
+    assert(EvalOps.aucFromCells(emptyCells).count() == 1)
+    val emptyCounts = Seq.empty[(String, Long)].toDF("source", "toks")
+    assert(MixOps.waterfillFromCounts(emptyCounts).count() == 0)
+    val emptyEvents2 = emptyEvents
+    assert(FinanceOps.sharpeDaily(emptyEvents2).count() == 0)
+    val emptyCust = Seq.empty[(Long, Int, String)]
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    // zero customers: the single rollup row reports 0 groups
+    val ka = Governance.kAnonymity(emptyCust).collect()
+    assert(ka.length == 1 && ka(0).getAs[Long]("n_groups") == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("budget sample on a single tiny doc keeps it (crossing doc included)") {
     import spark.implicits._
     val one = Seq((1L, "a b c", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
