@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSource V2 connector — the custom-SOURCE extension tier next
+  * to the custom physical operator (`plans/AsofJoinNative`), the Catalyst
+  * rule (`plans/RangeJoinRewrite`), and the codegen expressions: a
+  * deterministic synthetic-transactions table materialized BY THE SOURCE
+  * itself (the reference's Python generators re-expressed as a first-class
+  * Spark table — at 100 TB a load test or backfill generates data on the
+  * executors, never through a driver loop or an external file drop).
+  *
+  * What makes it a real connector rather than a demo:
+  *   - PARTITION PLANNING: the id domain splits into `slices` ranges, one
+  *     `InputPartition` each — 1000 executors get 1000 independent
+  *     generators, zero shuffle, zero skew (equal ranges).
+  *   - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the reader
+  *     materializes ONLY the pruned schema — an unreferenced wide payload
+  *     column costs nothing (`SynthSourceSpec` pins the pruned scan
+  *     schema and the payload-skip).
+  *   - FILTER PUSHDOWN (`SupportsPushDownFilters`): id-range predicates
+  *     (>, >=, <, <=, =) tighten the generated ranges BEFORE planning, so
+  *     a filtered read plans fewer/smaller partitions instead of
+  *     generate-then-discard (pinned by spec: pushed filters don't
+  *     re-evaluate post-scan).
+  *
+  * Row content rides the engine-wide Knuth ladder
+  * ([[graft.functions.PortableSql.seedLadder]]), so the DuckDB oracle
+  * reproduces every generated cell from `generate_series` + the same
+  * arithmetic.
+  *
+  * Usage: `spark.read.format("graft.sources.SynthDataSource")
+  *   .option("rows", n).option("slices", k).load()`.
+  */
+class SynthDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SynthDataSource {
+  /** id + ladder-derived facts + a deliberately wide payload column whose
+    * only job is to be pruned away.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("channel", StringType, nullable = false),
+    StructField("amount_cents", LongType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  val Channels: Seq[String] = Seq("web", "pos", "upi", "bank", "app")
+
+  def hash(id: Long): Long = graft.functions.PortableSql.seedLadder(id)
+  def channel(id: Long): String = Channels((hash(id) % 5L).toInt)
+  def amountCents(id: Long): Long = hash(id) % 100000L + 1L
+
+  /** The generated-cell arithmetic as a DuckDB fragment over an `id`
+    * column — the oracle side of every q_dsv2_* query.
+    */
+  def oracleCells(idCol: String): String = {
+    val h = graft.functions.PortableSql.seedLadderSql(idCol)
+    val ch = Channels.zipWithIndex.init
+      .map { case (c, i) => s"WHEN ($h) % 5 = $i THEN '$c'" }
+      .mkString("CASE ", " ", s" ELSE '${Channels.last}' END")
+    s"$ch AS channel, CAST(($h) % 100000 + 1 AS BIGINT) AS amount_cents"
+  }
+
+  /** Channel rollup over a pushed id-range read: the filter reaches the
+    * source as pruned generation ranges (never generate-then-discard)
+    * and the payload column is pruned out of the scan entirely — both
+    * pinned in SynthSourceSpec; this registry row scores the generated
+    * CONTENT against the ladder arithmetic replayed in DuckDB.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q_dsv2_source" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "32").load()
+        .filter(col("id") >= 1000L && col("id") < 50000L)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dsv2_source" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(1000, 49999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY channel""".stripMargin
+  )
+}
+
+class SynthTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"synth($rows)"
+  override def schema(): StructType = SynthDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, slices)
+}
+
+class SynthScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SynthDataSource.Schema
+  private var lo = 0L          // inclusive
+  private var hi = rows        // exclusive
+  private var pushed = Array.empty[Filter]
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark passes the pruned schema in FIELD ORDER of the original, and
+    // an empty schema for count(*)-style scans — both legal here
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // everything else stays a post-scan Filter
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SynthScan(required, lo, hi, slices)
+}
+
+class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthScan(range=[$lo, $hi), slices=$slices, cols=${schema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    (0 until k).map { i =>
+      // equal-width ranges: partition i covers [lo + i*n/k, lo + (i+1)*n/k)
+      SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(schema)
+}
+
+case class SynthPartition(from: Long, until: Long) extends InputPartition
+
+class SynthReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthPartition]
+    new SynthReader(schema, p.from, p.until)
+  }
+}
+
+/** Generates exactly the pruned columns for its id range — one cheap
+  * ladder hash per row, no allocation beyond the row array.
+  */
+class SynthReader(schema: StructType, from: Long, until: Long)
+    extends PartitionReader[InternalRow] {
+  private var id = from - 1
+  // resolve column generators ONCE per partition, not per row
+  private val gens: Array[Long => Any] = schema.fieldNames.map {
+    case "id" => (i: Long) => i
+    case "channel" => (i: Long) => UTF8String.fromString(SynthDataSource.channel(i))
+    case "amount_cents" => (i: Long) => SynthDataSource.amountCents(i)
+    case "payload" => (i: Long) =>
+      // deliberately expensive to build: pruning it away must be visible
+      UTF8String.fromString("x" * 256 + java.lang.Long.toHexString(i))
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = { id += 1; id < until }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(gens.map(g => g(id)).toIndexedSeq)
+  override def close(): Unit = ()
+}
