@@ -93,6 +93,34 @@ object SynthDataSource {
         .filter(col("id") >= 1000L && col("id") < 50000L)
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
+    // the STREAMING face: Trigger.AvailableNow drains the bounded table
+    // through the admission-controlled MicroBatchStream in 3 real
+    // micro-batches (60000 ids / 20000 per batch), the channel rollup
+    // accumulating in complete mode across them — offset round-trips and
+    // multi-batch state through a CUSTOM connector, not a file source
+    "q_stream_dsv2" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val tmp = "/tmp/graft_dsv2_stream"
+      val q = s.readStream.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "8")
+        .option("rowsPerBatch", "20000").load()
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          StructField("channel", StringType), StructField("n", LongType),
+          StructField("cents", LongType))))
+        .parquet(s"$tmp/out")
     })
   )
 
@@ -100,6 +128,15 @@ object SynthDataSource {
     "q_dsv2_source" ->
       s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
          |  FROM (SELECT unnest(generate_series(1000, 49999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY channel""".stripMargin,
+
+    // the streamed rollup covers the FULL id domain — multi-batch
+    // accumulation must land exactly where one batch pass would
+    "q_stream_dsv2" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(0, 59999)) AS i) t)
          |SELECT channel, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(amount_cents) AS BIGINT) AS cents
          |FROM g GROUP BY channel""".stripMargin
@@ -110,12 +147,14 @@ class SynthTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices)
+    new SynthScanBuilder(rows, slices,
+      options.getLong("rowsPerBatch", 1000L))
 }
 
-class SynthScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = SynthDataSource.Schema
@@ -144,13 +183,17 @@ class SynthScanBuilder(rows: Long, slices: Int) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(required, lo, hi, slices)
+  override def build(): Scan = new SynthScan(required, lo, hi, slices, rowsPerBatch)
 }
 
-class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int)
+class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int,
+    rowsPerBatch: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(schema, lo, hi, slices, rowsPerBatch)
   override def description(): String =
     s"SynthScan(range=[$lo, $hi), slices=$slices, cols=${schema.fieldNames.mkString(",")})"
 
@@ -175,6 +218,69 @@ class SynthReaderFactory(schema: StructType) extends PartitionReaderFactory {
     val p = partition.asInstanceOf[SynthPartition]
     new SynthReader(schema, p.from, p.until)
   }
+}
+
+/** The STREAMING face of the same table — a real `MicroBatchStream` with
+  * Kafka/Pub-Sub-shaped OFFSET semantics (the S1 source tier as a custom
+  * connector, not a file-drop stand-in): offsets are id watermarks,
+  * `latestOffset` advances by `rowsPerBatch` per micro-batch until the
+  * bounded end (so `Trigger.AvailableNow` drains the table in ceil(n/b)
+  * batches), each batch plans the SAME pruned-range partitions as the
+  * batch scan, and offsets round-trip the checkpoint log via
+  * `deserializeOffset` — a restarted query resumes mid-table exactly
+  * like a committed consumer group.
+  */
+class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
+    slices: Int, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+
+  // ADMISSION CONTROL: each micro-batch admits at most rowsPerBatch ids,
+  // so Trigger.AvailableNow drains the bounded table in ceil(n/b)
+  // batches — real multi-batch offsets through the checkpoint log, not
+  // one mega-batch
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].n
+    val cap = limit match {
+      case r: ReadMaxRows => s + r.maxRows()
+      case _ => hi
+    }
+    SynthOffset(math.min(cap, hi))
+  }
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SynthOffset].n
+    val e0 = end.asInstanceOf[SynthOffset].n
+    val n = math.max(0L, e0 - s0)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    (0 until k).map { i =>
+      SynthPartition(s0 + i * n / k, s0 + (i + 1) * n / k): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(schema)
+}
+
+/** Offset = the next unread id (a Kafka-style watermark). */
+case class SynthOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 /** Generates exactly the pruned columns for its id range — one cheap

@@ -64,4 +64,25 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(table.count() == 10000L)
     assert(table.filter(col("id") >= 10000L).count() == 0L)
   }
+
+  test("MicroBatchStream drains under AvailableNow in admission-controlled batches") {
+    import org.apache.spark.sql.DataFrame
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.format("graft.sources.SynthDataSource")
+      .option("rows", "10000").option("slices", "4")
+      .option("rowsPerBatch", "3000").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        total.addAndGet(df.count())
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 10000 ids at 3000/batch = 4 real micro-batches, no row lost or doubled
+    assert(batches.get() == 4, s"expected 4 admission-controlled batches, got ${batches.get()}")
+    assert(total.get() == 10000L, s"rows across batches: ${total.get()}")
+  }
 }
