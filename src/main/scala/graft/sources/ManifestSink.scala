@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A custom DSv2 SINK with a real two-phase COMMIT PROTOCOL — the write
+  * side of the connector tier (the reference's BigQuery sink re-expressed
+  * as first-class Spark write semantics): every task writes to a private
+  * STAGING file, task commit returns the staged path as its
+  * `WriterCommitMessage`, and only the DRIVER's `BatchWrite.commit`
+  * publishes — moving staged files into `data/` and writing
+  * `manifest.json` (the file list + schema) LAST, so readers that go
+  * through the manifest can never observe a partial job:
+  *
+  *   - a task that never commits leaves only an orphaned staging file
+  *     the manifest never mentions (invisible — spec-pinned);
+  *   - `BatchWrite.abort` deletes the staged files;
+  *   - re-running a job replaces the manifest atomically (write to temp
+  *     + `ATOMIC_MOVE`), giving last-writer-wins table semantics.
+  *
+  * This is exactly the commit dance every exactly-once lake sink
+  * (FileStreamSink's log, Iceberg/Delta snapshots) performs, scaled
+  * down to a JSON-lines payload so the whole protocol stays inspectable.
+  * Rows serialize schema-generically (long/int/double/string), and
+  * read-back is standard `spark.read.json` over the manifest's file
+  * list ([[ManifestSink.committedFiles]]) — the registry row
+  * `q_dsv2_sink` round-trips the nation dim through it and scores
+  * against the parquet source directly.
+  */
+class ManifestSink extends TableProvider {
+  // writes carry the query's schema (passed straight to getTable); only
+  // a schemaless READ needs the manifest for inference
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestSink.readManifest(Paths.get(options.get("path")))
+      .map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest at ${options.get("path")} — write before reading"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTable(properties.get("path"), schema)
+}
+
+object ManifestSink {
+  /** (schema, committed file paths) from `manifest.json`, if published. */
+  def readManifest(root: Path): Option[(StructType, Seq[String])] = {
+    val m = root.resolve("manifest.json")
+    if (!Files.exists(m)) return None
+    val lines = Files.readAllLines(m).toArray(Array.empty[String])
+    // line 1: schema DDL; remaining lines: committed file names
+    val schema = StructType.fromDDL(lines.head)
+    Some((schema, lines.tail.map(f => root.resolve("data").resolve(f).toString).toSeq))
+  }
+
+  /** The committed file list for `spark.read.json` — reading through the
+    * manifest is what makes orphaned staging data invisible.
+    */
+  def committedFiles(root: String): Seq[String] =
+    readManifest(Paths.get(root)).map(_._2).getOrElse(Seq.empty)
+
+  /** Round-trip the nation dim through the two-phase-commit sink and
+    * read back ONLY what the manifest published — any loss in the
+    * staging/commit dance, the schema-generic serializer, or the
+    * manifest swap breaks the match against the parquet source.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q_dsv2_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.streaming.StreamQueries.fixtureDir("manifestsink", dir, "nation")
+      val src = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      src.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      s.read.schema(src.schema)
+        .json(committedFiles(root): _*)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dsv2_sink" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin
+  )
+}
+
+class ManifestTable(path: String, schema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"manifest($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // overwrite mode arrives as truncate(); this sink's manifest swap
+      // is last-writer-wins either way, so both modes share one Write
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new ManifestWrite(path, info.schema())
+    }
+}
+
+class ManifestWrite(path: String, schema: StructType) extends Write {
+  override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema)
+}
+
+case class StagedFile(name: String) extends WriterCommitMessage
+
+class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, schema)
+
+  /** DRIVER-side publish: staged → data/, then the manifest LAST via an
+    * atomic temp-file move — the linearization point of the whole job.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(path)
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    val names = messages.map(_.asInstanceOf[StagedFile].name).sorted
+    names.foreach { n =>
+      Files.move(root.resolve("_staging").resolve(n), data.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tmp = root.resolve(s"manifest.json.tmp")
+    Files.write(tmp, (schema.toDDL +: names.toSeq).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve("manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = Paths.get(path).resolve("_staging")
+    messages.filter(_ != null).foreach { m =>
+      Files.deleteIfExists(staging.resolve(m.asInstanceOf[StagedFile].name))
+    }
+  }
+}
+
+class ManifestWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Task-side writer: JSON lines into a (partition, task)-unique staging
+  * file — task retries/speculation stage under different names and only
+  * the committed attempt's message reaches the driver, so duplicates
+  * never publish.
+  */
+class ManifestDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val name = f"part-$partitionId%05d-$taskId.json"
+  private val staging = Paths.get(path).resolve("_staging")
+  Files.createDirectories(staging)
+  private val out = Files.newBufferedWriter(staging.resolve(name),
+    StandardCharsets.UTF_8)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case other =>
+            throw new IllegalArgumentException(s"unsupported sink type $other")
+        }
+      "\"" + f.name + "\":" + v
+    }
+    out.write(cells.mkString("{", ",", "}"))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name) }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staging.resolve(name))
+    ()
+  }
+  override def close(): Unit = ()
+}

@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
       graft.operators.Multimodal.queries, graft.operators.Audio.queries,
       graft.operators.Bmp.queries, graft.operators.Phash.queries,
       graft.operators.ImageIoCodec.queries, graft.operators.EvalOps.queries,
-      graft.sources.SynthDataSource.queries,
+      graft.sources.SynthDataSource.queries, graft.sources.ManifestSink.queries,
       graft.ingest.AvroWire.queries, graft.ingest.IngestQueries.queries,
       graft.streaming.StreamIngest.queries, graft.streaming.StreamQueries.queries,
       graft.streaming.StreamAsof.queries, graft.streaming.StreamTws.queries,

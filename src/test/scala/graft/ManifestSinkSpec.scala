@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestSink
+
+/** The sink's exactly-once claims, pinned where they are observable:
+  * a reader that goes through the manifest can never see uncommitted
+  * staging data, a re-run replaces (not appends) the published table,
+  * and the round trip is value-exact through the schema-generic
+  * serializer including JSON-hostile strings.
+  */
+class ManifestSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshRoot(tag: String): String = {
+    val p = Paths.get(s"/tmp/graft_manifest_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
+  test("round trip is value-exact, including escapes, nulls, and doubles") {
+    import spark.implicits._
+    val root = freshRoot("roundtrip")
+    val src = Seq(
+      (1L, "plain", 1.5, "x"),
+      (2L, "quote\"back\\slash", -0.25, null),
+      (3L, "tab\tnew\nline", 0.0, "y")
+    ).toDF("k", "s", "d", "opt")
+    src.write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val back = spark.read.schema(src.schema)
+      .json(ManifestSink.committedFiles(root): _*)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+  }
+
+  test("orphaned staging files are invisible; re-run replaces the table") {
+    import spark.implicits._
+    val root = freshRoot("orphan")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    // simulate a task that staged data but never committed (crash /
+    // speculation loser): the file exists but no manifest mentions it
+    Files.write(Paths.get(root).resolve("_staging").resolve("part-99999-999.json"),
+      "{\"k\":999,\"v\":\"GHOST\"}\n".getBytes)
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    val back1 = spark.read.schema(schema)
+      .json(ManifestSink.committedFiles(root): _*).collect()
+    assert(back1.length == 2 && !back1.exists(_.getLong(0) == 999L),
+      "uncommitted staging data leaked into a manifest read")
+    // second job: last-writer-wins — the manifest swap must REPLACE the
+    // visible file set, not accumulate the first run's files
+    Seq((10L, "z")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val back2 = spark.read.schema(schema)
+      .json(ManifestSink.committedFiles(root): _*).collect()
+    assert(back2.map(_.getLong(0)).toSet == Set(10L),
+      s"re-run must replace the published table: ${back2.mkString(",")}")
+  }
+
+  test("manifest is written last: no manifest, nothing visible") {
+    val root = freshRoot("nopub")
+    // stage a file by hand with no commit ever happening
+    Files.createDirectories(Paths.get(root).resolve("_staging"))
+    Files.write(Paths.get(root).resolve("_staging").resolve("part-0-0.json"),
+      "{\"k\":1}\n".getBytes)
+    assert(ManifestSink.committedFiles(root).isEmpty,
+      "a never-committed job must publish nothing")
+  }
+}
