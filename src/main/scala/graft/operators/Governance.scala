@@ -275,8 +275,17 @@ object Governance {
     * nothing grows beyond |distinct QI tuples|.
     */
   def kAnonymity(customer: DataFrame): DataFrame =
-    customer.groupBy(col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("gn"))
+    kAnonymityFromGroups(
+      customer.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("gn")))
+
+  /** The release-gate rollup over pre-aggregated QI group counts (`gn`
+    * rows) — shared by the batch query and the streaming twin (whose
+    * group counts accumulate in complete mode and re-derive the gate on
+    * readback through THIS arithmetic, so one oracle scores both).
+    */
+  def kAnonymityFromGroups(groups: DataFrame): DataFrame =
+    groups
       .agg(count(lit(1)).as("n_groups"),
         min(col("gn")).as("min_group_size"),
         sum(when(col("gn") < KAnonK, 1L).otherwise(0L)).as("n_small_groups"),

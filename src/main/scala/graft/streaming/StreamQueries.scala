@@ -1729,6 +1729,44 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_k_anonymity — the governance family's
+    * accumulation form: per-quasi-identifier group counts accumulate in
+    * complete mode as customer records arrive (state bounded by
+    * |distinct QI tuples|, never stream length), and the one-row
+    * release gate re-derives on readback through the SHARED
+    * Governance.kAnonymityFromGroups arithmetic, so the oracle IS
+    * q_k_anonymity's SQL — the privacy gate evaluated continuously as
+    * the dimension loads instead of once at publish time.
+    */
+  def streamKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("kanon", dir, "customer"),
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+          StructField("c_mktsegment", StringType)))).json(landing)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("gn"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Governance.kAnonymityFromGroups(
+      s.read.schema(StructType(Seq(
+          StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+          StructField("c_mktsegment", StringType),
+          StructField("gn", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_markov_stationary: the transition PAIRS are
     * emitted from keyed state as events arrive — one string of state
     * per user forever (the last event type), each arrival emitting its
@@ -2225,6 +2263,7 @@ object StreamQueries {
     "q_stream_zipf" -> ((s, dir) => streamZipf(s, dir)),
     "q_stream_mix" -> ((s, dir) => streamMix(s, dir)),
     "q_stream_eval_auc" -> ((s, dir) => streamEvalAuc(s, dir)),
+    "q_stream_kanon" -> ((s, dir) => streamKAnonymity(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
@@ -2409,6 +2448,7 @@ object StreamQueries {
     "q_stream_zipf" -> graft.operators.TextOps.oracleSql("q_zipf_fit"),
     "q_stream_mix" -> graft.operators.MixOps.oracleSql("q_mix_waterfill"),
     "q_stream_eval_auc" -> graft.operators.EvalOps.oracleSql("q_eval_auc"),
+    "q_stream_kanon" -> graft.operators.Governance.oracleSql("q_k_anonymity"),
     "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
