@@ -103,13 +103,19 @@ object EvalOps {
     * frame; 10 output rows.
     */
   def calibration(spark: SparkSession, dir: String): DataFrame =
-    scored(spark, dir)
+    calibrationFromBuckets(scored(spark, dir)
       .groupBy(least(expr("s DIV 100000"), lit(9L)).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        sum(col("s")).as("s_sum"))
-      .select(col("bucket"), col("n"), col("n_pos"),
-        expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"),
-        expr("s_sum DIV n").as("mean_score_micro"))
+        sum(col("s")).as("s_sum")))
+
+  /** The reliability-table arithmetic over pre-aggregated per-bucket
+    * cells — shared with the streaming twin (bucket counts accumulate
+    * in complete mode, the table re-derives on readback through THIS).
+    */
+  def calibrationFromBuckets(buckets: DataFrame): DataFrame =
+    buckets.select(col("bucket"), col("n"), col("n_pos"),
+      expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"),
+      expr("s_sum DIV n").as("mean_score_micro"))
 
   /** Kolmogorov-Smirnov separation of the positive vs negative score
     * distributions: D = max_s |F1(s) - F0(s)|, computed as the maximum

@@ -1729,6 +1729,43 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_eval_calibration — the reliability table
+    * maintained live: documents scored in-stream (shared formula), only
+    * the 10 per-decile (count, positives, score-sum) cells accumulate in
+    * complete mode, the ppm table re-derived on readback through the
+    * SHARED EvalOps.calibrationFromBuckets arithmetic — batch oracle.
+    * Rides the same landing fixture as q_stream_eval_auc.
+    */
+  def streamCalibration(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("evalsc", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("y")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val src = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("n_chars", LongType), StructField("y", LongType)))).json(landing)
+      val q = graft.operators.TextOps.qualityScore(src, keep = Seq("y"))
+        .select(expr("CAST(round(quality * 1000000) AS BIGINT)").as("s"), col("y"))
+        .groupBy(least(expr("s DIV 100000"), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("s")).as("s_sum"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.EvalOps.calibrationFromBuckets(
+      s.read.schema(StructType(Seq(
+          StructField("bucket", LongType), StructField("n", LongType),
+          StructField("n_pos", LongType), StructField("s_sum", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_k_anonymity — the governance family's
     * accumulation form: per-quasi-identifier group counts accumulate in
     * complete mode as customer records arrive (state bounded by
@@ -2264,6 +2301,7 @@ object StreamQueries {
     "q_stream_mix" -> ((s, dir) => streamMix(s, dir)),
     "q_stream_eval_auc" -> ((s, dir) => streamEvalAuc(s, dir)),
     "q_stream_kanon" -> ((s, dir) => streamKAnonymity(s, dir)),
+    "q_stream_calibration" -> ((s, dir) => streamCalibration(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "q_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
@@ -2449,6 +2487,7 @@ object StreamQueries {
     "q_stream_mix" -> graft.operators.MixOps.oracleSql("q_mix_waterfill"),
     "q_stream_eval_auc" -> graft.operators.EvalOps.oracleSql("q_eval_auc"),
     "q_stream_kanon" -> graft.operators.Governance.oracleSql("q_k_anonymity"),
+    "q_stream_calibration" -> graft.operators.EvalOps.oracleSql("q_eval_calibration"),
     "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
       """WITH base AS (SELECT
