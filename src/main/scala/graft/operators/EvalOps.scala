@@ -93,7 +93,11 @@ object EvalOps {
         sum(col("pos") * (lit(2L) * (col("cum_lt") + 1L) + col("cnt") - 1L))
           .as("two_r1"))
       .select(col("n_pos"), col("n_neg"),
-        expr("(two_r1 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg)")
+        // single-class corpus (n_pos*n_neg = 0): AUC is undefined — emit the
+        // -1 sentinel instead of diverging from the oracle (Spark NULL vs
+        // DuckDB `//`-by-zero ERROR — ADVICE r12)
+        expr("CASE WHEN n_pos * n_neg = 0 THEN -1 " +
+          "ELSE (two_r1 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg) END")
           .as("auc_ppm"))
   }
 
@@ -141,7 +145,9 @@ object EvalOps {
       .orderBy(col("d").desc, col("s").asc)
       .limit(1)
       .select(col("s").as("ks_at_score"),
-        expr("d * 1000000 DIV (n1 * n0)").as("ks_ppm"))
+        // same single-class guard as auc_ppm: -1 sentinel, never engine-divergent
+        expr("CASE WHEN n1 * n0 = 0 THEN -1 " +
+          "ELSE d * 1000000 DIV (n1 * n0) END").as("ks_ppm"))
   }
 
   /** Precision/recall sweep at the fixed operating thresholds — the
@@ -162,7 +168,8 @@ object EvalOps {
       .select(col("threshold_micro"), col("n_pred_pos"), col("n_tp"),
         expr("CASE WHEN n_pred_pos = 0 THEN -1 " +
           "ELSE n_tp * 1000000 DIV n_pred_pos END").as("precision_ppm"),
-        expr("n_tp * 1000000 DIV n_pos").as("recall_ppm"))
+        expr("CASE WHEN n_pos = 0 THEN -1 " +
+          "ELSE n_tp * 1000000 DIV n_pos END").as("recall_ppm"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -196,8 +203,9 @@ object EvalOps {
          |   CAST(sum(pos * (2 * (cum_lt + 1) + cnt - 1)) AS BIGINT) AS two_r1
          |  FROM r)
          |SELECT n_pos, n_neg,
-         | CAST((two_r1 - n_pos * (n_pos + 1)) * 1000000
-         |   // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+         | CAST(CASE WHEN n_pos * n_neg = 0 THEN -1
+         |   ELSE (two_r1 - n_pos * (n_pos + 1)) * 1000000
+         |     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm
          |FROM t""".stripMargin,
 
     "q_eval_calibration" ->
@@ -217,8 +225,9 @@ object EvalOps {
          |  FROM cells),
          | t AS (SELECT max(cum_pos) AS n1, max(cum_neg) AS n0 FROM cum)
          |SELECT s AS ks_at_score,
-         | CAST(abs(cum_pos * n0 - cum_neg * n1) * 1000000
-         |   // (n1 * n0) AS BIGINT) AS ks_ppm
+         | CAST(CASE WHEN n1 * n0 = 0 THEN -1
+         |   ELSE abs(cum_pos * n0 - cum_neg * n1) * 1000000
+         |     // (n1 * n0) END AS BIGINT) AS ks_ppm
          |FROM cum, t
          |ORDER BY abs(cum_pos * n0 - cum_neg * n1) DESC, s ASC
          |LIMIT 1""".stripMargin,
@@ -235,7 +244,8 @@ object EvalOps {
          |SELECT threshold_micro, n_pred_pos, n_tp,
          | CAST(CASE WHEN n_pred_pos = 0 THEN -1
          |   ELSE n_tp * 1000000 // n_pred_pos END AS BIGINT) AS precision_ppm,
-         | CAST(n_tp * 1000000 // n_pos AS BIGINT) AS recall_ppm
+         | CAST(CASE WHEN n_pos = 0 THEN -1
+         |   ELSE n_tp * 1000000 // n_pos END AS BIGINT) AS recall_ppm
          |FROM ($rows) u""".stripMargin
     }
   )

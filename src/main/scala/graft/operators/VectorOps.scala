@@ -1166,7 +1166,11 @@ object VectorOps {
       .crossJoin(broadcast(hits))
       .select(col("n_eval"), col("n_train"), col("n_cross_pairs"),
         col("n_contaminated"),
-        expr("n_contaminated * 1000000 DIV n_train").as("contam_ppm"))
+        // eval-only corpus (n_train = 0): rate undefined — -1 sentinel on
+        // BOTH engines (DuckDB `//` errors on zero where Spark DIV nulls;
+        // ADVICE r12)
+        expr("CASE WHEN n_train = 0 THEN -1 " +
+          "ELSE n_contaminated * 1000000 DIV n_train END").as("contam_ppm"))
   }
 
   /** Parquet root of the PERSISTED ANN neighbour graph — the verified
@@ -1782,7 +1786,8 @@ object VectorOps {
            |     AS n_train
            |  FROM embeddings)
            |SELECT n_eval, n_train, n_cross_pairs, n_contaminated,
-           | CAST(n_contaminated * 1000000 // n_train AS BIGINT) AS contam_ppm
+           | CAST(CASE WHEN n_train = 0 THEN -1
+           |   ELSE n_contaminated * 1000000 // n_train END AS BIGINT) AS contam_ppm
            |FROM t, h""".stripMargin,
 
       "q_emb_dedup_drops" ->

@@ -103,7 +103,11 @@ object SynthDataSource {
     "q_stream_dsv2" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.DataFrame
-      val tmp = "/tmp/graft_dsv2_stream"
+      // unique per-invocation sink (the tempSink discipline): a shared
+      // hardcoded path let two concurrent harness runs interleave the
+      // overwrite and the read-back (ADVICE r12)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_stream_")
+        .toFile.getAbsolutePath
       val q = s.readStream.format("graft.sources.SynthDataSource")
         .option("rows", "60000").option("slices", "8")
         .option("rowsPerBatch", "20000").load()
@@ -234,7 +238,7 @@ class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
     slices: Int, rowsPerBatch: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = SynthOffset(lo)
 
@@ -243,13 +247,24 @@ class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
   // batches — real multi-batch offsets through the checkpoint log, not
   // one mega-batch
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  /** Admitted-row cap implied by `limit`, or Long.MaxValue for
+    * ReadAllAvailable. CompositeReadLimit (what some Spark versions pass
+    * under Trigger.AvailableNow) unwraps recursively to the TIGHTEST
+    * member cap — falling through to `hi` on it would silently drop
+    * admission control and drain the table in one mega-batch, defeating
+    * the multi-batch shape this source exists to exercise (ADVICE r12).
+    */
+  private def admitCap(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => r.maxRows()
+    case _: ReadAllAvailable => Long.MaxValue
+    case c: CompositeReadLimit => c.getReadLimits.map(admitCap).min
+    case _ => Long.MaxValue // unknown limit kinds admit everything, explicitly
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SynthOffset].n
-    val cap = limit match {
-      case r: ReadMaxRows => s + r.maxRows()
-      case _ => hi
-    }
-    SynthOffset(math.min(cap, hi))
+    val cap = admitCap(limit)
+    val next = if (cap == Long.MaxValue) hi else s + cap
+    SynthOffset(math.min(next, hi))
   }
   override def reportLatestOffset(): Offset = SynthOffset(hi)
   override def prepareForTriggerAvailableNow(): Unit = ()

@@ -74,8 +74,13 @@ object ScaleIterFixture {
     bigEmb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    // derive the replica stride from the actual key domain, exactly as for
+    // doc_id/vec_id — a hardcoded offset silently merges orders across
+    // replicas once the source SF's l_orderkey exceeds it (ADVICE r12)
+    val maxOk = li.agg(max(col("l_orderkey").cast("long"))).head.getLong(0)
+    val liStride = java.lang.Long.highestOneBit(maxOk) * 4
     val bigLi = (0 until copies).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * liStride))
     }.reduce(_ unionAll _)
     bigLi.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
