@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -60,15 +61,33 @@ class ManifestSink extends TableProvider {
 }
 
 object ManifestSink {
-  /** (schema, committed file paths) from `manifest.json`, if published. */
-  def readManifest(root: Path): Option[(StructType, Seq[String])] = {
+  /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
+    * one consistent snapshot (the manifest swap is atomic).
+    */
+  private[sources] def rawManifest(root: Path): Option[(String, Seq[String])] = {
     val m = root.resolve("manifest.json")
     if (!Files.exists(m)) return None
     val lines = Files.readAllLines(m).toArray(Array.empty[String])
-    // line 1: schema DDL; remaining lines: committed file names
-    val schema = StructType.fromDDL(lines.head)
-    Some((schema, lines.tail.map(f => root.resolve("data").resolve(f).toString).toSeq))
+    Some((lines.head, lines.tail.toSeq))
   }
+
+  /** (schema, committed file paths) from `manifest.json`, if published. */
+  def readManifest(root: Path): Option[(StructType, Seq[String])] =
+    rawManifest(root).map { case (ddl, names) =>
+      (StructType.fromDDL(ddl),
+        names.map(f => root.resolve("data").resolve(f).toString))
+    }
+
+  /** Epoch ids already published to the streaming manifest — parsed from
+    * the `e<epoch>-` file-name prefix the streaming writer stamps, so
+    * idempotent re-commit needs no side ledger.
+    */
+  def committedEpochs(root: String): Set[Long] =
+    rawManifest(Paths.get(root)).map(_._2).getOrElse(Seq.empty)
+      .flatMap { n =>
+        if (n.startsWith("e")) n.drop(1).takeWhile(_ != '-').toLongOption
+        else None
+      }.toSet
 
   /** The committed file list for `spark.read.json` — reading through the
     * manifest is what makes orphaned staging data invisible.
@@ -108,6 +127,33 @@ object ManifestSink {
         .mode("overwrite").option("path", root).save()
       // snapshot read: schema + file list resolved from ONE manifest read
       readCommitted(s, root)
+    }),
+
+    // END-TO-END custom-connector streaming: the DSv2 synthetic SOURCE
+    // drains through the DSv2 manifest SINK's StreamingWrite face in 3
+    // admission-controlled epochs (60000 ids / 20000 per batch), each
+    // epoch publishing via the idempotent manifest append; readback goes
+    // through the committed manifest only, and the rollup must land
+    // exactly where one batch pass over the full id domain would —
+    // any epoch lost, doubled, or partially published breaks the match.
+    "q_stream_dsv2_sink" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_ssink_").toFile.getAbsolutePath
+      val q = s.readStream.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "8")
+        .option("rowsPerBatch", "20000").load()
+        .select(col("id"), col("channel"), col("amount_cents"))
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", root)
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readCommitted(s, root)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
     })
   )
 
@@ -115,7 +161,16 @@ object ManifestSink {
     "q_dsv2_sink" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation""".stripMargin
+        |FROM nation""".stripMargin,
+
+    // multi-epoch append through the streaming manifest must equal one
+    // pass over the full generated id domain
+    "q_stream_dsv2_sink" ->
+      s"""WITH g AS (SELECT i AS id, ${SynthDataSource.oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(0, 59999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY channel""".stripMargin
   )
 }
 
@@ -124,7 +179,8 @@ class ManifestTable(path: String, schema: StructType)
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       // overwrite mode arrives as truncate(); this sink's manifest swap
@@ -136,6 +192,7 @@ class ManifestTable(path: String, schema: StructType)
 
 class ManifestWrite(path: String, schema: StructType) extends Write {
   override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema)
+  override def toStreaming: StreamingWrite = new ManifestStreamingWrite(path, schema)
 }
 
 case class StagedFile(name: String) extends WriterCommitMessage
@@ -174,18 +231,91 @@ class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
 class ManifestWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, partitionId, taskId)
+    new ManifestDataWriter(path, schema,
+      f"part-$partitionId%05d-$taskId.json")
 }
 
-/** Task-side writer: JSON lines into a (partition, task)-unique staging
-  * file — task retries/speculation stage under different names and only
-  * the committed attempt's message reaches the driver, so duplicates
-  * never publish.
+/** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
+  * #2) — the epoch-id-idempotent `StreamingWrite` contract the
+  * reference's BigQuery streaming inserts imply
+  * (dataflow_pipeline/pipeline.py:180-200): exactly-once as a
+  * first-class connector rather than a foreachBatch convention.
+  *
+  * Per micro-batch (epoch):
+  *   - tasks stage under `e<epochId>-part-<partition>-<task>.json` —
+  *     the epoch id is IN the name, so the manifest itself is the
+  *     epoch ledger (no side state);
+  *   - driver `commit(epochId, msgs)` APPENDS the epoch's files to the
+  *     manifest via the same write-temp + ATOMIC_MOVE swap the batch
+  *     face uses — readers see epoch boundaries, never mid-epoch;
+  *   - a REPLAYED epoch (checkpoint recovery re-runs the last batch —
+  *     Spark's contract says commit may be called again with the same
+  *     epochId) is detected from the manifest prefix set and dropped:
+  *     staged duplicates are deleted, the manifest is untouched —
+  *     non-duplication pinned in ManifestStreamSinkSpec;
+  *   - `abort` deletes the epoch's staged files, like the batch face.
+  *
+  * SINGLE-WRITER contract (same as the batch face): one streaming query
+  * owns the table — Spark serializes epoch commits within a query, so
+  * the read-modify-swap of the manifest never races itself.
+  */
+class ManifestStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(path)
+    val staging = root.resolve("_staging")
+    val names = messages.map(_.asInstanceOf[StagedFile].name).sorted
+    if (ManifestSink.committedEpochs(path).contains(epochId)) {
+      // epoch replay after recovery: already published — the staged
+      // re-run output must vanish, not double-publish
+      names.foreach(n => Files.deleteIfExists(staging.resolve(n)))
+      return
+    }
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    names.foreach { n =>
+      Files.move(staging.resolve(n), data.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val prior = ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
+    val tmp = root.resolve("manifest.json.tmp")
+    Files.write(tmp, (schema.toDDL +: (prior ++ names)).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve("manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staging = Paths.get(path).resolve("_staging")
+    messages.filter(_ != null).foreach { m =>
+      Files.deleteIfExists(staging.resolve(m.asInstanceOf[StagedFile].name))
+    }
+  }
+}
+
+class ManifestStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema,
+      f"e$epochId-part-$partitionId%05d-$taskId.json")
+}
+
+/** Task-side writer: JSON lines into a uniquely-named staging file
+  * (batch: (partition, task)-keyed; streaming: epoch-prefixed) — task
+  * retries/speculation stage under different names and only the
+  * committed attempt's message reaches the driver, so duplicates never
+  * publish.
   */
 class ManifestDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    name: String) extends DataWriter[InternalRow] {
 
-  private val name = f"part-$partitionId%05d-$taskId.json"
   private val staging = Paths.get(path).resolve("_staging")
   Files.createDirectories(staging)
   private val out = Files.newBufferedWriter(staging.resolve(name),

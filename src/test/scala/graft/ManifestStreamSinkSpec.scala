@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestSink, ManifestStreamingWrite, ManifestStreamingWriterFactory}
+
+/** The StreamingWrite face's exactly-once contract, pinned at protocol
+  * level by driving the writer/commit machinery directly (no Spark
+  * scheduler in the loop, so each claim is tested in isolation):
+  * mid-epoch staged data is invisible, a replayed epoch commit is a
+  * no-op (checkpoint-recovery non-duplication), epochs APPEND rather
+  * than replace, and abort removes the epoch's staged files.
+  */
+class ManifestStreamSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def freshRoot(tag: String): String = {
+    val p = Paths.get(s"/tmp/graft_manifest_stream_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Stage one epoch's rows through the real factory + writer and return
+    * the task commit messages (the driver commit is the caller's move).
+    */
+  private def stageEpoch(root: String, epochId: Long, taskId: Long,
+      rows: Seq[(Long, String)]): Array[WriterCommitMessage] = {
+    val w = new ManifestStreamingWriterFactory(root, schema)
+      .createWriter(0, taskId, epochId)
+    rows.foreach { case (k, v) =>
+      w.write(InternalRow.fromSeq(Seq(k, UTF8String.fromString(v))))
+    }
+    Array(w.commit())
+  }
+
+  private def visibleKeys(root: String): Set[Long] =
+    ManifestSink.readCommitted(spark, root) match {
+      case df if ManifestSink.committedFiles(root).isEmpty => Set.empty[Long]
+      case df => df.collect().map(_.getLong(0)).toSet
+    }
+
+  test("mid-epoch staged data is invisible until the driver commit") {
+    val root = freshRoot("midepoch")
+    val sw = new ManifestStreamingWrite(root, schema)
+    val msgs = stageEpoch(root, 0L, 100L, Seq(1L -> "a", 2L -> "b"))
+    assert(ManifestSink.committedFiles(root).isEmpty,
+      "staged epoch leaked before the driver commit")
+    sw.commit(0L, msgs)
+    assert(visibleKeys(root) == Set(1L, 2L))
+    assert(ManifestSink.committedEpochs(root) == Set(0L))
+  }
+
+  test("replayed epoch commit is a no-op: no duplicates, staged re-run dropped") {
+    val root = freshRoot("replay")
+    val sw = new ManifestStreamingWrite(root, schema)
+    sw.commit(0L, stageEpoch(root, 0L, 100L, Seq(1L -> "a", 2L -> "b")))
+    val manifestBefore = Files.readAllLines(
+      Paths.get(root).resolve("manifest.json"))
+    // checkpoint recovery re-runs the last batch: same epoch id, fresh
+    // task ids, commit called AGAIN — Spark's documented replay shape
+    val replayMsgs = stageEpoch(root, 0L, 999L, Seq(1L -> "a", 2L -> "b"))
+    sw.commit(0L, replayMsgs)
+    assert(Files.readAllLines(Paths.get(root).resolve("manifest.json"))
+        == manifestBefore,
+      "replayed epoch must not touch the manifest")
+    assert(visibleKeys(root) == Set(1L, 2L), "replay double-published")
+    val staged = Option(Paths.get(root).resolve("_staging").toFile.listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(staged.isEmpty, s"replayed staged files not cleaned: $staged")
+  }
+
+  test("epochs append; readback sees every committed epoch exactly once") {
+    val root = freshRoot("append")
+    val sw = new ManifestStreamingWrite(root, schema)
+    sw.commit(0L, stageEpoch(root, 0L, 1L, Seq(1L -> "a")))
+    sw.commit(1L, stageEpoch(root, 1L, 2L, Seq(2L -> "b")))
+    sw.commit(2L, stageEpoch(root, 2L, 3L, Seq(3L -> "c")))
+    assert(ManifestSink.committedEpochs(root) == Set(0L, 1L, 2L))
+    assert(visibleKeys(root) == Set(1L, 2L, 3L))
+    val rows = ManifestSink.readCommitted(spark, root).collect()
+    assert(rows.length == 3, s"epoch append duplicated rows: ${rows.length}")
+  }
+
+  test("abort removes the epoch's staged files and publishes nothing") {
+    val root = freshRoot("abort")
+    val sw = new ManifestStreamingWrite(root, schema)
+    val msgs = stageEpoch(root, 5L, 7L, Seq(9L -> "x"))
+    sw.abort(5L, msgs)
+    val staged = Option(Paths.get(root).resolve("_staging").toFile.listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(staged.isEmpty && ManifestSink.committedFiles(root).isEmpty)
+  }
+}
