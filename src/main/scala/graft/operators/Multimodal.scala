@@ -38,8 +38,10 @@ case class ThumbMeta(
   * box-filter resize, validated against the JDK's own javax.imageio
   * reader). COMPRESSED image formats are real too, via the JDK's
   * built-in ImageIO plugins — see [[ImageIoCodec]] (PNG lossless
-  * round-trip, JPEG decode with bounded reconstruction error). Only
-  * codecs with no JDK decoder (h264 video, mp3 audio) remain stubbed.
+  * round-trip, JPEG decode with bounded reconstruction error, and
+  * multi-frame animated-GIF frame extraction — a REAL multi-frame
+  * container decode, palette-lossless). Only codecs with no JDK decoder
+  * (h264 video, mp3 audio) remain stubbed.
   */
 final class StubDecoder extends Serializable {
   import Multimodal.{FrameSize, FrameStride, P}

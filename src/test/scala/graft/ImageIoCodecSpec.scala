@@ -3,6 +3,7 @@ package graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ImageIoCodec
@@ -66,5 +67,32 @@ class ImageIoCodecSpec extends AnyFunSuite {
     val flags = q.select($"dims_ok", $"err_ok").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(flags == Set((1L, 1L)), s"q_image_jpeg_decode flags: $flags")
+  }
+
+  test("GIF container round trip: real multi-frame decode, palette-lossless") {
+    assert(ImageIO.getImageWritersByFormatName("gif").hasNext, "no GIF writer")
+    // direct container check: the encoded sequence must hold exactly the
+    // ladder's frame count and reproduce every indexed pixel
+    for (id <- Seq(0L, 7L, 123L)) {
+      val bytes = ImageIoCodec.encodeGif(id)
+      // GIF89a magic: a real container, not a synthesized stand-in
+      assert(bytes.take(6).map(_.toChar).mkString == "GIF89a" ||
+        bytes.take(6).map(_.toChar).mkString == "GIF87a",
+        s"doc $id: not a GIF container")
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == ImageIoCodec.gifFrames(id),
+        s"doc $id frame count drift")
+      reader.dispose()
+    }
+    // and the full query agrees: every frame row decodes lossless with
+    // the decoder-observed frame count matching the encode-time ladder
+    val q = ImageIoCodec.queries("q_gif_frames")(spark, dir)
+    import spark.implicits._
+    val bad = q.filter($"lossless" =!= 1L ||
+      $"n_frames" =!= (lit(2L) + $"doc_id" % 4L)).count()
+    assert(bad == 0L, s"$bad GIF frame rows failed the lossless/frame-count audit")
   }
 }
