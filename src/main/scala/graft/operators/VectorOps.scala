@@ -1120,6 +1120,15 @@ object VectorOps {
     */
   val DbscanMinPts = 3
 
+  /** PRODUCTION DBSCAN eps in cosine (the near-duplicate-cluster
+    * threshold a curation pipeline actually deploys — SemDeDup-class).
+    * The 10x probe showed the 0.3 stress threshold's pair set is
+    * quadratic BY DATA PROPERTY (random-cosine tail: 102x pairs for 10x
+    * docs); at 0.9 the pair set is sparse and the engine scales with its
+    * true output (VERDICT r12 Next #5).
+    */
+  val DbscanProdMinCosine = 0.9
+
   /** DBSCAN (Ester et al., KDD'96) over the LSH neighbour graph — true
     * density-based clustering, the missing shape between IVF/k-means
     * (fixed K, convex cells) and SemDeDup (per-cell dedup): clusters of
@@ -1202,6 +1211,22 @@ object VectorOps {
   def dbscanPersisted(s: SparkSession, dir: String): DataFrame =
     dbscanFromPairs(Tables.embeddings(s, dir),
       s.read.parquet(annPairsRoot(s, dir)).select(col("v1"), col("v2")))
+
+  /** The HEADLINE DBSCAN (r12 Next #5): production path AND production
+    * threshold — scan the persisted neighbour graph, keep only the
+    * near-duplicate-tight edges (stored cosine is round(·,6), so the
+    * [[DbscanProdMinCosine]] cut is engine-exact), cluster those. One
+    * stored 0.3-threshold graph serves EVERY threshold >= 0.3 as a
+    * pruned scan — the 100 TB shape: the expensive artifact builds
+    * once, every downstream eps is a filter, not a recompute. The
+    * recompute-at-0.3 form lives on as the explicitly-named stress row
+    * `q_emb_dbscan_stress`.
+    */
+  def dbscanProd(s: SparkSession, dir: String): DataFrame =
+    dbscanFromPairs(Tables.embeddings(s, dir),
+      s.read.parquet(annPairsRoot(s, dir))
+        .filter(col("cosine") >= DbscanProdMinCosine)
+        .select(col("v1"), col("v2")))
 
   /** The DBSCAN core, generic in the eps-neighbourhood pair source. */
   private def dbscanFromPairs(emb: DataFrame, pairs0: DataFrame): DataFrame = {
@@ -1327,7 +1352,8 @@ object VectorOps {
     "q_emb_cosine_topk" -> ((s, dir) => cosineTopK(Tables.embeddings(s, dir))),
     "q_emb_lsh_buckets" -> ((s, dir) => lshBuckets(Tables.embeddings(s, dir))),
     "q_emb_ann_pairs" -> ((s, dir) => annPairs(Tables.embeddings(s, dir))),
-    "q_emb_dbscan" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
+    "q_emb_dbscan" -> ((s, dir) => dbscanProd(s, dir)),
+    "q_emb_dbscan_stress" -> ((s, dir) => dbscan(Tables.embeddings(s, dir))),
     "q_emb_dbscan_persisted" -> ((s, dir) => dbscanPersisted(s, dir)),
     "q_emb_decontam" -> ((s, dir) => semDecontaminate(Tables.embeddings(s, dir))),
     "q_emb_lsh_recall" -> ((s, dir) => lshRecall(Tables.embeddings(s, dir))),
@@ -1479,6 +1505,45 @@ object VectorOps {
          |FROM mv, generate_series(0, ${Dim - 1}) i(i),
          | generate_series(0, ${Dim - 1}) j(j)
          |GROUP BY 1, 2""".stripMargin
+
+    // the DBSCAN oracle, parametrized by the eps threshold on the
+    // rounded cosine — one relational text serves the production 0.9
+    // headline and the AnnMinCosine stress recompute
+    def dbscanSql(minCos: Double): String =
+      s"""WITH RECURSIVE $normCte,
+         | bkt AS (SELECT vec_id, vn,
+         |   $bucketCols
+         |  FROM e),
+         | x AS ($unionAll),
+         | p AS (SELECT DISTINCT v1, v2 FROM (
+         |   SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
+         |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
+         |    AND a.vec_id < b.vec_id) q0
+         |  WHERE cosine >= $minCos),
+         | u AS (SELECT v1, v2 FROM p UNION ALL SELECT v2 AS v1, v1 AS v2 FROM p),
+         | core AS (SELECT v1 AS vec_id FROM u GROUP BY v1
+         |   HAVING count(*) >= $DbscanMinPts),
+         | ce AS (SELECT v1 AS d1, v2 AS d2 FROM p
+         |   WHERE v1 IN (SELECT vec_id FROM core)
+         |     AND v2 IN (SELECT vec_id FROM core)),
+         | e2 AS (SELECT d1, d2 FROM ce UNION ALL SELECT d2 AS d1, d1 AS d2 FROM ce),
+         | reach(a, b) AS (
+         |   SELECT vec_id AS a, vec_id AS b FROM core
+         |   UNION
+         |   SELECT r.a, e2.d2 AS b FROM reach r JOIN e2 ON r.b = e2.d1),
+         | lab AS (SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cc
+         |  FROM reach GROUP BY a),
+         | bord AS (SELECT u.v1 AS vec_id, CAST(min(l.cc) AS BIGINT) AS bc
+         |  FROM u JOIN lab l ON u.v2 = l.vec_id GROUP BY u.v1)
+         |SELECT em.vec_id,
+         | CASE WHEN l.vec_id IS NOT NULL THEN 'core'
+         |      WHEN b.vec_id IS NOT NULL THEN 'border'
+         |      ELSE 'noise' END AS role,
+         | coalesce(l.cc, b.bc, -1) AS cluster_id
+         |FROM embeddings em
+         | LEFT JOIN lab l ON em.vec_id = l.vec_id
+         | LEFT JOIN bord b ON em.vec_id = b.vec_id""".stripMargin
 
     val base = Map(
       "q_emb_gram" -> gramSql,
@@ -1722,44 +1787,14 @@ object VectorOps {
            |   ELSE n_hit * 1000000 // n_exact END AS BIGINT) AS recall_ppm
            |FROM m""".stripMargin,
 
-      // the LSH pair set replayed, then DBSCAN relationally: degree ->
-      // core flags -> recursive-CTE components over core-core edges ->
-      // min-cluster border attachment -> full-corpus role/label rollup
-      "q_emb_dbscan" ->
-        s"""WITH RECURSIVE $normCte,
-           | bkt AS (SELECT vec_id, vn,
-           |   $bucketCols
-           |  FROM e),
-           | x AS ($unionAll),
-           | p AS (SELECT DISTINCT v1, v2 FROM (
-           |   SELECT a.vec_id AS v1, b.vec_id AS v2,
-           |    round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
-           |   FROM x a JOIN x b ON a.t = b.t AND a.bk = b.bk
-           |    AND a.vec_id < b.vec_id) q0
-           |  WHERE cosine >= $AnnMinCosine),
-           | u AS (SELECT v1, v2 FROM p UNION ALL SELECT v2 AS v1, v1 AS v2 FROM p),
-           | core AS (SELECT v1 AS vec_id FROM u GROUP BY v1
-           |   HAVING count(*) >= $DbscanMinPts),
-           | ce AS (SELECT v1 AS d1, v2 AS d2 FROM p
-           |   WHERE v1 IN (SELECT vec_id FROM core)
-           |     AND v2 IN (SELECT vec_id FROM core)),
-           | e2 AS (SELECT d1, d2 FROM ce UNION ALL SELECT d2 AS d1, d1 AS d2 FROM ce),
-           | reach(a, b) AS (
-           |   SELECT vec_id AS a, vec_id AS b FROM core
-           |   UNION
-           |   SELECT r.a, e2.d2 AS b FROM reach r JOIN e2 ON r.b = e2.d1),
-           | lab AS (SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cc
-           |  FROM reach GROUP BY a),
-           | bord AS (SELECT u.v1 AS vec_id, CAST(min(l.cc) AS BIGINT) AS bc
-           |  FROM u JOIN lab l ON u.v2 = l.vec_id GROUP BY u.v1)
-           |SELECT em.vec_id,
-           | CASE WHEN l.vec_id IS NOT NULL THEN 'core'
-           |      WHEN b.vec_id IS NOT NULL THEN 'border'
-           |      ELSE 'noise' END AS role,
-           | coalesce(l.cc, b.bc, -1) AS cluster_id
-           |FROM embeddings em
-           | LEFT JOIN lab l ON em.vec_id = l.vec_id
-           | LEFT JOIN bord b ON em.vec_id = b.vec_id""".stripMargin,
+      // the LSH pair set replayed at the given eps, then DBSCAN
+      // relationally: degree -> core flags -> recursive-CTE components
+      // over core-core edges -> min-cluster border attachment ->
+      // full-corpus role/label rollup. One text parametrized by
+      // threshold: 0.9 = the production headline (persisted-graph
+      // pruned scan), AnnMinCosine = the stress recompute.
+      "q_emb_dbscan" -> dbscanSql(DbscanProdMinCosine),
+      "q_emb_dbscan_stress" -> dbscanSql(AnnMinCosine),
 
       // cross-split pairs over the SAME banded pair set as the engine;
       // eval slice = vec_id % DecontamMod = 0
@@ -1875,7 +1910,9 @@ object VectorOps {
     // graph is a plan swap — the stored pairs ARE annPairs' output
     // (long ids round-trip parquet exactly), so the clustering equals
     // the recompute by construction
-    base ++ Map("q_emb_dbscan_persisted" -> base("q_emb_dbscan"))
+    // the persisted form scans the FULL stored graph, i.e. the
+    // AnnMinCosine pair set — its oracle is the stress threshold's
+    base ++ Map("q_emb_dbscan_persisted" -> base("q_emb_dbscan_stress"))
   }
 
   /** Full-restart oracle shared by q_emb_ivf_incr and its persisted-index
