@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build a 10x scale fixture for the ITERATIVE operator family (VERDICT
@@ -25,10 +25,49 @@ import org.apache.spark.sql.functions._
   *     keeps its 25-node shape; only the edge-DERIVATION scan scales —
   *     which is the claim under test for pagerank/kcore/bfs/triangles).
   *
-  * Every other table is symlinked. Usage:
+  * Every other table is symlinked. The replica builders are shared with
+  * [[ScaleAllFixture]], which extends the same recipe to EVERY table for
+  * the full-registry sf1 gate. Usage:
   *   runMain graft.tools.ScaleIterFixture <srcSfDir> <outDir> <copies>
   */
 object ScaleIterFixture {
+
+  /** Power-of-2 replica stride comfortably past the key domain. */
+  def stride(maxKey: Long): Long = java.lang.Long.highestOneBit(maxKey) * 4
+
+  /** Shingle-bijective document replicas (see object doc). */
+  def docsReplicas(docs: DataFrame, copies: Int): DataFrame = {
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val docStride = stride(maxDoc)
+    (0 until copies).map { i =>
+      if (i == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      else docs.select(
+        (col("doc_id") + lit(i * docStride)).as("doc_id"),
+        expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat('r${i}x', w)))")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      // n_chars must stay consistent with the transformed text (the dedup
+      // retention aggregates read it)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Cosine-preserving (per replica) dim-rotated embedding replicas. */
+  def embReplicas(emb: DataFrame, copies: Int): DataFrame = {
+    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val vecStride = stride(maxVec)
+    (0 until copies).map { i =>
+      val shift = i % 64
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      emb.select((col("vec_id") + lit(i * vecStride)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
@@ -40,37 +79,10 @@ object ScaleIterFixture {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(out))
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
-    val docStride = java.lang.Long.highestOneBit(maxDoc) * 4 // clean power-of-2 gap
-    val bigDocs = (0 until copies).map { i =>
-      val prefixed =
-        if (i == 0) docs.select(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"))
-        else docs.select(
-          (col("doc_id") + lit(i * docStride)).as("doc_id"),
-          expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat('r${i}x', w)))")
-            .as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      prefixed
-    }.reduce(_ unionAll _)
-      // n_chars must stay consistent with the transformed text (the dedup
-      // retention aggregates read it)
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    val bigDocs = docsReplicas(spark.read.parquet(s"$src/documents.parquet"), copies)
     bigDocs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0)
-    val vecStride = java.lang.Long.highestOneBit(maxVec) * 4
-    val bigEmb = (0 until copies).map { i =>
-      val shift = i % 64
-      val rotated =
-        if (shift == 0) col("embedding")
-        else concat(slice(col("embedding"), shift + 1, 64 - shift),
-          slice(col("embedding"), 1, shift))
-      emb.select((col("vec_id") + lit(i * vecStride)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
-    }.reduce(_ unionAll _)
+    val bigEmb = embReplicas(spark.read.parquet(s"$src/embeddings.parquet"), copies)
     bigEmb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
@@ -78,7 +90,7 @@ object ScaleIterFixture {
     // doc_id/vec_id — a hardcoded offset silently merges orders across
     // replicas once the source SF's l_orderkey exceeds it (ADVICE r12)
     val maxOk = li.agg(max(col("l_orderkey").cast("long"))).head.getLong(0)
-    val liStride = java.lang.Long.highestOneBit(maxOk) * 4
+    val liStride = stride(maxOk)
     val bigLi = (0 until copies).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * liStride))
     }.reduce(_ unionAll _)
