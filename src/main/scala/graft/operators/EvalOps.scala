@@ -121,6 +121,37 @@ object EvalOps {
       expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"),
       expr("s_sum DIV n").as("mean_score_micro"))
 
+  /** Brier score of the classifier in micro^2 units — the proper scoring
+    * rule complementing AUC (ranking) and the reliability table
+    * (calibration): mean squared gap between the micro-scaled score and
+    * the 0/1 label, kept exact as sum((s - y*1e6)^2) DIV n. One
+    * aggregation pass over the scored frame; one output row.
+    *
+    * DOMAIN BOUND (int64): each term <= 1e12, so the sum stays in int64
+    * up to ~9e6 docs — same stratified-sample escape hatch as [[auc]].
+    */
+  def brier(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir).agg(count(lit(1)).as("n"),
+        sum((col("s") - col("y") * 1000000L) * (col("s") - col("y") * 1000000L))
+          .as("sq"))
+      .select(col("n"),
+        expr("CASE WHEN n = 0 THEN -1 ELSE sq DIV n END").as("brier_micro2"))
+
+  /** Expected calibration error in ppm over the decile reliability
+    * buckets: ECE = Σ_b (n_b/N) · |acc(b) − conf(b)|, folded exactly as
+    * sum(n_b · |pos_rate_ppm − mean_score_micro|) DIV N over the same
+    * per-bucket cells [[calibration]] emits (score micro IS a ppm-scale
+    * confidence, so the two columns subtract directly). The one-number
+    * release gate on "does 0.8 mean 80%".
+    */
+  def ece(spark: SparkSession, dir: String): DataFrame =
+    calibration(spark, dir)
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n") * abs(col("pos_rate_ppm") - col("mean_score_micro")))
+          .as("w"))
+      .select(col("n_docs"),
+        expr("CASE WHEN n_docs = 0 THEN -1 ELSE w DIV n_docs END").as("ece_ppm"))
+
   /** Kolmogorov-Smirnov separation of the positive vs negative score
     * distributions: D = max_s |F1(s) - F0(s)|, computed as the maximum
     * of |cum_pos * n0 - cum_neg * n1| over the distinct-score cumsum
@@ -176,7 +207,9 @@ object EvalOps {
     "q_eval_auc" -> ((s, dir) => auc(s, dir)),
     "q_eval_calibration" -> ((s, dir) => calibration(s, dir)),
     "q_eval_ks" -> ((s, dir) => ks(s, dir)),
-    "q_eval_pr_sweep" -> ((s, dir) => prSweep(s, dir))
+    "q_eval_pr_sweep" -> ((s, dir) => prSweep(s, dir)),
+    "q_eval_brier" -> ((s, dir) => brier(s, dir)),
+    "q_eval_ece" -> ((s, dir) => ece(s, dir))
   )
 
   /** Shared scored-frame CTE: the quality formula via TextOps' one
@@ -231,6 +264,27 @@ object EvalOps {
          |FROM cum, t
          |ORDER BY abs(cum_pos * n0 - cum_neg * n1) DESC, s ASC
          |LIMIT 1""".stripMargin,
+
+    "q_eval_brier" ->
+      s"""WITH $scoredCte
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         | CAST(CASE WHEN count(*) = 0 THEN -1
+         |   ELSE sum((s - y * 1000000) * (s - y * 1000000)) // count(*)
+         |   END AS BIGINT) AS brier_micro2
+         |FROM sc""".stripMargin,
+
+    "q_eval_ece" ->
+      s"""WITH $scoredCte,
+         | b AS (SELECT least(s // 100000, 9) AS bucket,
+         |   CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+         |   CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         | CAST(CASE WHEN sum(n) = 0 THEN -1
+         |   ELSE sum(n * abs(pos_rate_ppm - mean_score_micro)) // sum(n)
+         |   END AS BIGINT) AS ece_ppm
+         |FROM b""".stripMargin,
 
     "q_eval_pr_sweep" -> {
       val rows = PrThresholds.map { t =>

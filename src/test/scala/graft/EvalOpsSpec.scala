@@ -70,4 +70,28 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
       s"recall must fall as the threshold rises: ${recalls.mkString(",")}")
   }
+
+  test("Brier and ECE equal their collected-row definitions exactly") {
+    val rows = scoredRows()
+    val n = rows.size.toLong
+    val brierExpect = rows.map { case (s, y) =>
+      val d = s - y * 1000000L; d * d
+    }.sum / n
+    val gotB = EvalOps.queries("q_eval_brier")(spark, dir).collect().head
+    assert(gotB.getAs[Long]("n") == n)
+    assert(gotB.getAs[Long]("brier_micro2") == brierExpect,
+      s"relational Brier ${gotB.getAs[Long]("brier_micro2")} != direct $brierExpect")
+    // ECE folded from scratch with the same truncating per-bucket algebra
+    val buckets = rows.groupBy { case (s, _) => math.min(s / 100000L, 9L) }
+    val w = buckets.values.map { g =>
+      val nb = g.size.toLong
+      val posRate = g.map(_._2).sum * 1000000L / nb
+      val meanScore = g.map(_._1).sum / nb
+      nb * math.abs(posRate - meanScore)
+    }.sum
+    val gotE = EvalOps.queries("q_eval_ece")(spark, dir).collect().head
+    assert(gotE.getAs[Long]("n_docs") == n)
+    assert(gotE.getAs[Long]("ece_ppm") == w / n,
+      s"relational ECE ${gotE.getAs[Long]("ece_ppm")} != direct ${w / n}")
+  }
 }
