@@ -85,4 +85,28 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(batches.get() == 4, s"expected 4 admission-controlled batches, got ${batches.get()}")
     assert(total.get() == 10000L, s"rows across batches: ${total.get()}")
   }
+
+  test("admission control survives every ReadLimit shape, incl. composite") {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    import graft.sources.{SynthMicroBatchStream, SynthOffset}
+    val s = new SynthMicroBatchStream(
+      graft.sources.SynthDataSource.Schema, 0L, 10000L, 4, 3000L)
+    def off(o: Offset): Long = o.asInstanceOf[SynthOffset].n
+    val start = s.initialOffset()
+    assert(off(s.latestOffset(start, ReadLimit.maxRows(3000L))) == 3000L)
+    assert(off(s.latestOffset(start, ReadLimit.allAvailable())) == 10000L)
+    // CompositeReadLimit (what some Spark versions pass under
+    // Trigger.AvailableNow): the TIGHTEST member cap must win — falling
+    // through to the table end would silently drop admission control and
+    // drain one mega-batch (ADVICE r12)
+    val comp = ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(3000L)))
+    assert(off(s.latestOffset(start, comp)) == 3000L,
+      "composite limit lost the maxRows cap")
+    // offsets round-trip the checkpoint log as json
+    assert(off(s.deserializeOffset(
+      s.latestOffset(start, ReadLimit.maxRows(3000L)).json())) == 3000L)
+    // the bounded end clamps every cap
+    assert(off(s.latestOffset(SynthOffset(9000L), ReadLimit.maxRows(3000L))) == 10000L)
+  }
 }
