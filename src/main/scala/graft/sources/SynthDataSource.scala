@@ -5,7 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,6 +97,34 @@ object SynthDataSource {
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
     }),
 
+    // AGGREGATE pushdown: the grouped rollup folds inside the source
+    // readers (≤5 cells per partition out of the scan, never 50k rows);
+    // SynthSourceSpec pins the SynthAggScan plan + partial-row bound
+    "q_dsv2_agg" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "32").load()
+        .filter(col("id") >= 5000L && col("id") < 55000L)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+          min(col("amount_cents")).as("lo_cents"),
+          max(col("amount_cents")).as("hi_cents"))
+    }),
+
+    // LIMIT pushdown: the generator stops at exactly lo+n — the scan
+    // range tightens to [1000, 21000) instead of generate-then-discard
+    // (plan pinned in SynthSourceSpec); deterministic because ids stream
+    // in order, so "any 20000 rows" IS the first 20000 ids
+    "q_dsv2_limit" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "32").load()
+        .filter(col("id") >= 1000L)
+        .limit(20000)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
     // the STREAMING face: Trigger.AvailableNow drains the bounded table
     // through the admission-controlled MicroBatchStream in 3 real
     // micro-batches (60000 ids / 20000 per batch), the channel rollup
@@ -136,6 +166,23 @@ object SynthDataSource {
          | CAST(sum(amount_cents) AS BIGINT) AS cents
          |FROM g GROUP BY channel""".stripMargin,
 
+    "q_dsv2_agg" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(5000, 54999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents,
+         | CAST(min(amount_cents) AS BIGINT) AS lo_cents,
+         | CAST(max(amount_cents) AS BIGINT) AS hi_cents
+         |FROM g GROUP BY channel""".stripMargin,
+
+    // the pushed limit admits exactly ids [1000, 21000)
+    "q_dsv2_limit" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(1000, 20999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY channel""".stripMargin,
+
     // the streamed rollup covers the FULL id domain — multi-batch
     // accumulation must land exactly where one batch pass would
     "q_stream_dsv2" ->
@@ -159,17 +206,22 @@ class SynthTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = SynthDataSource.Schema
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[Filter]
+  private var hadResidual = false        // a filter we could NOT push
+  private var aggFuncs: Seq[String] = Nil
+  private var aggGrouped = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the pruned schema in FIELD ORDER of the original, and
-    // an empty schema for count(*)-style scans — both legal here
-    required = requiredSchema
+    // an empty schema for count(*)-style scans — both legal here. With an
+    // aggregation pushed the agg fixes the output schema instead.
+    if (aggFuncs.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -182,12 +234,90 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
       case _ => false
     }
     pushed = accepted
+    hadResidual = rejected.nonEmpty
     rejected // everything else stays a post-scan Filter
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(required, lo, hi, slices, rowsPerBatch)
+  /** LIMIT pushdown: ids stream in order from `lo`, so the first `n`
+    * surviving rows of a fully-pushed-filter scan are exactly
+    * [lo, lo+n) — the generator simply stops early instead of
+    * generate-then-discard (at 100 TB a `LIMIT 1000` sample costs 1000
+    * rows of work, not a full table pass). Refused when a residual
+    * post-scan filter exists (the first n GENERATED rows would no longer
+    * be the first n SURVIVING rows) or an aggregation is already pushed.
+    * Spark keeps its own limit on top (`isPartiallyPushed` default) —
+    * a no-op over the exactly-n rows this scan emits.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (hadResidual || aggFuncs.nonEmpty) return false
+    hi = math.min(hi, lo + limit.toLong)
+    true
+  }
+
+  /** AGGREGATE pushdown (partial): COUNT/SUM/MIN/MAX over `amount_cents`,
+    * optionally grouped by `channel`, fold into per-partition cells inside
+    * the reader — each of the `slices` partitions emits at most 5 rows
+    * (|channel domain|) instead of its id range, and Spark's final
+    * aggregate merges the partials. `supportCompletePushDown` stays false
+    * by design: with multiple independent partitions the scan CANNOT
+    * produce final groups without its own shuffle — partial-push +
+    * Spark-side merge is the honest distributed shape (map-side combine
+    * done by the source itself).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (hadResidual) return false
+    def colName(f: AggregateFunc): Option[String] = f match {
+      case s: Sum if !s.isDistinct => s.column() match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+      case m: Min => m.column() match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+      case c: Count if !c.isDistinct => c.column() match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+      case _ => None
+    }
+    val grouped = aggregation.groupByExpressions() match {
+      case Array() => false
+      case Array(r: NamedReference) if r.fieldNames.mkString(".") == "channel" => true
+      case _ => return false
+    }
+    val funcs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => "count"
+      case s: Sum if colName(s).contains("amount_cents") => "sum"
+      case m: Min if colName(m).contains("amount_cents") => "min"
+      case m: Max if colName(m).contains("amount_cents") => "max"
+      // COUNT(col) over a non-nullable generated column = COUNT(*)
+      case c: Count if colName(c).exists(SynthDataSource.Schema.fieldNames.contains) => "count"
+      case _ => return false
+    }
+    aggGrouped = grouped
+    aggFuncs = funcs
+    // positional contract with V2ScanRelationPushDown: group cols first,
+    // then one column per pushed aggregate, all LongType except channel
+    required = StructType(
+      (if (grouped) Seq(StructField("channel", StringType, nullable = false)) else Nil) ++
+        funcs.zipWithIndex.map { case (f, i) =>
+          StructField(s"agg_${i}_$f", LongType, nullable = false)
+        })
+    true
+  }
+
+  override def build(): Scan =
+    if (aggFuncs.nonEmpty) new SynthAggScan(required, lo, hi, slices, aggGrouped, aggFuncs)
+    else new SynthScan(required, lo, hi, slices, rowsPerBatch)
 }
 
 class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int,
@@ -290,6 +420,86 @@ class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(schema)
+}
+
+/** The aggregate-pushdown face: each partition folds its id range into
+  * ≤5 channel cells (or one global cell) as it generates — the source
+  * does the map-side combine, Spark's final aggregate merges the ≤
+  * `slices`×5 partial rows. Scan output is rows-out-of-scan ∝ group
+  * cardinality, never data size.
+  */
+class SynthAggScan(schema: StructType, lo: Long, hi: Long, slices: Int,
+    grouped: Boolean, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthAggScan(range=[$lo, $hi), slices=$slices, " +
+      s"agg=[${funcs.mkString(",")}], groupBy=${if (grouped) "channel" else "<global>"})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    (0 until k).map { i =>
+      SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory(grouped, funcs)
+}
+
+class SynthAggReaderFactory(grouped: Boolean, funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthPartition]
+    new SynthAggReader(p.from, p.until, grouped, funcs)
+  }
+}
+
+/** One pass over [from, until): accumulate count/sum/min/max per channel
+  * cell in primitive arrays, then emit the non-empty cells. No per-row
+  * allocation — one ladder hash and a few long ops per id.
+  */
+class SynthAggReader(from: Long, until: Long, grouped: Boolean,
+    funcs: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private val cells = if (grouped) SynthDataSource.Channels.size else 1
+  private val cnt = new Array[Long](cells)
+  private val sum = new Array[Long](cells)
+  private val mn = Array.fill(cells)(Long.MaxValue)
+  private val mx = Array.fill(cells)(Long.MinValue)
+  locally {
+    var id = from
+    while (id < until) {
+      val h = SynthDataSource.hash(id)
+      val c = if (grouped) (h % 5L).toInt else 0
+      val a = h % 100000L + 1L
+      cnt(c) += 1L; sum(c) += a
+      if (a < mn(c)) mn(c) = a
+      if (a > mx(c)) mx(c) = a
+      id += 1L
+    }
+  }
+  private val live = (0 until cells).filter(cnt(_) > 0L).toArray
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < live.length }
+  override def get(): InternalRow = {
+    val c = live(i)
+    val aggVals: Seq[Any] = funcs.map {
+      case "count" => cnt(c)
+      case "sum" => sum(c)
+      case "min" => mn(c)
+      case "max" => mx(c)
+    }
+    val vals: Seq[Any] =
+      if (grouped) UTF8String.fromString(SynthDataSource.Channels(c)) +: aggVals
+      else aggVals
+    InternalRow.fromSeq(vals)
+  }
+  override def close(): Unit = ()
 }
 
 /** Offset = the next unread id (a Kafka-style watermark). */

@@ -86,6 +86,75 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(total.get() == 10000L, s"rows across batches: ${total.get()}")
   }
 
+  test("aggregate pushdown folds the rollup inside the source readers") {
+    val df = table
+      .filter(col("id") >= 2000L && col("id") < 9000L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+        min(col("amount_cents")).as("lo"), max(col("amount_cents")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("SynthAggScan")).getOrElse("")
+    assert(scanLine.nonEmpty,
+      s"expected the SynthAggScan (pushed-aggregate) scan, got:\n$plan")
+    assert(scanLine.contains("agg=[count,sum,min,max]") &&
+      scanLine.contains("groupBy=channel") &&
+      scanLine.contains("range=[2000, 9000)"),
+      s"pushed agg + filter must both reach the scan:\n$scanLine")
+    // the scan emits ≤ slices × |channels| partial cells, never data rows
+    val partialRows = new graft.sources.SynthAggScan(
+      null, 2000L, 9000L, 8, grouped = true, Seq("count"))
+      .planInputPartitions()
+      .map(p => new graft.sources.SynthAggReader(
+        p.asInstanceOf[graft.sources.SynthPartition].from,
+        p.asInstanceOf[graft.sources.SynthPartition].until,
+        grouped = true, Seq("count")))
+      .map { r => var n = 0; while (r.next()) n += 1; n }.sum
+    assert(partialRows <= 8 * 5, s"partial cells out of the scan: $partialRows")
+    // and the merged result equals the row-scan recompute
+    val viaRows = table
+      .filter(col("id") >= 2000L && col("id") < 9000L)
+      .select(col("channel"), col("amount_cents"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_.getLong(1)).sum,
+        rs.map(_.getLong(1)).min, rs.map(_.getLong(1)).max)).toMap
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == viaRows, s"pushed-agg result diverged:\n$got\nvs\n$viaRows")
+  }
+
+  test("global (ungrouped) aggregate pushes down too") {
+    val df = table.agg(count(lit(1)).as("n"), max(col("amount_cents")).as("hi"))
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthAggScan")).getOrElse("")
+    assert(scanLine.contains("groupBy=<global>"), s"expected global pushed agg:\n$scanLine")
+    val r = df.collect().head
+    assert(r.getLong(0) == 10000L && r.getLong(1) ==
+      (0L until 10000L).map(SynthDataSource.amountCents).max)
+  }
+
+  test("limit pushdown truncates the generated range instead of discarding") {
+    val df = table.filter(col("id") >= 1000L).limit(500)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthScan")).getOrElse("")
+    assert(scanLine.contains("range=[1000, 1500)"),
+      s"pushed limit must tighten the scan range:\n$scanLine")
+    // deterministic: the first 500 surviving ids exactly
+    assert(df.select(sum(col("id"))).collect().head.getLong(0) ==
+      (1000L until 1500L).sum)
+  }
+
+  test("limit is refused when a residual post-scan filter exists") {
+    // channel predicates can't push into the id-range generator, so the
+    // first n GENERATED rows ≠ first n SURVIVING rows — the builder must
+    // keep the full range and let Spark limit after the residual filter
+    val df = table.filter(col("channel") === "web").limit(50)
+    assert(df.count() == 50L)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthScan")).getOrElse("")
+    assert(scanLine.contains("range=[0, 10000)"),
+      s"residual filter must block limit pushdown:\n$scanLine")
+  }
+
   test("admission control survives every ReadLimit shape, incl. composite") {
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     import graft.sources.{SynthMicroBatchStream, SynthOffset}
