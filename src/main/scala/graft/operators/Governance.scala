@@ -296,8 +296,43 @@ object Governance {
         expr("n_rows_at_risk * 1000000 DIV n_rows").as("at_risk_ppm"),
         (col("min_group_size") >= KAnonK).cast("int").as("k_anonymous"))
 
+  val LDivL = 3
+
+  /** l-diversity release gate — k-anonymity's necessary complement: a
+    * group can be k-large yet leak its sensitive attribute completely if
+    * every member shares one value (the homogeneity attack). Sensitive
+    * attribute = order priority, quasi-identifiers = the customer's
+    * (nation, segment); a group is weak when it exposes fewer than
+    * [[LDivL]] distinct priorities. Fact joins the customer dim
+    * broadcast (dim ≪ fact at any scale), then ONE hash aggregate on the
+    * QI key carrying count + countDistinct(sensitive) — distinct state
+    * is bounded by the 5-value priority domain per group — and a 1-row
+    * rollup. Nothing grows beyond |distinct QI tuples|.
+    */
+  def lDiversity(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val groups = orders
+      .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+      .join(broadcast(customer.select(
+          col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("gn"), countDistinct(col("sens")).as("l"))
+    groups
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < LDivL, 1L).otherwise(0L)).as("n_weak_groups"),
+        sum(when(col("l") < LDivL, col("gn")).otherwise(0L)).as("n_rows_at_risk"),
+        sum(col("gn")).as("n_rows"))
+      .select(col("n_groups"), col("min_l"), col("n_weak_groups"),
+        col("n_rows_at_risk"),
+        expr("n_rows_at_risk * 1000000 DIV n_rows").as("at_risk_ppm"),
+        (col("min_l") >= LDivL).cast("int").as("l_diverse"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> ((s, dir) => kAnonymity(Tables.customer(s, dir))),
+    "q_l_diversity" -> ((s, dir) =>
+      lDiversity(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_dq_checks" -> ((s, dir) =>
       dqChecks(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_winsorize" -> ((s, dir) => winsorized(s, dir)),
@@ -325,6 +360,24 @@ object Governance {
          | CAST(n_rows_at_risk * 1000000 // n_rows AS BIGINT) AS at_risk_ppm,
          | CAST(CASE WHEN min_group_size >= $KAnonK THEN 1 ELSE 0 END AS INT)
          |   AS k_anonymous
+         |FROM t""".stripMargin,
+    "q_l_diversity" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS gn,
+         |   count(DISTINCT o_orderpriority) AS l
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |   CAST(min(l) AS BIGINT) AS min_l,
+         |   CAST(sum(CASE WHEN l < $LDivL THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_weak_groups,
+         |   CAST(sum(CASE WHEN l < $LDivL THEN gn ELSE 0 END) AS BIGINT)
+         |     AS n_rows_at_risk,
+         |   CAST(sum(gn) AS BIGINT) AS n_rows
+         |  FROM g)
+         |SELECT n_groups, min_l, n_weak_groups, n_rows_at_risk,
+         | CAST(n_rows_at_risk * 1000000 // n_rows AS BIGINT) AS at_risk_ppm,
+         | CAST(CASE WHEN min_l >= $LDivL THEN 1 ELSE 0 END AS INT)
+         |   AS l_diverse
          |FROM t""".stripMargin,
     "q_dq_checks" ->
       """WITH base AS (SELECT count(*) AS n_rows,

@@ -304,11 +304,47 @@ object GraphOps {
         expr("common * 1000000 DIV (d1 + d2 - common)").as("jaccard_ppm"))
   }
 
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang's RA index) over
+    * the same significant-tie graph as [[jaccardLinks]]: each common
+    * neighbour z contributes 1/deg(z) — rare shared neighbours count for
+    * more than hub neighbours, which plain common-neighbour counting
+    * (and Jaccard) can't express. Integer-exact: per-wedge weight is
+    * 1000000 DIV deg(z) BEFORE the sum, so accumulation order can't
+    * perturb the result. Plan shape is the wedge self-join with deg(z)
+    * broadcast onto the shared-neighbour key — still linear in wedges,
+    * no all-pairs, and the only new cost vs Jaccard is one broadcast
+    * hash join against the |nodes|-row degree table.
+    */
+  def resourceAllocLinks(spark: SparkSession, dir: String): DataFrame = {
+    val oTot = Tables.orders(spark, dir).agg(count(lit(1)).as("n"))
+    val half = supportEdges(spark, dir).crossJoin(broadcast(oTot))
+      .filter(col("sup") * lit(1000000L) >= col("n") * lit(KCoreSupPpm))
+      .select(col("b1"), col("b2"))
+    val e = half
+      .unionByName(half.select(col("b2").as("b1"), col("b1").as("b2")))
+      .select(col("b1").as("src"), col("b2").as("dst")).cache()
+    val deg = e.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
+    // wedges a -z- b (a < b), weighted by the SHARED neighbour's degree:
+    // deg(z) joins on the wedge midpoint (a ≤25-node table — broadcast)
+    val weighted = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .join(broadcast(deg.select(col("b").as("z"), col("deg").as("dz"))),
+        col("x.dst") === col("z"))
+      .groupBy(col("x.src").as("b1"), col("y.src").as("b2"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 DIV dz")).as("ra_ppm"))
+    val adj = e.filter(col("src") < col("dst"))
+      .select(col("src").as("b1"), col("dst").as("b2"))
+    weighted.join(adj, Seq("b1", "b2"), "left_anti")
+      .select(col("b1"), col("b2"), col("common"), col("ra_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_levels" -> ((s, dir) => bfsLevels(s, dir)),
     "q_pagerank" -> ((s, dir) => pageRank(s, dir)),
     "q_kcore" -> ((s, dir) => kCore(s, dir)),
     "q_graph_jaccard" -> ((s, dir) => jaccardLinks(s, dir)),
+    "q_graph_resource_alloc" -> ((s, dir) => resourceAllocLinks(s, dir)),
     "q_triangles" -> ((s, dir) => triangleCounts(s, dir))
   )
 
@@ -361,6 +397,28 @@ object GraphOps {
            | CAST(common * 1000000 // (d1.deg + d2.deg - common) AS BIGINT)
            |   AS jaccard_ppm
            |FROM na JOIN deg d1 ON na.b1 = d1.b JOIN deg d2 ON na.b2 = d2.b""".stripMargin,
+
+      // same wedge derivation, weight 1000000 // deg(midpoint) applied
+      // per wedge BEFORE the sum (truncation point must match the engine)
+      "q_graph_resource_alloc" ->
+        s"""WITH ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           | sup AS (SELECT a.b AS b1, o2.b AS b2, count(*) AS sup
+           |  FROM ob a JOIN ob o2 ON a.ok = o2.ok AND a.b < o2.b GROUP BY 1, 2),
+           | ot AS (SELECT count(*) AS n FROM orders),
+           | half AS MATERIALIZED (SELECT b1, b2 FROM sup, ot
+           |  WHERE sup * 1000000 >= n * $KCoreSupPpm),
+           | ed AS (SELECT b1 AS src, b2 AS dst FROM half
+           |  UNION ALL SELECT b2, b1 FROM half),
+           | deg AS (SELECT src AS b, count(*) AS deg FROM ed GROUP BY 1),
+           | c AS (SELECT x.src AS b1, y.src AS b2, count(*) AS common,
+           |   CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+           |  FROM ed x JOIN ed y ON x.dst = y.dst AND x.src < y.src
+           |  JOIN deg d ON d.b = x.dst
+           |  GROUP BY 1, 2)
+           |SELECT c.b1, c.b2, CAST(common AS BIGINT) AS common, ra_ppm
+           |FROM c LEFT JOIN half ON c.b1 = half.b1 AND c.b2 = half.b2
+           |WHERE half.b1 IS NULL""".stripMargin,
 
       "q_pagerank" ->
         s"""WITH $base,

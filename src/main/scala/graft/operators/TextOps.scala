@@ -368,6 +368,53 @@ object TextOps {
     * the rank-3 cut runs as WindowGroupLimit — per-partition top-k, no
     * full per-head sort at scale.
     */
+  /** The phrase searched for by [[phraseSearch]] — a bigram known present
+    * at every scale factor in the synthetic corpus.
+    */
+  val SearchPhrase = "hash join"
+
+  /** Exact-phrase search: which documents contain the two-word phrase as
+    * ADJACENT tokens, how many times, and at which first position — the
+    * positional-match primitive BM25 (bag-of-words) cannot express
+    * ("hash join" ≠ a doc with "hash" here and "join" elsewhere).
+    * Occurrence-level bigrams per doc (the shared [[PortableSql
+    * .bigramsAll]] arithmetic), count by array filter, position by
+    * 1-based array_position / list_position — one narrow projection
+    * pass, no shuffle; the hit filter prunes the output to matching
+    * docs only, so at 100 TB the result is |hits|, not |corpus|.
+    */
+  def phraseSearch(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"),
+        expr(bigramsAll("toks", duck = false)).as("bgs"))
+      .select(col("doc_id"),
+        expr(s"CAST(${alen(filterArr("bgs", "b", s"b = '$SearchPhrase'"
+          , duck = false), duck = false)} AS BIGINT)").as("n_hits"),
+        expr(s"array_position(bgs, '$SearchPhrase')").cast("long").as("first_pos"))
+      .filter(col("n_hits") > 0L)
+
+  /** Hapax statistics over occurrence-level BIGRAMS per source — the
+    * vocabulary-growth diagnostic (Zipf's long tail: what share of a
+    * source's bigram types occur exactly once). Token unigrams are
+    * useless here (the synthetic vocabulary saturates), bigram types
+    * keep a real singleton tail at every SF. Two hash aggregates:
+    * (source, bigram) counts, then the per-source rollup — state is
+    * |sources| × |bigram types|, never corpus-sized.
+    */
+  def hapaxStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), expr("split(text, ' ')").as("toks"))
+      .select(col("source"), explode(expr(bigramsAll("toks", duck = false))).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("occ") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("occ")).as("n_occurrences"))
+      .select(col("source"), col("n_terms"), col("n_hapax"),
+        col("n_occurrences"),
+        expr("n_hapax * 1000000 DIV n_terms").as("hapax_ppm"))
+
   def bigramLm(docs: DataFrame): DataFrame = {
     val c = docs.select(expr("split(text, ' ')").as("toks"))
       .select(explode(expr(bigramsAll("toks", duck = false))).as("g"))
@@ -697,6 +744,8 @@ object TextOps {
     "q_text_winnow" -> ((s, dir) => winnowStats(Tables.documents(s, dir))),
     "q_text_vocab" -> ((s, dir) => vocabStats(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => bigramLm(Tables.documents(s, dir))),
+    "q_phrase_search" -> ((s, dir) => phraseSearch(Tables.documents(s, dir))),
+    "q_text_hapax" -> ((s, dir) => hapaxStats(Tables.documents(s, dir))),
     "q_filter_funnel" -> ((s, dir) => filterFunnel(Tables.documents(s, dir))),
     "q_tok_fertility" -> ((s, dir) => tokenizerFertility(Tables.documents(s, dir))),
     "q_text_bpe_merges" -> ((s, dir) => bpeMergeCounts(Tables.documents(s, dir))),
@@ -858,6 +907,32 @@ object TextOps {
            | SELECT *, row_number() OVER (PARTITION BY w1
            |   ORDER BY cnt DESC, w2) AS rnk FROM c) z
            |WHERE rnk <= 3""".stripMargin
+      },
+
+      "q_phrase_search" -> {
+        val grams2 = bigramsAll("toks", duck = true)
+        val hits = alen(filterArr("bgs", "b", s"b = '$SearchPhrase'",
+          duck = true), duck = true)
+        s"""WITH b AS (SELECT doc_id, $grams2 AS bgs FROM (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0)
+           |SELECT doc_id, CAST($hits AS BIGINT) AS n_hits,
+           | CAST(list_position(bgs, '$SearchPhrase') AS BIGINT) AS first_pos
+           |FROM b WHERE $hits > 0""".stripMargin
+      },
+
+      "q_text_hapax" -> {
+        val grams2 = bigramsAll("toks", duck = true)
+        s"""WITH g AS (SELECT source, unnest(grams) AS bg FROM (
+           |  SELECT source, $grams2 AS grams FROM (
+           |   SELECT source, string_split(text, ' ') AS toks FROM documents) t0) g0),
+           | o AS (SELECT source, bg, count(*) AS occ FROM g GROUP BY 1, 2),
+           | r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           |   CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           |   CAST(sum(occ) AS BIGINT) AS n_occurrences
+           |  FROM o GROUP BY 1)
+           |SELECT source, n_terms, n_hapax, n_occurrences,
+           | CAST(n_hapax * 1000000 // n_terms AS BIGINT) AS hapax_ppm
+           |FROM r""".stripMargin
       },
 
       "q_filter_funnel" ->
