@@ -43,13 +43,24 @@ object FeatureOps {
     * every step integer, so truncation points are deterministic and the
     * oracle reproduces them exactly.
     */
-  def targetEncode(orders: DataFrame): DataFrame = {
-    val o = orders.select(col("o_orderpriority").as("category"),
-      (col("o_orderstatus") === "F").cast("long").as("t"))
-    val glob = o.agg(
-      expr(s"sum(t) * 1000000 DIV count(*)").as("global_ppm"))
-    o.groupBy(col("category"))
-      .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_t"))
+  def targetEncode(orders: DataFrame): DataFrame =
+    targetEncodeFromCells(orders
+      .select(col("o_orderpriority").as("category"),
+        (col("o_orderstatus") === "F").cast("long").as("t"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_t")))
+
+  /** The encode arithmetic over pre-aggregated (category, n, sum_t)
+    * cells — shared by the batch query and the streaming twin (whose
+    * cells accumulate in complete mode and re-derive the encoding on
+    * readback through THIS arithmetic, so one oracle scores both). The
+    * global rate folds from the cells themselves: sum(sum_t)·1e6 DIV
+    * sum(n) is integer-identical to computing it on the raw rows.
+    */
+  def targetEncodeFromCells(cells: DataFrame): DataFrame = {
+    val glob = cells.agg(
+      expr("sum(sum_t) * 1000000 DIV sum(n)").as("global_ppm"))
+    cells
       .crossJoin(broadcast(glob))
       .select(col("category"), col("n"), col("sum_t"),
         expr("sum_t * 1000000 DIV n").as("raw_ppm"),

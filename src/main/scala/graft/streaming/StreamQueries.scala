@@ -1804,6 +1804,74 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_target_encode — the feature-encoder kept fresh
+    * as fact rows land: per-category (n, sum_t) cells accumulate in
+    * complete mode (state = |categories| pairs of longs, never stream
+    * length) and the readback re-derives the smoothed encoding through
+    * the SHARED FeatureOps.targetEncodeFromCells arithmetic, so the
+    * batch oracle scores the streamed encoder verbatim. This is the
+    * production shape of target encoding: the encoder table updates
+    * continuously instead of being re-fit per training run.
+    */
+  def streamTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("tgtenc", dir, "orders"),
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("category"),
+          (col("o_orderstatus") === "F").cast("long").as("t")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("category", StringType),
+          StructField("t", LongType)))).json(landing)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_t"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.FeatureOps.targetEncodeFromCells(
+      s.read.schema(StructType(Seq(
+          StructField("category", StringType),
+          StructField("n", LongType),
+          StructField("sum_t", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
+  /** STREAMING twin of q_phrase_search — the positional matcher as a
+    * STATELESS streaming pass: each arriving document maps through the
+    * same bigram/filter projection (no state, no watermark — pure
+    * per-row compute Catalyst keeps in codegen) and hits append to the
+    * sink. Readback equals the batch scan, so the batch oracle applies
+    * verbatim; at 100 TB this is the always-on content-match monitor
+    * (alerting on phrase sightings in a landing stream).
+    */
+  def streamPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("phrase", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val tmp = tempSink()
+    val q = graft.operators.TextOps.phraseSearch(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))).json(landing))
+      .writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_hits", LongType),
+        StructField("first_pos", LongType))))
+      .parquet(s"$tmp/out")
+  }
+
   /** STREAMING twin of q_markov_stationary: the transition PAIRS are
     * emitted from keyed state as events arrive — one string of state
     * per user forever (the last event type), each arrival emitting its
@@ -2301,6 +2369,8 @@ object StreamQueries {
     "q_stream_mix" -> ((s, dir) => streamMix(s, dir)),
     "q_stream_eval_auc" -> ((s, dir) => streamEvalAuc(s, dir)),
     "q_stream_kanon" -> ((s, dir) => streamKAnonymity(s, dir)),
+    "q_stream_target_encode" -> ((s, dir) => streamTargetEncode(s, dir)),
+    "q_stream_phrase" -> ((s, dir) => streamPhraseSearch(s, dir)),
     "q_stream_calibration" -> ((s, dir) => streamCalibration(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
     "q_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
@@ -2487,6 +2557,12 @@ object StreamQueries {
     "q_stream_mix" -> graft.operators.MixOps.oracleSql("q_mix_waterfill"),
     "q_stream_eval_auc" -> graft.operators.EvalOps.oracleSql("q_eval_auc"),
     "q_stream_kanon" -> graft.operators.Governance.oracleSql("q_k_anonymity"),
+    // complete-mode cell accumulation + shared encode arithmetic on
+    // readback == the batch encoder, so its oracle applies verbatim
+    "q_stream_target_encode" -> graft.operators.FeatureOps.oracleSql("q_target_encode"),
+    // stateless per-row projection replayed over the corpus == the batch
+    // positional scan
+    "q_stream_phrase" -> graft.operators.TextOps.oracleSql("q_phrase_search"),
     "q_stream_calibration" -> graft.operators.EvalOps.oracleSql("q_eval_calibration"),
     "q_stream_markov" -> graft.operators.SequenceOps.oracleSql("q_markov_stationary"),
     "q_stream_dq" ->
