@@ -5,9 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -207,7 +207,8 @@ class SynthTable(rows: Long, slices: Int) extends Table with SupportsRead {
 class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SynthDataSource.Schema
   private var lo = 0L          // inclusive
@@ -252,6 +253,35 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
     */
   override def pushLimit(limit: Int): Boolean = {
     if (hadResidual || aggFuncs.nonEmpty) return false
+    hi = math.min(hi, lo + limit.toLong)
+    true
+  }
+
+  // both Limit and TopN declare this default; Scala requires the diamond
+  // be resolved explicitly. True = Spark keeps its limit/sort on top (a
+  // no-op over the exactly-n rows the scan emits) — the honest claim,
+  // since a multi-slice scan emits per-partition ranges, not one global
+  // ordered stream.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown: ids stream in ASCENDING order, so `ORDER BY id
+    * [ASC] LIMIT n` is satisfiable by the same early stop as a plain
+    * limit — accepted only for that exact sort (single key, id,
+    * ascending) with no residual filter. Spark keeps its own sort+limit
+    * on top (`isPartiallyPushed` default true), which is a no-op over
+    * the exactly-n ordered rows the scan emits; the win is the scan
+    * generating n rows instead of the domain.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (hadResidual || aggFuncs.nonEmpty) return false
+    val idAsc = orders match {
+      case Array(o) => (o.expression() match {
+        case r: NamedReference => r.fieldNames.mkString(".") == "id"
+        case _ => false
+      }) && o.direction() == SortDirection.ASCENDING
+      case _ => false
+    }
+    if (!idAsc) return false
     hi = math.min(hi, lo + limit.toLong)
     true
   }
@@ -322,9 +352,29 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
 
 class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int,
     rowsPerBatch: Long = 1000L)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Post-pushdown statistics — numRows is EXACT (the pruned id range)
+    * and bytes follow the pruned schema's row width, so the planner's
+    * join-strategy choice sees the real size of a filtered read: a
+    * tightly-filtered synth scan falls under the broadcast threshold and
+    * plans as the build side of a BroadcastHashJoin instead of forcing a
+    * shuffle (pinned in SynthSourceSpec). Without this a custom source
+    * reports unknown size and the planner must assume huge.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val rowBytes = schema.fieldNames.map {
+      case "id" | "amount_cents" => 8L
+      case "channel" => 4L
+      case "payload" => 272L
+      case _ => 16L
+    }.sum.max(1L)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * rowBytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+  }
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SynthMicroBatchStream(schema, lo, hi, slices, rowsPerBatch)

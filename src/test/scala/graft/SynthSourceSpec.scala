@@ -155,6 +155,40 @@ class SynthSourceSpec extends AnyFunSuite {
       s"residual filter must block limit pushdown:\n$scanLine")
   }
 
+  test("top-N on id ascending pushes as an early stop; other sorts are refused") {
+    val df = table.orderBy(col("id")).limit(300)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthScan")).getOrElse("")
+    assert(scanLine.contains("range=[0, 300)"),
+      s"id-asc top-N must tighten the scan range:\n$scanLine")
+    assert(df.collect().map(_.getLong(0)).toSeq == (0L until 300L),
+      "pushed top-N must still return the globally first 300 ids in order")
+    // descending (or non-id) sorts can't early-stop an ascending
+    // generator: the full range must survive
+    val desc = table.orderBy(col("id").desc).limit(10)
+    val descLine = desc.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthScan")).getOrElse("")
+    assert(descLine.contains("range=[0, 10000)"),
+      s"desc sort must refuse the top-N pushdown:\n$descLine")
+    assert(desc.collect().map(_.getLong(0)).toSeq == (9999L to 9990L by -1L))
+  }
+
+  test("reported statistics drive broadcast-side planning for filtered reads") {
+    import SparkTestBase.collectInPlan
+    // a tightly-filtered read reports ~200 rows — the planner must pick
+    // it as a BroadcastHashJoin build side against a bigger frame
+    val small = table.filter(col("id") >= 100L && col("id") < 300L)
+      .select(col("id"), col("amount_cents"))
+    val big = spark.range(0, 50000L).select(col("id"))
+    val joined = big.join(small, "id")
+    val bhj = collectInPlan(joined.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"stats-reported small scan must broadcast:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 200L)
+  }
+
   test("admission control survives every ReadLimit shape, incl. composite") {
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     import graft.sources.{SynthMicroBatchStream, SynthOffset}
