@@ -709,10 +709,16 @@ object VectorOps {
     // under the cap.
     val sizes = member.groupBy("centroid_id").agg(count(lit(1)).as("cell_n"))
     val keyed = member.join(broadcast(sizes), "centroid_id")
+      // ceil(log2(cell_n / cap)) in PURE INTEGER form — bitLen(ceil(n/cap)
+      // - 1) — because the r13 sf1 gate proved the cap ENGAGES at scale
+      // (200k vectors push cells past 1024) and an oracle-compared value
+      // must never pass through libm log2; bitLen's ladder caps at
+      // SemDedupMaxSubBits by construction
       .withColumn("sub_bits",
         when(col("cell_n") > hotCellCap,
-          least(ceil(log2(col("cell_n").cast("double") / hotCellCap)),
-            lit(SemDedupMaxSubBits.toLong)))
+          expr(graft.functions.PortableSql.bitLen(
+            s"((cell_n + ${hotCellCap - 1}) DIV $hotCellCap) - 1",
+            SemDedupMaxSubBits)))
           .otherwise(0L).cast("int"))
       .withColumn("srp", graft.functions.SrpBucketsExpression.buckets(
         col("vn"), 1, SemDedupMaxSubBits, Dim))
@@ -1881,18 +1887,36 @@ object VectorOps {
            | CAST(max(n) * 10000 // sum(n) AS BIGINT) AS top_share_bp
            |FROM st GROUP BY 1""".stripMargin,
 
-      "q_emb_semdedup" ->
+      // models the HOT-CELL CAP too (r13: the sf1 gate proved cells pass
+      // 1024 at 200k vectors, so the cap is live behavior, not a latent
+      // guard): cells over the cap sub-bucket by the low bitLen(ceil(
+      // n/cap)-1) SRP bits (planes j=0..15 — table 0 of the shared
+      // recurrence), and pairs must share the sub-bucket
+      "q_emb_semdedup" -> {
+        val sub16 = (0 until SemDedupMaxSubBits).map { j =>
+          s"(CASE WHEN ${dot("vn", plane(j, duck = true), duck = true)} > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        val q = s"((cell_n + ${SemDedupHotCellCap - 1}) // $SemDedupHotCellCap) - 1"
         s"""WITH $normCte,
            |$ivfAsgCte,
            | m AS (SELECT asg.centroid_id, e.vec_id, e.vn
-           |   FROM asg JOIN e ON asg.vec_id = e.vec_id)
+           |   FROM asg JOIN e ON asg.vec_id = e.vec_id),
+           | cs AS (SELECT centroid_id, count(*) AS cell_n FROM m GROUP BY 1),
+           | mk AS MATERIALIZED (SELECT m.centroid_id, m.vec_id, m.vn,
+           |   CAST($sub16 AS BIGINT) &
+           |     ((CAST(1 AS BIGINT) << (CASE WHEN cs.cell_n > $SemDedupHotCellCap
+           |       THEN ${graft.functions.PortableSql.bitLen(q, SemDedupMaxSubBits)}
+           |       ELSE 0 END)) - 1) AS sub_key
+           |  FROM m JOIN cs ON m.centroid_id = cs.centroid_id)
            |SELECT centroid_id, drop_vec_id, max(cosine) AS max_cosine FROM (
            | SELECT a.centroid_id, b.vec_id AS drop_vec_id,
            |  round(${dot("a.vn", "b.vn", duck = true)}, 6) AS cosine
-           | FROM m a JOIN m b
-           |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id) p
+           | FROM mk a JOIN mk b
+           |  ON a.centroid_id = b.centroid_id AND a.sub_key = b.sub_key
+           |   AND a.vec_id < b.vec_id) p
            |WHERE cosine >= $SemDedupMinCosine
-           |GROUP BY centroid_id, drop_vec_id""".stripMargin,
+           |GROUP BY centroid_id, drop_vec_id""".stripMargin
+      },
 
       "q_emb_ivf_topk" -> ivfTopkSql,
 
