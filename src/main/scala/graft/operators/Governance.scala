@@ -309,14 +309,25 @@ object Governance {
     * is bounded by the 5-value priority domain per group — and a 1-row
     * rollup. Nothing grows beyond |distinct QI tuples|.
     */
-  def lDiversity(orders: DataFrame, customer: DataFrame): DataFrame = {
-    val groups = orders
+  def lDiversity(orders: DataFrame, customer: DataFrame): DataFrame =
+    lDiversityFromSensCells(orders
       .select(col("o_custkey"), col("o_orderpriority").as("sens"))
       .join(broadcast(customer.select(
           col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("sens"))
+      .agg(count(lit(1)).as("gn")))
+
+  /** The gate rollup over (QI, sensitive) cell counts — shared by the
+    * batch query and the streaming twin (streaming aggregation can't
+    * countDistinct, but it CAN count (QI, sens) cells exactly; folding
+    * the cells gives l = cells-per-group and gn = Σ cell counts with
+    * identical integers, so one oracle scores both).
+    */
+  def lDiversityFromSensCells(cells: DataFrame): DataFrame = {
+    val groups = cells
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("gn"), countDistinct(col("sens")).as("l"))
+      .agg(sum(col("gn")).as("gn"), count(lit(1)).as("l"))
     groups
       .agg(count(lit(1)).as("n_groups"),
         min(col("l")).as("min_l"),

@@ -1804,6 +1804,48 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_l_diversity — the homogeneity-attack gate
+    * evaluated continuously as enriched fact rows land: streaming
+    * aggregation cannot countDistinct, so the state is the exact
+    * (QI, sensitive) CELL counts (bounded by |QI| × |sensitive domain|,
+    * here ≤ 125×5 — never stream length), and the readback folds cells
+    * into per-group l/gn through the SHARED lDiversityFromSensCells
+    * arithmetic, so the batch oracle scores the streamed gate verbatim.
+    */
+  def streamLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("ldiv", dir, "orders"),
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+        .join(broadcast(Tables.customer(s, dir).select(
+            col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("sens")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+          StructField("c_mktsegment", StringType),
+          StructField("sens", StringType)))).json(landing)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("sens"))
+        .agg(count(lit(1)).as("gn"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Governance.lDiversityFromSensCells(
+      s.read.schema(StructType(Seq(
+          StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+          StructField("c_mktsegment", StringType),
+          StructField("sens", StringType),
+          StructField("gn", LongType))))
+        .parquet(s"$tmp/out"))
+  }
+
   /** STREAMING twin of q_target_encode — the feature-encoder kept fresh
     * as fact rows land: per-category (n, sum_t) cells accumulate in
     * complete mode (state = |categories| pairs of longs, never stream
@@ -2370,6 +2412,7 @@ object StreamQueries {
     "q_stream_eval_auc" -> ((s, dir) => streamEvalAuc(s, dir)),
     "q_stream_kanon" -> ((s, dir) => streamKAnonymity(s, dir)),
     "q_stream_target_encode" -> ((s, dir) => streamTargetEncode(s, dir)),
+    "q_stream_ldiv" -> ((s, dir) => streamLDiversity(s, dir)),
     "q_stream_phrase" -> ((s, dir) => streamPhraseSearch(s, dir)),
     "q_stream_calibration" -> ((s, dir) => streamCalibration(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
@@ -2560,6 +2603,9 @@ object StreamQueries {
     // complete-mode cell accumulation + shared encode arithmetic on
     // readback == the batch encoder, so its oracle applies verbatim
     "q_stream_target_encode" -> graft.operators.FeatureOps.oracleSql("q_target_encode"),
+    // exact (QI, sens) cell accumulation + shared fold on readback == the
+    // batch gate, so its oracle applies verbatim
+    "q_stream_ldiv" -> graft.operators.Governance.oracleSql("q_l_diversity"),
     // stateless per-row projection replayed over the corpus == the batch
     // positional scan
     "q_stream_phrase" -> graft.operators.TextOps.oracleSql("q_phrase_search"),
