@@ -125,6 +125,24 @@ object SynthDataSource {
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
     }),
 
+    // STATS-DRIVEN JOIN: the filtered synth read reports its exact
+    // post-pushdown size (SupportsReportStatistics), so the planner
+    // broadcasts it against the orders fact instead of shuffling both
+    // sides — the custom source participating in join planning like a
+    // native table (broadcast choice pinned in SynthSourceSpec)
+    "q_dsv2_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val synth = s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "8").load()
+        .filter(col("id") >= 1L && col("id") < 3000L)
+        .select(col("id"), col("channel"), col("amount_cents"))
+      graft.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(synth, col("o_orderkey") === col("id"))
+        .groupBy(col("channel"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
     // the STREAMING face: Trigger.AvailableNow drains the bounded table
     // through the admission-controlled MicroBatchStream in 3 real
     // micro-batches (60000 ids / 20000 per batch), the channel rollup
@@ -182,6 +200,14 @@ object SynthDataSource {
          |SELECT channel, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(amount_cents) AS BIGINT) AS cents
          |FROM g GROUP BY channel""".stripMargin,
+
+    "q_dsv2_join" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(1, 2999)) AS i) t)
+         |SELECT channel, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM orders JOIN g ON o_orderkey = g.id
+         |GROUP BY 1, 2""".stripMargin,
 
     // the streamed rollup covers the FULL id domain — multi-batch
     // accumulation must land exactly where one batch pass would
