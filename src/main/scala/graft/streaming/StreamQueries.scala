@@ -181,6 +181,19 @@ object StreamQueries {
       text = true)
     ensureJsonFixture(fixtureDir("winnow", dir, "documents"),
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    ensureJsonFixture(fixtureDir("tgtenc", dir, "orders"),
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("category"),
+          (col("o_orderstatus") === "F").cast("long").as("t")))
+    ensureJsonFixture(fixtureDir("ldiv", dir, "orders"),
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+        .join(broadcast(Tables.customer(s, dir).select(
+            col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("sens")))
+    ensureJsonFixture(fixtureDir("phrase", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
     ensureJsonFixture(fixtureDir("dedupincr", dir, "documents"),
       Tables.documents(s, dir)
         .filter(col("doc_id") % graft.operators.DedupOps.IncrMod
