@@ -35,7 +35,8 @@ class EntryContractSpec extends AnyFunSuite {
       graft.operators.TypedAgg.queries, graft.operators.MixOps.queries,
       graft.operators.GraphOps.queries, graft.operators.FinanceOps.queries,
       graft.operators.SplitOps.queries, graft.operators.PackOps.queries,
-      graft.operators.CorpusOps.queries)
+      graft.operators.CorpusOps.queries, graft.operators.FeatureOps.queries,
+      graft.functions.GraftFunctionCatalog.queries)
     val all = maps.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"query name collision (later map would shadow): $dups")
