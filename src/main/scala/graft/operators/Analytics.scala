@@ -711,6 +711,12 @@ object Analytics {
     // functions next to q_window_rank's row_number. All three are pure
     // rank arithmetic over the same one-shuffle partitioned sort, and
     // round(6) keeps the divisions hash-stable across engines.
+    // percent_rank/cume_dist re-derived from row_number + partition count
+    // in exact ppm integers: the ORDER BY is total (custkey tiebreak), so
+    // pct = (rn-1)/(n-1) and cume = rn/n hold by definition — and the
+    // builtin double forms hit round(x, 6) knife edges at sf1 (the r13
+    // 10x gate caught 0.065313 vs 0.065312: same double, different
+    // round() semantics). Integer DIV truncation is engine-identical.
     "q_window_dist" -> ((s, dir) => {
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
@@ -719,8 +725,15 @@ object Analytics {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          // row_number() is INT — widen before the ppm multiply or rn *
+          // 1000000 overflows 32 bits past ~2.1k rows per partition
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("n_name"))).as("n"))
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+          col("quartile"),
+          expr("CASE WHEN n = 1 THEN 0 ELSE (rn - 1) * 1000000 DIV (n - 1) END")
+            .as("pct_rank_ppm"),
+          expr("rn * 1000000 DIV n").as("cume_ppm"))
         .filter(col("c_custkey") % 20 === 0)
     }),
 
@@ -884,6 +897,11 @@ object Analytics {
     // range over the date_id ordering (days since 2023-01-01 ladder), so
     // sparse dates contribute by distance, not row position. State per
     // partition is one sliding frame.
+    // the RANGE-frame sum runs over integer CENTS, converted to currency
+    // by one division at the end: a ~30-value double accumulation drifts
+    // in its low bits between engines once daily sums get sf1-sized (the
+    // r13 10x gate caught 983405794.900001 vs .9), while a bigint frame
+    // sum is exact and the single final division is engine-identical
     "q_window_range_frame" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("date_id").asc)
@@ -892,8 +910,11 @@ object Analytics {
         .groupBy(col("o_orderpriority"),
           datediff(to_date(col("o_orderdate")), to_date(lit("2023-01-01")))
             .cast("long").as("date_id"))
-        .agg(dsum(col("o_totalprice")).as("day_revenue"))
-        .withColumn("trailing_30d", round(sum(col("day_revenue")).over(w), 6))
+        .agg(dsum(col("o_totalprice")).as("day_revenue"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("day_cents"))
+        .withColumn("trailing_30d",
+          round(sum(col("day_cents")).over(w).cast("double") / 100.0, 6))
+        .drop("day_cents")
     }),
 
     // §2.5 frame spec: trailing-3-month moving average per priority.
@@ -1066,13 +1087,17 @@ object Analytics {
         |WHERE rnk <= 3""".stripMargin,
 
     "q_window_dist" ->
-      """SELECT n_name, c_custkey, c_acctbal,
-        | CAST(ntile(4) OVER w AS INT) AS quartile,
-        | round(percent_rank() OVER w, 6) AS pct_rank,
-        | round(cume_dist() OVER w, 6) AS cume
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
-        |QUALIFY c_custkey % 20 = 0""".stripMargin,
+      """SELECT n_name, c_custkey, c_acctbal, quartile,
+        | CAST(CASE WHEN n = 1 THEN 0
+        |   ELSE (rn - 1) * 1000000 // (n - 1) END AS BIGINT) AS pct_rank_ppm,
+        | CAST(rn * 1000000 // n AS BIGINT) AS cume_ppm
+        |FROM (SELECT n_name, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  row_number() OVER w AS rn,
+        |  count(*) OVER (PARTITION BY n_name) AS n
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE c_custkey % 20 = 0""".stripMargin,
 
     "q_window_rank" ->
       """SELECT n_name, c_custkey, c_acctbal, rnk FROM (
@@ -1197,13 +1222,14 @@ object Analytics {
 
     "q_window_range_frame" ->
       """SELECT o_orderpriority, date_id, day_revenue,
-        | round(sum(day_revenue) OVER (PARTITION BY o_orderpriority
-        |   ORDER BY date_id RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 6)
-        |   AS trailing_30d
+        | round(CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY date_id RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) / 100.0, 6) AS trailing_30d
         |FROM (SELECT o_orderpriority,
         |   CAST(date_diff('day', DATE '2023-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
         |     AS date_id,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
         |  FROM orders GROUP BY 1, 2) d""".stripMargin,
 
     "q_moving_avg" ->
