@@ -37,6 +37,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Concurrent gate runs (e.g. the sf1 scale battery) must not share
+    # spill files or overcommit RAM: SELFCHECK_TMP isolates the spill dir,
+    # SELFCHECK_MEM caps this process's DuckDB memory.
+    if os.environ.get("SELFCHECK_TMP"):
+        os.makedirs(os.environ["SELFCHECK_TMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['SELFCHECK_TMP']}'")
+    if os.environ.get("SELFCHECK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['SELFCHECK_MEM']}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # Driver testdata is one file per table; scale fixtures (ScaleAllFixture)
