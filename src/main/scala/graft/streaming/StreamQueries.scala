@@ -1859,6 +1859,44 @@ object StreamQueries {
         .parquet(s"$tmp/out"))
   }
 
+  /** STREAMING twin of q_feat_hash's occurrence face — the hashing-trick
+    * vectorizer's bucket counts kept fresh as documents land: tokens
+    * explode and hash per row (stateless, codegen), the per-bucket
+    * occurrence counts accumulate in complete mode (state = exactly
+    * [[graft.operators.FeatureOps.HashBuckets]] longs — the POINT of the
+    * hashing trick: no vocabulary state, fixed feature space, so the
+    * streaming encoder never grows). Document-frequency and collision
+    * diagnostics stay batch-side (distinct-per-bucket state would be
+    * corpus-sized); this row carries its own bucket+count oracle.
+    */
+  def streamFeatHash(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureJsonFixture(fixtureDir("phrase", dir, "documents"),
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val tmp = tempSink()
+    withShufflePartitions(s, StatefulShufflePartitions) {
+      val q = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))).json(landing)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(expr(s"${graft.functions.PortableSql.strHash("w")} % " +
+          s"${graft.operators.FeatureOps.HashBuckets}").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(StructType(Seq(
+        StructField("bucket", LongType),
+        StructField("n_tokens", LongType))))
+      .parquet(s"$tmp/out")
+  }
+
   /** STREAMING twin of q_target_encode — the feature-encoder kept fresh
     * as fact rows land: per-category (n, sum_t) cells accumulate in
     * complete mode (state = |categories| pairs of longs, never stream
@@ -2426,6 +2464,7 @@ object StreamQueries {
     "q_stream_kanon" -> ((s, dir) => streamKAnonymity(s, dir)),
     "q_stream_target_encode" -> ((s, dir) => streamTargetEncode(s, dir)),
     "q_stream_ldiv" -> ((s, dir) => streamLDiversity(s, dir)),
+    "q_stream_feat_hash" -> ((s, dir) => streamFeatHash(s, dir)),
     "q_stream_phrase" -> ((s, dir) => streamPhraseSearch(s, dir)),
     "q_stream_calibration" -> ((s, dir) => streamCalibration(s, dir)),
     "q_stream_markov" -> ((s, dir) => streamMarkov(s, dir)),
@@ -2619,6 +2658,17 @@ object StreamQueries {
     // exact (QI, sens) cell accumulation + shared fold on readback == the
     // batch gate, so its oracle applies verbatim
     "q_stream_ldiv" -> graft.operators.Governance.oracleSql("q_l_diversity"),
+    // complete-mode occurrence accumulation over the corpus replay == the
+    // batch hashing-trick counts; the bucket+count face carries its own
+    // oracle (df/collision diagnostics stay batch-side by design)
+    "q_stream_feat_hash" -> {
+      val fh = graft.functions.PortableSql.strHash("w")
+      s"""WITH tok AS (SELECT $fh % ${graft.operators.FeatureOps.HashBuckets} AS bucket
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM tok GROUP BY bucket""".stripMargin
+    },
     // stateless per-row projection replayed over the corpus == the batch
     // positional scan
     "q_stream_phrase" -> graft.operators.TextOps.oracleSql("q_phrase_search"),
