@@ -7,8 +7,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,12 +47,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class SynthDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SynthDataSource.Schema
+    if (options.getLong("bucketWidth", 0L) > 0L) SynthDataSource.BucketedSchema
+    else SynthDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("bucketWidth", "0").toLong)
 }
 
 object SynthDataSource {
@@ -64,6 +68,23 @@ object SynthDataSource {
     StructField("payload", StringType, nullable = false)))
 
   val Channels: Seq[String] = Seq("web", "pos", "upi", "bank", "app")
+
+  /** With `bucketWidth` set the table also exposes its PHYSICAL layout
+    * key `bucket = id DIV bucketWidth`: partitions align to bucket
+    * boundaries, so every partition holds exactly one bucket value and
+    * the scan can report KeyGroupedPartitioning over it (the
+    * storage-partitioned-table contract — Iceberg/Delta bucketed tables
+    * report the same way).
+    */
+  val BucketedSchema: StructType = StructType(
+    Schema.fields :+ StructField("bucket", LongType, nullable = false))
+
+  /** Spec ledger: partition count of the LAST planInputPartitions call on
+    * a batch SynthScan — how SynthSourceSpec proves a runtime-filtered
+    * scan planned fewer partitions than the unfiltered one (the harness
+    * runs queries sequentially, so last-write is the one under test).
+    */
+  val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def hash(id: Long): Long = graft.functions.PortableSql.seedLadder(id)
   def channel(id: Long): String = Channels((hash(id) % 5L).toInt)
@@ -143,6 +164,71 @@ object SynthDataSource {
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
     }),
 
+    // REPORTED PARTITIONING (SupportsReportPartitioning): the bucketed
+    // read plans one partition per `bucket = id DIV 2000` and reports
+    // KeyGroupedPartitioning(bucket), so this GROUP BY bucket rollup
+    // plans with NO Exchange anywhere — the partial/final aggregate runs
+    // inside the scan's own partitions (exchange-freedom pinned in
+    // SynthSourceSpec). The un-aligned id range exercises clipped edge
+    // buckets.
+    "q_dsv2_part_agg" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // planner enable for storage-partitioned v2 scans (idempotent; a
+      // pure plan-shape feature — results are identical either way)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("bucketWidth", "2000").load()
+        .filter(col("id") >= 4500L && col("id") < 51500L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+          max(col("amount_cents")).as("hi_cents"))
+    }),
+
+    // REPORTED ORDERING (SupportsReportOrdering): readers emit ids
+    // ascending within each single-bucket partition, and the scan says
+    // so — this window (PARTITION BY bucket ORDER BY id) plans with NO
+    // Exchange and NO Sort: the two operators that dominate windowed
+    // scans at 100 TB both vanish when the source reports its layout
+    // (pinned in SynthSourceSpec).
+    "q_dsv2_order_window" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("bucketWidth", "2000").load()
+        .filter(col("id") >= 4500L && col("id") < 51500L)
+        .select(col("bucket"), col("id"), col("amount_cents"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("bucket")).orderBy(col("id")))
+          .cast("long"))
+        .filter(col("rn") <= 3L)
+    }),
+
+    // RUNTIME FILTERING (SupportsRuntimeFiltering — the DSv2 face of
+    // dynamic partition pruning): the dim filter sits on a NON-join
+    // attribute (priority), so the surviving join keys exist only at
+    // runtime — Spark evaluates the broadcast dim side, hands the key
+    // set to the scan as an In("id", ...) filter, and the 2M-id fact
+    // read re-plans to ONLY the id ranges those keys touch (64 planned
+    // slices -> the few covering the live key domain; partition-count
+    // drop pinned in SynthSourceSpec). A statically-known key predicate
+    // would be constraint-propagated at compile time instead (q_dsv2_join
+    // covers that path); this row is the keys-known-only-at-runtime case.
+    // Correctness never depends on the pruning firing — dropped ranges
+    // contain no joinable rows.
+    "q_dsv2_runtime_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val synth = s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "2000000").option("slices", "64").load()
+        .select(col("id"), col("channel"), col("amount_cents"))
+      graft.Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(synth, col("o_orderkey") === col("id"))
+        .groupBy(col("channel"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
     // the STREAMING face: Trigger.AvailableNow drains the bounded table
     // through the admission-controlled MicroBatchStream in 3 real
     // micro-batches (60000 ids / 20000 per batch), the channel rollup
@@ -201,6 +287,38 @@ object SynthDataSource {
          | CAST(sum(amount_cents) AS BIGINT) AS cents
          |FROM g GROUP BY channel""".stripMargin,
 
+    "q_dsv2_part_agg" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(4500, 51499)) AS i) t)
+         |SELECT CAST(id // 2000 AS BIGINT) AS bucket,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents,
+         | CAST(max(amount_cents) AS BIGINT) AS hi_cents
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "q_dsv2_order_window" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(4500, 51499)) AS i) t)
+         |SELECT bucket, id, amount_cents, rn FROM (
+         | SELECT CAST(id // 2000 AS BIGINT) AS bucket, id, amount_cents,
+         |  CAST(row_number() OVER (PARTITION BY id // 2000 ORDER BY id)
+         |   AS BIGINT) AS rn
+         | FROM g) z
+         |WHERE rn <= 3""".stripMargin,
+
+    // the runtime filter is a plan optimization, not a semantics change:
+    // every surviving (unique) o_orderkey under the synth domain joins
+    // exactly one generated row, so the oracle generates cells AT the
+    // surviving keys directly — the same reduction the runtime filter
+    // performs inside the engine
+    "q_dsv2_runtime_filter" ->
+      s"""SELECT channel, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM (SELECT o_orderpriority, ${oracleCells("o_orderkey")}
+         |      FROM orders
+         |      WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 2000000) z
+         |GROUP BY 1, 2""".stripMargin,
+
     "q_dsv2_join" ->
       s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
          |  FROM (SELECT unnest(generate_series(1, 2999)) AS i) t)
@@ -220,23 +338,29 @@ object SynthDataSource {
   )
 }
 
-class SynthTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class SynthTable(rows: Long, slices: Int, bucketWidth: Long = 0L)
+    extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
-  override def schema(): StructType = SynthDataSource.Schema
+  override def schema(): StructType =
+    if (bucketWidth > 0L) SynthDataSource.BucketedSchema
+    else SynthDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, slices,
-      options.getLong("rowsPerBatch", 1000L))
+      options.getLong("rowsPerBatch", 1000L), bucketWidth)
 }
 
-class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
+class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L,
+    bucketWidth: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
-  private var required: StructType = SynthDataSource.Schema
+  private var required: StructType =
+    if (bucketWidth > 0L) SynthDataSource.BucketedSchema
+    else SynthDataSource.Schema
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[Filter]
@@ -373,14 +497,49 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L)
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new SynthAggScan(required, lo, hi, slices, aggGrouped, aggFuncs)
-    else new SynthScan(required, lo, hi, slices, rowsPerBatch)
+    else new SynthScan(required, lo, hi, slices, rowsPerBatch, bucketWidth)
 }
 
 class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int,
-    rowsPerBatch: Long = 1000L)
-    extends Scan with Batch with SupportsReportStatistics {
+    rowsPerBatch: Long = 1000L, bucketWidth: Long = 0L)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** RUNTIME FILTERING state (the DSv2 face of dynamic partition
+    * pruning): when this scan is the fact side of a join whose dim side
+    * carries a selective filter, Spark evaluates the dim's join keys at
+    * runtime and hands them here as an `In("id", ...)` filter BEFORE
+    * re-planning partitions — [[planInputPartitions]] then drops every
+    * id range containing none of the surviving keys. At 100 TB this is
+    * the difference between scanning the whole fact domain and scanning
+    * only the ranges the dim actually references. Sorted for the
+    * per-partition binary search.
+    */
+  @volatile private var runtimeKeep: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      runtimeKeep = Some(vs.collect { case l: Long => l }.sorted)
+    case EqualTo("id", v: Long) => runtimeKeep = Some(Array(v))
+    case _ => () // unrecognized runtime filters are advisory — ignoring
+                 // them is always correct (Spark re-applies them post-scan)
+  }
+
+  /** Does [from, until) contain any runtime-surviving key? (no filter =
+    * everything survives). Binary search over the sorted key array.
+    */
+  private def rangeLive(from: Long, until: Long): Boolean =
+    runtimeKeep.forall { ks =>
+      val i = util.Arrays.binarySearch(ks, from)
+      val at = if (i >= 0) i else -i - 1
+      at < ks.length && ks(at) < until
+    }
 
   /** Post-pushdown statistics — numRows is EXACT (the pruned id range)
     * and bytes follow the pruned schema's row width, so the planner's
@@ -403,31 +562,94 @@ class SynthScan(schema: StructType, lo: Long, hi: Long, slices: Int,
   }
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SynthMicroBatchStream(schema, lo, hi, slices, rowsPerBatch)
+    new SynthMicroBatchStream(schema, lo, hi, slices, rowsPerBatch, bucketWidth)
   override def description(): String =
-    s"SynthScan(range=[$lo, $hi), slices=$slices, cols=${schema.fieldNames.mkString(",")})"
+    s"SynthScan(range=[$lo, $hi), slices=$slices, bucketWidth=$bucketWidth, " +
+      s"cols=${schema.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
-    if (n == 0L) return Array.empty
-    val k = math.min(slices.toLong, n).toInt
-    (0 until k).map { i =>
-      // equal-width ranges: partition i covers [lo + i*n/k, lo + (i+1)*n/k)
-      SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
-    }.toArray
+    val parts: Array[InputPartition] =
+      if (n == 0L) Array.empty
+      else if (bucketWidth > 0L) {
+        // BUCKET-ALIGNED planning: one partition per `bucket = id DIV
+        // bucketWidth` value overlapping [lo, hi) — every partition holds
+        // exactly one bucket, which is what lets outputPartitioning
+        // promise KeyGroupedPartitioning truthfully. Edge buckets clip to
+        // the pushed range.
+        (lo / bucketWidth to (hi - 1L) / bucketWidth).iterator.map { b =>
+          SynthBucketPartition(math.max(lo, b * bucketWidth),
+            math.min(hi, (b + 1L) * bucketWidth), b): InputPartition
+        }.filter { p0 =>
+          val p = p0.asInstanceOf[SynthBucketPartition]
+          rangeLive(p.from, p.until)
+        }.toArray
+      } else {
+        val k = math.min(slices.toLong, n).toInt
+        (0 until k).iterator.map { i =>
+          // equal-width ranges: partition i covers [lo + i*n/k, lo + (i+1)*n/k)
+          SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
+        }.filter { p0 =>
+          val p = p0.asInstanceOf[SynthPartition]
+          rangeLive(p.from, p.until)
+        }.toArray
+      }
+    SynthDataSource.lastPlannedPartitions.set(parts.length)
+    parts
+  }
+
+  /** With bucket-aligned partitions the scan IS key-grouped on `bucket`:
+    * a `GROUP BY bucket` (or a join on it) over this scan needs NO
+    * Exchange — the planner sees ClusteredDistribution(bucket) already
+    * satisfied (requires `spark.sql.sources.v2.bucketing.enabled`; the
+    * registry rows set it). At 100 TB this is the last pushdown-family
+    * lever: the exchange IS the query cost for a partition-key rollup,
+    * and a source that knows its own layout deletes it from the plan.
+    * Reported only when `bucket` survives column pruning — the keys must
+    * resolve against the scan output.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (bucketWidth > 0L && schema.fieldNames.contains("bucket"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("bucket")),
+        planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  /** Readers emit ids in ascending order within every partition, and a
+    * bucket-aligned partition holds a single bucket value — so
+    * (bucket, id) ascending holds within each partition and the scan
+    * reports it: a window PARTITION BY bucket ORDER BY id (or a
+    * merge-join on id) plans with NO Sort on top of the scan.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cols = (if (bucketWidth > 0L) Seq("bucket", "id") else Seq("id"))
+      .filter(schema.fieldNames.contains)
+    cols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(schema)
+    new SynthReaderFactory(schema, bucketWidth)
 }
 
 case class SynthPartition(from: Long, until: Long) extends InputPartition
 
-class SynthReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
-    new SynthReader(schema, p.from, p.until)
-  }
+/** A bucket-aligned range partition: [from, until) ⊆ one bucket, whose
+  * value is the partition key Spark's key-grouped planning reads.
+  */
+case class SynthBucketPartition(from: Long, until: Long, bucket: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class SynthReaderFactory(schema: StructType, bucketWidth: Long = 0L)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SynthPartition(from, until) =>
+        new SynthReader(schema, from, until, bucketWidth)
+      case SynthBucketPartition(from, until, _) =>
+        new SynthReader(schema, from, until, bucketWidth)
+    }
 }
 
 /** The STREAMING face of the same table — a real `MicroBatchStream` with
@@ -441,7 +663,7 @@ class SynthReaderFactory(schema: StructType) extends PartitionReaderFactory {
   * like a committed consumer group.
   */
 class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
-    slices: Int, rowsPerBatch: Long)
+    slices: Int, rowsPerBatch: Long, bucketWidth: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
@@ -495,7 +717,7 @@ class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(schema)
+    new SynthReaderFactory(schema, bucketWidth)
 }
 
 /** The aggregate-pushdown face: each partition folds its id range into
@@ -587,7 +809,8 @@ case class SynthOffset(n: Long)
 /** Generates exactly the pruned columns for its id range — one cheap
   * ladder hash per row, no allocation beyond the row array.
   */
-class SynthReader(schema: StructType, from: Long, until: Long)
+class SynthReader(schema: StructType, from: Long, until: Long,
+    bucketWidth: Long = 0L)
     extends PartitionReader[InternalRow] {
   private var id = from - 1
   // resolve column generators ONCE per partition, not per row
@@ -595,6 +818,7 @@ class SynthReader(schema: StructType, from: Long, until: Long)
     case "id" => (i: Long) => i
     case "channel" => (i: Long) => UTF8String.fromString(SynthDataSource.channel(i))
     case "amount_cents" => (i: Long) => SynthDataSource.amountCents(i)
+    case "bucket" => (i: Long) => i / bucketWidth
     case "payload" => (i: Long) =>
       // deliberately expensive to build: pruning it away must be visible
       UTF8String.fromString("x" * 256 + java.lang.Long.toHexString(i))

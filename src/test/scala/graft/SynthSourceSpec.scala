@@ -189,6 +189,108 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(joined.count() == 200L)
   }
 
+  test("key-grouped partitioning plans the bucket rollup with no exchange") {
+    import SparkTestBase.collectInPlan
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "60000").option("bucketWidth", "2000").load()
+      .filter(col("id") >= 4500L && col("id") < 51500L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    val rows = df.collect()
+    // the EXECUTED plan (post-AQE) must contain zero exchanges: the
+    // partial and final aggregate both run inside the scan's own
+    // key-grouped partitions
+    val exchanges = collectInPlan(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucket rollup must plan exchange-free:\n${df.queryExecution.executedPlan}")
+    // un-aligned range: clipped edge buckets still count exactly
+    assert(rows.length == 24)
+    assert(rows.map(_.getLong(1)).sum == 47000L)
+    val byBucket = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket(2L) == 1500L && byBucket(25L) == 1500L, // clipped edges
+      s"edge buckets must clip to the pushed range: $byBucket")
+    assert(byBucket(3L) == 2000L)
+  }
+
+  test("bucket-aligned partitions each hold exactly one partition-key value") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val b = new SynthScanBuilder(60000L, 8, bucketWidth = 2000L)
+    b.pushFilters(Array(GreaterThanOrEqual("id", 4500L), LessThan("id", 51500L)))
+    val scan = b.build().asInstanceOf[graft.sources.SynthScan]
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.SynthBucketPartition])
+    assert(parts.length == 24) // buckets 2..25
+    parts.foreach { p =>
+      assert(p.from / 2000L == p.bucket && (p.until - 1L) / 2000L == p.bucket,
+        s"partition $p spans more than one bucket")
+      assert(p.partitionKey().getLong(0) == p.bucket)
+    }
+    assert(parts.map(p => p.until - p.from).sum == 47000L)
+    // and the scan reports the matching key-grouped partitioning
+    val kg = scan.outputPartitioning()
+      .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+    assert(kg.numPartitions() == 24)
+    assert(kg.keys().head.describe().contains("bucket"))
+  }
+
+  test("reported ordering removes both sort and exchange under a bucket window") {
+    import SparkTestBase.collectInPlan
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "60000").option("bucketWidth", "2000").load()
+      .filter(col("id") >= 4500L && col("id") < 51500L)
+      .select(col("bucket"), col("id"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("bucket")).orderBy(col("id"))))
+      .filter(col("rn") <= 3)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectInPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"window over the partition key must not exchange:\n$plan")
+    assert(collectInPlan(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"reported (bucket, id) ordering must remove the sort:\n$plan")
+    // top-3 ids per bucket, clipped first bucket starts at 4500
+    assert(rows.length == 24 * 3)
+    val b2 = rows.filter(_.getLong(0) == 2L).map(_.getLong(1)).sorted
+    assert(b2.toSeq == Seq(4500L, 4501L, 4502L))
+  }
+
+  test("runtime filtering re-plans the scan to only key-bearing ranges") {
+    // the DPP shape: dim filter on a NON-join attribute, so surviving
+    // join keys exist only at runtime; the v2 scan must then plan fewer
+    // partitions than the static 64 (keys live in [1, 60k] at sf0.001 —
+    // only the slices covering that prefix of the 2M domain survive)
+    val dir = "/root/testdata/sf0.001"
+    val synth = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "2000000").option("slices", "64").load()
+      .select(col("id"), col("channel"), col("amount_cents"))
+    val dim = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val joined = dim.join(synth, col("o_orderkey") === col("id"))
+      .groupBy(col("channel")).agg(count(lit(1)).as("n"))
+    val n = joined.collect().map(_.getLong(1)).sum
+    val planned = SynthDataSource.lastPlannedPartitions.get()
+    assert(planned >= 1 && planned < 64,
+      s"runtime filter must drop empty id ranges: planned=$planned\n" +
+        joined.queryExecution.executedPlan)
+    // pruning is plan-only: the result equals the dim-side row count
+    assert(n == graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 2000000L)
+      .count())
+    // and an unfiltered ROW scan still plans the full slice count (the
+    // grouping key blocks aggregate pushdown, so this is a SynthScan —
+    // count(*) alone would route to SynthAggScan, which has no ledger)
+    synth.select((col("id") % 7L).as("g")).groupBy(col("g")).count().collect()
+    assert(SynthDataSource.lastPlannedPartitions.get() == 64)
+  }
+
   test("admission control survives every ReadLimit shape, incl. composite") {
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     import graft.sources.{SynthMicroBatchStream, SynthOffset}
