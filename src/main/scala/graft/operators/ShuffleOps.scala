@@ -116,6 +116,71 @@ object ShuffleOps {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** The same skewed join as [[saltedSkewJoin]] left UNSALTED — the plan
+    * AQE's OptimizeSkewedJoin is meant to fix at runtime. Shared by the
+    * registry closure (which materializes it under the forced-shuffle
+    * confs) and the spec (which pins `skew=true` in the final adaptive
+    * plan).
+    */
+  def aqeSkewJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    // the skewedKeys shape, amplified: 7 of every 8 orderkeys collapse
+    // onto hot key 0 (~87% of the mass in ONE shuffle partition), the
+    // rest spread over 96 cold residues — a hot/median ratio far past
+    // any skewedPartitionFactor, unlike a uniform key set whose
+    // partitions all sit at the median. The pre-repartition gives the
+    // join shuffle MULTIPLE map tasks: AQE splits a skewed reduce
+    // partition at map-output granularity, so a single-row-group local
+    // read (one mapper) is unsplittable no matter how skewed — at 100 TB
+    // the fact side always has thousands of mappers; this restores that
+    // shape at test scale
+    val fact = Tables.orders(spark, dir).repartition(8)
+      .select(when(col("o_orderkey") % 8 =!= 7, lit(0L))
+        .otherwise(col("o_orderkey") % 97).as("k"), col("o_totalprice"))
+    val dim = spark.range(0L, 97L).select(col("id").as("k"),
+      expr("CASE id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' " +
+        "ELSE 'gamma' END").as("tier"))
+    fact.join(dim, Seq("k"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** AQE skew-join twin of q_salted_join (VERDICT r13 Next #6) — the
+    * engine knowing when NOT to hand-roll: salting is the right tool
+    * when the skew is known and stable; when it isn't, the built-in
+    * answer is `spark.sql.adaptive.skewJoin` splitting the oversized
+    * shuffle partitions at runtime (each hot chunk joins a replica of
+    * the matching build rows — the same replicate-the-small-side algebra
+    * salting does by hand, decided from measured map output instead of
+    * prior knowledge). Confs force the shuffle path at test scale: the
+    * 3-row dim must not broadcast (that would dissolve the skew rather
+    * than split it), and the skew thresholds scale down to the sf0.01
+    * partition sizes exactly as a 100 TB deployment leaves them at their
+    * MB-scale defaults. The join materializes eagerly (localCheckpoint)
+    * while the confs hold, then every conf is restored — the returned
+    * frame is plain data, so downstream harness writes replan nothing.
+    */
+  def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      aqeSkewJoinPlan(spark, dir).localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   /** Bloom capacity for the pruning filter — sized generously above the
     * dim-subset cardinality at every test SF (false-positive rate only
     * costs extra rows into the exact join, never correctness).
@@ -689,6 +754,7 @@ object ShuffleOps {
     "q_bucketed_join" -> ((s, dir) => bucketedSegmentRevenue(s, dir)),
     "q_salted_agg" -> ((s, dir) => saltedStatusRevenue(s, dir)),
     "q_salted_join" -> ((s, dir) => saltedSkewJoin(s, dir)),
+    "q_skew_aqe" -> ((s, dir) => aqeSkewJoin(s, dir)),
     // A9: HLL approximate distinct. Raw sketch counts differ between
     // engines (different HLL impls), so the oracle-checked claim is the
     // accuracy INVARIANT: each engine's own estimate lands within 5% of
@@ -993,6 +1059,18 @@ object ShuffleOps {
         | count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // AQE's runtime skew split is plan-only — the oracle is the plain
+    // join algebra over the same hot-key projection
+    "q_skew_aqe" ->
+      """SELECT CASE k % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |   ELSE 'gamma' END AS tier,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT CASE WHEN o_orderkey % 8 <> 7 THEN 0
+        |       ELSE o_orderkey % 97 END AS k, o_totalprice
+        |      FROM orders) f
+        |GROUP BY 1""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custs,

@@ -42,6 +42,37 @@ class ShuffleOpsSpec extends AnyFunSuite {
     assert(q.agg(org.apache.spark.sql.functions.sum(col("n_items"))).collect()(0).getLong(0) == exact)
   }
 
+  test("AQE splits the skewed join partitions at runtime (skew=true in final plan)") {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val df = ShuffleOps.aqeSkewJoinPlan(spark, dir)
+      val rows = df.collect()
+      // 3 tiers out; every order lands in exactly one
+      assert(rows.length == 3)
+      assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, dir).count())
+      // the FINAL adaptive plan must carry the runtime skew split on the
+      // shuffled join — the whole point of the row
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("salted aggregate equals the direct group-by") {
     import spark.implicits._
     val salted = ShuffleOps.saltedStatusRevenue(spark, dir)
