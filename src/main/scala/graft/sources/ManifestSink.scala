@@ -57,7 +57,11 @@ class ManifestSink extends TableProvider {
         s"no manifest at ${options.get("path")} — write before reading"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.get("path"), schema)
+    new ManifestTable(properties.get("path"), schema,
+      Option(properties.get("carryEpochs"))
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSet)
+        .getOrElse(Set.empty))
 }
 
 object ManifestSink {
@@ -68,7 +72,20 @@ object ManifestSink {
     val m = root.resolve("manifest.json")
     if (!Files.exists(m)) return None
     val lines = Files.readAllLines(m).toArray(Array.empty[String])
-    Some((lines.head, lines.tail.toSeq))
+    // `#`-prefixed lines are ledger annotations (carried epoch ids after
+    // a compaction), never data files
+    Some((lines.head, lines.tail.toSeq.filterNot(_.startsWith("#"))))
+  }
+
+  /** Ledger annotation lines (`#e:<epoch>`) of the manifest, if any —
+    * how a compacted manifest keeps its epoch history after the
+    * epoch-prefixed file names are rewritten into compacted ones.
+    */
+  private[sources] def ledgerLines(root: Path): Seq[String] = {
+    val m = root.resolve("manifest.json")
+    if (!Files.exists(m)) return Seq.empty
+    Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .drop(1).filter(_.startsWith("#"))
   }
 
   /** (schema, committed file paths) from `manifest.json`, if published. */
@@ -82,12 +99,18 @@ object ManifestSink {
     * the `e<epoch>-` file-name prefix the streaming writer stamps, so
     * idempotent re-commit needs no side ledger.
     */
-  def committedEpochs(root: String): Set[Long] =
-    rawManifest(Paths.get(root)).map(_._2).getOrElse(Seq.empty)
+  def committedEpochs(root: String): Set[Long] = {
+    val fromNames = rawManifest(Paths.get(root)).map(_._2).getOrElse(Seq.empty)
       .flatMap { n =>
         if (n.startsWith("e")) n.drop(1).takeWhile(_ != '-').toLongOption
         else None
-      }.toSet
+      }
+    // plus epochs carried through a compaction as `#e:` ledger lines —
+    // replay detection must survive the file names being rewritten
+    val fromLedger = ledgerLines(Paths.get(root))
+      .flatMap(l => l.stripPrefix("#e:").toLongOption)
+    (fromNames ++ fromLedger).toSet
+  }
 
   /** The committed file list for `spark.read.json` — reading through the
     * manifest is what makes orphaned staging data invisible.
@@ -110,6 +133,73 @@ object ManifestSink {
     else spark.read.schema(schema).json(files: _*)
   }
 
+  /** LAKE MAINTENANCE — manifest compaction (VERDICT r13 Next #4): the
+    * 100 TB small-file story the sink's own commit protocol motivates.
+    * N committed files (batch parts or streaming epochs) re-publish as
+    * `targetFiles` compacted ones through the SAME two-phase dance every
+    * write uses — stage, move into data/, swap the manifest LAST — so a
+    * reader can never observe a partial state: any single manifest read
+    * yields either the full pre-compaction file set (all still on disk;
+    * vacuum hasn't run) or the full compacted one. This is the
+    * OPTIMIZE / rewrite-data-files operation of every table format
+    * (Iceberg RewriteDataFilesAction, Delta OPTIMIZE), scaled to the
+    * inspectable JSON manifest.
+    *
+    *   - IDEMPOTENT: already at `targetFiles`, it's a no-op — re-running
+    *     after a crash-and-retry converges (spec-pinned);
+    *   - EPOCH-SAFE: streaming epoch ids move from `e<id>-` file-name
+    *     prefixes into `#e:` manifest ledger lines, so a resumed
+    *     streaming query's replay detection still sees every committed
+    *     epoch after its files were rewritten (spec-pinned);
+    *   - rows are re-written DISTRIBUTED (a Spark job through the sink),
+    *     never driver-buffered — at 100 TB compaction is itself a big
+    *     job;
+    *   - old files stay on disk until [[vacuum]] — the swap/vacuum split
+    *     is what gives in-flight readers their grace period.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetFiles: Int = 1): Unit = {
+    val (schema, files) = readManifest(Paths.get(root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest at $root — nothing to compact"))
+    if (files.size <= targetFiles) return // already compact: no-op
+    val epochs = committedEpochs(root)
+    val df =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).json(files: _*)
+    val w = df.coalesce(targetFiles)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+    (if (epochs.nonEmpty)
+       w.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
+     else w).save()
+  }
+
+  /** Delete data files the current manifest no longer references (the
+    * pre-compaction generation). Separate from [[compact]] on purpose:
+    * the atomic swap retires old files LOGICALLY at once; physical
+    * deletion runs after whatever read-grace policy the deployment
+    * wants. Returns the deleted count (0 on re-run — idempotent).
+    */
+  def vacuum(root: String): Int = {
+    val live = committedFiles(root)
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    val data = Paths.get(root).resolve("data")
+    if (!Files.exists(data)) return 0
+    val orphans = {
+      val s = Files.list(data)
+      try {
+        val b = Array.newBuilder[Path]
+        val it = s.iterator()
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally s.close()
+    }.filterNot(p => live.contains(p.getFileName.toString))
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.length
+  }
+
   /** Round-trip the nation dim through the two-phase-commit sink and
     * read back ONLY what the manifest published — any loss in the
     * staging/commit dance, the schema-generic serializer, or the
@@ -126,6 +216,25 @@ object ManifestSink {
       src.write.format("graft.sources.ManifestSink")
         .mode("overwrite").option("path", root).save()
       // snapshot read: schema + file list resolved from ONE manifest read
+      readCommitted(s, root)
+    }),
+
+    // write-many, compact-to-one, vacuum, read back through the manifest:
+    // the full maintenance cycle under the oracle — compaction must be
+    // row-exact (pre/post identity vs the parquet source) and the
+    // readback must see ONLY the compacted generation
+    "q_sink_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.streaming.StreamQueries.fixtureDir("sinkcompact", dir, "customer")
+      val src = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      // 4 partitions -> 4 committed files: real multi-file input
+      src.repartition(4).write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      compact(s, root)
+      vacuum(root)
       readCommitted(s, root)
     }),
 
@@ -163,6 +272,14 @@ object ManifestSink {
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
+    // compaction is row-exact: the compacted single-file table must
+    // still equal the parquet source
+    "q_sink_compact" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer""".stripMargin,
+
     // multi-epoch append through the streaming manifest must equal one
     // pass over the full generated id domain
     "q_stream_dsv2_sink" ->
@@ -174,7 +291,8 @@ object ManifestSink {
   )
 }
 
-class ManifestTable(path: String, schema: StructType)
+class ManifestTable(path: String, schema: StructType,
+    carryEpochs: Set[Long] = Set.empty)
     extends Table with SupportsWrite {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = schema
@@ -186,23 +304,34 @@ class ManifestTable(path: String, schema: StructType)
       // overwrite mode arrives as truncate(); this sink's manifest swap
       // is last-writer-wins either way, so both modes share one Write
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new ManifestWrite(path, info.schema())
+      override def build(): Write = new ManifestWrite(path, info.schema(), carryEpochs)
     }
 }
 
-class ManifestWrite(path: String, schema: StructType) extends Write {
-  override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema)
+class ManifestWrite(path: String, schema: StructType,
+    carryEpochs: Set[Long] = Set.empty) extends Write {
+  override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema, carryEpochs)
   override def toStreaming: StreamingWrite = new ManifestStreamingWrite(path, schema)
 }
 
 case class StagedFile(name: String) extends WriterCommitMessage
 
-class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class ManifestBatchWrite(path: String, schema: StructType,
+    carryEpochs: Set[Long] = Set.empty) extends BatchWrite {
+  /** Per-JOB name token: staged/committed file names from different
+    * write jobs can never collide, so a newly published file can never
+    * REPLACE a still-manifest-referenced (or orphaned-but-still-being-
+    * read) file from an earlier job — the invariant compaction's
+    * swap-then-vacuum isolation stands on.
+    */
+  private val jobToken = util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, schema, jobToken)
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
+    * Carried epoch ids (compaction) append as `#e:` ledger lines.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(path)
@@ -213,8 +342,9 @@ class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
       Files.move(root.resolve("_staging").resolve(n), data.resolve(n),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")
     val tmp = root.resolve(s"manifest.json.tmp")
-    Files.write(tmp, (schema.toDDL +: names.toSeq).mkString("\n")
+    Files.write(tmp, (schema.toDDL +: (names.toSeq ++ ledger)).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve("manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -228,11 +358,12 @@ class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
   }
 }
 
-class ManifestWriterFactory(path: String, schema: StructType)
+class ManifestWriterFactory(path: String, schema: StructType,
+    jobToken: String = "job")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
-      f"part-$partitionId%05d-$taskId.json")
+      f"part-$jobToken-$partitionId%05d-$taskId.json")
 }
 
 /** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
@@ -283,8 +414,11 @@ class ManifestStreamingWrite(path: String, schema: StructType)
         StandardCopyOption.REPLACE_EXISTING)
     }
     val prior = ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
+    // carry any `#e:` ledger lines (epochs whose files a compaction
+    // rewrote) — dropping them would re-open those epochs to replay
+    val ledger = ManifestSink.ledgerLines(root)
     val tmp = root.resolve("manifest.json.tmp")
-    Files.write(tmp, (schema.toDDL +: (prior ++ names)).mkString("\n")
+    Files.write(tmp, (schema.toDDL +: (prior ++ names ++ ledger)).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve("manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -67,6 +67,46 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"re-run must replace the published table: ${back2.mkString(",")}")
   }
 
+  test("compaction: atomic republish, reader isolation until vacuum, idempotent") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    val src = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    src.repartition(4).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val preFiles = ManifestSink.committedFiles(root)
+    assert(preFiles.size == 4, s"expected 4 committed parts: $preFiles")
+
+    ManifestSink.compact(spark, root)
+    val postFiles = ManifestSink.committedFiles(root)
+    assert(postFiles.size == 1, s"compaction must publish one file: $postFiles")
+
+    // READER ISOLATION: vacuum has not run — a reader that snapshotted
+    // the PRE-compaction manifest still reads its full generation, and
+    // the new manifest reads the same rows
+    assert(preFiles.forall(f => Files.exists(Paths.get(f))),
+      "pre-compaction files must survive until vacuum")
+    val schema = src.schema
+    val oldGen = spark.read.schema(schema).json(preFiles: _*)
+      .collect().map(_.getLong(0)).toSet
+    val newGen = ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(oldGen == (1L to 200L).toSet && newGen == oldGen,
+      "compaction must be row-exact across both generations")
+
+    // IDEMPOTENT: a second compact is a no-op (manifest byte-identical)
+    val manifestBefore = Files.readAllBytes(Paths.get(root, "manifest.json")).toSeq
+    ManifestSink.compact(spark, root)
+    assert(Files.readAllBytes(Paths.get(root, "manifest.json")).toSeq == manifestBefore,
+      "re-running compaction on a compact table must change nothing")
+
+    // VACUUM: removes exactly the orphaned generation, then nothing
+    assert(ManifestSink.vacuum(root) == 4)
+    assert(preFiles.forall(f => !Files.exists(Paths.get(f))))
+    assert(ManifestSink.vacuum(root) == 0, "vacuum must be idempotent")
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet == (1L to 200L).toSet)
+  }
+
   test("manifest is written last: no manifest, nothing visible") {
     val root = freshRoot("nopub")
     // stage a file by hand with no commit ever happening

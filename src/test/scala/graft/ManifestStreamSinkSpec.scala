@@ -95,6 +95,36 @@ class ManifestStreamSinkSpec extends AnyFunSuite {
     assert(rows.length == 3, s"epoch append duplicated rows: ${rows.length}")
   }
 
+  test("compaction preserves the epoch ledger: replay detection survives rewrite") {
+    val root = freshRoot("compactledger")
+    val sw = new ManifestStreamingWrite(root, schema)
+    sw.commit(0L, stageEpoch(root, 0L, 1L, Seq(1L -> "a")))
+    sw.commit(1L, stageEpoch(root, 1L, 2L, Seq(2L -> "b")))
+    sw.commit(2L, stageEpoch(root, 2L, 3L, Seq(3L -> "c")))
+    assert(ManifestSink.committedFiles(root).size == 3)
+
+    ManifestSink.compact(spark, root)
+    assert(ManifestSink.committedFiles(root).size == 1)
+    // the epoch ids lived in the e<id>- file-name prefixes compaction
+    // just rewrote — they must survive as #e: ledger lines, or a resumed
+    // streaming query's checkpoint replay would double-publish
+    assert(ManifestSink.committedEpochs(root) == Set(0L, 1L, 2L),
+      "compaction lost the epoch ledger")
+    val manifestBefore = Files.readAllLines(
+      Paths.get(root).resolve("manifest.json"))
+    sw.commit(1L, stageEpoch(root, 1L, 99L, Seq(2L -> "b")))
+    assert(Files.readAllLines(Paths.get(root).resolve("manifest.json"))
+        == manifestBefore,
+      "replayed epoch after compaction must still be a no-op")
+    assert(visibleKeys(root) == Set(1L, 2L, 3L))
+    // a NEW epoch still appends alongside the ledger
+    sw.commit(3L, stageEpoch(root, 3L, 4L, Seq(4L -> "d")))
+    assert(ManifestSink.committedEpochs(root) == Set(0L, 1L, 2L, 3L))
+    assert(visibleKeys(root) == Set(1L, 2L, 3L, 4L))
+    ManifestSink.vacuum(root)
+    assert(visibleKeys(root) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("abort removes the epoch's staged files and publishes nothing") {
     val root = freshRoot("abort")
     val sw = new ManifestStreamingWrite(root, schema)
