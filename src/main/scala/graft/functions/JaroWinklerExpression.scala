@@ -81,6 +81,50 @@ object JaroWinklerKernel {
       jaro + (prefix * 0.1) * (1.0 - jaro)
     }
   }
+
+  /** O(l1+l2) SOUND upper-bound screen: false ONLY when
+    * floor(similarity(s1,s2)*1e6) < microMin is GUARANTEED — the
+    * lossless prefilter in front of the O(l1*window) kernel
+    * (VERDICT r13 Next #5). Three sound over-estimates compose:
+    *
+    *   - m <= histogram intersection over a 32-bin char fold (greedy
+    *     matching is injective on characters; bin collisions only RAISE
+    *     the intersection — coarser stays sound);
+    *   - (m - t)/m <= 1 (transpositions ignored);
+    *   - the Winkler boost uses the EXACT common prefix (O(4)) at its
+    *     maximal gating: jw <= jaroUB + 0.1*p*(1 - jaroUB), valid
+    *     whether or not the true jaro clears the 0.7 gate because the
+    *     bound is monotone in jaro and the boost is nonnegative.
+    *
+    * The comparison is exact integer cross-multiplication (no doubles):
+    * with A = hi*l1 + hi*l2 + l1*l2 and B = 3*l1*l2, jaroUB = A/B and
+    * jwUB*10B = 10A + p*(B - A). One micro-unit of slack absorbs the
+    * kernel's IEEE rounding vs the rational bound: skip only when
+    * jwUB*1e6 < microMin - 1.
+    */
+  def mayReachMicro(s1: String, s2: String, microMin: Long): Boolean = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1000000L >= microMin
+    if (l1 == 0 || l2 == 0) return 0L >= microMin
+    val h = new Array[Int](32)
+    var i = 0
+    while (i < l1) { h(s1.charAt(i) & 31) += 1; i += 1 }
+    var inter = 0
+    i = 0
+    while (i < l2) {
+      val c = s2.charAt(i) & 31
+      if (h(c) > 0) { h(c) -= 1; inter += 1 }
+      i += 1
+    }
+    if (inter == 0) return 0L >= microMin
+    var p = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+    val a = inter.toLong * l1 + inter.toLong * l2 + l1.toLong * l2
+    val b = 3L * l1 * l2
+    (10L * a + p.toLong * (b - a)) * 1000000L >= (microMin - 1L) * 10L * b
+  }
 }
 
 case class JaroWinklerExpression(left: Expression, right: Expression)
@@ -111,4 +155,34 @@ object JaroWinklerExpression {
   def jaroWinkler(a: Column, b: Column): Column =
     SqlBridge.column(
       JaroWinklerExpression(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  def jwMayReach(a: Column, b: Column, microMin: Long): Column =
+    SqlBridge.column(JwMayReachExpression(
+      SqlBridge.expression(a), SqlBridge.expression(b), microMin))
+}
+
+/** The [[JaroWinklerKernel.mayReachMicro]] screen as a codegen'd
+  * predicate column — the cheap test a `when` guard evaluates BEFORE
+  * deciding to invoke the quadratic kernel, keeping the whole
+  * screen-then-score pattern inside one whole-stage-codegen span.
+  */
+case class JwMayReachExpression(left: Expression, right: Expression,
+    microMin: Long) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "jw_may_reach"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.mayReachMicro(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+      microMin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerKernel.mayReachMicro(" +
+        s"$a.toString(), $b.toString(), ${microMin}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

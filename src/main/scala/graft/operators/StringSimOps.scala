@@ -256,8 +256,26 @@ object StringSimOps {
     */
   private[graft] def fsScore(cand: DataFrame): DataFrame =
     cand
+      // LOSSLESS JW PREFILTER (VERDICT r13 Next #5): the O(L) bound
+      // screen gates the O(L*window) kernel. A pair needs the exact
+      // jw_micro only when (a) the bound says it COULD reach the weak
+      // tier, or (b) type AND size both agree — the one case where a
+      // name-disagreeing pair still survives the score >= 0 cut (best
+      // other sum with >=1 disagreement is 1280 < |FsNameDis| = 1650,
+      // so every skipped pair is provably dropped below). Skipped pairs
+      // take the -1 sentinel, which classifies FsNameDis exactly like
+      // any true jw < JwMicroMin would — output-identical by
+      // construction, same oracle (soundness spec-pinned in
+      // StringSimSpec over every real block-mate pair).
+      .withColumn("need_jw",
+        graft.functions.JaroWinklerExpression.jwMayReach(
+          col("n1"), col("n2"), JwMicroMin) ||
+          (col("t1") === col("t2") &&
+            abs(col("s1") - col("s2")) <= FsSizeTol))
       .withColumn("jw_micro",
-        floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+        when(col("need_jw"),
+          floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+          .otherwise(lit(-1L)))
       .withColumn("w_name",
         when(col("jw_micro") >= FsJwStrong, FsNameStrong)
           .when(col("jw_micro") >= JwMicroMin, FsNameWeak)
@@ -308,8 +326,14 @@ object StringSimOps {
     val cand = a.join(b, Seq("brand"))
       .filter(col("k1") < col("k2") &&
         abs(col("s1") - col("s2")) <= FsSizeBand)
+      // the eval keeps NEGATIVES (no score filter), but the bound screen
+      // still applies: a pair the bound rules out scores FsNameDis
+      // without the kernel ever running — same w_name either way
       .withColumn("jw_micro",
-        floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+        when(graft.functions.JaroWinklerExpression.jwMayReach(
+            col("n1"), col("n2"), JwMicroMin),
+          floor(jaroWinkler(col("n1"), col("n2")) * lit(1000000.0)).cast("long"))
+          .otherwise(lit(-1L)))
       .withColumn("score",
         when(col("jw_micro") >= FsJwStrong, FsNameStrong)
           .when(col("jw_micro") >= JwMicroMin, FsNameWeak).otherwise(FsNameDis)

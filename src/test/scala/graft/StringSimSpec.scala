@@ -32,6 +32,47 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("jw bound screen is SOUND on random strings and selective on real blocks") {
+    // soundness on adversarial random pairs: whenever the screen says
+    // "cannot reach", the exact kernel must agree
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString
+      val b = rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString
+      if (!JaroWinklerKernel.mayReachMicro(a, b, 850000L))
+        assert(math.floor(JaroWinklerKernel.similarity(a, b) * 1e6) < 850000,
+          s"UNSOUND screen: '$a' vs '$b'")
+    }
+    // and on every REAL brand-blocked candidate pair of the test
+    // dimension (the exact population q_er_fs_score scores)
+    import org.apache.spark.sql.functions._
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("k"), col("p_name").as("n"),
+        col("p_brand").as("brand"), col("p_size").as("s"))
+    val pairs = p.join(p.select(col("k").as("k2"), col("n").as("n2"),
+        col("brand"), col("s").as("s2")), Seq("brand"))
+      .filter(col("k") < col("k2") &&
+        abs(col("s") - col("s2")) <= graft.operators.StringSimOps.FsSizeBand)
+      .select(col("n"), col("n2")).collect()
+    assert(pairs.nonEmpty)
+    var skipped = 0
+    pairs.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      if (!JaroWinklerKernel.mayReachMicro(a, b, 850000L)) {
+        skipped += 1
+        assert(math.floor(JaroWinklerKernel.similarity(a, b) * 1e6) < 850000,
+          s"UNSOUND screen on real pair: '$a' vs '$b'")
+      }
+    }
+    info(s"screen skip rate on ${pairs.length} real block pairs: " +
+      s"${skipped * 100 / pairs.length}%")
+    // the screen must never rule out a pair that actually reaches weak:
+    // verified above; it must also rule out a meaningful share or the
+    // prefilter is dead weight
+    assert(skipped * 10 >= pairs.length,
+      s"screen skipped only $skipped of ${pairs.length} — not selective")
+  }
+
   test("levPairs returns only sub-threshold distances over distinct names") {
     val rows = StringSimOps.levPairs(Tables.part(spark, dir)).collect()
     assert(rows.nonEmpty)
