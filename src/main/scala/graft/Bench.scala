@@ -386,6 +386,11 @@ object Bench {
       System.err.println(s"[bench] ANN-pair-graph warm failed " +
         s"(q_emb_dbscan_persisted will pay the graph build in its timed run): $e")
     }
+    try { graft.operators.VectorOps.annPairsSliceRoot(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] slice ANN-pair-graph warm failed " +
+        s"(q_emb_dbscan_persisted_slice will pay the build in its timed run): $e")
+    }
     try { graft.operators.ImageIoCodec.jpegFixtureRoot(spark, sfDir); () }
     catch { case e: Throwable =>
       System.err.println(s"[bench] JPEG-fixture warm failed " +
