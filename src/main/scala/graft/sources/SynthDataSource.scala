@@ -204,6 +204,34 @@ object SynthDataSource {
         .filter(col("rn") <= 3L)
     }),
 
+    // STORAGE-PARTITIONED JOIN: both sides are bucket-aligned reads of
+    // the synth table reporting KeyGroupedPartitioning(bucket) and
+    // (bucket, id) ordering, and the join keys include the partition
+    // key — so the SortMergeJoin plans with ZERO exchange and ZERO sort
+    // on EITHER side (pinned in SynthSourceSpec). This is the Iceberg/
+    // Delta bucketed-join shape: at 100 TB a fact-fact join on
+    // co-partitioned layout skips both full-table shuffles, which ARE
+    // the query cost. The sides' bucket sets differ (one is filtered),
+    // exercising the partially-pushed partition-values path. 2M rows a
+    // side keeps the planner honest — no broadcast dissolves the demo.
+    "q_dsv2_spj" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // the join keys (bucket, id) STRICTLY contain the partition key
+      // (bucket) — clustering on a subset still co-locates equal keys,
+      // but the planner's default demands exact equality; relax it
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def side = s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "2000000").option("bucketWidth", "62500").load()
+      val a = side.select(col("bucket"), col("id"), col("amount_cents"))
+      val b = side.filter(col("id") >= 500000L && col("id") < 1500000L)
+        .select(col("bucket"), col("id"), col("channel"))
+      a.join(b, Seq("bucket", "id"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
     // RUNTIME FILTERING (SupportsRuntimeFiltering — the DSv2 face of
     // dynamic partition pruning): the dim filter sits on a NON-join
     // attribute (priority), so the surviving join keys exist only at
@@ -305,6 +333,15 @@ object SynthDataSource {
          |   AS BIGINT) AS rn
          | FROM g) z
          |WHERE rn <= 3""".stripMargin,
+
+    // the co-partitioned join pairs each id with itself across the two
+    // reads, so the oracle is one generation pass over the filtered side
+    "q_dsv2_spj" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(500000, 1499999)) AS i) t)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY channel""".stripMargin,
 
     // the runtime filter is a plan optimization, not a semantics change:
     // every surviving (unique) o_orderkey under the synth domain joins

@@ -261,6 +261,42 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(b2.toSeq == Seq(4500L, 4501L, 4502L))
   }
 
+  test("storage-partitioned join: SMJ sits directly on the two bucketed scans") {
+    import SparkTestBase.collectInPlan
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def side = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "2000000").option("bucketWidth", "62500").load()
+    val a = side.select(col("bucket"), col("id"), col("amount_cents"))
+    val b = side.filter(col("id") >= 500000L && col("id") < 1500000L)
+      .select(col("bucket"), col("id"), col("channel"))
+    val df = a.join(b, Seq("bucket", "id"))
+      .groupBy(col("channel")).agg(count(lit(1)).as("n"))
+    val n = df.collect().map(_.getLong(1)).sum
+    assert(n == 1000000L)
+    val plan = df.queryExecution.executedPlan
+    val smjs = collectInPlan(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+    // ZERO sorts anywhere (the scans report (bucket, id) ordering) and
+    // the ONLY exchange is the final 5-group aggregate's — neither join
+    // input shuffles
+    assert(collectInPlan(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"reported ordering must remove every sort:\n$plan")
+    val exchanges = collectInPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"join inputs must not shuffle (only the final agg may):\n$plan")
+    // and no exchange sits BELOW the join
+    assert(collectInPlan(smjs.head.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"exchange below the storage-partitioned join:\n$plan")
+  }
+
   test("runtime filtering re-plans the scan to only key-bearing ranges") {
     // the DPP shape: dim filter on a NON-join attribute, so surviving
     // join keys exist only at runtime; the v2 scan must then plan fewer
