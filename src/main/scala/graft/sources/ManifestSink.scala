@@ -56,12 +56,17 @@ class ManifestSink extends TableProvider {
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at ${options.get("path")} — write before reading"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    def cols(key: String): Seq[String] = Option(properties.get(key))
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     new ManifestTable(properties.get("path"), schema,
       Option(properties.get("carryEpochs"))
         .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
           .map(_.toLong).toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      cols("clusterBy"), cols("orderBy"))
+  }
 }
 
 object ManifestSink {
@@ -219,6 +224,28 @@ object ManifestSink {
       readCommitted(s, root)
     }),
 
+    // WRITE-SIDE LAYOUT (RequiresDistributionAndOrdering): the sink asks
+    // for clustering on o_orderstatus and in-file ordering by
+    // o_orderkey; Spark plans the exchange+sort (pinned in
+    // ManifestSinkSpec: each status lands wholly in one file, files are
+    // internally sorted). The readback through the manifest is
+    // layout-invariant — the oracle proves the declared layout cost no
+    // rows and changed none.
+    "q_sink_clustered" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.streaming.StreamQueries.fixtureDir("sinkclustered", dir, "orders")
+      graft.Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("clusterBy", "o_orderstatus").option("orderBy", "o_orderkey")
+        .save()
+      readCommitted(s, root)
+    }),
+
     // write-many, compact-to-one, vacuum, read back through the manifest:
     // the full maintenance cycle under the oracle — compaction must be
     // row-exact (pre/post identity vs the parquet source) and the
@@ -272,6 +299,12 @@ object ManifestSink {
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
+    // the declared write layout must not change the rows
+    "q_sink_clustered" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin,
+
     // compaction is row-exact: the compacted single-file table must
     // still equal the parquet source
     "q_sink_compact" ->
@@ -292,7 +325,8 @@ object ManifestSink {
 }
 
 class ManifestTable(path: String, schema: StructType,
-    carryEpochs: Set[Long] = Set.empty)
+    carryEpochs: Set[Long] = Set.empty,
+    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
     extends Table with SupportsWrite {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = schema
@@ -304,12 +338,42 @@ class ManifestTable(path: String, schema: StructType,
       // overwrite mode arrives as truncate(); this sink's manifest swap
       // is last-writer-wins either way, so both modes share one Write
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new ManifestWrite(path, info.schema(), carryEpochs)
+      override def build(): Write =
+        new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy)
     }
 }
 
+/** The sink's Write face. With `clusterBy`/`orderBy` set it implements
+  * `RequiresDistributionAndOrdering` — the WRITE-side layout contract
+  * (the counterpart of the source's SupportsReportPartitioning): the
+  * SINK declares the layout it wants and SPARK plans the exchange/sort
+  * to deliver it, exactly how Iceberg requests its partition/sort-order
+  * distribution. At 100 TB this is what keeps a clustered table's files
+  * cluster-pure (one key set per file -> file-level pruning works) and
+  * sorted (zone maps / min-max skipping work) without every writer
+  * hand-rolling a repartition+sortWithinPartitions.
+  */
 class ManifestWrite(path: String, schema: StructType,
-    carryEpochs: Set[Long] = Set.empty) extends Write {
+    carryEpochs: Set[Long] = Set.empty,
+    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  /** Cluster keys first, then the explicit in-file order — rows of one
+    * cluster land contiguous AND internally sorted in each task's file.
+    */
+  override def requiredOrdering(): Array[SortOrder] =
+    (clusterBy ++ orderBy).distinct
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
+
   override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema, carryEpochs)
   override def toStreaming: StreamingWrite = new ManifestStreamingWrite(path, schema)
 }

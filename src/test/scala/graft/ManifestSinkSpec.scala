@@ -107,6 +107,38 @@ class ManifestSinkSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == (1L to 200L).toSet)
   }
 
+  test("requested write distribution/ordering: cluster-pure, internally sorted files") {
+    import spark.implicits._
+    val root = freshRoot("clustered")
+    val src = (1L to 300L).map(i => (i, s"g${i % 5}", i * 7 % 1000))
+      .toDF("k", "grp", "v")
+    // deliberately scrambled input: the SINK's declared layout, not the
+    // input order, must determine the file contents
+    src.repartition(7).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("clusterBy", "grp").option("orderBy", "k").save()
+    val files = ManifestSink.committedFiles(root)
+    val schema = src.schema
+    // each grp lands WHOLLY in one file (clustered distribution)...
+    val grpFiles = files.flatMap { f =>
+      spark.read.schema(schema).json(f).select("grp").distinct()
+        .collect().map(_.getString(0) -> f)
+    }
+    val byGrp = grpFiles.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byGrp.size == 5 && byGrp.values.forall(_.size == 1),
+      s"each cluster key must land in exactly one file: $byGrp")
+    // ...and within each file rows are sorted by (grp, k)
+    files.foreach { f =>
+      val rows = spark.read.schema(schema).json(f)
+        .select("grp", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"file $f not internally sorted by (grp, k)")
+    }
+    // layout changed nothing about the data
+    assert(ManifestSink.readCommitted(spark, root).collect().map(_.toSeq).toSet
+      == src.collect().map(_.toSeq).toSet)
+  }
+
   test("manifest is written last: no manifest, nothing visible") {
     val root = freshRoot("nopub")
     // stage a file by hand with no commit ever happening
