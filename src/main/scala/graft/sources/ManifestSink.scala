@@ -100,6 +100,66 @@ object ManifestSink {
         names.map(f => root.resolve("data").resolve(f).toString))
     }
 
+  /** PUBLISH = the one linearization point every commit path shares:
+    * write the manifest lines to a temp file, ATOMIC_MOVE over
+    * `manifest.json`, and archive the same content as the next
+    * `_snapshots/manifest-<gen>.json` — every commit (batch overwrite,
+    * compaction, streaming epoch) is a numbered SNAPSHOT, which is what
+    * makes time travel and snapshot-retention vacuum possible.
+    */
+  private[sources] def publish(root: Path, lines: Seq[String]): Unit = {
+    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val tmp = root.resolve("manifest.json.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, root.resolve("manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val snaps = root.resolve("_snapshots")
+    Files.createDirectories(snaps)
+    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
+    val stmp = snaps.resolve(s"manifest-$gen.json.tmp")
+    Files.write(stmp, bytes)
+    Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Published snapshot generations, ascending (expired ones excluded). */
+  def snapshots(root: String): Seq[Long] = {
+    val snaps = Paths.get(root).resolve("_snapshots")
+    if (!Files.exists(snaps)) return Seq.empty
+    val s = Files.list(snaps)
+    try {
+      val b = Seq.newBuilder[Long]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("manifest-") && n.endsWith(".json"))
+          n.stripPrefix("manifest-").stripSuffix(".json").toLongOption
+            .foreach(b += _)
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  /** TIME TRAVEL: read the table as of snapshot `gen` — valid for any
+    * generation a retention-aware [[vacuum]] still protects (the
+    * Iceberg `VERSION AS OF` read). One snapshot-manifest read = one
+    * consistent historical state, same isolation as the live manifest.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+      gen: Long): org.apache.spark.sql.DataFrame = {
+    val m = Paths.get(root).resolve("_snapshots").resolve(s"manifest-$gen.json")
+    if (!Files.exists(m)) throw new IllegalArgumentException(
+      s"snapshot $gen of $root does not exist (expired or never published); " +
+        s"available: ${snapshots(root).mkString(",")}")
+    val lines = Files.readAllLines(m).toArray(Array.empty[String])
+    val schema = StructType.fromDDL(lines.head)
+    val files = lines.tail.toSeq.filterNot(_.startsWith("#"))
+      .map(f => Paths.get(root).resolve("data").resolve(f).toString)
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(files: _*)
+  }
+
   /** Epoch ids already published to the streaming manifest — parsed from
     * the `e<epoch>-` file-name prefix the streaming writer stamps, so
     * idempotent re-commit needs no side ledger.
@@ -181,15 +241,30 @@ object ManifestSink {
      else w).save()
   }
 
-  /** Delete data files the current manifest no longer references (the
-    * pre-compaction generation). Separate from [[compact]] on purpose:
-    * the atomic swap retires old files LOGICALLY at once; physical
-    * deletion runs after whatever read-grace policy the deployment
-    * wants. Returns the deleted count (0 on re-run — idempotent).
+  /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
+    * orphan-file cleanup pair): keep the newest `retainSnapshots`
+    * snapshot manifests plus the live one, delete every data file none
+    * of the retained states references, and expire the older snapshot
+    * manifests so time travel can never resolve to deleted files.
+    * Separate from [[compact]] on purpose: the atomic swap retires old
+    * files LOGICALLY at once; physical deletion runs after whatever
+    * read-grace / time-travel retention policy the deployment wants.
+    * Returns the deleted data-file count (0 on re-run — idempotent).
     */
-  def vacuum(root: String): Int = {
-    val live = committedFiles(root)
-      .map(p => Paths.get(p).getFileName.toString).toSet
+  def vacuum(root: String, retainSnapshots: Int = 1): Int = {
+    val gens = snapshots(root)
+    val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet
+    val snapsDir = Paths.get(root).resolve("_snapshots")
+    val live = (committedFiles(root) ++ gens.filter(retained).flatMap { g =>
+      val m = snapsDir.resolve(s"manifest-$g.json")
+      Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+        .drop(1).filterNot(_.startsWith("#"))
+    }).map(p => Paths.get(p).getFileName.toString).toSet
+    // expire the non-retained snapshot manifests FIRST: a reader can
+    // then never resolve a snapshot whose files this pass deletes
+    gens.filterNot(retained).foreach { g =>
+      Files.deleteIfExists(snapsDir.resolve(s"manifest-$g.json"))
+    }
     val data = Paths.get(root).resolve("data")
     if (!Files.exists(data)) return 0
     val orphans = {
@@ -246,6 +321,33 @@ object ManifestSink {
       readCommitted(s, root)
     }),
 
+    // SNAPSHOT TIME TRAVEL: two committed generations (a filtered dim,
+    // then the full overwrite) read back AS OF their snapshots — the
+    // historical read must see exactly the old state after the
+    // overwrite replaced the live manifest. Generations are addressed
+    // RELATIVELY (the last two published) so the content-keyed fixture
+    // accumulating snapshots across harness runs never shifts the
+    // result; the closing retention-2 vacuum bounds that accumulation
+    // while keeping both generations this query reads.
+    "q_sink_snapshot" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val root = graft.streaming.StreamQueries.fixtureDir("sinksnapshot", dir, "nation")
+      def dim = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      dim.filter(col("n_regionkey") < 2L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      dim.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      val Seq(gOld, gNew) = snapshots(root).takeRight(2)
+      val out = readSnapshot(s, root, gOld).withColumn("gen", lit(1L))
+        .unionByName(readSnapshot(s, root, gNew).withColumn("gen", lit(2L)))
+        .localCheckpoint() // materialize BEFORE the retention vacuum below
+      vacuum(root, retainSnapshots = 2)
+      out
+    }),
+
     // write-many, compact-to-one, vacuum, read back through the manifest:
     // the full maintenance cycle under the oracle — compaction must be
     // row-exact (pre/post identity vs the parquet source) and the
@@ -297,6 +399,17 @@ object ManifestSink {
     "q_dsv2_sink" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // the as-of read of generation 1 must equal the filtered write that
+    // produced it, even though generation 2 has since replaced it
+    "q_sink_snapshot" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
     // the declared write layout must not change the rows
@@ -407,11 +520,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
         StandardCopyOption.REPLACE_EXISTING)
     }
     val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")
-    val tmp = root.resolve(s"manifest.json.tmp")
-    Files.write(tmp, (schema.toDDL +: (names.toSeq ++ ledger)).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve("manifest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ManifestSink.publish(root, schema.toDDL +: (names.toSeq ++ ledger))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -481,11 +590,7 @@ class ManifestStreamingWrite(path: String, schema: StructType)
     // carry any `#e:` ledger lines (epochs whose files a compaction
     // rewrote) — dropping them would re-open those epochs to replay
     val ledger = ManifestSink.ledgerLines(root)
-    val tmp = root.resolve("manifest.json.tmp")
-    Files.write(tmp, (schema.toDDL +: (prior ++ names ++ ledger)).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve("manifest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ManifestSink.publish(root, schema.toDDL +: (prior ++ names ++ ledger))
   }
 
   override def abort(epochId: Long,

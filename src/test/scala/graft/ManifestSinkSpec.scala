@@ -139,6 +139,40 @@ class ManifestSinkSpec extends AnyFunSuite {
       == src.collect().map(_.toSeq).toSet)
   }
 
+  test("snapshots: as-of reads survive overwrite; retention vacuum expires safely") {
+    import spark.implicits._
+    val root = freshRoot("snapshot")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val g1FileCount = ManifestSink.committedFiles(root).size
+    Seq((10L, "z")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val Seq(g1, g2) = ManifestSink.snapshots(root)
+    // the overwrite replaced the LIVE table, but the as-of read of g1
+    // still sees the first generation in full
+    assert(ManifestSink.readSnapshot(spark, root, g1)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(ManifestSink.readSnapshot(spark, root, g2)
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+    // retention 2: nothing deletable (both generations protected)
+    assert(ManifestSink.vacuum(root, retainSnapshots = 2) == 0)
+    assert(ManifestSink.snapshots(root) == Seq(g1, g2))
+    // retention 1: g1 expires FIRST, then its files go — a time-travel
+    // reader can never resolve a snapshot to deleted files
+    assert(ManifestSink.vacuum(root, retainSnapshots = 1) == g1FileCount)
+    assert(ManifestSink.snapshots(root) == Seq(g2))
+    intercept[IllegalArgumentException] {
+      ManifestSink.readSnapshot(spark, root, g1)
+    }
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(ManifestSink.vacuum(root, retainSnapshots = 1) == 0)
+  }
+
   test("manifest is written last: no manifest, nothing visible") {
     val root = freshRoot("nopub")
     // stage a file by hand with no commit ever happening
