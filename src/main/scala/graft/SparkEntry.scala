@@ -7,7 +7,7 @@ import graft.gen.Generators
 import graft.ingest.{AvroWire, IngestQueries}
 import graft.load.DimLoader
 import graft.operators.{Analytics, AsofJoin, Audio, AuditOps, Bmp, CorpusOps, EvalOps, FeatureOps, ImageIoCodec, DedupOps, FinanceOps, Governance, GraphOps, LayoutOps, MixOps, Multimodal, Phash, MiningOps, PackOps, SampleOps, SequenceOps, ShuffleOps, SplitOps, StringSimOps, TextOps, TypedAgg, VectorOps}
-import graft.sources.{ManifestSink, SynthDataSource}
+import graft.sources.{GraftCatalog, ManifestSink, SynthDataSource}
 import graft.streaming.{StreamAsof, StreamIngest, StreamQueries, StreamTws}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,7 +55,7 @@ object SparkEntry {
       VectorOps.queries ++ Multimodal.queries ++ Phash.queries ++ Audio.queries ++ Bmp.queries ++ ImageIoCodec.queries ++ AvroWire.queries ++ IngestQueries.queries ++
       StreamIngest.queries ++ StreamQueries.queries ++ StreamAsof.queries ++ StreamTws.queries ++ DimLoader.queries ++
       Generators.queries ++ ShuffleOps.queries ++ TypedAgg.queries ++
-      MixOps.queries ++ FeatureOps.queries ++ GraphOps.queries ++ FinanceOps.queries ++ SplitOps.queries ++ PackOps.queries ++ CorpusOps.queries ++ EvalOps.queries ++ SynthDataSource.queries ++ ManifestSink.queries ++ graft.functions.GraftFunctionCatalog.queries
+      MixOps.queries ++ FeatureOps.queries ++ GraphOps.queries ++ FinanceOps.queries ++ SplitOps.queries ++ PackOps.queries ++ CorpusOps.queries ++ EvalOps.queries ++ SynthDataSource.queries ++ ManifestSink.queries ++ GraftCatalog.queries ++ graft.functions.GraftFunctionCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -65,5 +65,5 @@ object SparkEntry {
       VectorOps.oracleSql ++ Multimodal.oracleSql ++ Phash.oracleSql ++ Audio.oracleSql ++ Bmp.oracleSql ++ ImageIoCodec.oracleSql ++ AvroWire.oracleSql ++ IngestQueries.oracleSql ++
       StreamIngest.oracleSql ++ StreamQueries.oracleSql ++ StreamAsof.oracleSql ++ StreamTws.oracleSql ++ DimLoader.oracleSql ++
       Generators.oracleSql ++ ShuffleOps.oracleSql ++ TypedAgg.oracleSql ++
-      MixOps.oracleSql ++ FeatureOps.oracleSql ++ GraphOps.oracleSql ++ FinanceOps.oracleSql ++ SplitOps.oracleSql ++ PackOps.oracleSql ++ CorpusOps.oracleSql ++ EvalOps.oracleSql ++ SynthDataSource.oracleSql ++ ManifestSink.oracleSql ++ graft.functions.GraftFunctionCatalog.oracleSql
+      MixOps.oracleSql ++ FeatureOps.oracleSql ++ GraphOps.oracleSql ++ FinanceOps.oracleSql ++ SplitOps.oracleSql ++ PackOps.oracleSql ++ CorpusOps.oracleSql ++ EvalOps.oracleSql ++ SynthDataSource.oracleSql ++ ManifestSink.oracleSql ++ GraftCatalog.oracleSql ++ graft.functions.GraftFunctionCatalog.oracleSql
 }

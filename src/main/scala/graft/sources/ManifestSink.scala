@@ -321,6 +321,44 @@ object ManifestSink {
       readCommitted(s, root)
     }),
 
+    // STREAMING FROM THE LAKE TABLE: three committed generations (three
+    // INSERT-shaped appends) drain through the snapshot feed one
+    // generation per micro-batch — every committed row delivered
+    // exactly once across the change sets, accumulating to the full dim
+    // (any duplicated or dropped snapshot diff breaks the match). The
+    // readStream side goes through the SAME TableProvider — the sink is
+    // now a full read/write/stream table.
+    "q_stream_lake_feed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_feed_").toFile.getAbsolutePath
+      def dim = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      Seq(col("c_custkey") % 3 === 0L, col("c_custkey") % 3 === 1L,
+          col("c_custkey") % 3 === 2L)
+        .foreach { slice =>
+          dim.filter(slice).write.format("graft.sources.ManifestSink")
+            .mode("append").option("path", tmp).save()
+        }
+      val q = s.readStream.format("graft.sources.ManifestSink")
+        .option("path", tmp).load()
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("cents"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("c_nationkey LONG, n LONG, cents LONG").parquet(s"$tmp/out")
+    }),
+
     // SNAPSHOT TIME TRAVEL: two committed generations (a filtered dim,
     // then the full overwrite) read back AS OF their snapshots — the
     // historical read must see exactly the old state after the
@@ -401,6 +439,13 @@ object ManifestSink {
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
+    // three appended change sets must accumulate to exactly the full dim
+    "q_stream_lake_feed" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer GROUP BY 1""".stripMargin,
+
     // the as-of read of generation 1 must equal the filtered write that
     // produced it, even though generation 2 has since replaced it
     "q_sink_snapshot" ->
@@ -440,19 +485,30 @@ object ManifestSink {
 class ManifestTable(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap):
+      org.apache.spark.sql.connector.read.ScanBuilder =
+    new ManifestScanBuilder(path, schema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
-      // overwrite mode arrives as truncate(); this sink's manifest swap
-      // is last-writer-wins either way, so both modes share one Write
-      override def truncate(): WriteBuilder = this
+      // APPEND (plain build / INSERT INTO) adds this job's files to the
+      // manifest; TRUNCATE (save-mode overwrite / INSERT OVERWRITE)
+      // replaces the file list — both publish through the same atomic
+      // snapshot swap
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write =
-        new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy)
+        new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy,
+          replace)
     }
 }
 
@@ -468,7 +524,8 @@ class ManifestTable(path: String, schema: StructType,
   */
 class ManifestWrite(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty,
-    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
+    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
+    replace: Boolean = true)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -487,14 +544,16 @@ class ManifestWrite(path: String, schema: StructType,
       .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       .toArray
 
-  override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema, carryEpochs)
+  override def toBatch: BatchWrite =
+    new ManifestBatchWrite(path, schema, carryEpochs, replace)
   override def toStreaming: StreamingWrite = new ManifestStreamingWrite(path, schema)
 }
 
 case class StagedFile(name: String) extends WriterCommitMessage
 
 class ManifestBatchWrite(path: String, schema: StructType,
-    carryEpochs: Set[Long] = Set.empty) extends BatchWrite {
+    carryEpochs: Set[Long] = Set.empty, replace: Boolean = true)
+    extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
     * REPLACE a still-manifest-referenced (or orphaned-but-still-being-
@@ -519,8 +578,16 @@ class ManifestBatchWrite(path: String, schema: StructType,
       Files.move(root.resolve("_staging").resolve(n), data.resolve(n),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // append keeps the prior file list (and its ledger lines); replace
+    // starts fresh — either way ONE atomic snapshot publish
+    val prior =
+      if (replace) Seq.empty
+      else ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
+    val priorLedger =
+      if (replace) Seq.empty else ManifestSink.ledgerLines(root)
     val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")
-    ManifestSink.publish(root, schema.toDDL +: (names.toSeq ++ ledger))
+    ManifestSink.publish(root,
+      schema.toDDL +: (prior ++ names.toSeq ++ priorLedger ++ ledger))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestSink
+
+/** The v2 TableCatalog's load-bearing claims: identifier resolution
+  * carries the connectors' full capability surface (pushdown reaches the
+  * generator through plain SQL; column pruning reaches the manifest
+  * scan), INSERT INTO appends while INSERT OVERWRITE truncates, and the
+  * catalog-resolved read path round-trips JSON-hostile values.
+  */
+class CatalogTableSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s
+  }
+
+  private def freshRoot(tag: String): String = {
+    val p = java.nio.file.Paths.get(s"/tmp/graft_catalog_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
+  test("synth virtual table: SQL identifier carries the pushdown surface") {
+    val df = spark.sql(
+      "SELECT sum(amount_cents) AS s FROM graft_cat.synth.r10000_s4 " +
+        "WHERE id >= 2000 AND id < 3000")
+    // the filter AND the global aggregate both reach the GENERATOR:
+    // the catalog-resolved plan routes to the aggregate-pushdown scan
+    // with the tightened range
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SynthAggScan")).getOrElse("")
+    assert(scanLine.contains("range=[2000, 3000)"),
+      s"catalog-resolved filter+agg must push into the source:\n$scanLine")
+    assert(df.collect().head.getLong(0) ==
+      (2000L until 3000L).map(graft.sources.SynthDataSource.amountCents).sum)
+    // malformed identifiers fail resolution cleanly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.synth.nonsense").collect()
+    }
+  }
+
+  test("lake DDL+DML: INSERT INTO appends, INSERT OVERWRITE truncates") {
+    val root = freshRoot("dml")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_t")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_t VALUES (3, 'tab\\there')")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.spec_t")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // each INSERT INTO committed a snapshot
+    assert(ManifestSink.snapshots(root).size == 2)
+    // the JSON-hostile string round-trips through the connector reader
+    assert(spark.sql("SELECT v FROM graft_cat.lake.spec_t WHERE k = 3")
+      .collect().head.getString(0) == "tab\there")
+    // OVERWRITE truncates to just the new rows
+    spark.sql("INSERT OVERWRITE graft_cat.lake.spec_t VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM graft_cat.lake.spec_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    // column pruning reaches the manifest scan
+    val pruned = spark.sql("SELECT v FROM graft_cat.lake.spec_t")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ManifestScan")).getOrElse("")
+    assert(scanLine.contains("cols=v") && !scanLine.contains("cols=k"),
+      s"pruned read must reach the scan:\n$scanLine")
+    spark.sql("DROP TABLE graft_cat.lake.spec_t")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.lake.spec_t").collect()
+    }
+  }
+
+  test("nulls survive the catalog write/read cycle") {
+    val root = freshRoot("nulls")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_n")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_n (k BIGINT, v STRING, d DOUBLE) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_n VALUES " +
+      "(1, NULL, 1.5), (2, 'x', NULL), (NULL, 'y', -0.25)")
+    val rows = spark.sql(
+        "SELECT k, v, d FROM graft_cat.lake.spec_n")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows == Set((1L, null, 1.5), (2L, "x", null), (null, "y", -0.25)))
+    spark.sql("DROP TABLE graft_cat.lake.spec_n")
+  }
+}

@@ -27,6 +27,7 @@ class EntryContractSpec extends AnyFunSuite {
       graft.operators.Bmp.queries, graft.operators.Phash.queries,
       graft.operators.ImageIoCodec.queries, graft.operators.EvalOps.queries,
       graft.sources.SynthDataSource.queries, graft.sources.ManifestSink.queries,
+      graft.sources.GraftCatalog.queries,
       graft.ingest.AvroWire.queries, graft.ingest.IngestQueries.queries,
       graft.streaming.StreamIngest.queries, graft.streaming.StreamQueries.queries,
       graft.streaming.StreamAsof.queries, graft.streaming.StreamTws.queries,
