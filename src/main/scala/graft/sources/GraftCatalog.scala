@@ -80,6 +80,34 @@ object GraftCatalog {
           | CAST(n_regionkey AS BIGINT)
           |FROM nation_src_cat WHERE n_regionkey >= 2""".stripMargin)
       s.sql("SELECT * FROM graft_cat.lake.nations")
+    }),
+
+    // ROW-LEVEL DELETE: SQL DELETE FROM with a compound predicate — the
+    // sink rewrites the table distributed (keep-rows job + atomic
+    // snapshot republish; the pre-delete generation stays time-travel
+    // readable until vacuum). The surviving set must equal the oracle's
+    // complement exactly — a filter translated wrong deletes the wrong
+    // rows and fails the hash.
+    "q_sink_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_delete_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp).save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_del")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_del
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp')""".stripMargin)
+      s.sql(
+        """DELETE FROM graft_cat.lake.cust_del
+          |WHERE bal_cents < 0 OR c_mktsegment = 'BUILDING'""".stripMargin)
+      s.sql("SELECT * FROM graft_cat.lake.cust_del")
     })
   )
 
@@ -95,7 +123,15 @@ object GraftCatalog {
     "q_catalog_insert" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation""".stripMargin
+        |FROM nation""".stripMargin,
+
+    // the survivors of the delete are exactly the predicate's complement
+    "q_sink_delete" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE NOT (CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |           OR c_mktsegment = 'BUILDING')""".stripMargin
   )
 }
 

@@ -280,6 +280,34 @@ object ManifestSink {
     orphans.length
   }
 
+  /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
+    * the supported predicate subset; None = refuse the delete cleanly.
+    */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+      case Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Round-trip the nation dim through the two-phase-commit sink and
     * read back ONLY what the manifest published — any loss in the
     * staging/commit dance, the schema-generic serializer, or the
@@ -486,8 +514,33 @@ class ManifestTable(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"manifest($path)"
+
+  /** DELETE FROM support (the row-level-operations tier): the condition
+    * arrives as v1 filters; the rewrite is a DISTRIBUTED Spark job —
+    * read the committed state, keep the non-matching rows, republish
+    * through the same atomic snapshot swap. The delete is therefore a
+    * new SNAPSHOT: the pre-delete generation stays time-travel readable
+    * until a retention vacuum expires it (a GDPR purge = delete + full
+    * vacuum). Filters this sink can't translate are REFUSED in
+    * canDeleteWhere — Spark then raises a clean unsupported error
+    * instead of a wrong partial delete.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(ManifestSink.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{lit, not}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(ManifestSink.filterToColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestSink.readCommitted(spark, path)
+      .filter(not(cond))
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", path).save()
+  }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -77,6 +77,33 @@ class CatalogTableSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM: distributed rewrite, pre-delete snapshot survives, clean refusal") {
+    val root = freshRoot("delete")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_d")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_d (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_d VALUES " +
+      "(1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')")
+    spark.sql("DELETE FROM graft_cat.lake.spec_d WHERE k > 3")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.spec_d")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the delete is a new snapshot; the pre-delete generation is still
+    // time-travel readable until a retention vacuum expires it
+    val gens = ManifestSink.snapshots(root)
+    assert(gens.size == 2)
+    assert(ManifestSink.readSnapshot(spark, root, gens.head)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // a predicate outside the translatable subset is refused cleanly —
+    // never a wrong partial delete
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.lake.spec_d WHERE k % 2 = 0")
+    }
+    assert(spark.sql("SELECT k FROM graft_cat.lake.spec_d")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "refused delete must change nothing")
+    spark.sql("DROP TABLE graft_cat.lake.spec_d")
+  }
+
   test("nulls survive the catalog write/read cycle") {
     val root = freshRoot("nulls")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_n")
