@@ -108,6 +108,48 @@ object GraftCatalog {
         """DELETE FROM graft_cat.lake.cust_del
           |WHERE bal_cents < 0 OR c_mktsegment = 'BUILDING'""".stripMargin)
       s.sql("SELECT * FROM graft_cat.lake.cust_del")
+    }),
+
+    // SCHEMA EVOLUTION: ALTER TABLE ADD COLUMN is metadata-only — files
+    // committed before the ALTER lack the field and read back as null
+    // (by-name resolution), files after carry it; no rewrite anywhere.
+    "q_sink_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_evo_").toFile.getAbsolutePath
+      graft.Tables.nation(s, dir).createOrReplaceTempView("nation_src_evo")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.evo")
+      s.sql(s"CREATE TABLE graft_cat.lake.evo (k BIGINT, v STRING) " +
+        s"USING graft OPTIONS (path '$tmp')")
+      s.sql("INSERT INTO graft_cat.lake.evo " +
+        "SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation_src_evo")
+      s.sql("ALTER TABLE graft_cat.lake.evo ADD COLUMN r BIGINT")
+      s.sql("INSERT INTO graft_cat.lake.evo " +
+        "SELECT CAST(n_nationkey AS BIGINT) + 1000, n_name, " +
+        "CAST(n_regionkey AS BIGINT) FROM nation_src_evo")
+      s.sql("SELECT * FROM graft_cat.lake.evo")
+    }),
+
+    // COPY-ON-WRITE MERGE: keyed upsert — updated balances replace,
+    // new keys insert, untouched rows survive byte-exact; the oracle is
+    // the algebraic merge over the source
+    "q_sink_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_merge_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp).save()
+      val updates = base.filter(col("c_custkey") % 10 === 0L)
+        .withColumn("bal_cents", col("bal_cents") + 7L)
+        .unionByName(base.filter(col("c_custkey") % 997 === 0L)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      ManifestSink.merge(s, tmp, updates, Seq("c_custkey"))
+      ManifestSink.readCommitted(s, tmp)
     })
   )
 
@@ -131,7 +173,31 @@ object GraftCatalog {
         | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
         |FROM customer
         |WHERE NOT (CAST(round(c_acctbal * 100) AS BIGINT) < 0
-        |           OR c_mktsegment = 'BUILDING')""".stripMargin
+        |           OR c_mktsegment = 'BUILDING')""".stripMargin,
+
+    // pre-ALTER rows read the added column as NULL; post-ALTER rows
+    // carry it
+    "q_sink_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,
+        | CAST(NULL AS BIGINT) AS r
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT) + 1000 AS k, n_name AS v,
+        | CAST(n_regionkey AS BIGINT) AS r
+        |FROM nation""".stripMargin,
+
+    // the algebraic merge: updated balances replace, new keys insert,
+    // everything else survives
+    "q_sink_upsert" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT)
+        |   + CASE WHEN c_custkey % 10 = 0 THEN 7 ELSE 0 END AS bal_cents
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) + 10000000 AS c_custkey,
+        | c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_custkey % 997 = 0""".stripMargin
   )
 }
 
@@ -216,8 +282,34 @@ class GraftCatalog extends TableCatalog {
     new ManifestTable(path, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** SCHEMA EVOLUTION, lake-style: ALTER TABLE ADD COLUMN widens the
+    * catalog schema; existing committed files simply lack the field and
+    * the manifest reader resolves columns BY NAME (absent key = null),
+    * so no data rewrite happens — old snapshots keep their own DDL and
+    * stay readable as written. Only top-level nullable adds: anything
+    * else would need a rewrite this metadata-only path can't honestly
+    * claim.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!isLake(ident.namespace()))
+      throw new UnsupportedOperationException(
+        s"only lake tables support ALTER TABLE (got $ident)")
+    val key = ident.name().toLowerCase(java.util.Locale.ROOT)
+    val entry = lake.get(key)
+    if (entry == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val (schema, props) = entry
+    val widened = changes.foldLeft(schema) {
+      case (s, add: TableChange.AddColumn)
+          if add.fieldNames().length == 1 && add.isNullable =>
+        StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"only top-level nullable ADD COLUMN is supported (got $other)")
+    }
+    lake.put(key, (widened, props))
+    new ManifestTable(props("path"), widened)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     isLake(ident.namespace()) &&

@@ -280,6 +280,29 @@ object ManifestSink {
     orphans.length
   }
 
+  /** COPY-ON-WRITE MERGE (upsert): the keyed row-level operation next
+    * to DELETE — rows of `updates` REPLACE current rows sharing their
+    * key and new keys INSERT, in one distributed job: survivors =
+    * current ANTI-JOIN update-keys (a broadcast-able key-set join, never
+    * row-by-row), then survivors ∪ updates republish through the atomic
+    * snapshot swap. This is the Iceberg/Delta copy-on-write MERGE shape:
+    * read-side cost zero (files stay plain), write amplification = the
+    * whole table per merge — the right trade for batch upsert cadences;
+    * the pre-merge generation stays time-travel readable until vacuum.
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, root: String,
+      updates: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Unit = {
+    val current = readCommitted(spark, root)
+    val survivors = current.join(
+      org.apache.spark.sql.functions.broadcast(
+        updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct()),
+      keyCols, "left_anti")
+    survivors.unionByName(updates)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+  }
+
   /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
     * the supported predicate subset; None = refuse the delete cleanly.
     */

@@ -104,6 +104,49 @@ class CatalogTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.spec_d")
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; old snapshots keep their shape") {
+    val root = freshRoot("evo")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_e")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_e (k BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_e VALUES (1), (2)")
+    val filesBefore = ManifestSink.committedFiles(root).toSet
+    spark.sql("ALTER TABLE graft_cat.lake.spec_e ADD COLUMN v STRING")
+    // metadata-only: no file was rewritten by the ALTER
+    assert(ManifestSink.committedFiles(root).toSet == filesBefore)
+    spark.sql("INSERT INTO graft_cat.lake.spec_e VALUES (3, 'c')")
+    val rows = spark.sql("SELECT k, v FROM graft_cat.lake.spec_e")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, null), (2L, null), (3L, "c")))
+    // the pre-ALTER snapshot still reads with its OWN schema
+    val gens = ManifestSink.snapshots(root)
+    assert(ManifestSink.readSnapshot(spark, root, gens.head)
+      .schema.fieldNames.toSeq == Seq("k"))
+    // drops and other shape changes are refused (they'd need a rewrite)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.lake.spec_e DROP COLUMN v")
+    }
+    spark.sql("DROP TABLE graft_cat.lake.spec_e")
+  }
+
+  test("copy-on-write merge: replace by key, insert new keys, survivors exact") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    ManifestSink.merge(spark,
+      root, Seq((2L, 99L), (9L, 90L)).toDF("k", "v"), Seq("k"))
+    val rows = ManifestSink.readCommitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 10L), (2L, 99L), (3L, 30L), (9L, 90L)))
+    // the merge is a snapshot: the pre-merge state survives until vacuum
+    val gens = ManifestSink.snapshots(root)
+    assert(ManifestSink.readSnapshot(spark, root, gens.head)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("nulls survive the catalog write/read cycle") {
     val root = freshRoot("nulls")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_n")
