@@ -150,6 +150,39 @@ object GraftCatalog {
           .withColumn("c_custkey", col("c_custkey") + 10000000L))
       ManifestSink.merge(s, tmp, updates, Seq("c_custkey"))
       ManifestSink.readCommitted(s, tmp)
+    }),
+
+    // LINEAGE METADATA COLUMNS: a 3-epoch streaming write lands in the
+    // lake table, then catalog SQL groups by the virtual `_epoch` column
+    // the reader serves from file provenance (never stored) — the
+    // per-epoch rollup must equal the admission-control id ranges
+    // exactly, proving both the metadata surface and the epoch
+    // attribution.
+    "q_sink_lineage" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_lineage_").toFile.getAbsolutePath
+      val q = s.readStream.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("slices", "8")
+        .option("rowsPerBatch", "20000").load()
+        .select(col("id"), col("channel"), col("amount_cents"))
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", tmp)
+        .option("checkpointLocation", s"$tmp/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.lineage")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.lineage
+           | (id BIGINT, channel STRING, amount_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp')""".stripMargin)
+      s.sql(
+        """SELECT _epoch, CAST(count(*) AS BIGINT) AS n,
+          | CAST(sum(amount_cents) AS BIGINT) AS cents
+          |FROM graft_cat.lake.lineage GROUP BY _epoch""".stripMargin)
     })
   )
 
@@ -197,7 +230,17 @@ object GraftCatalog {
         |SELECT CAST(c_custkey AS BIGINT) + 10000000 AS c_custkey,
         | c_mktsegment,
         | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |FROM customer WHERE c_custkey % 997 = 0""".stripMargin
+        |FROM customer WHERE c_custkey % 997 = 0""".stripMargin,
+
+    // epoch attribution = the admission-control id ranges: epoch e
+    // committed exactly ids [20000e, 20000(e+1))
+    "q_sink_lineage" ->
+      s"""WITH g AS (SELECT i AS id, ${SynthDataSource.oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(0, 59999)) AS i) t)
+         |SELECT CAST(id // 20000 AS BIGINT) AS _epoch,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM g GROUP BY 1""".stripMargin
   )
 }
 

@@ -171,6 +171,14 @@ class ManifestJsonReader(file: String, tableSchema: StructType,
     Paths.get(file), StandardCharsets.UTF_8)
   private val types: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  // lineage metadata, served per-partition for free: the file name and
+  // the streaming epoch its name carries (-1 for batch-written files)
+  private val fileName = Paths.get(file).getFileName.toString
+  private val fileNameUtf8 = UTF8String.fromString(fileName)
+  private val epochOfFile: Long =
+    if (fileName.startsWith("e"))
+      fileName.drop(1).takeWhile(_ != '-').toLongOption.getOrElse(-1L)
+    else -1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -235,6 +243,10 @@ class ManifestJsonReader(file: String, tableSchema: StructType,
           cells.put(key, v)
       }
     }
-    InternalRow.fromSeq(required.fields.toIndexedSeq.map(f => cells.get(f.name)))
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map {
+      case f if f.name == "_file" => fileNameUtf8
+      case f if f.name == "_epoch" => epochOfFile
+      case f => cells.get(f.name)
+    })
   }
 }

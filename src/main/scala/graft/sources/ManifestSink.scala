@@ -538,8 +538,31 @@ class ManifestTable(path: String, schema: StructType,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"manifest($path)"
+
+  /** LINEAGE metadata columns (`SELECT k, _file FROM t`): `_file` = the
+    * committed file a row came from, `_epoch` = the streaming epoch that
+    * committed it (-1 for batch-written files) — the row-provenance
+    * surface every lake debugging/backfill workflow leans on. Served by
+    * the reader for free (it knows its partition's file), never stored.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "committed data file this row came from"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_epoch"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "streaming epoch that committed this row (-1 for batch writes)"
+    })
 
   /** DELETE FROM support (the row-level-operations tier): the condition
     * arrives as v1 filters; the rewrite is a DISTRIBUTED Spark job —
