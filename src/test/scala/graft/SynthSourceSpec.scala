@@ -297,6 +297,35 @@ class SynthSourceSpec extends AnyFunSuite {
     }.isEmpty, s"exchange below the storage-partitioned join:\n$plan")
   }
 
+  test("storage-partitioned join survives MISMATCHED partition sets (pushPartValues)") {
+    import SparkTestBase.collectInPlan
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // genuinely different bucket sets: 32 vs 24 partitions — the planner
+    // must align the missing partition values, not fall back to shuffle
+    val a = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "2000000").option("bucketWidth", "62500").load()
+      .select(col("bucket"), col("id"), col("amount_cents"))
+    val b = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "1500000").option("bucketWidth", "62500").load()
+      .select(col("bucket"), col("id"), col("channel"))
+    val df = a.join(b, Seq("bucket", "id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 1500000L)
+    assert(r.getLong(1) ==
+      (0L until 1500000L).map(SynthDataSource.amountCents).sum)
+    val plan = df.queryExecution.executedPlan
+    val smjs = collectInPlan(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+    assert(collectInPlan(smjs.head.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"mismatched partition sets fell back to a shuffle:\n$plan")
+  }
+
   test("runtime filtering re-plans the scan to only key-bearing ranges") {
     // the DPP shape: dim filter on a NON-join attribute, so surviving
     // join keys exist only at runtime; the v2 scan must then plan fewer
