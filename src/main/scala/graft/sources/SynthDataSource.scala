@@ -79,6 +79,17 @@ object SynthDataSource {
   val BucketedSchema: StructType = StructType(
     Schema.fields :+ StructField("bucket", LongType, nullable = false))
 
+  /** The bucketWidth sizing rule for key-grouped reads (the analogue of
+    * VectorOps.bitsForCorpusSize): partitions are one bucket each, so
+    * width = rows-per-task — pick it so a partition is task-sized and
+    * the bucket COUNT grows linearly with the domain (1000 executors get
+    * ~domain/width independent tasks; at 100 TB you budget width from
+    * target task seconds, not from a fixed partition count). Floors at
+    * 1; callers pin the registry constants for the static oracles.
+    */
+  def bucketWidthForDomain(domainRows: Long, targetRowsPerTask: Long = 62500L): Long =
+    math.max(1L, math.min(domainRows, targetRowsPerTask))
+
   /** Spec ledger: partition count of the LAST planInputPartitions call on
     * a batch SynthScan — how SynthSourceSpec proves a runtime-filtered
     * scan planned fewer partitions than the unfiltered one (the harness
