@@ -1616,6 +1616,16 @@ object VectorOps {
          | LEFT JOIN lab l ON em.vec_id = l.vec_id
          | LEFT JOIN bord b ON em.vec_id = b.vec_id""".stripMargin
 
+    // force-materialize every CTE of a generated text: DuckDB re-inlines
+    // deep CTE chains per reference, and on the multi-file sf1 fixture
+    // that mis-plans the symbolic Lloyd/ADC oracles into a >60 GB spill
+    // (the r13 "oracle-infeasible" verdict) — materialized, the same
+    // texts run in single-digit SECONDS at sf1 (r14 measurement). The
+    // q_emb_power_iter MATERIALIZED discipline, applied mechanically.
+    def materializeCtes(sql: String): String = sql
+      .replaceAll("(?m)^(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+      .replace("WITH em AS (", "WITH em AS MATERIALIZED (")
+
     val base = Map(
       "q_emb_gram" -> gramSql,
 
@@ -1644,11 +1654,12 @@ object VectorOps {
         val codeCols = (0 until PqM)
           .map(m => s"max(CASE WHEN m = $m THEN code END) AS code_$m")
           .mkString(",\n ")
-        s"""WITH $pqCte
-           |SELECT vec_id, max(cell) AS cell,
-           | $codeCols,
-           | CAST(sum(d2) AS BIGINT) AS err_sq
-           |FROM enc GROUP BY 1""".stripMargin
+        materializeCtes(
+          s"""WITH $pqCte
+             |SELECT vec_id, max(cell) AS cell,
+             | $codeCols,
+             | CAST(sum(d2) AS BIGINT) AS err_sq
+             |FROM enc GROUP BY 1""".stripMargin)
       },
 
       "q_emb_pq_recall" -> {
@@ -1657,7 +1668,8 @@ object VectorOps {
           s"SELECT cell, $m AS m, qrv[$lo:$hi] AS qxs FROM qres"
         }.mkString("\n  UNION ALL ")
         val qResidQ = residExpr("q.vm", "c.cs", Dim, duck = true)
-        s"""WITH $pqCte,
+        materializeCtes(
+          s"""WITH $pqCte,
            |qv AS (SELECT vm FROM em WHERE vec_id = 0),
            |exact AS (SELECT e2.vec_id FROM em e2, qv
            |  WHERE e2.vec_id <> 0
@@ -1676,7 +1688,7 @@ object VectorOps {
            |  ORDER BY adc_d2 ASC, vec_id LIMIT 10)
            |SELECT CAST(10 AS INT) AS k, count(*) AS n_overlap,
            | round(count(*) / 10.0, 6) AS recall
-           |FROM exact JOIN approx USING (vec_id)""".stripMargin
+           |FROM exact JOIN approx USING (vec_id)""".stripMargin)
       },
 
       "q_emb_quantize" -> {
@@ -2007,18 +2019,14 @@ object VectorOps {
     val dbscanSliceSqlText = dbscanSql(AnnMinCosine)
       .replace("FROM embeddings",
         s"FROM (SELECT * FROM embeddings WHERE vec_id % $SliceMod = 0)")
+    // the PQ base texts are already CTE-materialized (see materializeCtes
+    // above); the slice surgery only adds the slice predicate + the id
+    // densify/rescale
     def pqSliceSurgery(sql: String): String = sql
       .replace("FROM embeddings",
         s"FROM embeddings WHERE vec_id % $SliceMod = 0")
-      .replace("em AS (SELECT vec_id,",
-        s"em AS (SELECT vec_id // $SliceMod AS vec_id,")
-      // force-materialize every CTE: DuckDB re-inlines the deep Lloyd
-      // chain per reference, and on the multi-file sf1 fixture that
-      // inlining mis-plans into an OOM/spill even at 541 slice rows
-      // (measured: pcm1 OOMs an 8 GB cap; materialized, the whole text
-      // runs in seconds) — the q_emb_power_iter MATERIALIZED discipline
-      .replaceAll("(?m)^(\\w+) AS \\(", "$1 AS MATERIALIZED (")
-      .replace("WITH em AS (", "WITH em AS MATERIALIZED (")
+      .replace("em AS MATERIALIZED (SELECT vec_id,",
+        s"em AS MATERIALIZED (SELECT vec_id // $SliceMod AS vec_id,")
     // identical oracle on purpose: DBSCAN off the persisted neighbour
     // graph is a plan swap — the stored pairs ARE annPairs' output
     // (long ids round-trip parquet exactly), so the clustering equals
