@@ -215,6 +215,18 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(byBucket(3L) == 2000L)
   }
 
+  test("bucketWidth sizing: task-sized buckets, count grows with the domain") {
+    import SynthDataSource.bucketWidthForDomain
+    // width is the rows-per-task budget, clamped to the domain
+    assert(bucketWidthForDomain(2000000L) == 62500L)
+    assert(bucketWidthForDomain(1000L) == 1000L) // tiny domain: one bucket
+    assert(bucketWidthForDomain(0L) == 1L)
+    // the scale property: 100x the domain = 100x the buckets (tasks),
+    // NOT 100x the per-task work
+    val w = bucketWidthForDomain(2000000L)
+    assert(200000000L / bucketWidthForDomain(200000000L) == 100L * (2000000L / w))
+  }
+
   test("bucket-aligned partitions each hold exactly one partition-key value") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
     val b = new SynthScanBuilder(60000L, 8, bucketWidth = 2000L)
