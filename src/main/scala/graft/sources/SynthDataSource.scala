@@ -181,7 +181,9 @@ object SynthDataSource {
     // plans with NO Exchange anywhere — the partial/final aggregate runs
     // inside the scan's own partitions (exchange-freedom pinned in
     // SynthSourceSpec). The un-aligned id range exercises clipped edge
-    // buckets.
+    // buckets. The sum-of-expression aggregate is deliberately
+    // non-pushable, keeping this row the SPARK-SIDE-aggregate
+    // demonstration (its fully pushed twin is q_dsv2_part_agg_pushed).
     "q_dsv2_part_agg" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       // planner enable for storage-partitioned v2 scans (idempotent; a
@@ -191,7 +193,31 @@ object SynthDataSource {
         .option("rows", "60000").option("bucketWidth", "2000").load()
         .filter(col("id") >= 4500L && col("id") < 51500L)
         .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount_cents") * 2L).as("cents2"),
+          max(col("amount_cents")).as("hi_cents"))
+    }),
+
+    // THE CAPABILITIES COMPOSED: aggregate pushdown GROUPED BY THE
+    // PARTITION KEY — each bucket-aligned partition folds its range into
+    // ONE (bucket, count, sum, min, max) cell inside the reader: the
+    // scan emits exactly |buckets| rows (24 here) instead of 47k. The
+    // residual merge exchange therefore moves one ROW per bucket — a
+    // constant-size shuffle regardless of data volume (Spark's pushed-agg
+    // rewrite aliases the group column, which currently defeats
+    // alias-propagation of the scan's KeyGroupedPartitioning; the
+    // non-pushed twin q_dsv2_part_agg shows the fully exchange-free
+    // plan). Plan + one-cell-per-partition bound pinned in
+    // SynthSourceSpec.
+    "q_dsv2_part_agg_pushed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "60000").option("bucketWidth", "2000").load()
+        .filter(col("id") >= 4500L && col("id") < 51500L)
+        .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+          min(col("amount_cents")).as("lo_cents"),
           max(col("amount_cents")).as("hi_cents"))
     }),
 
@@ -331,7 +357,17 @@ object SynthDataSource {
          |  FROM (SELECT unnest(generate_series(4500, 51499)) AS i) t)
          |SELECT CAST(id // 2000 AS BIGINT) AS bucket,
          | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents * 2) AS BIGINT) AS cents2,
+         | CAST(max(amount_cents) AS BIGINT) AS hi_cents
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "q_dsv2_part_agg_pushed" ->
+      s"""WITH g AS (SELECT i AS id, ${oracleCells("i")}
+         |  FROM (SELECT unnest(generate_series(4500, 51499)) AS i) t)
+         |SELECT CAST(id // 2000 AS BIGINT) AS bucket,
+         | CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(amount_cents) AS BIGINT) AS cents,
+         | CAST(min(amount_cents) AS BIGINT) AS lo_cents,
          | CAST(max(amount_cents) AS BIGINT) AS hi_cents
          |FROM g GROUP BY 1""".stripMargin,
 
@@ -415,6 +451,7 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L,
   private var hadResidual = false        // a filter we could NOT push
   private var aggFuncs: Seq[String] = Nil
   private var aggGrouped = false
+  private var aggByBucket = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the pruned schema in FIELD ORDER of the original, and
@@ -517,9 +554,17 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L,
       }
       case _ => None
     }
+    // group keys: none (global), channel, or — on a bucketed table — the
+    // partition key itself (bucket), where the fold degenerates to ONE
+    // cell per partition and composes with KeyGroupedPartitioning into a
+    // fully exchange-free pushed rollup
+    var byBucket = false
     val grouped = aggregation.groupByExpressions() match {
       case Array() => false
       case Array(r: NamedReference) if r.fieldNames.mkString(".") == "channel" => true
+      case Array(r: NamedReference)
+          if r.fieldNames.mkString(".") == "bucket" && bucketWidth > 0L =>
+        byBucket = true; false
       case _ => return false
     }
     val funcs = aggregation.aggregateExpressions().toSeq.map {
@@ -532,11 +577,14 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L,
       case _ => return false
     }
     aggGrouped = grouped
+    aggByBucket = byBucket
     aggFuncs = funcs
     // positional contract with V2ScanRelationPushDown: group cols first,
     // then one column per pushed aggregate, all LongType except channel
     required = StructType(
-      (if (grouped) Seq(StructField("channel", StringType, nullable = false)) else Nil) ++
+      (if (grouped) Seq(StructField("channel", StringType, nullable = false))
+       else if (byBucket) Seq(StructField("bucket", LongType, nullable = false))
+       else Nil) ++
         funcs.zipWithIndex.map { case (f, i) =>
           StructField(s"agg_${i}_$f", LongType, nullable = false)
         })
@@ -544,7 +592,9 @@ class SynthScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 1000L,
   }
 
   override def build(): Scan =
-    if (aggFuncs.nonEmpty) new SynthAggScan(required, lo, hi, slices, aggGrouped, aggFuncs)
+    if (aggFuncs.nonEmpty)
+      new SynthAggScan(required, lo, hi, slices, aggGrouped, aggFuncs,
+        if (aggByBucket) bucketWidth else 0L)
     else new SynthScan(required, lo, hi, slices, rowsPerBatch, bucketWidth)
 }
 
@@ -775,33 +825,59 @@ class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long,
   * cardinality, never data size.
   */
 class SynthAggScan(schema: StructType, lo: Long, hi: Long, slices: Int,
-    grouped: Boolean, funcs: Seq[String])
-    extends Scan with Batch {
+    grouped: Boolean, funcs: Seq[String], bucketWidth: Long = 0L)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"SynthAggScan(range=[$lo, $hi), slices=$slices, " +
-      s"agg=[${funcs.mkString(",")}], groupBy=${if (grouped) "channel" else "<global>"})"
+      s"agg=[${funcs.mkString(",")}], groupBy=${
+        if (grouped) "channel" else if (bucketWidth > 0L) "bucket" else "<global>"})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     if (n == 0L) return Array.empty
-    val k = math.min(slices.toLong, n).toInt
-    (0 until k).map { i =>
-      SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
-    }.toArray
+    if (bucketWidth > 0L)
+      // one bucket per partition: the pushed per-bucket fold emits ONE
+      // row per partition, and the reported key grouping (below) lets
+      // the final aggregate merge it without any exchange
+      (lo / bucketWidth to (hi - 1L) / bucketWidth).map { b =>
+        SynthBucketPartition(math.max(lo, b * bucketWidth),
+          math.min(hi, (b + 1L) * bucketWidth), b): InputPartition
+      }.toArray
+    else {
+      val k = math.min(slices.toLong, n).toInt
+      (0 until k).map { i =>
+        SynthPartition(lo + i * n / k, lo + (i + 1) * n / k): InputPartition
+      }.toArray
+    }
   }
+
+  /** The pushed per-bucket fold composes with key-grouped planning: the
+    * scan's partial rows are already clustered by `bucket` (one row per
+    * partition), so Spark's final merge aggregate needs NO exchange —
+    * the whole per-bucket rollup runs scan-local end to end.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (bucketWidth > 0L && schema.fieldNames.contains("bucket"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("bucket")),
+        planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthAggReaderFactory(grouped, funcs)
+    new SynthAggReaderFactory(grouped, funcs, bucketWidth)
 }
 
-class SynthAggReaderFactory(grouped: Boolean, funcs: Seq[String])
+class SynthAggReaderFactory(grouped: Boolean, funcs: Seq[String],
+    bucketWidth: Long = 0L)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
-    new SynthAggReader(p.from, p.until, grouped, funcs)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SynthPartition(from, until) =>
+        new SynthAggReader(from, until, grouped, funcs)
+      case SynthBucketPartition(from, until, bucket) =>
+        new SynthAggReader(from, until, grouped, funcs, bucket)
+    }
 }
 
 /** One pass over [from, until): accumulate count/sum/min/max per channel
@@ -809,7 +885,7 @@ class SynthAggReaderFactory(grouped: Boolean, funcs: Seq[String])
   * allocation — one ladder hash and a few long ops per id.
   */
 class SynthAggReader(from: Long, until: Long, grouped: Boolean,
-    funcs: Seq[String])
+    funcs: Seq[String], bucket: Long = -1L)
     extends PartitionReader[InternalRow] {
   private val cells = if (grouped) SynthDataSource.Channels.size else 1
   private val cnt = new Array[Long](cells)
@@ -842,6 +918,7 @@ class SynthAggReader(from: Long, until: Long, grouped: Boolean,
     }
     val vals: Seq[Any] =
       if (grouped) UTF8String.fromString(SynthDataSource.Channels(c)) +: aggVals
+      else if (bucket >= 0L) bucket +: aggVals // per-bucket fold: one cell
       else aggVals
     InternalRow.fromSeq(vals)
   }

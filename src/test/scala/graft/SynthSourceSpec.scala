@@ -192,20 +192,25 @@ class SynthSourceSpec extends AnyFunSuite {
   test("key-grouped partitioning plans the bucket rollup with no exchange") {
     import SparkTestBase.collectInPlan
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the sum-of-expression keeps the aggregation SPARK-SIDE (not
+    // pushed), so this pins the key-grouped NORMAL scan path
     val df = spark.read.format("graft.sources.SynthDataSource")
       .option("rows", "60000").option("bucketWidth", "2000").load()
       .filter(col("id") >= 4500L && col("id") < 51500L)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents") * 2L).as("cents2"))
     val rows = df.collect()
     // the EXECUTED plan (post-AQE) must contain zero exchanges: the
     // partial and final aggregate both run inside the scan's own
     // key-grouped partitions
-    val exchanges = collectInPlan(df.queryExecution.executedPlan) {
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("SynthScan"),
+      s"expression aggregate must stay on the NORMAL scan:\n$plan")
+    val exchanges = collectInPlan(plan) {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }
     assert(exchanges.isEmpty,
-      s"bucket rollup must plan exchange-free:\n${df.queryExecution.executedPlan}")
+      s"bucket rollup must plan exchange-free:\n$plan")
     // un-aligned range: clipped edge buckets still count exactly
     assert(rows.length == 24)
     assert(rows.map(_.getLong(1)).sum == 47000L)
@@ -213,6 +218,49 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(byBucket(2L) == 1500L && byBucket(25L) == 1500L, // clipped edges
       s"edge buckets must clip to the pushed range: $byBucket")
     assert(byBucket(3L) == 2000L)
+  }
+
+  test("per-bucket aggregate pushes into the readers AND merges exchange-free") {
+    import SparkTestBase.collectInPlan
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "60000").option("bucketWidth", "2000").load()
+      .filter(col("id") >= 4500L && col("id") < 51500L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+        min(col("amount_cents")).as("lo"), max(col("amount_cents")).as("hi"))
+    val rows = df.collect()
+    assert(rows.length == 24 && rows.map(_.getLong(1)).sum == 47000L)
+    val plan = df.queryExecution.executedPlan
+    val scanLine = plan.toString.linesIterator
+      .find(_.contains("SynthAggScan")).getOrElse("")
+    assert(scanLine.contains("groupBy=bucket"),
+      s"per-bucket agg must push into the scan:\n$plan")
+    // the residual merge exchange is CONSTANT-SIZE: the scan emitted one
+    // row per bucket, so at most |buckets| rows cross it regardless of
+    // data volume (Spark's pushed-agg rewrite aliases the group column,
+    // which defeats alias-propagation of KeyGroupedPartitioning — the
+    // non-pushed path above is the fully exchange-free variant)
+    assert(collectInPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.size <= 1, s"pushed per-bucket rollup grew extra exchanges:\n$plan")
+    // the scan emits exactly ONE cell per bucket partition
+    val cells = new graft.sources.SynthAggScan(
+      null, 4500L, 51500L, 8, grouped = false, Seq("count"), bucketWidth = 2000L)
+      .planInputPartitions()
+      .map(p => new graft.sources.SynthAggReader(
+        p.asInstanceOf[graft.sources.SynthBucketPartition].from,
+        p.asInstanceOf[graft.sources.SynthBucketPartition].until,
+        grouped = false, Seq("count"),
+        p.asInstanceOf[graft.sources.SynthBucketPartition].bucket))
+      .map { r => var n = 0; while (r.next()) n += 1; n }
+    assert(cells.length == 24 && cells.forall(_ == 1),
+      s"one cell per bucket partition expected: ${cells.mkString(",")}")
+    // spot check one interior bucket against the ladder
+    val b3 = rows.find(_.getLong(0) == 3L).get
+    val ids = (6000L until 8000L).map(SynthDataSource.amountCents)
+    assert(b3.getLong(1) == 2000L && b3.getLong(2) == ids.sum &&
+      b3.getLong(3) == ids.min && b3.getLong(4) == ids.max)
   }
 
   test("bucketWidth sizing: task-sized buckets, count grows with the domain") {
