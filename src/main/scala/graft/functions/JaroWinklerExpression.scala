@@ -107,6 +107,11 @@ object JaroWinklerKernel {
     val l2 = s2.length
     if (l1 == 0 && l2 == 0) return 1000000L >= microMin
     if (l1 == 0 || l2 == 0) return 0L >= microMin
+    // OVERFLOW GUARD (ADVICE r14): the cross-multiplied comparison below
+    // peaks at 14*b*1e6 = 42e6*l1*l2, which exceeds Long once l1*l2
+    // ≳ 2.2e11 (strings ~500k chars). Past 2^37 ≈ 1.4e11 return true —
+    // never skip — which is unconditionally sound and free.
+    if (l1.toLong * l2 > (1L << 37)) return true
     val h = new Array[Int](32)
     var i = 0
     while (i < l1) { h(s1.charAt(i) & 31) += 1; i += 1 }

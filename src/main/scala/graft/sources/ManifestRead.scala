@@ -232,15 +232,21 @@ class ManifestJsonReader(file: String, tableSchema: StructType,
           while (j < line.length && line.charAt(j) != ',' && line.charAt(j) != '}') j += 1
           val tok = line.substring(i, j)
           i = j
-          val v: Any = types(key) match {
-            case LongType => java.lang.Long.parseLong(tok)
-            case IntegerType => java.lang.Integer.parseInt(tok)
-            case DoubleType => java.lang.Double.parseDouble(tok)
-            case StringType => UTF8String.fromString(tok) // unquoted never written; defensive
-            case other => throw new IllegalArgumentException(
+          // by-name resolution must tolerate BOTH directions of schema
+          // drift: a schema column absent from the file reads null (the
+          // required-loop below), and a FILE key absent from the schema
+          // is skipped (ADVICE r14 — reachable when re-attaching a table
+          // over an existing path with fewer/renamed columns declared)
+          types.get(key) match {
+            case Some(LongType) => cells.put(key, java.lang.Long.parseLong(tok))
+            case Some(IntegerType) => cells.put(key, java.lang.Integer.parseInt(tok))
+            case Some(DoubleType) => cells.put(key, java.lang.Double.parseDouble(tok))
+            case Some(StringType) => // unquoted never written; defensive
+              cells.put(key, UTF8String.fromString(tok))
+            case Some(other) => throw new IllegalArgumentException(
               s"unsupported manifest read type $other")
+            case None => () // key not in the table schema: skip
           }
-          cells.put(key, v)
       }
     }
     InternalRow.fromSeq(required.fields.toIndexedSeq.map {

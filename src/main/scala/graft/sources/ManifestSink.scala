@@ -578,12 +578,15 @@ class ManifestTable(path: String, schema: StructType,
     filters.forall(ManifestSink.filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    import org.apache.spark.sql.functions.{lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = org.apache.spark.sql.SparkSession.active
     val cond = filters.flatMap(ManifestSink.filterToColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // SQL DELETE keeps rows whose predicate is FALSE or UNKNOWN — a
+    // plain not(cond) would silently also delete every row where the
+    // predicate evaluates to NULL (ADVICE r14): keep on NOT TRUE.
     ManifestSink.readCommitted(spark, path)
-      .filter(not(cond))
+      .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
       .mode("overwrite").option("path", path).save()
   }

@@ -97,6 +97,36 @@ object SynthDataSource {
     */
   val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Storage-partitioned-scan planner confs with the aqeSkewJoin
+    * save/restore discipline (ADVICE r14): the body plans and EAGERLY
+    * materializes (localCheckpoint) while the confs hold, then every
+    * conf restores — the returned frame is plain data, so no plan-shape
+    * state leaks into later harness queries. The confs are plan-shape
+    * only (results identical either way); the restore is hygiene, not
+    * correctness.
+    */
+  def withBucketingConfs(s: org.apache.spark.sql.SparkSession,
+      pushPartValues: Boolean = false)(
+      body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = s.conf
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      if (pushPartValues) {
+        c.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // join keys strictly containing the partition key still co-locate
+        c.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      }
+      body.localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   def hash(id: Long): Long = graft.functions.PortableSql.seedLadder(id)
   def channel(id: Long): String = Channels((hash(id) % 5L).toInt)
   def amountCents(id: Long): Long = hash(id) % 100000L + 1L
@@ -186,16 +216,15 @@ object SynthDataSource {
     // demonstration (its fully pushed twin is q_dsv2_part_agg_pushed).
     "q_dsv2_part_agg" -> ((s, _) => {
       import org.apache.spark.sql.functions._
-      // planner enable for storage-partitioned v2 scans (idempotent; a
-      // pure plan-shape feature — results are identical either way)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.read.format("graft.sources.SynthDataSource")
-        .option("rows", "60000").option("bucketWidth", "2000").load()
-        .filter(col("id") >= 4500L && col("id") < 51500L)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("amount_cents") * 2L).as("cents2"),
-          max(col("amount_cents")).as("hi_cents"))
+      withBucketingConfs(s) {
+        s.read.format("graft.sources.SynthDataSource")
+          .option("rows", "60000").option("bucketWidth", "2000").load()
+          .filter(col("id") >= 4500L && col("id") < 51500L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount_cents") * 2L).as("cents2"),
+            max(col("amount_cents")).as("hi_cents"))
+      }
     }),
 
     // THE CAPABILITIES COMPOSED: aggregate pushdown GROUPED BY THE
@@ -211,14 +240,15 @@ object SynthDataSource {
     // SynthSourceSpec.
     "q_dsv2_part_agg_pushed" -> ((s, _) => {
       import org.apache.spark.sql.functions._
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.read.format("graft.sources.SynthDataSource")
-        .option("rows", "60000").option("bucketWidth", "2000").load()
-        .filter(col("id") >= 4500L && col("id") < 51500L)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
-          min(col("amount_cents")).as("lo_cents"),
-          max(col("amount_cents")).as("hi_cents"))
+      withBucketingConfs(s) {
+        s.read.format("graft.sources.SynthDataSource")
+          .option("rows", "60000").option("bucketWidth", "2000").load()
+          .filter(col("id") >= 4500L && col("id") < 51500L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"),
+            min(col("amount_cents")).as("lo_cents"),
+            max(col("amount_cents")).as("hi_cents"))
+      }
     }),
 
     // REPORTED ORDERING (SupportsReportOrdering): readers emit ids
@@ -230,15 +260,16 @@ object SynthDataSource {
     "q_dsv2_order_window" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.read.format("graft.sources.SynthDataSource")
-        .option("rows", "60000").option("bucketWidth", "2000").load()
-        .filter(col("id") >= 4500L && col("id") < 51500L)
-        .select(col("bucket"), col("id"), col("amount_cents"))
-        .withColumn("rn", row_number()
-          .over(Window.partitionBy(col("bucket")).orderBy(col("id")))
-          .cast("long"))
-        .filter(col("rn") <= 3L)
+      withBucketingConfs(s) {
+        s.read.format("graft.sources.SynthDataSource")
+          .option("rows", "60000").option("bucketWidth", "2000").load()
+          .filter(col("id") >= 4500L && col("id") < 51500L)
+          .select(col("bucket"), col("id"), col("amount_cents"))
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy(col("bucket")).orderBy(col("id")))
+            .cast("long"))
+          .filter(col("rn") <= 3L)
+      }
     }),
 
     // STORAGE-PARTITIONED JOIN: both sides are bucket-aligned reads of
@@ -253,20 +284,19 @@ object SynthDataSource {
     // side keeps the planner honest — no broadcast dissolves the demo.
     "q_dsv2_spj" -> ((s, _) => {
       import org.apache.spark.sql.functions._
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // the join keys (bucket, id) STRICTLY contain the partition key
-      // (bucket) — clustering on a subset still co-locates equal keys,
-      // but the planner's default demands exact equality; relax it
-      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      def side = s.read.format("graft.sources.SynthDataSource")
-        .option("rows", "2000000").option("bucketWidth", "62500").load()
-      val a = side.select(col("bucket"), col("id"), col("amount_cents"))
-      val b = side.filter(col("id") >= 500000L && col("id") < 1500000L)
-        .select(col("bucket"), col("id"), col("channel"))
-      a.join(b, Seq("bucket", "id"))
-        .groupBy(col("channel"))
-        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+      // (bucket) — clustering on a subset still co-locates equal keys;
+      // pushPartValues=true also relaxes requireAllClusterKeys
+      withBucketingConfs(s, pushPartValues = true) {
+        def side = s.read.format("graft.sources.SynthDataSource")
+          .option("rows", "2000000").option("bucketWidth", "62500").load()
+        val a = side.select(col("bucket"), col("id"), col("amount_cents"))
+        val b = side.filter(col("id") >= 500000L && col("id") < 1500000L)
+          .select(col("bucket"), col("id"), col("channel"))
+        a.join(b, Seq("bucket", "id"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+      }
     }),
 
     // RUNTIME FILTERING (SupportsRuntimeFiltering — the DSv2 face of

@@ -104,6 +104,45 @@ class CatalogTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.spec_d")
   }
 
+  test("re-attach with fewer/renamed columns: unknown file keys are skipped") {
+    val root = freshRoot("reattach")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_r")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_r (k BIGINT, n BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_r VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql("DROP TABLE graft_cat.lake.spec_r")
+    // re-create over the same path declaring FEWER columns: committed
+    // files still carry `n` (numeric) and `v` — the reader must skip the
+    // unknown keys by name, not crash on the numeric one (ADVICE r14)
+    spark.sql("CREATE TABLE graft_cat.lake.spec_r (k BIGINT, missing BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    val rows = spark.sql("SELECT k, missing FROM graft_cat.lake.spec_r")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+    assert(rows == Set((1L, true), (2L, true)),
+      "unknown file keys must be skipped; absent schema columns read null")
+    spark.sql("DROP TABLE graft_cat.lake.spec_r")
+  }
+
+  test("DELETE keeps rows whose predicate is UNKNOWN (null column values)") {
+    val root = freshRoot("delnull")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_dn")
+    spark.sql("CREATE TABLE graft_cat.lake.spec_dn (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.spec_dn VALUES " +
+      "(1,'x'),(2,NULL),(3,'y'),(4,NULL)")
+    // SQL DELETE semantics: WHERE v = 'x' is UNKNOWN on null rows — they
+    // must be KEPT, not swept up with the matches (ADVICE r14)
+    spark.sql("DELETE FROM graft_cat.lake.spec_dn WHERE v = 'x'")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.spec_dn")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L),
+      "rows with a NULL predicate value must survive the delete")
+    // IS NULL, by contrast, deletes exactly the null rows
+    spark.sql("DELETE FROM graft_cat.lake.spec_dn WHERE v IS NULL")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.spec_dn")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    spark.sql("DROP TABLE graft_cat.lake.spec_dn")
+  }
+
   test("ALTER TABLE ADD COLUMN is metadata-only; old snapshots keep their shape") {
     val root = freshRoot("evo")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_e")

@@ -73,6 +73,19 @@ class StringSimSpec extends AnyFunSuite {
       s"screen skipped only $skipped of ${pairs.length} — not selective")
   }
 
+  test("jw bound screen never skips past the Long-overflow length bound") {
+    // l1*l2 > 2^37 would overflow the cross-multiplied comparison — the
+    // guard must return true (never skip) instead of a garbage verdict
+    // (ADVICE r14). 400k x 400k chars crosses the bound.
+    val big1 = "a" * 400000
+    val big2 = "b" * 400000 // zero character overlap: an unguarded
+                            // screen would confidently (and unsafely) skip
+    assert(JaroWinklerKernel.mayReachMicro(big1, big2, 850000L),
+      "past the overflow bound the screen must decline to skip")
+    // just under the bound the screen still works normally
+    assert(!JaroWinklerKernel.mayReachMicro("abc", "xyz", 850000L))
+  }
+
   test("levPairs returns only sub-threshold distances over distinct names") {
     val rows = StringSimOps.levPairs(Tables.part(spark, dir)).collect()
     assert(rows.nonEmpty)
