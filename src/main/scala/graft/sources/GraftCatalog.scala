@@ -152,6 +152,184 @@ object GraftCatalog {
       ManifestSink.readCommitted(s, tmp)
     }),
 
+    // FILE SKIPPING (VERDICT r14 Next #2): a parquet-backed lake table
+    // PARTITIONED BY the orderkey bucket — every committed file carries
+    // min/max stats, so the selective range predicate reads only the
+    // few files whose stats overlap (files-read < files-committed is
+    // pinned in CatalogTableSpec via the skip ledger; this row proves
+    // the skip is LOSSLESS — the rollup must equal the full-scan oracle)
+    "q_sink_skipping" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_skip_").toFile.getAbsolutePath
+      graft.Tables.orders(s, dir).createOrReplaceTempView("orders_src_skip")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.ord_skip")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.ord_skip
+           | (b BIGINT, o_orderkey BIGINT, cents BIGINT)
+           | USING graft PARTITIONED BY (b)
+           | OPTIONS (path '$tmp', format 'parquet', orderBy 'o_orderkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.ord_skip
+          |SELECT CAST(o_orderkey AS BIGINT) DIV 8192,
+          | CAST(o_orderkey AS BIGINT),
+          | CAST(round(o_totalprice * 100) AS BIGINT)
+          |FROM orders_src_skip""".stripMargin)
+      s.sql(
+        """SELECT b, CAST(count(*) AS BIGINT) AS n,
+          | CAST(sum(cents) AS BIGINT) AS cents,
+          | CAST(min(o_orderkey) AS BIGINT) AS lo,
+          | CAST(max(o_orderkey) AS BIGINT) AS hi
+          |FROM graft_cat.lake.ord_skip
+          |WHERE o_orderkey >= 1000 AND o_orderkey < 30000
+          |GROUP BY b""".stripMargin)
+    }),
+
+    // PARTITION PRUNING on the stored table (json payload this time):
+    // equality on the identity partition column resolves to the one
+    // partition-pure file holding that value — the zone-map special
+    // case every partitioned lake read leans on
+    "q_lake_part_prune" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_prune_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_prune")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_part")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_part
+           | (c_mktsegment STRING, c_custkey BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (c_mktsegment)
+           | OPTIONS (path '$tmp')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.cust_part
+          |SELECT c_mktsegment, CAST(c_custkey AS BIGINT),
+          | CAST(round(c_acctbal * 100) AS BIGINT)
+          |FROM cust_src_prune""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+          | CAST(sum(bal_cents) AS BIGINT) AS cents
+          |FROM graft_cat.lake.cust_part
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // STORAGE-PARTITIONED JOIN BETWEEN STORED LAKE TABLES (VERDICT r14
+    // Next #3): orders and customer both land PARTITIONED BY the same
+    // custkey bucket; the join keys contain the partition key, both
+    // scans report verified KeyGroupedPartitioning + (bucket, key)
+    // ordering — the SMJ plans with ZERO exchange and ZERO sort on
+    // either side (pinned in CatalogTableSpec). This is q_dsv2_spj
+    // extended from the virtual table to STORED data.
+    "q_lake_spj" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      SynthDataSource.withBucketingConfs(s, pushPartValues = true,
+          disableBroadcast = true) {
+        val t1 = java.nio.file.Files
+          .createTempDirectory("graft_lake_spj_o_").toFile.getAbsolutePath
+        val t2 = java.nio.file.Files
+          .createTempDirectory("graft_lake_spj_c_").toFile.getAbsolutePath
+        graft.Tables.orders(s, dir).createOrReplaceTempView("orders_src_spj")
+        graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_spj")
+        s.sql("DROP TABLE IF EXISTS graft_cat.lake.spj_orders")
+        s.sql("DROP TABLE IF EXISTS graft_cat.lake.spj_cust")
+        s.sql(
+          s"""CREATE TABLE graft_cat.lake.spj_orders
+             | (ck_b BIGINT, o_custkey BIGINT, cents BIGINT)
+             | USING graft PARTITIONED BY (ck_b)
+             | OPTIONS (path '$t1', format 'parquet', orderBy 'o_custkey')""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE graft_cat.lake.spj_cust
+             | (ck_b BIGINT, c_custkey BIGINT, c_mktsegment STRING)
+             | USING graft PARTITIONED BY (ck_b)
+             | OPTIONS (path '$t2', format 'parquet', orderBy 'c_custkey')""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_cat.lake.spj_orders
+            |SELECT CAST(o_custkey AS BIGINT) DIV 500, CAST(o_custkey AS BIGINT),
+            | CAST(round(o_totalprice * 100) AS BIGINT)
+            |FROM orders_src_spj""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_cat.lake.spj_cust
+            |SELECT CAST(c_custkey AS BIGINT) DIV 500, CAST(c_custkey AS BIGINT),
+            | c_mktsegment
+            |FROM cust_src_spj""".stripMargin)
+        s.sql(
+          """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+            | CAST(sum(cents) AS BIGINT) AS cents
+            |FROM graft_cat.lake.spj_orders o
+            |JOIN graft_cat.lake.spj_cust c
+            |  ON o.ck_b = c.ck_b AND o.o_custkey = c.c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+      }
+    }),
+
+    // VERSION AS OF through the catalog (VERDICT r14 Next #4): the SQL
+    // twin of q_sink_snapshot — two committed generations addressed by
+    // plain SQL time travel; the as-of read of the pre-overwrite
+    // generation must see exactly the old state. Generations are
+    // addressed relatively (the fixture accumulates snapshots across
+    // harness runs), and a retention-2 vacuum bounds that accumulation.
+    "q_sink_snapshot_sql" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val root = graft.streaming.StreamQueries.fixtureDir("sinksnapsql", dir, "nation")
+      def dim = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      dim.filter(col("n_regionkey") < 2L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      dim.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.snap_sql")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.snap_sql
+           | (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+           | USING graft OPTIONS (path '$root')""".stripMargin)
+      val Seq(gOld, gNew) = ManifestSink.snapshots(root).takeRight(2)
+      val out = s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+           |FROM graft_cat.lake.snap_sql VERSION AS OF $gOld
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+           |FROM graft_cat.lake.snap_sql VERSION AS OF $gNew""".stripMargin)
+        .localCheckpoint() // materialize BEFORE the retention vacuum below
+      ManifestSink.vacuum(root, retainSnapshots = 2)
+      out
+    }),
+
+    // LAYOUT-AWARE WINDOW OVER THE STORED TABLE (VERDICT r14 Next #5):
+    // the table is PARTITIONED BY brand with in-file order by partkey,
+    // the scan reports both — the window plans with NO Sort and NO
+    // Exchange (pinned in CatalogTableSpec); the oracle proves the
+    // layout shortcut returns exactly the sorted-window answer.
+    "q_lake_order_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      SynthDataSource.withBucketingConfs(s) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lake_ow_").toFile.getAbsolutePath
+        graft.Tables.part(s, dir).createOrReplaceTempView("part_src_ow")
+        s.sql("DROP TABLE IF EXISTS graft_cat.lake.part_win")
+        s.sql(
+          s"""CREATE TABLE graft_cat.lake.part_win
+             | (p_brand STRING, p_partkey BIGINT, cents BIGINT)
+             | USING graft PARTITIONED BY (p_brand)
+             | OPTIONS (path '$tmp', format 'parquet', orderBy 'p_partkey')""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_cat.lake.part_win
+            |SELECT p_brand, CAST(p_partkey AS BIGINT),
+            | CAST(round(p_retailprice * 100) AS BIGINT)
+            |FROM part_src_ow""".stripMargin)
+        s.sql(
+          """SELECT * FROM (
+            |  SELECT p_brand, p_partkey, cents,
+            |   CAST(row_number() OVER
+            |     (PARTITION BY p_brand ORDER BY p_partkey) AS BIGINT) AS rn
+            |  FROM graft_cat.lake.part_win)
+            |WHERE rn <= 3""".stripMargin)
+      }
+    }),
+
     // LINEAGE METADATA COLUMNS: a 3-epoch streaming write lands in the
     // lake table, then catalog SQL groups by the virtual `_epoch` column
     // the reader serves from file provenance (never stored) — the
@@ -232,6 +410,57 @@ object GraftCatalog {
         | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
         |FROM customer WHERE c_custkey % 997 = 0""".stripMargin,
 
+    // the skip must be lossless: the pruned scan's rollup equals the
+    // full-scan answer
+    "q_sink_skipping" ->
+      """SELECT CAST(o_orderkey // 8192 AS BIGINT) AS b,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(min(o_orderkey) AS BIGINT) AS lo,
+        | CAST(max(o_orderkey) AS BIGINT) AS hi
+        |FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 30000
+        |GROUP BY 1""".stripMargin,
+
+    // partition pruning is lossless: the one-file read equals the
+    // segment's full rollup
+    "q_lake_part_prune" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the zero-shuffle storage-partitioned join equals the plain join
+    "q_lake_spj" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
+    // SQL time travel reads exactly what the helper-addressed snapshot
+    // read proved in q_sink_snapshot (same oracle)
+    "q_sink_snapshot_sql" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // the layout-aware (sort-free, exchange-free) window equals the
+    // sorted-window answer
+    "q_lake_order_window" ->
+      """SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+        | CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        | CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER
+        |          (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+        |      FROM part) t
+        |WHERE rn <= 3""".stripMargin,
+
     // epoch attribution = the admission-control id ranges: epoch e
     // committed exactly ids [20000e, 20000(e+1))
     "q_sink_lineage" ->
@@ -248,10 +477,60 @@ class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = "graft_cat"
   private val lake = new ConcurrentHashMap[String, (StructType, Map[String, String])]()
+  private var warehouse: Option[java.nio.file.Path] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  /** PERSISTED CATALOG (VERDICT r14 Next #6): with the `warehouse`
+    * catalog option set (`spark.sql.catalog.<name>.warehouse = <dir>`),
+    * lake table definitions write through to `<dir>/_catalog.json` on
+    * every DDL (same atomic temp-move discipline as the manifest swap)
+    * and reload on initialize — definitions survive the session, so a
+    * restarted job sees the tables its predecessor created. Without the
+    * option the catalog stays session-scoped (an in-memory metastore),
+    * exactly as before. Single-writer contract like the sink: one
+    * catalog mutates a warehouse at a time; readers see whole states
+    * (the swap is atomic).
+    */
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .map(java.nio.file.Paths.get(_))
+    warehouse.foreach { w =>
+      val f = w.resolve("_catalog.json")
+      if (java.nio.file.Files.exists(f)) {
+        java.nio.file.Files.readAllLines(f).forEach { line =>
+          if (line.nonEmpty) {
+            val m = ManifestMeta.parse(line).asInstanceOf[Map[String, Any]]
+            lake.put(m("name").asInstanceOf[String],
+              (StructType.fromDDL(m("ddl").asInstanceOf[String]),
+                m("props").asInstanceOf[Map[String, Any]]
+                  .map { case (k, v) => k -> v.asInstanceOf[String] }))
+          }
+        }
+      }
+    }
+  }
   override def name(): String = catalogName
+
+  /** Write-through of the table definitions — one closed-JSON line per
+    * table, swapped atomically so a concurrent initialize never reads a
+    * torn file.
+    */
+  private def persist(): Unit = warehouse.foreach { w =>
+    java.nio.file.Files.createDirectories(w)
+    val lines = new java.util.ArrayList[String]()
+    lake.forEach { (k, v) =>
+      lines.add(ManifestMeta.encodeObject(Map(
+        "name" -> k, "ddl" -> v._1.toDDL,
+        "props" -> v._2.asInstanceOf[Map[String, Any]])))
+    }
+    java.util.Collections.sort(lines)
+    val tmp = w.resolve("_catalog.json.tmp")
+    java.nio.file.Files.write(tmp, lines)
+    java.nio.file.Files.move(tmp, w.resolve("_catalog.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   private def isLake(ns: Array[String]) = ns.sameElements(Array("lake"))
   private def isSynth(ns: Array[String]) = ns.sameElements(Array("synth"))
@@ -288,13 +567,48 @@ class GraftCatalog extends TableCatalog {
       if (entry == null)
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       val (schema, props) = entry
+      def cols(k: String): Seq[String] = props.get(k).toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
       new ManifestTable(props("path"), schema,
-        clusterBy = props.get("clusterBy").toSeq
-          .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
-        orderBy = props.get("orderBy").toSeq
-          .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty))
+        clusterBy = cols("clusterBy"), orderBy = cols("orderBy"),
+        partitionBy = cols("partitionBy"),
+        format = props.getOrElse("format", "json"))
     } else
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+  }
+
+  /** TIME TRAVEL through the catalog (`SELECT ... VERSION AS OF <gen>`,
+    * VERDICT r14 Next #4): resolve the identifier to the PINNED snapshot
+    * generation — a read-only table whose scan reads that generation's
+    * archived manifest and whose schema is the snapshot's OWN DDL (old
+    * snapshots keep their shape across later ALTERs). Unknown
+    * generations fail loudly with the available list, exactly like the
+    * [[ManifestSink.readSnapshot]] helper.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!isLake(ident.namespace()))
+      throw new UnsupportedOperationException(
+        s"only lake tables support VERSION AS OF (got $ident)")
+    val entry = lake.get(ident.name().toLowerCase(java.util.Locale.ROOT))
+    if (entry == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val (_, props) = entry
+    val path = props("path")
+    val gen = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF wants a snapshot generation number, got '$version'; " +
+          s"available: ${ManifestSink.snapshots(path).mkString(",")}"))
+    val m = java.nio.file.Paths.get(path)
+      .resolve("_snapshots").resolve(s"manifest-$gen.json")
+    if (!java.nio.file.Files.exists(m))
+      throw new IllegalArgumentException(
+        s"snapshot $gen of $ident does not exist (expired or never " +
+          s"published); available: ${ManifestSink.snapshots(path).mkString(",")}")
+    val snapDdl = java.nio.file.Files.readAllLines(m).get(0)
+    new ManifestTable(path, StructType.fromDDL(snapDdl),
+      partitionBy = props.get("partitionBy").toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
+      snapshotGen = Some(gen))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -315,14 +629,40 @@ class GraftCatalog extends TableCatalog {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"CREATE TABLE $ident requires OPTIONS (path '...')"))
+    // PARTITIONED BY (VERDICT r14 Next #3): identity transforms on
+    // top-level columns are honored — the write side clusters + rolls
+    // partition-pure files, the read side reports KeyGroupedPartitioning
+    // over them. Anything else (bucket/days/truncate/...) is REFUSED
+    // loudly rather than silently dropped (ADVICE r14): a capability the
+    // table can't deliver must not parse.
+    val partitionCols = partitions.map { t =>
+      t match {
+        case id: org.apache.spark.sql.connector.expressions.Transform
+            if id.name() == "identity" && id.references().length == 1 &&
+              id.references()(0).fieldNames().length == 1 =>
+          val c = id.references()(0).fieldNames()(0)
+          require(schema.fieldNames.contains(c),
+            s"PARTITIONED BY column $c is not in the table schema")
+          c
+        case other => throw new UnsupportedOperationException(
+          s"lake tables support only identity PARTITIONED BY columns " +
+            s"(got $other)")
+      }
+    }.toSeq
     val props = Map("path" -> path) ++
       opt("clusterBy").map("clusterBy" -> _) ++
-      opt("orderBy").map("orderBy" -> _)
+      opt("orderBy").map("orderBy" -> _) ++
+      opt("format").map("format" -> _) ++
+      (if (partitionCols.nonEmpty)
+         Map("partitionBy" -> partitionCols.mkString(","))
+       else Map.empty)
     val key = ident.name().toLowerCase(java.util.Locale.ROOT)
     if (lake.putIfAbsent(key, (schema, props)) != null)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
-    new ManifestTable(path, schema)
+    persist()
+    new ManifestTable(path, schema, partitionBy = partitionCols,
+      format = props.getOrElse("format", "json"))
   }
 
   /** SCHEMA EVOLUTION, lake-style: ALTER TABLE ADD COLUMN widens the
@@ -351,12 +691,19 @@ class GraftCatalog extends TableCatalog {
         s"only top-level nullable ADD COLUMN is supported (got $other)")
     }
     lake.put(key, (widened, props))
-    new ManifestTable(props("path"), widened)
+    persist()
+    new ManifestTable(props("path"), widened,
+      partitionBy = props.get("partitionBy").toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
+      format = props.getOrElse("format", "json"))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    isLake(ident.namespace()) &&
+  override def dropTable(ident: Identifier): Boolean = {
+    val dropped = isLake(ident.namespace()) &&
       lake.remove(ident.name().toLowerCase(java.util.Locale.ROOT)) != null
+    if (dropped) persist()
+    dropped
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")

@@ -1,0 +1,384 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest METADATA: per-file column statistics, their `#s:` manifest
+  * line encoding, and the stats-based file-skip evaluator — the zone-map
+  * tier of the lake table (VERDICT r14 Next #2). Every committed file
+  * carries min/max/nulls per column plus its row count and the sort
+  * order its writer delivered, written at commit time by the task that
+  * produced the file (the stats are a byproduct of the write pass —
+  * zero extra scans). At 100 TB this is what lets a selective predicate
+  * read 3 files instead of 30,000 and a selective DELETE rewrite only
+  * the files that can contain matches.
+  *
+  * The encoding is the same closed JSON subset the data files use
+  * (objects, escaped strings, long/double literals, null), so the
+  * manifest stays hand-inspectable and the parser stays ~80 lines with
+  * no library dependency.
+  *
+  * SOUNDNESS RULES (each conservative — "may match" errs toward true):
+  *   - string min/max compare in UTF8String BINARY order (what Spark's
+  *     own comparisons use), never java.lang.String UTF-16 order;
+  *   - strings longer than 64 chars drop that column's min/max (a
+  *     truncated max is not an upper bound; rows/nulls stay);
+  *   - a double column that ever saw NaN drops its min/max (NaN breaks
+  *     range reasoning);
+  *   - files with no stats line (written before stats existed) always
+  *     survive skipping.
+  */
+object ManifestMeta {
+
+  /** Max stored string length for min/max — longer strings make the
+    * column unprunable rather than risking an unsound truncated bound.
+    */
+  val MaxStatString = 64
+
+  // ---------------------------------------------------------------
+  // closed JSON subset: encode
+  // ---------------------------------------------------------------
+
+  def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def quote(s: String): String = "\"" + esc(s) + "\""
+
+  private def encodeValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => quote(s)
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double => d.toString
+    case m: Map[_, _] => encodeObject(m.asInstanceOf[Map[String, Any]])
+    case other => throw new IllegalArgumentException(s"unencodable $other")
+  }
+
+  def encodeObject(m: Map[String, Any]): String =
+    // deterministic field order: manifests diff cleanly run-to-run
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => quote(k) + ":" + encodeValue(v) }
+      .mkString("{", ",", "}")
+
+  // ---------------------------------------------------------------
+  // closed JSON subset: parse (recursive descent, writer-shaped input)
+  // ---------------------------------------------------------------
+
+  /** Parses the closed subset into Map[String, Any] / String / Long /
+    * Double / null. Integer literals come back as Long; anything with a
+    * '.', 'e', or 'E' as Double.
+    */
+  def parse(s: String): Any = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    require(p.done, s"trailing content in manifest metadata: $s")
+    v
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def done: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+
+    def value(): Any = {
+      skipWs()
+      s.charAt(i) match {
+        case '{' => obj()
+        case '"' => str()
+        case 'n' => i += 4; null
+        case _ => num()
+      }
+    }
+
+    private def obj(): Map[String, Any] = {
+      i += 1 // '{'
+      val b = Map.newBuilder[String, Any]
+      skipWs()
+      if (s.charAt(i) == '}') { i += 1; return b.result() }
+      var more = true
+      while (more) {
+        skipWs()
+        val k = str()
+        skipWs()
+        require(s.charAt(i) == ':', s"expected ':' at $i in $s")
+        i += 1
+        b += (k -> value())
+        skipWs()
+        if (s.charAt(i) == ',') i += 1
+        else { require(s.charAt(i) == '}', s"expected '}' at $i in $s"); i += 1; more = false }
+      }
+      b.result()
+    }
+
+    private def str(): String = {
+      require(s.charAt(i) == '"', s"expected '\"' at $i in $s")
+      i += 1
+      val sb = new java.lang.StringBuilder
+      while (s.charAt(i) != '"') {
+        s.charAt(i) match {
+          case '\\' =>
+            s.charAt(i + 1) match {
+              case '"' => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other =>
+                throw new IllegalArgumentException(s"unknown escape \\$other")
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      i += 1
+      sb.toString
+    }
+
+    private def num(): Any = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      val tok = s.substring(start, i)
+      if (tok.exists(c => c == '.' || c == 'e' || c == 'E'))
+        java.lang.Double.parseDouble(tok)
+      else java.lang.Long.parseLong(tok)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // per-file stats model
+  // ---------------------------------------------------------------
+
+  /** min/max are None when unprunable (all-null column, oversize
+    * strings, NaN-bearing doubles, unknown writer). Values are Long
+    * (long/int cols), Double, or String as committed.
+    */
+  case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
+
+  /** One committed file's stats: row count, per-column stats, and the
+    * sort-column list its writer delivered (empty = no ordering claim).
+    */
+  case class FileStats(rows: Long, cols: Map[String, ColStats],
+      sorted: Seq[String]) {
+    def hasNonNull(c: ColStats): Boolean = rows > c.nulls
+  }
+
+  private val StatsPrefix = "#s:"
+
+  def statsLine(name: String, fs: FileStats): String = {
+    val cols: Map[String, Any] = fs.cols.map { case (k, c) =>
+      k -> (Map[String, Any]("nulls" -> c.nulls) ++
+        c.min.map("min" -> _) ++ c.max.map("max" -> _))
+    }
+    val body: Map[String, Any] = Map("rows" -> fs.rows, "cols" -> cols) ++
+      (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty)
+    s"$StatsPrefix$name:${encodeObject(body)}"
+  }
+
+  def isStatsLine(l: String): Boolean = l.startsWith(StatsPrefix)
+
+  /** `#s:<name>:<json>` → (name, stats). File names never contain ':'
+    * (writer-generated), so the first ':' after the prefix delimits.
+    */
+  def parseStatsLine(l: String): (String, FileStats) = {
+    val rest = l.stripPrefix(StatsPrefix)
+    val cut = rest.indexOf(':')
+    val name = rest.substring(0, cut)
+    val m = parse(rest.substring(cut + 1)).asInstanceOf[Map[String, Any]]
+    val cols = m.getOrElse("cols", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        val cm = v.asInstanceOf[Map[String, Any]]
+        k -> ColStats(cm.get("min"), cm.get("max"),
+          cm.get("nulls").map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+    val sorted = m.get("sorted").map(_.asInstanceOf[String])
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    (name, FileStats(m("rows").asInstanceOf[Long], cols, sorted))
+  }
+
+  /** Stats lines of a manifest line list, keyed by file name. */
+  def statsOf(lines: Seq[String]): Map[String, FileStats] =
+    lines.filter(isStatsLine).map(parseStatsLine).toMap
+
+  // ---------------------------------------------------------------
+  // skip evaluator
+  // ---------------------------------------------------------------
+
+  /** Typed comparison matching SPARK's run-time semantics: strings in
+    * UTF8String binary order, longs/ints as Long, doubles as Double.
+    */
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType | IntegerType =>
+      java.lang.Long.compare(asLong(a), asLong(b))
+    case DoubleType =>
+      java.lang.Double.compare(asDouble(a), asDouble(b))
+    case StringType =>
+      UTF8String.fromString(a.toString).compareTo(UTF8String.fromString(b.toString))
+    case other => throw new IllegalArgumentException(s"uncomparable $other")
+  }
+
+  private def asLong(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"not a long: $other")
+  }
+
+  private def asDouble(a: Any): Double = a match {
+    case d: Double => d
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"not a double: $other")
+  }
+
+  /** May any row of a file with stats `fs` satisfy `f`? Conservative:
+    * anything surprising (unknown column, untyped value, exotic filter)
+    * returns true — skipping is an optimization, never a gate. Value
+    * predicates only match non-null rows, so an all-null column rules
+    * them out even without min/max.
+    */
+  def mayMatch(f: Filter, fs: FileStats, types: Map[String, DataType]): Boolean =
+    try evalMay(f, fs, types)
+    catch { case _: Exception => true }
+
+  private def evalMay(f: Filter, fs: FileStats,
+      types: Map[String, DataType]): Boolean = {
+    // (min, max, type) when the column is range-prunable in this file
+    def range(a: String): Option[(Any, Any, DataType)] =
+      for { c <- fs.cols.get(a); dt <- types.get(a); mn <- c.min; mx <- c.max }
+        yield (mn, mx, dt)
+    // can the column produce a non-null value in this file?
+    def someNonNull(a: String): Boolean =
+      fs.cols.get(a).forall(fs.hasNonNull) // unknown column: assume yes
+    def inRange(a: String, v: Any): Boolean =
+      range(a).forall { case (mn, mx, dt) =>
+        cmp(dt, v, mn) >= 0 && cmp(dt, v, mx) <= 0
+      }
+    f match {
+      case EqualTo(a, v) => someNonNull(a) && inRange(a, v)
+      case EqualNullSafe(a, null) => evalMay(IsNull(a), fs, types)
+      case EqualNullSafe(a, v) => someNonNull(a) && inRange(a, v)
+      case GreaterThan(a, v) =>
+        someNonNull(a) && range(a).forall { case (_, mx, dt) => cmp(dt, mx, v) > 0 }
+      case GreaterThanOrEqual(a, v) =>
+        someNonNull(a) && range(a).forall { case (_, mx, dt) => cmp(dt, mx, v) >= 0 }
+      case LessThan(a, v) =>
+        someNonNull(a) && range(a).forall { case (mn, _, dt) => cmp(dt, mn, v) < 0 }
+      case LessThanOrEqual(a, v) =>
+        someNonNull(a) && range(a).forall { case (mn, _, dt) => cmp(dt, mn, v) <= 0 }
+      case In(a, vs) => someNonNull(a) && vs.exists(v => v != null && inRange(a, v))
+      case IsNull(a) => fs.cols.get(a).forall(_.nulls > 0L)
+      case IsNotNull(a) => someNonNull(a)
+      case And(l, r) => evalMay(l, fs, types) && evalMay(r, fs, types)
+      case Or(l, r) => evalMay(l, fs, types) || evalMay(r, fs, types)
+      case Not(EqualTo(a, v)) =>
+        // false only when the file is constant-v and null-free
+        !range(a).exists { case (mn, mx, dt) =>
+          cmp(dt, mn, v) == 0 && cmp(dt, mx, v) == 0 &&
+            fs.cols.get(a).forall(_.nulls == 0L)
+        }
+      case _: AlwaysFalse => false
+      case _ => true // StartsWith, general Not, unknown: never skip on it
+    }
+  }
+
+  /** The subset of a pushed-filter array usable for file skipping (for
+    * pushedFilters() plan display — evaluation itself is per-file).
+    */
+  def skippable(filters: Array[Filter]): Array[Filter] = filters.filter(usable)
+
+  private def usable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => usable(l) && usable(r)
+    case Or(l, r) => usable(l) && usable(r)
+    case Not(c) => usable(c)
+    case _ => false
+  }
+
+  // ---------------------------------------------------------------
+  // write-side stats collection
+  // ---------------------------------------------------------------
+
+  /** Accumulates per-column min/max/nulls + row count as the task
+    * writer streams rows — one branch per row per column, no second
+    * pass. UTF8String min/max are COPIED (the input row's buffer is
+    * reused) and compared in binary order.
+    */
+  final class StatsCollector(schema: StructType) {
+    private val n = schema.fields.length
+    private var rowCount = 0L
+    private val nulls = new Array[Long](n)
+    private val longMin = new Array[Long](n)
+    private val longMax = new Array[Long](n)
+    private val dblMin = new Array[Double](n)
+    private val dblMax = new Array[Double](n)
+    private val strMin = new Array[UTF8String](n)
+    private val strMax = new Array[UTF8String](n)
+    private val seen = new Array[Boolean](n)
+    private val poisoned = new Array[Boolean](n) // NaN / oversize string
+
+    def observe(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      rowCount += 1L
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i)) nulls(i) += 1L
+        else if (!poisoned(i)) schema.fields(i).dataType match {
+          case LongType | IntegerType =>
+            val v = if (schema.fields(i).dataType == LongType) row.getLong(i)
+                    else row.getInt(i).toLong
+            if (!seen(i)) { longMin(i) = v; longMax(i) = v; seen(i) = true }
+            else {
+              if (v < longMin(i)) longMin(i) = v
+              if (v > longMax(i)) longMax(i) = v
+            }
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (java.lang.Double.isNaN(v)) poisoned(i) = true
+            else if (!seen(i)) { dblMin(i) = v; dblMax(i) = v; seen(i) = true }
+            else {
+              if (v < dblMin(i)) dblMin(i) = v
+              if (v > dblMax(i)) dblMax(i) = v
+            }
+          case StringType =>
+            val v = row.getUTF8String(i)
+            if (v.numChars() > MaxStatString) poisoned(i) = true
+            else if (!seen(i)) {
+              strMin(i) = v.clone(); strMax(i) = v.clone(); seen(i) = true
+            } else {
+              if (v.compareTo(strMin(i)) < 0) strMin(i) = v.clone()
+              if (v.compareTo(strMax(i)) > 0) strMax(i) = v.clone()
+            }
+          case _ => poisoned(i) = true // unknown type: rows/nulls only
+        }
+        i += 1
+      }
+    }
+
+    def result(sorted: Seq[String]): FileStats = {
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        val mm: Option[(Any, Any)] =
+          if (!seen(i) || poisoned(i)) None
+          else f.dataType match {
+            case LongType | IntegerType => Some((longMin(i), longMax(i)))
+            case DoubleType => Some((dblMin(i), dblMax(i)))
+            case StringType => Some((strMin(i).toString, strMax(i).toString))
+            case _ => None
+          }
+        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i))
+      }.toMap
+      FileStats(rowCount, cols, sorted)
+    }
+  }
+}

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,35 +19,91 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - partition planning is ONE manifest snapshot read at build time —
   *     one file per InputPartition, so a 1000-file table fans out to
   *     1000 independent readers and a concurrent overwrite/compaction
-  *     can never tear the file list mid-scan (the same isolation the
-  *     helper gives, now at connector level);
-  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
-  *     parses every line but materializes only the pruned fields;
-  *   - exact [[SupportsReportStatistics]] from the committed file sizes,
-  *     so a small manifest table plans as a broadcast side.
-  *
-  * The value parser decodes exactly the JSON-lines subset
-  * [[ManifestDataWriter]] emits (long/int/double/string/null, the same
-  * escape set) — a closed round trip, spec-pinned through JSON-hostile
-  * strings.
+  *     can never tear the file list mid-scan;
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): parquet
+  *     files decode ONLY the projected column chunks; JSON files parse
+  *     every line but materialize only the pruned fields;
+  *   - FILE SKIPPING ([[SupportsPushDownFilters]], VERDICT r14 Next #2):
+  *     pushed predicates evaluate against each file's `#s:` min/max
+  *     stats and files that cannot contain a match never become
+  *     partitions (filters stay residual — Spark re-evaluates row-level,
+  *     so skipping is pure pruning, never a correctness gate);
+  *   - KEY-GROUPED PARTITIONING: a table PARTITIONED BY identity
+  *     transforms whose files are all partition-PURE (stats min==max,
+  *     null-free — verified, not trusted) reports
+  *     KeyGroupedPartitioning, so partition-key rollups and
+  *     storage-partitioned joins between lake tables plan exchange-free;
+  *   - REPORTED ORDERING: files carrying a `sorted` stats claim report
+  *     their common sort prefix, deleting the Sort over layout-aware
+  *     windows;
+  *   - exact [[SupportsReportStatistics]]: numRows from the per-file
+  *     stats, bytes from committed file sizes.
   */
-class ManifestScanBuilder(path: String, tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+object ManifestRead {
+  /** Spec ledger of the LAST build()'s file skipping: (kept, total). */
+  val lastSkipLedger = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
+
+  /** Spec ledger of the LAST parquet partition reader's projected
+    * columns — how the spec pins that a pruned read does not decode
+    * unreferenced columns.
+    */
+  val lastParquetProjection = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+}
+
+class ManifestScanBuilder(path: String, tableSchema: StructType,
+    partitionBy: Seq[String] = Seq.empty, snapshotGen: Option[Long] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** ALL filters stay residual (Spark re-evaluates them row-level):
+    * min/max skipping is conservative pruning, so the scan never claims
+    * exact filter semantics it can't deliver. `pushedFilters` reports
+    * the stats-usable subset for plan display.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = ManifestMeta.skippable(filters)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
-    // ONE manifest snapshot: the scan carries its file list from here on
-    val files = ManifestSink.committedFiles(path)
-    new ManifestScan(path, files, tableSchema, required)
+    // ONE manifest read (live or a pinned snapshot generation): names,
+    // stats, and the scan's whole file list resolve from a single
+    // atomic-swap-consistent snapshot
+    val m = snapshotGen match {
+      case Some(g) =>
+        Paths.get(path).resolve("_snapshots").resolve(s"manifest-$g.json")
+      case None => Paths.get(path).resolve("manifest.json")
+    }
+    val lines: Seq[String] =
+      if (Files.exists(m)) Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      else Seq.empty
+    val names = lines.drop(1).filterNot(_.startsWith("#"))
+    val stats = ManifestMeta.statsOf(lines.drop(1))
+    val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    // a file survives unless its stats REFUTE some pushed filter; files
+    // without stats always survive
+    val kept = names.filter { n =>
+      stats.get(n).forall(fs =>
+        pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
+    }
+    ManifestRead.lastSkipLedger.set((kept.length, names.length))
+    new ManifestScan(path, kept.map(n => (n, stats.get(n))), tableSchema,
+      required, partitionBy)
   }
 }
 
-class ManifestScan(path: String, files: Seq[String], tableSchema: StructType,
-    required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+class ManifestScan(path: String,
+    files: Seq[(String, Option[ManifestMeta.FileStats])],
+    tableSchema: StructType, required: StructType,
+    partitionBy: Seq[String] = Seq.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -54,23 +113,123 @@ class ManifestScan(path: String, files: Seq[String], tableSchema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestSnapshotStream(path, tableSchema, required)
 
+  private def dataPath(n: String): String =
+    Paths.get(path).resolve("data").resolve(n).toString
+
+  /** Per-file partition-key rows, present only when EVERY file is
+    * partition-pure for every partition column: stats exist, min==max,
+    * and the column is null-free in the file. The purity is verified
+    * from the committed stats, never assumed from the write config — a
+    * file appended outside the partitioned write path simply drops the
+    * claim.
+    */
+  private lazy val fileKeys: Option[Seq[InternalRow]] = {
+    if (partitionBy.isEmpty || files.isEmpty) None
+    else {
+      val keyTypes = partitionBy.map(c =>
+        tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+      val rows = files.map { case (_, st) =>
+        st.flatMap { fs =>
+          val vals = partitionBy.zip(keyTypes).map { case (c, dt) =>
+            fs.cols.get(c).flatMap { cs =>
+              for {
+                mn <- cs.min; mx <- cs.max
+                if cs.nulls == 0L && mn == mx
+              } yield keyValue(dt, mn)
+            }
+          }
+          if (vals.forall(_.isDefined))
+            Some(InternalRow.fromSeq(vals.map(_.get)))
+          else None
+        }
+      }
+      if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
+    }
+  }
+
+  private def keyValue(dt: DataType, v: Any): Any = dt match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Long].toInt
+    case DoubleType => v.asInstanceOf[Double]
+    case StringType => UTF8String.fromString(v.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ManifestFilePartition(f): InputPartition).toArray
+    fileKeys match {
+      case Some(keys) =>
+        files.zip(keys).map { case ((n, _), k) =>
+          ManifestKeyedFilePartition(dataPath(n), k): InputPartition
+        }.toArray
+      case None =>
+        files.map { case (n, _) =>
+          ManifestFilePartition(dataPath(n)): InputPartition
+        }.toArray
+    }
+
+  /** KeyGroupedPartitioning over the identity partition transforms when
+    * every file is verified partition-pure and the key columns survive
+    * pruning — a GROUP BY the partition key (or a storage-partitioned
+    * join between two lake tables on it) then plans with NO exchange.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (fileKeys.isDefined &&
+        partitionBy.forall(required.fieldNames.contains))
+      new KeyGroupedPartitioning(
+        partitionBy.map(c => Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression).toArray,
+        planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  /** Per-partition ordering: the longest common prefix of the files'
+    * `sorted` stats claims that survives pruning. A partition is one
+    * file, so a file's internal sort order IS the partition's — except
+    * when Spark GROUPS same-key partitions (storage-partitioned reads):
+    * concatenated files lose row order, so with duplicate keys the
+    * claim drops.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (files.isEmpty) return Array.empty
+    val sortedLists = files.map(_._2.map(_.sorted).getOrElse(Seq.empty))
+    if (sortedLists.exists(_.isEmpty)) return Array.empty
+    // grouping risk: duplicate partition keys merge files into one task
+    if (fileKeys.exists(ks => ks.map(_.toString).distinct.length != ks.length))
+      return Array.empty
+    val prefix = sortedLists.reduce { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    }.takeWhile(required.fieldNames.contains)
+    prefix.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(tableSchema, required)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = files.map { f =>
-      val p = Paths.get(f)
+    private val bytes = files.map { case (n, _) =>
+      val p = Paths.get(dataPath(n))
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
+    // exact when every kept file carries stats (post-skip, pre-residual)
+    private val rows: Option[Long] =
+      if (files.forall(_._2.isDefined))
+        Some(files.map(_._2.get.rows).sum)
+      else None
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
   }
 }
 
 case class ManifestFilePartition(file: String) extends InputPartition
+
+/** A verified partition-pure file: its single partition-key tuple is
+  * the key Spark's key-grouped planning reads.
+  */
+case class ManifestKeyedFilePartition(file: String, key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** STREAMING FROM THE LAKE TABLE — the Delta/Iceberg streaming-source
   * shape: every committed generation is a replayable CHANGE SET, and a
@@ -154,9 +313,28 @@ case class SnapshotOffset(gen: Long)
 
 class ManifestReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ManifestJsonReader(p.asInstanceOf[ManifestFilePartition].file,
-      tableSchema, required)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p match {
+      case ManifestFilePartition(f) => f
+      case ManifestKeyedFilePartition(f, _) => f
+    }
+    if (file.endsWith(".parquet"))
+      new ManifestParquetReader(file, tableSchema, required)
+    else new ManifestJsonReader(file, tableSchema, required)
+  }
+}
+
+/** Lineage metadata shared by both payload readers: the committed file
+  * name and the streaming epoch its name carries (-1 for batch files).
+  */
+private[sources] trait ManifestRowProvenance {
+  def file: String
+  protected val fileName: String = Paths.get(file).getFileName.toString
+  protected val fileNameUtf8: UTF8String = UTF8String.fromString(fileName)
+  protected val epochOfFile: Long =
+    if (fileName.startsWith("e"))
+      fileName.drop(1).takeWhile(_ != '-').toLongOption.getOrElse(-1L)
+    else -1L
 }
 
 /** Streams one committed JSON-lines file as InternalRows of the pruned
@@ -164,21 +342,14 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType)
   * `{"name":value,...}` per line, values ∈ {null, integer/decimal
   * literal, escaped string}.
   */
-class ManifestJsonReader(file: String, tableSchema: StructType,
-    required: StructType) extends PartitionReader[InternalRow] {
+class ManifestJsonReader(val file: String, tableSchema: StructType,
+    required: StructType) extends PartitionReader[InternalRow]
+    with ManifestRowProvenance {
 
   private val lines = Files.newBufferedReader(
     Paths.get(file), StandardCharsets.UTF_8)
   private val types: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
-  // lineage metadata, served per-partition for free: the file name and
-  // the streaming epoch its name carries (-1 for batch-written files)
-  private val fileName = Paths.get(file).getFileName.toString
-  private val fileNameUtf8 = UTF8String.fromString(fileName)
-  private val epochOfFile: Long =
-    if (fileName.startsWith("e"))
-      fileName.drop(1).takeWhile(_ != '-').toLongOption.getOrElse(-1L)
-    else -1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -255,4 +426,78 @@ class ManifestJsonReader(file: String, tableSchema: StructType,
       case f => cells.get(f.name)
     })
   }
+}
+
+/** Streams one committed PARQUET file as InternalRows of the pruned
+  * schema through parquet-mr's record reader with a PROJECTED read
+  * schema — unreferenced column chunks are never decoded (that's
+  * parquet-mr's projection contract, pinned via
+  * [[ManifestRead.lastParquetProjection]]). Columns the table schema
+  * gained after this file was committed (ALTER ADD COLUMN) are absent
+  * from the file's footer and read back null — the same by-name
+  * resolution as the JSON path.
+  */
+class ManifestParquetReader(val file: String, tableSchema: StructType,
+    required: StructType) extends PartitionReader[InternalRow]
+    with ManifestRowProvenance {
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.api.ReadSupport
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  private val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private val hadoopPath = new org.apache.hadoop.fs.Path(file)
+
+  // columns this reader must decode: required minus metadata, minus
+  // schema-evolution columns the file doesn't have (they read null)
+  private val fileFields: Set[String] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hadoopPath, hadoopConf))
+    try r.getFooter.getFileMetaData.getSchema.getFields
+      .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
+    finally r.close()
+  }
+  private val projected: Array[org.apache.spark.sql.types.StructField] = {
+    val dataCols = required.fields.filter(f =>
+      f.name != "_file" && f.name != "_epoch" && fileFields.contains(f.name))
+    // an empty projection is invalid parquet: drive row iteration off
+    // the file's narrowest declared column instead
+    if (dataCols.nonEmpty) dataCols
+    else tableSchema.fields.filter(f => fileFields.contains(f.name)).take(1)
+  }
+  ManifestRead.lastParquetProjection.set(projected.map(_.name).toSeq)
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    hadoopConf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      ManifestParquet.messageType(StructType(projected)).toString)
+    ParquetReader.builder(new GroupReadSupport(), hadoopPath)
+      .withConf(hadoopConf).build()
+  }
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map {
+      case f if f.name == "_file" => fileNameUtf8
+      case f if f.name == "_epoch" => epochOfFile
+      case f if !fileFields.contains(f.name) => null // post-commit ADD COLUMN
+      case f =>
+        if (g.getFieldRepetitionCount(f.name) == 0) null
+        else f.dataType match {
+          case LongType => g.getLong(f.name, 0)
+          case IntegerType => g.getInteger(f.name, 0)
+          case DoubleType => g.getDouble(f.name, 0)
+          case StringType => UTF8String.fromString(g.getString(f.name, 0))
+          case other => throw new IllegalArgumentException(
+            s"unsupported manifest read type $other")
+        }
+    })
+  }
+
+  override def close(): Unit = reader.close()
 }

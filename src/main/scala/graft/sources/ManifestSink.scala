@@ -65,7 +65,10 @@ class ManifestSink extends TableProvider {
         .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
           .map(_.toLong).toSet)
         .getOrElse(Set.empty),
-      cols("clusterBy"), cols("orderBy"))
+      cols("clusterBy"), cols("orderBy"),
+      partitionBy = cols("partitionBy"),
+      format = Option(properties.get("format")).getOrElse("json"),
+      replaceFiles = cols("replaceFiles"))
   }
 }
 
@@ -91,6 +94,33 @@ object ManifestSink {
     if (!Files.exists(m)) return Seq.empty
     Files.readAllLines(m).toArray(Array.empty[String]).toSeq
       .drop(1).filter(_.startsWith("#"))
+  }
+
+  /** Per-file stats (`#s:` lines) of the live manifest, keyed by bare
+    * file name — the zone-map tier [[ManifestMeta]] evaluates skipping
+    * against. Files without a stats line simply aren't in the map (and
+    * are never skipped).
+    */
+  def fileStats(root: String): Map[String, ManifestMeta.FileStats] =
+    ManifestMeta.statsOf(ledgerLines(Paths.get(root)))
+
+  /** Read a specific committed file set (absolute paths), dispatching
+    * per file on payload format — `.parquet` files go through Spark's
+    * vectorized parquet reader, everything else through the JSON-lines
+    * reader. A manifest table may legitimately hold BOTH (a format
+    * switch mid-history rewrites nothing).
+    */
+  private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (pq, js) = files.partition(_.endsWith(".parquet"))
+    val parts = Seq(
+      if (pq.nonEmpty) Some(spark.read.schema(schema).parquet(pq: _*)) else None,
+      if (js.nonEmpty) Some(spark.read.schema(schema).json(js: _*)) else None
+    ).flatten
+    parts.reduce(_.unionByName(_))
   }
 
   /** (schema, committed file paths) from `manifest.json`, if published. */
@@ -155,9 +185,7 @@ object ManifestSink {
     val schema = StructType.fromDDL(lines.head)
     val files = lines.tail.toSeq.filterNot(_.startsWith("#"))
       .map(f => Paths.get(root).resolve("data").resolve(f).toString)
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(files: _*)
+    readDataFiles(spark, schema, files)
   }
 
   /** Epoch ids already published to the streaming manifest — parsed from
@@ -193,9 +221,7 @@ object ManifestSink {
     val (schema, files) = readManifest(Paths.get(root))
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write before reading"))
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(files: _*)
+    readDataFiles(spark, schema, files)
   }
 
   /** LAKE MAINTENANCE — manifest compaction (VERDICT r13 Next #4): the
@@ -229,13 +255,12 @@ object ManifestSink {
         s"no manifest at $root — nothing to compact"))
     if (files.size <= targetFiles) return // already compact: no-op
     val epochs = committedEpochs(root)
-    val df =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).json(files: _*)
+    val df = readDataFiles(spark, schema, files)
+    // format-preserving: an all-parquet table compacts to parquet
+    val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
     val w = df.coalesce(targetFiles)
       .write.format("graft.sources.ManifestSink")
-      .mode("overwrite").option("path", root)
+      .mode("overwrite").option("path", root).option("format", fmt)
     (if (epochs.nonEmpty)
        w.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
      else w).save()
@@ -285,22 +310,57 @@ object ManifestSink {
     * key and new keys INSERT, in one distributed job: survivors =
     * current ANTI-JOIN update-keys (a broadcast-able key-set join, never
     * row-by-row), then survivors ∪ updates republish through the atomic
-    * snapshot swap. This is the Iceberg/Delta copy-on-write MERGE shape:
-    * read-side cost zero (files stay plain), write amplification = the
-    * whole table per merge — the right trade for batch upsert cadences;
+    * snapshot swap. This is the Iceberg/Delta copy-on-write MERGE shape;
     * the pre-merge generation stays time-travel readable until vacuum.
+    *
+    * PRUNED (VERDICT r14 Next #2): write amplification is no longer the
+    * whole table — a file can contain a replaced row only if EVERY key
+    * column's [min,max] intersects the update keys' range, so files
+    * outside the key range carry into the new snapshot BY NAME,
+    * unrewritten. The key range is one tiny aggregate over `updates`
+    * (2·|keyCols| cells), never a collect of data.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, root: String,
       updates: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Unit = {
-    val current = readCommitted(spark, root)
-    val survivors = current.join(
-      org.apache.spark.sql.functions.broadcast(
-        updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .distinct()),
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    val rootP = Paths.get(root)
+    val (schema, _) = readManifest(rootP).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
+    val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val stats = fileStats(root)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // update-key envelope: one row of (min, max) per key column
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+    val bounds = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    def mayHoldKey(n: String): Boolean = stats.get(n).forall { fs =>
+      keyCols.forall { k =>
+        val lo = bounds.getAs[Any](s"mn_$k")
+        val hi = bounds.getAs[Any](s"mx_$k")
+        lo == null || hi == null ||
+          ManifestMeta.mayMatch(
+            org.apache.spark.sql.sources.And(
+              org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+              org.apache.spark.sql.sources.LessThanOrEqual(k, hi)),
+            fs, types)
+      }
+    }
+    val candidates = names.filter(mayHoldKey)
+    val candPaths = candidates.map(n =>
+      rootP.resolve("data").resolve(n).toString)
+    val survivors = readDataFiles(spark, schema, candPaths).join(
+      broadcast(updates.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
-    survivors.unionByName(updates)
+    // the using-columns join moves key columns first: restore the
+    // table's declared column order before republishing, or the merged
+    // manifest's DDL would silently permute the schema
+    val w = survivors.unionByName(updates)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .write.format("graft.sources.ManifestSink")
-      .mode("overwrite").option("path", root).save()
+      .mode("append").option("path", root)
+    (if (candidates.nonEmpty)
+       w.option("replaceFiles", candidates.mkString(","))
+     else w).save()
   }
 
   /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
@@ -437,6 +497,26 @@ object ManifestSink {
       out
     }),
 
+    // PARQUET PAYLOAD (VERDICT r14 Next #1): the same dim through the
+    // same two-phase commit protocol, but the data files are columnar
+    // snappy parquet — the 100 TB format. The oracle proves the format
+    // swap is invisible to semantics (row-exact vs the source); the
+    // column-chunk-skipping read is pinned in ManifestSinkSpec.
+    "q_sink_parquet" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.streaming.StreamQueries.fixtureDir("sinkparquet", dir, "customer")
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet")
+        .option("clusterBy", "c_nationkey").option("orderBy", "c_custkey")
+        .save()
+      readCommitted(s, root)
+    }),
+
     // write-many, compact-to-one, vacuum, read back through the manifest:
     // the full maintenance cycle under the oracle — compaction must be
     // row-exact (pre/post identity vs the parquet source) and the
@@ -514,6 +594,14 @@ object ManifestSink {
         | CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders""".stripMargin,
 
+    // the parquet payload is row-exact vs the source (same oracle shape
+    // as the JSON sink rows — the format must be invisible)
+    "q_sink_parquet" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer""".stripMargin,
+
     // compaction is row-exact: the compacted single-file table must
     // still equal the parquet source
     "q_sink_compact" ->
@@ -535,12 +623,16 @@ object ManifestSink {
 
 class ManifestTable(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty,
-    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty)
+    clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
+    partitionBy: Seq[String] = Seq.empty, format: String = "json",
+    replaceFiles: Seq[String] = Seq.empty,
+    snapshotGen: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  override def name(): String = s"manifest($path)"
+  override def name(): String =
+    s"manifest($path${snapshotGen.map(g => s"@$g").getOrElse("")})"
 
   /** LINEAGE metadata columns (`SELECT k, _file FROM t`): `_file` = the
     * committed file a row came from, `_epoch` = the streaming epoch that
@@ -577,30 +669,55 @@ class ManifestTable(path: String, schema: StructType,
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(ManifestSink.filterToColumn(_).isDefined)
 
+  /** PRUNED copy-on-write (VERDICT r14 Next #2): only files whose stats
+    * say they MAY contain a matching row are rewritten; every other
+    * committed file carries into the new snapshot BY NAME, unrewritten
+    * (spec-pinned). At 100 TB a selective DELETE touches the handful of
+    * files holding matches, not the table.
+    */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = org.apache.spark.sql.SparkSession.active
+    val rootP = Paths.get(path)
+    val names = ManifestSink.rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val stats = ManifestSink.fileStats(path)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // the DELETE matches a row iff ALL filters hold — a file with stats
+    // is a rewrite candidate only if every filter may match in it
+    val candidates = names.filter { n =>
+      stats.get(n).forall(fs =>
+        filters.forall(ManifestMeta.mayMatch(_, fs, types)))
+    }
+    if (candidates.isEmpty) return // no file can hold a match: no-op
     val cond = filters.flatMap(ManifestSink.filterToColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
     // SQL DELETE keeps rows whose predicate is FALSE or UNKNOWN — a
     // plain not(cond) would silently also delete every row where the
     // predicate evaluates to NULL (ADVICE r14): keep on NOT TRUE.
-    ManifestSink.readCommitted(spark, path)
+    val candPaths = candidates.map(n =>
+      rootP.resolve("data").resolve(n).toString)
+    ManifestSink.readDataFiles(spark, schema, candPaths)
       .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
-      .mode("overwrite").option("path", path).save()
+      .mode("append").option("path", path)
+      .option("replaceFiles", candidates.mkString(","))
+      .save()
   }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (snapshotGen.isDefined) // a pinned historical read is READ-ONLY
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap):
       org.apache.spark.sql.connector.read.ScanBuilder =
-    new ManifestScanBuilder(path, schema)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestScanBuilder(path, schema, partitionBy, snapshotGen)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (snapshotGen.isDefined) throw new UnsupportedOperationException(
+      s"table pinned VERSION AS OF ${snapshotGen.get} is read-only")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       // APPEND (plain build / INSERT INTO) adds this job's files to the
       // manifest; TRUNCATE (save-mode overwrite / INSERT OVERWRITE)
@@ -610,8 +727,9 @@ class ManifestTable(path: String, schema: StructType,
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write =
         new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy,
-          replace)
+          replace, partitionBy, format, replaceFiles)
     }
+  }
 }
 
 /** The sink's Write face. With `clusterBy`/`orderBy` set it implements
@@ -627,34 +745,63 @@ class ManifestTable(path: String, schema: StructType,
 class ManifestWrite(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
-    replace: Boolean = true)
+    replace: Boolean = true,
+    partitionBy: Seq[String] = Seq.empty, format: String = "json",
+    replaceFiles: Seq[String] = Seq.empty)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-  override def requiredDistribution(): Distribution =
-    if (clusterBy.isEmpty) Distributions.unspecified()
+  /** Partition columns cluster FIRST (each value must land wholly in
+    * one task so the writer's file-roll yields partition-PURE files),
+    * then the explicit cluster keys.
+    */
+  override def requiredDistribution(): Distribution = {
+    val cols = (partitionBy ++ clusterBy).distinct
+    if (cols.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+      cols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
 
-  /** Cluster keys first, then the explicit in-file order — rows of one
-    * cluster land contiguous AND internally sorted in each task's file.
+  /** Partition keys, then cluster keys, then the explicit in-file order
+    * — rows of one partition/cluster land contiguous AND internally
+    * sorted in each task's file (and the writer rolls a new file at
+    * every partition-value boundary, which this ordering makes a single
+    * forward pass).
     */
   override def requiredOrdering(): Array[SortOrder] =
-    (clusterBy ++ orderBy).distinct
+    (partitionBy ++ clusterBy ++ orderBy).distinct
       .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       .toArray
 
+  /** The sort-column list each staged file's stats line records — what
+    * the read side's ordering report stands on.
+    */
+  private def sortedCols: Seq[String] =
+    (partitionBy ++ clusterBy ++ orderBy).distinct
+
   override def toBatch: BatchWrite =
-    new ManifestBatchWrite(path, schema, carryEpochs, replace)
-  override def toStreaming: StreamingWrite = new ManifestStreamingWrite(path, schema)
+    new ManifestBatchWrite(path, schema, carryEpochs, replace,
+      format, partitionBy, sortedCols, replaceFiles)
+  override def toStreaming: StreamingWrite =
+    new ManifestStreamingWrite(path, schema, format, sortedCols)
 }
 
-case class StagedFile(name: String) extends WriterCommitMessage
+/** One staged file + its ready-to-publish `#s:` stats line. */
+case class StagedEntry(name: String, statsLine: String)
+
+/** A task's commit message: every file it staged (the partition-aware
+  * writer rolls a new file per partition value, so one task can stage
+  * many).
+  */
+case class StagedFileSet(files: Seq[StagedEntry]) extends WriterCommitMessage
 
 class ManifestBatchWrite(path: String, schema: StructType,
-    carryEpochs: Set[Long] = Set.empty, replace: Boolean = true)
+    carryEpochs: Set[Long] = Set.empty, replace: Boolean = true,
+    format: String = "json", partitionBy: Seq[String] = Seq.empty,
+    sortedCols: Seq[String] = Seq.empty,
+    replaceFiles: Seq[String] = Seq.empty)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -665,47 +812,74 @@ class ManifestBatchWrite(path: String, schema: StructType,
   private val jobToken = util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema, jobToken)
+    new ManifestWriterFactory(path, schema, jobToken, format, partitionBy,
+      sortedCols)
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
-    * Carried epoch ids (compaction) append as `#e:` ledger lines.
+    * Carried epoch ids (compaction) append as `#e:` ledger lines; every
+    * committed file's `#s:` stats line publishes beside it. With
+    * `replaceFiles` set (pruned DELETE/MERGE), the named prior files
+    * drop from the list — their rewritten successors are this job's
+    * files — and every OTHER prior file carries by name, unrewritten;
+    * epoch ids of replaced `e<id>-` files move into `#e:` ledger lines
+    * so streaming replay detection survives the rewrite.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(path)
     val data = root.resolve("data")
     Files.createDirectories(data)
-    val names = messages.map(_.asInstanceOf[StagedFile].name).sorted
-    names.foreach { n =>
-      Files.move(root.resolve("_staging").resolve(n), data.resolve(n),
+    val staged = messages.iterator
+      .flatMap(_.asInstanceOf[StagedFileSet].files).toSeq.sortBy(_.name)
+    staged.foreach { e =>
+      Files.move(root.resolve("_staging").resolve(e.name), data.resolve(e.name),
         StandardCopyOption.REPLACE_EXISTING)
     }
     // append keeps the prior file list (and its ledger lines); replace
     // starts fresh — either way ONE atomic snapshot publish
+    val replaced = replaceFiles.toSet
     val prior =
       if (replace) Seq.empty
       else ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
+        .filterNot(replaced)
     val priorLedger =
-      if (replace) Seq.empty else ManifestSink.ledgerLines(root)
+      if (replace) Seq.empty
+      else ManifestSink.ledgerLines(root).filterNot { l =>
+        // drop the stats lines of replaced files; keep everything else
+        ManifestMeta.isStatsLine(l) &&
+          replaced.contains(ManifestMeta.parseStatsLine(l)._1)
+      }
+    // a replaced streaming file's epoch must stay committed: carry it
+    // as a ledger line (idempotent against lines already present)
+    val alreadyLedgered = priorLedger.filter(_.startsWith("#e:")).toSet
+    val replacedEpochs = replaceFiles.flatMap { n =>
+      if (n.startsWith("e")) n.drop(1).takeWhile(_ != '-').toLongOption else None
+    }.map(e => s"#e:$e").distinct.filterNot(alreadyLedgered)
     val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")
+    val statsLines = staged.map(_.statsLine)
     ManifestSink.publish(root,
-      schema.toDDL +: (prior ++ names.toSeq ++ priorLedger ++ ledger))
+      schema.toDDL +: (prior ++ staged.map(_.name) ++ priorLedger ++
+        replacedEpochs ++ ledger ++ statsLines))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = Paths.get(path).resolve("_staging")
     messages.filter(_ != null).foreach { m =>
-      Files.deleteIfExists(staging.resolve(m.asInstanceOf[StagedFile].name))
+      m.asInstanceOf[StagedFileSet].files.foreach { e =>
+        Files.deleteIfExists(staging.resolve(e.name))
+      }
     }
   }
 }
 
 class ManifestWriterFactory(path: String, schema: StructType,
-    jobToken: String = "job")
+    jobToken: String = "job", format: String = "json",
+    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
-      f"part-$jobToken-$partitionId%05d-$taskId.json")
+      f"part-$jobToken-$partitionId%05d-$taskId", format, partitionBy,
+      sortedCols)
 }
 
 /** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
@@ -732,78 +906,73 @@ class ManifestWriterFactory(path: String, schema: StructType,
   * owns the table — Spark serializes epoch commits within a query, so
   * the read-modify-swap of the manifest never races itself.
   */
-class ManifestStreamingWrite(path: String, schema: StructType)
+class ManifestStreamingWrite(path: String, schema: StructType,
+    format: String = "json", sortedCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(path, schema)
+    new ManifestStreamingWriterFactory(path, schema, format, sortedCols)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(path)
     val staging = root.resolve("_staging")
-    val names = messages.map(_.asInstanceOf[StagedFile].name).sorted
+    val staged = messages.iterator
+      .flatMap(_.asInstanceOf[StagedFileSet].files).toSeq.sortBy(_.name)
     if (ManifestSink.committedEpochs(path).contains(epochId)) {
       // epoch replay after recovery: already published — the staged
       // re-run output must vanish, not double-publish
-      names.foreach(n => Files.deleteIfExists(staging.resolve(n)))
+      staged.foreach(e => Files.deleteIfExists(staging.resolve(e.name)))
       return
     }
     val data = root.resolve("data")
     Files.createDirectories(data)
-    names.foreach { n =>
-      Files.move(staging.resolve(n), data.resolve(n),
+    staged.foreach { e =>
+      Files.move(staging.resolve(e.name), data.resolve(e.name),
         StandardCopyOption.REPLACE_EXISTING)
     }
     val prior = ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
-    // carry any `#e:` ledger lines (epochs whose files a compaction
-    // rewrote) — dropping them would re-open those epochs to replay
+    // carry any `#e:`/`#s:` ledger lines (epochs whose files a
+    // compaction rewrote; stats of prior files) — dropping `#e:` would
+    // re-open those epochs to replay
     val ledger = ManifestSink.ledgerLines(root)
-    ManifestSink.publish(root, schema.toDDL +: (prior ++ names ++ ledger))
+    ManifestSink.publish(root, schema.toDDL +:
+      (prior ++ staged.map(_.name) ++ ledger ++ staged.map(_.statsLine)))
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val staging = Paths.get(path).resolve("_staging")
     messages.filter(_ != null).foreach { m =>
-      Files.deleteIfExists(staging.resolve(m.asInstanceOf[StagedFile].name))
+      m.asInstanceOf[StagedFileSet].files.foreach { e =>
+        Files.deleteIfExists(staging.resolve(e.name))
+      }
     }
   }
 }
 
-class ManifestStreamingWriterFactory(path: String, schema: StructType)
+class ManifestStreamingWriterFactory(path: String, schema: StructType,
+    format: String = "json", sortedCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
-      f"e$epochId-part-$partitionId%05d-$taskId.json")
+      f"e$epochId-part-$partitionId%05d-$taskId", format, Seq.empty,
+      sortedCols)
 }
 
-/** Task-side writer: JSON lines into a uniquely-named staging file
-  * (batch: (partition, task)-keyed; streaming: epoch-prefixed) — task
-  * retries/speculation stage under different names and only the
-  * committed attempt's message reaches the driver, so duplicates never
-  * publish.
+/** One staged payload file being written — the closed row-serialization
+  * contract both formats implement (long/int/double/string/null).
   */
-class ManifestDataWriter(path: String, schema: StructType,
-    name: String) extends DataWriter[InternalRow] {
+private[sources] trait RowFileWriter {
+  def write(row: InternalRow): Unit
+  def close(): Unit
+}
 
-  private val staging = Paths.get(path).resolve("_staging")
-  Files.createDirectories(staging)
-  private val out = Files.newBufferedWriter(staging.resolve(name),
-    StandardCharsets.UTF_8)
-
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
+/** JSON-lines payload (the original inspectable format). */
+private[sources] final class JsonRowFileWriter(file: Path, schema: StructType)
+    extends RowFileWriter {
+  private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
   override def write(row: InternalRow): Unit = {
     val cells = schema.fields.zipWithIndex.map { case (f, i) =>
       val v =
@@ -812,21 +981,177 @@ class ManifestDataWriter(path: String, schema: StructType,
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
           case DoubleType => row.getDouble(i).toString
-          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case StringType => ManifestMeta.quote(row.getUTF8String(i).toString)
           case other =>
             throw new IllegalArgumentException(s"unsupported sink type $other")
         }
       "\"" + f.name + "\":" + v
     }
     out.write(cells.mkString("{", ",", "}"))
-    out.newLine()
+    out.write("\n")
+  }
+  override def close(): Unit = out.close()
+}
+
+/** PARQUET payload (VERDICT r14 Next #1 — the 100 TB format): columnar,
+  * snappy-compressed, written through parquet-mr's public example API
+  * so the commit protocol stays byte-identical to the JSON path (stage
+  * → move → manifest swap) while the payload gains column-chunk
+  * skipping. Spark's own vectorized reader consumes these files on the
+  * rewrite paths ([[ManifestSink.readDataFiles]]); the connector read
+  * path projects only the pruned columns (see ManifestParquetReader).
+  */
+private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType)
+    extends RowFileWriter {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+
+  private val mt = ManifestParquet.messageType(schema)
+  private val factory = new SimpleGroupFactory(mt)
+  private val writer = ExampleParquetWriter
+    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration()))
+    .withType(mt)
+    .withCompressionCodec(CompressionCodecName.SNAPPY)
+    .build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    val fields = schema.fields
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case StringType =>
+          g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported sink type $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+  override def close(): Unit = writer.close()
+}
+
+/** Task-side writer: rows stream into uniquely-named staging files
+  * (batch: (partition, task)-keyed; streaming: epoch-prefixed) — task
+  * retries/speculation stage under different names and only the
+  * committed attempt's message reaches the driver, so duplicates never
+  * publish. With `partitionBy` set the writer ROLLS to a new file at
+  * every partition-value boundary (rows arrive sorted by the partition
+  * columns — the Write's requiredOrdering guarantees it), so every
+  * committed file is partition-PURE: the property the read side's
+  * KeyGroupedPartitioning report stands on. Per-file column stats
+  * accumulate as rows pass and ship in the commit message.
+  */
+class ManifestDataWriter(path: String, schema: StructType,
+    baseName: String, format: String = "json",
+    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty)
+    extends DataWriter[InternalRow] {
+
+  private val staging = Paths.get(path).resolve("_staging")
+  Files.createDirectories(staging)
+  private val ext = if (format == "parquet") "parquet" else "json"
+  private val partIdx: Array[Int] = partitionBy.map { c =>
+    val i = schema.fieldIndex(c)
+    schema.fields(i).dataType match {
+      case LongType | IntegerType | DoubleType | StringType => i
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for $c")
+    }
+  }.toArray
+
+  private val staged = Seq.newBuilder[StagedEntry]
+  private var fileSeq = 0
+  private var currentName: String = _
+  private var out: RowFileWriter = _
+  private var stats: ManifestMeta.StatsCollector = _
+  private var currentKey: Array[Any] = _
+
+  private def keyOf(row: InternalRow): Array[Any] =
+    partIdx.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType => row.getDouble(i)
+        case StringType => row.getUTF8String(i).toString
+      }
+    }
+
+  private def open(): Unit = {
+    currentName = if (partIdx.isEmpty && fileSeq == 0) s"$baseName.$ext"
+                  else f"$baseName-r$fileSeq%04d.$ext"
+    fileSeq += 1
+    val p = staging.resolve(currentName)
+    out = if (format == "parquet") new ParquetRowFileWriter(p, schema)
+          else new JsonRowFileWriter(p, schema)
+    stats = new ManifestMeta.StatsCollector(schema)
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name) }
-  override def abort(): Unit = {
+  private def seal(): Unit = if (out != null) {
     out.close()
-    Files.deleteIfExists(staging.resolve(name))
+    staged += StagedEntry(currentName,
+      ManifestMeta.statsLine(currentName, stats.result(sortedCols)))
+    out = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (partIdx.nonEmpty) {
+      val k = keyOf(row)
+      if (out == null || !java.util.Arrays.equals(
+          currentKey.asInstanceOf[Array[AnyRef]], k.asInstanceOf[Array[AnyRef]])) {
+        seal()
+        open()
+        currentKey = k
+      }
+    } else if (out == null) open()
+    stats.observe(row)
+    out.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    seal()
+    StagedFileSet(staged.result())
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    staged.result().foreach(e => Files.deleteIfExists(staging.resolve(e.name)))
+    if (currentName != null) Files.deleteIfExists(staging.resolve(currentName))
     ()
   }
   override def close(): Unit = ()
+}
+
+/** StructType ↔ parquet MessageType for the closed column-type set. */
+private[sources] object ManifestParquet {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(
+          Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case IntegerType => b.addField(
+          Types.optional(PrimitiveTypeName.INT32).named(f.name))
+        case DoubleType => b.addField(
+          Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
+        case StringType => b.addField(
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported sink type $other")
+      }
+    }
+    b.named("graft")
+  }
 }

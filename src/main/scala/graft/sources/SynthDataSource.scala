@@ -106,12 +106,13 @@ object SynthDataSource {
     * correctness.
     */
   def withBucketingConfs(s: org.apache.spark.sql.SparkSession,
-      pushPartValues: Boolean = false)(
+      pushPartValues: Boolean = false, disableBroadcast: Boolean = false)(
       body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = s.conf
     val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-      "spark.sql.requireAllClusterKeysForCoPartition")
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> c.getOption(k)).toMap
     try {
       c.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -120,6 +121,10 @@ object SynthDataSource {
         // join keys strictly containing the partition key still co-locate
         c.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
       }
+      // a storage-partitioned-join demo row must not dissolve into a
+      // broadcast at test SF — the registry constant pins the CO-
+      // PARTITIONED plan the 100 TB deployment would take
+      if (disableBroadcast) c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       body.localCheckpoint()
     } finally saved.foreach {
       case (k, Some(v)) => c.set(k, v)

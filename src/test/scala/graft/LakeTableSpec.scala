@@ -1,0 +1,406 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestRead, ManifestSink}
+
+/** The round-15 lake-tier claims, pinned where they are observable:
+  * parquet payloads round-trip value-exact and decode only projected
+  * columns, per-file stats publish at commit and prune scans losslessly,
+  * selective DELETE/MERGE rewrite only candidate files (untouched files
+  * carry BY NAME), identity-partitioned tables write partition-pure
+  * sorted files and read back with KeyGroupedPartitioning + reported
+  * ordering (zero-exchange joins and sort-free windows on STORED data),
+  * and SQL time travel resolves snapshot generations.
+  */
+class LakeTableSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s
+  }
+
+  private def freshRoot(tag: String): String = {
+    val p = Paths.get(s"/tmp/graft_lake_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
+  private def withBucketing[T](body: => T): T = {
+    val c = spark.conf
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      c.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      c.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // tiny spec tables must not dissolve the SPJ into a broadcast
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
+  test("parquet payload round-trips value-exact: escapes, nulls, NaN, long strings") {
+    import spark.implicits._
+    val root = freshRoot("pq_roundtrip")
+    val long = "x" * 200 // > MaxStatString: poisons stats, must still round-trip
+    val src = Seq(
+      (1L, "plain", 1.5, "x"),
+      (2L, "quote\"back\\slash", -0.25, null),
+      (3L, "tab\tnew\nline", Double.NaN, long),
+      (4L, "", 0.0, "y")
+    ).toDF("k", "s", "d", "opt")
+    src.write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", "parquet").save()
+    val files = ManifestSink.committedFiles(root)
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")),
+      s"parquet format must stage parquet payloads: $files")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    // helper read (Spark's vectorized parquet reader)
+    assert(canon(ManifestSink.readCommitted(spark, root)) == canon(src))
+    // connector read (the custom parquet partition reader)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pq_rt")
+    spark.sql("CREATE TABLE graft_cat.lake.pq_rt (k BIGINT, s STRING, d DOUBLE, " +
+      s"opt STRING) USING graft OPTIONS (path '$root')")
+    assert(canon(spark.sql("SELECT * FROM graft_cat.lake.pq_rt")) == canon(src))
+    spark.sql("DROP TABLE graft_cat.lake.pq_rt")
+  }
+
+  test("parquet pruned read decodes ONLY the projected columns") {
+    import spark.implicits._
+    val root = freshRoot("pq_prune")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pq_pr")
+    spark.sql("CREATE TABLE graft_cat.lake.pq_pr (k BIGINT, v STRING, w BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT v FROM graft_cat.lake.pq_pr")
+      .collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // parquet-mr's projection contract: non-projected column chunks are
+    // never decoded — the reader's requested schema is the proof surface
+    assert(ManifestRead.lastParquetProjection.get() == Seq("v"),
+      s"pruned parquet read must project only [v], got " +
+        s"${ManifestRead.lastParquetProjection.get()}")
+    spark.sql("DROP TABLE graft_cat.lake.pq_pr")
+  }
+
+  /** A 100-row, 10-partition-value table the skipping tests share. */
+  private def makePartitioned(tag: String, format: String): String = {
+    val root = freshRoot(tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.lake.$tag")
+    spark.sql(s"CREATE TABLE graft_cat.lake.$tag (b BIGINT, k BIGINT, v STRING) " +
+      s"USING graft PARTITIONED BY (b) " +
+      s"OPTIONS (path '$root', format '$format', orderBy 'k')")
+    import spark.implicits._
+    // scrambled input: the layout must come from the declared transform
+    (0L until 100L).map(i => (i * 37 % 100) / 10 -> (i * 37 % 100))
+      .map { case (b, k) => (b, k, s"v$k") }
+      .toDF("b", "k", "v").createOrReplaceTempView(s"src_$tag")
+    spark.sql(s"INSERT INTO graft_cat.lake.$tag SELECT * FROM src_$tag")
+    root
+  }
+
+  test("commit publishes per-file stats; min/max skipping prunes the scan losslessly") {
+    val root = makePartitioned("skip_t", "parquet")
+    val names = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString)
+    assert(names.size == 10, s"10 partition values -> 10 pure files: $names")
+    val stats = ManifestSink.fileStats(root)
+    assert(names.forall(stats.contains), "every committed file needs a stats line")
+    // partition purity recorded: b min == max, null-free
+    assert(stats.values.forall { fs =>
+      val b = fs.cols("b"); b.min == b.max && b.nulls == 0L && fs.rows == 10L
+    })
+    // k is range-tight per file, and the sort claim is recorded
+    assert(stats.values.forall(_.sorted == Seq("b", "k")))
+    // a selective predicate reads only stats-overlapping files
+    val out = spark.sql("SELECT k FROM graft_cat.lake.skip_t WHERE k >= 85")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == (85L until 100L).toSet, "skipping must be lossless")
+    val (kept, total) = ManifestRead.lastSkipLedger.get()
+    assert(total == 10 && kept == 2,
+      s"k >= 85 overlaps only files b=8 (80..89) and b=9: kept=$kept total=$total")
+    spark.sql("DROP TABLE graft_cat.lake.skip_t")
+  }
+
+  test("partition-column equality reads exactly one file") {
+    val root = makePartitioned("prune_t", "json")
+    val out = spark.sql("SELECT k FROM graft_cat.lake.prune_t WHERE b = 3")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == (30L until 40L).toSet)
+    val (kept, total) = ManifestRead.lastSkipLedger.get()
+    assert(total == 10 && kept == 1,
+      s"b = 3 must prune to the one pure file: kept=$kept total=$total")
+    spark.sql("DROP TABLE graft_cat.lake.prune_t")
+  }
+
+  test("selective DELETE rewrites only candidate files; untouched carry by name") {
+    val root = makePartitioned("del_t", "parquet")
+    val before = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    assert(before.size == 10)
+    spark.sql("DELETE FROM graft_cat.lake.del_t WHERE k >= 95")
+    val after = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    // only the b=9 file (k 90..99) could hold matches: the other 9
+    // committed files must republish UNREWRITTEN — same names
+    val carried = before.intersect(after)
+    assert(carried.size == 9,
+      s"9 of 10 files must carry by name: before=$before after=$after")
+    // the rewritten b=9 successor holds exactly the survivors
+    assert(spark.sql("SELECT k FROM graft_cat.lake.del_t")
+      .collect().map(_.getLong(0)).toSet == (0L until 95L).toSet)
+    // stats lines follow the file list: no stale entry for the replaced
+    // file, fresh entry for its successor
+    val stats = ManifestSink.fileStats(root)
+    assert(stats.keySet == after, s"stats must track the live file set")
+    // a DELETE whose predicate no file can satisfy is a metadata no-op
+    val gens = ManifestSink.snapshots(root).size
+    spark.sql("DELETE FROM graft_cat.lake.del_t WHERE k >= 1000")
+    assert(ManifestSink.snapshots(root).size == gens,
+      "an all-files-skipped DELETE must publish nothing")
+    spark.sql("DROP TABLE graft_cat.lake.del_t")
+  }
+
+  test("pruned MERGE carries files outside the update-key range by name") {
+    import spark.implicits._
+    val root = freshRoot("merge_t")
+    (0L until 100L).map(i => (i / 10, i, s"v$i")).toDF("b", "k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("partitionBy", "b").option("orderBy", "k").save()
+    val before = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    assert(before.size == 10)
+    // phase 1: update keys 42 and 44 — only the b=4 file (k 40..49)
+    // intersects the [42, 44] key envelope; the other 9 carry by name
+    ManifestSink.merge(spark, root,
+      Seq((4L, 42L, "UP42"), (4L, 44L, "UP44")).toDF("b", "k", "v"), Seq("k"))
+    val after1 = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    assert(before.intersect(after1).size == 9,
+      s"only the k-range-overlapping file may rewrite: before=$before after=$after1")
+    // phase 2: a pure INSERT (key 204 beyond every file's range) —
+    // candidates empty, so ALL current files carry and the update appends
+    ManifestSink.merge(spark, root,
+      Seq((20L, 204L, "NEW")).toDF("b", "k", "v"), Seq("k"))
+    val after2 = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    assert(after1.subsetOf(after2),
+      s"an out-of-range merge must rewrite nothing: $after1 -> $after2")
+    val rows = ManifestSink.readCommitted(spark, root)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(rows.size == 101 && rows(42L) == "UP42" && rows(44L) == "UP44" &&
+      rows(43L) == "v43" && rows(204L) == "NEW" && rows(0L) == "v0")
+  }
+
+  test("storage-partitioned join of two STORED lake tables: zero exchange, zero sort") {
+    import SparkTestBase.collectInPlan
+    import spark.implicits._
+    withBucketing {
+      val r1 = freshRoot("spj_a")
+      val r2 = freshRoot("spj_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_spj_a")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spec_spj_b")
+      spark.sql("CREATE TABLE graft_cat.lake.spec_spj_a (pb BIGINT, k BIGINT, x BIGINT) " +
+        s"USING graft PARTITIONED BY (pb) OPTIONS (path '$r1', format 'parquet', orderBy 'k')")
+      spark.sql("CREATE TABLE graft_cat.lake.spec_spj_b (pb BIGINT, k BIGINT, tag STRING) " +
+        s"USING graft PARTITIONED BY (pb) OPTIONS (path '$r2', format 'parquet', orderBy 'k')")
+      (0L until 400L).map(i => (i / 50, i, i * 3)).toDF("pb", "k", "x")
+        .createOrReplaceTempView("spj_src_a")
+      // side b misses some partitions (only k < 300): exercises the
+      // partially-pushed partition-values path
+      (0L until 300L).map(i => (i / 50, i, s"t${i % 7}")).toDF("pb", "k", "tag")
+        .createOrReplaceTempView("spj_src_b")
+      spark.sql("INSERT INTO graft_cat.lake.spec_spj_a SELECT * FROM spj_src_a")
+      spark.sql("INSERT INTO graft_cat.lake.spec_spj_b SELECT * FROM spj_src_b")
+      val joined = spark.sql(
+        """SELECT a.pb, a.k, a.x, b.tag
+          |FROM graft_cat.lake.spec_spj_a a
+          |JOIN graft_cat.lake.spec_spj_b b ON a.pb = b.pb AND a.k = b.k""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 300)
+      assert(rows.map(_.getLong(1)).toSet == (0L until 300L).toSet)
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = collectInPlan(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      val sorts = collectInPlan(plan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(exchanges.isEmpty,
+        s"storage-partitioned lake join must plan with zero exchange:\n$plan")
+      assert(sorts.isEmpty,
+        s"reported (pb, k) ordering must delete both sort nodes:\n$plan")
+      spark.sql("DROP TABLE graft_cat.lake.spec_spj_a")
+      spark.sql("DROP TABLE graft_cat.lake.spec_spj_b")
+    }
+  }
+
+  test("layout-aware window over the stored table: no sort, no exchange") {
+    import SparkTestBase.collectInPlan
+    withBucketing {
+      makePartitioned("win_t", "parquet")
+      val df = spark.sql(
+        """SELECT * FROM (
+          |  SELECT b, k, row_number() OVER (PARTITION BY b ORDER BY k) AS rn
+          |  FROM graft_cat.lake.win_t)
+          |WHERE rn <= 2""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 20 &&
+        rows.map(r => (r.getLong(0), r.getLong(1))).sorted.take(4).toSeq ==
+          Seq((0L, 0L), (0L, 1L), (1L, 10L), (1L, 11L)))
+      val plan = df.queryExecution.executedPlan
+      assert(collectInPlan(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"key-grouped scan must satisfy the window's clustering:\n$plan")
+      assert(collectInPlan(plan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"reported (b, k) ordering must delete the window sort:\n$plan")
+      spark.sql("DROP TABLE graft_cat.lake.win_t")
+    }
+  }
+
+  test("duplicate partition keys (two appends): grouped read stays correct, ordering claim drops") {
+    import spark.implicits._
+    withBucketing {
+      val root = freshRoot("dup_t")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.dup_t")
+      spark.sql("CREATE TABLE graft_cat.lake.dup_t (b BIGINT, k BIGINT) " +
+        s"USING graft PARTITIONED BY (b) OPTIONS (path '$root', orderBy 'k')")
+      (0L until 40L).map(i => (i / 10, i)).toDF("b", "k")
+        .createOrReplaceTempView("dup_src1")
+      (40L until 80L).map(i => (i % 4, i)).toDF("b", "k")
+        .createOrReplaceTempView("dup_src2")
+      spark.sql("INSERT INTO graft_cat.lake.dup_t SELECT * FROM dup_src1")
+      spark.sql("INSERT INTO graft_cat.lake.dup_t SELECT * FROM dup_src2")
+      // every b value now spans TWO files — the key-grouped rollup must
+      // still be exact (Spark groups same-key partitions into one task)
+      val out = spark.sql(
+        "SELECT b, count(*) AS n, sum(k) AS s FROM graft_cat.lake.dup_t GROUP BY b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = ((0L until 40L).map(i => (i / 10, i)) ++
+        (40L until 80L).map(i => (i % 4, i)))
+        .groupBy(_._1).map { case (b, xs) => (b, xs.size.toLong, xs.map(_._2).sum) }
+        .toSet
+      assert(out == expect)
+      spark.sql("DROP TABLE graft_cat.lake.dup_t")
+    }
+  }
+
+  test("VERSION AS OF resolves generations; unknown generations fail loudly") {
+    import spark.implicits._
+    val root = freshRoot("tt_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.tt_t")
+    spark.sql("CREATE TABLE graft_cat.lake.tt_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.tt_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft_cat.lake.tt_t VALUES (9, 'z')")
+    val Seq(g1, g2) = ManifestSink.snapshots(root)
+    assert(spark.sql(s"SELECT k FROM graft_cat.lake.tt_t VERSION AS OF $g1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.sql(s"SELECT k FROM graft_cat.lake.tt_t VERSION AS OF $g2")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    // live read unaffected
+    assert(spark.sql("SELECT k FROM graft_cat.lake.tt_t")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT k FROM graft_cat.lake.tt_t VERSION AS OF 9999").collect()
+    }
+    assert(err.getMessage.contains("available"),
+      s"unknown generation must list available ones: ${err.getMessage}")
+    spark.sql("DROP TABLE graft_cat.lake.tt_t")
+  }
+
+  test("non-identity PARTITIONED BY is refused loudly, not silently dropped") {
+    val root = freshRoot("refuse_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.refuse_t")
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.lake.refuse_t (k BIGINT) " +
+        s"USING graft PARTITIONED BY (bucket(4, k)) OPTIONS (path '$root')")
+    }
+    assert(err.getMessage.contains("identity"),
+      s"bucket transforms must be refused with the capability named: ${err.getMessage}")
+  }
+
+  test("warehouse catalog persists table definitions across instances") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = freshRoot("wh")
+    val data = freshRoot("wh_data")
+    def newCatalog(): graft.sources.GraftCatalog = {
+      val c = new graft.sources.GraftCatalog
+      c.initialize("graft_wh", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("warehouse" -> wh).asJava))
+      c
+    }
+    val ident = Identifier.of(Array("lake"), "persisted_t")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val c1 = newCatalog()
+    c1.createTable(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      Map("path" -> data).asJava)
+    // a SECOND instance (a restarted session) sees the definition
+    val c2 = newCatalog()
+    val t = c2.loadTable(ident)
+    assert(t.schema().toDDL == schema.toDDL)
+    assert(c2.listTables(Array("lake")).map(_.name()).toSeq == Seq("persisted_t"))
+    // ALTER persists too
+    c1.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+        Array("extra"), org.apache.spark.sql.types.LongType))
+    assert(newCatalog().loadTable(ident).schema().fieldNames.toSeq ==
+      Seq("k", "v", "extra"))
+    // DROP persists: a fresh instance no longer sees it
+    assert(c1.dropTable(ident))
+    assert(newCatalog().listTables(Array("lake")).isEmpty)
+    // without a warehouse option the catalog stays session-scoped
+    val mem = new graft.sources.GraftCatalog
+    mem.initialize("graft_mem",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(mem.listTables(Array("lake")).isEmpty)
+  }
+
+  test("mixed payload formats coexist in one manifest") {
+    import spark.implicits._
+    val root = freshRoot("mixed_t")
+    Seq((1L, "j")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    Seq((2L, "p")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    val names = ManifestSink.committedFiles(root)
+    assert(names.exists(_.endsWith(".json")) && names.exists(_.endsWith(".parquet")))
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "j"), (2L, "p")))
+    // the connector read dispatches per file too
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.mixed_t")
+    spark.sql("CREATE TABLE graft_cat.lake.mixed_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT k, v FROM graft_cat.lake.mixed_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "j"), (2L, "p")))
+    spark.sql("DROP TABLE graft_cat.lake.mixed_t")
+  }
+}
