@@ -263,6 +263,72 @@ object GraftCatalog {
       }
     }),
 
+    // METADATA-ONLY AGGREGATES: count/count(col)/min/max grouped by the
+    // partition column answer ENTIRELY from the manifest's per-file
+    // stats — the plan's scan is ManifestAggScan and zero data files
+    // open (pinned in LakeTableSpec). At 100 TB `SELECT count(*)` costs
+    // a manifest read, not a table scan; the oracle proves the
+    // stats-fold is exact, not an estimate.
+    "q_lake_meta_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_meta_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_meta")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_meta")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_meta
+           | (c_mktsegment STRING, c_custkey BIGINT, c_name STRING, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (c_mktsegment)
+           | OPTIONS (path '$tmp', format 'parquet', orderBy 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.cust_meta
+          |SELECT c_mktsegment, CAST(c_custkey AS BIGINT), c_name,
+          | CAST(round(c_acctbal * 100) AS BIGINT)
+          |FROM cust_src_meta""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+          | CAST(count(c_name) AS BIGINT) AS named,
+          | CAST(min(c_custkey) AS BIGINT) AS lo_key,
+          | CAST(max(c_custkey) AS BIGINT) AS hi_key,
+          | min(c_name) AS first_name,
+          | CAST(min(bal_cents) AS BIGINT) AS lo_bal,
+          | CAST(max(bal_cents) AS BIGINT) AS hi_bal
+          |FROM graft_cat.lake.cust_meta
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // RUNTIME FILE PRUNING on the STORED table (the lake twin of
+    // q_dsv2_runtime_filter): the 1M-id synth domain lands in a lake
+    // table partitioned by its id bucket; the dim filter sits on a
+    // NON-join attribute (priority), so the surviving join keys exist
+    // only at runtime — Spark hands them to the manifest scan, which
+    // drops every committed file whose [min,max] id range holds none of
+    // them (file-count drop pinned in LakeTableSpec). Correctness never
+    // depends on the pruning firing.
+    "q_lake_runtime_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.streaming.StreamQueries.fixtureDir("lakertf", dir, "orders")
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "1000000").option("bucketWidth", "62500").load()
+        .select(col("bucket"), col("id"), col("channel"), col("amount_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet")
+        .option("partitionBy", "bucket").option("orderBy", "id")
+        .save()
+      // read through the CONNECTOR scan (not the helper): runtime
+      // filtering is a DSv2 capability of ManifestScan
+      val fact = s.read.format("graft.sources.ManifestSink")
+        .option("path", root).option("partitionBy", "bucket").load()
+        .select(col("id"), col("channel"), col("amount_cents"))
+      graft.Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(fact, col("o_orderkey") === col("id"))
+        .groupBy(col("channel"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    }),
+
     // VERSION AS OF through the catalog (VERDICT r14 Next #4): the SQL
     // twin of q_sink_snapshot — two committed generations addressed by
     // plain SQL time travel; the as-of read of the pre-overwrite
@@ -437,6 +503,29 @@ object GraftCatalog {
         | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    // the stats-fold must be EXACT (count/min/max per segment equal the
+    // data), not an estimate
+    "q_lake_meta_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(c_name) AS BIGINT) AS named,
+        | CAST(min(c_custkey) AS BIGINT) AS lo_key,
+        | CAST(max(c_custkey) AS BIGINT) AS hi_key,
+        | min(c_name) AS first_name,
+        | CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS lo_bal,
+        | CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // the runtime file pruning is a plan optimization, not a semantics
+    // change: the oracle generates cells at the surviving keys directly
+    // (same reduction the runtime filter performs inside the engine)
+    "q_lake_runtime_filter" ->
+      s"""SELECT channel, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(amount_cents) AS BIGINT) AS cents
+         |FROM (SELECT o_orderpriority, ${SynthDataSource.oracleCells("o_orderkey")}
+         |      FROM orders
+         |      WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 1000000) z
+         |GROUP BY 1, 2""".stripMargin,
 
     // SQL time travel reads exactly what the helper-addressed snapshot
     // read proved in q_sink_snapshot (same oracle)

@@ -48,17 +48,23 @@ object ManifestRead {
     * unreferenced columns.
     */
   val lastParquetProjection = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+
+  /** Spec ledger of the LAST runtime filter() call: (kept, before). */
+  val lastRuntimeLedger = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
 }
 
 class ManifestScanBuilder(path: String, tableSchema: StructType,
     partitionBy: Seq[String] = Seq.empty, snapshotGen: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggRows: Option[Seq[Seq[Any]]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // with an aggregation pushed, the agg fixes the output schema
+    if (aggRows.isEmpty) required = requiredSchema
 
   /** ALL filters stay residual (Spark re-evaluates them row-level):
     * min/max skipping is conservative pruning, so the scan never claims
@@ -71,39 +77,218 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    // ONE manifest read (live or a pinned snapshot generation): names,
-    // stats, and the scan's whole file list resolve from a single
-    // atomic-swap-consistent snapshot
+  /** ONE manifest read (live or a pinned snapshot generation): names,
+    * stats, and the scan's whole file list resolve from a single
+    * atomic-swap-consistent snapshot — shared by aggregate pushdown and
+    * build().
+    */
+  private lazy val manifestLines: Seq[String] = {
     val m = snapshotGen match {
       case Some(g) =>
         Paths.get(path).resolve("_snapshots").resolve(s"manifest-$g.json")
       case None => Paths.get(path).resolve("manifest.json")
     }
-    val lines: Seq[String] =
-      if (Files.exists(m)) Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-      else Seq.empty
-    val names = lines.drop(1).filterNot(_.startsWith("#"))
-    val stats = ManifestMeta.statsOf(lines.drop(1))
-    val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    // a file survives unless its stats REFUTE some pushed filter; files
-    // without stats always survive
-    val kept = names.filter { n =>
-      stats.get(n).forall(fs =>
-        pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
+    if (Files.exists(m)) Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+    else Seq.empty
+  }
+  private lazy val allNames: Seq[String] =
+    manifestLines.drop(1).filterNot(_.startsWith("#"))
+  private lazy val stats: Map[String, ManifestMeta.FileStats] =
+    ManifestMeta.statsOf(manifestLines.drop(1))
+
+  /** METADATA-ONLY AGGREGATES: COUNT(*) / COUNT(col) / MIN(col) /
+    * MAX(col), globally or grouped by the identity partition column,
+    * answered EXACTLY from the per-file stats — the scan emits the
+    * final row(s) without opening a single data file (the classic
+    * `SELECT count(*) FROM t` lake fast path; at 100 TB it's the
+    * difference between a manifest read and a table scan). Complete
+    * pushdown is only claimed when it is exact: every file carries
+    * stats, and min/max columns are unpoisoned (no NaN doubles, no
+    * oversize strings — those files dropped their bounds and the
+    * pushdown refuses). Filters never combine with this path: the scan
+    * keeps every filter residual, so Spark only offers aggregation on
+    * filter-free plans.
+    */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPlanAggregate(aggregation)
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPlanAggregate(aggregation)
+
+  private def tryPlanAggregate(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    // each probe re-plans from scratch: Spark may test complete pushdown
+    // with one Aggregation and then push a different (partial) shape —
+    // build() must reflect exactly the LAST accepted plan
+    aggRows = None
+    if (pushed.nonEmpty) return false // defensive: stats ignore filters
+    if (allNames.isEmpty && manifestLines.isEmpty) return false // no manifest yet
+    // every committed file must carry stats, or counts would be guesses
+    if (!allNames.forall(stats.contains)) return false
+    val fileStats = allNames.map(stats)
+
+    def fieldOf(r: NamedReference): Option[org.apache.spark.sql.types.StructField] =
+      if (r.fieldNames().length == 1)
+        tableSchema.fields.find(_.name == r.fieldNames()(0))
+      else None
+
+    // group keys: none (global) or exactly the single partition column
+    // with every file partition-pure — then a group IS a set of whole
+    // files and the fold over their stats is exact and final
+    val groupCols: Seq[org.apache.spark.sql.types.StructField] =
+      aggregation.groupByExpressions() match {
+        case Array() => Seq.empty
+        case Array(r: NamedReference) =>
+          val f = fieldOf(r).getOrElse(return false)
+          if (partitionBy != Seq(f.name)) return false
+          val pure = fileStats.forall { fs =>
+            fs.cols.get(f.name).exists(c =>
+              c.nulls == 0L && c.min.isDefined && c.min == c.max)
+          }
+          if (!pure) return false
+          Seq(f)
+        case _ => return false
+      }
+
+    sealed trait Spec
+    case object CountAll extends Spec
+    case class CountCol(name: String) extends Spec
+    case class MinCol(f: org.apache.spark.sql.types.StructField) extends Spec
+    case class MaxCol(f: org.apache.spark.sql.types.StructField) extends Spec
+
+    val specs: Seq[Spec] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => CountAll
+      case c: Count if !c.isDistinct => c.column() match {
+        case r: NamedReference => CountCol(fieldOf(r).getOrElse(return false).name)
+        case _ => return false
+      }
+      case m: Min => m.column() match {
+        case r: NamedReference =>
+          val f = fieldOf(r).getOrElse(return false)
+          // bounds must be exact in every file holding non-null values
+          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+            c.min.isDefined || c.nulls == fs.rows))) return false
+          MinCol(f)
+        case _ => return false
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference =>
+          val f = fieldOf(r).getOrElse(return false)
+          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+            c.max.isDefined || c.nulls == fs.rows))) return false
+          MaxCol(f)
+        case _ => return false
+      }
+      case _ => return false
     }
-    ManifestRead.lastSkipLedger.set((kept.length, names.length))
-    new ManifestScan(path, kept.map(n => (n, stats.get(n))), tableSchema,
-      required, partitionBy)
+
+    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case StringType => UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String])) < 0
+      case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case _ => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    }
+    // stats store integral values as Long; an INT column's output cells
+    // must narrow back to Int for the catalyst row
+    def toCell(dt: DataType, v: Any): Any =
+      if (v != null && dt == IntegerType) v.asInstanceOf[Long].toInt else v
+    def fold(group: Seq[ManifestMeta.FileStats]): Seq[Any] = specs.map {
+      case CountAll => group.map(_.rows).sum
+      case CountCol(n) =>
+        group.map(fs => fs.rows - fs.cols.get(n).map(_.nulls).getOrElse(0L)).sum
+      case MinCol(f) => toCell(f.dataType,
+        group.flatMap(_.cols.get(f.name).flatMap(_.min))
+          .reduceOption((a, b) => if (lt(f.dataType, a, b)) a else b).orNull)
+      case MaxCol(f) => toCell(f.dataType,
+        group.flatMap(_.cols.get(f.name).flatMap(_.max))
+          .reduceOption((a, b) => if (lt(f.dataType, a, b)) b else a).orNull)
+    }
+
+    val rows: Seq[Seq[Any]] =
+      if (groupCols.isEmpty) Seq(fold(fileStats))
+      else fileStats
+        .groupBy(_.cols(groupCols.head.name).min.get)
+        .toSeq.map { case (k, group) =>
+          toCell(groupCols.head.dataType, k) +: fold(group)
+        }
+
+    // positional contract with V2ScanRelationPushDown: group cols first,
+    // then one column per pushed aggregate
+    def aggType(s: Spec): DataType = s match {
+      case CountAll | _: CountCol => org.apache.spark.sql.types.LongType
+      case MinCol(f) => f.dataType
+      case MaxCol(f) => f.dataType
+    }
+    required = StructType(
+      groupCols.map(f => org.apache.spark.sql.types.StructField(
+        f.name, f.dataType, nullable = false)) ++
+        specs.zipWithIndex.map { case (s, i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i", aggType(s),
+            nullable = s.isInstanceOf[MinCol] || s.isInstanceOf[MaxCol])
+        })
+    aggRows = Some(rows)
+    true
+  }
+
+  override def build(): Scan = aggRows match {
+    case Some(rows) => new ManifestAggScan(path, required, rows)
+    case None =>
+      val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+      // a file survives unless its stats REFUTE some pushed filter;
+      // files without stats always survive
+      val kept = allNames.filter { n =>
+        stats.get(n).forall(fs =>
+          pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
+      }
+      ManifestRead.lastSkipLedger.set((kept.length, allNames.length))
+      new ManifestScan(path, kept.map(n => (n, stats.get(n))), tableSchema,
+        required, partitionBy)
   }
 }
 
+/** The pushed-aggregate scan: the final row(s), computed on the driver
+  * from the manifest stats, served through one InputPartition — zero
+  * data files opened.
+  */
+class ManifestAggScan(path: String, schema: StructType, rows: Seq[Seq[Any]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ManifestAggScan(metadata-only, rows=${rows.length})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(rows.map(_.toArray).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rs = p.asInstanceOf[ManifestAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(rs(i).toIndexedSeq.map {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class ManifestAggPartition(rows: Array[Array[Any]]) extends InputPartition
+
 class ManifestScan(path: String,
-    files: Seq[(String, Option[ManifestMeta.FileStats])],
+    allFiles: Seq[(String, Option[ManifestMeta.FileStats])],
     tableSchema: StructType, required: StructType,
     partitionBy: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsReportOrdering {
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -116,14 +301,45 @@ class ManifestScan(path: String,
   private def dataPath(n: String): String =
     Paths.get(path).resolve("data").resolve(n).toString
 
+  /** RUNTIME FILTERING (the DSv2 face of dynamic partition pruning,
+    * same shape as the synth scan): when this table is the fact side of
+    * a join whose dim side is filtered on a non-join attribute, Spark
+    * evaluates the surviving join keys at runtime and hands them here
+    * as In/EqualTo filters BEFORE re-planning partitions — every
+    * committed file whose stats refute the key set drops from the scan.
+    * Any stats-bearing column can prune (the partition column is just
+    * the tightest case); unrecognized runtime filters are advisory and
+    * ignored (Spark re-applies them row-level, so pruning is never a
+    * correctness gate).
+    */
+  @volatile private var files: Seq[(String, Option[ManifestMeta.FileStats])] =
+    allFiles
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns in the SCAN OUTPUT: Spark resolves these references
+    // against the pruned read schema, so a pruned-away column (even a
+    // stats-bearing one) must not be offered
+    tableSchema.fieldNames.filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val before = files.length
+    files = files.filter { case (_, st) =>
+      st.forall(fs => filters.forall(ManifestMeta.mayMatch(_, fs, types)))
+    }
+    ManifestRead.lastRuntimeLedger.set((files.length, before))
+  }
+
   /** Per-file partition-key rows, present only when EVERY file is
     * partition-pure for every partition column: stats exist, min==max,
     * and the column is null-free in the file. The purity is verified
     * from the committed stats, never assumed from the write config — a
     * file appended outside the partitioned write path simply drops the
-    * claim.
+    * claim. A def, not a lazy val: runtime filtering re-plans the file
+    * list, and the claims must track the CURRENT plan.
     */
-  private lazy val fileKeys: Option[Seq[InternalRow]] = {
+  private def fileKeys: Option[Seq[InternalRow]] = {
     if (partitionBy.isEmpty || files.isEmpty) None
     else {
       val keyTypes = partitionBy.map(c =>

@@ -340,6 +340,96 @@ class LakeTableSpec extends AnyFunSuite {
       s"bucket transforms must be refused with the capability named: ${err.getMessage}")
   }
 
+  test("metadata-only aggregates: count/min/max fold from stats, zero files opened") {
+    makePartitioned("meta_t", "parquet")
+    // grouped by the partition column: the whole answer comes from the
+    // manifest — the plan's scan is the metadata ManifestAggScan
+    val grouped = spark.sql(
+      "SELECT b, count(*) AS n, count(v) AS nv, min(k) AS lo, max(k) AS hi " +
+        "FROM graft_cat.lake.meta_t GROUP BY b")
+    val rows = grouped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows == (0L until 10L).map(b => (b, 10L, 10L, b * 10, b * 10 + 9)).toSet)
+    assert(grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"grouped metadata aggregate must plan on the stats fold:\n" +
+        grouped.queryExecution.executedPlan)
+    // global shape too
+    val global = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft_cat.lake.meta_t")
+    assert(global.collect().head.toSeq == Seq(100L, 0L, 99L))
+    assert(global.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    // a FILTERED aggregate must NOT take the metadata path (stats ignore
+    // filters) — and must still be exact
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.lake.meta_t WHERE k >= 37")
+    assert(filtered.collect().head.getLong(0) == 63L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "a filtered aggregate must read data, not stats")
+    spark.sql("DROP TABLE graft_cat.lake.meta_t")
+  }
+
+  test("min/max pushdown refuses poisoned columns (NaN doubles) and stays exact") {
+    import spark.implicits._
+    val root = freshRoot("meta_nan")
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, -2.0)).toDF("k", "d")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.meta_nan")
+    spark.sql("CREATE TABLE graft_cat.lake.meta_nan (k BIGINT, d DOUBLE) " +
+      s"USING graft OPTIONS (path '$root')")
+    val df = spark.sql("SELECT min(d) AS lo, max(d) AS hi FROM graft_cat.lake.meta_nan")
+    // the NaN-bearing file dropped its bounds, so the stats CANNOT
+    // answer exactly — the pushdown must refuse and the row-level
+    // aggregate must produce Spark's own NaN-greatest semantics
+    assert(!df.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"poisoned column must refuse metadata pushdown:\n${df.queryExecution.executedPlan}")
+    val r = df.collect().head
+    assert(r.getDouble(0) == -2.0 && r.getDouble(1).isNaN)
+    // count(*) alone is still stats-answerable on the same table
+    val c = spark.sql("SELECT count(*) AS n FROM graft_cat.lake.meta_nan")
+    assert(c.collect().head.getLong(0) == 3L)
+    assert(c.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    spark.sql("DROP TABLE graft_cat.lake.meta_nan")
+  }
+
+  test("runtime filtering drops committed files the join keys cannot touch") {
+    val dir = "/root/testdata/sf0.001"
+    // NOT under withBucketing: runtime-filter injection rides the
+    // broadcast of the filtered dim side — disabling broadcast would
+    // suppress the very mechanism under test
+    val root = freshRoot("rtf_t")
+    // 100k ids in 10 bucket files of 10k each
+    spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", "100000").option("bucketWidth", "10000").load()
+      .select(col("bucket"), col("id"), col("amount_cents"))
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "bucket").option("orderBy", "id").save()
+    val fact = spark.read.format("graft.sources.ManifestSink")
+      .option("path", root).load()
+      .select(col("id"), col("amount_cents"))
+    // dim filter on a NON-join attribute: surviving keys known only at
+    // runtime (sf0.001 orderkeys stay far below 100k, so whole bucket
+    // files hold no joinable ids)
+    val dim = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val joined = dim.join(fact, col("o_orderkey") === col("id"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+    val n = joined.collect().map(_.getLong(1)).sum
+    val (kept, before) = ManifestRead.lastRuntimeLedger.get()
+    assert(before == 10 && kept >= 1 && kept < 10,
+      s"runtime filter must drop key-free files: kept=$kept before=$before\n" +
+        joined.queryExecution.executedPlan)
+    // pruning is plan-only: every surviving dim key joins exactly once
+    assert(n == graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") < 100000L).count())
+  }
+
   test("warehouse catalog persists table definitions across instances") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.connector.catalog.Identifier
