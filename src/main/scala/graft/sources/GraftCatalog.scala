@@ -307,15 +307,7 @@ object GraftCatalog {
     // depends on the pruning firing.
     "q_lake_runtime_filter" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val root = graft.streaming.StreamQueries.fixtureDir("lakertf", dir, "orders")
-      s.read.format("graft.sources.SynthDataSource")
-        .option("rows", "1000000").option("bucketWidth", "62500").load()
-        .select(col("bucket"), col("id"), col("channel"), col("amount_cents"))
-        .write.format("graft.sources.ManifestSink")
-        .mode("overwrite").option("path", root)
-        .option("format", "parquet")
-        .option("partitionBy", "bucket").option("orderBy", "id")
-        .save()
+      val root = ensureLakeRtfFixture(s, dir)
       // read through the CONNECTOR scan (not the helper): runtime
       // filtering is a DSv2 capability of ManifestScan
       val fact = s.read.format("graft.sources.ManifestSink")
@@ -429,6 +421,29 @@ object GraftCatalog {
           |FROM graft_cat.lake.lineage GROUP BY _epoch""".stripMargin)
     })
   )
+
+  /** The 1M-row partitioned lake fixture q_lake_runtime_filter joins
+    * against — a build-once artifact (deterministic synth content,
+    * content-keyed path), ensured here and in the bench's untimed
+    * warmup so the timed query measures the runtime-filtered JOIN, not
+    * the fixture build.
+    */
+  def ensureLakeRtfFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val root = graft.streaming.StreamQueries.fixtureDir("lakertf", dir, "orders")
+    if (ManifestSink.readManifest(java.nio.file.Paths.get(root)).isEmpty) {
+      s.read.format("graft.sources.SynthDataSource")
+        .option("rows", "1000000").option("bucketWidth", "62500").load()
+        .select(col("bucket"), col("id"), col("channel"), col("amount_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet")
+        .option("partitionBy", "bucket").option("orderBy", "id")
+        .save()
+    }
+    root
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_catalog_table" ->

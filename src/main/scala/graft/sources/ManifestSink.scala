@@ -249,21 +249,52 @@ object ManifestSink {
     *     is what gives in-flight readers their grace period.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
-      targetFiles: Int = 1): Unit = {
-    val (schema, files) = readManifest(Paths.get(root))
+      targetFiles: Int = 1, partitionBy: Seq[String] = Seq.empty,
+      orderBy: Seq[String] = Seq.empty): Unit = {
+    val rootP = Paths.get(root)
+    val (schema, files) = readManifest(rootP)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — nothing to compact"))
-    if (files.size <= targetFiles) return // already compact: no-op
+    val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    // no-op checks (idempotent re-run after crash-and-retry converges):
+    // plain tables are compact at <= targetFiles; a PARTITION-PRESERVING
+    // compaction is done when every file is partition-pure and every
+    // partition value has exactly one file
+    if (partitionBy.isEmpty) {
+      if (files.size <= targetFiles) return
+    } else {
+      val stats = fileStats(root)
+      val keys = names.map { n =>
+        stats.get(n).flatMap { fs =>
+          val vs = partitionBy.map(c => fs.cols.get(c).flatMap(cs =>
+            for { mn <- cs.min; mx <- cs.max; if cs.nulls == 0L && mn == mx }
+              yield mn))
+          if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+        }
+      }
+      if (keys.forall(_.isDefined) &&
+          keys.flatten.distinct.length == keys.length) return
+    }
     val epochs = committedEpochs(root)
     val df = readDataFiles(spark, schema, files)
     // format-preserving: an all-parquet table compacts to parquet
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
-    val w = df.coalesce(targetFiles)
-      .write.format("graft.sources.ManifestSink")
+    // partition-preserving: the rewrite flows through the same clustered
+    // write + per-value file roll as any partitioned INSERT, so the
+    // compacted table keeps the purity its KeyGroupedPartitioning /
+    // reported-ordering claims stand on (plain tables just coalesce)
+    val base =
+      if (partitionBy.nonEmpty) df
+      else df.coalesce(targetFiles)
+    val w0 = base.write.format("graft.sources.ManifestSink")
       .mode("overwrite").option("path", root).option("format", fmt)
+    val w1 = if (partitionBy.nonEmpty)
+      w0.option("partitionBy", partitionBy.mkString(","))
+        .option("orderBy", orderBy.mkString(","))
+    else w0
     (if (epochs.nonEmpty)
-       w.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
-     else w).save()
+       w1.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
+     else w1).save()
   }
 
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
@@ -536,6 +567,32 @@ object ManifestSink {
       readCommitted(s, root)
     }),
 
+    // PARTITION-PRESERVING compaction: two appends leave every nation
+    // value spanning two files; the maintenance pass rewrites through
+    // the same clustered write + per-value roll as any partitioned
+    // INSERT, restoring one pure file per value (layout-claim return
+    // pinned in LakeTableSpec) — and the oracle proves the rewrite is
+    // row-exact vs the source.
+    "q_sink_compact_part" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.streaming.StreamQueries.fixtureDir("sinkcompactpart", dir, "customer")
+      def src = graft.Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+      Seq(col("c_custkey") % 2 === 0L, col("c_custkey") % 2 === 1L)
+        .zipWithIndex.foreach { case (slice, i) =>
+          src.filter(slice).write.format("graft.sources.ManifestSink")
+            .mode(if (i == 0) "overwrite" else "append")
+            .option("path", root).option("format", "parquet")
+            .option("partitionBy", "c_nationkey").option("orderBy", "c_custkey")
+            .save()
+        }
+      compact(s, root, partitionBy = Seq("c_nationkey"),
+        orderBy = Seq("c_custkey"))
+      vacuum(root)
+      readCommitted(s, root)
+    }),
+
     // END-TO-END custom-connector streaming: the DSv2 synthetic SOURCE
     // drains through the DSv2 manifest SINK's StreamingWrite face in 3
     // admission-controlled epochs (60000 ids / 20000 per batch), each
@@ -608,6 +665,12 @@ object ManifestSink {
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
         | CAST(c_nationkey AS BIGINT) AS c_nationkey,
         | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    // the partition-preserving maintenance rewrite is row-exact
+    "q_sink_compact_part" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
         |FROM customer""".stripMargin,
 
     // multi-epoch append through the streaming manifest must equal one

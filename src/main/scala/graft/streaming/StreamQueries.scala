@@ -218,6 +218,8 @@ object StreamQueries {
         .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_acctbal")))
     StreamAsof.warmFixture(s, dir)
     StreamTws.warmFixture(s, dir)
+    graft.sources.GraftCatalog.ensureLakeRtfFixture(s, dir)
+    ()
   }
 
   /** Window-fixture rows as ONE file in ascending event-time order.

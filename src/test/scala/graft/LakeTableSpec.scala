@@ -305,6 +305,52 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-preserving compaction restores one pure file per value") {
+    import spark.implicits._
+    withBucketing {
+      val root = freshRoot("pcompact")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pcompact")
+      spark.sql("CREATE TABLE graft_cat.lake.pcompact (b BIGINT, k BIGINT) " +
+        s"USING graft PARTITIONED BY (b) OPTIONS (path '$root', orderBy 'k')")
+      // two appends: every b value spans two files (ordering claim down)
+      (0L until 40L).map(i => (i / 10, i)).toDF("b", "k")
+        .createOrReplaceTempView("pc_src1")
+      (40L until 80L).map(i => (i % 4, i)).toDF("b", "k")
+        .createOrReplaceTempView("pc_src2")
+      spark.sql("INSERT INTO graft_cat.lake.pcompact SELECT * FROM pc_src1")
+      spark.sql("INSERT INTO graft_cat.lake.pcompact SELECT * FROM pc_src2")
+      assert(ManifestSink.committedFiles(root).size == 8)
+      ManifestSink.compact(spark, root, partitionBy = Seq("b"), orderBy = Seq("k"))
+      ManifestSink.vacuum(root)
+      // back to one pure file per value...
+      val names = ManifestSink.committedFiles(root)
+        .map(f => Paths.get(f).getFileName.toString)
+      assert(names.size == 4, s"4 values -> 4 compacted files: $names")
+      val stats = ManifestSink.fileStats(root)
+      assert(names.forall(n => stats(n).cols("b").min == stats(n).cols("b").max))
+      // ...rows identical, and the layout claims return: the window
+      // plans sort-free and exchange-free again
+      val df = spark.sql(
+        """SELECT * FROM (SELECT b, k,
+          |  row_number() OVER (PARTITION BY b ORDER BY k) AS rn
+          |  FROM graft_cat.lake.pcompact) WHERE rn = 1""".stripMargin)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L)))
+      val plan = df.queryExecution.executedPlan
+      assert(SparkTestBase.collectInPlan(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"compacted layout must restore the claims:\n$plan")
+      // idempotent: a second partitioned compact changes nothing
+      val manifestBefore = java.nio.file.Files
+        .readAllBytes(Paths.get(root, "manifest.json")).toSeq
+      ManifestSink.compact(spark, root, partitionBy = Seq("b"), orderBy = Seq("k"))
+      assert(java.nio.file.Files.readAllBytes(
+        Paths.get(root, "manifest.json")).toSeq == manifestBefore)
+      spark.sql("DROP TABLE graft_cat.lake.pcompact")
+    }
+  }
+
   test("VERSION AS OF resolves generations; unknown generations fail loudly") {
     import spark.implicits._
     val root = freshRoot("tt_t")
