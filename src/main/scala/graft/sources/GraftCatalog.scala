@@ -356,6 +356,101 @@ object GraftCatalog {
       out
     }),
 
+    // PACKED SCAN (task sizing): a 24-file lake table reads through the
+    // bin-packing concatenating reader (at 100 TB this bounds the task
+    // count of a small-file table; the 4-bins-of-10 determinism is
+    // pinned in LakeTableSpec) — the rollup proves concatenation
+    // delivers every committed row exactly once.
+    "q_lake_packed_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_pack_").toFile.getAbsolutePath
+      graft.Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .repartition(24)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp).save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.ord_pack")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.ord_pack
+           | (o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)
+           | USING graft OPTIONS (path '$tmp')""".stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          | CAST(sum(cents) AS BIGINT) AS cents,
+          | CAST(sum(o_orderkey) AS BIGINT) AS keysum
+          |FROM graft_cat.lake.ord_pack
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // TIMESTAMP AS OF: the commit-instant twin of q_sink_snapshot_sql —
+    // every publish stamps a strictly-increasing `#t:` millis line, and
+    // SQL time travel by timestamp resolves to the latest generation at
+    // or before the asked instant. The as-of read of gen1's own commit
+    // instant must see exactly gen1 even though gen2 has replaced it.
+    "q_sink_snapshot_ts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val root = graft.streaming.StreamQueries.fixtureDir("sinksnapts", dir, "nation")
+      def dim = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      dim.filter(col("n_regionkey") < 2L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      dim.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root).save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.snap_ts")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.snap_ts
+           | (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+           | USING graft OPTIONS (path '$root')""".stripMargin)
+      val ts = ManifestSink.snapshotTimestamps(root).toMap
+      val Seq(gOld, gNew) = ManifestSink.snapshots(root).takeRight(2)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC) // harness sessions run UTC
+      val out = s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+           |FROM graft_cat.lake.snap_ts TIMESTAMP AS OF '${fmt.format(
+               java.time.Instant.ofEpochMilli(ts(gOld)))}'
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+           |FROM graft_cat.lake.snap_ts TIMESTAMP AS OF '${fmt.format(
+               java.time.Instant.ofEpochMilli(ts(gNew)))}'""".stripMargin)
+        .localCheckpoint() // materialize BEFORE the retention vacuum below
+      ManifestSink.vacuum(root, retainSnapshots = 2)
+      out
+    }),
+
+    // LIMIT pushdown as FILE-LIST truncation: the filter-free LIMIT
+    // plans only the file prefix whose stats rows cover n (prefix pin in
+    // LakeTableSpec); Spark's own limit stays on top so the row COUNT —
+    // the deterministic face of a LIMIT — is exact.
+    "q_lake_limit" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_limit_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_limit")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_limit")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_limit
+           | (b BIGINT, c_custkey BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (b)
+           | OPTIONS (path '$tmp', format 'parquet', orderBy 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.cust_limit
+          |SELECT CAST(c_custkey AS BIGINT) DIV 100, CAST(c_custkey AS BIGINT),
+          | CAST(round(c_acctbal * 100) AS BIGINT)
+          |FROM cust_src_limit""".stripMargin)
+      s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM
+          | (SELECT c_custkey FROM graft_cat.lake.cust_limit LIMIT 120)""".stripMargin)
+    }),
+
     // LAYOUT-AWARE WINDOW OVER THE STORED TABLE (VERDICT r14 Next #5):
     // the table is PARTITIONED BY brand with in-file order by partkey,
     // the scan reports both — the window plans with NO Sort and NO
@@ -553,6 +648,29 @@ object GraftCatalog {
         | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
+    // the packed read must deliver every committed row exactly once
+    "q_lake_packed_scan" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(sum(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // timestamp time travel reads exactly the generation committed at
+    // that instant (same oracle as the generation-addressed twins)
+    "q_sink_snapshot_ts" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // LIMIT's deterministic face: the count of a filter-free LIMIT n
+    // over a table with >= n rows is exactly n (least(n, total))
+    "q_lake_limit" ->
+      """SELECT CAST(least(120, count(*)) AS BIGINT) AS n FROM customer""".stripMargin,
+
     // the layout-aware (sort-free, exchange-free) window equals the
     // sorted-window answer
     "q_lake_order_window" ->
@@ -676,7 +794,12 @@ class GraftCatalog extends TableCatalog {
       new ManifestTable(props("path"), schema,
         clusterBy = cols("clusterBy"), orderBy = cols("orderBy"),
         partitionBy = cols("partitionBy"),
-        format = props.getOrElse("format", "json"))
+        format = props.getOrElse("format", "json"),
+        splitConf = SplitConf(
+          props.get("targetSplitBytes").map(_.toLong)
+            .getOrElse(SplitConf.DefaultTargetBytes),
+          props.get("openCostBytes").map(_.toLong)
+            .getOrElse(SplitConf.DefaultOpenCostBytes)))
     } else
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
   }
@@ -702,6 +825,39 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"VERSION AS OF wants a snapshot generation number, got '$version'; " +
           s"available: ${ManifestSink.snapshots(path).mkString(",")}"))
+    pinnedTable(ident, path, props, gen)
+  }
+
+  /** TIMESTAMP AS OF: resolve to the LATEST snapshot generation whose
+    * `#t:` commit instant is at or before the asked time (Spark passes
+    * MICROseconds) — the standard lake time-travel rule. A timestamp
+    * before the first retained commit fails loudly with the available
+    * window.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!isLake(ident.namespace()))
+      throw new UnsupportedOperationException(
+        s"only lake tables support TIMESTAMP AS OF (got $ident)")
+    val entry = lake.get(ident.name().toLowerCase(java.util.Locale.ROOT))
+    if (entry == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val (_, props) = entry
+    val path = props("path")
+    val ledger = ManifestSink.snapshotTimestamps(path)
+    val gen = ledger.filter(_._2 * 1000L <= timestampMicros).lastOption
+      .map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $ident at or before timestamp " +
+          s"${timestampMicros / 1000L}ms; available commit instants: " +
+          ledger.map { case (g, t) => s"gen $g @ ${t}ms" }.mkString(", ")))
+    pinnedTable(ident, path, props, gen)
+  }
+
+  /** A read-only table pinned to snapshot `gen`, carrying the snapshot's
+    * own DDL (old generations keep their shape across later ALTERs).
+    */
+  private def pinnedTable(ident: Identifier, path: String,
+      props: Map[String, String], gen: Long): Table = {
     val m = java.nio.file.Paths.get(path)
       .resolve("_snapshots").resolve(s"manifest-$gen.json")
     if (!java.nio.file.Files.exists(m))
@@ -757,6 +913,8 @@ class GraftCatalog extends TableCatalog {
       opt("clusterBy").map("clusterBy" -> _) ++
       opt("orderBy").map("orderBy" -> _) ++
       opt("format").map("format" -> _) ++
+      opt("targetSplitBytes").map("targetSplitBytes" -> _) ++
+      opt("openCostBytes").map("openCostBytes" -> _) ++
       (if (partitionCols.nonEmpty)
          Map("partitionBy" -> partitionCols.mkString(","))
        else Map.empty)

@@ -54,13 +54,34 @@ object ManifestRead {
 }
 
 class ManifestScanBuilder(path: String, tableSchema: StructType,
-    partitionBy: Seq[String] = Seq.empty, snapshotGen: Option[Long] = None)
+    partitionBy: Seq[String] = Seq.empty, snapshotGen: Option[Long] = None,
+    splitConf: SplitConf = SplitConf.Default)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggRows: Option[Seq[Seq[Any]]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown as FILE-LIST truncation: a filter-free `LIMIT n`
+    * plans only the file-name-ordered prefix of committed files whose
+    * stats rows reach n — a `LIMIT 10` over a 10,000-file table reads
+    * one file. Spark only offers the limit when every filter was fully
+    * pushed (this builder keeps all filters residual, so only
+    * filter-free plans arrive); partially-pushed semantics keep Spark's
+    * own limit on top, so the row answer is exact regardless. Refused
+    * unless every file carries stats (a statless file's contribution to
+    * the prefix is unknowable).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || aggRows.isDefined) return false
+    if (allNames.isEmpty || !allNames.forall(stats.contains)) return false
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // with an aggregation pushed, the agg fixes the output schema
@@ -244,9 +265,21 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         stats.get(n).forall(fs =>
           pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
       }
-      ManifestRead.lastSkipLedger.set((kept.length, allNames.length))
-      new ManifestScan(path, kept.map(n => (n, stats.get(n))), tableSchema,
-        required, partitionBy)
+      // limit truncation: the name-ordered prefix whose stats rows
+      // cover n (only offered filter-free, see pushLimit)
+      val limited = limit match {
+        case Some(n) =>
+          var acc = 0L
+          kept.takeWhile { f =>
+            val take = acc < n
+            acc += stats(f).rows
+            take
+          }
+        case None => kept
+      }
+      ManifestRead.lastSkipLedger.set((limited.length, allNames.length))
+      new ManifestScan(path, limited.map(n => (n, stats.get(n))), tableSchema,
+        required, partitionBy, splitConf)
   }
 }
 
@@ -285,7 +318,8 @@ case class ManifestAggPartition(rows: Array[Array[Any]]) extends InputPartition
 class ManifestScan(path: String,
     allFiles: Seq[(String, Option[ManifestMeta.FileStats])],
     tableSchema: StructType, required: StructType,
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty,
+    splitConf: SplitConf = SplitConf.Default)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -371,6 +405,33 @@ class ManifestScan(path: String,
     case other => throw new IllegalArgumentException(s"unsupported key type $other")
   }
 
+  /** TASK SIZING for non-key-grouped reads: files bin-pack (in name
+    * order) into partitions of ~targetBytes with an openCost floor per
+    * file — a 100,000-tiny-file table plans a bounded task count instead
+    * of 100,000 single-file tasks, and a handful of big files still get
+    * one task each. Key-grouped reads stay one partition per file (the
+    * partition-key claim needs it; Spark itself groups same-key
+    * partitions into tasks).
+    */
+  private def packedBins: Seq[Seq[String]] = {
+    val bins = Seq.newBuilder[Seq[String]]
+    var cur = Seq.newBuilder[String]
+    var curBytes = 0L
+    var curN = 0
+    files.foreach { case (n, _) =>
+      val p = Paths.get(dataPath(n))
+      val cost = math.max(
+        if (Files.exists(p)) Files.size(p) else 0L, splitConf.openCostBytes)
+      if (curN > 0 && curBytes + cost > splitConf.targetBytes) {
+        bins += cur.result(); cur = Seq.newBuilder[String]
+        curBytes = 0L; curN = 0
+      }
+      cur += n; curBytes += cost; curN += 1
+    }
+    if (curN > 0) bins += cur.result()
+    bins.result()
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     fileKeys match {
       case Some(keys) =>
@@ -378,8 +439,11 @@ class ManifestScan(path: String,
           ManifestKeyedFilePartition(dataPath(n), k): InputPartition
         }.toArray
       case None =>
-        files.map { case (n, _) =>
-          ManifestFilePartition(dataPath(n)): InputPartition
+        packedBins.map { bin =>
+          if (bin.length == 1)
+            ManifestFilePartition(dataPath(bin.head)): InputPartition
+          else
+            ManifestFilesPartition(bin.map(dataPath)): InputPartition
         }.toArray
     }
 
@@ -411,6 +475,10 @@ class ManifestScan(path: String,
     // grouping risk: duplicate partition keys merge files into one task
     if (fileKeys.exists(ks => ks.map(_.toString).distinct.length != ks.length))
       return Array.empty
+    // packing risk: a multi-file bin concatenates sorted files, which is
+    // not sorted — only singleton bins keep the per-partition claim
+    if (fileKeys.isEmpty && packedBins.exists(_.length > 1))
+      return Array.empty
     val prefix = sortedLists.reduce { (a, b) =>
       a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
     }.takeWhile(required.fieldNames.contains)
@@ -438,6 +506,9 @@ class ManifestScan(path: String,
 }
 
 case class ManifestFilePartition(file: String) extends InputPartition
+
+/** A bin of small files one task reads sequentially (task sizing). */
+case class ManifestFilesPartition(files: Seq[String]) extends InputPartition
 
 /** A verified partition-pure file: its single partition-key tuple is
   * the key Spark's key-grouped planning reads.
@@ -529,15 +600,39 @@ case class SnapshotOffset(gen: Long)
 
 class ManifestReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p match {
-      case ManifestFilePartition(f) => f
-      case ManifestKeyedFilePartition(f, _) => f
-    }
+  private def fileReader(file: String): PartitionReader[InternalRow] =
     if (file.endsWith(".parquet"))
       new ManifestParquetReader(file, tableSchema, required)
     else new ManifestJsonReader(file, tableSchema, required)
-  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case ManifestFilePartition(f) => fileReader(f)
+      case ManifestKeyedFilePartition(f, _) => fileReader(f)
+      case ManifestFilesPartition(fs) =>
+        // sequential concatenation: each file's reader opens lazily and
+        // closes before the next opens, so a 1000-file bin holds one
+        // descriptor at a time; per-file provenance (_file/_epoch) rides
+        // the delegate readers untouched
+        new PartitionReader[InternalRow] {
+          private val it = fs.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = fileReader(it.next())
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 /** Lineage metadata shared by both payload readers: the committed file

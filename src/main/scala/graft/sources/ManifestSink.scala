@@ -68,8 +68,26 @@ class ManifestSink extends TableProvider {
       cols("clusterBy"), cols("orderBy"),
       partitionBy = cols("partitionBy"),
       format = Option(properties.get("format")).getOrElse("json"),
-      replaceFiles = cols("replaceFiles"))
+      replaceFiles = cols("replaceFiles"),
+      splitConf = SplitConf(
+        Option(properties.get("targetSplitBytes")).map(_.toLong)
+          .getOrElse(SplitConf.DefaultTargetBytes),
+        Option(properties.get("openCostBytes")).map(_.toLong)
+          .getOrElse(SplitConf.DefaultOpenCostBytes)))
   }
+}
+
+/** Read-side task sizing: files bin-pack into partitions of
+  * ~`targetBytes`, each file costing at least `openCostBytes` (the
+  * task-setup floor that stops a million tiny files from becoming a
+  * million tasks) — the same two dials as Spark's own
+  * `files.maxPartitionBytes` / `files.openCostInBytes`.
+  */
+case class SplitConf(targetBytes: Long, openCostBytes: Long)
+object SplitConf {
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+  val DefaultOpenCostBytes: Long = 4L * 1024 * 1024
+  val Default: SplitConf = SplitConf(DefaultTargetBytes, DefaultOpenCostBytes)
 }
 
 object ManifestSink {
@@ -138,7 +156,16 @@ object ManifestSink {
     * makes time travel and snapshot-retention vacuum possible.
     */
   private[sources] def publish(root: Path, lines: Seq[String]): Unit = {
-    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    // COMMIT TIMESTAMP (`#t:<millis>`): every published state carries
+    // its commit instant, the ledger TIMESTAMP AS OF resolves against.
+    // Strictly increasing by construction (a commit landing within the
+    // predecessor's millisecond records prev+1), so distinct generations
+    // never share an instant; any `#t:` carried in via prior-ledger
+    // lines is replaced, never accumulated.
+    val prevTs = commitMillis(root.resolve("manifest.json"))
+    val ts = math.max(System.currentTimeMillis(), prevTs.getOrElse(0L) + 1L)
+    val stamped = lines.filterNot(_.startsWith("#t:")) :+ s"#t:$ts"
+    val bytes = stamped.mkString("\n").getBytes(StandardCharsets.UTF_8)
     val tmp = root.resolve("manifest.json.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, root.resolve("manifest.json"),
@@ -151,6 +178,24 @@ object ManifestSink {
     Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The `#t:` commit instant of a manifest file, if recorded (absent
+    * only for pre-r15 manifests — resolution falls back to file mtime).
+    */
+  private[sources] def commitMillis(m: Path): Option[Long] =
+    if (!Files.exists(m)) None
+    else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("#t:")).flatMap(_.stripPrefix("#t:").toLongOption)
+
+  /** (generation, commit millis) of every retained snapshot, ascending —
+    * the TIMESTAMP AS OF resolution ledger.
+    */
+  def snapshotTimestamps(root: String): Seq[(Long, Long)] =
+    snapshots(root).map { g =>
+      val m = Paths.get(root).resolve("_snapshots").resolve(s"manifest-$g.json")
+      g -> commitMillis(m).getOrElse(
+        Files.getLastModifiedTime(m).toMillis)
+    }
 
   /** Published snapshot generations, ascending (expired ones excluded). */
   def snapshots(root: String): Seq[Long] = {
@@ -689,7 +734,8 @@ class ManifestTable(path: String, schema: StructType,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
     replaceFiles: Seq[String] = Seq.empty,
-    snapshotGen: Option[Long] = None)
+    snapshotGen: Option[Long] = None,
+    splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -777,7 +823,7 @@ class ManifestTable(path: String, schema: StructType,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap):
       org.apache.spark.sql.connector.read.ScanBuilder =
-    new ManifestScanBuilder(path, schema, partitionBy, snapshotGen)
+    new ManifestScanBuilder(path, schema, partitionBy, snapshotGen, splitConf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (snapshotGen.isDefined) throw new UnsupportedOperationException(
       s"table pinned VERSION AS OF ${snapshotGen.get} is read-only")

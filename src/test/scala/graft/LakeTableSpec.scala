@@ -516,6 +516,114 @@ class LakeTableSpec extends AnyFunSuite {
     assert(mem.listTables(Array("lake")).isEmpty)
   }
 
+  test("LIMIT pushdown plans only the file prefix whose stats cover n") {
+    makePartitioned("limit_t", "parquet") // 10 files x 10 rows
+    val out = spark.sql("SELECT count(*) AS n FROM " +
+      "(SELECT k FROM graft_cat.lake.limit_t LIMIT 25)")
+    assert(out.collect().head.getLong(0) == 25L)
+    val (kept, total) = ManifestRead.lastSkipLedger.get()
+    assert(total == 10 && kept == 3,
+      s"LIMIT 25 over 10-row files needs exactly 3 files: kept=$kept total=$total")
+    // a FILTERED limit must not truncate the file list (the first n
+    // stored rows are no longer the first n surviving rows)
+    val filtered = spark.sql("SELECT count(*) AS n FROM " +
+      "(SELECT k FROM graft_cat.lake.limit_t WHERE k >= 50 LIMIT 25)")
+    assert(filtered.collect().head.getLong(0) == 25L)
+    val (kept2, _) = ManifestRead.lastSkipLedger.get()
+    assert(kept2 == 5, // k >= 50 skips files b=0..4; no limit truncation
+      s"filtered limit must fall back to stats skipping only: kept=$kept2")
+    spark.sql("DROP TABLE graft_cat.lake.limit_t")
+  }
+
+  test("TIMESTAMP AS OF: strictly increasing commit instants resolve generations") {
+    import spark.implicits._
+    val root = freshRoot("ts_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.ts_t")
+    spark.sql("CREATE TABLE graft_cat.lake.ts_t (k BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.ts_t VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE graft_cat.lake.ts_t VALUES (9)")
+    val ledger = ManifestSink.snapshotTimestamps(root)
+    assert(ledger.size == 2 && ledger(0)._2 < ledger(1)._2,
+      s"commit instants must strictly increase: $ledger")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    def asOf(ms: Long) = spark.sql(
+      s"SELECT k FROM graft_cat.lake.ts_t TIMESTAMP AS OF " +
+        s"'${fmt.format(java.time.Instant.ofEpochMilli(ms))}'")
+      .collect().map(_.getLong(0)).toSet
+    // at gen1's instant: gen1; one millisecond before gen2: still gen1;
+    // at gen2's instant: gen2
+    assert(asOf(ledger(0)._2) == Set(1L, 2L))
+    assert(asOf(ledger(1)._2 - 1) == Set(1L, 2L))
+    assert(asOf(ledger(1)._2) == Set(9L))
+    // before the first commit: loud failure listing the window
+    val err = intercept[Exception] {
+      asOf(ledger(0)._2 - 1000)
+    }
+    assert(err.getMessage.contains("available commit instants"),
+      s"pre-history timestamp must fail loudly: ${err.getMessage}")
+    spark.sql("DROP TABLE graft_cat.lake.ts_t")
+  }
+
+  test("task sizing: small files bin-pack into bounded partitions; big stay 1:1") {
+    import spark.implicits._
+    val root = freshRoot("pack_t")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(10) // 10 small committed files
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    assert(ManifestSink.committedFiles(root).size == 10)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pack_t")
+    // every file costs max(size, 1MB); bins close past 3MB -> 3 files
+    // per bin -> 4 partitions of 10 files, deterministically
+    spark.sql("CREATE TABLE graft_cat.lake.pack_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root', " +
+      "openCostBytes '1000000', targetSplitBytes '3000000')")
+    val df = spark.sql("SELECT k FROM graft_cat.lake.pack_t")
+    assert(df.rdd.getNumPartitions == 4,
+      s"10 tiny files at 3 per bin must plan 4 tasks, " +
+        s"got ${df.rdd.getNumPartitions}")
+    assert(df.collect().map(_.getLong(0)).toSet == (0L until 100L).toSet,
+      "concatenated bins must deliver every row exactly once")
+    // a table declared with no sizing overrides uses the 128MB/4MB
+    // defaults: the same 10 tiny files pack into ONE task
+    spark.sql("DROP TABLE graft_cat.lake.pack_t")
+    spark.sql("CREATE TABLE graft_cat.lake.pack_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.pack_t")
+      .rdd.getNumPartitions == 1)
+    spark.sql("DROP TABLE graft_cat.lake.pack_t")
+  }
+
+  test("empty paths: fresh table, delete-to-empty, metadata aggs over zero files") {
+    import spark.implicits._
+    val root = freshRoot("empty_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.empty_t")
+    spark.sql("CREATE TABLE graft_cat.lake.empty_t (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    // no manifest yet: scans and aggregates see an empty table
+    assert(spark.sql("SELECT * FROM graft_cat.lake.empty_t").collect().isEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.lake.empty_t")
+      .collect().head.getLong(0) == 0L)
+    // delete-to-empty: a manifest with ZERO files publishes and reads
+    spark.sql("INSERT INTO graft_cat.lake.empty_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM graft_cat.lake.empty_t WHERE k > 0")
+    assert(ManifestSink.committedFiles(root).isEmpty,
+      "deleting every row must leave an empty committed file set")
+    assert(spark.sql("SELECT * FROM graft_cat.lake.empty_t").collect().isEmpty)
+    // SQL aggregate semantics over the empty state: count 0, min/max null
+    val agg = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft_cat.lake.empty_t")
+      .collect().head
+    assert(agg.getLong(0) == 0L && agg.isNullAt(1) && agg.isNullAt(2))
+    // and writing after the empty state works
+    spark.sql("INSERT INTO graft_cat.lake.empty_t VALUES (7, 'z')")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.empty_t")
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+    spark.sql("DROP TABLE graft_cat.lake.empty_t")
+  }
+
   test("mixed payload formats coexist in one manifest") {
     import spark.implicits._
     val root = freshRoot("mixed_t")
