@@ -292,7 +292,8 @@ object GraftCatalog {
           | CAST(max(c_custkey) AS BIGINT) AS hi_key,
           | min(c_name) AS first_name,
           | CAST(min(bal_cents) AS BIGINT) AS lo_bal,
-          | CAST(max(bal_cents) AS BIGINT) AS hi_bal
+          | CAST(max(bal_cents) AS BIGINT) AS hi_bal,
+          | CAST(sum(bal_cents) AS BIGINT) AS bal_sum
           |FROM graft_cat.lake.cust_meta
           |GROUP BY c_mktsegment""".stripMargin)
     }),
@@ -623,7 +624,8 @@ object GraftCatalog {
         | CAST(max(c_custkey) AS BIGINT) AS hi_key,
         | min(c_name) AS first_name,
         | CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS lo_bal,
-        | CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_bal
+        | CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_bal,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     // the runtime file pruning is a plan optimization, not a semantics

@@ -162,9 +162,13 @@ object ManifestMeta {
 
   /** min/max are None when unprunable (all-null column, oversize
     * strings, NaN-bearing doubles, unknown writer). Values are Long
-    * (long/int cols), Double, or String as committed.
+    * (long/int cols), Double, or String as committed. `sum` is the
+    * exact non-null total of an integral column (None for other types,
+    * all-null columns, or when the per-file total overflowed Long —
+    * tracked with addExact, so a recorded sum is always exact).
     */
-  case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
+  case class ColStats(min: Option[Any], max: Option[Any], nulls: Long,
+      sum: Option[Long] = None)
 
   /** One committed file's stats: row count, per-column stats, and the
     * sort-column list its writer delivered (empty = no ordering claim).
@@ -179,7 +183,8 @@ object ManifestMeta {
   def statsLine(name: String, fs: FileStats): String = {
     val cols: Map[String, Any] = fs.cols.map { case (k, c) =>
       k -> (Map[String, Any]("nulls" -> c.nulls) ++
-        c.min.map("min" -> _) ++ c.max.map("max" -> _))
+        c.min.map("min" -> _) ++ c.max.map("max" -> _) ++
+        c.sum.map("sum" -> _))
     }
     val body: Map[String, Any] = Map("rows" -> fs.rows, "cols" -> cols) ++
       (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty)
@@ -200,7 +205,8 @@ object ManifestMeta {
       .asInstanceOf[Map[String, Any]].map { case (k, v) =>
         val cm = v.asInstanceOf[Map[String, Any]]
         k -> ColStats(cm.get("min"), cm.get("max"),
-          cm.get("nulls").map(_.asInstanceOf[Long]).getOrElse(0L))
+          cm.get("nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
+          cm.get("sum").map(_.asInstanceOf[Long]))
       }
     val sorted = m.get("sorted").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
@@ -326,8 +332,10 @@ object ManifestMeta {
     private val dblMax = new Array[Double](n)
     private val strMin = new Array[UTF8String](n)
     private val strMax = new Array[UTF8String](n)
+    private val sums = new Array[Long](n)
     private val seen = new Array[Boolean](n)
     private val poisoned = new Array[Boolean](n) // NaN / oversize string
+    private val sumOverflow = new Array[Boolean](n)
 
     def observe(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       rowCount += 1L
@@ -343,6 +351,9 @@ object ManifestMeta {
               if (v < longMin(i)) longMin(i) = v
               if (v > longMax(i)) longMax(i) = v
             }
+            if (!sumOverflow(i))
+              try sums(i) = Math.addExact(sums(i), v)
+              catch { case _: ArithmeticException => sumOverflow(i) = true }
           case DoubleType =>
             val v = row.getDouble(i)
             if (java.lang.Double.isNaN(v)) poisoned(i) = true
@@ -376,7 +387,12 @@ object ManifestMeta {
             case StringType => Some((strMin(i).toString, strMax(i).toString))
             case _ => None
           }
-        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i))
+        val sm: Option[Long] = f.dataType match {
+          case LongType | IntegerType
+              if seen(i) && !poisoned(i) && !sumOverflow(i) => Some(sums(i))
+          case _ => None
+        }
+        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i), sm)
       }.toMap
       FileStats(rowCount, cols, sorted)
     }

@@ -180,11 +180,23 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     case class CountCol(name: String) extends Spec
     case class MinCol(f: org.apache.spark.sql.types.StructField) extends Spec
     case class MaxCol(f: org.apache.spark.sql.types.StructField) extends Spec
+    case class SumCol(name: String) extends Spec
 
     val specs: Seq[Spec] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => CountAll
       case c: Count if !c.isDistinct => c.column() match {
         case r: NamedReference => CountCol(fieldOf(r).getOrElse(return false).name)
+        case _ => return false
+      }
+      case s: Sum if !s.isDistinct => s.column() match {
+        case r: NamedReference =>
+          val f = fieldOf(r).getOrElse(return false)
+          // only integral columns carry exact per-file sums, and every
+          // non-all-null file must carry one (no overflow, no poison)
+          if (f.dataType != LongType && f.dataType != IntegerType) return false
+          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+            c.sum.isDefined || c.nulls == fs.rows))) return false
+          SumCol(f.name)
         case _ => return false
       }
       case m: Min => m.column() match {
@@ -227,20 +239,35 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       case MaxCol(f) => toCell(f.dataType,
         group.flatMap(_.cols.get(f.name).flatMap(_.max))
           .reduceOption((a, b) => if (lt(f.dataType, a, b)) b else a).orNull)
+      case SumCol(n) =>
+        // SQL SUM: null over zero non-null values; the cross-file fold
+        // checks Long range via BigInt — an overflow throws and the
+        // rows-builder's catch refuses the whole pushdown (Spark then
+        // answers row-level with its own overflow semantics)
+        val parts = group.flatMap(_.cols.get(n).flatMap(_.sum))
+        if (parts.isEmpty) null
+        else {
+          val big = parts.map(BigInt(_)).sum
+          if (!big.isValidLong) throw new ArithmeticException("sum overflow")
+          java.lang.Long.valueOf(big.toLong)
+        }
     }
 
     val rows: Seq[Seq[Any]] =
-      if (groupCols.isEmpty) Seq(fold(fileStats))
-      else fileStats
-        .groupBy(_.cols(groupCols.head.name).min.get)
-        .toSeq.map { case (k, group) =>
-          toCell(groupCols.head.dataType, k) +: fold(group)
-        }
+      try {
+        if (groupCols.isEmpty) Seq(fold(fileStats))
+        else fileStats
+          .groupBy(_.cols(groupCols.head.name).min.get)
+          .toSeq.map { case (k, group) =>
+            toCell(groupCols.head.dataType, k) +: fold(group)
+          }
+      } catch { case _: ArithmeticException => return false }
 
     // positional contract with V2ScanRelationPushDown: group cols first,
     // then one column per pushed aggregate
     def aggType(s: Spec): DataType = s match {
       case CountAll | _: CountCol => org.apache.spark.sql.types.LongType
+      case _: SumCol => org.apache.spark.sql.types.LongType // SUM(int) widens
       case MinCol(f) => f.dataType
       case MaxCol(f) => f.dataType
     }
@@ -249,7 +276,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         f.name, f.dataType, nullable = false)) ++
         specs.zipWithIndex.map { case (s, i) =>
           org.apache.spark.sql.types.StructField(s"agg_$i", aggType(s),
-            nullable = s.isInstanceOf[MinCol] || s.isInstanceOf[MaxCol])
+            nullable = s.isInstanceOf[MinCol] || s.isInstanceOf[MaxCol] ||
+              s.isInstanceOf[SumCol])
         })
     aggRows = Some(rows)
     true

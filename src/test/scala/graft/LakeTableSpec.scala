@@ -391,12 +391,14 @@ class LakeTableSpec extends AnyFunSuite {
     // grouped by the partition column: the whole answer comes from the
     // manifest — the plan's scan is the metadata ManifestAggScan
     val grouped = spark.sql(
-      "SELECT b, count(*) AS n, count(v) AS nv, min(k) AS lo, max(k) AS hi " +
-        "FROM graft_cat.lake.meta_t GROUP BY b")
+      "SELECT b, count(*) AS n, count(v) AS nv, min(k) AS lo, max(k) AS hi, " +
+        "sum(k) AS s FROM graft_cat.lake.meta_t GROUP BY b")
     val rows = grouped.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
       .toSet
-    assert(rows == (0L until 10L).map(b => (b, 10L, 10L, b * 10, b * 10 + 9)).toSet)
+    assert(rows == (0L until 10L).map(b =>
+      (b, 10L, 10L, b * 10, b * 10 + 9, (b * 10 until b * 10 + 10).sum)).toSet)
     assert(grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
       s"grouped metadata aggregate must plan on the stats fold:\n" +
         grouped.queryExecution.executedPlan)
@@ -437,6 +439,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(c.collect().head.getLong(0) == 3L)
     assert(c.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
     spark.sql("DROP TABLE graft_cat.lake.meta_nan")
+  }
+
+  test("SUM pushdown refuses on cross-file overflow; per-file overflow poisons the stat") {
+    import spark.implicits._
+    val root = freshRoot("meta_sum")
+    // two appends: each file's sum is fine, their TOTAL overflows Long
+    Seq((1L, Long.MaxValue - 10L)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    Seq((2L, 100L)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.meta_sum")
+    spark.sql("CREATE TABLE graft_cat.lake.meta_sum (k BIGINT, v BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    val df = spark.sql("SELECT sum(v) AS s FROM graft_cat.lake.meta_sum")
+    assert(!df.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"cross-file sum overflow must refuse the metadata path:\n" +
+        df.queryExecution.executedPlan)
+    // sum(k) alone still folds from stats, exactly
+    val ok = spark.sql("SELECT sum(k) AS s, count(*) AS n FROM graft_cat.lake.meta_sum")
+    assert(ok.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(ok.collect().head.toSeq == Seq(3L, 2L))
+    spark.sql("DROP TABLE graft_cat.lake.meta_sum")
   }
 
   test("runtime filtering drops committed files the join keys cannot touch") {
