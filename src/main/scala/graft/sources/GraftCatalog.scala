@@ -444,7 +444,7 @@ object GraftCatalog {
            | OPTIONS (path '$tmp', format 'parquet', orderBy 'c_custkey')""".stripMargin)
       s.sql(
         """INSERT INTO graft_cat.lake.cust_limit
-          |SELECT CAST(c_custkey AS BIGINT) DIV 100, CAST(c_custkey AS BIGINT),
+          |SELECT CAST(c_custkey AS BIGINT) DIV 1000, CAST(c_custkey AS BIGINT),
           | CAST(round(c_acctbal * 100) AS BIGINT)
           |FROM cust_src_limit""".stripMargin)
       s.sql(
