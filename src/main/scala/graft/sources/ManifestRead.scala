@@ -294,8 +294,11 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
           pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
       }
       // limit truncation: the name-ordered prefix whose stats rows
-      // cover n (only offered filter-free, see pushLimit)
-      val limited = limit match {
+      // cover n. pushLimit already refuses when filters exist; this
+      // build-side guard re-checks it (defensive against any planner
+      // call-order change — a filtered prefix of n STORED rows is not n
+      // SURVIVING rows, so composing the two would under-deliver)
+      val limited = limit.filter(_ => pushed.isEmpty) match {
         case Some(n) =>
           var acc = 0L
           kept.takeWhile { f =>
