@@ -867,9 +867,16 @@ class GraftCatalog extends TableCatalog {
         s"snapshot $gen of $ident does not exist (expired or never " +
           s"published); available: ${ManifestSink.snapshots(path).mkString(",")}")
     val snapDdl = java.nio.file.Files.readAllLines(m).get(0)
-    new ManifestTable(path, StructType.fromDDL(snapDdl),
+    val snapSchema = StructType.fromDDL(snapDdl)
+    new ManifestTable(path, snapSchema,
+      // the LIVE table's partition columns may postdate this snapshot
+      // (re-attach with PARTITIONED BY over an older unpartitioned
+      // history): keep only columns the snapshot's own schema has, so
+      // the historical read falls back to unpartitioned planning
+      // instead of crashing (code-review r15)
       partitionBy = props.get("partitionBy").toSeq
-        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+        .filter(snapSchema.fieldNames.contains),
       snapshotGen = Some(gen))
   }
 
@@ -925,8 +932,10 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     persist()
-    new ManifestTable(path, schema, partitionBy = partitionCols,
-      format = props.getOrElse("format", "json"))
+    // return through the SAME construction loadTable uses: a write
+    // against the returned Table (the CTAS path) must honor every
+    // declared layout option, not just partitioning (code-review r15)
+    loadTable(ident)
   }
 
   /** SCHEMA EVOLUTION, lake-style: ALTER TABLE ADD COLUMN widens the
@@ -956,10 +965,7 @@ class GraftCatalog extends TableCatalog {
     }
     lake.put(key, (widened, props))
     persist()
-    new ManifestTable(props("path"), widened,
-      partitionBy = props.get("partitionBy").toSeq
-        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
-      format = props.getOrElse("format", "json"))
+    loadTable(ident) // same full-option construction as any other load
   }
 
   override def dropTable(ident: Identifier): Boolean = {

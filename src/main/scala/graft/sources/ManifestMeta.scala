@@ -53,6 +53,37 @@ object ManifestMeta {
 
   def quote(s: String): String = "\"" + esc(s) + "\""
 
+  /** Decode an escaped string in `s` whose opening quote sits at
+    * `start - 1` (i.e. `start` is the first content char); returns
+    * (value, index just past the closing quote). THE one inverse of
+    * [[esc]] — both the metadata parser and the data-file JSON reader
+    * call it, so the escape grammar can never desynchronize between
+    * stats bounds and data values.
+    */
+  def decodeEscaped(s: String, start: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var i = start
+    while (s.charAt(i) != '"') {
+      s.charAt(i) match {
+        case '\\' =>
+          s.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other =>
+              throw new IllegalArgumentException(s"unknown escape \\$other")
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    (sb.toString, i + 1)
+  }
+
   private def encodeValue(v: Any): String = v match {
     case null => "null"
     case s: String => quote(s)
@@ -122,28 +153,9 @@ object ManifestMeta {
 
     private def str(): String = {
       require(s.charAt(i) == '"', s"expected '\"' at $i in $s")
-      i += 1
-      val sb = new java.lang.StringBuilder
-      while (s.charAt(i) != '"') {
-        s.charAt(i) match {
-          case '\\' =>
-            s.charAt(i + 1) match {
-              case '"' => sb.append('"'); i += 2
-              case '\\' => sb.append('\\'); i += 2
-              case 'n' => sb.append('\n'); i += 2
-              case 'r' => sb.append('\r'); i += 2
-              case 't' => sb.append('\t'); i += 2
-              case 'u' =>
-                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-                i += 6
-              case other =>
-                throw new IllegalArgumentException(s"unknown escape \\$other")
-            }
-          case c => sb.append(c); i += 1
-        }
-      }
-      i += 1
-      sb.toString
+      val (v, next) = decodeEscaped(s, i + 1)
+      i = next
+      v
     }
 
     private def num(): Any = {
@@ -213,9 +225,18 @@ object ManifestMeta {
     (name, FileStats(m("rows").asInstanceOf[Long], cols, sorted))
   }
 
-  /** Stats lines of a manifest line list, keyed by file name. */
+  /** Stats lines of a manifest line list, keyed by file name. A line
+    * that fails to parse is DROPPED, not fatal: stats are an
+    * optimization layer, and a damaged line must degrade that file to
+    * "no stats" (never skipped, never pushed) rather than brick every
+    * read of the table (code-review r15 — defense in depth behind the
+    * Infinity fix).
+    */
   def statsOf(lines: Seq[String]): Map[String, FileStats] =
-    lines.filter(isStatsLine).map(parseStatsLine).toMap
+    lines.filter(isStatsLine).flatMap { l =>
+      try Some(parseStatsLine(l))
+      catch { case _: Exception => None }
+    }.toMap
 
   // ---------------------------------------------------------------
   // skip evaluator
@@ -324,6 +345,15 @@ object ManifestMeta {
     */
   final class StatsCollector(schema: StructType) {
     private val n = schema.fields.length
+    // per-column type tag resolved ONCE (the observe loop is the
+    // per-row write hot path): 0=long 1=int 2=double 3=string 4=other
+    private val tag: Array[Int] = schema.fields.map(_.dataType match {
+      case LongType => 0
+      case IntegerType => 1
+      case DoubleType => 2
+      case StringType => 3
+      case _ => 4
+    })
     private var rowCount = 0L
     private val nulls = new Array[Long](n)
     private val longMin = new Array[Long](n)
@@ -342,10 +372,9 @@ object ManifestMeta {
       var i = 0
       while (i < n) {
         if (row.isNullAt(i)) nulls(i) += 1L
-        else if (!poisoned(i)) schema.fields(i).dataType match {
-          case LongType | IntegerType =>
-            val v = if (schema.fields(i).dataType == LongType) row.getLong(i)
-                    else row.getInt(i).toLong
+        else if (!poisoned(i)) (tag(i): @annotation.switch) match {
+          case 0 | 1 =>
+            val v = if (tag(i) == 0) row.getLong(i) else row.getInt(i).toLong
             if (!seen(i)) { longMin(i) = v; longMax(i) = v; seen(i) = true }
             else {
               if (v < longMin(i)) longMin(i) = v
@@ -354,15 +383,19 @@ object ManifestMeta {
             if (!sumOverflow(i))
               try sums(i) = Math.addExact(sums(i), v)
               catch { case _: ArithmeticException => sumOverflow(i) = true }
-          case DoubleType =>
+          case 2 =>
             val v = row.getDouble(i)
-            if (java.lang.Double.isNaN(v)) poisoned(i) = true
+            // NaN breaks range reasoning; ±Infinity breaks the closed
+            // JSON encoding (bare `Infinity` is unparseable) — both
+            // poison the column's bounds (code-review r15)
+            if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+              poisoned(i) = true
             else if (!seen(i)) { dblMin(i) = v; dblMax(i) = v; seen(i) = true }
             else {
               if (v < dblMin(i)) dblMin(i) = v
               if (v > dblMax(i)) dblMax(i) = v
             }
-          case StringType =>
+          case 3 =>
             val v = row.getUTF8String(i)
             if (v.numChars() > MaxStatString) poisoned(i) = true
             else if (!seen(i)) {

@@ -188,13 +188,19 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         case r: NamedReference => CountCol(fieldOf(r).getOrElse(return false).name)
         case _ => return false
       }
+      // guard note (code-review r15): a file whose stats lack a column
+      // ENTRY entirely predates that column (ALTER ADD COLUMN / renamed
+      // re-attach) — it reads back all-null there, so it contributes
+      // NOTHING to MIN/MAX/SUM and ZERO to COUNT(col): `forall` over the
+      // Option accepts such files exactly, where `exists` would refuse
+      // and a missing guard (the original COUNT bug) would over-count
       case s: Sum if !s.isDistinct => s.column() match {
         case r: NamedReference =>
           val f = fieldOf(r).getOrElse(return false)
           // only integral columns carry exact per-file sums, and every
           // non-all-null file must carry one (no overflow, no poison)
           if (f.dataType != LongType && f.dataType != IntegerType) return false
-          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+          if (!fileStats.forall(fs => fs.cols.get(f.name).forall(c =>
             c.sum.isDefined || c.nulls == fs.rows))) return false
           SumCol(f.name)
         case _ => return false
@@ -203,7 +209,7 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         case r: NamedReference =>
           val f = fieldOf(r).getOrElse(return false)
           // bounds must be exact in every file holding non-null values
-          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+          if (!fileStats.forall(fs => fs.cols.get(f.name).forall(c =>
             c.min.isDefined || c.nulls == fs.rows))) return false
           MinCol(f)
         case _ => return false
@@ -211,7 +217,7 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       case m: Max => m.column() match {
         case r: NamedReference =>
           val f = fieldOf(r).getOrElse(return false)
-          if (!fileStats.forall(fs => fs.cols.get(f.name).exists(c =>
+          if (!fileStats.forall(fs => fs.cols.get(f.name).forall(c =>
             c.max.isDefined || c.nulls == fs.rows))) return false
           MaxCol(f)
         case _ => return false
@@ -232,7 +238,11 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     def fold(group: Seq[ManifestMeta.FileStats]): Seq[Any] = specs.map {
       case CountAll => group.map(_.rows).sum
       case CountCol(n) =>
-        group.map(fs => fs.rows - fs.cols.get(n).map(_.nulls).getOrElse(0L)).sum
+        // a file with NO entry for the column predates it: every row
+        // reads null there, so it contributes ZERO — not fs.rows
+        // (code-review r15: the getOrElse(0 nulls) over-count bug)
+        group.map(fs =>
+          fs.cols.get(n).map(c => fs.rows - c.nulls).getOrElse(0L)).sum
       case MinCol(f) => toCell(f.dataType,
         group.flatMap(_.cols.get(f.name).flatMap(_.min))
           .reduceOption((a, b) => if (lt(f.dataType, a, b)) a else b).orNull)
@@ -401,18 +411,19 @@ class ManifestScan(path: String,
     * and the column is null-free in the file. The purity is verified
     * from the committed stats, never assumed from the write config — a
     * file appended outside the partitioned write path simply drops the
-    * claim. A def, not a lazy val: runtime filtering re-plans the file
-    * list, and the claims must track the CURRENT plan.
+    * claim.
     */
-  private def fileKeys: Option[Seq[InternalRow]] = {
-    if (partitionBy.isEmpty || files.isEmpty) None
+  private def computeFileKeys(
+      fs: Seq[(String, Option[ManifestMeta.FileStats])]): Option[Seq[InternalRow]] = {
+    if (partitionBy.isEmpty || fs.isEmpty ||
+        !partitionBy.forall(tableSchema.fieldNames.contains)) None
     else {
       val keyTypes = partitionBy.map(c =>
         tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
-      val rows = files.map { case (_, st) =>
-        st.flatMap { fs =>
+      val rows = fs.map { case (_, st) =>
+        st.flatMap { s =>
           val vals = partitionBy.zip(keyTypes).map { case (c, dt) =>
-            fs.cols.get(c).flatMap { cs =>
+            s.cols.get(c).flatMap { cs =>
               for {
                 mn <- cs.min; mx <- cs.max
                 if cs.nulls == 0L && mn == mx
@@ -427,6 +438,26 @@ class ManifestScan(path: String,
       if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
     }
   }
+
+  /** MEMOIZED claims, keyed on the current file-list reference: one
+    * (keys, bins) computation — with its Files.exists/size sweep — per
+    * runtime-filter version of the plan, instead of one per
+    * outputPartitioning/outputOrdering/planInputPartitions call
+    * (code-review r15: a 100k-file scan was paying 4-5 stat sweeps per
+    * plan).
+    */
+  @volatile private var claimCache:
+      (AnyRef, Option[Seq[InternalRow]], Seq[Seq[String]]) = null
+  private def claims: (Option[Seq[InternalRow]], Seq[Seq[String]]) = {
+    val f = files
+    val c = claimCache
+    if (c != null && (c._1 eq f)) return (c._2, c._3)
+    val keys = computeFileKeys(f)
+    val bins = if (keys.isDefined) Seq.empty else computeBins(f)
+    claimCache = (f, keys, bins)
+    (keys, bins)
+  }
+  private def fileKeys: Option[Seq[InternalRow]] = claims._1
 
   private def keyValue(dt: DataType, v: Any): Any = dt match {
     case LongType => v.asInstanceOf[Long]
@@ -444,12 +475,13 @@ class ManifestScan(path: String,
     * partition-key claim needs it; Spark itself groups same-key
     * partitions into tasks).
     */
-  private def packedBins: Seq[Seq[String]] = {
+  private def computeBins(
+      fs: Seq[(String, Option[ManifestMeta.FileStats])]): Seq[Seq[String]] = {
     val bins = Seq.newBuilder[Seq[String]]
     var cur = Seq.newBuilder[String]
     var curBytes = 0L
     var curN = 0
-    files.foreach { case (n, _) =>
+    fs.foreach { case (n, _) =>
       val p = Paths.get(dataPath(n))
       val cost = math.max(
         if (Files.exists(p)) Files.size(p) else 0L, splitConf.openCostBytes)
@@ -464,13 +496,13 @@ class ManifestScan(path: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    fileKeys match {
-      case Some(keys) =>
+    claims match {
+      case (Some(keys), _) =>
         files.zip(keys).map { case ((n, _), k) =>
           ManifestKeyedFilePartition(dataPath(n), k): InputPartition
         }.toArray
-      case None =>
-        packedBins.map { bin =>
+      case (None, bins) =>
+        bins.map { bin =>
           if (bin.length == 1)
             ManifestFilePartition(dataPath(bin.head)): InputPartition
           else
@@ -483,14 +515,15 @@ class ManifestScan(path: String,
     * pruning — a GROUP BY the partition key (or a storage-partitioned
     * join between two lake tables on it) then plans with NO exchange.
     */
-  override def outputPartitioning(): Partitioning =
-    if (fileKeys.isDefined &&
-        partitionBy.forall(required.fieldNames.contains))
+  override def outputPartitioning(): Partitioning = claims match {
+    case (Some(_), _) if partitionBy.forall(required.fieldNames.contains) =>
       new KeyGroupedPartitioning(
         partitionBy.map(c => Expressions.identity(c):
           org.apache.spark.sql.connector.expressions.Expression).toArray,
-        planInputPartitions().length)
-    else new UnknownPartitioning(planInputPartitions().length)
+        files.length)
+    case (Some(_), _) => new UnknownPartitioning(files.length)
+    case (None, bins) => new UnknownPartitioning(bins.length)
+  }
 
   /** Per-partition ordering: the longest common prefix of the files'
     * `sorted` stats claims that survives pruning. A partition is one
@@ -503,12 +536,13 @@ class ManifestScan(path: String,
     if (files.isEmpty) return Array.empty
     val sortedLists = files.map(_._2.map(_.sorted).getOrElse(Seq.empty))
     if (sortedLists.exists(_.isEmpty)) return Array.empty
+    val (keys, bins) = claims
     // grouping risk: duplicate partition keys merge files into one task
-    if (fileKeys.exists(ks => ks.map(_.toString).distinct.length != ks.length))
+    if (keys.exists(ks => ks.map(_.toString).distinct.length != ks.length))
       return Array.empty
     // packing risk: a multi-file bin concatenates sorted files, which is
     // not sorted — only singleton bins keep the per-partition claim
-    if (fileKeys.isEmpty && packedBins.exists(_.length > 1))
+    if (keys.isEmpty && bins.exists(_.length > 1))
       return Array.empty
     val prefix = sortedLists.reduce { (a, b) =>
       a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
@@ -714,29 +748,11 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
       i = keyEnd + 2 // past closing quote and ':'
       line.charAt(i) match {
         case '"' =>
-          val sb = new java.lang.StringBuilder
-          i += 1
-          while (line.charAt(i) != '"') {
-            line.charAt(i) match {
-              case '\\' =>
-                line.charAt(i + 1) match {
-                  case '"' => sb.append('"'); i += 2
-                  case '\\' => sb.append('\\'); i += 2
-                  case 'n' => sb.append('\n'); i += 2
-                  case 'r' => sb.append('\r'); i += 2
-                  case 't' => sb.append('\t'); i += 2
-                  case 'u' =>
-                    sb.append(Integer.parseInt(
-                      line.substring(i + 2, i + 6), 16).toChar)
-                    i += 6
-                  case other => throw new IllegalArgumentException(
-                    s"unknown escape \\$other in $file")
-                }
-              case c => sb.append(c); i += 1
-            }
-          }
-          i += 1
-          cells.put(key, UTF8String.fromString(sb.toString))
+          // THE shared inverse of the writer's escape set — stats bounds
+          // and data values decode through one grammar (ManifestMeta)
+          val (v, next) = ManifestMeta.decodeEscaped(line, i + 1)
+          i = next
+          cells.put(key, UTF8String.fromString(v))
         case 'n' => // null
           i += 4
           cells.put(key, null)

@@ -317,7 +317,14 @@ object ManifestSink {
           if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
         }
       }
-      if (keys.forall(_.isDefined) &&
+      // no-op needs MORE than purity + one-file-per-value: every file's
+      // recorded sort claim must already start with the order this
+      // compaction would establish, or a run meant to (re)sort silently
+      // does nothing (code-review r15)
+      val wantSorted = (partitionBy ++ orderBy).distinct
+      val sortedOk = names.forall(n => stats.get(n).exists(
+        _.sorted.startsWith(wantSorted)))
+      if (sortedOk && keys.forall(_.isDefined) &&
           keys.flatten.distinct.length == keys.length) return
     }
     val epochs = committedEpochs(root)

@@ -465,6 +465,101 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.meta_sum")
   }
 
+  test("Infinity doubles poison bounds but never brick the table") {
+    import spark.implicits._
+    val root = freshRoot("inf_t")
+    Seq((1L, Double.PositiveInfinity), (2L, -3.5), (3L, Double.NegativeInfinity))
+      .toDF("k", "d").coalesce(1) // one file: the infinities poison ITS bounds
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    // the stats line parses (Infinity never serialized as a bound) and
+    // every read path — stats, scan, DELETE planning — stays healthy
+    val stats = ManifestSink.fileStats(root)
+    assert(stats.nonEmpty && stats.values.forall(_.cols("d").min.isEmpty),
+      "an Infinity-bearing double column must drop its bounds")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.inf_t")
+    spark.sql("CREATE TABLE graft_cat.lake.inf_t (k BIGINT, d DOUBLE) " +
+      s"USING graft OPTIONS (path '$root')")
+    val vals = spark.sql("SELECT d FROM graft_cat.lake.inf_t")
+      .collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(Double.PositiveInfinity, -3.5, Double.NegativeInfinity),
+      "infinities must round-trip through the data files")
+    // min/max refuse the metadata path on the poisoned column; Spark's
+    // row-level answer (with real IEEE infinities) takes over
+    val mm = spark.sql("SELECT min(d) AS lo, max(d) AS hi FROM graft_cat.lake.inf_t")
+    assert(!mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    val r = mm.collect().head
+    assert(r.getDouble(0) == Double.NegativeInfinity &&
+      r.getDouble(1) == Double.PositiveInfinity)
+    spark.sql("DROP TABLE graft_cat.lake.inf_t")
+  }
+
+  test("COUNT(col) over pre-evolution files counts their rows as null (zero)") {
+    val root = freshRoot("evo_cnt")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.evo_cnt")
+    spark.sql("CREATE TABLE graft_cat.lake.evo_cnt (k BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.evo_cnt VALUES (1), (2), (3)")
+    spark.sql("ALTER TABLE graft_cat.lake.evo_cnt ADD COLUMN c2 BIGINT")
+    spark.sql("INSERT INTO graft_cat.lake.evo_cnt VALUES (4, 40), (5, NULL)")
+    // the pre-ALTER file has no c2 stats ENTRY: its 3 rows read null
+    // there and must contribute ZERO — and the pushdown stays EXACT, so
+    // it is still the metadata scan (code-review r15: the over-count bug)
+    val df = spark.sql(
+      "SELECT count(c2) AS n, count(*) AS all, sum(c2) AS s, " +
+        "min(c2) AS lo, max(c2) AS hi FROM graft_cat.lake.evo_cnt")
+    assert(df.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"evolution must not cost the metadata path:\n${df.queryExecution.executedPlan}")
+    val r = df.collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 5L && r.getLong(2) == 40L &&
+      r.getLong(3) == 40L && r.getLong(4) == 40L,
+      s"pre-evolution rows must count as null for the added column: $r")
+    spark.sql("DROP TABLE graft_cat.lake.evo_cnt")
+  }
+
+  test("compact (re)establishes a missing sort order instead of no-opping") {
+    import spark.implicits._
+    val root = freshRoot("sortcompact")
+    // pure one-file-per-value layout but WITHOUT the k order
+    (0L until 40L).map(i => ((i / 10), (i * 7) % 40)).toDF("b", "k")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("partitionBy", "b").save()
+    val before = ManifestSink.fileStats(root)
+    assert(before.values.forall(_.sorted == Seq("b")),
+      s"baseline files must carry only the partition sort claim: $before")
+    // purity alone must NOT satisfy a compaction asked to order by k
+    ManifestSink.compact(spark, root, partitionBy = Seq("b"), orderBy = Seq("k"))
+    val after = ManifestSink.fileStats(root)
+    assert(after.values.forall(_.sorted == Seq("b", "k")),
+      s"compaction must rewrite to establish the asked order: $after")
+    // and NOW it no-ops
+    val manifestBytes = java.nio.file.Files
+      .readAllBytes(Paths.get(root, "manifest.json")).toSeq
+    ManifestSink.compact(spark, root, partitionBy = Seq("b"), orderBy = Seq("k"))
+    assert(java.nio.file.Files.readAllBytes(
+      Paths.get(root, "manifest.json")).toSeq == manifestBytes)
+  }
+
+  test("CTAS honors declared layout options on the returned table") {
+    val root = freshRoot("ctas_t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.ctas_t")
+    import spark.implicits._
+    (0L until 30L).map(i => ((i * 11) % 30, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft_cat.lake.ctas_t " +
+      s"USING graft OPTIONS (path '$root', orderBy 'k') " +
+      "AS SELECT * FROM ctas_src")
+    // the CTAS write must flow through the declared orderBy: files are
+    // internally sorted and say so (code-review r15 — createTable used
+    // to return a table stripped of its layout options)
+    val stats = ManifestSink.fileStats(root)
+    assert(stats.nonEmpty && stats.values.forall(_.sorted == Seq("k")),
+      s"CTAS must honor orderBy: $stats")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.ctas_t")
+      .collect().map(_.getLong(0)).toSet == (0L until 30L).toSet)
+    spark.sql("DROP TABLE graft_cat.lake.ctas_t")
+  }
+
   test("runtime filtering drops committed files the join keys cannot touch") {
     val dir = "/root/testdata/sf0.001"
     // NOT under withBucketing: runtime-filter injection rides the
