@@ -298,6 +298,41 @@ object GraftCatalog {
           |GROUP BY c_mktsegment""".stripMargin)
     }),
 
+    // METADATA-ONLY AGGREGATES UNDER A COVERING FILTER (VERDICT r15
+    // Next #6): the partition-equality predicate splits every committed
+    // file fully-in or fully-out, so the filter pushes EXACTLY (file
+    // selection is its complete answer) and the grouped count/sum/
+    // min/max still fold from the manifest stats of the KEPT files —
+    // the `SELECT count(*) WHERE month = X` fast path every lake
+    // serves, planning as ManifestAggScan with zero data files opened
+    // (plan pinned in LakeTableSpec). The oracle proves the
+    // filtered fold is exact, not an estimate.
+    "q_lake_agg_covering" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_cov_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_cov")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_cov")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_cov
+           | (c_mktsegment STRING, c_custkey BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (c_mktsegment)
+           | OPTIONS (path '$tmp', format 'parquet', orderBy 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.cust_cov
+          |SELECT c_mktsegment, CAST(c_custkey AS BIGINT),
+          | CAST(round(c_acctbal * 100) AS BIGINT)
+          |FROM cust_src_cov""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+          | CAST(min(c_custkey) AS BIGINT) AS lo,
+          | CAST(max(c_custkey) AS BIGINT) AS hi,
+          | CAST(sum(bal_cents) AS BIGINT) AS cents
+          |FROM graft_cat.lake.cust_cov
+          |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // RUNTIME FILE PRUNING on the STORED table (the lake twin of
     // q_dsv2_runtime_filter): the 1M-id synth domain lands in a lake
     // table partitioned by its id bucket; the dim filter sits on a
@@ -627,6 +662,17 @@ object GraftCatalog {
         | CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_bal,
         | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // the covering-filter fold must equal the row-level filtered
+    // aggregate exactly — file selection IS the filter's answer
+    "q_lake_agg_covering" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(c_custkey) AS BIGINT) AS lo,
+        | CAST(max(c_custkey) AS BIGINT) AS hi,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // the runtime file pruning is a plan optimization, not a semantics
     // change: the oracle generates cells at the surviving keys directly

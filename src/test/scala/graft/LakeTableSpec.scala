@@ -645,15 +645,52 @@ class LakeTableSpec extends AnyFunSuite {
     val (kept, total) = ManifestRead.lastSkipLedger.get()
     assert(total == 10 && kept == 3,
       s"LIMIT 25 over 10-row files needs exactly 3 files: kept=$kept total=$total")
-    // a FILTERED limit must not truncate the file list (the first n
-    // stored rows are no longer the first n surviving rows)
-    val filtered = spark.sql("SELECT count(*) AS n FROM " +
+    // an EXACTLY-pushed filter composes with the limit: k >= 50 splits
+    // every file fully-in (b=5..9) or fully-out, so kept files hold
+    // only surviving rows and the prefix may truncate again — 3 files
+    // cover LIMIT 25 (r16: before exact pushdown this fell back to
+    // skipping only)
+    val covering = spark.sql("SELECT count(*) AS n FROM " +
       "(SELECT k FROM graft_cat.lake.limit_t WHERE k >= 50 LIMIT 25)")
-    assert(filtered.collect().head.getLong(0) == 25L)
+    assert(covering.collect().head.getLong(0) == 25L)
     val (kept2, _) = ManifestRead.lastSkipLedger.get()
-    assert(kept2 == 5, // k >= 50 skips files b=0..4; no limit truncation
-      s"filtered limit must fall back to stats skipping only: kept=$kept2")
+    assert(kept2 == 3,
+      s"exactly-filtered limit must truncate over kept files: kept=$kept2")
+    // a STRADDLING filter must not truncate the file list (the first n
+    // stored rows are no longer the first n surviving rows)
+    val straddling = spark.sql("SELECT count(*) AS n FROM " +
+      "(SELECT k FROM graft_cat.lake.limit_t WHERE k >= 45 LIMIT 25)")
+    assert(straddling.collect().head.getLong(0) == 25L)
+    val (kept3, _) = ManifestRead.lastSkipLedger.get()
+    assert(kept3 == 6, // k >= 45 skips b=0..3, straddles b=4: no truncation
+      s"straddling-filtered limit must fall back to skipping only: kept=$kept3")
     spark.sql("DROP TABLE graft_cat.lake.limit_t")
+  }
+
+  test("covering filters compose with metadata aggregates; straddling refuses") {
+    makePartitioned("cov_t", "parquet")
+    // partition-equality: every file is fully-in or fully-out — the
+    // grouped fold over KEPT files is exact and plans metadata-only
+    val cov = spark.sql("SELECT b, count(*) AS n, sum(k) AS s " +
+      "FROM graft_cat.lake.cov_t WHERE b = 3 GROUP BY b")
+    assert(cov.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"covering filter must keep the metadata path:\n${cov.queryExecution.executedPlan}")
+    assert(cov.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((3L, 10L, (30L until 40L).sum)))
+    // a covering RANGE over a non-partition column works too: k >= 50
+    // splits files exactly at a file boundary
+    val rng = spark.sql("SELECT count(*) AS n, min(k) AS lo " +
+      "FROM graft_cat.lake.cov_t WHERE k >= 50")
+    assert(rng.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"boundary-covering range must keep the metadata path:\n${rng.queryExecution.executedPlan}")
+    assert(rng.collect().head.toSeq == Seq(50L, 50L))
+    // a STRADDLING predicate refuses: file b=3 holds both k<37 and k>=37
+    val strad = spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.lake.cov_t WHERE k >= 37")
+    assert(!strad.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "a straddling filter must refuse the metadata path")
+    assert(strad.collect().head.getLong(0) == 63L)
+    spark.sql("DROP TABLE graft_cat.lake.cov_t")
   }
 
   test("TIMESTAMP AS OF: strictly increasing commit instants resolve generations") {
@@ -767,5 +804,295 @@ class LakeTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "j"), (2L, "p")))
     spark.sql("DROP TABLE graft_cat.lake.mixed_t")
+  }
+
+  test("selective DELETE preserves format, purity, and sort claims (ADVICE r15)") {
+    val root = makePartitioned("del_layout", "parquet")
+    spark.sql("DELETE FROM graft_cat.lake.del_layout WHERE k = 95")
+    val names = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString)
+    // format preserved: the rewritten b=9 successor is parquet like the
+    // 9 carried files, not a silent JSON demotion
+    assert(names.forall(_.endsWith(".parquet")),
+      s"DELETE rewrite must keep the table's parquet format: $names")
+    // layout preserved: every live file (the successor included) is
+    // still partition-pure on b and still carries the (b, k) sort claim
+    val stats = ManifestSink.fileStats(root)
+    assert(names.forall(stats.contains))
+    assert(stats.values.forall { fs =>
+      val b = fs.cols("b"); b.min == b.max && b.nulls == 0L
+    }, "DELETE must not demote partition purity")
+    assert(stats.values.forall(_.sorted.startsWith(Seq("b", "k"))),
+      "DELETE must not drop the sort claim")
+    // the capability the claims serve survives: grouped metadata
+    // aggregates still plan the zero-file ManifestAggScan
+    val g = spark.sql(
+      "SELECT b, count(*) AS n FROM graft_cat.lake.del_layout GROUP BY b")
+    assert(g.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"post-DELETE table must keep metadata-agg purity:\n${g.queryExecution.executedPlan}")
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0L to 9L).map(b => b -> (if (b == 9L) 9L else 10L)).toMap)
+    spark.sql("DROP TABLE graft_cat.lake.del_layout")
+  }
+
+  test("MERGE rewrite derives and keeps the table's layout from stats") {
+    import spark.implicits._
+    val root = freshRoot("merge_layout")
+    (0L until 100L).map(i => (i / 10, i, s"v$i")).toDF("b", "k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "b").option("orderBy", "k").save()
+    ManifestSink.merge(spark, root,
+      Seq((4L, 42L, "UP42")).toDF("b", "k", "v"), Seq("k"))
+    val names = ManifestSink.committedFiles(root)
+      .map(f => Paths.get(f).getFileName.toString)
+    assert(names.forall(_.endsWith(".parquet")),
+      s"MERGE rewrite must keep parquet: $names")
+    val stats = ManifestSink.fileStats(root)
+    assert(names.forall(n => stats.get(n).exists { fs =>
+      val b = fs.cols("b")
+      b.min == b.max && b.nulls == 0L && fs.sorted.startsWith(Seq("b", "k"))
+    }), "MERGE must re-derive partitionBy/orderBy from the committed stats")
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      .view.filterKeys(Seq(41L, 42L, 43L).contains).toMap ==
+      Map(41L -> "v41", 42L -> "UP42", 43L -> "v43"))
+  }
+
+  test("a damaged stats line degrades reads but never bricks a replace commit") {
+    import spark.implicits._
+    val root = freshRoot("dmg_stats")
+    (0L until 40L).map(i => (i / 10, i)).toDF("b", "k")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("partitionBy", "b").save()
+    // damage one stats line in place (simulated bit-rot / hand edit) —
+    // stats lines live in the commit's segment file
+    val segDir = Paths.get(root, "_segments")
+    val seg = Files.list(segDir).iterator().next()
+    val lines = Files.readAllLines(seg)
+    val idx = (0 until lines.size).find(i => lines.get(i).startsWith("#s:")).get
+    lines.set(idx, "#s:" + lines.get(idx).drop(3).takeWhile(_ != ':') + ":{broken")
+    Files.write(seg, lines)
+    // reads degrade (the damaged file just loses skipping)…
+    assert(ManifestSink.readCommitted(spark, root).count() == 40L)
+    // …and the replace-commit path (DELETE) survives the damaged line
+    // instead of throwing inside the ledger filter (ADVICE r15)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.dmg_stats")
+    spark.sql("CREATE TABLE graft_cat.lake.dmg_stats (b BIGINT, k BIGINT) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("DELETE FROM graft_cat.lake.dmg_stats WHERE k >= 35")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.dmg_stats")
+      .collect().map(_.getLong(0)).toSet == (0L until 35L).toSet)
+    spark.sql("DROP TABLE graft_cat.lake.dmg_stats")
+  }
+
+  test("-0.0 and 0.0 are ONE partition key and one metadata group (ADVICE r15)") {
+    import spark.implicits._
+    val root = freshRoot("zero_t")
+    Seq((1L, -0.0d), (2L, 0.0d), (3L, 1.5d)).toDF("k", "d")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("partitionBy", "d").save()
+    // the writer's file roll groups signed zeros: 2 partition values ->
+    // 2 files, not 3
+    assert(ManifestSink.committedFiles(root).size == 2,
+      s"signed zeros must share one partition file: ${ManifestSink.committedFiles(root)}")
+    // recorded bounds are normalized to +0.0
+    val stats = ManifestSink.fileStats(root)
+    val zeroFile = stats.values.find(_.cols("d").min.contains(0.0d)).get
+    assert(zeroFile.cols("d").max.contains(0.0d) && zeroFile.rows == 2L)
+    // the grouped metadata fold answers ONE row for the zero group —
+    // matching Spark's own signed-zero grouping semantics
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.zero_t")
+    spark.sql("CREATE TABLE graft_cat.lake.zero_t (d DOUBLE, k BIGINT) " +
+      s"USING graft PARTITIONED BY (d) OPTIONS (path '$root')")
+    val g = spark.sql("SELECT d, count(*) AS n FROM graft_cat.lake.zero_t GROUP BY d")
+    assert(g.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(g.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap ==
+      Map(0.0d -> 2L, 1.5d -> 1L))
+    spark.sql("DROP TABLE graft_cat.lake.zero_t")
+  }
+
+  test("snapshot feed refuses a non-append snapshot in the consumed range") {
+    import spark.implicits._
+    val root = freshRoot("feed_guard")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    Seq((2L, "b")).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    ManifestSink.compact(spark, root) // gen 3: a REPLACE snapshot
+    val gens = ManifestSink.snapshots(root)
+    assert(gens.size == 3)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val stream = new graft.sources.ManifestSnapshotStream(root, schema, schema)
+    // a pure-append range still plans (gen1 -> gen2 added one file)
+    assert(stream.planInputPartitions(
+      graft.sources.SnapshotOffset(1L), graft.sources.SnapshotOffset(2L)).length == 1)
+    // a range crossing the compaction must fail LOUDLY, naming the
+    // removal — silent re-delivery of rewritten rows is the bug
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.SnapshotOffset(2L), graft.sources.SnapshotOffset(3L))
+    }
+    assert(err.getMessage.contains("non-append snapshot"),
+      s"unexpected message: ${err.getMessage}")
+  }
+
+  test("parquet scans decode COLUMNAR: vectorized batches, constants for metadata") {
+    import spark.implicits._
+    val root = freshRoot("vec_t")
+    Seq((1L, "a", 1.5, 10), (2L, "b", -2.0, 20), (3L, null: String, 0.25, 30))
+      .toDF("k", "s", "d", "i")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.vec_t")
+    spark.sql("CREATE TABLE graft_cat.lake.vec_t (k BIGINT, s STRING, d DOUBLE, " +
+      s"i INT) USING graft OPTIONS (path '$root')")
+    // the scan plans COLUMNAR (ColumnarToRow above the v2 scan) …
+    val df = spark.sql("SELECT k, s, d, i FROM graft_cat.lake.vec_t")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"parquet lake scan must read vectorized:\n${df.queryExecution.executedPlan}")
+    // … and is value-exact, nulls included
+    assert(df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2), r.getInt(3))).toSet ==
+      Set((1L, "a", 1.5, 10), (2L, "b", -2.0, 20), (3L, null, 0.25, 30)))
+    // provenance metadata + schema evolution ride as per-file constants
+    spark.sql("ALTER TABLE graft_cat.lake.vec_t ADD COLUMN extra BIGINT")
+    val meta = spark.sql(
+      "SELECT k, _file, _epoch, extra FROM graft_cat.lake.vec_t")
+    assert(meta.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = meta.collect()
+    assert(rows.forall(r => r.getString(1).endsWith(".parquet") &&
+      r.getLong(2) == -1L && r.isNullAt(3)))
+    // a JSON-payload table still reads through the row path, correctly
+    val jroot = freshRoot("vec_json")
+    Seq((5L, "j")).toDF("k", "s")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", jroot).save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.vec_json")
+    spark.sql("CREATE TABLE graft_cat.lake.vec_json (k BIGINT, s STRING) " +
+      s"USING graft OPTIONS (path '$jroot')")
+    val jdf = spark.sql("SELECT k, s FROM graft_cat.lake.vec_json")
+    assert(!jdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(jdf.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((5L, "j")))
+    spark.sql("DROP TABLE graft_cat.lake.vec_t")
+    spark.sql("DROP TABLE graft_cat.lake.vec_json")
+  }
+
+  private def segRefsOf(m: java.nio.file.Path): Seq[String] =
+    Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith("#seg:")).map(_.stripPrefix("#seg:"))
+
+  test("append metadata cost is O(batch): one segment + a small list, prior by ref") {
+    import spark.implicits._
+    val root = freshRoot("seg_cost")
+    val segDir = Paths.get(root, "_segments")
+    def segBytes: Map[String, Long] = {
+      val s = Files.list(segDir)
+      try {
+        val it = s.iterator(); val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val p = it.next(); b += p.getFileName.toString -> Files.size(p) }
+        b.result()
+      } finally s.close()
+    }
+    // commit 1: a wide first load (8 files, 8 stats lines)
+    (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val segs1 = segBytes
+    assert(segs1.size == 1, s"one commit = one segment: ${segs1.keySet}")
+    val firstSegBytes = segs1.values.sum
+    // commit 2: a single-row append — the metadata WRITTEN is the new
+    // (tiny) segment plus the relisted refs, NOT a re-inline of the
+    // first commit's 8 stats lines
+    Seq((9999L, "x")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    val segs2 = segBytes
+    assert(segs2.size == 2, s"append adds exactly one segment: ${segs2.keySet}")
+    assert(segs2.contains(segs1.keySet.head) &&
+      segs2(segs1.keySet.head) == firstSegBytes,
+      "the prior segment must carry by reference, byte-identical")
+    val newSegBytes = (segs2 -- segs1.keySet).values.sum
+    val listBytes = Files.size(Paths.get(root, "manifest.json"))
+    assert(newSegBytes + listBytes < firstSegBytes / 2,
+      s"append metadata (seg $newSegBytes + list $listBytes) must be far " +
+        s"below a full re-inline ($firstSegBytes)")
+    // resolution is lossless: names, stats, reads all see 9 files
+    assert(ManifestSink.committedFiles(root).size == 9)
+    assert(ManifestSink.fileStats(root).size == 9)
+    assert(ManifestSink.readCommitted(spark, root).count() == 401L)
+    // recorded per-file byte sizes ride the stats lines (no plan-time
+    // stat syscalls for r16 commits)
+    assert(ManifestSink.fileStats(root).values.forall(_.bytes > 0L))
+  }
+
+  test("snapshots share segments by reference; vacuum expires orphans with them") {
+    import spark.implicits._
+    val root = freshRoot("seg_share")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    val snaps = Paths.get(root, "_snapshots")
+    val refs1 = segRefsOf(snaps.resolve("manifest-1.json"))
+    val refs2 = segRefsOf(snaps.resolve("manifest-2.json"))
+    assert(refs1.size == 1 && refs2.size == 2 && refs2.contains(refs1.head),
+      s"gen2 must reference gen1's segment, not copy it: $refs1 / $refs2")
+    // compaction rewrites everything into a fresh segment…
+    ManifestSink.compact(spark, root)
+    val refs3 = segRefsOf(snaps.resolve("manifest-3.json"))
+    assert(refs3.size == 1 && !refs2.contains(refs3.head))
+    // …and a retention-1 vacuum expires gens 1-2 AND their segments
+    ManifestSink.vacuum(root, retainSnapshots = 1)
+    val left = {
+      val s = Files.list(Paths.get(root, "_segments"))
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    assert(left.toSet == refs3.toSet,
+      s"vacuum must keep exactly the retained snapshots' segments: $left")
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // time travel to the retained generation still resolves
+    assert(ManifestSink.readSnapshot(spark, root, 3L).count() == 3L)
+  }
+
+  test("pruned DELETE rewrites only the segments holding replaced files") {
+    import spark.implicits._
+    val root = freshRoot("seg_del")
+    // two commits -> two segments with disjoint key ranges
+    (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    (50L until 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    val refsBefore = segRefsOf(Paths.get(root, "manifest.json"))
+    assert(refsBefore.size == 2)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.seg_del")
+    spark.sql("CREATE TABLE graft_cat.lake.seg_del (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    // k >= 90 touches only the second commit's file: the first commit's
+    // segment must carry BY REFERENCE (same name), the second is
+    // replaced by the rewrite job's segment(s)
+    spark.sql("DELETE FROM graft_cat.lake.seg_del WHERE k >= 90")
+    val refsAfter = segRefsOf(Paths.get(root, "manifest.json"))
+    assert(refsAfter.contains(refsBefore.head) && !refsAfter.contains(refsBefore(1)),
+      s"untouched segment must carry by ref: $refsBefore -> $refsAfter")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.seg_del")
+      .collect().map(_.getLong(0)).toSet == (0L until 90L).toSet)
+    spark.sql("DROP TABLE graft_cat.lake.seg_del")
   }
 }
