@@ -110,6 +110,38 @@ object GraftCatalog {
       s.sql("SELECT * FROM graft_cat.lake.cust_del")
     }),
 
+    // MERGE-ON-READ DELETE (VERDICT r15 Next #5): the same DELETE as
+    // q_sink_delete, but the table declares deleteMode 'mor' — the
+    // DELETE publishes a predicate TOMBSTONE (one manifest line,
+    // O(predicate) bytes, zero data files rewritten — pinned in
+    // LakeTableSpec) and the connector scan filters tombstoned files
+    // row-level with SQL three-valued semantics. The surviving set must
+    // equal the oracle's complement exactly — same oracle as the
+    // copy-on-write twin, proving the two delete materializations are
+    // semantically identical.
+    "q_sink_delete_mor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_delmor_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_del_mor")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_del_mor
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', deleteMode 'mor')""".stripMargin)
+      s.sql(
+        """DELETE FROM graft_cat.lake.cust_del_mor
+          |WHERE bal_cents < 0 OR c_mktsegment = 'BUILDING'""".stripMargin)
+      s.sql("SELECT * FROM graft_cat.lake.cust_del_mor")
+    }),
+
     // SCHEMA EVOLUTION: ALTER TABLE ADD COLUMN is metadata-only — files
     // committed before the ALTER lack the field and read back as null
     // (by-name resolution), files after carry it; no rewrite anywhere.
@@ -598,6 +630,15 @@ object GraftCatalog {
         |WHERE NOT (CAST(round(c_acctbal * 100) AS BIGINT) < 0
         |           OR c_mktsegment = 'BUILDING')""".stripMargin,
 
+    // the MoR tombstone materialization must produce exactly the same
+    // complement as the copy-on-write rewrite
+    "q_sink_delete_mor" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE NOT (CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |           OR c_mktsegment = 'BUILDING')""".stripMargin,
+
     // pre-ALTER rows read the added column as NULL; post-ALTER rows
     // carry it
     "q_sink_evolution" ->
@@ -843,6 +884,7 @@ class GraftCatalog extends TableCatalog {
         clusterBy = cols("clusterBy"), orderBy = cols("orderBy"),
         partitionBy = cols("partitionBy"),
         format = props.getOrElse("format", "json"),
+        deleteMode = props.getOrElse("deleteMode", "cow"),
         splitConf = SplitConf(
           props.get("targetSplitBytes").map(_.toLong)
             .getOrElse(SplitConf.DefaultTargetBytes),
@@ -968,6 +1010,7 @@ class GraftCatalog extends TableCatalog {
       opt("clusterBy").map("clusterBy" -> _) ++
       opt("orderBy").map("orderBy" -> _) ++
       opt("format").map("format" -> _) ++
+      opt("deleteMode").map("deleteMode" -> _) ++
       opt("targetSplitBytes").map("targetSplitBytes" -> _) ++
       opt("openCostBytes").map("openCostBytes" -> _) ++
       (if (partitionCols.nonEmpty)

@@ -91,6 +91,7 @@ object ManifestMeta {
     case i: Int => i.toString
     case d: Double => d.toString
     case m: Map[_, _] => encodeObject(m.asInstanceOf[Map[String, Any]])
+    case xs: Seq[_] => xs.map(encodeValue).mkString("[", ",", "]")
     case other => throw new IllegalArgumentException(s"unencodable $other")
   }
 
@@ -125,10 +126,26 @@ object ManifestMeta {
       skipWs()
       s.charAt(i) match {
         case '{' => obj()
+        case '[' => arr()
         case '"' => str()
         case 'n' => i += 4; null
         case _ => num()
       }
+    }
+
+    private def arr(): Seq[Any] = {
+      i += 1 // '['
+      val b = Seq.newBuilder[Any]
+      skipWs()
+      if (s.charAt(i) == ']') { i += 1; return b.result() }
+      var more = true
+      while (more) {
+        b += value()
+        skipWs()
+        if (s.charAt(i) == ',') i += 1
+        else { require(s.charAt(i) == ']', s"expected ']' at $i in $s"); i += 1; more = false }
+      }
+      b.result()
     }
 
     private def obj(): Map[String, Any] = {

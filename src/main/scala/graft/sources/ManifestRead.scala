@@ -82,6 +82,10 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
   override def pushLimit(n: Int): Boolean = {
     if (residualCount > 0 || aggRows.isDefined) return false
     if (allNames.isEmpty || !allNames.forall(stats.contains)) return false
+    // MoR tombstones make stats rows an overcount: a truncated prefix
+    // could under-deliver — refuse (compaction folds tombstones and
+    // restores the fast path)
+    if (tombstones.nonEmpty) return false
     limit = Some(n)
     true
   }
@@ -134,6 +138,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     manifestLines.drop(1).filterNot(_.startsWith("#"))
   private lazy val stats: Map[String, ManifestMeta.FileStats] =
     ManifestMeta.statsOf(manifestLines.drop(1))
+  private lazy val tombstones: Seq[ManifestDeletes.Tombstone] =
+    ManifestDeletes.of(manifestLines.drop(1))
 
   /** METADATA-ONLY AGGREGATES: COUNT(*) / COUNT(col) / MIN(col) /
     * MAX(col), globally or grouped by the identity partition column,
@@ -173,6 +179,10 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     if (allNames.isEmpty && manifestLines.isEmpty) return false // no manifest yet
     // every committed file must carry stats, or counts would be guesses
     if (!allNames.forall(stats.contains)) return false
+    // MoR tombstones: stats count rows the tombstone already deleted —
+    // the fold would overcount, so the metadata path refuses until a
+    // compaction folds the tombstones in
+    if (tombstones.nonEmpty) return false
     val typesMap = tableSchema.fields.map(f => f.name -> f.dataType).toMap
     val fileStats = allNames.map(stats).filter(fs =>
       pushedExact.forall(ManifestMeta.mayMatch(_, fs, typesMap)))
@@ -352,7 +362,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       }
       ManifestRead.lastSkipLedger.set((limited.length, allNames.length))
       new ManifestScan(path, limited.map(n => (n, stats.get(n))), tableSchema,
-        required, partitionBy, splitConf)
+        required, partitionBy, splitConf,
+        ManifestDeletes.byFile(tombstones, limited))
   }
 }
 
@@ -392,7 +403,8 @@ class ManifestScan(path: String,
     allFiles: Seq[(String, Option[ManifestMeta.FileStats])],
     tableSchema: StructType, required: StructType,
     partitionBy: Seq[String] = Seq.empty,
-    splitConf: SplitConf = SplitConf.Default)
+    splitConf: SplitConf = SplitConf.Default,
+    deletes: Map[String, Seq[Filter]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -589,7 +601,7 @@ class ManifestScan(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(tableSchema, required)
+    new ManifestReaderFactory(tableSchema, required, deletes)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map { case (n, st) =>
@@ -600,8 +612,9 @@ class ManifestScan(path: String,
       }
     }.sum
     // exact when every kept file carries stats (post-skip, pre-residual)
+    // and no MoR tombstone applies (tombstoned rows would overcount)
     private val rows: Option[Long] =
-      if (files.forall(_._2.isDefined))
+      if (deletes.isEmpty && files.forall(_._2.isDefined))
         Some(files.map(_._2.get.rows).sum)
       else None
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
@@ -658,16 +671,19 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
   /** Bare file NAMES of snapshot `gen` (empty for gen 0 = before the
     * first commit).
     */
-  private def namesAt(gen: Long): Set[String] =
-    if (gen == 0L) Set.empty
+  private def linesAt(gen: Long): Seq[String] =
+    if (gen == 0L) Seq.empty
     else {
       val m = Paths.get(path).resolve("_snapshots").resolve(s"manifest-$gen.json")
       ManifestSink.resolvedManifestLines(Paths.get(path), m)
         .getOrElse(throw new IllegalStateException(
           s"snapshot $gen of $path expired while a streaming consumer still " +
             s"needed it — retain more generations in vacuum()"))
-        .tail.filterNot(_.startsWith("#")).toSet
+        .tail
     }
+
+  private def namesAt(gen: Long): Set[String] =
+    linesAt(gen).filterNot(_.startsWith("#")).toSet
 
   override def initialOffset(): Offset = SnapshotOffset(0L)
   override def latestOffset(): Offset =
@@ -689,8 +705,19 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
     val s = start.asInstanceOf[SnapshotOffset].gen
     val e = end.asInstanceOf[SnapshotOffset].gen
     if (e <= s) return Array.empty
-    val startNames = namesAt(s)
-    val endNames = namesAt(e)
+    val startLines = linesAt(s)
+    val endLines = linesAt(e)
+    val startNames = startLines.filterNot(_.startsWith("#")).toSet
+    val endNames = endLines.filterNot(_.startsWith("#")).toSet
+    // a MoR tombstone landing mid-feed is a row REMOVAL the additions-
+    // only delta cannot express — same refusal as a rewrite below
+    val newTombstones = endLines.filter(ManifestDeletes.isDeleteLine).toSet --
+      startLines.filter(ManifestDeletes.isDeleteLine)
+    if (newTombstones.nonEmpty) throw new IllegalStateException(
+      s"non-append snapshot in consumed range ($s, $e] of $path: a MoR " +
+        s"delete tombstone was published mid-feed — the snapshot feed " +
+        "requires append-only history; compact the table (folding the " +
+        "tombstones) and restart the feed from the current snapshot")
     // ENFORCED append-only contract (VERDICT r15 What's wrong #1): the
     // feed's delta is file ADDITIONS, so a replace-shaped snapshot
     // (compaction, INSERT OVERWRITE, DELETE) inside the consumed range
@@ -719,12 +746,17 @@ case class SnapshotOffset(gen: Long)
   override def json(): String = gen.toString
 }
 
-class ManifestReaderFactory(tableSchema: StructType, required: StructType)
+class ManifestReaderFactory(tableSchema: StructType, required: StructType,
+    deletes: Map[String, Seq[Filter]] = Map.empty)
     extends PartitionReaderFactory {
+  private def deletesFor(file: String): Seq[Filter] =
+    if (deletes.isEmpty) Seq.empty
+    else deletes.getOrElse(Paths.get(file).getFileName.toString, Seq.empty)
+
   private def fileReader(file: String): PartitionReader[InternalRow] =
     if (file.endsWith(".parquet"))
-      new ManifestParquetReader(file, tableSchema, required)
-    else new ManifestJsonReader(file, tableSchema, required)
+      new ManifestParquetReader(file, tableSchema, required, deletesFor(file))
+    else new ManifestJsonReader(file, tableSchema, required, deletesFor(file))
 
   private def filesOf(p: InputPartition): Seq[String] = p match {
     case ManifestFilePartition(f) => Seq(f)
@@ -742,8 +774,16 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType)
     * serve (nothing projected but metadata columns).
     */
   override def supportColumnarReads(p: InputPartition): Boolean = {
+    // A/B escape hatch (bench + triage): -Dgraft.lake.columnar=false
+    // forces the row path so the vectorized win stays measurable
+    if (!java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.lake.columnar", "true"))) return false
     val fs = filesOf(p)
+    // MoR-tombstoned files need row-level predicate evaluation — they
+    // take the row path (compaction folds tombstones and restores the
+    // columnar read)
     fs.nonEmpty && fs.forall(_.endsWith(".parquet")) &&
+      fs.forall(deletesFor(_).isEmpty) &&
       required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
   }
 
@@ -881,7 +921,8 @@ private[sources] trait ManifestRowProvenance {
   * literal, escaped string}.
   */
 class ManifestJsonReader(val file: String, tableSchema: StructType,
-    required: StructType) extends PartitionReader[InternalRow]
+    required: StructType, deletes: Seq[Filter] = Seq.empty)
+    extends PartitionReader[InternalRow]
     with ManifestRowProvenance {
 
   private val lines = Files.newBufferedReader(
@@ -891,15 +932,31 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = lines.readLine()
-    if (line == null) return false
-    current = parse(line)
-    true
+    while (true) {
+      val line = lines.readLine()
+      if (line == null) return false
+      val cells = parseCells(line)
+      // MoR tombstones evaluate on the FULL parsed cell map (the parser
+      // materializes every key anyway), before projection
+      if (deletes.isEmpty ||
+          ManifestDeletes.survives(deletes, cells.get(_), types)) {
+        current = project(cells)
+        return true
+      }
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
 
-  private def parse(line: String): InternalRow = {
+  private def project(cells: java.util.HashMap[String, Any]): InternalRow =
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map {
+      case f if f.name == "_file" => fileNameUtf8
+      case f if f.name == "_epoch" => epochOfFile
+      case f => cells.get(f.name)
+    })
+
+  private def parseCells(line: String): java.util.HashMap[String, Any] = {
     val cells = new java.util.HashMap[String, Any]()
     var i = 1 // past '{'
     while (i < line.length && line.charAt(i) != '}') {
@@ -940,11 +997,7 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
           }
       }
     }
-    InternalRow.fromSeq(required.fields.toIndexedSeq.map {
-      case f if f.name == "_file" => fileNameUtf8
-      case f if f.name == "_epoch" => epochOfFile
-      case f => cells.get(f.name)
-    })
+    cells
   }
 }
 
@@ -958,30 +1011,39 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
   * resolution as the JSON path.
   */
 class ManifestParquetReader(val file: String, tableSchema: StructType,
-    required: StructType) extends PartitionReader[InternalRow]
+    required: StructType, deletes: Seq[Filter] = Seq.empty)
+    extends PartitionReader[InternalRow]
     with ManifestRowProvenance {
-  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.api.ReadSupport
   import org.apache.parquet.hadoop.example.GroupReadSupport
-  import org.apache.parquet.hadoop.util.HadoopInputFile
 
   private val hadoopConf = new org.apache.hadoop.conf.Configuration()
   private val hadoopPath = new org.apache.hadoop.fs.Path(file)
 
   // columns this reader must decode: required minus metadata, minus
-  // schema-evolution columns the file doesn't have (they read null).
+  // schema-evolution columns the file doesn't have (they read null) —
+  // PLUS any column a MoR tombstone predicate reads (decoded for the
+  // row-level evaluation, dropped from the projected output).
   // The footer field set is CACHED per path (ADVICE r15): committed
   // data files are immutable and job-token-uniquely named, so repeat
   // scans pay one footer open per file total instead of one extra per
   // read — the builder below already re-reads the footer internally.
   private val fileFields: Set[String] =
     ManifestParquetReader.fieldsOf(file, hadoopConf)
+  private val deleteCols: Set[String] =
+    if (deletes.isEmpty) Set.empty
+    else ManifestDeletes.referencedCols(deletes).intersect(fileFields)
   private val projected: Array[org.apache.spark.sql.types.StructField] = {
     val dataCols = required.fields.filter(f =>
       f.name != "_file" && f.name != "_epoch" && fileFields.contains(f.name))
+    val names = dataCols.map(_.name).toSet
+    val extra = tableSchema.fields.filter(f =>
+      deleteCols.contains(f.name) && !names.contains(f.name))
+    val all = dataCols ++ extra
     // an empty projection is invalid parquet: drive row iteration off
     // the file's narrowest declared column instead
-    if (dataCols.nonEmpty) dataCols
+    if (all.nonEmpty) all
     else tableSchema.fields.filter(f => fileFields.contains(f.name)).take(1)
   }
   ManifestRead.lastParquetProjection.set(projected.map(_.name).toSeq)
@@ -993,11 +1055,32 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
       .withConf(hadoopConf).build()
   }
 
+  private val types: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+
+  private def cell(g: org.apache.parquet.example.data.Group, name: String): Any =
+    if (!fileFields.contains(name)) null // post-commit ADD COLUMN
+    else if (g.getFieldRepetitionCount(name) == 0) null
+    else types(name) match {
+      case LongType => g.getLong(name, 0)
+      case IntegerType => g.getInteger(name, 0)
+      case DoubleType => g.getDouble(name, 0)
+      case StringType => UTF8String.fromString(g.getString(name, 0))
+      case other => throw new IllegalArgumentException(
+        s"unsupported manifest read type $other")
+    }
+
   private var current: org.apache.parquet.example.data.Group = _
 
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      if (deletes.isEmpty ||
+          ManifestDeletes.survives(deletes, cell(current, _), types))
+        return true
+    }
+    false
   }
 
   override def get(): InternalRow = {
@@ -1005,17 +1088,7 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
     InternalRow.fromSeq(required.fields.toIndexedSeq.map {
       case f if f.name == "_file" => fileNameUtf8
       case f if f.name == "_epoch" => epochOfFile
-      case f if !fileFields.contains(f.name) => null // post-commit ADD COLUMN
-      case f =>
-        if (g.getFieldRepetitionCount(f.name) == 0) null
-        else f.dataType match {
-          case LongType => g.getLong(f.name, 0)
-          case IntegerType => g.getInteger(f.name, 0)
-          case DoubleType => g.getDouble(f.name, 0)
-          case StringType => UTF8String.fromString(g.getString(f.name, 0))
-          case other => throw new IllegalArgumentException(
-            s"unsupported manifest read type $other")
-        }
+      case f => cell(g, f.name)
     })
   }
 

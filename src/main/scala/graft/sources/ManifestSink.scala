@@ -70,6 +70,7 @@ class ManifestSink extends TableProvider {
       format = Option(properties.get("format")).getOrElse("json"),
       replaceFiles = cols("replaceFiles"),
       expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
+      deleteMode = Option(properties.get("deleteMode")).getOrElse("cow"),
       splitConf = SplitConf(
         Option(properties.get("targetSplitBytes")).map(_.toLong)
           .getOrElse(SplitConf.DefaultTargetBytes),
@@ -236,6 +237,75 @@ object ManifestSink {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Delete-aware variant: files group by their applicable tombstone
+    * predicates (keyed by bare name) and each group reads with the
+    * survivor filter applied — SQL DELETE semantics, keep on NOT TRUE.
+    * Tombstone-free files read in one plain group, so a table with no
+    * tombstones pays nothing.
+    */
+  private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, files: Seq[String],
+      deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]]):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    if (deletes.isEmpty) return readDataFiles(spark, schema, files)
+    val groups = files.groupBy(f =>
+      deletes.getOrElse(Paths.get(f).getFileName.toString, Seq.empty))
+    groups.iterator.map { case (preds, fs) =>
+      val base = readDataFiles(spark, schema, fs)
+      if (preds.isEmpty) base
+      else {
+        val cond = preds.flatMap(filterToColumn(_)).reduceOption(_ || _)
+          .getOrElse(lit(false))
+        // survivors: rows where NO applicable predicate is TRUE
+        base.filter(coalesce(not(cond), lit(true)))
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Tombstones applicable to the live manifest (empty when none). */
+  private[sources] def liveDeletes(root: Path):
+      Map[String, Seq[org.apache.spark.sql.sources.Filter]] = {
+    val lines = resolvedManifestLines(root, root.resolve("manifest.json"))
+      .getOrElse(return Map.empty)
+    val ts = ManifestDeletes.of(lines.tail)
+    if (ts.isEmpty) Map.empty
+    else ManifestDeletes.byFile(ts, lines.tail.filterNot(_.startsWith("#")))
+  }
+
+  /** MERGE-ON-READ DELETE (VERDICT r15 Next #5): publish a predicate
+    * TOMBSTONE naming the stats-overlapping candidate files instead of
+    * rewriting them — O(predicate) bytes written, zero data jobs; the
+    * read side filters row-level and [[compact]] folds tombstones into
+    * a clean rewrite. Returns false (publishing nothing) when no
+    * committed file can hold a match. Unsupported predicates are
+    * refused loudly — a tombstone is semantics, not an optimization.
+    */
+  def deleteWhereMoR(root: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val rootP = Paths.get(root)
+    require(filters.forall(filterToColumn(_).isDefined),
+      s"unsupported MoR delete predicate: ${filters.mkString(", ")}")
+    lockFor(rootP).synchronized {
+      val (ddl, names) = rawManifest(rootP).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $root — nothing to delete"))
+      val stats = fileStats(root)
+      val types = StructType.fromDDL(ddl).fields.map(f => f.name -> f.dataType).toMap
+      val candidates = names.filter { n =>
+        stats.get(n).forall(fs =>
+          filters.forall(ManifestMeta.mayMatch(_, fs, types)))
+      }
+      if (candidates.isEmpty) return false
+      val cond = filters.toSeq.reduceOption(
+        org.apache.spark.sql.sources.And(_, _))
+        .getOrElse(org.apache.spark.sql.sources.AlwaysTrue())
+      val line = ManifestDeletes.line(
+        ManifestDeletes.Tombstone(candidates.toSet, cond))
+      publish(rootP, (ddl +: rawListLines(rootP)) :+ line)
+      true
+    }
+  }
+
   /** (schema, committed file paths) from `manifest.json`, if published. */
   def readManifest(root: Path): Option[(StructType, Seq[String])] =
     rawManifest(root).map { case (ddl, names) =>
@@ -323,9 +393,12 @@ object ManifestSink {
         s"snapshot $gen of $root does not exist (expired or never published); " +
           s"available: ${snapshots(root).mkString(",")}"))
     val schema = StructType.fromDDL(lines.head)
-    val files = lines.tail.filterNot(_.startsWith("#"))
-      .map(f => Paths.get(root).resolve("data").resolve(f).toString)
-    readDataFiles(spark, schema, files)
+    val names = lines.tail.filterNot(_.startsWith("#"))
+    val files = names.map(f => Paths.get(root).resolve("data").resolve(f).toString)
+    // a snapshot carries the tombstones published AT its generation —
+    // an as-of read before the MoR delete sees the rows, after it not
+    readDataFiles(spark, schema, files,
+      ManifestDeletes.byFile(ManifestDeletes.of(lines.tail), names))
   }
 
   /** Epoch ids already published to the streaming manifest — parsed from
@@ -361,7 +434,7 @@ object ManifestSink {
     val (schema, files) = readManifest(Paths.get(root))
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write before reading"))
-    readDataFiles(spark, schema, files)
+    readDataFiles(spark, schema, files, liveDeletes(Paths.get(root)))
   }
 
   /** LAKE MAINTENANCE — manifest compaction (VERDICT r13 Next #4): the
@@ -400,13 +473,16 @@ object ManifestSink {
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — nothing to compact"))
     val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val deletes = liveDeletes(rootP)
     // no-op checks (idempotent re-run after crash-and-retry converges):
     // plain tables are compact at <= targetFiles; a PARTITION-PRESERVING
     // compaction is done when every file is partition-pure and every
-    // partition value has exactly one file
+    // partition value has exactly one file. Standing TOMBSTONES always
+    // force the rewrite — folding them into clean files is half of what
+    // compaction is FOR on a MoR table.
     if (partitionBy.isEmpty) {
-      if (files.size <= targetFiles) return
-    } else {
+      if (files.size <= targetFiles && deletes.isEmpty) return
+    } else if (deletes.isEmpty) {
       val stats = fileStats(root)
       val keys = names.map { n =>
         stats.get(n).flatMap { fs =>
@@ -427,7 +503,9 @@ object ManifestSink {
           keys.flatten.distinct.length == keys.length) return
     }
     val epochs = committedEpochs(root)
-    val df = readDataFiles(spark, schema, files)
+    // standing tombstones FOLD here: the rewrite reads survivors only,
+    // and the replace commit publishes a tombstone-free manifest
+    val df = readDataFiles(spark, schema, files, deletes)
     // format-preserving: an all-parquet table compacts to parquet
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
     // partition-preserving: the rewrite flows through the same clustered
@@ -545,9 +623,12 @@ object ManifestSink {
     val candidates = names.filter(mayHoldKey)
     val candPaths = candidates.map(n =>
       rootP.resolve("data").resolve(n).toString)
-    val survivors = readDataFiles(spark, schema, candPaths).join(
-      broadcast(updates.select(keyCols.map(col): _*).distinct()),
-      keyCols, "left_anti")
+    // standing MoR tombstones apply to the candidate read — a merge
+    // must not resurrect rows a predicate tombstone already deleted
+    val survivors = readDataFiles(spark, schema, candPaths, liveDeletes(rootP))
+      .join(
+        broadcast(updates.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
     // the using-columns join moves key columns first: restore the
     // table's declared column order before republishing, or the merged
     // manifest's DDL would silently permute the schema
@@ -901,6 +982,7 @@ class ManifestTable(path: String, schema: StructType,
     replaceFiles: Seq[String] = Seq.empty,
     snapshotGen: Option[Long] = None,
     expectedGen: Option[Long] = None,
+    deleteMode: String = "cow",
     splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -952,6 +1034,13 @@ class ManifestTable(path: String, schema: StructType,
     */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // MERGE-ON-READ mode (table OPTION deleteMode 'mor'): publish a
+    // predicate tombstone — O(predicate) metadata, zero data rewrite;
+    // the scan filters row-level and compaction folds it later
+    if (deleteMode == "mor") {
+      ManifestSink.deleteWhereMoR(path, filters)
+      return
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val rootP = Paths.get(path)
     // optimistic-concurrency base: the generation the candidate reads
@@ -985,7 +1074,8 @@ class ManifestTable(path: String, schema: StructType,
     val (dp, dob) = ManifestSink.derivedLayout(names, stats, schema)
     val pBy = if (partitionBy.nonEmpty) partitionBy else dp
     val oBy = if (orderBy.nonEmpty) orderBy else dob
-    val w0 = ManifestSink.readDataFiles(spark, schema, candPaths)
+    val w0 = ManifestSink.readDataFiles(spark, schema, candPaths,
+        ManifestSink.liveDeletes(rootP))
       .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", path)
@@ -1183,6 +1273,15 @@ class ManifestBatchWrite(path: String, schema: StructType,
             Seq(ManifestSink.writeSegment(root, s"$jobToken-rw$rewriteSeq", kept))
           else Seq.empty // every file of the segment was replaced
         }
+      } else if (ManifestDeletes.isDeleteLine(l) && replaced.nonEmpty) {
+        // a tombstone's file list prunes the replaced names (their
+        // rewritten successors were read with the tombstone APPLIED);
+        // a tombstone emptied of files has fully materialized — drop it
+        val t = ManifestDeletes.parseLine(l).get
+        val left = t.files -- replaced
+        if (left.isEmpty) Seq.empty
+        else if (left == t.files) Seq(l)
+        else Seq(ManifestDeletes.line(t.copy(files = left)))
       } else if (keepLine(l)) Seq(l)
       else Seq.empty
     }

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B micro-bench for the lake connector's parquet read path
+  * (VERDICT r15 Next #3 "done" receipt): builds a widened parquet lake
+  * table once, then times the same projected aggregate through the
+  * VECTORIZED ColumnarBatch reader vs the row-by-row parquet-mr path
+  * (`-Dgraft.lake.columnar=false`). Prints one JSON line per
+  * configuration; run each mode in its own JVM so JIT state can't leak
+  * between arms:
+  *
+  *   sbt 'runMain graft.tools.LakeScanBench columnar'
+  *   sbt -Dgraft.lake.columnar=false 'runMain graft.tools.LakeScanBench row'
+  */
+object LakeScanBench {
+  def main(args: Array[String]): Unit = {
+    val label = args.headOption.getOrElse("columnar")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-lake-scan-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val root = "/tmp/graft_lake_scanbench"
+    if (graft.sources.ManifestSink
+        .readManifest(java.nio.file.Paths.get(root)).isEmpty) {
+      // 4M rows x 8 columns, 32 files — wide enough that decode rate,
+      // not job overhead, dominates
+      spark.range(0, 4000000, 1, 32)
+        .select(col("id"),
+          (col("id") % 97).as("a"), (col("id") % 1009).as("b"),
+          (col("id") * 37 % 100000).as("c"),
+          (col("id") % 255).cast("int").as("d"),
+          (col("id") % 1000000).cast("double").as("x"),
+          concat(lit("name_"), col("id") % 5000).as("s"),
+          concat(lit("cat_"), col("id") % 17).as("cat"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet").save()
+    }
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.scanbench")
+    spark.sql("CREATE TABLE graft_cat.lake.scanbench (id BIGINT, a BIGINT, " +
+      "b BIGINT, c BIGINT, d INT, x DOUBLE, s STRING, cat STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      // projected scan + aggregate: decodes 4 of 8 columns
+      spark.sql("SELECT cat, count(*) AS n, sum(a) AS sa, sum(x) AS sx " +
+        "FROM graft_cat.lake.scanbench GROUP BY cat").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val times = (1 to 5).map(_ => run())
+    val plan = spark.sql("SELECT cat, count(*) AS n FROM " +
+      "graft_cat.lake.scanbench GROUP BY cat").queryExecution.executedPlan.toString
+    println(s"""{"bench":"lake_scan","mode":"$label","columnar_plan":${plan.contains("ColumnarToRow")},"times":[${times.map(t => f"$t%.3f").mkString(",")}],"best":${f"${times.min}%.3f"}}""")
+    spark.stop()
+  }
+}

@@ -985,6 +985,116 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.vec_json")
   }
 
+  test("MoR DELETE: O(predicate) metadata write, exact reads, compaction folds") {
+    import spark.implicits._
+    val root = freshRoot("mor_t")
+    (0L until 100L).map(i => (i / 10, i, s"v$i")).toDF("b", "k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "b").option("orderBy", "k").save()
+    val filesBefore = ManifestSink.committedFiles(root).toSet
+    val dataBytesBefore = filesBefore.toSeq.map(f => Files.size(Paths.get(f))).sum
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.mor_t")
+    spark.sql("CREATE TABLE graft_cat.lake.mor_t (b BIGINT, k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root', deleteMode 'mor')")
+    spark.sql("DELETE FROM graft_cat.lake.mor_t WHERE k >= 35 AND k < 55")
+    // O(predicate) write: ZERO data files rewritten, zero new files —
+    // the whole delete is one manifest tombstone line
+    assert(ManifestSink.committedFiles(root).toSet == filesBefore,
+      "a MoR delete must rewrite no data files")
+    assert(ManifestSink.committedFiles(root).toSeq
+      .map(f => Files.size(Paths.get(f))).sum == dataBytesBefore)
+    val dLines = Files.readAllLines(Paths.get(root, "manifest.json"))
+      .toArray(Array.empty[String]).filter(_.startsWith("#d:"))
+    assert(dLines.length == 1, s"exactly one tombstone line: ${dLines.toSeq}")
+    // the tombstone names only the stats-overlapping candidates (files
+    // b=3,4,5 hold k in [30,59])
+    val t = graft.sources.ManifestDeletes.parseLine(dLines.head).get
+    assert(t.files.size == 3, s"only 3 of 10 files overlap [35,55): ${t.files}")
+    // reads are exact through every surface: connector scan…
+    assert(spark.sql("SELECT k FROM graft_cat.lake.mor_t")
+      .collect().map(_.getLong(0)).toSet ==
+      ((0L until 35L) ++ (55L until 100L)).toSet)
+    // …the helper read, and a keyed aggregate
+    assert(ManifestSink.readCommitted(spark, root).count() == 80L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.lake.mor_t WHERE b = 3")
+      .collect().head.getLong(0) == 5L) // k 35..39 deleted, 30..34 survive
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.lake.mor_t WHERE b = 4")
+      .collect().head.getLong(0) == 0L) // k 40..49 all inside [35,55)
+    // metadata aggregates refuse while a tombstone stands (stats
+    // overcount); the row answer stays exact
+    val agg = spark.sql("SELECT count(*) AS n FROM graft_cat.lake.mor_t")
+    assert(!agg.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "tombstoned tables must refuse the metadata-aggregate path")
+    assert(agg.collect().head.getLong(0) == 80L)
+    // time travel: the pre-delete snapshot still sees all 100 rows
+    val Seq(gOld, gNew) = ManifestSink.snapshots(root).takeRight(2)
+    assert(ManifestSink.readSnapshot(spark, root, gOld).count() == 100L)
+    assert(ManifestSink.readSnapshot(spark, root, gNew).count() == 80L)
+    // compaction FOLDS the tombstone: clean files, no #d: lines, counts
+    // unchanged, metadata aggregates restored
+    ManifestSink.compact(spark, root, partitionBy = Seq("b"), orderBy = Seq("k"))
+    assert(Files.readAllLines(Paths.get(root, "manifest.json"))
+      .toArray(Array.empty[String]).count(_.startsWith("#d:")) == 0,
+      "compaction must fold tombstones away")
+    assert(ManifestSink.readCommitted(spark, root).count() == 80L)
+    val agg2 = spark.sql("SELECT count(*) AS n FROM graft_cat.lake.mor_t")
+    assert(agg2.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "folding the tombstone must restore the metadata path")
+    assert(agg2.collect().head.getLong(0) == 80L)
+    spark.sql("DROP TABLE graft_cat.lake.mor_t")
+  }
+
+  test("MoR tombstones scope to delete-time files; CoW rewrites apply and prune them") {
+    import spark.implicits._
+    val root = freshRoot("mor_scope")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    // tombstone k = 2 on the only committed file
+    assert(ManifestSink.deleteWhereMoR(root,
+      Array(org.apache.spark.sql.sources.EqualTo("k", 2L))))
+    // rows appended AFTER the delete are out of scope — k=2 reappears
+    Seq((2L, "b2")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).save()
+    assert(ManifestSink.readCommitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (3L, "c"), (2L, "b2")),
+      "a tombstone must not affect post-delete appends")
+    // a MERGE touching the tombstoned file applies the tombstone (the
+    // old k=2 row must NOT resurrect) and prunes the dead reference
+    ManifestSink.merge(spark, root,
+      Seq((1L, "A1")).toDF("k", "v"), Seq("k"))
+    val rows = ManifestSink.readCommitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "A1"), (3L, "c"), (2L, "b2")),
+      s"merge must apply standing tombstones: $rows")
+    // the rewritten file replaced the tombstone's only target: the
+    // emptied tombstone drops from the manifest
+    assert(Files.readAllLines(Paths.get(root, "manifest.json"))
+      .toArray(Array.empty[String]).count(_.startsWith("#d:")) == 0,
+      "an emptied tombstone must drop with its last file")
+  }
+
+  test("a new tombstone mid-feed refuses the snapshot stream loudly") {
+    import spark.implicits._
+    val root = freshRoot("mor_feed")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    assert(ManifestSink.deleteWhereMoR(root,
+      Array(org.apache.spark.sql.sources.EqualTo("k", 1L))))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING")
+    val stream = new graft.sources.ManifestSnapshotStream(root, schema, schema)
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.SnapshotOffset(1L), graft.sources.SnapshotOffset(2L))
+    }
+    assert(err.getMessage.contains("tombstone"), err.getMessage)
+  }
+
   private def segRefsOf(m: java.nio.file.Path): Seq[String] =
     Files.readAllLines(m).toArray(Array.empty[String]).toSeq
       .filter(_.startsWith("#seg:")).map(_.stripPrefix("#seg:"))
