@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
 object LakeScanBench {
   def main(args: Array[String]): Unit = {
     val label = args.headOption.getOrElse("columnar")
+    // the mode arg drives the knob directly — sbt's -D forwarding into
+    // the forked run JVM is not reliable
+    if (label == "row") System.setProperty("graft.lake.columnar", "false")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-lake-scan-bench")
@@ -56,8 +59,8 @@ object LakeScanBench {
       (System.nanoTime() - t0) / 1e9
     }
     val times = (1 to 5).map(_ => run())
-    val plan = spark.sql("SELECT cat, count(*) AS n FROM " +
-      "graft_cat.lake.scanbench GROUP BY cat").queryExecution.executedPlan.toString
+    val plan = spark.sql("SELECT id, s FROM graft_cat.lake.scanbench")
+      .queryExecution.executedPlan.toString
     println(s"""{"bench":"lake_scan","mode":"$label","columnar_plan":${plan.contains("ColumnarToRow")},"times":[${times.map(t => f"$t%.3f").mkString(",")}],"best":${f"${times.min}%.3f"}}""")
     spark.stop()
   }
