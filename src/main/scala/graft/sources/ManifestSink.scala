@@ -175,6 +175,48 @@ object ManifestSink {
     else Files.readAllLines(m).toArray(Array.empty[String]).toSeq.drop(1)
   }
 
+  /** SEGMENT-LIST CONSOLIDATION: a long-lived streaming table commits
+    * one segment per epoch, so the manifest LIST itself grows O(commits)
+    * and a cold driver parse reads one small file per historical commit.
+    * When a commit would publish more than `maxSegRefs` refs
+    * (-Dgraft.lake.maxSegRefs, default 64), the OLDEST run of refs
+    * merges into one consolidated segment — metadata-only (reads the
+    * merged segments' lines, writes one file; data files untouched),
+    * resolved line order preserved exactly, and the recent tail of
+    * small segments is kept so snapshot-feed deltas stay cheap. Old
+    * snapshots keep referencing the pre-merge segments until vacuum
+    * expires them — the same reuse rule as every other segment.
+    */
+  private def maxSegRefs: Int = Integer.getInteger("graft.lake.maxSegRefs", 64)
+
+  private[sources] def consolidateRefs(root: Path, tail: Seq[String],
+      token: String): Seq[String] = {
+    val refIdx = tail.zipWithIndex
+      .filter(_._1.startsWith(SegPrefix)).map(_._2)
+    val cap = maxSegRefs
+    if (refIdx.length <= cap) return tail
+    val keepTail = math.max(4, cap / 4)
+    val mergeIdx = refIdx.dropRight(keepTail)
+    if (mergeIdx.length < 2) return tail
+    val lo = mergeIdx.head
+    val hi = mergeIdx.last
+    // name ORDER is semantics (LIMIT prefix, bin packing): merging is
+    // only safe when no bare file-name line sits inside the merged span
+    // (ledger `#` lines are position-insensitive) — otherwise names
+    // would reorder across the span. Mixed pre-segment manifests that
+    // fail this simply skip consolidation.
+    if (tail.slice(lo, hi + 1).exists(l => !l.startsWith("#"))) return tail
+    val merged = mergeIdx.flatMap(i =>
+      segmentLines(root, tail(i).stripPrefix(SegPrefix)))
+    val mergedRef = writeSegment(root, token, merged)
+    val mergeSet = mergeIdx.toSet
+    tail.zipWithIndex.flatMap { case (l, i) =>
+      if (i == lo) Seq(mergedRef)
+      else if (mergeSet.contains(i)) Seq.empty
+      else Seq(l)
+    }
+  }
+
   /** Stage + atomically publish one immutable segment holding this
     * commit's file names and stats lines; returns its `#seg:` ref line.
     * `token` is job/epoch-unique, so segment names never collide.
@@ -1296,8 +1338,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
       if (staged.isEmpty) Seq.empty
       else Seq(ManifestSink.writeSegment(root, jobToken,
         staged.map(_.name) ++ staged.map(_.statsLine)))
-    ManifestSink.publish(root,
-      schema.toDDL +: (prior ++ replacedEpochs ++ ledger ++ segRef))
+    ManifestSink.publish(root, schema.toDDL +: ManifestSink.consolidateRefs(
+      root, prior ++ replacedEpochs ++ ledger ++ segRef, s"$jobToken-m"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1384,7 +1426,8 @@ class ManifestStreamingWrite(path: String, schema: StructType,
       if (staged.isEmpty) Seq.empty
       else Seq(ManifestSink.writeSegment(root, s"e$epochId",
         staged.map(_.name) ++ staged.map(_.statsLine)))
-    ManifestSink.publish(root, schema.toDDL +: (rawPrior ++ segRef))
+    ManifestSink.publish(root, schema.toDDL +:
+      ManifestSink.consolidateRefs(root, rawPrior ++ segRef, s"e$epochId-m"))
   }
 
   override def abort(epochId: Long,

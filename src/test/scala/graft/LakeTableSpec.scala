@@ -1179,6 +1179,51 @@ class LakeTableSpec extends AnyFunSuite {
     assert(ManifestSink.readSnapshot(spark, root, 3L).count() == 3L)
   }
 
+  test("segment-list consolidation bounds refs, preserves order and history") {
+    import spark.implicits._
+    val root = freshRoot("seg_merge")
+    System.setProperty("graft.lake.maxSegRefs", "6")
+    try {
+      var expectedOrder = Seq.empty[String]
+      (0 until 12).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .mode(if (i == 0) "overwrite" else "append")
+          .option("path", root).save()
+        val names = ManifestSink.committedFiles(root)
+          .map(f => Paths.get(f).getFileName.toString)
+        // every commit APPENDS its file at the end, merge or not
+        assert(names.take(expectedOrder.length) == expectedOrder,
+          s"consolidation must preserve name order: $expectedOrder -> $names")
+        expectedOrder = names
+      }
+      // the list stays bounded even though 12 commits landed
+      val refs = segRefsOf(Paths.get(root, "manifest.json"))
+      assert(refs.size <= 6, s"consolidation must cap refs: ${refs.size}")
+      // nothing lost: all rows, all stats, exact metadata count
+      assert(ManifestSink.readCommitted(spark, root).count() == 12L)
+      assert(ManifestSink.fileStats(root).size == 12)
+      // early snapshots (pre-merge) still resolve until vacuum
+      assert(ManifestSink.readSnapshot(spark, root, 3L).count() == 3L)
+      // consolidation is TRANSPARENT to the snapshot feed: the resolved
+      // name delta across a merged boundary is still exactly the one
+      // appended file (no false non-append refusal, no re-delivery)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, v STRING")
+      val stream = new graft.sources.ManifestSnapshotStream(root, schema, schema)
+      (1L until 12L).foreach { g =>
+        assert(stream.planInputPartitions(
+          graft.sources.SnapshotOffset(g),
+          graft.sources.SnapshotOffset(g + 1)).length == 1,
+          s"feed delta across gen $g must be exactly one file")
+      }
+      // vacuum keeps exactly the retained states' segments and reads
+      // stay green after it
+      ManifestSink.vacuum(root, retainSnapshots = 1)
+      assert(ManifestSink.readCommitted(spark, root).count() == 12L)
+    } finally System.clearProperty("graft.lake.maxSegRefs")
+  }
+
   test("pruned DELETE rewrites only the segments holding replaced files") {
     import spark.implicits._
     val root = freshRoot("seg_del")
