@@ -1064,6 +1064,25 @@ class GraftCatalog extends TableCatalog {
     dropped
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** ALTER TABLE RENAME: metadata-only — the definition moves to the
+    * new identifier, the DATA stays wherever `path` points (renaming a
+    * lake table never moves files, the same contract as every
+    * path-based catalog). Refused across namespaces (synth tables are
+    * virtual) and onto an existing name.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isLake(oldIdent.namespace()) || !isLake(newIdent.namespace()))
+      throw new UnsupportedOperationException(
+        s"only lake tables support RENAME (got $oldIdent -> $newIdent)")
+    val oldKey = oldIdent.name().toLowerCase(java.util.Locale.ROOT)
+    val newKey = newIdent.name().toLowerCase(java.util.Locale.ROOT)
+    val entry = lake.get(oldKey)
+    if (entry == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    if (lake.putIfAbsent(newKey, entry) != null)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    lake.remove(oldKey)
+    persist()
+  }
 }

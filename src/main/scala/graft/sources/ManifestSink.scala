@@ -112,20 +112,38 @@ object ManifestSink {
 
   private val SegPrefix = "#seg:"
 
-  /** Per-root commit monitor (VERDICT r15 Next #4): the commit's
-    * read-modify-publish (prior list read → new list swap) runs
-    * serialized per table within the process, so two same-JVM writers
-    * can never interleave between read and swap — the harness and
-    * local[N] deployments are single-JVM, where this closes the race
-    * completely. Cross-process, the atomic manifest rename still
-    * guarantees readers never tear, and the generation CAS below
-    * narrows last-writer-wins to append-only commits; a multi-process
-    * serializable commit would need a shared catalog lock (the
-    * Iceberg-catalog CAS), documented as out of scope.
+  /** Per-root commit mutual exclusion (VERDICT r15 Next #4), two
+    * layers: an in-process monitor serializes same-JVM writers, and —
+    * inside it — an advisory `_commit.lock` FileChannel lock extends
+    * the exclusion across PROCESSES on filesystems that honor POSIX
+    * advisory locks (local disks, NFSv4). The commit's whole
+    * read-modify-publish (prior list read → segment write → manifest
+    * swap) runs under both, so interleaving between read and swap is
+    * impossible wherever the lock is honored; the generation CAS in
+    * commit() remains the conflict DETECTOR for replace-shaped commits
+    * planned against a stale snapshot (the Iceberg-catalog CAS role),
+    * and the atomic manifest rename keeps readers tear-free even on
+    * filesystems where advisory locks are a no-op.
     */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[sources] def lockFor(root: Path): Object =
+  private def lockFor(root: Path): Object =
     commitLocks.computeIfAbsent(root.toAbsolutePath.toString, _ => new Object)
+
+  private[sources] def withCommitLock[T](root: Path)(body: => T): T =
+    // monitor FIRST: the JVM throws OverlappingFileLockException if one
+    // process re-locks the same file region, so in-process exclusion
+    // must already hold before the channel lock is attempted
+    lockFor(root).synchronized {
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // blocks until any other process releases
+        try body
+        finally fl.release()
+      } finally ch.close()
+    }
 
   /** Immutable-segment cache: parsed lines per absolute segment path.
     * Bounded by wholesale clear (stale keys from vacuumed tables are
@@ -328,7 +346,7 @@ object ManifestSink {
     val rootP = Paths.get(root)
     require(filters.forall(filterToColumn(_).isDefined),
       s"unsupported MoR delete predicate: ${filters.mkString(", ")}")
-    lockFor(rootP).synchronized {
+    withCommitLock(rootP) {
       val (ddl, names) = rawManifest(rootP).getOrElse(
         throw new IllegalArgumentException(s"no manifest at $root — nothing to delete"))
       val stats = fileStats(root)
@@ -1260,7 +1278,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     * ledger lines so streaming replay detection survives the rewrite.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    ManifestSink.lockFor(Paths.get(path)).synchronized {
+    ManifestSink.withCommitLock(Paths.get(path)) {
     val root = Paths.get(path)
     // OPTIMISTIC CONCURRENCY (VERDICT r15 Next #4), checked BEFORE any
     // state moves so a losing commit leaves only staged files (which
@@ -1397,7 +1415,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-      ManifestSink.lockFor(Paths.get(path)).synchronized {
+      ManifestSink.withCommitLock(Paths.get(path)) {
     val root = Paths.get(path)
     val staging = root.resolve("_staging")
     val staged = messages.iterator

@@ -1,4 +1,5 @@
 package graft
+// (rename coverage added r16 at the end of the suite)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -199,5 +200,31 @@ class CatalogTableSpec extends AnyFunSuite {
         r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
     assert(rows == Set((1L, null, 1.5), (2L, "x", null), (null, "y", -0.25)))
     spark.sql("DROP TABLE graft_cat.lake.spec_n")
+  }
+
+  test("ALTER TABLE RENAME is metadata-only; refusals are loud") {
+    val root = freshRoot("rename")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.rn_old")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.rn_new")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.rn_other")
+    spark.sql("CREATE TABLE graft_cat.lake.rn_old (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_cat.lake.rn_old VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = ManifestSink.committedFiles(root)
+    spark.sql("ALTER TABLE graft_cat.lake.rn_old RENAME TO lake.rn_new")
+    // data untouched, new name reads it, old name is gone
+    assert(ManifestSink.committedFiles(root) == filesBefore)
+    assert(spark.sql("SELECT k FROM graft_cat.lake.rn_new")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(intercept[Exception](spark.sql("SELECT * FROM graft_cat.lake.rn_old"))
+      .getMessage.toLowerCase.contains("rn_old"))
+    // renaming onto an existing table refuses
+    spark.sql("CREATE TABLE graft_cat.lake.rn_other (k BIGINT) " +
+      s"USING graft OPTIONS (path '${freshRoot("rename2")}')")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.lake.rn_other RENAME TO lake.rn_new")
+    }.getMessage.toLowerCase.contains("rn_new"))
+    spark.sql("DROP TABLE graft_cat.lake.rn_new")
+    spark.sql("DROP TABLE graft_cat.lake.rn_other")
   }
 }

@@ -969,6 +969,13 @@ class LakeTableSpec extends AnyFunSuite {
     val rows = meta.collect()
     assert(rows.forall(r => r.getString(1).endsWith(".parquet") &&
       r.getLong(2) == -1L && r.isNullAt(3)))
+    // the all-constants projection (ONLY a post-evolution column): the
+    // batch reader must still drive row counts off the file with an
+    // empty decode schema
+    val evoOnly = spark.sql("SELECT extra FROM graft_cat.lake.vec_t")
+    assert(evoOnly.collect().length == 3 && evoOnly.collect().forall(_.isNullAt(0)))
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cat.lake.vec_t WHERE extra IS NULL")
+      .collect().head.getLong(0) == 3L)
     // a JSON-payload table still reads through the row path, correctly
     val jroot = freshRoot("vec_json")
     Seq((5L, "j")).toDF("k", "s")
