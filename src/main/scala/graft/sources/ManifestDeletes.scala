@@ -105,12 +105,27 @@ object ManifestDeletes {
     case null => null
     case i: java.lang.Integer => i.longValue() // closed grammar: Long
     case l: java.lang.Long => l
-    case d: java.lang.Double => d
-    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => finiteOrRefuse(d.doubleValue())
+    case f: java.lang.Float => finiteOrRefuse(f.doubleValue())
     case s: String => s
     case u: UTF8String => u.toString
     case other => throw new IllegalArgumentException(
       s"unsupported tombstone literal $other (${other.getClass})")
+  }
+
+  /** A non-finite double literal would serialize as a bare `Infinity`/
+    * `NaN` token the closed JSON grammar cannot parse back — the
+    * published tombstone would then fail EVERY subsequent read of the
+    * table, including compact(), the repair path (code-review r16).
+    * Refuse BEFORE publishing — the user can rerun the DELETE on a
+    * copy-on-write table (or with a finite bound) instead.
+    */
+  private def finiteOrRefuse(d: Double): Double = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new IllegalArgumentException(
+        s"non-finite double literal $d cannot be recorded in a MoR " +
+          "tombstone — use a finite bound or a copy-on-write DELETE")
+    d
   }
 
   def filterFromJson(m: Map[String, Any]): Filter = {

@@ -420,6 +420,17 @@ class ManifestScan(path: String,
   private def dataPath(n: String): String =
     Paths.get(path).resolve("data").resolve(n).toString
 
+  /** File byte size: from the stats line when recorded (r16+ commits) —
+    * plan-time sizing then costs zero syscalls; pre-r16 files fall back
+    * to one stat call each. Shared by bin-packing and statistics
+    * estimation (code-review r16: the two copies must not drift).
+    */
+  private def sizeOf(n: String, st: Option[ManifestMeta.FileStats]): Long =
+    st.map(_.bytes).filter(_ > 0L).getOrElse {
+      val p = Paths.get(dataPath(n))
+      if (Files.exists(p)) Files.size(p) else 0L
+    }
+
   /** RUNTIME FILTERING (the DSv2 face of dynamic partition pruning,
     * same shape as the synth scan): when this table is the fact side of
     * a join whose dim side is filtered on a non-join attribute, Spark
@@ -526,14 +537,7 @@ class ManifestScan(path: String,
     var curBytes = 0L
     var curN = 0
     fs.foreach { case (n, st) =>
-      // byte size from the stats line when recorded (r16+ commits) —
-      // plan-time sizing then costs zero syscalls; pre-r16 files fall
-      // back to one stat call each
-      val sz = st.map(_.bytes).filter(_ > 0L).getOrElse {
-        val p = Paths.get(dataPath(n))
-        if (Files.exists(p)) Files.size(p) else 0L
-      }
-      val cost = math.max(sz, splitConf.openCostBytes)
+      val cost = math.max(sizeOf(n, st), splitConf.openCostBytes)
       if (curN > 0 && curBytes + cost > splitConf.targetBytes) {
         bins += cur.result(); cur = Seq.newBuilder[String]
         curBytes = 0L; curN = 0
@@ -600,17 +604,23 @@ class ManifestScan(path: String,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(tableSchema, required, deletes)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the columnar decision is SCAN-GLOBAL (code-review r16): Spark's
+    // PARTITION_DEFINED mode REQUIRES every partition of a scan to
+    // agree (`Cannot mix row-based and columnar input partitions`), so
+    // one tombstoned or JSON file among many parquet files must demote
+    // the WHOLE scan to rows, not just its own partition
+    val columnarOk =
+      java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.lake.columnar", "true")) &&
+      files.nonEmpty && files.forall(_._1.endsWith(".parquet")) &&
+      deletes.isEmpty &&
+      required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
+    new ManifestReaderFactory(tableSchema, required, deletes, columnarOk)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = files.map { case (n, st) =>
-      // recorded size when present; syscall fallback for pre-r16 files
-      st.map(_.bytes).filter(_ > 0L).getOrElse {
-        val p = Paths.get(dataPath(n))
-        if (Files.exists(p)) Files.size(p) else 0L
-      }
-    }.sum
+    private val bytes = files.map { case (n, st) => sizeOf(n, st) }.sum
     // exact when every kept file carries stats (post-skip, pre-residual)
     // and no MoR tombstone applies (tombstoned rows would overcount)
     private val rows: Option[Long] =
@@ -747,7 +757,8 @@ case class SnapshotOffset(gen: Long)
 }
 
 class ManifestReaderFactory(tableSchema: StructType, required: StructType,
-    deletes: Map[String, Seq[Filter]] = Map.empty)
+    deletes: Map[String, Seq[Filter]] = Map.empty,
+    columnarOk: Boolean = false)
     extends PartitionReaderFactory {
   private def deletesFor(file: String): Seq[Filter] =
     if (deletes.isEmpty) Seq.empty
@@ -765,27 +776,17 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
     case _ => Seq.empty
   }
 
-  /** COLUMNAR parquet reads (VERDICT r15 Next #3): an all-parquet
-    * partition decodes through Spark's own VectorizedParquetRecordReader
-    * into ColumnarBatches — the whole-stage-codegen-friendly path the
-    * row-by-row parquet-mr Group loop could never reach. Spark consults
-    * this per partition and falls back to row reads when ANY partition
-    * of the scan is JSON or needs a projection the batch reader can't
-    * serve (nothing projected but metadata columns).
+  /** COLUMNAR parquet reads (VERDICT r15 Next #3): an all-parquet,
+    * tombstone-free SCAN decodes through Spark's own
+    * VectorizedParquetRecordReader into ColumnarBatches — the
+    * whole-stage-codegen-friendly path the row-by-row parquet-mr Group
+    * loop could never reach. The answer is one SCAN-GLOBAL constant,
+    * decided by the scan over its final file set (code-review r16):
+    * Spark's default columnar mode requires every partition to agree,
+    * so per-partition answers on a mixed table would fail planning
+    * outright, not fall back.
     */
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    // A/B escape hatch (bench + triage): -Dgraft.lake.columnar=false
-    // forces the row path so the vectorized win stays measurable
-    if (!java.lang.Boolean.parseBoolean(
-        System.getProperty("graft.lake.columnar", "true"))) return false
-    val fs = filesOf(p)
-    // MoR-tombstoned files need row-level predicate evaluation — they
-    // take the row path (compaction folds tombstones and restores the
-    // columnar read)
-    fs.nonEmpty && fs.forall(_.endsWith(".parquet")) &&
-      fs.forall(deletesFor(_).isEmpty) &&
-      required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
-  }
+  override def supportColumnarReads(p: InputPartition): Boolean = columnarOk
 
   override def createColumnarReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

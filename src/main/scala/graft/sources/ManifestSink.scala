@@ -110,7 +110,10 @@ object ManifestSink {
   // (inline file names/stats) resolve unchanged — both shapes coexist.
   // ---------------------------------------------------------------
 
-  private val SegPrefix = "#seg:"
+  // shared with vacuum and the commit path — a drifting literal here
+  // would silently empty vacuum's keep-set and delete live segments
+  // (code-review r16)
+  private[sources] val SegPrefix = "#seg:"
 
   /** Per-root commit mutual exclusion (VERDICT r15 Next #4), two
     * layers: an in-process monitor serializes same-JVM writers, and —
@@ -308,7 +311,12 @@ object ManifestSink {
       deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]]):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    if (deletes.isEmpty) return readDataFiles(spark, schema, files)
+    // the empty-file guard must fire BEFORE grouping: an insert-only
+    // MERGE on a table with standing tombstones reaches here with zero
+    // candidate files but a non-empty deletes map, and reducing zero
+    // groups would throw (code-review r16)
+    if (deletes.isEmpty || files.isEmpty)
+      return readDataFiles(spark, schema, files)
     val groups = files.groupBy(f =>
       deletes.getOrElse(Paths.get(f).getFileName.toString, Seq.empty))
     groups.iterator.map { case (preds, fs) =>
@@ -597,8 +605,13 @@ object ManifestSink {
     * read-grace / time-travel retention policy the deployment wants.
     * Returns the deleted data-file count (0 on re-run — idempotent).
     */
-  def vacuum(root: String, retainSnapshots: Int = 1): Int = {
+  def vacuum(root: String, retainSnapshots: Int = 1): Int =
+      withCommitLock(Paths.get(root)) {
     val rootP = Paths.get(root)
+    // under the commit lock (code-review r16): an unlocked vacuum could
+    // compute its live set while a commit sits between segment write
+    // and manifest swap, deleting the in-flight commit's files as
+    // "orphans" and leaving the swapped manifest pointing at nothing
     val gens = snapshots(root)
     val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet
     val snapsDir = rootP.resolve("_snapshots")
@@ -614,7 +627,7 @@ object ManifestSink {
     val liveSegs = retainedManifests.flatMap { m =>
       if (!Files.exists(m)) Seq.empty
       else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-        .filter(_.startsWith("#seg:")).map(_.stripPrefix("#seg:"))
+        .filter(_.startsWith(SegPrefix)).map(_.stripPrefix(SegPrefix))
     }.toSet
     // expire the non-retained snapshot manifests FIRST: a reader can
     // then never resolve a snapshot whose files this pass deletes
@@ -1322,8 +1335,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
       else !replaced.contains(l)
     var rewriteSeq = 0
     val prior = rawPrior.flatMap { l =>
-      if (l.startsWith("#seg:")) {
-        val segName = l.stripPrefix("#seg:")
+      if (l.startsWith(ManifestSink.SegPrefix)) {
+        val segName = l.stripPrefix(ManifestSink.SegPrefix)
         lazy val lines = ManifestSink.segmentLines(root, segName)
         if (replaced.isEmpty || lines.forall(keepLine)) Seq(l) // carry by ref
         else {

@@ -1053,6 +1053,82 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.mor_t")
   }
 
+  test("columnar decision is scan-global: partial tombstones and mixed formats demote ALL partitions") {
+    import spark.implicits._
+    // key-grouped parquet table (one partition per file) with a partial
+    // tombstone: per-partition columnar answers would make Spark refuse
+    // the plan outright ("Cannot mix row-based and columnar input
+    // partitions") — the whole scan must demote to rows (code-review r16)
+    val root = freshRoot("mor_kg")
+    (0L until 100L).map(i => (i / 10, i)).toDF("b", "k")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "b").option("orderBy", "k").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.mor_kg")
+    spark.sql("CREATE TABLE graft_cat.lake.mor_kg (b BIGINT, k BIGINT) " +
+      "USING graft PARTITIONED BY (b) " +
+      s"OPTIONS (path '$root', format 'parquet', deleteMode 'mor')")
+    spark.sql("DELETE FROM graft_cat.lake.mor_kg WHERE k >= 95")
+    val df = spark.sql("SELECT k FROM graft_cat.lake.mor_kg")
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a partially tombstoned scan must demote to rows everywhere")
+    assert(df.collect().map(_.getLong(0)).toSet == (0L until 95L).toSet)
+    spark.sql("DROP TABLE graft_cat.lake.mor_kg")
+    // mixed json+parquet files forced into SEPARATE bins: same rule
+    val root2 = freshRoot("mixed_bins")
+    Seq((1L, "j")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root2).save()
+    Seq((2L, "p")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root2).option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.mixed_bins")
+    spark.sql("CREATE TABLE graft_cat.lake.mixed_bins (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root2', targetSplitBytes '1', openCostBytes '1')")
+    val mixed = spark.sql("SELECT k, v FROM graft_cat.lake.mixed_bins")
+    assert(mixed.rdd.getNumPartitions == 2,
+      s"tiny split bytes must separate the two files: ${mixed.rdd.getNumPartitions}")
+    assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "j"), (2L, "p")))
+    spark.sql("DROP TABLE graft_cat.lake.mixed_bins")
+  }
+
+  test("MoR refuses non-finite double literals before publishing anything") {
+    import spark.implicits._
+    val root = freshRoot("mor_inf")
+    Seq((1L, 1.5), (2L, -3.0)).toDF("k", "d").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    val gens = ManifestSink.snapshots(root).size
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.deleteWhereMoR(root, Array(
+        org.apache.spark.sql.sources.LessThan("d", Double.PositiveInfinity)))
+    }
+    assert(err.getMessage.contains("non-finite"), err.getMessage)
+    // nothing published: the table stays fully readable
+    assert(ManifestSink.snapshots(root).size == gens)
+    assert(ManifestSink.readCommitted(spark, root).count() == 2L)
+  }
+
+  test("insert-only MERGE on a table with standing tombstones appends cleanly") {
+    import spark.implicits._
+    val root = freshRoot("mor_insmerge")
+    (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    assert(ManifestSink.deleteWhereMoR(root, Array(
+      org.apache.spark.sql.sources.EqualTo("k", 7L))))
+    // key 1000 is outside every file's range: zero candidates, but the
+    // deletes map is non-empty — the survivors read must not crash on
+    // an empty file group (code-review r16)
+    ManifestSink.merge(spark, root,
+      Seq((1000L, "NEW")).toDF("k", "v"), Seq("k"))
+    val rows = ManifestSink.readCommitted(spark, root)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(rows == ((0L until 50L).toSet - 7L) + 1000L)
+  }
+
   test("MoR tombstones scope to delete-time files; CoW rewrites apply and prune them") {
     import spark.implicits._
     val root = freshRoot("mor_scope")
