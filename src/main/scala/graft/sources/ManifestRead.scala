@@ -192,21 +192,24 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         tableSchema.fields.find(_.name == r.fieldNames()(0))
       else None
 
-    // group keys: none (global) or exactly the single partition column
-    // with every file partition-pure — then a group IS a set of whole
-    // files and the fold over their stats is exact and final
+    // group keys: none (global) or any column set on which EVERY file
+    // is verifiably pure (stats min==max, null-free) — a group is then
+    // a union of whole files and the fold over their stats is exact and
+    // final. Purity is VERIFIED from the committed stats, never assumed
+    // from the declared partitioning, so this serves the full partition
+    // set, any subset of it, in any order (multi-column since r16).
     val groupCols: Seq[org.apache.spark.sql.types.StructField] =
       aggregation.groupByExpressions() match {
         case Array() => Seq.empty
-        case Array(r: NamedReference) =>
-          val f = fieldOf(r).getOrElse(return false)
-          if (partitionBy != Seq(f.name)) return false
+        case refs if refs.forall(_.isInstanceOf[NamedReference]) =>
+          val fields = refs.toSeq.map(r =>
+            fieldOf(r.asInstanceOf[NamedReference]).getOrElse(return false))
           val pure = fileStats.forall { fs =>
-            fs.cols.get(f.name).exists(c =>
-              c.nulls == 0L && c.min.isDefined && c.min == c.max)
+            fields.forall(f => fs.cols.get(f.name).exists(c =>
+              c.nulls == 0L && c.min.isDefined && c.min == c.max))
           }
           if (!pure) return false
-          Seq(f)
+          fields
         case _ => return false
       }
 
@@ -302,9 +305,10 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       try {
         if (groupCols.isEmpty) Seq(fold(fileStats))
         else fileStats
-          .groupBy(_.cols(groupCols.head.name).min.get)
-          .toSeq.map { case (k, group) =>
-            toCell(groupCols.head.dataType, k) +: fold(group)
+          .groupBy(fs => groupCols.map(f => fs.cols(f.name).min.get))
+          .toSeq.map { case (ks, group) =>
+            groupCols.zip(ks).map { case (f, k) =>
+              toCell(f.dataType, k) } ++ fold(group)
           }
       } catch { case _: ArithmeticException => return false }
 

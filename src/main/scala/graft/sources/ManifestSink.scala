@@ -71,6 +71,7 @@ class ManifestSink extends TableProvider {
       replaceFiles = cols("replaceFiles"),
       expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
       deleteMode = Option(properties.get("deleteMode")).getOrElse("cow"),
+      tombstoneFilter = Option(properties.get("tombstoneFilter")),
       splitConf = SplitConf(
         Option(properties.get("targetSplitBytes")).map(_.toLong)
           .getOrElse(SplitConf.DefaultTargetBytes),
@@ -758,6 +759,45 @@ object ManifestSink {
     (pBy, common.drop(pBy.length))
   }
 
+  /** MERGE-ON-READ UPSERT: updates APPEND as new files and the keys
+    * they replace publish as a tombstone scoped to the PRE-commit files
+    * — one atomic snapshot (the tombstone rides the same commit via the
+    * `tombstoneFilter` write option, so a crash can never leave the
+    * delete visible without the inserts). Write cost is O(updates) data
+    * + O(keys) metadata; zero existing files rewrite. Driver-bounded by
+    * `maxKeys` (the tombstone carries the literal key set — a big keyed
+    * update belongs on the copy-on-write [[merge]], which is refused
+    * loudly here, never silently degraded).
+    */
+  def mergeMoR(spark: org.apache.spark.sql.SparkSession, root: String,
+      updates: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      maxKeys: Int = 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources.{And, EqualTo, Filter, In, Or}
+    val rootP = Paths.get(root)
+    val (schema, _) = readManifest(rootP).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
+    val keyRows = updates.select(keyCols.map(col): _*)
+      .distinct().limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"MoR merge carries the key set in its tombstone and is bounded at " +
+        s"$maxKeys keys — use the copy-on-write merge() for larger updates")
+    require(keyRows.forall(r => (0 until keyCols.length).forall(!r.isNullAt(_))),
+      "MoR merge keys must be non-null (a null key matches no row)")
+    val pred: Filter =
+      if (keyCols.length == 1) In(keyCols.head, keyRows.map(_.get(0)))
+      else keyRows.map { r =>
+        keyCols.zipWithIndex.map { case (c, i) =>
+          EqualTo(c, r.get(i)): Filter }.reduce(And(_, _))
+      }.reduce(Or(_, _))
+    updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root)
+      .option("tombstoneFilter",
+        ManifestMeta.encodeObject(ManifestDeletes.filterToJson(pred)))
+      .save()
+  }
+
   /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
     * the supported predicate subset; None = refuse the delete cleanly.
     */
@@ -1056,6 +1096,7 @@ class ManifestTable(path: String, schema: StructType,
     snapshotGen: Option[Long] = None,
     expectedGen: Option[Long] = None,
     deleteMode: String = "cow",
+    tombstoneFilter: Option[String] = None,
     splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -1189,7 +1230,8 @@ class ManifestTable(path: String, schema: StructType,
         new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy,
           replace, partitionBy, format, replaceFiles,
           baseGen = expectedGen.getOrElse(
-            ManifestSink.snapshots(path).lastOption.getOrElse(0L)))
+            ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
+          tombstoneFilter = tombstoneFilter)
     }
   }
 }
@@ -1209,7 +1251,8 @@ class ManifestWrite(path: String, schema: StructType,
     clusterBy: Seq[String] = Seq.empty, orderBy: Seq[String] = Seq.empty,
     replace: Boolean = true,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
-    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L)
+    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L,
+    tombstoneFilter: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1245,7 +1288,7 @@ class ManifestWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
-      format, partitionBy, sortedCols, replaceFiles, baseGen)
+      format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(path, schema, format, sortedCols)
 }
@@ -1263,7 +1306,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     carryEpochs: Set[Long] = Set.empty, replace: Boolean = true,
     format: String = "json", partitionBy: Seq[String] = Seq.empty,
     sortedCols: Seq[String] = Seq.empty,
-    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L)
+    replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L,
+    tombstoneFilter: Option[String] = None)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -1369,8 +1413,29 @@ class ManifestBatchWrite(path: String, schema: StructType,
       if (staged.isEmpty) Seq.empty
       else Seq(ManifestSink.writeSegment(root, jobToken,
         staged.map(_.name) ++ staged.map(_.statsLine)))
+    // ATOMIC MoR UPSERT (mergeMoR): the tombstone for the replaced keys
+    // publishes IN THIS COMMIT, scoped to the PRE-commit files (never
+    // this job's own staged updates) — delete and insert are one
+    // snapshot, a crash can't expose one without the other
+    val tombstoneLine: Seq[String] = tombstoneFilter match {
+      case None => Seq.empty
+      case Some(json) =>
+        require(!replace,
+          "tombstoneFilter composes with append commits only")
+        val f = ManifestDeletes.filterFromJson(
+          ManifestMeta.parse(json).asInstanceOf[Map[String, Any]])
+        val priorNames = ManifestSink.rawManifest(root).map(_._2)
+          .getOrElse(Seq.empty)
+        val stats = ManifestSink.fileStats(path)
+        val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
+        val cands = priorNames.filter(n =>
+          stats.get(n).forall(fs => ManifestMeta.mayMatch(f, fs, types)))
+        if (cands.isEmpty) Seq.empty
+        else Seq(ManifestDeletes.line(ManifestDeletes.Tombstone(cands.toSet, f)))
+    }
     ManifestSink.publish(root, schema.toDDL +: ManifestSink.consolidateRefs(
-      root, prior ++ replacedEpochs ++ ledger ++ segRef, s"$jobToken-m"))
+      root, prior ++ replacedEpochs ++ ledger ++ tombstoneLine ++ segRef,
+      s"$jobToken-m"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -667,6 +667,47 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.limit_t")
   }
 
+  test("metadata aggregates group by the full multi-column partition set") {
+    import spark.implicits._
+    val root = freshRoot("meta_multi")
+    (0L until 60L).map(i => (i % 3, i % 2, i)).toDF("b", "c", "k")
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "b,c").option("orderBy", "k").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.meta_multi")
+    spark.sql("CREATE TABLE graft_cat.lake.meta_multi (b BIGINT, c BIGINT, " +
+      s"k BIGINT) USING graft PARTITIONED BY (b, c) " +
+      s"OPTIONS (path '$root', format 'parquet')")
+    // the full partition set folds from stats, in either column order
+    val g1 = spark.sql("SELECT b, c, count(*) AS n, sum(k) AS s " +
+      "FROM graft_cat.lake.meta_multi GROUP BY b, c")
+    assert(g1.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      s"multi-column partition grouping must fold from stats:\n${g1.queryExecution.executedPlan}")
+    val expect = (0L until 60L).groupBy(i => (i % 3, i % 2))
+      .map { case ((b, c), is) => (b, c, is.size.toLong, is.sum) }.toSet
+    assert(g1.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == expect)
+    val g2 = spark.sql("SELECT c, b, count(*) AS n " +
+      "FROM graft_cat.lake.meta_multi GROUP BY c, b")
+    assert(g2.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "column order must not matter")
+    // a SUBSET grouping still folds: every file is pure per b alone,
+    // so groups merge whole files across c — exact either way
+    val g3 = spark.sql("SELECT b, count(*) AS n " +
+      "FROM graft_cat.lake.meta_multi GROUP BY b")
+    assert(g3.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "a pure subset grouping must keep the metadata path")
+    assert(g3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 20L), (1L, 20L), (2L, 20L)))
+    // a NON-pure column (k varies within files) refuses
+    val g4 = spark.sql("SELECT k, count(*) AS n " +
+      "FROM graft_cat.lake.meta_multi GROUP BY k")
+    assert(!g4.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(g4.collect().length == 60)
+    spark.sql("DROP TABLE graft_cat.lake.meta_multi")
+  }
+
   test("covering filters compose with metadata aggregates; straddling refuses") {
     makePartitioned("cov_t", "parquet")
     // partition-equality: every file is fully-in or fully-out — the
@@ -1127,6 +1168,42 @@ class LakeTableSpec extends AnyFunSuite {
     val rows = ManifestSink.readCommitted(spark, root)
       .collect().map(r => r.getLong(0)).toSet
     assert(rows == ((0L until 50L).toSet - 7L) + 1000L)
+  }
+
+  test("MoR upsert is one atomic snapshot: tombstone + append, zero rewrites") {
+    import spark.implicits._
+    val root = freshRoot("mor_upsert")
+    (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", "parquet").save()
+    val filesBefore = ManifestSink.committedFiles(root).toSet
+    val gensBefore = ManifestSink.snapshots(root).size
+    ManifestSink.mergeMoR(spark, root,
+      Seq((7L, "UP7"), (100L, "NEW")).toDF("k", "v"), Seq("k"))
+    // ONE new snapshot carrying both the tombstone and the inserts
+    assert(ManifestSink.snapshots(root).size == gensBefore + 1,
+      "MoR upsert must publish exactly one snapshot")
+    // zero existing files rewritten; only the update file(s) appended
+    assert(filesBefore.subsetOf(ManifestSink.committedFiles(root).toSet))
+    val rows = ManifestSink.readCommitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 51 && rows(7L) == "UP7" && rows(100L) == "NEW" &&
+      rows(6L) == "v6")
+    // the connector scan agrees (tombstone + new file through DSv2)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.mor_up")
+    spark.sql("CREATE TABLE graft_cat.lake.mor_up (k BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT v FROM graft_cat.lake.mor_up WHERE k = 7")
+      .collect().map(_.getString(0)).toSeq == Seq("UP7"))
+    spark.sql("DROP TABLE graft_cat.lake.mor_up")
+    // the key-set bound refuses loudly, nothing published
+    val gens2 = ManifestSink.snapshots(root).size
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.mergeMoR(spark, root,
+        (0L until 40L).map(i => (i, "x")).toDF("k", "v"), Seq("k"), maxKeys = 10)
+    }
+    assert(err.getMessage.contains("bounded"), err.getMessage)
+    assert(ManifestSink.snapshots(root).size == gens2)
   }
 
   test("MoR tombstones scope to delete-time files; CoW rewrites apply and prune them") {
