@@ -243,6 +243,36 @@ object GraftCatalog {
           |GROUP BY b""".stripMargin)
     }),
 
+    // BLOOM-FILTER FILE SKIPPING: the custkey column is HASH-scattered
+    // across the 8 committed files (repartition, no clustering), so
+    // every file's [min,max] spans the whole key domain and zone maps
+    // prune NOTHING — the per-file bloom (write option bloomFor) is
+    // what lets the point lookups read only the files actually holding
+    // the probed keys (kept < total pinned in LakeTableSpec). The
+    // oracle proves bloom skipping is lossless: false positives cost
+    // reads, never rows, and a missing key never drops a present one.
+    "q_lake_bloom_skip" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_bloom_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_bloom")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_bloom")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_bloom
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft
+           | OPTIONS (path '$tmp', format 'parquet', bloomFor 'c_custkey')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.lake.cust_bloom
+          |SELECT /*+ REPARTITION(8) */ CAST(c_custkey AS BIGINT),
+          | c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+          |FROM cust_src_bloom""".stripMargin)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_bloom
+          |WHERE c_custkey IN (42, 99, 777, 1201)""".stripMargin)
+    }),
+
     // PARTITION PRUNING on the stored table (json payload this time):
     // equality on the identity partition column resolves to the one
     // partition-pure file holding that value — the zone-map special
@@ -742,6 +772,13 @@ object GraftCatalog {
         | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
+    // bloom skipping must be lossless: exactly the probed keys' rows
+    "q_lake_bloom_skip" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey IN (42, 99, 777, 1201)""".stripMargin,
+
     // the covering-filter fold must equal the row-level filtered
     // aggregate exactly — file selection IS the filter's answer
     "q_lake_agg_covering" ->
@@ -923,6 +960,7 @@ class GraftCatalog extends TableCatalog {
         partitionBy = cols("partitionBy"),
         format = props.getOrElse("format", "json"),
         deleteMode = props.getOrElse("deleteMode", "cow"),
+        bloomFor = cols("bloomFor"),
         splitConf = SplitConf(
           props.get("targetSplitBytes").map(_.toLong)
             .getOrElse(SplitConf.DefaultTargetBytes),
@@ -1049,6 +1087,7 @@ class GraftCatalog extends TableCatalog {
       opt("orderBy").map("orderBy" -> _) ++
       opt("format").map("format" -> _) ++
       opt("deleteMode").map("deleteMode" -> _) ++
+      opt("bloomFor").map("bloomFor" -> _) ++
       opt("targetSplitBytes").map("targetSplitBytes" -> _) ++
       opt("openCostBytes").map("openCostBytes" -> _) ++
       (if (partitionCols.nonEmpty)

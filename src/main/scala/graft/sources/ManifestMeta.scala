@@ -195,9 +195,90 @@ object ManifestMeta {
     * exact non-null total of an integral column (None for other types,
     * all-null columns, or when the per-file total overflowed Long —
     * tracked with addExact, so a recorded sum is always exact).
+    * `bloom` is an OPT-IN per-file membership filter (write option
+    * `bloomFor`) for point-lookup skipping on columns whose values are
+    * hash-scattered across files — where min/max ranges all overlap and
+    * zone maps prune nothing (the parquet-bloom/Iceberg shape).
     */
   case class ColStats(min: Option[Any], max: Option[Any], nulls: Long,
-      sum: Option[Long] = None)
+      sum: Option[Long] = None, bloom: Option[Bloom] = None)
+
+  /** A sized split-bloom: `bits` is a power of two, `k` probes via
+    * double hashing. Sized at seal time from the tracked distinct-hash
+    * count (~10 bits/entry → ~1% fpp), so small files get small blooms
+    * and an over-cardinality column simply drops the filter.
+    */
+  case class Bloom(k: Int, bits: Array[Byte]) {
+    def mayContain(h: Long): Boolean = {
+      val nbits = bits.length.toLong * 8L
+      val h2 = (h >>> 32) | 1L // odd increment
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Long.remainderUnsigned(h + i.toLong * h2, nbits)
+        if ((bits((pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object Bloom {
+    /** Max distinct hashes tracked per column before the bloom drops —
+      * the metadata-size governor (2^20-bit cap ≈ 128 KB/col/file).
+      */
+    val MaxDistinct = 100000
+    val MinBits = 2048L
+    val MaxBits = 1L << 20
+
+    /** splitmix64 finalizer — the shared value hash of writer and
+      * filter evaluation; both sides MUST agree bit-for-bit.
+      */
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** FNV-1a 64 over UTF-8 bytes, splitmix-finalized — strings hash
+      * over their encoded bytes so UTF8String (writer) and String
+      * (filter literal) agree.
+      */
+    def hashBytes(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) {
+        h ^= (b(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      mix(h)
+    }
+
+    def hashLong(v: Long): Long = mix(v)
+
+    /** Build from tracked hashes: ~10 bits/entry, 7 probes, power-of-
+      * two sizing between MinBits and MaxBits.
+      */
+    def build(hashes: java.util.HashSet[java.lang.Long]): Bloom = {
+      var bits = MinBits
+      while (bits < math.min(MaxBits, 10L * hashes.size()) ) bits <<= 1
+      val arr = new Array[Byte]((bits / 8L).toInt)
+      val b = Bloom(7, arr)
+      val it = hashes.iterator()
+      while (it.hasNext) {
+        val h = it.next().longValue()
+        val h2 = (h >>> 32) | 1L
+        var i = 0
+        while (i < b.k) {
+          val pos = java.lang.Long.remainderUnsigned(h + i.toLong * h2, bits)
+          arr((pos >>> 3).toInt) = (arr((pos >>> 3).toInt) | (1 << (pos & 7L).toInt)).toByte
+          i += 1
+        }
+      }
+      b
+    }
+  }
 
   /** One committed file's stats: row count, per-column stats, the
     * sort-column list its writer delivered (empty = no ordering claim),
@@ -216,7 +297,9 @@ object ManifestMeta {
     val cols: Map[String, Any] = fs.cols.map { case (k, c) =>
       k -> (Map[String, Any]("nulls" -> c.nulls) ++
         c.min.map("min" -> _) ++ c.max.map("max" -> _) ++
-        c.sum.map("sum" -> _))
+        c.sum.map("sum" -> _) ++
+        c.bloom.map(bl => "bloom" -> Map[String, Any]("k" -> bl.k.toLong,
+          "b64" -> java.util.Base64.getEncoder.encodeToString(bl.bits))))
     }
     val body: Map[String, Any] = Map("rows" -> fs.rows, "cols" -> cols) ++
       (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty) ++
@@ -239,7 +322,12 @@ object ManifestMeta {
         val cm = v.asInstanceOf[Map[String, Any]]
         k -> ColStats(cm.get("min"), cm.get("max"),
           cm.get("nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
-          cm.get("sum").map(_.asInstanceOf[Long]))
+          cm.get("sum").map(_.asInstanceOf[Long]),
+          cm.get("bloom").map { b =>
+            val bm = b.asInstanceOf[Map[String, Any]]
+            Bloom(bm("k").asInstanceOf[Long].toInt,
+              java.util.Base64.getDecoder.decode(bm("b64").asInstanceOf[String]))
+          })
       }
     val sorted = m.get("sorted").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
@@ -313,10 +401,22 @@ object ManifestMeta {
       range(a).forall { case (mn, mx, dt) =>
         cmp(dt, v, mn) >= 0 && cmp(dt, v, mx) <= 0
       }
+    // point-lookup refinement: a recorded bloom can refute equality
+    // even when the value sits inside the file's [min,max] — the case
+    // hash-scattered keys always hit. Absent blooms and non-equality
+    // shapes pass through (conservative true).
+    def bloomHas(a: String, v: Any): Boolean =
+      (for { c <- fs.cols.get(a); bl <- c.bloom; dt <- types.get(a) }
+        yield dt match {
+          case LongType | IntegerType => bl.mayContain(Bloom.hashLong(asLong(v)))
+          case StringType => bl.mayContain(Bloom.hashBytes(
+            v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case _ => true
+        }).getOrElse(true)
     f match {
-      case EqualTo(a, v) => someNonNull(a) && inRange(a, v)
+      case EqualTo(a, v) => someNonNull(a) && inRange(a, v) && bloomHas(a, v)
       case EqualNullSafe(a, null) => evalMay(IsNull(a), fs, types)
-      case EqualNullSafe(a, v) => someNonNull(a) && inRange(a, v)
+      case EqualNullSafe(a, v) => someNonNull(a) && inRange(a, v) && bloomHas(a, v)
       case GreaterThan(a, v) =>
         someNonNull(a) && range(a).forall { case (_, mx, dt) => cmp(dt, mx, v) > 0 }
       case GreaterThanOrEqual(a, v) =>
@@ -325,7 +425,8 @@ object ManifestMeta {
         someNonNull(a) && range(a).forall { case (mn, _, dt) => cmp(dt, mn, v) < 0 }
       case LessThanOrEqual(a, v) =>
         someNonNull(a) && range(a).forall { case (mn, _, dt) => cmp(dt, mn, v) <= 0 }
-      case In(a, vs) => someNonNull(a) && vs.exists(v => v != null && inRange(a, v))
+      case In(a, vs) => someNonNull(a) &&
+        vs.exists(v => v != null && inRange(a, v) && bloomHas(a, v))
       case IsNull(a) => fs.cols.get(a).forall(_.nulls > 0L)
       case IsNotNull(a) => someNonNull(a)
       case And(l, r) => evalMay(l, fs, types) && evalMay(r, fs, types)
@@ -421,7 +522,8 @@ object ManifestMeta {
     * pass. UTF8String min/max are COPIED (the input row's buffer is
     * reused) and compared in binary order.
     */
-  final class StatsCollector(schema: StructType) {
+  final class StatsCollector(schema: StructType,
+      bloomCols: Set[String] = Set.empty) {
     private val n = schema.fields.length
     // per-column type tag resolved ONCE (the observe loop is the
     // per-row write hot path): 0=long 1=int 2=double 3=string 4=other
@@ -432,6 +534,27 @@ object ManifestMeta {
       case StringType => 3
       case _ => 4
     })
+    // OPT-IN bloom tracking (write option `bloomFor`): distinct value
+    // hashes accumulate per named long/int/string column; past
+    // Bloom.MaxDistinct the column drops its filter (over-cardinality
+    // blooms would be all-ones metadata weight)
+    private val bloomSets: Array[java.util.HashSet[java.lang.Long]] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        if (bloomCols.contains(f.name) && tag(i) != 2 && tag(i) != 4)
+          new java.util.HashSet[java.lang.Long]()
+        else null
+      }.toArray
+    private val bloomDropped = new Array[Boolean](n)
+    private def trackBloom(i: Int, h: Long): Unit = {
+      val set = bloomSets(i)
+      if (set != null && !bloomDropped(i)) {
+        set.add(java.lang.Long.valueOf(h))
+        if (set.size() > Bloom.MaxDistinct) {
+          bloomDropped(i) = true
+          set.clear()
+        }
+      }
+    }
     private var rowCount = 0L
     private val nulls = new Array[Long](n)
     private val longMin = new Array[Long](n)
@@ -461,6 +584,7 @@ object ManifestMeta {
             if (!sumOverflow(i))
               try sums(i) = Math.addExact(sums(i), v)
               catch { case _: ArithmeticException => sumOverflow(i) = true }
+            if (bloomSets(i) != null) trackBloom(i, Bloom.hashLong(v))
           case 2 =>
             // -0.0 normalizes to 0.0 (ADVICE r15): Spark groups signed
             // zeros as one value, so recorded bounds/purity keys must
@@ -481,7 +605,15 @@ object ManifestMeta {
             }
           case 3 =>
             val v = row.getUTF8String(i)
-            if (v.numChars() > MaxStatString) poisoned(i) = true
+            if (bloomSets(i) != null)
+              trackBloom(i, Bloom.hashBytes(v.getBytes))
+            // an oversize string poisons min/max AND the bloom: the
+            // poisoned branch skips this whole case from here on, so a
+            // kept bloom would silently miss later values — unsound
+            if (v.numChars() > MaxStatString) {
+              poisoned(i) = true
+              bloomDropped(i) = true
+            }
             else if (!seen(i)) {
               strMin(i) = v.clone(); strMax(i) = v.clone(); seen(i) = true
             } else {
@@ -509,7 +641,12 @@ object ManifestMeta {
               if seen(i) && !poisoned(i) && !sumOverflow(i) => Some(sums(i))
           case _ => None
         }
-        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i), sm)
+        val bl: Option[Bloom] =
+          if (bloomSets(i) != null && !bloomDropped(i) &&
+              !bloomSets(i).isEmpty)
+            Some(Bloom.build(bloomSets(i)))
+          else None
+        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i), sm, bl)
       }.toMap
       FileStats(rowCount, cols, sorted)
     }

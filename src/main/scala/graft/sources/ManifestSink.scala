@@ -72,6 +72,7 @@ class ManifestSink extends TableProvider {
       expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
       deleteMode = Option(properties.get("deleteMode")).getOrElse("cow"),
       tombstoneFilter = Option(properties.get("tombstoneFilter")),
+      bloomFor = cols("bloomFor"),
       splitConf = SplitConf(
         Option(properties.get("targetSplitBytes")).map(_.toLong)
           .getOrElse(SplitConf.DefaultTargetBytes),
@@ -1097,6 +1098,7 @@ class ManifestTable(path: String, schema: StructType,
     expectedGen: Option[Long] = None,
     deleteMode: String = "cow",
     tombstoneFilter: Option[String] = None,
+    bloomFor: Seq[String] = Seq.empty,
     splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -1231,7 +1233,7 @@ class ManifestTable(path: String, schema: StructType,
           replace, partitionBy, format, replaceFiles,
           baseGen = expectedGen.getOrElse(
             ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
-          tombstoneFilter = tombstoneFilter)
+          tombstoneFilter = tombstoneFilter, bloomFor = bloomFor)
     }
   }
 }
@@ -1252,7 +1254,8 @@ class ManifestWrite(path: String, schema: StructType,
     replace: Boolean = true,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L,
-    tombstoneFilter: Option[String] = None)
+    tombstoneFilter: Option[String] = None,
+    bloomFor: Seq[String] = Seq.empty)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1288,9 +1291,10 @@ class ManifestWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
-      format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter)
+      format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter,
+      bloomFor)
   override def toStreaming: StreamingWrite =
-    new ManifestStreamingWrite(path, schema, format, sortedCols)
+    new ManifestStreamingWrite(path, schema, format, sortedCols, bloomFor)
 }
 
 /** One staged file + its ready-to-publish `#s:` stats line. */
@@ -1307,7 +1311,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     format: String = "json", partitionBy: Seq[String] = Seq.empty,
     sortedCols: Seq[String] = Seq.empty,
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L,
-    tombstoneFilter: Option[String] = None)
+    tombstoneFilter: Option[String] = None,
+    bloomFor: Seq[String] = Seq.empty)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -1319,7 +1324,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, jobToken, format, partitionBy,
-      sortedCols)
+      sortedCols, bloomFor)
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
@@ -1452,12 +1457,13 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
 class ManifestWriterFactory(path: String, schema: StructType,
     jobToken: String = "job", format: String = "json",
-    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
       f"part-$jobToken-$partitionId%05d-$taskId", format, partitionBy,
-      sortedCols)
+      sortedCols, bloomFor)
 }
 
 /** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
@@ -1485,11 +1491,13 @@ class ManifestWriterFactory(path: String, schema: StructType,
   * the read-modify-swap of the manifest never races itself.
   */
 class ManifestStreamingWrite(path: String, schema: StructType,
-    format: String = "json", sortedCols: Seq[String] = Seq.empty)
+    format: String = "json", sortedCols: Seq[String] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(path, schema, format, sortedCols)
+    new ManifestStreamingWriterFactory(path, schema, format, sortedCols,
+      bloomFor)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -1538,13 +1546,14 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 }
 
 class ManifestStreamingWriterFactory(path: String, schema: StructType,
-    format: String = "json", sortedCols: Seq[String] = Seq.empty)
+    format: String = "json", sortedCols: Seq[String] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
       f"e$epochId-part-$partitionId%05d-$taskId", format, Seq.empty,
-      sortedCols)
+      sortedCols, bloomFor)
 }
 
 /** One staged payload file being written — the closed row-serialization
@@ -1638,7 +1647,8 @@ private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType
   */
 class ManifestDataWriter(path: String, schema: StructType,
     baseName: String, format: String = "json",
-    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
+    bloomFor: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val staging = Paths.get(path).resolve("_staging")
@@ -1684,7 +1694,7 @@ class ManifestDataWriter(path: String, schema: StructType,
     val p = staging.resolve(currentName)
     out = if (format == "parquet") new ParquetRowFileWriter(p, schema)
           else new JsonRowFileWriter(p, schema)
-    stats = new ManifestMeta.StatsCollector(schema)
+    stats = new ManifestMeta.StatsCollector(schema, bloomFor.toSet)
   }
 
   private def seal(): Unit = if (out != null) {

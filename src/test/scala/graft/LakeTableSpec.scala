@@ -1170,6 +1170,57 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows == ((0L until 50L).toSet - 7L) + 1000L)
   }
 
+  test("bloom skipping refutes in-range point lookups; oversize strings drop the bloom") {
+    import spark.implicits._
+    val root = freshRoot("bloom_t")
+    // keys hash-scattered across 4 files: every file's [min,max] covers
+    // the whole domain, so only the bloom can prune
+    (0L until 400L).map(i => (i, s"s$i")).toDF("k", "s").repartition(4)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").option("bloomFor", "k,s").save()
+    val stats = ManifestSink.fileStats(root)
+    assert(stats.values.forall(fs => fs.cols("k").bloom.isDefined &&
+      fs.cols("s").bloom.isDefined), "opted-in columns must record blooms")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.bloom_t")
+    spark.sql("CREATE TABLE graft_cat.lake.bloom_t (k BIGINT, s STRING) " +
+      s"USING graft OPTIONS (path '$root', bloomFor 'k,s')")
+    // a single-key lookup reads only the file(s) whose bloom may hold it
+    val one = spark.sql("SELECT s FROM graft_cat.lake.bloom_t WHERE k = 137")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("s137"))
+    val (kept, total) = ManifestRead.lastSkipLedger.get()
+    assert(total == 4 && kept < 4,
+      s"bloom must prune in-range files: kept=$kept total=$total")
+    // string lookups prune the same way
+    spark.sql("SELECT k FROM graft_cat.lake.bloom_t WHERE s = 's77'").collect()
+    val (kept2, _) = ManifestRead.lastSkipLedger.get()
+    assert(kept2 < 4, s"string bloom must prune: kept=$kept2")
+    // an absent key inside the range: usually zero files read, always
+    // zero rows — false positives cost reads, never rows
+    assert(spark.sql("SELECT k FROM graft_cat.lake.bloom_t WHERE k = -5")
+      .collect().isEmpty)
+    spark.sql("DROP TABLE graft_cat.lake.bloom_t")
+    // SOUNDNESS: a column that poisons its stats mid-file (oversize
+    // string) must drop the bloom — a partial bloom would wrongly
+    // refute values written after the poisoning
+    val root2 = freshRoot("bloom_poison")
+    Seq((1L, "short"), (2L, "x" * 200), (3L, "after"))
+      .toDF("k", "s").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root2)
+      .option("format", "parquet").option("bloomFor", "s").save()
+    val st2 = ManifestSink.fileStats(root2).values.head
+    assert(st2.cols("s").bloom.isEmpty,
+      "a poisoned string column must drop its (incomplete) bloom")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.bloom_p")
+    spark.sql("CREATE TABLE graft_cat.lake.bloom_p (k BIGINT, s STRING) " +
+      s"USING graft OPTIONS (path '$root2', bloomFor 's')")
+    assert(spark.sql("SELECT k FROM graft_cat.lake.bloom_p WHERE s = 'after'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    spark.sql("DROP TABLE graft_cat.lake.bloom_p")
+  }
+
   test("MoR upsert is one atomic snapshot: tombstone + append, zero rewrites") {
     import spark.implicits._
     val root = freshRoot("mor_upsert")
