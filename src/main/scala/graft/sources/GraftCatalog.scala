@@ -961,6 +961,7 @@ class GraftCatalog extends TableCatalog {
         format = props.getOrElse("format", "json"),
         deleteMode = props.getOrElse("deleteMode", "cow"),
         bloomFor = cols("bloomFor"),
+        targetFileBytes = props.get("targetFileBytes").map(_.toLong).getOrElse(0L),
         splitConf = SplitConf(
           props.get("targetSplitBytes").map(_.toLong)
             .getOrElse(SplitConf.DefaultTargetBytes),
@@ -1088,6 +1089,7 @@ class GraftCatalog extends TableCatalog {
       opt("format").map("format" -> _) ++
       opt("deleteMode").map("deleteMode" -> _) ++
       opt("bloomFor").map("bloomFor" -> _) ++
+      opt("targetFileBytes").map("targetFileBytes" -> _) ++
       opt("targetSplitBytes").map("targetSplitBytes" -> _) ++
       opt("openCostBytes").map("openCostBytes" -> _) ++
       (if (partitionCols.nonEmpty)

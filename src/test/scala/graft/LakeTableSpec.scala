@@ -1221,6 +1221,44 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.bloom_p")
   }
 
+  test("targetFileBytes rolls oversized files; purity and reads survive") {
+    import spark.implicits._
+    val root = freshRoot("roll_t")
+    // one partition value, one task, ~40KB of rows, 8KB target: the
+    // size roll must split what the partition roll never would
+    (0L until 2000L).map(i => (7L, i, s"value_$i")).toDF("b", "k", "v")
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet")
+      .option("partitionBy", "b").option("orderBy", "k")
+      .option("targetFileBytes", "8192").save()
+    val names = ManifestSink.committedFiles(root)
+    assert(names.size > 1, s"8KB target over ~40KB must roll: ${names.size}")
+    val stats = ManifestSink.fileStats(root)
+    // every rolled file is still partition-pure and carries the claim
+    assert(stats.values.forall { fs =>
+      val b = fs.cols("b"); b.min == b.max && b.nulls == 0L &&
+        fs.sorted.startsWith(Seq("b", "k"))
+    })
+    assert(stats.values.map(_.rows).sum == 2000L)
+    // reads reassemble exactly; the duplicate-key grouping rule applies
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.roll_t")
+    spark.sql("CREATE TABLE graft_cat.lake.roll_t (b BIGINT, k BIGINT, " +
+      s"v STRING) USING graft PARTITIONED BY (b) OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) AS n, sum(k) AS s FROM graft_cat.lake.roll_t")
+      .collect().head.toSeq == Seq(2000L, (0L until 2000L).sum))
+    // JSON payloads roll on their tracked byte count too
+    val root2 = freshRoot("roll_json")
+    (0L until 500L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root2)
+      .option("targetFileBytes", "2048").save()
+    assert(ManifestSink.committedFiles(root2).size > 1)
+    assert(ManifestSink.readCommitted(spark, root2).count() == 500L)
+    spark.sql("DROP TABLE graft_cat.lake.roll_t")
+  }
+
   test("MoR upsert is one atomic snapshot: tombstone + append, zero rewrites") {
     import spark.implicits._
     val root = freshRoot("mor_upsert")
