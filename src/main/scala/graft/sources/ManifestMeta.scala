@@ -211,10 +211,9 @@ object ManifestMeta {
   case class Bloom(k: Int, bits: Array[Byte]) {
     def mayContain(h: Long): Boolean = {
       val nbits = bits.length.toLong * 8L
-      val h2 = (h >>> 32) | 1L // odd increment
       var i = 0
       while (i < k) {
-        val pos = java.lang.Long.remainderUnsigned(h + i.toLong * h2, nbits)
+        val pos = Bloom.probe(h, i, nbits)
         if ((bits((pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0) return false
         i += 1
       }
@@ -229,6 +228,16 @@ object ManifestMeta {
     val MaxDistinct = 100000
     val MinBits = 2048L
     val MaxBits = 1L << 20
+
+    /** THE one probe-position function — build() sets and mayContain()
+      * tests through the same code path, so writer/reader bit agreement
+      * is structural, not a convention two loops must uphold
+      * (code-review r16).
+      */
+    def probe(h: Long, i: Int, nbits: Long): Long = {
+      val h2 = (h >>> 32) | 1L // odd increment
+      java.lang.Long.remainderUnsigned(h + i.toLong * h2, nbits)
+    }
 
     /** splitmix64 finalizer — the shared value hash of writer and
       * filter evaluation; both sides MUST agree bit-for-bit.
@@ -268,10 +277,9 @@ object ManifestMeta {
       val it = hashes.iterator()
       while (it.hasNext) {
         val h = it.next().longValue()
-        val h2 = (h >>> 32) | 1L
         var i = 0
         while (i < b.k) {
-          val pos = java.lang.Long.remainderUnsigned(h + i.toLong * h2, bits)
+          val pos = probe(h, i, bits)
           arr((pos >>> 3).toInt) = (arr((pos >>> 3).toInt) | (1 << (pos & 7L).toInt)).toByte
           i += 1
         }

@@ -535,7 +535,7 @@ object ManifestSink {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
       targetFiles: Int = 1, partitionBy: Seq[String] = Seq.empty,
-      orderBy: Seq[String] = Seq.empty): Unit = {
+      orderBy: Seq[String] = Seq.empty, targetFileBytes: Long = 0L): Unit = {
     val rootP = Paths.get(root)
     // CAS base: a commit landing while the compaction job rewrites
     // (e.g. a streaming epoch) must FAIL this compaction loudly —
@@ -587,6 +587,10 @@ object ManifestSink {
     val base =
       if (partitionBy.nonEmpty) df
       else df.coalesce(targetFiles)
+    // a rewrite must not strip the table's point-lookup skipping: the
+    // columns every current file blooms re-opt-in (code-review r16)
+    val rawNames = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val bloomCols = derivedBloomCols(rawNames, fileStats(root))
     val w0 = base.write.format("graft.sources.ManifestSink")
       .mode("overwrite").option("path", root).option("format", fmt)
       .option("expectedGen", baseGen.toString)
@@ -594,9 +598,13 @@ object ManifestSink {
       w0.option("partitionBy", partitionBy.mkString(","))
         .option("orderBy", orderBy.mkString(","))
     else w0
+    val w2 = if (bloomCols.nonEmpty)
+      w1.option("bloomFor", bloomCols.mkString(",")) else w1
+    val w3 = if (targetFileBytes > 0L)
+      w2.option("targetFileBytes", targetFileBytes.toString) else w2
     (if (epochs.nonEmpty)
-       w1.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
-     else w1).save()
+       w3.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
+     else w3).save()
   }
 
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
@@ -721,13 +729,17 @@ object ManifestSink {
     // layout is DERIVED from the committed state itself (names + stats),
     // so the helper needs no catalog handle.
     val fmt = derivedFormat(names)
-    val (pBy, oBy) = derivedLayout(names, ManifestSink.fileStats(root), schema)
+    val allStats = ManifestSink.fileStats(root)
+    val (pBy, oBy) = derivedLayout(names, allStats, schema)
+    val bloomCols = derivedBloomCols(names, allStats)
     val w1 = w0.option("format", fmt)
     val w2 = if (pBy.nonEmpty) w1.option("partitionBy", pBy.mkString(",")) else w1
     val w3 = if (oBy.nonEmpty) w2.option("orderBy", oBy.mkString(",")) else w2
+    val w4 = if (bloomCols.nonEmpty)
+      w3.option("bloomFor", bloomCols.mkString(",")) else w3
     (if (candidates.nonEmpty)
-       w3.option("replaceFiles", candidates.mkString(","))
-     else w3).save()
+       w4.option("replaceFiles", candidates.mkString(","))
+     else w4).save()
   }
 
   /** Payload format a rewrite should use: parquet when every committed
@@ -737,6 +749,19 @@ object ManifestSink {
   private[sources] def derivedFormat(names: Seq[String]): String =
     if (names.nonEmpty && names.forall(_.endsWith(".parquet"))) "parquet"
     else "json"
+
+  /** Bloom columns a rewrite should re-opt-in: the columns every
+    * committed file recorded a bloom for — a compaction or CoW rewrite
+    * must not silently strip the table's point-lookup skipping
+    * (code-review r16: rewrites were dropping blooms with no warning).
+    */
+  private[sources] def derivedBloomCols(names: Seq[String],
+      stats: Map[String, ManifestMeta.FileStats]): Seq[String] = {
+    if (names.isEmpty || !names.forall(stats.contains)) return Seq.empty
+    val fss = names.map(stats)
+    fss.head.cols.keys.toSeq.sorted.filter(c =>
+      fss.forall(_.cols.get(c).exists(_.bloom.isDefined)))
+  }
 
   /** (partitionBy, orderBy) a rewrite should redeclare, derived from the
     * committed files' OWN stats claims: the common `sorted` prefix every
@@ -778,10 +803,17 @@ object ManifestSink {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.sources.{And, EqualTo, Filter, In, Or}
     val rootP = Paths.get(root)
+    // CAS base captured BEFORE planning (code-review r16): a concurrent
+    // append of the same keys between this read and the commit must
+    // fail the CAS, not get silently tombstoned — the tombstone-bearing
+    // commit is row-replacing and gets the same conflict detection as
+    // the copy-on-write merge
+    val baseGen = snapshots(root).lastOption.getOrElse(0L)
     val (schema, _) = readManifest(rootP).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
     val keyRows = updates.select(keyCols.map(col): _*)
       .distinct().limit(maxKeys + 1).collect()
+    if (keyRows.isEmpty) return // empty updates: a clean no-op
     require(keyRows.length <= maxKeys,
       s"MoR merge carries the key set in its tombstone and is bounded at " +
         s"$maxKeys keys — use the copy-on-write merge() for larger updates")
@@ -793,12 +825,16 @@ object ManifestSink {
         keyCols.zipWithIndex.map { case (c, i) =>
           EqualTo(c, r.get(i)): Filter }.reduce(And(_, _))
       }.reduce(Or(_, _))
-    updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // the appended update files keep the table's bloom opt-in
+    val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val blm = derivedBloomCols(names, fileStats(root))
+    val w0 = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", root)
+      .option("expectedGen", baseGen.toString)
       .option("tombstoneFilter",
         ManifestMeta.encodeObject(ManifestDeletes.filterToJson(pred)))
-      .save()
+    (if (blm.nonEmpty) w0.option("bloomFor", blm.mkString(",")) else w0).save()
   }
 
   /** v1 Filter → Column translation for [[ManifestTable.deleteWhere]] —
@@ -1193,6 +1229,10 @@ class ManifestTable(path: String, schema: StructType,
     val (dp, dob) = ManifestSink.derivedLayout(names, stats, schema)
     val pBy = if (partitionBy.nonEmpty) partitionBy else dp
     val oBy = if (orderBy.nonEmpty) orderBy else dob
+    // blooms survive the rewrite too: declared columns win, else the
+    // columns every committed file blooms (code-review r16)
+    val blm = if (bloomFor.nonEmpty) bloomFor
+              else ManifestSink.derivedBloomCols(names, stats)
     val w0 = ManifestSink.readDataFiles(spark, schema, candPaths,
         ManifestSink.liveDeletes(rootP))
       .filter(coalesce(not(cond), lit(true)))
@@ -1203,7 +1243,8 @@ class ManifestTable(path: String, schema: StructType,
       .option("replaceFiles", candidates.mkString(","))
     val w1 = if (pBy.nonEmpty) w0.option("partitionBy", pBy.mkString(",")) else w0
     val w2 = if (oBy.nonEmpty) w1.option("orderBy", oBy.mkString(",")) else w1
-    w2.save()
+    val w3 = if (blm.nonEmpty) w2.option("bloomFor", blm.mkString(",")) else w2
+    w3.save()
   }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -1358,7 +1399,11 @@ class ManifestBatchWrite(path: String, schema: StructType,
     // rewrites, compaction) were planned against a snapshot that no
     // longer exists — they fail LOUDLY; silently publishing would drop
     // the interleaved commit's rows.
-    if (baseGen >= 0L && (replace || replaceFiles.nonEmpty)) {
+    // tombstone-carrying commits (MoR upsert) are row-REPLACING: they
+    // get the same stale-snapshot conflict detection as overwrites and
+    // rewrites (code-review r16), not append-grade none
+    if (baseGen >= 0L &&
+        (replace || replaceFiles.nonEmpty || tombstoneFilter.isDefined)) {
       val liveGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
       if (liveGen != baseGen) throw new java.util.ConcurrentModificationException(
         s"concurrent commit on $path: this " +
@@ -1366,6 +1411,11 @@ class ManifestBatchWrite(path: String, schema: StructType,
           s"against generation $baseGen but the table is now at $liveGen — " +
           "re-run the operation against the current snapshot")
     }
+    // misuse checks fire BEFORE any staged file moves (code-review
+    // r16): failing after the moves would orphan data files that only a
+    // vacuum could reclaim
+    require(tombstoneFilter.isEmpty || !replace,
+      "tombstoneFilter composes with append commits only")
     val data = root.resolve("data")
     Files.createDirectories(data)
     val staged = messages.iterator
@@ -1430,13 +1480,14 @@ class ManifestBatchWrite(path: String, schema: StructType,
     val tombstoneLine: Seq[String] = tombstoneFilter match {
       case None => Seq.empty
       case Some(json) =>
-        require(!replace,
-          "tombstoneFilter composes with append commits only")
         val f = ManifestDeletes.filterFromJson(
           ManifestMeta.parse(json).asInstanceOf[Map[String, Any]])
-        val priorNames = ManifestSink.rawManifest(root).map(_._2)
-          .getOrElse(Seq.empty)
-        val stats = ManifestSink.fileStats(path)
+        // one resolution: names + stats both come from the rawPrior
+        // lines already read above (code-review r16 — the commit
+        // critical section was resolving the manifest three times)
+        val resolved = ManifestSink.resolveLines(root, rawPrior)
+        val priorNames = resolved.filterNot(_.startsWith("#"))
+        val stats = ManifestMeta.statsOf(resolved.filter(_.startsWith("#")))
         val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
         val cands = priorNames.filter(n =>
           stats.get(n).forall(fs => ManifestMeta.mayMatch(f, fs, types)))
@@ -1741,11 +1792,13 @@ class ManifestDataWriter(path: String, schema: StructType,
     // unbounded file; the roll keeps the current partition key, so
     // every rolled file stays partition-pure and internally sorted
     // (Spark groups same-key partitions on read; the ordering claim
-    // drops under duplicate keys exactly as for multi-file appends)
-    if (targetFileBytes > 0L && out.approxBytes >= targetFileBytes) {
+    // drops under duplicate keys exactly as for multi-file appends).
+    // SEAL ONLY — the next write() lazily opens, so a roll firing on a
+    // task's LAST row can never stage a zero-row file (whose undefined
+    // min/max would demote the whole table's purity claims —
+    // code-review r16 #2)
+    if (targetFileBytes > 0L && out.approxBytes >= targetFileBytes)
       seal()
-      open()
-    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -1200,6 +1200,15 @@ class LakeTableSpec extends AnyFunSuite {
     // zero rows — false positives cost reads, never rows
     assert(spark.sql("SELECT k FROM graft_cat.lake.bloom_t WHERE k = -5")
       .collect().isEmpty)
+    // maintenance must not strip the opt-in: a compaction re-derives
+    // the bloom columns from the files it rewrites (code-review r16)
+    ManifestSink.compact(spark, root, targetFiles = 2)
+    val statsAfter = ManifestSink.fileStats(root)
+    assert(statsAfter.values.forall(fs => fs.cols("k").bloom.isDefined &&
+      fs.cols("s").bloom.isDefined),
+      "compaction must re-opt-in the committed bloom columns")
+    assert(spark.sql("SELECT s FROM graft_cat.lake.bloom_t WHERE k = 137")
+      .collect().map(_.getString(0)).toSeq == Seq("s137"))
     spark.sql("DROP TABLE graft_cat.lake.bloom_t")
     // SOUNDNESS: a column that poisons its stats mid-file (oversize
     // string) must drop the bloom — a partial bloom would wrongly
@@ -1236,9 +1245,13 @@ class LakeTableSpec extends AnyFunSuite {
     val names = ManifestSink.committedFiles(root)
     assert(names.size > 1, s"8KB target over ~40KB must roll: ${names.size}")
     val stats = ManifestSink.fileStats(root)
-    // every rolled file is still partition-pure and carries the claim
+    // every rolled file is still partition-pure and carries the claim —
+    // and is NON-EMPTY with defined bounds (a roll firing on the last
+    // row must not stage a zero-row file whose None==None "purity"
+    // would silently demote the table — code-review r16)
     assert(stats.values.forall { fs =>
-      val b = fs.cols("b"); b.min == b.max && b.nulls == 0L &&
+      val b = fs.cols("b")
+      fs.rows >= 1L && b.min.isDefined && b.min == b.max && b.nulls == 0L &&
         fs.sorted.startsWith(Seq("b", "k"))
     })
     assert(stats.values.map(_.rows).sum == 2000L)
