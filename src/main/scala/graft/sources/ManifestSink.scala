@@ -244,17 +244,29 @@ object ManifestSink {
 
   /** Stage + atomically publish one immutable segment holding this
     * commit's file names and stats lines; returns its `#seg:` ref line.
-    * `token` is job/epoch-unique, so segment names never collide.
+    * `token` is run-unique (every caller includes a per-run random
+    * component), so segment names never collide — and IMMUTABILITY IS
+    * ENFORCED (ADVICE r16): an existing segment file is REFUSED, never
+    * replaced, because retained `_snapshots/` manifests may still
+    * reference it (a silent overwrite would corrupt time travel, the
+    * snapshot feed, and vacuum's keep-set) and the same-JVM segCache
+    * may have served its old content. The cache is warmed with the new
+    * segment's lines, so a commit's own readback never re-reads it.
     */
   private[sources] def writeSegment(root: Path, token: String,
       lines: Seq[String]): String = {
     val segs = root.resolve("_segments")
     Files.createDirectories(segs)
     val name = s"seg-$token.json"
+    val target = segs.resolve(name)
+    if (Files.exists(target)) throw new IllegalStateException(
+      s"segment $name already exists under $segs — segments are immutable; " +
+        "a colliding name means a token-uniqueness bug, never an overwrite")
     val tmp = segs.resolve(s"$name.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, segs.resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // no REPLACE_EXISTING: a racing writer of the same name fails loudly
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    segCache.put(target.toString, lines)
     s"$SegPrefix$name"
   }
 
@@ -327,8 +339,15 @@ object ManifestSink {
       val base = readDataFiles(spark, schema, fs)
       if (preds.isEmpty) base
       else {
-        val cond = preds.flatMap(filterToColumn(_)).reduceOption(_ || _)
-          .getOrElse(lit(false))
+        // a tombstone is SEMANTICS, not an optimization (ADVICE r16):
+        // an untranslatable predicate must fail the read loudly, never
+        // flatMap-drop — silent dropping would RESURRECT deleted rows
+        // in compaction / CoW merge / readCommitted
+        val cond = preds.map(p => filterToColumn(p).getOrElse(
+          throw new IllegalStateException(
+            s"untranslatable tombstone predicate $p — refusing to read " +
+              "(dropping it would resurrect deleted rows)")))
+          .reduce(_ || _)
         // survivors: rows where NO applicable predicate is TRUE
         base.filter(coalesce(not(cond), lit(true)))
       }
@@ -846,6 +865,7 @@ object ManifestSink {
     import org.apache.spark.sql.sources._
     f match {
       case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
       case GreaterThan(a, v) => Some(col(a) > lit(v))
       case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
       case LessThan(a, v) => Some(col(a) < lit(v))
@@ -1212,6 +1232,13 @@ class ManifestTable(path: String, schema: StructType,
         filters.forall(ManifestMeta.mayMatch(_, fs, types)))
     }
     if (candidates.isEmpty) return // no file can hold a match: no-op
+    // mirror deleteWhereMoR (ADVICE r16): an untranslatable filter must
+    // refuse LOUDLY — flatMap-dropping one would WIDEN the delete (with
+    // a single untranslatable filter, cond degenerates to lit(true) and
+    // every row of the candidate files is deleted). canDeleteWhere
+    // already screens SQL-path deletes; this guards direct callers.
+    require(filters.forall(ManifestSink.filterToColumn(_).isDefined),
+      s"unsupported CoW delete predicate: ${filters.mkString(", ")}")
     val cond = filters.flatMap(ManifestSink.filterToColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
     // SQL DELETE keeps rows whose predicate is FALSE or UNKNOWN — a
@@ -1550,10 +1577,22 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     format: String = "json", sortedCols: Seq[String] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
     extends StreamingWrite {
+  /** Per-RUN random component of segment names (ADVICE r16): epoch ids
+    * alone are NOT run-unique — after an overwrite clears the epoch
+    * ledger, a fresh-checkpoint query re-uses epoch 0, and a
+    * deterministic `seg-e0.json` would collide with the old run's
+    * segment that retained snapshots still reference. Epoch-replay
+    * idempotence never needed deterministic names (the committedEpochs
+    * guard runs before any segment write); a crash between segment
+    * write and manifest swap just orphans one segment per attempt,
+    * which vacuum reclaims.
+    */
+  private val runToken = util.UUID.randomUUID().toString.take(8)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, schema, format, sortedCols,
-      bloomFor, targetFileBytes)
+      bloomFor, targetFileBytes, runToken)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -1578,16 +1617,18 @@ class ManifestStreamingWrite(path: String, schema: StructType,
     // list line (segment refs, inline names from pre-segment manifests,
     // `#e:`/`#s:` ledger lines) carries UNRESOLVED — a streaming epoch
     // append writes O(epoch) metadata bytes even on a million-file
-    // table. The segment token is epoch-deterministic, so a crash
-    // between segment write and manifest swap re-stages the identical
-    // segment on replay instead of orphaning one per attempt.
+    // table. The segment token carries the per-run random component
+    // (see runToken above) so names are unique across runs; a crash
+    // between segment write and manifest swap orphans at most one
+    // segment per attempt, reclaimed by vacuum.
     val rawPrior = ManifestSink.rawListLines(root)
     val segRef =
       if (staged.isEmpty) Seq.empty
-      else Seq(ManifestSink.writeSegment(root, s"e$epochId",
+      else Seq(ManifestSink.writeSegment(root, s"e$epochId-$runToken",
         staged.map(_.name) ++ staged.map(_.statsLine)))
     ManifestSink.publish(root, schema.toDDL +:
-      ManifestSink.consolidateRefs(root, rawPrior ++ segRef, s"e$epochId-m"))
+      ManifestSink.consolidateRefs(root, rawPrior ++ segRef,
+        s"e$epochId-$runToken-m"))
   }
 
   override def abort(epochId: Long,
@@ -1603,12 +1644,18 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 
 class ManifestStreamingWriterFactory(path: String, schema: StructType,
     format: String = "json", sortedCols: Seq[String] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
-    extends StreamingDataWriterFactory {
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    runToken: String = "run") extends StreamingDataWriterFactory {
+  // DATA file names carry the run token too (ADVICE r16, same hazard as
+  // segments): a fresh-checkpoint run re-using epoch 0 after an
+  // overwrite must never move over an old run's committed file that
+  // retained snapshots still reference. The epoch id stays the name's
+  // FIRST dash-delimited token — committedEpochs / `_epoch` provenance
+  // parse `e<id>-` prefixes unchanged.
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
-      f"e$epochId-part-$partitionId%05d-$taskId", format, Seq.empty,
+      f"e$epochId-$runToken-part-$partitionId%05d-$taskId", format, Seq.empty,
       sortedCols, bloomFor, targetFileBytes)
 }
 
@@ -1645,11 +1692,30 @@ private[sources] final class JsonRowFileWriter(file: Path, schema: StructType)
       "\"" + f.name + "\":" + v
     }
     val line = cells.mkString("{", ",", "}")
-    written += line.length + 1L
+    written += utf8Length(line) + 1L
     out.write(line)
     out.write("\n")
   }
   override def close(): Unit = out.close()
+
+  /** ENCODED (UTF-8) byte length, counted from chars without allocating
+    * (ADVICE r16): `line.length` counts UTF-16 chars, which under-counts
+    * multibyte text ~3× for CJK — the `targetFileBytes` roll then fires
+    * far past the bound. Surrogate halves count 2 each (a valid pair =
+    * 4 bytes); an unpaired surrogate actually encodes as 1 byte ('?'),
+    * so this over-counts that pathological case — the roll is a bound.
+    */
+  private def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2
+            else if (Character.isSurrogate(c)) 2 else 3)
+      i += 1
+    }
+    n
+  }
 }
 
 /** PARQUET payload (VERDICT r14 Next #1 — the 100 TB format): columnar,
