@@ -301,7 +301,11 @@ object ManifestMeta {
 
   private val StatsPrefix = "#s:"
 
-  def statsLine(name: String, fs: FileStats): String = {
+  /** The stats-line body as the closed-JSON object map — shared by the
+    * per-file `#s:` line and the per-SEGMENT envelope riding a `#seg:`
+    * ref (r17: segment-level pruning).
+    */
+  def statsBody(fs: FileStats): Map[String, Any] = {
     val cols: Map[String, Any] = fs.cols.map { case (k, c) =>
       k -> (Map[String, Any]("nulls" -> c.nulls) ++
         c.min.map("min" -> _) ++ c.max.map("max" -> _) ++
@@ -309,22 +313,15 @@ object ManifestMeta {
         c.bloom.map(bl => "bloom" -> Map[String, Any]("k" -> bl.k.toLong,
           "b64" -> java.util.Base64.getEncoder.encodeToString(bl.bits))))
     }
-    val body: Map[String, Any] = Map("rows" -> fs.rows, "cols" -> cols) ++
+    Map[String, Any]("rows" -> fs.rows, "cols" -> cols) ++
       (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty) ++
       (if (fs.bytes > 0L) Map("bytes" -> fs.bytes) else Map.empty)
-    s"$StatsPrefix$name:${encodeObject(body)}"
   }
 
-  def isStatsLine(l: String): Boolean = l.startsWith(StatsPrefix)
-
-  /** `#s:<name>:<json>` → (name, stats). File names never contain ':'
-    * (writer-generated), so the first ':' after the prefix delimits.
+  /** Inverse of [[statsBody]]; unknown keys (e.g. an envelope's `files`
+    * count) are ignored.
     */
-  def parseStatsLine(l: String): (String, FileStats) = {
-    val rest = l.stripPrefix(StatsPrefix)
-    val cut = rest.indexOf(':')
-    val name = rest.substring(0, cut)
-    val m = parse(rest.substring(cut + 1)).asInstanceOf[Map[String, Any]]
+  def fileStatsFrom(m: Map[String, Any]): FileStats = {
     val cols = m.getOrElse("cols", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]].map { case (k, v) =>
         val cm = v.asInstanceOf[Map[String, Any]]
@@ -339,8 +336,92 @@ object ManifestMeta {
       }
     val sorted = m.get("sorted").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    (name, FileStats(m("rows").asInstanceOf[Long], cols, sorted,
-      m.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L)))
+    FileStats(m("rows").asInstanceOf[Long], cols, sorted,
+      m.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  def statsLine(name: String, fs: FileStats): String =
+    s"$StatsPrefix$name:${encodeObject(statsBody(fs))}"
+
+  def isStatsLine(l: String): Boolean = l.startsWith(StatsPrefix)
+
+  /** `#s:<name>:<json>` → (name, stats). File names never contain ':'
+    * (writer-generated), so the first ':' after the prefix delimits.
+    */
+  def parseStatsLine(l: String): (String, FileStats) = {
+    val rest = l.stripPrefix(StatsPrefix)
+    val cut = rest.indexOf(':')
+    val name = rest.substring(0, cut)
+    (name, fileStatsFrom(
+      parse(rest.substring(cut + 1)).asInstanceOf[Map[String, Any]]))
+  }
+
+  /** SEGMENT ENVELOPE (VERDICT r16 Next #1): fold a segment's per-file
+    * stats into one conservative summary the manifest LIST carries, so
+    * selective scans refute whole segments without resolving them. The
+    * envelope is itself a [[FileStats]] and MUST be sound under
+    * [[mayMatch]]: if the envelope refutes a filter, every file in the
+    * segment refutes it. Rules per column:
+    *   - an entry exists iff ANY file records the column (a file
+    *     WITHOUT the entry predates the column — it reads all-null
+    *     there and contributes its row count to the envelope's nulls);
+    *   - min/max = the union of per-file bounds, present only when
+    *     every file that HOLDS values has bounds (a poisoned file makes
+    *     the column range-unknown — entry kept, bounds omitted, so the
+    *     column is never misread as predating);
+    *   - nulls is always exact (it feeds IsNull refutation and exact
+    *     COUNT(col) folds);
+    *   - sum is the exact cross-file total when every value-holding
+    *     file recorded one and it fits a Long; absent when the segment
+    *     holds no values (SQL SUM is null over zero values);
+    *   - blooms and sort claims do NOT fold (per-file only).
+    * min/max/sum exactness is what lets metadata aggregates fold whole
+    * ENVELOPES as units — O(segments), not O(files).
+    */
+  def envelope(files: Seq[FileStats]): FileStats = {
+    val rows = files.map(_.rows).sum
+    val bytes = files.map(_.bytes).sum
+    val colNames = files.iterator.flatMap(_.cols.keys).toSet
+    val cols = colNames.iterator.flatMap { c =>
+      val perFile = files.map(f => (f.cols.get(c), f.rows))
+      if (perFile.forall(_._1.isEmpty)) None // predates the column everywhere
+      else {
+        val nulls = perFile.map { case (e, r) => e.map(_.nulls).getOrElse(r) }.sum
+        // files actually holding values in this column
+        val valued = perFile.collect {
+          case (Some(e), r) if e.nulls < r => e
+        }
+        val bounds: Option[(Any, Any)] =
+          if (valued.nonEmpty &&
+              valued.forall(e => e.min.isDefined && e.max.isDefined))
+            Some((valued.map(_.min.get).reduce((a, b) =>
+                    if (cmpValues(a, b) <= 0) a else b),
+                  valued.map(_.max.get).reduce((a, b) =>
+                    if (cmpValues(a, b) >= 0) a else b)))
+          else None
+        val sum: Option[Long] =
+          if (valued.nonEmpty && valued.forall(_.sum.isDefined)) {
+            val big = valued.map(e => BigInt(e.sum.get)).sum
+            if (big.isValidLong) Some(big.toLong) else None
+          } else None
+        Some(c -> ColStats(bounds.map(_._1), bounds.map(_._2), nulls, sum))
+      }
+    }.toMap
+    FileStats(rows, cols, Seq.empty, bytes)
+  }
+
+  /** Compare two stats VALUES of the closed grammar by their runtime
+    * shape (Long for long/int columns, Double, String in UTF8 binary
+    * order) — the envelope fold has no schema handle, and values of one
+    * column always share a shape (the writer is type-driven).
+    */
+  private def cmpValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+    case _ => throw new IllegalArgumentException(
+      s"mixed-shape stats values: $a (${a.getClass}) vs $b (${b.getClass})")
   }
 
   /** Stats lines of a manifest line list, keyed by file name. A line

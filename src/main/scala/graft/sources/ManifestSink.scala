@@ -50,11 +50,16 @@ class ManifestSink extends TableProvider {
   // inferSchema + committedFiles; the registry harness is
   // single-process single-writer, where the two-read path is safe.
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSink.readManifest(Paths.get(options.get("path")))
-      .map(_._1)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest at ${options.get("path")} — write before reading"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the schema is the manifest's FIRST line — reading it alone keeps
+    // schema inference O(1) instead of resolving every segment (r17)
+    val m = Paths.get(options.get("path")).resolve("manifest.json")
+    if (!Files.exists(m)) throw new IllegalArgumentException(
+      s"no manifest at ${options.get("path")} — write before reading")
+    val r = Files.newBufferedReader(m, StandardCharsets.UTF_8)
+    try StructType.fromDDL(r.readLine())
+    finally r.close()
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     def cols(key: String): Seq[String] = Option(properties.get(key))
@@ -119,6 +124,36 @@ object ManifestSink {
   // (code-review r16)
   private[sources] val SegPrefix = "#seg:"
 
+  /** A `#seg:` ref line is `#seg:<name>[|<envelope-json>]` — the
+    * optional suffix is the segment's per-column min/max ENVELOPE plus
+    * file count (VERDICT r16 Next #1), letting the scan planner refute
+    * whole segments from the LIST alone. Every parse site resolves the
+    * NAME through this helper (a `|`-blind stripPrefix would treat the
+    * envelope as part of the file name and break resolution, vacuum's
+    * keep-set, and rewrites).
+    */
+  private[sources] def segRefName(l: String): String = {
+    val body = l.stripPrefix(SegPrefix)
+    val i = body.indexOf('|')
+    if (i < 0) body else body.substring(0, i)
+  }
+
+  /** (file count, envelope stats) of a ref line, when present and
+    * parseable. A damaged envelope degrades to None — the segment then
+    * always resolves, exactly like a pre-envelope ref; pruning is an
+    * optimization tier, resolution is the semantics.
+    */
+  private[sources] def segRefSummary(l: String): Option[(Long, ManifestMeta.FileStats)] = {
+    val body = l.stripPrefix(SegPrefix)
+    val i = body.indexOf('|')
+    if (i < 0) None
+    else try {
+      val m = ManifestMeta.parse(body.substring(i + 1))
+        .asInstanceOf[Map[String, Any]]
+      Some((m("files").asInstanceOf[Long], ManifestMeta.fileStatsFrom(m)))
+    } catch { case _: Exception => None }
+  }
+
   /** Per-root commit mutual exclusion (VERDICT r15 Next #4), two
     * layers: an in-process monitor serializes same-JVM writers, and —
     * inside it — an advisory `_commit.lock` FileChannel lock extends
@@ -159,7 +194,14 @@ object ManifestSink {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** Spec ledger: segment RESOLUTIONS attempted (cache hits included) —
+    * how the pruning spec pins that a selective scan never touches the
+    * segments its envelope refuted.
+    */
+  private[sources] val segResolves = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[sources] def segmentLines(root: Path, name: String): Seq[String] = {
+    segResolves.incrementAndGet()
     val p = root.resolve("_segments").resolve(name)
     val key = p.toString
     val hit = segCache.get(key)
@@ -170,6 +212,26 @@ object ManifestSink {
     lines
   }
 
+  /** Parsed view of one immutable segment: (file names in order, stats
+    * by name). Cached separately from the raw lines — the scan planner
+    * re-reads segments every build(), and re-parsing the stats JSON per
+    * query was the residual O(files-touched) driver cost.
+    */
+  private val segDataCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Map[String, ManifestMeta.FileStats])]()
+
+  private[sources] def segmentData(root: Path, name: String):
+      (Seq[String], Map[String, ManifestMeta.FileStats]) = {
+    val key = root.resolve("_segments").resolve(name).toString
+    val hit = segDataCache.get(key)
+    if (hit != null) { segResolves.incrementAndGet(); return hit }
+    val lines = segmentLines(root, name)
+    val parsed = (lines.filterNot(_.startsWith("#")), ManifestMeta.statsOf(lines))
+    if (segDataCache.size() > 1024) segDataCache.clear()
+    segDataCache.put(key, parsed)
+    parsed
+  }
+
   /** Expand `#seg:` references of a manifest's line list in place —
     * the one resolution point every reader shares. Inline lines pass
     * through untouched (pre-segment manifests, ledger lines).
@@ -177,7 +239,7 @@ object ManifestSink {
   private[sources] def resolveLines(root: Path, lines: Seq[String]): Seq[String] =
     if (!lines.exists(_.startsWith(SegPrefix))) lines
     else lines.flatMap { l =>
-      if (l.startsWith(SegPrefix)) segmentLines(root, l.stripPrefix(SegPrefix))
+      if (l.startsWith(SegPrefix)) segmentLines(root, segRefName(l))
       else Seq(l)
     }
 
@@ -232,7 +294,7 @@ object ManifestSink {
     // fail this simply skip consolidation.
     if (tail.slice(lo, hi + 1).exists(l => !l.startsWith("#"))) return tail
     val merged = mergeIdx.flatMap(i =>
-      segmentLines(root, tail(i).stripPrefix(SegPrefix)))
+      segmentLines(root, segRefName(tail(i))))
     val mergedRef = writeSegment(root, token, merged)
     val mergeSet = mergeIdx.toSet
     tail.zipWithIndex.flatMap { case (l, i) =>
@@ -267,7 +329,24 @@ object ManifestSink {
     // no REPLACE_EXISTING: a racing writer of the same name fails loudly
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     segCache.put(target.toString, lines)
-    s"$SegPrefix$name"
+    // SEGMENT ENVELOPE (VERDICT r16 Next #1): fold this segment's
+    // per-file stats into a summary riding the ref line itself, so a
+    // selective plan refutes the whole segment from the LIST without
+    // resolving it. Emitted only when EVERY file carries stats (the
+    // envelope also certifies stats-completeness to the metadata-agg
+    // tier); anything surprising degrades to a bare ref — pruning is
+    // an optimization, resolution stays the semantics. Consolidation
+    // re-derives merged envelopes for free (it goes through here).
+    val names = lines.filterNot(_.startsWith("#"))
+    val stats = ManifestMeta.statsOf(lines)
+    val envSuffix =
+      if (names.nonEmpty && names.forall(stats.contains))
+        try "|" + ManifestMeta.encodeObject(
+          ManifestMeta.statsBody(ManifestMeta.envelope(names.map(stats))) +
+            ("files" -> names.length.toLong))
+        catch { case _: Exception => "" }
+      else ""
+    s"$SegPrefix$name$envSuffix"
   }
 
   /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
@@ -658,7 +737,7 @@ object ManifestSink {
     val liveSegs = retainedManifests.flatMap { m =>
       if (!Files.exists(m)) Seq.empty
       else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-        .filter(_.startsWith(SegPrefix)).map(_.stripPrefix(SegPrefix))
+        .filter(_.startsWith(SegPrefix)).map(segRefName)
     }.toSet
     // expire the non-retained snapshot manifests FIRST: a reader can
     // then never resolve a snapshot whose files this pass deletes
@@ -1467,7 +1546,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     var rewriteSeq = 0
     val prior = rawPrior.flatMap { l =>
       if (l.startsWith(ManifestSink.SegPrefix)) {
-        val segName = l.stripPrefix(ManifestSink.SegPrefix)
+        val segName = ManifestSink.segRefName(l)
         lazy val lines = ManifestSink.segmentLines(root, segName)
         if (replaced.isEmpty || lines.forall(keepLine)) Seq(l) // carry by ref
         else {

@@ -1360,6 +1360,7 @@ class LakeTableSpec extends AnyFunSuite {
   private def segRefsOf(m: java.nio.file.Path): Seq[String] =
     Files.readAllLines(m).toArray(Array.empty[String]).toSeq
       .filter(_.startsWith("#seg:")).map(_.stripPrefix("#seg:"))
+      .map(_.takeWhile(_ != '|')) // drop the r17 envelope suffix
 
   test("append metadata cost is O(batch): one segment + a small list, prior by ref") {
     import spark.implicits._

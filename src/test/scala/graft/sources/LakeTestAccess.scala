@@ -15,4 +15,5 @@ object LakeTestAccess {
     ManifestSink.resolveLines(root, lines)
   def rawListLines(root: Path): Seq[String] =
     ManifestSink.rawListLines(root)
+  def segResolves: Long = ManifestSink.segResolves.get()
 }
