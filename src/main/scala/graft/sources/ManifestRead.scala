@@ -57,6 +57,12 @@ object ManifestRead {
     * never resolve (r17).
     */
   val lastSegLedger = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
+
+  /** Spec ledger of the LAST filtered vectorized file open:
+    * (row groups kept, row groups total) — footer min/max skipping
+    * inside one parquet file (r17).
+    */
+  val lastRowGroupLedger = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
 }
 
 class ManifestScanBuilder(path: String, tableSchema: StructType,
@@ -503,7 +509,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       ManifestRead.lastSegLedger.set((resolvedSegs, totalSegs))
       new ManifestScan(path, limited, tableSchema,
         required, partitionBy, splitConf,
-        ManifestDeletes.byFile(tombstones, limited.map(_._1)))
+        ManifestDeletes.byFile(tombstones, limited.map(_._1)),
+        dataFilters = preds.toSeq)
   }
 }
 
@@ -544,7 +551,8 @@ class ManifestScan(path: String,
     tableSchema: StructType, required: StructType,
     partitionBy: Seq[String] = Seq.empty,
     splitConf: SplitConf = SplitConf.Default,
-    deletes: Map[String, Seq[Filter]] = Map.empty)
+    deletes: Map[String, Seq[Filter]] = Map.empty,
+    dataFilters: Seq[Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -756,7 +764,8 @@ class ManifestScan(path: String,
       files.nonEmpty && files.forall(_._1.endsWith(".parquet")) &&
       deletes.isEmpty &&
       required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
-    new ManifestReaderFactory(tableSchema, required, deletes, columnarOk)
+    new ManifestReaderFactory(tableSchema, required, deletes, columnarOk,
+      dataFilters)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -898,7 +907,8 @@ case class SnapshotOffset(gen: Long)
 
 class ManifestReaderFactory(tableSchema: StructType, required: StructType,
     deletes: Map[String, Seq[Filter]] = Map.empty,
-    columnarOk: Boolean = false)
+    columnarOk: Boolean = false,
+    dataFilters: Seq[Filter] = Seq.empty)
     extends PartitionReaderFactory {
   private def deletesFor(file: String): Seq[Filter] =
     if (deletes.isEmpty) Seq.empty
@@ -906,7 +916,8 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
 
   private def fileReader(file: String): PartitionReader[InternalRow] =
     if (file.endsWith(".parquet"))
-      new ManifestParquetReader(file, tableSchema, required, deletesFor(file))
+      new ManifestParquetReader(file, tableSchema, required, deletesFor(file),
+        dataFilters)
     else new ManifestJsonReader(file, tableSchema, required, deletesFor(file))
 
   private def filesOf(p: InputPartition): Seq[String] = p match {
@@ -932,7 +943,7 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fs = filesOf(p)
     if (fs.length == 1)
-      new ManifestParquetBatchReader(fs.head, tableSchema, required)
+      new ManifestParquetBatchReader(fs.head, tableSchema, required, dataFilters)
     else
       // sequential concatenation, one open batch reader at a time
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -942,7 +953,8 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return false
-              cur = new ManifestParquetBatchReader(it.next(), tableSchema, required)
+              cur = new ManifestParquetBatchReader(it.next(), tableSchema,
+                required, dataFilters)
             }
             if (cur.next()) return true
             cur.close()
@@ -995,7 +1007,8 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
   * read schema; each nextBatch only resets the row count.
   */
 class ManifestParquetBatchReader(val file: String, tableSchema: StructType,
-    required: StructType)
+    required: StructType,
+    filters: Seq[Filter] = Seq.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch]
     with ManifestRowProvenance {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -1015,8 +1028,41 @@ class ManifestParquetBatchReader(val file: String, tableSchema: StructType,
     required.fields.filterNot(f => presentNames.contains(f.name))
   ManifestRead.lastParquetProjection.set(present.map(_.name).toSeq)
 
+  private val types: Map[String, DataType] =
+    tableSchema.fields.map(f => f.name -> f.dataType).toMap
+
   private val reader = new VectorizedParquetRecordReader(false, 4096)
-  reader.initialize(file, java.util.Arrays.asList(present.map(_.name): _*))
+  // ROW-GROUP FILTER PUSHDOWN (VERDICT r16 Next #3): when the scan's
+  // pushed filters translate to a parquet FilterPredicate, the file
+  // opens through ParquetFileReader with a record filter — parquet-mr
+  // then drops whole row groups whose footer min/max refute the
+  // predicate before a single page decodes. Filters stay residual in
+  // Spark, so this is pure pruning (the vectorized reader itself never
+  // filters records). Untranslatable filters fall back to the plain
+  // full-file open.
+  ManifestParquetFilters.predicate(filters, types, fileFields) match {
+    case Some(pred) if present.nonEmpty =>
+      import org.apache.parquet.filter2.compat.FilterCompat
+      val opts = org.apache.parquet.HadoopReadOptions
+        .builder(hadoopConf, new org.apache.hadoop.fs.Path(file))
+        .withRecordFilter(FilterCompat.get(pred))
+        .build()
+      val fileReader = new org.apache.parquet.hadoop.ParquetFileReader(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), hadoopConf), opts)
+      val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+      ManifestRead.lastRowGroupLedger.set(
+        (fileReader.getRowGroups.size(), fileReader.getFooter.getBlocks.size()))
+      val reqSchema = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        present.map(f =>
+          fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))).toSeq: _*)
+      org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
+        .initWithRowGroups(reader, fileSchema, reqSchema, fileReader,
+          fileReader.getRecordCount)
+    case _ =>
+      reader.initialize(file, java.util.Arrays.asList(present.map(_.name): _*))
+  }
   reader.initBatch(
     StructType(constants),
     InternalRow.fromSeq(constants.toIndexedSeq.map {
@@ -1152,7 +1198,8 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
   * resolution as the JSON path.
   */
 class ManifestParquetReader(val file: String, tableSchema: StructType,
-    required: StructType, deletes: Seq[Filter] = Seq.empty)
+    required: StructType, deletes: Seq[Filter] = Seq.empty,
+    dataFilters: Seq[Filter] = Seq.empty)
     extends PartitionReader[InternalRow]
     with ManifestRowProvenance {
   import org.apache.parquet.hadoop.ParquetReader
@@ -1192,8 +1239,22 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
     hadoopConf.set(ReadSupport.PARQUET_READ_SCHEMA,
       ManifestParquet.messageType(StructType(projected)).toString)
-    ParquetReader.builder(new GroupReadSupport(), hadoopPath)
-      .withConf(hadoopConf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), hadoopPath)
+      .withConf(hadoopConf)
+    // ROW-GROUP + record-level pushdown on the row path too (r17):
+    // restricted to PROJECTED columns — parquet-mr's record-level
+    // filtering runs against the requested schema, so a predicate on a
+    // pruned-away column must not reach it. Record-level dropping is
+    // sound: residual filters re-evaluate in Spark, and exactly-pushed
+    // filters keep every row of a kept file by construction.
+    val projNames = projected.map(_.name).toSet
+    val filterable = dataFilters.filter(_.references.forall(projNames.contains))
+    val types0 = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    ManifestParquetFilters.predicate(filterable, types0, fileFields) match {
+      case Some(pred) => b.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(pred)).build()
+      case None => b.build()
+    }
   }
 
   private val types: Map[String, DataType] =
@@ -1234,6 +1295,99 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** v1 Filter → parquet-mr `FilterPredicate` translation (VERDICT r16
+  * Next #3: row-group skipping INSIDE files). Only predicates whose
+  * every referenced column exists in the target file's footer translate
+  * (parquet-mr's schema validator rejects unknown columns); anything
+  * else returns None and that filter simply doesn't prune row groups.
+  *
+  * SOUNDNESS: pushed filters are either residual (Spark re-evaluates
+  * row-level, so parquet may over- or exactly-keep freely) or exactly
+  * pushed (every kept file is fully-in, so a correct predicate keeps
+  * every row). The one SQL-vs-parquet semantic gap — `notEq` keeps
+  * nulls where SQL's NOT(=) drops them — only ever OVER-keeps, and
+  * Not is never exactly pushed (mustMatch has no Not case), so the
+  * residual filter always stands above it.
+  */
+private[sources] object ManifestParquetFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.sources._
+
+  def predicate(filters: Seq[Filter], types: Map[String, DataType],
+      fileFields: Set[String]): Option[FilterPredicate] = {
+    val ps = filters.flatMap(one(_, types, fileFields))
+    ps.reduceOption(FilterApi.and)
+  }
+
+  private def one(f: Filter, types: Map[String, DataType],
+      fileFields: Set[String]): Option[FilterPredicate] = {
+    def ok(a: String): Boolean = fileFields.contains(a) && types.contains(a)
+    def lng(a: String) = FilterApi.longColumn(a)
+    def int(a: String) = FilterApi.intColumn(a)
+    def dbl(a: String) = FilterApi.doubleColumn(a)
+    def bin(a: String) = FilterApi.binaryColumn(a)
+    // typed dispatch: one closure per comparison shape
+    def cmp(a: String, v: Any,
+        fl: (Operators.LongColumn, java.lang.Long) => FilterPredicate,
+        fi: (Operators.IntColumn, java.lang.Integer) => FilterPredicate,
+        fd: (Operators.DoubleColumn, java.lang.Double) => FilterPredicate,
+        fb: (Operators.BinaryColumn, Binary) => FilterPredicate): Option[FilterPredicate] =
+      if (!ok(a) || v == null) None
+      else types(a) match {
+        case LongType => Some(fl(lng(a), v.asInstanceOf[Number].longValue()))
+        case IntegerType => Some(fi(int(a), v.asInstanceOf[Number].intValue()))
+        case DoubleType => Some(fd(dbl(a), v.asInstanceOf[Number].doubleValue()))
+        case StringType => Some(fb(bin(a), Binary.fromString(v.toString)))
+        case _ => None
+      }
+    def eqNull(a: String): Option[FilterPredicate] =
+      if (!ok(a)) None
+      else types(a) match {
+        case LongType => Some(FilterApi.eq(lng(a), null.asInstanceOf[java.lang.Long]))
+        case IntegerType => Some(FilterApi.eq(int(a), null.asInstanceOf[java.lang.Integer]))
+        case DoubleType => Some(FilterApi.eq(dbl(a), null.asInstanceOf[java.lang.Double]))
+        case StringType => Some(FilterApi.eq(bin(a), null.asInstanceOf[Binary]))
+        case _ => None
+      }
+    f match {
+      case EqualTo(a, v) => cmp(a, v, FilterApi.eq, FilterApi.eq, FilterApi.eq, FilterApi.eq)
+      case EqualNullSafe(a, null) => eqNull(a)
+      case EqualNullSafe(a, v) => cmp(a, v, FilterApi.eq, FilterApi.eq, FilterApi.eq, FilterApi.eq)
+      case GreaterThan(a, v) => cmp(a, v, FilterApi.gt, FilterApi.gt, FilterApi.gt, FilterApi.gt)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, FilterApi.gtEq, FilterApi.gtEq, FilterApi.gtEq, FilterApi.gtEq)
+      case LessThan(a, v) => cmp(a, v, FilterApi.lt, FilterApi.lt, FilterApi.lt, FilterApi.lt)
+      case LessThanOrEqual(a, v) => cmp(a, v, FilterApi.ltEq, FilterApi.ltEq, FilterApi.ltEq, FilterApi.ltEq)
+      case In(a, vs) =>
+        // OR-fold of equalities; a null member never matches a row the
+        // SQL IN would keep, so it simply drops from the fold
+        val parts = vs.toSeq.filter(_ != null).map(v =>
+          cmp(a, v, FilterApi.eq, FilterApi.eq, FilterApi.eq, FilterApi.eq))
+        if (parts.isEmpty || parts.exists(_.isEmpty)) None
+        else Some(parts.map(_.get).reduce(FilterApi.or))
+      case IsNull(a) => eqNull(a)
+      case IsNotNull(a) => eqNull(a).map(FilterApi.not)
+      case And(l, r) =>
+        // AND may translate one side alone (a partial AND still prunes
+        // soundly); OR must translate both or nothing
+        (one(l, types, fileFields), one(r, types, fileFields)) match {
+          case (Some(lp), Some(rp)) => Some(FilterApi.and(lp, rp))
+          case (Some(lp), None) => Some(lp)
+          case (None, Some(rp)) => Some(rp)
+          case _ => None
+        }
+      case Or(l, r) =>
+        for { lp <- one(l, types, fileFields); rp <- one(r, types, fileFields) }
+          yield FilterApi.or(lp, rp)
+      case Not(EqualTo(a, v)) =>
+        // parquet notEq keeps nulls (SQL drops them): pure over-keep,
+        // and Not is never exactly pushed — residual filter corrects
+        cmp(a, v, FilterApi.notEq, FilterApi.notEq, FilterApi.notEq, FilterApi.notEq)
+      case _ => None // StartsWith, general Not, Always*: no row-group pruning
+    }
+  }
 }
 
 object ManifestParquetReader {

@@ -80,6 +80,8 @@ class ManifestSink extends TableProvider {
       bloomFor = cols("bloomFor"),
       targetFileBytes = Option(properties.get("targetFileBytes"))
         .map(_.toLong).getOrElse(0L),
+      rowGroupBytes = Option(properties.get("rowGroupBytes"))
+        .map(_.toLong).getOrElse(0L),
       splitConf = SplitConf(
         Option(properties.get("targetSplitBytes")).map(_.toLong)
           .getOrElse(SplitConf.DefaultTargetBytes),
@@ -1237,6 +1239,7 @@ class ManifestTable(path: String, schema: StructType,
     tombstoneFilter: Option[String] = None,
     bloomFor: Seq[String] = Seq.empty,
     targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L,
     splitConf: SplitConf = SplitConf.Default)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -1384,7 +1387,7 @@ class ManifestTable(path: String, schema: StructType,
           baseGen = expectedGen.getOrElse(
             ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
           tombstoneFilter = tombstoneFilter, bloomFor = bloomFor,
-          targetFileBytes = targetFileBytes)
+          targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes)
     }
   }
 }
@@ -1406,7 +1409,8 @@ class ManifestWrite(path: String, schema: StructType,
     partitionBy: Seq[String] = Seq.empty, format: String = "json",
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L,
     tombstoneFilter: Option[String] = None,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1443,10 +1447,10 @@ class ManifestWrite(path: String, schema: StructType,
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
       format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter,
-      bloomFor, targetFileBytes)
+      bloomFor, targetFileBytes, rowGroupBytes)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(path, schema, format, sortedCols, bloomFor,
-      targetFileBytes)
+      targetFileBytes, rowGroupBytes)
 }
 
 /** One staged file + its ready-to-publish `#s:` stats line. */
@@ -1464,7 +1468,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     sortedCols: Seq[String] = Seq.empty,
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L,
     tombstoneFilter: Option[String] = None,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -1476,7 +1481,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, jobToken, format, partitionBy,
-      sortedCols, bloomFor, targetFileBytes)
+      sortedCols, bloomFor, targetFileBytes, rowGroupBytes)
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
@@ -1620,12 +1625,13 @@ class ManifestBatchWrite(path: String, schema: StructType,
 class ManifestWriterFactory(path: String, schema: StructType,
     jobToken: String = "job", format: String = "json",
     partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
       f"part-$jobToken-$partitionId%05d-$taskId", format, partitionBy,
-      sortedCols, bloomFor, targetFileBytes)
+      sortedCols, bloomFor, targetFileBytes, rowGroupBytes)
 }
 
 /** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
@@ -1654,7 +1660,8 @@ class ManifestWriterFactory(path: String, schema: StructType,
   */
 class ManifestStreamingWrite(path: String, schema: StructType,
     format: String = "json", sortedCols: Seq[String] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L)
     extends StreamingWrite {
   /** Per-RUN random component of segment names (ADVICE r16): epoch ids
     * alone are NOT run-unique — after an overwrite clears the epoch
@@ -1671,7 +1678,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, schema, format, sortedCols,
-      bloomFor, targetFileBytes, runToken)
+      bloomFor, targetFileBytes, rowGroupBytes, runToken)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -1724,7 +1731,7 @@ class ManifestStreamingWrite(path: String, schema: StructType,
 class ManifestStreamingWriterFactory(path: String, schema: StructType,
     format: String = "json", sortedCols: Seq[String] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
-    runToken: String = "run") extends StreamingDataWriterFactory {
+    rowGroupBytes: Long = 0L, runToken: String = "run") extends StreamingDataWriterFactory {
   // DATA file names carry the run token too (ADVICE r16, same hazard as
   // segments): a fresh-checkpoint run re-using epoch 0 after an
   // overwrite must never move over an old run's committed file that
@@ -1735,7 +1742,7 @@ class ManifestStreamingWriterFactory(path: String, schema: StructType,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
       f"e$epochId-$runToken-part-$partitionId%05d-$taskId", format, Seq.empty,
-      sortedCols, bloomFor, targetFileBytes)
+      sortedCols, bloomFor, targetFileBytes, rowGroupBytes)
 }
 
 /** One staged payload file being written — the closed row-serialization
@@ -1805,7 +1812,8 @@ private[sources] final class JsonRowFileWriter(file: Path, schema: StructType)
   * rewrite paths ([[ManifestSink.readDataFiles]]); the connector read
   * path projects only the pruned columns (see ManifestParquetReader).
   */
-private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType)
+private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType,
+    rowGroupBytes: Long = 0L)
     extends RowFileWriter {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -1820,6 +1828,11 @@ private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType
       new org.apache.hadoop.conf.Configuration()))
     .withType(mt)
     .withCompressionCodec(CompressionCodecName.SNAPPY)
+    // write option `rowGroupBytes` (r17): smaller row groups give the
+    // read side's footer-stats filter finer skipping granularity inside
+    // big files — the intra-file complement of the file-level zone maps
+    .withRowGroupSize(if (rowGroupBytes > 0L) rowGroupBytes
+                      else org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     .build()
 
   override def write(row: InternalRow): Unit = {
@@ -1859,7 +1872,8 @@ private[sources] final class ParquetRowFileWriter(file: Path, schema: StructType
 class ManifestDataWriter(path: String, schema: StructType,
     baseName: String, format: String = "json",
     partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
-    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L)
+    bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
+    rowGroupBytes: Long = 0L)
     extends DataWriter[InternalRow] {
 
   private val staging = Paths.get(path).resolve("_staging")
@@ -1903,7 +1917,8 @@ class ManifestDataWriter(path: String, schema: StructType,
                   else f"$baseName-r$fileSeq%04d.$ext"
     fileSeq += 1
     val p = staging.resolve(currentName)
-    out = if (format == "parquet") new ParquetRowFileWriter(p, schema)
+    out = if (format == "parquet")
+            new ParquetRowFileWriter(p, schema, rowGroupBytes)
           else new JsonRowFileWriter(p, schema)
     stats = new ManifestMeta.StatsCollector(schema, bloomFor.toSet)
   }

@@ -61,7 +61,39 @@ object LakeScanBench {
     val times = (1 to 5).map(_ => run())
     val plan = spark.sql("SELECT id, s FROM graft_cat.lake.scanbench")
       .queryExecution.executedPlan.toString
-    println(s"""{"bench":"lake_scan","mode":"$label","columnar_plan":${plan.contains("ColumnarToRow")},"times":[${times.map(t => f"$t%.3f").mkString(",")}],"best":${f"${times.min}%.3f"}}""")
+
+    // FILTERED-scan arm (r17 row-group pushdown receipt): a selective
+    // range predicate over a SORTED single-file variant of the same
+    // data — footer min/max skips the non-matching row groups, so the
+    // filtered scan should run far under the full-scan decode time.
+    val rootF = "/tmp/graft_lake_scanbench_sorted"
+    if (graft.sources.ManifestSink
+        .readManifest(java.nio.file.Paths.get(rootF)).isEmpty) {
+      // ONE globally-sorted file, many 4 MB row groups — the shape
+      // where footer min/max skipping inside the file is the whole win
+      spark.range(0, 4000000, 1, 32)
+        .select(col("id"),
+          (col("id") % 97).as("a"),
+          (col("id") % 1000000).cast("double").as("x"),
+          concat(lit("name_"), col("id") % 5000).as("s"))
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", rootF)
+        .option("format", "parquet").option("orderBy", "id")
+        .option("rowGroupBytes", "4194304").save()
+    }
+    def runFiltered(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.schema("id LONG, a LONG, x DOUBLE, s STRING")
+        .format("graft.sources.ManifestSink").option("path", rootF).load()
+        .filter(col("id") >= 2000000L && col("id") < 2010000L)
+        .agg(count(lit(1)), sum(col("a")), sum(col("x"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timesF = (1 to 5).map(_ => runFiltered())
+    val (rgKept, rgTotal) = graft.sources.ManifestRead.lastRowGroupLedger.get()
+
+    println(s"""{"bench":"lake_scan","mode":"$label","columnar_plan":${plan.contains("ColumnarToRow")},"times":[${times.map(t => f"$t%.3f").mkString(",")}],"best":${f"${times.min}%.3f"},"filtered_times":[${timesF.map(t => f"$t%.3f").mkString(",")}],"filtered_best":${f"${timesF.min}%.3f"},"row_groups_kept":$rgKept,"row_groups_total":$rgTotal}""")
     spark.stop()
   }
 }
