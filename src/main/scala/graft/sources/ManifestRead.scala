@@ -67,11 +67,22 @@ object ManifestRead {
 
 class ManifestScanBuilder(path: String, tableSchema: StructType,
     partitionBy: Seq[String] = Seq.empty, snapshotGen: Option[Long] = None,
-    splitConf: SplitConf = SplitConf.Default)
+    splitConf: SplitConf = SplitConf.Default,
+    /** GROUP-CANDIDATE mode for row-level operations (r17): pushed
+      * filters prune whole FILES only — never rows inside kept files
+      * (the ReplaceData plan rewrites every row of every scanned file,
+      * so row-level filtering here would silently delete data), and
+      * every filter stays residual (exactness removal assumes Spark's
+      * keep-matching semantics, which a row-level plan inverts).
+      */
+    rowLevelMode: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  /** Hook for the row-level operation to capture its built scan. */
+  private[sources] def onBuilt(s: ManifestScan): Unit = ()
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedExact: Array[Filter] = Array.empty
@@ -157,6 +168,7 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     * the prefix is unknowable).
     */
   override def pushLimit(n: Int): Boolean = {
+    if (rowLevelMode) return false
     if (residualCount > 0 || aggRows.isDefined) return false
     if (allNames.isEmpty || !allNames.forall(stats.contains)) return false
     // MoR tombstones make stats rows an overcount: a truncated prefix
@@ -209,6 +221,11 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (rowLevelMode) {
+      // file-candidate pruning only; Spark keeps every filter
+      pushed = ManifestMeta.skippable(filters)
+      return filters
+    }
     val (exact, residual) = filters.partition(exactlySelectableEnt)
     pushedExact = exact
     residualCount = residual.length
@@ -246,6 +263,7 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
     // with one Aggregation and then push a different (partial) shape —
     // build() must reflect exactly the LAST accepted plan
     aggRows = None
+    if (rowLevelMode) return false
     // residual filters mean rows the stats can't account for — refuse.
     // EXACTLY-pushed filters compose (VERDICT r15 Next #6): every kept
     // file then holds ONLY matching rows, so the fold over kept files
@@ -507,10 +525,14 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       }
       ManifestRead.lastSkipLedger.set((limited.length, totalFiles.toInt))
       ManifestRead.lastSegLedger.set((resolvedSegs, totalSegs))
-      new ManifestScan(path, limited, tableSchema,
+      val scan = new ManifestScan(path, limited, tableSchema,
         required, partitionBy, splitConf,
         ManifestDeletes.byFile(tombstones, limited.map(_._1)),
-        dataFilters = preds.toSeq)
+        // row-level plans rewrite every row of every kept file: rows
+        // must never be filtered inside the scan (see rowLevelMode)
+        dataFilters = if (rowLevelMode) Seq.empty else preds.toSeq)
+      onBuilt(scan)
+      scan
   }
 }
 
@@ -593,18 +615,36 @@ class ManifestScan(path: String,
   @volatile private var files: Seq[(String, Option[ManifestMeta.FileStats])] =
     allFiles
 
+  /** File names currently in the scan (post runtime filtering) — what
+    * a row-level operation's write replaces (r17).
+    */
+  private[sources] def currentFileNames: Seq[String] = files.map(_._1)
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // only columns in the SCAN OUTPUT: Spark resolves these references
     // against the pruned read schema, so a pruned-away column (even a
-    // stats-bearing one) must not be offered
-    tableSchema.fieldNames.filter(required.fieldNames.contains)
+    // stats-bearing one) must not be offered. `_file` is offered when
+    // selected — Spark's row-level GROUP filter names matched files
+    // through it (r17).
+    (tableSchema.fieldNames.filter(required.fieldNames.contains) ++
+      Seq("_file").filter(required.fieldNames.contains))
       .map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
     val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    // `_file` filters prune by NAME (the runtime group filter of a
+    // row-level plan); anything else prunes via per-file stats
+    def nameKeeps(f: Filter, n: String): Boolean = f match {
+      case In("_file", vs) => vs.exists(v => v != null && v.toString == n)
+      case EqualTo("_file", v) => v != null && v.toString == n
+      case _ => true
+    }
+    val (nameFs, statFs) = filters.partition(_.references.sameElements(Array("_file")))
     val before = files.length
-    files = files.filter { case (_, st) =>
-      st.forall(fs => filters.forall(ManifestMeta.mayMatch(_, fs, types)))
+    files = files.filter { case (n, st) =>
+      nameFs.forall(nameKeeps(_, n)) &&
+        st.forall(fs => statFs.forall(ManifestMeta.mayMatch(_, fs, types)))
     }
     ManifestRead.lastRuntimeLedger.set((files.length, before))
   }

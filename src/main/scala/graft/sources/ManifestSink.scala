@@ -1244,7 +1244,26 @@ class ManifestTable(path: String, schema: StructType,
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / group-routed `DELETE` (VERDICT r16
+    * Next #2): the copy-on-write row-level operation — candidate files
+    * prune via stats, runtime group filtering narrows to matched
+    * files, the write replaces exactly the scanned set in one
+    * CAS-protected snapshot. Metadata-only DELETE still wins when
+    * canDeleteWhere accepts (Spark's OptimizeMetadataOnlyDeleteFromTable),
+    * so MoR tables keep their tombstone DELETE path.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (snapshotGen.isDefined) throw new UnsupportedOperationException(
+      s"table pinned VERSION AS OF ${snapshotGen.get} is read-only")
+    new ManifestRowLevelBuilder(path, schema, info.command(),
+      clusterBy, orderBy, partitionBy, format, bloomFor, targetFileBytes,
+      rowGroupBytes, splitConf)
+  }
   override def name(): String =
     s"manifest($path${snapshotGen.map(g => s"@$g").getOrElse("")})"
 
@@ -1410,7 +1429,11 @@ class ManifestWrite(path: String, schema: StructType,
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = 0L,
     tombstoneFilter: Option[String] = None,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
-    rowGroupBytes: Long = 0L)
+    rowGroupBytes: Long = 0L,
+    /** LATE-BOUND replaced-file set (row-level operations): resolved at
+      * COMMIT, after runtime group filtering narrowed the scan.
+      */
+    replaceFilesF: () => Seq[String] = null)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1447,7 +1470,7 @@ class ManifestWrite(path: String, schema: StructType,
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
       format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter,
-      bloomFor, targetFileBytes, rowGroupBytes)
+      bloomFor, targetFileBytes, rowGroupBytes, replaceFilesF)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(path, schema, format, sortedCols, bloomFor,
       targetFileBytes, rowGroupBytes)
@@ -1469,7 +1492,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     replaceFiles: Seq[String] = Seq.empty, baseGen: Long = -1L,
     tombstoneFilter: Option[String] = None,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
-    rowGroupBytes: Long = 0L)
+    rowGroupBytes: Long = 0L,
+    replaceFilesF: () => Seq[String] = null)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -1499,6 +1523,10 @@ class ManifestBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestSink.withCommitLock(Paths.get(path)) {
     val root = Paths.get(path)
+    // late-bound replaced set (row-level operations): resolved ONCE,
+    // here, after runtime group filtering narrowed the scan
+    val replacing: Seq[String] =
+      if (replaceFilesF != null) replaceFilesF() else replaceFiles
     // OPTIMISTIC CONCURRENCY (VERDICT r15 Next #4), checked BEFORE any
     // state moves so a losing commit leaves only staged files (which
     // Spark's abort then deletes — the table never tears): if the live
@@ -1514,7 +1542,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     // get the same stale-snapshot conflict detection as overwrites and
     // rewrites (code-review r16), not append-grade none
     if (baseGen >= 0L &&
-        (replace || replaceFiles.nonEmpty || tombstoneFilter.isDefined)) {
+        (replace || replacing.nonEmpty || tombstoneFilter.isDefined)) {
       val liveGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
       if (liveGen != baseGen) throw new java.util.ConcurrentModificationException(
         s"concurrent commit on $path: this " +
@@ -1537,7 +1565,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     }
     // append keeps the prior list (refs carry unresolved); replace
     // starts fresh — either way ONE atomic snapshot publish
-    val replaced = replaceFiles.toSet
+    val replaced = replacing.toSet
     val rawPrior = if (replace) Seq.empty else ManifestSink.rawListLines(root)
     // a line of a REPLACED file (its name or its stats) must drop. A
     // DAMAGED stats line must degrade (keep it — statsOf already drops
@@ -1576,7 +1604,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
     // a replaced streaming file's epoch must stay committed: carry it
     // as a ledger line (idempotent against lines already present)
     val alreadyLedgered = prior.filter(_.startsWith("#e:")).toSet
-    val replacedEpochs = replaceFiles.flatMap { n =>
+    val replacedEpochs = replacing.flatMap { n =>
       if (n.startsWith("e")) n.drop(1).takeWhile(_ != '-').toLongOption else None
     }.map(e => s"#e:$e").distinct.filterNot(alreadyLedgered)
     val ledger = carryEpochs.toSeq.sorted.map(e => s"#e:$e")

@@ -94,14 +94,14 @@ class CatalogTableSpec extends AnyFunSuite {
     assert(gens.size == 2)
     assert(ManifestSink.readSnapshot(spark, root, gens.head)
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
-    // a predicate outside the translatable subset is refused cleanly —
-    // never a wrong partial delete
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_cat.lake.spec_d WHERE k % 2 = 0")
-    }
+    // a predicate outside the metadata-translatable subset no longer
+    // refuses (pre-r17 behavior): it routes through the group-based
+    // row-level COPY-ON-WRITE rewrite (SupportsRowLevelOperations) and
+    // deletes exactly — never a wrong partial delete either way
+    spark.sql("DELETE FROM graft_cat.lake.spec_d WHERE k % 2 = 0")
     assert(spark.sql("SELECT k FROM graft_cat.lake.spec_d")
-      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
-      "refused delete must change nothing")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "the group-routed delete must apply the untranslatable predicate exactly")
     spark.sql("DROP TABLE graft_cat.lake.spec_d")
   }
 
