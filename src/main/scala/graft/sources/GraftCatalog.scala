@@ -141,6 +141,75 @@ object GraftCatalog {
       s.sql("SELECT * FROM graft_cat.lake.cust_upd")
     }),
 
+    // DELTA-based (merge-on-read) SQL UPDATE: the same UPDATE as
+    // q_sink_update_sql, but the table declares deleteMode 'mor' — the
+    // operation publishes parquet POSITION-DELETE files + appended
+    // replacement rows in one snapshot, ZERO existing data files
+    // rewritten (pinned in RowLevelMorSpec). Same oracle as the CoW
+    // twin: two materializations, one truth.
+    "q_sink_update_sql_mor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_updmor_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_upd_mor")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_upd_mor
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql(
+        """UPDATE graft_cat.lake.cust_upd_mor
+          |SET bal_cents = bal_cents + 100, c_mktsegment = 'ADJUSTED'
+          |WHERE bal_cents < 0""".stripMargin)
+      s.sql("SELECT * FROM graft_cat.lake.cust_upd_mor")
+    }),
+
+    // DELTA-based SQL MERGE INTO: the same upsert as q_sink_merge_sql
+    // on a 'mor' table — position deletes + inserts, zero rewrites,
+    // same algebraic oracle as all its twins.
+    "q_sink_merge_sql_mor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_mrgmor_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      base.filter(col("c_custkey") % 10 === 0L)
+        .withColumn("bal_cents", col("bal_cents") + 7L)
+        .unionByName(base.filter(col("c_custkey") % 997 === 0L)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        .createOrReplaceTempView("merge_sql_mor_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_mrg_mor")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_mrg_mor
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_cat.lake.cust_mrg_mor t USING merge_sql_mor_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET
+          |  t.c_mktsegment = s.c_mktsegment, t.bal_cents = s.bal_cents
+          |WHEN NOT MATCHED THEN INSERT
+          |  (c_custkey, c_mktsegment, bal_cents)
+          |  VALUES (s.c_custkey, s.c_mktsegment, s.bal_cents)
+          |""".stripMargin)
+      s.sql("SELECT * FROM graft_cat.lake.cust_mrg_mor")
+    }),
+
     // SQL-NATIVE MERGE INTO: the same upsert as q_sink_upsert (same
     // oracle — the three materializations, Scala CoW helper, MoR
     // tombstone+append, and SQL MERGE, must agree row-for-row), planned
@@ -763,6 +832,28 @@ object GraftCatalog {
         |   + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
         |          THEN 100 ELSE 0 END AS bal_cents
         |FROM customer""".stripMargin,
+
+    // the delta (position-delete) UPDATE equals the CoW rewrite
+    "q_sink_update_sql_mor" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |      THEN 'ADJUSTED' ELSE c_mktsegment END AS c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT)
+        |   + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |          THEN 100 ELSE 0 END AS bal_cents
+        |FROM customer""".stripMargin,
+
+    // the delta MERGE equals the same algebraic merge as every twin
+    "q_sink_merge_sql_mor" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT)
+        |   + CASE WHEN c_custkey % 10 = 0 THEN 7 ELSE 0 END AS bal_cents
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) + 10000000 AS c_custkey,
+        | c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_custkey % 997 = 0""".stripMargin,
 
     // SQL MERGE must equal the same algebraic merge as the CoW/MoR
     // helper twins — three materializations, one truth

@@ -397,6 +397,56 @@ object ManifestSink {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Delete-aware + POSITION-aware read (r17): files scoped by a
+    * position delete read with `_metadata.file_name`/`row_index` and
+    * anti-join against the delete files' (f, p) rows — fully
+    * distributed, the same physical-position contract as the connector
+    * readers. Predicate tombstones on those files compose via a
+    * per-file OR condition. Requires a parquet payload for affected
+    * files (JSON has no row index — the delta operation refuses
+    * non-parquet tables before one can exist).
+    */
+  private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, files: Seq[String],
+      deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]],
+      posDels: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    if (posDels.isEmpty) return readDataFiles(spark, schema, files, deletes)
+    def nameOf(f: String): String = Paths.get(f).getFileName.toString
+    val (aff, clean) = files.partition(f => posDels.contains(nameOf(f)))
+    val cleanDf = readDataFiles(spark, schema, clean, deletes)
+    if (aff.isEmpty) return cleanDf
+    require(aff.forall(_.endsWith(".parquet")),
+      s"position deletes require a parquet payload; offending files: " +
+        aff.filterNot(_.endsWith(".parquet")).map(nameOf).mkString(", "))
+    val delPaths = aff.flatMap(f => posDels(nameOf(f))).distinct
+    val dels = spark.read.schema(ManifestPosDeletes.DeleteSchema)
+      .parquet(delPaths: _*)
+      .withColumnRenamed("f", "__df").withColumnRenamed("p", "__dp")
+    val raw = spark.read.schema(schema).parquet(aff: _*)
+      .withColumn("__f", col("_metadata.file_name"))
+      .withColumn("__p", col("_metadata.row_index"))
+    val posKept = raw.join(dels,
+      raw("__f") === dels("__df") && raw("__p") === dels("__dp"), "left_anti")
+    // predicate tombstones scoped to the affected files compose here:
+    // a row dies if ANY applicable (file, predicate) pair is TRUE
+    val affPreds = aff.map(nameOf).flatMap(n =>
+      deletes.getOrElse(n, Seq.empty).map(p => (n, p)))
+    val out =
+      if (affPreds.isEmpty) posKept
+      else {
+        val cond = affPreds.map { case (n, p) =>
+          col("__f") === lit(n) && filterToColumn(p).getOrElse(
+            throw new IllegalStateException(
+              s"untranslatable tombstone predicate $p — refusing to read " +
+                "(dropping it would resurrect deleted rows)"))
+        }.reduce(_ || _)
+        posKept.filter(coalesce(not(cond), lit(true)))
+      }
+    val survivors = out.drop("__f", "__p")
+    if (clean.isEmpty) survivors else survivors.unionByName(cleanDf)
+  }
+
   /** Delete-aware variant: files group by their applicable tombstone
     * predicates (keyed by bare name) and each group reads with the
     * survivor filter applied — SQL DELETE semantics, keep on NOT TRUE.
@@ -443,6 +493,24 @@ object ManifestSink {
     val ts = ManifestDeletes.of(lines.tail)
     if (ts.isEmpty) Map.empty
     else ManifestDeletes.byFile(ts, lines.tail.filterNot(_.startsWith("#")))
+  }
+
+  /** Position deletes applicable to the live manifest: data-file name →
+    * FULL delete-file paths (r17).
+    */
+  private[sources] def livePosDeletes(root: Path): Map[String, Seq[String]] = {
+    val lines = resolvedManifestLines(root, root.resolve("manifest.json"))
+      .getOrElse(return Map.empty)
+    posDeletesOf(root, lines.tail)
+  }
+
+  private[sources] def posDeletesOf(root: Path,
+      tail: Seq[String]): Map[String, Seq[String]] = {
+    val pds = ManifestPosDeletes.of(tail)
+    if (pds.isEmpty) Map.empty
+    else ManifestPosDeletes.byFile(pds, tail.filterNot(_.startsWith("#")))
+      .map { case (n, dels) =>
+        n -> dels.map(d => root.resolve("data").resolve(d).toString) }
   }
 
   /** MERGE-ON-READ DELETE (VERDICT r15 Next #5): publish a predicate
@@ -567,10 +635,12 @@ object ManifestSink {
     val schema = StructType.fromDDL(lines.head)
     val names = lines.tail.filterNot(_.startsWith("#"))
     val files = names.map(f => Paths.get(root).resolve("data").resolve(f).toString)
-    // a snapshot carries the tombstones published AT its generation —
-    // an as-of read before the MoR delete sees the rows, after it not
+    // a snapshot carries the tombstones AND position deletes published
+    // AT its generation — an as-of read before the MoR delete sees the
+    // rows, after it not
     readDataFiles(spark, schema, files,
-      ManifestDeletes.byFile(ManifestDeletes.of(lines.tail), names))
+      ManifestDeletes.byFile(ManifestDeletes.of(lines.tail), names),
+      posDeletesOf(Paths.get(root), lines.tail))
   }
 
   /** Epoch ids already published to the streaming manifest — parsed from
@@ -606,7 +676,8 @@ object ManifestSink {
     val (schema, files) = readManifest(Paths.get(root))
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write before reading"))
-    readDataFiles(spark, schema, files, liveDeletes(Paths.get(root)))
+    readDataFiles(spark, schema, files, liveDeletes(Paths.get(root)),
+      livePosDeletes(Paths.get(root)))
   }
 
   /** LAKE MAINTENANCE — manifest compaction (VERDICT r13 Next #4): the
@@ -646,15 +717,16 @@ object ManifestSink {
         s"no manifest at $root — nothing to compact"))
     val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
     val deletes = liveDeletes(rootP)
+    val posDels = livePosDeletes(rootP)
     // no-op checks (idempotent re-run after crash-and-retry converges):
     // plain tables are compact at <= targetFiles; a PARTITION-PRESERVING
     // compaction is done when every file is partition-pure and every
-    // partition value has exactly one file. Standing TOMBSTONES always
-    // force the rewrite — folding them into clean files is half of what
-    // compaction is FOR on a MoR table.
+    // partition value has exactly one file. Standing TOMBSTONES and
+    // POSITION DELETES always force the rewrite — folding them into
+    // clean files is half of what compaction is FOR on a MoR table.
     if (partitionBy.isEmpty) {
-      if (files.size <= targetFiles && deletes.isEmpty) return
-    } else if (deletes.isEmpty) {
+      if (files.size <= targetFiles && deletes.isEmpty && posDels.isEmpty) return
+    } else if (deletes.isEmpty && posDels.isEmpty) {
       val stats = fileStats(root)
       val keys = names.map { n =>
         stats.get(n).flatMap { fs =>
@@ -675,9 +747,10 @@ object ManifestSink {
           keys.flatten.distinct.length == keys.length) return
     }
     val epochs = committedEpochs(root)
-    // standing tombstones FOLD here: the rewrite reads survivors only,
-    // and the replace commit publishes a tombstone-free manifest
-    val df = readDataFiles(spark, schema, files, deletes)
+    // standing tombstones AND position deletes FOLD here: the rewrite
+    // reads survivors only, and the replace commit publishes a
+    // delete-free manifest (the delete files orphan, vacuum reclaims)
+    val df = readDataFiles(spark, schema, files, deletes, posDels)
     // format-preserving: an all-parquet table compacts to parquet
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
     // partition-preserving: the rewrite flows through the same clustered
@@ -733,8 +806,12 @@ object ManifestSink {
     val retainedManifests = rootP.resolve("manifest.json") +:
       gens.filter(retained).map(g => snapsDir.resolve(s"manifest-$g.json"))
     val live = retainedManifests.flatMap { m =>
-      resolvedManifestLines(rootP, m).map(_.tail.filterNot(_.startsWith("#")))
-        .getOrElse(Seq.empty)
+      resolvedManifestLines(rootP, m).map { lines =>
+        // data files named by the state, plus the position-DELETE files
+        // its `#pd:` lines reference (they live under data/ too — r17)
+        lines.tail.filterNot(_.startsWith("#")) ++
+          ManifestPosDeletes.of(lines.tail).map(_.delFile)
+      }.getOrElse(Seq.empty)
     }.map(p => Paths.get(p).getFileName.toString).toSet
     val liveSegs = retainedManifests.flatMap { m =>
       if (!Files.exists(m)) Seq.empty
@@ -808,9 +885,10 @@ object ManifestSink {
     val candidates = names.filter(mayHoldKey)
     val candPaths = candidates.map(n =>
       rootP.resolve("data").resolve(n).toString)
-    // standing MoR tombstones apply to the candidate read — a merge
-    // must not resurrect rows a predicate tombstone already deleted
-    val survivors = readDataFiles(spark, schema, candPaths, liveDeletes(rootP))
+    // standing MoR tombstones AND position deletes apply to the
+    // candidate read — a merge must not resurrect deleted rows
+    val survivors = readDataFiles(spark, schema, candPaths, liveDeletes(rootP),
+        livePosDeletes(rootP))
       .join(
         broadcast(updates.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_anti")
@@ -1260,9 +1338,15 @@ class ManifestTable(path: String, schema: StructType,
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (snapshotGen.isDefined) throw new UnsupportedOperationException(
       s"table pinned VERSION AS OF ${snapshotGen.get} is read-only")
-    new ManifestRowLevelBuilder(path, schema, info.command(),
-      clusterBy, orderBy, partitionBy, format, bloomFor, targetFileBytes,
-      rowGroupBytes, splitConf)
+    // deleteMode 'mor' → the DELTA-based operation: position deletes +
+    // appended inserts, zero data files rewritten; else copy-on-write
+    if (deleteMode == "mor")
+      new ManifestMorRowLevelBuilder(path, schema, info.command(),
+        bloomFor, targetFileBytes, rowGroupBytes, splitConf, partitionBy)
+    else
+      new ManifestRowLevelBuilder(path, schema, info.command(),
+        clusterBy, orderBy, partitionBy, format, bloomFor, targetFileBytes,
+        rowGroupBytes, splitConf)
   }
   override def name(): String =
     s"manifest($path${snapshotGen.map(g => s"@$g").getOrElse("")})"
@@ -1287,6 +1371,14 @@ class ManifestTable(path: String, schema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "streaming epoch that committed this row (-1 for batch writes)"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row position within this row's committed file (the " +
+          "position-delete key; serving it disables parquet-level skipping)"
     })
 
   /** DELETE FROM support (the row-level-operations tier): the condition
@@ -1362,7 +1454,7 @@ class ManifestTable(path: String, schema: StructType,
     val blm = if (bloomFor.nonEmpty) bloomFor
               else ManifestSink.derivedBloomCols(names, stats)
     val w0 = ManifestSink.readDataFiles(spark, schema, candPaths,
-        ManifestSink.liveDeletes(rootP))
+        ManifestSink.liveDeletes(rootP), ManifestSink.livePosDeletes(rootP))
       .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", path)
@@ -1598,6 +1690,15 @@ class ManifestBatchWrite(path: String, schema: StructType,
         if (left.isEmpty) Seq.empty
         else if (left == t.files) Seq(l)
         else Seq(ManifestDeletes.line(t.copy(files = left)))
+      } else if (ManifestPosDeletes.isLine(l) && replaced.nonEmpty) {
+        // position deletes prune exactly like predicate tombstones; an
+        // emptied scope drops the line and its delete file becomes a
+        // vacuum-reclaimable orphan (r17)
+        val pd = ManifestPosDeletes.parseLine(l).get
+        val left = pd.files -- replaced
+        if (left.isEmpty) Seq.empty
+        else if (left == pd.files) Seq(l)
+        else Seq(ManifestPosDeletes.line(pd.copy(files = left)))
       } else if (keepLine(l)) Seq(l)
       else Seq.empty
     }
