@@ -210,6 +210,47 @@ object GraftCatalog {
       s.sql("SELECT * FROM graft_cat.lake.cust_mrg_mor")
     }),
 
+    // CHANGE-DATA FEED (VERDICT r16 Next #4): a full maintenance
+    // history — delta UPDATE (position deletes), predicate-tombstone
+    // DELETE, compaction (rewrite) — replayed through readChanges as
+    // insert/delete rows; the multiset reconstruction (net-positive
+    // rows) must equal the live table exactly. This is the surface the
+    // append-only snapshot stream hands off to when maintenance lands
+    // mid-feed.
+    "q_lake_cdf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_cdf_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_cdf")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_cdf
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql(
+        """UPDATE graft_cat.lake.cust_cdf
+          |SET bal_cents = bal_cents + 100, c_mktsegment = 'ADJUSTED'
+          |WHERE bal_cents < 0""".stripMargin)
+      s.sql("DELETE FROM graft_cat.lake.cust_cdf " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      ManifestSink.compact(s, tmp)
+      val top = ManifestSink.snapshots(tmp).last
+      ManifestChanges.readChanges(s, tmp, 0L, top)
+        .groupBy(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("net"))
+        .filter(col("net") > 0L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))
+    }),
+
     // SQL-NATIVE MERGE INTO: the same upsert as q_sink_upsert (same
     // oracle — the three materializations, Scala CoW helper, MoR
     // tombstone+append, and SQL MERGE, must agree row-for-row), planned
@@ -832,6 +873,21 @@ object GraftCatalog {
         |   + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
         |          THEN 100 ELSE 0 END AS bal_cents
         |FROM customer""".stripMargin,
+
+    // the replayed change log reconstructs the post-maintenance state:
+    // balances adjusted where negative, then current-BUILDING rows
+    // deleted, compaction invisible
+    "q_lake_cdf" ->
+      """WITH u AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |   CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |        THEN 'ADJUSTED' ELSE c_mktsegment END AS c_mktsegment,
+        |   CAST(round(c_acctbal * 100) AS BIGINT)
+        |     + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |            THEN 100 ELSE 0 END AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal_cents
+        |FROM u WHERE c_mktsegment <> 'BUILDING'""".stripMargin,
 
     // the delta (position-delete) UPDATE equals the CoW rewrite
     "q_sink_update_sql_mor" ->

@@ -189,6 +189,39 @@ object ManifestSink {
       } finally ch.close()
     }
 
+  /** Bounded re-plan-and-retry for REPLACE-SHAPED operations that lose
+    * the optimistic-concurrency CAS to an interleaved commit (VERDICT
+    * r16 Next #7): the thunk must RE-PLAN on every invocation — every
+    * engine helper does (compact / merge / mergeMoR / deleteWhere all
+    * re-read the live snapshot at entry), so
+    * `withCommitRetry() { ManifestSink.compact(spark, root) }` is the
+    * whole operational loop. Only a CAS loss
+    * (ConcurrentModificationException anywhere in the cause chain)
+    * retries; every other failure — and the final CAS loss past
+    * `maxAttempts` — rethrows untouched. Serializable-equivalent by
+    * construction: each attempt plans against the then-current
+    * snapshot, so the winning attempt is a clean serial execution
+    * after the interleaved commits.
+    */
+  def withCommitRetry[T](maxAttempts: Int = 3)(op: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return op
+      catch {
+        case e: Throwable =>
+          var cause: Throwable = e
+          while (cause.getCause != null && (cause.getCause ne cause) &&
+            !cause.isInstanceOf[java.util.ConcurrentModificationException])
+            cause = cause.getCause
+          if (!cause.isInstanceOf[java.util.ConcurrentModificationException] ||
+              attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Immutable-segment cache: parsed lines per absolute segment path.
     * Bounded by wholesale clear (stale keys from vacuumed tables are
     * harmless but must not accumulate forever).

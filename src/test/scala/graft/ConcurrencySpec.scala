@@ -133,4 +133,64 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ManifestSink.snapshots(root).size == 5,
       "each commit publishes its own generation")
   }
+  test("withCommitRetry: a replace-shaped loser re-plans and wins; state is serial") {
+    import spark.implicits._
+    val root = freshRoot("retry")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+    var interleaved = false
+    var attempts = 0
+    ManifestSink.withCommitRetry() {
+      attempts += 1
+      // PLAN: capture the base generation, like every rewrite helper
+      val base = ManifestSink.snapshots(root).last
+      val names = ManifestSink.committedFiles(root)
+        .map(f => Paths.get(f).getFileName.toString)
+      if (!interleaved) {
+        interleaved = true
+        // a concurrent append lands between this attempt's plan and
+        // its commit — the CAS must fail the replace-shaped publish
+        Seq((3L, "c")).toDF("k", "v").coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .mode("append").option("path", root).save()
+      }
+      // COMMIT: an UPDATE-shaped rewrite of every planned file
+      // (k <= 2 becomes k + 10, everything else carries)
+      ManifestSink.readCommitted(spark, root)
+        .withColumn("k", org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("k") <= 2L,
+          org.apache.spark.sql.functions.col("k") + 10L)
+          .otherwise(org.apache.spark.sql.functions.col("k")))
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", root)
+        .option("expectedGen", base.toString)
+        .option("replaceFiles", names.mkString(","))
+        .save()
+    }
+    assert(attempts == 2, s"first attempt must lose the CAS: $attempts")
+    // serial-equivalent result: the interleaved append survived AND the
+    // retry's rewrite applied to the state including it
+    val got = ManifestSink.readCommitted(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L, 3L), s"state not serial: $got")
+  }
+
+  test("withCommitRetry: non-CAS failures and exhausted retries rethrow") {
+    val root = freshRoot("retry_rethrow")
+    var n = 0
+    val boom = intercept[RuntimeException] {
+      ManifestSink.withCommitRetry() { n += 1; throw new RuntimeException("boom") }
+    }
+    assert(boom.getMessage == "boom" && n == 1, "non-CAS must not retry")
+    var m = 0
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSink.withCommitRetry(maxAttempts = 3) {
+        m += 1
+        throw new java.util.ConcurrentModificationException("always stale")
+      }
+    }
+    assert(m == 3, s"must stop at maxAttempts: $m")
+  }
+
 }
