@@ -1200,6 +1200,7 @@ class GraftCatalog extends TableCatalog {
         deleteMode = props.getOrElse("deleteMode", "cow"),
         bloomFor = cols("bloomFor"),
         targetFileBytes = props.get("targetFileBytes").map(_.toLong).getOrElse(0L),
+        rowGroupBytes = props.get("rowGroupBytes").map(_.toLong).getOrElse(0L),
         splitConf = SplitConf(
           props.get("targetSplitBytes").map(_.toLong)
             .getOrElse(SplitConf.DefaultTargetBytes),
@@ -1328,6 +1329,7 @@ class GraftCatalog extends TableCatalog {
       opt("deleteMode").map("deleteMode" -> _) ++
       opt("bloomFor").map("bloomFor" -> _) ++
       opt("targetFileBytes").map("targetFileBytes" -> _) ++
+      opt("rowGroupBytes").map("rowGroupBytes" -> _) ++
       opt("targetSplitBytes").map("targetSplitBytes" -> _) ++
       opt("openCostBytes").map("openCostBytes" -> _) ++
       (if (partitionCols.nonEmpty)

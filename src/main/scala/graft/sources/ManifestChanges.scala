@@ -42,6 +42,13 @@ object ManifestChanges {
     require(fromGen == 0L || retained.contains(fromGen),
       s"generation $fromGen of $root is not retained — " +
         s"available: ${retained.mkString(",")}")
+    // toGen must be addressable too, or an expired bound would silently
+    // truncate the feed to whatever happens to be retained (code-review
+    // r17); retention expires a PREFIX, so validated endpoints imply no
+    // interior gaps
+    require(toGen == fromGen || retained.contains(toGen),
+      s"generation $toGen of $root is not retained — " +
+        s"available: ${retained.mkString(",")}")
     val gens = retained.filter(g => g > fromGen && g <= toGen)
 
     def linesAt(g: Long): Seq[String] =

@@ -80,9 +80,9 @@ class ManifestCowOperation(path: String, tableSchema: StructType,
       override def build(): Write = {
         // layout-preserving rewrite, same derivation as deleteWhere:
         // declared table options win, else the committed stats' claims
+        // (ONE manifest resolution for both — code-review r17)
         val rootP = java.nio.file.Paths.get(path)
-        val names = ManifestSink.rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
-        val stats = ManifestSink.fileStats(path)
+        val (names, stats) = ManifestSink.committedState(rootP)
         val fmt = if (format != "json") format
                   else ManifestSink.derivedFormat(names)
         val (dp, dob) = ManifestSink.derivedLayout(names, stats, tableSchema)
@@ -178,10 +178,14 @@ class ManifestMorOperation(path: String, tableSchema: StructType,
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
 
+  /** ONE manifest resolution serves the parquet require and the bloom
+    * derivation (code-review r17).
+    */
+  private lazy val committed: (Seq[String], Map[String, ManifestMeta.FileStats]) =
+    ManifestSink.committedState(java.nio.file.Paths.get(path))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val names = ManifestSink.rawManifest(java.nio.file.Paths.get(path))
-      .map(_._2).getOrElse(Seq.empty)
-    require(names.forall(_.endsWith(".parquet")),
+    require(committed._1.forall(_.endsWith(".parquet")),
       s"merge-on-read row-level DML requires a parquet payload " +
         s"(position deletes replay via _metadata.row_index); table at " +
         s"$path holds non-parquet files — use a copy-on-write table")
@@ -200,11 +204,7 @@ class ManifestMorOperation(path: String, tableSchema: StructType,
 
   private def derivedBloom(): Seq[String] =
     if (bloomFor.nonEmpty) bloomFor
-    else {
-      val names = ManifestSink.rawManifest(java.nio.file.Paths.get(path))
-        .map(_._2).getOrElse(Seq.empty)
-      ManifestSink.derivedBloomCols(names, ManifestSink.fileStats(path))
-    }
+    else ManifestSink.derivedBloomCols(committed._1, committed._2)
 }
 
 /** The delta write: insert rows append through the ordinary staged

@@ -211,10 +211,17 @@ object ManifestSink {
       try return op
       catch {
         case e: Throwable =>
+          // depth-bounded cause walk: a cyclic cause chain (initCause
+          // misuse in wrapping layers) must rethrow, not spin
+          // (code-review r17)
           var cause: Throwable = e
+          var depth = 0
           while (cause.getCause != null && (cause.getCause ne cause) &&
-            !cause.isInstanceOf[java.util.ConcurrentModificationException])
+            depth < 50 &&
+            !cause.isInstanceOf[java.util.ConcurrentModificationException]) {
             cause = cause.getCause
+            depth += 1
+          }
           if (!cause.isInstanceOf[java.util.ConcurrentModificationException] ||
               attempt >= maxAttempts) throw e
       }
@@ -383,6 +390,20 @@ object ManifestSink {
       else ""
     s"$SegPrefix$name$envSuffix"
   }
+
+  /** (committed file names, their stats) from ONE live-manifest
+    * resolution — the row-level operations' shared read (code-review
+    * r17: each op was resolving the manifest 2-3 times for the
+    * parquet-require / bloom / layout derivations).
+    */
+  private[sources] def committedState(root: Path):
+      (Seq[String], Map[String, ManifestMeta.FileStats]) =
+    resolvedManifestLines(root, root.resolve("manifest.json")) match {
+      case None => (Seq.empty, Map.empty)
+      case Some(lines) =>
+        (lines.tail.filterNot(_.startsWith("#")),
+          ManifestMeta.statsOf(lines.tail))
+    }
 
   /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
     * one consistent snapshot (the manifest swap is atomic; segments are

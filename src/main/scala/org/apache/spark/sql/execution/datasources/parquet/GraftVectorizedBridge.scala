@@ -19,12 +19,19 @@ object GraftVectorizedBridge {
     */
   def initWithRowGroups(reader: VectorizedParquetRecordReader,
       fileSchema: MessageType, requestedSchema: MessageType,
-      fileReader: ParquetFileReader, totalRowCount: Long): Unit =
+      fileReader: ParquetFileReader, totalRowCount: Long): Unit = {
+    // the injection seam takes an Int row count — refuse LOUDLY past it
+    // (a silent clamp would truncate reads of a >2^31-row file, while
+    // the unfiltered path reads it whole — code-review r17)
+    require(totalRowCount <= Int.MaxValue.toLong,
+      s"filtered vectorized read cannot address $totalRowCount rows in " +
+        "one file (Int row-count seam) — split the file (targetFileBytes)")
     reader.initialize(fileSchema, requestedSchema,
       new SpecificParquetRecordReaderBase.ParquetRowGroupReader {
         override def readNextRowGroup(): PageReadStore =
           fileReader.readNextRowGroup()
         override def close(): Unit = fileReader.close()
       },
-      math.min(totalRowCount, Int.MaxValue.toLong).toInt)
+      totalRowCount.toInt)
+  }
 }

@@ -145,5 +145,11 @@ class ChangesFeedSpec extends AnyFunSuite {
       ManifestChanges.readChanges(spark, root, 1L, top)
     }
     assert(err.getMessage.contains("not retained"))
+    // the TO bound refuses too — an expired toGen must never silently
+    // truncate the feed (code-review r17)
+    val err2 = intercept[IllegalArgumentException] {
+      ManifestChanges.readChanges(spark, root, 0L, 1L)
+    }
+    assert(err2.getMessage.contains("not retained"))
   }
 }
