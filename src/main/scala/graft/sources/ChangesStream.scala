@@ -1,0 +1,371 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CHANGE-DATA FEED over a committed manifest table — the
+  * streaming face of [[ManifestChanges.readChanges]] (the Delta CDF
+  * shape: reference's Pub/Sub change consumers re-expressed as a lake
+  * CDC source). The append-only snapshot feed
+  * ([[ManifestSnapshotStream]]) refuses LOUDLY on rewrites and MoR
+  * deletes by design; this source is the consumer-side answer — every
+  * committed generation streams as a micro-batch of row-level changes
+  * (`_change_type` ∈ insert|delete, `_commit_gen` = the producing
+  * generation), so DELETE, UPDATE and compaction no longer force a
+  * consumer restart:
+  *
+  *   state(g') = state(g) ⊎ inserts − deletes    (multisets, per batch)
+  *
+  * Per generation window (g, g'] — identical semantics to the batch
+  * feed, but computed PER FILE so each change set plans as ordinary
+  * file-parallel input partitions (no driver-side row work, no joins):
+  *   - files ADDED by g' emit their rows as inserts (with the deletes
+  *     applicable AT g' — a delta commit's position deletes scope
+  *     pre-commit files only, so its inserts are clean);
+  *   - files REMOVED by g' emit their g-visible rows as deletes (a
+  *     compaction therefore emits cancelling delete+insert pairs);
+  *   - deletes NEW in g' on carried files (predicate tombstones,
+  *     position deletes) emit exactly the rows they killed: rows
+  *     visible at g whose new predicate is TRUE or whose physical
+  *     position is newly deleted — one provenance read per file, one
+  *     emission per physical row.
+  *
+  * Offsets are snapshot generations (checkpoint-durable longs), one
+  * generation per micro-batch, so commit boundaries are batch
+  * boundaries — the property a CDC consumer keys on. Exactly-once
+  * across restarts rides the offset log: a replayed batch re-derives
+  * the identical change set from the immutable snapshots.
+  *
+  * RETENTION CONTRACT: historical generations resolve via
+  * `_snapshots/`; `vacuum(root, retainSnapshots = N)` must retain the
+  * generations an active consumer has not read. An expired generation
+  * fails the read LOUDLY, never silently (retention expires a prefix,
+  * so validated window endpoints imply no interior gaps).
+  *
+  * Scale shape: each window reads only the files its commit touched
+  * (added, removed, or newly delete-scoped); nothing ever diffs
+  * row-wise against the full table, and each touched file is one input
+  * partition.
+  */
+class GraftChanges extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft changes feed requires a 'path' option"))
+    val m = Paths.get(root).resolve("manifest.json")
+    if (!Files.exists(m)) throw new IllegalArgumentException(
+      s"no manifest at $root — write before reading changes")
+    val r = Files.newBufferedReader(m, StandardCharsets.UTF_8)
+    val data = try StructType.fromDDL(r.readLine()) finally r.close()
+    GraftChanges.feedSchema(data)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangesTable(properties.get("path"), schema,
+      Option(properties.get("startingGen")).map(_.toLong).getOrElse(0L))
+}
+
+object GraftChanges {
+  val ChangeType = "_change_type"
+  val CommitGen = "_commit_gen"
+
+  /** Data schema + the two change columns (always last, Delta's CDF
+    * column shape).
+    */
+  def feedSchema(data: StructType): StructType = {
+    require(!data.fieldNames.contains(ChangeType) &&
+      !data.fieldNames.contains(CommitGen),
+      s"table schema already defines $ChangeType/$CommitGen")
+    StructType(data.fields ++ Seq(
+      StructField(ChangeType, StringType, nullable = false),
+      StructField(CommitGen, LongType, nullable = false)))
+  }
+}
+
+class ChangesTable(path: String, feedSchema: StructType, startingGen: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_changes($path)"
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangesScanBuilder(path, feedSchema,
+      Option(options.get("startingGen")).map(_.toLong).getOrElse(startingGen))
+}
+
+class ChangesScanBuilder(path: String, feedSchema: StructType,
+    startingGen: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = feedSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve feed-schema field order regardless of the pruned order
+    required = StructType(feedSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = {
+    val data = StructType(feedSchema.fields.filter(f =>
+      f.name != GraftChanges.ChangeType && f.name != GraftChanges.CommitGen))
+    new ChangesScan(path, data, required, startingGen)
+  }
+}
+
+class ChangesScan(path: String, dataSchema: StructType, required: StructType,
+    startingGen: Long) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftChangesScan(path=$path, from=$startingGen)"
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestChangesStream(path, dataSchema, required, startingGen)
+}
+
+/** One file's contribution to a generation's change set. `newPreds` /
+  * `newPosFiles` non-null ⇒ KILLED mode: emit the rows the window's NEW
+  * deletes removed from this carried file (rows must survive the OLD
+  * deletes `preds`/`posFiles` and be killed by the new ones). Otherwise
+  * the file was added (insert=true, deletes applicable at the window
+  * end) or removed (insert=false, deletes applicable at the window
+  * start).
+  */
+case class ChangeFeedPartition(file: String, gen: Long, insert: Boolean,
+    preds: Seq[Filter], posFiles: Seq[String],
+    newPreds: Seq[Filter], newPosFiles: Seq[String]) extends InputPartition
+
+class ManifestChangesStream(path: String, dataSchema: StructType,
+    required: StructType, startingGen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val rootP: Path = Paths.get(path)
+
+  // AvailableNow: drain up to the generation observed at trigger time,
+  // one generation per batch — later commits wait for the next trigger
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(gens.lastOption.getOrElse(startingGen))
+  override def reportLatestOffset(): Offset =
+    SnapshotOffset(gens.lastOption.getOrElse(startingGen))
+
+  private def gens: Seq[Long] = ManifestSink.snapshots(path)
+
+  /** Resolved manifest lines of snapshot `gen`, schema header dropped
+    * (empty for gen 0 = before the first commit). LOUD on expiry.
+    */
+  private def linesAt(gen: Long): Seq[String] =
+    if (gen == 0L) Seq.empty
+    else ManifestSink.resolvedManifestLines(rootP,
+      rootP.resolve("_snapshots").resolve(s"manifest-$gen.json"))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $gen of $path expired while a change-feed consumer " +
+          "still needed it — retain more generations in vacuum()"))
+      .tail
+
+  override def initialOffset(): Offset = SnapshotOffset(startingGen)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotOffset].gen
+    // one generation per micro-batch: commit boundaries = batch boundaries
+    val next = gens.find(_ > s).getOrElse(s)
+    SnapshotOffset(availableNowTarget.fold(next)(t => math.min(next, t)))
+  }
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].gen
+    val e = end.asInstanceOf[SnapshotOffset].gen
+    if (e <= s) return Array.empty
+    val retained = gens
+    val windows = retained.filter(g => g > s && g <= e)
+    // an expired END generation would silently merge its window into
+    // nothing — refuse loudly like every other expiry (retention
+    // expires a prefix, so a retained end implies retained interiors)
+    if (!windows.lastOption.contains(e)) throw new IllegalStateException(
+      s"snapshot $e of $path expired while a change-feed consumer still " +
+        "needed it — retain more generations in vacuum()")
+
+    def dataPath(n: String): String =
+      rootP.resolve("data").resolve(n).toString
+
+    val parts = Seq.newBuilder[InputPartition]
+    var prev = s
+    windows.foreach { g =>
+      val prevTail = linesAt(prev)
+      val curTail = linesAt(g)
+      val prevNames = prevTail.filterNot(_.startsWith("#"))
+      val curNames = curTail.filterNot(_.startsWith("#"))
+      val added = (curNames.toSet -- prevNames).toSeq.sorted
+      val removed = (prevNames.toSet -- curNames).toSeq.sorted
+      val carried = prevNames.filter(curNames.toSet)
+
+      val prevDel = ManifestDeletes.byFile(
+        ManifestDeletes.of(prevTail), prevNames)
+      val curDel = ManifestDeletes.byFile(
+        ManifestDeletes.of(curTail), curNames)
+      val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
+      val curPos = ManifestSink.posDeletesOf(rootP, curTail)
+
+      added.foreach { n =>
+        parts += ChangeFeedPartition(dataPath(n), g, insert = true,
+          curDel.getOrElse(n, Seq.empty), curPos.getOrElse(n, Seq.empty),
+          null, null)
+      }
+      removed.foreach { n =>
+        parts += ChangeFeedPartition(dataPath(n), g, insert = false,
+          prevDel.getOrElse(n, Seq.empty), prevPos.getOrElse(n, Seq.empty),
+          null, null)
+      }
+      carried.foreach { n =>
+        val newPreds = (curDel.getOrElse(n, Seq.empty).toSet --
+          prevDel.getOrElse(n, Seq.empty)).toSeq
+        val newPos = (curPos.getOrElse(n, Seq.empty).toSet --
+          prevPos.getOrElse(n, Seq.empty)).toSeq.sorted
+        if (newPreds.nonEmpty || newPos.nonEmpty)
+          parts += ChangeFeedPartition(dataPath(n), g, insert = false,
+            prevDel.getOrElse(n, Seq.empty), prevPos.getOrElse(n, Seq.empty),
+            newPreds, newPos)
+      }
+      prev = g
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory(dataSchema, required)
+}
+
+/** Builds per-file change readers. Plain partitions (insert/delete of a
+  * whole file's visible rows) delegate to the ordinary row readers with
+  * the window's deletes applied, then append the two constant change
+  * columns. KILLED partitions read the file RAW (plus `_pos` and every
+  * predicate-referenced column) and keep exactly the rows the window's
+  * new deletes removed — one pass, one emission per physical row.
+  */
+class ChangesReaderFactory(dataSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+
+  private val insertUtf8 = UTF8String.fromString("insert")
+  private val deleteUtf8 = UTF8String.fromString("delete")
+
+  private def fileReader(file: String, req: StructType, deletes: Seq[Filter],
+      posSet: java.util.HashSet[java.lang.Long]): PartitionReader[InternalRow] =
+    if (file.endsWith(".parquet"))
+      new ManifestParquetReader(file, dataSchema, req, deletes,
+        posDeletes = posSet)
+    else new ManifestJsonReader(file, dataSchema, req, deletes, posSet)
+
+  override def createReader(p0: InputPartition): PartitionReader[InternalRow] = {
+    val p = p0.asInstanceOf[ChangeFeedPartition]
+    val name = Paths.get(p.file).getFileName.toString
+    val outFields = required.fields
+    val dataCols = outFields.filter(f =>
+      f.name != GraftChanges.ChangeType && f.name != GraftChanges.CommitGen)
+    val changeVal = if (p.insert) insertUtf8 else deleteUtf8
+
+    if (p.newPreds == null) {
+      // whole-file mode: the delegate applies the window's deletes
+      val posSet =
+        if (p.posFiles.isEmpty) null
+        else ManifestPosDeletes.positionsFor(name, p.posFiles)
+      val delegate = fileReader(p.file, StructType(dataCols), p.preds, posSet)
+      val dataIdx = dataCols.map(_.name).zipWithIndex.toMap
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = delegate.next()
+        override def get(): InternalRow = {
+          val in = delegate.get()
+          val vals = new Array[Any](outFields.length)
+          var i = 0
+          while (i < outFields.length) {
+            val f = outFields(i)
+            vals(i) =
+              if (f.name == GraftChanges.ChangeType) changeVal
+              else if (f.name == GraftChanges.CommitGen) p.gen
+              else {
+                val j = dataIdx(f.name)
+                if (in.isNullAt(j)) null else in.get(j, f.dataType)
+              }
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
+        override def close(): Unit = delegate.close()
+      }
+    } else {
+      // KILLED mode: raw read; keep rows that survive the OLD deletes
+      // and are killed by the NEW ones (3VL: killed iff predicate TRUE)
+      val types: Map[String, DataType] =
+        dataSchema.fields.map(f => f.name -> f.dataType).toMap
+      val refCols = ManifestDeletes.referencedCols(p.preds ++ p.newPreds)
+      val delegateFields =
+        (dataCols ++
+          dataSchema.fields.filter(f => refCols.contains(f.name) &&
+            !dataCols.exists(_.name == f.name))) :+
+          StructField("_pos", LongType, nullable = false)
+      val delegateReq = StructType(delegateFields)
+      val delegate = fileReader(p.file, delegateReq, Seq.empty, null)
+      val idx = delegateFields.map(_.name).zipWithIndex.toMap
+      val posIdx = idx("_pos")
+      val oldPos =
+        if (p.posFiles.isEmpty) null
+        else ManifestPosDeletes.positionsFor(name, p.posFiles)
+      val newPos =
+        if (p.newPosFiles.isEmpty) null
+        else ManifestPosDeletes.positionsFor(name, p.newPosFiles)
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        private def valueOf(row: InternalRow, col: String): Any = {
+          val j = idx(col)
+          if (row.isNullAt(j)) null else row.get(j, types(col))
+        }
+        override def next(): Boolean = {
+          while (delegate.next()) {
+            val row = delegate.get()
+            val pos = row.getLong(posIdx)
+            val survivesOld =
+              (oldPos == null || !oldPos.contains(pos)) &&
+                (p.preds.isEmpty ||
+                  ManifestDeletes.survives(p.preds, valueOf(row, _), types))
+            if (survivesOld) {
+              val killedNew =
+                (newPos != null && newPos.contains(pos)) ||
+                  (p.newPreds.nonEmpty &&
+                    !ManifestDeletes.survives(p.newPreds, valueOf(row, _), types))
+              if (killedNew) { current = row; return true }
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = {
+          val vals = new Array[Any](outFields.length)
+          var i = 0
+          while (i < outFields.length) {
+            val f = outFields(i)
+            vals(i) =
+              if (f.name == GraftChanges.ChangeType) changeVal
+              else if (f.name == GraftChanges.CommitGen) p.gen
+              else valueOf(current, f.name)
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
+        override def close(): Unit = delegate.close()
+      }
+    }
+  }
+}

@@ -217,6 +217,56 @@ object GraftCatalog {
     // rows) must equal the live table exactly. This is the surface the
     // append-only snapshot stream hands off to when maintenance lands
     // mid-feed.
+    // STREAMING CHANGE-DATA FEED (r17): the same maintenance history as
+    // q_lake_cdf — delta UPDATE, tombstone DELETE, compaction — drained
+    // through the GraftChanges MICRO-BATCH source (one committed
+    // generation per batch) instead of the batch reader. The snapshot
+    // feed refuses on rewrites and MoR deletes by design; this is the
+    // consumer that survives them. Reconstruction oracle identical to
+    // the batch twin: the two feeds must agree change-for-change.
+    "q_lake_cdf_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_cdfs_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_cdfs")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_cdfs
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql(
+        """UPDATE graft_cat.lake.cust_cdfs
+          |SET bal_cents = bal_cents + 100, c_mktsegment = 'ADJUSTED'
+          |WHERE bal_cents < 0""".stripMargin)
+      s.sql("DELETE FROM graft_cat.lake.cust_cdfs " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      ManifestSink.compact(s, tmp)
+      val q = s.readStream.format("graft.sources.GraftChanges")
+        .option("path", tmp).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/changes_out")
+        }
+        .option("checkpointLocation", s"$tmp/_cdf_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/changes_out")
+        .groupBy(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("net"))
+        .filter(col("net") > 0L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))
+    }),
+
     "q_lake_cdf" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
@@ -877,6 +927,19 @@ object GraftCatalog {
     // the replayed change log reconstructs the post-maintenance state:
     // balances adjusted where negative, then current-BUILDING rows
     // deleted, compaction invisible
+    // the streamed CDF reconstructs the same state as the batch feed
+    "q_lake_cdf_stream" ->
+      """WITH u AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |   CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |        THEN 'ADJUSTED' ELSE c_mktsegment END AS c_mktsegment,
+        |   CAST(round(c_acctbal * 100) AS BIGINT)
+        |     + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |            THEN 100 ELSE 0 END AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal_cents
+        |FROM u WHERE c_mktsegment <> 'BUILDING'""".stripMargin,
+
     "q_lake_cdf" ->
       """WITH u AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -1,0 +1,230 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum, when}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestChanges, ManifestSink}
+
+/** STREAMING CDF (r17): the GraftChanges micro-batch source streams
+  * every committed generation as a row-level change set
+  * (`_change_type`/`_commit_gen`), so MoR DML and compaction no longer
+  * force streaming consumers to restart (the snapshot feed refuses on
+  * both, by design). Invariants pinned here:
+  *   - reconstruction: net-positive multiset of the drained change log
+  *     equals the live table, across appends + delta UPDATE + tombstone
+  *     DELETE + compaction;
+  *   - one generation per micro-batch (commit boundaries = batch
+  *     boundaries);
+  *   - exactly-once across a checkpoint restart (no re-delivery, no
+  *     gaps);
+  *   - startingGen skips history; expired generations fail loudly.
+  */
+class ChangesStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s
+  }
+
+  private def freshRoot(tag: String): String = {
+    val p = Paths.get(s"/tmp/graft_cdfstream_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
+  /** Drain the change feed AvailableNow into a named memory sink and
+    * return (accumulated changes, batches with rows).
+    */
+  private def drain(root: String, sinkName: String,
+      checkpoint: String, startingGen: Option[Long] = None,
+      selectCols: Option[Seq[String]] = None): (DataFrame, Int) = {
+    val r0 = spark.readStream.format("graft.sources.GraftChanges")
+      .option("path", root)
+    val r1 = startingGen.fold(r0)(g => r0.option("startingGen", g.toString))
+    val src = r1.load()
+    val proj = selectCols.fold(src)(cs => src.select(cs.map(col): _*))
+    val q = proj.writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(sinkName), batches)
+  }
+
+  private def reconstruct(changes: DataFrame, cols: Seq[String]): Set[Seq[Any]] =
+    changes.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") > 0L)
+      .collect().map(r => cols.indices.map(r.get)).toSet
+
+  private def state(root: String, cols: Seq[String]): Set[Seq[Any]] =
+    ManifestSink.readCommitted(spark, root)
+      .select(cols.map(col): _*)
+      .collect().map(r => cols.indices.map(r.get)).toSet
+
+  test("append-only history streams as pure inserts, one gen per batch") {
+    import spark.implicits._
+    val root = freshRoot("appends")
+    (0 until 3).foreach { i =>
+      (i * 10 until (i + 1) * 10).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode(if (i == 0) "overwrite" else "append")
+        .option("path", root).option("format", "parquet").save()
+    }
+    val (ch, batches) = drain(root, "cdfs_appends", s"$root/_cp")
+    assert(ch.filter(col("_change_type") === "delete").count() == 0L)
+    assert(ch.count() == 30L)
+    // commit boundaries are batch boundaries
+    assert(batches == ManifestSink.snapshots(root).size)
+    assert(ch.select("_commit_gen").distinct().count() ==
+      ManifestSink.snapshots(root).size.toLong)
+    assert(reconstruct(ch, Seq("k", "v")) == state(root, Seq("k", "v")))
+  }
+
+  test("delta UPDATE + tombstone DELETE + compaction reconstruct the live table") {
+    import spark.implicits._
+    val root = freshRoot("dml")
+    (0 until 40).map(k => (k.toLong, k % 4, s"v$k")).toDF("k", "m", "v")
+      .coalesce(2).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.cdfstream_dml")
+    spark.sql(
+      s"""CREATE TABLE graft_cat.lake.cdfstream_dml
+         | (k BIGINT, m INT, v STRING)
+         | USING graft OPTIONS (path '$root', format 'parquet',
+         |  deleteMode 'mor')""".stripMargin)
+    // delta UPDATE: position deletes + appended updates in one commit
+    spark.sql("UPDATE graft_cat.lake.cdfstream_dml SET v = 'touched' WHERE m = 1")
+    // MoR DELETE: predicate tombstone
+    spark.sql("DELETE FROM graft_cat.lake.cdfstream_dml WHERE m = 2")
+    // compaction rewrites everything (cancelling delete+insert pairs)
+    ManifestSink.compact(spark, root)
+    (100 until 110).map(k => (k.toLong, k % 4, s"v$k")).toDF("k", "m", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+
+    val (ch, batches) = drain(root, "cdfs_dml", s"$root/_cp")
+    assert(batches == ManifestSink.snapshots(root).size)
+    assert(reconstruct(ch, Seq("k", "m", "v")) == state(root, Seq("k", "m", "v")))
+    // the streamed change log agrees row-for-row with the batch feed
+    val top = ManifestSink.snapshots(root).last
+    val batch = ManifestChanges.readChanges(spark, root, 0L, top)
+    val cols = Seq("k", "m", "v", "_change_type", "_commit_gen")
+    assert(ch.select(cols.map(col): _*).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString("|"))).toSeq ==
+      batch.select(cols.map(col): _*).collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|"))).toSeq)
+  }
+
+  /** foreachBatch accumulation (the memory sink refuses checkpoint
+    * recovery, so restart tests go through a durable sink).
+    */
+  private def drainTo(root: String, out: String, checkpoint: String): Unit = {
+    val q = spark.readStream.format("graft.sources.GraftChanges")
+      .option("path", root).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("checkpoint restart resumes exactly-once across later DML") {
+    import spark.implicits._
+    val root = freshRoot("resume")
+    (0 until 20).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    (20 until 40).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    val cp = s"$root/_cp"
+    drainTo(root, s"$root/_out_a", cp)
+    val first = spark.read.parquet(s"$root/_out_a")
+    assert(first.count() == 40L)
+    // DML lands AFTER the consumer's offset — a tombstone on carried
+    // files (the snapshot feed would refuse here; the CDF must resume)
+    graft.sources.ManifestSink.deleteWhereMoR(root,
+      Array(org.apache.spark.sql.sources.LessThan("k", 5L)))
+    (40 until 45).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    drainTo(root, s"$root/_out_b", cp)
+    val second = spark.read.parquet(s"$root/_out_b")
+    // same checkpoint: only the NEW windows land in the second sink
+    assert(second.filter(col("_change_type") === "delete").count() == 5L)
+    assert(second.filter(col("_change_type") === "insert").count() == 5L)
+    // first + second = the full batch change log (exactly-once resume)
+    val all = first.unionByName(second)
+    assert(reconstruct(all, Seq("k", "v")) == state(root, Seq("k", "v")))
+  }
+
+  test("startingGen skips history; column pruning serves a subset") {
+    import spark.implicits._
+    val root = freshRoot("fromgen")
+    (0 until 10).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    val g1 = ManifestSink.snapshots(root).last
+    (10 until 15).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    val (ch, _) = drain(root, "cdfs_fromgen", s"$root/_cp1",
+      startingGen = Some(g1),
+      selectCols = Some(Seq("k", "_change_type", "_commit_gen")))
+    assert(ch.columns.toSeq == Seq("k", "_change_type", "_commit_gen"))
+    assert(ch.count() == 5L)
+    assert(ch.agg(org.apache.spark.sql.functions.min("k")).head.getLong(0) == 10L)
+  }
+
+  test("vacuumed history from gen 0 degrades to a correct net window; " +
+      "an expired CONSUMED offset fails loudly") {
+    import spark.implicits._
+    val root = freshRoot("expired")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode(if (i == 0) "overwrite" else "append")
+        .option("path", root).option("format", "parquet").save()
+    }
+    // consume up to the live generation, then expire it from retention
+    val cp = s"$root/_cp"
+    drainTo(root, s"$root/_out", cp)
+    assert(spark.read.parquet(s"$root/_out").count() == 4L)
+    (10 until 12).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", root).option("format", "parquet").save()
+    }
+    ManifestSink.vacuum(root, retainSnapshots = 1)
+    // a FRESH consumer from gen 0 over the vacuumed history sees one
+    // merged net window — reconstruction still equals the live state
+    // (same degradation as batch readChanges from 0)
+    val (fresh, _) = drain(root, "cdfs_vacuumed_fresh", s"$root/_cp_fresh")
+    assert(reconstruct(fresh, Seq("k", "v")) == state(root, Seq("k", "v")))
+    // but the EXISTING consumer's committed offset expired — loud failure
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(root, s"$root/_out2", cp)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("expired")))
+  }
+}
