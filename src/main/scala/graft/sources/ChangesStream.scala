@@ -149,6 +149,23 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
 
   private val rootP: Path = Paths.get(path)
 
+  // EVOLUTION LEDGER at stream-construction time (r17): dataSchema was
+  // resolved from the same live manifest, so every alias target must be
+  // a live column — a rename racing query start is refused here, and a
+  // rename landing mid-feed is refused per window below (a restart
+  // re-resolves both together).
+  private val aliases: Map[String, Seq[String]] = ManifestSink.liveAliases(rootP)
+  require(aliases.keySet.subsetOf(dataSchema.fieldNames.toSet),
+    s"schema of $path evolved between stream resolution and start — " +
+      "restart the streaming query")
+  private val p2c: Map[String, String] =
+    aliases.iterator.flatMap { case (c, ps) => ps.map(_ -> c) }.toMap
+  // evolution lines already visible at construction are KNOWN — the
+  // alias map above covers them for every window; only a line newer
+  // than this capture is a mid-feed evolution
+  private val knownEvo: Set[String] =
+    ManifestSink.ledgerLines(rootP).filter(ManifestEvolution.isLine).toSet
+
   // AvailableNow: drain up to the generation observed at trigger time,
   // one generation per batch — later commits wait for the next trigger
   @volatile private var availableNowTarget: Option[Long] = None
@@ -208,16 +225,26 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
     windows.foreach { g =>
       val prevTail = linesAt(prev)
       val curTail = linesAt(g)
+      // schema evolution mid-feed: this query's schema and alias map
+      // were fixed at start — refuse loudly, restart re-resolves (the
+      // same contract as the snapshot feed)
+      val newEvo = curTail.filter(ManifestEvolution.isLine).toSet --
+        prevTail.filter(ManifestEvolution.isLine) -- knownEvo
+      if (newEvo.nonEmpty) throw new IllegalStateException(
+        s"schema evolution in consumed range ($prev, $g] of $path: a " +
+          "column rename/drop was published mid-feed — restart the " +
+          "streaming query so it re-resolves the live schema")
       val prevNames = prevTail.filterNot(_.startsWith("#"))
       val curNames = curTail.filterNot(_.startsWith("#"))
       val added = (curNames.toSet -- prevNames).toSeq.sorted
       val removed = (prevNames.toSet -- curNames).toSeq.sorted
       val carried = prevNames.filter(curNames.toSet)
 
-      val prevDel = ManifestDeletes.byFile(
-        ManifestDeletes.of(prevTail), prevNames)
-      val curDel = ManifestDeletes.byFile(
-        ManifestDeletes.of(curTail), curNames)
+      def remapped(tail: Seq[String], names: Seq[String]) =
+        ManifestDeletes.byFile(ManifestDeletes.of(tail).map(t =>
+          t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names)
+      val prevDel = remapped(prevTail, prevNames)
+      val curDel = remapped(curTail, curNames)
       val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
       val curPos = ManifestSink.posDeletesOf(rootP, curTail)
 
@@ -247,7 +274,7 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(dataSchema, required)
+    new ChangesReaderFactory(dataSchema, required, aliases)
 }
 
 /** Builds per-file change readers. Plain partitions (insert/delete of a
@@ -257,7 +284,8 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
   * predicate-referenced column) and keep exactly the rows the window's
   * new deletes removed — one pass, one emission per physical row.
   */
-class ChangesReaderFactory(dataSchema: StructType, required: StructType)
+class ChangesReaderFactory(dataSchema: StructType, required: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   private val insertUtf8 = UTF8String.fromString("insert")
@@ -267,8 +295,9 @@ class ChangesReaderFactory(dataSchema: StructType, required: StructType)
       posSet: java.util.HashSet[java.lang.Long]): PartitionReader[InternalRow] =
     if (file.endsWith(".parquet"))
       new ManifestParquetReader(file, dataSchema, req, deletes,
-        posDeletes = posSet)
-    else new ManifestJsonReader(file, dataSchema, req, deletes, posSet)
+        posDeletes = posSet, aliases = aliases)
+    else new ManifestJsonReader(file, dataSchema, req, deletes, posSet,
+      aliases)
 
   override def createReader(p0: InputPartition): PartitionReader[InternalRow] = {
     val p = p0.asInstanceOf[ChangeFeedPartition]

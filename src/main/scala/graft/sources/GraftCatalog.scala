@@ -217,6 +217,109 @@ object GraftCatalog {
     // rows) must equal the live table exactly. This is the surface the
     // append-only snapshot stream hands off to when maintenance lands
     // mid-feed.
+    // SQL STORED PROCEDURES (r17): the full maintenance cycle driven
+    // through CALL — a MoR DELETE leaves a tombstone, CALL
+    // system.compact folds it into a clean rewrite, CALL system.vacuum
+    // expires the history — and the survivors still match the oracle's
+    // complement exactly (the procedures run the same CAS-protected
+    // helpers as the Scala surface).
+    "q_lake_call_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_call_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      Seq(0L, 1L, 2L).foreach { m =>
+        base.filter(col("c_custkey") % 3 === m)
+          .write.format("graft.sources.ManifestSink")
+          .mode(if (m == 0L) "overwrite" else "append")
+          .option("path", tmp).option("format", "parquet").save()
+      }
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_call")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_call
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql("DELETE FROM graft_cat.lake.cust_call WHERE bal_cents < 0")
+      s.sql("CALL graft_cat.system.compact(table => 'cust_call')")
+      s.sql("CALL graft_cat.system.vacuum(table => 'cust_call', " +
+        "retain_snapshots => 1)")
+      s.sql("SELECT * FROM graft_cat.lake.cust_call")
+    }),
+
+    // SCHEMA EVOLUTION: RENAME COLUMN (r17) — metadata-only; committed
+    // files keep their written names and resolve through the alias
+    // ledger. The history here exercises every remap surface at once:
+    // a MoR tombstone written against the OLD name, the rename, a
+    // post-rename append under the NEW name, and a stats-prunable
+    // filter on the renamed column.
+    "q_lake_rename_col" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_rename_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      // slice A committed first: the tombstone scopes to ITS files only
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_rename")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_rename
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet',
+           |  deleteMode 'mor')""".stripMargin)
+      s.sql("DELETE FROM graft_cat.lake.cust_rename WHERE bal_cents < 0")
+      s.sql("ALTER TABLE graft_cat.lake.cust_rename " +
+        "RENAME COLUMN bal_cents TO balance")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .withColumnRenamed("bal_cents", "balance")
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, balance
+          |FROM graft_cat.lake.cust_rename WHERE balance >= -100000""".stripMargin)
+    }),
+
+    // SCHEMA EVOLUTION: DROP COLUMN (r17) — metadata-only shrink; old
+    // files still hold the column physically, the live read never sees
+    // it, and post-drop appends omit it entirely.
+    "q_lake_drop_col" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_dropcol_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_dropcol")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_dropcol
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("ALTER TABLE graft_cat.lake.cust_dropcol DROP COLUMN c_mktsegment")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .drop("c_mktsegment")
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("SELECT c_custkey, bal_cents FROM graft_cat.lake.cust_dropcol")
+    }),
+
     // STREAMING CHANGE-DATA FEED (r17): the same maintenance history as
     // q_lake_cdf — delta UPDATE, tombstone DELETE, compaction — drained
     // through the GraftChanges MICRO-BATCH source (one committed
@@ -927,6 +1030,30 @@ object GraftCatalog {
     // the replayed change log reconstructs the post-maintenance state:
     // balances adjusted where negative, then current-BUILDING rows
     // deleted, compaction invisible
+    // the CALL-driven maintenance cycle preserves exactly the
+    // tombstone's complement
+    "q_lake_call_compact" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= 0""".stripMargin,
+
+    // rename: slice A (even keys) committed first, its negatives
+    // tombstoned BEFORE the rename; slice B (odd keys) appended after —
+    // output under the live name
+    "q_lake_rename_col" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS balance
+        |FROM customer
+        |WHERE NOT (c_custkey % 2 = 0
+        |           AND CAST(round(c_acctbal * 100) AS BIGINT) < 0)""".stripMargin,
+
+    // drop: the column vanishes from the live read; both slices remain
+    "q_lake_drop_col" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer""".stripMargin,
+
     // the streamed CDF reconstructs the same state as the batch feed
     "q_lake_cdf_stream" ->
       """WITH u AS (
@@ -1160,9 +1287,36 @@ object GraftCatalog {
   )
 }
 
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft_cat"
+
+  // ---------------------------------------------------------------
+  // SQL stored procedures (r17): CALL graft_cat.system.<proc>(...)
+  // ---------------------------------------------------------------
+  /** Resolve a procedure's `table` argument — `lake.name` or bare
+    * `name` — to its manifest root via this catalog's definitions.
+    */
+  private def tablePath(ref: String): String = {
+    val key = ref.stripPrefix("lake.").toLowerCase(java.util.Locale.ROOT)
+    val entry = lake.get(key)
+    require(entry != null, s"unknown lake table $ref")
+    entry._2.getOrElse("path",
+      throw new IllegalStateException(s"lake table $ref has no path"))
+  }
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.Namespace),
+      s"procedures live in the `system` namespace (got $ident)")
+    GraftProcedures.load(ident.name(), tablePath)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
+    else GraftProcedures.Names
+      .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
   private val lake = new ConcurrentHashMap[String, (StructType, Map[String, String])]()
   private var warehouse: Option[java.nio.file.Path] = None
 
@@ -1426,15 +1580,100 @@ class GraftCatalog extends TableCatalog {
     if (entry == null)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val (schema, props) = entry
-    val widened = changes.foldLeft(schema) {
-      case (s, add: TableChange.AddColumn)
+    val rootP = props.get("path").map(java.nio.file.Paths.get(_))
+    def ledger: Seq[String] = rootP
+      .filter(r => java.nio.file.Files.exists(r.resolve("manifest.json")))
+      .map(ManifestSink.ledgerLines).getOrElse(Seq.empty)
+    def hasManifest: Boolean = rootP.exists(r =>
+      java.nio.file.Files.exists(r.resolve("manifest.json")))
+    /** rename a column inside the layout-option CSVs (partitionBy etc.). */
+    def renameInProps(ps: Map[String, String], from: String,
+        to: String): Map[String, String] =
+      ps.map { case (k, v) =>
+        if (Seq("partitionBy", "clusterBy", "orderBy", "bloomFor").contains(k))
+          k -> v.split(",").iterator.map(_.trim)
+            .map(c => if (c == from) to else c).mkString(",")
+        else k -> v
+      }
+    val (evolved, newProps) = changes.foldLeft((schema, props)) {
+      case ((s, p), add: TableChange.AddColumn)
           if add.fieldNames().length == 1 && add.isNullable =>
-        StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true))
+        val name = add.fieldNames()(0)
+        // RESURRECTION GUARD (r17 evolution): a prior or dropped name
+        // may still hold stale cells inside committed files
+        if (hasManifest) ManifestEvolution.requireUnreserved(name, s, ledger)
+        else require(!s.fieldNames.contains(name), s"column $name already exists")
+        (StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true)), p)
+
+      // RENAME COLUMN (r17 evolution): metadata-only — the manifest
+      // gains a `#rn:` ledger line; committed files keep their written
+      // names and every reader resolves through the alias chain.
+      case ((s, p), rn: TableChange.RenameColumn)
+          if rn.fieldNames().length == 1 =>
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(s.fieldNames.contains(from),
+          s"cannot rename missing column $from")
+        if (hasManifest) {
+          ManifestEvolution.requireUnreserved(to, s, ledger)
+          val newSchema = StructType(s.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          ManifestSink.publishEvolution(rootP.get, newSchema,
+            ManifestEvolution.renameLine(from, to))
+          (newSchema, renameInProps(p, from, to))
+        } else {
+          require(!s.fieldNames.contains(to), s"column $to already exists")
+          (StructType(s.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)),
+            renameInProps(p, from, to))
+        }
+
+      // DROP COLUMN (r17 evolution): metadata-only schema shrink; the
+      // name stays reserved (`#dc:` line) until a rewrite clears it.
+      case ((s, p), del: TableChange.DeleteColumn)
+          if del.fieldNames().length == 1 =>
+        val colName = del.fieldNames()(0)
+        if (!s.fieldNames.contains(colName)) {
+          require(del.ifExists(), s"cannot drop missing column $colName")
+          (s, p)
+        } else {
+          Seq("partitionBy", "clusterBy", "orderBy").foreach { k =>
+            require(!p.get(k).exists(_.split(",").map(_.trim).contains(colName)),
+              s"cannot drop $colName: it is referenced by the table's $k " +
+                "layout — recreate or compact the table with a new layout first")
+          }
+          if (hasManifest) {
+            // a live tombstone referencing the column could no longer be
+            // evaluated — compact (folding the deletes), then drop
+            val led = ledger
+            val p2c = ManifestEvolution.priorToCurrent(led)
+            val tombRefs = ManifestDeletes.of(led).map(t =>
+              ManifestEvolution.remapFilter(t.filter, p2c))
+              .flatMap(_.references).toSet
+            require(!tombRefs.contains(colName),
+              s"cannot drop $colName: a live MoR tombstone references it — " +
+                "compact the table (folding the deletes) first")
+            val newSchema = StructType(s.fields.filterNot(_.name == colName))
+            ManifestSink.publishEvolution(rootP.get, newSchema,
+              ManifestEvolution.dropLine(colName))
+            (newSchema,
+              // bloomFor is an optimization: silently shed the column
+              p.map { case (k, v) =>
+                if (k == "bloomFor")
+                  k -> v.split(",").iterator.map(_.trim)
+                    .filterNot(_ == colName).mkString(",")
+                else k -> v
+              }.filterNot { case (k, v) => k == "bloomFor" && v.isEmpty })
+          } else
+            (StructType(s.fields.filterNot(_.name == colName)), p)
+        }
+
       case (_, other) => throw new UnsupportedOperationException(
-        s"only top-level nullable ADD COLUMN is supported (got $other)")
+        s"unsupported ALTER TABLE change $other (supported: top-level " +
+          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
     }
-    lake.put(key, (widened, props))
+    lake.put(key, (evolved, newProps))
     persist()
     loadTable(ident) // same full-option construction as any other load
   }

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL STORED PROCEDURES (r17): the lake's maintenance operations as a
+  * first-class `CALL` surface through Spark 4's `ProcedureCatalog` API
+  * (the Iceberg `CALL cat.system.rewrite_data_files` shape) — an
+  * operator no longer needs the Scala helpers to run maintenance:
+  *
+  *   CALL graft_cat.system.compact(table => 'cust', target_files => 2)
+  *   CALL graft_cat.system.vacuum(table => 'cust', retain_snapshots => 3)
+  *   CALL graft_cat.system.snapshots(table => 'cust')
+  *
+  * Each procedure binds its typed parameter list (positional or named
+  * args, literal defaults), executes through the SAME engine helpers
+  * every other surface uses (compact / vacuum / snapshotTimestamps —
+  * CAS-protected, commit-locked), and returns its summary as a
+  * driver-local result set ([[LocalScan]]). Procedures are
+  * NON-deterministic by declaration: each CALL re-executes.
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "snapshots")
+
+  /** Build the named procedure; `pathOf` resolves a table name to its
+    * lake root via the owning catalog.
+    */
+  def load(name: String, pathOf: String => String): UnboundProcedure =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => new CompactProcedure(pathOf)
+      case "vacuum" => new VacuumProcedure(pathOf)
+      case "snapshots" => new SnapshotsProcedure(pathOf)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other — available: ${Names.mkString(", ")}")
+    }
+
+  private def param(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row (or N-row) driver-local result set. */
+  private class ResultScan(schema: StructType, data: Seq[Seq[Any]])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data.map(vals =>
+      InternalRow.fromSeq(vals.map {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      })).toArray
+    override def description(): String = s"GraftProcedureResult(${schema.sql})"
+  }
+
+  private def str(input: InternalRow, i: Int): String = {
+    require(!input.isNullAt(i), s"procedure argument $i must not be null")
+    input.getUTF8String(i).toString
+  }
+
+  private abstract class GraftProcedure(pathOf: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def root(input: InternalRow): String = pathOf(str(input, 0))
+    protected def one(schema: StructType, vals: Any*): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](
+        new ResultScan(schema, Seq(vals.toSeq))).iterator()
+  }
+
+  /** `compact(table, target_files=1, partition_by='', order_by='')` —
+    * folds MoR deletes, materializes schema evolution, re-clusters; the
+    * summary row reports the file counts and the published generation.
+    */
+  private class CompactProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the table's data files (folds deletes, materializes " +
+        "renames, re-clusters); summary: files before/after + generation"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target_files", IntegerType, Some("1")),
+      param("partition_by", StringType, Some("''")),
+      param("order_by", StringType, Some("''")))
+    private val out = StructType.fromDDL(
+      "files_before BIGINT, files_after BIGINT, generation BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = root(input)
+      val target = if (input.isNullAt(1)) 1 else input.getInt(1)
+      def cols(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Seq.empty
+        else input.getUTF8String(i).toString.split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      val spark = SparkSession.active
+      val before = ManifestSink.committedFiles(r).length.toLong
+      ManifestSink.compact(spark, r, target, cols(2), cols(3))
+      val after = ManifestSink.committedFiles(r).length.toLong
+      one(out, before, after,
+        ManifestSink.snapshots(r).lastOption.getOrElse(0L))
+    }
+  }
+
+  /** `vacuum(table, retain_snapshots=1)` — expire old snapshots and
+    * delete unreferenced data files; returns the deleted-file count.
+    */
+  private class VacuumProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "expire snapshots past the retention bound and delete orphaned files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("retain_snapshots", IntegerType, Some("1")))
+    private val out = StructType.fromDDL("deleted_files BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val retain = if (input.isNullAt(1)) 1 else input.getInt(1)
+      one(out, ManifestSink.vacuum(root(input), retain).toLong)
+    }
+  }
+
+  /** `snapshots(table)` — the retained history: one row per generation
+    * with its commit instant (the TIMESTAMP AS OF resolution ledger).
+    */
+  private class SnapshotsProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "snapshots"
+    override def description(): String =
+      "list retained snapshot generations and their commit instants"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType))
+    private val out = StructType.fromDDL(
+      "generation BIGINT, commit_millis BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rows = ManifestSink.snapshotTimestamps(root(input))
+        .map { case (g, ts) => Seq[Any](g, ts) }
+      java.util.List.of[Scan](
+        new ResultScan(out, rows)).iterator()
+    }
+  }
+}

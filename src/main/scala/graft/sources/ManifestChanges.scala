@@ -64,6 +64,16 @@ object ManifestChanges {
     val schemaGen = gens.lastOption.getOrElse(retained.lastOption.getOrElse(0L))
     require(schemaGen > 0L, s"no retained snapshots at $root")
     val schema = StructType.fromDDL(linesAt(schemaGen).head)
+    // evolution ledger at the feed's schema vintage: prior-named cells
+    // and pre-rename tombstone references resolve into that schema's
+    // column space (names are never reused, so the cumulative map is
+    // correct for every older window too)
+    val evoTail = linesAt(schemaGen).tail
+    val p2c = ManifestEvolution.priorToCurrent(evoTail)
+    val aliases = ManifestEvolution.currentToPriors(evoTail)
+    def remapped(tail: Seq[String], names: Seq[String]) =
+      ManifestDeletes.byFile(ManifestDeletes.of(tail).map(t =>
+        t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names)
 
     def dataPath(n: String): String = rootP.resolve("data").resolve(n).toString
     def withType(df: DataFrame, t: String, g: Long): DataFrame =
@@ -82,19 +92,19 @@ object ManifestChanges {
       val removed = (prevNames.toSet -- curNames).toSeq.sorted
       val carried = prevNames.filter(curNames.toSet)
 
-      val prevDel = ManifestDeletes.byFile(ManifestDeletes.of(prevTail), prevNames)
-      val curDel = ManifestDeletes.byFile(ManifestDeletes.of(curTail), curNames)
+      val prevDel = remapped(prevTail, prevNames)
+      val curDel = remapped(curTail, curNames)
       val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
       val curPos = ManifestSink.posDeletesOf(rootP, curTail)
 
       // INSERTS: the added files' rows as visible at g
       if (added.nonEmpty)
         parts += withType(ManifestSink.readDataFiles(spark, schema,
-          added.map(dataPath), curDel, curPos), "insert", g)
+          added.map(dataPath), curDel, curPos, aliases), "insert", g)
       // DELETES (a): removed files' rows as visible at the window start
       if (removed.nonEmpty)
         parts += withType(ManifestSink.readDataFiles(spark, schema,
-          removed.map(dataPath), prevDel, prevPos), "delete", g)
+          removed.map(dataPath), prevDel, prevPos, aliases), "delete", g)
 
       // DELETES (b), PER FILE: carried files with deletes new in g emit
       // the rows those deletes killed
@@ -116,14 +126,28 @@ object ManifestChanges {
               val oldVis = ManifestSink.readDataFiles(spark, schema,
                 Seq(dataPath(n)),
                 prevDel.view.filterKeys(_ == n).toMap,
-                prevPos.view.filterKeys(_ == n).toMap)
+                prevPos.view.filterKeys(_ == n).toMap, aliases)
               oldVis.filter(coalesce(predCond.get, lit(false)))
             } else {
               // positional (parquet-only payload by construction): one
               // provenance read; killed = newly-deleted position OR new
               // predicate TRUE, deduped per PHYSICAL row
-              val raw = spark.read.schema(schema).parquet(dataPath(n))
+              val twins = schema.fields.flatMap(f =>
+                aliases.getOrElse(f.name, Seq.empty).map(pn =>
+                  org.apache.spark.sql.types.StructField(pn, f.dataType,
+                    nullable = true)))
+              val raw0 = spark.read
+                .schema(if (twins.isEmpty) schema
+                        else StructType(schema.fields ++ twins))
+                .parquet(dataPath(n))
                 .withColumn("__p", col("_metadata.row_index"))
+              val raw =
+                if (twins.isEmpty) raw0
+                else raw0.select((schema.fields.toIndexedSeq.map { f =>
+                  val chain = aliases.getOrElse(f.name, Seq.empty)
+                  if (chain.isEmpty) col(f.name)
+                  else coalesce((f.name +: chain).map(col): _*).as(f.name)
+                } :+ col("__p")): _*)
               val oldVis = {
                 val pv = prevPos.getOrElse(n, Seq.empty)
                 val base = if (pv.isEmpty) raw else {

@@ -121,19 +121,34 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
   private lazy val rawTail: Seq[String] =
     if (rawLines.isEmpty) Seq.empty else rawLines.tail
 
+  /** Evolution ledger (r17): prior→live name map and its inverse.
+    * Ledger lines live at LIST level (published there, carried there,
+    * never folded into segments), so evolution detection costs no
+    * segment resolution.
+    */
+  private lazy val p2c: Map[String, String] =
+    ManifestEvolution.priorToCurrent(rawTail)
+  private[sources] lazy val aliases: Map[String, Seq[String]] =
+    ManifestEvolution.currentToPriors(rawTail)
+
   private lazy val entries: Seq[Ent] = rawTail.flatMap { l =>
     if (l.startsWith(ManifestSink.SegPrefix)) {
       val sum = ManifestSink.segRefSummary(l)
       Some(SegEnt(ManifestSink.segRefName(l),
-        sum.map(_._1).getOrElse(-1L), sum.map(_._2)))
+        sum.map(_._1).getOrElse(-1L),
+        sum.map(s => ManifestEvolution.remapStats(s._2, p2c))))
     } else if (!l.startsWith("#")) Some(FileEnt(l))
     else None
   }
-  /** Stats of files named INLINE in the list (pre-segment manifests). */
+  /** Stats of files named INLINE in the list (pre-segment manifests) —
+    * keys remapped into the live column space (r17 evolution).
+    */
   private lazy val inlineStats: Map[String, ManifestMeta.FileStats] =
-    ManifestMeta.statsOf(rawTail)
+    ManifestMeta.statsOf(rawTail).map { case (n, fs) =>
+      n -> ManifestEvolution.remapStats(fs, p2c) }
   private lazy val tombstones: Seq[ManifestDeletes.Tombstone] =
-    ManifestDeletes.of(rawTail)
+    ManifestDeletes.of(rawTail).map(t =>
+      t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c)))
   private lazy val posDels: Seq[ManifestPosDeletes.PosDelete] =
     ManifestPosDeletes.of(rawTail)
   /** ANY standing row-removal metadata (predicate tombstones or
@@ -150,7 +165,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
       case FileEnt(n) => Seq((n, inlineStats.get(n)))
       case SegEnt(n, _, _) =>
         val (names, st) = ManifestSink.segmentData(Paths.get(path), n)
-        names.map(x => (x, st.get(x)))
+        names.map(x => (x,
+          st.get(x).map(ManifestEvolution.remapStats(_, p2c))))
     }
 
   /** FULL resolution — only the paths that genuinely need every file
@@ -541,7 +557,8 @@ class ManifestScanBuilder(path: String, tableSchema: StructType,
         dataFilters = if (rowLevelMode) Seq.empty else preds.toSeq,
         posDeletes = ManifestPosDeletes.byFile(posDels, limited.map(_._1))
           .map { case (n, dels) =>
-            n -> dels.map(d => dataDir.resolve(d).toString) })
+            n -> dels.map(d => dataDir.resolve(d).toString) },
+        aliases = aliases)
       onBuilt(scan)
       scan
   }
@@ -586,7 +603,11 @@ class ManifestScan(path: String,
     splitConf: SplitConf = SplitConf.Default,
     deletes: Map[String, Seq[Filter]] = Map.empty,
     dataFilters: Seq[Filter] = Seq.empty,
-    posDeletes: Map[String, Seq[String]] = Map.empty)
+    posDeletes: Map[String, Seq[String]] = Map.empty,
+    /** live column → prior names (r17 evolution): committed files may
+      * store a renamed column under a prior name; readers resolve.
+      */
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -597,7 +618,7 @@ class ManifestScan(path: String,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestSnapshotStream(path, tableSchema, required)
+    new ManifestSnapshotStream(path, tableSchema, required, aliases)
 
   private def dataPath(n: String): String =
     Paths.get(path).resolve("data").resolve(n).toString
@@ -815,10 +836,14 @@ class ManifestScan(path: String,
         System.getProperty("graft.lake.columnar", "true")) &&
       files.nonEmpty && files.forall(_._1.endsWith(".parquet")) &&
       deletes.isEmpty && posDeletes.isEmpty &&
+      // a live rename demotes to the row path (its per-file phys-name
+      // resolution is alias-aware); compaction materializes live names
+      // and restores the columnar read (r17 evolution)
+      aliases.isEmpty &&
       !required.fieldNames.contains("_pos") &&
       required.fields.exists(f => f.name != "_file" && f.name != "_epoch")
     new ManifestReaderFactory(tableSchema, required, deletes, columnarOk,
-      dataFilters, posDeletes)
+      dataFilters, posDeletes, aliases)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -866,7 +891,8 @@ case class ManifestKeyedFilePartition(file: String, key: InternalRow)
   * imposes (a pruned snapshot fails the read LOUDLY, never silently).
   */
 class ManifestSnapshotStream(path: String, tableSchema: StructType,
-    required: StructType)
+    required: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -880,6 +906,12 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
     SnapshotOffset(gens.lastOption.getOrElse(0L))
 
   private def gens: Seq[Long] = ManifestSink.snapshots(path)
+
+  // evolution lines visible at construction are KNOWN — `aliases`
+  // covers them for every committed file; only a NEWER line is a
+  // mid-feed evolution (r17)
+  private val knownEvo: Set[String] = ManifestSink
+    .ledgerLines(Paths.get(path)).filter(ManifestEvolution.isLine).toSet
 
   /** Bare file NAMES of snapshot `gen` (empty for gen 0 = before the
     * first commit).
@@ -935,6 +967,17 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
         "the snapshot feed requires append-only history; compact the " +
         "table (folding the deletes) and restart the feed from the " +
         "current snapshot")
+    // SCHEMA EVOLUTION mid-feed (r17): this query's schema and alias
+    // map were fixed at start — a rename/drop landing inside the
+    // consumed range would silently misresolve columns. Refuse loudly;
+    // a restart re-resolves the live schema (old files then read
+    // through the alias chain).
+    val newEvo = endLines.filter(ManifestEvolution.isLine).toSet --
+      startLines.filter(ManifestEvolution.isLine) -- knownEvo
+    if (newEvo.nonEmpty) throw new IllegalStateException(
+      s"schema evolution in consumed range ($s, $e] of $path: a column " +
+        "rename/drop was published mid-feed — restart the streaming " +
+        "query so it re-resolves the live schema")
     // ENFORCED append-only contract (VERDICT r15 What's wrong #1): the
     // feed's delta is file ADDITIONS, so a replace-shaped snapshot
     // (compaction, INSERT OVERWRITE, DELETE) inside the consumed range
@@ -955,7 +998,7 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(tableSchema, required)
+    new ManifestReaderFactory(tableSchema, required, aliases = aliases)
 }
 
 case class SnapshotOffset(gen: Long)
@@ -970,7 +1013,9 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
     /** data-file NAME → full paths of the position-delete files that
       * scope it (r17 MoR row-level DML).
       */
-    posDeletes: Map[String, Seq[String]] = Map.empty)
+    posDeletes: Map[String, Seq[String]] = Map.empty,
+    /** live column → prior names (r17 evolution). */
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   private def deletesFor(file: String): Seq[Filter] =
     if (deletes.isEmpty) Seq.empty
@@ -985,9 +1030,9 @@ class ManifestReaderFactory(tableSchema: StructType, required: StructType,
   private def fileReader(file: String): PartitionReader[InternalRow] =
     if (file.endsWith(".parquet"))
       new ManifestParquetReader(file, tableSchema, required, deletesFor(file),
-        dataFilters, posFor(file))
+        dataFilters, posFor(file), aliases)
     else new ManifestJsonReader(file, tableSchema, required, deletesFor(file),
-      posFor(file))
+      posFor(file), aliases)
 
   private def filesOf(p: InputPartition): Seq[String] = p match {
     case ManifestFilePartition(f) => Seq(f)
@@ -1178,7 +1223,8 @@ private[sources] trait ManifestRowProvenance {
   */
 class ManifestJsonReader(val file: String, tableSchema: StructType,
     required: StructType, deletes: Seq[Filter] = Seq.empty,
-    posDeletes: java.util.HashSet[java.lang.Long] = null)
+    posDeletes: java.util.HashSet[java.lang.Long] = null,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow]
     with ManifestRowProvenance {
 
@@ -1186,6 +1232,10 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
     Paths.get(file), StandardCharsets.UTF_8)
   private val types: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
+  // prior file key → live column name (r17 evolution): cells parse into
+  // the live space, so projection AND tombstone eval see live names
+  private val keyToCurrent: Map[String, String] =
+    aliases.iterator.flatMap { case (c, ps) => ps.map(_ -> c) }.toMap
   private var current: InternalRow = _
   // PHYSICAL row position within the file (the `_pos` metadata column
   // and the position-delete key, r17): counts every stored row — rows
@@ -1226,9 +1276,14 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
     var i = 1 // past '{'
     while (i < line.length && line.charAt(i) != '}') {
       if (line.charAt(i) == ',') i += 1
-      // key: always a simple quoted field name (writer-controlled)
+      // key: always a simple quoted field name (writer-controlled),
+      // remapped prior→live when the table renamed the column after
+      // this file was committed
       val keyEnd = line.indexOf('"', i + 1)
-      val key = line.substring(i + 1, keyEnd)
+      val rawKey = line.substring(i + 1, keyEnd)
+      val key =
+        if (keyToCurrent.isEmpty) rawKey
+        else keyToCurrent.getOrElse(rawKey, rawKey)
       i = keyEnd + 2 // past closing quote and ':'
       line.charAt(i) match {
         case '"' =>
@@ -1278,7 +1333,8 @@ class ManifestJsonReader(val file: String, tableSchema: StructType,
 class ManifestParquetReader(val file: String, tableSchema: StructType,
     required: StructType, deletes: Seq[Filter] = Seq.empty,
     dataFilters: Seq[Filter] = Seq.empty,
-    posDeletes: java.util.HashSet[java.lang.Long] = null)
+    posDeletes: java.util.HashSet[java.lang.Long] = null,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow]
     with ManifestRowProvenance {
   import org.apache.parquet.hadoop.ParquetReader
@@ -1298,27 +1354,48 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   // read — the builder below already re-reads the footer internally.
   private val fileFields: Set[String] =
     ManifestParquetReader.fieldsOf(file, hadoopConf)
+  /** A live column's PHYSICAL name inside THIS file: itself, or a prior
+    * name of its rename chain (r17 evolution) — None when the file
+    * predates the column entirely (reads null).
+    */
+  private def physOf(name: String): Option[String] =
+    if (fileFields.contains(name)) Some(name)
+    else aliases.getOrElse(name, Seq.empty).find(fileFields.contains)
   private val deleteCols: Set[String] =
     if (deletes.isEmpty) Set.empty
-    else ManifestDeletes.referencedCols(deletes).intersect(fileFields)
-  private val projected: Array[org.apache.spark.sql.types.StructField] = {
-    val dataCols = required.fields.filter(f =>
-      f.name != "_file" && f.name != "_epoch" && f.name != "_pos" &&
-        fileFields.contains(f.name))
-    val names = dataCols.map(_.name).toSet
-    val extra = tableSchema.fields.filter(f =>
-      deleteCols.contains(f.name) && !names.contains(f.name))
+    else ManifestDeletes.referencedCols(deletes).filter(physOf(_).isDefined)
+  /** (physical field for the parquet read schema, LIVE name the row
+    * assembly and tombstone eval resolve by).
+    */
+  private val projected: Array[(org.apache.spark.sql.types.StructField, String)] = {
+    val dataCols = required.fields.flatMap(f =>
+      if (f.name == "_file" || f.name == "_epoch" || f.name == "_pos") None
+      else physOf(f.name).map(p =>
+        (org.apache.spark.sql.types.StructField(p, f.dataType, f.nullable),
+          f.name)))
+    val names = dataCols.map(_._2).toSet
+    val extra = tableSchema.fields.flatMap(f =>
+      if (deleteCols.contains(f.name) && !names.contains(f.name))
+        physOf(f.name).map(p =>
+          (org.apache.spark.sql.types.StructField(p, f.dataType, f.nullable),
+            f.name))
+      else None)
     val all = dataCols ++ extra
     // an empty projection is invalid parquet: drive row iteration off
     // the file's narrowest declared column instead
     if (all.nonEmpty) all
-    else tableSchema.fields.filter(f => fileFields.contains(f.name)).take(1)
+    else tableSchema.fields.flatMap(f => physOf(f.name).map(p =>
+      (org.apache.spark.sql.types.StructField(p, f.dataType, f.nullable),
+        f.name))).take(1)
   }
-  ManifestRead.lastParquetProjection.set(projected.map(_.name).toSeq)
+  /** live name → physical name, for decoded columns of this file. */
+  private val physName: Map[String, String] =
+    projected.iterator.map { case (pf, cur) => cur -> pf.name }.toMap
+  ManifestRead.lastParquetProjection.set(projected.map(_._1.name).toSeq)
 
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
     hadoopConf.set(ReadSupport.PARQUET_READ_SCHEMA,
-      ManifestParquet.messageType(StructType(projected)).toString)
+      ManifestParquet.messageType(StructType(projected.map(_._1))).toString)
     val b = ParquetReader.builder(new GroupReadSupport(), hadoopPath)
       .withConf(hadoopConf)
     // ROW-GROUP + record-level pushdown on the row path too (r17):
@@ -1332,10 +1409,16 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
     // the position counter from storage order.
     val posSensitive = posDeletes != null ||
       required.fieldNames.contains("_pos")
-    val projNames = projected.map(_.name).toSet
+    // filters reference LIVE names; parquet-mr needs PHYSICAL ones. A
+    // filter is pushable here only when every referenced column decodes
+    // from this file UNDER ITS OWN live name (phys == live) — aliased
+    // columns just skip parquet-level pruning for this file (sound:
+    // pruning only, the filter stays residual or exactly-kept above)
+    val pushableNames = projected.iterator
+      .filter { case (pf, cur) => pf.name == cur }.map(_._2).toSet
     val filterable =
       if (posSensitive) Seq.empty
-      else dataFilters.filter(_.references.forall(projNames.contains))
+      else dataFilters.filter(_.references.forall(pushableNames.contains))
     val types0 = tableSchema.fields.map(f => f.name -> f.dataType).toMap
     ManifestParquetFilters.predicate(filterable, types0, fileFields) match {
       case Some(pred) => b.withFilter(
@@ -1347,17 +1430,21 @@ class ManifestParquetReader(val file: String, tableSchema: StructType,
   private val types: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
 
-  private def cell(g: org.apache.parquet.example.data.Group, name: String): Any =
-    if (!fileFields.contains(name)) null // post-commit ADD COLUMN
-    else if (g.getFieldRepetitionCount(name) == 0) null
+  private def cell(g: org.apache.parquet.example.data.Group, name: String): Any = {
+    // resolve the LIVE name to this file's physical field; a file that
+    // predates the column (post-commit ADD COLUMN) reads null
+    val phys = physName.getOrElse(name, name)
+    if (!fileFields.contains(phys)) null
+    else if (g.getFieldRepetitionCount(phys) == 0) null
     else types(name) match {
-      case LongType => g.getLong(name, 0)
-      case IntegerType => g.getInteger(name, 0)
-      case DoubleType => g.getDouble(name, 0)
-      case StringType => UTF8String.fromString(g.getString(name, 0))
+      case LongType => g.getLong(phys, 0)
+      case IntegerType => g.getInteger(phys, 0)
+      case DoubleType => g.getDouble(phys, 0)
+      case StringType => UTF8String.fromString(g.getString(phys, 0))
       case other => throw new IllegalArgumentException(
         s"unsupported manifest read type $other")
     }
+  }
 
   private var current: org.apache.parquet.example.data.Group = _
   // PHYSICAL position within the file — valid because parquet-level

@@ -401,8 +401,10 @@ object ManifestSink {
     resolvedManifestLines(root, root.resolve("manifest.json")) match {
       case None => (Seq.empty, Map.empty)
       case Some(lines) =>
+        val p2c = ManifestEvolution.priorToCurrent(lines.tail)
         (lines.tail.filterNot(_.startsWith("#")),
-          ManifestMeta.statsOf(lines.tail))
+          ManifestMeta.statsOf(lines.tail).map { case (n, fs) =>
+            n -> ManifestEvolution.remapStats(fs, p2c) })
     }
 
   /** Raw manifest lines: (schema DDL, committed file NAMES). One read =
@@ -429,8 +431,15 @@ object ManifestSink {
     * against. Files without a stats line simply aren't in the map (and
     * are never skipped).
     */
-  def fileStats(root: String): Map[String, ManifestMeta.FileStats] =
-    ManifestMeta.statsOf(ledgerLines(Paths.get(root)))
+  def fileStats(root: String): Map[String, ManifestMeta.FileStats] = {
+    val ledger = ledgerLines(Paths.get(root))
+    // stats were written under then-current names: remap into the live
+    // column space so purity/bloom/layout/key-bound consumers keep
+    // working across renames (r17 evolution)
+    val p2c = ManifestEvolution.priorToCurrent(ledger)
+    ManifestMeta.statsOf(ledger).map { case (n, fs) =>
+      n -> ManifestEvolution.remapStats(fs, p2c) }
+  }
 
   /** Read a specific committed file set (absolute paths), dispatching
     * per file on payload format — `.parquet` files go through Spark's
@@ -439,14 +448,35 @@ object ManifestSink {
     * switch mid-history rewrites nothing).
     */
   private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
-      schema: StructType, files: Seq[String]): org.apache.spark.sql.DataFrame = {
+      schema: StructType, files: Seq[String],
+      aliases: Map[String, Seq[String]] = Map.empty): org.apache.spark.sql.DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // RENAMED COLUMNS (r17 evolution): Spark's by-name readers would
+    // read null for a live name absent from a pre-rename file, so the
+    // read schema widens with PRIOR-NAMED TWINS and each aliased column
+    // coalesces over its chain — a file holds at most ONE name of a
+    // chain (reuse is refused), so coalesce picks the stored cell.
+    val twins = schema.fields.flatMap(f =>
+      aliases.getOrElse(f.name, Seq.empty).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)))
+    val readSchema = if (twins.isEmpty) schema else StructType(schema.fields ++ twins)
+    def resolve(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (twins.isEmpty) df
+      else df.select(schema.fields.toIndexedSeq.map { f =>
+        val chain = aliases.getOrElse(f.name, Seq.empty)
+        if (chain.isEmpty) org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions
+          .coalesce((f.name +: chain).map(org.apache.spark.sql.functions.col): _*)
+          .as(f.name)
+      }: _*)
     val (pq, js) = files.partition(_.endsWith(".parquet"))
     val parts = Seq(
-      if (pq.nonEmpty) Some(spark.read.schema(schema).parquet(pq: _*)) else None,
-      if (js.nonEmpty) Some(spark.read.schema(schema).json(js: _*)) else None
+      if (pq.nonEmpty) Some(resolve(spark.read.schema(readSchema).parquet(pq: _*)))
+      else None,
+      if (js.nonEmpty) Some(resolve(spark.read.schema(readSchema).json(js: _*)))
+      else None
     ).flatten
     parts.reduce(_.unionByName(_))
   }
@@ -463,12 +493,13 @@ object ManifestSink {
   private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, files: Seq[String],
       deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]],
-      posDels: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
+      posDels: Map[String, Seq[String]],
+      aliases: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    if (posDels.isEmpty) return readDataFiles(spark, schema, files, deletes)
+    if (posDels.isEmpty) return readDataFiles(spark, schema, files, deletes, aliases)
     def nameOf(f: String): String = Paths.get(f).getFileName.toString
     val (aff, clean) = files.partition(f => posDels.contains(nameOf(f)))
-    val cleanDf = readDataFiles(spark, schema, clean, deletes)
+    val cleanDf = readDataFiles(spark, schema, clean, deletes, aliases)
     if (aff.isEmpty) return cleanDf
     require(aff.forall(_.endsWith(".parquet")),
       s"position deletes require a parquet payload; offending files: " +
@@ -477,9 +508,22 @@ object ManifestSink {
     val dels = spark.read.schema(ManifestPosDeletes.DeleteSchema)
       .parquet(delPaths: _*)
       .withColumnRenamed("f", "__df").withColumnRenamed("p", "__dp")
-    val raw = spark.read.schema(schema).parquet(aff: _*)
+    // renamed-column twins resolve the same way as the plain overload;
+    // the provenance columns ride alongside until the join completes
+    val twins = schema.fields.flatMap(f =>
+      aliases.getOrElse(f.name, Seq.empty).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)))
+    val readSchema = if (twins.isEmpty) schema else StructType(schema.fields ++ twins)
+    val raw0 = spark.read.schema(readSchema).parquet(aff: _*)
       .withColumn("__f", col("_metadata.file_name"))
       .withColumn("__p", col("_metadata.row_index"))
+    val raw =
+      if (twins.isEmpty) raw0
+      else raw0.select((schema.fields.toIndexedSeq.map { f =>
+        val chain = aliases.getOrElse(f.name, Seq.empty)
+        if (chain.isEmpty) col(f.name)
+        else coalesce((f.name +: chain).map(col): _*).as(f.name)
+      } ++ Seq(col("__f"), col("__p"))): _*)
     val posKept = raw.join(dels,
       raw("__f") === dels("__df") && raw("__p") === dels("__dp"), "left_anti")
     // predicate tombstones scoped to the affected files compose here:
@@ -509,7 +553,8 @@ object ManifestSink {
     */
   private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, files: Seq[String],
-      deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]]):
+      deletes: Map[String, Seq[org.apache.spark.sql.sources.Filter]],
+      aliases: Map[String, Seq[String]]):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     // the empty-file guard must fire BEFORE grouping: an insert-only
@@ -517,11 +562,11 @@ object ManifestSink {
     // candidate files but a non-empty deletes map, and reducing zero
     // groups would throw (code-review r16)
     if (deletes.isEmpty || files.isEmpty)
-      return readDataFiles(spark, schema, files)
+      return readDataFiles(spark, schema, files, aliases)
     val groups = files.groupBy(f =>
       deletes.getOrElse(Paths.get(f).getFileName.toString, Seq.empty))
     groups.iterator.map { case (preds, fs) =>
-      val base = readDataFiles(spark, schema, fs)
+      val base = readDataFiles(spark, schema, fs, aliases)
       if (preds.isEmpty) base
       else {
         // a tombstone is SEMANTICS, not an optimization (ADVICE r16):
@@ -539,14 +584,39 @@ object ManifestSink {
     }.reduce(_.unionByName(_))
   }
 
-  /** Tombstones applicable to the live manifest (empty when none). */
+  /** Tombstones applicable to the live manifest (empty when none) —
+    * predicate references remapped into the live column space (r17
+    * evolution: a tombstone written before a RENAME names the prior
+    * column).
+    */
   private[sources] def liveDeletes(root: Path):
       Map[String, Seq[org.apache.spark.sql.sources.Filter]] = {
     val lines = resolvedManifestLines(root, root.resolve("manifest.json"))
       .getOrElse(return Map.empty)
     val ts = ManifestDeletes.of(lines.tail)
     if (ts.isEmpty) Map.empty
-    else ManifestDeletes.byFile(ts, lines.tail.filterNot(_.startsWith("#")))
+    else {
+      val p2c = ManifestEvolution.priorToCurrent(lines.tail)
+      ManifestDeletes.byFile(
+        ts.map(t => t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))),
+        lines.tail.filterNot(_.startsWith("#")))
+    }
+  }
+
+  /** live column → its prior names, from the live evolution ledger. */
+  private[sources] def liveAliases(root: Path): Map[String, Seq[String]] =
+    ManifestEvolution.currentToPriors(ledgerLines(root))
+
+  /** Publish a metadata-only schema-evolution commit: the new DDL, the
+    * carried list tail, and the evolution ledger line — a numbered
+    * snapshot like any other commit (time travel before it sees the old
+    * names). Caller holds no lock; this takes the commit lock itself.
+    */
+  private[sources] def publishEvolution(root: Path, newSchema: StructType,
+      line: String): Unit = withCommitLock(root) {
+    require(Files.exists(root.resolve("manifest.json")),
+      s"no manifest at $root — nothing to evolve")
+    publish(root, (newSchema.toDDL +: rawListLines(root)) :+ line)
   }
 
   /** Position deletes applicable to the live manifest: data-file name →
@@ -689,12 +759,15 @@ object ManifestSink {
     val schema = StructType.fromDDL(lines.head)
     val names = lines.tail.filterNot(_.startsWith("#"))
     val files = names.map(f => Paths.get(root).resolve("data").resolve(f).toString)
-    // a snapshot carries the tombstones AND position deletes published
-    // AT its generation — an as-of read before the MoR delete sees the
-    // rows, after it not
+    // a snapshot carries the tombstones, position deletes AND evolution
+    // ledger published AT its generation — an as-of read before a MoR
+    // delete sees the rows, before a RENAME sees the old names
+    val p2c = ManifestEvolution.priorToCurrent(lines.tail)
     readDataFiles(spark, schema, files,
-      ManifestDeletes.byFile(ManifestDeletes.of(lines.tail), names),
-      posDeletesOf(Paths.get(root), lines.tail))
+      ManifestDeletes.byFile(ManifestDeletes.of(lines.tail).map(t =>
+        t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names),
+      posDeletesOf(Paths.get(root), lines.tail),
+      ManifestEvolution.currentToPriors(lines.tail))
   }
 
   /** Epoch ids already published to the streaming manifest — parsed from
@@ -731,7 +804,7 @@ object ManifestSink {
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — write before reading"))
     readDataFiles(spark, schema, files, liveDeletes(Paths.get(root)),
-      livePosDeletes(Paths.get(root)))
+      livePosDeletes(Paths.get(root)), liveAliases(Paths.get(root)))
   }
 
   /** LAKE MAINTENANCE — manifest compaction (VERDICT r13 Next #4): the
@@ -777,10 +850,15 @@ object ManifestSink {
     // compaction is done when every file is partition-pure and every
     // partition value has exactly one file. Standing TOMBSTONES and
     // POSITION DELETES always force the rewrite — folding them into
-    // clean files is half of what compaction is FOR on a MoR table.
+    // clean files is half of what compaction is FOR on a MoR table —
+    // and so does a live EVOLUTION LEDGER (r17): materializing renamed/
+    // dropped columns under live names is what clears the ledger's
+    // name reservations and restores the columnar read path.
+    val evoLive = ledgerLines(rootP).exists(ManifestEvolution.isLine)
     if (partitionBy.isEmpty) {
-      if (files.size <= targetFiles && deletes.isEmpty && posDels.isEmpty) return
-    } else if (deletes.isEmpty && posDels.isEmpty) {
+      if (files.size <= targetFiles && deletes.isEmpty && posDels.isEmpty &&
+        !evoLive) return
+    } else if (deletes.isEmpty && posDels.isEmpty && !evoLive) {
       val stats = fileStats(root)
       val keys = names.map { n =>
         stats.get(n).flatMap { fs =>
@@ -804,7 +882,12 @@ object ManifestSink {
     // standing tombstones AND position deletes FOLD here: the rewrite
     // reads survivors only, and the replace commit publishes a
     // delete-free manifest (the delete files orphan, vacuum reclaims)
-    val df = readDataFiles(spark, schema, files, deletes, posDels)
+    // renamed columns MATERIALIZE here: the alias-aware read resolves
+    // prior-named cells into the live schema, the rewrite stores live
+    // names, and the replace commit drops the evolution ledger — a
+    // compaction clears every rename/drop reservation (spec-pinned)
+    val df = readDataFiles(spark, schema, files, deletes, posDels,
+      liveAliases(rootP))
     // format-preserving: an all-parquet table compacts to parquet
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
     // partition-preserving: the rewrite flows through the same clustered
@@ -942,7 +1025,7 @@ object ManifestSink {
     // standing MoR tombstones AND position deletes apply to the
     // candidate read — a merge must not resurrect deleted rows
     val survivors = readDataFiles(spark, schema, candPaths, liveDeletes(rootP),
-        livePosDeletes(rootP))
+        livePosDeletes(rootP), liveAliases(rootP))
       .join(
         broadcast(updates.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_anti")
@@ -1508,7 +1591,8 @@ class ManifestTable(path: String, schema: StructType,
     val blm = if (bloomFor.nonEmpty) bloomFor
               else ManifestSink.derivedBloomCols(names, stats)
     val w0 = ManifestSink.readDataFiles(spark, schema, candPaths,
-        ManifestSink.liveDeletes(rootP), ManifestSink.livePosDeletes(rootP))
+        ManifestSink.liveDeletes(rootP), ManifestSink.livePosDeletes(rootP),
+        ManifestSink.liveAliases(rootP))
       .filter(coalesce(not(cond), lit(true)))
       .write.format("graft.sources.ManifestSink")
       .mode("append").option("path", path)
@@ -1781,7 +1865,9 @@ class ManifestBatchWrite(path: String, schema: StructType,
         // critical section was resolving the manifest three times)
         val resolved = ManifestSink.resolveLines(root, rawPrior)
         val priorNames = resolved.filterNot(_.startsWith("#"))
+        val p2cEvo = ManifestEvolution.priorToCurrent(resolved)
         val stats = ManifestMeta.statsOf(resolved.filter(_.startsWith("#")))
+          .map { case (n, fs) => n -> ManifestEvolution.remapStats(fs, p2cEvo) }
         val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
         val cands = priorNames.filter(n =>
           stats.get(n).forall(fs => ManifestMeta.mayMatch(f, fs, types)))

@@ -162,10 +162,11 @@ class CatalogTableSpec extends AnyFunSuite {
     val gens = ManifestSink.snapshots(root)
     assert(ManifestSink.readSnapshot(spark, root, gens.head)
       .schema.fieldNames.toSeq == Seq("k"))
-    // drops and other shape changes are refused (they'd need a rewrite)
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat.lake.spec_e DROP COLUMN v")
-    }
+    // DROP COLUMN is supported since r17 (metadata-only, name reserved
+    // until a rewrite) — full coverage lives in SchemaEvolutionSpec
+    spark.sql("ALTER TABLE graft_cat.lake.spec_e DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM graft_cat.lake.spec_e")
+      .columns.toSeq == Seq("k"))
     spark.sql("DROP TABLE graft_cat.lake.spec_e")
   }
 

@@ -16,4 +16,8 @@ object LakeTestAccess {
   def rawListLines(root: Path): Seq[String] =
     ManifestSink.rawListLines(root)
   def segResolves: Long = ManifestSink.segResolves.get()
+  def liveAliases(root: Path): Map[String, Seq[String]] =
+    ManifestSink.liveAliases(root)
+  def ledgerLines(root: Path): Seq[String] =
+    ManifestSink.ledgerLines(root)
 }
