@@ -217,6 +217,78 @@ object GraftCatalog {
     // rows) must equal the live table exactly. This is the surface the
     // append-only snapshot stream hands off to when maintenance lands
     // mid-feed.
+    // METADATA TABLES (r17): `t$files` — the recorded per-file row
+    // counts must sum to the table's true cardinality (the stats tier
+    // and the data tier agree), composed in plain SQL over the
+    // inspection table (zero data files opened for the metadata side).
+    "q_lake_meta_files" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_metaf_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      Seq(0L, 1L, 2L).foreach { m =>
+        // one file per slice, so the $files cardinality is part of the
+        // oracle contract too
+        base.filter(col("c_custkey") % 3 === m).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .mode(if (m == 0L) "overwrite" else "append")
+          .option("path", tmp).option("format", "parquet").save()
+      }
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_metaf")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_metaf
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql(
+        """SELECT CAST(sum(row_count) AS BIGINT) AS total_rows,
+          |       CAST(count(*) AS BIGINT) AS data_files
+          |FROM graft_cat.lake.`cust_metaf$files`""".stripMargin)
+    }),
+
+    // MERGE with WHEN NOT MATCHED BY SOURCE (r17): the full three-arm
+    // merge — matched rows update, new keys insert, rows the source no
+    // longer references DELETE — planned by Spark's RewriteMergeIntoTable
+    // over the same row-level operation (the "sync table to source"
+    // idiom). The oracle is the source relation itself, algebraically.
+    "q_sink_merge_nbs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_nbs_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      base.filter(col("c_custkey") % 10 === 0L)
+        .withColumn("bal_cents", col("bal_cents") + 7L)
+        .unionByName(base.filter(col("c_custkey") % 997 === 0L)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        .createOrReplaceTempView("merge_nbs_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_nbs")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_nbs
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_cat.lake.cust_nbs t USING merge_nbs_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET
+          |  t.c_mktsegment = s.c_mktsegment, t.bal_cents = s.bal_cents
+          |WHEN NOT MATCHED THEN INSERT
+          |  (c_custkey, c_mktsegment, bal_cents)
+          |  VALUES (s.c_custkey, s.c_mktsegment, s.bal_cents)
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      s.sql("SELECT * FROM graft_cat.lake.cust_nbs")
+    }),
+
     // SQL STORED PROCEDURES (r17): the full maintenance cycle driven
     // through CALL — a MoR DELETE leaves a tombstone, CALL
     // system.compact folds it into a clean rewrite, CALL system.vacuum
@@ -1030,6 +1102,23 @@ object GraftCatalog {
     // the replayed change log reconstructs the post-maintenance state:
     // balances adjusted where negative, then current-BUILDING rows
     // deleted, compaction invisible
+    // the stats tier and the data tier agree on cardinality; the
+    // three-slice write shape is pinned into the file count
+    "q_lake_meta_files" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |       CAST(3 AS BIGINT) AS data_files
+        |FROM customer""".stripMargin,
+
+    // the three-arm merge syncs the table TO the source exactly
+    "q_sink_merge_nbs" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) + 7 AS bal_cents
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) + 10000000 AS c_custkey,
+        | c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_custkey % 997 = 0""".stripMargin,
+
     // the CALL-driven maintenance cycle preserves exactly the
     // tombstone's complement
     "q_lake_call_compact" ->
@@ -1404,6 +1493,19 @@ class GraftCatalog extends TableCatalog
       parseSynth(ident.name()).getOrElse(
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     else if (isLake(ident.namespace())) {
+      // METADATA TABLES (r17): `t$files` / `t$snapshots` / `t$deletes`
+      // resolve to a driver-computed inspection table over t's manifest
+      val dollar = ident.name().indexOf('$')
+      if (dollar > 0) {
+        val baseKey = ident.name().substring(0, dollar)
+          .toLowerCase(java.util.Locale.ROOT)
+        val kind = ident.name().substring(dollar + 1)
+          .toLowerCase(java.util.Locale.ROOT)
+        val base = lake.get(baseKey)
+        if (base == null || !MetaTables.Kinds.contains(kind))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+        return new GraftMetaTable(base._2("path"), kind)
+      }
       val entry = lake.get(ident.name().toLowerCase(java.util.Locale.ROOT))
       if (entry == null)
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)

@@ -157,4 +157,33 @@ class RowLevelSqlSpec extends AnyFunSuite {
     assert(ManifestSink.snapshots(s"/tmp/graft_rlo_spec_delete").length ==
       gensBefore + 1)
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes unreferenced rows, " +
+      "CoW and MoR alike") {
+    import spark.implicits._
+    for (mode <- Seq("cow", "mor")) {
+      val root = freshRoot(s"nbs_$mode")
+      val name = s"rlo_nbs_$mode"
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+        .coalesce(2).write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet").save()
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.lake.$name")
+      spark.sql(s"CREATE TABLE graft_cat.lake.$name (k BIGINT, v STRING) " +
+        s"USING graft OPTIONS (path '$root', format 'parquet', " +
+        s"deleteMode '$mode')")
+      Seq((2L, "B"), (9L, "I")).toDF("k", "v")
+        .createOrReplaceTempView(s"nbs_src_$mode")
+      spark.sql(
+        s"""MERGE INTO graft_cat.lake.$name t USING nbs_src_$mode s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val got = spark.sql(s"SELECT k, v FROM graft_cat.lake.$name ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((2L, "B"), (9L, "I")),
+        s"mode=$mode got $got")
+    }
+  }
 }
