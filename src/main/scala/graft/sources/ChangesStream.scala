@@ -149,33 +149,6 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
 
   private val rootP: Path = Paths.get(path)
 
-  // EVOLUTION LEDGER at stream-construction time (r17): dataSchema was
-  // resolved from the same live manifest, so every alias target must be
-  // a live column — a rename racing query start is refused here, and a
-  // rename landing mid-feed is refused per window below (a restart
-  // re-resolves both together).
-  private val aliases: Map[String, Seq[String]] = ManifestSink.liveAliases(rootP)
-  require(aliases.keySet.subsetOf(dataSchema.fieldNames.toSet),
-    s"schema of $path evolved between stream resolution and start — " +
-      "restart the streaming query")
-  private val p2c: Map[String, String] =
-    aliases.iterator.flatMap { case (c, ps) => ps.map(_ -> c) }.toMap
-  // evolution lines already visible at construction are KNOWN — the
-  // alias map above covers them for every window; only a line newer
-  // than this capture is a mid-feed evolution
-  private val knownEvo: Set[String] =
-    ManifestSink.ledgerLines(rootP).filter(ManifestEvolution.isLine).toSet
-
-  // AvailableNow: drain up to the generation observed at trigger time,
-  // one generation per batch — later commits wait for the next trigger
-  @volatile private var availableNowTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(gens.lastOption.getOrElse(startingGen))
-  override def reportLatestOffset(): Offset =
-    SnapshotOffset(gens.lastOption.getOrElse(startingGen))
-
-  private def gens: Seq[Long] = ManifestSink.snapshots(path)
-
   /** Resolved manifest lines of snapshot `gen`, schema header dropped
     * (empty for gen 0 = before the first commit). LOUD on expiry.
     */
@@ -187,6 +160,45 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
         s"snapshot $gen of $path expired while a change-feed consumer " +
           "still needed it — retain more generations in vacuum()"))
       .tail
+
+  // EVOLUTION LEDGER at stream-construction time (r17 code-review):
+  // accumulated across ALL RETAINED snapshots, not just the live
+  // manifest — a compaction's replace commit clears the live ledger
+  // while retained snapshots still reference prior-named files, and a
+  // full-history replay must resolve those. O(retained snapshots) driver
+  // reads, paid once per query start.
+  private val accumulatedEvo: Seq[String] =
+    ManifestChanges.evolutionOver(gens.map(linesAt),
+      dataSchema.fieldNames.toSet)
+  private val p2c: Map[String, String] =
+    ManifestEvolution.priorToCurrent(accumulatedEvo)
+  // every rename chain must land on a live column or a recorded drop;
+  // anything else means the schema evolved between stream resolution
+  // and start — restart re-resolves both together
+  require({
+    val dropped = ManifestEvolution.droppedCols(accumulatedEvo)
+    p2c.valuesIterator.forall(v =>
+      dataSchema.fieldNames.contains(v) || dropped.contains(v))
+  }, s"schema of $path evolved between stream resolution and start — " +
+    "restart the streaming query")
+  // a rename whose target was later dropped maps outside the output
+  // schema: its cells are simply never emitted
+  private val aliases: Map[String, Seq[String]] =
+    ManifestEvolution.currentToPriors(accumulatedEvo)
+      .view.filterKeys(dataSchema.fieldNames.contains).toMap
+  // evolution lines known at construction are covered by the maps
+  // above; only a line NEWER than this capture is a mid-feed evolution
+  private val knownEvo: Set[String] = accumulatedEvo.toSet
+
+  // AvailableNow: drain up to the generation observed at trigger time,
+  // one generation per batch — later commits wait for the next trigger
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(gens.lastOption.getOrElse(startingGen))
+  override def reportLatestOffset(): Offset =
+    SnapshotOffset(gens.lastOption.getOrElse(startingGen))
+
+  private def gens: Seq[Long] = ManifestSink.snapshots(path)
 
   override def initialOffset(): Offset = SnapshotOffset(startingGen)
   override def latestOffset(): Offset =
@@ -222,8 +234,10 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
 
     val parts = Seq.newBuilder[InputPartition]
     var prev = s
+    // each window's curTail becomes the next window's prevTail — one
+    // manifest resolution per generation, not two (code-review r17)
+    var prevTail = linesAt(prev)
     windows.foreach { g =>
-      val prevTail = linesAt(prev)
       val curTail = linesAt(g)
       // schema evolution mid-feed: this query's schema and alias map
       // were fixed at start — refuse loudly, restart re-resolves (the
@@ -234,41 +248,28 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
         s"schema evolution in consumed range ($prev, $g] of $path: a " +
           "column rename/drop was published mid-feed — restart the " +
           "streaming query so it re-resolves the live schema")
-      val prevNames = prevTail.filterNot(_.startsWith("#"))
-      val curNames = curTail.filterNot(_.startsWith("#"))
-      val added = (curNames.toSet -- prevNames).toSeq.sorted
-      val removed = (prevNames.toSet -- curNames).toSeq.sorted
-      val carried = prevNames.filter(curNames.toSet)
+      // the SAME window-diff the batch feed plans with — the two feeds
+      // agree change-for-change by construction
+      val w = ManifestChanges.window(rootP, g, prevTail, curTail, p2c,
+        dataSchema.fieldNames.toSet)
 
-      def remapped(tail: Seq[String], names: Seq[String]) =
-        ManifestDeletes.byFile(ManifestDeletes.of(tail).map(t =>
-          t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names)
-      val prevDel = remapped(prevTail, prevNames)
-      val curDel = remapped(curTail, curNames)
-      val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
-      val curPos = ManifestSink.posDeletesOf(rootP, curTail)
-
-      added.foreach { n =>
+      w.added.foreach { n =>
         parts += ChangeFeedPartition(dataPath(n), g, insert = true,
-          curDel.getOrElse(n, Seq.empty), curPos.getOrElse(n, Seq.empty),
+          w.curDel.getOrElse(n, Seq.empty), w.curPos.getOrElse(n, Seq.empty),
           null, null)
       }
-      removed.foreach { n =>
+      w.removed.foreach { n =>
         parts += ChangeFeedPartition(dataPath(n), g, insert = false,
-          prevDel.getOrElse(n, Seq.empty), prevPos.getOrElse(n, Seq.empty),
-          null, null)
+          w.prevDel.getOrElse(n, Seq.empty),
+          w.prevPos.getOrElse(n, Seq.empty), null, null)
       }
-      carried.foreach { n =>
-        val newPreds = (curDel.getOrElse(n, Seq.empty).toSet --
-          prevDel.getOrElse(n, Seq.empty)).toSeq
-        val newPos = (curPos.getOrElse(n, Seq.empty).toSet --
-          prevPos.getOrElse(n, Seq.empty)).toSeq.sorted
-        if (newPreds.nonEmpty || newPos.nonEmpty)
-          parts += ChangeFeedPartition(dataPath(n), g, insert = false,
-            prevDel.getOrElse(n, Seq.empty), prevPos.getOrElse(n, Seq.empty),
-            newPreds, newPos)
+      w.killed.foreach { case (n, newPreds, newPos) =>
+        parts += ChangeFeedPartition(dataPath(n), g, insert = false,
+          w.prevDel.getOrElse(n, Seq.empty),
+          w.prevPos.getOrElse(n, Seq.empty), newPreds, newPos)
       }
       prev = g
+      prevTail = curTail
     }
     parts.result().toArray
   }

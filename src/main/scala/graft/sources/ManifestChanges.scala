@@ -1,8 +1,9 @@
 package graft.sources
 
-import java.nio.file.Paths
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** CHANGE-DATA FEED (VERDICT r16 Next #4, the Delta CDF shape,
@@ -28,11 +29,91 @@ import org.apache.spark.sql.types.StructType
   *     PER FILE: rows visible at g whose new predicate is TRUE or
   *     whose physical position is newly deleted.
   *
+  * The per-window DIFF logic ([[window]]) and the cross-snapshot
+  * evolution accumulation ([[evolutionOver]]) are SHARED with the
+  * streaming feed ([[ManifestChangesStream]]) — the two feeds are
+  * documented to agree change-for-change, so they compute changes
+  * through one code path (code-review r17).
+  *
   * Scale shape: each window reads only the files its commit touched
   * (added, removed, or newly delete-scoped); nothing is ever diffed
   * row-wise against the full table.
   */
 object ManifestChanges {
+
+  /** One generation window's change plan, in the OUTPUT schema's column
+    * space (tombstone references remapped through the accumulated
+    * evolution ledger). `killed` lists carried files whose window-new
+    * deletes remove rows: (bare name, new predicates, new position
+    * files).
+    */
+  case class Window(gen: Long, added: Seq[String], removed: Seq[String],
+      prevDel: Map[String, Seq[Filter]], curDel: Map[String, Seq[Filter]],
+      prevPos: Map[String, Seq[String]], curPos: Map[String, Seq[String]],
+      killed: Seq[(String, Seq[Filter], Seq[String])])
+
+  /** The evolution ledger accumulated over a RANGE of retained
+    * snapshots (schema-header-less tails, ascending) — see
+    * [[ManifestEvolution.accumulate]] for why the live ledger alone is
+    * not enough (a rewrite clears it while retained snapshots still
+    * reference prior-named files).
+    */
+  def evolutionOver(tailsAscending: Seq[Seq[String]],
+      outputSchemaNames: Set[String]): Seq[String] = {
+    val (lines, retired) =
+      ManifestEvolution.accumulateWithRetired(tailsAscending)
+    // a retired name (rename prior / dropped column whose reservation a
+    // rewrite released) reintroduced as a live column means the replay
+    // range spans two columns sharing one physical name — one global
+    // map cannot resolve both vintages
+    val clash = retired.intersect(outputSchemaNames)
+    if (clash.nonEmpty) throw new IllegalStateException(
+      s"ambiguous evolution history: column name(s) ${clash.mkString(", ")} " +
+        "were retired by a rewrite and later reintroduced — a change feed " +
+        "across both vintages cannot resolve them; start the feed after " +
+        "the rewrite's generation")
+    lines
+  }
+
+  /** Diff ONE window (prev → cur). Tombstone predicates remap into the
+    * output column space via `p2c`; a predicate referencing a column
+    * OUTSIDE `schemaNames` (dropped after the tombstone was folded)
+    * REFUSES loudly — evaluating it against the output schema would
+    * silently resurrect deleted rows.
+    */
+  def window(rootP: Path, gen: Long, prevTail: Seq[String],
+      curTail: Seq[String], p2c: Map[String, String],
+      schemaNames: Set[String]): Window = {
+    val prevNames = prevTail.filterNot(_.startsWith("#"))
+    val curNames = curTail.filterNot(_.startsWith("#"))
+    def remapped(tail: Seq[String], names: Seq[String]) =
+      ManifestDeletes.byFile(ManifestDeletes.of(tail).map(t =>
+        t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names)
+    val prevDel = remapped(prevTail, prevNames)
+    val curDel = remapped(curTail, curNames)
+    val refs = (prevDel.valuesIterator ++ curDel.valuesIterator)
+      .flatten.flatMap(_.references).toSet
+    val missing = refs -- schemaNames
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"change window ending at generation $gen carries a tombstone " +
+        s"referencing ${missing.mkString(", ")} — dropped from the schema " +
+        "after the delete was folded; replaying it against the live schema " +
+        "would be unsound. Start the change read after the drop's generation")
+    val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
+    val curPos = ManifestSink.posDeletesOf(rootP, curTail)
+    val added = (curNames.toSet -- prevNames).toSeq.sorted
+    val removed = (prevNames.toSet -- curNames).toSeq.sorted
+    val carried = prevNames.filter(curNames.toSet)
+    val killed = carried.flatMap { n =>
+      val newPreds = (curDel.getOrElse(n, Seq.empty).toSet --
+        prevDel.getOrElse(n, Seq.empty)).toSeq
+      val newPos = (curPos.getOrElse(n, Seq.empty).toSet --
+        prevPos.getOrElse(n, Seq.empty)).toSeq.sorted
+      if (newPreds.nonEmpty || newPos.nonEmpty) Some((n, newPreds, newPos))
+      else None
+    }
+    Window(gen, added, removed, prevDel, curDel, prevPos, curPos, killed)
+  }
 
   def readChanges(spark: SparkSession, root: String, fromGen: Long,
       toGen: Long): DataFrame = {
@@ -64,126 +145,104 @@ object ManifestChanges {
     val schemaGen = gens.lastOption.getOrElse(retained.lastOption.getOrElse(0L))
     require(schemaGen > 0L, s"no retained snapshots at $root")
     val schema = StructType.fromDDL(linesAt(schemaGen).head)
-    // evolution ledger at the feed's schema vintage: prior-named cells
-    // and pre-rename tombstone references resolve into that schema's
-    // column space (names are never reused, so the cumulative map is
-    // correct for every older window too)
-    val evoTail = linesAt(schemaGen).tail
-    val p2c = ManifestEvolution.priorToCurrent(evoTail)
-    val aliases = ManifestEvolution.currentToPriors(evoTail)
-    def remapped(tail: Seq[String], names: Seq[String]) =
-      ManifestDeletes.byFile(ManifestDeletes.of(tail).map(t =>
-        t.copy(filter = ManifestEvolution.remapFilter(t.filter, p2c))), names)
+    // one read per snapshot in range; each tail serves the evolution
+    // accumulation, the window diffs (as both cur and next prev)
+    val rangeGens = ((fromGen +: gens) :+ schemaGen).distinct.sorted
+    val tails: Map[Long, Seq[String]] =
+      rangeGens.map(g => g ->
+        (if (g == 0L) Seq.empty[String] else linesAt(g).tail)).toMap
+    // evolution accumulated ACROSS the range's snapshots (code-review
+    // r17: a compaction clears the live ledger while retained snapshots
+    // still reference prior-named files — the union recovers the map)
+    val evo = evolutionOver(rangeGens.map(tails), schema.fieldNames.toSet)
+    val p2c = ManifestEvolution.priorToCurrent(evo)
+    // a rename whose target was later dropped maps to a column absent
+    // from the output schema: its cells are simply not emitted
+    val aliases = ManifestEvolution.currentToPriors(evo)
+      .view.filterKeys(schema.fieldNames.contains).toMap
+    val schemaNames = schema.fieldNames.toSet
 
     def dataPath(n: String): String = rootP.resolve("data").resolve(n).toString
     def withType(df: DataFrame, t: String, g: Long): DataFrame =
       df.select((schema.fieldNames.map(col) :+
         lit(t).as("_change_type") :+ lit(g).as("_commit_gen")).toIndexedSeq: _*)
 
-    var prevLines = linesAt(fromGen)
+    var prev = fromGen
     val parts = Seq.newBuilder[DataFrame]
     gens.foreach { g =>
-      val curLines = linesAt(g)
-      val prevTail = if (prevLines.isEmpty) Seq.empty[String] else prevLines.tail
-      val curTail = curLines.tail
-      val prevNames = prevTail.filterNot(_.startsWith("#"))
-      val curNames = curTail.filterNot(_.startsWith("#"))
-      val added = (curNames.toSet -- prevNames).toSeq.sorted
-      val removed = (prevNames.toSet -- curNames).toSeq.sorted
-      val carried = prevNames.filter(curNames.toSet)
-
-      val prevDel = remapped(prevTail, prevNames)
-      val curDel = remapped(curTail, curNames)
-      val prevPos = ManifestSink.posDeletesOf(rootP, prevTail)
-      val curPos = ManifestSink.posDeletesOf(rootP, curTail)
+      val w = window(rootP, g, tails(prev), tails(g), p2c, schemaNames)
 
       // INSERTS: the added files' rows as visible at g
-      if (added.nonEmpty)
+      if (w.added.nonEmpty)
         parts += withType(ManifestSink.readDataFiles(spark, schema,
-          added.map(dataPath), curDel, curPos, aliases), "insert", g)
+          w.added.map(dataPath), w.curDel, w.curPos, aliases), "insert", g)
       // DELETES (a): removed files' rows as visible at the window start
-      if (removed.nonEmpty)
+      if (w.removed.nonEmpty)
         parts += withType(ManifestSink.readDataFiles(spark, schema,
-          removed.map(dataPath), prevDel, prevPos, aliases), "delete", g)
+          w.removed.map(dataPath), w.prevDel, w.prevPos, aliases), "delete", g)
 
       // DELETES (b), PER FILE: carried files with deletes new in g emit
       // the rows those deletes killed
-      carried.foreach { n =>
-        val newPreds = (curDel.getOrElse(n, Seq.empty).toSet --
-          prevDel.getOrElse(n, Seq.empty)).toSeq
-        val newPos = (curPos.getOrElse(n, Seq.empty).toSet --
-          prevPos.getOrElse(n, Seq.empty)).toSeq.sorted
-        if (newPreds.nonEmpty || newPos.nonEmpty) {
-          val predCond = newPreds.map(p =>
-            ManifestSink.filterToColumn(p).getOrElse(
-              throw new IllegalStateException(
-                s"untranslatable tombstone predicate $p in change feed")))
-            .reduceOption(_ || _)
-          val killed: DataFrame =
-            if (newPos.isEmpty) {
-              // predicate-only: killed = old-visible rows where the new
-              // predicate is TRUE (SQL delete semantics)
-              val oldVis = ManifestSink.readDataFiles(spark, schema,
-                Seq(dataPath(n)),
-                prevDel.view.filterKeys(_ == n).toMap,
-                prevPos.view.filterKeys(_ == n).toMap, aliases)
-              oldVis.filter(coalesce(predCond.get, lit(false)))
-            } else {
-              // positional (parquet-only payload by construction): one
-              // provenance read; killed = newly-deleted position OR new
-              // predicate TRUE, deduped per PHYSICAL row
-              val twins = schema.fields.flatMap(f =>
-                aliases.getOrElse(f.name, Seq.empty).map(pn =>
-                  org.apache.spark.sql.types.StructField(pn, f.dataType,
-                    nullable = true)))
-              val raw0 = spark.read
-                .schema(if (twins.isEmpty) schema
-                        else StructType(schema.fields ++ twins))
+      w.killed.foreach { case (n, newPreds, newPos) =>
+        val predCond = newPreds.map(p =>
+          ManifestSink.filterToColumn(p).getOrElse(
+            throw new IllegalStateException(
+              s"untranslatable tombstone predicate $p in change feed")))
+          .reduceOption(_ || _)
+        val killedDf: DataFrame =
+          if (newPos.isEmpty) {
+            // predicate-only: killed = old-visible rows where the new
+            // predicate is TRUE (SQL delete semantics)
+            val oldVis = ManifestSink.readDataFiles(spark, schema,
+              Seq(dataPath(n)),
+              w.prevDel.view.filterKeys(_ == n).toMap,
+              w.prevPos.view.filterKeys(_ == n).toMap, aliases)
+            oldVis.filter(coalesce(predCond.get, lit(false)))
+          } else {
+            // positional (parquet-only payload by construction): one
+            // provenance read; killed = newly-deleted position OR new
+            // predicate TRUE, deduped per PHYSICAL row
+            val raw = ManifestSink.aliasResolved(
+              spark.read
+                .schema(ManifestSink.aliasReadSchema(schema, aliases))
                 .parquet(dataPath(n))
-                .withColumn("__p", col("_metadata.row_index"))
-              val raw =
-                if (twins.isEmpty) raw0
-                else raw0.select((schema.fields.toIndexedSeq.map { f =>
-                  val chain = aliases.getOrElse(f.name, Seq.empty)
-                  if (chain.isEmpty) col(f.name)
-                  else coalesce((f.name +: chain).map(col): _*).as(f.name)
-                } :+ col("__p")): _*)
-              val oldVis = {
-                val pv = prevPos.getOrElse(n, Seq.empty)
-                val base = if (pv.isEmpty) raw else {
-                  val pd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
-                    .parquet(pv: _*).filter(col("f") === lit(n))
-                    .withColumnRenamed("p", "__pp")
-                  raw.join(pd, raw("__p") === pd("__pp"), "left_anti")
-                }
-                val pc = prevDel.getOrElse(n, Seq.empty).map(p =>
-                  ManifestSink.filterToColumn(p).getOrElse(
-                    throw new IllegalStateException(
-                      s"untranslatable tombstone predicate $p in change feed")))
-                  .reduceOption(_ || _)
-                pc match {
-                  case Some(c) => base.filter(coalesce(
-                    org.apache.spark.sql.functions.not(c), lit(true)))
-                  case None => base
-                }
+                .withColumn("__p", col("_metadata.row_index")),
+              schema, aliases, extras = Seq("__p"))
+            val oldVis = {
+              val pv = w.prevPos.getOrElse(n, Seq.empty)
+              val base = if (pv.isEmpty) raw else {
+                val pd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
+                  .parquet(pv: _*).filter(col("f") === lit(n))
+                  .withColumnRenamed("p", "__pp")
+                raw.join(pd, raw("__p") === pd("__pp"), "left_anti")
               }
-              val nd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
-                .parquet(newPos: _*).filter(col("f") === lit(n))
-                .withColumnRenamed("p", "__dp")
-              val byPos = oldVis.join(nd, oldVis("__p") === nd("__dp"),
-                "left_semi")
-              val both = predCond match {
-                case Some(c) => byPos.unionByName(
-                  oldVis.filter(coalesce(c, lit(false))))
-                  .dropDuplicates("__p") // one physical row = one delete
-                case None => byPos
+              val pc = w.prevDel.getOrElse(n, Seq.empty).map(p =>
+                ManifestSink.filterToColumn(p).getOrElse(
+                  throw new IllegalStateException(
+                    s"untranslatable tombstone predicate $p in change feed")))
+                .reduceOption(_ || _)
+              pc match {
+                case Some(c) => base.filter(coalesce(
+                  org.apache.spark.sql.functions.not(c), lit(true)))
+                case None => base
               }
-              both.drop("__p")
             }
-          parts += withType(killed, "delete", g)
-        }
+            val nd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
+              .parquet(newPos: _*).filter(col("f") === lit(n))
+              .withColumnRenamed("p", "__dp")
+            val byPos = oldVis.join(nd, oldVis("__p") === nd("__dp"),
+              "left_semi")
+            val both = predCond match {
+              case Some(c) => byPos.unionByName(
+                oldVis.filter(coalesce(c, lit(false))))
+                .dropDuplicates("__p") // one physical row = one delete
+              case None => byPos
+            }
+            both.drop("__p")
+          }
+        parts += withType(killedDf, "delete", g)
       }
-      prevLines = curLines
+      prev = g
     }
     val out = parts.result()
     if (out.isEmpty) {

@@ -131,6 +131,64 @@ object ManifestEvolution {
     }
   }
 
+  /** Accumulate the evolution ledger ACROSS a snapshot chain (r17
+    * code-review): a compaction's replace commit legitimately clears
+    * the live ledger, but retained pre-compaction snapshots still
+    * reference files written under prior names — a change-feed replay
+    * needs the union. Tails ascend by generation; lines keep their
+    * first-seen order (each manifest carries its surviving predecessors
+    * in order, so first-seen-append reconstructs the global publication
+    * order). A cleared line reappearing verbatim is refused (a definite
+    * name-reuse vintage clash).
+    *
+    * Also returns the RETIRED names of cleared lines — the rename
+    * priors and dropped columns whose reservation a rewrite released. A
+    * feed must refuse when such a name is a live output column again
+    * (the catalog legally reintroduced it after the clear, so one
+    * global name map cannot distinguish the two vintages a replay
+    * spans): see the callers' ambiguity checks.
+    */
+  def accumulate(tailsAscending: Seq[Seq[String]]): Seq[String] =
+    accumulateWithRetired(tailsAscending)._1
+
+  def accumulateWithRetired(
+      tailsAscending: Seq[Seq[String]]): (Seq[String], Set[String]) = {
+    val acc = Seq.newBuilder[String]
+    var known = Vector.empty[String]   // accumulated lines, in order
+    var cleared = Set.empty[String]    // lines that vanished from a tail
+    tailsAscending.foreach { tail =>
+      val evo = tail.filter(isLine)
+      val present = evo.toSet
+      // lines that disappeared from this tail (a rewrite cleared them)
+      cleared ++= known.filterNot(present.contains)
+      // a cleared line reappearing verbatim is a name-reuse vintage clash
+      if (evo.exists(cleared.contains))
+        throw new IllegalStateException(
+          "ambiguous evolution history: an evolution line reappeared " +
+            "after a rewrite cleared it — start the feed after the " +
+            "rewrite's generation")
+      evo.foreach { l =>
+        if (!known.contains(l)) {
+          known :+= l
+          acc += l
+        }
+      }
+    }
+    // names whose reservation the clears released: rename PRIORS and
+    // dropped columns (a rename's TO-name is the same column continuing
+    // — never retired by the clear itself)
+    val retired = cleared.flatMap { l =>
+      if (l.startsWith(RenamePrefix))
+        Some(ManifestMeta.parse(l.stripPrefix(RenamePrefix))
+          .asInstanceOf[Map[String, Any]]("from").asInstanceOf[String])
+      else if (l.startsWith(DropPrefix))
+        Some(ManifestMeta.parse(l.stripPrefix(DropPrefix))
+          .asInstanceOf[Map[String, Any]]("col").asInstanceOf[String])
+      else None
+    }
+    (acc.result(), retired)
+  }
+
   /** Guard shared by ADD and RENAME targets. */
   def requireUnreserved(name: String, schema: StructType,
       lines: Seq[String]): Unit = {

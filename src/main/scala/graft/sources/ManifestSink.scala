@@ -447,35 +447,52 @@ object ManifestSink {
     * reader. A manifest table may legitimately hold BOTH (a format
     * switch mid-history rewrites nothing).
     */
+  /** RENAMED COLUMNS (r17 evolution), the shared resolution for every
+    * Spark-native by-name read: a live name absent from a pre-rename
+    * file would read null, so the read schema widens with PRIOR-NAMED
+    * TWINS ([[aliasReadSchema]]) and each aliased column coalesces over
+    * its chain ([[aliasResolved]]) — a file holds at most ONE name of a
+    * chain (reuse is refused), so coalesce picks the stored cell.
+    * `extras` carries provenance columns (`__f`/`__p`) through the
+    * projection untouched.
+    */
+  private[sources] def aliasReadSchema(schema: StructType,
+      aliases: Map[String, Seq[String]]): StructType = {
+    val twins = schema.fields.flatMap(f =>
+      aliases.getOrElse(f.name, Seq.empty).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)))
+    if (twins.isEmpty) schema else StructType(schema.fields ++ twins)
+  }
+
+  private[sources] def aliasResolved(df: org.apache.spark.sql.DataFrame,
+      schema: StructType, aliases: Map[String, Seq[String]],
+      extras: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    if (schema.fields.forall(f => aliases.getOrElse(f.name, Seq.empty).isEmpty))
+      return df
+    df.select((schema.fields.toIndexedSeq.map { f =>
+      val chain = aliases.getOrElse(f.name, Seq.empty)
+      if (chain.isEmpty) col(f.name)
+      else coalesce((f.name +: chain).map(col): _*).as(f.name)
+    } ++ extras.map(col)): _*)
+  }
+
   private[sources] def readDataFiles(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, files: Seq[String],
       aliases: Map[String, Seq[String]] = Map.empty): org.apache.spark.sql.DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // RENAMED COLUMNS (r17 evolution): Spark's by-name readers would
-    // read null for a live name absent from a pre-rename file, so the
-    // read schema widens with PRIOR-NAMED TWINS and each aliased column
-    // coalesces over its chain — a file holds at most ONE name of a
-    // chain (reuse is refused), so coalesce picks the stored cell.
-    val twins = schema.fields.flatMap(f =>
-      aliases.getOrElse(f.name, Seq.empty).map(p =>
-        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)))
-    val readSchema = if (twins.isEmpty) schema else StructType(schema.fields ++ twins)
-    def resolve(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (twins.isEmpty) df
-      else df.select(schema.fields.toIndexedSeq.map { f =>
-        val chain = aliases.getOrElse(f.name, Seq.empty)
-        if (chain.isEmpty) org.apache.spark.sql.functions.col(f.name)
-        else org.apache.spark.sql.functions
-          .coalesce((f.name +: chain).map(org.apache.spark.sql.functions.col): _*)
-          .as(f.name)
-      }: _*)
+    val readSchema = aliasReadSchema(schema, aliases)
     val (pq, js) = files.partition(_.endsWith(".parquet"))
     val parts = Seq(
-      if (pq.nonEmpty) Some(resolve(spark.read.schema(readSchema).parquet(pq: _*)))
+      if (pq.nonEmpty)
+        Some(aliasResolved(spark.read.schema(readSchema).parquet(pq: _*),
+          schema, aliases))
       else None,
-      if (js.nonEmpty) Some(resolve(spark.read.schema(readSchema).json(js: _*)))
+      if (js.nonEmpty)
+        Some(aliasResolved(spark.read.schema(readSchema).json(js: _*),
+          schema, aliases))
       else None
     ).flatten
     parts.reduce(_.unionByName(_))
@@ -510,20 +527,11 @@ object ManifestSink {
       .withColumnRenamed("f", "__df").withColumnRenamed("p", "__dp")
     // renamed-column twins resolve the same way as the plain overload;
     // the provenance columns ride alongside until the join completes
-    val twins = schema.fields.flatMap(f =>
-      aliases.getOrElse(f.name, Seq.empty).map(p =>
-        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)))
-    val readSchema = if (twins.isEmpty) schema else StructType(schema.fields ++ twins)
-    val raw0 = spark.read.schema(readSchema).parquet(aff: _*)
-      .withColumn("__f", col("_metadata.file_name"))
-      .withColumn("__p", col("_metadata.row_index"))
-    val raw =
-      if (twins.isEmpty) raw0
-      else raw0.select((schema.fields.toIndexedSeq.map { f =>
-        val chain = aliases.getOrElse(f.name, Seq.empty)
-        if (chain.isEmpty) col(f.name)
-        else coalesce((f.name +: chain).map(col): _*).as(f.name)
-      } ++ Seq(col("__f"), col("__p"))): _*)
+    val raw = aliasResolved(
+      spark.read.schema(aliasReadSchema(schema, aliases)).parquet(aff: _*)
+        .withColumn("__f", col("_metadata.file_name"))
+        .withColumn("__p", col("_metadata.row_index")),
+      schema, aliases, extras = Seq("__f", "__p"))
     val posKept = raw.join(dels,
       raw("__f") === dels("__df") && raw("__p") === dels("__dp"), "left_anti")
     // predicate tombstones scoped to the affected files compose here:

@@ -329,4 +329,105 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(got.columns.contains("body"))
     assert(got.count() == 21L) // 20 base inserts + 1 post-rename insert
   }
+
+  test("change feeds replay a rename even after compaction cleared the " +
+      "live ledger (code-review r17)") {
+    val root = freshRoot("cdf_cleared")
+    import spark.implicits._
+    writeBase(root)
+    mkTable("evo_clr", root)
+    spark.sql("ALTER TABLE graft_cat.lake.evo_clr RENAME COLUMN payload TO body")
+    Seq((100L, 1, "mid")).toDF("k", "grp", "body")
+      .write.format("graft.sources.ManifestSink").mode("append")
+      .option("path", root).option("format", "parquet").save()
+    ManifestSink.compact(spark, root) // clears the #rn: ledger line
+    assert(LakeTestAccess.liveAliases(Paths.get(root)).isEmpty)
+    Seq((200L, 2, "post")).toDF("k", "grp", "body")
+      .write.format("graft.sources.ManifestSink").mode("append")
+      .option("path", root).option("format", "parquet").save()
+    // batch: full-history replay resolves pre-rename files through the
+    // ACCUMULATED ledger (snapshots still carry the line) — no nulls
+    val top = ManifestSink.snapshots(root).last
+    val ch = ManifestChanges.readChanges(spark, root, 0L, top)
+    assert(ch.filter(col("body").isNull).count() == 0L)
+    val net = ch.groupBy(col("k"), col("grp"), col("body"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          col("_change_type") === "insert", 1L).otherwise(-1L)).as("net"))
+      .filter(col("net") > 0L)
+    assert(net.count() == 22L) // 20 base + mid + post
+    // stream: a fresh consumer from 0 drains the same history (the old
+    // code wedged on the rename window forever)
+    val q = spark.readStream.format("graft.sources.GraftChanges")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("evo_clr_stream")
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("evo_clr_stream")
+    assert(got.filter(col("body").isNull).count() == 0L)
+    assert(got.count() == ch.count())
+  }
+
+  test("a replayed tombstone referencing a since-dropped column refuses " +
+      "loudly instead of resurrecting rows (code-review r17)") {
+    val root = freshRoot("cdf_droppedref")
+    writeBase(root)
+    mkTable("evo_dref", root, extra = ", deleteMode 'mor'")
+    spark.sql("DELETE FROM graft_cat.lake.evo_dref WHERE payload = 'v3'")
+    ManifestSink.compact(spark, root) // folds the tombstone
+    spark.sql("ALTER TABLE graft_cat.lake.evo_dref DROP COLUMN payload")
+    val top = ManifestSink.snapshots(root).last
+    val e1 = intercept[IllegalStateException] {
+      ManifestChanges.readChanges(spark, root, 0L, top).collect()
+    }
+    assert(e1.getMessage.contains("dropped from the schema"))
+    // the streaming twin refuses identically (shared window planner)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.sources.GraftChanges")
+        .option("path", root).load()
+        .writeStream.format("memory").queryName("evo_dref_stream")
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(msgs(e2).exists(_.contains("dropped from the schema")))
+    // starting AFTER the drop works (no tombstone window in range)
+    val fromGen = ManifestSink.snapshots(root).last
+    assert(ManifestChanges.readChanges(spark, root, fromGen, fromGen)
+      .count() == 0L)
+  }
+
+  test("a retired name reintroduced after a rewrite refuses the replay " +
+      "(vintage ambiguity, code-review r17)") {
+    val root = freshRoot("cdf_reuse")
+    writeBase(root)
+    mkTable("evo_reuse", root)
+    spark.sql("ALTER TABLE graft_cat.lake.evo_reuse RENAME COLUMN payload TO body")
+    ManifestSink.compact(spark, root) // releases the 'payload' reservation
+    spark.sql("ALTER TABLE graft_cat.lake.evo_reuse ADD COLUMN payload STRING")
+    // the reintroduced name reaches the manifest once an append commits
+    // files carrying it — from here a replay spans two 'payload' vintages
+    import spark.implicits._
+    Seq((500L, 3, "new-b", "new-p")).toDF("k", "grp", "body", "payload")
+      .write.format("graft.sources.ManifestSink").mode("append")
+      .option("path", root).option("format", "parquet").save()
+    val top = ManifestSink.snapshots(root).last
+    val ex = intercept[IllegalStateException] {
+      ManifestChanges.readChanges(spark, root, 0L, top).collect()
+    }
+    assert(ex.getMessage.contains("ambiguous evolution history"))
+    // live reads stay fine — only cross-vintage replay is ambiguous
+    assert(spark.sql("SELECT body, payload FROM graft_cat.lake.evo_reuse")
+      .count() == 21L)
+    // a replay that starts AFTER the rewrite never spans both vintages
+    val from = ManifestSink.snapshots(root).filter(_ < top).last
+    assert(ManifestChanges.readChanges(spark, root, from, top)
+      .count() == 1L)
+  }
 }
