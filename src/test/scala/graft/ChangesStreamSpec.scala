@@ -227,4 +227,30 @@ class ChangesStreamSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("expired")))
   }
+
+  test("gensPerBatch amortizes catch-up while keeping per-gen attribution") {
+    import spark.implicits._
+    val root = freshRoot("catchup")
+    (0 until 6).foreach { i =>
+      ((i * 5) until ((i + 1) * 5)).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode(if (i == 0) "overwrite" else "append")
+        .option("path", root).option("format", "parquet").save()
+    }
+    val q = spark.readStream.format("graft.sources.GraftChanges")
+      .option("path", root).option("gensPerBatch", "3").load()
+      .writeStream.format("memory").queryName("cdfs_catchup")
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 2) // 6 generations / 3 per batch
+    val got = spark.table("cdfs_catchup")
+    assert(got.count() == 30L)
+    // per-generation attribution survives window coalescing
+    assert(got.select("_commit_gen").distinct().count() ==
+      ManifestSink.snapshots(root).size.toLong)
+    assert(reconstruct(got, Seq("k", "v")) == state(root, Seq("k", "v")))
+  }
 }
