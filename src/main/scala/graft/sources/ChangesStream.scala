@@ -73,13 +73,48 @@ class GraftChanges extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ChangesTable(properties.get("path"), schema,
-      Option(properties.get("startingGen")).map(_.toLong).getOrElse(0L),
+      GraftChanges.resolveStartingGen(properties.get("path"),
+        k => Option(properties.get(k))),
       Option(properties.get("gensPerBatch")).map(_.toInt).getOrElse(1))
 }
 
 object GraftChanges {
   val ChangeType = "_change_type"
   val CommitGen = "_commit_gen"
+
+  /** Starting generation from the feed options — either `startingGen`
+    * directly, or `startingTimestamp` (epoch millis) resolved through
+    * the `#t:` commit instants to the LATEST retained generation whose
+    * commit is at or before the asked instant — the SAME boundary rule
+    * as TIMESTAMP AS OF (a timestamp exactly on a commit instant treats
+    * that commit as starting STATE, so its changes do not replay). A
+    * timestamp before every retained commit refuses LOUDLY with the
+    * available window (VERDICT r17 Next #4): retention may have expired
+    * the history the consumer is asking for, and silently starting at
+    * the earliest retained state would skip changes. A full replay from
+    * the empty table remains explicit: `startingGen = 0`.
+    */
+  def resolveStartingGen(path: String,
+      opt: String => Option[String]): Long = {
+    val sg = opt("startingGen")
+    val st = opt("startingTimestamp")
+    require(sg.isEmpty || st.isEmpty,
+      "set either startingGen or startingTimestamp on the changes feed, " +
+        "not both")
+    st match {
+      case Some(t) =>
+        val ts = t.toLong
+        val ledger = ManifestSink.snapshotTimestamps(path)
+        ledger.filter(_._2 <= ts).lastOption.map(_._1).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingTimestamp ${ts}ms precedes every retained commit " +
+              s"of $path — history before it may be expired; available " +
+              "instants: " + ledger.map { case (g, m) =>
+                s"gen $g @ ${m}ms" }.mkString(", ") +
+              ". For a full replay from the empty table use startingGen=0."))
+      case None => sg.map(_.toLong).getOrElse(0L)
+    }
+  }
 
   /** Data schema + the two change columns (always last, Delta's CDF
     * column shape).
@@ -103,7 +138,10 @@ class ChangesTable(path: String, feedSchema: StructType, startingGen: Long,
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangesScanBuilder(path, feedSchema,
-      Option(options.get("startingGen")).map(_.toLong).getOrElse(startingGen),
+      if (options.containsKey("startingGen") ||
+          options.containsKey("startingTimestamp"))
+        GraftChanges.resolveStartingGen(path, k => Option(options.get(k)))
+      else startingGen,
       Option(options.get("gensPerBatch")).map(_.toInt).getOrElse(gensPerBatch))
 }
 
@@ -176,13 +214,20 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
       .tail
 
   // EVOLUTION LEDGER at stream-construction time (r17 code-review):
-  // accumulated across ALL RETAINED snapshots, not just the live
-  // manifest — a compaction's replace commit clears the live ledger
-  // while retained snapshots still reference prior-named files, and a
-  // full-history replay must resolve those. O(retained snapshots) driver
-  // reads, paid once per query start.
+  // accumulated across the retained snapshots the feed can actually
+  // consume — generations >= startingGen — not just the live manifest
+  // (a compaction's replace commit clears the live ledger while
+  // retained snapshots still reference prior-named files). Generations
+  // BEFORE startingGen are excluded on purpose (ADVICE r17): the
+  // startingGen snapshot's tail already carries the then-live ledger,
+  // and accumulating history the feed never replays would resurrect a
+  // rewrite-retired name into a spurious "ambiguous evolution history"
+  // refusal for a stream legally started AFTER the rewrite — the exact
+  // remedy the batch feed's rangeGens construction already honors.
+  // O(consumable retained snapshots) driver reads, paid once per start.
   private val accumulatedEvo: Seq[String] =
-    ManifestChanges.evolutionOver(gens.map(linesAt),
+    ManifestChanges.evolutionOver(
+      gens.filter(_ >= startingGen).map(linesAt),
       dataSchema.fieldNames.toSet)
   private val p2c: Map[String, String] =
     ManifestEvolution.priorToCurrent(accumulatedEvo)

@@ -1388,7 +1388,13 @@ class GraftCatalog extends TableCatalog
     * `name` — to its manifest root via this catalog's definitions.
     */
   private def tablePath(ref: String): String = {
-    val key = ref.stripPrefix("lake.").toLowerCase(java.util.Locale.ROOT)
+    // lowercase FIRST so 'LAKE.cust' resolves, and accept an optional
+    // leading '<catalogName>.' segment so a fully-qualified
+    // 'graft_cat.lake.cust' reference works too (ADVICE r17)
+    val lower = ref.toLowerCase(java.util.Locale.ROOT)
+    val key = lower
+      .stripPrefix(catalogName.toLowerCase(java.util.Locale.ROOT) + ".")
+      .stripPrefix("lake.")
     val entry = lake.get(key)
     require(entry != null, s"unknown lake table $ref")
     entry._2.getOrElse("path",
@@ -1683,9 +1689,19 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val (schema, props) = entry
     val rootP = props.get("path").map(java.nio.file.Paths.get(_))
-    def ledger: Seq[String] = rootP
+    // DEFERRED PUBLICATION (ADVICE r17): evolution commits must not
+    // land inside the validation fold — a later failing change in a
+    // multi-change ALTER (or a persist failure) would leave the
+    // manifest evolved while the catalog schema stayed stale. The fold
+    // below only VALIDATES and computes the ledger lines; the commits
+    // publish together after every change passed. Pending lines ride
+    // the ledger view so later changes in the same ALTER see them.
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(StructType, String)]
+    def ledger: Seq[String] = (rootP
       .filter(r => java.nio.file.Files.exists(r.resolve("manifest.json")))
-      .map(ManifestSink.ledgerLines).getOrElse(Seq.empty)
+      .map(ManifestSink.ledgerLines).getOrElse(Seq.empty)) ++
+      pending.map(_._2)
     def hasManifest: Boolean = rootP.exists(r =>
       java.nio.file.Files.exists(r.resolve("manifest.json")))
     /** rename a column inside the layout-option CSVs (partitionBy etc.). */
@@ -1721,8 +1737,7 @@ class GraftCatalog extends TableCatalog
           ManifestEvolution.requireUnreserved(to, s, ledger)
           val newSchema = StructType(s.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
-          ManifestSink.publishEvolution(rootP.get, newSchema,
-            ManifestEvolution.renameLine(from, to))
+          pending += ((newSchema, ManifestEvolution.renameLine(from, to)))
           (newSchema, renameInProps(p, from, to))
         } else {
           require(!s.fieldNames.contains(to), s"column $to already exists")
@@ -1757,8 +1772,7 @@ class GraftCatalog extends TableCatalog
               s"cannot drop $colName: a live MoR tombstone references it — " +
                 "compact the table (folding the deletes) first")
             val newSchema = StructType(s.fields.filterNot(_.name == colName))
-            ManifestSink.publishEvolution(rootP.get, newSchema,
-              ManifestEvolution.dropLine(colName))
+            pending += ((newSchema, ManifestEvolution.dropLine(colName)))
             (newSchema,
               // bloomFor is an optimization: silently shed the column
               p.map { case (k, v) =>
@@ -1774,6 +1788,12 @@ class GraftCatalog extends TableCatalog
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other (supported: top-level " +
           "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
+    }
+    // every change validated — publish the evolution commits and the
+    // catalog entry together (one commit per ledger line, in change
+    // order, each carrying the schema as of that change)
+    pending.foreach { case (sch, line) =>
+      ManifestSink.publishEvolution(rootP.get, sch, line)
     }
     lake.put(key, (evolved, newProps))
     persist()

@@ -249,6 +249,26 @@ object ManifestChanges {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       withType(empty, "insert", toGen).limit(0)
-    } else out.reduce(_.unionByName(_))
+    } else if (out.length <= UnionBatch) out.reduce(_.unionByName(_))
+    else {
+      // PLAN-DEPTH CAP (VERDICT r17 Next #5): a full-history replay over
+      // thousands of commits would otherwise union O(windows ×
+      // touched-files) scan subtrees into one logical plan and stress
+      // driver planning. Batch the per-window change frames: every
+      // UnionBatch frames union and localCheckpoint into a single
+      // materialized leaf, so the final plan is a flat union of
+      // ceil(parts / UnionBatch) leaves — each leaf's own plan is
+      // bounded, and CombineUnions flattens the top. The short-range
+      // path above stays zero-overhead (no materialization).
+      out.grouped(UnionBatch)
+        .map(_.reduce(_.unionByName(_)).localCheckpoint())
+        .reduce(_.unionByName(_))
+    }
   }
+
+  /** Change frames per unioned-and-checkpointed sub-plan in a
+    * long-range [[readChanges]] (each frame holds a handful of file
+    * scans, so a sub-plan stays well under a hundred nodes).
+    */
+  private[sources] val UnionBatch = 16
 }

@@ -73,9 +73,14 @@ object MetaTables {
       val rootP = Paths.get(root)
       val tail = ManifestSink.resolvedManifestLines(rootP,
         rootP.resolve("manifest.json")).map(_.tail).getOrElse(Seq.empty)
+      // render predicates in the LIVE column space (ADVICE r17): after a
+      // RENAME every other consumer (scans, stats, CDF, liveDeletes)
+      // remaps tombstones through the evolution ledger — the inspection
+      // surface must agree with them, not show the prior name
+      val p2c = ManifestEvolution.priorToCurrent(tail)
       val tombs = ManifestDeletes.of(tail).map(t =>
         Seq[Any]("tombstone", t.files.toSeq.sorted.mkString(","),
-          t.filter.toString))
+          ManifestEvolution.remapFilter(t.filter, p2c).toString))
       val pos = ManifestPosDeletes.of(tail).map(pd =>
         Seq[Any]("position", pd.files.toSeq.sorted.mkString(","), pd.delFile))
       tombs ++ pos

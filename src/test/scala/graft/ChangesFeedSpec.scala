@@ -130,6 +130,31 @@ class ChangesFeedSpec extends AnyFunSuite {
     assert(net == live, s"multiset drift: $net vs $live")
   }
 
+  test("a 100-commit replay keeps bounded plan depth (VERDICT r17 Next #5)") {
+    import spark.implicits._
+    val root = freshRoot("depth")
+    (0 until 100).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode(if (i == 0) "overwrite" else "append")
+        .option("path", root).option("format", "parquet").save()
+    }
+    val top = ManifestSink.snapshots(root).last
+    val ch = ManifestChanges.readChanges(spark, root, 0L, top)
+    // unbatched, 100 windows union 100 scan subtrees (300+ plan nodes);
+    // the batched construction checkpoints every UnionBatch frames into
+    // one leaf, so the final plan is a flat union of ~7 LogicalRDDs —
+    // pinned below a constant that the unbatched shape cannot meet
+    val nodes = ch.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes < 60, s"long-range readChanges plan has $nodes nodes")
+    // and the replay itself is still exact
+    assert(ch.count() == 100L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 0L)
+    assert(reconstruct(ch, Seq("k", "v")) == state(root, Seq("k", "v")))
+    // the checkpointed construction preserves per-commit attribution
+    assert(ch.select("_commit_gen").distinct().count() == 100L)
+  }
+
   test("an expired from-generation refuses loudly") {
     import spark.implicits._
     val root = freshRoot("expired")

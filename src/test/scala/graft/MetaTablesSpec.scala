@@ -82,6 +82,25 @@ class MetaTablesSpec extends AnyFunSuite {
       "ORDER BY generation DESC LIMIT 1").head.getLong(0) == 1L)
   }
 
+  test("$deletes renders tombstone predicates in the live column space " +
+      "after a RENAME (ADVICE r18)") {
+    val root = build("meta_rn", "rename")
+    spark.sql("DELETE FROM graft_cat.lake.meta_rn WHERE v = 'v3'")
+    spark.sql("ALTER TABLE graft_cat.lake.meta_rn RENAME COLUMN v TO label")
+    val detail = spark.sql(
+      "SELECT detail FROM graft_cat.lake.`meta_rn$deletes` " +
+        "WHERE kind = 'tombstone'").head.getString(0)
+    // every other consumer (scans, stats, CDF, liveDeletes) remaps the
+    // predicate through the evolution ledger — the inspection surface
+    // must show the live name, not the written one
+    assert(detail.contains("label"), s"stale column name in: $detail")
+    assert(!detail.contains("(v,"), s"prior column name leaked: $detail")
+    // the delete itself still applies through the rename
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.meta_rn " +
+      "WHERE label = 'v3'").head.getLong(0) == 0L)
+    ManifestSink.compact(spark, root)
+  }
+
   test("unknown metadata suffix and unknown base refuse") {
     build("meta_g", "guards")
     assert(intercept[Exception](spark.sql(

@@ -80,6 +80,20 @@ class ProcedureSpec extends AnyFunSuite {
     assert(ts == ts.sorted && ts.distinct.length == ts.length)
   }
 
+  test("qualified and differently-cased table references resolve (ADVICE r18)") {
+    val root = build("proc_qual", "qual")
+    // catalog-qualified, namespace-qualified and upper-cased references
+    // all name the same table — resolution lowercases and strips the
+    // optional '<catalog>.' / 'lake.' prefixes before lookup
+    Seq("proc_qual", "lake.proc_qual", "graft_cat.lake.proc_qual",
+        "LAKE.proc_qual", "GRAFT_CAT.LAKE.PROC_QUAL").foreach { ref =>
+      val rows = spark.sql(
+        s"CALL graft_cat.system.snapshots(table => '$ref')").collect()
+      assert(rows.map(_.getLong(0)).toSeq == ManifestSink.snapshots(root),
+        s"reference '$ref' failed to resolve")
+    }
+  }
+
   test("unknown procedures and tables refuse loudly; SHOW PROCEDURES lists") {
     build("proc_err", "err")
     // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE

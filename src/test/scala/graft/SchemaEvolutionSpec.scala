@@ -403,6 +403,40 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("a failing change in a multi-change ALTER publishes nothing " +
+      "(ADVICE r18: no manifest/catalog divergence)") {
+    val root = freshRoot("atomic")
+    writeBase(root)
+    mkTable("evo_atomic", root)
+    val gensBefore = ManifestSink.snapshots(root)
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lake"), "evo_atomic")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // first change (a valid RENAME) would have published its evolution
+    // commit inside the fold pre-fix; the second change fails validation
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("payload"), "body"),
+        TableChange.deleteColumn(Array("no_such_col"), false))
+    }
+    // nothing published: no evolution line, no new generation, and the
+    // catalog schema still serves the original name
+    val manifest = java.nio.file.Files.readAllLines(
+      Paths.get(root).resolve("manifest.json"))
+    assert(!manifest.toArray(Array.empty[String])
+      .exists(_.startsWith("#rn:")), "evolution commit leaked")
+    assert(ManifestSink.snapshots(root) == gensBefore)
+    assert(spark.sql("SELECT payload FROM graft_cat.lake.evo_atomic " +
+      "WHERE k = 3").head.getString(0) == "v3")
+    // the same two changes applied separately still work (the guard
+    // defers publication, it does not weaken the happy path)
+    cat.alterTable(ident, TableChange.renameColumn(Array("payload"), "body"))
+    assert(spark.sql("SELECT body FROM graft_cat.lake.evo_atomic " +
+      "WHERE k = 3").head.getString(0) == "v3")
+  }
+
   test("a retired name reintroduced after a rewrite refuses the replay " +
       "(vintage ambiguity, code-review r17)") {
     val root = freshRoot("cdf_reuse")
