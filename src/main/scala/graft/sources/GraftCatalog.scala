@@ -323,6 +323,71 @@ object GraftCatalog {
       s.sql("SELECT * FROM graft_cat.lake.cust_call")
     }),
 
+    // DATA-RECLUSTERING REWRITE (r18): a table written UNSORTED (each
+    // slice spans the full key domain, so nothing prunes) re-sorts via
+    // CALL system.rewrite(order_by) into range-disjoint sorted files;
+    // the selective range read back exercises the post-rewrite
+    // envelope pruning, and the oracle pins content unchanged.
+    "q_lake_rewrite_sorted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_rwsort_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      Seq(0L, 1L, 2L).foreach { m =>
+        base.filter(col("c_custkey") % 3 === m).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .mode(if (m == 0L) "overwrite" else "append")
+          .option("path", tmp).option("format", "parquet").save()
+      }
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_rwsort")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_rwsort
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("CALL graft_cat.system.rewrite(table => 'cust_rwsort', " +
+        "order_by => 'c_custkey', target_files => 4)")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_rwsort
+          |WHERE c_custkey BETWEEN 100 AND 400""".stripMargin)
+    }),
+
+    // Z-ORDER REWRITE (r18): the same table re-clusters on the Morton
+    // curve over (c_custkey, bal_cents); a box predicate over BOTH
+    // dimensions reads back — file envelopes bound both ranges at once,
+    // which no single-key sort can.
+    "q_lake_rewrite_zorder" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_rwz_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      Seq(0L, 1L, 2L).foreach { m =>
+        base.filter(col("c_custkey") % 3 === m).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .mode(if (m == 0L) "overwrite" else "append")
+          .option("path", tmp).option("format", "parquet").save()
+      }
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_rwz")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_rwz
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("CALL graft_cat.system.rewrite(table => 'cust_rwz', " +
+        "zorder => 'c_custkey,bal_cents', target_files => 4)")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_rwz
+          |WHERE c_custkey <= 600 AND bal_cents BETWEEN 0 AND 500000""".stripMargin)
+    }),
+
     // SCHEMA EVOLUTION: RENAME COLUMN (r17) — metadata-only; committed
     // files keep their written names and resolve through the alias
     // ledger. The history here exercises every remap surface at once:
@@ -1127,6 +1192,22 @@ object GraftCatalog {
         |FROM customer
         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= 0""".stripMargin,
 
+    // the rewrite only re-clusters: the selective range reads the same
+    // rows the raw parquet serves
+    "q_lake_rewrite_sorted" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey BETWEEN 100 AND 400""".stripMargin,
+
+    // the z-order box predicate reads the same rows too
+    "q_lake_rewrite_zorder" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey <= 600
+        |  AND CAST(round(c_acctbal * 100) AS BIGINT) BETWEEN 0 AND 500000""".stripMargin,
+
     // rename: slice A (even keys) committed first, its negatives
     // tombstoned BEFORE the rename; slice B (odd keys) appended after —
     // output under the live name
@@ -1387,7 +1468,7 @@ class GraftCatalog extends TableCatalog
   /** Resolve a procedure's `table` argument — `lake.name` or bare
     * `name` — to its manifest root via this catalog's definitions.
     */
-  private def tablePath(ref: String): String = {
+  private def tableProps(ref: String): Map[String, String] = {
     // lowercase FIRST so 'LAKE.cust' resolves, and accept an optional
     // leading '<catalogName>.' segment so a fully-qualified
     // 'graft_cat.lake.cust' reference works too (ADVICE r17)
@@ -1397,15 +1478,21 @@ class GraftCatalog extends TableCatalog
       .stripPrefix("lake.")
     val entry = lake.get(key)
     require(entry != null, s"unknown lake table $ref")
-    entry._2.getOrElse("path",
-      throw new IllegalStateException(s"lake table $ref has no path"))
+    entry._2
   }
+
+  private def tablePath(ref: String): String =
+    tableProps(ref).getOrElse("path",
+      throw new IllegalStateException(s"lake table $ref has no path"))
 
   override def loadProcedure(ident: Identifier):
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().sameElements(GraftProcedures.Namespace),
       s"procedures live in the `system` namespace (got $ident)")
-    GraftProcedures.load(ident.name(), tablePath)
+    GraftProcedures.load(ident.name(), tablePath,
+      ref => tableProps(ref).get("partitionBy")
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

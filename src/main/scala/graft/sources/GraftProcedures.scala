@@ -29,16 +29,20 @@ object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "snapshots")
+  val Names: Seq[String] = Seq("compact", "vacuum", "snapshots", "rewrite")
 
   /** Build the named procedure; `pathOf` resolves a table name to its
-    * lake root via the owning catalog.
+    * lake root via the owning catalog, `partitionByOf` its declared
+    * partition columns (the rewrite procedure refuses partitioned
+    * tables — compact owns partition-preserving re-clustering).
     */
-  def load(name: String, pathOf: String => String): UnboundProcedure =
+  def load(name: String, pathOf: String => String,
+      partitionByOf: String => Seq[String] = _ => Seq.empty): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "compact" => new CompactProcedure(pathOf)
       case "vacuum" => new VacuumProcedure(pathOf)
       case "snapshots" => new SnapshotsProcedure(pathOf)
+      case "rewrite" => new RewriteProcedure(pathOf, partitionByOf)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — available: ${Names.mkString(", ")}")
     }
@@ -107,6 +111,59 @@ object GraftProcedures {
       val after = ManifestSink.committedFiles(r).length.toLong
       one(out, before, after,
         ManifestSink.snapshots(r).lastOption.getOrElse(0L))
+    }
+  }
+
+  /** `rewrite(table, order_by='' | zorder='', target_files=4)` — the
+    * data-reclustering rewrite (VERDICT r17 Next #2, the Iceberg
+    * `rewrite_data_files(sort_order => ...)` shape): re-sort a table
+    * into range-disjoint sorted files, or z-order it over 2-3 integral
+    * columns, through [[ManifestSink.rewrite]] (deletes fold, renames
+    * materialize, CAS-protected replace snapshot). Partitioned tables
+    * refuse — `compact(partition_by, order_by)` owns partition-
+    * preserving re-clustering.
+    */
+  private class RewriteProcedure(pathOf: String => String,
+      partitionByOf: String => Seq[String])
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "rewrite"
+    override def description(): String =
+      "re-cluster the table's data files by a sort order (range-disjoint " +
+        "sorted files) or a z-order curve; folds deletes, materializes " +
+        "renames, publishes one replace snapshot"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("order_by", StringType, Some("''")),
+      param("zorder", StringType, Some("''")),
+      param("target_files", IntegerType, Some("4")))
+    private val out = StructType.fromDDL(
+      "files_before BIGINT, files_after BIGINT, generation BIGINT, " +
+        "clustered_by STRING")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableRef = str(input, 0)
+      val r = pathOf(tableRef)
+      def cols(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Seq.empty
+        else input.getUTF8String(i).toString.split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      val orderBy = cols(1)
+      val zorderBy = cols(2)
+      require(orderBy.nonEmpty ^ zorderBy.nonEmpty,
+        "rewrite wants exactly one of order_by / zorder")
+      val parts = partitionByOf(tableRef)
+      require(parts.isEmpty,
+        s"table $tableRef is partitioned on ${parts.mkString(",")} — a " +
+          "global re-sort would demote its partition-purity claims; use " +
+          "CALL system.compact(table, partition_by, order_by) instead")
+      val target = if (input.isNullAt(3)) 4 else input.getInt(3)
+      val spark = SparkSession.active
+      val before = ManifestSink.committedFiles(r).length.toLong
+      ManifestSink.rewrite(spark, r, orderBy, zorderBy, target)
+      val after = ManifestSink.committedFiles(r).length.toLong
+      one(out, before, after,
+        ManifestSink.snapshots(r).lastOption.getOrElse(0L),
+        if (orderBy.nonEmpty) s"order:${orderBy.mkString(",")}"
+        else s"zorder:${zorderBy.mkString(",")}")
     }
   }
 

@@ -925,6 +925,157 @@ object ManifestSink {
      else w3).save()
   }
 
+  /** DATA-RECLUSTERING REWRITE (VERDICT r17 Next #2): the Iceberg
+    * `rewrite_data_files(sort_order => ...)` shape — change the LAYOUT
+    * of a committed table, which [[compact]] cannot (compact restores
+    * file count and partition purity but keeps whatever clustering the
+    * table was written with). Two arms:
+    *
+    *   - `orderBy`: a GLOBAL range re-sort — rows repartitionByRange
+    *     over the sort columns into `targetFiles` tasks, each task's
+    *     file internally sorted (the sink's RequiresDistributionAndOrdering
+    *     write), so files carry DISJOINT [min,max] envelopes and a
+    *     recorded `sorted` claim: point/range queries on the sort key
+    *     prune to one file, and the scan's reported ordering makes
+    *     downstream sorts redundant;
+    *   - `zorderBy` (2-3 integral columns): a Morton-curve re-cluster —
+    *     each column scales into 16 bits off the committed stats
+    *     envelopes (no extra data pass when every file carries bounds),
+    *     bits interleave into a z-key, rows range-partition + sort by
+    *     it, and the key is DROPPED before write. No single-column sort
+    *     claim is recorded (none would be true); the win is that every
+    *     file's per-column envelopes become tight z-cells, so selective
+    *     predicates on ANY of the z columns prune files.
+    *
+    * Shares compact's commit discipline: deletes/position-deletes fold,
+    * renamed columns materialize (ledger clears), format preserved,
+    * blooms re-opted-in, streaming epochs carried, CAS on the base
+    * generation (a concurrent commit fails the rewrite loudly), old
+    * files retire via the atomic snapshot swap and vacuum later.
+    *
+    * PARTITIONED tables are the caller's responsibility to route to
+    * `compact(partitionBy, orderBy)` instead — a global re-sort would
+    * silently demote their purity claims (the CALL procedure refuses).
+    *
+    * Scale shape: one distributed read-shuffle-write job (exactly a
+    * 100 TB table rewrite), plus an O(files) driver pass over recorded
+    * stats; the only data-pass fallback is the z-bounds aggregate when
+    * a file predates stats, and that aggregate is 2·|zorderBy| cells.
+    */
+  def rewrite(spark: org.apache.spark.sql.SparkSession, root: String,
+      orderBy: Seq[String] = Seq.empty, zorderBy: Seq[String] = Seq.empty,
+      targetFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, shiftleft, shiftright}
+    require(orderBy.nonEmpty ^ zorderBy.nonEmpty,
+      "rewrite wants exactly one of order_by / zorder")
+    require(targetFiles >= 1, s"target_files must be >= 1 (got $targetFiles)")
+    val rootP = Paths.get(root)
+    val baseGen = snapshots(root).lastOption.getOrElse(0L)
+    val (schema, files) = readManifest(rootP)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest at $root — nothing to rewrite"))
+    val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+    val stats = fileStats(root)
+    val deletes = liveDeletes(rootP)
+    val posDels = livePosDeletes(rootP)
+    val evoLive = ledgerLines(rootP).exists(ManifestEvolution.isLine)
+    (orderBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown rewrite column $c — schema: ${schema.fieldNames.mkString(",")}"))
+    // idempotent no-op (orderBy arm): every file already claims the
+    // asked order, the file count is at target, and nothing needs
+    // folding — a crash-and-retry converges. The z-order arm has no
+    // recorded claim to check, so an explicit z-rewrite always runs.
+    if (orderBy.nonEmpty && deletes.isEmpty && posDels.isEmpty && !evoLive &&
+        files.size <= targetFiles && names.nonEmpty &&
+        names.forall(n => stats.get(n).exists(_.sorted.startsWith(orderBy))))
+      return
+    val df = readDataFiles(spark, schema, files, deletes, posDels,
+      liveAliases(rootP))
+    val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
+    val bloomCols = derivedBloomCols(names, stats)
+    val epochs = committedEpochs(root)
+
+    val (arranged, claim) =
+      if (orderBy.nonEmpty)
+        (df.repartitionByRange(targetFiles, orderBy.map(df(_)): _*), orderBy)
+      else {
+        require(zorderBy.length >= 2 && zorderBy.length <= 3,
+          s"zorder wants 2-3 columns (got ${zorderBy.length}) — 16 bits " +
+            "per dimension must fit one long")
+        zorderBy.foreach { c =>
+          val dt = schema(c).dataType
+          require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType,
+            s"zorder column $c must be integral (got $dt)")
+        }
+        // bounds from the committed stats envelopes (driver-only); one
+        // 2·|cols|-cell aggregate only when a file predates stats
+        def statsBounds(c: String): Option[(Long, Long)] = {
+          val per = names.map(n => stats.get(n).flatMap { fs =>
+            fs.cols.get(c).flatMap(cs => for { mn <- cs.min; mx <- cs.max }
+              yield (anyToLong(mn), anyToLong(mx)))
+          })
+          if (per.nonEmpty && per.forall(_.isDefined))
+            Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+          else None
+        }
+        lazy val aggRow = df.agg(
+          org.apache.spark.sql.functions.min(col(zorderBy.head)),
+          (zorderBy.tail.flatMap(c => Seq(
+            org.apache.spark.sql.functions.min(col(c)),
+            org.apache.spark.sql.functions.max(col(c)))) :+
+            org.apache.spark.sql.functions.max(col(zorderBy.head))): _*).head()
+        def aggBounds(j: Int): (Long, Long) = {
+          // layout: min(c0), [min(c1),max(c1)], [min(c2),max(c2)], max(c0)
+          val (mnIdx, mxIdx) =
+            if (j == 0) (0, aggRow.length - 1) else (2 * j - 1, 2 * j)
+          if (aggRow.isNullAt(mnIdx) || aggRow.isNullAt(mxIdx)) (0L, 0L)
+          else (anyToLong(aggRow.get(mnIdx)), anyToLong(aggRow.get(mxIdx)))
+        }
+        val d = zorderBy.length
+        val scaled = zorderBy.zipWithIndex.map { case (c, j) =>
+          val (mn, mx) = statsBounds(c).getOrElse(aggBounds(j))
+          val span = math.max(1L, mx - mn)
+          require(span <= Long.MaxValue / 65535L,
+            s"zorder column $c spans $span — too wide to scale into 16 bits")
+          // scale into [0, 65535] in exact LONG arithmetic (`div`, not
+          // `/` — Column division is double and loses precision past
+          // 2^53); nulls cluster at the low edge
+          org.apache.spark.sql.functions.expr(
+            s"CAST((coalesce(`$c`, ${mn}L) - ${mn}L) * 65535 div ${span}L " +
+              "AS BIGINT)")
+        }
+        // Morton interleave: bit i of dimension j lands at z-bit i*d+j
+        // (disjoint bits, so plain sum == bitwise OR); shift/and/multiply
+        // only — whole-stage-codegens (same kernel as LayoutOps.zValue)
+        val zk = (for { i <- 0 until 16; j <- 0 until d } yield
+          shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j))
+          .reduce(_ + _)
+        (df.withColumn("__z", zk)
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z"), Seq.empty[String])
+      }
+
+    val w0 = arranged.write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).option("format", fmt)
+      .option("expectedGen", baseGen.toString)
+    val w1 = if (claim.nonEmpty) w0.option("orderBy", claim.mkString(",")) else w0
+    val w2 = if (bloomCols.nonEmpty)
+      w1.option("bloomFor", bloomCols.mkString(",")) else w1
+    (if (epochs.nonEmpty)
+       w2.option("carryEpochs", epochs.toSeq.sorted.mkString(","))
+     else w2).save()
+  }
+
+  private def anyToLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalStateException(
+      s"non-integral stats bound $other in zorder rewrite")
+  }
+
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
     * orphan-file cleanup pair): keep the newest `retainSnapshots`
     * snapshot manifests plus the live one, delete every data file none
