@@ -35,6 +35,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * along for free.
   */
 object GraftCatalog {
+
+  /** Layout table properties ALTER TABLE SET/UNSET TBLPROPERTIES may
+    * evolve (r18): column-list options validate against the live
+    * schema, numeric knobs must parse positive, deleteMode is an enum.
+    * `path` and `format` stay immutable — re-pointing either would
+    * orphan committed data.
+    */
+  val ColListProps: Set[String] =
+    Set("partitionBy", "clusterBy", "orderBy", "bloomFor")
+  val NumericProps: Set[String] =
+    Set("targetFileBytes", "rowGroupBytes", "targetSplitBytes",
+      "openCostBytes")
+  val LayoutProps: Set[String] = ColListProps ++ NumericProps + "deleteMode"
+
   /** Both rows register the catalog at runtime (a plain session conf —
     * catalogs instantiate lazily) and then speak ONLY SQL: identifier
     * resolution, DDL, DML and scan planning all flow through the
@@ -386,6 +400,39 @@ object GraftCatalog {
         """SELECT c_custkey, c_mktsegment, bal_cents
           |FROM graft_cat.lake.cust_rwz
           |WHERE c_custkey <= 600 AND bal_cents BETWEEN 0 AND 500000""".stripMargin)
+    }),
+
+    // PARTITION-SPEC EVOLUTION (r18): the table starts partitioned by
+    // segment, evolves to band partitioning as a METADATA commit (old
+    // files keep their spec, new files land under the new one), and a
+    // CALL compact under the live spec migrates everything — content
+    // identical throughout, which is exactly what the oracle pins.
+    "q_lake_partition_evolve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_psevo_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          (col("c_custkey").cast("long") % 10L).as("band"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_psevo")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_psevo
+           | (c_custkey BIGINT, c_mktsegment STRING, band BIGINT,
+           |  bal_cents BIGINT)
+           | USING graft PARTITIONED BY (c_mktsegment)
+           | OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      base.filter(col("c_custkey") % 2 === 0L)
+        .writeTo("graft_cat.lake.cust_psevo").append()
+      s.sql("ALTER TABLE graft_cat.lake.cust_psevo " +
+        "SET TBLPROPERTIES ('partitionBy' = 'band')")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .writeTo("graft_cat.lake.cust_psevo").append()
+      s.sql("CALL graft_cat.system.compact(table => 'cust_psevo', " +
+        "partition_by => 'band', order_by => 'c_custkey')")
+      s.sql("SELECT * FROM graft_cat.lake.cust_psevo")
     }),
 
     // SCHEMA EVOLUTION: RENAME COLUMN (r17) — metadata-only; committed
@@ -1208,6 +1255,13 @@ object GraftCatalog {
         |WHERE c_custkey <= 600
         |  AND CAST(round(c_acctbal * 100) AS BIGINT) BETWEEN 0 AND 500000""".stripMargin,
 
+    // partition-spec evolution + migration never touch row content
+    "q_lake_partition_evolve" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(c_custkey % 10 AS BIGINT) AS band,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer""".stripMargin,
+
     // rename: slice A (even keys) committed first, its negatives
     // tombstoned BEFORE the rename; slice B (odd keys) appended after —
     // output under the live name
@@ -1872,9 +1926,52 @@ class GraftCatalog extends TableCatalog
             (StructType(s.fields.filterNot(_.name == colName)), p)
         }
 
+      // PARTITION-SPEC / LAYOUT EVOLUTION (r18, VERDICT r17 Next #3):
+      // `ALTER TABLE ... SET TBLPROPERTIES` re-points the table's
+      // layout options as a metadata commit — no data rewrite.
+      // partitionBy is the headline: NEW files land under the new
+      // spec while committed files keep the one they were written
+      // under, and correctness needs no per-file spec ledger because
+      // the scan VERIFIES purity from each file's own stats instead of
+      // assuming the declared spec — a mixed-vintage table degrades
+      // honestly to UnknownPartitioning (envelope pruning still prunes
+      // every file under its own layout) and a compaction under the
+      // live spec migrates all files and restores the KeyGrouped/SPJ
+      // claims (spec-pinned in PartitionEvolutionSpec). A `#ps:` ledger
+      // line records the change in the manifest history for
+      // inspection; the catalog property is the live source of truth.
+      case ((s, p), set: TableChange.SetProperty)
+          if GraftCatalog.LayoutProps.contains(set.property()) =>
+        val k = set.property()
+        val v = set.value()
+        if (GraftCatalog.ColListProps.contains(k)) {
+          val cols = v.split(",").iterator.map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          cols.foreach(c => require(s.fieldNames.contains(c),
+            s"cannot set $k to missing column $c — schema: " +
+              s"${s.fieldNames.mkString(",")}"))
+          if (k == "partitionBy" && hasManifest)
+            pending += ((s, s"#ps:${cols.mkString(",")}"))
+          (s, if (cols.isEmpty) p - k else p + (k -> cols.mkString(",")))
+        } else if (GraftCatalog.NumericProps.contains(k)) {
+          require(v.toLongOption.exists(_ > 0L),
+            s"table property $k wants a positive long (got '$v')")
+          (s, p + (k -> v))
+        } else { // deleteMode
+          require(Seq("cow", "mor").contains(v),
+            s"deleteMode must be 'cow' or 'mor' (got '$v')")
+          (s, p + (k -> v))
+        }
+      case ((s, p), rm: TableChange.RemoveProperty)
+          if GraftCatalog.LayoutProps.contains(rm.property()) =>
+        if (rm.property() == "partitionBy" && hasManifest)
+          pending += ((s, "#ps:"))
+        (s, p - rm.property())
+
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other (supported: top-level " +
-          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
+          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN, and SET/UNSET " +
+          s"TBLPROPERTIES of ${GraftCatalog.LayoutProps.mkString("/")})")
     }
     // every change validated — publish the evolution commits and the
     // catalog entry together (one commit per ledger line, in change
