@@ -402,6 +402,61 @@ object GraftCatalog {
           |WHERE c_custkey <= 600 AND bal_cents BETWEEN 0 AND 500000""".stripMargin)
     }),
 
+    // COST-BASED JOIN REORDER ON LAKE NDV STATS (r18): three lake
+    // tables whose syntactic join order is wrong by ~100x — the KMV
+    // sketches in the stats lines serve distinctCount to the CBO and
+    // the reorder flips (plan shape pinned in CboStatsSpec); the oracle
+    // pins that the reordered plan still answers exactly.
+    "q_lake_cbo_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      def mk(name: String, df: org.apache.spark.sql.DataFrame,
+          ddl: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_lake_cbo_${name}_")
+          .toFile.getAbsolutePath
+        df.coalesce(1).write.format("graft.sources.ManifestSink")
+          .mode("overwrite").option("path", tmp)
+          .option("format", "parquet").save()
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.lake.$name")
+        s.sql(s"CREATE TABLE graft_cat.lake.$name ($ddl) USING graft " +
+          s"OPTIONS (path '$tmp', format 'parquet')")
+      }
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("ck"),
+          (col("c_custkey").cast("long") % 10L).as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      mk("cbo_fact", base.select(col("seg").as("fa"), col("ck").as("fb"),
+        col("cents").as("payload")), "fa BIGINT, fb BIGINT, payload BIGINT")
+      // A's duplication is CONSTANT (first 200 keys -> ~20 rows per seg
+      // value) so the row's output stays O(|B|) at every SF, while the
+      // F><A estimate still dwarfs F><B by ~3 orders of magnitude
+      mk("cbo_dima", base.filter(col("ck") <= 200L)
+        .select(col("seg").as("aa"), col("ck").as("apay")),
+        "aa BIGINT, apay BIGINT")
+      // B is SELECTIVE (1% of keys): joining it first keeps the
+      // intermediate ~1% of the syntactic order's — the flip the CBO
+      // must find, and what bounds this row's output
+      mk("cbo_dimb", base.filter(col("ck") % 97L === 0L)
+        .select(col("ck").as("bb"), col("cents").as("bpay")),
+        "bb BIGINT, bpay BIGINT")
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+      keys.foreach(s.conf.set(_, "true"))
+      try {
+        val df = s.sql(
+          """SELECT f.fa, f.fb, a.apay, b.bpay
+            |FROM graft_cat.lake.cbo_fact f
+            |JOIN graft_cat.lake.cbo_dima a ON f.fa = a.aa
+            |JOIN graft_cat.lake.cbo_dimb b ON f.fb = b.bb""".stripMargin)
+        df.queryExecution.executedPlan // freeze the reordered plan
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // PARTITION-SPEC EVOLUTION (r18): the table starts partitioned by
     // segment, evolves to band partitioning as a METADATA commit (old
     // files keep their spec, new files land under the new one), and a
@@ -1254,6 +1309,19 @@ object GraftCatalog {
         |FROM customer
         |WHERE c_custkey <= 600
         |  AND CAST(round(c_acctbal * 100) AS BIGINT) BETWEEN 0 AND 500000""".stripMargin,
+
+    // the cost-based reorder changes the plan, never the answer: the
+    // join algebra over the same three projections
+    "q_lake_cbo_join" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |  CAST(c_custkey % 10 AS BIGINT) AS seg,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)
+        |SELECT f.fa, f.fb, a.apay, b.bpay
+        |FROM (SELECT seg AS fa, ck AS fb, cents AS payload FROM c) f
+        |JOIN (SELECT seg AS aa, ck AS apay FROM c
+        |      WHERE ck <= 200) a ON f.fa = a.aa
+        |JOIN (SELECT ck AS bb, cents AS bpay FROM c
+        |      WHERE ck % 97 = 0) b ON f.fb = b.bb""".stripMargin,
 
     // partition-spec evolution + migration never touch row content
     "q_lake_partition_evolve" ->

@@ -201,7 +201,73 @@ object ManifestMeta {
     * zone maps prune nothing (the parquet-bloom/Iceberg shape).
     */
   case class ColStats(min: Option[Any], max: Option[Any], nulls: Long,
-      sum: Option[Long] = None, bloom: Option[Bloom] = None)
+      sum: Option[Long] = None, bloom: Option[Bloom] = None,
+      /** K-MINIMUM-VALUES distinct sketch (r18, VERDICT r17 Next #6):
+        * the [[Kmv.K]] smallest distinct splitmix hashes of the
+        * column's non-null values, unsigned-sorted. Mergeable across
+        * files (union, keep K smallest), so the scan can serve a
+        * distinct-count estimate to Spark's CBO without touching data;
+        * fewer than K entries means the count is EXACT. None = the file
+        * predates sketches or the column's type/poisoning precludes one.
+        */
+      kmv: Option[Seq[Long]] = None)
+
+  /** The KMV distinct-count kernel shared by writer (track), envelope
+    * fold (merge) and scan statistics (estimate). RSE ≈ 1/√(K−2) ≈ 18%
+    * at K = 32 — comfortably inside what join reordering needs, at 256
+    * metadata bytes per column per file.
+    */
+  object Kmv {
+    val K = 32
+    private val TwoPow64 = 1.8446744073709552E19
+
+    def newSet(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long](
+        new java.util.Comparator[java.lang.Long] {
+          override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+            java.lang.Long.compareUnsigned(a, b)
+        })
+
+    /** Bounded insert: the set holds the K unsigned-smallest distinct
+      * hashes seen so far.
+      */
+    def track(set: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+      if (set.size() < K) { set.add(h); () }
+      else {
+        val max = set.last()
+        if (java.lang.Long.compareUnsigned(h, max) < 0 && set.add(h)) {
+          set.remove(max); ()
+        }
+      }
+    }
+
+    /** Union of per-file sketches, re-bounded to the K smallest. */
+    def merge(sketches: Seq[Seq[Long]]): Seq[Long] = {
+      val set = newSet()
+      sketches.foreach(_.foreach(track(set, _)))
+      toSeq(set)
+    }
+
+    def toSeq(set: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val b = Seq.newBuilder[Long]
+      val it = set.iterator()
+      while (it.hasNext) b += it.next().longValue()
+      b.result()
+    }
+
+    /** Distinct-count estimate of an unsigned-sorted sketch: exact below
+      * K entries, else the standard (K−1)/R estimator with R = the Kth
+      * smallest hash as a fraction of the hash space.
+      */
+    def estimate(sketch: Seq[Long]): Long =
+      if (sketch.size < K) sketch.size.toLong
+      else {
+        val kth = sketch.last
+        val u = if (kth >= 0L) kth.toDouble else kth.toDouble + TwoPow64
+        val f = math.max(u / TwoPow64, 1e-18)
+        math.max(K.toLong, ((K - 1).toDouble / f).toLong)
+      }
+  }
 
   /** A sized split-bloom: `bits` is a power of two, `k` probes via
     * double hashing. Sized at seal time from the tracked distinct-hash
@@ -310,6 +376,7 @@ object ManifestMeta {
       k -> (Map[String, Any]("nulls" -> c.nulls) ++
         c.min.map("min" -> _) ++ c.max.map("max" -> _) ++
         c.sum.map("sum" -> _) ++
+        c.kmv.map("kmv" -> _) ++
         c.bloom.map(bl => "bloom" -> Map[String, Any]("k" -> bl.k.toLong,
           "b64" -> java.util.Base64.getEncoder.encodeToString(bl.bits))))
     }
@@ -332,7 +399,9 @@ object ManifestMeta {
             val bm = b.asInstanceOf[Map[String, Any]]
             Bloom(bm("k").asInstanceOf[Long].toInt,
               java.util.Base64.getDecoder.decode(bm("b64").asInstanceOf[String]))
-          })
+          },
+          cm.get("kmv").map(_.asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Long])))
       }
     val sorted = m.get("sorted").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
@@ -404,7 +473,17 @@ object ManifestMeta {
             val big = valued.map(e => BigInt(e.sum.get)).sum
             if (big.isValidLong) Some(big.toLong) else None
           } else None
-        Some(c -> ColStats(bounds.map(_._1), bounds.map(_._2), nulls, sum))
+        // KMV sketches MERGE (union, K smallest): a file without the
+        // column holds only nulls there and contributes nothing; a file
+        // missing the sketch (pre-r18 stats, poisoned column) makes the
+        // envelope's distinct count unknown
+        val withCol = perFile.collect { case (Some(e), _) => e }
+        val kmv: Option[Seq[Long]] =
+          if (withCol.forall(_.kmv.isDefined))
+            Some(Kmv.merge(withCol.map(_.kmv.get)))
+          else None
+        Some(c -> ColStats(bounds.map(_._1), bounds.map(_._2), nulls, sum,
+          None, kmv))
       }
     }.toMap
     FileStats(rows, cols, Seq.empty, bytes)
@@ -634,6 +713,15 @@ object ManifestMeta {
         else null
       }.toArray
     private val bloomDropped = new Array[Boolean](n)
+    // ALWAYS-ON KMV distinct sketches (r18): K unsigned-smallest
+    // distinct value hashes per supported column — O(1) amortized per
+    // cell (a full set rejects most hashes on one unsigned compare),
+    // 256 bytes per column in the stats line. Feeds the scan's CBO
+    // column statistics; a poisoned column drops its sketch with its
+    // bounds (observe skips poisoned columns, so a kept sketch would
+    // silently miss values).
+    private val kmvSets: Array[java.util.TreeSet[java.lang.Long]] =
+      tag.map(t => if (t != 4) Kmv.newSet() else null)
     private def trackBloom(i: Int, h: Long): Unit = {
       val set = bloomSets(i)
       if (set != null && !bloomDropped(i)) {
@@ -673,7 +761,9 @@ object ManifestMeta {
             if (!sumOverflow(i))
               try sums(i) = Math.addExact(sums(i), v)
               catch { case _: ArithmeticException => sumOverflow(i) = true }
-            if (bloomSets(i) != null) trackBloom(i, Bloom.hashLong(v))
+            val h = Bloom.hashLong(v)
+            Kmv.track(kmvSets(i), h)
+            if (bloomSets(i) != null) trackBloom(i, h)
           case 2 =>
             // -0.0 normalizes to 0.0 (ADVICE r15): Spark groups signed
             // zeros as one value, so recorded bounds/purity keys must
@@ -687,15 +777,21 @@ object ManifestMeta {
             // poison the column's bounds (code-review r15)
             if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
               poisoned(i) = true
-            else if (!seen(i)) { dblMin(i) = v; dblMax(i) = v; seen(i) = true }
             else {
-              if (v < dblMin(i)) dblMin(i) = v
-              if (v > dblMax(i)) dblMax(i) = v
+              Kmv.track(kmvSets(i),
+                Bloom.hashLong(java.lang.Double.doubleToLongBits(v)))
+              if (!seen(i)) { dblMin(i) = v; dblMax(i) = v; seen(i) = true }
+              else {
+                if (v < dblMin(i)) dblMin(i) = v
+                if (v > dblMax(i)) dblMax(i) = v
+              }
             }
           case 3 =>
             val v = row.getUTF8String(i)
+            val h = Bloom.hashBytes(v.getBytes)
+            Kmv.track(kmvSets(i), h)
             if (bloomSets(i) != null)
-              trackBloom(i, Bloom.hashBytes(v.getBytes))
+              trackBloom(i, h)
             // an oversize string poisons min/max AND the bloom: the
             // poisoned branch skips this whole case from here on, so a
             // kept bloom would silently miss later values — unsound
@@ -735,7 +831,10 @@ object ManifestMeta {
               !bloomSets(i).isEmpty)
             Some(Bloom.build(bloomSets(i)))
           else None
-        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i), sm, bl)
+        val kv: Option[Seq[Long]] =
+          if (kmvSets(i) != null && !poisoned(i)) Some(Kmv.toSeq(kmvSets(i)))
+          else None
+        f.name -> ColStats(mm.map(_._1), mm.map(_._2), nulls(i), sm, bl, kv)
       }.toMap
       FileStats(rowCount, cols, sorted)
     }

@@ -858,6 +858,43 @@ class ManifestScan(path: String,
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
       rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+    // COLUMN STATISTICS to the CBO (r18, VERDICT r17 Next #6): per-file
+    // KMV sketches merge across the kept files (union, K smallest) into
+    // a distinct-count estimate, plus the exact null count — translated
+    // by Spark's transformV2Stats into logical column stats, so
+    // CostBasedJoinReorder can order two-lake-table joins by estimated
+    // cardinality instead of defaults. Served only when EVERY kept file
+    // sketches the column (a gap would silently undercount); O(kept
+    // files × K) driver work per required column, no data touched.
+    override def columnStats():
+        util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (deletes.nonEmpty || posDeletes.nonEmpty ||
+          !files.forall(_._2.isDefined)) return out
+      val fss = files.map(_._2.get)
+      required.fields.foreach { f =>
+        val per = fss.map(s => (s.cols.get(f.name), s.rows))
+        // a file lacking the entry predates the column: all-null there
+        val nullTotal = per.map { case (e, r) =>
+          e.map(_.nulls).getOrElse(r) }.sum
+        val sketches = per.collect { case (Some(e), _) => e.kmv }
+        if (sketches.forall(_.isDefined)) {
+          val ndv = ManifestMeta.Kmv.estimate(
+            ManifestMeta.Kmv.merge(sketches.map(_.get)))
+          out.put(Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                util.OptionalLong.of(ndv)
+              override def nullCount(): util.OptionalLong =
+                util.OptionalLong.of(nullTotal)
+            })
+        }
+      }
+      out
+    }
   }
 }
 

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestMeta, ManifestSink}
+
+/** COLUMN NDV STATISTICS TO THE CBO (r18, VERDICT r17 Next #6): every
+  * committed file's stats line carries a K-minimum-values distinct
+  * sketch per column; the scan merges the kept files' sketches and
+  * serves distinctCount/nullCount through SupportsReportStatistics
+  * column stats, which Spark translates into logical attribute stats —
+  * so cost-based join reordering over lake tables runs on real
+  * cardinalities instead of defaults.
+  */
+class CboStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s
+  }
+
+  private def freshRoot(tag: String): String = {
+    val p = Paths.get(s"/tmp/graft_cbo_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
+  test("KMV kernel: exact below K, ~18% RSE above, merge dedups") {
+    import ManifestMeta.{Bloom, Kmv}
+    // exact: 20 distinct values -> sketch holds all 20
+    val small = Kmv.newSet()
+    (0 until 100).foreach(i => Kmv.track(small, Bloom.hashLong(i % 20)))
+    assert(Kmv.estimate(Kmv.toSeq(small)) == 20L)
+    // estimated: 10_000 distinct longs within 40%
+    val big = Kmv.newSet()
+    (0 until 10000).foreach(i => Kmv.track(big, Bloom.hashLong(i)))
+    val est = Kmv.estimate(Kmv.toSeq(big))
+    assert(est > 6000L && est < 14000L, s"NDV(10000) estimated $est")
+    // merge: two overlapping sketches of the same domain estimate once
+    val a = Kmv.newSet(); val b = Kmv.newSet()
+    (0 until 5000).foreach(i => Kmv.track(a, Bloom.hashLong(i)))
+    (2500 until 7500).foreach(i => Kmv.track(b, Bloom.hashLong(i)))
+    val merged = Kmv.estimate(Kmv.merge(Seq(Kmv.toSeq(a), Kmv.toSeq(b))))
+    assert(merged > 4500L && merged < 10500L, s"NDV(7500) merged $merged")
+  }
+
+  test("committed stats lines carry mergeable sketches; small domains " +
+      "are exact across files") {
+    import spark.implicits._
+    val root = freshRoot("lines")
+    (0 until 2).foreach { m =>
+      (0 until 200).filter(_ % 2 == m)
+        .map(k => (k.toLong, (k % 7).toLong, s"g${k % 5}"))
+        .toDF("k", "seven", "grp")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode(if (m == 0) "overwrite" else "append")
+        .option("path", root).option("format", "parquet").save()
+    }
+    val stats = ManifestSink.fileStats(root)
+    assert(stats.size == 2)
+    assert(stats.values.forall(_.cols("seven").kmv.isDefined))
+    // per-file AND merged: 'seven' has 7 distinct, 'grp' 5 — exact
+    import ManifestMeta.Kmv
+    def merged(c: String): Long = Kmv.estimate(
+      Kmv.merge(stats.values.map(_.cols(c).kmv.get).toSeq))
+    assert(merged("seven") == 7L)
+    assert(merged("grp") == 5L)
+    // the envelope fold merges sketches too
+    val env = ManifestMeta.envelope(stats.values.toSeq)
+    assert(env.cols("seven").kmv.isDefined)
+    assert(Kmv.estimate(env.cols("seven").kmv.get) == 7L)
+  }
+
+  test("the scan serves distinctCount to logical attribute stats") {
+    import spark.implicits._
+    val root = freshRoot("attr")
+    (0 until 300).map(k => (k.toLong, (k % 9).toLong)).toDF("k", "nine")
+      .coalesce(2).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.cbo_attr")
+    spark.sql("CREATE TABLE graft_cat.lake.cbo_attr (k BIGINT, nine BIGINT) " +
+      s"USING graft OPTIONS (path '$root', format 'parquet')")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val plan = spark.table("graft_cat.lake.cbo_attr")
+        .queryExecution.optimizedPlan
+      val stats = plan.stats
+      assert(stats.rowCount.contains(BigInt(300)))
+      val nine = plan.output.find(_.name == "nine").get
+      val colStat = stats.attributeStats.get(nine)
+      assert(colStat.exists(_.distinctCount.contains(BigInt(9))),
+        s"expected ndv 9 for 'nine', got $colStat")
+      assert(colStat.exists(_.nullCount.contains(BigInt(0))))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("cost-based join reorder flips the join order on lake NDV stats") {
+    import spark.implicits._
+    // F.a has NDV 10 against A (1000 rows, a also NDV 10): estimated
+    // F><A blows up to ~100k rows. F.b and B.b have NDV 1000: F><B
+    // stays ~1000. Syntactically F JOIN A JOIN B; a cost-based reorder
+    // must join B first — and only the KMV-backed column stats can
+    // tell it so.
+    def mk(name: String, tag: String, df: org.apache.spark.sql.DataFrame,
+        ddl: String): Unit = {
+      val root = freshRoot(tag)
+      df.coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", root)
+        .option("format", "parquet").save()
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.lake.$name")
+      spark.sql(s"CREATE TABLE graft_cat.lake.$name ($ddl) USING graft " +
+        s"OPTIONS (path '$root', format 'parquet')")
+    }
+    mk("cbo_f", "f", (0 until 1000)
+      .map(i => ((i % 10).toLong, i.toLong, i.toLong * 3L))
+      .toDF("fa", "fb", "payload"), "fa BIGINT, fb BIGINT, payload BIGINT")
+    mk("cbo_a", "a", (0 until 1000).map(i => ((i % 10).toLong, i.toLong))
+      .toDF("aa", "apay"), "aa BIGINT, apay BIGINT")
+    mk("cbo_b", "b", (0 until 1000).map(i => (i.toLong, i.toLong))
+      .toDF("bb", "bpay"), "bb BIGINT, bpay BIGINT")
+    val q = """SELECT f.payload, a.apay, b.bpay
+              |FROM graft_cat.lake.cbo_f f
+              |JOIN graft_cat.lake.cbo_a a ON f.fa = a.aa
+              |JOIN graft_cat.lake.cbo_b b ON f.fb = b.bb""".stripMargin
+    /** The join key referenced by the INNERMOST join of the optimized
+      * logical plan — the first join executed in a left-deep tree.
+      */
+    def innermostKeys(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val inner = joins.last // collect is pre-order; last = deepest
+      inner.condition.toSeq.flatMap(_.references.map(_.name)).toSet
+    }
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = innermostKeys(spark.sql(q).queryExecution.optimizedPlan)
+      assert(off == Set("fa", "aa"),
+        s"without CBO the syntactic order joins A first: $off")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = spark.sql(q)
+      val on = innermostKeys(df.queryExecution.optimizedPlan)
+      assert(on == Set("fb", "bb"),
+        s"CBO + NDV stats must join the selective B first: $on")
+      // the reordered plan still answers exactly
+      assert(df.count() == 100000L) // 1000 F rows x 100 A dups x 1 B row
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
