@@ -874,22 +874,39 @@ class ManifestScan(path: String,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (deletes.nonEmpty || posDeletes.nonEmpty ||
           !files.forall(_._2.isDefined)) return out
-      val fss = files.map(_._2.get)
+      // the SAME conservative cross-file fold the segment envelopes use:
+      // exact nulls, union bounds (absent unless every value-holding
+      // file has them), merged KMV (absent unless every file sketches)
+      val env = ManifestMeta.envelope(files.map(_._2.get))
       required.fields.foreach { f =>
-        val per = fss.map(s => (s.cols.get(f.name), s.rows))
-        // a file lacking the entry predates the column: all-null there
-        val nullTotal = per.map { case (e, r) =>
-          e.map(_.nulls).getOrElse(r) }.sum
-        val sketches = per.collect { case (Some(e), _) => e.kmv }
-        if (sketches.forall(_.isDefined)) {
-          val ndv = ManifestMeta.Kmv.estimate(
-            ManifestMeta.Kmv.merge(sketches.map(_.get)))
+        env.cols.get(f.name).filter(_.kmv.isDefined).foreach { c =>
+          val ndv = ManifestMeta.Kmv.estimate(c.kmv.get)
+          // min/max as the CATALYST external value of the column type —
+          // numeric only (FilterEstimation's range math wants numbers;
+          // string bounds buy nothing there)
+          def asTyped(v: Any): Option[Object] = (f.dataType, v) match {
+            case (org.apache.spark.sql.types.LongType, l: Long) =>
+              Some(java.lang.Long.valueOf(l))
+            case (org.apache.spark.sql.types.IntegerType, l: Long) =>
+              Some(java.lang.Integer.valueOf(l.toInt))
+            case (org.apache.spark.sql.types.DoubleType, d: Double) =>
+              Some(java.lang.Double.valueOf(d))
+            case _ => None
+          }
+          val mn = c.min.flatMap(asTyped)
+          val mx = c.max.flatMap(asTyped)
           out.put(Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): util.OptionalLong =
                 util.OptionalLong.of(ndv)
               override def nullCount(): util.OptionalLong =
-                util.OptionalLong.of(nullTotal)
+                util.OptionalLong.of(c.nulls)
+              override def min(): java.util.Optional[Object] =
+                mn.map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mx.map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
             })
         }
       }

@@ -100,6 +100,17 @@ class CboStatsSpec extends AnyFunSuite {
       assert(colStat.exists(_.distinctCount.contains(BigInt(9))),
         s"expected ndv 9 for 'nine', got $colStat")
       assert(colStat.exists(_.nullCount.contains(BigInt(0))))
+      // range bounds reach the attribute stats too (numeric columns),
+      // so FilterEstimation can size range predicates
+      assert(colStat.exists(_.min.contains(0L)), s"min missing: $colStat")
+      assert(colStat.exists(_.max.contains(8L)), s"max missing: $colStat")
+      // and a selective range filter's estimated cardinality shrinks
+      val filtered = spark.table("graft_cat.lake.cbo_attr")
+        .filter(org.apache.spark.sql.functions.col("nine") < 3L)
+        .queryExecution.optimizedPlan
+      val est = filtered.stats.rowCount
+      assert(est.exists(rc => rc > BigInt(0) && rc < BigInt(200)),
+        s"range filter must estimate well under 300 rows, got $est")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
