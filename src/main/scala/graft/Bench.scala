@@ -533,7 +533,12 @@ object Bench {
     // sum). A genuine regression re-runs slow -> healed=false, and the
     // pair PROVES it reproduced; a haunted reading heals and can no
     // longer distort the official number.
-    val rerunOn = sys.env.getOrElse("SPARK_GRAFT_RERUN", "true").toBoolean
+    // under a synthetic stress window the slow readings ARE the point —
+    // healing them would erase the effect the run was set up to measure
+    // (code-review r18) — so stress mode defaults adjudication OFF
+    // unless explicitly re-enabled
+    val rerunOn = sys.env.get("SPARK_GRAFT_RERUN").map(_.toBoolean)
+      .getOrElse(stressSpec.isEmpty)
     val flaggedForRerun = if (!rerunOn) Seq.empty else results.filter { r =>
       r.ok && anchors.get(r.name).exists(a => r.wall > 3 * a && r.wall > 2.0)
     }

@@ -73,8 +73,7 @@ class GraftChanges extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ChangesTable(properties.get("path"), schema,
-      GraftChanges.resolveStartingGen(properties.get("path"),
-        k => Option(properties.get(k))),
+      GraftChanges.startSpec(k => Option(properties.get(k))),
       Option(properties.get("gensPerBatch")).map(_.toInt).getOrElse(1))
 }
 
@@ -82,38 +81,56 @@ object GraftChanges {
   val ChangeType = "_change_type"
   val CommitGen = "_commit_gen"
 
-  /** Starting generation from the feed options — either `startingGen`
-    * directly, or `startingTimestamp` (epoch millis) resolved through
-    * the `#t:` commit instants to the LATEST retained generation whose
-    * commit is at or before the asked instant — the SAME boundary rule
-    * as TIMESTAMP AS OF (a timestamp exactly on a commit instant treats
-    * that commit as starting STATE, so its changes do not replay). A
-    * timestamp before every retained commit refuses LOUDLY with the
-    * available window (VERDICT r17 Next #4): retention may have expired
-    * the history the consumer is asking for, and silently starting at
-    * the earliest retained state would skip changes. A full replay from
-    * the empty table remains explicit: `startingGen = 0`.
+  /** The feed's starting point as given: a generation, a timestamp
+    * (epoch millis), or neither (gen 0 = full replay). Mutual exclusion
+    * checked here; TIMESTAMP resolution is deliberately DEFERRED — see
+    * [[resolveStartingGen]].
     */
-  def resolveStartingGen(path: String,
-      opt: String => Option[String]): Long = {
-    val sg = opt("startingGen")
-    val st = opt("startingTimestamp")
-    require(sg.isEmpty || st.isEmpty,
+  case class StartSpec(gen: Option[Long], tsMillis: Option[Long]) {
+    require(gen.isEmpty || tsMillis.isEmpty,
       "set either startingGen or startingTimestamp on the changes feed, " +
         "not both")
-    st match {
-      case Some(t) =>
-        val ts = t.toLong
-        val ledger = ManifestSink.snapshotTimestamps(path)
-        ledger.filter(_._2 <= ts).lastOption.map(_._1).getOrElse(
-          throw new IllegalArgumentException(
-            s"startingTimestamp ${ts}ms precedes every retained commit " +
-              s"of $path — history before it may be expired; available " +
-              "instants: " + ledger.map { case (g, m) =>
-                s"gen $g @ ${m}ms" }.mkString(", ") +
-              ". For a full replay from the empty table use startingGen=0."))
-      case None => sg.map(_.toLong).getOrElse(0L)
-    }
+  }
+
+  def startSpec(opt: String => Option[String]): StartSpec =
+    StartSpec(opt("startingGen").map(_.toLong),
+      opt("startingTimestamp").map(_.toLong))
+
+  /** Resolve a [[StartSpec]] to a starting generation through the `#t:`
+    * commit instants: the LATEST retained generation whose commit is at
+    * or before the asked instant — the SAME boundary rule as TIMESTAMP
+    * AS OF (a timestamp exactly on a commit instant is starting STATE,
+    * so its changes do not replay).
+    *
+    * STRICT mode (a FRESH stream's initialOffset): a timestamp before
+    * every retained commit refuses LOUDLY — retention may have expired
+    * the history the consumer asked for, and silently starting at the
+    * earliest retained state would skip changes (a full replay from the
+    * empty table stays explicit: `startingGen = 0`).
+    *
+    * LENIENT mode (stream construction): the same pre-history timestamp
+    * resolves to 0 instead. A CHECKPOINTED restart never calls
+    * initialOffset — its position is the offset log — so construction
+    * must not fail just because vacuum has since expired the commits at
+    * or before the original timestamp (code-review r18); the lenient
+    * floor only scopes the evolution-ledger accumulation, and 0 is
+    * exact there: every retained generation postdates the expired
+    * start, so the filtered range is identical.
+    */
+  def resolveStartingGen(path: String, spec: StartSpec,
+      strict: Boolean): Long = spec.tsMillis match {
+    case Some(ts) =>
+      val ledger = ManifestSink.snapshotTimestamps(path)
+      ledger.filter(_._2 <= ts).lastOption.map(_._1).getOrElse {
+        if (!strict) 0L
+        else throw new IllegalArgumentException(
+          s"startingTimestamp ${ts}ms precedes every retained commit " +
+            s"of $path — history before it may be expired; available " +
+            "instants: " + ledger.map { case (g, m) =>
+              s"gen $g @ ${m}ms" }.mkString(", ") +
+            ". For a full replay from the empty table use startingGen=0.")
+      }
+    case None => spec.gen.getOrElse(0L)
   }
 
   /** Data schema + the two change columns (always last, Delta's CDF
@@ -129,8 +146,8 @@ object GraftChanges {
   }
 }
 
-class ChangesTable(path: String, feedSchema: StructType, startingGen: Long,
-    gensPerBatch: Int = 1)
+class ChangesTable(path: String, feedSchema: StructType,
+    start: GraftChanges.StartSpec, gensPerBatch: Int = 1)
     extends Table with SupportsRead {
   override def name(): String = s"graft_changes($path)"
   override def schema(): StructType = feedSchema
@@ -140,13 +157,13 @@ class ChangesTable(path: String, feedSchema: StructType, startingGen: Long,
     new ChangesScanBuilder(path, feedSchema,
       if (options.containsKey("startingGen") ||
           options.containsKey("startingTimestamp"))
-        GraftChanges.resolveStartingGen(path, k => Option(options.get(k)))
-      else startingGen,
+        GraftChanges.startSpec(k => Option(options.get(k)))
+      else start,
       Option(options.get("gensPerBatch")).map(_.toInt).getOrElse(gensPerBatch))
 }
 
 class ChangesScanBuilder(path: String, feedSchema: StructType,
-    startingGen: Long, gensPerBatch: Int = 1)
+    start: GraftChanges.StartSpec, gensPerBatch: Int = 1)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = feedSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -156,18 +173,18 @@ class ChangesScanBuilder(path: String, feedSchema: StructType,
   override def build(): Scan = {
     val data = StructType(feedSchema.fields.filter(f =>
       f.name != GraftChanges.ChangeType && f.name != GraftChanges.CommitGen))
-    new ChangesScan(path, data, required, startingGen, gensPerBatch)
+    new ChangesScan(path, data, required, start, gensPerBatch)
   }
 }
 
 class ChangesScan(path: String, dataSchema: StructType, required: StructType,
-    startingGen: Long, gensPerBatch: Int = 1) extends Scan {
+    start: GraftChanges.StartSpec, gensPerBatch: Int = 1) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftChangesScan(path=$path, from=$startingGen)"
+    s"GraftChangesScan(path=$path, from=$start)"
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestChangesStream(path, dataSchema, required, startingGen,
+    new ManifestChangesStream(path, dataSchema, required, start,
       gensPerBatch)
 }
 
@@ -184,7 +201,7 @@ case class ChangeFeedPartition(file: String, gen: Long, insert: Boolean,
     newPreds: Seq[Filter], newPosFiles: Seq[String]) extends InputPartition
 
 class ManifestChangesStream(path: String, dataSchema: StructType,
-    required: StructType, startingGen: Long,
+    required: StructType, start: GraftChanges.StartSpec,
     /** CATCH-UP THROUGHPUT (r17): generations admitted per micro-batch.
       * The default 1 keeps commit boundaries = batch boundaries (the
       * CDC contract); a long-history replay can raise it — the window
@@ -200,6 +217,14 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
   require(gensPerBatch >= 1, s"gensPerBatch must be >= 1 (got $gensPerBatch)")
 
   private val rootP: Path = Paths.get(path)
+
+  // LENIENT at construction (one O(retained) resolution, not two —
+  // code-review r18): a checkpointed restart resumes from the offset
+  // log and must survive vacuum having expired the commits at or
+  // before an original startingTimestamp; only a FRESH start
+  // (initialOffset below) insists the timestamp still resolves.
+  private val startingGen: Long =
+    GraftChanges.resolveStartingGen(path, start, strict = false)
 
   /** Resolved manifest lines of snapshot `gen`, schema header dropped
     * (empty for gen 0 = before the first commit). LOUD on expiry.
@@ -259,7 +284,8 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
 
   private def gens: Seq[Long] = ManifestSink.snapshots(path)
 
-  override def initialOffset(): Offset = SnapshotOffset(startingGen)
+  override def initialOffset(): Offset = SnapshotOffset(
+    GraftChanges.resolveStartingGen(path, start, strict = true))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is the entry point")

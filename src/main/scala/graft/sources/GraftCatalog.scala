@@ -1917,7 +1917,7 @@ class GraftCatalog extends TableCatalog
     def renameInProps(ps: Map[String, String], from: String,
         to: String): Map[String, String] =
       ps.map { case (k, v) =>
-        if (Seq("partitionBy", "clusterBy", "orderBy", "bloomFor").contains(k))
+        if (GraftCatalog.ColListProps.contains(k))
           k -> v.split(",").iterator.map(_.trim)
             .map(c => if (c == from) to else c).mkString(",")
         else k -> v
@@ -2041,12 +2041,13 @@ class GraftCatalog extends TableCatalog
           "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN, and SET/UNSET " +
           s"TBLPROPERTIES of ${GraftCatalog.LayoutProps.mkString("/")})")
     }
-    // every change validated — publish the evolution commits and the
-    // catalog entry together (one commit per ledger line, in change
-    // order, each carrying the schema as of that change)
-    pending.foreach { case (sch, line) =>
-      ManifestSink.publishEvolution(rootP.get, sch, line)
-    }
+    // every change validated — publish ALL the statement's ledger lines
+    // in ONE atomic evolution commit (a partial failure can never split
+    // a multi-change ALTER across commits — code-review r18), then the
+    // catalog entry
+    if (pending.nonEmpty)
+      ManifestSink.publishEvolution(rootP.get, pending.last._1,
+        pending.map(_._2).toSeq)
     lake.put(key, (evolved, newProps))
     persist()
     loadTable(ident) // same full-option construction as any other load

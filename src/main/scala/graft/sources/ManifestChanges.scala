@@ -259,9 +259,14 @@ object ManifestChanges {
       // materialized leaf, so the final plan is a flat union of
       // ceil(parts / UnionBatch) leaves — each leaf's own plan is
       // bounded, and CombineUnions flattens the top. The short-range
-      // path above stays zero-overhead (no materialization).
+      // path above stays zero-overhead (no materialization). LAZY
+      // checkpoints (code-review r18): batches compute on first action,
+      // not at construction, so a caller that never materializes pays
+      // nothing. Checkpoint blocks live until the ContextCleaner (or an
+      // explicit sparkContext.getPersistentRDDs unpersist, the Bench
+      // discipline) reclaims them — the price of bounded plan depth.
       out.grouped(UnionBatch)
-        .map(_.reduce(_.unionByName(_)).localCheckpoint())
+        .map(_.reduce(_.unionByName(_)).localCheckpoint(eager = false))
         .reduce(_.unionByName(_))
     }
   }

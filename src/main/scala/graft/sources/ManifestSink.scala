@@ -621,10 +621,17 @@ object ManifestSink {
     * names). Caller holds no lock; this takes the commit lock itself.
     */
   private[sources] def publishEvolution(root: Path, newSchema: StructType,
-      line: String): Unit = withCommitLock(root) {
+      line: String): Unit = publishEvolution(root, newSchema, Seq(line))
+
+  /** Multi-line variant: a multi-change ALTER publishes ALL its ledger
+    * lines in ONE atomic snapshot swap, so a failure can never commit
+    * half the statement's evolution (code-review r18).
+    */
+  private[sources] def publishEvolution(root: Path, newSchema: StructType,
+      lines: Seq[String]): Unit = withCommitLock(root) {
     require(Files.exists(root.resolve("manifest.json")),
       s"no manifest at $root — nothing to evolve")
-    publish(root, (newSchema.toDDL +: rawListLines(root)) :+ line)
+    publish(root, (newSchema.toDDL +: rawListLines(root)) ++ lines)
   }
 
   /** Position deletes applicable to the live manifest: data-file name →
@@ -1035,9 +1042,13 @@ object ManifestSink {
         val d = zorderBy.length
         val scaled = zorderBy.zipWithIndex.map { case (c, j) =>
           val (mn, mx) = statsBounds(c).getOrElse(aggBounds(j))
-          val span = math.max(1L, mx - mn)
-          require(span <= Long.MaxValue / 65535L,
-            s"zorder column $c spans $span — too wide to scale into 16 bits")
+          // width in BigInt: mx - mn overflows Long for hash-like
+          // domains spanning more than 2^63, which would defeat this
+          // guard (code-review r18)
+          val width = BigInt(mx) - BigInt(mn)
+          require(width <= BigInt(Long.MaxValue / 65535L),
+            s"zorder column $c spans $width — too wide to scale into 16 bits")
+          val span = width.toLong.max(1L)
           // scale into [0, 65535] in exact LONG arithmetic (`div`, not
           // `/` — Column division is double and loses precision past
           // 2^53); nulls cluster at the low edge

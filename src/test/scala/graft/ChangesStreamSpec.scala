@@ -292,8 +292,10 @@ class ChangesStreamSpec extends AnyFunSuite {
     assert(g2 != g1)
     // resolution helper: boundary instant resolves TO its generation
     // (that commit is starting STATE, its changes do not replay)
+    def spec(kv: (String, String)*) =
+      graft.sources.GraftChanges.startSpec(kv.toMap.get)
     assert(graft.sources.GraftChanges.resolveStartingGen(root,
-      Map("startingTimestamp" -> t1.toString).get) == g1)
+      spec("startingTimestamp" -> t1.toString), strict = true) == g1)
     val q = spark.readStream.format("graft.sources.GraftChanges")
       .option("path", root).option("startingTimestamp", t1.toString).load()
       .writeStream.format("memory").queryName("cdfs_fromts")
@@ -305,19 +307,65 @@ class ChangesStreamSpec extends AnyFunSuite {
     assert(got.count() == 5L)
     assert(got.agg(org.apache.spark.sql.functions.min("k")).head.getLong(0) == 10L)
     assert(got.select("_commit_gen").distinct().head.getLong(0) == g2)
-    // pre-history refuses loudly (expired history could hide changes)
+    // pre-history refuses loudly on a FRESH start (expired history
+    // could hide changes) but resolves leniently to 0 at construction —
+    // a checkpointed restart must survive vacuum (code-review r18)
     val pre = intercept[IllegalArgumentException] {
       graft.sources.GraftChanges.resolveStartingGen(root,
-        Map("startingTimestamp" -> (t1 - 60000L).toString).get)
+        spec("startingTimestamp" -> (t1 - 60000L).toString), strict = true)
     }
     assert(pre.getMessage.contains("precedes every retained commit"))
+    assert(graft.sources.GraftChanges.resolveStartingGen(root,
+      spec("startingTimestamp" -> (t1 - 60000L).toString),
+      strict = false) == 0L)
     // and the two knobs are mutually exclusive
     val both = intercept[IllegalArgumentException] {
-      graft.sources.GraftChanges.resolveStartingGen(root,
-        Map("startingTimestamp" -> t1.toString,
-          "startingGen" -> g1.toString).get)
+      spec("startingTimestamp" -> t1.toString, "startingGen" -> g1.toString)
     }
     assert(both.getMessage.contains("not both"))
+  }
+
+  test("a checkpointed startingTimestamp stream restarts after vacuum " +
+      "expires its resolution window (code-review r18)") {
+    import spark.implicits._
+    val root = freshRoot("tsrestart")
+    (0 until 10).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    val (_, t1) = ManifestSink.snapshotTimestamps(root).last
+    val cp = s"$root/_cp"
+    def drainTs(out: String): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftChanges")
+        .option("path", root).option("startingTimestamp", t1.toString).load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    while (System.currentTimeMillis() <= t1 + 1) Thread.sleep(2)
+    (10 until 15).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    drainTs(s"$root/_out_a")
+    assert(spark.read.parquet(s"$root/_out_a").count() == 5L)
+    // vacuum to the live state only: the commits at or before t1 expire
+    ManifestSink.vacuum(root, retainSnapshots = 1)
+    (15 until 18).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    // pre-fix this restart threw 'precedes every retained commit' at
+    // source construction; the checkpoint, not the timestamp, owns the
+    // position — only the NEW window may stream
+    drainTs(s"$root/_out_b")
+    val second = spark.read.parquet(s"$root/_out_b")
+    assert(second.count() == 3L)
+    assert(second.agg(org.apache.spark.sql.functions.min("k"))
+      .head.getLong(0) == 15L)
   }
 
   test("gensPerBatch amortizes catch-up while keeping per-gen attribution") {

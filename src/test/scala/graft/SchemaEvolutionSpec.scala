@@ -294,7 +294,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       graft.sources.GraftChanges.feedSchema(
         org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, grp INT, payload STRING")),
-      startingGen = 0L)
+      graft.sources.GraftChanges.StartSpec(Some(0L), None))
     spark.sql("ALTER TABLE graft_cat.lake.evo_feeds RENAME COLUMN payload TO body")
     Seq((300L, 2, "post")).toDF("k", "grp", "body")
       .write.format("graft.sources.ManifestSink").mode("append")
@@ -313,7 +313,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       graft.sources.GraftChanges.feedSchema(
         org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, grp INT, body STRING")),
-      startingGen = 0L)
+      graft.sources.GraftChanges.StartSpec(Some(0L), None))
     assert(fresh.planInputPartitions(graft.sources.SnapshotOffset(0L),
       graft.sources.SnapshotOffset(top)).nonEmpty)
     // end-to-end: the fresh CDF stream drains and reconstructs
