@@ -566,6 +566,47 @@ object GraftCatalog {
     // feed refuses on rewrites and MoR deletes by design; this is the
     // consumer that survives them. Reconstruction oracle identical to
     // the batch twin: the two feeds must agree change-for-change.
+    // CDC FROM A TIMESTAMP (r18): the feed starts at an instant, not a
+    // generation — startingTimestamp resolves through the #t: commit
+    // ledger with TIMESTAMP AS OF boundary semantics (the commit AT the
+    // instant is starting state), so only the post-instant commits
+    // stream. The oracle pins exactly the second slice as inserts.
+    "q_lake_cdf_from_ts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_cdfts_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      val (_, t1) = ManifestSink.snapshotTimestamps(tmp).last
+      // the second commit must land on a LATER millisecond, or the
+      // boundary rule would fold it into starting state
+      while (System.currentTimeMillis() <= t1 + 1) Thread.sleep(2)
+      base.filter(col("c_custkey") % 2 === 1L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", tmp)
+        .option("format", "parquet").save()
+      val q = s.readStream.format("graft.sources.GraftChanges")
+        .option("path", tmp).option("startingTimestamp", t1.toString).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/changes_out")
+        }
+        .option("checkpointLocation", s"$tmp/_cdfts_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/changes_out")
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          col("_change_type"))
+    }),
+
     "q_lake_cdf_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
@@ -1309,6 +1350,13 @@ object GraftCatalog {
         |FROM customer
         |WHERE c_custkey <= 600
         |  AND CAST(round(c_acctbal * 100) AS BIGINT) BETWEEN 0 AND 500000""".stripMargin,
+
+    // only the post-instant commit streams, all as inserts
+    "q_lake_cdf_from_ts" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        | 'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
 
     // the cost-based reorder changes the plan, never the answer: the
     // join algebra over the same three projections
