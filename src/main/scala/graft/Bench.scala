@@ -432,7 +432,14 @@ object Bench {
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       java.nio.file.Files.readAllLines(p).forEach { line =>
         if (line.contains(s""""sf":"$sfDir"""")) {
-          val key = "\"queries\":"
+          // anchors come from RAW readings when the line records them
+          // (ADVICE r18): "queries" carries adjudicated minima, so
+          // anchoring on it would drift anchors downward round over
+          // round and hand a slowly regressing query an ever-easier 3x
+          // bar. Pre-r19 lines (no queries_raw) fall back to "queries".
+          val rawKey = "\"queries_raw\":"
+          val key =
+            if (line.contains(rawKey)) rawKey else "\"queries\":"
           val qi = line.indexOf(key)
           if (qi >= 0) {
             val start = qi + key.length
@@ -614,6 +621,12 @@ object Bench {
     }
     val qs = results.map(r => s""""${r.name}":${if (r.ok) fmt(adjWall(r)) else -1.0}""")
       .mkString("{", ",", "}")
+    // RAW per-query walls (ADVICE r18): the adjudicated map is the
+    // headline, but future anchors and cross-round sweeps need the
+    // unadjudicated first readings — raw_total preserved the sum, not
+    // the per-query values. historyAnchors() above reads THIS object.
+    val qsRaw = results.map(r => s""""${r.name}":${if (r.ok) fmt(r.wall) else -1.0}""")
+      .mkString("{", ",", "}")
     val env = results.map(r =>
       s""""${r.name}":{"cpu":${fmt(r.cpu)},"gc":${fmt(r.gc)},"heap_mb":${r.heapMb},""" +
       s""""tasks":${r.tasks},"task_run_s":${fmt(r.taskRun)},"task_cpu_s":${fmt(r.taskCpu)},""" +
@@ -644,6 +657,7 @@ object Bench {
     } catch { case _: Throwable => -1L }
     val probes = s"""[${fmt(probeStart)},${fmt(probeMid)},${fmt(probeEnd)}]"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_raw":$qsRaw,""" +
       s""""failed":$failed,"warm_fixtures_ok":$warmFixturesOk,"env":$env,""" +
       s""""outliers":$outliersJson,"outliers_n":${outliers.size},""" +
       s""""rerun_healed":$healedN,"raw_total":${fmt(rawTotal)},""" +

@@ -93,8 +93,41 @@ object GraftChanges {
   }
 
   def startSpec(opt: String => Option[String]): StartSpec =
-    StartSpec(opt("startingGen").map(_.toLong),
-      opt("startingTimestamp").map(_.toLong))
+    StartSpec(
+      opt("startingGen").map(v => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"startingGen '$v' is not a snapshot generation number"))),
+      opt("startingTimestamp").map(parseStartingTimestamp))
+
+  /** `startingTimestamp` accepts epoch millis or a timestamp string —
+    * ISO-8601 instants (`2026-01-01T00:00:00Z`) and the SQL shape
+    * (`2026-01-01 00:00:00[.fff]`, interpreted in UTC like every other
+    * instant in the engine), or a bare date (midnight UTC). Anything
+    * else fails LOUDLY naming the option (ADVICE r18 — a bare `.toLong`
+    * was surfacing an uncontextualized NumberFormatException at table
+    * load).
+    */
+  def parseStartingTimestamp(v: String): Long = {
+    val t = v.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(t).atStartOfDay()
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"startingTimestamp '$v' is neither epoch millis nor a " +
+                "timestamp — expected e.g. 1700000000000, " +
+                "'2026-01-01 00:00:00' (UTC), or " +
+                "'2026-01-01T00:00:00Z'")
+          }
+        }
+      }
+    }
+  }
 
   /** Resolve a [[StartSpec]] to a starting generation through the `#t:`
     * commit instants: the LATEST retained generation whose commit is at

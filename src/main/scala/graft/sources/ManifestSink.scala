@@ -996,6 +996,22 @@ object ManifestSink {
         files.size <= targetFiles && names.nonEmpty &&
         names.forall(n => stats.get(n).exists(_.sorted.startsWith(orderBy))))
       return
+    // PARTITIONED-TABLE GUARD in the API itself (ADVICE r18): the CALL
+    // procedure refuses via the declared spec, but a direct call on a
+    // table whose committed files carry partition-pure claims would
+    // silently rewrite it unpartitioned — reads stay correct, but the
+    // KeyGrouped/SPJ planning claims are lost without warning. The
+    // claim is DERIVED from the committed stats (the same sorted-prefix
+    // + purity rule the scan verifies), so the guard needs no catalog
+    // handle — and it sits AFTER the no-op check, so a crash-retry on
+    // an already-satisfied rewrite still converges cleanly even when
+    // tiny output files happen to be single-key.
+    val derivedParts = derivedLayout(names, stats, schema)._1
+    require(derivedParts.isEmpty,
+      s"table at $root carries partition-pure files on " +
+        s"${derivedParts.mkString(",")} — a global rewrite would demote " +
+        "those claims; use compact(partitionBy, orderBy) or the " +
+        "partition-scoped rewritePartitioned(...) instead")
     val df = readDataFiles(spark, schema, files, deletes, posDels,
       liveAliases(rootP))
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"

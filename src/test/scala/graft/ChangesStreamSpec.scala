@@ -325,6 +325,32 @@ class ChangesStreamSpec extends AnyFunSuite {
     assert(both.getMessage.contains("not both"))
   }
 
+  test("startingTimestamp accepts timestamp strings and fails loudly on " +
+      "garbage, naming the option (ADVICE r18)") {
+    import graft.sources.GraftChanges.parseStartingTimestamp
+    // epoch millis pass through
+    assert(parseStartingTimestamp("1700000000000") == 1700000000000L)
+    // ISO instant, SQL shape (UTC), and bare date all resolve to the
+    // same instant
+    assert(parseStartingTimestamp("2026-01-02T03:04:05Z") ==
+      java.time.Instant.parse("2026-01-02T03:04:05Z").toEpochMilli)
+    assert(parseStartingTimestamp("2026-01-02 03:04:05") ==
+      parseStartingTimestamp("2026-01-02T03:04:05Z"))
+    assert(parseStartingTimestamp("2026-01-02") ==
+      parseStartingTimestamp("2026-01-02T00:00:00Z"))
+    // garbage names the option and the accepted shapes — pre-fix this
+    // surfaced as a bare NumberFormatException at table load
+    val bad = intercept[IllegalArgumentException](
+      parseStartingTimestamp("not-a-time"))
+    assert(bad.getMessage.contains("startingTimestamp"))
+    assert(bad.getMessage.contains("epoch millis"))
+    // startingGen gets the same courtesy
+    val badGen = intercept[IllegalArgumentException](
+      graft.sources.GraftChanges.startSpec(
+        Map("startingGen" -> "three").get))
+    assert(badGen.getMessage.contains("startingGen"))
+  }
+
   test("a checkpointed startingTimestamp stream restarts after vacuum " +
       "expires its resolution window (code-review r18)") {
     import spark.implicits._

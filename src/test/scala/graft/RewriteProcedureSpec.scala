@@ -199,5 +199,12 @@ class RewriteProcedureSpec extends AnyFunSuite {
     assert(intercept[Exception](spark.sql(
       "CALL graft_cat.system.rewrite(table => 'rw_part', order_by => 'k')")
       .collect()).getMessage.contains("system.compact"))
+    // the DIRECT API refuses too (ADVICE r18): the procedure's guard
+    // reads the declared spec, but ManifestSink.rewrite itself must
+    // refuse a table whose committed files carry partition-pure claims
+    // — a direct call would otherwise silently demote KeyGrouped/SPJ
+    assert(intercept[Exception](
+      ManifestSink.rewrite(spark, proot, orderBy = Seq("k")))
+      .getMessage.contains("partition-pure"))
   }
 }
