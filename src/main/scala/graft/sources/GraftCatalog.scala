@@ -457,6 +457,140 @@ object GraftCatalog {
       }
     }),
 
+    // SNAPSHOT TAGS (r19, VERDICT r18 Next #4): slice A commits and is
+    // tagged 'cut'; an append and a replace-shaped DELETE follow, then
+    // a retention-1 vacuum — which must keep the tagged snapshot and
+    // its files alive while expiring the untagged middle. The result
+    // unions the tag-resolved historical read with the live state;
+    // any tag mis-resolution, retention leak, or expired tagged file
+    // breaks the oracle.
+    "q_lake_tag" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_tag_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_tag")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_tag
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("CALL graft_cat.system.tag(table => 'cust_tag', name => 'cut')")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DELETE FROM graft_cat.lake.cust_tag WHERE bal_cents < 0")
+      s.sql("CALL graft_cat.system.vacuum(table => 'cust_tag', " +
+        "retain_snapshots => 1)")
+      s.sql(
+        """SELECT CAST(1 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_tag VERSION AS OF 'cut'
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_tag""".stripMargin)
+    }),
+
+    // PARTIAL-PROGRESS PARTITION-SCOPED REWRITE (r19, VERDICT r18 Next
+    // #1): a 4-partition table whose every partition holds two
+    // k-overlapping files reclusters per-partition-sorted at 2
+    // partitions per replace snapshot — 2 CAS-protected commits, each
+    // leaving a readable half-migrated table (batching, resume, and
+    // no-rewrite-twice pinned in PartialRewriteSpec); the selective
+    // band+range read exercises post-rewrite pruning and the oracle
+    // pins content unchanged through the whole cycle.
+    "q_lake_rewrite_partial" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_rwpart_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          (col("c_custkey").cast("long") % 4L).as("band"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_rwpart")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_rwpart
+           | (c_custkey BIGINT, band BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (band)
+           | OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      // both slices span all bands AND the full key range, so every
+      // partition starts with two overlapping (un-reclustered) files
+      Seq(true, false).foreach { firstHalf =>
+        base.filter((col("c_custkey") % 8L < 4L) === lit(firstHalf))
+          .writeTo("graft_cat.lake.cust_rwpart").append()
+      }
+      s.sql("CALL graft_cat.system.rewrite(table => 'cust_rwpart', " +
+        "order_by => 'c_custkey', partitions_per_commit => 2)")
+      s.sql(
+        """SELECT c_custkey, band, bal_cents
+          |FROM graft_cat.lake.cust_rwpart
+          |WHERE band = 2 OR c_custkey <= 500""".stripMargin)
+    }),
+
+    // HISTOGRAM-DRIVEN CBO (r19, VERDICT r18 Next #2): the B table's
+    // skew column holds 99% of its mass at single digits with a 1%
+    // tail past 10^7 — identical row count and [min,max] to a uniform
+    // spread, so only the equi-height histogram in the stats lines can
+    // price `bx > 100` at 1% instead of ~99% (estimate tightening +
+    // the join-order flip it drives are pinned in CboStatsSpec); the
+    // oracle pins that the histogram-planned query still answers
+    // exactly.
+    "q_lake_hist_cbo" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      def mk(name: String, df: org.apache.spark.sql.DataFrame,
+          ddl: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_lake_hist_${name}_")
+          .toFile.getAbsolutePath
+        df.coalesce(1).write.format("graft.sources.ManifestSink")
+          .mode("overwrite").option("path", tmp)
+          .option("format", "parquet").save()
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.lake.$name")
+        s.sql(s"CREATE TABLE graft_cat.lake.$name ($ddl) USING graft " +
+          s"OPTIONS (path '$tmp', format 'parquet')")
+      }
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("ck"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      // the F-B key is a STRING (no histogram) so the join cardinality
+      // rides the NDV formula and the skew histogram on bx is the one
+      // signal pricing the filter — see CboStatsSpec's flip pin
+      mk("hist_fact", base.select((col("ck") % 10L).as("fa"),
+        col("ck").cast("string").as("fb"), col("cents").as("payload")),
+        "fa BIGINT, fb STRING, payload BIGINT")
+      mk("hist_dima", base.select((col("ck") % 10L).as("aa")).distinct(),
+        "aa BIGINT")
+      mk("hist_dimb", base.select(col("ck").cast("string").as("bb"),
+        expr("CAST(CASE WHEN ck % 100 = 0 THEN 10000000 + ck " +
+          "ELSE ck % 10 END AS BIGINT)").as("bx")),
+        "bb STRING, bx BIGINT")
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+      keys.foreach(s.conf.set(_, "true"))
+      try {
+        val df = s.sql(
+          """SELECT f.fa, f.fb, f.payload, b.bx
+            |FROM graft_cat.lake.hist_fact f
+            |JOIN graft_cat.lake.hist_dima a ON f.fa = a.aa
+            |JOIN graft_cat.lake.hist_dimb b ON f.fb = b.bb
+            |WHERE b.bx > 100""".stripMargin)
+        df.queryExecution.executedPlan // freeze the histogram-costed plan
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // PARTITION-SPEC EVOLUTION (r18): the table starts partitioned by
     // segment, evolves to band partitioning as a METADATA commit (old
     // files keep their spec, new files land under the new one), and a
@@ -1371,6 +1505,44 @@ object GraftCatalog {
         |JOIN (SELECT ck AS bb, cents AS bpay FROM c
         |      WHERE ck % 97 = 0) b ON f.fb = b.bb""".stripMargin,
 
+    // the tag pins slice A exactly as committed (negatives included);
+    // the live read reflects the later append + delete
+    "q_lake_tag" ->
+      """SELECT CAST(1 AS BIGINT) AS src,
+        | CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS src,
+        | CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= 0""".stripMargin,
+
+    // the staged per-partition recluster never touches row content
+    "q_lake_rewrite_partial" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CAST(c_custkey % 4 AS BIGINT) AS band,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey % 4 = 2 OR c_custkey <= 500""".stripMargin,
+
+    // the histogram changes the estimate and the join order, never the
+    // answer: the same algebra over the three projections
+    "q_lake_hist_cbo" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)
+        |SELECT f.fa, f.fb, f.payload, b.bx
+        |FROM (SELECT CAST(ck % 10 AS BIGINT) AS fa,
+        |      CAST(ck AS VARCHAR) AS fb, cents AS payload FROM c) f
+        |JOIN (SELECT DISTINCT CAST(ck % 10 AS BIGINT) AS aa FROM c) a
+        |  ON f.fa = a.aa
+        |JOIN (SELECT CAST(ck AS VARCHAR) AS bb,
+        |      CAST(CASE WHEN ck % 100 = 0 THEN 10000000 + ck
+        |           ELSE ck % 10 END AS BIGINT) AS bx FROM c) b
+        |  ON f.fb = b.bb
+        |WHERE b.bx > 100""".stripMargin,
+
     // partition-spec evolution + migration never touch row content
     "q_lake_partition_evolve" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
@@ -1809,10 +1981,17 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val (_, props) = entry
     val path = props("path")
+    // numbers are generations; anything else resolves as a TAG name
+    // (r19 snapshot refs) — tag names are never all digits by
+    // construction, so the two spaces can't collide
     val gen = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF wants a snapshot generation number, got '$version'; " +
-          s"available: ${ManifestSink.snapshots(path).mkString(",")}"))
+      ManifestSink.tags(path).find(_._1 == version).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"VERSION AS OF wants a snapshot generation or a tag name, " +
+            s"got '$version'; generations: " +
+            s"${ManifestSink.snapshots(path).mkString(",")}; tags: " +
+            ManifestSink.tags(path).map { case (n, g) => s"$n->$g" }
+              .mkString(","))))
     pinnedTable(ident, path, props, gen)
   }
 

@@ -102,7 +102,8 @@ object ManifestEvolution {
     if (p2c.isEmpty) fs
     else fs.copy(
       cols = fs.cols.map { case (k, v) => p2c.getOrElse(k, k) -> v },
-      sorted = fs.sorted.map(c => p2c.getOrElse(c, c)))
+      sorted = fs.sorted.map(c => p2c.getOrElse(c, c)),
+      zorder = fs.zorder.map(c => p2c.getOrElse(c, c)))
 
   /** Rewrite a filter tree's attribute references prior→current. */
   def remapFilter(f: Filter, p2c: Map[String, String]): Filter = {

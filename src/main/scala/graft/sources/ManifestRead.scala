@@ -881,9 +881,11 @@ class ManifestScan(path: String,
       required.fields.foreach { f =>
         env.cols.get(f.name).filter(_.kmv.isDefined).foreach { c =>
           val ndv = ManifestMeta.Kmv.estimate(c.kmv.get)
-          // min/max as the CATALYST external value of the column type —
-          // numeric only (FilterEstimation's range math wants numbers;
-          // string bounds buy nothing there)
+          // min/max as the CATALYST value of the column type — numbers
+          // for the range math, UTF8String for strings (r19: catalyst
+          // ColumnStat stores string bounds as UTF8String, and the
+          // writer recorded them in the same binary order, so the
+          // NDV-only string estimate regains its min/max sanity bound)
           def asTyped(v: Any): Option[Object] = (f.dataType, v) match {
             case (org.apache.spark.sql.types.LongType, l: Long) =>
               Some(java.lang.Long.valueOf(l))
@@ -891,10 +893,39 @@ class ManifestScan(path: String,
               Some(java.lang.Integer.valueOf(l.toInt))
             case (org.apache.spark.sql.types.DoubleType, d: Double) =>
               Some(java.lang.Double.valueOf(d))
+            case (org.apache.spark.sql.types.StringType, s: String) =>
+              Some(UTF8String.fromString(s))
             case _ => None
           }
           val mn = c.min.flatMap(asTyped)
           val mx = c.max.flatMap(asTyped)
+          // EQUI-HEIGHT HISTOGRAM to the estimator (r19, VERDICT r18
+          // Next #2): the merged boundary mixture serves through the
+          // connector Histogram face; transformV2Stats turns it into a
+          // catalyst Histogram and FilterEstimation's range math reads
+          // actual mass instead of assuming uniform density over
+          // [min,max]. Bin NDV is the merged-sketch estimate spread
+          // evenly (equality estimates inside bins stay order-of-
+          // magnitude; the skew win is in the bin BOUNDARIES).
+          val histOpt: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+            c.hist.filter(h => h.size >= 2 && env.rows > c.nulls).map { bounds =>
+              val binN = bounds.size - 1
+              val perBinNdv = math.max(1L, ndv / binN)
+              val binArr = Array.tabulate(binN) { i =>
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = bounds(i)
+                  override def hi(): Double = bounds(i + 1)
+                  override def ndv(): Long = perBinNdv
+                }
+              }
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double =
+                  (env.rows - c.nulls).toDouble / binN
+                override def bins():
+                    Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                  binArr
+              }
+            }
           out.put(Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): util.OptionalLong =
@@ -907,6 +938,11 @@ class ManifestScan(path: String,
               override def max(): java.util.Optional[Object] =
                 mx.map(java.util.Optional.of[Object])
                   .getOrElse(java.util.Optional.empty[Object]())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histOpt.map(java.util.Optional.of[
+                  org.apache.spark.sql.connector.read.colstats.Histogram])
+                  .getOrElse(java.util.Optional.empty())
             })
         }
       }

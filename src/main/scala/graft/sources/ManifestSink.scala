@@ -74,6 +74,9 @@ class ManifestSink extends TableProvider {
       partitionBy = cols("partitionBy"),
       format = Option(properties.get("format")).getOrElse("json"),
       replaceFiles = cols("replaceFiles"),
+      zorderClaim = cols("zorderClaim"),
+      layoutProvided = "true".equalsIgnoreCase(
+        String.valueOf(properties.get("layoutProvided"))),
       expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
       deleteMode = Option(properties.get("deleteMode")).getOrElse("cow"),
       tombstoneFilter = Option(properties.get("tombstoneFilter")),
@@ -1022,62 +1025,8 @@ object ManifestSink {
       if (orderBy.nonEmpty)
         (df.repartitionByRange(targetFiles, orderBy.map(df(_)): _*), orderBy)
       else {
-        require(zorderBy.length >= 2 && zorderBy.length <= 3,
-          s"zorder wants 2-3 columns (got ${zorderBy.length}) — 16 bits " +
-            "per dimension must fit one long")
-        zorderBy.foreach { c =>
-          val dt = schema(c).dataType
-          require(dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType,
-            s"zorder column $c must be integral (got $dt)")
-        }
-        // bounds from the committed stats envelopes (driver-only); one
-        // 2·|cols|-cell aggregate only when a file predates stats
-        def statsBounds(c: String): Option[(Long, Long)] = {
-          val per = names.map(n => stats.get(n).flatMap { fs =>
-            fs.cols.get(c).flatMap(cs => for { mn <- cs.min; mx <- cs.max }
-              yield (anyToLong(mn), anyToLong(mx)))
-          })
-          if (per.nonEmpty && per.forall(_.isDefined))
-            Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
-          else None
-        }
-        lazy val aggRow = df.agg(
-          org.apache.spark.sql.functions.min(col(zorderBy.head)),
-          (zorderBy.tail.flatMap(c => Seq(
-            org.apache.spark.sql.functions.min(col(c)),
-            org.apache.spark.sql.functions.max(col(c)))) :+
-            org.apache.spark.sql.functions.max(col(zorderBy.head))): _*).head()
-        def aggBounds(j: Int): (Long, Long) = {
-          // layout: min(c0), [min(c1),max(c1)], [min(c2),max(c2)], max(c0)
-          val (mnIdx, mxIdx) =
-            if (j == 0) (0, aggRow.length - 1) else (2 * j - 1, 2 * j)
-          if (aggRow.isNullAt(mnIdx) || aggRow.isNullAt(mxIdx)) (0L, 0L)
-          else (anyToLong(aggRow.get(mnIdx)), anyToLong(aggRow.get(mxIdx)))
-        }
-        val d = zorderBy.length
-        val scaled = zorderBy.zipWithIndex.map { case (c, j) =>
-          val (mn, mx) = statsBounds(c).getOrElse(aggBounds(j))
-          // width in BigInt: mx - mn overflows Long for hash-like
-          // domains spanning more than 2^63, which would defeat this
-          // guard (code-review r18)
-          val width = BigInt(mx) - BigInt(mn)
-          require(width <= BigInt(Long.MaxValue / 65535L),
-            s"zorder column $c spans $width — too wide to scale into 16 bits")
-          val span = width.toLong.max(1L)
-          // scale into [0, 65535] in exact LONG arithmetic (`div`, not
-          // `/` — Column division is double and loses precision past
-          // 2^53); nulls cluster at the low edge
-          org.apache.spark.sql.functions.expr(
-            s"CAST((coalesce(`$c`, ${mn}L) - ${mn}L) * 65535 div ${span}L " +
-              "AS BIGINT)")
-        }
-        // Morton interleave: bit i of dimension j lands at z-bit i*d+j
-        // (disjoint bits, so plain sum == bitwise OR); shift/and/multiply
-        // only — whole-stage-codegens (same kernel as LayoutOps.zValue)
-        val zk = (for { i <- 0 until 16; j <- 0 until d } yield
-          shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j))
-          .reduce(_ + _)
+        val zk = mortonColumn(zorderBy, schema,
+          zBoundsOf(df, names, stats, zorderBy))
         (df.withColumn("__z", zk)
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
@@ -1103,6 +1052,391 @@ object ManifestSink {
       s"non-integral stats bound $other in zorder rewrite")
   }
 
+  /** Per-column [min,max] bounds for z-scaling over the named files:
+    * from the committed stats envelopes when every file carries them
+    * (driver-only, zero data reads), else ONE 2·|cols|-cell aggregate
+    * over `df` — never a collect of data.
+    */
+  private def zBoundsOf(df: org.apache.spark.sql.DataFrame,
+      names: Seq[String], stats: Map[String, ManifestMeta.FileStats],
+      zorderBy: Seq[String]): String => (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    def statsBounds(c: String): Option[(Long, Long)] = {
+      val per = names.map(n => stats.get(n).flatMap { fs =>
+        fs.cols.get(c).flatMap(cs => for { mn <- cs.min; mx <- cs.max }
+          yield (anyToLong(mn), anyToLong(mx)))
+      })
+      if (per.nonEmpty && per.forall(_.isDefined))
+        Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+      else None
+    }
+    lazy val aggRow = df.agg(
+      org.apache.spark.sql.functions.min(col(zorderBy.head)),
+      (zorderBy.tail.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)),
+        org.apache.spark.sql.functions.max(col(c)))) :+
+        org.apache.spark.sql.functions.max(col(zorderBy.head))): _*).head()
+    def aggBounds(j: Int): (Long, Long) = {
+      // layout: min(c0), [min(c1),max(c1)], [min(c2),max(c2)], max(c0)
+      val (mnIdx, mxIdx) =
+        if (j == 0) (0, aggRow.length - 1) else (2 * j - 1, 2 * j)
+      if (aggRow.isNullAt(mnIdx) || aggRow.isNullAt(mxIdx)) (0L, 0L)
+      else (anyToLong(aggRow.get(mnIdx)), anyToLong(aggRow.get(mxIdx)))
+    }
+    c => statsBounds(c).getOrElse(aggBounds(zorderBy.indexOf(c)))
+  }
+
+  /** The Morton z-key as a codegen-friendly Column: each of 2-3
+    * integral columns scales into 16 bits off its [min,max] bounds in
+    * exact LONG arithmetic (`div`, not `/` — Column division is double
+    * and loses precision past 2^53; nulls cluster at the low edge;
+    * width guarded in BigInt against hash-wide domains, code-review
+    * r18), then bit i of dimension j lands at z-bit i·d+j (disjoint
+    * bits, so plain sum == bitwise OR). Shared by the global z-order
+    * rewrite and the partition-scoped partial rewrite.
+    */
+  private def mortonColumn(zorderBy: Seq[String], schema: StructType,
+      boundOf: String => (Long, Long)): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(zorderBy.length >= 2 && zorderBy.length <= 3,
+      s"zorder wants 2-3 columns (got ${zorderBy.length}) — 16 bits " +
+        "per dimension must fit one long")
+    zorderBy.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"zorder column $c must be integral (got $dt)")
+    }
+    val d = zorderBy.length
+    val scaled = zorderBy.map { c =>
+      val (mn, mx) = boundOf(c)
+      val width = BigInt(mx) - BigInt(mn)
+      require(width <= BigInt(Long.MaxValue / 65535L),
+        s"zorder column $c spans $width — too wide to scale into 16 bits")
+      val span = width.toLong.max(1L)
+      org.apache.spark.sql.functions.expr(
+        s"CAST((coalesce(`$c`, ${mn}L) - ${mn}L) * 65535 div ${span}L " +
+          "AS BIGINT)")
+    }
+    (for { i <- 0 until 16; j <- 0 until d } yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ + _)
+  }
+
+  /** Summary of a [[rewritePartitioned]] run: groups in scope, groups
+    * this call rewrote, replace snapshots published.
+    */
+  case class PartialRewriteSummary(groupsTotal: Int, groupsRewritten: Int,
+      commits: Int)
+
+  /** PARTIAL-PROGRESS, PARTITION-SCOPED REWRITE (r19, VERDICT r18 Next
+    * #1 — the Iceberg `rewrite_data_files(partial-progress.enabled)`
+    * shape): re-cluster a PARTITIONED table N partition values per
+    * REPLACE SNAPSHOT instead of one global commit, so at 100 TB a
+    * crash or CAS loss discards at most one batch, never hours of
+    * work. Each batch is its own CAS-protected, retry-bounded commit
+    * ([[withCommitRetry]] around a full re-plan); between batches the
+    * table stays fully readable — a half-migrated state is just some
+    * partitions reclustered and some not, every snapshot exact.
+    *
+    * RESUME comes from recorded claims, not a progress file: a
+    * partition group is DONE when its files are partition-pure, carry
+    * the asked layout claim (`sorted` startsWith partitionBy++orderBy
+    * with disjoint first-order-key envelopes, or the `zorder` marker
+    * for the curve arm), and no MoR delete scopes them — so a re-run
+    * after a crash skips completed partitions and rewrites no file
+    * twice (spec-pinned). Files IMPURE under the live spec (an older
+    * partition-spec vintage) form their own groups and migrate to pure
+    * files as they rewrite — this is also the incremental
+    * spec-migration path.
+    *
+    *   - `orderBy` arm: per-partition sort through the sink's
+    *     RequiresDistributionAndOrdering (cluster on partitionBy, sort
+    *     partitionBy++orderBy), one pure sorted file per value;
+    *   - `zorderBy` arm: rows sort by (partitionBy, morton key) with
+    *     the layout PRE-ARRANGED (`layoutProvided` — a declared
+    *     requirement would let Spark re-sort by the partition prefix
+    *     alone and scramble the curve); bounds come from the batch's
+    *     stats envelopes; files record the `zorder` claim;
+    *   - `where` scopes the run to matching partitions (file-level
+    *     stats evaluation, conservative on impure files) — the
+    *     `rewrite(table, zorder => ..., where => 'p = 3')` shape;
+    *   - deletes/position deletes scoped to a batch's files FOLD in
+    *     that batch's rewrite (the commit prunes their manifest lines);
+    *     a live schema-evolution ledger stays (rewritten files store
+    *     live names and read fine; a full compact clears the ledger).
+    *
+    * Scale shape: each batch reads/shuffles/writes only its partitions'
+    * files; driver work is O(files) claim checks per batch.
+    */
+  def rewritePartitioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, partitionBy: Seq[String],
+      orderBy: Seq[String] = Seq.empty, zorderBy: Seq[String] = Seq.empty,
+      partitionsPerCommit: Int = 8,
+      where: Option[(String, Any)] = None,
+      targetFileBytes: Long = 0L): PartialRewriteSummary = {
+    import org.apache.spark.sql.functions.col
+    require(partitionBy.nonEmpty,
+      "rewritePartitioned wants the table's partition columns — use " +
+        "rewrite() for unpartitioned tables")
+    require(orderBy.nonEmpty ^ zorderBy.nonEmpty,
+      "rewritePartitioned wants exactly one of orderBy / zorderBy")
+    require(partitionsPerCommit >= 1,
+      s"partitionsPerCommit must be >= 1 (got $partitionsPerCommit)")
+    val rootP = Paths.get(root)
+    var commits = 0
+    var rewrittenGroups = 0
+    var groupsTotal = -1
+    // groups THIS CALL already rewrote: guarantees termination and
+    // no-file-rewritten-twice within a run even when a claim check
+    // cannot certify doneness (e.g. size-rolled order files that an
+    // appended sorted file later overlaps)
+    val processed = scala.collection.mutable.Set.empty[String]
+    var done = false
+    while (!done) {
+      withCommitRetry() {
+        val (schema, _) = readManifest(rootP).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest at $root — nothing to rewrite"))
+        (partitionBy ++ orderBy ++ zorderBy ++ where.map(_._1).toSeq)
+          .foreach(c => require(schema.fieldNames.contains(c),
+            s"unknown rewrite column $c — schema: " +
+              schema.fieldNames.mkString(",")))
+        val baseGen = snapshots(root).lastOption.getOrElse(0L)
+        val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+        val stats = fileStats(root)
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val deletes = liveDeletes(rootP)
+        val posDels = livePosDeletes(rootP)
+        val aliases = liveAliases(rootP)
+
+        def pureKey(n: String): Option[Seq[Any]] = stats.get(n).flatMap { fs =>
+          val vs = partitionBy.map(c => fs.cols.get(c).flatMap(cs =>
+            for { mn <- cs.min; mx <- cs.max; if cs.nulls == 0L && mn == mx }
+              yield mn))
+          if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+        }
+        val whereF: Option[org.apache.spark.sql.sources.Filter] =
+          where.map { case (c, v) =>
+            org.apache.spark.sql.sources.EqualTo(c, v) }
+        def inScope(n: String): Boolean = whereF.forall(f =>
+          stats.get(n).forall(fs => ManifestMeta.mayMatch(f, fs, types)))
+
+        // (group id, files, pure): pure tuples in rendered-key order,
+        // then impure files (older spec vintages) each alone, by name —
+        // a deterministic sweep order so batches and resume agree
+        case class Group(id: String, files: Seq[String], pure: Boolean)
+        val keyed = names.map(n => n -> pureKey(n))
+        val pureGroups = keyed.collect { case (n, Some(k)) => (k, n) }
+          .groupBy(_._1).toSeq
+          .map { case (k, fs) =>
+            Group("k:" + k.map(String.valueOf).mkString(" "),
+              fs.map(_._2).sorted, pure = true) }
+          .sortBy(_.id)
+        val impureGroups = keyed.collect { case (n, None) => n }.sorted
+          .map(n => Group(s"f:$n", Seq(n), pure = false))
+        val scoped = (pureGroups ++ impureGroups)
+          .filter(_.files.exists(inScope))
+        if (groupsTotal < 0) groupsTotal = scoped.size
+
+        val wantSorted = (partitionBy ++ orderBy).distinct
+        def envOf(n: String, c: String): Option[(Any, Any)] =
+          stats.get(n).flatMap(_.cols.get(c)).flatMap(cs =>
+            for { mn <- cs.min; mx <- cs.max } yield (mn, mx))
+        // strict [min,max] disjointness across the group's files on the
+        // first order key — the "actually reclustered" certificate a
+        // bare sort claim can't give (two separately sorted appends
+        // both claim the order but overlap)
+        def disjointOn(files: Seq[String], c: String): Boolean = {
+          if (files.size <= 1) return true
+          val envs = files.map(envOf(_, c))
+          if (envs.exists(_.isEmpty)) return false
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Long, y: Long) => x < y
+            case (x: Double, y: Double) => x < y
+            case (x: String, y: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(y)) < 0
+            case _ => false
+          }
+          val sorted = envs.flatten.sortWith((a, b) => lt(a._1, b._1))
+          // a shared BOUNDARY value is allowed (a size-bounded roll can
+          // split one key run mid-file) — only a real interior overlap
+          // marks the group un-reclustered
+          sorted.sliding(2).forall {
+            case Seq((_, hi1), (lo2, _)) => !lt(lo2, hi1)
+            case _ => true
+          }
+        }
+        def isDone(g: Group): Boolean = g.pure &&
+          g.files.forall(n => !deletes.contains(n) && !posDels.contains(n)) &&
+          (if (orderBy.nonEmpty)
+             g.files.forall(n => stats.get(n).exists(
+               _.sorted.startsWith(wantSorted))) &&
+               disjointOn(g.files, orderBy.head)
+           else
+             g.files.forall(n => stats.get(n).exists(_.zorder == zorderBy)))
+
+        val pending = scoped
+          .filter(g => !processed.contains(g.id) && !isDone(g))
+          .take(partitionsPerCommit)
+        if (pending.isEmpty) done = true
+        else {
+          val batchNames = pending.flatMap(_.files)
+          val batchPaths = batchNames.map(n =>
+            rootP.resolve("data").resolve(n).toString)
+          val df = readDataFiles(spark, schema, batchPaths, deletes,
+            posDels, aliases)
+          val fmt = derivedFormat(names)
+          val blm = derivedBloomCols(names, stats)
+          val w0 =
+            if (orderBy.nonEmpty)
+              df.write.format("graft.sources.ManifestSink")
+                .option("partitionBy", partitionBy.mkString(","))
+                .option("orderBy", orderBy.mkString(","))
+            else {
+              val zk = mortonColumn(zorderBy, schema,
+                zBoundsOf(df, batchNames, stats, zorderBy))
+              df.withColumn("__z", zk)
+                .repartition(partitionBy.map(col): _*)
+                .sortWithinPartitions((partitionBy.map(col) :+ col("__z")): _*)
+                .drop("__z")
+                .write.format("graft.sources.ManifestSink")
+                .option("partitionBy", partitionBy.mkString(","))
+                .option("layoutProvided", "true")
+                .option("zorderClaim", zorderBy.mkString(","))
+            }
+          val w1 = w0.mode("append").option("path", root)
+            .option("format", fmt)
+            .option("expectedGen", baseGen.toString)
+            .option("replaceFiles", batchNames.mkString(","))
+          val w2 = if (blm.nonEmpty)
+            w1.option("bloomFor", blm.mkString(",")) else w1
+          (if (targetFileBytes > 0L)
+             w2.option("targetFileBytes", targetFileBytes.toString)
+           else w2).save()
+          commits += 1
+          rewrittenGroups += pending.size
+          processed ++= pending.map(_.id)
+        }
+      }
+    }
+    PartialRewriteSummary(groupsTotal, rewrittenGroups, commits)
+  }
+
+  /** Parse the procedure's `where => 'col = literal'` scope against the
+    * table schema: one equality, the literal typed by the column
+    * (strings quoted with single quotes).
+    */
+  def parseWhereEquality(s: String,
+      schema: StructType): (String, Any) = {
+    val i = s.indexOf('=')
+    require(i > 0, s"where wants `col = literal` (got '$s')")
+    val c = s.substring(0, i).trim
+    val raw = s.substring(i + 1).trim
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"where references unknown column $c — schema: " +
+          schema.fieldNames.mkString(",")))
+    val v: Any = f.dataType match {
+      case StringType =>
+        require(raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"),
+          s"string literal in where must be single-quoted (got $raw)")
+        raw.substring(1, raw.length - 1)
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case other => throw new IllegalArgumentException(
+        s"unsupported where column type $other")
+    }
+    (c, v)
+  }
+
+  // ---------------------------------------------------------------
+  // SNAPSHOT REFS — TAGS (r19, VERDICT r18 Next #4): named pointers to
+  // snapshot generations, the "v2-training-cut" primitive a 100 TB
+  // operator tags before vacuuming around it. Refs live in
+  // `_refs.json` (one closed-JSON line per tag, atomic swap) — a
+  // SIDECAR, not manifest ledger lines, because a tag references a
+  // GENERATION independent of the live state and must survive
+  // replace-shaped commits that start the line list fresh. Mutations
+  // take the commit lock so a tag can never race the vacuum deciding
+  // what to expire. `VERSION AS OF 'name'` resolves through the
+  // catalog; vacuum refuses to expire tagged generations.
+  // ---------------------------------------------------------------
+
+  private def refsFile(root: Path): Path = root.resolve("_refs.json")
+
+  /** (tag name, generation) pairs, name-sorted. A damaged line drops
+    * (the tag protects nothing it can't name) — never bricks reads.
+    */
+  def tags(root: String): Seq[(String, Long)] = {
+    val f = refsFile(Paths.get(root))
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty).flatMap { l =>
+        try {
+          val m = ManifestMeta.parse(l).asInstanceOf[Map[String, Any]]
+          Some((m("name").asInstanceOf[String], m("gen").asInstanceOf[Long]))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  private def writeRefs(root: Path, refs: Seq[(String, Long)]): Unit = {
+    val lines = refs.sortBy(_._1).map { case (n, g) =>
+      ManifestMeta.encodeObject(Map("name" -> n, "gen" -> g)) }
+    val tmp = root.resolve("_refs.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, refsFile(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Tag snapshot `gen` (default: the live generation) as `name`;
+    * returns the tagged generation. Idempotent on the same (name, gen);
+    * re-pointing an existing tag refuses loudly (drop it first —
+    * silently moving a retention anchor is how tagged data gets
+    * vacuumed). Names are word-shaped and never all digits, so
+    * `VERSION AS OF` resolution stays unambiguous with generations.
+    */
+  def tag(root: String, name: String, gen: Option[Long] = None): Long =
+    withCommitLock(Paths.get(root)) {
+      require(name.nonEmpty &&
+        name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"tag name '$name' must be non-empty [A-Za-z0-9._-]")
+      require(name.toLongOption.isEmpty,
+        s"tag name '$name' cannot be all digits — VERSION AS OF resolves " +
+          "numbers as snapshot generations")
+      val g = gen.getOrElse(snapshots(root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $root to tag")))
+      require(Files.exists(Paths.get(root).resolve("_snapshots")
+          .resolve(s"manifest-$g.json")),
+        s"snapshot $g of $root does not exist (expired or never " +
+          s"published); available: ${snapshots(root).mkString(",")}")
+      val cur = tags(root)
+      cur.find(_._1 == name) match {
+        case Some((_, old)) if old == g => g // idempotent re-tag
+        case Some((_, old)) => throw new IllegalArgumentException(
+          s"tag $name already points at generation $old of $root — " +
+            "drop_tag it first (a silently moved tag un-anchors retention)")
+        case None =>
+          writeRefs(Paths.get(root), cur :+ (name -> g))
+          g
+      }
+    }
+
+  /** Remove tag `name`; returns whether it existed. The generation it
+    * anchored becomes vacuum-expirable again.
+    */
+  def dropTag(root: String, name: String): Boolean =
+    withCommitLock(Paths.get(root)) {
+      val cur = tags(root)
+      val left = cur.filterNot(_._1 == name)
+      if (left.size == cur.size) false
+      else { writeRefs(Paths.get(root), left); true }
+    }
+
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
     * orphan-file cleanup pair): keep the newest `retainSnapshots`
     * snapshot manifests plus the live one, delete every data file none
@@ -1121,7 +1455,12 @@ object ManifestSink {
     // and manifest swap, deleting the in-flight commit's files as
     // "orphans" and leaving the swapped manifest pointing at nothing
     val gens = snapshots(root)
-    val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet
+    // TAGGED generations are retention anchors (r19): a tag's snapshot
+    // — and every file/segment it references — survives any retention
+    // bound until the tag is dropped
+    val tagged = tags(root).map(_._2).toSet
+    val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet ++
+      tagged.filter(gens.contains)
     val snapsDir = rootP.resolve("_snapshots")
     // retained states resolve segments: their data files stay live, and
     // so do the SEGMENT files they reference (segments expire with the
@@ -1641,7 +1980,16 @@ class ManifestTable(path: String, schema: StructType,
     bloomFor: Seq[String] = Seq.empty,
     targetFileBytes: Long = 0L,
     rowGroupBytes: Long = 0L,
-    splitConf: SplitConf = SplitConf.Default)
+    splitConf: SplitConf = SplitConf.Default,
+    /** INTERNAL rewrite plumbing (r19): `zorderClaim` stamps each
+      * staged file's stats line with the z-order column list; with
+      * `layoutProvided` the caller promises rows already arrive
+      * clustered+ordered and the write declares no required
+      * distribution (the partition-value roll still enforces purity —
+      * rolling at every key boundary is arrival-order-independent).
+      */
+    zorderClaim: Seq[String] = Seq.empty,
+    layoutProvided: Boolean = false)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1822,7 +2170,8 @@ class ManifestTable(path: String, schema: StructType,
           baseGen = expectedGen.getOrElse(
             ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
           tombstoneFilter = tombstoneFilter, bloomFor = bloomFor,
-          targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes)
+          targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes,
+          zorderClaim = zorderClaim, layoutProvided = layoutProvided)
     }
   }
 }
@@ -1849,7 +2198,9 @@ class ManifestWrite(path: String, schema: StructType,
     /** LATE-BOUND replaced-file set (row-level operations): resolved at
       * COMMIT, after runtime group filtering narrowed the scan.
       */
-    replaceFilesF: () => Seq[String] = null)
+    replaceFilesF: () => Seq[String] = null,
+    zorderClaim: Seq[String] = Seq.empty,
+    layoutProvided: Boolean = false)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1857,11 +2208,15 @@ class ManifestWrite(path: String, schema: StructType,
 
   /** Partition columns cluster FIRST (each value must land wholly in
     * one task so the writer's file-roll yields partition-PURE files),
-    * then the explicit cluster keys.
+    * then the explicit cluster keys. With `layoutProvided` the caller
+    * has already arranged the frame (the z-order-within-partitions
+    * rewrite sorts by a computed curve key no column list can declare)
+    * — declaring a requirement here would let Spark re-sort by the
+    * partition prefix alone and scramble the curve order.
     */
   override def requiredDistribution(): Distribution = {
     val cols = (partitionBy ++ clusterBy).distinct
-    if (cols.isEmpty) Distributions.unspecified()
+    if (cols.isEmpty || layoutProvided) Distributions.unspecified()
     else Distributions.clustered(
       cols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
   }
@@ -1873,7 +2228,8 @@ class ManifestWrite(path: String, schema: StructType,
     * forward pass).
     */
   override def requiredOrdering(): Array[SortOrder] =
-    (partitionBy ++ clusterBy ++ orderBy).distinct
+    if (layoutProvided) Array.empty
+    else (partitionBy ++ clusterBy ++ orderBy).distinct
       .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       .toArray
 
@@ -1886,7 +2242,7 @@ class ManifestWrite(path: String, schema: StructType,
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
       format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter,
-      bloomFor, targetFileBytes, rowGroupBytes, replaceFilesF)
+      bloomFor, targetFileBytes, rowGroupBytes, replaceFilesF, zorderClaim)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(path, schema, format, sortedCols, bloomFor,
       targetFileBytes, rowGroupBytes)
@@ -1909,7 +2265,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     tombstoneFilter: Option[String] = None,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
     rowGroupBytes: Long = 0L,
-    replaceFilesF: () => Seq[String] = null)
+    replaceFilesF: () => Seq[String] = null,
+    zorderClaim: Seq[String] = Seq.empty)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -1921,7 +2278,7 @@ class ManifestBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, jobToken, format, partitionBy,
-      sortedCols, bloomFor, targetFileBytes, rowGroupBytes)
+      sortedCols, bloomFor, targetFileBytes, rowGroupBytes, zorderClaim)
 
   /** DRIVER-side publish: staged → data/, then the manifest LAST via an
     * atomic temp-file move — the linearization point of the whole job.
@@ -2081,12 +2438,12 @@ class ManifestWriterFactory(path: String, schema: StructType,
     jobToken: String = "job", format: String = "json",
     partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
-    rowGroupBytes: Long = 0L)
+    rowGroupBytes: Long = 0L, zorderClaim: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema,
       f"part-$jobToken-$partitionId%05d-$taskId", format, partitionBy,
-      sortedCols, bloomFor, targetFileBytes, rowGroupBytes)
+      sortedCols, bloomFor, targetFileBytes, rowGroupBytes, zorderClaim)
 }
 
 /** The STREAMING face of the two-phase-commit sink (VERDICT r12 Next
@@ -2328,7 +2685,7 @@ class ManifestDataWriter(path: String, schema: StructType,
     baseName: String, format: String = "json",
     partitionBy: Seq[String] = Seq.empty, sortedCols: Seq[String] = Seq.empty,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
-    rowGroupBytes: Long = 0L)
+    rowGroupBytes: Long = 0L, zorderClaim: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val staging = Paths.get(path).resolve("_staging")
@@ -2386,7 +2743,7 @@ class ManifestDataWriter(path: String, schema: StructType,
     val bytes = Files.size(staging.resolve(currentName))
     staged += StagedEntry(currentName,
       ManifestMeta.statsLine(currentName,
-        stats.result(sortedCols).copy(bytes = bytes)))
+        stats.result(sortedCols).copy(bytes = bytes, zorder = zorderClaim)))
     out = null
   }
 

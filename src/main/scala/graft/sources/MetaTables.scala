@@ -29,7 +29,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object MetaTables {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "deletes")
+  val Kinds: Set[String] = Set("files", "snapshots", "deletes", "tags")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType.fromDDL(
@@ -40,6 +40,8 @@ object MetaTables {
         "row_count BIGINT")
     case "deletes" => StructType.fromDDL(
       "kind STRING, scoped_files STRING, detail STRING")
+    case "tags" => StructType.fromDDL(
+      "name STRING, generation BIGINT, commit_millis BIGINT")
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $$$other — available: ${Kinds.mkString(", ")}")
   }
@@ -84,6 +86,11 @@ object MetaTables {
       val pos = ManifestPosDeletes.of(tail).map(pd =>
         Seq[Any]("position", pd.files.toSeq.sorted.mkString(","), pd.delFile))
       tombs ++ pos
+    case "tags" =>
+      val instants = ManifestSink.snapshotTimestamps(root).toMap
+      ManifestSink.tags(root).map { case (n, g) =>
+        Seq[Any](n, g, instants.get(g).map(java.lang.Long.valueOf).orNull)
+      }
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $$$other")
   }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestSink
+
+/** CROSS-PROCESS COMMIT TORTURE (r19, VERDICT r18 Next #3): two REAL
+  * JVM processes race append commits (plus replace-shaped compactions
+  * from this side) against ONE lake root through `_commit.lock` +
+  * the generation CAS. FileChannel locks are per-process by design —
+  * ConcurrencySpec's 4-thread race never exercises the cross-process
+  * arm; this spec does, with >=120 contested commits. Serializability
+  * pinned: every committed row accounted exactly once, no generation
+  * skipped or duplicated, and the losing side of any replace conflict
+  * retried rather than silently dropping rows.
+  */
+class CrossProcessCommitSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("two JVMs race 120+ commits on one root: all rows land exactly " +
+      "once, generations stay gapless") {
+    import spark.implicits._
+    val root = {
+      val p = Paths.get("/tmp/graft_xproc_commit")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+      p.toString
+    }
+    val perSide = 60
+    // seed the table (fixes the schema both writers append under)
+    Seq(("seed", -1L)).toDF("w", "i")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root).save()
+
+    // the SECOND process: the spark-free racer main on this JVM's own
+    // classpath (test classes + spark jars ride java.class.path of the
+    // forked test JVM)
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val pb = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.CommitRacer", root, "child", perSide.toString)
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+
+    // this side: 60 one-row appends with a replace-shaped compaction
+    // every 20 — the compaction races the child's appends, so CAS
+    // losses are EXPECTED and withCommitRetry must absorb them by
+    // re-planning against the then-current snapshot
+    var casRetriesSeen = 0
+    (0 until perSide).foreach { i =>
+      Seq(("parent", i.toLong)).toDF("w", "i")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", root).save()
+      if (i % 20 == 19) {
+        try ManifestSink.withCommitRetry(maxAttempts = 25) {
+          ManifestSink.compact(spark, root, targetFiles = 2)
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            // even 25 re-plans lost the race — acceptable under
+            // adversarial contention; rows must still be intact
+            casRetriesSeen += 1
+        }
+      }
+    }
+    val out = new String(child.getInputStream.readAllBytes())
+    val exit = child.waitFor()
+    assert(exit == 0 && out.contains(s"racer-done child $perSide"),
+      s"child racer failed (exit $exit):\n${out.takeRight(2000)}")
+
+    // EVERY committed row accounted exactly once — compactions and CAS
+    // churn may reshape files but never rows
+    val rows = ManifestSink.readCommitted(spark, root)
+    val byWriter = rows.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWriter == Map("seed" -> 1L, "parent" -> perSide.toLong,
+      "child" -> perSide.toLong), s"row accounting broke: $byWriter")
+    // per-writer sequences intact (no i lost or doubled)
+    val childIs = rows.filter($"w" === "child").select("i")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(childIs == (0L until perSide.toLong),
+      s"child sequence damaged: ${childIs.take(10)}...")
+    val parentIs = rows.filter($"w" === "parent").select("i")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(parentIs == (0L until perSide.toLong))
+
+    // generation ledger gapless: publish() assigns last+1 under the
+    // cross-process lock, so contested commits must never skip or
+    // duplicate a generation
+    val gens = ManifestSink.snapshots(root)
+    assert(gens == (1L to gens.last),
+      s"generation sequence has gaps/dups: ${gens.take(20)}...")
+    assert(gens.last >= (2L * perSide + 1L),
+      s"expected >=121 committed generations, got ${gens.last}")
+    // and the final manifest resolves clean (no torn segment refs)
+    assert(rows.count() == 2L * perSide + 1L)
+  }
+}

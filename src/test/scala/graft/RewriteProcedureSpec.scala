@@ -187,7 +187,8 @@ class RewriteProcedureSpec extends AnyFunSuite {
     assert(intercept[Exception](spark.sql(
       "CALL graft_cat.system.rewrite(table => 'rw_mor', zorder => 'k,v')")
       .collect()).getMessage.contains("integral"))
-    // a partitioned table routes to compact instead
+    // a partitioned table routes to the PARTIAL-PROGRESS path (r19):
+    // per-partition sort, one batch here (4 groups < default 8/commit)
     import spark.implicits._
     val proot = freshRoot("part")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.rw_part")
@@ -196,9 +197,17 @@ class RewriteProcedureSpec extends AnyFunSuite {
       "format 'parquet')")
     (0 until 40).map(k => (k.toLong, k.toLong % 4)).toDF("k", "b")
       .writeTo("graft_cat.lake.rw_part").append()
-    assert(intercept[Exception](spark.sql(
+    val prow = spark.sql(
       "CALL graft_cat.system.rewrite(table => 'rw_part', order_by => 'k')")
-      .collect()).getMessage.contains("system.compact"))
+      .head
+    assert(prow.getString(3).startsWith("order-in-partitions:k"),
+      s"unexpected label: ${prow.getString(3)}")
+    assert(prow.getLong(4) == 1L, s"4 groups fit one batch: $prow")
+    // where => scoping refuses on unpartitioned tables
+    assert(intercept[Exception](spark.sql(
+      "CALL graft_cat.system.rewrite(table => 'rw_mor', order_by => 'k', " +
+        "where => 'k = 3')").collect())
+      .getMessage.contains("partitioned tables only"))
     // the DIRECT API refuses too (ADVICE r18): the procedure's guard
     // reads the declared spec, but ManifestSink.rewrite itself must
     // refuse a table whose committed files carry partition-pure claims

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-19 end-of-round battery + full-registry sf1 sweep (the r17/r18
+# shape). Sequential: sbt holds a project lock and concurrent heavy
+# DuckDB oracles spill-storm the disk. The sf1 fixture at
+# /tmp/graft_sf1 is the deterministic 10x scale-up of sf0.1
+# (graft.tools.ScaleAllFixture) — REGENERATE it this round: the write
+# path gained per-file histograms + zorder claims, and the sweep should
+# exercise the current stats lines.
+cd /root/repo
+echo "=== [1] local5 invariance sf0.01 ==="
+SPARK_GRAFT_CPUS=5 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_b19_l5" 2>&1 | tail -1
+python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/graft_b19_l5 2>&1 | tail -1
+echo "=== [2] stacked VerifyThenBench sf0.1 ==="
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.tools.VerifyThenBench /root/testdata/sf0.1 /tmp/graft_b19_sf01" 2>/dev/null | grep -E '^\{"metric"' | tail -1
+echo "=== [3] full sf0.1 DuckDB gate ==="
+SELFCHECK_TMP=/tmp/sc_b19 python3 tools/selfcheck.py /root/testdata/sf0.1 /tmp/graft_b19_sf01 2>&1 | tail -1
+echo "=== [4] quiet bench anchor sf0.1 ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null | grep -E '^\{"metric"' | tail -1
+echo "=== [5] archive the cleanest run + derive the BASELINE sentence ==="
+python3 tools/pick_bench.py /root/testdata/sf0.1 3
+echo "=== [6] sf1 one-pass Verify (full registry) ==="
+sbt -batch "runMain graft.Verify /tmp/graft_sf1 /tmp/graft_b19_sf1" 2>&1 | grep -E "\[verify\].*failed" | head -20
+echo "sf1 verify exit: $?"
+echo "=== [7] sf1 DuckDB gate, partitioned batches ==="
+python3 tools/sf1_batches.py /tmp/graft_b19_sf1 /tmp/graft_sf1
+echo "=== battery_r19 done ==="
