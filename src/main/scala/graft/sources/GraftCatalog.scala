@@ -457,6 +457,44 @@ object GraftCatalog {
       }
     }),
 
+    // NON-IDENTITY PARTITION TRANSFORMS (r19, VERDICT r18 Next #5): a
+    // days(ts)-partitioned table takes one vintage of appends, evolves
+    // its spec to a 2-day truncate as a metadata commit, appends the
+    // other slice under the new vintage, and answers a one-day
+    // predicate — which prunes to one file PER VINTAGE via the
+    // ordinary zone maps over transform-pure files (skip ledger pinned
+    // in PartitionTransformSpec); the oracle pins row content through
+    // the whole cycle.
+    "q_lake_part_days" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_pdays_").toFile.getAbsolutePath
+      val day = PartitionTransforms.DayMillis
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          expr(s"CAST((c_custkey % 5) * ${day}L + " +
+            s"(CAST(c_custkey AS BIGINT) * 997) % ${day}L AS BIGINT)")
+            .as("ts"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_pdays")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_pdays
+           | (c_custkey BIGINT, ts BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (days(ts))
+           | OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      base.filter(col("c_custkey") % 2 === 0L)
+        .writeTo("graft_cat.lake.cust_pdays").append()
+      s.sql("ALTER TABLE graft_cat.lake.cust_pdays " +
+        s"SET TBLPROPERTIES ('partitionBy' = 'truncate(${2 * day},ts)')")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .writeTo("graft_cat.lake.cust_pdays").append()
+      s.sql(
+        s"""SELECT c_custkey, ts, bal_cents
+           |FROM graft_cat.lake.cust_pdays
+           |WHERE ts >= ${3L * day} AND ts < ${4L * day}""".stripMargin)
+    }),
+
     // SNAPSHOT TAGS (r19, VERDICT r18 Next #4): slice A commits and is
     // tagged 'cut'; an append and a replace-shaped DELETE follow, then
     // a retention-1 vacuum — which must keep the tagged snapshot and
@@ -1505,6 +1543,17 @@ object GraftCatalog {
         |JOIN (SELECT ck AS bb, cents AS bpay FROM c
         |      WHERE ck % 97 = 0) b ON f.fb = b.bb""".stripMargin,
 
+    // transform-pure files on either spec vintage never change rows:
+    // the one-day slice of the derived timestamp domain
+    "q_lake_part_days" ->
+      """WITH r AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  CAST((c_custkey % 5) * 86400000 +
+        |       (CAST(c_custkey AS BIGINT) * 997) % 86400000 AS BIGINT) AS ts,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer)
+        |SELECT c_custkey, ts, bal_cents FROM r
+        |WHERE ts >= 259200000 AND ts < 345600000""".stripMargin,
+
     // the tag pins slice A exactly as committed (negatives included);
     // the live read reflects the later append + delete
     "q_lake_tag" ->
@@ -1833,7 +1882,7 @@ class GraftCatalog extends TableCatalog
       s"procedures live in the `system` namespace (got $ident)")
     GraftProcedures.load(ident.name(), tablePath,
       ref => tableProps(ref).get("partitionBy")
-        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(PartitionTransforms.splitSpecs)
         .getOrElse(Seq.empty))
   }
 
@@ -1949,7 +1998,10 @@ class GraftCatalog extends TableCatalog
         .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
       new ManifestTable(props("path"), schema,
         clusterBy = cols("clusterBy"), orderBy = cols("orderBy"),
-        partitionBy = cols("partitionBy"),
+        // paren-aware: partition entries may be transform specs (r19)
+        partitionBy = props.get("partitionBy").toSeq
+          .flatMap(PartitionTransforms.splitSpecs),
+        tableProps = props,
         format = props.getOrElse("format", "json"),
         deleteMode = props.getOrElse("deleteMode", "cow"),
         bloomFor = cols("bloomFor"),
@@ -2040,8 +2092,9 @@ class GraftCatalog extends TableCatalog
       // the historical read falls back to unpartitioned planning
       // instead of crashing (code-review r15)
       partitionBy = props.get("partitionBy").toSeq
-        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
-        .filter(snapSchema.fieldNames.contains),
+        .flatMap(PartitionTransforms.splitSpecs)
+        .filter(s => snapSchema.fieldNames.contains(
+          PartitionTransforms.parse(s).source)),
       snapshotGen = Some(gen))
   }
 
@@ -2063,26 +2116,46 @@ class GraftCatalog extends TableCatalog
       })
       .getOrElse(throw new IllegalArgumentException(
         s"CREATE TABLE $ident requires OPTIONS (path '...')"))
-    // PARTITIONED BY (VERDICT r14 Next #3): identity transforms on
-    // top-level columns are honored — the write side clusters + rolls
-    // partition-pure files, the read side reports KeyGroupedPartitioning
-    // over them. Anything else (bucket/days/truncate/...) is REFUSED
-    // loudly rather than silently dropped (ADVICE r14): a capability the
-    // table can't deliver must not parse.
-    val partitionCols = partitions.map { t =>
-      t match {
-        case id: org.apache.spark.sql.connector.expressions.Transform
-            if id.name() == "identity" && id.references().length == 1 &&
-              id.references()(0).fieldNames().length == 1 =>
-          val c = id.references()(0).fieldNames()(0)
-          require(schema.fieldNames.contains(c),
-            s"PARTITIONED BY column $c is not in the table schema")
-          c
-        case other => throw new UnsupportedOperationException(
-          s"lake tables support only identity PARTITIONED BY columns " +
-            s"(got $other)")
+    // PARTITIONED BY (VERDICT r14 Next #3 + r18 Next #5): identity
+    // transforms plus the Iceberg staples days / bucket / truncate —
+    // the write side clusters on the SOURCE columns and rolls
+    // transform-pure files; identity specs additionally report
+    // KeyGroupedPartitioning. Anything else (hours/months/years/...)
+    // is REFUSED loudly rather than silently dropped (ADVICE r14): a
+    // capability the table can't deliver must not parse.
+    def oneRef(t: Transform): String = {
+      require(t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"partition transform $t must reference exactly one top-level column")
+      t.references()(0).fieldNames()(0)
+    }
+    def oneIntArg(t: Transform): Long = {
+      val lits = t.arguments().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new UnsupportedOperationException(
+              s"partition transform $t wants an integral argument (got $other)")
+          }
       }
-    }.toSeq
+      require(lits.length == 1,
+        s"partition transform $t wants exactly one integral argument")
+      lits.head
+    }
+    val partitionSpecs: Seq[PartitionTransforms.Spec] = partitions.toSeq.map {
+      t =>
+        t.name() match {
+          case "identity" => PartitionTransforms.Identity(oneRef(t))
+          case "days" => PartitionTransforms.Days(oneRef(t))
+          case "bucket" =>
+            PartitionTransforms.Bucket(oneIntArg(t).toInt, oneRef(t))
+          case "truncate" => PartitionTransforms.Truncate(oneIntArg(t), oneRef(t))
+          case other => throw new UnsupportedOperationException(
+            s"lake tables support identity/days/bucket/truncate " +
+              s"PARTITIONED BY transforms (got $other in $t)")
+        }
+    }
+    val partitionCols = PartitionTransforms.validate(partitionSpecs, schema)
     val props = Map("path" -> path) ++
       opt("clusterBy").map("clusterBy" -> _) ++
       opt("orderBy").map("orderBy" -> _) ++
@@ -2140,11 +2213,18 @@ class GraftCatalog extends TableCatalog
       pending.map(_._2)
     def hasManifest: Boolean = rootP.exists(r =>
       java.nio.file.Files.exists(r.resolve("manifest.json")))
-    /** rename a column inside the layout-option CSVs (partitionBy etc.). */
+    /** rename a column inside the layout-option CSVs (partitionBy etc.);
+      * partitionBy entries may be transform SPECS whose source column
+      * must follow the rename (r19).
+      */
     def renameInProps(ps: Map[String, String], from: String,
         to: String): Map[String, String] =
       ps.map { case (k, v) =>
-        if (GraftCatalog.ColListProps.contains(k))
+        if (k == "partitionBy")
+          k -> PartitionTransforms.parseList(v)
+            .map(t => if (t.source == from) t.withSource(to) else t)
+            .map(_.render).mkString(",")
+        else if (GraftCatalog.ColListProps.contains(k))
           k -> v.split(",").iterator.map(_.trim)
             .map(c => if (c == from) to else c).mkString(",")
         else k -> v
@@ -2192,7 +2272,15 @@ class GraftCatalog extends TableCatalog
           (s, p)
         } else {
           Seq("partitionBy", "clusterBy", "orderBy").foreach { k =>
-            require(!p.get(k).exists(_.split(",").map(_.trim).contains(colName)),
+            // partitionBy entries may be transform specs — the guard
+            // protects their SOURCE columns (r19)
+            val referenced =
+              if (k == "partitionBy")
+                p.get(k).exists(PartitionTransforms.parseList(_)
+                  .exists(_.source == colName))
+              else
+                p.get(k).exists(_.split(",").map(_.trim).contains(colName))
+            require(!referenced,
               s"cannot drop $colName: it is referenced by the table's $k " +
                 "layout — recreate or compact the table with a new layout first")
           }
@@ -2239,14 +2327,20 @@ class GraftCatalog extends TableCatalog
           if GraftCatalog.LayoutProps.contains(set.property()) =>
         val k = set.property()
         val v = set.value()
-        if (GraftCatalog.ColListProps.contains(k)) {
+        if (k == "partitionBy") {
+          // partition entries may be transform specs (r19): parse,
+          // type-validate against the live schema, store canonically
+          val specs = PartitionTransforms.parseList(v)
+          val renders = PartitionTransforms.validate(specs, s)
+          if (hasManifest)
+            pending += ((s, s"#ps:${renders.mkString(",")}"))
+          (s, if (renders.isEmpty) p - k else p + (k -> renders.mkString(",")))
+        } else if (GraftCatalog.ColListProps.contains(k)) {
           val cols = v.split(",").iterator.map(_.trim)
             .filter(_.nonEmpty).toSeq
           cols.foreach(c => require(s.fieldNames.contains(c),
             s"cannot set $k to missing column $c — schema: " +
               s"${s.fieldNames.mkString(",")}"))
-          if (k == "partitionBy" && hasManifest)
-            pending += ((s, s"#ps:${cols.mkString(",")}"))
           (s, if (cols.isEmpty) p - k else p + (k -> cols.mkString(",")))
         } else if (GraftCatalog.NumericProps.contains(k)) {
           require(v.toLongOption.exists(_ > 0L),

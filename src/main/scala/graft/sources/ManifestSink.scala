@@ -71,7 +71,10 @@ class ManifestSink extends TableProvider {
           .map(_.toLong).toSet)
         .getOrElse(Set.empty),
       cols("clusterBy"), cols("orderBy"),
-      partitionBy = cols("partitionBy"),
+      // partition entries may be transform specs with parens — a plain
+      // comma split would cut bucket(8,id) in half (r19)
+      partitionBy = Option(properties.get("partitionBy"))
+        .map(PartitionTransforms.splitSpecs).getOrElse(Seq.empty),
       format = Option(properties.get("format")).getOrElse("json"),
       replaceFiles = cols("replaceFiles"),
       zorderClaim = cols("zorderClaim"),
@@ -878,19 +881,17 @@ object ManifestSink {
         !evoLive) return
     } else if (deletes.isEmpty && posDels.isEmpty && !evoLive) {
       val stats = fileStats(root)
-      val keys = names.map { n =>
-        stats.get(n).flatMap { fs =>
-          val vs = partitionBy.map(c => fs.cols.get(c).flatMap(cs =>
-            for { mn <- cs.min; mx <- cs.max; if cs.nulls == 0L && mn == mx }
-              yield mn))
-          if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
-        }
-      }
+      // partition entries may be transform specs (r19): purity is the
+      // verified single TRANSFORM value per file, and the sort claim
+      // names the SOURCE columns
+      val specs = partitionBy.map(PartitionTransforms.parse)
+      val keys = names.map(n => stats.get(n).flatMap(fs =>
+        PartitionTransforms.pureTuple(specs, fs.cols.get)))
       // no-op needs MORE than purity + one-file-per-value: every file's
       // recorded sort claim must already start with the order this
       // compaction would establish, or a run meant to (re)sort silently
       // does nothing (code-review r15)
-      val wantSorted = (partitionBy ++ orderBy).distinct
+      val wantSorted = (specs.map(_.source) ++ orderBy).distinct
       val sortedOk = names.forall(n => stats.get(n).exists(
         _.sorted.startsWith(wantSorted)))
       if (sortedOk && keys.forall(_.isDefined) &&
@@ -1198,7 +1199,11 @@ object ManifestSink {
         val (schema, _) = readManifest(rootP).getOrElse(
           throw new IllegalArgumentException(
             s"no manifest at $root — nothing to rewrite"))
-        (partitionBy ++ orderBy ++ zorderBy ++ where.map(_._1).toSeq)
+        // partition entries may be transform specs (r19); data-frame
+        // operations run on their SOURCE columns
+        val partSpecs = partitionBy.map(PartitionTransforms.parse)
+        val partSources = partSpecs.map(_.source)
+        (partSources ++ orderBy ++ zorderBy ++ where.map(_._1).toSeq)
           .foreach(c => require(schema.fieldNames.contains(c),
             s"unknown rewrite column $c — schema: " +
               schema.fieldNames.mkString(",")))
@@ -1210,12 +1215,8 @@ object ManifestSink {
         val posDels = livePosDeletes(rootP)
         val aliases = liveAliases(rootP)
 
-        def pureKey(n: String): Option[Seq[Any]] = stats.get(n).flatMap { fs =>
-          val vs = partitionBy.map(c => fs.cols.get(c).flatMap(cs =>
-            for { mn <- cs.min; mx <- cs.max; if cs.nulls == 0L && mn == mx }
-              yield mn))
-          if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
-        }
+        def pureKey(n: String): Option[Seq[Any]] = stats.get(n).flatMap(fs =>
+          PartitionTransforms.pureTuple(partSpecs, fs.cols.get))
         val whereF: Option[org.apache.spark.sql.sources.Filter] =
           where.map { case (c, v) =>
             org.apache.spark.sql.sources.EqualTo(c, v) }
@@ -1239,7 +1240,7 @@ object ManifestSink {
           .filter(_.files.exists(inScope))
         if (groupsTotal < 0) groupsTotal = scoped.size
 
-        val wantSorted = (partitionBy ++ orderBy).distinct
+        val wantSorted = (partSources ++ orderBy).distinct
         def envOf(n: String, c: String): Option[(Any, Any)] =
           stats.get(n).flatMap(_.cols.get(c)).flatMap(cs =>
             for { mn <- cs.min; mx <- cs.max } yield (mn, mx))
@@ -1299,8 +1300,8 @@ object ManifestSink {
               val zk = mortonColumn(zorderBy, schema,
                 zBoundsOf(df, batchNames, stats, zorderBy))
               df.withColumn("__z", zk)
-                .repartition(partitionBy.map(col): _*)
-                .sortWithinPartitions((partitionBy.map(col) :+ col("__z")): _*)
+                .repartition(partSources.map(col): _*)
+                .sortWithinPartitions((partSources.map(col) :+ col("__z")): _*)
                 .drop("__z")
                 .write.format("graft.sources.ManifestSink")
                 .option("partitionBy", partitionBy.mkString(","))
@@ -1989,7 +1990,11 @@ class ManifestTable(path: String, schema: StructType,
       * rolling at every key boundary is arrival-order-independent).
       */
     zorderClaim: Seq[String] = Seq.empty,
-    layoutProvided: Boolean = false)
+    layoutProvided: Boolean = false,
+    /** Catalog-declared table properties, surfaced through
+      * `SHOW TBLPROPERTIES` (r19).
+      */
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -2021,6 +2026,12 @@ class ManifestTable(path: String, schema: StructType,
   }
   override def name(): String =
     s"manifest($path${snapshotGen.map(g => s"@$g").getOrElse("")})"
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** LINEAGE metadata columns (`SELECT k, _file FROM t`): `_file` = the
     * committed file a row came from, `_epoch` = the streaming epoch that
@@ -2214,8 +2225,16 @@ class ManifestWrite(path: String, schema: StructType,
     * — declaring a requirement here would let Spark re-sort by the
     * partition prefix alone and scramble the curve order.
     */
+  /** Partition SPECS may be transforms (r19): Spark's exchange/sort
+    * plan over the SOURCE columns — clustering equal source values
+    * co-locates equal transform values for free, and the writer's
+    * roll/keyed-map on the transform key enforces purity regardless.
+    */
+  private val partSources: Seq[String] =
+    partitionBy.map(PartitionTransforms.parse(_).source)
+
   override def requiredDistribution(): Distribution = {
-    val cols = (partitionBy ++ clusterBy).distinct
+    val cols = (partSources ++ clusterBy).distinct
     if (cols.isEmpty || layoutProvided) Distributions.unspecified()
     else Distributions.clustered(
       cols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
@@ -2229,15 +2248,18 @@ class ManifestWrite(path: String, schema: StructType,
     */
   override def requiredOrdering(): Array[SortOrder] =
     if (layoutProvided) Array.empty
-    else (partitionBy ++ clusterBy ++ orderBy).distinct
+    else (partSources ++ clusterBy ++ orderBy).distinct
       .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       .toArray
 
   /** The sort-column list each staged file's stats line records — what
-    * the read side's ordering report stands on.
+    * the read side's ordering report stands on. SOURCE columns, never
+    * transform renderings: the claim names real columns, and it stays
+    * true on the keyed-writer path too (a keyed file's rows are a
+    * subsequence of the task's source-sorted stream).
     */
   private def sortedCols: Seq[String] =
-    (partitionBy ++ clusterBy ++ orderBy).distinct
+    (partSources ++ clusterBy ++ orderBy).distinct
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
@@ -2691,14 +2713,28 @@ class ManifestDataWriter(path: String, schema: StructType,
   private val staging = Paths.get(path).resolve("_staging")
   Files.createDirectories(staging)
   private val ext = if (format == "parquet") "parquet" else "json"
-  private val partIdx: Array[Int] = partitionBy.map { c =>
-    val i = schema.fieldIndex(c)
-    schema.fields(i).dataType match {
-      case LongType | IntegerType | DoubleType | StringType => i
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type $other for $c")
-    }
-  }.toArray
+  /** Partition SPECS (r19): entries are identity columns or transform
+    * renderings (`days(ts)`, `bucket(n,id)`, `truncate(w,s)`); keys are
+    * the TRANSFORM values, so rolled files are transform-pure by
+    * construction.
+    */
+  private val partSpecs: Array[PartitionTransforms.Spec] =
+    partitionBy.map(PartitionTransforms.parse).toArray
+  private val partIdx: Array[Int] = partSpecs.map { t =>
+    val i = schema.fieldIndex(t.source)
+    val dt = schema.fields(i).dataType
+    require(t.accepts(dt),
+      s"unsupported partition column type $dt for ${t.render}")
+    i
+  }
+  /** A non-monotonic spec (bucket) switches the task writer to a
+    * KEYED-WRITER MAP: the write's required ordering sorts by SOURCE
+    * columns, under which bucket values alternate at nearly every
+    * distinct value — roll-on-change would explode the file count, so
+    * each partition tuple instead keeps one open writer (bounded: the
+    * bucket modulus bounds distinct tuples per task).
+    */
+  private val multiOpen: Boolean = partSpecs.exists(!_.monotonic)
 
   private val staged = Seq.newBuilder[StagedEntry]
   private var fileSeq = 0
@@ -2706,48 +2742,97 @@ class ManifestDataWriter(path: String, schema: StructType,
   private var out: RowFileWriter = _
   private var stats: ManifestMeta.StatsCollector = _
   private var currentKey: Array[Any] = _
+  // keyed-writer state (multiOpen only): partition tuple -> open sink
+  private val keyed = new java.util.LinkedHashMap[Seq[Any],
+    (RowFileWriter, ManifestMeta.StatsCollector, String)]()
+  private val MaxOpenWriters = 256
 
   private def keyOf(row: InternalRow): Array[Any] =
-    partIdx.map { i =>
+    partIdx.zip(partSpecs).map { case (i, t) =>
       if (row.isNullAt(i)) null
-      else schema.fields(i).dataType match {
-        case LongType => row.getLong(i)
-        case IntegerType => row.getInt(i)
-        case DoubleType =>
-          // -0.0 and 0.0 are one grouping key in Spark's semantics but
-          // distinct boxed Doubles: normalize, or a table holding both
-          // would roll two "pure" files whose keys a grouped metadata
-          // fold would treat as two groups (ADVICE r15)
-          val d = row.getDouble(i)
-          if (d == 0.0d) 0.0d else d
-        case StringType => row.getUTF8String(i).toString
+      else {
+        val cell: Any = schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType =>
+            // -0.0 and 0.0 are one grouping key in Spark's semantics but
+            // distinct boxed Doubles: normalize, or a table holding both
+            // would roll two "pure" files whose keys a grouped metadata
+            // fold would treat as two groups (ADVICE r15)
+            val d = row.getDouble(i)
+            if (d == 0.0d) 0.0d else d
+          case StringType => row.getUTF8String(i).toString
+        }
+        t.eval(cell)
       }
     }
 
-  private def open(): Unit = {
-    currentName = if (partIdx.isEmpty && fileSeq == 0) s"$baseName.$ext"
-                  else f"$baseName-r$fileSeq%04d.$ext"
+  private def newFileWriter(name: String): RowFileWriter = {
+    val p = staging.resolve(name)
+    if (format == "parquet") new ParquetRowFileWriter(p, schema, rowGroupBytes)
+    else new JsonRowFileWriter(p, schema)
+  }
+
+  private def nextName(): String = {
+    val n = if (partIdx.isEmpty && fileSeq == 0) s"$baseName.$ext"
+            else f"$baseName-r$fileSeq%04d.$ext"
     fileSeq += 1
-    val p = staging.resolve(currentName)
-    out = if (format == "parquet")
-            new ParquetRowFileWriter(p, schema, rowGroupBytes)
-          else new JsonRowFileWriter(p, schema)
+    n
+  }
+
+  private def open(): Unit = {
+    currentName = nextName()
+    out = newFileWriter(currentName)
     stats = new ManifestMeta.StatsCollector(schema, bloomFor.toSet)
   }
 
+  /** Close + stage one file with its stats line: one stat syscall here
+    * (at write time, against the just-closed file) saves O(files) stat
+    * syscalls at every subsequent plan (VERDICT r15).
+    */
+  private def sealEntry(w: RowFileWriter,
+      st: ManifestMeta.StatsCollector, name: String): Unit = {
+    w.close()
+    val bytes = Files.size(staging.resolve(name))
+    staged += StagedEntry(name,
+      ManifestMeta.statsLine(name,
+        st.result(sortedCols).copy(bytes = bytes, zorder = zorderClaim)))
+  }
+
   private def seal(): Unit = if (out != null) {
-    out.close()
-    // record the sealed file's byte size in its stats line: one stat
-    // syscall here (at write time, against the just-closed file) saves
-    // O(files) stat syscalls at every subsequent plan (VERDICT r15)
-    val bytes = Files.size(staging.resolve(currentName))
-    staged += StagedEntry(currentName,
-      ManifestMeta.statsLine(currentName,
-        stats.result(sortedCols).copy(bytes = bytes, zorder = zorderClaim)))
+    sealEntry(out, stats, currentName)
     out = null
   }
 
+  /** Keyed-writer path (non-monotonic specs, r19): one open file per
+    * partition tuple regardless of arrival order. Rows of one keyed
+    * file are a subsequence of the task's (source-sorted) stream, so
+    * the recorded `sorted` claim stays true per file.
+    */
+  private def writeKeyed(row: InternalRow): Unit = {
+    val k = keyOf(row).toSeq
+    var e = keyed.get(k)
+    if (e == null) {
+      require(keyed.size() < MaxOpenWriters,
+        s"bucket write would hold ${keyed.size() + 1} open files in one " +
+          s"task (cap $MaxOpenWriters) — lower the bucket modulus or " +
+          "pre-cluster the input")
+      val name = nextName()
+      e = (newFileWriter(name),
+        new ManifestMeta.StatsCollector(schema, bloomFor.toSet), name)
+      keyed.put(k, e)
+    }
+    e._2.observe(row)
+    e._1.write(row)
+    if (targetFileBytes > 0L && e._1.approxBytes >= targetFileBytes) {
+      sealEntry(e._1, e._2, e._3)
+      keyed.remove(k)
+      ()
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
+    if (multiOpen) { writeKeyed(row); return }
     if (partIdx.nonEmpty) {
       val k = keyOf(row)
       if (out == null || !java.util.Arrays.equals(
@@ -2775,11 +2860,19 @@ class ManifestDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     seal()
+    keyed.forEach((_, e) => sealEntry(e._1, e._2, e._3))
+    keyed.clear()
     StagedFileSet(staged.result())
   }
 
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
+    keyed.forEach((_, e) => {
+      e._1.close()
+      Files.deleteIfExists(staging.resolve(e._3))
+      ()
+    })
+    keyed.clear()
     staged.result().foreach(e => Files.deleteIfExists(staging.resolve(e.name)))
     if (currentName != null) Files.deleteIfExists(staging.resolve(currentName))
     ()

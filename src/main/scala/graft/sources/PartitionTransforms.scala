@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NON-IDENTITY PARTITION TRANSFORMS (r19, VERDICT r18 Next #5): the
+  * Iceberg staples — `days(ts)`, `bucket(n, col)`, `truncate(w, col)`
+  * — as first-class partition specs next to identity columns. A spec
+  * renders canonically into the `partitionBy` table property (so the
+  * `#ps:` evolution ledger carries transforms unchanged), the writer
+  * rolls files on the TRANSFORMED key (transform-pure files by
+  * construction, arrival-order-independent), and the read side
+  * VERIFIES purity from each file's recorded min/max where the math
+  * allows it:
+  *
+  *   - `days`/`truncate` are MONOTONIC — transform(min) ==
+  *     transform(max) proves every row in between shares the value, so
+  *     purity stays verified-not-trusted exactly like identity;
+  *   - `bucket` is hash-scattered — no order statistic can verify it,
+  *     so bucket specs organize the WRITE (bounded files per task, one
+  *     per bucket) and never claim read-side purity beyond the
+  *     min==max degenerate case.
+  *
+  * Pruning needs nothing new: a day-pure file's ts-envelope sits
+  * inside its day, so the ordinary zone maps prune day predicates to
+  * the matching files on every spec vintage.
+  *
+  * `days` operates on epoch-MILLIS integral columns (the engine's
+  * closed type system carries instants as BIGINT millis throughout);
+  * `truncate` on integral columns floors to the bucket origin
+  * (Iceberg's rule, exact for negatives) and on strings takes the
+  * leading `w` chars (prefix truncation is monotonic in the same
+  * binary order the stats record).
+  */
+object PartitionTransforms {
+
+  val DayMillis: Long = 86400000L
+
+  sealed trait Spec {
+    /** The schema column the transform reads. */
+    def source: String
+    /** Canonical rendering for the partitionBy property / #ps: ledger. */
+    def render: String
+    /** Transform value of a NON-NULL source cell (Long or String). */
+    def eval(v: Any): Any
+    /** Verified-from-stats purity: the single transform value a file
+      * with bounds [min,max] provably holds, when the math can prove
+      * it (monotonic transforms; min==max otherwise).
+      */
+    def pureValue(min: Any, max: Any): Option[Any]
+    /** Does the column type support this transform? */
+    def accepts(dt: DataType): Boolean
+    def withSource(s: String): Spec
+    /** Order-preserving in the source column's order? Monotonic
+      * transforms roll files on a source-sorted stream (one file per
+      * value) and verify purity from [min,max]; a non-monotonic one
+      * (bucket) writes through a keyed-writer map instead — rolling on
+      * a sorted stream would cut a new file at nearly every distinct
+      * source value.
+      */
+    def monotonic: Boolean
+  }
+
+  case class Identity(source: String) extends Spec {
+    def render: String = source
+    def eval(v: Any): Any = v
+    def pureValue(min: Any, max: Any): Option[Any] =
+      if (min == max) Some(min) else None
+    def accepts(dt: DataType): Boolean =
+      dt == LongType || dt == IntegerType || dt == StringType ||
+        dt == org.apache.spark.sql.types.DoubleType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  case class Days(source: String) extends Spec {
+    def render: String = s"days($source)"
+    def eval(v: Any): Any = Math.floorDiv(asLong(v), DayMillis)
+    def pureValue(min: Any, max: Any): Option[Any] = {
+      val (a, b) = (eval(min), eval(max))
+      if (a == b) Some(a) else None
+    }
+    def accepts(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  case class Truncate(width: Long, source: String) extends Spec {
+    require(width > 0L, s"truncate width must be positive (got $width)")
+    def render: String = s"truncate($width,$source)"
+    def eval(v: Any): Any = v match {
+      case s: String =>
+        if (s.length <= width) s else s.substring(0, width.toInt)
+      case u: UTF8String => eval(u.toString)
+      case other =>
+        val l = asLong(other)
+        Math.floorDiv(l, width) * width
+    }
+    def pureValue(min: Any, max: Any): Option[Any] = {
+      val (a, b) = (eval(min), eval(max))
+      if (a == b) Some(a) else None
+    }
+    def accepts(dt: DataType): Boolean =
+      dt == LongType || dt == IntegerType || dt == StringType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  case class Bucket(n: Int, source: String) extends Spec {
+    require(n > 0, s"bucket count must be positive (got $n)")
+    def render: String = s"bucket($n,$source)"
+    /** Hash through the SAME splitmix kernels the blooms/KMV use, so
+      * one value hashes identically everywhere in the engine.
+      */
+    def eval(v: Any): Any = {
+      val h = v match {
+        case s: String => ManifestMeta.Bloom.hashBytes(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case u: UTF8String => ManifestMeta.Bloom.hashBytes(u.getBytes)
+        case other => ManifestMeta.Bloom.hashLong(asLong(other))
+      }
+      java.lang.Long.remainderUnsigned(h, n.toLong)
+    }
+    /** Hash-scattered: order statistics can only prove purity for a
+      * CONSTANT column — honest degradation, never a trusted claim.
+      */
+    def pureValue(min: Any, max: Any): Option[Any] =
+      if (min == max) Some(eval(min)) else None
+    def accepts(dt: DataType): Boolean =
+      dt == LongType || dt == IntegerType || dt == StringType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = false
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"non-integral partition-transform input $other (${other.getClass})")
+  }
+
+  private val DaysRe = """^days\(\s*([^\s(),]+)\s*\)$""".r
+  private val TruncRe = """^truncate\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)$""".r
+  private val BucketRe = """^bucket\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)$""".r
+
+  /** Parse one canonical spec string; a bare name is identity. */
+  def parse(s: String): Spec = s.trim match {
+    case DaysRe(c) => Days(c)
+    case TruncRe(w, c) => Truncate(w.toLong, c)
+    case BucketRe(n, c) => Bucket(n.toInt, c)
+    case bare if bare.nonEmpty && !bare.contains("(") => Identity(bare)
+    case other => throw new IllegalArgumentException(
+      s"unparseable partition spec '$other' — supported: col, days(col), " +
+        "truncate(w,col), bucket(n,col)")
+  }
+
+  /** Split a comma-joined spec list WITHOUT breaking inside transform
+    * parens — `days(ts),bucket(8,id)` is two specs, not three.
+    */
+  def splitSpecs(csv: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var depth = 0
+    csv.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.setLength(0)
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  def parseList(csv: String): Seq[Spec] = splitSpecs(csv).map(parse)
+
+  /** Validate a spec list against a schema: sources exist and the
+    * column types support the transform. Returns the canonical
+    * renderings (what the table property should store).
+    */
+  def validate(specs: Seq[Spec], schema: StructType): Seq[String] = {
+    specs.map { t =>
+      val f = schema.fields.find(_.name == t.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition spec ${t.render} references missing column " +
+            s"${t.source} — schema: ${schema.fieldNames.mkString(",")}"))
+      require(t.accepts(f.dataType),
+        s"partition spec ${t.render} does not support column type " +
+          s"${f.dataType} (days wants integral epoch millis; " +
+          "truncate/bucket want integral or string)")
+      t.render
+    }
+  }
+
+  /** Are ALL specs plain identity columns? (The KeyGrouped/SPJ tier
+    * serves only those — transform keys would need the V2 function
+    * catalog handshake; pruning works regardless.)
+    */
+  def allIdentity(specs: Seq[Spec]): Boolean =
+    specs.forall(_.isInstanceOf[Identity])
+
+  /** Verified purity of a file on EVERY spec: the transform-value
+    * tuple, from recorded (min, max, nulls) per source column — None
+    * when any spec can't be proven single-valued.
+    */
+  def pureTuple(specs: Seq[Spec],
+      colStats: String => Option[ManifestMeta.ColStats]): Option[Seq[Any]] = {
+    val vs = specs.map { t =>
+      colStats(t.source).flatMap { cs =>
+        for {
+          mn <- cs.min; mx <- cs.max
+          if cs.nulls == 0L
+          v <- t.pureValue(mn, mx)
+        } yield v
+      }
+    }
+    if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+  }
+}

@@ -375,15 +375,17 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.tt_t")
   }
 
-  test("non-identity PARTITIONED BY is refused loudly, not silently dropped") {
+  test("unsupported PARTITIONED BY transforms are refused loudly, not " +
+      "silently dropped (bucket/days/truncate are honored since r19)") {
     val root = freshRoot("refuse_t")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.refuse_t")
     val err = intercept[Exception] {
       spark.sql("CREATE TABLE graft_cat.lake.refuse_t (k BIGINT) " +
-        s"USING graft PARTITIONED BY (bucket(4, k)) OPTIONS (path '$root')")
+        s"USING graft PARTITIONED BY (hours(k)) OPTIONS (path '$root')")
     }
-    assert(err.getMessage.contains("identity"),
-      s"bucket transforms must be refused with the capability named: ${err.getMessage}")
+    assert(err.getMessage.contains("days/bucket/truncate"),
+      s"unsupported transforms must be refused with the capability " +
+        s"named: ${err.getMessage}")
   }
 
   test("metadata-only aggregates: count/min/max fold from stats, zero files opened") {
