@@ -133,6 +133,11 @@ object GraftProcedures {
     * (no file rewritten twice), per-partition sort or z-order WITHIN
     * partitions, optionally scoped by `where => 'col = literal'`.
     * Both arms fold MoR deletes and keep blooms/format.
+    * `target_files` applies to the UNPARTITIONED arm only — the
+    * partitioned path writes one file per partition value by
+    * construction (the direct API's targetFileBytes parameter adds
+    * size-bounded rolling); `where`/`partitions_per_commit` apply to
+    * the partitioned arm only.
     */
   private class RewriteProcedure(pathOf: String => String,
       partitionByOf: String => Seq[String])

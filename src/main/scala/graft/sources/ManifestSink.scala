@@ -78,6 +78,7 @@ class ManifestSink extends TableProvider {
       format = Option(properties.get("format")).getOrElse("json"),
       replaceFiles = cols("replaceFiles"),
       zorderClaim = cols("zorderClaim"),
+      sortedClaim = cols("sortedClaim"),
       layoutProvided = "true".equalsIgnoreCase(
         String.valueOf(properties.get("layoutProvided"))),
       expectedGen = Option(properties.get("expectedGen")).map(_.toLong),
@@ -852,6 +853,13 @@ object ManifestSink {
     *   - old files stay on disk until [[vacuum]] — the swap/vacuum split
     *     is what gives in-flight readers their grace period.
     */
+  /** NOTE (r19): the partition-preserving no-op check verifies purity
+    * from recorded bounds, which non-monotonic transform specs
+    * (bucket) can never satisfy — a compact of a bucket-partitioned
+    * table therefore always rewrites. Still CONVERGENT (every retry
+    * lands the same valid state), just never free; size/row content is
+    * identical either way.
+    */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
       targetFiles: Int = 1, partitionBy: Seq[String] = Seq.empty,
       orderBy: Seq[String] = Seq.empty, targetFileBytes: Long = 0L): Unit = {
@@ -975,7 +983,15 @@ object ManifestSink {
     */
   def rewrite(spark: org.apache.spark.sql.SparkSession, root: String,
       orderBy: Seq[String] = Seq.empty, zorderBy: Seq[String] = Seq.empty,
-      targetFiles: Int = 4): Unit = {
+      targetFiles: Int = 4,
+      /** The partition-pure guard cannot distinguish a declared
+        * partitioning from a previous one-file-per-value range sort —
+        * both look identical in the committed stats. A caller who KNOWS
+        * the table is unpartitioned and wants the global recluster
+        * anyway (demoting the incidental purity claims) passes true
+        * (code-review r19).
+        */
+      allowClaimDemotion: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, shiftleft, shiftright}
     require(orderBy.nonEmpty ^ zorderBy.nonEmpty,
       "rewrite wants exactly one of order_by / zorder")
@@ -1011,11 +1027,13 @@ object ManifestSink {
     // an already-satisfied rewrite still converges cleanly even when
     // tiny output files happen to be single-key.
     val derivedParts = derivedLayout(names, stats, schema)._1
-    require(derivedParts.isEmpty,
+    require(derivedParts.isEmpty || allowClaimDemotion,
       s"table at $root carries partition-pure files on " +
         s"${derivedParts.mkString(",")} — a global rewrite would demote " +
         "those claims; use compact(partitionBy, orderBy) or the " +
-        "partition-scoped rewritePartitioned(...) instead")
+        "partition-scoped rewritePartitioned(...) instead, or pass " +
+        "allowClaimDemotion=true if the purity is incidental (e.g. a " +
+        "previous one-file-per-value range sort on an unpartitioned table)")
     val df = readDataFiles(spark, schema, files, deletes, posDels,
       liveAliases(rootP))
     val fmt = if (files.forall(_.endsWith(".parquet"))) "parquet" else "json"
@@ -1184,15 +1202,30 @@ object ManifestSink {
       "rewritePartitioned wants exactly one of orderBy / zorderBy")
     require(partitionsPerCommit >= 1,
       s"partitionsPerCommit must be >= 1 (got $partitionsPerCommit)")
+    // the per-partition rewrite certifies progress from recorded
+    // claims, which bucket's hash-scattered values can never satisfy —
+    // a bucket spec would re-rewrite every group on every call
+    // (code-review r19). Bucket tables take compact() for file-count
+    // maintenance; their partition axis has no recluster semantics.
+    partitionBy.map(PartitionTransforms.parse).foreach(t =>
+      require(t.monotonic,
+        s"rewritePartitioned cannot certify progress under ${t.render} " +
+          "(hash-scattered values have no verifiable purity) — use " +
+          "compact() on bucket-partitioned tables"))
     val rootP = Paths.get(root)
     var commits = 0
     var rewrittenGroups = 0
     var groupsTotal = -1
-    // groups THIS CALL already rewrote: guarantees termination and
-    // no-file-rewritten-twice within a run even when a claim check
-    // cannot certify doneness (e.g. size-rolled order files that an
-    // appended sorted file later overlaps)
+    // groups THIS CALL already rewrote: guarantees no group is batched
+    // twice within a run
     val processed = scala.collection.mutable.Set.empty[String]
+    // file names THIS CALL's commits produced: the TERMINATION
+    // backstop (code-review r19) — a group whose purity can never be
+    // certified (null partition keys, stats-poisoned columns) would
+    // otherwise re-enter `pending` forever under a fresh name after
+    // every rewrite; a group made entirely of this call's own output
+    // is done by construction
+    val produced = scala.collection.mutable.Set.empty[String]
     var done = false
     while (!done) {
       withCommitRetry() {
@@ -1231,11 +1264,22 @@ object ManifestSink {
         val pureGroups = keyed.collect { case (n, Some(k)) => (k, n) }
           .groupBy(_._1).toSeq
           .map { case (k, fs) =>
-            Group("k:" + k.map(String.valueOf).mkString(" "),
+            // key cells ESCAPE before joining: a raw join would
+            // collide composite string keys (and a control-char
+            // separator does not survive every editor) — code-review r19
+            Group("k:" + k.map(v => ManifestMeta.quote(String.valueOf(v)))
+              .mkString(","),
               fs.map(_._2).sorted, pure = true) }
           .sortBy(_.id)
         val impureGroups = keyed.collect { case (n, None) => n }.sorted
           .map(n => Group(s"f:$n", Seq(n), pure = false))
+        // TERMINATION: a group made wholly of THIS call's own rewrite
+        // output is complete by construction — without this, a group
+        // whose purity can never be certified (null partition keys,
+        // poisoned stats) would re-enter pending under a fresh name
+        // after every rewrite, forever (code-review r19)
+        def selfProduced(g: Group): Boolean =
+          g.files.nonEmpty && g.files.forall(produced.contains)
         val scoped = (pureGroups ++ impureGroups)
           .filter(_.files.exists(inScope))
         if (groupsTotal < 0) groupsTotal = scoped.size
@@ -1270,17 +1314,23 @@ object ManifestSink {
             case _ => true
           }
         }
+        // a file is order-claim-OK under EITHER recorded shape: the
+        // rewrite's own claim (orderBy alone — layout-provided writes)
+        // or the declared-layout claim from ordinary appends/compacts
+        // (sources ++ orderBy; with a pure partition tuple the source
+        // prefix is constant, so orderBy-sortedness follows)
+        def claimOk(n: String): Boolean = stats.get(n).exists(fs =>
+          fs.sorted.startsWith(orderBy) || fs.sorted.startsWith(wantSorted))
         def isDone(g: Group): Boolean = g.pure &&
           g.files.forall(n => !deletes.contains(n) && !posDels.contains(n)) &&
           (if (orderBy.nonEmpty)
-             g.files.forall(n => stats.get(n).exists(
-               _.sorted.startsWith(wantSorted))) &&
-               disjointOn(g.files, orderBy.head)
+             g.files.forall(claimOk) && disjointOn(g.files, orderBy.head)
            else
              g.files.forall(n => stats.get(n).exists(_.zorder == zorderBy)))
 
         val pending = scoped
-          .filter(g => !processed.contains(g.id) && !isDone(g))
+          .filter(g => !processed.contains(g.id) && !selfProduced(g) &&
+            !isDone(g))
           .take(partitionsPerCommit)
         if (pending.isEmpty) done = true
         else {
@@ -1292,11 +1342,31 @@ object ManifestSink {
           val fmt = derivedFormat(names)
           val blm = derivedBloomCols(names, stats)
           val w0 =
-            if (orderBy.nonEmpty)
-              df.write.format("graft.sources.ManifestSink")
+            if (orderBy.nonEmpty) {
+              // pre-cluster by the TRANSFORM value, not the source: a
+              // day's rows scatter across source-clustered tasks (many
+              // ts values per day), which would write several
+              // k-overlapping files per day and the done-check could
+              // never certify the recluster (code-review r19). The
+              // computed keys repartition each partition value into one
+              // task; rows sort (key, orderBy) so the roll cuts exactly
+              // one file per value, claimed sorted by orderBy.
+              val pNames = partSpecs.indices.map(i => s"__p$i")
+              var framed = df
+              partSpecs.zip(pNames).foreach { case (t, n) =>
+                framed = framed.withColumn(n,
+                  PartitionTransforms.column(t, schema))
+              }
+              framed
+                .repartition(pNames.map(col): _*)
+                .sortWithinPartitions(
+                  (pNames.map(col) ++ orderBy.map(col)): _*)
+                .drop(pNames: _*)
+                .write.format("graft.sources.ManifestSink")
                 .option("partitionBy", partitionBy.mkString(","))
-                .option("orderBy", orderBy.mkString(","))
-            else {
+                .option("layoutProvided", "true")
+                .option("sortedClaim", orderBy.mkString(","))
+            } else {
               val zk = mortonColumn(zorderBy, schema,
                 zBoundsOf(df, batchNames, stats, zorderBy))
               df.withColumn("__z", zk)
@@ -1317,6 +1387,10 @@ object ManifestSink {
           (if (targetFileBytes > 0L)
              w2.option("targetFileBytes", targetFileBytes.toString)
            else w2).save()
+          // names this commit added = the batch's successors: feeds the
+          // selfProduced termination backstop
+          val postNames = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
+          produced ++= postNames.filterNot(names.toSet)
           commits += 1
           rewrittenGroups += pending.size
           processed ++= pending.map(_.id)
@@ -1987,9 +2061,13 @@ class ManifestTable(path: String, schema: StructType,
       * `layoutProvided` the caller promises rows already arrive
       * clustered+ordered and the write declares no required
       * distribution (the partition-value roll still enforces purity —
-      * rolling at every key boundary is arrival-order-independent).
+      * rolling at every key boundary is arrival-order-independent);
+      * `sortedClaim` overrides the recorded sort claim for
+      * layout-provided writes (the default sources++orderBy claim
+      * would be FALSE when rows are pre-sorted by something else).
       */
     zorderClaim: Seq[String] = Seq.empty,
+    sortedClaim: Seq[String] = Seq.empty,
     layoutProvided: Boolean = false,
     /** Catalog-declared table properties, surfaced through
       * `SHOW TBLPROPERTIES` (r19).
@@ -2182,7 +2260,8 @@ class ManifestTable(path: String, schema: StructType,
             ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
           tombstoneFilter = tombstoneFilter, bloomFor = bloomFor,
           targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes,
-          zorderClaim = zorderClaim, layoutProvided = layoutProvided)
+          zorderClaim = zorderClaim, sortedClaim = sortedClaim,
+          layoutProvided = layoutProvided)
     }
   }
 }
@@ -2211,6 +2290,7 @@ class ManifestWrite(path: String, schema: StructType,
       */
     replaceFilesF: () => Seq[String] = null,
     zorderClaim: Seq[String] = Seq.empty,
+    sortedClaim: Seq[String] = Seq.empty,
     layoutProvided: Boolean = false)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -2256,10 +2336,13 @@ class ManifestWrite(path: String, schema: StructType,
     * the read side's ordering report stands on. SOURCE columns, never
     * transform renderings: the claim names real columns, and it stays
     * true on the keyed-writer path too (a keyed file's rows are a
-    * subsequence of the task's source-sorted stream).
+    * subsequence of the task's source-sorted stream). A layout-provided
+    * caller supplies its own claim (or none): the default would be
+    * FALSE for rows pre-arranged by a computed key.
     */
   private def sortedCols: Seq[String] =
-    (partSources ++ clusterBy ++ orderBy).distinct
+    if (layoutProvided) sortedClaim
+    else (partSources ++ clusterBy ++ orderBy).distinct
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
@@ -2742,10 +2825,12 @@ class ManifestDataWriter(path: String, schema: StructType,
   private var out: RowFileWriter = _
   private var stats: ManifestMeta.StatsCollector = _
   private var currentKey: Array[Any] = _
-  // keyed-writer state (multiOpen only): partition tuple -> open sink
+  // keyed-writer state (multiOpen only): partition tuple -> open sink;
+  // the cap is enforced at DDL (PartitionTransforms.validate), this is
+  // the defense-in-depth task-side backstop
   private val keyed = new java.util.LinkedHashMap[Seq[Any],
     (RowFileWriter, ManifestMeta.StatsCollector, String)]()
-  private val MaxOpenWriters = 256
+  private val MaxOpenWriters = PartitionTransforms.MaxBuckets
 
   private def keyOf(row: InternalRow): Array[Any] =
     partIdx.zip(partSpecs).map { case (i, t) =>
@@ -2813,10 +2898,16 @@ class ManifestDataWriter(path: String, schema: StructType,
     val k = keyOf(row).toSeq
     var e = keyed.get(k)
     if (e == null) {
-      require(keyed.size() < MaxOpenWriters,
-        s"bucket write would hold ${keyed.size() + 1} open files in one " +
-          s"task (cap $MaxOpenWriters) — lower the bucket modulus or " +
-          "pre-cluster the input")
+      if (keyed.size() >= MaxOpenWriters) {
+        // bounded memory under composite specs (e.g. days x bucket,
+        // where the source-sorted stream retires old days silently):
+        // seal the ELDEST open writer — an extra file per eviction,
+        // never a failure, and every sealed file stays transform-pure
+        val it = keyed.entrySet().iterator()
+        val eldest = it.next()
+        sealEntry(eldest.getValue._1, eldest.getValue._2, eldest.getValue._3)
+        it.remove()
+      }
       val name = nextName()
       e = (newFileWriter(name),
         new ManifestMeta.StatsCollector(schema, bloomFor.toSet), name)

@@ -36,6 +36,13 @@ object PartitionTransforms {
 
   val DayMillis: Long = 86400000L
 
+  /** Max bucket modulus: the task writer holds one open file per
+    * bucket, so the spec must fit the writer's open-file cap — refused
+    * at CREATE/ALTER, where the user can fix it, not mid-job in a task
+    * (code-review r19).
+    */
+  val MaxBuckets: Int = 256
+
   sealed trait Spec {
     /** The schema column the transform reads. */
     def source: String
@@ -190,16 +197,41 @@ object PartitionTransforms {
         s"partition spec ${t.render} does not support column type " +
           s"${f.dataType} (days wants integral epoch millis; " +
           "truncate/bucket want integral or string)")
+      t match {
+        case Bucket(n, _) => require(n <= MaxBuckets,
+          s"bucket modulus $n exceeds the writer's $MaxBuckets-open-file " +
+            "cap — use a smaller modulus")
+        case _ => ()
+      }
       t.render
     }
   }
 
-  /** Are ALL specs plain identity columns? (The KeyGrouped/SPJ tier
-    * serves only those — transform keys would need the V2 function
-    * catalog handshake; pruning works regardless.)
+  /** The transform as a Catalyst Column over its source — what the
+    * partial rewrite pre-clusters by (repartition on the transform
+    * value puts each partition value in ONE task). MONOTONIC transforms
+    * only: bucket's splitmix hash has no builtin Column form (and
+    * bucket tables refuse the per-partition rewrite anyway). The
+    * integral arms spell out floorDiv (`div` truncates toward zero;
+    * negatives must floor) so the Column agrees with [[Spec.eval]]
+    * bit-for-bit.
     */
-  def allIdentity(specs: Seq[Spec]): Boolean =
-    specs.forall(_.isInstanceOf[Identity])
+  def column(t: Spec, schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def floorDivExpr(c: String, d: Long): String =
+      s"CAST(CASE WHEN `$c` >= 0 OR `$c` % ${d}L = 0 THEN `$c` div ${d}L " +
+        s"ELSE (`$c` div ${d}L) - 1 END AS BIGINT)"
+    t match {
+      case Identity(c) => col(c)
+      case Days(c) => expr(floorDivExpr(c, DayMillis))
+      case Truncate(w, c) if schema(c).dataType == StringType =>
+        expr(s"substring(`$c`, 1, $w)")
+      case Truncate(w, c) => expr(s"(${floorDivExpr(c, w)}) * ${w}L")
+      case b: Bucket => throw new IllegalArgumentException(
+        s"${b.render} has no Column form — bucket values come from the " +
+          "engine's splitmix hash, which only the task writer evaluates")
+    }
+  }
 
   /** Verified purity of a file on EVERY spec: the transform-value
     * tuple, from recorded (min, max, nulls) per source column — None

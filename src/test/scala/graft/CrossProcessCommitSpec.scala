@@ -61,9 +61,13 @@ class CrossProcessCommitSpec extends AnyFunSuite {
         try ManifestSink.withCommitRetry(maxAttempts = 25) {
           ManifestSink.compact(spark, root, targetFiles = 2)
         } catch {
-          case _: java.util.ConcurrentModificationException =>
-            // even 25 re-plans lost the race — acceptable under
-            // adversarial contention; rows must still be intact
+          case e: Throwable
+              if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                .take(50).exists(
+                  _.isInstanceOf[java.util.ConcurrentModificationException]) =>
+            // even 25 re-plans lost the race (the CME usually arrives
+            // WRAPPED in Spark's write-path exception) — acceptable
+            // under adversarial contention; rows must still be intact
             casRetriesSeen += 1
         }
       }

@@ -92,10 +92,12 @@ class PartialRewriteSpec extends AnyFunSuite {
       .inputFiles.map(f => Paths.get(f).getFileName.toString).toSet
     assert(midNames.size == 6, s"half-migrated = 2x1 + 2x2 files: $midNames")
     assert(midLines.size() > 1)
-    // post-rewrite claims: every live file sorted by (band, k) and
+    // post-rewrite claims: every live file sorted by k (the rewrite's
+    // own claim — the partition value is constant per file) and
     // partition-pure — a selective band+range read prunes to 1 file
     val stats = ManifestSink.fileStats(root)
-    assert(stats.values.forall(_.sorted.startsWith(Seq("band", "k"))))
+    assert(stats.values.forall(_.sorted.startsWith(Seq("k"))),
+      s"claims: ${stats.values.map(_.sorted).toSeq}")
     spark.sql("SELECT * FROM graft_cat.lake.prw_batch " +
       "WHERE band = 2 AND k BETWEEN 0 AND 1000").collect()
     val (kept, totalF) = ManifestRead.lastSkipLedger.get()
@@ -179,6 +181,84 @@ class PartialRewriteSpec extends AnyFunSuite {
     val chk = spark.sql("SELECT count(*) c, max(k) m FROM " +
       "graft_cat.lake.prw_mor_t").head
     assert(chk.getLong(0) == 300L && chk.getLong(1) == 299L)
+  }
+
+  test("uncertifiable groups terminate: null partition keys rewrite " +
+      "once per call, never loop; bucket specs refuse (code-review r19)") {
+    import spark.implicits._
+    val root = freshRoot("nullkey")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.prw_null")
+    spark.sql("CREATE TABLE graft_cat.lake.prw_null " +
+      "(k BIGINT, band BIGINT) USING graft " +
+      s"PARTITIONED BY (band) OPTIONS (path '$root', format 'parquet')")
+    // 90 keyed rows + 10 NULL-band rows: the null group can never be
+    // proven pure, so only the produced-files backstop stops the loop
+    (0 until 100).map(k => (k.toLong,
+        if (k % 10 == 0) None else Some((k % 3).toLong)))
+      .toDF("k", "band").writeTo("graft_cat.lake.prw_null").append()
+    val sum = ManifestSink.rewritePartitioned(spark, root,
+      partitionBy = Seq("band"), orderBy = Seq("k"),
+      partitionsPerCommit = 2)
+    // terminates; every group (3 pure + the null-key file) rewritten
+    // exactly once this call
+    assert(sum.groupsRewritten == sum.groupsTotal && sum.commits >= 1,
+      s"$sum")
+    assert(spark.sql("SELECT count(*), sum(k) FROM graft_cat.lake.prw_null")
+      .head.toSeq == Seq(100L, (0L until 100L).sum))
+    // pure groups certify on re-run; only the null-key group re-does
+    val again = ManifestSink.rewritePartitioned(spark, root,
+      partitionBy = Seq("band"), orderBy = Seq("k"))
+    assert(again.groupsRewritten <= 1, s"pure groups must certify: $again")
+    // bucket specs refuse the partial rewrite loudly — their progress
+    // can never be certified from stats
+    assert(intercept[IllegalArgumentException](
+      ManifestSink.rewritePartitioned(spark, root,
+        partitionBy = Seq("bucket(4,band)"), orderBy = Seq("k")))
+      .getMessage.contains("cannot certify"))
+  }
+
+  test("multi-task partitions still converge: the order arm clusters by " +
+      "the TRANSFORM value, one file and one rewrite per day " +
+      "(code-review r19)") {
+    import spark.implicits._
+    import graft.sources.{PartitionTransforms => PT}
+    val root = freshRoot("daysconv")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.prw_days")
+    spark.sql("CREATE TABLE graft_cat.lake.prw_days " +
+      "(k BIGINT, ts BIGINT) USING graft " +
+      s"PARTITIONED BY (days(ts)) OPTIONS (path '$root', format 'parquet')")
+    // two appends, 3 days each, many distinct ts per day — a
+    // source-clustered write would scatter each day over tasks
+    val saved = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      (0 until 2).foreach { half =>
+        (0 until 300).filter(_ % 2 == half)
+          .map(i => (i.toLong, (i % 3) * PT.DayMillis + i * 7919L % PT.DayMillis))
+          .toDF("k", "ts").writeTo("graft_cat.lake.prw_days").append()
+      }
+      val sum = ManifestSink.rewritePartitioned(spark, root,
+        partitionBy = Seq("days(ts)"), orderBy = Seq("k"))
+      assert(sum.groupsTotal == 3 && sum.groupsRewritten == 3, s"$sum")
+      // one file per day — the transform-value repartition holds even
+      // with AQE coalescing disabled (multiple real tasks)
+      val stats = ManifestSink.fileStats(root)
+      assert(stats.size == 3, s"files: ${stats.keySet}")
+      assert(stats.values.forall(fs =>
+        PT.pureTuple(Seq(PT.Days("ts")), fs.cols.get).isDefined))
+      // and the re-run certifies everything done — zero work
+      val again = ManifestSink.rewritePartitioned(spark, root,
+        partitionBy = Seq("days(ts)"), orderBy = Seq("k"))
+      assert(again.groupsRewritten == 0 && again.commits == 0, s"$again")
+      assert(spark.sql("SELECT count(*), sum(k) FROM graft_cat.lake.prw_days")
+        .head.toSeq == Seq(300L, (0L until 300L).sum))
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    }
   }
 
   test("misuse refuses loudly") {

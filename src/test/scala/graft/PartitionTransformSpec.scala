@@ -66,6 +66,35 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(PT.Bucket(8, "id").pureValue(5L, 6L).isEmpty)
   }
 
+  test("Column forms agree with eval bit-for-bit, negatives included; " +
+      "bucket has none and over-cap moduli refuse at DDL (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("t BIGINT, s STRING")
+    val df = Seq(
+      (-2L * PT.DayMillis - 1L, "alpha"), (-1L, "beta"),
+      (0L, "g"), (PT.DayMillis - 1L, "delta"), (37L * 1000000L, "epsil"))
+      .toDF("t", "s")
+    def colVals(t: PT.Spec): Seq[Any] =
+      df.select(PT.column(t, schema)).collect().map(_.get(0)).toSeq
+    def evalVals(t: PT.Spec, c: String): Seq[Any] =
+      df.select(c).collect().map(r => t.eval(r.get(0) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      })).toSeq
+    for (t <- Seq(PT.Days("t"), PT.Truncate(1000L, "t"), PT.Identity("t")))
+      assert(colVals(t) == evalVals(t, "t"), s"${t.render} Column != eval")
+    val st = PT.Truncate(3L, "s")
+    assert(colVals(st).map(_.toString) == evalVals(st, "s"))
+    assert(intercept[IllegalArgumentException](
+      PT.column(PT.Bucket(4, "t"), schema)).getMessage.contains("splitmix"))
+    // the writer holds one open file per bucket: a modulus past the cap
+    // refuses at validation (DDL), not mid-task
+    assert(intercept[IllegalArgumentException](
+      PT.validate(Seq(PT.Bucket(10000, "t")), schema))
+      .getMessage.contains("cap"))
+  }
+
   test("a days(ts) table writes day-pure files; a day predicate prunes " +
       "to one file per vintage across a spec change") {
     import spark.implicits._

@@ -197,6 +197,16 @@ class RewriteProcedureSpec extends AnyFunSuite {
       "format 'parquet')")
     (0 until 40).map(k => (k.toLong, k.toLong % 4)).toDF("k", "b")
       .writeTo("graft_cat.lake.rw_part").append()
+    // the DIRECT API refuses while the files carry the declared-layout
+    // purity claims (ADVICE r18) — checked BEFORE the partial rewrite,
+    // whose own files claim only the order key; the escape hatch
+    // documents intent explicitly (code-review r19)
+    assert(intercept[Exception](
+      ManifestSink.rewrite(spark, proot, orderBy = Seq("k")))
+      .getMessage.contains("partition-pure"))
+    assert(intercept[Exception](
+      ManifestSink.rewrite(spark, proot, orderBy = Seq("k")))
+      .getMessage.contains("allowClaimDemotion"))
     val prow = spark.sql(
       "CALL graft_cat.system.rewrite(table => 'rw_part', order_by => 'k')")
       .head
@@ -208,12 +218,5 @@ class RewriteProcedureSpec extends AnyFunSuite {
       "CALL graft_cat.system.rewrite(table => 'rw_mor', order_by => 'k', " +
         "where => 'k = 3')").collect())
       .getMessage.contains("partitioned tables only"))
-    // the DIRECT API refuses too (ADVICE r18): the procedure's guard
-    // reads the declared spec, but ManifestSink.rewrite itself must
-    // refuse a table whose committed files carry partition-pure claims
-    // — a direct call would otherwise silently demote KeyGrouped/SPJ
-    assert(intercept[Exception](
-      ManifestSink.rewrite(spark, proot, orderBy = Seq("k")))
-      .getMessage.contains("partition-pure"))
   }
 }

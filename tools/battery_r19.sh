@@ -20,7 +20,9 @@ echo "=== [5] archive the cleanest run + derive the BASELINE sentence ==="
 python3 tools/pick_bench.py /root/testdata/sf0.1 3
 echo "=== [6] sf1 one-pass Verify (full registry) ==="
 sbt -batch "runMain graft.Verify /tmp/graft_sf1 /tmp/graft_b19_sf1" 2>&1 | grep -E "\[verify\].*failed" | head -20
-echo "sf1 verify exit: $?"
+# PIPESTATUS[0], not $? — the pipeline tail (head) always exits 0 and
+# would self-certify a failing sweep green (code-review r19)
+echo "sf1 verify exit: ${PIPESTATUS[0]}"
 echo "=== [7] sf1 DuckDB gate, partitioned batches ==="
 python3 tools/sf1_batches.py /tmp/graft_b19_sf1 /tmp/graft_sf1
 echo "=== battery_r19 done ==="
