@@ -315,7 +315,9 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
   override def reportLatestOffset(): Offset =
     SnapshotOffset(gens.lastOption.getOrElse(startingGen))
 
-  private def gens: Seq[Long] = ManifestSink.snapshots(path)
+  // MAIN lineage only (r19): the CDC feed must never emit branch
+  // commits — they become visible as ONE delta when fast-forwarded
+  private def gens: Seq[Long] = ManifestSink.mainSnapshots(path)
 
   override def initialOffset(): Offset = SnapshotOffset(
     GraftChanges.resolveStartingGen(path, start, strict = true))

@@ -536,6 +536,58 @@ object GraftCatalog {
           |FROM graft_cat.lake.cust_tag""".stripMargin)
     }),
 
+    // SNAPSHOT BRANCHES / WRITE-AUDIT-PUBLISH (r19, the second half of
+    // VERDICT r18 Next #4): main holds the even-key slice; a branch
+    // stages the non-negative odd-key slice via `.option("branch",...)`
+    // writes. The result pins all three phases — main UNCHANGED while
+    // the branch is staged (src 1), the branch auditing the staged
+    // union (src 2), and main AFTER the metadata-only fast-forward
+    // (src 3) — through a retention-1 vacuum that must anchor both the
+    // branch head and main's live head. Any staging leak into main,
+    // audit mis-resolution, vacuum over-delete, or failed publish
+    // breaks the oracle.
+    "q_lake_branch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_branch_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_branch")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_branch
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("CALL graft_cat.system.branch(table => 'cust_branch', " +
+        "name => 'audit')")
+      base.filter(col("c_custkey") % 2 === 1L && col("bal_cents") >= 0L)
+        .writeTo("graft_cat.lake.cust_branch")
+        .option("branch", "audit").append()
+      // mid-audit: main must still be the even slice, captured BEFORE
+      // the publish (localCheckpoint pins the pre-publish read)
+      val mainBefore = s.sql(
+        """SELECT CAST(1 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_branch""".stripMargin).localCheckpoint()
+      val audit = s.sql(
+        """SELECT CAST(2 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_branch VERSION AS OF 'audit'"""
+          .stripMargin).localCheckpoint()
+      // retention-1 vacuum mid-cycle: branch head + live main anchor
+      s.sql("CALL graft_cat.system.vacuum(table => 'cust_branch', " +
+        "retain_snapshots => 1)")
+      s.sql("CALL graft_cat.system.fast_forward(table => 'cust_branch', " +
+        "branch => 'audit')")
+      mainBefore.unionByName(audit).unionByName(s.sql(
+        """SELECT CAST(3 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_branch""".stripMargin))
+    }),
+
     // PARTIAL-PROGRESS PARTITION-SCOPED REWRITE (r19, VERDICT r18 Next
     // #1): a 4-partition table whose every partition holds two
     // k-overlapping files reclusters per-partition-sorted at 2
@@ -1568,6 +1620,22 @@ object GraftCatalog {
         |FROM customer
         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= 0""".stripMargin,
 
+    "q_lake_branch" ->
+      """WITH staged AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer
+        | WHERE c_custkey % 2 = 0
+        |  OR (c_custkey % 2 = 1 AND round(c_acctbal * 100) >= 0))
+        |SELECT CAST(1 AS BIGINT) AS src,
+        | CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS src, * FROM staged
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS src, * FROM staged""".stripMargin,
+
     // the staged per-partition recluster never touches row content
     "q_lake_rewrite_partial" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
@@ -2033,16 +2101,17 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val (_, props) = entry
     val path = props("path")
-    // numbers are generations; anything else resolves as a TAG name
-    // (r19 snapshot refs) — tag names are never all digits by
+    // numbers are generations; anything else resolves as a ref name —
+    // a TAG's pinned generation or a BRANCH's current head (r19
+    // snapshot refs/branches) — ref names are never all digits by
     // construction, so the two spaces can't collide
     val gen = version.toLongOption.getOrElse(
-      ManifestSink.tags(path).find(_._1 == version).map(_._2).getOrElse(
+      ManifestSink.refs(path).find(_.name == version).map(_.gen).getOrElse(
         throw new IllegalArgumentException(
-          s"VERSION AS OF wants a snapshot generation or a tag name, " +
-            s"got '$version'; generations: " +
-            s"${ManifestSink.snapshots(path).mkString(",")}; tags: " +
-            ManifestSink.tags(path).map { case (n, g) => s"$n->$g" }
+          s"VERSION AS OF wants a snapshot generation, a tag, or a " +
+            s"branch name, got '$version'; generations: " +
+            s"${ManifestSink.snapshots(path).mkString(",")}; refs: " +
+            ManifestSink.refs(path).map(r => s"${r.name}(${r.kind})->${r.gen}")
               .mkString(","))))
     pinnedTable(ident, path, props, gen)
   }

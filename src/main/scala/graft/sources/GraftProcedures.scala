@@ -31,7 +31,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "snapshots", "rewrite", "tag", "drop_tag",
-      "tags")
+      "tags", "branch", "drop_branch", "fast_forward", "branches")
 
   /** Build the named procedure; `pathOf` resolves a table name to its
     * lake root via the owning catalog, `partitionByOf` its declared
@@ -48,6 +48,10 @@ object GraftProcedures {
       case "tag" => new TagProcedure(pathOf)
       case "drop_tag" => new DropTagProcedure(pathOf)
       case "tags" => new TagsProcedure(pathOf)
+      case "branch" => new BranchProcedure(pathOf)
+      case "drop_branch" => new DropBranchProcedure(pathOf)
+      case "fast_forward" => new FastForwardProcedure(pathOf)
+      case "branches" => new BranchesProcedure(pathOf)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — available: ${Names.mkString(", ")}")
     }
@@ -278,6 +282,95 @@ object GraftProcedures {
       val instants = ManifestSink.snapshotTimestamps(r).toMap
       val rows = ManifestSink.tags(r).map { case (n, g) =>
         Seq[Any](n, g, instants.get(g).map(java.lang.Long.valueOf).orNull)
+      }
+      java.util.List.of[Scan](new ResultScan(out, rows)).iterator()
+    }
+  }
+
+  /** `branch(table, name, generation=NULL)` — create a branch at a
+    * snapshot (default: main's live generation). Branch writes go
+    * through `.option("branch", name)`; main never sees them until
+    * `fast_forward` (r19 write-audit-publish).
+    */
+  private class BranchProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "branch"
+    override def description(): String =
+      "create a snapshot branch; writes with .option('branch', name) " +
+        "advance it invisibly to main until fast_forward publishes"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType),
+      param("generation", LongType, Some("CAST(NULL AS BIGINT)")))
+    private val out = StructType.fromDDL("name STRING, base_generation BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val brName = str(input, 1)
+      val gen = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      one(out, brName, ManifestSink.createBranch(root(input), brName, gen))
+    }
+  }
+
+  /** `drop_branch(table, name)` — remove the branch; its unpublished
+    * snapshots become vacuum-expirable.
+    */
+  private class DropBranchProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "drop a snapshot branch (its unpublished snapshots become expirable)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType))
+    private val out = StructType.fromDDL("existed BOOLEAN")
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(out, java.lang.Boolean.valueOf(
+        ManifestSink.dropBranch(root(input), str(input, 1))))
+  }
+
+  /** `fast_forward(table, branch)` — publish the audited branch head
+    * onto main as a new main generation (metadata-only; refuses if main
+    * diverged from the branch's fork base).
+    */
+  private class FastForwardProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch's head state onto main (refuses on divergence); " +
+        "metadata-only — files and segments carry by reference"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("branch", StringType))
+    private val out = StructType.fromDDL("generation BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(out, ManifestSink.fastForward(root(input), str(input, 1)))
+  }
+
+  /** `branches(table)` — the branch refs: head, fork base, and the
+    * head snapshot's commit instant.
+    */
+  private class BranchesProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "branches"
+    override def description(): String =
+      "list snapshot branches with their heads, fork bases, and instants"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType))
+    private val out = StructType.fromDDL(
+      "name STRING, head_generation BIGINT, base_generation BIGINT, " +
+        "commit_millis BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = root(input)
+      val rows = ManifestSink.branches(r).map { b =>
+        val m = java.nio.file.Paths.get(r)
+          .resolve("_snapshots").resolve(s"manifest-${b.gen}.json")
+        val ts =
+          if (java.nio.file.Files.exists(m))
+            java.nio.file.Files.readAllLines(m)
+              .toArray(Array.empty[String]).toSeq
+              .find(_.startsWith("#t:")).flatMap(_.stripPrefix("#t:").toLongOption)
+              .map(java.lang.Long.valueOf).orNull
+          else null
+        Seq[Any](b.name, b.gen, b.base, ts)
       }
       java.util.List.of[Scan](new ResultScan(out, rows)).iterator()
     }

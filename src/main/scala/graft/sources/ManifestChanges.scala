@@ -119,7 +119,9 @@ object ManifestChanges {
       toGen: Long): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val rootP = Paths.get(root)
-    val retained = ManifestSink.snapshots(root)
+    // MAIN lineage only (r19): branch commits share the global
+    // numbering but are not table history until fast-forwarded
+    val retained = ManifestSink.mainSnapshots(root)
     require(fromGen == 0L || retained.contains(fromGen),
       s"generation $fromGen of $root is not retained — " +
         s"available: ${retained.mkString(",")}")

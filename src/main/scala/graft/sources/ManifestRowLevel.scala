@@ -67,7 +67,7 @@ class ManifestCowOperation(path: String, tableSchema: StructType,
     Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    baseGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+    baseGen = ManifestSink.liveGen(path)
     new ManifestScanBuilder(path, tableSchema, partitionBy,
       snapshotGen = None, splitConf, rowLevelMode = true) {
       override private[sources] def onBuilt(s: ManifestScan): Unit =
@@ -189,7 +189,7 @@ class ManifestMorOperation(path: String, tableSchema: StructType,
       s"merge-on-read row-level DML requires a parquet payload " +
         s"(position deletes replay via _metadata.row_index); table at " +
         s"$path holds non-parquet files — use a copy-on-write table")
-    baseGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+    baseGen = ManifestSink.liveGen(path)
     new ManifestScanBuilder(path, tableSchema, partitionBy,
       snapshotGen = None, splitConf, rowLevelMode = true)
   }
@@ -250,7 +250,7 @@ class ManifestDeltaBatchWrite(path: String, rowSchema: StructType,
     ManifestSink.withCommitLock(Paths.get(path)) {
       val root = Paths.get(path)
       val deltas = messages.map(_.asInstanceOf[StagedDeltaSet])
-      val liveGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+      val liveGen = ManifestSink.liveGen(path)
       if (liveGen != baseGen) throw new java.util.ConcurrentModificationException(
         s"concurrent commit on $path: this row-level delta was planned " +
           s"against generation $baseGen but the table is now at $liveGen — " +

@@ -311,6 +311,14 @@ object ManifestSink {
     else Files.readAllLines(m).toArray(Array.empty[String]).toSeq.drop(1)
   }
 
+  /** The RAW (unresolved) list tail of an arbitrary manifest file — a
+    * BRANCH commit carries forward its branch HEAD's archived snapshot,
+    * not `manifest.json` (r19).
+    */
+  private[sources] def rawListLinesAt(m: Path): Seq[String] =
+    if (!Files.exists(m)) Seq.empty
+    else Files.readAllLines(m).toArray(Array.empty[String]).toSeq.drop(1)
+
   /** SEGMENT-LIST CONSOLIDATION: a long-lived streaming table commits
     * one segment per epoch, so the manifest LIST itself grows O(commits)
     * and a cold driver parse reads one small file per historical commit.
@@ -706,16 +714,25 @@ object ManifestSink {
     * compaction, streaming epoch) is a numbered SNAPSHOT, which is what
     * makes time travel and snapshot-retention vacuum possible.
     */
-  private[sources] def publish(root: Path, lines: Seq[String]): Unit = {
+  private[sources] def publish(root: Path, lines: Seq[String]): Long = {
     // COMMIT TIMESTAMP (`#t:<millis>`): every published state carries
     // its commit instant, the ledger TIMESTAMP AS OF resolves against.
-    // Strictly increasing by construction (a commit landing within the
-    // predecessor's millisecond records prev+1), so distinct generations
-    // never share an instant; any `#t:` carried in via prior-ledger
-    // lines is replaced, never accumulated.
+    // Strictly increasing along the main lineage by construction (a
+    // commit landing within the predecessor's millisecond records
+    // prev+1), so distinct main generations never share an instant; any
+    // `#t:`/`#g:`/`#br:` carried in via prior-ledger lines is replaced,
+    // never accumulated (a fast-forward republishes a BRANCH snapshot's
+    // content onto main — its branch mark must not travel with it).
     val prevTs = commitMillis(root.resolve("manifest.json"))
     val ts = math.max(System.currentTimeMillis(), prevTs.getOrElse(0L) + 1L)
-    val stamped = lines.filterNot(_.startsWith("#t:")) :+ s"#t:$ts"
+    // the generation is stamped INTO the state (`#g:<gen>`) so the live
+    // manifest knows its own main-lineage position — with branch
+    // commits interleaving in the global numbering (r19 branches),
+    // `snapshots().last` is the NEXT-gen counter, never "main's head"
+    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
+    val stamped = lines.filterNot(l => l.startsWith("#t:") ||
+      l.startsWith("#g:") || l.startsWith(BranchMark)) :+
+      s"#g:$gen" :+ s"#t:$ts"
     val bytes = stamped.mkString("\n").getBytes(StandardCharsets.UTF_8)
     val tmp = root.resolve("manifest.json.tmp")
     Files.write(tmp, bytes)
@@ -723,12 +740,60 @@ object ManifestSink {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val snaps = root.resolve("_snapshots")
     Files.createDirectories(snaps)
-    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
     val stmp = snaps.resolve(s"manifest-$gen.json.tmp")
     Files.write(stmp, bytes)
     Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gen
   }
+
+  /** The `#br:<name>` mark a BRANCH commit's archived snapshot carries
+    * (r19): branch snapshots share the global generation numbering and
+    * the `_snapshots/` directory, but they are NOT main lineage — the
+    * mark is what TIMESTAMP AS OF resolution, the CDC feed, and the
+    * snapshot stream filter on.
+    */
+  private[sources] val BranchMark = "#br:"
+
+  /** The `#g:` main-lineage generation a manifest file recorded for
+    * itself, if stamped (pre-branch manifests lack it — resolution
+    * falls back to the newest unmarked snapshot).
+    */
+  private[sources] def commitGen(m: Path): Option[Long] =
+    if (!Files.exists(m)) None
+    else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("#g:")).flatMap(_.stripPrefix("#g:").toLongOption)
+
+  /** Whether retained snapshot `gen` is a branch commit (carries a
+    * `#br:` mark) — raw single-file read, segments never resolved.
+    */
+  private[sources] def isBranchSnapshot(root: Path, gen: Long): Boolean = {
+    val m = root.resolve("_snapshots").resolve(s"manifest-$gen.json")
+    Files.exists(m) && Files.readAllLines(m)
+      .toArray(Array.empty[String]).exists(_.startsWith(BranchMark))
+  }
+
+  /** Retained MAIN-lineage generations, ascending — [[snapshots]] minus
+    * branch commits. This is the history TIMESTAMP AS OF, the CDC feed,
+    * and the snapshot stream walk; the global list keeps numbering and
+    * vacuum honest.
+    */
+  def mainSnapshots(root: String): Seq[Long] = {
+    val rootP = Paths.get(root)
+    snapshots(root).filterNot(isBranchSnapshot(rootP, _))
+  }
+
+  /** Main's LIVE generation — the `#g:` stamp of `manifest.json`
+    * (fallback: newest unmarked snapshot, for pre-stamp manifests).
+    * Every optimistic-concurrency base and CAS check on the main
+    * lineage reads THIS, never `snapshots().last`: with an active
+    * branch the global max is routinely a branch generation, and
+    * anchoring main CAS to it would fail main DML spuriously (or pass
+    * it wrongly).
+    */
+  def liveGen(root: String): Long =
+    commitGen(Paths.get(root).resolve("manifest.json"))
+      .getOrElse(mainSnapshots(root).lastOption.getOrElse(0L))
 
   /** The `#t:` commit instant of a manifest file, if recorded (absent
     * only for pre-r15 manifests — resolution falls back to file mtime).
@@ -738,14 +803,21 @@ object ManifestSink {
     else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
       .find(_.startsWith("#t:")).flatMap(_.stripPrefix("#t:").toLongOption)
 
-  /** (generation, commit millis) of every retained snapshot, ascending —
-    * the TIMESTAMP AS OF resolution ledger.
+  /** (generation, commit millis) of every retained MAIN-lineage
+    * snapshot, ascending — the TIMESTAMP AS OF resolution ledger.
+    * Branch commits (r19) are excluded: a timestamp read of the table
+    * must never resolve to unpublished branch state.
     */
   def snapshotTimestamps(root: String): Seq[(Long, Long)] =
-    snapshots(root).map { g =>
+    snapshots(root).flatMap { g =>
       val m = Paths.get(root).resolve("_snapshots").resolve(s"manifest-$g.json")
-      g -> commitMillis(m).getOrElse(
-        Files.getLastModifiedTime(m).toMillis)
+      val lines =
+        if (!Files.exists(m)) Seq.empty
+        else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      if (lines.exists(_.startsWith(BranchMark))) None
+      else Some(g -> lines.find(_.startsWith("#t:"))
+        .flatMap(_.stripPrefix("#t:").toLongOption)
+        .getOrElse(Files.getLastModifiedTime(m).toMillis))
     }
 
   /** Published snapshot generations, ascending (expired ones excluded). */
@@ -867,7 +939,7 @@ object ManifestSink {
     // CAS base: a commit landing while the compaction job rewrites
     // (e.g. a streaming epoch) must FAIL this compaction loudly —
     // silently publishing would drop the interleaved epoch's rows
-    val baseGen = snapshots(root).lastOption.getOrElse(0L)
+    val baseGen = liveGen(root)
     val (schema, files) = readManifest(rootP)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — nothing to compact"))
@@ -997,7 +1069,7 @@ object ManifestSink {
       "rewrite wants exactly one of order_by / zorder")
     require(targetFiles >= 1, s"target_files must be >= 1 (got $targetFiles)")
     val rootP = Paths.get(root)
-    val baseGen = snapshots(root).lastOption.getOrElse(0L)
+    val baseGen = liveGen(root)
     val (schema, files) = readManifest(rootP)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest at $root — nothing to rewrite"))
@@ -1240,7 +1312,7 @@ object ManifestSink {
           .foreach(c => require(schema.fieldNames.contains(c),
             s"unknown rewrite column $c — schema: " +
               schema.fieldNames.mkString(",")))
-        val baseGen = snapshots(root).lastOption.getOrElse(0L)
+        val baseGen = liveGen(root)
         val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
         val stats = fileStats(root)
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1443,29 +1515,71 @@ object ManifestSink {
 
   private def refsFile(root: Path): Path = root.resolve("_refs.json")
 
-  /** (tag name, generation) pairs, name-sorted. A damaged line drops
-    * (the tag protects nothing it can't name) — never bricks reads.
+  /** A named snapshot ref: a TAG (immutable retention anchor) or a
+    * BRANCH (r19 — a mutable head that advances with branch commits).
+    * For a branch, `base` is the MAIN generation the branch's lineage
+    * forked from — the generation main must still be at for
+    * [[fastForward]] to publish (the write-audit-publish contract:
+    * a diverged main refuses, it never merges silently).
     */
-  def tags(root: String): Seq[(String, Long)] = {
+  case class SnapRef(name: String, gen: Long, kind: String, base: Long)
+
+  /** All named refs, name-sorted. A damaged line drops (the ref
+    * protects nothing it can't name) — never bricks reads. Pre-branch
+    * ref lines ({name, gen}) parse as tags.
+    */
+  def refs(root: String): Seq[SnapRef] = {
     val f = refsFile(Paths.get(root))
     if (!Files.exists(f)) Seq.empty
     else Files.readAllLines(f).toArray(Array.empty[String]).toSeq
       .filter(_.nonEmpty).flatMap { l =>
         try {
           val m = ManifestMeta.parse(l).asInstanceOf[Map[String, Any]]
-          Some((m("name").asInstanceOf[String], m("gen").asInstanceOf[Long]))
+          val g = m("gen").asInstanceOf[Long]
+          Some(SnapRef(m("name").asInstanceOf[String], g,
+            m.getOrElse("kind", "tag").asInstanceOf[String],
+            m.getOrElse("base", g).asInstanceOf[Long]))
         } catch { case _: Exception => None }
       }
   }
 
-  private def writeRefs(root: Path, refs: Seq[(String, Long)]): Unit = {
-    val lines = refs.sortBy(_._1).map { case (n, g) =>
-      ManifestMeta.encodeObject(Map("name" -> n, "gen" -> g)) }
+  /** (tag name, generation) pairs, name-sorted. */
+  def tags(root: String): Seq[(String, Long)] =
+    refs(root).filter(_.kind == "tag").map(r => (r.name, r.gen))
+
+  /** Branch refs, name-sorted. */
+  def branches(root: String): Seq[SnapRef] =
+    refs(root).filter(_.kind == "branch")
+
+  private def writeRefs(root: Path, rs: Seq[SnapRef]): Unit = {
+    val lines = rs.sortBy(_.name).map { r =>
+      // tags keep the pre-branch two-field shape (older readers and
+      // fixtures parse it); branches add kind + fork base
+      if (r.kind == "tag")
+        ManifestMeta.encodeObject(Map("name" -> r.name, "gen" -> r.gen))
+      else ManifestMeta.encodeObject(Map("name" -> r.name, "gen" -> r.gen,
+        "kind" -> r.kind, "base" -> r.base))
+    }
     val tmp = root.resolve("_refs.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, refsFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
+  }
+
+  /** Shared ref-name validation: word-shaped, never all digits (so
+    * `VERSION AS OF` resolution stays unambiguous with generations),
+    * unique across BOTH kinds (a tag and a branch sharing a name would
+    * make `VERSION AS OF 'name'` ambiguous).
+    */
+  private def validateRefName(root: String, name: String,
+      kind: String): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"$kind name '$name' must be non-empty [A-Za-z0-9._-]")
+    require(name.toLongOption.isEmpty,
+      s"$kind name '$name' cannot be all digits — VERSION AS OF resolves " +
+        "numbers as snapshot generations")
   }
 
   /** Tag snapshot `gen` (default: the live generation) as `name`;
@@ -1477,26 +1591,27 @@ object ManifestSink {
     */
   def tag(root: String, name: String, gen: Option[Long] = None): Long =
     withCommitLock(Paths.get(root)) {
-      require(name.nonEmpty &&
-        name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-        s"tag name '$name' must be non-empty [A-Za-z0-9._-]")
-      require(name.toLongOption.isEmpty,
-        s"tag name '$name' cannot be all digits — VERSION AS OF resolves " +
-          "numbers as snapshot generations")
-      val g = gen.getOrElse(snapshots(root).lastOption.getOrElse(
-        throw new IllegalArgumentException(s"no snapshots at $root to tag")))
+      validateRefName(root, name, "tag")
+      val g = gen.getOrElse {
+        val lg = liveGen(root)
+        if (lg > 0L) lg
+        else throw new IllegalArgumentException(s"no snapshots at $root to tag")
+      }
       require(Files.exists(Paths.get(root).resolve("_snapshots")
           .resolve(s"manifest-$g.json")),
         s"snapshot $g of $root does not exist (expired or never " +
           s"published); available: ${snapshots(root).mkString(",")}")
-      val cur = tags(root)
-      cur.find(_._1 == name) match {
-        case Some((_, old)) if old == g => g // idempotent re-tag
-        case Some((_, old)) => throw new IllegalArgumentException(
-          s"tag $name already points at generation $old of $root — " +
+      val cur = refs(root)
+      cur.find(_.name == name) match {
+        case Some(r) if r.kind == "tag" && r.gen == g => g // idempotent re-tag
+        case Some(r) if r.kind == "tag" => throw new IllegalArgumentException(
+          s"tag $name already points at generation ${r.gen} of $root — " +
             "drop_tag it first (a silently moved tag un-anchors retention)")
+        case Some(_) => throw new IllegalArgumentException(
+          s"a branch named $name already exists on $root — " +
+            "VERSION AS OF resolution would be ambiguous")
         case None =>
-          writeRefs(Paths.get(root), cur :+ (name -> g))
+          writeRefs(Paths.get(root), cur :+ SnapRef(name, g, "tag", g))
           g
       }
     }
@@ -1506,10 +1621,152 @@ object ManifestSink {
     */
   def dropTag(root: String, name: String): Boolean =
     withCommitLock(Paths.get(root)) {
-      val cur = tags(root)
-      val left = cur.filterNot(_._1 == name)
+      val cur = refs(root)
+      val left = cur.filterNot(r => r.kind == "tag" && r.name == name)
       if (left.size == cur.size) false
       else { writeRefs(Paths.get(root), left); true }
+    }
+
+  // ---------------------------------------------------------------
+  // SNAPSHOT BRANCHES (r19, the write-audit-publish primitive —
+  // VERDICT r18 ask #4's second half): a branch is a MUTABLE named
+  // ref. Branch commits publish REAL archived snapshots (same global
+  // generation numbering, same `_segments/`+`data/` reuse) marked
+  // `#br:<name>`, advancing only the branch's head in `_refs.json` —
+  // `manifest.json` (main) never moves, so readers of the table see
+  // nothing until [[fastForward]] republishes the audited branch head
+  // onto main. Because segments and data files carry BY REFERENCE,
+  // the publish step is metadata-only: zero rows rewritten.
+  // ---------------------------------------------------------------
+
+  /** Create branch `name` at snapshot `gen` (default: main's live
+    * generation). The fork base is recorded; fast-forward refuses if
+    * main has moved past it. Idempotent on the same (name, gen) while
+    * the branch is unadvanced.
+    */
+  def createBranch(root: String, name: String, gen: Option[Long] = None): Long =
+    withCommitLock(Paths.get(root)) {
+      validateRefName(root, name, "branch")
+      val g = gen.getOrElse {
+        val lg = liveGen(root)
+        if (lg > 0L) lg
+        else throw new IllegalArgumentException(
+          s"no snapshots at $root to branch from")
+      }
+      require(Files.exists(Paths.get(root).resolve("_snapshots")
+          .resolve(s"manifest-$g.json")),
+        s"snapshot $g of $root does not exist (expired or never " +
+          s"published); available: ${snapshots(root).mkString(",")}")
+      val cur = refs(root)
+      cur.find(_.name == name) match {
+        case Some(r) if r.kind == "branch" && r.gen == g && r.base == g => g
+        case Some(r) if r.kind == "branch" => throw new IllegalArgumentException(
+          s"branch $name already exists on $root (head ${r.gen}, " +
+            s"base ${r.base}) — drop_branch it first")
+        case Some(_) => throw new IllegalArgumentException(
+          s"a tag named $name already exists on $root — " +
+            "VERSION AS OF resolution would be ambiguous")
+        case None =>
+          writeRefs(Paths.get(root), cur :+ SnapRef(name, g, "branch", g))
+          g
+      }
+    }
+
+  /** Remove branch `name`; returns whether it existed. Its snapshots
+    * (and any files only they reference) become vacuum-expirable.
+    */
+  def dropBranch(root: String, name: String): Boolean =
+    withCommitLock(Paths.get(root)) {
+      val cur = refs(root)
+      val left = cur.filterNot(r => r.kind == "branch" && r.name == name)
+      if (left.size == cur.size) false
+      else { writeRefs(Paths.get(root), left); true }
+    }
+
+  /** The branch's head snapshot generation, or a loud error. */
+  def branchHead(root: String, name: String): Long =
+    branches(root).find(_.name == name).map(_.gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch named $name on $root — branches: " +
+          branches(root).map(b => s"${b.name}->${b.gen}").mkString(",")))
+
+  /** Publish `lines` as branch `name`'s next snapshot: stamp
+    * `#g:`/`#t:`/`#br:`, archive under the next GLOBAL generation, and
+    * advance the branch head in `_refs.json` — `manifest.json` is
+    * untouched. Caller must hold the commit lock and have planned
+    * against `expectedHead` (verified here; a concurrent branch commit
+    * under another lock acquisition fails the CAS loudly).
+    */
+  private[sources] def publishBranch(root: Path, name: String,
+      lines: Seq[String], expectedHead: Long): Long = {
+    val cur = refs(root.toString)
+    val br = cur.find(r => r.kind == "branch" && r.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch named $name on $root — create it before writing " +
+          "(CALL system.branch)"))
+    if (br.gen != expectedHead)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on branch $name of $root: planned against " +
+          s"head $expectedHead but the branch is now at ${br.gen}")
+    // branch instants advance monotonically ALONG THE BRANCH (main's
+    // ledger never resolves them, so cross-lineage ordering is free)
+    val prevTs = commitMillis(
+      root.resolve("_snapshots").resolve(s"manifest-${br.gen}.json"))
+    val ts = math.max(System.currentTimeMillis(), prevTs.getOrElse(0L) + 1L)
+    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
+    val stamped = lines.filterNot(l => l.startsWith("#t:") ||
+      l.startsWith("#g:") || l.startsWith(BranchMark)) :+
+      s"$BranchMark$name" :+ s"#g:$gen" :+ s"#t:$ts"
+    val snaps = root.resolve("_snapshots")
+    Files.createDirectories(snaps)
+    val stmp = snaps.resolve(s"manifest-$gen.json.tmp")
+    Files.write(stmp, stamped.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeRefs(root, cur.map(r =>
+      if (r.kind == "branch" && r.name == name) r.copy(gen = gen) else r))
+    gen
+  }
+
+  /** FAST-FORWARD publish (the WAP "publish" step): republish branch
+    * `name`'s head state onto main as a new main generation. Refuses
+    * when main has diverged from the branch's fork base — the audited
+    * state was validated against THAT main, publishing over a moved
+    * main would silently drop the interleaved commits (re-branch and
+    * re-audit instead; this is Iceberg fast_forward's ancestor rule).
+    * Metadata-only: the head's segments/files carry by reference.
+    * Returns the new main generation; the branch stays, its base
+    * re-anchored to the published generation (audit → publish → keep
+    * writing → publish again composes).
+    */
+  def fastForward(root: String, name: String): Long =
+    withCommitLock(Paths.get(root)) {
+      val rootP = Paths.get(root)
+      val cur = refs(root)
+      val br = cur.find(r => r.kind == "branch" && r.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch named $name on $root — branches: " +
+            branches(root).map(b => s"${b.name}->${b.gen}").mkString(",")))
+      val mainG = liveGen(root)
+      if (br.gen == br.base) return mainG // nothing committed to the branch
+      require(mainG == br.base,
+        s"cannot fast-forward $root to branch $name: main is at " +
+          s"generation $mainG but the branch forked from ${br.base} — " +
+          "main diverged; drop_branch and re-branch from the current " +
+          "state (publishing would drop main's interleaved commits)")
+      val head = rootP.resolve("_snapshots").resolve(s"manifest-${br.gen}.json")
+      val raw = Files.readAllLines(head).toArray(Array.empty[String]).toSeq
+      require(raw.nonEmpty, s"branch $name head snapshot ${br.gen} is empty")
+      // publish() strips the branch mark + stamps; segments carry by ref
+      val newGen = publish(rootP, raw)
+      // the branch's state now EQUALS main's: re-anchor head AND base to
+      // the published generation, so re-running fast_forward is a no-op
+      // and further branch commits build on the published snapshot
+      writeRefs(rootP, refs(root).map(r =>
+        if (r.kind == "branch" && r.name == name)
+          r.copy(gen = newGen, base = newGen)
+        else r))
+      newGen
     }
 
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
@@ -1530,12 +1787,19 @@ object ManifestSink {
     // and manifest swap, deleting the in-flight commit's files as
     // "orphans" and leaving the swapped manifest pointing at nothing
     val gens = snapshots(root)
-    // TAGGED generations are retention anchors (r19): a tag's snapshot
-    // — and every file/segment it references — survives any retention
-    // bound until the tag is dropped
-    val tagged = tags(root).map(_._2).toSet
+    // TAGGED generations and BRANCH HEADS are retention anchors (r19):
+    // their snapshots — and every file/segment they reference — survive
+    // any retention bound until the ref is dropped. A branch's
+    // INTERMEDIATE snapshots age out like any others; only the head is
+    // the branch's contract.
+    // main's LIVE generation anchors unconditionally: with an active
+    // branch the global takeRight window can be all branch commits, and
+    // expiring main's own head snapshot would break the CDC feed and
+    // default tagging while the table itself reads fine (r19 branches)
+    val anchored = (tags(root).map(_._2) ++ branches(root).map(_.gen)).toSet +
+      liveGen(root)
     val retained = gens.takeRight(math.max(1, retainSnapshots)).toSet ++
-      tagged.filter(gens.contains)
+      anchored.filter(gens.contains)
     val snapsDir = rootP.resolve("_snapshots")
     // retained states resolve segments: their data files stay live, and
     // so do the SEGMENT files they reference (segments expire with the
@@ -1597,7 +1861,7 @@ object ManifestSink {
       updates: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, max, min}
     val rootP = Paths.get(root)
-    val baseGen = snapshots(root).lastOption.getOrElse(0L)
+    val baseGen = liveGen(root)
     val (schema, _) = readManifest(rootP).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
     val names = rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
@@ -1723,7 +1987,7 @@ object ManifestSink {
     // fail the CAS, not get silently tombstoned — the tombstone-bearing
     // commit is row-replacing and gets the same conflict detection as
     // the copy-on-write merge
-    val baseGen = snapshots(root).lastOption.getOrElse(0L)
+    val baseGen = liveGen(root)
     val (schema, _) = readManifest(rootP).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $root — nothing to merge"))
     val keyRows = updates.select(keyCols.map(col): _*)
@@ -2174,7 +2438,7 @@ class ManifestTable(path: String, schema: StructType,
     // optimistic-concurrency base: the generation the candidate reads
     // below run against (captured FIRST — an interleaved commit then
     // fails the CAS rather than racing the reads)
-    val baseGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+    val baseGen = ManifestSink.liveGen(path)
     val names = ManifestSink.rawManifest(rootP).map(_._2).getOrElse(Seq.empty)
     val stats = ManifestSink.fileStats(path)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -2242,6 +2506,14 @@ class ManifestTable(path: String, schema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (snapshotGen.isDefined) throw new UnsupportedOperationException(
       s"table pinned VERSION AS OF ${snapshotGen.get} is read-only")
+    // WRITE-AUDIT-PUBLISH (r19 branches): `.option("branch", name)` on
+    // the write targets the named branch's lineage — the commit reads
+    // its prior state from the BRANCH HEAD's archived snapshot and
+    // publishes a `#br:`-marked snapshot advancing only the branch ref;
+    // main (`manifest.json`) never moves until system.fast_forward.
+    val branchOpt = Option(info.options.get("branch")).map(_.trim)
+      .filter(_.nonEmpty)
+    branchOpt.foreach(b => ManifestSink.branchHead(path, b)) // exists, loudly
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       // APPEND (plain build / INSERT INTO) adds this job's files to the
       // manifest; TRUNCATE (save-mode overwrite / INSERT OVERWRITE)
@@ -2253,15 +2525,17 @@ class ManifestTable(path: String, schema: StructType,
         // OPTIMISTIC CONCURRENCY base: the generation this write was
         // planned against — an explicit `expectedGen` (DELETE/MERGE/
         // compaction pass the generation their candidate reads used),
-        // else the live generation at write start
+        // else the live main generation at write start; a branch write
+        // bases on the BRANCH HEAD it was planned against
         new ManifestWrite(path, info.schema(), carryEpochs, clusterBy, orderBy,
           replace, partitionBy, format, replaceFiles,
-          baseGen = expectedGen.getOrElse(
-            ManifestSink.snapshots(path).lastOption.getOrElse(0L)),
+          baseGen = branchOpt.map(ManifestSink.branchHead(path, _))
+            .orElse(expectedGen)
+            .getOrElse(ManifestSink.liveGen(path)),
           tombstoneFilter = tombstoneFilter, bloomFor = bloomFor,
           targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes,
           zorderClaim = zorderClaim, sortedClaim = sortedClaim,
-          layoutProvided = layoutProvided)
+          layoutProvided = layoutProvided, branch = branchOpt)
     }
   }
 }
@@ -2291,7 +2565,12 @@ class ManifestWrite(path: String, schema: StructType,
     replaceFilesF: () => Seq[String] = null,
     zorderClaim: Seq[String] = Seq.empty,
     sortedClaim: Seq[String] = Seq.empty,
-    layoutProvided: Boolean = false)
+    layoutProvided: Boolean = false,
+    /** Target branch (r19 WAP): the commit advances this branch's head
+      * instead of main. Batch-only — the streaming sink's epoch replay
+      * ledger is a main-lineage contract.
+      */
+    branch: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2347,10 +2626,16 @@ class ManifestWrite(path: String, schema: StructType,
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, schema, carryEpochs, replace,
       format, partitionBy, sortedCols, replaceFiles, baseGen, tombstoneFilter,
-      bloomFor, targetFileBytes, rowGroupBytes, replaceFilesF, zorderClaim)
-  override def toStreaming: StreamingWrite =
+      bloomFor, targetFileBytes, rowGroupBytes, replaceFilesF, zorderClaim,
+      branch)
+  override def toStreaming: StreamingWrite = {
+    require(branch.isEmpty,
+      "the streaming sink cannot target a branch — its epoch replay " +
+        "ledger is a main-lineage contract (write batch to the branch, " +
+        "or stream to a staging table and fast-forward after audit)")
     new ManifestStreamingWrite(path, schema, format, sortedCols, bloomFor,
       targetFileBytes, rowGroupBytes)
+  }
 }
 
 /** One staged file + its ready-to-publish `#s:` stats line. */
@@ -2371,7 +2656,8 @@ class ManifestBatchWrite(path: String, schema: StructType,
     bloomFor: Seq[String] = Seq.empty, targetFileBytes: Long = 0L,
     rowGroupBytes: Long = 0L,
     replaceFilesF: () => Seq[String] = null,
-    zorderClaim: Seq[String] = Seq.empty)
+    zorderClaim: Seq[String] = Seq.empty,
+    branch: Option[String] = None)
     extends BatchWrite {
   /** Per-JOB name token: staged/committed file names from different
     * write jobs can never collide, so a newly published file can never
@@ -2418,15 +2704,25 @@ class ManifestBatchWrite(path: String, schema: StructType,
     // the interleaved commit's rows.
     // tombstone-carrying commits (MoR upsert) are row-REPLACING: they
     // get the same stale-snapshot conflict detection as overwrites and
-    // rewrites (code-review r16), not append-grade none
+    // rewrites (code-review r16), not append-grade none. A BRANCH
+    // commit's lineage head is the branch ref, not main — its CAS runs
+    // against the CURRENT branch head read under this lock.
+    val branchHeadNow: Option[Long] = branch.map { b =>
+      require(replacing.isEmpty && replaceFilesF == null &&
+          tombstoneFilter.isEmpty,
+        "row-level operations target main — branch writes are " +
+          "append/overwrite shaped (audit on the branch, publish, then " +
+          "run DML on main)")
+      ManifestSink.branchHead(path, b)
+    }
     if (baseGen >= 0L &&
         (replace || replacing.nonEmpty || tombstoneFilter.isDefined)) {
-      val liveGen = ManifestSink.snapshots(path).lastOption.getOrElse(0L)
+      val liveGen = branchHeadNow.getOrElse(ManifestSink.liveGen(path))
       if (liveGen != baseGen) throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on $path: this " +
-          s"${if (replace) "overwrite" else "row-level rewrite"} was planned " +
-          s"against generation $baseGen but the table is now at $liveGen — " +
-          "re-run the operation against the current snapshot")
+        s"concurrent commit on $path${branch.fold("")(b => s" (branch $b)")}: " +
+          s"this ${if (replace) "overwrite" else "row-level rewrite"} was planned " +
+          s"against generation $baseGen but the ${branch.fold("table")(_ => "branch")} " +
+          s"is now at $liveGen — re-run the operation against the current snapshot")
     }
     // misuse checks fire BEFORE any staged file moves (code-review
     // r16): failing after the moves would orphan data files that only a
@@ -2442,9 +2738,16 @@ class ManifestBatchWrite(path: String, schema: StructType,
         StandardCopyOption.REPLACE_EXISTING)
     }
     // append keeps the prior list (refs carry unresolved); replace
-    // starts fresh — either way ONE atomic snapshot publish
+    // starts fresh — either way ONE atomic snapshot publish. A branch
+    // commit's prior state is its branch HEAD's archived snapshot.
     val replaced = replacing.toSet
-    val rawPrior = if (replace) Seq.empty else ManifestSink.rawListLines(root)
+    val rawPrior =
+      if (replace) Seq.empty
+      else branchHeadNow match {
+        case Some(h) => ManifestSink.rawListLinesAt(
+          root.resolve("_snapshots").resolve(s"manifest-$h.json"))
+        case None => ManifestSink.rawListLines(root)
+      }
     // a line of a REPLACED file (its name or its stats) must drop. A
     // DAMAGED stats line must degrade (keep it — statsOf already drops
     // unparseable lines on read), never brick the commit (ADVICE r15).
@@ -2522,9 +2825,16 @@ class ManifestBatchWrite(path: String, schema: StructType,
         if (cands.isEmpty) Seq.empty
         else Seq(ManifestDeletes.line(ManifestDeletes.Tombstone(cands.toSet, f)))
     }
-    ManifestSink.publish(root, schema.toDDL +: ManifestSink.consolidateRefs(
+    val outLines = schema.toDDL +: ManifestSink.consolidateRefs(
       root, prior ++ replacedEpochs ++ ledger ++ tombstoneLine ++ segRef,
-      s"$jobToken-m"))
+      s"$jobToken-m")
+    branch match {
+      case Some(b) =>
+        ManifestSink.publishBranch(root, b, outLines,
+          expectedHead = branchHeadNow.get)
+      case None => ManifestSink.publish(root, outLines)
+    }
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -2876,7 +3186,8 @@ class ManifestDataWriter(path: String, schema: StructType,
     * syscalls at every subsequent plan (VERDICT r15).
     */
   private def sealEntry(w: RowFileWriter,
-      st: ManifestMeta.StatsCollector, name: String): Unit = {
+      st: ManifestMeta.StatsCollector, name: String,
+      key: Seq[Any] = null): Unit = {
     w.close()
     val bytes = Files.size(staging.resolve(name))
     staged += StagedEntry(name,
@@ -2905,7 +3216,8 @@ class ManifestDataWriter(path: String, schema: StructType,
         // never a failure, and every sealed file stays transform-pure
         val it = keyed.entrySet().iterator()
         val eldest = it.next()
-        sealEntry(eldest.getValue._1, eldest.getValue._2, eldest.getValue._3)
+        sealEntry(eldest.getValue._1, eldest.getValue._2, eldest.getValue._3,
+          eldest.getKey)
         it.remove()
       }
       val name = nextName()
@@ -2916,7 +3228,7 @@ class ManifestDataWriter(path: String, schema: StructType,
     e._2.observe(row)
     e._1.write(row)
     if (targetFileBytes > 0L && e._1.approxBytes >= targetFileBytes) {
-      sealEntry(e._1, e._2, e._3)
+      sealEntry(e._1, e._2, e._3, k)
       keyed.remove(k)
       ()
     }
@@ -2951,7 +3263,7 @@ class ManifestDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     seal()
-    keyed.forEach((_, e) => sealEntry(e._1, e._2, e._3))
+    keyed.forEach((k, e) => sealEntry(e._1, e._2, e._3, k))
     keyed.clear()
     StagedFileSet(staged.result())
   }

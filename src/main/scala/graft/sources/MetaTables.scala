@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object MetaTables {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "deletes", "tags")
+  val Kinds: Set[String] = Set("files", "snapshots", "deletes", "tags",
+    "refs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType.fromDDL(
@@ -42,6 +43,8 @@ object MetaTables {
       "kind STRING, scoped_files STRING, detail STRING")
     case "tags" => StructType.fromDDL(
       "name STRING, generation BIGINT, commit_millis BIGINT")
+    case "refs" => StructType.fromDDL(
+      "name STRING, kind STRING, generation BIGINT, base_generation BIGINT")
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $$$other — available: ${Kinds.mkString(", ")}")
   }
@@ -91,6 +94,10 @@ object MetaTables {
       ManifestSink.tags(root).map { case (n, g) =>
         Seq[Any](n, g, instants.get(g).map(java.lang.Long.valueOf).orNull)
       }
+    case "refs" =>
+      // tags AND branches (r19): one row per named ref; a tag's base is
+      // its own generation by construction
+      ManifestSink.refs(root).map(r => Seq[Any](r.name, r.kind, r.gen, r.base))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $$$other")
   }

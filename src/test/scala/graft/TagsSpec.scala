@@ -92,7 +92,7 @@ class TagsSpec extends AnyFunSuite {
     assert(!ManifestSink.snapshots(root).contains(gCut))
     assert(intercept[Exception](spark.sql(
       "SELECT * FROM graft_cat.lake.tags_t VERSION AS OF 'training-cut'")
-      .collect()).getMessage.contains("tags:"))
+      .collect()).getMessage.contains("refs:"))
     // dropping again reports absence
     assert(!spark.sql("CALL graft_cat.system.drop_tag(table => 'tags_t', " +
       "name => 'training-cut')").head.getBoolean(0))
