@@ -1186,6 +1186,57 @@ object GraftCatalog {
       }
     }),
 
+    // STORAGE-PARTITIONED JOIN OVER A bucket() TRANSFORM (r19): both
+    // tables are PARTITIONED BY (bucket(16, custkey)) and the join is
+    // on the RAW key — no materialized bucket column, no bucket term in
+    // the ON clause. The scans report KeyGroupedPartitioning over the
+    // transform, the catalog's FunctionCatalog face resolves `bucket`,
+    // and the join plans with ZERO exchange (pinned in
+    // SpjTransformSpec): the Iceberg SPJ shape, THE join plan for two
+    // co-bucketed 50 TB fact tables. Per-file bucket values come from
+    // the task writer's recorded pv claims; a file that can't prove its
+    // bucket demotes the whole claim rather than risking co-location.
+    "q_lake_spj_bucket" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      SynthDataSource.withBucketingConfs(s, pushPartValues = true,
+          disableBroadcast = true) {
+        val t1 = java.nio.file.Files
+          .createTempDirectory("graft_lake_spjb_o_").toFile.getAbsolutePath
+        val t2 = java.nio.file.Files
+          .createTempDirectory("graft_lake_spjb_c_").toFile.getAbsolutePath
+        graft.Tables.orders(s, dir).createOrReplaceTempView("orders_src_spjb")
+        graft.Tables.customer(s, dir).createOrReplaceTempView("cust_src_spjb")
+        s.sql("DROP TABLE IF EXISTS graft_cat.lake.spjb_orders")
+        s.sql("DROP TABLE IF EXISTS graft_cat.lake.spjb_cust")
+        s.sql(
+          s"""CREATE TABLE graft_cat.lake.spjb_orders
+             | (o_custkey BIGINT, cents BIGINT)
+             | USING graft PARTITIONED BY (bucket(16, o_custkey))
+             | OPTIONS (path '$t1', format 'parquet')""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE graft_cat.lake.spjb_cust
+             | (c_custkey BIGINT, c_mktsegment STRING)
+             | USING graft PARTITIONED BY (bucket(16, c_custkey))
+             | OPTIONS (path '$t2', format 'parquet')""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_cat.lake.spjb_orders
+            |SELECT CAST(o_custkey AS BIGINT),
+            | CAST(round(o_totalprice * 100) AS BIGINT)
+            |FROM orders_src_spjb""".stripMargin)
+        s.sql(
+          """INSERT INTO graft_cat.lake.spjb_cust
+            |SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+            |FROM cust_src_spjb""".stripMargin)
+        s.sql(
+          """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+            | CAST(sum(cents) AS BIGINT) AS cents
+            |FROM graft_cat.lake.spjb_orders o
+            |JOIN graft_cat.lake.spjb_cust c
+            |  ON o.o_custkey = c.c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+      }
+    }),
+
     // METADATA-ONLY AGGREGATES: count/count(col)/min/max grouped by the
     // partition column answer ENTIRELY from the manifest's per-file
     // stats — the plan's scan is ManifestAggScan and zero data files
@@ -1816,6 +1867,12 @@ object GraftCatalog {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
 
+    "q_lake_spj_bucket" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
     // the stats-fold must be EXACT (count/min/max per segment equal the
     // data), not an estimate
     "q_lake_meta_agg" ->
@@ -1917,9 +1974,35 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft_cat"
+
+  // ---------------------------------------------------------------
+  // FunctionCatalog face (r19 SPJ over transforms): Spark's
+  // V2ScanPartitioningAndOrdering resolves a scan's reported transform
+  // partitioning (`bucket(n, col)`, `days(ts)`, `truncate(w, s)`)
+  // through the OWNING catalog's empty-namespace functions — serving
+  // them here is what turns the report into a co-partitionable
+  // TransformExpression and unlocks the shuffle-free storage-
+  // partitioned join between two transform-bucketed lake tables.
+  // ---------------------------------------------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      TransformFunctions.Names
+        .map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty &&
+        TransformFunctions.Names.contains(
+          ident.name().toLowerCase(java.util.Locale.ROOT)))
+      TransformFunctions.load(ident.name())
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---------------------------------------------------------------
   // SQL stored procedures (r17): CALL graft_cat.system.<proc>(...)

@@ -475,7 +475,21 @@ object ManifestMeta {
         * twice. A RESUME/no-op marker only: nothing in query planning
         * reads it (pruning stands on the real per-column envelopes).
         */
-      zorder: Seq[String] = Seq.empty) {
+      zorder: Seq[String] = Seq.empty,
+      /** PARTITION-VALUE claims for HASH transforms (r19 SPJ): spec
+        * rendering → the single transform value every row of this file
+        * holds (e.g. `"bucket(8,id)" -> 3`), recorded by the keyed task
+        * writer that ROUTED the rows — the only component that ever
+        * evaluates the hash. Monotonic transforms (identity, days,
+        * truncate) never need this: their purity is VERIFIED from the
+        * recorded [min,max] at plan time. A hash value admits no such
+        * order proof, so this claim is the same trust tier as the
+        * `sorted` claim the ordering report stands on: engine-written
+        * metadata, keyed by the EXACT spec rendering — a file written
+        * under a different spec (or before this feature) simply lacks
+        * the entry and the table degrades to UnknownPartitioning.
+        */
+      pv: Map[String, Any] = Map.empty) {
     def hasNonNull(c: ColStats): Boolean = rows > c.nulls
   }
 
@@ -498,6 +512,7 @@ object ManifestMeta {
     Map[String, Any]("rows" -> fs.rows, "cols" -> cols) ++
       (if (fs.sorted.nonEmpty) Map("sorted" -> fs.sorted.mkString(",")) else Map.empty) ++
       (if (fs.zorder.nonEmpty) Map("zorder" -> fs.zorder.mkString(",")) else Map.empty) ++
+      (if (fs.pv.nonEmpty) Map("pv" -> fs.pv) else Map.empty) ++
       (if (fs.bytes > 0L) Map("bytes" -> fs.bytes) else Map.empty)
   }
 
@@ -530,7 +545,8 @@ object ManifestMeta {
     val zorder = m.get("zorder").map(_.asInstanceOf[String])
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     FileStats(m("rows").asInstanceOf[Long], cols, sorted,
-      m.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L), zorder)
+      m.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L), zorder,
+      m.get("pv").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty))
   }
 
   def statsLine(name: String, fs: FileStats): String =

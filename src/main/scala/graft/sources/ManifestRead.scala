@@ -682,29 +682,47 @@ class ManifestScan(path: String,
     ManifestRead.lastRuntimeLedger.set((files.length, before))
   }
 
-  /** Per-file partition-key rows, present only when EVERY file is
-    * partition-pure for every partition column: stats exist, min==max,
-    * and the column is null-free in the file. The purity is verified
-    * from the committed stats, never assumed from the write config — a
-    * file appended outside the partitioned write path simply drops the
-    * claim.
+  /** Parsed partition specs — identity columns or transforms (r19). */
+  private val partSpecs: Seq[PartitionTransforms.Spec] =
+    partitionBy.map(PartitionTransforms.parse)
+
+  /** Per-file partition-key rows (TRANSFORM values, spec order),
+    * present only when EVERY file provably holds ONE value per spec:
+    *
+    *   - identity / days / truncate — VERIFIED from the committed
+    *     per-file stats (null-free and transform(min) == transform(max);
+    *     monotonic transforms make the order proof sound), never assumed
+    *     from the write config;
+    *   - bucket — a hash admits no order proof, so the value comes from
+    *     the task writer's recorded `pv` claim under the EXACT current
+    *     spec rendering (the same trust tier as the `sorted` claim the
+    *     ordering report stands on), with the degenerate min==max case
+    *     still verified directly.
+    *
+    * A file appended outside the partitioned write path — or written
+    * under an older spec vintage — simply drops the claim and the scan
+    * degrades to UnknownPartitioning.
     */
   private def computeFileKeys(
       fs: Seq[(String, Option[ManifestMeta.FileStats])]): Option[Seq[InternalRow]] = {
-    if (partitionBy.isEmpty || fs.isEmpty ||
-        !partitionBy.forall(tableSchema.fieldNames.contains)) None
+    if (partSpecs.isEmpty || fs.isEmpty ||
+        !partSpecs.forall(t => tableSchema.fieldNames.contains(t.source))) None
     else {
-      val keyTypes = partitionBy.map(c =>
-        tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+      val srcTypes = partSpecs.map(t =>
+        tableSchema.fields(tableSchema.fieldIndex(t.source)).dataType)
       val rows = fs.map { case (_, st) =>
         st.flatMap { s =>
-          val vals = partitionBy.zip(keyTypes).map { case (c, dt) =>
-            s.cols.get(c).flatMap { cs =>
+          val vals = partSpecs.zip(srcTypes).map { case (t, dt) =>
+            val verified = s.cols.get(t.source).flatMap { cs =>
               for {
                 mn <- cs.min; mx <- cs.max
-                if cs.nulls == 0L && mn == mx
-              } yield keyValue(dt, mn)
+                if cs.nulls == 0L
+                v <- t.pureValue(mn, mx)
+              } yield v
             }
+            verified.orElse(
+              if (t.monotonic) None else s.pv.get(t.render))
+              .map(v => keyValue(t, dt, v))
           }
           if (vals.forall(_.isDefined))
             Some(InternalRow.fromSeq(vals.map(_.get)))
@@ -735,12 +753,32 @@ class ManifestScan(path: String,
   }
   private def fileKeys: Option[Seq[InternalRow]] = claims._1
 
-  private def keyValue(dt: DataType, v: Any): Any = dt match {
-    case LongType => v.asInstanceOf[Long]
-    case IntegerType => v.asInstanceOf[Long].toInt
-    case DoubleType => v.asInstanceOf[Double]
-    case StringType => UTF8String.fromString(v.asInstanceOf[String])
-    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  /** The partition-key CELL for spec `t` over a source of type `dt`,
+    * typed to match the reported transform expression's result type —
+    * Spark's key-grouped planning compares both sides' partition values
+    * with InternalRow orderings over those types, so the cell type is a
+    * contract, not a convenience: identity keeps the column type,
+    * `bucket` is the function's INT bucket number, `days` the LONG
+    * epoch-day, `truncate` the LONG floor or the UTF8String prefix.
+    */
+  private def keyValue(t: PartitionTransforms.Spec, dt: DataType,
+      v: Any): Any = t match {
+    case _: PartitionTransforms.Identity => dt match {
+      case LongType => v.asInstanceOf[Long]
+      case IntegerType => v.asInstanceOf[Long].toInt
+      case DoubleType => v.asInstanceOf[Double]
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+    case _: PartitionTransforms.Bucket => v.asInstanceOf[Long].toInt
+    case _: PartitionTransforms.Days => v.asInstanceOf[Long]
+    case _: PartitionTransforms.Truncate => v match {
+      case s: String => UTF8String.fromString(s)
+      case u: UTF8String => u
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"unsupported truncate key $other")
+    }
   }
 
   /** TASK SIZING for non-key-grouped reads: files bin-pack (in name
@@ -784,19 +822,35 @@ class ManifestScan(path: String,
         }.toArray
     }
 
-  /** KeyGroupedPartitioning over the identity partition transforms when
-    * every file is verified partition-pure and the key columns survive
-    * pruning — a GROUP BY the partition key (or a storage-partitioned
-    * join between two lake tables on it) then plans with NO exchange.
+  /** KeyGroupedPartitioning over the partition SPECS when every file
+    * holds one proven transform value per spec and the source columns
+    * survive pruning — a GROUP BY the partition key (or a
+    * storage-partitioned join between two lake tables) then plans with
+    * NO exchange. Non-identity specs report their V2 transform
+    * expressions (`bucket(n, col)`, `days(col)`, `truncate(w, col)`);
+    * Spark resolves the named functions through the owning catalog's
+    * FunctionCatalog face ([[TransformFunctions]]) and, with
+    * `spark.sql.sources.v2.bucketing.enabled`, plans the shuffle-free
+    * SPJ between two tables bucketed the same way — THE join shape for
+    * two co-bucketed 50 TB fact tables.
     */
   override def outputPartitioning(): Partitioning = claims match {
-    case (Some(_), _) if partitionBy.forall(required.fieldNames.contains) =>
+    case (Some(_), _)
+        if partSpecs.map(_.source).forall(required.fieldNames.contains) =>
       new KeyGroupedPartitioning(
-        partitionBy.map(c => Expressions.identity(c):
-          org.apache.spark.sql.connector.expressions.Expression).toArray,
-        files.length)
+        partSpecs.map(v2Transform).toArray, files.length)
     case (Some(_), _) => new UnknownPartitioning(files.length)
     case (None, bins) => new UnknownPartitioning(bins.length)
+  }
+
+  private def v2Transform(t: PartitionTransforms.Spec):
+      org.apache.spark.sql.connector.expressions.Expression = t match {
+    case PartitionTransforms.Identity(c) => Expressions.identity(c)
+    case PartitionTransforms.Days(c) => Expressions.days(c)
+    case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
+    case PartitionTransforms.Truncate(w, c) => Expressions.apply("truncate",
+      Expressions.literal(java.lang.Integer.valueOf(w.toInt)),
+      Expressions.column(c))
   }
 
   /** Per-partition ordering: the longest common prefix of the files'
@@ -995,7 +1049,9 @@ class ManifestSnapshotStream(path: String, tableSchema: StructType,
   override def reportLatestOffset(): Offset =
     SnapshotOffset(gens.lastOption.getOrElse(0L))
 
-  private def gens: Seq[Long] = ManifestSink.snapshots(path)
+  // MAIN lineage only (r19): the snapshot feed walks table history;
+  // branch commits surface only via their fast-forward publish
+  private def gens: Seq[Long] = ManifestSink.mainSnapshots(path)
 
   // evolution lines visible at construction are KNOWN — `aliases`
   // covers them for every committed file; only a NEWER line is a

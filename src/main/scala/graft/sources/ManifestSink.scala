@@ -3184,15 +3184,28 @@ class ManifestDataWriter(path: String, schema: StructType,
   /** Close + stage one file with its stats line: one stat syscall here
     * (at write time, against the just-closed file) saves O(files) stat
     * syscalls at every subsequent plan (VERDICT r15).
+    *
+    * `key` is the file's partition tuple (transform values, spec
+    * order). HASH transforms (bucket) record their value as a `pv`
+    * stats claim — the read side's KeyGroupedPartitioning needs the
+    * bucket number and no order statistic can reconstruct it;
+    * monotonic transforms record nothing (purity re-VERIFIES from
+    * [min,max] at plan time).
     */
   private def sealEntry(w: RowFileWriter,
       st: ManifestMeta.StatsCollector, name: String,
       key: Seq[Any] = null): Unit = {
     w.close()
     val bytes = Files.size(staging.resolve(name))
+    val pvClaim: Map[String, Any] =
+      if (key == null) Map.empty
+      else partSpecs.toSeq.zip(key).collect {
+        case (t, v) if !t.monotonic && v != null => t.render -> v
+      }.toMap
     staged += StagedEntry(name,
       ManifestMeta.statsLine(name,
-        st.result(sortedCols).copy(bytes = bytes, zorder = zorderClaim)))
+        st.result(sortedCols).copy(bytes = bytes, zorder = zorderClaim,
+          pv = pvClaim)))
   }
 
   private def seal(): Unit = if (out != null) {

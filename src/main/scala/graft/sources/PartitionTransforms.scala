@@ -18,8 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     purity stays verified-not-trusted exactly like identity;
   *   - `bucket` is hash-scattered — no order statistic can verify it,
   *     so bucket specs organize the WRITE (bounded files per task, one
-  *     per bucket) and never claim read-side purity beyond the
-  *     min==max degenerate case.
+  *     per bucket) and the writer RECORDS each file's bucket value as a
+  *     `pv` stats claim (r19 SPJ) — the read side's
+  *     KeyGroupedPartitioning stands on that recorded claim (the same
+  *     trust tier as the `sorted` claim), falling back to the min==max
+  *     degenerate case for files without one.
   *
   * Pruning needs nothing new: a day-pure file's ts-envelope sits
   * inside its day, so the ordinary zone maps prune day predicates to
@@ -129,7 +132,8 @@ object PartitionTransforms {
       java.lang.Long.remainderUnsigned(h, n.toLong)
     }
     /** Hash-scattered: order statistics can only prove purity for a
-      * CONSTANT column — honest degradation, never a trusted claim.
+      * CONSTANT column — the general case rides the writer's recorded
+      * `pv` claim instead (FileStats.pv, r19 SPJ).
       */
     def pureValue(min: Any, max: Any): Option[Any] =
       if (min == max) Some(eval(min)) else None
