@@ -2162,7 +2162,10 @@ class GraftCatalog extends TableCatalog
           props.get("targetSplitBytes").map(_.toLong)
             .getOrElse(SplitConf.DefaultTargetBytes),
           props.get("openCostBytes").map(_.toLong)
-            .getOrElse(SplitConf.DefaultOpenCostBytes)))
+            .getOrElse(SplitConf.DefaultOpenCostBytes)),
+        // this relation carries the catalog's FunctionCatalog face, so
+        // writes may cluster by transform expressions (r19 SPJ)
+        catalogOwned = true)
     } else
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
   }

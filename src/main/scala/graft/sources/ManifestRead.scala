@@ -844,14 +844,8 @@ class ManifestScan(path: String,
   }
 
   private def v2Transform(t: PartitionTransforms.Spec):
-      org.apache.spark.sql.connector.expressions.Expression = t match {
-    case PartitionTransforms.Identity(c) => Expressions.identity(c)
-    case PartitionTransforms.Days(c) => Expressions.days(c)
-    case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
-    case PartitionTransforms.Truncate(w, c) => Expressions.apply("truncate",
-      Expressions.literal(java.lang.Integer.valueOf(w.toInt)),
-      Expressions.column(c))
-  }
+      org.apache.spark.sql.connector.expressions.Expression =
+    PartitionTransforms.v2Expression(t)
 
   /** Per-partition ordering: the longest common prefix of the files'
     * `sorted` stats claims that survives pruning. A partition is one

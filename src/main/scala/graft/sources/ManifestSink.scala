@@ -2336,7 +2336,14 @@ class ManifestTable(path: String, schema: StructType,
     /** Catalog-declared table properties, surfaced through
       * `SHOW TBLPROPERTIES` (r19).
       */
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    /** True when this table instance was served by [[GraftCatalog]]
+      * (r19 SPJ): only then can a write's required distribution name
+      * TRANSFORM expressions — Spark resolves them through the owning
+      * catalog's FunctionCatalog face, which a path-based
+      * (`.format(...)`) relation does not carry.
+      */
+    catalogOwned: Boolean = false)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -2535,7 +2542,8 @@ class ManifestTable(path: String, schema: StructType,
           tombstoneFilter = tombstoneFilter, bloomFor = bloomFor,
           targetFileBytes = targetFileBytes, rowGroupBytes = rowGroupBytes,
           zorderClaim = zorderClaim, sortedClaim = sortedClaim,
-          layoutProvided = layoutProvided, branch = branchOpt)
+          layoutProvided = layoutProvided, branch = branchOpt,
+          catalogOwned = catalogOwned)
     }
   }
 }
@@ -2570,7 +2578,8 @@ class ManifestWrite(path: String, schema: StructType,
       * instead of main. Batch-only — the streaming sink's epoch replay
       * ledger is a main-lineage contract.
       */
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    catalogOwned: Boolean = false)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2589,14 +2598,33 @@ class ManifestWrite(path: String, schema: StructType,
     * co-locates equal transform values for free, and the writer's
     * roll/keyed-map on the transform key enforces purity regardless.
     */
-  private val partSources: Seq[String] =
-    partitionBy.map(PartitionTransforms.parse(_).source)
+  private val writeSpecs: Seq[PartitionTransforms.Spec] =
+    partitionBy.map(PartitionTransforms.parse)
+  private val partSources: Seq[String] = writeSpecs.map(_.source)
 
+  /** A catalog-owned write on a TRANSFORM-partitioned table clusters by
+    * the transform expressions themselves (r19): Spark shuffles rows by
+    * the bucket/day VALUE, so one partition value lands wholly in one
+    * task and a commit stages at most one file per present value — file
+    * count bounded by the transform's cardinality (e.g. the bucket
+    * modulus), not tasks × values. Source-column clustering (the
+    * fallback for path-based writes, whose relation carries no
+    * FunctionCatalog to resolve the transforms) stays CORRECT — the
+    * keyed writer enforces purity regardless — but stages one file per
+    * (task, value) pair, which at 1000 tasks × 256 buckets is 256k tiny
+    * files per append.
+    */
   override def requiredDistribution(): Distribution = {
-    val cols = (partSources ++ clusterBy).distinct
-    if (cols.isEmpty || layoutProvided) Distributions.unspecified()
-    else Distributions.clustered(
-      cols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (layoutProvided) return Distributions.unspecified()
+    val exprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      if (catalogOwned && writeSpecs.exists(!_.isInstanceOf[PartitionTransforms.Identity]))
+        writeSpecs.map(PartitionTransforms.v2Expression) ++
+          clusterBy.filterNot(partSources.contains).map(Expressions.identity)
+      else (partSources ++ clusterBy).distinct.map(c =>
+        Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression)
+    if (exprs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(exprs.toArray)
   }
 
   /** Partition keys, then cluster keys, then the explicit in-file order

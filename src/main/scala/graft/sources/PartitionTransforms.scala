@@ -237,6 +237,24 @@ object PartitionTransforms {
     }
   }
 
+  /** The spec as a Spark V2 transform expression — what the scan's
+    * KeyGroupedPartitioning reports and what a catalog-owned write's
+    * required distribution clusters by (r19 SPJ; both resolve through
+    * [[TransformFunctions]] via the owning catalog).
+    */
+  def v2Expression(t: Spec):
+      org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    t match {
+      case Identity(c) => Expressions.identity(c)
+      case Days(c) => Expressions.days(c)
+      case Bucket(n, c) => Expressions.bucket(n, c)
+      case Truncate(w, c) => Expressions.apply("truncate",
+        Expressions.literal(java.lang.Integer.valueOf(w.toInt)),
+        Expressions.column(c))
+    }
+  }
+
   /** Verified purity of a file on EVERY spec: the transform-value
     * tuple, from recorded (min, max, nulls) per source column — None
     * when any spec can't be proven single-valued.

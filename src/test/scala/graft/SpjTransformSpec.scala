@@ -172,6 +172,42 @@ class SpjTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("a catalog-owned append clusters by the TRANSFORM: file count is " +
+      "bounded by the bucket modulus, not tasks x buckets") {
+    import spark.implicits._
+    val r1 = freshRoot("dist_b")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_dist")
+    spark.sql("CREATE TABLE graft_cat.lake.spjt_dist (k BIGINT, x BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(16, k)) " +
+      s"OPTIONS (path '$r1', format 'parquet')")
+    // many source partitions: without transform-clustered distribution
+    // each write task would stage its own file per bucket it sees
+    (0L until 2000L).map(i => (i, i)).toDF("k", "x").repartition(8)
+      .createOrReplaceTempView("spjt_src_dist")
+    spark.sql("INSERT INTO graft_cat.lake.spjt_dist SELECT * FROM spjt_src_dist")
+    val files = ManifestSink.committedFiles(r1)
+    assert(files.length == 16,
+      s"one file per present bucket value expected, got ${files.length}")
+    // the distribution pre-arranged whole buckets per task, so every
+    // file still carries its recorded pv claim and purity holds
+    val stats = ManifestSink.fileStats(r1)
+    assert(stats.values.forall(_.pv.contains("bucket(16,k)")))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.spjt_dist")
+      .head().getLong(0) == 2000L)
+    // days tables get the same treatment: 5 days -> 5 files
+    val r2 = freshRoot("dist_d")
+    val day = graft.sources.PartitionTransforms.DayMillis
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_distd")
+    spark.sql("CREATE TABLE graft_cat.lake.spjt_distd (ts BIGINT, x BIGINT) " +
+      "USING graft PARTITIONED BY (days(ts)) " +
+      s"OPTIONS (path '$r2', format 'parquet')")
+    (0L until 500L).map(i => (i * day / 100L, i)).toDF("ts", "x").repartition(8)
+      .createOrReplaceTempView("spjt_src_distd")
+    spark.sql("INSERT INTO graft_cat.lake.spjt_distd SELECT * FROM spjt_src_distd")
+    assert(ManifestSink.committedFiles(r2).length == 5,
+      "one file per present day expected")
+  }
+
   test("the recorded bucket claim round-trips through the stats line " +
       "and is keyed by the exact spec rendering") {
     import spark.implicits._
