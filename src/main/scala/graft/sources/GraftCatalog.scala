@@ -1186,6 +1186,46 @@ object GraftCatalog {
       }
     }),
 
+    // ABANDONED-STAGING SWEEP (r19): a crashed writer's staged files —
+    // and the Hadoop .crc sidecars every committed parquet write leaves
+    // in _staging — are invisible to readers but billed disk at 100 TB.
+    // The row plants a dead writer's leftover plus an interrupted-swap
+    // .tmp, sweeps with CALL system.remove_orphans, and proves the
+    // committed table reads back byte-exact: the sweep may only ever
+    // touch never-committed residue.
+    "q_lake_orphans" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_orph_").toFile.getAbsolutePath
+      graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_orph")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_orph
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      val staging = java.nio.file.Paths.get(tmp).resolve("_staging")
+      java.nio.file.Files.createDirectories(staging)
+      java.nio.file.Files.write(staging.resolve("dead-writer.parquet"),
+        Array[Byte](1, 2, 3))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp).resolve("manifest.json.tmp"),
+        Array[Byte](4))
+      s.sql("CALL graft_cat.system.remove_orphans(table => 'cust_orph', " +
+        "older_than_ms => 0)").collect()
+      require(!java.nio.file.Files.exists(staging.resolve("dead-writer.parquet")),
+        "remove_orphans must sweep the dead writer's staging leftover")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, bal_cents
+          |FROM graft_cat.lake.cust_orph""".stripMargin)
+    }),
+
     // STORAGE-PARTITIONED JOIN OVER A bucket() TRANSFORM (r19): both
     // tables are PARTITIONED BY (bucket(16, custkey)) and the join is
     // on the RAW key — no materialized bucket column, no bucket term in
@@ -1866,6 +1906,11 @@ object GraftCatalog {
         | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q_lake_orphans" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer""".stripMargin,
 
     "q_lake_spj_bucket" ->
       """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -31,7 +31,8 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "snapshots", "rewrite", "tag", "drop_tag",
-      "tags", "branch", "drop_branch", "fast_forward", "branches")
+      "tags", "branch", "drop_branch", "fast_forward", "branches",
+      "remove_orphans")
 
   /** Build the named procedure; `pathOf` resolves a table name to its
     * lake root via the owning catalog, `partitionByOf` its declared
@@ -52,6 +53,7 @@ object GraftProcedures {
       case "drop_branch" => new DropBranchProcedure(pathOf)
       case "fast_forward" => new FastForwardProcedure(pathOf)
       case "branches" => new BranchesProcedure(pathOf)
+      case "remove_orphans" => new RemoveOrphansProcedure(pathOf)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — available: ${Names.mkString(", ")}")
     }
@@ -373,6 +375,29 @@ object GraftProcedures {
         Seq[Any](b.name, b.gen, b.base, ts)
       }
       java.util.List.of[Scan](new ResultScan(out, rows)).iterator()
+    }
+  }
+
+  /** `remove_orphans(table, older_than_ms=86400000)` — delete staging
+    * files abandoned by crashed writers (and stray .tmp metadata
+    * leftovers) older than the threshold; committed state is never a
+    * candidate. The vacuum procedure owns snapshot-referenced cleanup;
+    * this sweep owns the never-committed residue.
+    */
+  private class RemoveOrphansProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "remove_orphans"
+    override def description(): String =
+      "delete abandoned staging files and stray .tmp leftovers older " +
+        "than older_than_ms (default 24h); committed state never qualifies"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("older_than_ms", LongType, Some("86400000")))
+    private val out = StructType.fromDDL("deleted_files BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val olderThan =
+        if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
+      one(out, ManifestSink.removeOrphans(root(input), olderThan).toLong)
     }
   }
 

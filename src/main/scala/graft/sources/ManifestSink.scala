@@ -729,7 +729,7 @@ object ManifestSink {
     // manifest knows its own main-lineage position — with branch
     // commits interleaving in the global numbering (r19 branches),
     // `snapshots().last` is the NEXT-gen counter, never "main's head"
-    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
+    val gen = nextGen(root)
     val stamped = lines.filterNot(l => l.startsWith("#t:") ||
       l.startsWith("#g:") || l.startsWith(BranchMark)) :+
       s"#g:$gen" :+ s"#t:$ts"
@@ -744,8 +744,45 @@ object ManifestSink {
     Files.write(stmp, bytes)
     Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    recordHighWater(root, gen)
     gen
   }
+
+  /** GENERATION HIGH-WATER MARK (`_gen.hw`, r19 branches): generation
+    * numbers must NEVER be reassigned — anything still holding an
+    * expired number (a concurrent `VERSION AS OF`, an operator's notes,
+    * an external catalog) would silently resolve recycled content.
+    * Today that stability is an ACCIDENT of the retention shape
+    * (vacuum's count window always keeps the globally newest snapshot,
+    * so `snapshots().last` never decreases); with branches interleaving
+    * in the numbering and drop_branch making arbitrary suffixes
+    * expirable in principle, the mark turns it into an INVARIANT: the
+    * highest generation ever assigned is recorded under the commit
+    * lock and the counter never dips below it, whatever a future
+    * retention policy deletes. Absent (pre-mark tables) it reads 0 and
+    * the snapshot-derived counter stands.
+    */
+  private def hwFile(root: Path): Path = root.resolve("_gen.hw")
+
+  private def highWater(root: Path): Long = {
+    val f = hwFile(root)
+    if (!Files.exists(f)) 0L
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .trim.toLongOption.getOrElse(0L)
+  }
+
+  private[sources] def recordHighWater(root: Path, gen: Long): Unit =
+    if (gen > highWater(root)) {
+      val tmp = root.resolve("_gen.hw.tmp")
+      Files.write(tmp, gen.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, hwFile(root),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  private[sources] def nextGen(root: Path): Long =
+    math.max(snapshots(root.toString).lastOption.getOrElse(0L),
+      highWater(root)) + 1L
 
   /** The `#br:<name>` mark a BRANCH commit's archived snapshot carries
     * (r19): branch snapshots share the global generation numbering and
@@ -1713,7 +1750,7 @@ object ManifestSink {
     val prevTs = commitMillis(
       root.resolve("_snapshots").resolve(s"manifest-${br.gen}.json"))
     val ts = math.max(System.currentTimeMillis(), prevTs.getOrElse(0L) + 1L)
-    val gen = snapshots(root.toString).lastOption.getOrElse(0L) + 1L
+    val gen = nextGen(root)
     val stamped = lines.filterNot(l => l.startsWith("#t:") ||
       l.startsWith("#g:") || l.startsWith(BranchMark)) :+
       s"$BranchMark$name" :+ s"#g:$gen" :+ s"#t:$ts"
@@ -1723,6 +1760,7 @@ object ManifestSink {
     Files.write(stmp, stamped.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(stmp, snaps.resolve(s"manifest-$gen.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    recordHighWater(root, gen)
     writeRefs(root, cur.map(r =>
       if (r.kind == "branch" && r.name == name) r.copy(gen = gen) else r))
     gen
@@ -1841,6 +1879,46 @@ object ManifestSink {
     deleteOrphans(rootP.resolve("_segments"), liveSegs.contains)
     deleteOrphans(rootP.resolve("data"), live.contains)
   }
+
+  /** ABANDONED-STAGING SWEEP (the Iceberg `remove_orphan_files` shape,
+    * r19): a task that staged files and then died without reaching
+    * commit OR abort (hard kill, lost executor) leaves them under
+    * `_staging/` forever — invisible to every reader (only committed
+    * manifests are read) but billed disk at 100 TB. Deletes staging
+    * entries (and stray `.tmp` leftovers of interrupted metadata swaps)
+    * older than `olderThanMs`; the age threshold is the protection for
+    * writes staging RIGHT NOW (they hold no lock until commit), the
+    * same contract as Iceberg's `older_than`. Committed data, segments,
+    * snapshots, and refs are never candidates — this sweep only ever
+    * looks at staging and `.tmp` names. Returns the deleted count.
+    */
+  def removeOrphans(root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Int =
+    withCommitLock(Paths.get(root)) {
+      val rootP = Paths.get(root)
+      val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
+      var n = 0
+      def sweep(dir: Path, eligible: Path => Boolean): Unit = {
+        if (!Files.exists(dir)) return
+        val s = Files.list(dir)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (Files.isRegularFile(p) && eligible(p) &&
+                Files.getLastModifiedTime(p).toMillis < cutoff) {
+              Files.deleteIfExists(p)
+              n += 1
+            }
+          }
+        } finally s.close()
+      }
+      sweep(rootP.resolve("_staging"), _ => true)
+      sweep(rootP, _.getFileName.toString.endsWith(".tmp"))
+      sweep(rootP.resolve("_snapshots"), _.getFileName.toString.endsWith(".tmp"))
+      sweep(rootP.resolve("_segments"), _.getFileName.toString.endsWith(".tmp"))
+      n
+    }
 
   /** COPY-ON-WRITE MERGE (upsert): the keyed row-level operation next
     * to DELETE — rows of `updates` REPLACE current rows sharing their
