@@ -120,8 +120,7 @@ object GraftProcedures {
       val before = ManifestSink.committedFiles(r).length.toLong
       ManifestSink.compact(spark, r, target, cols(2), cols(3))
       val after = ManifestSink.committedFiles(r).length.toLong
-      one(out, before, after,
-        ManifestSink.snapshots(r).lastOption.getOrElse(0L))
+      one(out, before, after, ManifestSink.liveGen(r))
     }
   }
 
@@ -205,8 +204,7 @@ object GraftProcedures {
            else s"zorder:${zorderBy.mkString(",")}", 1L)
         }
       val after = ManifestSink.committedFiles(r).length.toLong
-      one(out, before, after,
-        ManifestSink.snapshots(r).lastOption.getOrElse(0L), label, nCommits)
+      one(out, before, after, ManifestSink.liveGen(r), label, nCommits)
     }
   }
 
@@ -363,15 +361,9 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val r = root(input)
       val rows = ManifestSink.branches(r).map { b =>
-        val m = java.nio.file.Paths.get(r)
-          .resolve("_snapshots").resolve(s"manifest-${b.gen}.json")
-        val ts =
-          if (java.nio.file.Files.exists(m))
-            java.nio.file.Files.readAllLines(m)
-              .toArray(Array.empty[String]).toSeq
-              .find(_.startsWith("#t:")).flatMap(_.stripPrefix("#t:").toLongOption)
-              .map(java.lang.Long.valueOf).orNull
-          else null
+        val ts = ManifestSink.commitMillis(java.nio.file.Paths.get(r)
+            .resolve("_snapshots").resolve(s"manifest-${b.gen}.json"))
+          .map(java.lang.Long.valueOf).orNull
         Seq[Any](b.name, b.gen, b.base, ts)
       }
       java.util.List.of[Scan](new ResultScan(out, rows)).iterator()

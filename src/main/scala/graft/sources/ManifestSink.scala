@@ -305,15 +305,15 @@ object ManifestSink {
   /** The RAW (unresolved) list tail of the live manifest — what commit
     * paths carry forward so unchanged segments republish by reference.
     */
-  private[sources] def rawListLines(root: Path): Seq[String] = {
-    val m = root.resolve("manifest.json")
-    if (!Files.exists(m)) Seq.empty
-    else Files.readAllLines(m).toArray(Array.empty[String]).toSeq.drop(1)
-  }
+  private[sources] def rawListLines(root: Path): Seq[String] =
+    rawListLinesAt(root.resolve("manifest.json"))
 
   /** The RAW (unresolved) list tail of an arbitrary manifest file — a
     * BRANCH commit carries forward its branch HEAD's archived snapshot,
-    * not `manifest.json` (r19).
+    * not `manifest.json` (r19). An absent file reads as the empty table
+    * (legitimate for a first write); callers for whom absence means
+    * DAMAGE (a branch head, which vacuum anchors) must check existence
+    * and refuse loudly first — an empty prior would silently truncate.
     */
   private[sources] def rawListLinesAt(m: Path): Seq[String] =
     if (!Files.exists(m)) Seq.empty
@@ -801,14 +801,39 @@ object ManifestSink {
     else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
       .find(_.startsWith("#g:")).flatMap(_.stripPrefix("#g:").toLongOption)
 
-  /** Whether retained snapshot `gen` is a branch commit (carries a
-    * `#br:` mark) — raw single-file read, segments never resolved.
+  /** Immutable-snapshot metadata cache: (isBranch, commit instant) per
+    * absolute snapshot path. Snapshot manifests never change once
+    * archived (the `_gen.hw` mark makes generation numbers
+    * never-reassigned, so a path can never hold different content) —
+    * without the cache, [[mainSnapshots]] re-reads EVERY retained
+    * snapshot file on every streaming micro-batch poll (code-review
+    * r19: a 1 s trigger over 100 retained generations was ~100 full
+    * manifest reads per second where the pre-branch code did one
+    * readdir). Bounded by wholesale clear, like segCache.
     */
-  private[sources] def isBranchSnapshot(root: Path, gen: Long): Boolean = {
+  private val snapMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+
+  private def snapMeta(root: Path, gen: Long): Option[(Boolean, Long)] = {
     val m = root.resolve("_snapshots").resolve(s"manifest-$gen.json")
-    Files.exists(m) && Files.readAllLines(m)
-      .toArray(Array.empty[String]).exists(_.startsWith(BranchMark))
+    val key = m.toAbsolutePath.toString
+    val hit = snapMetaCache.get(key)
+    if (hit != null) return Some(hit)
+    if (!Files.exists(m)) return None
+    val lines = Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+    val meta = (lines.exists(_.startsWith(BranchMark)),
+      lines.find(_.startsWith("#t:")).flatMap(_.stripPrefix("#t:").toLongOption)
+        .getOrElse(Files.getLastModifiedTime(m).toMillis))
+    if (snapMetaCache.size() > 4096) snapMetaCache.clear()
+    snapMetaCache.put(key, meta)
+    Some(meta)
   }
+
+  /** Whether retained snapshot `gen` is a branch commit (carries a
+    * `#br:` mark) — served from the immutable-snapshot cache.
+    */
+  private[sources] def isBranchSnapshot(root: Path, gen: Long): Boolean =
+    snapMeta(root, gen).exists(_._1)
 
   /** Retained MAIN-lineage generations, ascending — [[snapshots]] minus
     * branch commits. This is the history TIMESTAMP AS OF, the CDC feed,
@@ -847,14 +872,10 @@ object ManifestSink {
     */
   def snapshotTimestamps(root: String): Seq[(Long, Long)] =
     snapshots(root).flatMap { g =>
-      val m = Paths.get(root).resolve("_snapshots").resolve(s"manifest-$g.json")
-      val lines =
-        if (!Files.exists(m)) Seq.empty
-        else Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-      if (lines.exists(_.startsWith(BranchMark))) None
-      else Some(g -> lines.find(_.startsWith("#t:"))
-        .flatMap(_.stripPrefix("#t:").toLongOption)
-        .getOrElse(Files.getLastModifiedTime(m).toMillis))
+      snapMeta(Paths.get(root), g) match {
+        case Some((isBranch, ts)) if !isBranch => Some(g -> ts)
+        case _ => None
+      }
     }
 
   /** Published snapshot generations, ascending (expired ones excluded). */
@@ -1609,8 +1630,7 @@ object ManifestSink {
     * unique across BOTH kinds (a tag and a branch sharing a name would
     * make `VERSION AS OF 'name'` ambiguous).
     */
-  private def validateRefName(root: String, name: String,
-      kind: String): Unit = {
+  private def validateRefName(name: String, kind: String): Unit = {
     require(name.nonEmpty &&
       name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"$kind name '$name' must be non-empty [A-Za-z0-9._-]")
@@ -1628,7 +1648,7 @@ object ManifestSink {
     */
   def tag(root: String, name: String, gen: Option[Long] = None): Long =
     withCommitLock(Paths.get(root)) {
-      validateRefName(root, name, "tag")
+      validateRefName(name, "tag")
       val g = gen.getOrElse {
         val lg = liveGen(root)
         if (lg > 0L) lg
@@ -1638,6 +1658,12 @@ object ManifestSink {
           .resolve(s"manifest-$g.json")),
         s"snapshot $g of $root does not exist (expired or never " +
           s"published); available: ${snapshots(root).mkString(",")}")
+      // a branch commit is not table history — tagging it would make
+      // VERSION AS OF '<tag>' read unpublished state as if it were
+      // (address a branch head through its branch name instead)
+      require(!isBranchSnapshot(Paths.get(root), g),
+        s"snapshot $g of $root is a BRANCH commit — tags anchor main " +
+          "lineage; read the branch through its own name")
       val cur = refs(root)
       cur.find(_.name == name) match {
         case Some(r) if r.kind == "tag" && r.gen == g => g // idempotent re-tag
@@ -1683,7 +1709,7 @@ object ManifestSink {
     */
   def createBranch(root: String, name: String, gen: Option[Long] = None): Long =
     withCommitLock(Paths.get(root)) {
-      validateRefName(root, name, "branch")
+      validateRefName(name, "branch")
       val g = gen.getOrElse {
         val lg = liveGen(root)
         if (lg > 0L) lg
@@ -1694,6 +1720,14 @@ object ManifestSink {
           .resolve(s"manifest-$g.json")),
         s"snapshot $g of $root does not exist (expired or never " +
           s"published); available: ${snapshots(root).mkString(",")}")
+      // forking from another branch's commit would record a base that
+      // is not main lineage: fast_forward's divergence check could then
+      // never hold and would misreport "main diverged" — refuse at the
+      // fixable point (code-review r19)
+      require(!isBranchSnapshot(Paths.get(root), g),
+        s"snapshot $g of $root is a BRANCH commit — branches fork from " +
+          "main lineage (fast_forward the other branch first, or branch " +
+          "from a main generation)")
       val cur = refs(root)
       cur.find(_.name == name) match {
         case Some(r) if r.kind == "branch" && r.gen == g && r.base == g => g
@@ -2850,8 +2884,18 @@ class ManifestBatchWrite(path: String, schema: StructType,
     val rawPrior =
       if (replace) Seq.empty
       else branchHeadNow match {
-        case Some(h) => ManifestSink.rawListLinesAt(
-          root.resolve("_snapshots").resolve(s"manifest-$h.json"))
+        case Some(h) =>
+          val m = root.resolve("_snapshots").resolve(s"manifest-$h.json")
+          // the head is vacuum-anchored, so absence means OUT-OF-BAND
+          // damage — refuse loudly; treating it as an empty table would
+          // silently truncate the branch (and later main, via
+          // fast_forward) — code-review r19
+          if (!Files.exists(m)) throw new IllegalStateException(
+            s"branch ${branch.get} of $path points at snapshot $h but " +
+              s"$m does not exist — the head was deleted out-of-band " +
+              "(vacuum anchors branch heads); refusing to publish a " +
+              "truncated branch state")
+          ManifestSink.rawListLinesAt(m)
         case None => ManifestSink.rawListLines(root)
       }
     // a line of a REPLACED file (its name or its stats) must drop. A

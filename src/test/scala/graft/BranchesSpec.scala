@@ -226,4 +226,37 @@ class BranchesSpec extends AnyFunSuite {
     assert(br.length === 1 && br.head.getString(0) === "b1")
     assert(br.head.getLong(1) === br.head.getLong(2)) // unadvanced: head==base
   }
+
+  test("lineage guards: a branch snapshot can be neither tagged nor " +
+      "branched from, and an out-of-band-deleted head refuses loudly") {
+    val root = build("br_guard", "guard")
+    spark.sql("CALL graft_cat.system.branch(table => 'br_guard', name => 'b')")
+    slice(100, 110).writeTo("graft_cat.lake.br_guard")
+      .option("branch", "b").append()
+    val head = ManifestSink.branchHead(root, "b")
+    // tagging a branch commit would make VERSION AS OF '<tag>' read
+    // unpublished state as table history
+    val eTag = intercept[IllegalArgumentException] {
+      ManifestSink.tag(root, "cut", Some(head))
+    }
+    assert(eTag.getMessage.contains("BRANCH commit"), eTag.getMessage)
+    // forking a branch from another branch's commit records a base that
+    // is not main lineage — fast_forward could only ever misreport
+    val eBr = intercept[IllegalArgumentException] {
+      ManifestSink.createBranch(root, "b2", Some(head))
+    }
+    assert(eBr.getMessage.contains("BRANCH commit"), eBr.getMessage)
+    // an out-of-band deletion of the anchored head must refuse the next
+    // branch commit, never silently truncate the branch
+    Files.delete(Paths.get(root).resolve("_snapshots")
+      .resolve(s"manifest-$head.json"))
+    val eGone = intercept[Exception] {
+      slice(110, 120).writeTo("graft_cat.lake.br_guard")
+        .option("branch", "b").append()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(eGone).exists(m => m != null && m.contains("out-of-band")),
+      causes(eGone).mkString(" | "))
+  }
 }
