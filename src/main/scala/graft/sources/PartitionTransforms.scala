@@ -240,7 +240,11 @@ object PartitionTransforms {
   /** The spec as a Spark V2 transform expression — what the scan's
     * KeyGroupedPartitioning reports and what a catalog-owned write's
     * required distribution clusters by (r19 SPJ; both resolve through
-    * [[TransformFunctions]] via the owning catalog).
+    * [[TransformFunctions]] via the owning catalog). Caveat: Spark
+    * 4.1's `toCatalystTransformOpt` resolves literal-bearing named
+    * transforms only for `bucket` (the special-cased arm) — a
+    * `truncate(w, col)` report is correct but degrades to
+    * UnknownPartitioning at plan time (pinned in SpjTransformSpec).
     */
   def v2Expression(t: Spec):
       org.apache.spark.sql.connector.expressions.Expression = {

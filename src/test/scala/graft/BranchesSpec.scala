@@ -89,6 +89,13 @@ class BranchesSpec extends AnyFunSuite {
     assert(spark.table("graft_cat.lake.br_wap").count() === 200L)
     assert(ManifestSink.liveGen(root) === gen)
 
+    // the CDC feed sees the publish as ONE insert delta on main: the
+    // 100 staged rows arrive at the fast-forward generation, never at
+    // their branch commits
+    val feed = ManifestChanges.readChanges(spark, root, 0L, gen)
+    assert(feed.count() === 200L)
+    assert(feed.where(s"_commit_gen = $gen").count() === 100L)
+
     // the cycle composes: keep writing to the same branch, publish again
     slice(200, 220).writeTo("graft_cat.lake.br_wap")
       .option("branch", "audit").append()

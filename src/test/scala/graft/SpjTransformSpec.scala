@@ -135,6 +135,43 @@ class SpjTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("truncate(100,k) tables: the claim is reported but Spark 4.1 " +
+      "cannot resolve literal-arg named transforms — the join exchanges " +
+      "and stays correct (documented limitation)") {
+    import spark.implicits._
+    withBucketing {
+      val r1 = freshRoot("tr_a")
+      val r2 = freshRoot("tr_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_ta")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_tb")
+      spark.sql("CREATE TABLE graft_cat.lake.spjt_ta (k BIGINT, x BIGINT) " +
+        "USING graft PARTITIONED BY (truncate(100, k)) " +
+        s"OPTIONS (path '$r1', format 'parquet')")
+      spark.sql("CREATE TABLE graft_cat.lake.spjt_tb (k BIGINT, tag STRING) " +
+        "USING graft PARTITIONED BY (truncate(100, k)) " +
+        s"OPTIONS (path '$r2', format 'parquet')")
+      (0L until 400L).map(i => (i, i * 3)).toDF("k", "x")
+        .createOrReplaceTempView("spjt_src_ta")
+      (0L until 300L).map(i => (i, s"t${i % 7}")).toDF("k", "tag")
+        .createOrReplaceTempView("spjt_src_tb")
+      spark.sql("INSERT INTO graft_cat.lake.spjt_ta SELECT * FROM spjt_src_ta")
+      spark.sql("INSERT INTO graft_cat.lake.spjt_tb SELECT * FROM spjt_src_tb")
+      // transform-clustered write still bounds the file count (4 groups)
+      assert(ManifestSink.committedFiles(r1).length == 4)
+      // SPARK LIMITATION (V2ExpressionUtils.toCatalystTransformOpt): the
+      // general NamedTransform arm resolves FIELD-REFERENCE args only —
+      // bucket is the one special-cased literal-bearing transform. A
+      // truncate(w, col) report therefore degrades to an exchanged join;
+      // results stay exact. If a later Spark resolves it, this pin
+      // flips and the zero-exchange assert moves here.
+      val joined = spark.sql(
+        """SELECT a.k, a.x, b.tag
+          |FROM graft_cat.lake.spjt_ta a
+          |JOIN graft_cat.lake.spjt_tb b ON a.k = b.k""".stripMargin)
+      assert(joined.collect().length == 300)
+    }
+  }
+
   test("a file without a provable transform value degrades the claim " +
       "to UnknownPartitioning — the join exchanges and stays correct") {
     import spark.implicits._
