@@ -495,6 +495,46 @@ object GraftCatalog {
            |WHERE ts >= ${3L * day} AND ts < ${4L * day}""".stripMargin)
     }),
 
+    // THE CALENDAR TRANSFORM FAMILY (r19 continuation): a months(ts)
+    // table takes the even-key slice month-pure (variable-width UTC
+    // calendar ordinals — the transform the engine can't express as a
+    // fixed divisor), evolves its spec to hours(ts) as a metadata
+    // commit, appends the odd slice hour-pure, and answers a
+    // one-calendar-month predicate (February 1970) across both
+    // vintages; the oracle pins row content through the whole
+    // create/evolve/append cycle (pruning is skip-ledger-pinned in
+    // PartitionTransformSpec).
+    "q_lake_part_hours" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_phours_").toFile.getAbsolutePath
+      val day = PartitionTransforms.DayMillis
+      val hour = PartitionTransforms.HourMillis
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          expr(s"CAST((c_custkey % 5) * ${31L * day}L + " +
+            s"(CAST(c_custkey AS BIGINT) * 997) % ${6L * hour}L AS BIGINT)")
+            .as("ts"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_phours")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_phours
+           | (c_custkey BIGINT, ts BIGINT, bal_cents BIGINT)
+           | USING graft PARTITIONED BY (months(ts))
+           | OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      base.filter(col("c_custkey") % 2 === 0L)
+        .writeTo("graft_cat.lake.cust_phours").append()
+      s.sql("ALTER TABLE graft_cat.lake.cust_phours " +
+        "SET TBLPROPERTIES ('partitionBy' = 'hours(ts)')")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .writeTo("graft_cat.lake.cust_phours").append()
+      s.sql(
+        s"""SELECT c_custkey, ts, bal_cents
+           |FROM graft_cat.lake.cust_phours
+           |WHERE ts >= ${31L * day} AND ts < ${59L * day}""".stripMargin)
+    }),
+
     // SNAPSHOT TAGS (r19, VERDICT r18 Next #4): slice A commits and is
     // tagged 'cut'; an append and a replace-shaped DELETE follow, then
     // a retention-1 vacuum — which must keep the tagged snapshot and
@@ -1697,6 +1737,17 @@ object GraftCatalog {
         |SELECT c_custkey, ts, bal_cents FROM r
         |WHERE ts >= 259200000 AND ts < 345600000""".stripMargin,
 
+    // calendar-transform-pure files on either spec vintage never change
+    // rows: the February slice of the derived timestamp domain
+    "q_lake_part_hours" ->
+      """WITH r AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  CAST((c_custkey % 5) * 2678400000 +
+        |       (CAST(c_custkey AS BIGINT) * 997) % 21600000 AS BIGINT) AS ts,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer)
+        |SELECT c_custkey, ts, bal_cents FROM r
+        |WHERE ts >= 2678400000 AND ts < 5097600000""".stripMargin,
+
     // the tag pins slice A exactly as committed (negatives included);
     // the live read reflects the later append + delete
     "q_lake_tag" ->
@@ -2346,13 +2397,16 @@ class GraftCatalog extends TableCatalog
       t =>
         t.name() match {
           case "identity" => PartitionTransforms.Identity(oneRef(t))
+          case "years" => PartitionTransforms.Years(oneRef(t))
+          case "months" => PartitionTransforms.Months(oneRef(t))
           case "days" => PartitionTransforms.Days(oneRef(t))
+          case "hours" => PartitionTransforms.Hours(oneRef(t))
           case "bucket" =>
             PartitionTransforms.Bucket(oneIntArg(t).toInt, oneRef(t))
           case "truncate" => PartitionTransforms.Truncate(oneIntArg(t), oneRef(t))
           case other => throw new UnsupportedOperationException(
-            s"lake tables support identity/days/bucket/truncate " +
-              s"PARTITIONED BY transforms (got $other in $t)")
+            s"lake tables support identity/years/months/days/hours/" +
+              s"bucket/truncate PARTITIONED BY transforms (got $other in $t)")
         }
     }
     val partitionCols = PartitionTransforms.validate(partitionSpecs, schema)

@@ -758,8 +758,10 @@ class ManifestScan(path: String,
     * Spark's key-grouped planning compares both sides' partition values
     * with InternalRow orderings over those types, so the cell type is a
     * contract, not a convenience: identity keeps the column type,
-    * `bucket` is the function's INT bucket number, `days` the LONG
-    * epoch-day, `truncate` the LONG floor or the UTF8String prefix.
+    * `bucket` is the function's INT bucket number, the temporal
+    * transforms their LONG ordinal (epoch day/hour, calendar
+    * month/year count), `truncate` the LONG floor or the UTF8String
+    * prefix.
     */
   private def keyValue(t: PartitionTransforms.Spec, dt: DataType,
       v: Any): Any = t match {
@@ -771,7 +773,9 @@ class ManifestScan(path: String,
       case other => throw new IllegalArgumentException(s"unsupported key type $other")
     }
     case _: PartitionTransforms.Bucket => v.asInstanceOf[Long].toInt
-    case _: PartitionTransforms.Days => v.asInstanceOf[Long]
+    case _: PartitionTransforms.Days | _: PartitionTransforms.Hours |
+        _: PartitionTransforms.Months | _: PartitionTransforms.Years =>
+      v.asInstanceOf[Long]
     case _: PartitionTransforms.Truncate => v match {
       case s: String => UTF8String.fromString(s)
       case u: UTF8String => u

@@ -4,8 +4,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 import org.apache.spark.unsafe.types.UTF8String
 
 /** NON-IDENTITY PARTITION TRANSFORMS (r19, VERDICT r18 Next #5): the
-  * Iceberg staples — `days(ts)`, `bucket(n, col)`, `truncate(w, col)`
-  * — as first-class partition specs next to identity columns. A spec
+  * Iceberg staples — the temporal family `years(ts)` / `months(ts)` /
+  * `days(ts)` / `hours(ts)`, plus `bucket(n, col)` and
+  * `truncate(w, col)` — as first-class partition specs next to
+  * identity columns. A spec
   * renders canonically into the `partitionBy` table property (so the
   * `#ps:` evolution ledger carries transforms unchanged), the writer
   * rolls files on the TRANSFORMED key (transform-pure files by
@@ -13,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * VERIFIES purity from each file's recorded min/max where the math
   * allows it:
   *
-  *   - `days`/`truncate` are MONOTONIC — transform(min) ==
-  *     transform(max) proves every row in between shares the value, so
-  *     purity stays verified-not-trusted exactly like identity;
+  *   - the temporal transforms and `truncate` are MONOTONIC —
+  *     transform(min) == transform(max) proves every row in between
+  *     shares the value, so purity stays verified-not-trusted exactly
+  *     like identity;
   *   - `bucket` is hash-scattered — no order statistic can verify it,
   *     so bucket specs organize the WRITE (bounded files per task, one
   *     per bucket) and the writer RECORDS each file's bucket value as a
@@ -28,16 +31,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside its day, so the ordinary zone maps prune day predicates to
   * the matching files on every spec vintage.
   *
-  * `days` operates on epoch-MILLIS integral columns (the engine's
-  * closed type system carries instants as BIGINT millis throughout);
-  * `truncate` on integral columns floors to the bucket origin
-  * (Iceberg's rule, exact for negatives) and on strings takes the
-  * leading `w` chars (prefix truncation is monotonic in the same
-  * binary order the stats record).
+  * The temporal transforms operate on epoch-MILLIS integral columns
+  * (the engine's closed type system carries instants as BIGINT millis
+  * throughout): `hours`/`days` floor-divide by a fixed width;
+  * `months`/`years` count proleptic-Gregorian UTC calendar ordinals
+  * since 1970 (Iceberg's rule — variable-width, so they go through
+  * `LocalDate`, still monotonic in the instant). `truncate` on
+  * integral columns floors to the bucket origin (Iceberg's rule,
+  * exact for negatives) and on strings takes the leading `w` chars
+  * (prefix truncation is monotonic in the same binary order the stats
+  * record).
   */
 object PartitionTransforms {
 
   val DayMillis: Long = 86400000L
+  val HourMillis: Long = 3600000L
 
   /** Max bucket modulus: the task writer holds one open file per
     * bucket, so the spec must fit the writer's open-file cap — refused
@@ -86,6 +94,51 @@ object PartitionTransforms {
   case class Days(source: String) extends Spec {
     def render: String = s"days($source)"
     def eval(v: Any): Any = Math.floorDiv(asLong(v), DayMillis)
+    def pureValue(min: Any, max: Any): Option[Any] = {
+      val (a, b) = (eval(min), eval(max))
+      if (a == b) Some(a) else None
+    }
+    def accepts(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  case class Hours(source: String) extends Spec {
+    def render: String = s"hours($source)"
+    def eval(v: Any): Any = Math.floorDiv(asLong(v), HourMillis)
+    def pureValue(min: Any, max: Any): Option[Any] = {
+      val (a, b) = (eval(min), eval(max))
+      if (a == b) Some(a) else None
+    }
+    def accepts(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  /** Epoch-day of a non-null epoch-millis cell as a UTC calendar date —
+    * the shared kernel under the variable-width calendar transforms.
+    */
+  private def utcDate(v: Any): java.time.LocalDate =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(asLong(v), DayMillis))
+
+  case class Months(source: String) extends Spec {
+    def render: String = s"months($source)"
+    def eval(v: Any): Any = {
+      val d = utcDate(v)
+      (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1).toLong
+    }
+    def pureValue(min: Any, max: Any): Option[Any] = {
+      val (a, b) = (eval(min), eval(max))
+      if (a == b) Some(a) else None
+    }
+    def accepts(dt: DataType): Boolean = dt == LongType || dt == IntegerType
+    def withSource(s: String): Spec = copy(source = s)
+    def monotonic: Boolean = true
+  }
+
+  case class Years(source: String) extends Spec {
+    def render: String = s"years($source)"
+    def eval(v: Any): Any = (utcDate(v).getYear - 1970).toLong
     def pureValue(min: Any, max: Any): Option[Any] = {
       val (a, b) = (eval(min), eval(max))
       if (a == b) Some(a) else None
@@ -151,19 +204,25 @@ object PartitionTransforms {
       s"non-integral partition-transform input $other (${other.getClass})")
   }
 
+  private val YearsRe = """^years\(\s*([^\s(),]+)\s*\)$""".r
+  private val MonthsRe = """^months\(\s*([^\s(),]+)\s*\)$""".r
   private val DaysRe = """^days\(\s*([^\s(),]+)\s*\)$""".r
+  private val HoursRe = """^hours\(\s*([^\s(),]+)\s*\)$""".r
   private val TruncRe = """^truncate\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)$""".r
   private val BucketRe = """^bucket\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)$""".r
 
   /** Parse one canonical spec string; a bare name is identity. */
   def parse(s: String): Spec = s.trim match {
+    case YearsRe(c) => Years(c)
+    case MonthsRe(c) => Months(c)
     case DaysRe(c) => Days(c)
+    case HoursRe(c) => Hours(c)
     case TruncRe(w, c) => Truncate(w.toLong, c)
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case bare if bare.nonEmpty && !bare.contains("(") => Identity(bare)
     case other => throw new IllegalArgumentException(
-      s"unparseable partition spec '$other' — supported: col, days(col), " +
-        "truncate(w,col), bucket(n,col)")
+      s"unparseable partition spec '$other' — supported: col, years(col), " +
+        "months(col), days(col), hours(col), truncate(w,col), bucket(n,col)")
   }
 
   /** Split a comma-joined spec list WITHOUT breaking inside transform
@@ -199,8 +258,8 @@ object PartitionTransforms {
             s"${t.source} — schema: ${schema.fieldNames.mkString(",")}"))
       require(t.accepts(f.dataType),
         s"partition spec ${t.render} does not support column type " +
-          s"${f.dataType} (days wants integral epoch millis; " +
-          "truncate/bucket want integral or string)")
+          s"${f.dataType} (years/months/days/hours want integral epoch " +
+          "millis; truncate/bucket want integral or string)")
       t match {
         case Bucket(n, _) => require(n <= MaxBuckets,
           s"bucket modulus $n exceeds the writer's $MaxBuckets-open-file " +
@@ -225,9 +284,19 @@ object PartitionTransforms {
     def floorDivExpr(c: String, d: Long): String =
       s"CAST(CASE WHEN `$c` >= 0 OR `$c` % ${d}L = 0 THEN `$c` div ${d}L " +
         s"ELSE (`$c` div ${d}L) - 1 END AS BIGINT)"
+    // the calendar transforms go through DATE functions (tz-free on
+    // DateType, proleptic Gregorian — same arithmetic as LocalDate in
+    // Spec.eval); epoch-day always fits date_from_unix_date's INT
+    def dateExpr(c: String): String =
+      s"date_from_unix_date(CAST(${floorDivExpr(c, DayMillis)} AS INT))"
     t match {
       case Identity(c) => col(c)
       case Days(c) => expr(floorDivExpr(c, DayMillis))
+      case Hours(c) => expr(floorDivExpr(c, HourMillis))
+      case Months(c) => expr(
+        s"CAST((year(${dateExpr(c)}) - 1970) * 12 " +
+          s"+ month(${dateExpr(c)}) - 1 AS BIGINT)")
+      case Years(c) => expr(s"CAST(year(${dateExpr(c)}) - 1970 AS BIGINT)")
       case Truncate(w, c) if schema(c).dataType == StringType =>
         expr(s"substring(`$c`, 1, $w)")
       case Truncate(w, c) => expr(s"(${floorDivExpr(c, w)}) * ${w}L")
@@ -251,7 +320,10 @@ object PartitionTransforms {
     import org.apache.spark.sql.connector.expressions.Expressions
     t match {
       case Identity(c) => Expressions.identity(c)
+      case Years(c) => Expressions.years(c)
+      case Months(c) => Expressions.months(c)
       case Days(c) => Expressions.days(c)
+      case Hours(c) => Expressions.hours(c)
       case Bucket(n, c) => Expressions.bucket(n, c)
       case Truncate(w, c) => Expressions.apply("truncate",
         Expressions.literal(java.lang.Integer.valueOf(w.toInt)),

@@ -28,12 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TransformFunctions {
 
-  val Names: Seq[String] = Seq("bucket", "days", "truncate")
+  val Names: Seq[String] =
+    Seq("bucket", "years", "months", "days", "hours", "truncate")
 
   def load(name: String): UnboundFunction =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => new BucketUnbound
       case "days" => new DaysUnbound
+      case u @ ("years" | "months" | "hours") => new TemporalUnbound(u)
       case "truncate" => new TruncateUnbound
       case other => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(
@@ -100,6 +102,37 @@ object TransformFunctions {
     override def produceResult(input: InternalRow): java.lang.Long =
       PartitionTransforms.Days("").eval(cellAsLong(input, 0, colType))
         .asInstanceOf[Long]
+  }
+
+  /** The rest of the temporal family (r19 continuation): years / months
+    * / hours over epoch-millis, one shared shape — each delegates to
+    * the [[PartitionTransforms]] kernel of the same name so the
+    * planner-evaluated ordinal always matches the writer's file
+    * routing, exactly like days.
+    */
+  class TemporalUnbound(unit: String) extends UnboundFunction {
+    override def name(): String = unit
+    override def description(): String =
+      s"$unit(ts BIGINT) -> BIGINT: epoch-millis floored to the epoch " +
+        s"$unit ordinal (UTC proleptic-Gregorian calendar for " +
+        "years/months)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        integral(inputType.fields(0).dataType),
+        s"$unit expects one integral epoch-millis column, got $inputType")
+      new TemporalBound(unit, inputType.fields(0).dataType)
+    }
+  }
+
+  class TemporalBound(unit: String, colType: DataType)
+      extends ScalarFunction[java.lang.Long] {
+    private val spec = PartitionTransforms.parse(s"$unit(c)")
+    override def name(): String = unit
+    override def canonicalName(): String = s"graft.$unit"
+    override def inputTypes(): Array[DataType] = Array(colType)
+    override def resultType(): DataType = LongType
+    override def produceResult(input: InternalRow): java.lang.Long =
+      spec.eval(cellAsLong(input, 0, colType)).asInstanceOf[Long]
   }
 
   class TruncateUnbound extends UnboundFunction {

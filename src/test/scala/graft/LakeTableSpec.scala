@@ -376,14 +376,15 @@ class LakeTableSpec extends AnyFunSuite {
   }
 
   test("unsupported PARTITIONED BY transforms are refused loudly, not " +
-      "silently dropped (bucket/days/truncate are honored since r19)") {
+      "silently dropped (the temporal family, bucket and truncate are " +
+      "honored since r19)") {
     val root = freshRoot("refuse_t")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.refuse_t")
     val err = intercept[Exception] {
       spark.sql("CREATE TABLE graft_cat.lake.refuse_t (k BIGINT) " +
-        s"USING graft PARTITIONED BY (hours(k)) OPTIONS (path '$root')")
+        s"USING graft PARTITIONED BY (weeks(k)) OPTIONS (path '$root')")
     }
-    assert(err.getMessage.contains("days/bucket/truncate"),
+    assert(err.getMessage.contains("bucket/truncate"),
       s"unsupported transforms must be refused with the capability " +
         s"named: ${err.getMessage}")
   }

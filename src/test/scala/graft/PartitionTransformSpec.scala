@@ -36,15 +36,32 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(PT.parse("truncate(100, k)") == PT.Truncate(100L, "k"))
     assert(PT.parse("bucket(8, id)") == PT.Bucket(8, "id"))
     assert(PT.parse("days( ts )").render == "days(ts)")
-    assert(intercept[IllegalArgumentException](PT.parse("hours(ts)"))
+    assert(PT.parse("hours(ts)") == PT.Hours("ts"))
+    assert(PT.parse("months(ts)") == PT.Months("ts"))
+    assert(PT.parse("years(ts)") == PT.Years("ts"))
+    assert(intercept[IllegalArgumentException](PT.parse("weeks(ts)"))
       .getMessage.contains("unparseable"))
     // paren-aware list split
     assert(PT.splitSpecs("days(ts),bucket(8,id),plain") ==
       Seq("days(ts)", "bucket(8,id)", "plain"))
-    // days: floor semantics hold for negative instants too
+    // days/hours: floor semantics hold for negative instants too
     assert(PT.Days("t").eval(0L) == 0L)
     assert(PT.Days("t").eval(PT.DayMillis - 1L) == 0L)
     assert(PT.Days("t").eval(-1L) == -1L)
+    assert(PT.Hours("t").eval(PT.HourMillis - 1L) == 0L)
+    assert(PT.Hours("t").eval(PT.HourMillis) == 1L)
+    assert(PT.Hours("t").eval(-1L) == -1L)
+    // months/years: UTC calendar ordinals since 1970, Iceberg's rule —
+    // variable month widths, exact at the boundaries, negative epochs
+    // land in 1969
+    assert(PT.Months("t").eval(0L) == 0L)
+    assert(PT.Months("t").eval(30L * PT.DayMillis) == 0L) // Jan 31 1970
+    assert(PT.Months("t").eval(31L * PT.DayMillis) == 1L) // Feb 1 1970
+    assert(PT.Months("t").eval(-1L) == -1L) // Dec 31 1969
+    assert(PT.Months("t").eval(365L * PT.DayMillis) == 12L) // Jan 1 1971
+    assert(PT.Years("t").eval(364L * PT.DayMillis) == 0L) // Dec 31 1970
+    assert(PT.Years("t").eval(365L * PT.DayMillis) == 1L) // Jan 1 1971
+    assert(PT.Years("t").eval(-1L) == -1L)
     // truncate: integral floors to the bucket origin (negatives exact);
     // strings take the leading chars (monotonic prefix)
     assert(PT.Truncate(10L, "k").eval(27L) == 20L)
@@ -60,6 +77,10 @@ class PartitionTransformSpec extends AnyFunSuite {
     // the constant degenerate
     assert(PT.Days("t").pureValue(100L, PT.DayMillis - 1L).contains(0L))
     assert(PT.Days("t").pureValue(100L, PT.DayMillis).isEmpty)
+    assert(PT.Months("t").pureValue(0L, 30L * PT.DayMillis).contains(0L))
+    assert(PT.Months("t").pureValue(0L, 31L * PT.DayMillis).isEmpty)
+    assert(PT.Years("t").pureValue(0L, 364L * PT.DayMillis).contains(0L))
+    assert(PT.Years("t").pureValue(0L, 365L * PT.DayMillis).isEmpty)
     assert(PT.Truncate(100L, "k").pureValue(300L, 399L).contains(300L))
     assert(PT.Truncate(100L, "k").pureValue(300L, 400L).isEmpty)
     assert(PT.Bucket(8, "id").pureValue(5L, 5L).isDefined)
@@ -82,7 +103,8 @@ class PartitionTransformSpec extends AnyFunSuite {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString
         case v => v
       })).toSeq
-    for (t <- Seq(PT.Days("t"), PT.Truncate(1000L, "t"), PT.Identity("t")))
+    for (t <- Seq(PT.Days("t"), PT.Hours("t"), PT.Months("t"),
+        PT.Years("t"), PT.Truncate(1000L, "t"), PT.Identity("t")))
       assert(colVals(t) == evalVals(t, "t"), s"${t.render} Column != eval")
     val st = PT.Truncate(3L, "s")
     assert(colVals(st).map(_.toString) == evalVals(st, "s"))
@@ -139,6 +161,56 @@ class PartitionTransformSpec extends AnyFunSuite {
     // content stays exact through the whole cycle
     assert(spark.sql("SELECT count(*) FROM graft_cat.lake.pt_days")
       .head.getLong(0) == 600L)
+  }
+
+  test("calendar family: a months(ts) table writes month-pure files; " +
+      "evolution to hours(ts) keeps both vintages prunable") {
+    import spark.implicits._
+    val root = freshRoot("months")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pt_months")
+    spark.sql("CREATE TABLE graft_cat.lake.pt_months " +
+      "(k BIGINT, ts BIGINT, v STRING) USING graft " +
+      s"PARTITIONED BY (months(ts)) OPTIONS (path '$root', format 'parquet')")
+    // 4 calendar months (band m starts at day 31*m: Jan/Feb/Mar/Apr
+    // 1970), each band spanning <2 hours, shuffled arrival
+    def rows(off: Int) = (0 until 240).map { i =>
+      val m = (i * 7 + off) % 4
+      (i.toLong + off * 1000L,
+        31L * m * PT.DayMillis + (i * 60037L) % (2L * PT.HourMillis), s"v$i")
+    }
+    rows(0).toDF("k", "ts", "v").writeTo("graft_cat.lake.pt_months").append()
+    val statsA = ManifestSink.fileStats(root)
+    // every committed file is MONTH-pure, verified from its own bounds
+    assert(statsA.nonEmpty && statsA.values.forall { fs =>
+      PT.pureTuple(Seq(PT.Months("ts")), fs.cols.get).isDefined
+    })
+    // SPEC EVOLUTION: re-point to hours; new files land hour-pure
+    spark.sql("ALTER TABLE graft_cat.lake.pt_months SET TBLPROPERTIES " +
+      "('partitionBy' = 'hours(ts)')")
+    rows(1).toDF("k", "ts", "v").writeTo("graft_cat.lake.pt_months").append()
+    val statsB = ManifestSink.fileStats(root)
+    val newFiles = statsB.keySet -- statsA.keySet
+    assert(newFiles.nonEmpty && newFiles.forall { n =>
+      PT.pureTuple(Seq(PT.Hours("ts")), statsB(n).cols.get).isDefined
+    })
+    // a one-calendar-month predicate (February 1970) prunes to the
+    // month-1 file of vintage A plus the two day-31 hour files of
+    // vintage B via the ordinary zone maps. A row-listing query, not
+    // count(*): the covering predicate would answer count(*)
+    // METADATA-ONLY (exact aggregate pushdown) without ever building a
+    // scan, leaving the skip ledger untouched
+    val lo = 31L * PT.DayMillis
+    val hi = 59L * PT.DayMillis
+    val got = spark.sql("SELECT k, ts FROM graft_cat.lake.pt_months " +
+      s"WHERE ts >= $lo AND ts < $hi").collect()
+    val (kept, total) = ManifestRead.lastSkipLedger.get()
+    assert(total == statsB.size && kept == 3,
+      s"month predicate must keep 3 of $total files: kept=$kept")
+    assert(got.length == 120, s"60 February rows per append expected, " +
+      s"got ${got.length}")
+    assert(got.forall(r => r.getLong(1) >= lo && r.getLong(1) < hi))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.pt_months")
+      .head.getLong(0) == 480L)
   }
 
   test("bucket(n, col) bounds files per task and every file holds one " +
@@ -208,11 +280,11 @@ class PartitionTransformSpec extends AnyFunSuite {
   test("CREATE refuses transforms the engine cannot deliver") {
     val root = freshRoot("refuse")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.pt_bad")
-    // hours() is not implemented — must refuse at DDL, never silently drop
+    // weeks() is not implemented — must refuse at DDL, never silently drop
     assert(intercept[Exception](spark.sql(
       "CREATE TABLE graft_cat.lake.pt_bad (k BIGINT, ts BIGINT) " +
-        s"USING graft PARTITIONED BY (hours(ts)) OPTIONS (path '$root')"))
-      .getMessage.toLowerCase.contains("hours"))
+        s"USING graft PARTITIONED BY (weeks(ts)) OPTIONS (path '$root')"))
+      .getMessage.toLowerCase.contains("weeks"))
     // days over a string column is a type error
     assert(intercept[Exception](spark.sql(
       "CREATE TABLE graft_cat.lake.pt_bad (k BIGINT, s STRING) " +

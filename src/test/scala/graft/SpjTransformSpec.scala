@@ -135,6 +135,40 @@ class SpjTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("hours(ts) tables join on the raw instant with zero exchange — " +
+      "the temporal family resolves through the same catalog arm as days") {
+    import spark.implicits._
+    val hour = graft.sources.PartitionTransforms.HourMillis
+    withBucketing {
+      val r1 = freshRoot("hr_a")
+      val r2 = freshRoot("hr_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_ha")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.lake.spjt_hb")
+      spark.sql("CREATE TABLE graft_cat.lake.spjt_ha (ts BIGINT, x BIGINT) " +
+        "USING graft PARTITIONED BY (hours(ts)) " +
+        s"OPTIONS (path '$r1', format 'parquet')")
+      spark.sql("CREATE TABLE graft_cat.lake.spjt_hb (ts BIGINT, tag STRING) " +
+        "USING graft PARTITIONED BY (hours(ts)) " +
+        s"OPTIONS (path '$r2', format 'parquet')")
+      // identical instants on both sides: 6 hours x 40 rows
+      (0L until 240L).map(i => (i * (hour / 40L), i)).toDF("ts", "x")
+        .createOrReplaceTempView("spjt_src_ha")
+      (0L until 240L).map(i => (i * (hour / 40L), s"h${i % 5}")).toDF("ts", "tag")
+        .createOrReplaceTempView("spjt_src_hb")
+      spark.sql("INSERT INTO graft_cat.lake.spjt_ha SELECT * FROM spjt_src_ha")
+      spark.sql("INSERT INTO graft_cat.lake.spjt_hb SELECT * FROM spjt_src_hb")
+      val joined = spark.sql(
+        """SELECT a.ts, a.x, b.tag
+          |FROM graft_cat.lake.spjt_ha a
+          |JOIN graft_cat.lake.spjt_hb b ON a.ts = b.ts""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 240)
+      assert(exchanges(joined).isEmpty,
+        s"hours-transform SPJ must plan with zero exchange:\n" +
+          joined.queryExecution.executedPlan)
+    }
+  }
+
   test("truncate(100,k) tables: the claim is reported but Spark 4.1 " +
       "cannot resolve literal-arg named transforms — the join exchanges " +
       "and stays correct (documented limitation)") {
