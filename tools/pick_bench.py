@@ -34,8 +34,12 @@ def main() -> int:
     if not cand:
         print(f"[pick_bench] no {sf} runs in BENCH_HISTORY.jsonl")
         return 1
+    # prefer runs covering the CURRENT registry (max query count among the
+    # candidates) so BENCH.json never archives a stale-HEAD run that predates
+    # the round's last registry rows, then cleanest, then fastest
+    max_q = max(len(r.get("queries", {})) for _, r in cand)
     idx, best = min(
-        cand,
+        (t for t in cand if len(t[1].get("queries", {})) == max_q),
         key=lambda t: (
             t[1].get("probe_flagged", 1 << 30),
             t[1].get("outliers_n", 1 << 30),
