@@ -628,6 +628,52 @@ object GraftCatalog {
           |FROM graft_cat.lake.cust_branch""".stripMargin))
     }),
 
+    // SNAPSHOT ROLLBACK (r19 continuation — the Iceberg
+    // rollback_to_snapshot shape): the even slice commits and is
+    // tagged 'stable'; an append and a replace-shaped DELETE follow;
+    // `CALL system.rollback(tag => 'stable')` republishes the tagged
+    // state as a NEW generation, metadata-only. The result pins both
+    // directions — the live read equals the tagged state (src 1) and
+    // the rolled-past head still time-travels (src 2: history is
+    // preserved, nothing deleted). Misuse refusals and the branch-
+    // commit guard are spec-pinned in TagsSpec.
+    "q_lake_rollback" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_rollback_").toFile.getAbsolutePath
+      def base = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      base.filter(col("c_custkey") % 2 === 0L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("overwrite").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DROP TABLE IF EXISTS graft_cat.lake.cust_rollback")
+      s.sql(
+        s"""CREATE TABLE graft_cat.lake.cust_rollback
+           | (c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT)
+           | USING graft OPTIONS (path '$tmp', format 'parquet')""".stripMargin)
+      s.sql("CALL graft_cat.system.tag(table => 'cust_rollback', " +
+        "name => 'stable')")
+      base.filter(col("c_custkey") % 2 === 1L)
+        .write.format("graft.sources.ManifestSink")
+        .mode("append").option("path", tmp)
+        .option("format", "parquet").save()
+      s.sql("DELETE FROM graft_cat.lake.cust_rollback WHERE bal_cents < 0")
+      val preRb = ManifestSink.snapshots(tmp).last
+      s.sql("CALL graft_cat.system.rollback(table => 'cust_rollback', " +
+        "tag => 'stable')")
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+           |FROM graft_cat.lake.cust_rollback
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+           |FROM graft_cat.lake.cust_rollback VERSION AS OF $preRb"""
+          .stripMargin)
+    }),
+
     // PARTIAL-PROGRESS PARTITION-SCOPED REWRITE (r19, VERDICT r18 Next
     // #1): a 4-partition table whose every partition holds two
     // k-overlapping files reclusters per-partition-sorted at 2
@@ -1777,6 +1823,19 @@ object GraftCatalog {
         |SELECT CAST(2 AS BIGINT) AS src, * FROM staged
         |UNION ALL
         |SELECT CAST(3 AS BIGINT) AS src, * FROM staged""".stripMargin,
+
+    // rollback re-points the live state at the tagged slice (src 1)
+    // while the rolled-past head keeps time-traveling (src 2)
+    "q_lake_rollback" ->
+      """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer)
+        |SELECT CAST(1 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+        |FROM b WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS src, c_custkey, c_mktsegment, bal_cents
+        |FROM b WHERE bal_cents >= 0""".stripMargin,
 
     // the staged per-partition recluster never touches row content
     "q_lake_rewrite_partial" ->

@@ -32,7 +32,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "vacuum", "snapshots", "rewrite", "tag", "drop_tag",
       "tags", "branch", "drop_branch", "fast_forward", "branches",
-      "remove_orphans")
+      "remove_orphans", "rollback")
 
   /** Build the named procedure; `pathOf` resolves a table name to its
     * lake root via the owning catalog, `partitionByOf` its declared
@@ -54,6 +54,7 @@ object GraftProcedures {
       case "fast_forward" => new FastForwardProcedure(pathOf)
       case "branches" => new BranchesProcedure(pathOf)
       case "remove_orphans" => new RemoveOrphansProcedure(pathOf)
+      case "rollback" => new RollbackProcedure(pathOf)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — available: ${Names.mkString(", ")}")
     }
@@ -390,6 +391,41 @@ object GraftProcedures {
       val olderThan =
         if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
       one(out, ManifestSink.removeOrphans(root(input), olderThan).toLong)
+    }
+  }
+
+  /** `rollback(table, generation | tag)` — republish a retained
+    * main-lineage snapshot's state as a new main generation (the
+    * Iceberg `rollback_to_snapshot` shape). History is preserved:
+    * nothing is deleted, the rolled-past commits stay time-travelable
+    * until retention expires them. Exactly one of `generation` / `tag`
+    * must be given; a tag resolves through the `_refs.json` ledger.
+    */
+  private class RollbackProcedure(pathOf: String => String)
+      extends GraftProcedure(pathOf) {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "republish a retained main-lineage snapshot (by generation or " +
+        "tag) as the new live state; metadata-only, history preserved"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("generation", LongType, Some("CAST(NULL AS BIGINT)")),
+      param("tag", StringType, Some("CAST(NULL AS STRING)")))
+    private val out = StructType.fromDDL("generation BIGINT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = root(input)
+      val gen = if (input.isNullAt(1)) None else Some(input.getLong(1))
+      val tagName = if (input.isNullAt(2)) None else Some(str(input, 2))
+      require(gen.isDefined != tagName.isDefined,
+        "rollback wants exactly one of generation => N / tag => 'name'")
+      val target = gen.getOrElse {
+        val t = tagName.get
+        ManifestSink.tags(r).collectFirst { case (`t`, g) => g }.getOrElse(
+          throw new IllegalArgumentException(
+            s"no tag named '$t' on $r — tags: " +
+              ManifestSink.tags(r).map(_._1).mkString(",")))
+      }
+      one(out, ManifestSink.rollback(r, target))
     }
   }
 

@@ -1841,6 +1841,41 @@ object ManifestSink {
       newGen
     }
 
+  /** `rollback(table, generation)` (r19 continuation — the Iceberg
+    * `rollback_to_snapshot` shape): re-point main's live state at a
+    * RETAINED main-lineage snapshot by REPUBLISHING its content as a
+    * NEW generation. History is preserved — the rolled-past commits
+    * stay in the ledger, remain time-travelable, and age out through
+    * ordinary retention; nothing is deleted here. Metadata-only: files
+    * and segments carry by reference, exactly like [[fastForward]].
+    * Refuses loudly when the target expired (vacuum) or is a branch
+    * commit (branch state publishes through fast_forward, which also
+    * checks divergence); rolling back to the current live generation
+    * is an idempotent no-op rather than an empty commit.
+    */
+  def rollback(root: String, target: Long): Long =
+    withCommitLock(Paths.get(root)) {
+      val rootP = Paths.get(root)
+      val cur = liveGen(root)
+      if (target == cur) return cur
+      val retainedMain = mainSnapshots(root)
+      if (!retainedMain.contains(target)) {
+        val branchHint =
+          if (snapshots(root).contains(target))
+            s" (generation $target is a branch commit — publish branch " +
+              "state through fast_forward instead)"
+          else ""
+        throw new IllegalArgumentException(
+          s"cannot roll back $root to generation $target — retained " +
+            s"main-lineage generations: ${retainedMain.mkString(",")}" +
+            branchHint)
+      }
+      val snap = rootP.resolve("_snapshots").resolve(s"manifest-$target.json")
+      val raw = Files.readAllLines(snap).toArray(Array.empty[String]).toSeq
+      require(raw.nonEmpty, s"snapshot $target of $root is empty")
+      publish(rootP, raw)
+    }
+
   /** Snapshot-retention vacuum (the Iceberg `expire_snapshots` +
     * orphan-file cleanup pair): keep the newest `retainSnapshots`
     * snapshot manifests plus the live one, delete every data file none

@@ -123,4 +123,55 @@ class TagsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       ManifestSink.tag(root, "a b")).getMessage.contains("A-Za-z0-9"))
   }
+
+  test("rollback republishes a retained main snapshot as the new live " +
+      "state; history is preserved and misuse refuses loudly") {
+    import spark.implicits._
+    val root = build("rb_t", "rollback") // keys 0..99
+    spark.sql("CALL graft_cat.system.tag(table => 'rb_t', name => 'good')")
+    // two commits past the good state: an append and a DELETE
+    (100 until 120).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("format", "parquet").save()
+    spark.sql("DELETE FROM graft_cat.lake.rb_t WHERE k < 10")
+    val preRb = ManifestSink.snapshots(root).last
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.rb_t")
+      .head.getLong(0) == 110L)
+    // rollback by tag: the live state becomes the tagged state, as a
+    // NEW generation (never a re-point of the old number)
+    val newGen = spark.sql("CALL graft_cat.system.rollback(" +
+      "table => 'rb_t', tag => 'good')").head.getLong(0)
+    assert(newGen > preRb)
+    assert(spark.sql("SELECT count(*), sum(k) FROM graft_cat.lake.rb_t")
+      .head.toSeq == Seq(100L, (0L until 100L).sum))
+    // HISTORY PRESERVED: the rolled-past head still time-travels
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.rb_t " +
+      s"VERSION AS OF $preRb").head.getLong(0) == 110L)
+    // rolling back to the live generation is an idempotent no-op
+    val again = spark.sql("CALL graft_cat.system.rollback(" +
+      s"table => 'rb_t', generation => $newGen)").head.getLong(0)
+    assert(again == newGen && ManifestSink.snapshots(root).last == newGen)
+    // misuse: unknown generation names the retained ones; argument
+    // cardinality is exactly one of generation/tag
+    assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
+      "table => 'rb_t', generation => 9999)").collect())
+      .getMessage.contains("retained"))
+    assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
+      "table => 'rb_t')").collect())
+      .getMessage.contains("exactly one"))
+    assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
+      s"table => 'rb_t', generation => $newGen, tag => 'good')").collect())
+      .getMessage.contains("exactly one"))
+    // a BRANCH commit is not main lineage: rollback routes the operator
+    // to fast_forward instead of silently publishing branch state
+    spark.sql("CALL graft_cat.system.branch(table => 'rb_t', name => 'wip')")
+    (200 until 210).map(k => (k.toLong, s"w$k")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .mode("append").option("path", root).option("branch", "wip")
+      .option("format", "parquet").save()
+    val branchGen = ManifestSink.snapshots(root).last
+    assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
+      s"table => 'rb_t', generation => $branchGen)").collect())
+      .getMessage.contains("fast_forward"))
+  }
 }
