@@ -390,6 +390,15 @@ class ManifestChangesStream(path: String, dataSchema: StructType,
           w.prevDel.getOrElse(n, Seq.empty),
           w.prevPos.getOrElse(n, Seq.empty), newPreds, newPos)
       }
+      // revived (r19 rollback): deletes DROPPED on a carried file emit
+      // the resurrected rows as inserts — the killed reader with
+      // prev/cur roles swapped (survive the CUR deletes, matched by
+      // the dropped ones); batch feed agrees change-for-change
+      w.revived.foreach { case (n, droppedPreds, droppedPos) =>
+        parts += ChangeFeedPartition(dataPath(n), g, insert = true,
+          w.curDel.getOrElse(n, Seq.empty),
+          w.curPos.getOrElse(n, Seq.empty), droppedPreds, droppedPos)
+      }
       prev = g
       prevTail = curTail
     }

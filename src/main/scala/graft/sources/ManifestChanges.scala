@@ -45,12 +45,18 @@ object ManifestChanges {
     * space (tombstone references remapped through the accumulated
     * evolution ledger). `killed` lists carried files whose window-new
     * deletes remove rows: (bare name, new predicates, new position
-    * files).
+    * files). `revived` is its mirror (r19 rollback): carried files
+    * whose deletes DISAPPEAR in the window — the shape a
+    * `system.rollback` past a MoR DELETE publishes (no file changes,
+    * tombstones vanish) — emitting the resurrected rows as inserts;
+    * before rollback no commit path could drop a delete from a carried
+    * file without also rewriting it.
     */
   case class Window(gen: Long, added: Seq[String], removed: Seq[String],
       prevDel: Map[String, Seq[Filter]], curDel: Map[String, Seq[Filter]],
       prevPos: Map[String, Seq[String]], curPos: Map[String, Seq[String]],
-      killed: Seq[(String, Seq[Filter], Seq[String])])
+      killed: Seq[(String, Seq[Filter], Seq[String])],
+      revived: Seq[(String, Seq[Filter], Seq[String])])
 
   /** The evolution ledger accumulated over a RANGE of retained
     * snapshots (schema-header-less tails, ascending) — see
@@ -112,7 +118,17 @@ object ManifestChanges {
       if (newPreds.nonEmpty || newPos.nonEmpty) Some((n, newPreds, newPos))
       else None
     }
-    Window(gen, added, removed, prevDel, curDel, prevPos, curPos, killed)
+    val revived = carried.flatMap { n =>
+      val droppedPreds = (prevDel.getOrElse(n, Seq.empty).toSet --
+        curDel.getOrElse(n, Seq.empty)).toSeq
+      val droppedPos = (prevPos.getOrElse(n, Seq.empty).toSet --
+        curPos.getOrElse(n, Seq.empty)).toSeq.sorted
+      if (droppedPreds.nonEmpty || droppedPos.nonEmpty)
+        Some((n, droppedPreds, droppedPos))
+      else None
+    }
+    Window(gen, added, removed, prevDel, curDel, prevPos, curPos, killed,
+      revived)
   }
 
   def readChanges(spark: SparkSession, root: String, fromGen: Long,
@@ -243,6 +259,72 @@ object ManifestChanges {
             both.drop("__p")
           }
         parts += withType(killedDf, "delete", g)
+      }
+
+      // INSERTS (b), PER FILE (r19 rollback): carried files whose
+      // deletes DROPPED in g emit the resurrected rows — visible at g,
+      // killed at the window start by exactly the dropped deletes. The
+      // killed arm with prev/cur roles swapped.
+      w.revived.foreach { case (n, droppedPreds, droppedPos) =>
+        val predCond = droppedPreds.map(p =>
+          ManifestSink.filterToColumn(p).getOrElse(
+            throw new IllegalStateException(
+              s"untranslatable tombstone predicate $p in change feed")))
+          .reduceOption(_ || _)
+        val revivedDf: DataFrame =
+          if (droppedPos.isEmpty) {
+            // predicate-only: resurrected = g-visible rows where a
+            // dropped predicate is TRUE (they were dead for exactly
+            // that reason; rows a REMAINING delete still kills are not
+            // g-visible and never reach the filter)
+            val curVis = ManifestSink.readDataFiles(spark, schema,
+              Seq(dataPath(n)),
+              w.curDel.view.filterKeys(_ == n).toMap,
+              w.curPos.view.filterKeys(_ == n).toMap, aliases)
+            curVis.filter(coalesce(predCond.get, lit(false)))
+          } else {
+            // positional: one provenance read; resurrected = dropped
+            // position OR dropped predicate TRUE among g-visible rows,
+            // deduped per PHYSICAL row
+            val raw = ManifestSink.aliasResolved(
+              spark.read
+                .schema(ManifestSink.aliasReadSchema(schema, aliases))
+                .parquet(dataPath(n))
+                .withColumn("__p", col("_metadata.row_index")),
+              schema, aliases, extras = Seq("__p"))
+            val curVis = {
+              val pv = w.curPos.getOrElse(n, Seq.empty)
+              val base = if (pv.isEmpty) raw else {
+                val pd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
+                  .parquet(pv: _*).filter(col("f") === lit(n))
+                  .withColumnRenamed("p", "__pp")
+                raw.join(pd, raw("__p") === pd("__pp"), "left_anti")
+              }
+              val pc = w.curDel.getOrElse(n, Seq.empty).map(p =>
+                ManifestSink.filterToColumn(p).getOrElse(
+                  throw new IllegalStateException(
+                    s"untranslatable tombstone predicate $p in change feed")))
+                .reduceOption(_ || _)
+              pc match {
+                case Some(c) => base.filter(coalesce(
+                  org.apache.spark.sql.functions.not(c), lit(true)))
+                case None => base
+              }
+            }
+            val dd = spark.read.schema(ManifestPosDeletes.DeleteSchema)
+              .parquet(droppedPos: _*).filter(col("f") === lit(n))
+              .withColumnRenamed("p", "__dp")
+            val byPos = curVis.join(dd, curVis("__p") === dd("__dp"),
+              "left_semi")
+            val both = predCond match {
+              case Some(c) => byPos.unionByName(
+                curVis.filter(coalesce(c, lit(false))))
+                .dropDuplicates("__p") // one physical row = one insert
+              case None => byPos
+            }
+            both.drop("__p")
+          }
+        parts += withType(revivedDf, "insert", g)
       }
       prev = g
     }

@@ -1873,6 +1873,28 @@ object ManifestSink {
       val snap = rootP.resolve("_snapshots").resolve(s"manifest-$target.json")
       val raw = Files.readAllLines(snap).toArray(Array.empty[String]).toSeq
       require(raw.nonEmpty, s"snapshot $target of $root is empty")
+      // SCHEMA GUARD: republishing a pre-evolution snapshot would
+      // un-evolve the live schema and resurrect a cleared rename/drop
+      // ledger — every reader fixed at the live schema (and the CDC
+      // feed's forward-only evolution accumulation) would break.
+      // Refuse loudly; data-only rollbacks (the operational case) pass.
+      // Names + types only: the recorded DDL's NULLABILITY legitimately
+      // drifts between write paths (DataFrame-inferred NOT NULL vs the
+      // table-declared nullable) without any user-visible evolution.
+      val live = Files.readAllLines(rootP.resolve("manifest.json"))
+        .toArray(Array.empty[String]).toSeq
+      def shape(lines: Seq[String]): Seq[(String, org.apache.spark.sql
+          .types.DataType)] =
+        lines.headOption.toSeq.flatMap(ddl => org.apache.spark.sql.types
+          .StructType.fromDDL(ddl).fields.map(f => (f.name, f.dataType)))
+      require(shape(raw) == shape(live) &&
+        raw.filter(ManifestEvolution.isLine).toSet ==
+          live.filter(ManifestEvolution.isLine).toSet,
+        s"cannot roll back $root to generation $target — the table's " +
+          "schema or rename/drop ledger changed since that snapshot; " +
+          "rollback republishes DATA state only. Recreate the prior " +
+          "schema with ALTER TABLE first, or read the old state via " +
+          s"VERSION AS OF $target")
       publish(rootP, raw)
     }
 

@@ -103,6 +103,51 @@ class ChangesFeedSpec extends AnyFunSuite {
       state(root, Seq("k", "x", "v")))
   }
 
+  test("rollback past MoR deletes emits the resurrected rows — revived " +
+      "windows reconstruct exactly (r19 rollback)") {
+    import spark.implicits._
+    val root = freshRoot("rollback")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.cdf_rb")
+    (0L until 100L).map(i => (i, i % 5L, s"v$i")).toDF("k", "x", "v")
+      .repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    spark.sql("CREATE TABLE graft_cat.lake.cdf_rb " +
+      "(k BIGINT, x BIGINT, v STRING) " +
+      s"USING graft OPTIONS (path '$root', format 'parquet', " +
+      "deleteMode 'mor')")
+    val good = ManifestSink.snapshots(root).last
+    // two bad commits in MoR: a position-delete UPDATE and a
+    // predicate-tombstone DELETE — then roll both back. The rollback
+    // window is the one shape where deletes DISAPPEAR from carried
+    // files without any rewrite: both revived flavors (dropped
+    // position files, dropped predicates) must emit inserts
+    spark.sql("UPDATE graft_cat.lake.cdf_rb SET v = 'bad' WHERE x = 2")
+    spark.sql("DELETE FROM graft_cat.lake.cdf_rb WHERE x = 4")
+    val preRb = ManifestSink.snapshots(root).last
+    val newGen = ManifestSink.rollback(root, good)
+    val win = ManifestChanges.readChanges(spark, root, preRb, newGen)
+    // the x=4 rows died by tombstone and the x=2 originals by position
+    // delete: both resurrect as inserts in the rollback window
+    assert(win.filter(col("_change_type") === "insert" &&
+      col("x") === 4L).count() == 20L)
+    assert(win.filter(col("_change_type") === "insert" &&
+      col("x") === 2L && col("v") =!= "bad").count() == 20L)
+    // full-history reconstruction nets to the live (= rolled-back) state
+    val ch = ManifestChanges.readChanges(spark, root, 0L, newGen)
+    assert(reconstruct(ch, Seq("k", "x", "v")) ==
+      state(root, Seq("k", "x", "v")))
+    // and the incremental window seeded with the pre-rollback state
+    // lands on the rolled-back state too
+    val seed = ManifestSink.readSnapshot(spark, root, preRb)
+      .select(col("k"), col("x"), col("v"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_gen", lit(0L))
+    assert(reconstruct(seed.unionByName(win), Seq("k", "x", "v")) ==
+      state(root, Seq("k", "x", "v")))
+  }
+
   test("duplicate rows keep multiset semantics through position deletes") {
     import spark.implicits._
     val root = freshRoot("dups")

@@ -143,6 +143,48 @@ class ChangesStreamSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("a rollback commit streams its revived rows as inserts and agrees " +
+      "with the batch feed (r19 rollback)") {
+    import spark.implicits._
+    val root = freshRoot("rollback")
+    (0 until 40).map(k => (k.toLong, k % 4, s"v$k")).toDF("k", "m", "v")
+      .coalesce(2).write.format("graft.sources.ManifestSink")
+      .mode("overwrite").option("path", root)
+      .option("format", "parquet").save()
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.cdfstream_rb")
+    spark.sql(
+      s"""CREATE TABLE graft_cat.lake.cdfstream_rb
+         | (k BIGINT, m INT, v STRING)
+         | USING graft OPTIONS (path '$root', format 'parquet',
+         |  deleteMode 'mor')""".stripMargin)
+    val good = ManifestSink.snapshots(root).last
+    // both revived flavors: a position-delete UPDATE and a predicate
+    // tombstone, rolled back in one metadata-only commit
+    spark.sql("UPDATE graft_cat.lake.cdfstream_rb SET v = 'bad' WHERE m = 1")
+    spark.sql("DELETE FROM graft_cat.lake.cdfstream_rb WHERE m = 2")
+    ManifestSink.rollback(root, good)
+
+    val (ch, batches) = drain(root, "cdfs_rb", s"$root/_cp")
+    assert(batches == ManifestSink.snapshots(root).size)
+    // the stream nets to the rolled-back (= live) state
+    assert(reconstruct(ch, Seq("k", "m", "v")) == state(root, Seq("k", "m", "v")))
+    // the rollback batch itself resurrects the m=2 tombstoned rows and
+    // the m=1 originals (inserts, original payloads)
+    val top = ManifestSink.snapshots(root).last
+    val rb = ch.filter(col("_commit_gen") === top)
+    assert(rb.filter(col("_change_type") === "insert" &&
+      col("m") === 2).count() == 10L)
+    assert(rb.filter(col("_change_type") === "insert" &&
+      col("m") === 1 && col("v") =!= "bad").count() == 10L)
+    // change-for-change agreement with the batch feed
+    val batch = ManifestChanges.readChanges(spark, root, 0L, top)
+    val cols = Seq("k", "m", "v", "_change_type", "_commit_gen")
+    assert(ch.select(cols.map(col): _*).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString("|"))).toSeq ==
+      batch.select(cols.map(col): _*).collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|"))).toSeq)
+  }
+
   test("checkpoint restart resumes exactly-once across later DML") {
     import spark.implicits._
     val root = freshRoot("resume")

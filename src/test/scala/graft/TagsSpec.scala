@@ -173,5 +173,12 @@ class TagsSpec extends AnyFunSuite {
     assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
       s"table => 'rb_t', generation => $branchGen)").collect())
       .getMessage.contains("fast_forward"))
+    // SCHEMA GUARD: rolling back past a schema evolution would
+    // un-evolve the live schema and resurrect a cleared rename ledger
+    // — refused loudly; data state stays readable via VERSION AS OF
+    spark.sql("ALTER TABLE graft_cat.lake.rb_t RENAME COLUMN v TO v2")
+    assert(intercept[Exception](spark.sql("CALL graft_cat.system.rollback(" +
+      s"table => 'rb_t', generation => $newGen)").collect())
+      .getMessage.contains("schema"))
   }
 }
