@@ -67,6 +67,46 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * 0.50 / 0.52s, warm repeats far below).
   */
 object Bench {
+
+  /** The FINAL stdout line, size-bounded so the driver's tail capture can
+    * always JSON-parse it (round-19 measurement fix). The driver keeps the
+    * last ~2000 chars of output and parses the last complete JSON line;
+    * from r13 on, the registry outgrew that window — the compact line's
+    * `qw` array alone is ~5 chars x |registry| (408 queries ≈ 2.1 KB), so
+    * the line arrived front-truncated and `BENCH_r13..r18.json` all record
+    * `"parsed": null`: the driver had NO bench metric for six rounds.
+    * This line carries the contract fields (metric/value/unit/queries/sf)
+    * plus failure and adjudication digests, with the `queries` object
+    * filled slowest-first only as long as the whole line stays under
+    * `cap` chars — so the driver always parses the total and the heavy
+    * hitters, and the full per-query map still rides the detail line,
+    * BENCH.json and BENCH_HISTORY.jsonl (and the qw line, printed just
+    * before this one, still reconstructs every wall when un-truncated).
+    */
+  private[graft] def boundedSummaryLine(walls: Seq[(String, Double)],
+      failed: Seq[String], total: Double, rawTotal: Double, histIdx: Long,
+      nQueries: Int, sf: String, cap: Int = 1700): String = {
+    def fmt(d: Double): String = BigDecimal(d).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val failedJson = {
+      val shown = failed.take(10).map(n => s""""$n"""").mkString("[", ",", "]")
+      s""""failed_n":${failed.size},"failed":$shown"""
+    }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s"""$failedJson,"n_queries":$nQueries,""" +
+      s""""raw_total":${fmt(rawTotal)},"history_index":$histIdx,"queries":{"""
+    val tail = s"""},"sf":"$sf"}"""
+    val base = head.length + tail.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = base
+    walls.sortBy(-_._2).foreach { case (n, w) =>
+      val e = s""""$n":${fmt(w)}"""
+      val add = e.length + (if (entries.isEmpty) 0 else 1)
+      if (used + add <= cap) { entries += e; used += add }
+    }
+    head + entries.mkString(",") + tail
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -724,9 +764,19 @@ object Bench {
       System.err.println(s"[bench] BENCH_HISTORY.jsonl append failed: $e")
     }
     // stdout (unprefixed: build.sbt routes forked run output straight
-    // through); compact line LAST so a tail capture always gets it whole.
+    // through). Order matters for the driver's ~2000-char tail capture:
+    // detail first (full record, for humans/logs), the qw compact line
+    // next (complete per-query walls — reconstructable whenever the tail
+    // happens to hold it whole), and the SIZE-BOUNDED summary line LAST,
+    // guaranteed to fit the capture whole so the driver's JSON parse of
+    // the final line always succeeds (see boundedSummaryLine — r13–r18
+    // all archived "parsed": null once qw outgrew the window).
     println(detail)
     println(compact)
+    println(boundedSummaryLine(
+      results.filter(_.ok).map(r => r.name -> adjWall(r)),
+      results.filter(!_.ok).map(_.name),
+      total, rawTotal, histIdx, results.size, sfDir))
     spark.stop()
   }
 }
