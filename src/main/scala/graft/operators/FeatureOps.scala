@@ -80,17 +80,30 @@ object FeatureOps {
     * everything bounded by B once aggregated.
     */
   def featureHash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("w"),
-        expr(s"${strHash("w")} % $HashBuckets").as("bucket"))
-    val occ = tok.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val df = tok.select(col("bucket"), col("doc_id")).distinct()
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
-    val vocab = tok.select(col("bucket"), col("w")).distinct()
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_terms"))
-    occ.join(df, Seq("bucket")).join(vocab, Seq("bucket"))
+    // One tokenize+hash pass, one aggregate (r19 optimization): the
+    // original form computed the exploded token frame THREE times — once
+    // per face (occurrence, document frequency, vocabulary collision),
+    // each re-running split+explode and the 16-substr symbolic strHash
+    // per token, then re-joined the three B-row aggregates (plan: 3
+    // Generates, 5 Exchanges, 2 joins). Here the hash runs once per DOC
+    // through the fused array kernel (StrHashArrayExpression — identical
+    // arithmetic to PortableSql.strHash on this ASCII corpus, the dedup
+    // family's standing equivalence), tokens explode once zipped with
+    // their hashes, and all three faces fold in ONE multi-distinct
+    // aggregate (plan: 1 Generate, 2 Exchanges via the Expand path, 0
+    // joins). Same answer — the oracle still evaluates the symbolic form.
+    val hashed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        graft.functions.StrHashArrayExpression.hashes(col("toks")).as("hs"))
+    val tok = hashed
+      .select(col("doc_id"), explode(arrays_zip(col("toks"), col("hs"))).as("p"))
+      .select(col("doc_id"), col("p.toks").as("w"),
+        (col("p.hs") % HashBuckets).as("bucket"))
+    tok.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      countDistinct(col("w")).as("n_terms"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
