@@ -54,9 +54,19 @@ object GraphOps {
     // materialize before the iteration DAG launches (deg + 5 iterations
     // all consume it inside one action — see orientedEdges' note)
     edges.count()
+    // r19: the loop previously accumulated ONE lazy 5-iteration plan —
+    // each round a deeper join chain (distinct codegen classes per
+    // round, ~4600-line formatted plan) re-embedding the node frame's
+    // part scan six times. deg/nd are node-bounded and static:
+    // checkpoint them once; checkpoint the rank frame per round so
+    // every round is the SAME flat O(1)-deep shape (LogicalRDD → two
+    // joins → aggregate) — janino compiles round one, later rounds
+    // reuse the cached class (the kCorePeel/bfsLevels discipline).
     val deg = edges.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nodes = Tables.part(spark, dir).select(col("p_brand").as("b")).distinct()
     val nd = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .localCheckpoint()
     var r = nd.select(col("b"), expr(s"$S DIV n").as("r"), col("n"))
     for (_ <- 1 to iters) {
       val contrib = r.join(deg, "b")
@@ -67,6 +77,7 @@ object GraphOps {
         .select(nd("b"),
           (expr(s"(($S DIV n) * 15) DIV 100") + coalesce(col("s"), lit(0L))).as("r"),
           nd("n"))
+        .localCheckpoint()
     }
     r.select(col("b").as("brand"), col("r").as("rank_pico"))
   }
@@ -76,28 +87,16 @@ object GraphOps {
     * because the incidence is distinct). The grouped count subsumes the
     * former `.distinct()`: same single shuffle on the pair key.
     */
-  private def supportEdges(spark: SparkSession, dir: String): DataFrame = {
-    // cache the (order, brand) incidence: both sides of the wedge
-    // self-join consume it, and it is orders × brands small — without
-    // this the lineitem scan + broadcast join runs twice (cache
-    // lifecycle caller-owned, as throughout)
-    val ob = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("pk") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("b"))
-      .distinct()
-      .cache()
-    // materialize BEFORE the self-join launches: its two scan branches
-    // would otherwise race to compute the same cached partitions and
-    // serialize on the block write locks (the q_gen_constraints lesson)
-    ob.count()
-    ob.join(ob.select(col("ok").as("ok2"), col("b").as("b2")),
-        col("ok") === col("ok2") && col("b") < col("b2"))
-      .groupBy(col("b").as("b1"), col("b2"))
+  private def supportEdges(spark: SparkSession, dir: String): DataFrame =
+    // r19: pairs expand map-side from the per-order sorted brand-set
+    // array (MiningOps.basketPairs) instead of self-joining the distinct
+    // incidence — drops the incidence cache, its materialization action,
+    // and two join-side Exchanges; the pair aggregate is now the only
+    // shuffle after the one orderBrandSets groupBy. Same (b1, b2, sup)
+    // rows: ordered pairs within each basket, counted per order.
+    MiningOps.basketPairs(MiningOps.orderBrandSets(spark, dir))
+      .groupBy(col("b1"), col("b2"))
       .agg(count(lit(1)).as("sup"))
-  }
 
   /** Oriented (b1 < b2) distinct co-purchase edges — the half-edge form
     * triangle counting needs (each undirected edge appears once).

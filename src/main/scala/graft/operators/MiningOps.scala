@@ -121,7 +121,14 @@ object MiningOps {
     * lines and deduping afterwards measured ~3x the task CPU for the
     * same answer.
     */
-  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** Sorted distinct brand set per order — ONE shuffle on the order key
+    * (map-side partial collect_set), subsuming the former
+    * (order, brand)-distinct shuffle. The basket arrays are tiny
+    * (brands-per-basket elements), so the per-order row is narrower than
+    * the incidence rows it replaces. Shared by the whole co-purchase
+    * family (coPurchase, assocRules, GraphOps' edge builders).
+    */
+  private[operators] def orderBrandSets(spark: SparkSession, dir: String): DataFrame = {
     val brands = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"))
     // NOT balanced: measured at sf0.1, repartitioning the scan made this
@@ -129,17 +136,33 @@ object MiningOps {
     // is dominated by cold whole-stage-codegen compile (process cpu 8.5s
     // vs task cpu 2.9s), which extra exchanges only add stages to. At
     // multi-row-group scale the scan parallelizes by itself.
-    val orderBrands = Tables.lineitem(spark, dir)
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(broadcast(brands), col("pk") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("b"))
-      .distinct()
-    orderBrands.join(
-        orderBrands.select(col("ok").as("ok2"), col("b").as("b2")),
-        col("ok") === col("ok2") && col("b") < col("b2"))
-      .groupBy(col("b").as("b1"), col("b2"))
-      .agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
   }
+
+  /** Ordered (b1 < b2) brand pairs expanded per basket from the sorted
+    * set array — the map-side replacement for the incidence self-join
+    * (r19 optimization): the former plan re-shuffled the distinct
+    * incidence onto the order key for BOTH join arms and joined (4
+    * Exchanges, 1 join); expanding i<j pairs from the per-order array is
+    * shuffle-free, so the pair aggregate is the only exchange left after
+    * [[orderBrandSets]]' one. Pair volume is unchanged — ordered pairs
+    * within each basket — so counts match the join form exactly.
+    */
+  private[operators] def basketPairs(sets: DataFrame): DataFrame =
+    sets.select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+        "transform(slice(bs, i + 2, size(bs) - i - 1), " +
+        "y -> struct(x AS b1, y AS b2))))")).as("pr"))
+      .select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
+
+  def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    basketPairs(orderBrandSets(spark, dir))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_orders"))
 
   /** Directed association rules a => b over the brand co-purchase
     * incidence — the market-basket classic (Agrawal et al. SIGMOD'93)
@@ -156,26 +179,21 @@ object MiningOps {
     * with data volume.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val brands = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"))
-    val orderBrands = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .join(broadcast(brands), col("pk") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("b"))
-      .distinct()
-      .cache()
-    // materialize before the fan-out: pair self-join + single-brand agg
+    // one basket-array frame feeds all three faces (pairs, per-brand
+    // supports, order total) — cache it: one row per order, tiny arrays
+    // (r19: replaces the cached incidence + self-join; see basketPairs)
+    val sets = orderBrandSets(spark, dir).cache()
+    // materialize before the fan-out: pair expansion + single-brand agg
     // + total all consume it (the q_gen_constraints cache-race lesson)
-    orderBrands.count()
-    val pair = orderBrands.join(
-        orderBrands.select(col("ok").as("ok2"), col("b").as("b2")),
-        col("ok") === col("ok2") && col("b") < col("b2"))
-      .groupBy(col("b").as("b1"), col("b2"))
+    sets.count()
+    val pair = basketPairs(sets)
+      .groupBy(col("b1"), col("b2"))
       .agg(count(lit(1)).as("n_ab"))
     val both = pair.select(col("b1").as("antecedent"), col("b2").as("consequent"), col("n_ab"))
       .unionByName(pair.select(col("b2").as("antecedent"), col("b1").as("consequent"), col("n_ab")))
-    val single = orderBrands.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
-    val tot = orderBrands.select(col("ok")).distinct().agg(count(lit(1)).as("n_total"))
+    val single = sets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+    val tot = sets.agg(count(lit(1)).as("n_total"))
     both
       .join(broadcast(single.select(col("b").as("antecedent"), col("n_b").as("n_a"))), "antecedent")
       .join(broadcast(single.select(col("b").as("consequent"), col("n_b"))), "consequent")
