@@ -34,7 +34,8 @@ object Tables {
     * cached frame — the IVF/LSH chains run many — paid 32 task launches
     * per stage for ~60 rows each; overhead, not parallelism (round 6).
     */
-  def balanced(spark: SparkSession, df: DataFrame): DataFrame = {
+  def balanced(spark: SparkSession, df: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
     val bytes = df.inputFiles.map { f =>
       val p = new java.io.File(new java.net.URI(f).getPath)
       math.max(0L, p.length)
@@ -43,14 +44,21 @@ object Tables {
       if (bytes <= 0L) spark.sparkContext.defaultParallelism // non-file source: old rule
       else ((bytes + (128 << 10) - 1) / (128 << 10)).toInt
     val target = math.max(1, math.min(spark.sparkContext.defaultParallelism, byTarget))
-    // hash-repartition on the full row, NOT round-robin: argless
-    // repartition() local-sorts every row first (Spark's retry-
-    // determinism rule, sortBeforeRepartition) — measured 8x the cpu of
-    // the aggregate it was feeding on a 150k-row table. A full-row hash
-    // is deterministic without sorting and spreads distinct-ish rows
-    // uniformly.
+    // hash-repartition on a key, NOT round-robin: argless repartition()
+    // local-sorts every row first (Spark's retry-determinism rule,
+    // sortBeforeRepartition) — measured 8x the cpu of the aggregate it
+    // was feeding on a 150k-row table. A hash is deterministic without
+    // sorting. Prefer the caller's UNIQUE key columns (r19): the former
+    // full-row hash routed each row by hashing EVERY column — including
+    // the text/vector payload, whose presence in the exchange defeated
+    // column pruning at the scan for every downstream projection (a
+    // consumer of (doc_id, n_chars) still scanned and shuffled `text`).
+    // A unique id spreads rows exactly as uniformly and lets pruning
+    // reach the parquet scan.
+    val parts = (if (keys.nonEmpty) keys else df.columns.toSeq)
+      .map(org.apache.spark.sql.functions.col)
     if (df.rdd.getNumPartitions < target)
-      df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      df.repartition(target, parts: _*)
     else df
   }
 
@@ -104,7 +112,7 @@ object Tables {
     * hashing, vector math) — balance their scans across cores.
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    balanced(spark, load(spark, dir, "documents"))
+    balanced(spark, load(spark, dir, "documents"), Seq("doc_id"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    balanced(spark, load(spark, dir, "embeddings"))
+    balanced(spark, load(spark, dir, "embeddings"), Seq("vec_id"))
 }

@@ -203,8 +203,15 @@ object DedupOps {
     * different candidate plan (the q_dedup_ngram_rare pattern: a
     * lossless plan swap).
     */
-  def incrementalDupPairs(docs: DataFrame): DataFrame = {
-    val g = withShingleHashes(docs).cache()
+  def incrementalDupPairs(docs: DataFrame): DataFrame =
+    incrementalDupPairsFrom(withShingleHashes(docs).cache())
+
+  /** [[incrementalDupPairs]] over an ALREADY-built (and caller-cached)
+    * shingle-hash kernel frame — split out (r19) so incrementalClusters
+    * can share ONE kernel pass between the standing-label rebuild and
+    * the batch pair generator instead of hashing the corpus twice.
+    */
+  private[graft] def incrementalDupPairsFrom(g: DataFrame): DataFrame = {
     val bands = bandFrame(g)
     val batchBands = bands.filter(col("doc_id") % IncrMod === IncrRem)
     val cand = bands.as("a").join(batchBands.as("b"),
@@ -473,15 +480,22 @@ object DedupOps {
     var converged = false
     var round = 0L
     var bound = -1L // set from the first round's edge count
+    // r19: lazy checkpoint fused with the count (one job instead of a
+    // materialization job + a count job per round), and the PREVIOUS
+    // round's cardinality is remembered instead of re-counted — the
+    // convergence test ran edges.count() again every round on a frame
+    // whose count the prior iteration had already computed.
+    var prevN = -1L
     while (!converged && (bound < 0L || round <= bound)) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val n = next.count()
       if (bound < 0L) bound = n + 2L
       // next == edges  <=>  |next| == |edges| and next \ edges == empty;
       // both frames are canonical (distinct, u > v)
-      converged = n == edges.count() &&
+      converged = n == (if (prevN >= 0L) prevN else edges.count()) &&
         next.join(edges, Seq("u", "v"), "left_anti").count() == 0L
       edges = next
+      prevN = n
       round += 1L
     }
     val centers = edges.select(col("v")).distinct()
@@ -597,6 +611,10 @@ object DedupOps {
       // the chain length. Local (executor-block) checkpointing is the
       // right durability tier here: losing an executor merely recomputes
       // a tiny label frame from the cached edges.
+      // LAZY checkpoint (r19): the convergence aggregate right below is a
+      // full-frame action, so it both materializes the checkpoint blocks
+      // and returns the flag in ONE job — the eager form paid a separate
+      // materialization job per round first (2 driver jobs/round -> 1).
       val next = labels.select(col("doc_id"), col("cluster_id"),
           lit(true).as("self"))
         .unionAll(nbrContrib)
@@ -604,7 +622,7 @@ object DedupOps {
         .agg(min(col("cluster_id")).as("cluster_id"),
           (min(col("cluster_id")) < min(when(col("self"), col("cluster_id"))))
             .as("improved"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       row = next.agg(
         sum(when(col("improved"), 1L).otherwise(0L)).as("changed"),
         count(lit(1)).as("n")).collect().head
@@ -641,17 +659,29 @@ object DedupOps {
     * q_incr_agg proof pattern: different plan, identical answer.
     */
   def incrementalClusters(docs: DataFrame): DataFrame = {
-    val standing = docs.filter(col("doc_id") % IncrMod =!= IncrRem)
+    // ONE shingle-hash kernel pass over the corpus (r19): the standing
+    // label rebuild and the batch pair generator previously each built
+    // their own kernel frame, running the trigram hash — the family's
+    // dominant task CPU — twice over ~2x the corpus. Both now slice one
+    // cached frame; the standing/batch node lists project off it too,
+    // so the documents table is scanned exactly once.
+    val g = withShingleHashes(docs).cache()
+    // materialize BEFORE the fan-out: the standing candidates, the batch
+    // candidates and both verify arms all consume g inside one action —
+    // racing branches would serialize on the block write locks (the
+    // q_gen_constraints lesson)
+    g.count()
+    val gStand = g.filter(col("doc_id") % IncrMod =!= IncrRem)
     // "Yesterday's index": in production this frame is read back from the
     // label store; here it is recomputed from the standing slice (same
     // values by construction — the standing band join is untouched by the
     // batch's absence).
     val oldLabels = clustersFromPairs(
-      standing.select(col("doc_id")),
-      minhashDupPairs(standing).select(col("d1"), col("d2")))
+      gStand.select(col("doc_id")),
+      verifyJaccard(gStand, minhashCandidates(gStand)).select(col("d1"), col("d2")))
     maintainLabels(oldLabels,
-      incrementalDupPairs(docs).select(col("d1"), col("d2")),
-      docs.filter(col("doc_id") % IncrMod === IncrRem).select(col("doc_id")))
+      incrementalDupPairsFrom(g).select(col("d1"), col("d2")),
+      g.filter(col("doc_id") % IncrMod === IncrRem).select(col("doc_id")))
   }
 
   /** The label-maintenance core of [[incrementalClusters]], generic in

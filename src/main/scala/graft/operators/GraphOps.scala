@@ -192,7 +192,11 @@ object GraphOps {
     * (multi-round cascades, fixpoint stability) on synthetic graphs.
     */
   private[graft] def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.localCheckpoint()
+    // r19: LAZY checkpoints — the count right after each is a full-frame
+    // action, so it materializes the checkpoint blocks and returns the
+    // convergence cardinality in ONE job (the eager form paid a separate
+    // materialization job per round first).
+    var e = edges.localCheckpoint(eager = false)
     // peeling only ever REMOVES edges, so an unchanged count is the
     // fixpoint — stop early (a 1-row count on the just-checkpointed
     // frame, the PageRank convergence-flag discipline); remaining
@@ -205,7 +209,7 @@ object GraphOps {
       val surv = deg.filter(col("deg") >= k).select(col("b"))
       e = e.join(surv.withColumnRenamed("b", "b1"), Seq("b1"), "left_semi")
         .join(surv.withColumnRenamed("b", "b2"), Seq("b2"), "left_semi")
-        .select(col("b1"), col("b2")).localCheckpoint()
+        .select(col("b1"), col("b2")).localCheckpoint(eager = false)
       val cur = e.count()
       i = if (cur == prev) rounds else i + 1
       prev = cur
@@ -243,16 +247,23 @@ object GraphOps {
     var lvl = nodes.crossJoin(broadcast(srcB))
       .select(col("b"),
         when(col("b") === col("s"), 0L).otherwise(-1L).as("lvl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var i = 1
     while (i <= rounds) {
-      val frontier = lvl.filter(col("lvl") === (i - 1).toLong)
-        .select(col("b").as("src"))
-      // an empty frontier is the fixpoint — remaining rounds are no-ops
-      // (same 1-row early-exit discipline as kCorePeel; the fixed-round
-      // oracle still matches)
-      if (frontier.isEmpty) i = rounds + 1
+      // r19: one driver job per round — the frontier-size probe is a
+      // 1-row aggregate over the LAZILY-checkpointed level frame, so the
+      // same job materializes the checkpoint blocks AND returns the
+      // early-exit flag (the eager form paid a checkpoint job plus an
+      // isEmpty job per round). An empty frontier is the fixpoint —
+      // remaining rounds are no-ops (kCorePeel's discipline; the
+      // fixed-round oracle still matches).
+      val fcnt = lvl.agg(
+        sum(when(col("lvl") === (i - 1).toLong, 1L).otherwise(0L)).as("f"))
+        .collect().head.getAs[Long]("f")
+      if (fcnt == 0L) i = rounds + 1
       else {
+        val frontier = lvl.filter(col("lvl") === (i - 1).toLong)
+          .select(col("b").as("src"))
         val reached = e.join(broadcast(frontier), "src")
           .select(col("dst").as("b")).distinct()
         lvl = lvl.join(reached.withColumn("r", lit(1L)), Seq("b"), "left_outer")
@@ -260,7 +271,7 @@ object GraphOps {
             when(col("lvl") >= 0, col("lvl"))
               .otherwise(when(col("r").isNotNull, lit(i.toLong)).otherwise(-1L))
               .as("lvl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         i += 1
       }
     }
