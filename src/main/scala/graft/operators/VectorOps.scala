@@ -790,6 +790,19 @@ object VectorOps {
   private def pqD2(a: String, b: String, duck: Boolean): String =
     s"(${dot(a, a, duck)} - 2 * ${dot(a, b, duck)} + ${dot(b, b, duck)})"
 
+  /** pqD2 through the NATIVE dot kernel (r19): the symbolic form above is
+    * three interpreted aggregate(zip_with(..)) folds per evaluation, each
+    * allocating the zipped array — and pqAssign evaluates it once per
+    * (vector, subspace, code) candidate, the PQ family's hottest loop.
+    * Bit-identical to the symbolic form the oracle keeps evaluating:
+    * every operand is an integer-valued double (micro quantization), so
+    * all products/sums are EXACT integers far below 2^53, and the kernel
+    * folds left-to-right exactly like the SQL aggregate.
+    */
+  private def pqD2Col(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dotCol(a, a) - lit(2.0) * dotCol(a, b) + dotCol(b, b)
+
   /** Component-wise difference a - b (integer-valued doubles stay exact). */
   private def residExpr(a: String, b: String, dim: Int, duck: Boolean): String =
     xform(seqIncl("1", dim.toString, duck), "i",
@@ -806,7 +819,7 @@ object VectorOps {
     */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), "m")
-      .withColumn("d2", expr(pqD2("xs", "cs", duck = false)))
+      .withColumn("d2", pqD2Col(col("xs"), col("cs")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(struct(col("code"), col("d2")),
         struct(col("d2"), col("code"))).as("s"))
@@ -886,8 +899,16 @@ object VectorOps {
     * exact squared quantization error (micro²).
     */
   def pqCodes(emb: DataFrame): DataFrame = {
+    // materialize each cache BEFORE its fan-out (r19): the coarse
+    // quantizer and the residual slicer both consume vm, and the
+    // codebook build + assignment + cell projection all consume subs —
+    // racing branches otherwise serialize on the block write locks (the
+    // q_gen_constraints lesson; measured here as task_run 28s on 6.5s
+    // of task CPU with an idle probe)
     val vm = microVecs(emb).cache()
+    vm.count()
     val subs = pqResidualSubs(vm, pqCoarse(vm)).cache()
+    subs.count()
     val enc = pqAssign(subs, pqCodebookOver(subs, PqSubDim, PqK, PqIters))
       .join(subs.select(col("vec_id"), col("cell")).distinct(), "vec_id")
     val codeCols = (0 until PqM).map(m =>
@@ -905,9 +926,12 @@ object VectorOps {
     * the same audit shape as q_emb_ivf_recall.
     */
   def pqRecall(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    // pre-materialized caches before fan-out, as in pqCodes (r19)
     val vm = microVecs(emb).cache()
+    vm.count()
     val coarseCb = pqCoarse(vm)
     val subs = pqResidualSubs(vm, coarseCb).cache()
+    subs.count()
     val cb = pqCodebookOver(subs, PqSubDim, PqK, PqIters)
     val enc = pqAssign(subs, cb)
       .join(subs.select(col("vec_id"), col("cell")).distinct(), "vec_id")
@@ -922,14 +946,14 @@ object VectorOps {
       posexplode(expr(sliceArrayExpr("qrv"))).as(Seq("m", "qxs")))
     val table = qslices.join(cb, "m")
       .select(col("cell"), col("m"), col("code"),
-        expr(pqD2("qxs", "cs", duck = false)).as("dq"))
+        pqD2Col(col("qxs"), col("cs")).as("dq"))
     val approx = enc.join(broadcast(table), Seq("cell", "m", "code"))
       .groupBy(col("vec_id")).agg(sum(col("dq")).as("adc_d2"))
       .orderBy(col("adc_d2").asc, col("vec_id").asc).limit(k)
     val exact = vm.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(vm.filter(col("vec_id") === queryId)
         .select(col("vm").as("qv"))))
-      .select(col("vec_id"), expr(pqD2("vm", "qv", duck = false)).as("d2"))
+      .select(col("vec_id"), pqD2Col(col("vm"), col("qv")).as("d2"))
       .orderBy(col("d2").asc, col("vec_id").asc).limit(k)
     exact.select("vec_id").join(approx.select("vec_id"), "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
