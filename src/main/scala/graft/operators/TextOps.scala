@@ -385,9 +385,10 @@ object TextOps {
     */
   def phraseSearch(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      // fused tokenize+bigram kernel (r19): identical array to the
+      // symbolic split + bigramsAll chain the oracle keeps evaluating
       .select(col("doc_id"),
-        expr(bigramsAll("toks", duck = false)).as("bgs"))
+        graft.functions.WordNgramsExpression.bigrams(col("text")).as("bgs"))
       .select(col("doc_id"),
         expr(s"CAST(${alen(filterArr("bgs", "b", s"b = '$SearchPhrase'"
           , duck = false), duck = false)} AS BIGINT)").as("n_hits"),
@@ -404,8 +405,9 @@ object TextOps {
     */
   def hapaxStats(docs: DataFrame): DataFrame =
     docs
-      .select(col("source"), expr("split(text, ' ')").as("toks"))
-      .select(col("source"), explode(expr(bigramsAll("toks", duck = false))).as("bg"))
+      // fused tokenize+bigram kernel (r19) — see phraseSearch
+      .select(col("source"),
+        explode(graft.functions.WordNgramsExpression.bigrams(col("text"))).as("bg"))
       .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("occ"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_terms"),
@@ -416,8 +418,9 @@ object TextOps {
         expr("n_hapax * 1000000 DIV n_terms").as("hapax_ppm"))
 
   def bigramLm(docs: DataFrame): DataFrame = {
-    val c = docs.select(expr("split(text, ' ')").as("toks"))
-      .select(explode(expr(bigramsAll("toks", duck = false))).as("g"))
+    // fused tokenize+bigram kernel (r19) — see phraseSearch
+    val c = docs
+      .select(explode(graft.functions.WordNgramsExpression.bigrams(col("text"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .select(expr("split(g, ' ')[0]").as("w1"),
         expr("split(g, ' ')[1]").as("w2"), col("cnt"))
@@ -510,8 +513,9 @@ object TextOps {
       explode(expr(tokens("text", duck = false))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum(col("cnt")).as("total"))
-    val bi = docs.select(expr(tokens("text", duck = false)).as("toks"))
-      .select(explode(expr(bigramsAll("toks", duck = false))).as("gram"))
+    // fused tokenize+bigram kernel (r19) — see phraseSearch
+    val bi = docs
+      .select(explode(graft.functions.WordNgramsExpression.bigrams(col("text"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= PmiMinCount)
       .select(col("gram"), col("pair_cnt"),
