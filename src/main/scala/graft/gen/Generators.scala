@@ -263,7 +263,7 @@ object Generators {
 
   /** Generated dim_customer (Spark side of the shared fragments). */
   def customers(spark: SparkSession, dir: String): DataFrame =
-    customerLayers.foldLeft(Tables.balanced(spark, Tables.customer(spark, dir))) { (df, layer) =>
+    customerLayers.foldLeft(Tables.balanced(spark, Tables.customer(spark, dir), Seq("c_custkey"))) { (df, layer) =>
       val resolved = resolvePlaceholders(layer, duck = false)
       df.selectExpr(resolved.map { case (a, e) => s"$e AS $a" }: _*)
     }
@@ -288,7 +288,7 @@ object Generators {
 
   /** Generated accounts DataFrame (Spark side of the shared fragments). */
   def accounts(spark: SparkSession, dir: String): DataFrame =
-    accountLayers.foldLeft(Tables.balanced(spark, Tables.customer(spark, dir))) { (df, layer) =>
+    accountLayers.foldLeft(Tables.balanced(spark, Tables.customer(spark, dir), Seq("c_custkey"))) { (df, layer) =>
       df.selectExpr(layer.map { case (a, e) => s"$e AS $a" }: _*)
     }
 
@@ -431,7 +431,7 @@ object Generators {
     * on customer_id (J3-shape equi-join), then the shared ladders.
     */
   def factTransactions(spark: SparkSession, dir: String): DataFrame = {
-    val draws = factLayers.foldLeft(Tables.balanced(spark, Tables.orders(spark, dir))) { (df, layer) =>
+    val draws = factLayers.foldLeft(Tables.balanced(spark, Tables.orders(spark, dir), Seq("o_orderkey"))) { (df, layer) =>
       df.selectExpr(layer.map { case (a, e) => s"$e AS $a" }: _*)
     }
     val acct = accounts(spark, dir)

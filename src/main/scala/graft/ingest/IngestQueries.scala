@@ -97,7 +97,7 @@ object IngestQueries {
     * (no-op on real multi-split inputs; see Tables.balanced).
     */
   private def src(s: SparkSession, dir: String): DataFrame =
-    Tables.balanced(s, Tables.orders(s, dir))
+    Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey"))
 
   /** Cached wire fixture. The cache is a materialization BARRIER: without
     * it Catalyst pushes the valid/errors filters (with the whole to_json

@@ -58,7 +58,7 @@ object Governance {
     * swaps for approx_count_distinct — same shape, mergeable sketches.
     */
   def profileOrders(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.balanced(spark, Tables.orders(spark, dir))
+    val orders = Tables.balanced(spark, Tables.orders(spark, dir), Seq("o_orderkey"))
     def branch(c: String, isNum: Boolean): DataFrame = {
       val minMax =
         if (isNum) Seq(min(col(c)).cast("double").as("min_num"),

@@ -335,8 +335,8 @@ object SampleOps {
     // balanced: exact percentile buffers are per-row expensive and the
     // single-row-group scan would aggregate 1-task; percentile merges
     // are order-insensitive so partitioning cannot change the result
-    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.balanced(s, Tables.orders(s, dir)))),
-    "q_approx_quantiles" -> ((s, dir) => approxQuantileInvariant(Tables.balanced(s, Tables.orders(s, dir))))
+    "q_quantiles" -> ((s, dir) => valueQuantiles(Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey")))),
+    "q_approx_quantiles" -> ((s, dir) => approxQuantileInvariant(Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey"))))
   )
 
   def oracleSql: Map[String, String] = Map(

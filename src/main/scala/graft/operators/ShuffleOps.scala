@@ -240,7 +240,7 @@ object ShuffleOps {
     */
   /** The skewed key projection shared by batch and streaming MG rows. */
   def skewedKeys(spark: SparkSession, dir: String): DataFrame =
-    Tables.balanced(spark, Tables.orders(spark, dir))
+    Tables.balanced(spark, Tables.orders(spark, dir), Seq("o_orderkey"))
       .select(when(col("o_orderkey") % 2 === 0, lit(0L))
         .otherwise(col("o_custkey")).as("k"))
 
@@ -767,8 +767,10 @@ object ShuffleOps {
       // balanced: the distinct Expand + register updates are per-row
       // expensive, and the single-row-group scan would run them 1-task
       // (both aggregates merge order-insensitively, so partitioning
-      // cannot change the result)
-      Tables.balanced(s, Tables.orders(s, dir)).agg(
+      // cannot change the result). Keyed on the unique order id (r19):
+      // the full-row hash routed rows by hashing all nine columns and
+      // kept them all alive through the exchange.
+      Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey")).agg(
           countDistinct(col("o_custkey")).as("exact_custs"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
         .select(col("exact_custs"),

@@ -576,7 +576,10 @@ object TextOps {
   private[graft] def withPrints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         graft.functions.TrigramHashesExpression.trigramHashesAll(col("text")).as("hs"))
-      .withColumn("prints", expr(winnowSql("hs", WinnowW, duck = false)))
+      // fused window-minima kernel (r19): identical array to the symbolic
+      // winnowSql form the oracle keeps evaluating (see the expression)
+      .withColumn("prints",
+        graft.functions.WinnowPrintsExpression.prints(col("hs"), WinnowW))
 
   /** Fold a (cached) prints frame and an external print-df frame into the
     * per-doc winnow profile — the readback shared by batch and streaming

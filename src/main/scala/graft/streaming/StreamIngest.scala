@@ -143,7 +143,7 @@ object StreamIngest {
       // version 2: payloads with o_orderkey % 101 == 1 omit transaction_id
       // (the 'Missing transaction_id' dead-letter path)
       StreamQueries.fixtureDir("wire", dir, "orders", version = 2),
-      IngestQueries.wireFromOrders(Tables.balanced(s, Tables.orders(s, dir))),
+      IngestQueries.wireFromOrders(Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey"))),
       text = true)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
