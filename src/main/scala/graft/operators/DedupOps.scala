@@ -107,6 +107,9 @@ object DedupOps {
     // Lifecycle is caller-owned (the plan is lazy); Bench/Verify
     // clearCache() after each query.
     val g = withShingleHashes(docs).cache()
+    // materialize before the fan-out (bands + both verify arms consume g
+    // in one action; racing branches serialize on block write locks — r19)
+    g.count()
     verifyJaccard(g, minhashCandidates(g))
   }
 
@@ -153,6 +156,7 @@ object DedupOps {
     */
   def minhashEval(docs: DataFrame): DataFrame = {
     val g = withShingleHashes(docs).cache()
+    g.count() // pre-materialize before fan-out (r19, see minhashDupPairs)
     val srcs = docs.select(col("doc_id"), col("source"))
     val candWs = minhashCandidates(g)
       .join(srcs.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
@@ -203,8 +207,11 @@ object DedupOps {
     * different candidate plan (the q_dedup_ngram_rare pattern: a
     * lossless plan swap).
     */
-  def incrementalDupPairs(docs: DataFrame): DataFrame =
-    incrementalDupPairsFrom(withShingleHashes(docs).cache())
+  def incrementalDupPairs(docs: DataFrame): DataFrame = {
+    val g = withShingleHashes(docs).cache()
+    g.count() // pre-materialize before fan-out (r19, see minhashDupPairs)
+    incrementalDupPairsFrom(g)
+  }
 
   /** [[incrementalDupPairs]] over an ALREADY-built (and caller-cached)
     * shingle-hash kernel frame — split out (r19) so incrementalClusters
@@ -258,6 +265,7 @@ object DedupOps {
     val index = s.read.parquet(standingBandIndexRoot(s, dir))
       .select(col("doc_id"), col("band_idx"), col("band_val"))
     val g = withShingleHashes(Tables.documents(s, dir)).cache()
+    g.count() // pre-materialize before fan-out (r19, see minhashDupPairs)
     val batchBands = bandFrame(g.filter(col("doc_id") % IncrMod === IncrRem))
     val candStanding = index.as("a").join(batchBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -296,6 +304,7 @@ object DedupOps {
     // left cached; per-query clearCache() exposed it (1.45s → 10.45s).
     // Lifecycle is caller-owned, as for every cache in this package.
     val sig = simhashSignatures(docs).cache()
+    sig.count() // pre-materialize before fan-out (r19, see minhashDupPairs)
     val blocks = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("block_idx"), col(s"block_$j").as("block_val"))): _*
     )).as("b")).select(col("doc_id"), col("simhash"), col("b.block_idx"), col("b.block_val"))
@@ -869,9 +878,11 @@ object DedupOps {
     */
   def decontaminate(docs: DataFrame): DataFrame = {
     // one kernel pass, cached; both sides explode from it (lifecycle
-    // caller-owned, as throughout)
-    val sh = withShingleHashes(docs).cache()
-      .select(col("doc_id"), explode(col("hs")).as("g"))
+    // caller-owned, as throughout); pre-materialized before the fan-out
+    // (r19, see minhashDupPairs)
+    val g0 = withShingleHashes(docs).cache()
+    g0.count()
+    val sh = g0.select(col("doc_id"), explode(col("hs")).as("g"))
     val eval = sh.filter(col("doc_id") % EvalMod === EvalRem)
       .select(col("doc_id").as("eval_doc"), col("g"))
     val keptGrams = eval.groupBy(col("g"))
@@ -915,6 +926,7 @@ object DedupOps {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val g = withShingleHashes(docs).cache()
+    g.count() // pre-materialize before fan-out (r19, see minhashDupPairs)
     val sh = g.select(col("doc_id"), explode(array_distinct(col("hs"))).as("gm"))
     val rare = sh.groupBy(col("gm")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)

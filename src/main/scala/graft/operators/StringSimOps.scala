@@ -134,6 +134,9 @@ object StringSimOps {
     */
   def entityClustersIncremental(part: DataFrame): DataFrame = {
     val n = names(part).cache()
+    // pre-materialize before the fan-out (standing/batch slices and both
+    // blocked-join sides consume n in one action — r19)
+    n.count()
     val standing = n.filter(!arrivedPred)
     val batch = n.filter(arrivedPred)
     // yesterday's labels: recomputed from the standing vocabulary (same
