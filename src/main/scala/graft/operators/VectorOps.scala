@@ -699,6 +699,9 @@ object VectorOps {
   def semDedupDrops(emb: DataFrame,
       hotCellCap: Int = SemDedupHotCellCap): DataFrame = {
     val vecs = normalized(emb, withLabel = false).cache()
+    // pre-materialize before the fan-out (Lloyd + assignment + member
+    // join all consume vecs in one action — r19, the pqCodes lesson)
+    vecs.count()
     val member = assignTo(vecs, lloydCentroids(vecs))
       .select(col("vec_id"), col("centroid_id"))
       .join(vecs, "vec_id")
@@ -725,6 +728,11 @@ object VectorOps {
       .withColumn("sub_key",
         expr("element_at(srp, 1) & (shiftleft(CAST(1 AS BIGINT), sub_bits) - 1)"))
       .select(col("centroid_id"), col("sub_key"), col("vec_id"), col("vn"))
+      // cached + materialized (r19): the within-cell self-join below
+      // consumes keyed on BOTH arms — uncached, the whole assignment +
+      // SRP-bucket pipeline executed twice, once per arm
+      .cache()
+    keyed.count()
     keyed.as("a").join(keyed.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.sub_key") === col("b.sub_key") &&
