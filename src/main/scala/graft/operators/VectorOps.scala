@@ -131,6 +131,9 @@ object VectorOps {
     // explode and both self-join sides; lifecycle is caller-owned
     // (Bench/Verify clearCache() after each query)
     val withBuckets = withAllBuckets(normalized(emb, withLabel = false), bits).cache()
+    // pre-materialize before the fan-out: both band arms and both vector
+    // broadcasts consume this in one action (r19, the pqCodes lesson)
+    withBuckets.count()
     // The band self-join runs over BARE ids and candidates are deduped
     // BEFORE vectors are fetched: clustered corpora collide in many
     // tables at once, so the raw band join emits each hot pair up to
@@ -316,6 +319,7 @@ object VectorOps {
     // one narrow materialization feeds seeds, both Lloyd's iterations and
     // the final assignment pass (lifecycle caller-owned, as throughout)
     val vecs = normalized(emb, withLabel = false).cache()
+    vecs.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     assignTo(vecs, lloydCentroids(vecs))
   }
 
@@ -329,6 +333,7 @@ object VectorOps {
     */
   def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val vecs = normalized(emb, withLabel = false).cache()
+    vecs.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val cents = lloydCentroids(vecs)
     val assign = assignTo(vecs, cents)
     val q = vecs.filter(col("vec_id") === queryId).select(col("vn").as("qv"))
@@ -372,14 +377,17 @@ object VectorOps {
       probes: Seq[Int] = IvfSweepProbes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = normalized(emb, withLabel = false).cache()
+    vecs.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val cents = lloydCentroids(vecs)
     val assign = assignTo(vecs, cents).cache()
+    assign.count() // pre-materialize: every probe branch consumes it (r19)
     val q = vecs.filter(col("vec_id") === 0L).select(col("vn").as("qv"))
     val crank = cents.crossJoin(broadcast(q))
       .select(col("centroid_id"), dotCol(col("cv"), col("qv")).as("qcos"))
       .withColumn("crnk",
         row_number().over(Window.orderBy(col("qcos").desc, col("centroid_id").asc)))
     val exact = cosineTopK(emb, k = k).select(col("vec_id")).cache()
+    exact.count() // pre-materialize: every probe branch consumes it (r19)
     probes.map { p =>
       val probed = crank.filter(col("crnk") <= p).select(col("centroid_id"))
       val approx = vecs.join(assign, "vec_id")
@@ -507,6 +515,7 @@ object VectorOps {
     */
   private[graft] def frozenCentroidArray(emb: DataFrame): DataFrame = {
     val vecs = normalized(emb, withLabel = false).cache()
+    vecs.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     lloydCentroids(vecs)
       .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cl"))
   }
@@ -545,6 +554,7 @@ object VectorOps {
     */
   def centroidDrift(emb: DataFrame): DataFrame = {
     val vecs = normalized(emb, withLabel = false).cache()
+    vecs.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val c0 = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("vn").as("cv"))
     // same flat-lineage barrier as lloydCentroids: c2 must hang off c1's
@@ -595,6 +605,7 @@ object VectorOps {
 
   def ivfIncrementalStats(emb: DataFrame): DataFrame = {
     val all = normalized(emb, withLabel = false).cache()
+    all.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val standing = all.filter(col("vec_id") % DedupOps.IncrMod =!= DedupOps.IncrRem)
     val batch = all.filter(col("vec_id") % DedupOps.IncrMod === DedupOps.IncrRem)
     val cents = lloydCentroids(standing)
@@ -610,6 +621,7 @@ object VectorOps {
     */
   private[graft] def ivfFullRestartStats(emb: DataFrame): DataFrame = {
     val all = normalized(emb, withLabel = false).cache()
+    all.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val standing = all.filter(col("vec_id") % DedupOps.IncrMod =!= DedupOps.IncrRem)
     cellStats(all, lloydCentroids(standing))
   }
@@ -640,6 +652,7 @@ object VectorOps {
   def ivfIncrementalStatsPersisted(s: SparkSession, dir: String): DataFrame = {
     val cents = s.read.parquet(ivfCentroidIndexRoot(s, dir))
     val all = normalized(Tables.embeddings(s, dir), withLabel = false).cache()
+    all.count() // pre-materialize before fan-out (r19, the pqCodes lesson)
     val standing = all.filter(col("vec_id") % DedupOps.IncrMod =!= DedupOps.IncrRem)
     val batch = all.filter(col("vec_id") % DedupOps.IncrMod === DedupOps.IncrRem)
     cellStats(standing, cents).unionAll(cellStats(batch, cents))
