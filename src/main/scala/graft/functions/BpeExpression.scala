@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -113,26 +113,37 @@ object BpeMerges {
 }
 
 /** n_bpe_tokens of a document: pre-tokenize, then per-word BPE merges,
-  * summed. One tight loop per row (CodegenFallback, like the sketch
-  * kernels) instead of 50 interpreted higher-order folds per word.
+  * summed. One tight loop per row instead of 50 interpreted higher-order
+  * folds per word; codegen is a static kernel call (the JaroWinklerKernel
+  * precedent) so the hosting Project stays inside its whole-stage span.
   */
-case class BpeTokenCountExpression(child: Expression,
-    nMerges: Int = BpeMerges.Merges.length)
-    extends UnaryExpression with CodegenFallback {
-
+object BpeKernel {
   // same pre-tokenizer as TextOps.bpeTokenCounts / the oracle
-  @transient private lazy val pre =
+  // (Pattern is immutable/thread-safe; matchers are per-call)
+  private val pre =
     java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "bpe_token_count"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val m = pre.matcher(input.asInstanceOf[UTF8String].toString)
+  def tokenCount(input: UTF8String, nMerges: Int): Long = {
+    val m = pre.matcher(input.toString)
     var total = 0L
     while (m.find()) total += BpeMerges.mergedLenN(m.group(), nMerges)
     total
   }
+}
+
+case class BpeTokenCountExpression(child: Expression,
+    nMerges: Int = BpeMerges.Merges.length)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.tokenCount(input.asInstanceOf[UTF8String], nMerges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.tokenCount($c, $nMerges)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

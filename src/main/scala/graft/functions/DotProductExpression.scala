@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -17,15 +17,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * FP, no FMA) is identical to the SQL form's, so results stay
   * bit-identical to the DuckDB oracle's `list_dot_product`.
   */
-case class DotProductExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "dot_product"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+object DotProductKernel {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var acc = 0.0
     var i = 0
@@ -35,6 +30,24 @@ case class DotProductExpression(left: Expression, right: Expression)
     }
     acc
   }
+}
+
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Static-kernel codegen (JaroWinklerKernel precedent) — keeps the
+    * candidate-verify joins' filters/projects inside one
+    * whole-stage-codegen span instead of the CodegenFallback span split.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProductKernel.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -15,15 +15,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * of an interpreted set-intersect with per-element hashing. Integer
   * counting → exact, engine-identical.
   */
-case class JaccardLongExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "jaccard_long"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
+object JaccardLongKernel {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
     if (x.length == 0 || y.length == 0) 0.0
     else {
       java.util.Arrays.sort(x) // toLongArray copies; sorting is local
@@ -39,6 +34,25 @@ case class JaccardLongExpression(left: Expression, right: Expression)
       inter.toDouble / (x.length + y.length - inter)
     }
   }
+}
+
+case class JaccardLongExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongKernel.jaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Static-kernel codegen (JaroWinklerKernel precedent) — the verify
+    * joins' filter stays inside one whole-stage-codegen span instead of
+    * the CodegenFallback span split.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardLongKernel.jaccard($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

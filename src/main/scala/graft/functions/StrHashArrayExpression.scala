@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** PortableSql.strHash applied to every element of a string array, as one
   * tight loop per row.
@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * kernel calls. Bit-exact agreement with PortableSql.strHash's symbolic
   * form is load-bearing for every dedup/fingerprint oracle; keeping one
   * copy means a tweak cannot silently desynchronize the kernels.
+  * (Public so generated whole-stage code can call it statically.)
   */
-private[functions] object StrHashKernel {
+object StrHashKernel {
   val P: Long = 1000000007L
 
   def hash(s: String): Long = {
@@ -38,25 +39,35 @@ private[functions] object StrHashKernel {
     }
     (acc * 31 + s.length) % P
   }
-}
 
-case class StrHashArrayExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "str_hash_array"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def hashArray(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var k = 0
     while (k < n) {
-      out(k) = StrHashKernel.hash(arr.getUTF8String(k).toString)
+      out(k) = hash(arr.getUTF8String(k).toString)
       k += 1
     }
     new GenericArrayData(out)
   }
+}
+
+case class StrHashArrayExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "str_hash_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StrHashKernel.hashArray(input.asInstanceOf[ArrayData])
+
+  /** Static-kernel codegen (JaroWinklerKernel precedent) — keeps the
+    * hosting Project inside the whole-stage-codegen span instead of the
+    * CodegenFallback span split.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StrHashKernel.hashArray($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -4,8 +4,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,16 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     hash, preserving first-occurrence order;
   *   - hash = base-127 polynomial over the first 16 chars salted with
   *     length, mod 1e9+7 (ASCII corpus: `ascii(substr(w,i,1))` ==
-  *     `charAt(i-1)`), exactly StrHashArrayExpression's loop.
+  *     `charAt(i-1)`), exactly StrHashKernel's loop.
+  *
+  * All four kernels here codegen as static calls (the JaroWinklerKernel
+  * precedent) so the hosting Project stays inside its whole-stage span —
+  * the r19 CodegenFallback forms split the span into extra generated
+  * classes per query.
   */
-case class TrigramHashesExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "trigram_hashes"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+object TrigramHashesKernel {
+  def distinctHashes(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     if (toks.length < 3) new GenericArrayData(Array.emptyLongArray)
     else {
       val seen = mutable.HashSet.empty[String]
@@ -51,6 +51,63 @@ case class TrigramHashesExpression(child: Expression)
       new GenericArrayData(out.toArray)
     }
   }
+
+  def allHashes(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
+    if (toks.length < 3) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](toks.length - 2)
+      var i = 0
+      while (i <= toks.length - 3) {
+        out(i) = StrHashKernel.hash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def rollingFp(input: UTF8String): Long = {
+    val toks = input.toString.split(" ", -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = (acc * 31 + StrHashKernel.hash(toks(i))) % StrHashKernel.P
+      i += 1
+    }
+    acc
+  }
+
+  def bigramTop(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
+    if (toks.length < 2) new GenericArrayData(Array(0L, 0L))
+    else {
+      val counts = mutable.HashMap.empty[String, Long]
+      var top = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        val gram = toks(i) + " " + toks(i + 1)
+        val c = counts.getOrElse(gram, 0L) + 1L
+        counts.update(gram, c)
+        if (c > top) top = c
+        i += 1
+      }
+      new GenericArrayData(Array((toks.length - 1).toLong, top))
+    }
+  }
+}
+
+case class TrigramHashesExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramHashesKernel.distinctHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TrigramHashesKernel.distinctHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -71,24 +128,17 @@ object TrigramHashesExpression {
   * PortableSql.trigramsAll + strHash, no distinct.
   */
 case class TrigramHashesAllExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "trigram_hashes_all"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    if (toks.length < 3) new GenericArrayData(Array.emptyLongArray)
-    else {
-      val out = new Array[Long](toks.length - 2)
-      var i = 0
-      while (i <= toks.length - 3) {
-        out(i) = StrHashKernel.hash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramHashesKernel.allHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TrigramHashesKernel.allHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -103,21 +153,17 @@ case class TrigramHashesAllExpression(child: Expression)
   * list_reduce form.
   */
 case class RollingFpExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fp"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    var acc = 0L
-    var i = 0
-    while (i < toks.length) {
-      acc = (acc * 31 + StrHashKernel.hash(toks(i))) % StrHashKernel.P
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramHashesKernel.rollingFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TrigramHashesKernel.rollingFp($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -138,28 +184,17 @@ object RollingFpExpression {
   * exact, so the outputs are engine-identical.
   */
 case class BigramTopExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bigram_top"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    if (toks.length < 2) new GenericArrayData(Array(0L, 0L))
-    else {
-      val counts = mutable.HashMap.empty[String, Long]
-      var top = 0L
-      var i = 0
-      while (i < toks.length - 1) {
-        val gram = toks(i) + " " + toks(i + 1)
-        val c = counts.getOrElse(gram, 0L) + 1L
-        counts.update(gram, c)
-        if (c > top) top = c
-        i += 1
-      }
-      new GenericArrayData(Array((toks.length - 1).toLong, top))
-    }
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramHashesKernel.bigramTop(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TrigramHashesKernel.bigramTop($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

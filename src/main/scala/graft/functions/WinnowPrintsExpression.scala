@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -21,14 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * occurrence kept; the whole-array minimum when 0 < n < w; empty when
   * n = 0), so the DuckDB oracle keeps evaluating the symbolic form.
   */
-case class WinnowPrintsExpression(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_prints"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+object WinnowPrintsKernel {
+  def compute(input: ArrayData, w: Int): ArrayData = {
+    val hs = input.toLongArray()
     val n = hs.length
     if (n == 0) new GenericArrayData(Array.emptyLongArray)
     else if (n < w) {
@@ -47,6 +42,24 @@ case class WinnowPrintsExpression(child: Expression, w: Int)
       new GenericArrayData(seen.toArray)
     }
   }
+}
+
+case class WinnowPrintsExpression(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_prints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowPrintsKernel.compute(input.asInstanceOf[ArrayData], w)
+
+  /** Static-kernel codegen (JaroWinklerKernel precedent) — keeps the
+    * hosting Project inside the whole-stage-codegen span instead of the
+    * r19 CodegenFallback span split.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowPrintsKernel.compute($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

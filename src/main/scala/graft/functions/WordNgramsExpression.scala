@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,14 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps evaluating the symbolic form. Same fused-kernel contract as
   * TrigramHashesExpression, which pins the split/guard semantics.
   */
-case class WordNgramsExpression(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = s"word_${n}grams"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+object WordNgramsKernel {
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val m = toks.length - n + 1
@@ -46,6 +41,28 @@ case class WordNgramsExpression(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
+}
+
+case class WordNgramsExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"word_${n}grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramsKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  /** Codegen as a static kernel call (the JaroWinklerKernel precedent):
+    * the r19 CodegenFallback form excluded the hosting Project from
+    * whole-stage codegen, splitting the surrounding span into extra
+    * generated classes and iterator boundaries — pure compile + per-row
+    * overhead. The call text is constant across plans, so janino's
+    * code cache shares one compiled class between every query that
+    * projects this kernel.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordNgramsKernel.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
