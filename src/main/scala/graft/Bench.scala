@@ -156,6 +156,24 @@ object Bench {
       // with the batch that owns it.
       .config("spark.sql.streaming.stateStore.unloadOnCommit",
         sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "true"))
+      // This container has no libhadoop.so, so Hadoop's local FS falls
+      // back to FORKED SHELL PROCESSES for permission ops (a `chmod` per
+      // created file) and the FileContext-based checkpoint manager forks
+      // a `readlink` per atomic rename — thread dumps showed stateful
+      // streaming tasks spending ~half their task_run inside
+      // ProcessImpl.forkAndExec. Fix the runtime, not the algorithm:
+      // a LocalFileSystem whose setPermission is a java.nio syscall
+      // (identical bits on disk), and the FileSystem-based checkpoint
+      // manager (rename via File.renameTo — atomic on POSIX local fs;
+      // cluster checkpoints live on HDFS/S3 where the default manager
+      // never shell-forks, so production behavior is untouched).
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.NoForkLocalFileSystem"))
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager"))
       // events.ts nanos handling lives in Tables.events (schema-adaptive;
       // it sets the legacy conf itself where a runtime still honors it)
       // Plan-DESCRIPTION rendering guard: iterative operators can nest

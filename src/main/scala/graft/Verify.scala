@@ -24,6 +24,16 @@ object Verify {
       // state-store providers resident (measured 2x on the stream family)
       .config("spark.sql.streaming.stateStore.unloadOnCommit",
         sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "true"))
+      // match Bench: fork-free local FS + FileSystem-based checkpoint
+      // manager (no libhadoop.so here -> Hadoop's shell fallbacks fork a
+      // process per file create / atomic rename; see Bench.scala)
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.NoForkLocalFileSystem"))
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager"))
       // match Bench: coalesce tiny exchanges to the advisory size (results
       // are partition-count independent; this only cuts task overhead)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")

@@ -116,8 +116,17 @@ object DedupOps {
   /** The RAW banded candidate set (pre-verification) — split out so the
     * precision/recall evaluation can audit what banding alone surfaces.
     */
-  private[graft] def minhashCandidates(g: DataFrame): DataFrame = {
-    val bands = bandFrame(g)
+  private[graft] def minhashCandidates(g: DataFrame): DataFrame =
+    candidatesFromBands(bandFrame(g))
+
+  /** The band-collision self-join of [[minhashCandidates]] over an
+    * ALREADY-built (doc_id, band_idx, band_val) frame — split out (r20)
+    * so incrementalClusters can share ONE banded-signature pass between
+    * the standing-label rebuild and the batch pair generator (bandFrame
+    * is per-row, so filtering a shared frame equals building it per
+    * slice).
+    */
+  private[graft] def candidatesFromBands(bands: DataFrame): DataFrame = {
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -218,8 +227,16 @@ object DedupOps {
     * can share ONE kernel pass between the standing-label rebuild and
     * the batch pair generator instead of hashing the corpus twice.
     */
-  private[graft] def incrementalDupPairsFrom(g: DataFrame): DataFrame = {
-    val bands = bandFrame(g)
+  private[graft] def incrementalDupPairsFrom(g: DataFrame): DataFrame =
+    incrementalDupPairsFromBands(g, bandFrame(g))
+
+  /** [[incrementalDupPairsFrom]] over an ALREADY-built band frame — the
+    * shared-signature-pass twin of [[candidatesFromBands]] (r20). The
+    * batch side stays pruned BEFORE the shuffle: only the band frame is
+    * shared, not the join shape.
+    */
+  private[graft] def incrementalDupPairsFromBands(g: DataFrame,
+      bands: DataFrame): DataFrame = {
     val batchBands = bands.filter(col("doc_id") % IncrMod === IncrRem)
     val cand = bands.as("a").join(batchBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -489,24 +506,29 @@ object DedupOps {
     var converged = false
     var round = 0L
     var bound = -1L // set from the first round's edge count
-    // r19: lazy checkpoint fused with the count (one job instead of a
-    // materialization job + a count job per round), and the PREVIOUS
-    // round's cardinality is remembered instead of re-counted — the
-    // convergence test ran edges.count() again every round on a frame
-    // whose count the prior iteration had already computed.
-    var prevN = -1L
     while (!converged && (bound < 0L || round <= bound)) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
-      val n = next.count()
+      // ONE job per round (r20; the r19 form still ran a count job plus a
+      // left-anti-join job): tag each side of a canonical-frame union and
+      // aggregate — |next ∪ edges| == |next| == |edges| is exact set
+      // equality (both frames are distinct with u > v), no join, and the
+      // union's pass over `next` materializes its lazy checkpoint blocks.
+      val row = next.select(col("u"), col("v"), lit(1L).as("nn"), lit(0L).as("oo"))
+        .unionAll(edges.select(col("u"), col("v"), lit(0L).as("nn"), lit(1L).as("oo")))
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("nn")).as("nn"), max(col("oo")).as("oo"))
+        .agg(count(lit(1)).as("union_n"),
+          sum(col("nn")).as("next_n"), sum(col("oo")).as("edges_n"))
+        .collect().head
+      val n = row.getAs[Long]("next_n")
       if (bound < 0L) bound = n + 2L
-      // next == edges  <=>  |next| == |edges| and next \ edges == empty;
-      // both frames are canonical (distinct, u > v)
-      converged = n == (if (prevN >= 0L) prevN else edges.count()) &&
-        next.join(edges, Seq("u", "v"), "left_anti").count() == 0L
+      converged = row.getAs[Long]("union_n") == n &&
+        row.getAs[Long]("edges_n") == n
       edges = next
-      prevN = n
       round += 1L
     }
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[rounds] stars: $round")
     val centers = edges.select(col("v")).distinct()
       .select(col("v").as("doc_id"), col("v").as("cluster_id"))
     val leaves = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
@@ -557,9 +579,14 @@ object DedupOps {
     // once per union branch. Lifecycle caller-owned, as throughout.
     val p = pairs.cache()
     // Dup-free corpus: no edges means every label is already final —
-    // skip the propagation machinery entirely (VERDICT r4 #3). The
-    // limit(1) probe also materializes the cache for the caller.
-    if (p.limit(1).count() == 0L)
+    // skip the propagation machinery entirely (VERDICT r4 #3). FULL
+    // count, not limit(1) (r20): the undirected union right below
+    // consumes p on two branches inside one AQE action, and a partially
+    // materialized cache leaves the remaining partitions to be computed
+    // by both branches concurrently — serialized on the block write
+    // locks (the repo's measured cache-race signature). One complete
+    // pass here makes the fan-out read-only.
+    if (p.count() == 0L)
       return nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
     // Undirected edges, hash-partitioned ON the per-round aggregation key
     // (d1) before caching: round zero's groupBy(d1) and every later
@@ -638,6 +665,8 @@ object DedupOps {
       labels = next.select(col("doc_id"), col("cluster_id"))
       round += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[rounds] propagation: ${round - 1} general rounds")
     nodes.select(col("doc_id")).join(
         labels.select(col("doc_id"),
           col("cluster_id").as("edge_cluster")), Seq("doc_id"), "left")
@@ -680,16 +709,26 @@ object DedupOps {
     // racing branches would serialize on the block write locks (the
     // q_gen_constraints lesson)
     g.count()
+    // ONE banded-signature pass (r20): the standing rebuild's candidate
+    // self-join and the batch generator's pruned join previously each
+    // built their own minhash/band frame off g — the same per-row values
+    // computed twice. Both now filter one cached frame; the batch side
+    // is still pruned BEFORE its shuffle, so the incremental join shape
+    // (|batch| x collision rate, never |corpus|^2) is unchanged.
+    val bands = bandFrame(g).cache()
+    bands.count() // 3 join arms consume it in one action — materialize first
     val gStand = g.filter(col("doc_id") % IncrMod =!= IncrRem)
+    val standBands = bands.filter(col("doc_id") % IncrMod =!= IncrRem)
     // "Yesterday's index": in production this frame is read back from the
     // label store; here it is recomputed from the standing slice (same
     // values by construction — the standing band join is untouched by the
     // batch's absence).
     val oldLabels = clustersFromPairs(
       gStand.select(col("doc_id")),
-      verifyJaccard(gStand, minhashCandidates(gStand)).select(col("d1"), col("d2")))
+      verifyJaccard(gStand, candidatesFromBands(standBands))
+        .select(col("d1"), col("d2")))
     maintainLabels(oldLabels,
-      incrementalDupPairsFrom(g).select(col("d1"), col("d2")),
+      incrementalDupPairsFromBands(g, bands).select(col("d1"), col("d2")),
       g.filter(col("doc_id") % IncrMod === IncrRem).select(col("doc_id")))
   }
 
@@ -704,6 +743,17 @@ object DedupOps {
       newPairs0: DataFrame, batchNodes: DataFrame): DataFrame = {
     val oldLabels = oldLabels0.cache()
     val newPairs = newPairs0.cache()
+    // Materialize BEFORE the fan-out (r20; the r19 block-write-lock
+    // lesson applied to THIS path, which predated it): oldLabels feeds
+    // touched + touchedMembers + the final anti-join, and newPairs feeds
+    // both endpoint branches + the relabel union — all consumed inside
+    // the relabel pipeline's first action, where racing AQE stage
+    // futures serialize on the cache block write locks. For the
+    // incremental cluster rows oldLabels is the full standing-label
+    // rebuild, so the race doubled the most expensive frame here. The
+    // two caches are disjoint, so ONE union job materializes both
+    // without racing itself.
+    oldLabels.select(lit(1)).unionAll(newPairs.select(lit(1))).count()
     val endpoints = newPairs.select(col("d1").as("doc_id"))
       .unionAll(newPairs.select(col("d2").as("doc_id"))).distinct()
     // Touched components: tiny by definition (batch-proportional), so the
@@ -713,6 +763,9 @@ object DedupOps {
       .select(col("cluster_id")).distinct()
     val touchedMembers = oldLabels.join(touched, "cluster_id")
       .select(col("doc_id"), col("cluster_id")).cache()
+    // same reason: nodes (via the union-distinct) and starEdges both
+    // consume touchedMembers inside the relabel pipeline's first action
+    touchedMembers.count()
     val nodes = batchNodes.unionAll(touchedMembers.select(col("doc_id"))).distinct()
     val starEdges = touchedMembers.filter(col("cluster_id") =!= col("doc_id"))
       .select(col("cluster_id").as("d1"), col("doc_id").as("d2"))

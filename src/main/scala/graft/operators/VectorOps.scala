@@ -1343,9 +1343,19 @@ object VectorOps {
   /** The DBSCAN core, generic in the eps-neighbourhood pair source. */
   private def dbscanFromPairs(emb: DataFrame, pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.cache()
+    // materialize BEFORE the fan-out (r20; the r19 block-write-lock
+    // lesson): the undirected union's two branches, corePairs' probe
+    // side, and the propagation's pair cache all consume `pairs` inside
+    // one action — racing AQE stage futures otherwise serialize on the
+    // cache block write locks (this row's measured task_run was 2.4x its
+    // task CPU with an idle probe).
+    pairs.count()
     val und = pairs.unionAll(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
     val core = und.groupBy(col("v1").as("vec_id")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= DbscanMinPts).select(col("vec_id")).cache()
+    // same reason: corePairs consumes core on both join arms, and the
+    // propagation's node list is a third consumer
+    core.count()
     val corePairs = pairs
       .join(core.select(col("vec_id").as("v1")), "v1")
       .join(core.select(col("vec_id").as("v2")), "v2")

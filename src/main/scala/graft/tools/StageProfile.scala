@@ -16,13 +16,37 @@ object StageProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val q = sys.env.getOrElse("SPARK_GRAFT_Q", "q_gen_constraints")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench's streaming knobs — profiling with the 4.1 durability
+      // guards ON shows checksum-manager waits Bench never pays
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_GUARDS", "false"))
+      .config("spark.sql.streaming.stateStore.unloadOnCommit",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "true"))
+      // match Bench: fork-free local FS + FS-based checkpoint manager
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.NoForkLocalFileSystem"))
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager"))
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
+    // ad-hoc A/B dial: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty)
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
