@@ -146,6 +146,7 @@ object DedupOps {
 
   def dedupThresholdSweep(docs: DataFrame): DataFrame = {
     val pairs = ngramJaccardPairs(docs).select(col("jaccard")).cache()
+    pairs.count() // materialize before the per-threshold fan-out (r20 sweep)
     SweepThresholds.map { t =>
       pairs.filter(col("jaccard") >= t)
         .agg(count(lit(1)).as("n_pairs"))
@@ -173,10 +174,12 @@ object DedupOps {
       .filter(col("s1") === col("s2"))
       .select(col("d1"), col("d2"))
       .cache()
+    candWs.count() // materialize before the hit-join + n_cand fan-out (r20)
     val truth = ngramJaccardPairs(docs)
       .filter(col("jaccard") >= MinhashThreshold)
       .select(col("d1"), col("d2"))
       .cache()
+    truth.count() // materialize before the hit-join + n_truth fan-out (r20)
     val hit = truth.join(candWs, Seq("d1", "d2"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(candWs.agg(count(lit(1)).as("n_cand"))))
@@ -381,6 +384,9 @@ object DedupOps {
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
       .cache()
+    // materialize before the fan-out (the prefix explode's self-join arms
+    // + both verify-join sides consume g in one action — r20 sweep)
+    g.count()
     // prefix length floor(n/2)+1 (t = 0.5); slice is 1-based
     val pref = g.select(col("doc_id"), col("source"), col("n"),
       explode(slice(col("hs"), lit(1), (col("n") / 2 + 1).cast("int"))).as("tok"))
@@ -427,6 +433,7 @@ object DedupOps {
       .withColumn("n", size(col("hs")))
       .filter(col("n") >= 1)
       .cache()
+    g.count() // materialize before the fan-out (same as ngramJaccardPairs)
     val tok = g.select(col("doc_id"), col("source"), col("n"),
       explode(col("hs")).as("tok"))
     val freq = tok.groupBy(col("source"), col("tok"))
@@ -704,11 +711,6 @@ object DedupOps {
     // cached frame; the standing/batch node lists project off it too,
     // so the documents table is scanned exactly once.
     val g = withShingleHashes(docs).cache()
-    // materialize BEFORE the fan-out: the standing candidates, the batch
-    // candidates and both verify arms all consume g inside one action —
-    // racing branches would serialize on the block write locks (the
-    // q_gen_constraints lesson)
-    g.count()
     // ONE banded-signature pass (r20): the standing rebuild's candidate
     // self-join and the batch generator's pruned join previously each
     // built their own minhash/band frame off g — the same per-row values
@@ -716,7 +718,13 @@ object DedupOps {
     // is still pruned BEFORE its shuffle, so the incremental join shape
     // (|batch| x collision rate, never |corpus|^2) is unchanged.
     val bands = bandFrame(g).cache()
-    bands.count() // 3 join arms consume it in one action — materialize first
+    // ONE materialization job covers BOTH caches before their fan-outs
+    // (bands' plan reads g exactly once, so counting bands computes and
+    // caches g too): bands feeds 3 join arms, g feeds both verify arms
+    // and the standing/batch node lists — all inside later actions that
+    // would otherwise race the block write locks (the q_gen_constraints
+    // lesson).
+    bands.count()
     val gStand = g.filter(col("doc_id") % IncrMod =!= IncrRem)
     val standBands = bands.filter(col("doc_id") % IncrMod =!= IncrRem)
     // "Yesterday's index": in production this frame is read back from the

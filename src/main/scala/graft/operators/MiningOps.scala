@@ -249,6 +249,9 @@ object MiningOps {
     val rev = lineitem.groupBy(col("l_suppkey").as("sk"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
       .cache()
+    // materialize before the fan-out (tot + the ranked window both
+    // consume rev in one action — the block-write-lock race, r20 sweep)
+    rev.count()
     val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
     rev
       .withColumn("rn", row_number().over(

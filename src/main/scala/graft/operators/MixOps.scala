@@ -237,6 +237,9 @@ object MixOps {
       .withColumn("ptoks", coalesce(col("ptoks"), lit(0L)))
       .withColumn("pw", coalesce(col("pw"), lit(0L)))
       .cache()
+    // materialize before the fan-out (the lam aggregate and the final
+    // crossJoin scan both consume ranked in one action — r20 sweep)
+    ranked.count()
     // candidate water level with rows < rn capped; valid when this row
     // stays UNCAPPED at its level and the previous row capped
     val lam = ranked

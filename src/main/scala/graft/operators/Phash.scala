@@ -101,6 +101,9 @@ object Phash {
     */
   private def bandedPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     val hashes = phashes(spark, docs).cache()
+    // materialize before the fan-out: the band self-join's two arms each
+    // derive from this cache inside one action (r20 sweep)
+    hashes.count()
     val bands = hashes.select(col("doc_id"), col("phash"), explode(array(
         (0 until Bands).map(b =>
           struct(lit(b).as("b"),
@@ -125,6 +128,7 @@ object Phash {
     */
   def phashHammingSweep(spark: SparkSession, docs: DataFrame): DataFrame = {
     val p = bandedPairs(spark, docs).cache()
+    p.count() // materialize before the per-cutoff fan-out (r20 sweep)
     (0 to HammingMax).map { t =>
       p.filter(col("hamming") <= t)
         .agg(count(lit(1)).as("n_pairs"))

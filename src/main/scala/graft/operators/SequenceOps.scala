@@ -509,6 +509,7 @@ object SequenceOps {
     val wk = events.groupBy(col("event_type"),
         expr("unix_millis(ts) DIV 604800000").as("wk"))
       .agg(count(lit(1)).as("y")).cache()
+    wk.count() // materialize before the self-join's two arms (r20 sweep)
     val pairs = wk.as("a").join(wk.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.wk") < col("b.wk"))
       .select(col("a.event_type").as("event_type"),
@@ -626,6 +627,9 @@ object SequenceOps {
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("tms")).as("s"), max(col("tms")).as("e"))
       .cache()
+    // materialize before the fan-out (both union branches + the
+    // n_sessions probe consume sessions in one action — r20 sweep)
+    sessions.count()
     val net = sessions.select(col("s").as("t"), lit(1L).as("d"))
       .unionAll(sessions.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
       .groupBy(col("t")).agg(sum(col("d")).as("net"))
@@ -643,6 +647,7 @@ object SequenceOps {
     val conc = local.join(broadcast(off), "bk")
       .select(col("t"), (col("run") + col("off")).as("conc"))
       .cache()
+    conc.count() // materialize before the peak probe + filter fan-out (r20)
     conc
       .crossJoin(broadcast(conc.agg(max(col("conc")).as("peak"))))
       .filter(col("conc") === col("peak"))

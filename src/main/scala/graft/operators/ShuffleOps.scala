@@ -328,6 +328,7 @@ object ShuffleOps {
     // cached: feeds both the sketch build and the exact-count audit
     // (lifecycle caller-owned, as throughout)
     val keyed = sourceWordKeys(spark, dir).cache()
+    keyed.count() // materialize before the sketch+audit fan-out (r20 sweep)
     val sketches = keyed.groupBy(col("source")).agg(
       graft.functions.MisraGriesAggregate.mgSketch(col("k"), MgCapacity).as("mg"),
       count(lit(1)).as("n_rows"))
@@ -764,14 +765,23 @@ object ShuffleOps {
     // fraction of the rsd=0.01 one this query shipped with (which alone
     // was ~1.5s of the bench: register count grows ~1/rsd^2).
     "q_approx_distinct" -> ((s, dir) => {
-      // balanced: the distinct Expand + register updates are per-row
-      // expensive, and the single-row-group scan would run them 1-task
-      // (both aggregates merge order-insensitively, so partitioning
-      // cannot change the result). Keyed on the unique order id (r19):
-      // the full-row hash routed rows by hashing all nine columns and
-      // kept them all alive through the exchange.
-      Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey")).agg(
-          countDistinct(col("o_custkey")).as("exact_custs"),
+      // r20: the former one-shot countDistinct + approx_count_distinct
+      // planned a multi-distinct Expand (every row duplicated through the
+      // exchange) and ran the HLL partial aggregate on EVERY scan task —
+      // and an rsd=0.02 HLL buffer is hundreds of long columns, whose
+      // UnsafeProjection source text each task must re-render before the
+      // codegen cache can even be consulted (measured: ~0.3 CPU-s per
+      // task of pure code-text construction, 21 tasks). HLL registers
+      // are duplicate-insensitive, so aggregating over the DISTINCT keys
+      // is value-identical: exact = count of distinct non-null keys,
+      // approx = the same register states the raw rows would set. The
+      // distinct is a map-side partial aggregate (shuffles unique keys,
+      // no Expand, §2.3), and the wide HLL buffer exists only on the
+      // few post-shuffle tasks. balanced keeps the single-row-group scan
+      // parallel (r19: keyed on the unique order id for pruning).
+      Tables.balanced(s, Tables.orders(s, dir), Seq("o_orderkey"))
+        .select(col("o_custkey")).distinct().agg(
+          count(col("o_custkey")).as("exact_custs"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
         .select(col("exact_custs"),
           (abs(col("approx") - col("exact_custs")).cast("double") /

@@ -304,6 +304,7 @@ object StringSimOps {
     */
   def fsThresholdSweep(part: DataFrame): DataFrame = {
     val scored = fsLinkage(part).select(col("score")).cache()
+    scored.count() // materialize before the per-threshold fan-out (r20 sweep)
     FsSweepMilli.map { t =>
       scored.filter(col("score") >= t)
         .agg(count(lit(1)).as("n_pairs"))

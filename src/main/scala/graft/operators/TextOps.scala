@@ -599,6 +599,7 @@ object TextOps {
 
   def winnowStats(docs: DataFrame): DataFrame = {
     val d = withPrints(docs).cache()
+    d.count() // materialize before the two-consumer fan-out (r20 sweep)
     statsFromPrints(d,
       d.select(explode(col("prints")).as("p"))
         .groupBy("p").agg(count(lit(1)).as("dfp")))
@@ -619,6 +620,7 @@ object TextOps {
   def bpeMergeSweep(docs: DataFrame): DataFrame = {
     val base = docs.select(col("text"),
       length(col("text")).cast("long").as("n_chars")).cache()
+    base.count() // materialize before the sweep-branch fan-out (r20 sweep)
     BpeSweepMerges.map { k =>
       base.select(col("n_chars"),
           graft.functions.BpeFunctions.bpeTokenCountN(col("text"), k).as("toks"))

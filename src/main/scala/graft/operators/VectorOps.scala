@@ -187,6 +187,9 @@ object VectorOps {
   def lshOccupancyScaling(emb: DataFrame): DataFrame = {
     val bkt = withAllBuckets(normalized(emb, withLabel = false), BitsPerTable)
       .select(col("vec_id"), col("bucket_0")).cache()
+    // materialize before the fan-out (full/half occupancy stats + the
+    // max-id probe all consume bkt in one action — r20 sweep)
+    bkt.count()
     val half = bkt.crossJoin(bkt.agg(max(col("vec_id")).as("mxid")))
       .filter(expr("vec_id <= mxid DIV 2"))
       .select(col("vec_id"), col("bucket_0"))
@@ -1110,6 +1113,9 @@ object VectorOps {
     */
   def lshTableSweep(emb: DataFrame): DataFrame = {
     val wb = withAllBuckets(normalized(emb, withLabel = false), BitsPerTable).cache()
+    // materialize before the fan-out (bands + vecs + the sample slice all
+    // consume wb; exact's crossJoin reads sample twice — r20 sweep)
+    wb.count()
     val sample = wb.filter(col("vec_id") % LshRecallMod === 0)
       .select(col("vec_id"), col("vn")).cache()
     val exact = sample.select(col("vec_id").as("v1"), col("vn").as("vn1"))
@@ -1117,6 +1123,7 @@ object VectorOps {
       .filter(col("v1") < col("v2"))
       .filter(round(dotCol(col("vn1"), col("vn2")), 6) >= AnnMinCosine)
       .select(col("v1"), col("v2")).cache()
+    exact.count() // materialize before the per-sweep-point fan-out (r20)
     val bands = wb.select(col("vec_id"), explode(array(
         (0 until NTables).map(t =>
           struct(lit(t).as("t"), col(s"bucket_$t").as("bk"))): _*)).as("b"))
@@ -1447,6 +1454,7 @@ object VectorOps {
     val yCols = (0 until RpDim).map(j =>
       dotCol(col("vn"), typedLit(rpPlaneConst(RpPlaneOffset + j))))
     val proj = e.select(col("vec_id"), col("vn"), array(yCols: _*).as("y")).cache()
+    proj.count() // materialize before the two join arms fan out (r20 sweep)
     val a = proj.select(col("vec_id").as("v1"), col("vn").as("vn1"), col("y").as("y1"))
     val b = proj.select((col("vec_id") - 1).as("v1"), col("vec_id").as("v2"),
       col("vn").as("vn2"), col("y").as("y2"))

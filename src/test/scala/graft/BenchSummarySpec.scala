@@ -20,6 +20,16 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
   }
 
+  test("summary line stays under the cap at a 1000-query registry") {
+    val line = Bench.boundedSummaryLine(walls(1000), Nil, 900.0, 912.0, 500L,
+      1000, "/root/testdata/sf0.1")
+    assert(line.length <= 1700, s"line is ${line.length} chars")
+    assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
+    val parsed = graft.sources.ManifestMeta.parse(line)
+      .asInstanceOf[Map[String, Any]]
+    assert(parsed("n_queries").asInstanceOf[Number].intValue == 1000)
+  }
+
   test("summary line stays bounded even at a 5000-query registry") {
     val line = Bench.boundedSummaryLine(walls(5000), Nil, 4100.0, 4150.0, 999L,
       5000, "/root/testdata/sf0.1")
